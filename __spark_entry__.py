@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps every implemented operator family from SURVEY.md §2 (plus
+the training-data-pipeline extensions) to a (spark, sf_dir) -> DataFrame
+callable; `oracle_sql()` holds the DuckDB-dialect twin of each
+SQL-expressible query. Approximate / mapInPandas-based ops intentionally
+have no oracle entry (driver records a rows-only check).
+
+Column names and integer widths are aligned between both sides (DuckDB
+count/len/row_number return BIGINT; Spark sides cast to long) and floats
+are rounded identically so the driver's order-insensitive value-hash
+matches bit-for-bit.
 """
 
 from __future__ import annotations
@@ -13,26 +18,456 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from lakota_spark.queries import parity, pipeline, tpch
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect) — kept in lockstep with the Spark
+# implementations in lakota_spark/ (see each function's docstring).
+# ---------------------------------------------------------------------------
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+  FROM toks
+)"""
+
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+
+def _mh_cols() -> str:
+    return ",\n    ".join(
+        f"min(('0x' || substr(md5('{k}:' || shingle), 1, 8))::BIGINT) AS mh_{k}"
+        for k in range(_NUM_HASHES)
+    )
+
+
+def _band_union() -> str:
+    parts = []
+    for b in range(_BANDS):
+        key = " || '-' || ".join(
+            f"mh_{b * _ROWS_PER_BAND + r}::VARCHAR" for r in range(_ROWS_PER_BAND)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_cte() -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    bit_val = " + ".join(
+        f"CASE WHEN s_{b} >= 0 THEN {1 << b} ELSE 0 END"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+tok AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+),
+bitsums AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id),
+sims AS (SELECT doc_id, ({bit_val})::BIGINT AS simhash FROM bitsums)"""
+
+
+_STOPLISTS = {
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "es": ("el", "la", "de", "que", "los", "una", "es"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une"),
+    "zh": ("de", "shi", "le", "wo", "zai", "you", "he"),
+}
+
+
+def _lang_id_sql() -> str:
+    hit_cols = ",\n    ".join(
+        "len(list_filter({toks}, t -> lower(t) IN ({words})))::BIGINT AS hits_{lang}".format(
+            toks=_TOKS,
+            words=", ".join(f"'{w}'" for w in _STOPLISTS[lang]),
+            lang=lang,
+        )
+        for lang in sorted(_STOPLISTS)
+    )
+    langs = sorted(_STOPLISTS)
+    all_zero = " AND ".join(f"hits_{lg} = 0" for lg in langs)
+    argmax = " ".join(
+        "WHEN "
+        + " AND ".join(f"hits_{lg} >= hits_{other}" for other in langs if other != lg)
+        + f" THEN '{lg}'"
+        for lg in langs
+    )
+    return f"""
+WITH hits AS (SELECT doc_id, {hit_cols} FROM documents)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, hits_zh,
+       CASE WHEN {all_zero} THEN 'und' {argmax} END AS pred_lang
+FROM hits"""
+
+
+_COSINE_PAIR_CTE = """
+u AS (SELECT ia, ib, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM p),
+s AS (SELECT ia, ib, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+      FROM u GROUP BY ia, ib)"""
+
+
+# ---------------------------------------------------------------------------
+# Driver API
+# ---------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q3 (join + agg + top-k) on sf0.001."""
+    return tpch.q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational suite (SURVEY §2.5 extension) ---
+        "tpch_q1": tpch.q1_pricing_summary,
+        "tpch_q3": tpch.q3_shipping_priority,
+        "tpch_q5": tpch.q5_local_supplier_volume,
+        "tpch_q6": tpch.q6_forecast_revenue,
+        "tpch_q10": tpch.q10_returned_items,
+        "part_brand_share": tpch.q_part_type_share,
+        # --- reference parity on events (SURVEY §2.1-2.8) ---
+        "scan_range": parity.scan_range,
+        "scan_closed_both": parity.scan_closed_both,
+        "tail_100": parity.tail_100,
+        "topk_value": parity.topk_value,
+        "agg_daily": parity.agg_daily,
+        "agg_first_last": parity.agg_first_last,
+        "quantiles": parity.quantiles,
+        "kv_last_wins": parity.kv_last_wins,
+        "series_update": parity.series_update,
+        "union_concat": parity.union_concat,
+        "except_labels": parity.except_labels,
+        "window_top3_per_type": parity.window_top3_per_type,
+        "rolling_avg": parity.rolling_avg,
+        "cumulative_sum": parity.cumulative_sum,
+        "sessionize": parity.sessionize,
+        "asof_purchase_click": parity.purchase_asof_click,
+        "props_extract": parity.props_extract,
+        # --- text analysis ---
+        "text_stats": pipeline.text_stats,
+        "token_counts": pipeline.token_counts,
+        "lang_id": pipeline.lang_id,
+        "doc_fingerprint": pipeline.doc_fingerprint,
+        # --- dedup ---
+        "dedup_exact": pipeline.dedup_exact,
+        "jaccard_top_pairs": pipeline.jaccard_top_pairs,
+        "minhash_signatures": pipeline.minhash_signatures,
+        "minhash_dedup_pairs": pipeline.minhash_dedup_pairs,
+        "simhash_signatures": pipeline.simhash_signatures,
+        "simhash_near_pairs": pipeline.simhash_near_pairs,
+        "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
+        # --- similarity search ---
+        "cosine_topk": pipeline.cosine_topk,
+        "ann_lsh_topk": pipeline.ann_lsh_topk,  # rows-only (approximate)
+        "ivf_topk": pipeline.ivf_topk,  # rows-only (approximate)
+        "knn_same_label": pipeline.knn_same_label,  # rows-only
+        # --- multimodal plumbing (rows-only: mapInPandas stubs) ---
+        "multimodal_features": pipeline.multimodal_features,
+        "multimodal_frames": pipeline.multimodal_frames,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # --- relational ---
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base_price,
+  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS sum_disc_price,
+  sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000)::BIGINT) / 1000000.0 AS sum_charge,
+  sum(l_quantity) / count(*) AS avg_qty,
+  (sum(round(l_extendedprice * 100)::BIGINT) / 100.0) / count(*) AS avg_price,
+  (sum(round(l_discount * 100)::BIGINT) / 100.0) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_q3": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        "tpch_q5": """
+SELECT n_name, sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+        "tpch_q6": """
+SELECT sum(round(l_extendedprice * l_discount * 10000)::BIGINT) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "tpch_q10": """
+SELECT c_custkey, c_name, n_name,
+       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+        "part_brand_share": """
+SELECT p_brand,
+       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS revenue,
+       count(*) AS n_items,
+       sum(l_quantity) / count(*) AS avg_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+        # --- parity on events ---
+        "scan_range": """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+""",
+        "scan_closed_both": """
+SELECT event_id, ts, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-06 00:00:00'
+""",
+        "tail_100": """
+SELECT event_id, ts, value FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 100
+""",
+        "topk_value": """
+SELECT event_id, event_type, value FROM events
+ORDER BY value DESC, event_id LIMIT 50
+""",
+        "agg_daily": """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+  min(value) AS min_value,
+  max(value) AS max_value,
+  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value,
+  (sum(round(value * 100)::BIGINT) / 100.0) / count(*) AS avg_value,
+  count(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+        "agg_first_last": """
+SELECT event_type,
+  arg_min(value, ts) AS first_value,
+  arg_max(value, ts) AS last_value,
+  min(ts) AS first_ts,
+  max(ts) AS last_ts
+FROM events GROUP BY event_type
+""",
+        "quantiles": """
+SELECT round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+""",
+        "kv_last_wins": """
+SELECT user_id, ts, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+        "series_update": """
+WITH base AS (SELECT event_id, value, user_id FROM events WHERE event_id % 3 = 0),
+upd AS (SELECT event_id, value * 2 AS value FROM events WHERE event_id % 5 = 0)
+SELECT coalesce(b.event_id, u.event_id) AS event_id,
+       round(coalesce(u.value, b.value, 0), 4) AS value,
+       coalesce(b.user_id, 0) AS user_id
+FROM base b FULL OUTER JOIN upd u ON b.event_id = u.event_id
+""",
+        "union_concat": """
+SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, event_type, value FROM events WHERE event_type = 'error'
+""",
+        "except_labels": """
+SELECT event_id, event_type FROM events WHERE event_type NOT IN ('click', 'view')
+""",
+        "window_top3_per_type": """
+SELECT event_type, rk, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+  FROM events
+) WHERE rk <= 3
+""",
+        "rolling_avg": """
+SELECT event_id, user_id,
+       (sum(round(value * 100)::BIGINT) OVER w / 100.0)
+         / count(*) OVER w AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+""",
+        "cumulative_sum": """
+SELECT event_id, user_id,
+       sum(round(value * 100)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS cum_value
+FROM events
+""",
+        "sessionize": """
+WITH brk AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+  FROM brk
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       sum(round(value * 100)::BIGINT) / 100.0 AS session_value
+FROM sess GROUP BY user_id, session_id
+""",
+        "asof_purchase_click": """
+SELECT p.event_id, p.user_id, p.value,
+       c.ts AS click_ts, c.value AS click_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "props_extract": """
+SELECT event_type,
+       sum(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)::BIGINT)::BIGINT AS sum_k,
+       sum(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)::BIGINT)::BIGINT / count(*) AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+        # --- text analysis ---
+        "text_stats": f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len({_TOKS}) AS n_tokens,
+  (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+        / greatest(length(text), 1) AS punct_ratio,
+  (length(text) - length(regexp_replace(text, '\\s', '', 'g')))
+        / greatest(length(text), 1) AS space_ratio,
+  len(list_filter({_TOKS}, t -> lower(t) IN ('the','and','of','to','in','is','a')))
+        / greatest(len({_TOKS}), 1) AS stopword_ratio,
+  length(regexp_replace(text, '\\s', '', 'g'))
+        / greatest(len({_TOKS}), 1) AS mean_token_len
+FROM documents
+""",
+        "token_counts": f"""
+SELECT doc_id,
+  len({_TOKS}) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS bpe_tokens
+FROM documents
+""",
+        "lang_id": _lang_id_sql(),
+        "doc_fingerprint": """
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest
+FROM documents
+""",
+        "dedup_exact": """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+        "jaccard_top_pairs": f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, x.sz AS size_a, y.sz AS size_b,
+       inter / (x.sz + y.sz - inter) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+""",
+        "minhash_signatures": f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id,
+    {_mh_cols()}
+FROM sh GROUP BY doc_id
+""",
+        "minhash_dedup_pairs": f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id),
+bands AS (
+{_band_union()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter, x.sz AS size_a, y.sz AS size_b,
+       i.inter / (x.sz + y.sz - i.inter) AS jaccard
+FROM inter i
+JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sz x ON x.doc_id = i.doc_a
+JOIN sz y ON y.doc_id = i.doc_b
+WHERE i.inter / (x.sz + y.sz - i.inter) >= 0.5
+""",
+        "simhash_signatures": f"""
+WITH {_simhash_cte()}
+SELECT doc_id, simhash FROM sims
+""",
+        "simhash_near_pairs": f"""
+WITH {_simhash_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        "embedding_dup_top_pairs": f"""
+WITH p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+),{_COSINE_PAIR_CTE}
+SELECT ia AS id_a, ib AS id_b, round(dp / (na * nb), 6) AS cos_sim
+FROM s ORDER BY cos_sim DESC, id_a, id_b LIMIT 25
+""",
+        "cosine_topk": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+p AS (SELECT e.vec_id AS ia, 0 AS ib, e.embedding AS ea, q.qv AS eb
+      FROM embeddings e, q),{_COSINE_PAIR_CTE}
+SELECT ia AS vec_id, round(dp / (na * nb), 6) AS cos_sim
+FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20
+""",
+    }

@@ -1,0 +1,173 @@
+"""Column-expression helpers (all JVM-side `pyspark.sql.functions` — no UDFs).
+
+These mirror the reference's expression builtins (SURVEY.md §2.3,
+`lakota/utils.py:232-270`, `lakota/sexpr.py:264-282`) plus the vector /
+text primitives needed by the dedup & similarity operators. Everything here
+compiles to Catalyst expressions inside whole-stage codegen: the hot path
+never leaves the JVM.
+
+Hashing note: dedup/minhash use an *engine-independent* 32-bit hash derived
+from the md5 hex prefix so that a DuckDB oracle can reproduce the exact same
+values (`('0x'||substr(md5(s),1,8))::bigint` on the DuckDB side). Spark's
+native `xxhash64` is faster but engine-specific; `hash32` is used where
+cross-engine determinism matters, `F.xxhash64` where it doesn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Time bucketing (reference `floor` / `as-tz`, lakota/utils.py:232-270)
+# ---------------------------------------------------------------------------
+
+#: lakota floor-unit -> Spark date_trunc unit (`lakota/utils.py:232-240`)
+FLOOR_UNITS = {
+    "Y": "year",
+    "M": "month",
+    "W": "week",
+    "D": "day",
+    "h": "hour",
+    "m": "minute",
+    "s": "second",
+}
+
+
+def floor_time(col: Column | str, unit: str) -> Column:
+    """Tumbling-window bucket: reference ``(floor self.ts 'M')``.
+
+    This is the reference's only windowing primitive
+    (`lakota/utils.py:232-240`); maps to `date_trunc`.
+    """
+    spark_unit = FLOOR_UNITS.get(unit, unit)
+    return F.date_trunc(spark_unit, col)
+
+
+def as_tz(col: Column | str, tz: str) -> Column:
+    """Reference ``as-tz``: UTC-naive -> tz-local naive (`lakota/utils.py:250-270`)."""
+    return F.from_utc_timestamp(col, tz)
+
+
+def day_of_week_num(col: Column | str) -> Column:
+    """Reference `day_of_week_num` (`lakota/utils.py:243-247`): Monday=0."""
+    return (F.dayofweek(col) + F.lit(5)) % F.lit(7)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point exact aggregation
+# ---------------------------------------------------------------------------
+
+
+def money_sum(expr: Column, scale: int = 10000) -> Column:
+    """Order-independent, engine-reproducible sum of a fixed-decimal metric.
+
+    Floating sums are order-dependent, and source data on a decimal grid
+    makes `round(sum(x), d)` land on exact rounding ties that different
+    engines resolve differently (Spark HALF_UP on decimal strings vs
+    binary-double rounding). Scaling to integers first makes the sum EXACT
+    (longs, any order, any partitioning) and the final division a
+    deterministic double — bitwise identical on every engine and immune to
+    partial-aggregation order. SQL twin:
+    ``sum(round(expr * scale)::BIGINT) / scale.0``.
+    """
+    return F.sum(F.round(expr * scale).cast("long")) / F.lit(float(scale))
+
+
+# ---------------------------------------------------------------------------
+# Engine-independent hashing (oracle-reproducible)
+# ---------------------------------------------------------------------------
+
+
+def hash32(col: Column | str, seed: int | None = None) -> Column:
+    """Deterministic 32-bit non-negative hash of a string column.
+
+    First 8 hex chars of md5, parsed as an integer — reproducible in any
+    SQL engine (DuckDB: ``('0x'||substr(md5(s),1,8))::bigint``). Used for
+    minhash/simhash so the duckdb oracle can verify values exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(F.lit(f"{seed}:"), c)
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace/punct-normalized lowercase text."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+    return F.md5(norm)
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling (text analysis + minhash inputs)
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array — pure Catalyst.
+
+    ``transform(sequence(1, greatest(len-n+1, 0)), i -> concat_ws(' ', slice))``
+    so shingling stays inside codegen (no UDF) and scales linearly.
+    """
+    count = F.size(toks) - F.lit(n - 1)
+    # Guard: Spark's sequence(1, 0) DESCENDS instead of being empty, so
+    # short arrays must short-circuit to an empty (typed) array.
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# Vector math over array<float|double> columns (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns via zip_with + aggregate (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns, fully JVM-side."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+__all__ = [
+    "FLOOR_UNITS",
+    "money_sum",
+    "floor_time",
+    "as_tz",
+    "day_of_week_num",
+    "hash32",
+    "fingerprint",
+    "tokens",
+    "word_shingles",
+    "dot",
+    "l2_norm",
+    "cosine",
+]

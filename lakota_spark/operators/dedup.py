@@ -1,0 +1,331 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families (BASELINE.json north-star): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine. All are compositions of built-in
+DataFrame ops — explode/groupBy/join — so they distribute and stay
+JVM-side. Hashes are md5-prefix based (`functions.hash32`) so a DuckDB
+oracle can reproduce values bit-for-bit.
+
+Scale design:
+- Shingling/exploding is linear and map-side only.
+- MinHash signatures: ONE shuffle (groupBy doc) computing K mins at once.
+- LSH banding turns the quadratic all-pairs problem into an equi-join on
+  band keys — the canonical 100 TB-safe shape. All-pairs verification runs
+  only on LSH candidates.
+- A hot band bucket (many near-identical docs) is a skew risk: AQE skew
+  handling plus an optional bucket-size cap (`max_bucket`) bound the blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakota_spark.functions import fingerprint, hash32, tokens, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text.
+
+    Returns (digest, canonical_id, n_docs). Map-side partial agg makes the
+    shuffle carry one row per (partition, digest) — scales to any corpus.
+    """
+    return (
+        df.select(fingerprint(text_col).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the base relation for Jaccard/MinHash."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(tokens(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs.
+
+    Without ``candidates`` this is the all-pairs join on shingle (correct,
+    quadratic in bucket size — fine for verification or small corpora).
+    With ``candidates`` (a (doc_a, doc_b) frame from LSH) only those pairs
+    are scored — the scale path.
+    Returns (doc_a, doc_b, inter, size_a, size_b, jaccard) with doc_a < doc_b.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if candidates is not None:
+        # Candidate-driven: join the (small) candidate pair list against the
+        # shingle table twice — work is O(|candidates| × shingles-per-doc),
+        # never the all-pairs product. This is the 100 TB shape.
+        sa = shingles.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a")
+        )
+        sb = shingles.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")
+        )
+        inter = (
+            candidates.select("doc_a", "doc_b")
+            .distinct()
+            .join(sa, on="doc_a")
+            .join(sb, on="doc_b")
+            .where(F.col("sh_a") == F.col("sh_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # All-pairs on shared shingles (verification tier / small corpora).
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = (
+            a.join(b, on="shingle")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), on="doc_a")
+        .withColumnRenamed("sz", "size_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "sz", "size_b"
+            ),
+            on="doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+    )
+    # raw long/long division — bitwise-deterministic, no tie-prone rounding
+    return out.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """K minhash values per doc in ONE groupBy (columns mh_0..mh_{K-1}).
+
+    hash_k(s) = hash32(f"{k}:{s}") — engine-independent, so the DuckDB
+    oracle reproduces signatures exactly.
+    """
+    aggs = [
+        F.min(hash32(F.col("shingle"), seed=k)).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Band the signature, equi-join on (band_idx, band_key) → candidate pairs.
+
+    Pairs sharing ≥1 band are emitted (doc_a < doc_b, distinct). ``max_bucket``
+    drops pathological buckets (boilerplate documents) to bound the quadratic
+    in-bucket pair generation — logged-by-contract for pipeline audits.
+    """
+    rows = num_hashes // bands
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"mh_{b * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    if max_bucket:
+        counts = banded.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        banded = banded.join(
+            counts.where(F.col("_n") <= max_bucket).drop("_n"),
+            on=["band_idx", "band_key"],
+            how="left_semi",
+        )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pipeline: shingle → sign → band →
+    candidate join → exact-Jaccard verify. Returns verified pairs."""
+    sh = shingle_table(df, text_col, id_col, n)
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidates(sigs, num_hashes, bands)
+    return jaccard_pairs(sh, threshold, candidates=cands)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens (one groupBy, ``bits`` sums).
+
+    bit b of the fingerprint = sign of sum over tokens of ±1 where the
+    token's hash32 has bit b set. Duplicate tokens weight naturally.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("t"),
+    ).select("doc_id", hash32(F.col("t")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    sims: DataFrame, max_hamming: int = 3, bands: int = 4, bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash.
+
+    Scale path: split the fingerprint into ``bands`` chunks; by pigeonhole,
+    any pair within distance < bands shares an identical chunk → equi-join on
+    (chunk_idx, chunk_value), then exact Hamming check via bit_count(xor).
+    """
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    banded = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), i * chunk)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    With ``block_col`` (e.g. a cluster/LSH bucket id) the self-join is an
+    equi-join within blocks — the scalable shape; without it, all-pairs
+    (only for small/verification runs). Cosine is computed JVM-side
+    (zip_with/aggregate), no UDF.
+    """
+    from lakota_spark.functions import cosine
+
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    on = [F.col("a.blk") == F.col("b.blk")] if block_col else []
+    cond = F.col("a.id") < F.col("b.id")
+    for c in on:
+        cond = cond & c
+    return (
+        a.join(b, on=cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

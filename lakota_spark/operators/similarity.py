@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (BASELINE.json north-star):
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline. One
+  map-side pass + TakeOrderedAndProject; no shuffle of the corpus.
+- ``lsh_ann`` / ``ivf_topk``: sublinear scale paths. Random-hyperplane LSH
+  derives deterministic hyperplanes from md5 bits (reproducible without a
+  stored model); IVF uses per-block centroids (any clustering/block column)
+  and probes only the closest blocks.
+
+All vector math is JVM-side (`zip_with`/`aggregate`); no Python in the
+row loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakota_spark.functions import cosine, dot, hash32, l2_norm
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    The query is a literal array folded into the plan (broadcast-free);
+    Catalyst turns orderBy+limit into TakeOrderedAndProject, so the full
+    corpus is scanned once, map-side, and only k rows cross the wire —
+    the right brute-force shape at any scale.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """k nearest right-rows for every left-row.
+
+    With ``block_col`` the cross product is confined to blocks (IVF-style);
+    without, it is a broadcast nested-loop — only for small right sides.
+    """
+    l = left.select(
+        F.col(left_id).alias("qid"),
+        F.col(left_vec).alias("qv"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    r = right.select(
+        F.col(right_id).alias("nid"),
+        F.col(right_vec).alias("nv"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    joined = l.join(F.broadcast(r) if not block_col else r,
+                    on=(["blk"] if block_col else None),
+                    how="inner" if block_col else "cross")
+    scored = joined.where(F.col("qid") != F.col("nid")).select(
+        "qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (deterministic, model-free)
+# ---------------------------------------------------------------------------
+
+def _hyperplane_sign(vec: F.Column, plane: int, dim: int) -> F.Column:
+    """sign(h_p · v) with h_p[d] = ±1 derived from md5(p,d) parity.
+
+    Deterministic and engine-reproducible: no stored random matrix, any
+    executor (or SQL oracle) rebuilds the same hyperplane.
+    """
+    signed = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, i: x.cast("double")
+            * F.when(
+                hash32(F.concat_ws(",", F.lit(str(plane)), i.cast("string")))
+                % 2
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(signed >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(
+    df: DataFrame,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append a ``bucket`` column: the ``num_planes``-bit hyperplane signature.
+
+    Cosine-similar vectors land in the same bucket with high probability;
+    downstream joins become equi-joins on ``bucket``.
+    """
+    dim = 0  # derived per-row from size(vec); planes only need the index
+    sig = None
+    for p in range(num_planes):
+        term = _hyperplane_sign(F.col(vec_col), p, dim) * F.lit(1 << p)
+        sig = term if sig is None else sig + term
+    return df.withColumn("bucket", sig.cast("long"))
+
+
+def lsh_ann(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe LSH).
+
+    At 100 TB with the table bucketed/partitioned by ``bucket``, this scans
+    ~(probed buckets / 2^planes) of the corpus instead of all of it.
+    """
+    bucketed = lsh_bucket(df, num_planes, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qsig = None
+    for p in range(num_planes):
+        term = _hyperplane_sign(q, p, len(query_vec)) * F.lit(1 << p)
+        qsig = term if qsig is None else qsig + term
+    probed = bucketed.where(
+        F.bit_count(F.col("bucket").bitwiseXOR(qsig.cast("long")))
+        <= probe_hamming
+    )
+    return (
+        probed.select(
+            F.col(id_col),
+            F.col("bucket"),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: rank blocks by centroid similarity to the query, scan
+    only the ``n_probe`` closest blocks, exact top-k within them.
+
+    The centroid table is tiny (one row per block) → computed with one
+    groupBy and collected into the plan as a filter list.
+    """
+    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = dim_probe[0]["d"] if dim_probe else len(query_vec)
+    centroids = df.groupBy(block_col).agg(
+        F.array(
+            *[F.avg(F.col(vec_col)[i]) for i in range(dim)]
+        ).alias("centroid")
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    top_blocks = [
+        r[block_col]
+        for r in centroids.select(
+            block_col, cosine(F.col("centroid"), q).alias("s")
+        )
+        .orderBy(F.col("s").desc())
+        .limit(n_probe)
+        .collect()
+    ]
+    return (
+        df.where(F.col(block_col).isin(top_blocks))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting,
+and document fingerprinting — all pure Catalyst expressions (no UDFs), so
+they run inside whole-stage codegen and scale linearly with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakota_spark.functions import fingerprint, tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately short and deterministic so a SQL oracle can reproduce them.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht"],
+    "es": ["el", "la", "de", "que", "los", "una", "es"],
+    "zh": ["de", "shi", "le", "wo", "zai", "you", "he"],
+}
+
+PUNCT_RE = r"[^\w\s]"
+# BPE-ish token regex: words, numbers, or single punctuation marks.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features: lengths, token counts, punct/space/stopword
+    ratios, mean token length. All engine-reproducible."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    spaces = F.length(t) - F.length(F.regexp_replace(t, r"\s", ""))
+    en_stop = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS["en"]))
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        # int/int division is bitwise-deterministic — no rounding, so the
+        # oracle comparison is exact with zero tie risk.
+        (punct / F.greatest(F.length(t), F.lit(1))).alias("punct_ratio"),
+        (spaces / F.greatest(F.length(t), F.lit(1))).alias("space_ratio"),
+        (en_stop / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+        ((F.length(t) - spaces) / F.greatest(n_tok, F.lit(1))).alias(
+            "mean_token_len"
+        ),
+    )
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counts: whitespace tokens + a BPE-ish regex token count
+    (words / numbers / punctuation marks as separate tokens)."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts, argmax wins
+    (ties broken by language code asc, 'und' when no hits anywhere).
+
+    At 100 TB this is a single map-side pass: `size(filter(tokens, ...))`
+    per language — no shuffle, no UDF, no dictionary broadcast needed.
+    """
+    toks = tokens(text_col)
+
+    def _hits(words: list[str]):
+        # NB: single-arg lambda — a second (even defaulted) parameter makes
+        # PySpark pick the (element, index) higher-order-function form.
+        return F.size(F.filter(toks, lambda x: F.lower(x).isin(*words)))
+
+    hit_cols = {lang: _hits(STOPWORDS[lang]) for lang in sorted(STOPWORDS)}
+    # argmax with deterministic tie-break: array of (hits, neg-ord) structs —
+    # struct comparison is lexicographic, so equal hit counts fall back to
+    # -i, i.e. the alphabetically-first language wins.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    hit_cols[lang].alias("hits"),
+                    F.lit(-i).alias("ord"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(sorted(hit_cols))
+            ]
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        *[hits.cast("long").alias(f"hits_{lang}") for lang, hits in hit_cols.items()],
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+    )
+    return out
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized md5 fingerprint per document (exact-dedup key)."""
+    return df.select(F.col(id_col), fingerprint(text_col).alias("digest"))

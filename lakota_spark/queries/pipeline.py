@@ -1,0 +1,156 @@
+"""Training-data-pipeline queries over `documents` and `embeddings`.
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine),
+similarity search (brute-force, LSH-ANN, IVF), text analysis (stats,
+token counting, lang-id, fingerprint) and multimodal plumbing — the
+north-star operator families from BASELINE.json, each deterministic and
+(where SQL-expressible) oracle-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakota_spark.operators import dedup as D
+from lakota_spark.operators import multimodal as M
+from lakota_spark.operators import similarity as S
+from lakota_spark.operators import text as T
+
+NUM_HASHES = 16
+BANDS = 4
+SHINGLE_N = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+# --- text analysis --------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.text_stats(_docs(spark, sf_dir))
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_count_bpe(_docs(spark, sf_dir))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(_docs(spark, sf_dir))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.doc_fingerprint(_docs(spark, sf_dir))
+
+
+# --- dedup ----------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard, 20 most similar pairs (verification tier)."""
+    sh = D.shingle_table(_docs(spark, sf_dir), n=SHINGLE_N)
+    return (
+        D.jaccard_pairs(sh, threshold=0.0)
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.shingle_table(_docs(spark, sf_dir), n=SHINGLE_N)
+    return D.minhash_signatures(sh, NUM_HASHES)
+
+
+def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline; pairs with true Jaccard ≥ 0.5."""
+    return D.minhash_dedup(
+        _docs(spark, sf_dir),
+        n=SHINGLE_N,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=0.5,
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = D.simhash(_docs(spark, sf_dir))
+    return D.simhash_pairs(sims, max_hamming=3, bands=4)
+
+
+def embedding_dup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most cosine-similar same-label embedding pairs (block-join shape)."""
+    pairs = D.embedding_dup_pairs(
+        _emb(spark, sf_dir), block_col="label", threshold=-1.0
+    )
+    return pairs.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(25)
+
+
+# --- similarity search ----------------------------------------------------
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    return S.cosine_topk(_emb(spark, sf_dir), q, k=20)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via hyperplane LSH (no SQL oracle — approximate by
+    construction; the driver records a rows-only check)."""
+    q = _query_vec(spark, sf_dir, 0)
+    return S.lsh_ann(_emb(spark, sf_dir), q, k=20, num_planes=8, probe_hamming=2)
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style probed ANN over label blocks (rows-only check)."""
+    q = _query_vec(spark, sf_dir, 0)
+    return S.ivf_topk(_emb(spark, sf_dir), q, k=20, n_probe=3)
+
+
+def knn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-NN per vector within its label block (rows-only check)."""
+    e = _emb(spark, sf_dir)
+    return S.knn_join(e, e, k=3, block_col="label")
+
+
+# --- multimodal plumbing (rows-only: mapInPandas stages) ------------------
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.attach_binary_payload(_docs(spark, sf_dir))
+    feats = M.extract_features(media)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 2), 6).alias("f1"),
+    )
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.attach_binary_payload(_docs(spark, sf_dir))
+    frames = M.frame_sample(media, every_n=16)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame")).alias("total_bytes"),
+    )

@@ -1,0 +1,157 @@
+"""TPC-H-style relational queries (SURVEY.md §2.5 relational extension).
+
+The reference has no joins (SURVEY.md §2.5) — these exercise the Spark-free
+lunch: broadcast vs sort-merge join selection, partial aggregation,
+predicate pushdown. Dimension tables (region/nation/supplier/customer) are
+explicitly broadcast where they are guaranteed small relative to the fact
+tables, which holds at any scale factor of this star schema.
+
+Column aliases match `oracle_sql()` in `__spark_entry__.py` exactly —
+the driver's hash compare is name-sensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakota_spark.functions import money_sum
+
+# Money expressions use fixed-point exact sums (see functions.money_sum):
+# l_extendedprice is on a 2-decimal grid, ×(1-l_discount) → 4 decimals,
+# ×(1+l_tax) → 6 decimals. Scaling to integers before summing makes every
+# aggregate order-independent and bitwise-reproducible across engines.
+_DISC_PRICE = lambda: F.col("l_extendedprice") * (1 - F.col("l_discount"))  # noqa: E731
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report. Pure scan + hash aggregate;
+    the filter and the 4-column projection push down to the parquet scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            money_sum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            money_sum(_DISC_PRICE(), 10000).alias("sum_disc_price"),
+            money_sum(
+                _DISC_PRICE() * (1 + F.col("l_tax")), 1000000
+            ).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (money_sum(F.col("l_extendedprice"), 100) / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (money_sum(F.col("l_discount"), 100) / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top unshipped orders by revenue. customer is broadcast
+    (dim), orders⋈lineitem is the big join (sort-merge on l_orderkey)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-06-30").cast("timestamp")
+    return (
+        l.where(F.col("l_shipdate") > cutoff)
+        .join(o.where(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(_DISC_PRICE(), 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where supplier and customer share the
+    nation. All dims broadcast; lineitem⋈orders sort-merge."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(money_sum(_DISC_PRICE(), 10000).alias("revenue"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single filter + scalar aggregate — tests predicate pushdown
+    (all three predicates reach the parquet scan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        money_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000).alias(
+            "revenue"
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-ish: customers ranked by lost revenue from returns."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.where(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money_sum(_DISC_PRICE(), 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-flavored: revenue share by part brand (broadcast dim join +
+    conditional aggregation)."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            money_sum(_DISC_PRICE(), 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        )
+    )
