@@ -1,0 +1,189 @@
+"""Git-style changelog: a DAG of revision files over any filesystem.
+
+Reproduces the reference's changelog *semantics* (`lakota/changelog.py`):
+
+- Revision files named ``{parent}.{child}`` with ``child =
+  {hextime}-{sha1(payload)}`` — content-addressed, so two writers racing
+  with identical payloads converge on one file (idempotent commits,
+  double-write no-op) and distinct payloads create sibling leaves that a
+  later ``merge`` reconciles. Root sentinel parent is ``phi``.
+- Leaf resolution = depth-first walk ordered by child id (hextime prefix
+  gives a deterministic total order → "newest branch wins").
+- Time travel: ``before=`` picks the last revision strictly older than a
+  timestamp.
+
+Storage is a plain directory of small JSON files — object-store friendly
+(one LIST + K small GETs, exactly the reference's I/O shape,
+`lakota/commit.py:56-79`). At 100 TB the *data* lives in Parquet segments;
+this log stays tiny because each revision stores segment *metadata* only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+PHI = "phi"  # root sentinel (`lakota/changelog.py:10-12`)
+
+
+def hexts(ts: float | None = None) -> str:
+    """Sortable hex timestamp prefix (millisecond resolution)."""
+    return format(int((time.time() if ts is None else ts) * 1000), "013x")
+
+
+def hexts_to_epoch(h: str) -> float:
+    return int(h, 16) / 1000.0
+
+
+class Revision:
+    __slots__ = ("parent", "child", "path")
+
+    def __init__(self, parent: str, child: str, path: str):
+        self.parent = parent
+        self.child = child
+        self.path = path
+
+    @property
+    def epoch(self) -> float:
+        return hexts_to_epoch(self.child.split("-", 1)[0])
+
+    def read(self) -> dict:
+        with open(self.path, "rb") as fh:
+            raw = fh.read()
+        digest = hashlib.sha1(raw).hexdigest()  # noqa: S324 - integrity only
+        want = self.child.split("-", 1)[1]
+        if digest != want:
+            # torn concurrent write — retry once (`lakota/changelog.py:174-187`)
+            with open(self.path, "rb") as fh:
+                raw = fh.read()
+            if hashlib.sha1(raw).hexdigest() != want:  # noqa: S324
+                raise IOError(f"corrupt revision {self.path}")
+        return json.loads(raw)
+
+    def __repr__(self) -> str:
+        return f"<Revision {self.parent[:8]}..{self.child[:20]}>"
+
+
+class Changelog:
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- listing / ordering ------------------------------------------------
+
+    def revisions(self) -> list[Revision]:
+        if not os.path.isdir(self.root):
+            return []
+        revs = []
+        for fn in os.listdir(self.root):
+            if not fn.endswith(".json"):
+                continue
+            name = fn[: -len(".json")]
+            parent, _, child = name.partition(".")
+            if child:
+                revs.append(Revision(parent, child, os.path.join(self.root, fn)))
+        return revs
+
+    def log(self, before: float | None = None) -> list[Revision]:
+        """Depth-first, child-id-ordered linearization from the root
+        (`lakota/changelog.py:91-122`). The LAST entry is the winning leaf."""
+        revs = self.revisions()
+        if before is not None:
+            revs = [r for r in revs if r.epoch < before]
+        children: dict[str, list[Revision]] = {}
+        for r in revs:
+            children.setdefault(r.parent, []).append(r)
+        for sibs in children.values():
+            sibs.sort(key=lambda r: r.child)
+        # A merge commit exists as one FILE PER PARENT (same child id). It
+        # must linearize AFTER every parent's subtree, so emit a node only
+        # when its LAST incoming edge is traversed — otherwise the DFS
+        # would surface it before the sibling branch and the wrong head
+        # would win leaf resolution.
+        n_edges: dict[str, int] = {}
+        for r in revs:
+            n_edges[r.child] = n_edges.get(r.child, 0) + 1
+        out: list[Revision] = []
+        seen_edges: dict[str, int] = {}
+
+        def walk(parent: str) -> None:
+            for rev in children.get(parent, ()):  # ordered: oldest branch first
+                seen_edges[rev.child] = seen_edges.get(rev.child, 0) + 1
+                if seen_edges[rev.child] < n_edges[rev.child]:
+                    continue  # wait for the merge node's remaining parents
+                out.append(rev)
+                walk(rev.child)
+
+        walk(PHI)
+        return out
+
+    def leaf(self, before: float | None = None) -> Revision | None:
+        log = self.log(before)
+        return log[-1] if log else None
+
+    def leaves(self) -> list[Revision]:
+        """All heads (revisions that are nobody's parent) — branch tips."""
+        revs = self.revisions()
+        parents = {r.parent for r in revs}
+        heads = {r.child: r for r in revs if r.child not in parents}
+        return sorted(heads.values(), key=lambda r: r.child)
+
+    # -- committing --------------------------------------------------------
+
+    def commit(
+        self,
+        payload: dict,
+        parents: list[str] | None = None,
+        force: bool = False,
+    ) -> Revision | None:
+        """Append a revision. Returns None when the payload is identical to
+        the (first) parent's — double-write no-op (`lakota/changelog.py:49-57`).
+
+        Atomicity: write-to-temp + rename; the content-addressed filename
+        makes racing identical commits collide harmlessly. (On S3 this maps
+        to conditional PUT / put-if-absent of the same key.)
+        """
+        parents = parents or [PHI]
+        raw = json.dumps(payload, sort_keys=True, separators=(",", ":")).encode()
+        sha = hashlib.sha1(raw).hexdigest()  # noqa: S324 - content address
+        if not force and parents[0] != PHI:
+            head = next(
+                (r for r in self.revisions() if r.child == parents[0]), None
+            )
+            if head is not None:
+                head_payload = head.read()
+                if (
+                    json.dumps(
+                        head_payload, sort_keys=True, separators=(",", ":")
+                    ).encode()
+                    == raw
+                ):
+                    return None
+        child = f"{hexts()}-{sha}"
+        os.makedirs(self.root, exist_ok=True)
+        # Multi-parent commits (merge) write ONE FILE PER PARENT with the
+        # same child id — every head gains a descendant, so `leaves()`
+        # collapses to the merge commit (reference changelog naming scheme).
+        path = None
+        for parent in parents:
+            path = os.path.join(self.root, f"{parent}.{child}.json")
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(raw)
+            os.replace(tmp, path)
+        return Revision(parents[0], child, path)
+
+    def pull(self, other: "Changelog") -> int:
+        """Copy revision files missing locally (`lakota/changelog.py:124-137`)."""
+        import shutil
+
+        have = {os.path.basename(r.path) for r in self.revisions()}
+        n = 0
+        os.makedirs(self.root, exist_ok=True)
+        for r in other.revisions():
+            base = os.path.basename(r.path)
+            if base not in have:
+                shutil.copy2(r.path, os.path.join(self.root, base))
+                n += 1
+        return n

@@ -1,0 +1,340 @@
+"""Collection: a set of series sharing one schema and one changelog.
+
+One commit covers all series of the collection (`lakota/commit.py:84-106`)
+— the ``multi()`` batch context accumulates several series writes into a
+single atomic revision (`lakota/batch.py:15-62`).
+
+Versioning operators (SURVEY.md §2.9): branch merge (M9), trim (M10),
+defrag compaction (M11) — all metadata jobs over the commit log plus, for
+defrag, one Spark rewrite per fragmented run.
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lakota_spark.changelog import PHI, Changelog
+from lakota_spark.commit import Segment, Snapshot
+from lakota_spark.schema import Schema
+from lakota_spark.series import PAGE_LEN, KVSeries, Series
+
+DEFRAG_MAX_CHUNK = 4  # `lakota/utils.py:39`
+
+
+class Collection:
+    def __init__(self, repo, label: str, schema: Schema):
+        self.repo = repo
+        self.label = label
+        self.schema = schema
+        self.spark = repo.spark
+        self.root = os.path.join(repo.root, label)
+        self.segments_dir = os.path.join(self.root, "segments")
+        self.changelog = Changelog(os.path.join(self.root, "_log"))
+        self._batch: list[Segment] | None = None
+
+    # ---------------------------------------------------------------- api
+
+    def series(self, label: str) -> Series:
+        cls = KVSeries if self.schema.kv else Series
+        return cls(self, label)
+
+    def __truediv__(self, label: str) -> Series:
+        return self.series(label)
+
+    def ls(self) -> list[str]:
+        return self.snapshot().labels()
+
+    # ----------------------------------------------------------- snapshot
+
+    def snapshot(self, before=None) -> Snapshot:
+        if before is not None and not isinstance(before, (int, float)):
+            import datetime as dt
+
+            if isinstance(before, str):
+                before = dt.datetime.fromisoformat(before)
+            if isinstance(before, dt.datetime):
+                before = before.timestamp()
+        leaf = self.changelog.leaf(before=before)
+        if leaf is None:
+            return Snapshot()
+        return Snapshot.from_payload(leaf.read(), self.schema)
+
+    def apply_segments(self, segs: list[Segment]):
+        """Overlay new segments onto the leaf (or stage them in a batch)."""
+        if self._batch is not None:
+            self._batch.extend(segs)
+            return None
+        return self._commit(segs)
+
+    def _commit(self, segs: list[Segment]):
+        leaf = self.changelog.leaf()
+        snap = (
+            Snapshot.from_payload(leaf.read(), self.schema)
+            if leaf
+            else Snapshot()
+        )
+        before_sig = _sig(snap, self.schema)
+        for seg in segs:
+            snap = snap.overlay(seg, kv=self.schema.kv and seg.path is not None)
+        if _sig(snap, self.schema) == before_sig:
+            return None  # double-write no-op (`lakota/changelog.py:49-52`)
+        payload = snap.to_payload(self.schema)
+        payload["delta"] = [s.to_dict(self.schema) for s in segs]
+        return self.changelog.commit(
+            payload, parents=[leaf.child] if leaf else [PHI]
+        )
+
+    def commit_snapshot(self, snap: Snapshot, parents=None):
+        payload = snap.to_payload(self.schema)
+        payload["delta"] = []
+        leaf = self.changelog.leaf()
+        return self.changelog.commit(
+            payload,
+            parents=parents or ([leaf.child] if leaf else [PHI]),
+        )
+
+    @contextmanager
+    def multi(self):
+        """Atomic multi-series batch (`lakota/batch.py:15-62`): all writes
+        inside the block land as ONE revision; an exception rolls back
+        (nothing committed)."""
+        if self._batch is not None:
+            yield self
+            return
+        self._batch = []
+        try:
+            yield self
+            staged, self._batch = self._batch, None
+            if staged:
+                self._commit(staged)
+        except Exception:
+            self._batch = None
+            raise
+
+    # ----------------------------------------------------- per-seg bounds
+
+    def bounds_df(self, segs: list[Segment]):
+        idx_t = self.schema.index_struct_type()
+        schema = T.StructType(
+            [
+                T.StructField("_seg_key", T.StringType()),
+                T.StructField("_seg_label", T.StringType()),
+                T.StructField("_seg_start", idx_t),
+                T.StructField("_seg_stop", idx_t),
+                T.StructField("_seg_start_closed", T.BooleanType()),
+                T.StructField("_seg_stop_closed", T.BooleanType()),
+                T.StructField("_seg_seq", T.LongType()),
+            ]
+        )
+        rows = [
+            (
+                s.path,
+                s.label,
+                tuple(s.start),
+                tuple(s.stop),
+                s.start_closed,
+                s.stop_closed,
+                s.seq,
+            )
+            for s in segs
+            if s.path
+        ]
+        return self.spark.createDataFrame(rows, schema=schema)
+
+    # ------------------------------------------------------- maintenance
+
+    def merge(self):
+        """Reconcile branch heads (`lakota/collection.py:235-298`): replay
+        every branch's deltas since the common ancestor in global
+        revision-id order (hextime prefix → newest write wins,
+        `tests/collection_test.py:246-314` semantics), commit with all
+        heads as parents."""
+        leaves = self.changelog.leaves()
+        if len(leaves) <= 1:
+            return None
+        revs = {r.child: r for r in self.changelog.revisions()}
+
+        def ancestors(child: str) -> list[str]:
+            chain = []
+            cur = child
+            while cur != PHI and cur in revs:
+                chain.append(cur)
+                cur = revs[cur].parent
+            return chain
+
+        chains = [ancestors(leaf.child) for leaf in leaves]
+        common = set(chains[0])
+        for ch in chains[1:]:
+            common &= set(ch)
+        base_child = None
+        for c in chains[0]:  # leaf-to-root order; first common = nearest
+            if c in common:
+                base_child = c
+                break
+        base_snap = (
+            Snapshot.from_payload(revs[base_child].read(), self.schema)
+            if base_child
+            else Snapshot()
+        )
+        # all deltas strictly after the ancestor, replayed in child-id order
+        replay: list[tuple[str, list[Segment]]] = []
+        for chain in chains:
+            for child in chain:
+                if base_child is not None and child == base_child:
+                    break
+                payload = revs[child].read()
+                replay.append(
+                    (
+                        child,
+                        [
+                            Segment.from_dict(d, self.schema)
+                            for d in payload.get("delta", [])
+                        ],
+                    )
+                )
+        replay.sort(key=lambda t: t[0])
+        snap = base_snap
+        for _, segs in replay:
+            for seg in segs:
+                snap = snap.overlay(
+                    seg, kv=self.schema.kv and seg.path is not None
+                )
+        payload = snap.to_payload(self.schema)
+        payload["delta"] = []
+        return self.changelog.commit(
+            payload, parents=[leaf.child for leaf in leaves], force=True
+        )
+
+    def trim(self, before=None):
+        """Drop history: re-root the leaf snapshot and delete older
+        revisions (`lakota/collection.py:339-362`; squash semantics)."""
+        leaf = self.changelog.leaf()
+        if leaf is None:
+            return None
+        snap = Snapshot.from_payload(leaf.read(), self.schema)
+        payload = snap.to_payload(self.schema)
+        payload["delta"] = []
+        new_root = self.changelog.commit(payload, parents=[PHI], force=True)
+        cutoff = before
+        for rev in self.changelog.revisions():
+            if rev.child == new_root.child:
+                continue
+            if cutoff is None or rev.epoch < cutoff:
+                try:
+                    os.remove(rev.path)
+                except FileNotFoundError:
+                    pass
+        return new_root
+
+    def squash(self):
+        return self.trim(before=None)
+
+    def defrag(self, page_len: int = PAGE_LEN, max_chunk: int = DEFRAG_MAX_CHUNK):
+        """Compaction (`lakota/collection.py:364-403`): rewrite runs of
+        small segments into page-sized ones; fast-forward past chunks that
+        are already large. One Spark job per fragmented run."""
+        snap = self.snapshot()
+        changed = False
+        for label in snap.labels():
+            segs = snap.for_label(label)
+            run: list[Segment] = []
+
+            def flush(run: list[Segment]):
+                nonlocal snap, changed
+                if len(run) < 2:
+                    return
+                series = self.series(label)
+                df = series._read_segments(run)
+                df = df.select(*self.schema.columns)
+                n = df.count()
+                if n == 0:
+                    return
+                path, digest = series._write_segment_files(df, n)
+                merged = Segment(
+                    label=label,
+                    start=run[0].start,
+                    stop=run[-1].stop,
+                    start_closed=run[0].start_closed,
+                    stop_closed=run[-1].stop_closed,
+                    path=path,
+                    length=n,
+                    seq=snap.max_seq + 1,
+                    meta={"digest": digest, "defrag": True},
+                )
+                keep = [s for s in snap.segments if s not in run]
+                snap = Snapshot([*keep, merged], max_seq=snap.max_seq + 1)
+                changed = True
+
+            # float division: with N rows in >max_chunk segments, anything
+            # below N/(max_chunk+1) is "fragmented" (`collection.py:386-403`)
+            threshold = min(page_len, snap.length(label) / (max_chunk + 1))
+            for seg in segs:
+                if seg.length < threshold:
+                    run.append(seg)
+                    if sum(s.length for s in run) >= page_len:
+                        flush(run)
+                        run = []
+                else:
+                    flush(run)
+                    run = []
+            flush(run)
+        if changed:
+            return self.commit_snapshot(snap)
+        return None
+
+    # --------------------------------------------------- label management
+
+    def delete_series(self, *labels: str):
+        snap = self.snapshot().delete_labels(list(labels))
+        return self.commit_snapshot(snap)
+
+    def rename_series(self, old: str, new: str):
+        snap = self.snapshot().rename_label(old, new)
+        return self.commit_snapshot(snap)
+
+    def pull(self, other: "Collection") -> int:
+        """Sync revisions + referenced segment dirs from another repo's
+        collection (`lakota/collection.py:210-233`)."""
+        import shutil
+
+        n = self.changelog.pull(other.changelog)
+        os.makedirs(self.segments_dir, exist_ok=True)
+        for rev in self.changelog.revisions():
+            snap = Snapshot.from_payload(rev.read(), self.schema)
+            for path in snap.paths():
+                name = os.path.basename(path)
+                src = os.path.join(other.segments_dir, name)
+                dst = os.path.join(self.segments_dir, name)
+                if not os.path.exists(dst) and os.path.exists(src):
+                    shutil.copytree(src, dst)
+        return n
+
+    def push(self, other: "Collection") -> int:
+        return other.pull(self)
+
+
+def _sig(snap: Snapshot, schema) -> tuple:
+    """Order/seq-insensitive content signature of a snapshot — rewriting
+    identical data must not create a new revision. Deduplicated: a KV
+    re-write of identical content appends an identical segment entry whose
+    merged view is unchanged."""
+    return tuple(
+        sorted(
+            {
+                (
+                    d["label"],
+                    tuple(d["start"] or ()),
+                    tuple(d["stop"] or ()),
+                    d["start_closed"],
+                    d["stop_closed"],
+                    d["path"],
+                    d["length"],
+                )
+                for d in (s.to_dict(schema) for s in snap.segments)
+            }
+        )
+    )

@@ -1,0 +1,221 @@
+"""Snapshot = the full segment table of a revision, plus the interval
+overlay algebra that makes writes last-writer-wins.
+
+Reproduces the *semantics* of the reference's commit machinery
+(`lakota/commit.py:263-359` update/overlay, `lakota/utils.py:307-335`
+closed-bound algebra) on segment metadata: a new segment's interval
+shadows the overlapping part of older segments of the same label; older
+segments are truncated (possibly split into head/tail pieces) by
+*narrowing their effective read bounds* — their Parquet files are never
+rewritten, the read path applies the bounds as filters.
+
+Bounds are tuples over the index columns (lexicographic order); every
+bound carries an inclusive/exclusive flag (reference Closed ∈
+{n,l,r,b} maps to the two booleans start_closed/stop_closed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+from lakota_spark.schema import Schema
+
+Bound = tuple  # tuple of index-column values
+
+
+def cmp_prefix(a: tuple, b: tuple) -> int:
+    """Lexicographic compare where a shorter tuple is a *prefix interval*:
+    equal on the common prefix → 0 ('prefix matches'), mirroring the
+    reference's multi-column prefix intersect (`lakota/series.py:12-20`)."""
+    for x, y in zip(a, b):
+        if x < y:
+            return -1
+        if x > y:
+            return 1
+    return 0
+
+
+@dataclass(frozen=True)
+class Segment:
+    """One contiguous, sorted slice of a series.
+
+    ``path`` points at a content-addressed Parquet directory; ``start`` /
+    ``stop`` are the *effective* read bounds (narrowed by later overlays —
+    the file may physically contain more rows). ``seq`` is the commit
+    sequence, used by KV reads for last-writer-wins ordering.
+    """
+
+    label: str
+    start: Bound
+    stop: Bound
+    start_closed: bool = True
+    stop_closed: bool = True
+    path: str | None = None  # None => empty segment (pure delete marker)
+    length: int = 0
+    seq: int = 0
+    meta: dict = field(default_factory=dict)
+
+    # -- interval algebra --------------------------------------------------
+
+    def is_empty(self) -> bool:
+        if self.path is None:
+            return True
+        c = cmp_prefix(self.start, self.stop)
+        if c > 0:
+            return True
+        if c == 0 and not (self.start_closed and self.stop_closed):
+            return True
+        return False
+
+    def intersects(self, start: Bound, stop: Bound, start_closed: bool, stop_closed: bool) -> bool:
+        c1 = cmp_prefix(self.start, stop)
+        if c1 > 0 or (c1 == 0 and not (self.start_closed and stop_closed)):
+            return False
+        c2 = cmp_prefix(start, self.stop)
+        if c2 > 0 or (c2 == 0 and not (start_closed and self.stop_closed)):
+            return False
+        return True
+
+    def to_dict(self, schema: Schema) -> dict:
+        return {
+            "label": self.label,
+            "start": schema.serialize_bound(self.start),
+            "stop": schema.serialize_bound(self.stop),
+            "start_closed": self.start_closed,
+            "stop_closed": self.stop_closed,
+            "path": self.path,
+            "length": self.length,
+            "seq": self.seq,
+            "meta": self.meta,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict, schema: Schema) -> "Segment":
+        return cls(
+            label=d["label"],
+            start=schema.deserialize_bound(d["start"]),
+            stop=schema.deserialize_bound(d["stop"]),
+            start_closed=d["start_closed"],
+            stop_closed=d["stop_closed"],
+            path=d["path"],
+            length=d["length"],
+            seq=d.get("seq", 0),
+            meta=d.get("meta", {}),
+        )
+
+
+class Snapshot:
+    """The segment table of one revision (reference `Commit`,
+    `lakota/commit.py:1-16`): all segments of all labels, sorted by
+    (label, start)."""
+
+    def __init__(self, segments: list[Segment] | None = None, max_seq: int = 0):
+        self.segments = sorted(
+            segments or [], key=lambda s: (s.label, s.start, s.start_closed is False)
+        )
+        self.max_seq = max(
+            [max_seq, *[s.seq for s in self.segments]] or [0]
+        )
+
+    # -- overlay (the core write-path semantics) ---------------------------
+
+    def overlay(self, new: Segment, kv: bool = False) -> "Snapshot":
+        """Apply one write: ``new``'s interval shadows older data of the
+        same label (`lakota/commit.py:263-359`). Older overlapping segments
+        are truncated/split; a zero-length ``new`` is a pure range delete
+        (`lakota/series.py:227-229`).
+
+        KV collections skip the shadowing: rows merge by key at read time
+        (last seq wins), so prior segments stay intact
+        (`lakota/series.py:449-475`).
+        """
+        seq = self.max_seq + 1
+        new = replace(new, seq=seq)
+        out: list[Segment] = []
+        for seg in self.segments:
+            if seg.label != new.label or kv or not seg.intersects(
+                new.start, new.stop, new.start_closed, new.stop_closed
+            ):
+                out.append(seg)
+                continue
+            # head piece: [seg.start, new.start-), tail piece: (new.stop+, seg.stop]
+            head = replace(seg, stop=new.start, stop_closed=not new.start_closed)
+            if not head.is_empty():
+                out.append(head)
+            tail = replace(seg, start=new.stop, start_closed=not new.stop_closed)
+            if not tail.is_empty():
+                out.append(tail)
+        if new.path is not None and new.length > 0:
+            out.append(new)
+        return Snapshot(out, max_seq=seq)
+
+    # -- queries over the table -------------------------------------------
+
+    def labels(self) -> list[str]:
+        return sorted({s.label for s in self.segments})
+
+    def for_label(
+        self,
+        label: str,
+        start: Bound | None = None,
+        stop: Bound | None = None,
+        start_closed: bool = True,
+        stop_closed: bool = True,
+    ) -> list[Segment]:
+        """Segments of one label intersecting the query interval — the
+        metadata pruning pass (`lakota/commit.py:425-475`): Spark never
+        even sees files outside the range."""
+        segs = [s for s in self.segments if s.label == label]
+        if start is None and stop is None:
+            return segs
+        out = []
+        for s in segs:
+            lo = start if start is not None else s.start
+            hi = stop if stop is not None else s.stop
+            if s.intersects(lo, hi, start_closed, stop_closed):
+                out.append(s)
+        return out
+
+    def delete_labels(self, labels: list[str]) -> "Snapshot":
+        """Drop all rows of the given labels (`lakota/commit.py:477-479`)."""
+        return Snapshot(
+            [s for s in self.segments if s.label not in labels],
+            max_seq=self.max_seq,
+        )
+
+    def rename_label(self, old: str, new: str) -> "Snapshot":
+        """Metadata-only rename (`lakota/commit.py:493-506`)."""
+        return Snapshot(
+            [replace(s, label=new) if s.label == old else s for s in self.segments],
+            max_seq=self.max_seq,
+        )
+
+    def length(self, label: str | None = None) -> int:
+        """Metadata-only count — answers len() without touching data
+        (`lakota/series.py:231-232`). NB: exact only while effective bounds
+        equal physical bounds; overlaid segments report physical length, so
+        callers needing exactness after overlays must count via Spark."""
+        return sum(
+            s.length for s in self.segments if label is None or s.label == label
+        )
+
+    def paths(self) -> set[str]:
+        return {s.path for s in self.segments if s.path}
+
+    # -- (de)serialization -------------------------------------------------
+
+    def to_payload(self, schema: Schema) -> dict:
+        return {
+            "segments": [s.to_dict(schema) for s in self.segments],
+            "max_seq": self.max_seq,
+        }
+
+    @classmethod
+    def from_payload(cls, payload: dict | None, schema: Schema) -> "Snapshot":
+        if not payload:
+            return cls()
+        return cls(
+            [Segment.from_dict(d, schema) for d in payload.get("segments", [])],
+            max_seq=payload.get("max_seq", 0),
+        )

@@ -1,0 +1,202 @@
+"""Collection schema: fixed, user-declared columns with index membership.
+
+Mirrors the reference's schema mini-language (`lakota/schema.py:111-128`):
+``Schema(timestamp="timestamp*", value="float")`` — the ``*`` suffix marks
+index (sort-key) columns. Types map to Spark types; values are coerced on
+write like the reference's automatic casts (`lakota/schema.py:130-133`).
+
+The reference's codec machinery (blosc/zstd per-column blobs,
+`lakota/schema.py:41-95`) is replaced wholesale by Parquet + zstd — a
+storage-format concern Spark already does better; only the *logical* schema
+semantics are reproduced here.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any
+
+from pyspark.sql import types as T
+
+# lakota alias -> (spark type, simpleString) — `lakota/schema.py:12-20`
+_TYPES: dict[str, T.DataType] = {
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "int": T.LongType(),
+    "float": T.DoubleType(),
+    "str": T.StringType(),
+}
+
+# Zero values per type (`lakota/schema.py:166-167`): the reference has no
+# NULLs — missing data is zero-filled.
+ZERO: dict[str, Any] = {
+    "timestamp": dt.datetime(1970, 1, 1),
+    "date": dt.date(1970, 1, 1),
+    "int": 0,
+    "float": 0.0,
+    "str": "",
+}
+
+
+class Schema:
+    """Ordered column definitions + index column set.
+
+    >>> s = Schema(timestamp="timestamp*", value="float")
+    >>> s.idx
+    ['timestamp']
+    """
+
+    def __init__(self, _kv: bool = False, **columns: str):
+        self.columns: dict[str, str] = {}
+        self.idx: list[str] = []
+        self.kv = _kv
+        for name, spec in columns.items():
+            spec = spec.strip()
+            is_idx = spec.endswith("*")
+            alias = spec.rstrip("*").split("|")[0].strip()
+            if alias not in _TYPES:
+                raise ValueError(f"unknown column type {alias!r} for {name!r}")
+            self.columns[name] = alias
+            if is_idx:
+                self.idx.append(name)
+        if not self.idx:
+            # reference requires >=1 index column (`lakota/schema.py:170-183`)
+            raise ValueError("schema needs at least one index column (suffix *)")
+        self.values = [c for c in self.columns if c not in self.idx]
+
+    @classmethod
+    def kv_schema(cls, **columns: str) -> "Schema":
+        """Upsert-on-index schema (`Schema.kv`, `lakota/schema.py:188-192`)."""
+        return cls(_kv=True, **columns)
+
+    # -- Spark integration -------------------------------------------------
+
+    def struct_type(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(n, _TYPES[a], True) for n, a in self.columns.items()]
+        )
+
+    def index_struct_type(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(n, _TYPES[self.columns[n]], True) for n in self.idx]
+        )
+
+    def cast(self, df):
+        """Coerce an input DataFrame to the declared schema (order + types),
+        mirroring the reference's write-time casts (`lakota/schema.py:251-262`).
+        Timestamps are truncated to second precision like `M8[s]`."""
+        from pyspark.sql import functions as F
+
+        cols = []
+        for name, alias in self.columns.items():
+            if name not in df.columns:
+                raise ValueError(f"missing column {name!r}")
+            c = F.col(name).cast(_TYPES[alias])
+            if alias == "timestamp":
+                c = F.date_trunc("second", c).cast(_TYPES[alias])
+            cols.append(c.alias(name))
+        return df.select(*cols)
+
+    # -- bound (de)serialization for the JSON log --------------------------
+
+    def serialize_bound(self, values: tuple | list | None) -> list | None:
+        if values is None:
+            return None
+        out = []
+        for name, v in zip(self.idx, values):
+            alias = self.columns[name]
+            if v is None:
+                out.append(None)
+            elif alias == "timestamp":
+                v = self.coerce_scalar(name, v)
+                out.append(v.isoformat())
+            elif alias == "date":
+                v = self.coerce_scalar(name, v)
+                out.append(v.isoformat())
+            else:
+                out.append(v)
+        return out
+
+    def deserialize_bound(self, values: list | None) -> tuple | None:
+        if values is None:
+            return None
+        out = []
+        for name, v in zip(self.idx, values):
+            alias = self.columns[name]
+            if v is None:
+                out.append(None)
+            elif alias == "timestamp":
+                out.append(dt.datetime.fromisoformat(v))
+            elif alias == "date":
+                out.append(dt.date.fromisoformat(v))
+            else:
+                out.append(v)
+        return tuple(out)
+
+    def coerce_scalar(self, name: str, v: Any) -> Any:
+        """Cast one bound value to the column's type
+        (`cast_scalar`, `lakota/schema.py:149-150`)."""
+        alias = self.columns[name]
+        if alias == "timestamp":
+            if isinstance(v, str):
+                v = dt.datetime.fromisoformat(v)
+            elif isinstance(v, (int, float)):
+                v = dt.datetime.fromtimestamp(v, dt.timezone.utc).replace(
+                    tzinfo=None
+                )
+            if isinstance(v, dt.datetime):
+                return v.replace(microsecond=0)  # M8[s] second precision
+            if isinstance(v, dt.date):
+                return dt.datetime(v.year, v.month, v.day)
+        elif alias == "date":
+            if isinstance(v, str):
+                return dt.date.fromisoformat(v)
+            if isinstance(v, dt.datetime):
+                return v.date()
+        elif alias == "int":
+            return int(v)
+        elif alias == "float":
+            return float(v)
+        elif alias == "str":
+            return str(v)
+        return v
+
+    def coerce_bound(self, values) -> tuple | None:
+        """Coerce a user-supplied start/stop bound: scalar or tuple; short
+        (prefix) bounds are allowed like the reference's prefix intervals."""
+        if values is None:
+            return None
+        if not isinstance(values, (tuple, list)):
+            values = (values,)
+        return tuple(
+            self.coerce_scalar(name, v)
+            for name, v in zip(self.idx, values)
+        )
+
+    # -- (de)serialization of the schema itself ----------------------------
+
+    def to_dict(self) -> dict:
+        return {
+            "columns": dict(self.columns),
+            "idx": list(self.idx),
+            "kv": self.kv,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Schema":
+        spec = {
+            name: alias + ("*" if name in d["idx"] else "")
+            for name, alias in d["columns"].items()
+        }
+        return cls(_kv=d.get("kv", False), **spec)
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Schema)
+            and self.columns == other.columns
+            and self.idx == other.idx
+            and self.kv == other.kv
+        )
+
+    def __repr__(self) -> str:
+        return f"<Schema {self.to_dict()}>"

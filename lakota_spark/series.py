@@ -1,0 +1,455 @@
+"""Series: one labeled, sorted time-series inside a collection.
+
+Write path (`lakota/series.py:82-157` semantics, Spark-native execution):
+cast to schema → range-partition + sort → write a content-addressed
+Parquet segment → overlay onto the leaf snapshot → append a revision.
+
+Read path (`lakota/series.py:314-338`): resolve snapshot → prune segments
+by label + interval (pure metadata, before Spark sees any file) → ONE
+parquet scan of the surviving files → broadcast-join the tiny per-segment
+bounds table keyed on the segment directory name → apply effective-bound
+and query-range filters (both plain Catalyst predicates: pushdown, column
+pruning and row-group skipping all engage) → optional select/limit/offset.
+
+Scale notes: the only driver-side work is metadata (segment lists); data
+never flows through the driver. A snapshot with S segments costs one
+broadcast of S rows — with defrag keeping segments at ~page_len rows,
+100 TB ≈ a few hundred thousand segments ≈ a few tens of MB of bounds,
+still broadcastable; the pruning pass cuts that to the queried interval.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakota_spark.commit import Segment, Snapshot
+
+PAGE_LEN = 500_000  # target rows per segment (`lakota/utils.py:38`)
+
+CLOSED = {
+    "b": (True, True),
+    "l": (True, False),
+    "r": (False, True),
+    "n": (False, False),
+}
+
+
+class Series:
+    def __init__(self, collection, label: str):
+        self.collection = collection
+        self.label = label
+        self.schema = collection.schema
+        self.spark = collection.spark
+
+    # ------------------------------------------------------------------ io
+
+    def _idx_struct(self):
+        return F.struct(*[F.col(c) for c in self.schema.idx])
+
+    def _coerce_df(self, data) -> DataFrame:
+        if isinstance(data, DataFrame):
+            return self.schema.cast(data)
+        # dict-of-lists / list-of-rows / pandas convenience (tests, CLI)
+        import pandas as pd
+
+        if isinstance(data, dict):
+            data = pd.DataFrame(data)
+        if isinstance(data, pd.DataFrame) and len(data) == 0:
+            return self.spark.createDataFrame([], self.schema.struct_type())
+        # infer first, then cast: inputs may hold ISO strings for timestamps
+        # etc. — the declared schema coerces (`lakota/schema.py:130-133`)
+        df = self.spark.createDataFrame(data)
+        return self.schema.cast(df)
+
+    # --------------------------------------------------------------- write
+
+    def write(
+        self,
+        data,
+        start=None,
+        stop=None,
+        closed: str = "b",
+        validate_sorted: bool = False,
+    ):
+        """Write a frame as one content-addressed segment + one revision.
+
+        ``start``/``stop`` may widen the interval beyond the data's own
+        min/max — the widened range *deletes* pre-existing rows it shadows
+        (`tests/series_test.py:251-371` semantics). Empty data + explicit
+        bounds = range delete.
+        """
+        df = self._coerce_df(data)
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(self._idx_struct()).alias("lo"),
+            F.max(self._idx_struct()).alias("hi"),
+        ).collect()[0]
+        n = stats["n"]
+        start_closed, stop_closed = CLOSED[closed]
+        start = self.schema.coerce_bound(start)
+        stop = self.schema.coerce_bound(stop)
+        if n == 0:
+            if start is None or stop is None:
+                return None  # nothing to do
+            return self._commit_segment(
+                Segment(
+                    label=self.label,
+                    start=start,
+                    stop=stop,
+                    start_closed=start_closed,
+                    stop_closed=stop_closed,
+                    path=None,
+                    length=0,
+                )
+            )
+        lo, hi = tuple(stats["lo"]), tuple(stats["hi"])
+        # explicit bounds may only widen (reference asserts containment)
+        eff_start = start if start is not None else lo
+        eff_stop = stop if stop is not None else hi
+        if len(eff_start) != len(self.schema.idx) or len(eff_stop) != len(
+            self.schema.idx
+        ):
+            raise ValueError("write bounds must cover every index column")
+        if validate_sorted:
+            self._assert_sorted(df)
+
+        path, digest = self._write_segment_files(df, n)
+        return self._commit_segment(
+            Segment(
+                label=self.label,
+                start=eff_start,
+                stop=eff_stop,
+                start_closed=start_closed if start is not None else True,
+                stop_closed=stop_closed if stop is not None else True,
+                path=path,
+                length=n,
+                meta={"digest": digest},
+            )
+        )
+
+    def _assert_sorted(self, df: DataFrame) -> None:
+        """Reference write-path invariant (`lakota/series.py:94`). Opt-in:
+        it costs a window pass."""
+        w = Window.orderBy(F.monotonically_increasing_id())
+        bad = (
+            df.select(self._idx_struct().alias("i"))
+            .withColumn("p", F.lag("i").over(w))
+            .where(F.col("p").isNotNull() & (F.col("i") < F.col("p")))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError("frame is not sorted by index columns")
+
+    def _write_segment_files(self, df: DataFrame, n_rows: int) -> tuple[str, str]:
+        """Write sorted Parquet, content-address the result.
+
+        Range-partition so files carry disjoint, sorted index ranges (file
+        min/max stats then prune exactly like the reference's per-segment
+        bounds). The directory is renamed to the sha1 of its contents —
+        identical data written twice lands on the same path and the second
+        write is dropped (reference SKIP-WRITE, `lakota/pod.py:201-204`).
+        """
+        seg_root = self.collection.segments_dir
+        os.makedirs(seg_root, exist_ok=True)
+        tmp = os.path.join(seg_root, f"_tmp-{uuid.uuid4().hex}")
+        n_parts = max(1, -(-n_rows // PAGE_LEN))
+        idx_cols = [F.col(c) for c in self.schema.idx]
+        out = (
+            df.repartitionByRange(n_parts, *idx_cols)
+            .sortWithinPartitions(*idx_cols)
+            if n_parts > 1
+            else df.coalesce(1).sortWithinPartitions(*idx_cols)
+        )
+        out.write.mode("overwrite").parquet(f"file://{tmp}")
+        digest = _dir_sha1(tmp)
+        name = digest[:20]
+        final = os.path.join(seg_root, name)
+        if os.path.exists(final):
+            shutil.rmtree(tmp)  # content dedup: identical segment exists
+        else:
+            os.replace(tmp, final)
+        return name, digest
+
+    def _commit_segment(self, seg: Segment):
+        return self.collection.apply_segments([seg])
+
+    # ---------------------------------------------------------------- read
+
+    def segments(self, start=None, stop=None, before=None, closed: str = "b"):
+        """Pruned segment list (reference `Series.segments`,
+        `lakota/series.py:36-54`)."""
+        start = self.schema.coerce_bound(start)
+        stop = self.schema.coerce_bound(stop)
+        start_closed, stop_closed = CLOSED[closed]
+        snap = self.collection.snapshot(before=before)
+        return snap.for_label(
+            self.label, start, stop, start_closed, stop_closed
+        )
+
+    def frame(
+        self,
+        start=None,
+        stop=None,
+        before=None,
+        closed: str = "b",
+        select: list[str] | None = None,
+        limit: int | None = None,
+        offset: int | None = None,
+        sort: bool = True,
+    ) -> DataFrame:
+        segs = self.segments(start, stop, before, closed)
+        df = self._read_segments(segs)
+        df = self._apply_range(
+            df,
+            self.schema.coerce_bound(start),
+            self.schema.coerce_bound(stop),
+            *CLOSED[closed],
+        )
+        if self.schema.kv:
+            df = self._kv_dedup(df)
+        if sort:
+            df = df.orderBy(*[F.col(c) for c in self.schema.idx])
+        if offset:
+            df = df.offset(offset)
+        if limit is not None:
+            df = df.limit(limit)
+        cols = select or list(self.schema.columns)
+        return df.select(*cols)
+
+    def df(self, *args, **kwargs):
+        """pandas sink (`lakota/series.py:340-358`)."""
+        return self.frame(*args, **kwargs).toPandas()
+
+    def _read_segments(self, segs: list[Segment]) -> DataFrame:
+        live = [s for s in segs if s.path]
+        if not live:
+            return self.spark.createDataFrame([], self.schema.struct_type())
+        seg_dir = self.collection.segments_dir
+        paths = sorted({s.path for s in live})
+        df = self.spark.read.parquet(
+            *[f"file://{os.path.join(seg_dir, p)}" for p in paths]
+        )
+        bounds = self.collection.bounds_df(live)
+        seg_key = F.element_at(F.split(F.input_file_name(), "/"), -2)
+        idx = self._idx_struct()
+        in_seg = (
+            (idx > F.col("_seg_start"))
+            | (F.col("_seg_start_closed") & (idx == F.col("_seg_start")))
+        ) & (
+            (idx < F.col("_seg_stop"))
+            | (F.col("_seg_stop_closed") & (idx == F.col("_seg_stop")))
+        )
+        return (
+            df.withColumn("_seg_key", seg_key)
+            .join(F.broadcast(bounds), on="_seg_key")
+            .where(in_seg)
+            .drop(
+                "_seg_key",
+                "_seg_start",
+                "_seg_stop",
+                "_seg_start_closed",
+                "_seg_stop_closed",
+                "_seg_label",
+            )
+        )
+
+    def _apply_range(
+        self, df: DataFrame, start, stop, start_closed: bool, stop_closed: bool
+    ) -> DataFrame:
+        """Query-interval predicate with closed-bound semantics (P5/P6).
+        Prefix bounds constrain only the leading index columns
+        (`lakota/series.py:12-20`). Plain column predicates → pushed down."""
+        idx = self.schema.idx
+        if start is not None:
+            k = len(start)
+            s = F.struct(*[F.col(c) for c in idx[:k]])
+            lit = F.struct(
+                *[F.lit(v).alias(c) for c, v in zip(idx[:k], start)]
+            )
+            df = df.where((s > lit) | ((s == lit) if start_closed else F.lit(False)))
+        if stop is not None:
+            k = len(stop)
+            s = F.struct(*[F.col(c) for c in idx[:k]])
+            lit = F.struct(*[F.lit(v).alias(c) for c, v in zip(idx[:k], stop)])
+            df = df.where((s < lit) | ((s == lit) if stop_closed else F.lit(False)))
+        return df
+
+    def _kv_dedup(self, df: DataFrame) -> DataFrame:
+        """Last-writer-wins by key: later commits (higher seq) shadow
+        earlier rows of the same key (`lakota/series.py:449-475`)."""
+        w = Window.partitionBy(
+            *[F.col(c) for c in self.schema.idx]
+        ).orderBy(F.col("_seg_seq").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    # ------------------------------------------------------------- extras
+
+    def tail(self, length: int, before=None) -> DataFrame:
+        """Last N rows (`lakota/series.py:261-312`): prune to the trailing
+        segments whose lengths cover N (metadata), then TakeOrdered."""
+        snap = self.collection.snapshot(before=before)
+        segs = snap.for_label(self.label)
+        keep: list[Segment] = []
+        total = 0
+        for seg in reversed(segs):
+            keep.append(seg)
+            total += seg.length
+            if total >= length and not self.schema.kv:
+                break
+        df = self._read_segments(list(reversed(keep)))
+        if self.schema.kv:
+            df = self._kv_dedup(df)
+        idx_desc = [F.col(c).desc() for c in self.schema.idx]
+        tail = df.orderBy(*idx_desc).limit(length)
+        return tail.orderBy(*[F.col(c) for c in self.schema.idx]).select(
+            *self.schema.columns
+        )
+
+    def paginate(self, step: int, **frame_kwargs):
+        """Pull-based chunk stream (`lakota/series.py:237-259`): yields
+        DataFrames of ``step`` rows in index order."""
+        if step <= 0:
+            raise ValueError("step must be positive")
+        offset = 0
+        while True:
+            page = self.frame(limit=step, offset=offset, **frame_kwargs)
+            if not page.take(1):
+                return
+            yield page
+            offset += step
+
+    def update(self, data, start=None, stop=None):
+        """Partial column update aligned on index, zero-filling untouched
+        columns on extensions (`lakota/series.py:159-190`, F8)."""
+        from lakota_spark.operators.kv import update_zerofill
+
+        # lenient coercion: an update frame carries the index plus a SUBSET
+        # of value columns — cast only what is present
+        if not isinstance(data, DataFrame):
+            import pandas as pd
+
+            data = self.spark.createDataFrame(pd.DataFrame(dict(data)))
+        types = self.schema.struct_type()
+        upd = data.select(
+            *[
+                F.col(c).cast(types[c].dataType).alias(c)
+                for c in data.columns
+                if c in self.schema.columns
+            ]
+        )
+        missing_idx = [c for c in self.schema.idx if c not in upd.columns]
+        if missing_idx:
+            raise ValueError(f"update frame missing index columns {missing_idx}")
+        update_cols = [c for c in self.schema.values if c in upd.columns]
+        stats = upd.agg(
+            F.min(self._idx_struct()).alias("lo"),
+            F.max(self._idx_struct()).alias("hi"),
+        ).collect()[0]
+        lo, hi = tuple(stats["lo"]), tuple(stats["hi"])
+        base = self.frame(start=lo, stop=hi)
+        upd_proj = upd.select(*self.schema.idx, *update_cols)
+        merged = update_zerofill(
+            base, upd_proj, keys=list(self.schema.idx), update_cols=update_cols
+        )
+        return self.write(merged.select(*self.schema.columns))
+
+    def delete(self, start, stop, closed: str = "b"):
+        """Range delete = empty overlay (`lakota/series.py:227-229`)."""
+        start = self.schema.coerce_bound(start)
+        stop = self.schema.coerce_bound(stop)
+        sc, ec = CLOSED[closed]
+        return self._commit_segment(
+            Segment(
+                label=self.label,
+                start=start,
+                stop=stop,
+                start_closed=sc,
+                stop_closed=ec,
+                path=None,
+                length=0,
+            )
+        )
+
+    def __len__(self) -> int:
+        """Spark count over effective bounds (exact under overlays)."""
+        return self.frame(sort=False).count()
+
+    def meta_len(self) -> int:
+        """O(1) metadata count — exact when no overlay truncation occurred
+        (`lakota/series.py:231-232`)."""
+        return self.collection.snapshot().length(self.label)
+
+
+class KVSeries(Series):
+    """Upsert-on-index series (`lakota/series.py:449-503`). The collection
+    schema's ``kv`` flag drives behavior; this subclass only adds the
+    key-delete helper."""
+
+    def delete_keys(self, keys_df) -> None:
+        """Delete specific keys by overlaying tombstones: rewrite the
+        complement of the keys within their span
+        (`lakota/series.py:477-503`)."""
+        keys = self._coerce_keys(keys_df)
+        current = self.frame()
+        remaining = current.join(keys, on=list(self.schema.idx), how="left_anti")
+        stats = current.agg(
+            F.min(self._idx_struct()).alias("lo"),
+            F.max(self._idx_struct()).alias("hi"),
+        ).collect()[0]
+        if stats["lo"] is None:
+            return
+        # rewrite the full span with the complement (non-KV overlay write)
+        lo, hi = tuple(stats["lo"]), tuple(stats["hi"])
+        snap = self.collection.snapshot()
+        seq = snap.max_seq + 1
+        n = remaining.count()
+        if n == 0:
+            self._commit_segment(
+                Segment(self.label, lo, hi, True, True, None, 0)
+            )
+            return
+        path, digest = self._write_segment_files(remaining, n)
+        seg = Segment(
+            self.label, lo, hi, True, True, path, n, seq, {"digest": digest}
+        )
+        # force non-KV overlay so older key versions are shadowed
+        new_snap = snap.overlay(seg, kv=False)
+        self.collection.commit_snapshot(new_snap)
+
+    def _coerce_keys(self, keys) -> DataFrame:
+        if isinstance(keys, DataFrame):
+            return keys.select(*self.schema.idx)
+        import pandas as pd
+
+        pdf = pd.DataFrame(keys)
+        return self.spark.createDataFrame(
+            pdf, schema=self.schema.index_struct_type()
+        ).select(*self.schema.idx)
+
+
+def _dir_sha1(path: str) -> str:
+    """sha1 over the directory's parquet part files (sorted, streamed) —
+    the content address used for segment dedup (reference digest scheme,
+    `lakota/utils.py:122-133`). _SUCCESS / CRC sidecars are excluded so the
+    address depends on data bytes only."""
+    h = hashlib.sha1()  # noqa: S324 - content addressing, not security
+    # NB: hash only CONTENT — Spark part-file names embed a random UUID,
+    # which would break write-idempotence if hashed.
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        with open(os.path.join(path, name), "rb") as fh:
+            while chunk := fh.read(1 << 20):
+                h.update(chunk)
+    return h.hexdigest()

@@ -1,0 +1,181 @@
+"""Collection/versioning + repo/catalog semantics
+(reference `tests/collection_test.py`, `tests/repo_test.py`,
+`tests/sync_test.py`, `tests/changelog_test.py`)."""
+
+import os
+
+import pytest
+
+from lakota_spark.changelog import PHI
+from lakota_spark.schema import Schema
+
+
+def _mk(repo, name="c"):
+    coll = repo.create_collection(Schema(ts="int*", value="float"), name)
+    return coll
+
+
+def rows(df):
+    return [(r[0], r[1]) for r in df.collect()]
+
+
+def test_multi_batch_atomic(repo):
+    # one revision covers several series (`lakota/batch.py`, M3)
+    coll = _mk(repo)
+    with coll.multi():
+        coll.series("a").write({"ts": [1], "value": [1.0]})
+        coll.series("b").write({"ts": [1], "value": [2.0]})
+    assert len(coll.changelog.revisions()) == 1
+    assert coll.ls() == ["a", "b"]
+
+
+def test_multi_batch_rollback(repo):
+    # exception inside the block → nothing committed (`collection_test.py:379-391`)
+    coll = _mk(repo)
+    with pytest.raises(RuntimeError):
+        with coll.multi():
+            coll.series("a").write({"ts": [1], "value": [1.0]})
+            raise RuntimeError("boom")
+    assert len(coll.changelog.revisions()) == 0
+    assert coll.ls() == []
+
+
+def test_branch_merge_newest_wins(repo):
+    # two writers fork from the same leaf; merge replays in revision order
+    # → newest branch wins on overlap (`collection_test.py:246-314`)
+    coll = _mk(repo)
+    s = coll.series("s")
+    s.write({"ts": [1, 2], "value": [1.0, 2.0]})
+    leaf = coll.changelog.leaf()
+    # fork: two commits with the same parent (simulates concurrent writers)
+    import time
+
+    from lakota_spark.commit import Segment, Snapshot
+
+    base = Snapshot.from_payload(leaf.read(), coll.schema)
+
+    def fork_write(vals):
+        seg_series = coll.series("s")
+        df = seg_series._coerce_df({"ts": [2], "value": [vals]})
+        path, digest = seg_series._write_segment_files(df, 1)
+        seg = Segment("s", (2,), (2,), True, True, path, 1)
+        snap = base.overlay(seg)
+        payload = snap.to_payload(coll.schema)
+        payload["delta"] = [seg.to_dict(coll.schema)]
+        return coll.changelog.commit(payload, parents=[leaf.child], force=True)
+
+    fork_write(10.0)
+    time.sleep(0.002)  # hextime tie-break: second fork is strictly newer
+    fork_write(20.0)
+    assert len(coll.changelog.leaves()) == 2
+    coll.merge()
+    assert len(coll.changelog.leaves()) == 1
+    out = dict(rows(coll.series("s").frame()))
+    assert out[1] == 1.0
+    assert out[2] == 20.0  # newest branch won
+
+
+def test_trim_squash(repo):
+    coll = _mk(repo)
+    s = coll.series("s")
+    for i in range(3):
+        s.write({"ts": [i], "value": [float(i)]})
+    assert len(coll.changelog.revisions()) == 3
+    coll.squash()
+    revs = coll.changelog.revisions()
+    assert len(revs) == 1 and revs[0].parent == PHI
+    assert rows(s.frame()) == [(0, 0.0), (1, 1.0), (2, 2.0)]
+
+
+def test_defrag(repo):
+    coll = _mk(repo)
+    s = coll.series("s")
+    for i in range(6):
+        s.write({"ts": [i], "value": [float(i)]})
+    n_before = len(coll.snapshot().for_label("s"))
+    coll.defrag()
+    n_after = len(coll.snapshot().for_label("s"))
+    assert n_after < n_before
+    assert rows(s.frame()) == [(i, float(i)) for i in range(6)]
+
+
+def test_delete_and_rename_series(repo):
+    coll = _mk(repo)
+    coll.series("a").write({"ts": [1], "value": [1.0]})
+    coll.series("b").write({"ts": [1], "value": [2.0]})
+    coll.delete_series("a")
+    assert coll.ls() == ["b"]
+    coll.rename_series("b", "c")
+    assert coll.ls() == ["c"]
+    assert rows(coll.series("c").frame()) == [(1, 2.0)]
+
+
+def test_collection_crud(repo):
+    _mk(repo, "x")
+    _mk(repo, "y")
+    assert repo.ls() == ["x", "y"]
+    # double-create with same schema is a no-op
+    _mk(repo, "x")
+    with pytest.raises(ValueError):
+        repo.create_collection(Schema(other="int*"), "x")
+    repo.rename_collection("x", "z")
+    assert repo.ls() == ["y", "z"]
+    repo.delete_collection("y")
+    assert repo.ls() == ["z"]
+
+
+def test_gc_two_phase(repo):
+    coll = _mk(repo)
+    s = coll.series("s")
+    s.write({"ts": [1, 2], "value": [1.0, 2.0]})
+    s.write({"ts": [10, 11], "value": [3.0, 4.0]})
+    # orphan a segment: squash history then overwrite everything
+    s.write({"ts": [1], "value": [9.0]}, start=0, stop=100)
+    coll.squash()  # only the leaf references segments now
+    stats = repo.gc(timeout=3600)
+    assert stats["soft"] == 2  # two unreferenced segment dirs soft-deleted
+    assert stats["hard"] == 0
+    stats = repo.gc(timeout=0.0)
+    assert stats["hard"] == 2
+    assert rows(s.frame()) == [(1, 9.0)]
+
+
+def test_push_pull_roundtrip(repo, spark, tmp_path):
+    from lakota_spark.repo import Repo
+
+    coll = _mk(repo)
+    coll.series("s").write({"ts": [1, 2], "value": [1.0, 2.0]})
+    other = Repo(str(tmp_path / "other"), spark)
+    repo.push(other)
+    out = other.collection("c").series("s").frame()
+    assert rows(out) == [(1, 1.0), (2, 2.0)]
+    # incremental pull after more writes
+    coll.series("s").write({"ts": [3], "value": [3.0]})
+    other.pull(repo)
+    assert rows(other.collection("c").series("s").frame()) == [
+        (1, 1.0), (2, 2.0), (3, 3.0)
+    ]
+
+
+def test_export_import(repo, spark, tmp_path):
+    coll = _mk(repo)
+    coll.series("s").write({"ts": [1, 2], "value": [1.0, 2.0]})
+    out = str(tmp_path / "export")
+    repo.export_collection("c", out)
+    assert os.path.exists(os.path.join(out, "_schema.json"))
+    coll2 = repo.create_collection(Schema(ts="int*", value="float"), "c2")
+    repo.import_parquet("c2", "s", f"file://{os.path.join(out, 's')}")
+    assert rows(coll2.series("s").frame()) == [(1, 1.0), (2, 2.0)]
+
+
+def test_time_travel_after_branches(repo):
+    import time
+
+    coll = _mk(repo)
+    s = coll.series("s")
+    s.write({"ts": [1], "value": [1.0]})
+    t1 = time.time()
+    time.sleep(0.01)
+    s.write({"ts": [2], "value": [2.0]})
+    snap_then = coll.snapshot(before=t1)
+    assert snap_then.length("s") == 1

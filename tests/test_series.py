@@ -1,0 +1,177 @@
+"""Series semantics — the critical suite (reference `tests/series_test.py`).
+
+Golden values mirror the reference's fixtures (FIXTURES.md F1/F2):
+overlay/spill/adjacent writes, closed bounds, widened-bound deletes,
+double-write no-op, time travel, tail, paginate, range delete.
+"""
+
+import time
+
+import pytest
+
+from lakota_spark.schema import Schema
+
+TS = [1589455903, 1589455904, 1589455905]
+
+
+@pytest.fixture()
+def series(repo):
+    coll = repo.create_collection(Schema(timestamp="int*", value="float"), "temp")
+    s = coll.series("paris")
+    s.write({"timestamp": TS, "value": [3.3, 4.4, 5.5]})
+    return s
+
+
+def rows(df):
+    return [(r[0], r[1]) for r in df.collect()]
+
+
+def test_roundtrip(series):
+    # reference `tests/series_test.py:63-67`
+    assert rows(series.frame()) == list(zip(TS, [3.3, 4.4, 5.5]))
+
+
+def test_overlay_overlap(series):
+    # later write shadows the overlapped interval (`series_test.py:86-227`)
+    series.write({"timestamp": [1589455904, 1589455905, 1589455906],
+                  "value": [40.0, 50.0, 60.0]})
+    assert rows(series.frame()) == [
+        (1589455903, 3.3),
+        (1589455904, 40.0),
+        (1589455905, 50.0),
+        (1589455906, 60.0),
+    ]
+
+
+def test_closed_bounds(series):
+    # islice closed-bound matrix (`tests/frame_test.py:30-55`)
+    f = series.frame
+    assert rows(f(start=TS[0], stop=TS[2], closed="b")) == list(
+        zip(TS, [3.3, 4.4, 5.5])
+    )
+    assert rows(f(start=TS[0], stop=TS[2], closed="l")) == [
+        (TS[0], 3.3), (TS[1], 4.4)
+    ]
+    assert rows(f(start=TS[0], stop=TS[2], closed="r")) == [
+        (TS[1], 4.4), (TS[2], 5.5)
+    ]
+    assert rows(f(start=TS[0], stop=TS[2], closed="n")) == [(TS[1], 4.4)]
+
+
+def test_widened_write_deletes(series):
+    # explicit wider bounds erase shadowed rows (`series_test.py:251-371`)
+    series.write(
+        {"timestamp": [1589455904], "value": [99.0]},
+        start=TS[0], stop=TS[2],
+    )
+    assert rows(series.frame()) == [(1589455904, 99.0)]
+
+
+def test_adjacent_write_no_shadow(series):
+    series.write({"timestamp": [1589455906], "value": [6.6]})
+    assert len(series.frame().collect()) == 4
+
+
+def test_range_delete(series):
+    # delete = empty overlay (`lakota/series.py:227-229`)
+    series.delete(TS[1], TS[1])
+    assert rows(series.frame()) == [(TS[0], 3.3), (TS[2], 5.5)]
+
+
+def test_double_write_noop(series):
+    coll = series.collection
+    n = len(coll.changelog.revisions())
+    series.write({"timestamp": TS, "value": [3.3, 4.4, 5.5]})
+    assert len(coll.changelog.revisions()) == n
+
+
+def test_content_dedup_across_series(series):
+    # identical data stored once (`lakota/commit.py:38-46`)
+    brussels = series.collection.series("brussels")
+    brussels.write({"timestamp": TS, "value": [3.3, 4.4, 5.5]})
+    a = series.collection.snapshot().for_label("paris")[0]
+    b = series.collection.snapshot().for_label("brussels")[0]
+    assert a.path == b.path
+
+
+def test_time_travel(series):
+    # `before=` reads an older snapshot (`series_test.py:413-431`)
+    cut = time.time()
+    time.sleep(0.01)
+    series.write({"timestamp": [1589455904], "value": [99.0]})
+    assert rows(series.frame()) != rows(series.frame(before=cut))
+    assert rows(series.frame(before=cut)) == list(zip(TS, [3.3, 4.4, 5.5]))
+
+
+def test_select_limit_offset(series):
+    f = series.frame(select=["value"], limit=2, offset=1)
+    assert [r.value for r in f.collect()] == [4.4, 5.5]
+    assert f.columns == ["value"]
+
+
+def test_tail(series):
+    assert rows(series.tail(2)) == [(TS[1], 4.4), (TS[2], 5.5)]
+    assert rows(series.tail(10)) == list(zip(TS, [3.3, 4.4, 5.5]))
+
+
+def test_paginate(series):
+    pages = [rows(p) for p in series.paginate(2)]
+    assert pages == [[(TS[0], 3.3), (TS[1], 4.4)], [(TS[2], 5.5)]]
+
+
+def test_len(series):
+    assert len(series) == 3
+    assert series.meta_len() == 3
+
+
+def test_fragmented_writes(repo):
+    # fwd/bwd/random chunks reassemble correctly (`series_test.py:551-576`)
+    coll = repo.create_collection(Schema(timestamp="int*", value="float"), "frag")
+    s = coll.series("s")
+    for lo in (4, 0, 2):  # out-of-order chunk writes
+        s.write({"timestamp": [lo, lo + 1], "value": [float(lo), float(lo + 1)]})
+    assert rows(s.frame()) == [(i, float(i)) for i in range(6)]
+
+
+def test_multi_column_index(repo):
+    # F3: prefix pruning + lexicographic sort
+    coll = repo.create_collection(
+        Schema(timestamp="int*", version="int*", value="float"), "multi"
+    )
+    s = coll.series("s")
+    s.write({
+        "timestamp": [1589455903, 1589455903, 1589455904, 1589455904],
+        "version": [1, 2, 1, 2],
+        "value": [3.3, 4.4, 5.5, 6.6],
+    })
+    out = s.frame(start=(1589455903, 2), stop=(1589455904, 1)).collect()
+    assert [(r.timestamp, r.version, r.value) for r in out] == [
+        (1589455903, 2, 4.4), (1589455904, 1, 5.5)
+    ]
+    # prefix bound: only leading column constrained
+    out = s.frame(start=1589455904).collect()
+    assert len(out) == 2
+
+
+def test_unsorted_write_validation(repo):
+    coll = repo.create_collection(Schema(timestamp="int*", value="float"), "v")
+    s = coll.series("s")
+    with pytest.raises(ValueError):
+        s.write(
+            {"timestamp": [3, 1, 2], "value": [1.0, 2.0, 3.0]},
+            validate_sorted=True,
+        )
+
+
+def test_timestamp_schema_casts(repo):
+    # F2: string inputs auto-cast to (second-precision) timestamps
+    coll = repo.create_collection(
+        Schema(timestamp="timestamp*", value="float"), "ts"
+    )
+    s = coll.series("s")
+    s.write({
+        "timestamp": ["1970-01-01T00:00:01", "1970-01-01 00:00:02"],
+        "value": [11.0, 12.0],
+    })
+    out = s.frame(start="1970-01-01T00:00:02").collect()
+    assert len(out) == 1 and out[0].value == 12.0
