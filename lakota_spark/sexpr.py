@@ -1,0 +1,323 @@
+"""s-expression → Spark Column translator.
+
+The reference's only query language is a small s-expression dialect
+(`lakota/sexpr.py`): ``(floor self.timestamp 'M')``, ``(max self.value)``,
+``(< self.value 28)``. This module reproduces that surface 1:1 on Catalyst
+Columns, so every CLI-level query of the reference runs unchanged —
+but compiled into the JVM instead of interpreted over numpy (SURVEY §3.3).
+
+Builtins: arithmetic/logic/comparison folds (`lakota/sexpr.py:264-282`),
+``floor`` time bucketing (`lakota/utils.py:232-240`), ``as-tz``
+(`utils.py:250-270`), aliasing, membership, kwargs; aggregates
+min/max/sum/mean/count/first/last/quantile (`sexpr.py:164-224`); a
+numpy-name fallback table standing in for the reference's "any dotted
+numpy path" escape hatch (`sexpr.py:153-161`) — unmapped names raise with
+a pointer to pandas_udf registration via ``env``.
+"""
+
+from __future__ import annotations
+
+import shlex
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakota_spark.functions import as_tz, day_of_week_num, floor_time
+
+
+class SexprError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer + parser (shlex-based, like `lakota/sexpr.py:237-259`)
+# ---------------------------------------------------------------------------
+
+def tokenize(expr: str) -> list[str]:
+    lex = shlex.shlex(expr)
+    lex.wordchars += ".!=<>+-*/%~"
+    tokens = []
+    for tok in lex:
+        if tok and tok[0] in "\"'":
+            tokens.append(("str", tok[1:-1]))
+        else:
+            tokens.append(("tok", tok))
+    return tokens
+
+
+def parse(expr: str):
+    tokens = tokenize(expr)
+    pos = 0
+
+    def scan():
+        nonlocal pos
+        if pos >= len(tokens):
+            raise SexprError(f"unexpected end of expression in {expr!r}")
+        kind, tok = tokens[pos]
+        pos += 1
+        if kind == "str":
+            return ("lit", tok)
+        if tok == "(":
+            items = []
+            while pos < len(tokens) and tokens[pos] != ("tok", ")"):
+                items.append(scan())
+            if pos >= len(tokens):
+                raise SexprError(f"unbalanced parens in {expr!r}")
+            pos += 1  # consume ")"
+            if not items:
+                raise SexprError("empty s-expression")
+            return ("call", items)
+        if tok == ")":
+            raise SexprError(f"unexpected ')' in {expr!r}")
+        return ("atom", tok)
+
+    ast = scan()
+    if pos != len(tokens):
+        raise SexprError(f"trailing tokens in {expr!r}")
+    return ast
+
+
+# ---------------------------------------------------------------------------
+# Evaluation to Columns
+# ---------------------------------------------------------------------------
+
+def _fold(fn: Callable[[Any, Any], Column]) -> Callable:
+    def run(*args):
+        acc = args[0]
+        for x in args[1:]:
+            acc = fn(acc, x)
+        return acc
+
+    return run
+
+
+def _chain(cmp: Callable[[Any, Any], Column]) -> Callable:
+    """Variadic comparison: (< a b c) == a<b AND b<c."""
+
+    def run(*args):
+        conds = [cmp(a, b) for a, b in zip(args, args[1:])]
+        return _fold(lambda x, y: x & y)(*conds)
+
+    return run
+
+
+BUILTINS: dict[str, Callable] = {
+    "+": _fold(lambda a, b: a + b),
+    "-": _fold(lambda a, b: a - b),
+    "*": _fold(lambda a, b: a * b),
+    "/": _fold(lambda a, b: a / b),
+    "%": _fold(lambda a, b: a % b),
+    "and": _fold(lambda a, b: a & b),
+    "or": _fold(lambda a, b: a | b),
+    "~": lambda a: ~a,
+    "not": lambda a: ~a,
+    "<": _chain(lambda a, b: a < b),
+    "<=": _chain(lambda a, b: a <= b),
+    "=": _chain(lambda a, b: a == b),
+    "!=": _chain(lambda a, b: a != b),
+    ">=": _chain(lambda a, b: a >= b),
+    ">": _chain(lambda a, b: a > b),
+    "in": lambda a, *vals: a.isin(
+        *[v if not isinstance(v, (list, tuple)) else v for v in vals]
+    )
+    if not (len(vals) == 1 and isinstance(vals[0], list))
+    else a.isin(*vals[0]),
+    "list": lambda *xs: list(xs),
+    "dict": lambda *xs: dict(zip(xs[::2], xs[1::2])),
+    "floor": floor_time,
+    "as-tz": as_tz,
+    "day_of_week_num": day_of_week_num,
+    "pretty_nb": lambda c: F.format_number(c, 2),
+    "abs": F.abs,
+    "sqrt": F.sqrt,
+    "exp": F.exp,
+    "log": F.log,
+    "log10": F.log10,
+    "sign": F.signum,
+    "round": F.round,
+    "ceil": F.ceil,
+    "isin": lambda a, vals: a.isin(*vals),
+    "where": lambda cond, a, b: F.when(cond, a).otherwise(b),
+    "minimum": _fold(F.least),
+    "maximum": _fold(F.greatest),
+    "char.lower": F.lower,
+    "char.upper": F.upper,
+    "char.strip": F.trim,
+    "logical_not": lambda a: ~a,
+    "logical_and": _fold(lambda a, b: a & b),
+    "logical_or": _fold(lambda a, b: a | b),
+}
+
+#: aggregate heads (`lakota/sexpr.py:164-224`). first/last need the frame's
+#: index order made explicit — handled in `reduce_frame` via min_by/max_by.
+AGGREGATES = {"min", "max", "sum", "mean", "average", "count", "len",
+              "first", "last", "quantile"}
+
+
+class Alias:
+    def __init__(self, value, name: str):
+        self.value = value
+        self.name = name
+
+
+def _is_aggregate(ast) -> bool:
+    if ast[0] != "call":
+        return False
+    head = ast[1][0]
+    if head[0] == "atom" and head[1] in AGGREGATES:
+        return True
+    # (as (max self.x) 'alias') — look through alias
+    if head[0] == "atom" and head[1] == "as":
+        return _is_aggregate(ast[1][1])
+    return any(_is_aggregate(item) for item in ast[1][1:])
+
+
+def _atom_value(tok: str, env: dict):
+    if tok == "true":
+        return F.lit(True)
+    if tok == "false":
+        return F.lit(False)
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    if tok.startswith("self."):
+        return F.col(tok[len("self."):])
+    if tok in env:
+        return env[tok]
+    raise SexprError(
+        f"unknown token {tok!r} — register a function or value via env, "
+        "or use pandas_udf for custom vectorized logic"
+    )
+
+
+def evaluate(ast, env: dict | None = None, order_col: str | None = None):
+    """AST → Column (or python literal for list/dict/number nodes)."""
+    env = env or {}
+    kind, payload = ast
+    if kind == "lit":
+        return payload
+    if kind == "atom":
+        return _atom_value(payload, env)
+    head, *args = payload
+    if head[0] == "atom":
+        name = head[1]
+        if name == "as":
+            return Alias(evaluate(args[0], env, order_col),
+                         evaluate(args[1], env, order_col))
+        if name in AGGREGATES:
+            return _aggregate(name, args, env, order_col)
+        fn = env.get(name) or BUILTINS.get(name)
+        if fn is None:
+            raise SexprError(
+                f"unknown function {name!r} — closest Spark surface: "
+                "pyspark.sql.functions; register via env for custom logic"
+            )
+        vals = [evaluate(a, env, order_col) for a in args]
+        return fn(*vals)
+    raise SexprError(f"cannot call non-atom {head!r}")
+
+
+def _aggregate(name: str, args, env, order_col):
+    vals = [evaluate(a, env, order_col) for a in args]
+    col = vals[0] if vals else F.lit(1)
+    if name == "min":
+        return F.min(col)
+    if name == "max":
+        return F.max(col)
+    if name == "sum":
+        return F.sum(col)
+    if name in ("mean", "average"):
+        return F.avg(col)
+    if name in ("count", "len"):
+        return F.count(F.lit(1))
+    if name == "first":
+        # deterministic: value at the smallest index (`sexpr.py:216-220`)
+        if order_col is None:
+            raise SexprError("first requires a frame with index order")
+        return F.expr(f"min_by({_sql(col)}, {order_col})")
+    if name == "last":
+        if order_col is None:
+            raise SexprError("last requires a frame with index order")
+        return F.expr(f"max_by({_sql(col)}, {order_col})")
+    if name == "quantile":
+        q = vals[1] if len(vals) > 1 else 0.5
+        return F.percentile(col, F.lit(q))
+    raise SexprError(name)
+
+
+def _sql(col: Column) -> str:
+    # Column -> SQL text for min_by/max_by composition
+    return col._jc.toString()  # noqa: SLF001 - no public API for this
+
+
+# ---------------------------------------------------------------------------
+# Frame-level entry points (reference `Frame.mask` / `Frame.reduce`)
+# ---------------------------------------------------------------------------
+
+def mask(df: DataFrame, expr: str, env: dict | None = None) -> DataFrame:
+    """``frm.mask("(< self.value 28)")`` → ``df.filter(...)``
+    (`lakota/frame.py:157-169`)."""
+    col = evaluate(parse(expr), env)
+    if isinstance(col, Alias):
+        col = col.value
+    return df.filter(col)
+
+
+def select_expr(df: DataFrame, *exprs: str, env: dict | None = None) -> DataFrame:
+    """Non-aggregate projection with computed columns / renames (P3)."""
+    cols = []
+    for i, e in enumerate(exprs):
+        v = evaluate(parse(e), env)
+        if isinstance(v, Alias):
+            cols.append(v.value.alias(v.name))
+        else:
+            v = v if isinstance(v, Column) else F.lit(v)
+            cols.append(v.alias(_default_name(e, i)))
+    return df.select(*cols)
+
+
+def reduce_frame(
+    df: DataFrame,
+    *exprs: str,
+    env: dict | None = None,
+    order_cols: list[str] | None = None,
+    **named: str,
+) -> DataFrame:
+    """``frm.reduce(...)`` (`lakota/frame.py:284-353`): split expressions
+    into grouping (non-aggregate) and aggregate; group-by keys may be any
+    expression (e.g. ``(floor self.ts 'M')``). With no grouping exprs the
+    aggregates collapse to one row. Spark shape:
+    ``df.groupBy(keys).agg(...)`` — partial aggregation, one shuffle."""
+    order_col = None
+    if order_cols:
+        order_col = f"struct({', '.join(order_cols)})"
+    items: list[tuple[str, str]] = [
+        (_default_name(e, i), e) for i, e in enumerate(exprs)
+    ] + list((k, v) for k, v in named.items())
+    groups, aggs = [], []
+    for name, e in items:
+        ast = parse(e)
+        v = evaluate(ast, env, order_col=order_col)
+        if isinstance(v, Alias):
+            name, v = v.name, v.value
+        v = v if isinstance(v, Column) else F.lit(v)
+        (aggs if _is_aggregate(ast) else groups).append(v.alias(name))
+    if not aggs:
+        return df.select(*groups).distinct()
+    if groups:
+        return df.groupBy(*groups).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def _default_name(expr: str, i: int) -> str:
+    text = expr.strip()
+    if text.startswith("self.") and "(" not in text:
+        return text[len("self."):]
+    cleaned = "".join(ch if ch.isalnum() else "_" for ch in text).strip("_")
+    return cleaned or f"col_{i}"

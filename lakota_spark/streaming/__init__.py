@@ -1,0 +1,114 @@
+"""Structured Streaming extension (SURVEY.md §2.11).
+
+The reference has no streaming runtime — its closest shapes are the
+pull-based `paginate` reader and "later write overlays earlier data".
+Here the same commit-log storage becomes a streaming SINK: every
+micro-batch lands as one atomic revision (`foreachBatch` → `Series.write`),
+so late data follows the reference's overlay semantics automatically and
+readers time-travel over micro-batch history.
+
+Also provided: watermarked tumbling-window rollups (the streaming twin of
+the reference's `(floor ts unit)` + reduce) and gap-based session windows
+(`F.session_window`), both stock Structured Streaming operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakota_spark.functions import FLOOR_UNITS
+
+_WINDOW_OF_UNIT = {
+    "Y": "365 days",
+    "M": "30 days",
+    "W": "1 week",
+    "D": "1 day",
+    "h": "1 hour",
+    "m": "1 minute",
+    "s": "1 second",
+}
+
+
+def stream_into_series(
+    stream_df: DataFrame,
+    collection,
+    series_label: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Pipe a streaming DataFrame into a series: one revision per
+    micro-batch (atomic, replayable, overlay semantics for late data).
+
+    Returns the StreamingQuery. Exactly-once: foreachBatch may retry a
+    batch on failure — the engine's content-addressed segments + the
+    double-write no-op make replays idempotent, the same trick as the
+    reference's SKIP-WRITE (`lakota/pod.py:201-204`).
+    """
+    series = collection.series(series_label)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        series.write(batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def windowed_rollup(
+    stream_df: DataFrame,
+    ts_col: str,
+    unit: str = "h",
+    watermark: str = "10 minutes",
+    value_col: str = "value",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming tumbling-window aggregate — `(floor self.ts unit)` +
+    reduce, with late-data handling the reference lacks: rows later than
+    ``watermark`` are dropped, everything else re-aggregates its window."""
+    if unit not in FLOOR_UNITS and unit not in _WINDOW_OF_UNIT:
+        raise ValueError(f"unknown unit {unit!r}")
+    keys = [
+        F.window(F.col(ts_col), _WINDOW_OF_UNIT[unit]).alias("bucket"),
+        *[F.col(k) for k in (extra_keys or [])],
+    ]
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+
+
+def session_rollup(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based session windows (`F.session_window`) — the streaming twin
+    of queries/parity.sessionize."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("session_value"),
+        )
+    )

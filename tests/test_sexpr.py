@@ -1,0 +1,118 @@
+"""s-expression translator parity (reference `tests/sexpr_test.py` +
+`tests/frame_test.py:95-148` golden aggregates, F4/F10 fixtures)."""
+
+import datetime as dt
+
+import pytest
+
+from lakota_spark import sexpr
+from lakota_spark.sexpr import SexprError
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    # FIXTURES.md F4
+    rows = [
+        (dt.datetime(2020, 5, 14, 11, 31, 41), "a", 1),
+        (dt.datetime(2020, 5, 14, 11, 31, 41), "b", 2),
+        (dt.datetime(2020, 5, 14, 11, 31, 42), "a", 3),
+        (dt.datetime(2020, 5, 14, 11, 31, 42), "b", 4),
+    ]
+    return spark.createDataFrame(rows, "timestamp timestamp, category string, value long")
+
+
+def test_mask(frame):
+    out = sexpr.mask(frame, "(< self.value 3)")
+    assert sorted(r.value for r in out.collect()) == [1, 2]
+
+
+def test_mask_compound(frame):
+    out = sexpr.mask(frame, "(and (>= self.value 2) (in self.category (list 'a' 'b')))")
+    assert sorted(r.value for r in out.collect()) == [2, 3, 4]
+
+
+def test_arithmetic(frame):
+    out = sexpr.select_expr(frame, "(as (* self.value 2) 'double_v')")
+    assert sorted(r.double_v for r in out.collect()) == [2, 4, 6, 8]
+    out = sexpr.select_expr(frame, "(as (+ self.value 1 1) 'p')")
+    assert sorted(r.p for r in out.collect()) == [3, 4, 5, 6]
+
+
+def test_reduce_golden_aggregates(frame):
+    # golden values from `tests/frame_test.py:109-148`
+    out = sexpr.reduce_frame(
+        frame,
+        "self.category",
+        mn="(min self.value)",
+        mx="(max self.value)",
+        s="(sum self.value)",
+        avg="(mean self.value)",
+        n="(count self.value)",
+        fst="(first self.value)",
+        lst="(last self.value)",
+        order_cols=["timestamp", "category"],
+    )
+    got = {r.category: (r.mn, r.mx, r.s, r.avg, r.n, r.fst, r.lst)
+           for r in out.collect()}
+    assert got == {
+        "a": (1, 3, 4, 2.0, 2, 1, 3),
+        "b": (2, 4, 6, 3.0, 2, 2, 4),
+    }
+
+
+def test_reduce_floor_groupby(frame):
+    # group by time bucket: `(floor self.timestamp 'D')` (`cli.py:94-97`)
+    out = sexpr.reduce_frame(
+        frame,
+        "(as (floor self.timestamp 'D') 'day')",
+        mx="(max self.value)",
+        s="(sum self.value)",
+        avg="(mean self.value)",
+        n="(len self.value)",
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.day, r.mx, r.s, r.avg, r.n) == (
+        dt.datetime(2020, 5, 14), 4, 10, 2.5, 4
+    )
+
+
+def test_reduce_plain_quantile(frame):
+    out = sexpr.reduce_frame(frame, q="(quantile self.value 0.5)")
+    assert out.collect()[0].q == 2.5
+
+
+def test_env_injection(frame):
+    # user functions via env (`tests/sexpr_test.py:137-141` → §2.10 UDF surface)
+    from pyspark.sql import functions as F
+
+    out = sexpr.select_expr(
+        frame, "(as (plus_one self.value) 'v1')",
+        env={"plus_one": lambda c: c + F.lit(1)},
+    )
+    assert sorted(r.v1 for r in out.collect()) == [2, 3, 4, 5]
+
+
+def test_numpy_style_fallbacks(frame):
+    out = sexpr.select_expr(frame, "(as (char.upper self.category) 'u')")
+    assert sorted(set(r.u for r in out.collect())) == ["A", "B"]
+    out = sexpr.mask(frame, "(logical_not (= self.category 'a'))")
+    assert all(r.category == "b" for r in out.collect())
+
+
+def test_errors(frame):
+    with pytest.raises(SexprError):
+        sexpr.parse("(+ 1")
+    with pytest.raises(SexprError):
+        sexpr.mask(frame, "(frobnicate self.value)")
+    with pytest.raises(SexprError):
+        sexpr.mask(frame, "(= unknown_bare_token 1)")
+
+
+def test_tz(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2020, 6, 1, 12, 0, 0),)], "ts timestamp"
+    )
+    out = sexpr.select_expr(df, "(as (as-tz self.ts 'Europe/Brussels') 'local')")
+    assert out.collect()[0].local == dt.datetime(2020, 6, 1, 14, 0, 0)

@@ -1,0 +1,74 @@
+"""Streaming extension: micro-batch ingest into the commit log, windowed
+and session rollups with watermarks."""
+
+import os
+
+from lakota_spark.schema import Schema
+from lakota_spark.streaming import (
+    session_rollup,
+    stream_into_series,
+    windowed_rollup,
+)
+
+
+def test_stream_ingest_into_series(repo, spark, tmp_path):
+    # file-source stream, availableNow trigger: deterministic micro-batches
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "ts long, value double"
+    ).write.parquet(f"file://{src}/b0.parquet")
+    spark.createDataFrame(
+        [(3, 30.0)], "ts long, value double"
+    ).write.parquet(f"file://{src}/b1.parquet")
+
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "stream")
+    stream = spark.readStream.schema("ts long, value double").parquet(
+        f"file://{src}/*"
+    )
+    q = stream_into_series(
+        stream,
+        coll,
+        "events",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    out = coll.series("events").frame().collect()
+    assert [(r.ts, r.value) for r in out] == [(1, 10.0), (2, 20.0), (3, 30.0)]
+    # micro-batches are revisions: history is time-travelable
+    assert len(coll.changelog.revisions()) >= 1
+
+
+def test_windowed_rollup_batch_parity(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 10, 5), 1.0),
+            (dt.datetime(2024, 1, 1, 10, 55), 2.0),
+            (dt.datetime(2024, 1, 1, 11, 5), 4.0),
+        ],
+        "ts timestamp, value double",
+    )
+    # the same plan compiles for batch DataFrames — verify semantics there
+    out = windowed_rollup(df, "ts", unit="h").collect()
+    got = {r.bucket.start.hour: (r.n, r.sum_value) for r in out}
+    assert got == {10: (2, 3.0), 11: (1, 4.0)}
+
+
+def test_session_rollup_batch_parity(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 10, 0), "u1", 1.0),
+            (dt.datetime(2024, 1, 1, 10, 10), "u1", 2.0),
+            (dt.datetime(2024, 1, 1, 12, 0), "u1", 5.0),
+        ],
+        "ts timestamp, user string, value double",
+    )
+    out = session_rollup(df, "ts", "user").collect()
+    assert sorted((r.n_events, r.session_value) for r in out) == [
+        (1, 5.0), (2, 3.0)
+    ]
