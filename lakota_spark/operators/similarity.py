@@ -63,18 +63,25 @@ def knn_join(
     l = left.select(
         F.col(left_id).alias("qid"),
         F.col(left_vec).alias("qv"),
+        l2_norm(F.col(left_vec)).alias("qn"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
     r = right.select(
         F.col(right_id).alias("nid"),
         F.col(right_vec).alias("nv"),
+        l2_norm(F.col(right_vec)).alias("nn"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
     joined = l.join(F.broadcast(r) if not block_col else r,
                     on=(["blk"] if block_col else None),
                     how="inner" if block_col else "cross")
+    # norms precomputed per vector: one array pass per pair, not three
     scored = joined.where(F.col("qid") != F.col("nid")).select(
-        "qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim")
+        "qid",
+        "nid",
+        F.round(
+            dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+        ).alias("cos_sim"),
     )
     from pyspark.sql import Window
 

@@ -31,22 +31,26 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`Series.frame(start, stop, closed='l', select=...)` equivalent
-    (`lakota/series.py:314-338`): range predicate + projection, both pushed
-    to the parquet scan by Catalyst."""
-    e = _events(spark, sf_dir)
-    return e.where(
-        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
-    ).select("event_id", "ts", "user_id", "event_type", "value")
+    (`lakota/series.py:314-338`). The range predicate is applied to the RAW
+    nanosecond longs (see sources.read_parquet ns_range) so it reaches the
+    parquet scan — a filter on the converted timestamp column would not."""
+    e = read_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        ns_range={"ts": ("2024-01-10", "2024-01-20", True, False)},
+    )
+    return e.select("event_id", "ts", "user_id", "event_type", "value")
 
 
 def scan_closed_both(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """closed='b' variant (`lakota/utils.py:307-335` bound algebra)."""
-    e = _events(spark, sf_dir)
-    return e.where(
-        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
-        & (F.col("ts") <= F.lit("2024-01-06 00:00:00").cast("timestamp"))
-    ).select("event_id", "ts", "value")
+    """closed='b' variant (`lakota/utils.py:307-335` bound algebra),
+    pushed down on the raw nanosecond column."""
+    e = read_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        ns_range={"ts": ("2024-01-05", "2024-01-06", True, True)},
+    )
+    return e.select("event_id", "ts", "value")
 
 
 # --- S7/O4: tail & top-k --------------------------------------------------

@@ -205,12 +205,17 @@ class Series:
         sort: bool = True,
     ) -> DataFrame:
         segs = self.segments(start, stop, before, closed)
-        df = self._read_segments(segs)
-        df = self._apply_range(
-            df,
-            self.schema.coerce_bound(start),
-            self.schema.coerce_bound(stop),
-            *CLOSED[closed],
+        # The query-range predicate MUST be handed to the scan before the
+        # _seg_key projection: input_file_name() is nondeterministic, so
+        # Catalyst will not push any filter placed above it down to parquet.
+        df = self._read_segments(
+            segs,
+            range_pred=lambda d: self._apply_range(
+                d,
+                self.schema.coerce_bound(start),
+                self.schema.coerce_bound(stop),
+                *CLOSED[closed],
+            ),
         )
         if self.schema.kv:
             df = self._kv_dedup(df)
@@ -227,7 +232,7 @@ class Series:
         """pandas sink (`lakota/series.py:340-358`)."""
         return self.frame(*args, **kwargs).toPandas()
 
-    def _read_segments(self, segs: list[Segment]) -> DataFrame:
+    def _read_segments(self, segs: list[Segment], range_pred=None) -> DataFrame:
         live = [s for s in segs if s.path]
         if not live:
             return self.spark.createDataFrame([], self.schema.struct_type())
@@ -236,6 +241,8 @@ class Series:
         df = self.spark.read.parquet(
             *[f"file://{os.path.join(seg_dir, p)}" for p in paths]
         )
+        if range_pred is not None:
+            df = range_pred(df)  # before input_file_name: stays pushable
         bounds = self.collection.bounds_df(live)
         seg_key = F.element_at(F.split(F.input_file_name(), "/"), -2)
         idx = self._idx_struct()
@@ -265,21 +272,43 @@ class Series:
     ) -> DataFrame:
         """Query-interval predicate with closed-bound semantics (P5/P6).
         Prefix bounds constrain only the leading index columns
-        (`lakota/series.py:12-20`). Plain column predicates → pushed down."""
+        (`lakota/series.py:12-20`).
+
+        Pushdown shape matters: a STRUCT comparison never reaches the
+        parquet scan, so single-column bounds emit plain column predicates
+        (fully pushable → row-group/page skipping), and multi-column
+        bounds add a pushable coarse predicate on the leading column plus
+        the exact lexicographic struct compare as a post-filter.
+        """
         idx = self.schema.idx
         if start is not None:
-            k = len(start)
-            s = F.struct(*[F.col(c) for c in idx[:k]])
-            lit = F.struct(
-                *[F.lit(v).alias(c) for c, v in zip(idx[:k], start)]
+            df = df.where(
+                self._bound_pred(start, start_closed, is_start=True)
             )
-            df = df.where((s > lit) | ((s == lit) if start_closed else F.lit(False)))
         if stop is not None:
-            k = len(stop)
-            s = F.struct(*[F.col(c) for c in idx[:k]])
-            lit = F.struct(*[F.lit(v).alias(c) for c, v in zip(idx[:k], stop)])
-            df = df.where((s < lit) | ((s == lit) if stop_closed else F.lit(False)))
+            df = df.where(self._bound_pred(stop, stop_closed, is_start=False))
         return df
+
+    def _bound_pred(self, bound, closed: bool, is_start: bool):
+        idx = self.schema.idx
+        k = len(bound)
+        if k == 1:
+            c = F.col(idx[0])
+            v = F.lit(bound[0])
+            if is_start:
+                return (c >= v) if closed else (c > v)
+            return (c <= v) if closed else (c < v)
+        s = F.struct(*[F.col(c) for c in idx[:k]])
+        lit = F.struct(*[F.lit(v).alias(c) for c, v in zip(idx[:k], bound)])
+        exact = (s > lit) if is_start else (s < lit)
+        if closed:
+            exact = exact | (s == lit)
+        # coarse leading-column predicate: pushable to the parquet scan
+        lead = F.col(idx[0])
+        coarse = (lead >= F.lit(bound[0])) if is_start else (
+            lead <= F.lit(bound[0])
+        )
+        return coarse & exact
 
     def _kv_dedup(self, df: DataFrame) -> DataFrame:
         """Last-writer-wins by key: later commits (higher seq) shadow

@@ -11,7 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    ns_range: dict[str, tuple] | None = None,
+) -> DataFrame:
     """Parquet reader tolerant of TIMESTAMP(NANOS) columns.
 
     Spark rejects INT64(TIMESTAMP_NANOS) parquet columns outright; with
@@ -20,6 +24,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     1.7e18 ns epoch overflows a double's 52-bit mantissa) into proper
     TimestampType, matching DuckDB's silent ns->µs truncation and the
     reference's second-precision cast-down (`lakota/schema.py:12-20`).
+
+    ``ns_range``: optional {col: (lo, hi, lo_closed, hi_closed)} datetime
+    bounds applied to the RAW nanosecond longs BEFORE conversion — a
+    filter on the converted expression can never reach the parquet scan,
+    whereas the raw-long predicate pushes down to row-group skipping.
+    Bounds are exclusive/inclusive per the closed flags; None skips a side.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,11 +50,32 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
             str(field.type).startswith("timestamp[ns")
             and spark_field.dataType.simpleString() == "bigint"
         ):
+            if ns_range and field.name in ns_range:
+                lo, hi, lo_closed, hi_closed = ns_range[field.name]
+                c = F.col(field.name)
+                # Truncation-consistent bounds: a row's visible (µs) value
+                # is floor(ns/1000), so inclusive-hi/exclusive-lo must
+                # shift to the next whole microsecond in raw-ns space.
+                if lo is not None:
+                    ns = _epoch_ns(lo)
+                    df = df.where(c >= (ns if lo_closed else ns + 1000))
+                if hi is not None:
+                    ns = _epoch_ns(hi)
+                    df = df.where(c < (ns + 1000 if hi_closed else ns))
             df = df.withColumn(
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
     return df
+
+
+def _epoch_ns(value) -> int:
+    import datetime as dt
+
+    if isinstance(value, str):
+        value = dt.datetime.fromisoformat(value)
+    epoch = dt.datetime(1970, 1, 1)
+    return int((value - epoch).total_seconds() * 1_000_000) * 1000
 
 
 def _one_file(path: str) -> str:
