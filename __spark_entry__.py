@@ -138,6 +138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": tpch.q6_forecast_revenue,
         "tpch_q10": tpch.q10_returned_items,
         "part_brand_share": tpch.q_part_type_share,
+        "tpch_q4_exists": tpch.q4_order_priority,
+        "customers_no_orders": tpch.customers_without_orders,
+        "rollup_qty": tpch.rollup_quantity,
+        "distinct_counts": tpch.distinct_counts,
         # --- reference parity on events (SURVEY §2.1-2.8) ---
         "scan_range": parity.scan_range,
         "scan_closed_both": parity.scan_closed_both,
@@ -250,6 +254,30 @@ SELECT p_brand,
        sum(l_quantity) / count(*) AS avg_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
+""",
+        "tpch_q4_exists": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+        "customers_no_orders": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+""",
+        "rollup_qty": """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "distinct_counts": """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_returnflag
 """,
         # --- parity on events ---
         "scan_range": """

@@ -286,6 +286,62 @@ class Collection:
             return self.commit_snapshot(snap)
         return None
 
+    def clone(
+        self,
+        new_label: str,
+        rename: dict[str, str] | None = None,
+        add: dict[str, str] | None = None,
+    ) -> "Collection":
+        """Schema-migrating copy (`lakota/collection.py:127-205`, M8):
+        rename columns and/or add columns (zero-filled per the reference's
+        no-NULL semantics). When the schema is unchanged, segments are
+        shared by content address (no data rewrite — the reference's
+        digest-reuse trick); migrations rewrite via Spark.
+        """
+        import shutil
+
+        from lakota_spark.schema import ZERO, Schema
+
+        rename = rename or {}
+        add = add or {}
+        spec: dict[str, str] = {}
+        for name, alias in self.schema.columns.items():
+            tgt = rename.get(name, name)
+            spec[tgt] = alias + ("*" if name in self.schema.idx else "")
+        for name, alias in add.items():
+            spec[name] = alias
+        new_schema = (
+            Schema.kv_schema(**spec) if self.schema.kv else Schema(**spec)
+        )
+        new_coll = self.repo.create_collection(new_schema, new_label)
+        if not rename and not add:
+            # metadata-only clone: copy the log, share content-addressed
+            # segment dirs (hardlink-copy on local FS)
+            new_coll.changelog.pull(self.changelog)
+            os.makedirs(new_coll.segments_dir, exist_ok=True)
+            if os.path.isdir(self.segments_dir):
+                for name in os.listdir(self.segments_dir):
+                    src = os.path.join(self.segments_dir, name)
+                    dst = os.path.join(new_coll.segments_dir, name)
+                    if not os.path.exists(dst):
+                        shutil.copytree(src, dst, copy_function=os.link)
+            return new_coll
+        with new_coll.multi():
+            for label in self.ls():
+                df = self.series(label).frame()
+                for old, newc in rename.items():
+                    df = df.withColumnRenamed(old, newc)
+                for name, alias in add.items():
+                    zero = ZERO[alias.rstrip("*").split("|")[0].strip()]
+                    df = df.withColumn(
+                        name,
+                        F.lit(zero).cast(
+                            new_schema.struct_type()[name].dataType
+                        ),
+                    )
+                new_coll.series(label).write(df.select(*new_schema.columns))
+        return new_coll
+
     # --------------------------------------------------- label management
 
     def delete_series(self, *labels: str):

@@ -179,3 +179,23 @@ def test_time_travel_after_branches(repo):
     s.write({"ts": [2], "value": [2.0]})
     snap_then = coll.snapshot(before=t1)
     assert snap_then.length("s") == 1
+
+
+def test_clone_identical_shares_segments(repo):
+    coll = _mk(repo, "orig")
+    coll.series("s").write({"ts": [1, 2], "value": [1.0, 2.0]})
+    clone = coll.clone("copy")
+    assert rows(clone.series("s").frame()) == [(1, 1.0), (2, 2.0)]
+    a = coll.snapshot().for_label("s")[0].path
+    b = clone.snapshot().for_label("s")[0].path
+    assert a == b  # content-addressed share, no rewrite
+
+
+def test_clone_schema_migration(repo):
+    from lakota_spark.schema import Schema
+
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "m1")
+    coll.series("s").write({"ts": [1], "value": [1.5]})
+    clone = coll.clone("m2", rename={"value": "v"}, add={"note": "str"})
+    out = clone.series("s").frame().collect()
+    assert [(r.ts, r.v, r.note) for r in out] == [(1, 1.5, "")]
