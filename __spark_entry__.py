@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lakota_spark.queries import parity, pipeline, tpch
+from lakota_spark.queries import engine_demo, parity, pipeline, tpch
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB dialect) — kept in lockstep with the Spark
@@ -142,6 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_orders": tpch.customers_without_orders,
         "rollup_qty": tpch.rollup_quantity,
         "distinct_counts": tpch.distinct_counts,
+        # --- storage-engine round-trips (write path + read path under
+        #     the oracle: ingest -> segment -> commit -> prune -> scan) ---
+        "engine_range_scan": engine_demo.engine_range_scan,
+        "engine_tail": engine_demo.engine_tail,
+        "engine_overlay_update": engine_demo.engine_overlay_update,
         # --- reference parity on events (SURVEY §2.1-2.8) ---
         "scan_range": parity.scan_range,
         "scan_closed_both": parity.scan_closed_both,
@@ -278,6 +283,24 @@ SELECT l_returnflag,
        count(DISTINCT l_suppkey) AS n_supps,
        count(DISTINCT l_orderkey) AS n_orders
 FROM lineitem GROUP BY l_returnflag
+""",
+        "engine_range_scan": """
+SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+""",
+        "engine_tail": """
+SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value
+FROM events ORDER BY date_trunc('second', ts) DESC LIMIT 50
+""",
+        "engine_overlay_update": """
+WITH e AS (SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value
+           FROM events)
+SELECT ts, event_id,
+       CASE WHEN ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
+            THEN round(value * 2, 2) ELSE value END AS value
+FROM e
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-12'
 """,
         # --- parity on events ---
         "scan_range": """

@@ -130,6 +130,13 @@ class Snapshot:
         (last seq wins), so prior segments stay intact
         (`lakota/series.py:449-475`).
         """
+        # Degenerate (empty) interval — e.g. delete (x, x) with an open
+        # bound — shadows nothing; without this guard the head/tail split
+        # below would produce OVERLAPPING pieces (both flags flip to
+        # closed at the same point). Found by the Hypothesis overlay suite.
+        c = cmp_prefix(new.start, new.stop)
+        if c > 0 or (c == 0 and not (new.start_closed and new.stop_closed)):
+            return Snapshot(list(self.segments), max_seq=self.max_seq)
         seq = self.max_seq + 1
         new = replace(new, seq=seq)
         out: list[Segment] = []

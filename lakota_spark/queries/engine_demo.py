@@ -1,0 +1,102 @@
+"""Storage-engine queries inside the correctness gate.
+
+These ingest the `events` testdata INTO a lakota_spark repo (write path:
+cast, sort, segment, commit) and answer queries through `Series.frame`
+(read path: snapshot resolution, pruning, bounds join, pushdown) — so the
+DuckDB oracle checks the whole engine round-trip, not just a DataFrame
+expression. The repo is built once per (sf_dir) and cached on disk.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakota_spark.repo import Repo
+from lakota_spark.schema import Schema
+from lakota_spark.sources import read_parquet
+
+_CACHE: dict[str, Repo] = {}
+
+
+def _event_repo(spark: SparkSession, sf_dir: str) -> Repo:
+    key = os.path.abspath(sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakota-spark-demo-{key.strip(os.sep).replace(os.sep, '_')}",
+    )
+    repo = Repo(root, spark)
+    schema = Schema(
+        ts="timestamp*",
+        event_id="int",
+        user_id="int",
+        event_type="str",
+        value="float",
+    )
+    if "events" not in repo.ls():
+        coll = repo.create_collection(schema, "events")
+        src = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+            "ts", "event_id", "user_id", "event_type", "value"
+        )
+        # reference semantics: frames must be sorted by index; one segment
+        # per write — range-partitioned + sorted by the engine
+        coll.series("all").write(src.orderBy("ts"))
+    else:
+        coll = repo.collection("events")
+    _CACHE[key] = repo
+    return repo
+
+
+def engine_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: ingest events into the engine, read a closed='l'
+    index range back through Series.frame. NB: the engine truncates
+    timestamps to SECONDS (reference M8[s] semantics) — the oracle
+    truncates identically."""
+    repo = _event_repo(spark, sf_dir)
+    series = repo.collection("events").series("all")
+    return series.frame(
+        start="2024-01-10",
+        stop="2024-01-20",
+        closed="l",
+        select=["ts", "event_id", "value"],
+        sort=False,
+    )
+
+
+def engine_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine tail-N (metadata-pruned backward read)."""
+    repo = _event_repo(spark, sf_dir)
+    series = repo.collection("events").series("all")
+    return series.tail(50).select("ts", "event_id", "value")
+
+
+def engine_overlay_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlay semantics under the oracle: write a patch over a sub-range
+    (values doubled) into a CLONE of the ingested collection, read the
+    full range back — rows inside the patch window reflect the patch,
+    rows outside are untouched."""
+    repo = _event_repo(spark, sf_dir)
+    base = repo.collection("events")
+    label = "patched"
+    if label not in repo.ls():
+        patched = base.clone(label)
+        series = patched.series("all")
+        lo, hi = "2024-01-05", "2024-01-08"
+        window = series.frame(start=lo, stop=hi, closed="l", sort=False)
+        patch = window.withColumn("value", F.round(F.col("value") * 2, 2))
+        series.write(
+            patch.orderBy("ts"), start=lo, stop=hi, closed="l"
+        )
+    series = repo.collection(label).series("all")
+    return series.frame(
+        start="2024-01-01",
+        stop="2024-01-12",
+        closed="l",
+        select=["ts", "event_id", "value"],
+        sort=False,
+    )

@@ -410,6 +410,40 @@ class Series:
             )
         )
 
+    def records(self, **frame_kwargs):
+        """Row-dict iterator (`Frame.records`, `lakota/frame.py:261-269`).
+        Streams via toLocalIterator — never materializes the series on the
+        driver."""
+        for row in self.frame(**frame_kwargs).toLocalIterator():
+            yield row.asDict()
+
+    def period(self) -> float | None:
+        """Average tick period in seconds, metadata + two-row read
+        (`Series.period`, `lakota/series.py:56-65`) — used to pick
+        partition granularity, not a query op."""
+        segs = self.collection.snapshot().for_label(self.label)
+        total = sum(s.length for s in segs)
+        if total < 2 or not segs:
+            return None
+        lo, hi = segs[0].start[0], segs[-1].stop[0]
+        import datetime as dt
+
+        if isinstance(lo, dt.datetime):
+            span = (hi - lo).total_seconds()
+        elif isinstance(lo, dt.date):
+            span = (hi - lo).days * 86400.0
+        elif isinstance(lo, (int, float)):
+            span = float(hi - lo)
+        else:
+            return None
+        return span / max(total - 1, 1)
+
+    def interval(self, target_rows: int = PAGE_LEN) -> float | None:
+        """Suggested bucket width (seconds) holding ~target_rows rows
+        (`Series.interval`, `lakota/series.py:67-80`)."""
+        p = self.period()
+        return None if p is None else p * target_rows
+
     def __len__(self) -> int:
         """Spark count over effective bounds (exact under overlays)."""
         return self.frame(sort=False).count()

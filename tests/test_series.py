@@ -175,3 +175,11 @@ def test_timestamp_schema_casts(repo):
     })
     out = s.frame(start="1970-01-01T00:00:02").collect()
     assert len(out) == 1 and out[0].value == 12.0
+
+
+def test_records_and_period(series):
+    recs = list(series.records())
+    assert recs[0] == {"timestamp": TS[0], "value": 3.3}
+    # 3 rows spanning 2 units -> period 1.0
+    assert series.period() == 1.0
+    assert series.interval(target_rows=10) == 10.0
