@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_orders": tpch.customers_without_orders,
         "rollup_qty": tpch.rollup_quantity,
         "distinct_counts": tpch.distinct_counts,
+        "tpch_q12_case_agg": tpch.q12_shipmode_priority,
+        "tpch_q17_window_avg": tpch.q17_small_quantity_revenue,
+        "tpch_q7_nation_volume": tpch.q7_nation_volume,
         # --- storage-engine round-trips (write path + read path under
         #     the oracle: ingest -> segment -> commit -> prune -> scan) ---
         "engine_range_scan": engine_demo.engine_range_scan,
@@ -165,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": parity.sessionize,
         "asof_purchase_click": parity.purchase_asof_click,
         "props_extract": parity.props_extract,
+        "sexpr_daily_reduce": parity.sexpr_daily_reduce,
         # --- text analysis ---
         "text_stats": pipeline.text_stats,
         "token_counts": pipeline.token_counts,
@@ -283,6 +287,46 @@ SELECT l_returnflag,
        count(DISTINCT l_suppkey) AS n_supps,
        count(DISTINCT l_orderkey) AS n_orders
 FROM lineitem GROUP BY l_returnflag
+""",
+        "tpch_q12_case_agg": """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+""",
+        "tpch_q17_window_avg": """
+WITH flagged AS (
+  SELECT l_extendedprice
+  FROM (SELECT l_extendedprice, l_quantity,
+               avg(l_quantity) OVER (PARTITION BY l_partkey) AS part_avg_qty
+        FROM lineitem)
+  WHERE l_quantity < 0.5 * part_avg_qty
+)
+SELECT sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS total_price,
+       count(*) AS n_lines
+FROM flagged
+""",
+        "tpch_q7_nation_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS ship_year,
+       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name != n2.n_name
+GROUP BY 1, 2, 3
+""",
+        "sexpr_daily_reduce": """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+       max(value) AS mx, min(value) AS mn, count(*) AS n
+FROM events
+WHERE value < 150 AND event_type IN ('click', 'view')
+GROUP BY 1, 2
 """,
         "engine_range_scan": """
 SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value

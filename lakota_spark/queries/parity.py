@@ -296,3 +296,22 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def sexpr_daily_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CLI query shape run through the s-expression
+    translator (SURVEY §3.3): mask + floor-bucketed reduce, compiled to
+    Catalyst instead of interpreted over numpy."""
+    from lakota_spark import sexpr
+
+    e = _events(spark, sf_dir)
+    masked = sexpr.mask(e, "(and (< self.value 150) (in self.event_type (list 'click' 'view')))")
+    return sexpr.reduce_frame(
+        masked,
+        "(as (floor self.ts 'D') 'day')",
+        "self.event_type",
+        mx="(max self.value)",
+        mn="(min self.value)",
+        n="(count self.value)",
+        order_cols=["ts"],
+    )
