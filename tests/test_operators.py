@@ -1,0 +1,91 @@
+"""Operator unit tests: as-of join, skew helpers, multimodal plumbing."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_semantics(spark):
+    from lakota_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 3, 100.0), ("A", 7, 101.0), ("B", 5, 50.0)],
+        "sym string, t long, px double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 1, 99.0), ("A", 3, 99.5), ("A", 6, 100.5), ("B", 9, 49.0)],
+        "sym string, t long, bid double",
+    )
+    out = asof_join(trades, quotes, on="sym", left_ts="t", right_ts="t",
+                    right_cols=["bid"])
+    got = {(r.sym, r.t): r.bid_right for r in out.collect()}
+    # A@3 matches quote@3 (<=), A@7 matches quote@6, B@5 has no prior quote
+    assert got == {("A", 3): 99.5, ("A", 7): 100.5}
+    # strict: A@3 must take quote@1
+    strict = asof_join(trades, quotes, on="sym", left_ts="t", right_ts="t",
+                       right_cols=["bid"], strict=True)
+    got = {(r.sym, r.t): r.bid_right for r in strict.collect()}
+    assert got[("A", 3)] == 99.0
+    # how='left' keeps unmatched B@5 with null
+    left = asof_join(trades, quotes, on="sym", left_ts="t", right_ts="t",
+                     right_cols=["bid"], how="left")
+    got = {(r.sym, r.t): r.bid_right for r in left.collect()}
+    assert got[("B", 5)] is None and len(got) == 3
+
+
+def test_salted_join_matches_plain(spark):
+    from lakota_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(300)], "k int, v double"
+    )
+    dim = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k int, name string")
+    plain = fact.join(dim, on="k").groupBy("name").agg(F.sum("v").alias("s"))
+    salted = salted_join(fact, dim, on="k").groupBy("name").agg(
+        F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_agg_matches_plain(spark):
+    from lakota_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(i % 2, i) for i in range(1000)], "k int, v long"
+    )
+    out = salted_agg(
+        df,
+        keys="k",
+        aggs={
+            "s": F.sum("v"),
+            "n": F.count(F.lit(1)),
+            "mn": F.min("v"),
+            "mx": F.max("v"),
+        },
+        salt=8,
+    )
+    got = {r.k: (r.s, r.n, r.mn, r.mx) for r in out.collect()}
+    assert got == {0: (249500, 500, 0, 998), 1: (250000, 500, 1, 999)}
+
+
+def test_multimodal_feature_contract(spark):
+    from lakota_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+        frame_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 50), (2, "abc")], "doc_id long, text string"
+    )
+    media = attach_binary_payload(docs)
+    feats = extract_features(media).collect()
+    assert {r.media_id for r in feats} == {1, 2}
+    for r in feats:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-9  # L1-normalized histogram
+    frames = frame_sample(media, every_n=4).collect()
+    assert all(len(r.frame) <= 16 for r in frames)
+    assert {r.media_id for r in frames} == {1, 2}
