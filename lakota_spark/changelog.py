@@ -8,22 +8,26 @@ Reproduces the reference's changelog *semantics* (`lakota/changelog.py`):
   double-write no-op) and distinct payloads create sibling leaves that a
   later ``merge`` reconciles. Root sentinel parent is ``phi``.
 - Leaf resolution = depth-first walk ordered by child id (hextime prefix
-  gives a deterministic total order → "newest branch wins").
+  gives a deterministic total order → "newest branch wins"); a merge
+  commit exists as one file per parent and linearizes after ALL parents.
 - Time travel: ``before=`` picks the last revision strictly older than a
   timestamp.
 
-Storage is a plain directory of small JSON files — object-store friendly
-(one LIST + K small GETs, exactly the reference's I/O shape,
-`lakota/commit.py:56-79`). At 100 TB the *data* lives in Parquet segments;
-this log stays tiny because each revision stores segment *metadata* only.
+Storage is a directory of small JSON files on any `fsio.FS` backend
+(local/S3/GCS/HDFS) — one LIST + K small GETs, exactly the reference's
+I/O shape (`lakota/commit.py:56-79`). At 100 TB the *data* lives in
+Parquet segments; this log stays tiny because each revision stores
+segment metadata only.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
-import os
+import posixpath
 import time
+
+from lakota_spark.fsio import FS
 
 PHI = "phi"  # root sentinel (`lakota/changelog.py:10-12`)
 
@@ -38,28 +42,31 @@ def hexts_to_epoch(h: str) -> float:
 
 
 class Revision:
-    __slots__ = ("parent", "child", "path")
+    __slots__ = ("parent", "child", "fs", "rel")
 
-    def __init__(self, parent: str, child: str, path: str):
+    def __init__(self, parent: str, child: str, fs: FS, rel: str):
         self.parent = parent
         self.child = child
-        self.path = path
+        self.fs = fs
+        self.rel = rel
 
     @property
     def epoch(self) -> float:
         return hexts_to_epoch(self.child.split("-", 1)[0])
 
+    @property
+    def basename(self) -> str:
+        return posixpath.basename(self.rel)
+
     def read(self) -> dict:
-        with open(self.path, "rb") as fh:
-            raw = fh.read()
+        raw = self.fs.read_bytes(self.rel)
         digest = hashlib.sha1(raw).hexdigest()  # noqa: S324 - integrity only
         want = self.child.split("-", 1)[1]
         if digest != want:
             # torn concurrent write — retry once (`lakota/changelog.py:174-187`)
-            with open(self.path, "rb") as fh:
-                raw = fh.read()
+            raw = self.fs.read_bytes(self.rel)
             if hashlib.sha1(raw).hexdigest() != want:  # noqa: S324
-                raise IOError(f"corrupt revision {self.path}")
+                raise IOError(f"corrupt revision {self.rel}")
         return json.loads(raw)
 
     def __repr__(self) -> str:
@@ -67,22 +74,23 @@ class Revision:
 
 
 class Changelog:
-    def __init__(self, root: str):
-        self.root = root
+    def __init__(self, fs: FS, prefix: str):
+        self.fs = fs
+        self.prefix = prefix
 
     # -- listing / ordering ------------------------------------------------
 
     def revisions(self) -> list[Revision]:
-        if not os.path.isdir(self.root):
-            return []
         revs = []
-        for fn in os.listdir(self.root):
-            if not fn.endswith(".json"):
+        for fn in self.fs.ls(self.prefix):
+            if not fn.endswith(".json") or ".tmp" in fn:
                 continue
             name = fn[: -len(".json")]
             parent, _, child = name.partition(".")
             if child:
-                revs.append(Revision(parent, child, os.path.join(self.root, fn)))
+                revs.append(
+                    Revision(parent, child, self.fs, f"{self.prefix}/{fn}")
+                )
         return revs
 
     def log(self, before: float | None = None) -> list[Revision]:
@@ -140,9 +148,8 @@ class Changelog:
         """Append a revision. Returns None when the payload is identical to
         the (first) parent's — double-write no-op (`lakota/changelog.py:49-57`).
 
-        Atomicity: write-to-temp + rename; the content-addressed filename
-        makes racing identical commits collide harmlessly. (On S3 this maps
-        to conditional PUT / put-if-absent of the same key.)
+        Atomicity: content-addressed names make racing identical commits
+        collide harmlessly on any backend (local rename / object-store PUT).
         """
         parents = parents or [PHI]
         raw = json.dumps(payload, sort_keys=True, separators=(",", ":")).encode()
@@ -161,29 +168,23 @@ class Changelog:
                 ):
                     return None
         child = f"{hexts()}-{sha}"
-        os.makedirs(self.root, exist_ok=True)
         # Multi-parent commits (merge) write ONE FILE PER PARENT with the
         # same child id — every head gains a descendant, so `leaves()`
         # collapses to the merge commit (reference changelog naming scheme).
-        path = None
+        rel = None
         for parent in parents:
-            path = os.path.join(self.root, f"{parent}.{child}.json")
-            tmp = path + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as fh:
-                fh.write(raw)
-            os.replace(tmp, path)
-        return Revision(parents[0], child, path)
+            rel = f"{self.prefix}/{parent}.{child}.json"
+            self.fs.write_bytes_atomic(rel, raw)
+        return Revision(parents[0], child, self.fs, rel)
 
     def pull(self, other: "Changelog") -> int:
         """Copy revision files missing locally (`lakota/changelog.py:124-137`)."""
-        import shutil
-
-        have = {os.path.basename(r.path) for r in self.revisions()}
+        have = {r.basename for r in self.revisions()}
         n = 0
-        os.makedirs(self.root, exist_ok=True)
         for r in other.revisions():
-            base = os.path.basename(r.path)
-            if base not in have:
-                shutil.copy2(r.path, os.path.join(self.root, base))
+            if r.basename not in have:
+                self.fs.write_bytes_atomic(
+                    f"{self.prefix}/{r.basename}", other.fs.read_bytes(r.rel)
+                )
                 n += 1
         return n

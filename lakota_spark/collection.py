@@ -31,10 +31,15 @@ class Collection:
         self.label = label
         self.schema = schema
         self.spark = repo.spark
-        self.root = os.path.join(repo.root, label)
-        self.segments_dir = os.path.join(self.root, "segments")
-        self.changelog = Changelog(os.path.join(self.root, "_log"))
+        self.fs = repo.fs
+        self.seg_prefix = f"{label}/segments"
+        self.changelog = Changelog(self.fs, f"{label}/_log")
         self._batch: list[Segment] | None = None
+
+    @property
+    def segments_dir(self):
+        """Local path of the segments dir (None on object stores)."""
+        return self.fs.local_path(self.seg_prefix)
 
     # ---------------------------------------------------------------- api
 
@@ -224,10 +229,7 @@ class Collection:
             if rev.child == new_root.child:
                 continue
             if cutoff is None or rev.epoch < cutoff:
-                try:
-                    os.remove(rev.path)
-                except FileNotFoundError:
-                    pass
+                self.fs.remove_file(rev.rel)
         return new_root
 
     def squash(self):
@@ -316,15 +318,25 @@ class Collection:
         new_coll = self.repo.create_collection(new_schema, new_label)
         if not rename and not add:
             # metadata-only clone: copy the log, share content-addressed
-            # segment dirs (hardlink-copy on local FS)
+            # segment dirs (hardlink-copy on local FS, byte copy elsewhere)
             new_coll.changelog.pull(self.changelog)
-            os.makedirs(new_coll.segments_dir, exist_ok=True)
-            if os.path.isdir(self.segments_dir):
-                for name in os.listdir(self.segments_dir):
-                    src = os.path.join(self.segments_dir, name)
-                    dst = os.path.join(new_coll.segments_dir, name)
+            local_src = self.segments_dir
+            local_dst = new_coll.segments_dir
+            if local_src and local_dst and os.path.isdir(local_src):
+                os.makedirs(local_dst, exist_ok=True)
+                for name in os.listdir(local_src):
+                    dst = os.path.join(local_dst, name)
                     if not os.path.exists(dst):
-                        shutil.copytree(src, dst, copy_function=os.link)
+                        shutil.copytree(
+                            os.path.join(local_src, name),
+                            dst,
+                            copy_function=os.link,
+                        )
+            else:
+                for name in self.fs.ls(self.seg_prefix):
+                    dst = f"{new_coll.seg_prefix}/{name}"
+                    if not self.fs.exists(dst):
+                        self.fs.copy_tree(f"{self.seg_prefix}/{name}", dst)
             return new_coll
         with new_coll.multi():
             for label in self.ls():
@@ -354,19 +366,17 @@ class Collection:
 
     def pull(self, other: "Collection") -> int:
         """Sync revisions + referenced segment dirs from another repo's
-        collection (`lakota/collection.py:210-233`)."""
-        import shutil
-
+        collection (`lakota/collection.py:210-233`) — works across any
+        pair of fsio backends."""
         n = self.changelog.pull(other.changelog)
-        os.makedirs(self.segments_dir, exist_ok=True)
+        self.fs.makedirs(self.seg_prefix)
         for rev in self.changelog.revisions():
             snap = Snapshot.from_payload(rev.read(), self.schema)
-            for path in snap.paths():
-                name = os.path.basename(path)
-                src = os.path.join(other.segments_dir, name)
-                dst = os.path.join(self.segments_dir, name)
-                if not os.path.exists(dst) and os.path.exists(src):
-                    shutil.copytree(src, dst)
+            for name in snap.paths():
+                dst = f"{self.seg_prefix}/{name}"
+                src = f"{other.seg_prefix}/{name}"
+                if not self.fs.exists(dst) and other.fs.exists(src):
+                    self.fs.copy_tree(src, dst, other=other.fs)
         return n
 
     def push(self, other: "Collection") -> int:

@@ -20,9 +20,6 @@ still broadcastable; the pruning pass cuts that to the queried interval.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, Window
@@ -156,9 +153,10 @@ class Series:
         identical data written twice lands on the same path and the second
         write is dropped (reference SKIP-WRITE, `lakota/pod.py:201-204`).
         """
-        seg_root = self.collection.segments_dir
-        os.makedirs(seg_root, exist_ok=True)
-        tmp = os.path.join(seg_root, f"_tmp-{uuid.uuid4().hex}")
+        fs = self.collection.fs
+        seg_prefix = self.collection.seg_prefix
+        fs.makedirs(seg_prefix)
+        tmp_rel = f"{seg_prefix}/_tmp-{uuid.uuid4().hex}"
         n_parts = max(1, -(-n_rows // PAGE_LEN))
         idx_cols = [F.col(c) for c in self.schema.idx]
         out = (
@@ -167,14 +165,18 @@ class Series:
             if n_parts > 1
             else df.coalesce(1).sortWithinPartitions(*idx_cols)
         )
-        out.write.mode("overwrite").parquet(f"file://{tmp}")
-        digest = _dir_sha1(tmp)
+        out.write.mode("overwrite").parquet(fs.spark_uri(tmp_rel))
+        # NB: hash CONTENT only — Spark part-file names embed a random UUID
+        parts = [
+            f"{tmp_rel}/{n}" for n in fs.ls(tmp_rel) if n.endswith(".parquet")
+        ]
+        digest = fs.read_stream_sha1(parts)
         name = digest[:20]
-        final = os.path.join(seg_root, name)
-        if os.path.exists(final):
-            shutil.rmtree(tmp)  # content dedup: identical segment exists
+        final_rel = f"{seg_prefix}/{name}"
+        if fs.exists(final_rel):
+            fs.remove_tree(tmp_rel)  # content dedup: identical segment exists
         else:
-            os.replace(tmp, final)
+            fs.move(tmp_rel, final_rel)
         return name, digest
 
     def _commit_segment(self, seg: Segment):
@@ -236,10 +238,11 @@ class Series:
         live = [s for s in segs if s.path]
         if not live:
             return self.spark.createDataFrame([], self.schema.struct_type())
-        seg_dir = self.collection.segments_dir
+        fs = self.collection.fs
+        seg_prefix = self.collection.seg_prefix
         paths = sorted({s.path for s in live})
         df = self.spark.read.parquet(
-            *[f"file://{os.path.join(seg_dir, p)}" for p in paths]
+            *[fs.spark_uri(f"{seg_prefix}/{p}") for p in paths]
         )
         if range_pred is not None:
             df = range_pred(df)  # before input_file_name: stays pushable
@@ -500,19 +503,3 @@ class KVSeries(Series):
             pdf, schema=self.schema.index_struct_type()
         ).select(*self.schema.idx)
 
-
-def _dir_sha1(path: str) -> str:
-    """sha1 over the directory's parquet part files (sorted, streamed) —
-    the content address used for segment dedup (reference digest scheme,
-    `lakota/utils.py:122-133`). _SUCCESS / CRC sidecars are excluded so the
-    address depends on data bytes only."""
-    h = hashlib.sha1()  # noqa: S324 - content addressing, not security
-    # NB: hash only CONTENT — Spark part-file names embed a random UUID,
-    # which would break write-idempotence if hashed.
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
-        with open(os.path.join(path, name), "rb") as fh:
-            while chunk := fh.read(1 << 20):
-                h.update(chunk)
-    return h.hexdigest()
