@@ -33,6 +33,11 @@ def read_parquet(
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros() below is session-tz-sensitive; every other
+        # timestamp column in the testdata is NTZ (tz-free). Pin UTC so the
+        # converted values match a tz-naive oracle regardless of the host
+        # session's timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # pragma: no cover - immutable conf on some builds
         pass
     df = spark.read.parquet(path)
