@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_case_agg": tpch.q12_shipmode_priority,
         "tpch_q17_window_avg": tpch.q17_small_quantity_revenue,
         "tpch_q7_nation_volume": tpch.q7_nation_volume,
+        "cube_qty": tpch.cube_quantity,
+        "tpch_q15_top_supplier": tpch.top_suppliers_q15,
         # --- storage-engine round-trips (write path + read path under
         #     the oracle: ingest -> segment -> commit -> prune -> scan) ---
         "engine_range_scan": engine_demo.engine_range_scan,
@@ -169,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": parity.purchase_asof_click,
         "props_extract": parity.props_extract,
         "sexpr_daily_reduce": parity.sexpr_daily_reduce,
+        "funnel_vcp": parity.funnel_view_click_purchase,
+        "pivot_daily_by_type": parity.pivot_daily_by_type,
         # --- text analysis ---
         "text_stats": pipeline.text_stats,
         "token_counts": pipeline.token_counts,
@@ -327,6 +331,44 @@ SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
 FROM events
 WHERE value < 150 AND event_type IN ('click', 'view')
 GROUP BY 1, 2
+""",
+        "cube_qty": """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "tpch_q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+        "funnel_vcp": """
+WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, v.tv, min(e.ts) AS tc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.tv
+      GROUP BY e.user_id, v.tv),
+p AS (SELECT e.user_id, c.tv, c.tc, min(e.ts) AS tp
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      GROUP BY e.user_id, c.tv, c.tc)
+SELECT user_id, tv, tc, tp FROM p
+""",
+        "pivot_daily_by_type": """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+  sum(CASE WHEN event_type = 'click' THEN round(value * 100)::BIGINT ELSE 0 END) / 100.0 AS sum_click,
+  sum(CASE WHEN event_type = 'view' THEN round(value * 100)::BIGINT ELSE 0 END) / 100.0 AS sum_view,
+  sum(CASE WHEN event_type = 'purchase' THEN round(value * 100)::BIGINT ELSE 0 END) / 100.0 AS sum_purchase,
+  sum(CASE WHEN event_type = 'signup' THEN round(value * 100)::BIGINT ELSE 0 END) / 100.0 AS sum_signup,
+  sum(CASE WHEN event_type = 'error' THEN round(value * 100)::BIGINT ELSE 0 END) / 100.0 AS sum_error
+FROM events GROUP BY 1
 """,
         "engine_range_scan": """
 SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value

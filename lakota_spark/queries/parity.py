@@ -315,3 +315,52 @@ def sexpr_daily_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         n="(count self.value)",
         order_cols=["ts"],
     )
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, first view -> first click after it ->
+    first purchase after that. A chain of min-aggregations + non-equi
+    joins — identical logic on both engines, fully deterministic."""
+    e = _events(spark, sf_dir)
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id", "tv")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("tc"))
+        .groupBy("user_id", "tv", "tc")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return p.select("user_id", "tv", "tc", "tp")
+
+
+def pivot_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily value totals per event type as columns (expressed as
+    portable conditional aggregation; Spark's pivot() compiles to the
+    same shape)."""
+    e = _events(spark, sf_dir)
+
+    def cents_if(t: str):
+        cond = F.when(
+            F.col("event_type") == t,
+            F.round(F.col("value") * 100).cast("long"),
+        ).otherwise(F.lit(0))
+        return (F.sum(cond) / F.lit(100.0)).alias(f"sum_{t}")
+
+    return e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        cents_if("click"),
+        cents_if("view"),
+        cents_if("purchase"),
+        cents_if("signup"),
+        cents_if("error"),
+    )

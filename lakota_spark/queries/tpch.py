@@ -271,3 +271,36 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(money_sum(_DISC_PRICE(), 10000).alias("volume"))
     )
+
+
+def cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all subtotal combinations in one pass)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def top_suppliers_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-flavored: suppliers achieving the maximum revenue —
+    aggregate once, then broadcast the scalar max back (a global window
+    would funnel everything into one partition; the broadcast scalar
+    keeps the filter distributed)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(money_sum(_DISC_PRICE(), 10000).alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
