@@ -350,16 +350,37 @@ class Series:
 
     def paginate(self, step: int, **frame_kwargs):
         """Pull-based chunk stream (`lakota/series.py:237-259`): yields
-        DataFrames of ``step`` rows in index order."""
+        DataFrames of ``step`` rows in index order.
+
+        One sort + one global-index pass (see operators/index.py), then
+        each page is a cheap range filter over the persisted indexed data
+        — not a re-sort per page (the limit/offset formulation is
+        O(pages × sort))."""
+        from lakota_spark.operators.index import (
+            release_index,
+            with_global_index,
+        )
+
         if step <= 0:
             raise ValueError("step must be positive")
-        offset = 0
-        while True:
-            page = self.frame(limit=step, offset=offset, **frame_kwargs)
-            if not page.take(1):
-                return
-            yield page
-            offset += step
+        frame_kwargs.setdefault("sort", False)
+        # ordering needs the index columns — apply any projection per page
+        select = frame_kwargs.pop("select", None) or list(self.schema.columns)
+        base = self.frame(**frame_kwargs)
+        indexed = with_global_index(base, list(self.schema.idx))
+        try:
+            total = indexed.count()
+            for offset in range(0, total, step):
+                yield (
+                    indexed.where(
+                        (F.col("_rn") >= offset)
+                        & (F.col("_rn") < offset + step)
+                    )
+                    .orderBy("_rn")
+                    .select(*select)
+                )
+        finally:
+            release_index(indexed)
 
     def update(self, data, start=None, stop=None):
         """Partial column update aligned on index, zero-filling untouched

@@ -89,3 +89,16 @@ def test_multimodal_feature_contract(spark):
     frames = frame_sample(media, every_n=4).collect()
     assert all(len(r.frame) <= 16 for r in frames)
     assert {r.media_id for r in frames} == {1, 2}
+
+
+def test_with_global_index(spark):
+    from lakota_spark.operators.index import release_index, with_global_index
+
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(200)], "k int, v long"
+    ).orderBy(F.rand(3))
+    idx = with_global_index(df, ["v"])
+    rows = idx.orderBy("_rn").collect()
+    assert [r.v for r in rows] == list(range(200))
+    assert [r._rn for r in rows] == list(range(200))
+    release_index(idx)
