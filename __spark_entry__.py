@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": pipeline.ivf_topk,  # rows-only (approximate)
         "knn_same_label": pipeline.knn_same_label,  # rows-only
         # --- multimodal plumbing (rows-only: mapInPandas stubs) ---
+        "sketch_stats": pipeline.sketch_stats,  # rows-only (approx)
         "multimodal_features": pipeline.multimodal_features,
         "multimodal_frames": pipeline.multimodal_frames,
     }

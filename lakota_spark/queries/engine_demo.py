@@ -22,15 +22,30 @@ from lakota_spark.sources import read_parquet
 _CACHE: dict[str, Repo] = {}
 
 
+#: bump when the demo ingest schema/layout changes — stale /tmp repos from
+#: an older code version are discarded instead of breaking the gate
+_LAYOUT_VERSION = "v1"
+
+
 def _event_repo(spark: SparkSession, sf_dir: str) -> Repo:
     key = os.path.abspath(sf_dir)
     if key in _CACHE:
         return _CACHE[key]
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakota-spark-demo-{key.strip(os.sep).replace(os.sep, '_')}",
+        f"lakota-spark-demo-{_LAYOUT_VERSION}-"
+        f"{key.strip(os.sep).replace(os.sep, '_')}",
     )
-    repo = Repo(root, spark)
+    try:
+        repo = Repo(root, spark)
+        if "events" in repo.ls():
+            # sanity-probe the cached build; rebuild on any breakage
+            repo.collection("events").series("all").meta_len()
+    except Exception:  # noqa: BLE001 - stale cache from an older build
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        repo = Repo(root, spark)
     schema = Schema(
         ts="timestamp*",
         event_id="int",

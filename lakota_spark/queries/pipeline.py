@@ -154,3 +154,24 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.octet_length("frame")).alias("total_bytes"),
     )
+
+
+# --- sketches (rows-only: approximate by construction) --------------------
+
+def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based statistics per event type: HLL-style distinct users
+    (approx_count_distinct), t-digest-style quantiles (approx_percentile)
+    alongside their exact twins — the mergeable-sketch shapes a 100 TB
+    pipeline uses when exactness isn't worth the shuffle. Approximate
+    values are engine-specific, so this entry has no SQL oracle."""
+    from lakota_spark.sources import read_parquet
+
+    e = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(
+            F.expr("approx_percentile(value, 0.5, 1000)"), 2
+        ).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
