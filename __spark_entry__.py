@@ -14,7 +14,12 @@ matches bit-for-bit.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# robust under by-path imports from any cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
