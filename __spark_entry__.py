@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_nation_volume": tpch.q7_nation_volume,
         "cube_qty": tpch.cube_quantity,
         "tpch_q15_top_supplier": tpch.top_suppliers_q15,
+        "tpch_q18_large_orders": tpch.q18_large_orders,
+        "tpch_q8_market_share": tpch.q8_market_share,
         # --- storage-engine round-trips (write path + read path under
         #     the oracle: ingest -> segment -> commit -> prune -> scan) ---
         "engine_range_scan": engine_demo.engine_range_scan,
@@ -353,6 +355,33 @@ WITH rev AS (
 SELECT s_suppkey, s_name, total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+        "tpch_q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+)
+SELECT o_orderkey, c_name, o_orderdate, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        "tpch_q8_market_share": """
+WITH per_year AS (
+  SELECT year(o_orderdate)::BIGINT AS order_year,
+         sum(CASE WHEN n_name = 'CHINA'
+                  THEN round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT
+                  ELSE 0 END) / 10000.0 AS nation_revenue,
+         sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS total_revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT order_year, nation_revenue, total_revenue,
+       nation_revenue / total_revenue AS mkt_share
+FROM per_year
 """,
         "funnel_vcp": """
 WITH v AS (SELECT user_id, min(ts) AS tv FROM events

@@ -304,3 +304,49 @@ def top_suppliers_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-flavored: orders whose total quantity exceeds a threshold
+    (HAVING on an aggregate, then enrich via joins)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_orderdate", "total_qty")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-flavored: one nation's share of yearly revenue — a ratio
+    of two fixed-point-exact sums (deterministic double division)."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    cents = F.round(_DISC_PRICE() * 10000).cast("long")
+    joined = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    per_year = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year")
+    ).agg(
+        (F.sum(F.when(F.col("n_name") == "CHINA", cents).otherwise(0))
+         / F.lit(10000.0)).alias("nation_revenue"),
+        (F.sum(cents) / F.lit(10000.0)).alias("total_revenue"),
+    )
+    return per_year.select(
+        "order_year",
+        "nation_revenue",
+        "total_revenue",
+        (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+    )

@@ -112,3 +112,63 @@ def session_rollup(
             F.sum(value_col).alias("session_value"),
         )
     )
+
+
+def stateful_running_totals(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+):
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum) maintained across micro-batches — the escape
+    hatch for stateful logic that windowed aggregation can't express
+    (the reference has no streaming state at all; SURVEY §2.11).
+
+    Emits one row per key per batch with the cumulative totals. State is
+    two floats per key — bounded, partitioned by key, scales with
+    distinct keys not with throughput.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_type = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("total_count", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("cnt", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"key": [key[0]], "total_count": [cnt], "total_value": [total]}
+        )
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_type,
+            stateStructType=state_type,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

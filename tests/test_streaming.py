@@ -6,6 +6,7 @@ import os
 from lakota_spark.schema import Schema
 from lakota_spark.streaming import (
     session_rollup,
+    stateful_running_totals,
     stream_into_series,
     windowed_rollup,
 )
@@ -72,3 +73,40 @@ def test_session_rollup_batch_parity(spark):
     assert sorted((r.n_events, r.session_value) for r in out) == [
         (1, 5.0), (2, 3.0)
     ]
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """State must carry across micro-batches: two files, one per trigger."""
+    import pandas as pd
+
+    src = str(tmp_path / "ssrc")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double"
+    ).write.parquet(f"file://{src}/b0.parquet")
+    spark.createDataFrame(
+        [(1, 2.0), (2, 3.0)], "user_id long, value double"
+    ).write.parquet(f"file://{src}/b1.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"file://{src}/*")
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from totals").collect()
+    # final cumulative state per key must reflect BOTH batches
+    final = {}
+    for r in rows:
+        final[r.key] = (r.total_count, r.total_value)
+    assert final[1] == (3, 17.0)
+    assert final[2] == (2, 4.0)
