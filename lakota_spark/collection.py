@@ -216,7 +216,11 @@ class Collection:
 
     def trim(self, before=None):
         """Drop history: re-root the leaf snapshot and delete older
-        revisions (`lakota/collection.py:339-362`; squash semantics)."""
+        revisions (`lakota/collection.py:339-362`; squash semantics).
+
+        With ``before=cutoff``, survivors whose ancestors were deleted are
+        re-parented onto the new root — otherwise they'd be unreachable
+        from PHI (silent history loss) while still surfacing as heads."""
         leaf = self.changelog.leaf()
         if leaf is None:
             return None
@@ -225,11 +229,28 @@ class Collection:
         payload["delta"] = []
         new_root = self.changelog.commit(payload, parents=[PHI], force=True)
         cutoff = before
-        for rev in self.changelog.revisions():
-            if rev.child == new_root.child:
-                continue
-            if cutoff is None or rev.epoch < cutoff:
-                self.fs.remove_file(rev.rel)
+        revs = [
+            r
+            for r in self.changelog.revisions()
+            if r.child != new_root.child
+        ]
+        doomed = [r for r in revs if cutoff is None or r.epoch < cutoff]
+        doomed_keys = {(r.parent, r.child) for r in doomed}
+        survivors = [r for r in revs if (r.parent, r.child) not in doomed_keys]
+        surviving_children = {r.child for r in survivors}
+        if cutoff is not None:
+            for r in survivors:
+                if r.parent != PHI and r.parent not in surviving_children:
+                    # orphaned edge: re-parent onto the new root (revision
+                    # payloads are full snapshots, so no replay is needed)
+                    raw = self.fs.read_bytes(r.rel)
+                    self.fs.write_bytes_atomic(
+                        f"{self.changelog.prefix}/{new_root.child}.{r.child}.json",
+                        raw,
+                    )
+                    self.fs.remove_file(r.rel)
+        for r in doomed:
+            self.fs.remove_file(r.rel)
         return new_root
 
     def squash(self):
@@ -251,17 +272,31 @@ class Collection:
                     return
                 series = self.series(label)
                 df = series._read_segments(run)
+                if self.schema.kv:
+                    # KV runs may hold several versions of a key across
+                    # overlapping segments: resolve last-writer-wins BEFORE
+                    # merging, else the single merged seq would make the
+                    # surviving version arbitrary at read time (the
+                    # reference defrags through the resolving read path).
+                    df = series._kv_dedup(df)
                 df = df.select(*self.schema.columns)
                 n = df.count()
                 if n == 0:
                     return
+                # `run` is sorted by start; KV segments may overlap, so the
+                # largest stop is NOT necessarily run[-1]'s — taking it
+                # would silently drop rows beyond that stop.
+                stop, stop_closed = max(
+                    ((s.stop, s.stop_closed) for s in run),
+                    key=lambda t: (t[0], t[1]),
+                )
                 path, digest = series._write_segment_files(df, n)
                 merged = Segment(
                     label=label,
                     start=run[0].start,
-                    stop=run[-1].stop,
+                    stop=stop,
                     start_closed=run[0].start_closed,
-                    stop_closed=run[-1].stop_closed,
+                    stop_closed=stop_closed,
                     path=path,
                     length=n,
                     seq=snap.max_seq + 1,

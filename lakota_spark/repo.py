@@ -84,20 +84,30 @@ class Repo:
 
     # ---------------------------------------------------------------- gc
 
-    def gc(self, timeout: float = 0.0) -> dict:
+    def gc(self, timeout: float = 600.0) -> dict:
         """Two-phase GC (`lakota/repo.py:339-413`): segment dirs referenced
         by NO revision of a collection are soft-deleted (renamed with a
         hextime trash suffix); trash older than ``timeout`` seconds is
-        hard-deleted. Re-referencing resurrects soft-deleted dirs."""
+        hard-deleted. Re-referencing resurrects soft-deleted dirs.
+
+        Ordering matters under concurrent writes: segments are written
+        BEFORE the revision that references them, so the segment dir is
+        listed FIRST and the changelog scanned after — a segment finalized
+        mid-GC is then either absent from the listing (skipped) or its
+        commit is already visible in the later revision scan. The non-zero
+        default grace period (reference: 600 s) covers the remaining
+        window: a writer's segment is at worst soft-deleted and
+        resurrected, never hard-deleted before its commit lands."""
         stats = {"soft": 0, "hard": 0, "resurrected": 0}
         now = time.time()
         for label in self.ls():
             coll = self.collection(label)
+            listing = self.fs.ls(coll.seg_prefix)
             referenced: set[str] = set()
             for rev in coll.changelog.revisions():
                 snap = Snapshot.from_payload(rev.read(), coll.schema)
                 referenced |= snap.paths()
-            for name in self.fs.ls(coll.seg_prefix):
+            for name in listing:
                 rel = f"{coll.seg_prefix}/{name}"
                 if TRASH_MARK in name:
                     base, _, stamp = name.partition(TRASH_MARK)

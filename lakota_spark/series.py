@@ -106,13 +106,28 @@ class Series:
                 )
             )
         lo, hi = tuple(stats["lo"]), tuple(stats["hi"])
-        # explicit bounds may only widen (reference asserts containment)
+        # explicit bounds may only widen (reference asserts containment,
+        # `lakota/series.py:117-121`): narrower bounds would silently hide
+        # rows of the new segment at read time while length=n still counts
+        # them (meta_len/tail pruning would overstate)
         eff_start = start if start is not None else lo
         eff_stop = stop if stop is not None else hi
         if len(eff_start) != len(self.schema.idx) or len(eff_stop) != len(
             self.schema.idx
         ):
             raise ValueError("write bounds must cover every index column")
+        if start is not None and (
+            tuple(start) > lo or (tuple(start) == lo and not start_closed)
+        ):
+            raise ValueError(
+                f"start bound {start!r} excludes data rows (min index {lo!r})"
+            )
+        if stop is not None and (
+            tuple(stop) < hi or (tuple(stop) == hi and not stop_closed)
+        ):
+            raise ValueError(
+                f"stop bound {stop!r} excludes data rows (max index {hi!r})"
+            )
         if validate_sorted:
             self._assert_sorted(df)
 
@@ -329,19 +344,36 @@ class Series:
 
     def tail(self, length: int, before=None) -> DataFrame:
         """Last N rows (`lakota/series.py:261-312`): prune to the trailing
-        segments whose lengths cover N (metadata), then TakeOrdered."""
+        segments whose lengths cover N (metadata), then TakeOrdered.
+
+        ``seg.length`` is the PHYSICAL row count — an upper bound on the
+        effective rows once overlays/deletes narrowed a segment's bounds
+        (the reference counts materialized frames per segment). The
+        optimistic prune is therefore verified with a cheap count on the
+        pruned set; if it came up short, the kept suffix is widened
+        (doubling) until ``length`` rows are covered or every segment is
+        in — at most O(log S) extra metadata passes, data read stays
+        bounded by the suffix actually needed."""
         snap = self.collection.snapshot(before=before)
         segs = snap.for_label(self.label)
-        keep: list[Segment] = []
+        k = 0
         total = 0
         for seg in reversed(segs):
-            keep.append(seg)
+            k += 1
             total += seg.length
             if total >= length and not self.schema.kv:
                 break
-        df = self._read_segments(list(reversed(keep)))
         if self.schema.kv:
-            df = self._kv_dedup(df)
+            k = len(segs)  # KV needs every segment for last-writer-wins
+        while True:
+            df = self._read_segments(segs[len(segs) - k :])
+            if self.schema.kv:
+                df = self._kv_dedup(df)
+            if k >= len(segs):
+                break
+            if df.limit(length).count() >= length:
+                break
+            k = min(len(segs), max(k * 2, k + 1))
         idx_desc = [F.col(c).desc() for c in self.schema.idx]
         tail = df.orderBy(*idx_desc).limit(length)
         return tail.orderBy(*[F.col(c) for c in self.schema.idx]).select(

@@ -199,3 +199,48 @@ def test_clone_schema_migration(repo):
     clone = coll.clone("m2", rename={"value": "v"}, add={"note": "str"})
     out = clone.series("s").frame().collect()
     assert [(r.ts, r.v, r.note) for r in out] == [(1, 1.5, "")]
+
+
+def test_defrag_kv_last_writer_wins(repo):
+    # defrag over a KV collection must resolve key versions BEFORE merging
+    # (ADVICE r1): overlapping KV segments hold several versions of a key;
+    # a naive merge collapses them to one seq and the surviving version
+    # becomes arbitrary, and stop=run[-1].stop drops rows beyond it.
+    coll = repo.create_collection(Schema.kv_schema(key="int*", value="int"), "kvd")
+    s = coll.series("s")
+    s.write({"key": [1, 2, 3], "value": [10, 20, 30]})
+    s.write({"key": [2, 9], "value": [21, 90]})      # overlaps, updates key 2
+    s.write({"key": [1, 5], "value": [11, 50]})      # overlaps, updates key 1
+    s.write({"key": [3], "value": [31]})             # updates key 3
+    before = sorted((r.key, r.value) for r in s.frame().collect())
+    assert before == [(1, 11), (2, 21), (3, 31), (5, 50), (9, 90)]
+    coll.defrag(page_len=100, max_chunk=1)
+    after = sorted((r.key, r.value) for r in s.frame().collect())
+    assert after == before
+    assert len(coll.snapshot().for_label("s")) == 1
+
+
+def test_trim_before_reparents_survivors(repo):
+    # trim(before=cutoff) must not orphan newer revisions (ADVICE r1):
+    # survivors are re-parented onto the new root so log() still reaches
+    # them, leaves() stays single-headed, and merge() keeps an ancestor.
+    import time as _t
+
+    coll = _mk(repo, "tr")
+    s = coll.series("s")
+    s.write({"ts": [1], "value": [1.0]})
+    s.write({"ts": [2], "value": [2.0]})
+    _t.sleep(0.01)
+    cutoff = _t.time()
+    _t.sleep(0.01)
+    s.write({"ts": [3], "value": [3.0]})
+    s.write({"ts": [4], "value": [4.0]})
+    coll.trim(before=cutoff)
+    # every surviving revision is reachable from PHI
+    log = coll.changelog.log()
+    reachable = {r.child for r in log}
+    assert {r.child for r in coll.changelog.revisions()} == reachable
+    assert len(coll.changelog.leaves()) == 1
+    assert rows(s.frame()) == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+    # history before the cutoff is squashed, after it preserved
+    assert len(reachable) == 3  # new root + 2 surviving revisions

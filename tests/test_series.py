@@ -183,3 +183,37 @@ def test_records_and_period(series):
     # 3 rows spanning 2 units -> period 1.0
     assert series.period() == 1.0
     assert series.interval(target_rows=10) == 10.0
+
+
+def test_tail_after_overlay_narrowing(series):
+    # seg.length is a physical upper bound: a range delete narrows the
+    # last segment's effective rows, so the optimistic metadata prune must
+    # verify and widen (ADVICE r1) instead of returning short.
+    series.write({"timestamp": [1589455910, 1589455911, 1589455912],
+                  "value": [6.0, 7.0, 8.0]})
+    series.delete(1589455911, 1589455999)  # last segment: 3 rows -> 1
+    assert rows(series.tail(3)) == [
+        (1589455904, 4.4), (1589455905, 5.5), (1589455910, 6.0)
+    ]
+    assert rows(series.tail(10)) == [
+        (1589455903, 3.3), (1589455904, 4.4), (1589455905, 5.5),
+        (1589455910, 6.0),
+    ]
+
+
+def test_write_bounds_must_contain_data(series):
+    # explicit bounds may only widen (reference asserts containment)
+    with pytest.raises(ValueError):
+        series.write({"timestamp": TS, "value": [1.0, 2.0, 3.0]},
+                     start=TS[1], stop=TS[2] + 100)
+    with pytest.raises(ValueError):
+        series.write({"timestamp": TS, "value": [1.0, 2.0, 3.0]},
+                     start=TS[0], stop=TS[1])
+    # open bound exactly at the data min also excludes a row
+    with pytest.raises(ValueError):
+        series.write({"timestamp": TS, "value": [1.0, 2.0, 3.0]},
+                     start=TS[0], stop=TS[2], closed="r")
+    # widening stays allowed (and deletes what it shadows)
+    series.write({"timestamp": [TS[0]], "value": [9.0]},
+                 start=TS[0] - 100, stop=TS[2] + 100)
+    assert rows(series.frame()) == [(TS[0], 9.0)]
