@@ -35,6 +35,11 @@ class FS:
         self.scheme = self.uri.split("://", 1)[0]
         self.fs, self.root = pafs.FileSystem.from_uri(self.uri)
         self.is_local = self.scheme == "file"
+        # schemes Spark's Hadoop layer can scan directly (distributed IO);
+        # others (e.g. an HTTP repo) route segment bytes through pyarrow
+        self.spark_readable = self.scheme in {
+            "file", "s3", "s3a", "gs", "hdfs", "abfs", "wasbs"
+        }
 
     # -- path helpers ------------------------------------------------------
 
@@ -132,13 +137,45 @@ class FS:
             if i.type == pafs.FileType.File
         }
 
-    def read_stream_sha1(self, rel_files: list[str]) -> str:
-        """sha1 over the given files' bytes in order (content addressing)."""
+    def files_sha1(self, rel_files: list[str], spark=None) -> list[str]:
+        """Per-file sha1 hex digests, in ``rel_files`` order.
+
+        With a SparkSession (and a Hadoop-readable scheme) the hashes run
+        as a DISTRIBUTED job — `binaryFile` scan + JVM-side `F.sha1` —
+        so no data bytes ever flow through the driver; only the 40-char
+        digests are collected. Without one (or on a non-Hadoop backend,
+        e.g. an HTTP repo) it falls back to streaming reads, which is
+        acceptable for the metadata-scale paths that use it. Both paths
+        produce IDENTICAL digests, so content addresses agree across
+        backends (push/pull dedup relies on this).
+        """
+        if spark is not None and self.spark_readable:
+            from pyspark.sql import functions as F
+
+            rows = (
+                spark.read.format("binaryFile")
+                .load([self.spark_uri(rel) for rel in rel_files])
+                .select("path", F.sha1("content").alias("sha"))
+                .collect()
+            )
+            by_base = {posixpath.basename(r.path): r.sha for r in rows}
+            return [by_base[posixpath.basename(rel)] for rel in rel_files]
         import hashlib
 
-        h = hashlib.sha1()  # noqa: S324 - content address
+        out = []
         for rel in rel_files:
+            h = hashlib.sha1()  # noqa: S324 - content address
             with self.fs.open_input_stream(self.full(rel)) as fh:
                 while chunk := fh.read(1 << 20):
                     h.update(chunk)
-        return h.hexdigest()
+            out.append(h.hexdigest())
+        return out
+
+    @staticmethod
+    def combine_sha1(per_file: list[str]) -> str:
+        """Deterministic segment digest: sha1 over the ordered per-file
+        digests (a Merkle-style combine — order matters, bytes don't
+        re-flow)."""
+        import hashlib
+
+        return hashlib.sha1("".join(per_file).encode()).hexdigest()  # noqa: S324

@@ -181,11 +181,14 @@ class Series:
             else df.coalesce(1).sortWithinPartitions(*idx_cols)
         )
         out.write.mode("overwrite").parquet(fs.spark_uri(tmp_rel))
-        # NB: hash CONTENT only — Spark part-file names embed a random UUID
+        # NB: hash CONTENT only — Spark part-file names embed a random UUID.
+        # Per-file sha1 runs as a distributed job on the executors (no
+        # segment bytes through the driver); only the 40-char digests are
+        # collected and Merkle-combined into the content address.
         parts = [
             f"{tmp_rel}/{n}" for n in fs.ls(tmp_rel) if n.endswith(".parquet")
         ]
-        digest = fs.read_stream_sha1(parts)
+        digest = fs.combine_sha1(fs.files_sha1(parts, spark=df.sparkSession))
         name = digest[:20]
         final_rel = f"{seg_prefix}/{name}"
         if fs.exists(final_rel):
