@@ -124,6 +124,27 @@ s AS (SELECT ia, ib, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
       FROM u GROUP BY ia, ib)"""
 
 
+def _lsh_bucket_cte(planes: int = 8) -> str:
+    """Reproduce `operators/similarity.lsh_bucket` exactly: hyperplane p's
+    coefficient for element i is ±1 by the parity of hash32(f"{p},{i}"),
+    bucket bit p = sign of the coefficient-weighted sum."""
+    sums = ",\n    ".join(
+        f"sum(x * CASE WHEN ('0x' || substr(md5('{p},' || i), 1, 8))::BIGINT % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END) AS g_{p}"
+        for p in range(planes)
+    )
+    val = " + ".join(
+        f"CASE WHEN g_{p} >= 0 THEN {1 << p} ELSE 0 END" for p in range(planes)
+    )
+    return f"""
+el AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+              unnest(range(len(embedding))) AS i FROM embeddings),
+gsum AS (SELECT vec_id,
+    {sums}
+  FROM el GROUP BY vec_id),
+buck AS (SELECT vec_id, ({val})::BIGINT AS bucket FROM gsum)"""
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -193,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": pipeline.simhash_signatures,
         "simhash_near_pairs": pipeline.simhash_near_pairs,
         "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
+        "embedding_dup_lsh": pipeline.embedding_dup_lsh,
         # --- similarity search ---
         "cosine_topk": pipeline.cosine_topk,
         "ann_lsh_topk": pipeline.ann_lsh_topk,  # rows-only (approximate)
@@ -634,6 +656,22 @@ WITH p AS (
 ),{_COSINE_PAIR_CTE}
 SELECT ia AS id_a, ib AS id_b, round(dp / (na * nb), 6) AS cos_sim
 FROM s ORDER BY cos_sim DESC, id_a, id_b LIMIT 25
+""",
+        "embedding_dup_lsh": f"""
+WITH {_lsh_bucket_cte(8)},
+cap AS (SELECT bucket FROM buck GROUP BY bucket HAVING count(*) <= 2000),
+p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a
+      JOIN buck ba ON a.vec_id = ba.vec_id
+                  AND ba.bucket IN (SELECT bucket FROM cap)
+      JOIN buck bb ON bb.bucket = ba.bucket
+      JOIN embeddings b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+),{_COSINE_PAIR_CTE}
+SELECT s.ia AS id_a, s.ib AS id_b, bk.bucket AS block,
+       round(dp / (na * nb), 6) AS cos_sim
+FROM s JOIN buck bk ON s.ia = bk.vec_id
+ORDER BY cos_sim DESC, id_a, id_b LIMIT 25
 """,
         "cosine_topk": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

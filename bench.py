@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "lang_id",
     "cosine_topk",
     "embedding_dup_top_pairs",
+    "embedding_dup_lsh",
 ]
 
 

@@ -99,24 +99,33 @@ def knn_join(
 # Random-hyperplane LSH (deterministic, model-free)
 # ---------------------------------------------------------------------------
 
+def _plane_coeffs(plane: int, dim: int) -> list[float]:
+    """±1 coefficients of hyperplane ``plane``: +1 iff the 32-bit md5
+    prefix of f"{plane},{i}" is even — EXACTLY `functions.hash32` parity,
+    so the SQL oracle reproduces the same planes from md5 alone."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{plane},{i}".encode()).hexdigest()[:8], 16)  # noqa: S324
+        out.append(1.0 if h % 2 == 0 else -1.0)
+    return out
+
+
 def _hyperplane_sign(vec: F.Column, plane: int, dim: int) -> F.Column:
     """sign(h_p · v) with h_p[d] = ±1 derived from md5(p,d) parity.
 
     Deterministic and engine-reproducible: no stored random matrix, any
-    executor (or SQL oracle) rebuilds the same hyperplane.
+    executor (or SQL oracle) rebuilds the same hyperplane. The
+    coefficients depend only on (plane, index), so they are folded into
+    the plan as a LITERAL array at build time — zero md5 calls at
+    runtime (the per-row md5 form was the dominant cost of bucketing:
+    planes × dim digests per vector). The element-order sum is identical,
+    so bucket values are bitwise unchanged.
     """
+    coeffs = F.array(*[F.lit(c) for c in _plane_coeffs(plane, dim)])
     signed = F.aggregate(
-        F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda x, i: x.cast("double")
-            * F.when(
-                hash32(F.concat_ws(",", F.lit(str(plane)), i.cast("string")))
-                % 2
-                == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        ),
+        F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -127,13 +136,18 @@ def lsh_bucket(
     df: DataFrame,
     num_planes: int = 8,
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Append a ``bucket`` column: the ``num_planes``-bit hyperplane signature.
 
     Cosine-similar vectors land in the same bucket with high probability;
-    downstream joins become equi-joins on ``bucket``.
+    downstream joins become equi-joins on ``bucket``. ``dim`` (probed with
+    a one-row job when omitted — a single int on the driver) sizes the
+    literal coefficient arrays folded into the plan.
     """
-    dim = 0  # derived per-row from size(vec); planes only need the index
+    if dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        dim = row[0]["d"] if row else 0
     sig = None
     for p in range(num_planes):
         term = _hyperplane_sign(F.col(vec_col), p, dim) * F.lit(1 << p)
