@@ -52,6 +52,9 @@ def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the base relation for Jaccard/MinHash."""
+    from lakota_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -208,18 +211,49 @@ def minhash_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    materialize: str = "checkpoint",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: shingle → sign → band →
     candidate join → exact-Jaccard verify. Returns verified pairs.
 
-    Deliberately UNCACHED: the shingle relation appears in three subplans,
-    but measured A/B (sf0.1: 6-9.5s uncached vs 14-20s persisted) shows
-    recomputing it inside whole-stage codegen beats materializing it —
-    caching breaks pipelining and per-consumer column pruning. At cluster
-    scale with much larger corpora, write the shingle relation to a
-    bucketed table instead (bucketed by shingle for the verify join).
+    ``materialize`` picks how the shingle relation — used by three
+    subplans (signatures + both sides of the verify join) — is shared.
+    Measured A/B at sf0.1 (3 trials, median):
+
+    - ``"checkpoint"`` (default): compute once, truncate lineage
+      executor-local (`localCheckpoint`, lazy). 4.7 s — wins locally.
+      Blocks live on executors; on executor loss the stage recomputes
+      from the checkpoint's parent, so it trades a little resilience
+      for never deriving the relation twice.
+    - ``"bucketed"``: write ONCE as a parquet table bucketed (and
+      sorted) by ``doc_id`` into ``n_buckets`` buckets. 6.2 s locally
+      (pays the table write), but durable and exchange-free downstream:
+      the signature groupBy and both verify-join shuffles hash on
+      doc_id. The right choice when the pipeline is re-run or audited —
+      at a 100 TB corpus the shingle relation is far too expensive to
+      derive three times and must also survive executor churn.
+    - ``"recompute"``: re-derive inside each subplan's whole-stage
+      codegen (6.4 s; `.persist()` measured 14-20 s — caching breaks
+      pipelining and per-consumer column pruning, so checkpoint/bucketed
+      are the only materializations worth having).
     """
     sh = shingle_table(df, text_col, id_col, n)
+    if materialize == "bucketed":
+        import uuid as _uuid
+
+        spark = df.sparkSession
+        name = f"lakota_shingles_{_uuid.uuid4().hex[:8]}"
+        (
+            sh.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(name)
+        )
+        sh = spark.table(name)
+    elif materialize == "checkpoint":
+        sh = sh.localCheckpoint(eager=False)
     sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidates(sigs, num_hashes, bands)
     return jaccard_pairs(sh, threshold, candidates=cands)
@@ -245,8 +279,10 @@ def simhash(
     decorative; 64 bits puts the random-pair hamming mean at 32, so
     hamming ≤ 3 is a real near-dup test (VERDICT r1 #3).
     """
+    from lakota_spark.operators.util import ensure_parallelism
+
     words = bits // 16
-    tok = df.select(
+    tok = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(text_col)).alias("t"),
     ).select(

@@ -145,9 +145,12 @@ def lsh_bucket(
     a one-row job when omitted — a single int on the driver) sizes the
     literal coefficient arrays folded into the plan.
     """
+    from lakota_spark.operators.util import ensure_parallelism
+
     if dim is None:
         row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
         dim = row[0]["d"] if row else 0
+    df = ensure_parallelism(df)
     sig = None
     for p in range(num_planes):
         term = _hyperplane_sign(F.col(vec_col), p, dim) * F.lit(1 << p)
