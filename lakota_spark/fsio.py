@@ -3,9 +3,27 @@
 The reference ships four custom blob stores (file/memory/S3/HTTP PODs,
 `lakota/pod.py`); Spark already reads/writes segment data over any Hadoop
 filesystem, so the only thing needing an abstraction here is the small-file
-metadata traffic (commit log, registry, content-address renames, GC).
-pyarrow.fs provides local/S3/GCS/HDFS under one API — `Repo("s3://bucket/
-path")` works wherever pyarrow + the matching Spark Hadoop connector do.
+metadata traffic (commit log, registry, content-address renames, GC) plus
+two backend-aware hooks for bulk segment IO:
+
+- ``spark_read_uris(rel_dirs)``: URIs Spark can scan for the given segment
+  dirs. Hadoop-readable backends return their native URIs (distributed
+  IO); non-Hadoop backends (HTTP) materialize through a local cache.
+- ``spark_readable``: when False, the write path stages parquet locally
+  and publishes the part files through this FS (`series.py`).
+
+Three implementations:
+
+- ``FS``: pyarrow.fs — local/S3/GCS/HDFS under one API. `Repo("s3://
+  bucket/path")` works wherever pyarrow + the matching Spark Hadoop
+  connector do.
+- ``HttpFS``: a remote repo served by `lakota_spark.server` (the
+  reference's HTTP POD + `lakota serve`, `lakota/server.py:57-161`,
+  `lakota/http_pod.py:10-107` — same capability, our own protocol).
+- ``CacheFS``: read-through local cache over any FS (the reference's
+  layered CachePOD, `lakota/pod.py:475-533`): content-addressed names
+  make cached reads immutable-safe, and Spark scans run against the
+  local copies.
 
 Atomicity notes (object stores): local uses write-temp + atomic move; S3
 PUTs are atomic per object but `move` is copy+delete. The engine's naming
@@ -23,8 +41,138 @@ import posixpath
 _SPARK_SCHEME = {"s3": "s3a"}  # pyarrow scheme -> hadoop connector scheme
 
 
-class FS:
-    """Rooted filesystem view: all paths are relative to the repo root."""
+def open_fs(root: str, cache_dir: str | None = None):
+    """FS factory: http(s) roots get an HttpFS behind a read-through
+    cache (Spark scans need local bytes); anything else is pyarrow-backed,
+    optionally cache-wrapped (``cache_dir``) for slow remotes."""
+    scheme = root.split("://", 1)[0] if "://" in root else "file"
+    if scheme in ("http", "https"):
+        return CacheFS(HttpFS(root), cache_dir)
+    fs = FS(root)
+    return CacheFS(fs, cache_dir) if cache_dir else fs
+
+
+class BaseFS:
+    """Interface + generic algorithms shared by every backend.
+
+    All paths are repo-root-relative; subclasses provide the primitive
+    IO (`ls/walk/read_bytes/write_bytes_atomic/exists/makedirs/
+    remove_file/remove_tree/move/file_sizes`)."""
+
+    uri: str
+    scheme: str
+    is_local: bool = False
+    spark_readable: bool = False
+
+    # -- path helpers ------------------------------------------------------
+
+    def local_path(self, *parts: str) -> str | None:
+        return None
+
+    def spark_uri(self, *parts: str) -> str:
+        raise NotImplementedError(
+            f"{type(self).__name__} is not Hadoop-readable"
+        )
+
+    def spark_read_uris(self, rel_dirs: list[str]) -> list[str]:
+        """URIs Spark can scan for these (immutable, content-addressed)
+        segment dirs."""
+        return [self.spark_uri(d) for d in rel_dirs]
+
+    # -- generic algorithms ------------------------------------------------
+
+    def copy_tree(
+        self, rel_src: str, rel_dst: str, other: "BaseFS | None" = None
+    ) -> None:
+        """Copy a directory tree, possibly across backends (pull/push)."""
+        src = other or self
+        self.makedirs(rel_dst)
+        for sub, is_dir in src.walk(rel_src):
+            dst = posixpath.join(rel_dst, sub)
+            if is_dir:
+                self.makedirs(dst)
+            else:
+                self.write_bytes_atomic(
+                    dst, src.read_bytes(posixpath.join(rel_src, sub))
+                )
+
+    def files_sha1(self, rel_files: list[str], spark=None) -> list[str]:
+        """Per-file sha1 hex digests, in ``rel_files`` order.
+
+        With a SparkSession (and a Hadoop-readable scheme) the hashes run
+        as a DISTRIBUTED job — `binaryFile` scan + JVM-side `F.sha1` —
+        so no data bytes ever flow through the driver; only the 40-char
+        digests are collected. Without one (or on a non-Hadoop backend,
+        e.g. an HTTP repo) it falls back to streaming reads, which is
+        acceptable for the metadata-scale paths that use it. Both paths
+        produce IDENTICAL digests, so content addresses agree across
+        backends (push/pull dedup relies on this).
+        """
+        if spark is not None and self.spark_readable:
+            from pyspark.sql import functions as F
+
+            rows = (
+                spark.read.format("binaryFile")
+                .load([self.spark_uri(rel) for rel in rel_files])
+                .select("path", F.sha1("content").alias("sha"))
+                .collect()
+            )
+            by_base = {posixpath.basename(r.path): r.sha for r in rows}
+            return [by_base[posixpath.basename(rel)] for rel in rel_files]
+        import hashlib
+
+        out = []
+        for rel in rel_files:
+            h = hashlib.sha1(self.read_bytes(rel))  # noqa: S324 - address
+            out.append(h.hexdigest())
+        return out
+
+    @staticmethod
+    def combine_sha1(per_file: list[str]) -> str:
+        """Deterministic segment digest: sha1 over the ordered per-file
+        digests (a Merkle-style combine — order matters, bytes don't
+        re-flow)."""
+        import hashlib
+
+        return hashlib.sha1("".join(per_file).encode()).hexdigest()  # noqa: S324
+
+    # -- primitives (subclass responsibility) ------------------------------
+
+    def ls(self, rel: str) -> list[str]:
+        raise NotImplementedError
+
+    def walk(self, rel: str) -> list[tuple[str, bool]]:
+        """Recursive listing: sorted (subpath, is_dir) pairs, subpath
+        relative to ``rel``."""
+        raise NotImplementedError
+
+    def read_bytes(self, rel: str) -> bytes:
+        raise NotImplementedError
+
+    def write_bytes_atomic(self, rel: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def exists(self, rel: str) -> bool:
+        raise NotImplementedError
+
+    def makedirs(self, rel: str) -> None:
+        raise NotImplementedError
+
+    def remove_file(self, rel: str) -> None:
+        raise NotImplementedError
+
+    def remove_tree(self, rel: str) -> None:
+        raise NotImplementedError
+
+    def move(self, rel_src: str, rel_dst: str) -> None:
+        raise NotImplementedError
+
+    def file_sizes(self, rel: str) -> dict[str, int]:
+        raise NotImplementedError
+
+
+class FS(BaseFS):
+    """pyarrow.fs-backed rooted filesystem view (local/S3/GCS/HDFS)."""
 
     def __init__(self, root_uri: str):
         from pyarrow import fs as pafs
@@ -35,8 +183,7 @@ class FS:
         self.scheme = self.uri.split("://", 1)[0]
         self.fs, self.root = pafs.FileSystem.from_uri(self.uri)
         self.is_local = self.scheme == "file"
-        # schemes Spark's Hadoop layer can scan directly (distributed IO);
-        # others (e.g. an HTTP repo) route segment bytes through pyarrow
+        # schemes Spark's Hadoop layer can scan directly (distributed IO)
         self.spark_readable = self.scheme in {
             "file", "s3", "s3a", "gs", "hdfs", "abfs", "wasbs"
         }
@@ -62,6 +209,17 @@ class FS:
         return sorted(
             posixpath.basename(info.path) for info in self.fs.get_file_info(sel)
         )
+
+    def walk(self, rel: str) -> list[tuple[str, bool]]:
+        from pyarrow import fs as pafs
+
+        root = self.full(rel)
+        sel = pafs.FileSelector(root, recursive=True, allow_not_found=True)
+        out = []
+        for info in self.fs.get_file_info(sel):
+            sub = posixpath.relpath(info.path, root)
+            out.append((sub, info.type == pafs.FileType.Directory))
+        return sorted(out)
 
     def read_bytes(self, rel: str) -> bytes:
         with self.fs.open_input_stream(self.full(rel)) as fh:
@@ -110,23 +268,6 @@ class FS:
         (safe here per the content-addressing discipline above)."""
         self.fs.move(self.full(rel_src), self.full(rel_dst))
 
-    def copy_tree(self, rel_src: str, rel_dst: str, other: "FS | None" = None) -> None:
-        """Copy a directory tree, possibly across filesystems (pull/push)."""
-        src_fs = (other or self).fs
-        src_root = (other or self).full(rel_src)
-        from pyarrow import fs as pafs
-
-        sel = pafs.FileSelector(src_root, recursive=True, allow_not_found=True)
-        self.makedirs(rel_dst)
-        for info in src_fs.get_file_info(sel):
-            sub = posixpath.relpath(info.path, src_root)
-            if info.type == pafs.FileType.Directory:
-                self.makedirs(posixpath.join(rel_dst, sub))
-            elif info.type == pafs.FileType.File:
-                with src_fs.open_input_stream(info.path) as src:
-                    data = src.read()
-                self.write_bytes_atomic(posixpath.join(rel_dst, sub), data)
-
     def file_sizes(self, rel: str) -> dict[str, int]:
         from pyarrow import fs as pafs
 
@@ -137,45 +278,195 @@ class FS:
             if i.type == pafs.FileType.File
         }
 
-    def files_sha1(self, rel_files: list[str], spark=None) -> list[str]:
-        """Per-file sha1 hex digests, in ``rel_files`` order.
 
-        With a SparkSession (and a Hadoop-readable scheme) the hashes run
-        as a DISTRIBUTED job — `binaryFile` scan + JVM-side `F.sha1` —
-        so no data bytes ever flow through the driver; only the 40-char
-        digests are collected. Without one (or on a non-Hadoop backend,
-        e.g. an HTTP repo) it falls back to streaming reads, which is
-        acceptable for the metadata-scale paths that use it. Both paths
-        produce IDENTICAL digests, so content addresses agree across
-        backends (push/pull dedup relies on this).
-        """
-        if spark is not None and self.spark_readable:
-            from pyspark.sql import functions as F
+class HttpFS(BaseFS):
+    """Remote repo over HTTP, served by `lakota_spark.server.serve`.
 
-            rows = (
-                spark.read.format("binaryFile")
-                .load([self.spark_uri(rel) for rel in rel_files])
-                .select("path", F.sha1("content").alias("sha"))
-                .collect()
+    The reference's HTTP POD (`lakota/http_pod.py:10-107`) pairs with
+    `lakota serve`; this is the same capability with a deliberately tiny
+    verb set: GET bytes, GET ?op=ls|walk|info|sizes, PUT bytes,
+    DELETE ?op=file|tree, POST ?op=move|mkdir. Not Hadoop-readable —
+    `open_fs` wraps it in a CacheFS so Spark scans hit local copies.
+    """
+
+    is_local = False
+    spark_readable = False
+
+    def __init__(self, root_uri: str):
+        self.uri = root_uri.rstrip("/")
+        self.scheme = self.uri.split("://", 1)[0]
+
+    def _url(self, rel: str, **params: str) -> str:
+        from urllib.parse import quote, urlencode
+
+        url = f"{self.uri}/{quote(rel)}" if rel else self.uri + "/"
+        if params:
+            url += "?" + urlencode(params)
+        return url
+
+    def _request(self, method: str, rel: str, data: bytes | None = None,
+                 **params: str):
+        from urllib import error, request
+
+        req = request.Request(
+            self._url(rel, **params), data=data, method=method
+        )
+        try:
+            with request.urlopen(req) as resp:  # noqa: S310 - repo URL
+                return resp.read()
+        except error.HTTPError as exc:
+            if exc.code == 404:
+                raise FileNotFoundError(rel) from exc
+            raise
+
+    def _json(self, rel: str, **params: str):
+        import json
+
+        return json.loads(self._request("GET", rel, **params))
+
+    def ls(self, rel: str) -> list[str]:
+        try:
+            return sorted(name for name, _ in self._json(rel, op="ls"))
+        except FileNotFoundError:
+            return []
+
+    def walk(self, rel: str) -> list[tuple[str, bool]]:
+        try:
+            return sorted(
+                (sub, bool(d)) for sub, d in self._json(rel, op="walk")
             )
-            by_base = {posixpath.basename(r.path): r.sha for r in rows}
-            return [by_base[posixpath.basename(rel)] for rel in rel_files]
-        import hashlib
+        except FileNotFoundError:
+            return []
 
-        out = []
-        for rel in rel_files:
-            h = hashlib.sha1()  # noqa: S324 - content address
-            with self.fs.open_input_stream(self.full(rel)) as fh:
-                while chunk := fh.read(1 << 20):
-                    h.update(chunk)
-            out.append(h.hexdigest())
-        return out
+    def read_bytes(self, rel: str) -> bytes:
+        return self._request("GET", rel)
 
-    @staticmethod
-    def combine_sha1(per_file: list[str]) -> str:
-        """Deterministic segment digest: sha1 over the ordered per-file
-        digests (a Merkle-style combine — order matters, bytes don't
-        re-flow)."""
-        import hashlib
+    def write_bytes_atomic(self, rel: str, data: bytes) -> None:
+        self._request("PUT", rel, data=data)
 
-        return hashlib.sha1("".join(per_file).encode()).hexdigest()  # noqa: S324
+    def exists(self, rel: str) -> bool:
+        return self._json(rel, op="info")["type"] != "missing"
+
+    def makedirs(self, rel: str) -> None:
+        if rel:
+            self._request("POST", rel, op="mkdir")
+
+    def remove_file(self, rel: str) -> None:
+        try:
+            self._request("DELETE", rel)
+        except FileNotFoundError:
+            pass
+
+    def remove_tree(self, rel: str) -> None:
+        try:
+            self._request("DELETE", rel, op="tree")
+        except FileNotFoundError:
+            pass
+
+    def move(self, rel_src: str, rel_dst: str) -> None:
+        self._request("POST", rel_src, op="move", dst=rel_dst)
+
+    def file_sizes(self, rel: str) -> dict[str, int]:
+        try:
+            return {
+                name: int(size)
+                for name, size in self._json(rel, op="sizes")
+            }
+        except FileNotFoundError:
+            return {}
+
+
+class CacheFS(BaseFS):
+    """Read-through local cache over any FS (reference CachePOD,
+    `lakota/pod.py:475-533`).
+
+    Safe because everything the engine reads by path is immutable:
+    revision files and segment dirs are content-addressed, so a cached
+    copy can never go stale — only unreferenced (GC evicts alongside).
+    Listings/existence always hit the remote (they DO change); file
+    reads fill the cache; writes are write-through so a writer's own
+    reads are local. ``spark_read_uris`` materializes whole segment dirs
+    (marker-completed, so a crashed partial fetch re-fetches) and lets
+    Spark scan local bytes — this is what makes a non-Hadoop remote
+    (HTTP) usable as a Spark source at all, and what lkweb-style
+    deployments use to keep hot segments off the network.
+    """
+
+    def __init__(self, inner: BaseFS, cache_dir: str | None = None):
+        import tempfile
+
+        self.inner = inner
+        self._own_cache = cache_dir is None
+        self.cache_root = cache_dir or tempfile.mkdtemp(prefix="lakota-cache-")
+        self.cache = FS(self.cache_root)
+        self.uri = inner.uri
+        self.scheme = inner.scheme
+
+    _MARKER = "_CACHED"  # leading underscore: ignored by Spark scans
+
+    # -- read-through ------------------------------------------------------
+
+    def read_bytes(self, rel: str) -> bytes:
+        if self.cache.exists(rel):
+            return self.cache.read_bytes(rel)
+        data = self.inner.read_bytes(rel)
+        self.cache.write_bytes_atomic(rel, data)
+        return data
+
+    def spark_read_uris(self, rel_dirs: list[str]) -> list[str]:
+        for rel in rel_dirs:
+            marker = posixpath.join(rel, self._MARKER)
+            if self.cache.exists(marker):
+                continue
+            for sub, is_dir in self.inner.walk(rel):
+                sub_rel = posixpath.join(rel, sub)
+                if not is_dir and not self.cache.exists(sub_rel):
+                    self.cache.write_bytes_atomic(
+                        sub_rel, self.inner.read_bytes(sub_rel)
+                    )
+            self.cache.write_bytes_atomic(marker, b"")
+        return [self.cache.spark_uri(rel) for rel in rel_dirs]
+
+    def files_sha1(self, rel_files: list[str], spark=None) -> list[str]:
+        # hash the (write-through) local copies — distributed when possible
+        if all(self.cache.exists(rel) for rel in rel_files):
+            return self.cache.files_sha1(rel_files, spark=spark)
+        return super().files_sha1(rel_files, spark=None)
+
+    # -- write-through + delegation ---------------------------------------
+
+    def write_bytes_atomic(self, rel: str, data: bytes) -> None:
+        self.inner.write_bytes_atomic(rel, data)
+        self.cache.write_bytes_atomic(rel, data)
+
+    def ls(self, rel: str) -> list[str]:
+        return self.inner.ls(rel)
+
+    def walk(self, rel: str) -> list[tuple[str, bool]]:
+        return self.inner.walk(rel)
+
+    def exists(self, rel: str) -> bool:
+        return self.inner.exists(rel)
+
+    def makedirs(self, rel: str) -> None:
+        self.inner.makedirs(rel)
+
+    def file_sizes(self, rel: str) -> dict[str, int]:
+        return self.inner.file_sizes(rel)
+
+    def remove_file(self, rel: str) -> None:
+        self.inner.remove_file(rel)
+        self.cache.remove_file(rel)
+
+    def remove_tree(self, rel: str) -> None:
+        self.inner.remove_tree(rel)
+        self.cache.remove_tree(rel)
+
+    def move(self, rel_src: str, rel_dst: str) -> None:
+        self.inner.move(rel_src, rel_dst)
+        # cheap coherence: drop the cached source (dst re-fetches on read)
+        for evict in (self.cache.remove_tree, self.cache.remove_file):
+            try:
+                evict(rel_src)
+            except OSError:
+                pass

@@ -20,7 +20,7 @@ from pyspark.sql import SparkSession
 from lakota_spark.changelog import hexts, hexts_to_epoch
 from lakota_spark.collection import Collection
 from lakota_spark.commit import Snapshot
-from lakota_spark.fsio import FS
+from lakota_spark.fsio import open_fs
 from lakota_spark.schema import Schema
 
 REGISTRY_DIR = ".registry"
@@ -29,7 +29,7 @@ TRASH_MARK = ".trash-"
 
 class Repo:
     def __init__(self, root: str, spark: SparkSession | None = None):
-        self.fs = FS(root)
+        self.fs = open_fs(root)
         self.root = self.fs.local_path() or self.fs.uri
         if spark is None:
             from lakota_spark.session import get_spark

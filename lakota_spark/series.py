@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakota_spark.commit import Segment, Snapshot
+from lakota_spark.fsio import FS
 
 PAGE_LEN = 500_000  # target rows per segment (`lakota/utils.py:38`)
 
@@ -171,7 +172,6 @@ class Series:
         fs = self.collection.fs
         seg_prefix = self.collection.seg_prefix
         fs.makedirs(seg_prefix)
-        tmp_rel = f"{seg_prefix}/_tmp-{uuid.uuid4().hex}"
         n_parts = max(1, -(-n_rows // PAGE_LEN))
         idx_cols = [F.col(c) for c in self.schema.idx]
         out = (
@@ -180,22 +180,54 @@ class Series:
             if n_parts > 1
             else df.coalesce(1).sortWithinPartitions(*idx_cols)
         )
-        out.write.mode("overwrite").parquet(fs.spark_uri(tmp_rel))
-        # NB: hash CONTENT only — Spark part-file names embed a random UUID.
-        # Per-file sha1 runs as a distributed job on the executors (no
-        # segment bytes through the driver); only the 40-char digests are
-        # collected and Merkle-combined into the content address.
-        parts = [
-            f"{tmp_rel}/{n}" for n in fs.ls(tmp_rel) if n.endswith(".parquet")
-        ]
-        digest = fs.combine_sha1(fs.files_sha1(parts, spark=df.sparkSession))
-        name = digest[:20]
-        final_rel = f"{seg_prefix}/{name}"
-        if fs.exists(final_rel):
-            fs.remove_tree(tmp_rel)  # content dedup: identical segment exists
-        else:
-            fs.move(tmp_rel, final_rel)
-        return name, digest
+        if fs.spark_readable:
+            tmp_rel = f"{seg_prefix}/_tmp-{uuid.uuid4().hex}"
+            out.write.mode("overwrite").parquet(fs.spark_uri(tmp_rel))
+            # NB: hash CONTENT only — Spark part-file names embed a random
+            # UUID. Per-file sha1 runs as a distributed job on the
+            # executors (no segment bytes through the driver); only the
+            # 40-char digests are collected and Merkle-combined into the
+            # content address.
+            parts = [
+                f"{tmp_rel}/{n}"
+                for n in fs.ls(tmp_rel)
+                if n.endswith(".parquet")
+            ]
+            digest = fs.combine_sha1(
+                fs.files_sha1(parts, spark=df.sparkSession)
+            )
+            name = digest[:20]
+            final_rel = f"{seg_prefix}/{name}"
+            if fs.exists(final_rel):
+                fs.remove_tree(tmp_rel)  # content dedup: segment exists
+            else:
+                fs.move(tmp_rel, final_rel)
+            return name, digest
+        # Non-Hadoop backend (HTTP repo): Spark writes to LOCAL staging —
+        # still distributed compute, local disk IO — then the part files
+        # publish through the FS verbs. Identical bytes/ordering to the
+        # direct path, so content addresses agree across backends.
+        import shutil
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="lakota-stage-")
+        try:
+            out.write.mode("overwrite").parquet("file://" + staging)
+            local = FS(staging)
+            parts = [n for n in local.ls("") if n.endswith(".parquet")]
+            digest = fs.combine_sha1(
+                local.files_sha1(parts, spark=df.sparkSession)
+            )
+            name = digest[:20]
+            final_rel = f"{seg_prefix}/{name}"
+            if not fs.exists(final_rel):
+                for part in parts:
+                    fs.write_bytes_atomic(
+                        f"{final_rel}/{part}", local.read_bytes(part)
+                    )
+            return name, digest
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def _commit_segment(self, seg: Segment):
         return self.collection.apply_segments([seg])
@@ -260,7 +292,7 @@ class Series:
         seg_prefix = self.collection.seg_prefix
         paths = sorted({s.path for s in live})
         df = self.spark.read.parquet(
-            *[fs.spark_uri(f"{seg_prefix}/{p}") for p in paths]
+            *fs.spark_read_uris([f"{seg_prefix}/{p}" for p in paths])
         )
         if range_pred is not None:
             df = range_pred(df)  # before input_file_name: stays pushable

@@ -102,6 +102,50 @@ def _chain(cmp: Callable[[Any, Any], Column]) -> Callable:
     return run
 
 
+class KWargs:
+    """``(kw 'name' value ...)`` → keyword arguments for the enclosing
+    call (`lakota/sexpr.py:66-71`): ``(unique arr (kw 'return_counts'
+    true))`` becomes ``unique(arr, return_counts=True)``."""
+
+    def __init__(self, *items):
+        self.value = dict(zip(items[::2], items[1::2]))
+
+    def __repr__(self):
+        return f"<KWargs {self.value}>"
+
+
+def _numpy_fn(name: str):
+    """Resolve a dotted numpy path (`lakota/sexpr.py:153-161`): the
+    reference's escape hatch for arbitrary vectorized functions. Here it
+    serves the DRIVER-SIDE value path (literals / env values) — Column
+    arguments stay on the curated Spark table so nothing silently drops
+    out of the JVM."""
+    import numpy as np
+
+    fn = np
+    for part in name.split("."):
+        fn = getattr(fn, part, None)
+        if fn is None:
+            return None
+    return fn if callable(fn) else None
+
+
+def _split_kwargs(vals):
+    pos, kw = [], {}
+    for v in vals:
+        if isinstance(v, KWargs):
+            kw.update(v.value)
+        else:
+            pos.append(v)
+    return pos, kw
+
+
+def _has_column(pos, kw) -> bool:
+    return any(isinstance(v, Column) for v in pos) or any(
+        isinstance(v, Column) for v in kw.values()
+    )
+
+
 BUILTINS: dict[str, Callable] = {
     "+": _fold(lambda a, b: a + b),
     "-": _fold(lambda a, b: a - b),
@@ -110,8 +154,8 @@ BUILTINS: dict[str, Callable] = {
     "%": _fold(lambda a, b: a % b),
     "and": _fold(lambda a, b: a & b),
     "or": _fold(lambda a, b: a | b),
-    "~": lambda a: ~a,
-    "not": lambda a: ~a,
+    "~": lambda a: ~a if isinstance(a, Column) else not a,
+    "not": lambda a: ~a if isinstance(a, Column) else not a,
     "<": _chain(lambda a, b: a < b),
     "<=": _chain(lambda a, b: a <= b),
     "=": _chain(lambda a, b: a == b),
@@ -125,6 +169,7 @@ BUILTINS: dict[str, Callable] = {
     else a.isin(*vals[0]),
     "list": lambda *xs: list(xs),
     "dict": lambda *xs: dict(zip(xs[::2], xs[1::2])),
+    "kw": KWargs,
     "floor": floor_time,
     "as-tz": as_tz,
     "day_of_week_num": day_of_week_num,
@@ -174,10 +219,12 @@ def _is_aggregate(ast) -> bool:
 
 
 def _atom_value(tok: str, env: dict):
+    # Python bools, not lit Columns: they must be usable as kwargs values
+    # and numpy arguments; Column operators coerce them back when mixed.
     if tok == "true":
-        return F.lit(True)
+        return True
     if tok == "false":
-        return F.lit(False)
+        return False
     try:
         return int(tok)
     except ValueError:
@@ -212,20 +259,49 @@ def evaluate(ast, env: dict | None = None, order_col: str | None = None):
                          evaluate(args[1], env, order_col))
         if name in AGGREGATES:
             return _aggregate(name, args, env, order_col)
+        vals = [evaluate(a, env, order_col) for a in args]
+        pos, kw = _split_kwargs(vals)
         fn = env.get(name) or BUILTINS.get(name)
+        if not _has_column(pos, kw) and name not in (env or {}):
+            # plain values: the reference evaluates these with numpy
+            # directly (`lakota/sexpr.py:153-161`) — same here, driver-side
+            np_fn = _numpy_fn(name)
+            if np_fn is not None and name not in ("list", "dict", "kw",
+                                                  "where", "floor"):
+                return np_fn(*pos, **kw)
         if fn is None:
+            np_fn = _numpy_fn(name)
+            if np_fn is not None:
+                raise SexprError(
+                    f"numpy fallback {name!r} only applies to plain "
+                    "values; for Column arguments register a pandas_udf "
+                    "via env (Arrow-batched) to keep it vectorized"
+                )
             raise SexprError(
                 f"unknown function {name!r} — closest Spark surface: "
                 "pyspark.sql.functions; register via env for custom logic"
             )
-        vals = [evaluate(a, env, order_col) for a in args]
-        return fn(*vals)
+        return fn(*pos, **kw) if kw else fn(*pos)
     raise SexprError(f"cannot call non-atom {head!r}")
 
 
 def _aggregate(name: str, args, env, order_col):
     vals = [evaluate(a, env, order_col) for a in args]
     col = vals[0] if vals else F.lit(1)
+    if vals and not isinstance(col, (Column, Alias)):
+        # plain values (lists / env arrays): the reference computes these
+        # with numpy on the driver — e.g. ``(max (list 1 2 3))`` -> 3
+        import numpy as np
+
+        plain = {
+            "min": np.min, "max": np.max, "sum": np.sum,
+            "mean": np.mean, "average": np.mean,
+            "count": len, "len": len,
+            "first": lambda a: a[0], "last": lambda a: a[-1],
+        }
+        if name == "quantile":
+            return np.quantile(col, vals[1] if len(vals) > 1 else 0.5)
+        return plain[name](col)
     if name == "min":
         return F.min(col)
     if name == "max":

@@ -20,3 +20,24 @@ def repo(spark):
     root = tempfile.mkdtemp(prefix="lakota-spark-test-")
     yield Repo(root, spark)
     shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.fixture(params=["file", "http"])
+def any_repo(request, spark):
+    """Storage-matrix fixture (reference `tests/conftest.py:29-41`): the
+    same engine suite runs over the local backend and over a live HTTP
+    repo server (HttpFS + read-through CacheFS)."""
+    import contextlib
+
+    from lakota_spark.repo import Repo
+
+    root = tempfile.mkdtemp(prefix="lakota-spark-test-")
+    with contextlib.ExitStack() as stack:
+        if request.param == "http":
+            from lakota_spark.server import serve
+
+            url = stack.enter_context(serve(root))
+            yield Repo(url, spark)
+        else:
+            yield Repo(root, spark)
+    shutil.rmtree(root, ignore_errors=True)

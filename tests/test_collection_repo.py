@@ -10,6 +10,12 @@ from lakota_spark.changelog import PHI
 from lakota_spark.schema import Schema
 
 
+@pytest.fixture()
+def repo(any_repo):
+    """Storage matrix: collection/repo tests run over file AND http."""
+    return any_repo
+
+
 def _mk(repo, name="c"):
     coll = repo.create_collection(Schema(ts="int*", value="float"), name)
     return coll

@@ -1,0 +1,104 @@
+"""HTTP backend + layered cache semantics (reference S11 + CachePOD:
+`lakota/server.py:57-161`, `lakota/http_pod.py:10-107`,
+`lakota/pod.py:475-533`)."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from lakota_spark.fsio import FS, CacheFS, HttpFS
+from lakota_spark.schema import Schema
+from lakota_spark.server import serve
+
+
+@pytest.fixture()
+def http_root():
+    root = tempfile.mkdtemp(prefix="lakota-http-test-")
+    with serve(root) as url:
+        yield root, url
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_httpfs_primitives(http_root):
+    root, url = http_root
+    fs = HttpFS(url)
+    assert fs.ls("") == []
+    fs.write_bytes_atomic("a/b/data.json", b"{}")
+    assert fs.read_bytes("a/b/data.json") == b"{}"
+    assert fs.exists("a/b/data.json") and fs.exists("a/b")
+    assert not fs.exists("a/nope")
+    assert fs.ls("a") == ["b"]
+    assert fs.walk("a") == [("b", True), ("b/data.json", False)]
+    assert fs.file_sizes("a/b") == {"data.json": 2}
+    fs.move("a/b/data.json", "a/b/renamed.json")
+    assert fs.ls("a/b") == ["renamed.json"]
+    fs.makedirs("a/empty")
+    assert fs.exists("a/empty")
+    fs.remove_file("a/b/renamed.json")
+    assert fs.ls("a/b") == []
+    fs.remove_tree("a")
+    assert not fs.exists("a")
+    with pytest.raises(FileNotFoundError):
+        fs.read_bytes("gone")
+
+
+def test_httpfs_path_escape_rejected(http_root):
+    _, url = http_root
+    fs = HttpFS(url)
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        fs._request("GET", "../outside")
+
+
+def test_cachefs_second_read_is_local(http_root, spark):
+    # the reference CachePOD contract: a second read never touches the
+    # remote. Frame reads cover both paths — small-file metadata
+    # (read_bytes) and Spark segment scans (spark_read_uris walk+fetch).
+    from lakota_spark.repo import Repo
+
+    root, url = http_root
+    repo = Repo(url, spark)
+    fs = repo.fs
+    assert isinstance(fs, CacheFS) and isinstance(fs.inner, HttpFS)
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "c")
+    s = coll.series("s")
+    s.write({"ts": [1, 2, 3], "value": [1.0, 2.0, 3.0]})
+    assert [r.value for r in s.frame().collect()] == [1.0, 2.0, 3.0]
+
+    remote_reads = []
+    orig_read, orig_walk = fs.inner.read_bytes, fs.inner.walk
+
+    def spy_read(rel):
+        remote_reads.append(("read", rel))
+        return orig_read(rel)
+
+    def spy_walk(rel):
+        remote_reads.append(("walk", rel))
+        return orig_walk(rel)
+
+    fs.inner.read_bytes = spy_read
+    fs.inner.walk = spy_walk
+    try:
+        assert [r.value for r in s.frame().collect()] == [1.0, 2.0, 3.0]
+    finally:
+        fs.inner.read_bytes = orig_read
+        fs.inner.walk = orig_walk
+    assert remote_reads == []  # every byte served from the local cache
+
+
+def test_cachefs_wraps_any_backend(spark, tmp_path):
+    # layered cache over a plain FS remote (the lkweb deployment shape):
+    # same read-through contract without HTTP in the middle.
+    remote = FS(str(tmp_path / "remote"))
+    remote.write_bytes_atomic("x/blob", b"payload")
+    fs = CacheFS(remote, str(tmp_path / "cache"))
+    assert fs.read_bytes("x/blob") == b"payload"
+    # now corrupt the remote: the cache must still serve the first copy
+    remote.write_bytes_atomic("x/blob", b"DIFFERENT")
+    assert fs.read_bytes("x/blob") == b"payload"
+    # write-through publishes to both sides
+    fs.write_bytes_atomic("y/out", b"ok")
+    assert remote.read_bytes("y/out") == b"ok"
+    assert fs.cache.read_bytes("y/out") == b"ok"

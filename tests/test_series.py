@@ -15,6 +15,12 @@ TS = [1589455903, 1589455904, 1589455905]
 
 
 @pytest.fixture()
+def repo(any_repo):
+    """Storage matrix: every series test runs over file AND http."""
+    return any_repo
+
+
+@pytest.fixture()
 def series(repo):
     coll = repo.create_collection(Schema(timestamp="int*", value="float"), "temp")
     s = coll.series("paris")

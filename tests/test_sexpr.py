@@ -116,3 +116,51 @@ def test_tz(spark):
     )
     out = sexpr.select_expr(df, "(as (as-tz self.ts 'Europe/Brussels') 'local')")
     assert out.collect()[0].local == dt.datetime(2020, 6, 1, 14, 0, 0)
+
+
+def test_kw_construct():
+    # reference `tests/sexpr_test.py:32-34`
+    from lakota_spark.sexpr import KWargs, evaluate, parse
+
+    res = evaluate(parse("(kw 'return_counts' true)"))
+    assert isinstance(res, KWargs)
+    assert res.value == {"return_counts": True}
+
+
+def test_numpy_fallback_plain_values():
+    # reference `tests/sexpr_test.py:42-61`: arbitrary numpy names run on
+    # plain values (driver-side); Columns stay on the Spark table.
+    import numpy as np
+
+    from lakota_spark.sexpr import evaluate, parse
+
+    res = evaluate(parse("(asarray (list 1 2 3))"))
+    assert all(res == np.asarray([1, 2, 3]))
+
+    assert evaluate(parse("(max (list 1 2 3))")) == 3
+
+    arr = np.asarray([1, 2, 1, 2])
+    res = evaluate(parse("(unique arr true)"), env={"arr": arr})
+    assert all(res[0] == [1, 2]) and all(res[1] == [0, 1])
+
+    res = evaluate(
+        parse("(unique arr (kw 'return_counts' true))"), env={"arr": arr}
+    )
+    assert all(res[0] == [1, 2]) and all(res[1] == [2, 2])
+
+    res = evaluate(parse("(char.lower arr)"), env={"arr": ["HAM", "Spam"]})
+    assert all(res == ["ham", "spam"])
+
+
+def test_numpy_fallback_rejects_columns(frame):
+    # a Column argument must NOT fall into driver-side numpy: the error
+    # points at the pandas_udf escape hatch instead
+    with pytest.raises(SexprError, match="pandas_udf"):
+        sexpr.mask(frame, "(> (sin self.value) 0)")
+
+
+def test_env_plain_value():
+    # reference `tests/sexpr_test.py:37-39`
+    from lakota_spark.sexpr import evaluate, parse
+
+    assert evaluate(parse("hello"), env={"hello": "world"}) == "world"
