@@ -6,9 +6,14 @@
     lakota-spark -r /path/repo read temp/paris --mask "(< self.value 28)" \
         "(floor self.timestamp 'M')" "(max self.value)"
     lakota-spark -r /path/repo rev temp | len temp/paris | squash | gc ...
+    lakota-spark -r /path/repo push /backup/repo | pull http://host:8080
+    lakota-spark -r /path/repo import temp/paris data.csv
+    lakota-spark -r /path/repo rename temp/paris temp/bxl | clone temp t2
+    lakota-spark -r /path/repo trim temp | serve --port 8080
 
 Column arguments containing ``(`` switch read into reduce mode, exactly
-like the reference (`lakota/cli.py:307-314`).
+like the reference (`lakota/cli.py:307-314`); collection/series labels
+resolve by unique prefix (`lakota/cli.py:254-277`).
 """
 
 from __future__ import annotations
@@ -32,6 +37,32 @@ def _split(path: str) -> tuple[str, str]:
     if not series:
         raise SystemExit(f"expected collection/series, got {path!r}")
     return coll, series
+
+
+def _collection(repo, label):
+    """Exact label, else unique-prefix resolution
+    (`lakota/cli.py:254-262`)."""
+    try:
+        return repo.collection(label)
+    except KeyError:
+        match = [c for c in repo.ls() if c.startswith(label)]
+        if len(match) == 1:
+            return repo.collection(match[0])
+        raise SystemExit(f'Collection "{label}" not found')
+
+
+def _series(repo, path: str, auto_create: bool = False):
+    """collection/series with unique-prefix resolution on BOTH parts
+    (`lakota/cli.py:265-277`)."""
+    c_label, s_label = _split(path)
+    coll = _collection(repo, c_label)
+    labels = coll.ls()
+    if auto_create or s_label in labels:
+        return coll.series(s_label)
+    match = [s for s in labels if s.startswith(s_label)]
+    if len(match) == 1:
+        return coll.series(match[0])
+    raise SystemExit(f"Series '{path}' not found")
 
 
 def cmd_ls(args):
@@ -62,8 +93,6 @@ def cmd_create(args):
 
 def cmd_write(args):
     repo = _repo(args)
-    coll_label, series_label = _split(args.path)
-    coll = repo.collection(coll_label)
     import io
 
     import pandas as pd
@@ -71,7 +100,7 @@ def cmd_write(args):
     data = pd.read_csv(
         args.file if args.file else io.StringIO(sys.stdin.read())
     )
-    coll.series(series_label).write(data)
+    _series(repo, args.path, auto_create=True).write(data)
     print(f"wrote {len(data)} rows to {args.path}")
 
 
@@ -79,8 +108,7 @@ def cmd_read(args):
     from lakota_spark import sexpr
 
     repo = _repo(args)
-    coll_label, series_label = _split(args.path)
-    series = repo.collection(coll_label).series(series_label)
+    series = _series(repo, args.path)
     df = series.frame(
         start=args.greater_than,
         stop=args.less_than,
@@ -103,13 +131,12 @@ def cmd_read(args):
 
 def cmd_len(args):
     repo = _repo(args)
-    coll_label, series_label = _split(args.path)
-    print(len(repo.collection(coll_label).series(series_label)))
+    print(len(_series(repo, args.path)))
 
 
 def cmd_rev(args):
     repo = _repo(args)
-    coll = repo.collection(args.label)
+    coll = _collection(repo, args.label)
     for rev in coll.changelog.log():
         import datetime as dt
 
@@ -119,20 +146,86 @@ def cmd_rev(args):
 
 def cmd_squash(args):
     repo = _repo(args)
-    repo.collection(args.label).squash()
+    _collection(repo, args.label).squash()
     print(f"squashed {args.label}")
 
 
 def cmd_defrag(args):
     repo = _repo(args)
-    repo.collection(args.label).defrag()
+    _collection(repo, args.label).defrag()
     print(f"defragged {args.label}")
+
+
+def cmd_trim(args):
+    repo = _repo(args)
+    _collection(repo, args.label).trim(before=args.before)
+    print(f"trimmed {args.label}")
 
 
 def cmd_merge(args):
     repo = _repo(args)
-    rev = repo.collection(args.label).merge()
+    rev = _collection(repo, args.label).merge()
     print(f"merged {args.label}" if rev else "nothing to merge")
+
+
+def cmd_push(args):
+    from lakota_spark.repo import Repo
+
+    repo = _repo(args)
+    remote = Repo(args.remote, repo.spark)
+    repo.push(remote, args.labels or None)
+    print(f"pushed -> {args.remote}")
+
+
+def cmd_pull(args):
+    from lakota_spark.repo import Repo
+
+    repo = _repo(args)
+    remote = Repo(args.remote, repo.spark)
+    repo.pull(remote, args.labels or None)
+    print(f"pulled <- {args.remote}")
+
+
+def cmd_import(args):
+    repo = _repo(args)
+    coll_label, series_label = _split(args.path)
+    if args.format == "csv" or (
+        args.format == "auto" and args.file.endswith(".csv")
+    ):
+        repo.import_csv(coll_label, series_label, args.file)
+    else:
+        repo.import_parquet(coll_label, series_label, args.file)
+    print(f"imported {args.file} -> {args.path}")
+
+
+def cmd_rename(args):
+    repo = _repo(args)
+    if "/" in args.old:
+        coll_label, old_series = _split(args.old)
+        new_series = args.new.rpartition("/")[2]
+        _collection(repo, coll_label).rename_series(old_series, new_series)
+    else:
+        repo.rename_collection(args.old, args.new)
+    print(f"renamed {args.old} -> {args.new}")
+
+
+def cmd_clone(args):
+    repo = _repo(args)
+    _collection(repo, args.label).clone(args.new_label)
+    print(f"cloned {args.label} -> {args.new_label}")
+
+
+def cmd_serve(args):
+    from lakota_spark.server import _make_handler
+
+    root = _repo(args).fs.local_path()
+    if root is None:
+        raise SystemExit("serve requires a local repo root")
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer((args.host, args.port), _make_handler(root))
+    print(f"serving {root} on http://{args.host}:{httpd.server_address[1]}")
+    httpd.serve_forever()
 
 
 def cmd_gc(args):
@@ -182,7 +275,30 @@ def main(argv=None):
     s = sub.add_parser("rev"); s.add_argument("label"); s.set_defaults(fn=cmd_rev)
     s = sub.add_parser("squash"); s.add_argument("label"); s.set_defaults(fn=cmd_squash)
     s = sub.add_parser("defrag"); s.add_argument("label"); s.set_defaults(fn=cmd_defrag)
+    s = sub.add_parser("trim")
+    s.add_argument("label"); s.add_argument("--before", type=float)
+    s.set_defaults(fn=cmd_trim)
     s = sub.add_parser("merge"); s.add_argument("label"); s.set_defaults(fn=cmd_merge)
+    s = sub.add_parser("push")
+    s.add_argument("remote"); s.add_argument("labels", nargs="*")
+    s.set_defaults(fn=cmd_push)
+    s = sub.add_parser("pull")
+    s.add_argument("remote"); s.add_argument("labels", nargs="*")
+    s.set_defaults(fn=cmd_pull)
+    s = sub.add_parser("import")
+    s.add_argument("path"); s.add_argument("file")
+    s.add_argument("--format", default="auto", choices=["auto", "csv", "parquet"])
+    s.set_defaults(fn=cmd_import)
+    s = sub.add_parser("rename")
+    s.add_argument("old"); s.add_argument("new")
+    s.set_defaults(fn=cmd_rename)
+    s = sub.add_parser("clone")
+    s.add_argument("label"); s.add_argument("new_label")
+    s.set_defaults(fn=cmd_clone)
+    s = sub.add_parser("serve")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.set_defaults(fn=cmd_serve)
     s = sub.add_parser("gc")
     s.add_argument("--timeout", type=float, default=0.0)
     s.set_defaults(fn=cmd_gc)

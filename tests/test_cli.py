@@ -1,0 +1,94 @@
+"""CLI verb round-trips (reference `lakota/cli.py:650-846`) including
+unique-prefix label resolution (`lakota/cli.py:254-277`)."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from lakota_spark import cli
+from lakota_spark.repo import Repo
+from lakota_spark.schema import Schema
+
+
+@pytest.fixture()
+def cli_env(spark, monkeypatch, capsys):
+    """A repo pre-seeded via the library + a runner that invokes main()
+    with -r pointing at it (sharing the test SparkSession)."""
+    root = tempfile.mkdtemp(prefix="lakota-cli-test-")
+    repo = Repo(root, spark)
+    monkeypatch.setattr(cli, "_repo", lambda args: Repo(args.repo, spark))
+
+    def run(*argv):
+        cli.main(["-r", root, *argv])
+        return capsys.readouterr().out
+
+    yield root, repo, run
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _seed(repo):
+    coll = repo.create_collection(
+        Schema(timestamp="int*", value="float"), "temperature"
+    )
+    coll.series("paris").write(
+        {"timestamp": [1, 2, 3], "value": [1.0, 2.0, 3.0]}
+    )
+    return coll
+
+
+def test_prefix_resolution(cli_env):
+    root, repo, run = cli_env
+    _seed(repo)
+    # unique prefixes resolve on both collection and series parts
+    assert run("len", "temp/par").strip() == "3"
+    assert "value" in run("read", "temp/par")
+    # ambiguous/unknown prefixes exit
+    repo.create_collection(Schema(timestamp="int*", value="float"), "temp2")
+    with pytest.raises(SystemExit):
+        run("len", "temp/paris")  # 'temp' now ambiguous
+    with pytest.raises(SystemExit):
+        run("len", "temperature/nope")
+
+
+def test_rename_and_clone(cli_env):
+    root, repo, run = cli_env
+    _seed(repo)
+    run("rename", "temperature/paris", "temperature/brussels")
+    assert repo.collection("temperature").ls() == ["brussels"]
+    run("rename", "temperature", "weather")
+    assert "weather" in repo.ls() and "temperature" not in repo.ls()
+    run("clone", "weather", "weather2")
+    out = Repo(root, repo.spark).collection("weather2").series("brussels")
+    assert len(out) == 3
+
+
+def test_push_pull(cli_env, spark):
+    root, repo, run = cli_env
+    _seed(repo)
+    remote = tempfile.mkdtemp(prefix="lakota-cli-remote-")
+    try:
+        run("push", remote)
+        assert Repo(remote, spark).ls() == ["temperature"]
+        # new data flows back via pull
+        r2 = Repo(remote, spark)
+        r2.collection("temperature").series("nyc").write(
+            {"timestamp": [9], "value": [9.0]}
+        )
+        run("pull", remote)
+        assert repo.collection("temperature").ls() == ["nyc", "paris"]
+    finally:
+        shutil.rmtree(remote, ignore_errors=True)
+
+
+def test_import_csv_and_trim(cli_env, tmp_path):
+    root, repo, run = cli_env
+    _seed(repo)
+    csv = tmp_path / "more.csv"
+    csv.write_text("timestamp,value\n4,4.0\n5,5.0\n")
+    run("import", "temperature/paris", str(csv))
+    assert run("len", "temperature/paris").strip() == "5"
+    run("trim", "temperature")
+    coll = Repo(root, repo.spark).collection("temperature")
+    assert len(coll.changelog.revisions()) == 1
+    assert len(coll.series("paris")) == 5
