@@ -195,6 +195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": tpch.top_suppliers_q15,
         "tpch_q18_large_orders": tpch.q18_large_orders,
         "tpch_q8_market_share": tpch.q8_market_share,
+        "tpch_q13_order_dist": tpch.q13_order_distribution,
+        "tpch_q14_promo": tpch.q14_promo_revenue,
+        "tpch_q19_disjunctive": tpch.q19_disjunctive_revenue,
+        "tpch_q22_no_orders": tpch.q22_balance_no_orders,
         # --- storage-engine round-trips (write path + read path under
         #     the oracle: ingest -> segment -> commit -> prune -> scan) ---
         "engine_range_scan": engine_demo.engine_range_scan,
@@ -424,6 +428,46 @@ WITH per_year AS (
 SELECT order_year, nation_revenue, total_revenue,
        nation_revenue / total_revenue AS mkt_share
 FROM per_year
+""",
+        "tpch_q13_order_dist": """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+""",
+        "tpch_q14_promo": """
+SELECT 100.0
+  * (sum(CASE WHEN p_type LIKE 'PROMO%'
+              THEN round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT
+              ELSE 0 END) / 10000.0)
+  / (sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0)
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+        "tpch_q19_disjunctive": """
+SELECT sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity BETWEEN 1 AND 40 AND p_size BETWEEN 1 AND 30
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+        AND l_quantity BETWEEN 10 AND 40))
+""",
+        "tpch_q22_no_orders": """
+WITH avg_bal AS (
+  SELECT sum(round(c_acctbal * 100)::BIGINT) / 100.0 / count(*) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey AS nationkey, count(*) AS numcust,
+       sum(round(c_acctbal * 100)::BIGINT) / 100.0 AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-06-01')
+GROUP BY c_nationkey
 """,
         "funnel_vcp": """
 WITH v AS (SELECT user_id, min(ts) AS tv FROM events

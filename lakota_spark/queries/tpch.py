@@ -350,3 +350,94 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_revenue",
         (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
     )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer. Left outer join
+    keeps order-less customers (count 0), then a second aggregation
+    histograms the counts — two shuffles, both partial-aggregated."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share. Conditional fixed-point sums; the
+    part join broadcasts the dimension; ratio left unrounded (int-exact
+    numerator/denominator -> deterministic double division)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(_DISC_PRICE() * 10000).cast("long")
+    joined = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * (F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), cents).otherwise(0)
+            ) / F.lit(10000.0))
+            / (F.sum(cents) / F.lit(10000.0))
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-flavored: disjunctive brand/size/quantity predicates.
+    The OR-of-ANDs predicate references both sides, so it evaluates
+    post-join; the per-side prefilters (size/quantity envelopes) are
+    what pushes to the scans — the planner-friendly Q19 shape."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 40))
+        )
+    )
+    joined = (
+        l.where(F.col("l_quantity").between(1, 40))
+        .join(F.broadcast(p.where(F.col("p_size").between(1, 30))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+    )
+    return joined.agg(money_sum(_DISC_PRICE(), 10000).alias("revenue"))
+
+
+def q22_balance_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-flavored: positive-balance customers above the global
+    average balance with no RECENT orders, per nation. The global average
+    is a broadcast scalar (no global window); the inactivity test is an
+    anti join against the date-filtered orders (filter pushed to the
+    scan)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pos = c.where(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        (money_sum(F.col("c_acctbal"), 100) / F.count(F.lit(1))).alias("a")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+    )
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    no_orders = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return no_orders.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        money_sum(F.col("c_acctbal"), 100).alias("totacctbal"),
+    )

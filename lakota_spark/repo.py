@@ -29,7 +29,9 @@ TRASH_MARK = ".trash-"
 
 class Repo:
     def __init__(self, root: str, spark: SparkSession | None = None):
-        self.fs = open_fs(root)
+        from lakota_spark.fsio import BaseFS
+
+        self.fs = root if isinstance(root, BaseFS) else open_fs(root)
         self.root = self.fs.local_path() or self.fs.uri
         if spark is None:
             from lakota_spark.session import get_spark

@@ -183,6 +183,66 @@ class Schema:
         }
 
     @classmethod
+    def from_frame(cls, frame, idx_columns: list[str] | None = None) -> "Schema":
+        """Bootstrap a schema from a frame's columns and dtypes
+        (`lakota/schema.py:194-205`). ``frame`` may be a Spark DataFrame,
+        a pandas DataFrame, or a dict of sequences/arrays. Like the
+        reference, every column defaults to an index column when
+        ``idx_columns`` is omitted.
+        """
+        from pyspark.sql import DataFrame
+
+        spark_to_alias = {
+            T.TimestampType(): "timestamp",
+            T.DateType(): "date",
+            T.LongType(): "int",
+            T.IntegerType(): "int",
+            T.ShortType(): "int",
+            T.DoubleType(): "float",
+            T.FloatType(): "float",
+            T.StringType(): "str",
+        }
+
+        def alias_of(values, spark_type=None) -> str:
+            if spark_type is not None:
+                try:
+                    return spark_to_alias[spark_type]
+                except KeyError:
+                    raise ValueError(f"unsupported dtype {spark_type}")
+            kind = getattr(getattr(values, "dtype", None), "kind", None)
+            if kind is not None:
+                return {
+                    "M": "timestamp", "i": "int", "u": "int",
+                    "f": "float", "U": "str", "O": "str", "b": "int",
+                }.get(kind, "str")
+            probe = next(iter(values), None)
+            if isinstance(probe, bool) or isinstance(probe, int):
+                return "int"
+            if isinstance(probe, float):
+                return "float"
+            if isinstance(probe, dt.datetime):
+                return "timestamp"
+            if isinstance(probe, dt.date):
+                return "date"
+            return "str"
+
+        if isinstance(frame, DataFrame):
+            cols = {f.name: alias_of(None, f.dataType) for f in frame.schema}
+        else:
+            items = (
+                frame.items() if hasattr(frame, "items")
+                else ((c, frame[c]) for c in frame.columns)
+            )
+            cols = {name: alias_of(vals) for name, vals in items}
+        idx = set(idx_columns if idx_columns is not None else cols)
+        return cls(
+            **{
+                n: a + ("*" if n in idx else "")
+                for n, a in cols.items()
+            }
+        )
+
+    @classmethod
     def from_dict(cls, d: dict) -> "Schema":
         spec = {
             name: alias + ("*" if name in d["idx"] else "")

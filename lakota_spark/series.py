@@ -560,12 +560,31 @@ class Series:
             )
         )
 
-    def records(self, **frame_kwargs):
+    def records(self, map_dtype: str | None = "default", **frame_kwargs):
         """Row-dict iterator (`Frame.records`, `lakota/frame.py:261-269`).
         Streams via toLocalIterator — never materializes the series on the
-        driver."""
+        driver.
+
+        ``map_dtype`` mirrors the reference's styles
+        (`lakota/schema.py:25-38`): ``"default"`` yields native
+        datetime/date objects (Spark's natural row types), ``"epoch"``
+        converts timestamp→epoch seconds and date→epoch-day seconds,
+        ``None`` leaves values untouched.
+        """
+        import datetime as dtm
+
+        def to_epoch(v):
+            if isinstance(v, dtm.datetime):
+                return int(v.replace(tzinfo=dtm.timezone.utc).timestamp())
+            if isinstance(v, dtm.date):
+                return (v - dtm.date(1970, 1, 1)).days * 86400
+            return v
+
         for row in self.frame(**frame_kwargs).toLocalIterator():
-            yield row.asDict()
+            rec = row.asDict()
+            if map_dtype == "epoch":
+                rec = {k: to_epoch(v) for k, v in rec.items()}
+            yield rec
 
     def period(self) -> float | None:
         """Average tick period in seconds, metadata + two-row read

@@ -297,3 +297,63 @@ def test_assert_sorted_distributed(repo):
     bad2 = spark.createDataFrame(rdd_bad2, "timestamp long, value double")
     with _pytest.raises(ValueError):
         s._assert_sorted(bad2)
+
+
+def test_schema_from_frame(repo):
+    # `Schema.from_frame` bootstrap (`lakota/schema.py:194-205`): dict,
+    # pandas, and Spark frames; all columns default to index like the
+    # reference.
+    import pandas as pd
+
+    sch = Schema.from_frame(
+        {"ts": [1, 2], "value": [1.5, 2.5], "name": ["a", "b"]},
+        idx_columns=["ts"],
+    )
+    assert sch.idx == ["ts"]
+    assert sch.columns == {"ts": "int", "value": "float", "name": "str"}
+    sch_all = Schema.from_frame({"a": [1], "b": [2.0]})
+    assert sch_all.idx == ["a", "b"]  # reference default: every column
+    pdf = pd.DataFrame({"ts": pd.to_datetime(["2020-01-01"]), "v": [1.0]})
+    sch_pd = Schema.from_frame(pdf, idx_columns=["ts"])
+    assert sch_pd.columns == {"ts": "timestamp", "v": "float"}
+    sdf = repo.spark.createDataFrame([(1, 2.0, "x")], "ts long, v double, s string")
+    sch_sp = Schema.from_frame(sdf, idx_columns=["ts"])
+    assert sch_sp.columns == {"ts": "int", "v": "float", "s": "str"}
+    # round-trip: a collection created from the inferred schema ingests
+    coll = repo.create_collection(sch, "inferred")
+    coll.series("s").write({"ts": [1], "value": [1.5], "name": ["a"]})
+    assert coll.series("s").frame().collect()[0].name == "a"
+
+
+def test_records_dtype_styles(repo):
+    # `map_dtype` styles (`lakota/schema.py:25-38`, reference
+    # `tests/frame_test.py:254-309`): default -> native datetime/date,
+    # epoch -> integer seconds.
+    import datetime as dtm
+
+    coll = repo.create_collection(
+        Schema(timestamp="timestamp*", date="date", float_val="float",
+               int_val="int"),
+        "recs",
+    )
+    s = coll.series("s")
+    s.write({
+        "timestamp": [1589455901],
+        "date": [dtm.date(1970, 1, 2)],
+        "float_val": [1.0],
+        "int_val": [1],
+    })
+    default = next(s.records())
+    assert default == {
+        "timestamp": dtm.datetime(2020, 5, 14, 11, 31, 41),
+        "date": dtm.date(1970, 1, 2),
+        "float_val": 1.0,
+        "int_val": 1,
+    }
+    epoch = next(s.records(map_dtype="epoch"))
+    assert epoch == {
+        "timestamp": 1589455901,
+        "date": 86400,
+        "float_val": 1.0,
+        "int_val": 1,
+    }
