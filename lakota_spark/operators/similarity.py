@@ -209,12 +209,25 @@ def ivf_topk(
     The centroid table is tiny (one row per block) → computed with one
     groupBy and collected into the plan as a filter list.
     """
-    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    dim = dim_probe[0]["d"] if dim_probe else len(query_vec)
-    centroids = df.groupBy(block_col).agg(
-        F.array(
-            *[F.avg(F.col(vec_col)[i]) for i in range(dim)]
-        ).alias("centroid")
+    # Centroids via posexplode: one narrow explode + one partial-agg
+    # shuffle keyed on (block, position), then re-assemble each centroid
+    # with a sorted collect. Scales in BOTH corpus size and dimension —
+    # the per-element `F.avg(vec[i])` form built dim separate aggregate
+    # expressions (clumsy past dim~100 and quadratic in codegen size).
+    centroids = (
+        df.select(F.col(block_col), F.posexplode(F.col(vec_col)))
+        .groupBy(block_col, "pos")
+        .agg(F.avg("col").alias("m"))
+        .groupBy(block_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pairs")
+        )
+        .select(
+            block_col,
+            F.transform(F.col("pairs"), lambda p: p["m"]).alias("centroid"),
+        )
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     top_blocks = [

@@ -114,6 +114,31 @@ def session_rollup(
     )
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact dedup in-stream: the streaming twin of
+    `operators.dedup.exact_dedup` for ingest pipelines.
+
+    Rows are keyed by the normalized-text fingerprint;
+    ``dropDuplicatesWithinWatermark`` keeps state only for the watermark
+    horizon, so the state store stays bounded no matter how long the
+    stream runs — the right shape for a 100 TB/day ingest where a global
+    dedup state would grow forever. (Cross-horizon dedup belongs to the
+    batch operator over the landed table.)
+    """
+    from lakota_spark.functions import fingerprint
+
+    return (
+        stream_df.withColumn("digest", fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+
+
 def stateful_running_totals(
     stream_df: DataFrame,
     key_col: str = "user_id",

@@ -164,3 +164,9 @@ def test_env_plain_value():
     from lakota_spark.sexpr import evaluate, parse
 
     assert evaluate(parse("hello"), env={"hello": "world"}) == "world"
+
+
+def test_pretty_nb(frame):
+    # E11: thousands-separated 2-decimal formatting
+    out = sexpr.select_expr(frame, "(as (pretty_nb (* self.value 1000)) 'p')")
+    assert out.collect()[0].p in {"1,000.00", "2,000.00", "3,000.00", "4,000.00"}

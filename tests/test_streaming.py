@@ -110,3 +110,42 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         final[r.key] = (r.total_count, r.total_value)
     assert final[1] == (3, 17.0)
     assert final[2] == (2, 4.0)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    # exact dedup in-stream: duplicate text within the watermark horizon
+    # is dropped; state stays bounded by the watermark.
+    import datetime as dt
+    import os as _os
+
+    from lakota_spark.streaming import streaming_dedup
+
+    src = str(tmp_path / "dsrc")
+    _os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    spark.createDataFrame(
+        [
+            (t0, 1, "Hello, World"),
+            (t0, 2, "hello world!"),   # dup by normalized fingerprint
+            (t0, 3, "something else"),
+        ],
+        "ts timestamp, doc_id long, text string",
+    ).write.parquet(f"file://{src}/b0.parquet")
+    stream = spark.readStream.schema(
+        "ts timestamp, doc_id long, text string"
+    ).parquet(f"file://{src}/*")
+    out_path = str(tmp_path / "dout")
+    q = (
+        streaming_dedup(stream, watermark="5 minutes")
+        .writeStream.format("parquet")
+        .option("path", f"file://{out_path}")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(f"file://{out_path}").collect()
+    texts = sorted(r.doc_id for r in rows)
+    assert len(texts) == 2          # one of the two dups survived
+    assert 3 in texts               # the distinct doc always lands
