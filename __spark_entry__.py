@@ -241,9 +241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_lsh": pipeline.embedding_dup_lsh,
         # --- similarity search ---
         "cosine_topk": pipeline.cosine_topk,
-        "ann_lsh_topk": pipeline.ann_lsh_topk,  # rows-only (approximate)
-        "ivf_topk": pipeline.ivf_topk,  # rows-only (approximate)
-        "knn_same_label": pipeline.knn_same_label,  # rows-only
+        "ann_lsh_topk": pipeline.ann_lsh_topk,
+        "ivf_topk": pipeline.ivf_topk,
+        "knn_same_label": pipeline.knn_same_label,
         # --- multimodal plumbing (rows-only: mapInPandas stubs) ---
         "sketch_stats": pipeline.sketch_stats,  # rows-only (approx)
         "multimodal_features": pipeline.multimodal_features,
@@ -743,5 +743,56 @@ p AS (SELECT e.vec_id AS ia, 0 AS ib, e.embedding AS ea, q.qv AS eb
       FROM embeddings e, q),{_COSINE_PAIR_CTE}
 SELECT ia AS vec_id, round(dp / (na * nb), 6) AS cos_sim
 FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20
+""",
+        # Approximate-by-construction but DETERMINISTIC: the md5-derived
+        # hyperplanes / rounded centroid ranking are reproduced in SQL, so
+        # even the ANN paths get exact oracles.
+        "ann_lsh_topk": f"""
+WITH {_lsh_bucket_cte(8)},
+qb AS (SELECT bucket AS qbucket FROM buck WHERE vec_id = 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+p AS (
+  SELECT e.vec_id AS ia, 0 AS ib, e.embedding AS ea, q.qv AS eb
+  FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id, qb, q
+  WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 2
+),{_COSINE_PAIR_CTE}
+SELECT s.ia AS vec_id, bk.bucket, round(dp / (na * nb), 6) AS cos_sim
+FROM s JOIN buck bk ON s.ia = bk.vec_id
+ORDER BY cos_sim DESC, vec_id LIMIT 20
+""",
+        "ivf_topk": """
+WITH el AS (SELECT label, unnest(embedding)::DOUBLE AS x,
+                   unnest(range(len(embedding))) AS i FROM embeddings),
+cent AS (SELECT label, i, avg(x) AS m FROM el GROUP BY label, i),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qel AS (SELECT unnest(qv)::DOUBLE AS qx, unnest(range(len(qv))) AS qi FROM q),
+cs AS (SELECT c.label,
+              round(sum(c.m * qe.qx)
+                    / (sqrt(sum(c.m * c.m)) * sqrt(sum(qe.qx * qe.qx))),
+                    6) AS s
+       FROM cent c JOIN qel qe ON c.i = qe.qi GROUP BY c.label),
+top_blocks AS (SELECT label FROM cs ORDER BY s DESC, label LIMIT 3),
+p AS (SELECT e.vec_id AS ia, 0 AS ib, e.embedding AS ea, q.qv AS eb
+      FROM embeddings e, q
+      WHERE e.label IN (SELECT label FROM top_blocks)),
+u AS (SELECT ia, ib, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM p),
+s AS (SELECT ia, ib, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+      FROM u GROUP BY ia, ib)
+SELECT ia AS vec_id, round(dp / (na * nb), 6) AS cos_sim
+FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20
+""",
+        "knn_same_label": f"""
+WITH p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id != b.vec_id
+),{_COSINE_PAIR_CTE}
+SELECT qid, nid, cos_sim FROM (
+  SELECT ia AS qid, ib AS nid, round(dp / (na * nb), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY ia ORDER BY round(dp / (na * nb), 6) DESC, ib
+         ) AS rn
+  FROM s
+) WHERE rn <= 3
 """,
     }

@@ -230,12 +230,15 @@ def ivf_topk(
         )
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # round-then-rank with a key tiebreak: block selection becomes
+    # engine-reproducible (raw double ranking is summation-order
+    # sensitive in the last ulp — enough to flip a near-tie)
     top_blocks = [
         r[block_col]
         for r in centroids.select(
-            block_col, cosine(F.col("centroid"), q).alias("s")
+            block_col, F.round(cosine(F.col("centroid"), q), 6).alias("s")
         )
-        .orderBy(F.col("s").desc())
+        .orderBy(F.col("s").desc(), F.col(block_col))
         .limit(n_probe)
         .collect()
     ]
