@@ -54,3 +54,50 @@ def test_engine_read_pushdown(repo):
     # select-pushdown: only requested columns in the scan
     df2 = s.frame(select=["ts"], sort=False)
     assert "value" not in plans.scan_columns(df2)
+
+
+def test_q19_prefilters_reach_scans(spark):
+    # the OR-of-ANDs evaluates post-join, but the size/quantity envelopes
+    # must reach both parquet scans — that's the whole point of Q19's shape
+    df = tpch.q19_disjunctive_revenue(spark, SF)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "GreaterThanOrEqual(l_quantity" in pushed
+    assert "GreaterThanOrEqual(p_size" in pushed
+    strategies = plans.join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_q13_partial_aggregation_both_levels(spark):
+    df = tpch.q13_order_distribution(spark, SF)
+    assert plans.has_partial_aggregation(df)
+    assert "CartesianProduct" not in plans.join_strategies(df)
+
+
+def test_q22_no_global_window_no_cartesian_blowup(spark):
+    # global avg must be a broadcast scalar; the only cross join is the
+    # 1-row scalar attach
+    df = tpch.q22_balance_no_orders(spark, SF)
+    s = plans.explain_str(df)
+    assert "Window" not in s
+    strategies = plans.join_strategies(df)
+    assert any("Broadcast" in j for j in strategies)
+
+
+def test_embedding_dup_lsh_is_bucket_equijoin(spark):
+    # the pair join must be an equi-join on the bucket key, never a
+    # cartesian/broadcast NLJ over all pairs
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.embedding_dup_lsh(spark, SF)
+    strategies = plans.join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert not any("BroadcastNestedLoop" in j for j in strategies)
+
+
+def test_minhash_band_join_no_cartesian(spark):
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.minhash_dedup_pairs(spark, SF)
+    strategies = plans.join_strategies(df)
+    assert "CartesianProduct" not in strategies
