@@ -43,11 +43,14 @@ _SPARK_SCHEME = {"s3": "s3a"}  # pyarrow scheme -> hadoop connector scheme
 
 def open_fs(root: str, cache_dir: str | None = None):
     """FS factory: http(s) roots get an HttpFS behind a read-through
-    cache (Spark scans need local bytes); anything else is pyarrow-backed,
+    cache (Spark scans need local bytes), ``memory://`` an in-process
+    MemFS behind the same cache; anything else is pyarrow-backed,
     optionally cache-wrapped (``cache_dir``) for slow remotes."""
     scheme = root.split("://", 1)[0] if "://" in root else "file"
     if scheme in ("http", "https"):
         return CacheFS(HttpFS(root), cache_dir)
+    if scheme == "memory":
+        return CacheFS(MemFS(root), cache_dir)
     fs = FS(root)
     return CacheFS(fs, cache_dir) if cache_dir else fs
 
@@ -374,6 +377,109 @@ class HttpFS(BaseFS):
             }
         except FileNotFoundError:
             return {}
+
+
+class MemFS(BaseFS):
+    """In-process blob store (reference MemPOD, `lakota/pod.py:354-472`).
+
+    A dict of path→bytes plus an explicit directory set; same named
+    store per process for the same URI (like the reference's registry of
+    memory pods), so `Repo("memory://x")` opened twice shares state.
+    Not Hadoop-readable — `open_fs` pairs it with a CacheFS so Spark
+    scans run on disk-cached copies. Useful for tests and as the fast
+    layer of a layered cache.
+    """
+
+    _STORES: dict[str, tuple[dict, set]] = {}
+
+    is_local = False
+    spark_readable = False
+
+    def __init__(self, root_uri: str = "memory://"):
+        self.uri = root_uri.rstrip("/")
+        self.scheme = "memory"
+        self.files, self.dirs = self._STORES.setdefault(
+            self.uri, ({}, set())
+        )
+
+    def ls(self, rel: str) -> list[str]:
+        rel = rel.strip("/")
+        prefix = rel + "/" if rel else ""
+        names = set()
+        for path in list(self.files) + list(self.dirs):
+            if path != rel and path.startswith(prefix):
+                names.add(path[len(prefix):].split("/", 1)[0])
+        return sorted(names)
+
+    def walk(self, rel: str) -> list[tuple[str, bool]]:
+        rel = rel.strip("/")
+        prefix = rel + "/" if rel else ""
+        out = []
+        for path in self.files:
+            if path.startswith(prefix):
+                out.append((path[len(prefix):], False))
+        for path in self.dirs:
+            if path != rel and path.startswith(prefix):
+                out.append((path[len(prefix):], True))
+        return sorted(out)
+
+    def read_bytes(self, rel: str) -> bytes:
+        try:
+            return self.files[rel.strip("/")]
+        except KeyError:
+            raise FileNotFoundError(rel)
+
+    def write_bytes_atomic(self, rel: str, data: bytes) -> None:
+        rel = rel.strip("/")
+        self.makedirs(posixpath.dirname(rel))
+        self.files[rel] = bytes(data)
+
+    def exists(self, rel: str) -> bool:
+        rel = rel.strip("/")
+        return rel in self.files or rel in self.dirs or any(
+            p.startswith(rel + "/") for p in self.files
+        )
+
+    def makedirs(self, rel: str) -> None:
+        rel = rel.strip("/")
+        parts = [p for p in rel.split("/") if p]
+        for i in range(1, len(parts) + 1):
+            self.dirs.add("/".join(parts[:i]))
+
+    def remove_file(self, rel: str) -> None:
+        self.files.pop(rel.strip("/"), None)
+
+    def remove_tree(self, rel: str) -> None:
+        rel = rel.strip("/")
+        prefix = rel + "/"
+        for path in [p for p in self.files if p == rel or p.startswith(prefix)]:
+            del self.files[path]
+        self.dirs -= {d for d in self.dirs if d == rel or d.startswith(prefix)}
+
+    def move(self, rel_src: str, rel_dst: str) -> None:
+        src, dst = rel_src.strip("/"), rel_dst.strip("/")
+        if src in self.files:
+            self.makedirs(posixpath.dirname(dst))
+            self.files[dst] = self.files.pop(src)
+            return
+        if not self.exists(src):
+            raise FileNotFoundError(rel_src)
+        prefix = src + "/"
+        for path in [p for p in self.files if p.startswith(prefix)]:
+            self.files[dst + "/" + path[len(prefix):]] = self.files.pop(path)
+        for d in [d for d in self.dirs if d == src or d.startswith(prefix)]:
+            self.dirs.discard(d)
+            self.dirs.add(dst + d[len(src):])
+        self.makedirs(dst)
+
+    def file_sizes(self, rel: str) -> dict[str, int]:
+        rel = rel.strip("/")
+        prefix = rel + "/" if rel else ""
+        return {
+            path[len(prefix):]: len(data)
+            for path, data in self.files.items()
+            if path.startswith(prefix) and "/" not in path[len(prefix):]
+        }
 
 
 class CacheFS(BaseFS):

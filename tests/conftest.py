@@ -22,12 +22,13 @@ def repo(spark):
     shutil.rmtree(root, ignore_errors=True)
 
 
-@pytest.fixture(params=["file", "http"])
+@pytest.fixture(params=["file", "http", "memory"])
 def any_repo(request, spark):
     """Storage-matrix fixture (reference `tests/conftest.py:29-41`): the
-    same engine suite runs over the local backend and over a live HTTP
-    repo server (HttpFS + read-through CacheFS)."""
+    same engine suite runs over the local backend, a live HTTP repo
+    server (HttpFS + read-through CacheFS), and the in-process MemFS."""
     import contextlib
+    import uuid
 
     from lakota_spark.repo import Repo
 
@@ -38,6 +39,14 @@ def any_repo(request, spark):
 
             url = stack.enter_context(serve(root))
             yield Repo(url, spark)
+        elif request.param == "memory":
+            from lakota_spark.fsio import MemFS
+
+            uri = f"memory://test-{uuid.uuid4().hex}"
+            try:
+                yield Repo(uri, spark)
+            finally:
+                MemFS._STORES.pop(uri, None)
         else:
             yield Repo(root, spark)
     shutil.rmtree(root, ignore_errors=True)
