@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_range_scan": engine_demo.engine_range_scan,
         "engine_tail": engine_demo.engine_tail,
         "engine_overlay_update": engine_demo.engine_overlay_update,
+        "engine_defrag_scan": engine_demo.engine_defrag_scan,
         # --- reference parity on events (SURVEY §2.1-2.8) ---
         "scan_range": parity.scan_range,
         "scan_closed_both": parity.scan_closed_both,
@@ -499,6 +500,11 @@ WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
         "engine_tail": """
 SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value
 FROM events ORDER BY date_trunc('second', ts) DESC LIMIT 50
+""",
+        "engine_defrag_scan": """
+SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
 """,
         "engine_overlay_update": """
 WITH e AS (SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value

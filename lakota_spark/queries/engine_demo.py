@@ -115,3 +115,43 @@ def engine_overlay_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         select=["ts", "event_id", "value"],
         sort=False,
     )
+
+
+def engine_defrag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction under the oracle: ingest events as out-of-order
+    WEEKLY fragments (4 segments + 4 revisions), defrag into page-sized
+    segments and squash history — the compacted collection must read
+    back byte-equal to the raw table. Exercises write bounds, fragment
+    assembly, defrag rewrite and post-squash snapshot resolution in one
+    CORRECTNESS row."""
+    repo = _event_repo(spark, sf_dir)
+    label = "fragmented"
+    if label not in repo.ls():
+        base = repo.collection("events")
+        coll = repo.create_collection(base.schema, label)
+        src = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+            "ts", "event_id", "user_id", "event_type", "value"
+        )
+        chunks = [
+            ("2024-01-15", "2024-01-22"),
+            ("2024-01-01", "2024-01-08"),   # out of order on purpose
+            ("2024-01-22", "2025-01-01"),
+            ("2024-01-08", "2024-01-15"),
+        ]
+        s = coll.series("all")
+        for lo, hi in chunks:
+            chunk = src.where(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            )
+            s.write(chunk.orderBy("ts"), start=lo, stop=hi, closed="l")
+        coll.defrag()
+        coll.squash()
+    series = repo.collection(label).series("all")
+    return series.frame(
+        start="2024-01-05",
+        stop="2024-01-25",
+        closed="l",
+        select=["ts", "event_id", "value"],
+        sort=False,
+    )
