@@ -59,13 +59,19 @@ def main() -> None:
     # cold-start costs unrelated to its plan.
     qs["tpch_q1"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # best-of-2: single runs swing with machine load; the minimum is the
+    # stable estimate of what the plan actually costs
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
