@@ -26,14 +26,17 @@ DEFRAG_MAX_CHUNK = 4  # `lakota/utils.py:39`
 
 
 class Collection:
-    def __init__(self, repo, label: str, schema: Schema):
+    def __init__(self, repo, label: str, schema: Schema, prefix: str | None = None):
         self.repo = repo
         self.label = label
         self.schema = schema
         self.spark = repo.spark
         self.fs = repo.fs
-        self.seg_prefix = f"{label}/segments"
-        self.changelog = Changelog(self.fs, f"{label}/_log")
+        # storage prefix differs from label for namespaced collections
+        # (e.g. the archive namespace) — see Repo._storage_prefix
+        self.prefix = prefix or label
+        self.seg_prefix = f"{self.prefix}/segments"
+        self.changelog = Changelog(self.fs, f"{self.prefix}/_log")
         self._batch: list[Segment] | None = None
 
     @property

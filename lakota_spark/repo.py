@@ -42,42 +42,90 @@ class Repo:
 
     # ------------------------------------------------------------ registry
 
-    def _reg_rel(self, label: str) -> str:
-        return f"{REGISTRY_DIR}/{label}.json"
+    @staticmethod
+    def _storage_prefix(label: str, namespace: str = "collection") -> str:
+        # non-default namespaces (reference: "archive") store under a
+        # mangled prefix so an archived copy never collides with the live
+        # collection of the same label
+        return label if namespace == "collection" else f"{namespace}~{label}"
+
+    def _reg_rel(self, label: str, namespace: str = "collection") -> str:
+        return f"{REGISTRY_DIR}/{self._storage_prefix(label, namespace)}.json"
 
     def create_collection(
-        self, schema: Schema, label: str, meta: dict | None = None
+        self,
+        schema: Schema,
+        label: str,
+        meta: dict | None = None,
+        namespace: str = "collection",
     ) -> Collection:
-        rel = self._reg_rel(label)
+        rel = self._reg_rel(label, namespace)
         if self.fs.exists(rel):
-            existing = self.collection(label)
+            existing = self.collection(label, namespace)
             if existing.schema != schema:
                 raise ValueError(f"collection {label!r} exists with another schema")
             return existing  # double-create is a no-op (`lakota/repo.py`)
         entry = {"schema": schema.to_dict(), "meta": meta or {}, "ts": time.time()}
         self.fs.write_bytes_atomic(rel, json.dumps(entry).encode())
-        return Collection(self, label, schema)
+        return Collection(
+            self, label, schema, prefix=self._storage_prefix(label, namespace)
+        )
 
-    def collection(self, label: str) -> Collection:
-        rel = self._reg_rel(label)
+    def collection(
+        self, label: str, namespace: str = "collection"
+    ) -> Collection:
+        rel = self._reg_rel(label, namespace)
         if not self.fs.exists(rel):
             raise KeyError(f"no collection {label!r}")
         entry = json.loads(self.fs.read_bytes(rel))
-        return Collection(self, label, Schema.from_dict(entry["schema"]))
+        return Collection(
+            self,
+            label,
+            Schema.from_dict(entry["schema"]),
+            prefix=self._storage_prefix(label, namespace),
+        )
 
     def __truediv__(self, label: str) -> Collection:
         return self.collection(label)
 
-    def ls(self) -> list[str]:
-        return sorted(
-            f[: -len(".json")]
-            for f in self.fs.ls(REGISTRY_DIR)
-            if f.endswith(".json")
-        )
+    def ls(self, namespace: str = "collection") -> list[str]:
+        out = []
+        for f in self.fs.ls(REGISTRY_DIR):
+            if not f.endswith(".json"):
+                continue
+            name = f[: -len(".json")]
+            ns, sep, rest = name.partition("~")
+            if namespace == "collection" and not sep:
+                out.append(name)
+            elif sep and ns == namespace:
+                out.append(rest)
+        return sorted(out)
 
-    def delete_collection(self, label: str) -> None:
-        self.fs.remove_file(self._reg_rel(label))
-        self.fs.remove_tree(label)
+    def search(self, label: str | None = None, namespace: str = "collection"):
+        """Iterate collections, optionally restricted to one label
+        (`lakota/repo.py:138-147`)."""
+        for name in self.ls(namespace):
+            if label is None or name == label:
+                yield self.collection(name, namespace)
+
+    def __iter__(self):
+        return self.search()
+
+    def archive(self, label: str) -> Collection:
+        """Snapshot a collection into the archive namespace
+        (`lakota/repo.py:227-232`): same label, separate storage prefix;
+        revisions + referenced segments replicate via pull (idempotent —
+        re-archiving only copies what's new, by content address)."""
+        src = self.collection(label)
+        dst = self.create_collection(src.schema, label, namespace="archive")
+        dst.pull(src)
+        return dst
+
+    def delete_collection(
+        self, label: str, namespace: str = "collection"
+    ) -> None:
+        self.fs.remove_file(self._reg_rel(label, namespace))
+        self.fs.remove_tree(self._storage_prefix(label, namespace))
 
     def rename_collection(self, old: str, new: str) -> None:
         self.fs.move(self._reg_rel(old), self._reg_rel(new))
@@ -102,8 +150,12 @@ class Repo:
         resurrected, never hard-deleted before its commit lands."""
         stats = {"soft": 0, "hard": 0, "resurrected": 0}
         now = time.time()
-        for label in self.ls():
-            coll = self.collection(label)
+        colls = [
+            self.collection(label, ns)
+            for ns in ("collection", "archive")
+            for label in self.ls(ns)
+        ]
+        for coll in colls:
             listing = self.fs.ls(coll.seg_prefix)
             referenced: set[str] = set()
             for rev in coll.changelog.revisions():

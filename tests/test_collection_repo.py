@@ -250,3 +250,26 @@ def test_trim_before_reparents_survivors(repo):
     assert rows(s.frame()) == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
     # history before the cutoff is squashed, after it preserved
     assert len(reachable) == 3  # new root + 2 surviving revisions
+
+
+def test_search_archive_namespace(repo):
+    # reference Repo.search / Repo.archive (`lakota/repo.py:138-147,
+    # 227-232`): archive is a separate namespace with its own storage —
+    # the live collection keeps evolving, the archive stays frozen.
+    coll = _mk(repo, "arch")
+    coll.series("s").write({"ts": [1, 2], "value": [1.0, 2.0]})
+    assert [c.label for c in repo.search()] == ["arch"]
+    assert [c.label for c in repo.search("nope")] == []
+    frozen = repo.archive("arch")
+    assert repo.ls() == ["arch"]                  # default ns unchanged
+    assert repo.ls("archive") == ["arch"]
+    coll.series("s").write({"ts": [3], "value": [3.0]})
+    assert len(repo.collection("arch").series("s")) == 3
+    assert len(repo.collection("arch", "archive").series("s")) == 2
+    # re-archiving is idempotent and picks up new data
+    frozen2 = repo.archive("arch")
+    assert len(frozen2.series("s")) == 3
+    # deleting the live collection leaves the archive intact
+    repo.delete_collection("arch")
+    assert repo.ls() == [] and repo.ls("archive") == ["arch"]
+    assert len(repo.collection("arch", "archive").series("s")) == 3

@@ -33,3 +33,42 @@ def test_concurrent_writers_fork_and_merge(repo):
     for i in range(8):
         vals = [r.value for r in (coll / f"s{i}").frame().collect()]
         assert vals == [float(i)]
+
+
+def test_gc_spares_segment_landing_mid_scan(repo):
+    # ADVICE r1 ordering invariant: gc lists the segments dir BEFORE
+    # scanning revisions. A segment+commit landing between those two
+    # steps is invisible to the listing — so gc must leave it alone
+    # (the reversed order would see the segment, miss its commit, and
+    # soft-delete live data; with timeout=0 a second pass would destroy
+    # it).
+    from lakota_spark.schema import Schema
+
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "race")
+    s = coll.series("s")
+    s.write({"ts": [1], "value": [1.0]})
+    seg_prefix = coll.seg_prefix
+    fs = repo.fs
+    orig_ls = fs.ls
+    state = {"fired": False}
+
+    def ls_hook(rel):
+        listing = orig_ls(rel)
+        if rel == seg_prefix and not state["fired"]:
+            state["fired"] = True
+            # concurrent writer lands segment + commit AFTER the listing
+            # was taken but BEFORE the revision scan
+            coll.series("s").write({"ts": [50], "value": [50.0]})
+        return listing
+
+    fs.ls = ls_hook
+    try:
+        stats = repo.gc(timeout=0.0)
+    finally:
+        fs.ls = orig_ls
+    assert state["fired"]
+    assert stats["soft"] == 0 and stats["hard"] == 0
+    got = [(r.ts, r.value) for r in s.frame().collect()]
+    assert got == [(1, 1.0), (50, 50.0)]  # nothing lost
+    # a later gc (with everything committed) still finds no garbage
+    assert repo.gc(timeout=0.0) == {"soft": 0, "hard": 0, "resurrected": 0}
