@@ -173,7 +173,7 @@ def cmd_push(args):
 
     repo = _repo(args)
     remote = Repo(args.remote, repo.spark)
-    repo.push(remote, args.labels or None)
+    repo.push(remote, args.labels or None, shallow=args.shallow)
     print(f"pushed -> {args.remote}")
 
 
@@ -182,7 +182,7 @@ def cmd_pull(args):
 
     repo = _repo(args)
     remote = Repo(args.remote, repo.spark)
-    repo.pull(remote, args.labels or None)
+    repo.pull(remote, args.labels or None, shallow=args.shallow)
     print(f"pulled <- {args.remote}")
 
 
@@ -281,9 +281,11 @@ def main(argv=None):
     s = sub.add_parser("merge"); s.add_argument("label"); s.set_defaults(fn=cmd_merge)
     s = sub.add_parser("push")
     s.add_argument("remote"); s.add_argument("labels", nargs="*")
+    s.add_argument("--shallow", action="store_true")
     s.set_defaults(fn=cmd_push)
     s = sub.add_parser("pull")
     s.add_argument("remote"); s.add_argument("labels", nargs="*")
+    s.add_argument("--shallow", action="store_true")
     s.set_defaults(fn=cmd_pull)
     s = sub.add_parser("import")
     s.add_argument("path"); s.add_argument("file")

@@ -402,13 +402,32 @@ class Collection:
         snap = self.snapshot().rename_label(old, new)
         return self.commit_snapshot(snap)
 
-    def pull(self, other: "Collection") -> int:
+    def pull(self, other: "Collection", shallow: bool = False) -> int:
         """Sync revisions + referenced segment dirs from another repo's
         collection (`lakota/collection.py:210-233`) — works across any
-        pair of fsio backends."""
-        n = self.changelog.pull(other.changelog)
+        pair of fsio backends.
+
+        ``shallow`` replicates only the other side's LEAF state
+        (reference `Repo.push(..., shallow=True)`): the leaf payload is
+        a full snapshot, so it commits here as a root revision and only
+        the segments it references are copied — no history, a fraction
+        of the bytes."""
+        if shallow:
+            leaf = other.changelog.leaf()
+            if leaf is None:
+                return 0
+            payload = dict(leaf.read())
+            payload["delta"] = []
+            from lakota_spark.changelog import PHI
+
+            rev = self.changelog.commit(payload, parents=[PHI], force=True)
+            revisions = [rev] if rev else []
+            n = len(revisions)
+        else:
+            n = self.changelog.pull(other.changelog)
+            revisions = self.changelog.revisions()
         self.fs.makedirs(self.seg_prefix)
-        for rev in self.changelog.revisions():
+        for rev in revisions:
             snap = Snapshot.from_payload(rev.read(), self.schema)
             for name in snap.paths():
                 dst = f"{self.seg_prefix}/{name}"
@@ -417,8 +436,8 @@ class Collection:
                     self.fs.copy_tree(src, dst, other=other.fs)
         return n
 
-    def push(self, other: "Collection") -> int:
-        return other.pull(self)
+    def push(self, other: "Collection", shallow: bool = False) -> int:
+        return other.pull(self, shallow=shallow)
 
 
 def _sig(snap: Snapshot, schema) -> tuple:

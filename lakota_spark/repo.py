@@ -182,17 +182,29 @@ class Repo:
 
     # --------------------------------------------------------- replication
 
-    def pull(self, other: "Repo", labels: list[str] | None = None) -> None:
+    def pull(
+        self,
+        other: "Repo",
+        labels: list[str] | None = None,
+        shallow: bool = False,
+    ) -> None:
         """Copy registry entries, revisions and missing segment dirs
-        (`lakota/repo.py:259-301`) — across any pair of backends."""
+        (`lakota/repo.py:259-301`) — across any pair of backends.
+        ``shallow`` replicates only each collection's leaf snapshot
+        (no history; best into a fresh remote)."""
         for label in labels or other.ls():
             src = other.collection(label)
             if label not in self.ls():
                 self.create_collection(src.schema, label)
-            self.collection(label).pull(src)
+            self.collection(label).pull(src, shallow=shallow)
 
-    def push(self, other: "Repo", labels: list[str] | None = None) -> None:
-        other.pull(self, labels)
+    def push(
+        self,
+        other: "Repo",
+        labels: list[str] | None = None,
+        shallow: bool = False,
+    ) -> None:
+        other.pull(self, labels, shallow=shallow)
 
     # ------------------------------------------------------ import/export
 

@@ -273,3 +273,23 @@ def test_search_archive_namespace(repo):
     repo.delete_collection("arch")
     assert repo.ls() == [] and repo.ls("archive") == ["arch"]
     assert len(repo.collection("arch", "archive").series("s")) == 3
+
+
+def test_shallow_push_pull(repo, spark, tmp_path):
+    # shallow replication: only the leaf snapshot crosses, no history
+    from lakota_spark.repo import Repo
+
+    coll = _mk(repo, "sh")
+    s = coll.series("s")
+    for i in range(4):
+        s.write({"ts": [i], "value": [float(i)]})
+    assert len(coll.changelog.revisions()) == 4
+    other = Repo(str(tmp_path / "shallow-remote"), spark)
+    repo.push(other, ["sh"], shallow=True)
+    dst = other.collection("sh")
+    assert len(dst.changelog.revisions()) == 1   # single root revision
+    assert rows(dst.series("s").frame()) == [(i, float(i)) for i in range(4)]
+    # deep push for comparison carries the whole DAG
+    other2 = Repo(str(tmp_path / "deep-remote"), spark)
+    repo.push(other2, ["sh"])
+    assert len(other2.collection("sh").changelog.revisions()) == 4
