@@ -275,6 +275,61 @@ def test_search_archive_namespace(repo):
     assert len(repo.collection("arch", "archive").series("s")) == 3
 
 
+@pytest.mark.parametrize("defrag", [False, True])
+def test_label_delete_push(defrag, spark, tmp_path):
+    # deletion propagates through push/pull; defrag+merge on the receiving
+    # side must not resurrect it (reference `tests/sync_test.py:91-136`)
+    from lakota_spark.repo import Repo
+
+    local = Repo(str(tmp_path / "local"), spark)
+    remote = Repo(str(tmp_path / "remote"), spark)
+    sch = Schema(ts="int*", value="float")
+    lc = local.create_collection(sch, "a_collection")
+    remote.create_collection(sch, "a_collection")
+    frm = {"ts": [1, 2, 3], "value": [1.0, 2.0, 3.0]}
+    for label in "abcd":
+        lc.series(label).write(frm)
+    rc = remote.collection("a_collection")
+    lc.push(rc)
+    if defrag:
+        rc.defrag()
+    assert lc.ls() == list("abcd") and rc.ls() == list("abcd")
+
+    local.collection("a_collection").delete_series("c")
+    local.collection("a_collection").push(rc)
+    if defrag:
+        rc.merge()
+        rc.defrag()
+    assert remote.collection("a_collection").ls() == list("abd")
+
+    remote.collection("a_collection").delete_series("d")
+    local.collection("a_collection").pull(remote.collection("a_collection"))
+    if defrag:
+        local.collection("a_collection").defrag()
+    assert local.collection("a_collection").ls() == list("ab")
+
+
+def test_defrag_replication_stability(spark, tmp_path):
+    # defrag is deterministic: two repos holding the same revisions defrag
+    # independently to IDENTICAL content-addressed segments, so a later
+    # push/pull re-copies nothing (reference `tests/sync_test.py:141-174`)
+    from lakota_spark.repo import Repo
+
+    local = Repo(str(tmp_path / "local"), spark)
+    lc = local.create_collection(Schema(ts="int*", value="float"), "a_collection")
+    s = lc.series("LABEL")
+    base = 0
+    for m in range(6):
+        s.write({"ts": list(range(base, base + 30)), "value": [float(m)] * 30})
+        base += 30
+    remote = Repo(str(tmp_path / "remote"), spark)
+    local.push(remote)
+    rc = remote.collection("a_collection")
+    lc.defrag()
+    rc.defrag()
+    assert sorted(lc.fs.ls(lc.seg_prefix)) == sorted(rc.fs.ls(rc.seg_prefix))
+
+
 def test_shallow_push_pull(repo, spark, tmp_path):
     # shallow replication: only the leaf snapshot crosses, no history
     from lakota_spark.repo import Repo
