@@ -146,6 +146,18 @@ def _has_column(pos, kw) -> bool:
     )
 
 
+def _in(a, vals):
+    """`(in x (list ...))` — membership; the needle may be a Column OR a
+    plain literal (reference `tests/sexpr_test.py:17` evaluates
+    `(in "foo" (list "ham" "foo" "bar"))` to a plain True)."""
+    if len(vals) == 1 and isinstance(vals[0], (list, tuple)):
+        vals = tuple(vals[0])
+    if isinstance(a, Column) or any(isinstance(v, Column) for v in vals):
+        a = a if isinstance(a, Column) else F.lit(a)
+        return a.isin(*vals)
+    return a in vals
+
+
 BUILTINS: dict[str, Callable] = {
     "+": _fold(lambda a, b: a + b),
     "-": _fold(lambda a, b: a - b),
@@ -162,11 +174,7 @@ BUILTINS: dict[str, Callable] = {
     "!=": _chain(lambda a, b: a != b),
     ">=": _chain(lambda a, b: a >= b),
     ">": _chain(lambda a, b: a > b),
-    "in": lambda a, *vals: a.isin(
-        *[v if not isinstance(v, (list, tuple)) else v for v in vals]
-    )
-    if not (len(vals) == 1 and isinstance(vals[0], list))
-    else a.isin(*vals[0]),
+    "in": lambda a, *vals: _in(a, vals),
     "list": lambda *xs: list(xs),
     "dict": lambda *xs: dict(zip(xs[::2], xs[1::2])),
     "kw": KWargs,

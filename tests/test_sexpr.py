@@ -101,6 +101,29 @@ def test_numpy_style_fallbacks(frame):
     assert all(r.category == "b" for r in out.collect())
 
 
+def test_trueish_literals():
+    # reference `tests/sexpr_test.py:8-30` — plain-literal expressions
+    # evaluate driver-side to exactly True (no Spark involved)
+    for expr in [
+        "true",
+        "(~ false)",
+        "(= (- (+ 1 1) (+ 2 2)) -2)",
+        "(= (* (/ 3 2) (/ 7 2)) 5.25)",
+        "(= (/ 6 3 2) 1)",
+        "(or false true false)",
+        "(~ (and false true false))",
+        '(in "foo" (list "ham" "foo" "bar"))',
+    ]:
+        assert sexpr.evaluate(sexpr.parse(expr)) is True, expr
+
+
+def test_pathologic_inputs():
+    # reference `tests/sexpr_test.py:113-121`
+    for expr in ["(true)", "(1)", "(1", "(bar spam)"]:
+        with pytest.raises(SexprError):
+            sexpr.evaluate(sexpr.parse(expr))
+
+
 def test_errors(frame):
     with pytest.raises(SexprError):
         sexpr.parse("(+ 1")
