@@ -58,9 +58,22 @@ class Repo:
         label: str,
         meta: dict | None = None,
         namespace: str = "collection",
+        raise_if_exists: bool = False,
     ) -> Collection:
+        """Register a collection. Labels are stripped; empty/whitespace-only
+        labels are invalid (`lakota/repo.py:188-191`). The reference raises
+        on double-create by default (`raise_if_exists=True`); here the
+        default is the idempotent no-op because the demo/ingest paths call
+        it repeatedly — pass ``raise_if_exists=True`` for reference parity."""
+        label = label.strip()
+        if not label:
+            raise ValueError(f"Invalid label: {label!r}")
         rel = self._reg_rel(label, namespace)
         if self.fs.exists(rel):
+            if raise_if_exists:
+                raise ValueError(
+                    f"Collection with label '{label}' already exists"
+                )
             existing = self.collection(label, namespace)
             if existing.schema != schema:
                 raise ValueError(f"collection {label!r} exists with another schema")

@@ -617,6 +617,12 @@ class Series:
         """Spark count over effective bounds (exact under overlays)."""
         return self.frame(sort=False).count()
 
+    def __bool__(self) -> bool:
+        """True when the series has any committed segment — metadata only,
+        no Spark job (`tests/series_test.py:721-724`: `bool(clc / label)`
+        is False for an unknown label)."""
+        return self.meta_len() > 0
+
     def meta_len(self) -> int:
         """O(1) metadata count — exact when no overlay truncation occurred
         (`lakota/series.py:231-232`)."""

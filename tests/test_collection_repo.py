@@ -275,6 +275,22 @@ def test_search_archive_namespace(repo):
     assert len(repo.collection("arch", "archive").series("s")) == 3
 
 
+def test_label_validation(repo):
+    # reference `tests/repo_test.py:136-149`: labels are stripped, and
+    # empty/whitespace-only labels are rejected
+    sch = Schema(ts="int*", value="float")
+    for label in ["abc", "abc-abc-123", "abc_abc-123.45", "abc+abc", "$", "é",
+                  "foo bar"]:
+        repo.create_collection(sch, label)
+        repo.create_collection(sch, label)  # idempotent double-create
+        with pytest.raises(ValueError):
+            repo.create_collection(sch, label, raise_if_exists=True)
+    for label in ["", "\t", "\n", " "]:
+        with pytest.raises(ValueError):
+            repo.create_collection(sch, label)
+    assert repo.create_collection(sch, " padded ").label == "padded"
+
+
 @pytest.mark.parametrize("defrag", [False, True])
 def test_label_delete_push(defrag, spark, tmp_path):
     # deletion propagates through push/pull; defrag+merge on the receiving

@@ -159,6 +159,36 @@ def test_multi_column_index(repo):
     assert len(out) == 2
 
 
+def test_column_types_matrix(repo):
+    # reference `tests/series_test.py:374-386`: every schema type round-trips
+    # in both index and payload position, for every index length
+    import datetime as dt
+
+    aliases = ["date", "timestamp", "float", "int", "str"]
+    row = {
+        "date": dt.date(2020, 1, 1),
+        "timestamp": dt.datetime(2020, 1, 1, 12, 0, 0),
+        "float": 1.5,
+        "int": 7,
+        "str": "x",
+    }
+    for idx_len in range(1, len(aliases)):
+        stars = ["*"] * idx_len + [""] * (len(aliases) - idx_len)
+        sch = Schema(**{c: c + s for c, s in zip(aliases, stars)})
+        coll = repo.create_collection(sch, f"types{idx_len}")
+        s = coll.series("-")
+        s.write({c: [row[c]] for c in aliases})
+        got = s.frame().collect()[0]
+        for c in aliases:
+            assert got[c] == row[c], (idx_len, c, got[c])
+
+
+def test_series_bool(series):
+    # reference `tests/series_test.py:721-724`
+    assert bool(series)
+    assert not bool(series.collection.series("i-do-not-exist"))
+
+
 def test_unsorted_write_validation(repo):
     coll = repo.create_collection(Schema(timestamp="int*", value="float"), "v")
     s = coll.series("s")
