@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import posixpath
+from collections import OrderedDict
 
 _SPARK_SCHEME = {"s3": "s3a"}  # pyarrow scheme -> hadoop connector scheme
 
@@ -66,6 +67,24 @@ class BaseFS:
     scheme: str
     is_local: bool = False
     spark_readable: bool = False
+
+    #: process-wide I/O byte counters keyed "<Backend>.<op>" (reference
+    #: `POD._metrics`, `lakota/pod.py:58-75`) — cheap observability for
+    #: cache hit-rates and replication volume. CacheFS is a pass-through:
+    #: its inner/cache backends do the counting.
+    _metrics: dict[str, int] = {}
+
+    @classmethod
+    def reset_metrics(cls) -> None:
+        BaseFS._metrics.clear()
+
+    @classmethod
+    def metrics(cls) -> dict[str, int]:
+        return dict(BaseFS._metrics)
+
+    def _count(self, op: str, nbytes: int) -> None:
+        key = f"{type(self).__name__}.{op}"
+        BaseFS._metrics[key] = BaseFS._metrics.get(key, 0) + nbytes
 
     # -- path helpers ------------------------------------------------------
 
@@ -226,11 +245,14 @@ class FS(BaseFS):
 
     def read_bytes(self, rel: str) -> bytes:
         with self.fs.open_input_stream(self.full(rel)) as fh:
-            return fh.read()
+            data = fh.read()
+        self._count("read", len(data))
+        return data
 
     def write_bytes_atomic(self, rel: str, data: bytes) -> None:
         """Atomic-enough publish: temp + move on local FS; direct PUT on
         object stores (a PUT is atomic; names are content-addressed)."""
+        self._count("write", len(data))
         path = self.full(rel)
         self.makedirs(posixpath.dirname(rel))
         if self.is_local:
@@ -342,9 +364,12 @@ class HttpFS(BaseFS):
             return []
 
     def read_bytes(self, rel: str) -> bytes:
-        return self._request("GET", rel)
+        data = self._request("GET", rel)
+        self._count("read", len(data))
+        return data
 
     def write_bytes_atomic(self, rel: str, data: bytes) -> None:
+        self._count("write", len(data))
         self._request("PUT", rel, data=data)
 
     def exists(self, rel: str) -> bool:
@@ -390,17 +415,41 @@ class MemFS(BaseFS):
     layer of a layered cache.
     """
 
-    _STORES: dict[str, tuple[dict, set]] = {}
+    _STORES: dict[str, tuple[dict, set, dict]] = {}
 
     is_local = False
     spark_readable = False
 
-    def __init__(self, root_uri: str = "memory://"):
-        self.uri = root_uri.rstrip("/")
+    def __init__(self, root_uri: str = "memory://", lru_size: int | None = None):
+        """``lru_size`` (bytes, also settable as ``memory://x?lru_size=N``)
+        caps the store: least-recently-used files are evicted once total
+        payload exceeds the cap (reference MemPOD's generational LRU,
+        `lakota/pod.py:354-472` — same observable contract, simpler
+        recency-ordered-dict mechanics). Only meaningful for cache layers:
+        an evicted file reads as FileNotFoundError, so never cap a store
+        that is itself the repo of record."""
+        base, _, query = root_uri.partition("?")
+        if query:
+            params = dict(p.split("=", 1) for p in query.split("&") if "=" in p)
+            if "lru_size" in params:
+                lru_size = int(params["lru_size"])
+        self.uri = base.rstrip("/")
         self.scheme = "memory"
-        self.files, self.dirs = self._STORES.setdefault(
-            self.uri, ({}, set())
+        self.files, self.dirs, self._meta = self._STORES.setdefault(
+            self.uri, (OrderedDict(), set(), {"cap": None, "size": 0})
         )
+        if lru_size is not None:
+            self._meta["cap"] = lru_size
+
+    def _evict(self, keep: str) -> None:
+        cap = self._meta["cap"]
+        if cap is None:
+            return
+        while self._meta["size"] > cap and len(self.files) > 1:
+            oldest = next(iter(self.files))
+            if oldest == keep:
+                break  # an oversized value stays readable (reference parity)
+            self._meta["size"] -= len(self.files.pop(oldest))
 
     def ls(self, rel: str) -> list[str]:
         rel = rel.strip("/")
@@ -424,15 +473,25 @@ class MemFS(BaseFS):
         return sorted(out)
 
     def read_bytes(self, rel: str) -> bytes:
+        rel = rel.strip("/")
         try:
-            return self.files[rel.strip("/")]
+            data = self.files[rel]
         except KeyError:
             raise FileNotFoundError(rel)
+        self.files.move_to_end(rel)  # refresh LRU recency
+        self._count("read", len(data))
+        return data
 
     def write_bytes_atomic(self, rel: str, data: bytes) -> None:
         rel = rel.strip("/")
         self.makedirs(posixpath.dirname(rel))
+        if rel in self.files:
+            self._meta["size"] -= len(self.files[rel])
         self.files[rel] = bytes(data)
+        self.files.move_to_end(rel)
+        self._meta["size"] += len(data)
+        self._count("write", len(data))
+        self._evict(keep=rel)
 
     def exists(self, rel: str) -> bool:
         rel = rel.strip("/")
@@ -447,12 +506,15 @@ class MemFS(BaseFS):
             self.dirs.add("/".join(parts[:i]))
 
     def remove_file(self, rel: str) -> None:
-        self.files.pop(rel.strip("/"), None)
+        data = self.files.pop(rel.strip("/"), None)
+        if data is not None:
+            self._meta["size"] -= len(data)
 
     def remove_tree(self, rel: str) -> None:
         rel = rel.strip("/")
         prefix = rel + "/"
         for path in [p for p in self.files if p == rel or p.startswith(prefix)]:
+            self._meta["size"] -= len(self.files[path])
             del self.files[path]
         self.dirs -= {d for d in self.dirs if d == rel or d.startswith(prefix)}
 

@@ -156,3 +156,59 @@ def test_engine_over_fake_object_store(fake_remote, spark, tmp_path):
     local.pull(repo)
     assert [(r.ts, r.value)
             for r in local.collection("c").series("s").frame().collect()] == got
+
+
+def test_memfs_lru_eviction():
+    # byte-capped memory store (reference MemPOD lru_size,
+    # `tests/pod_test.py:161-227`): oldest evicted, reads refresh recency,
+    # oversized values stay readable, deletes release budget
+    from lakota_spark.fsio import MemFS
+
+    blob = b"\xde\xad\xbe\xef" * 4  # 16 bytes
+    fs = MemFS("memory://lru-test", lru_size=10 * len(blob))
+    for i in range(1, 11):
+        fs.write_bytes_atomic(str(i), blob)
+    assert fs._meta["size"] == 10 * len(blob)
+
+    # rewriting existing keys changes nothing
+    for i in range(1, 11):
+        fs.write_bytes_atomic(str(i), blob)
+    assert fs._meta["size"] == 10 * len(blob)
+
+    # touch "1" so it is the most recent, then overflow: "2" must go first
+    assert fs.read_bytes("1") == blob
+    fs.write_bytes_atomic("11", blob)
+    assert fs.read_bytes("1") == blob
+    with pytest.raises(FileNotFoundError):
+        fs.read_bytes("2")
+
+    # a value bigger than the whole cap evicts the rest but stays readable
+    big = blob * 100
+    fs.write_bytes_atomic("big", big)
+    assert fs.read_bytes("big") == big
+    assert fs._meta["size"] >= len(big)
+
+    # deletes release budget
+    fs.remove_file("big")
+    assert fs._meta["size"] < len(big)
+    fs.remove_tree(".")
+
+
+def test_io_metrics(tmp_path):
+    # reference `tests/pod_test.py:229-239`: byte counters per backend+op
+    from lakota_spark.fsio import FS, BaseFS, MemFS
+
+    BaseFS.reset_metrics()
+    data = b"\xde\xad\xbe\xef" * 4
+    fs = FS(str(tmp_path))
+    fs.write_bytes_atomic("key", data)
+    assert BaseFS.metrics()["FS.write"] == len(data)
+    fs.read_bytes("key")
+    assert BaseFS.metrics()["FS.read"] == len(data)
+    mem = MemFS("memory://metrics-test")
+    mem.write_bytes_atomic("k", data)
+    mem.read_bytes("k")
+    assert BaseFS.metrics()["MemFS.write"] == len(data)
+    assert BaseFS.metrics()["MemFS.read"] == len(data)
+    BaseFS.reset_metrics()
+    assert BaseFS.metrics() == {}
