@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": pipeline.token_counts,
         "lang_id": pipeline.lang_id,
         "doc_fingerprint": pipeline.doc_fingerprint,
+        # --- composite cleaning pass ---
+        "pretrain_clean": pipeline.pretrain_clean,
         # --- dedup ---
         "dedup_exact": pipeline.dedup_exact,
         "jaccard_top_pairs": pipeline.jaccard_top_pairs,
@@ -681,6 +683,52 @@ WITH {_SHINGLES_CTE}
 SELECT doc_id,
     {_mh_cols()}
 FROM sh GROUP BY doc_id
+""",
+        "pretrain_clean": f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id),
+bands AS (
+{_band_union()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near_drop AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sz x ON x.doc_id = i.doc_a
+  JOIN sz y ON y.doc_id = i.doc_b
+  WHERE i.inter / (x.sz + y.sz - i.inter) >= 0.5
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+),
+stats AS (
+  SELECT doc_id, len({_TOKS}) AS n_tokens,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+          / greatest(length(text), 1) AS punct_ratio
+  FROM documents
+),
+lang AS ({_lang_id_sql()})
+SELECT s.doc_id, l.pred_lang, s.n_tokens
+FROM stats s
+JOIN lang l USING (doc_id)
+JOIN canon c ON c.doc_id = s.doc_id
+LEFT JOIN near_drop nd ON nd.doc_id = s.doc_id
+WHERE s.n_tokens BETWEEN 20 AND 2000
+  AND s.punct_ratio <= 0.1
+  AND nd.doc_id IS NULL
 """,
         "minhash_dedup_pairs": f"""
 WITH {_SHINGLES_CTE},

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "embedding_dup_top_pairs",
     "embedding_dup_lsh",
+    "pretrain_clean",
 ]
 
 

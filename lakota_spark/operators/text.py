@@ -65,13 +65,8 @@ def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: per-language stopword hit counts, argmax wins
-    (ties broken by language code asc, 'und' when no hits anywhere).
-
-    At 100 TB this is a single map-side pass: `size(filter(tokens, ...))`
-    per language — no shuffle, no UDF, no dictionary broadcast needed.
-    """
+def _lang_hit_cols(text_col: str):
+    """Per-language stopword hit-count columns (pure codegen, no shuffle)."""
     toks = tokens(text_col)
 
     def _hits(words: list[str]):
@@ -79,10 +74,15 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         # PySpark pick the (element, index) higher-order-function form.
         return F.size(F.filter(toks, lambda x: F.lower(x).isin(*words)))
 
-    hit_cols = {lang: _hits(STOPWORDS[lang]) for lang in sorted(STOPWORDS)}
-    # argmax with deterministic tie-break: array of (hits, neg-ord) structs —
-    # struct comparison is lexicographic, so equal hit counts fall back to
-    # -i, i.e. the alphabetically-first language wins.
+    return {lang: _hits(STOPWORDS[lang]) for lang in sorted(STOPWORDS)}
+
+
+def pred_lang_col(text_col: str = "text"):
+    """argmax language with deterministic tie-break: array of
+    (hits, neg-ord, lang) structs — struct comparison is lexicographic, so
+    equal hit counts fall back to -i, i.e. the alphabetically-first
+    language wins; 'und' when no hits anywhere."""
+    hit_cols = _lang_hit_cols(text_col)
     best = F.array_max(
         F.array(
             *[
@@ -95,14 +95,40 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             ]
         )
     )
-    out = df.select(
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts, argmax wins
+    (ties broken by language code asc, 'und' when no hits anywhere).
+
+    At 100 TB this is a single map-side pass: `size(filter(tokens, ...))`
+    per language — no shuffle, no UDF, no dictionary broadcast needed.
+    """
+    hit_cols = _lang_hit_cols(text_col)
+    return df.select(
         F.col(id_col),
         *[hits.cast("long").alias(f"hits_{lang}") for lang, hits in hit_cols.items()],
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
-            "pred_lang"
-        ),
+        pred_lang_col(text_col).alias("pred_lang"),
     )
-    return out
+
+
+def doc_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fused single-scan document profile: token count, punctuation ratio,
+    predicted language, and exact-dedup digest in ONE projection — the
+    base relation for composite cleaning passes (`pretrain_clean`). At
+    100 TB this replaces three separate corpus scans (text_stats +
+    lang_id + doc_fingerprint) and their doc_id re-join shuffles with a
+    single whole-stage-codegen pass over the scan."""
+    t = F.col(text_col)
+    punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        (punct / F.greatest(F.length(t), F.lit(1))).alias("punct_ratio"),
+        pred_lang_col(text_col).alias("pred_lang"),
+        fingerprint(text_col).alias("digest"),
+    )
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -58,6 +58,53 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_fingerprint(_docs(spark, sf_dir))
 
 
+# quality gate thresholds for pretrain_clean (kept in lockstep with the
+# DuckDB oracle in __spark_entry__.py)
+MIN_TOKENS, MAX_TOKENS, MAX_PUNCT = 20, 2000, 0.1
+
+
+def pretrain_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pass — the canonical pretrain
+    pipeline composed from the individual operators: quality gate
+    (token-count window + punctuation ratio) → language tag → exact-dedup
+    survivors (keep each digest's min doc_id) → near-dup removal (MinHash
+    LSH candidates, Jaccard-verified ≥ 0.5, drop the higher doc_id of
+    each pair).
+
+    Scale shape: quality + language + digest come from ONE fused
+    projection over the corpus scan (`text.doc_profile` — all codegen,
+    no UDFs); canonical-per-digest is a single window shuffle on digest
+    (no groupBy + re-join); the near-dup branch (shingle explode →
+    MinHash → LSH → verify) is the only other corpus read, and its
+    output feeds a left-anti equi-join. Nothing is collected.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    prof = T.doc_profile(docs)
+    # canonical flag BEFORE the quality gate: the canonical holder of a
+    # digest is the min doc_id over the FULL corpus, so a duplicate of a
+    # low-quality canonical is still dropped (matches the oracle SQL).
+    is_canon = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy("digest")
+    )
+    near = D.minhash_dedup(
+        docs, n=SHINGLE_N, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5
+    )
+    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        prof.withColumn("is_canon", is_canon)
+        .filter(
+            F.col("is_canon")
+            & (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_tokens") <= MAX_TOKENS)
+            & (F.col("punct_ratio") <= MAX_PUNCT)
+        )
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "pred_lang", "n_tokens")
+    )
+
+
 # --- dedup ----------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,3 +101,16 @@ def test_minhash_band_join_no_cartesian(spark):
     df = pipeline.minhash_dedup_pairs(spark, SF)
     strategies = plans.join_strategies(df)
     assert "CartesianProduct" not in strategies
+
+
+def test_pretrain_clean_single_corpus_scan(spark):
+    # the fused profile (quality + language + digest) must come from ONE
+    # documents scan; the only other corpus read is the checkpointed
+    # shingle branch, which does not appear in this plan
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.pretrain_clean(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("documents.parquet") == 1, plan
+    strategies = plans.join_strategies(df)
+    assert "CartesianProduct" not in strategies
