@@ -256,8 +256,15 @@ class Collection:
             self.fs.remove_file(r.rel)
         return new_root
 
-    def squash(self):
-        return self.trim(before=None)
+    def squash(self, trim=None, max_chunk: int = DEFRAG_MAX_CHUNK):
+        """defrag + trim combo (`lakota/collection.py:310-337`): compact
+        fragmented segments, then collapse history. ``trim`` False keeps
+        the full history; a datetime/epoch trims only older revisions;
+        None (default) collapses everything into one root."""
+        revs = self.defrag(max_chunk=max_chunk)
+        if trim is not False:
+            self.trim(before=trim)
+        return revs
 
     def defrag(self, page_len: int = PAGE_LEN, max_chunk: int = DEFRAG_MAX_CHUNK):
         """Compaction (`lakota/collection.py:364-403`): rewrite runs of

@@ -93,6 +93,18 @@ def test_trim_squash(repo):
     assert rows(s.frame()) == [(0, 0.0), (1, 1.0), (2, 2.0)]
 
 
+def test_squash_keep_history(repo):
+    # reference `Collection.squash(trim=False)`: defrag without trimming —
+    # data compacted, history preserved (`tests/collection_test.py:67-121`)
+    coll = _mk(repo)
+    s = coll.series("s")
+    for i in range(3):
+        s.write({"ts": [i], "value": [float(i)]})
+    coll.squash(trim=False)
+    assert len(coll.changelog.revisions()) >= 3  # history kept (+defrag rev)
+    assert rows(s.frame()) == [(0, 0.0), (1, 1.0), (2, 2.0)]
+
+
 def test_defrag(repo):
     coll = _mk(repo)
     s = coll.series("s")
