@@ -74,6 +74,7 @@ class Series:
         stop=None,
         closed: str = "b",
         validate_sorted: bool = False,
+        checkpoint: bool | None = None,
     ):
         """Write a frame as one content-addressed segment + one revision.
 
@@ -81,8 +82,24 @@ class Series:
         min/max — the widened range *deletes* pre-existing rows it shadows
         (`tests/series_test.py:251-371` semantics). Empty data + explicit
         bounds = range delete.
+
+        The write runs two jobs over the input (bounds/count stats, then
+        the file write — the count pins a session-independent partition
+        layout, which content-addressing depends on). ``checkpoint``
+        controls whether the input is materialized once between them via
+        ``localCheckpoint(eager=False)``; default (None) auto-enables it
+        when the input is a DataFrame whose plan contains a shuffle —
+        i.e. exactly when recomputing it would repeat real work. Pass
+        False to force recompute (cheap scans), True to force (expensive
+        narrow transforms the heuristic can't see).
         """
         df = self._coerce_df(data)
+        if checkpoint is None:
+            checkpoint = isinstance(data, DataFrame) and "Exchange" in (
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+        if checkpoint:
+            df = df.localCheckpoint(eager=False)
         stats = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.min(self._idx_struct()).alias("lo"),

@@ -189,6 +189,31 @@ def test_series_bool(series):
     assert not bool(series.collection.series("i-do-not-exist"))
 
 
+def test_write_checkpoint_same_content_address(repo, spark):
+    # the shuffle-input checkpoint optimization must not change the
+    # written bytes: identical data -> identical content address,
+    # regardless of the checkpoint path taken
+    from pyspark.sql import functions as F
+
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "ck")
+    base = spark.range(0, 200).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+    )
+    src = (
+        base.groupBy("k")
+        .agg(F.sum("v").cast("double").alias("value"))
+        .select(F.col("k").alias("ts"), "value")
+    )
+    s1, s2 = coll.series("a"), coll.series("b")
+    s1.write(src, checkpoint=True)
+    s2.write(src, checkpoint=False)
+    snap = coll.snapshot()
+    seg1 = snap.for_label("a")[0]
+    seg2 = snap.for_label("b")[0]
+    assert seg1.path == seg2.path  # content-dedup: same digest dir
+    assert rows(s1.frame()) == rows(s2.frame())
+
+
 def test_unsorted_write_validation(repo):
     coll = repo.create_collection(Schema(timestamp="int*", value="float"), "v")
     s = coll.series("s")
