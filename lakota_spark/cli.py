@@ -250,7 +250,35 @@ def cmd_export(args):
     print(f"exported {args.label} -> {args.out}")
 
 
+def cmd_help(args):
+    """`lakota help [verb]` (`lakota/cli.py` help verb): print the parser
+    help, or the requested sub-command's."""
+    parser, sub = _build_parser()
+    if args.verb:
+        choices = sub.choices
+        if args.verb not in choices:
+            print(f"unknown command {args.verb!r}")
+            return
+        choices[args.verb].print_help()
+    else:
+        parser.print_help()
+
+
 def main(argv=None):
+    p, sub = _build_parser()
+
+    # argparse can't intermix trailing positionals with optionals in
+    # subparsers; collect leftover non-flag tokens as read columns
+    args, extra = p.parse_known_args(argv)
+    bad = [e for e in extra if e.startswith("-")]
+    if bad or (extra and args.cmd != "read"):
+        p.error(f"unrecognized arguments: {' '.join(extra)}")
+    if extra:
+        args.columns = [*(args.columns or []), *extra]
+    args.fn(args)
+
+
+def _build_parser():
     p = argparse.ArgumentParser(prog="lakota-spark")
     p.add_argument(
         "-r", "--repo", default=os.environ.get("LAKOTA_SPARK_REPO", ".")
@@ -271,7 +299,13 @@ def main(argv=None):
     s.add_argument("--greater-than", "--start", dest="greater_than")
     s.add_argument("--less-than", "--stop", dest="less_than")
     s.set_defaults(fn=cmd_read)
-    s = sub.add_parser("len"); s.add_argument("path"); s.set_defaults(fn=cmd_len)
+    s = sub.add_parser("len", aliases=["length"])
+    s.add_argument("path"); s.set_defaults(fn=cmd_len)
+    s = sub.add_parser("version")
+    s.set_defaults(fn=lambda a: print(__import__("lakota_spark").__version__))
+    s = sub.add_parser("help")
+    s.add_argument("verb", nargs="?")
+    s.set_defaults(fn=cmd_help)
     s = sub.add_parser("rev"); s.add_argument("label"); s.set_defaults(fn=cmd_rev)
     s = sub.add_parser("squash"); s.add_argument("label"); s.set_defaults(fn=cmd_squash)
     s = sub.add_parser("defrag"); s.add_argument("label"); s.set_defaults(fn=cmd_defrag)
@@ -302,23 +336,16 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=8080)
     s.set_defaults(fn=cmd_serve)
     s = sub.add_parser("gc")
-    s.add_argument("--timeout", type=float, default=0.0)
+    # 600 s grace (reference default): trash younger than this survives a
+    # second gc pass, protecting segments of in-flight commits
+    s.add_argument("--timeout", type=float, default=600.0)
     s.set_defaults(fn=cmd_gc)
     s = sub.add_parser("delete"); s.add_argument("path"); s.set_defaults(fn=cmd_delete)
     s = sub.add_parser("export")
     s.add_argument("label"); s.add_argument("out")
     s.add_argument("--format", default="parquet")
     s.set_defaults(fn=cmd_export)
-
-    # argparse can't intermix trailing positionals with optionals in
-    # subparsers; collect leftover non-flag tokens as read columns
-    args, extra = p.parse_known_args(argv)
-    bad = [e for e in extra if e.startswith("-")]
-    if bad or (extra and args.cmd != "read"):
-        p.error(f"unrecognized arguments: {' '.join(extra)}")
-    if extra:
-        args.columns = [*(args.columns or []), *extra]
-    args.fn(args)
+    return p, sub
 
 
 if __name__ == "__main__":

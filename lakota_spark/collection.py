@@ -50,6 +50,10 @@ class Collection:
         cls = KVSeries if self.schema.kv else Series
         return cls(self, label)
 
+    def __iter__(self):
+        """Iterate series labels (`lakota/collection.py:91-92`)."""
+        return iter(self.ls())
+
     def __truediv__(self, label: str) -> Series:
         return self.series(label)
 

@@ -92,3 +92,15 @@ def test_import_csv_and_trim(cli_env, tmp_path):
     coll = Repo(root, repo.spark).collection("temperature")
     assert len(coll.changelog.revisions()) == 1
     assert len(coll.series("paris")) == 5
+
+
+def test_help_version_length(cli_env):
+    root, repo, run = cli_env
+    _seed(repo)
+    assert "lakota-spark" in run("help")
+    assert "--timeout" in run("help", "gc")
+    assert run("version").strip()
+    # `length` is an alias for `len` (reference verb name)
+    assert run("length", "temperature/paris") == run("len", "temperature/paris")
+    # Collection supports label iteration (`lakota/collection.py:91`)
+    assert list(repo.collection("temperature")) == ["paris"]
