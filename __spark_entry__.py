@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_case_agg": tpch.q12_shipmode_priority,
         "tpch_q17_window_avg": tpch.q17_small_quantity_revenue,
         "tpch_q7_nation_volume": tpch.q7_nation_volume,
+        "tpch_q9_profit": tpch.q9_product_profit,
         "cube_qty": tpch.cube_quantity,
         "tpch_q15_top_supplier": tpch.top_suppliers_q15,
         "tpch_q18_large_orders": tpch.q18_large_orders,
@@ -368,6 +369,17 @@ WITH flagged AS (
 SELECT sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS total_price,
        count(*) AS n_lines
 FROM flagged
+""",
+        "tpch_q9_profit": """
+SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
 """,
         "tpch_q7_nation_volume": """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

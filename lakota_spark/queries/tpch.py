@@ -441,3 +441,31 @@ def q22_balance_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         money_sum(F.col("c_acctbal"), 100).alias("totacctbal"),
     )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-flavored (adapted: no partsupp table in the testdata, so
+    profit = discounted revenue rather than revenue − supplycost):
+    profit on bolt parts by supplier nation and order year (the testdata
+    part names are "<adj> <noun>" — 'bolt' plays Q9's 'green').
+
+    Plan shape for scale: lineitem drives; part is filtered BEFORE the
+    join (predicate reaches the scan) and broadcast along with supplier +
+    nation; the only big-table shuffle is lineitem⋈orders on orderkey;
+    the two-key groupBy partial-aggregates below the exchange.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    joined = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(money_sum(_DISC_PRICE(), 10000).alias("sum_profit"))

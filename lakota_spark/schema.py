@@ -69,6 +69,9 @@ class Schema:
         """Upsert-on-index schema (`Schema.kv`, `lakota/schema.py:188-192`)."""
         return cls(_kv=True, **columns)
 
+    # reference API name
+    kv = kv_schema
+
     # -- Spark integration -------------------------------------------------
 
     def struct_type(self) -> T.StructType:

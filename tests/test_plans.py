@@ -114,3 +114,15 @@ def test_pretrain_clean_single_corpus_scan(spark):
     assert plan.count("documents.parquet") == 1, plan
     strategies = plans.join_strategies(df)
     assert "CartesianProduct" not in strategies
+
+
+def test_q9_broadcasts_and_pushes_part_filter(spark):
+    from lakota_spark.queries import tpch
+
+    df = tpch.q9_product_profit(spark, SF)
+    strategies = plans.join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "p_name" in pushed  # bolt predicate reaches the part scan
+    assert plans.has_partial_aggregation(df)
