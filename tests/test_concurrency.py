@@ -72,3 +72,36 @@ def test_gc_spares_segment_landing_mid_scan(repo):
     assert got == [(1, 1.0), (50, 50.0)]  # nothing lost
     # a later gc (with everything committed) still finds no garbage
     assert repo.gc(timeout=0.0) == {"soft": 0, "hard": 0, "resurrected": 0}
+
+
+def test_concurrent_same_series_disjoint_ranges(repo):
+    # reference `tests/concurrent_test.py:31-57`: parallel workers ingest
+    # disjoint index ranges of ONE series, merge, then range-reads see
+    # every row exactly once
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "ingest")
+    errs = []
+
+    def writer(i):
+        try:
+            lo = i * 100
+            (repo.collection("ingest") / "big").write(
+                {"ts": list(range(lo, lo + 100)),
+                 "value": [float(i)] * 100}
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    coll.merge()
+    assert len(coll.changelog.leaves()) == 1
+    s = coll / "big"
+    assert len(s) == 600
+    # range-read inside one worker's span
+    part = s.frame(start=250, stop=350, closed="l").collect()
+    assert len(part) == 100
+    assert {r.value for r in part} == {2.0, 3.0}
