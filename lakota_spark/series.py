@@ -20,6 +20,7 @@ still broadcastable; the pruning pass cuts that to the queried interval.
 
 from __future__ import annotations
 
+import datetime as dt
 import uuid
 
 from pyspark.sql import DataFrame, Window
@@ -51,19 +52,67 @@ class Series:
         return F.struct(*[F.col(c) for c in self.schema.idx])
 
     def _coerce_df(self, data) -> DataFrame:
+        df, _ = self._coerce_df_local(data)
+        return df
+
+    def _coerce_df_local(self, data):
+        """Coerce to a cast DataFrame; second return is the driver-local
+        pandas frame when the input was local (dict/pandas), else None —
+        lets the write path compute count/bounds without a Spark job."""
         if isinstance(data, DataFrame):
-            return self.schema.cast(data)
+            return self.schema.cast(data), None
         # dict-of-lists / list-of-rows / pandas convenience (tests, CLI)
         import pandas as pd
 
         if isinstance(data, dict):
             data = pd.DataFrame(data)
         if isinstance(data, pd.DataFrame) and len(data) == 0:
-            return self.spark.createDataFrame([], self.schema.struct_type())
+            return self.spark.createDataFrame([], self.schema.struct_type()), data
         # infer first, then cast: inputs may hold ISO strings for timestamps
         # etc. — the declared schema coerces (`lakota/schema.py:130-133`)
         df = self.spark.createDataFrame(data)
-        return self.schema.cast(df)
+        pdf = data if isinstance(data, pd.DataFrame) else None
+        return self.schema.cast(df), pdf
+
+    def _local_stats(self, pdf):
+        """(n, lo, hi) computed driver-side from a local pandas frame —
+        None when any index column's dtype would need the engine's cast
+        to compare correctly (e.g. ISO strings for a timestamp index).
+        Values are normalized to the same Python types Spark's Row
+        returns, so segment bounds are byte-identical either path."""
+        import pandas as pd
+
+        idx = list(self.schema.idx)
+        if len(pdf) == 0:
+            return 0, None, None
+        if any(c not in pdf.columns for c in idx):
+            return None
+        cols = []
+        for c in idx:
+            alias = self.schema.columns[c]
+            s = pdf[c]
+            kind = s.dtype.kind  # i/u int, f float, M datetime64, O object
+            if alias == "int" and kind in "iu":
+                cols.append([int(v) for v in s])
+            elif alias == "float" and kind in "iuf":
+                cols.append([float(v) for v in s])
+            elif alias == "timestamp" and kind == "M":
+                # engine cast truncates to second precision (schema.cast)
+                cols.append(
+                    [pd.Timestamp(v).floor("s").to_pydatetime() for v in s]
+                )
+            elif alias == "str" and kind == "O" and all(
+                isinstance(v, str) for v in s
+            ):
+                cols.append(list(s))
+            elif alias == "date" and kind == "O" and all(
+                type(v) is dt.date for v in s
+            ):
+                cols.append(list(s))
+            else:
+                return None  # needs the engine cast — fall back to Spark
+        rows = list(zip(*cols))
+        return len(pdf), min(rows), max(rows)
 
     # --------------------------------------------------------------- write
 
@@ -93,19 +142,25 @@ class Series:
         False to force recompute (cheap scans), True to force (expensive
         narrow transforms the heuristic can't see).
         """
-        df = self._coerce_df(data)
+        df, pdf = self._coerce_df_local(data)
         if checkpoint is None:
             checkpoint = isinstance(data, DataFrame) and "Exchange" in (
                 df._jdf.queryExecution().executedPlan().toString()
             )
         if checkpoint:
             df = df.localCheckpoint(eager=False)
-        stats = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(self._idx_struct()).alias("lo"),
-            F.max(self._idx_struct()).alias("hi"),
-        ).collect()[0]
-        n = stats["n"]
+        # driver-local inputs (dict/pandas) with engine-ready index dtypes
+        # skip the Spark stats job entirely — one job per write, not two
+        local = self._local_stats(pdf) if pdf is not None else None
+        if local is not None:
+            n, local_lo, local_hi = local
+        else:
+            stats = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(self._idx_struct()).alias("lo"),
+                F.max(self._idx_struct()).alias("hi"),
+            ).collect()[0]
+            n = stats["n"]
         start_closed, stop_closed = CLOSED[closed]
         start = self.schema.coerce_bound(start)
         stop = self.schema.coerce_bound(stop)
@@ -123,7 +178,10 @@ class Series:
                     length=0,
                 )
             )
-        lo, hi = tuple(stats["lo"]), tuple(stats["hi"])
+        if local is not None:
+            lo, hi = tuple(local_lo), tuple(local_hi)
+        else:
+            lo, hi = tuple(stats["lo"]), tuple(stats["hi"])
         # explicit bounds may only widen (reference asserts containment,
         # `lakota/series.py:117-121`): narrower bounds would silently hide
         # rows of the new segment at read time while length=n still counts

@@ -214,6 +214,31 @@ def test_write_checkpoint_same_content_address(repo, spark):
     assert rows(s1.frame()) == rows(s2.frame())
 
 
+def test_local_stats_match_spark_stats(repo, spark):
+    # the driver-local bounds fast path must record byte-identical segment
+    # metadata to the Spark stats job, for every index type
+    import datetime as dt
+
+    coll = repo.create_collection(
+        Schema(ts="timestamp*", k="int*", value="float"), "ls"
+    )
+    data = {
+        "ts": [dt.datetime(2020, 1, 1, 5, 6, 7), dt.datetime(2020, 2, 1)],
+        "k": [3, 1],
+        "value": [1.0, 2.0],
+    }
+    coll.series("a").write(data)  # dict -> local fast path
+    sdf = spark.createDataFrame(
+        list(zip(data["ts"], data["k"], data["value"])),
+        "ts timestamp, k long, value double",
+    )
+    coll.series("b").write(sdf)  # DataFrame -> Spark stats job
+    snap = coll.snapshot()
+    sa, sb = snap.for_label("a")[0], snap.for_label("b")[0]
+    assert (sa.start, sa.stop, sa.length) == (sb.start, sb.stop, sb.length)
+    assert sa.path == sb.path  # identical content address too
+
+
 def test_unsorted_write_validation(repo):
     coll = repo.create_collection(Schema(timestamp="int*", value="float"), "v")
     s = coll.series("s")
