@@ -590,10 +590,12 @@ class Series:
 
         # lenient coercion: an update frame carries the index plus a SUBSET
         # of value columns — cast only what is present
+        pdf = None
         if not isinstance(data, DataFrame):
             import pandas as pd
 
-            data = self.spark.createDataFrame(pd.DataFrame(dict(data)))
+            pdf = pd.DataFrame(dict(data))
+            data = self.spark.createDataFrame(pdf)
         types = self.schema.struct_type()
         upd = data.select(
             *[
@@ -606,11 +608,16 @@ class Series:
         if missing_idx:
             raise ValueError(f"update frame missing index columns {missing_idx}")
         update_cols = [c for c in self.schema.values if c in upd.columns]
-        stats = upd.agg(
-            F.min(self._idx_struct()).alias("lo"),
-            F.max(self._idx_struct()).alias("hi"),
-        ).collect()[0]
-        lo, hi = tuple(stats["lo"]), tuple(stats["hi"])
+        local = self._local_stats(pdf) if pdf is not None else None
+        if local is not None and local[0] > 0:
+            _, lo, hi = local
+            lo, hi = tuple(lo), tuple(hi)
+        else:
+            stats = upd.agg(
+                F.min(self._idx_struct()).alias("lo"),
+                F.max(self._idx_struct()).alias("hi"),
+            ).collect()[0]
+            lo, hi = tuple(stats["lo"]), tuple(stats["hi"])
         base = self.frame(start=lo, stop=hi)
         upd_proj = upd.select(*self.schema.idx, *update_cols)
         merged = update_zerofill(
