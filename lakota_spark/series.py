@@ -723,15 +723,15 @@ class KVSeries(Series):
         keys = self._coerce_keys(keys_df)
         current = self.frame()
         remaining = current.join(keys, on=list(self.schema.idx), how="left_anti")
-        stats = current.agg(
-            F.min(self._idx_struct()).alias("lo"),
-            F.max(self._idx_struct()).alias("hi"),
-        ).collect()[0]
-        if stats["lo"] is None:
-            return
-        # rewrite the full span with the complement (non-KV overlay write)
-        lo, hi = tuple(stats["lo"]), tuple(stats["hi"])
+        # span bounds from segment METADATA (no full-frame Spark job):
+        # the union of segment intervals covers every live row by
+        # definition, and the overlay may only be wider than the data
         snap = self.collection.snapshot()
+        segs = snap.for_label(self.label)
+        if not segs:
+            return
+        lo = min(tuple(s.start) for s in segs)
+        hi = max(tuple(s.stop) for s in segs)
         seq = snap.max_seq + 1
         n = remaining.count()
         if n == 0:
