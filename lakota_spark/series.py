@@ -511,9 +511,23 @@ class Series:
 
     # ------------------------------------------------------------- extras
 
-    def tail(self, length: int, before=None) -> DataFrame:
+    def tail(
+        self,
+        length: int,
+        start=None,
+        stop=None,
+        before=None,
+        closed: str = "b",
+        limit: int | None = None,
+        offset: int | None = None,
+        select: list[str] | None = None,
+    ) -> DataFrame:
         """Last N rows (`lakota/series.py:261-312`): prune to the trailing
         segments whose lengths cover N (metadata), then TakeOrdered.
+        ``start``/``stop`` pre-filter the range the tail draws from;
+        ``limit``/``offset`` slice the resulting tail frame from its
+        start (reference `tests/series_test.py:715-717`); ``select``
+        projects columns.
 
         ``seg.length`` is the PHYSICAL row count — an upper bound on the
         effective rows once overlays/deletes narrowed a segment's bounds
@@ -523,31 +537,45 @@ class Series:
         (doubling) until ``length`` rows are covered or every segment is
         in — at most O(log S) extra metadata passes, data read stays
         bounded by the suffix actually needed."""
-        snap = self.collection.snapshot(before=before)
-        segs = snap.for_label(self.label)
-        k = 0
-        total = 0
-        for seg in reversed(segs):
-            k += 1
-            total += seg.length
-            if total >= length and not self.schema.kv:
-                break
-        if self.schema.kv:
-            k = len(segs)  # KV needs every segment for last-writer-wins
-        while True:
-            df = self._read_segments(segs[len(segs) - k :])
+        if start is not None or stop is not None:
+            # pre-filtered tail: draw from the range-filtered read (the
+            # reference walks the same filtered segment list)
+            df = self.frame(
+                start=start, stop=stop, before=before, closed=closed,
+                sort=False,
+            )
+        else:
+            snap = self.collection.snapshot(before=before)
+            segs = snap.for_label(self.label)
+            k = 0
+            total = 0
+            for seg in reversed(segs):
+                k += 1
+                total += seg.length
+                if total >= length and not self.schema.kv:
+                    break
             if self.schema.kv:
-                df = self._kv_dedup(df)
-            if k >= len(segs):
-                break
-            if df.limit(length).count() >= length:
-                break
-            k = min(len(segs), max(k * 2, k + 1))
+                k = len(segs)  # KV needs every segment for last-writer-wins
+            while True:
+                df = self._read_segments(segs[len(segs) - k :])
+                if self.schema.kv:
+                    df = self._kv_dedup(df)
+                if k >= len(segs):
+                    break
+                if df.limit(length).count() >= length:
+                    break
+                k = min(len(segs), max(k * 2, k + 1))
         idx_desc = [F.col(c).desc() for c in self.schema.idx]
         tail = df.orderBy(*idx_desc).limit(length)
-        return tail.orderBy(*[F.col(c) for c in self.schema.idx]).select(
-            *self.schema.columns
-        )
+        out = tail.orderBy(*[F.col(c) for c in self.schema.idx])
+        if (limit, offset) != (None, None):
+            # reference slice semantics: rows [offset, offset+limit) of
+            # the tail frame; offset without limit yields nothing
+            off = offset or 0
+            if off:
+                out = out.offset(off)
+            out = out.limit(limit or 0)
+        return out.select(*(select or list(self.schema.columns)))
 
     def paginate(self, step: int, **frame_kwargs):
         """Pull-based chunk stream (`lakota/series.py:237-259`): yields

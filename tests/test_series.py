@@ -120,6 +120,21 @@ def test_tail(series):
     assert rows(series.tail(10)) == list(zip(TS, [3.3, 4.4, 5.5]))
 
 
+def test_tail_filter_slice_select(series):
+    # reference tail kwargs (`lakota/series.py:261-271`,
+    # `tests/series_test.py:667-717`): range pre-filter, slice, projection
+    assert rows(series.tail(2, stop=TS[2], closed="l")) == [
+        (TS[0], 3.3), (TS[1], 4.4)
+    ]
+    assert rows(series.tail(3, start=TS[1])) == [(TS[1], 4.4), (TS[2], 5.5)]
+    # slice semantics: rows [offset, offset+limit) of the tail frame
+    assert rows(series.tail(3, limit=1, offset=1)) == [(TS[1], 4.4)]
+    assert rows(series.tail(3, limit=2)) == [(TS[0], 3.3), (TS[1], 4.4)]
+    out = series.tail(2, select=["value"])
+    assert out.columns == ["value"]
+    assert sorted(r.value for r in out.collect()) == [4.4, 5.5]
+
+
 def test_paginate(series):
     pages = [rows(p) for p in series.paginate(2)]
     assert pages == [[(TS[0], 3.3), (TS[1], 4.4)], [(TS[2], 5.5)]]
