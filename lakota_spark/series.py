@@ -36,6 +36,11 @@ CLOSED = {
     "l": (True, False),
     "r": (False, True),
     "n": (False, False),
+    # reference spelling (`lakota/utils.py` Closed enum / CLI --closed)
+    "BOTH": (True, True),
+    "LEFT": (True, False),
+    "RIGHT": (False, True),
+    "NONE": (False, False),
 }
 
 
