@@ -91,6 +91,50 @@ def test_multimodal_feature_contract(spark):
     assert {r.media_id for r in frames} == {1, 2}
 
 
+def test_real_image_decode_ppm_bmp(spark):
+    # PPM/BMP are REAL decodes (numpy-only): features are pixel-exact
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from lakota_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    # 2x2 PPM P6: red, green / blue, white
+    pix = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    ppm = b"P6\n# comment\n2 2\n255\n" + pix
+    # same image as bottom-up 24-bit BMP (rows: [blue, white], [red, green],
+    # BGR order, rows padded to 4 bytes -> 2*3=6 -> pad to 8)
+    def bgr_row(*rgb):
+        row = b"".join(bytes([b_, g, r]) for r, g, b_ in rgb)
+        return row + b"\x00" * ((4 - len(row) % 4) % 4)
+
+    pixel_data = bgr_row((0, 0, 255), (255, 255, 255)) + bgr_row(
+        (255, 0, 0), (0, 255, 0)
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data),
+                      2835, 2835, 0, 0)
+    )
+    bmp = header + pixel_data
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(ppm), "image/x-portable-pixmap", len(ppm), "{}"),
+            (2, bytearray(bmp), "image/bmp", len(bmp), "{}"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    for mid in (1, 2):
+        f = feats[mid]
+        assert len(f) == 13  # real decode, not the byte-histogram fallback
+        assert f[0] == 2.0 and f[1] == 2.0  # width, height
+        # mean RGB of {red, green, blue, white} = (127.5, 127.5, 127.5)
+        assert f[2] == f[3] == f[4] == 127.5
+    assert feats[1] == feats[2]  # same pixels -> identical descriptor
+
+
 def test_with_global_index(spark):
     from lakota_spark.operators.index import release_index, with_global_index
 
