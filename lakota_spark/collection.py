@@ -413,6 +413,25 @@ class Collection:
         snap = self.snapshot().rename_label(old, new)
         return self.commit_snapshot(snap)
 
+    # reference API names (`lakota/collection.py`: delete/rename/refresh)
+    delete = delete_series
+    rename = rename_series
+
+    def refresh(self) -> None:
+        """No-op for parity: the changelog is re-read from the FS on every
+        snapshot — there is no driver-side cache to invalidate."""
+
+    def digests(self):
+        """Yield every segment content-digest any revision references
+        (`lakota/collection.py:405-413`) — the sync/GC working set."""
+        seen = set()
+        for rev in self.changelog.revisions():
+            snap = Snapshot.from_payload(rev.read(), self.schema)
+            for name in snap.paths():
+                if name not in seen:
+                    seen.add(name)
+                    yield name
+
     def pull(self, other: "Collection", shallow: bool = False) -> int:
         """Sync revisions + referenced segment dirs from another repo's
         collection (`lakota/collection.py:210-233`) — works across any

@@ -145,6 +145,24 @@ class Repo:
         if self.fs.exists(old):
             self.fs.move(old, new)
 
+    # reference API names (`lakota/repo.py`: delete/rename/refresh) —
+    # lets reference user code run unchanged
+    delete = delete_collection
+    rename = rename_collection
+
+    def refresh(self) -> None:
+        """No-op for parity: nothing is cached driver-side — registry and
+        changelog reads always hit the FS (`Repo.refresh`)."""
+
+    def export_collections(
+        self, out_dir: str, collections: list[str] | None = None,
+        fmt: str = "parquet",
+    ) -> None:
+        """Export every (or the named) collections, one subdir each
+        (`lakota/repo.py:463-478`)."""
+        for label in collections or self.ls():
+            self.export_collection(label, f"{out_dir}/{label}", fmt=fmt)
+
     # ---------------------------------------------------------------- gc
 
     def gc(self, timeout: float = 600.0) -> dict:

@@ -376,3 +376,26 @@ def test_shallow_push_pull(repo, spark, tmp_path):
     other2 = Repo(str(tmp_path / "deep-remote"), spark)
     repo.push(other2, ["sh"])
     assert len(other2.collection("sh").changelog.revisions()) == 4
+
+
+def test_reference_api_aliases(repo, spark, tmp_path):
+    # reference method names work unchanged: Repo.delete/rename/refresh/
+    # export_collections, Collection.delete/rename/refresh/digests
+    coll = _mk(repo, "al")
+    s = coll.series("a")
+    s.write({"ts": [1], "value": [1.0]})
+    assert list(coll.digests())  # at least one referenced segment
+    coll.rename("a", "b")
+    assert coll.ls() == ["b"]
+    coll.delete("b")
+    assert coll.ls() == []
+    coll.refresh()
+    repo.refresh()
+    repo.rename("al", "al2")
+    assert "al2" in repo.ls() and "al" not in repo.ls()
+    out = tmp_path / "exp"
+    repo.collection("al2").series("x").write({"ts": [1], "value": [2.0]})
+    repo.export_collections(str(out))
+    assert (out / "al2").exists()
+    repo.delete("al2")
+    assert repo.ls() == []
