@@ -28,9 +28,15 @@ TRASH_MARK = ".trash-"
 
 
 class Repo:
-    def __init__(self, root: str, spark: SparkSession | None = None):
+    def __init__(self, root: str | None = None, spark: SparkSession | None = None):
         from lakota_spark.fsio import BaseFS
 
+        if root is None:
+            # reference parity: `Repo()` is an ephemeral in-memory repo
+            # (`lakota/repo.py` defaults to a memory pod)
+            import uuid
+
+            root = f"memory://repo-{uuid.uuid4().hex}"
         self.fs = root if isinstance(root, BaseFS) else open_fs(root)
         self.root = self.fs.local_path() or self.fs.uri
         if spark is None:
