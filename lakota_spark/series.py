@@ -96,6 +96,8 @@ class Series:
         for c in idx:
             alias = self.schema.columns[c]
             s = pdf[c]
+            if s.isna().any():
+                return None  # NA index values: let the engine path decide
             kind = s.dtype.kind  # i/u int, f float, M datetime64, O object
             if alias == "int" and kind in "iu":
                 cols.append([int(v) for v in s])
