@@ -139,6 +139,63 @@ def streaming_dedup(
     )
 
 
+def streaming_near_dup_filter(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH near-dup gate in-stream — the streaming twin of
+    `operators.dedup.minhash_dedup`'s candidate stage.
+
+    MinHash band keys are computed PER ROW with array expressions
+    (`array_min(transform(shingles, hash))` — no shuffle, no groupBy, so
+    it streams in append mode). LSH candidacy is ANY-band collision, so
+    the gate chains one ``dropDuplicatesWithinWatermark`` per band: a doc
+    whose band-b key matches an earlier doc's is dropped at stage b; a
+    doc passes only if every band is first-seen. State per stage is one
+    key per band value, bounded by the watermark horizon; cross-horizon
+    near-dup belongs to the batch operator over the landed table.
+
+    Unlike the batch pipeline there is no exact-Jaccard verify tier (that
+    needs a corpus self-join): this is the high-recall ingest gate —
+    band collisions of genuinely-dissimilar docs (P ≈ j^r per band) are
+    the documented false-drop trade.
+    """
+    from lakota_spark.functions import hash32, tokens, word_shingles
+
+    rows_per_band = num_hashes // bands
+    shingles = word_shingles(tokens(text_col), n)
+    mh = [
+        F.array_min(F.transform(shingles, _seeded_hash(hash32, k)))
+        for k in range(num_hashes)
+    ]
+    band_cols = {
+        f"_band_{b}": F.concat_ws(
+            "-",
+            *[
+                c.cast("string")
+                for c in mh[b * rows_per_band : (b + 1) * rows_per_band]
+            ],
+        )
+        for b in range(bands)
+    }
+    out = stream_df.withColumns(band_cols).withWatermark(ts_col, watermark)
+    for name in band_cols:
+        out = out.dropDuplicatesWithinWatermark([name])
+    return out.drop(*band_cols)
+
+
+def _seeded_hash(hash32, k):
+    # closure, not a default arg: a second lambda param would switch
+    # F.transform to its (element, index) form
+    return lambda s: hash32(F.concat(F.lit(f"{k}:"), s))
+
+
 def stateful_running_totals(
     stream_df: DataFrame,
     key_col: str = "user_id",

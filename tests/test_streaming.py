@@ -149,3 +149,46 @@ def test_streaming_dedup(spark, tmp_path):
     texts = sorted(r.doc_id for r in rows)
     assert len(texts) == 2          # one of the two dups survived
     assert 3 in texts               # the distinct doc always lands
+
+
+def test_streaming_near_dup_filter(spark, tmp_path):
+    # LSH gate in-stream: a near-copy sharing every band with an earlier
+    # doc is dropped; novel docs pass; state bounded by watermark
+    import datetime as dt
+    import os as _os
+
+    from lakota_spark.streaming import streaming_near_dup_filter
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    near = base + "tail"  # shares nearly all shingles -> all bands collide
+    src = str(tmp_path / "ndsrc")
+    _os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    spark.createDataFrame(
+        [(t0, 1, base), (t0, 2, "completely different words entirely " * 6)],
+        "ts timestamp, doc_id long, text string",
+    ).write.parquet(f"file://{src}/b0.parquet")
+    spark.createDataFrame(
+        [(t0 + dt.timedelta(minutes=1), 3, near),
+         (t0 + dt.timedelta(minutes=1), 4, "novel content nothing alike " * 6)],
+        "ts timestamp, doc_id long, text string",
+    ).write.parquet(f"file://{src}/b1.parquet")
+    stream = spark.readStream.schema(
+        "ts timestamp, doc_id long, text string"
+    ).parquet(f"file://{src}/*")
+    out_path = str(tmp_path / "ndout")
+    q = (
+        streaming_near_dup_filter(stream, watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", f"file://{out_path}")
+        .option("checkpointLocation", str(tmp_path / "ndckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(f"file://{out_path}").collect()
+    )
+    assert 2 in kept and 4 in kept      # distinct docs always pass
+    assert len([d for d in kept if d in (1, 3)]) == 1  # near-pair collapsed
