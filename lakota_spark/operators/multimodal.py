@@ -158,6 +158,85 @@ def _decode_image_batch(payload: pd.Series) -> pd.Series:
     return payload.map(decode)
 
 
+def _parse_wav(b: bytes):
+    """PCM WAV (RIFF) → (samples float64 in [-1, 1], sample_rate) —
+    numpy-only real decode. 8/16/32-bit integer PCM, any channel count
+    (averaged to mono). Returns None for non-WAV or compressed codecs."""
+    import numpy as np
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or channels < 1 or bits not in (8, 16, 32):
+        return None  # compressed / float WAV: out of numpy-only scope
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    raw = np.frombuffer(data, dtype=dtype)
+    raw = raw[: len(raw) - len(raw) % channels].reshape(-1, channels)
+    x = raw.astype(np.float64)
+    if bits == 8:
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(2 ** (bits - 1))
+    return x.mean(axis=1), rate
+
+
+def _audio_features(samples, rate: int) -> list[float]:
+    """[duration_s, rms, zero_crossing_rate, peak] — deterministic
+    4-float descriptor of a mono sample array."""
+    import numpy as np
+
+    n = len(samples)
+    if n == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    rms = float(np.sqrt(np.mean(samples**2)))
+    zc = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+    return [n / float(rate), rms, zc, float(np.max(np.abs(samples)))]
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction: REAL decode for PCM WAV
+    (numpy-only), byte-histogram fallback for codec formats (mp3/ogg/...
+    would need ffmpeg/librosa, absent here)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(b: bytes) -> list[float]:
+            parsed = _parse_wav(bytes(b))
+            if parsed is not None:
+                return _audio_features(*parsed)
+            counts = [0] * 8
+            for byte in bytes(b)[:4096]:
+                counts[byte >> 5] += 1
+            total = max(sum(counts), 1)
+            return [c / total for c in counts]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": pdf["payload"].map(decode),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over the media table.
 

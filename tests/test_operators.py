@@ -135,6 +135,35 @@ def test_real_image_decode_ppm_bmp(spark):
     assert feats[1] == feats[2]  # same pixels -> identical descriptor
 
 
+def test_real_audio_decode_wav(spark):
+    # PCM WAV is a REAL decode: features are sample-exact
+    import struct
+
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import MEDIA_SCHEMA, extract_audio_features
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    samples = (0.5 * np.sin(2 * np.pi * 440 * t / rate) * 32767).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav", len(wav), "{}")], MEDIA_SCHEMA
+    )
+    f = extract_audio_features(media).collect()[0].feature
+    assert len(f) == 4                         # real decode path
+    assert abs(f[0] - 1.0) < 1e-9              # duration: exactly 1 s
+    assert abs(f[1] - 0.5 / 2**0.5) < 1e-3     # rms of a 0.5-amp sine
+    assert abs(f[2] - 2 * 440 / rate) < 1e-2   # zero crossings of 440 Hz
+    assert 0.49 < f[3] <= 0.5                  # peak amplitude
+
+
 def test_with_global_index(spark):
     from lakota_spark.operators.index import release_index, with_global_index
 
