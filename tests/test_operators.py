@@ -164,6 +164,24 @@ def test_real_audio_decode_wav(spark):
     assert 0.49 < f[3] <= 0.5                  # peak amplitude
 
 
+def test_real_video_frame_sample_y4m(spark):
+    # Y4M is a REAL parse: sampled frames are the exact Y planes
+    from lakota_spark.operators.multimodal import MEDIA_SCHEMA, frame_sample
+
+    w, h = 4, 2
+    frames = [bytes([v] * (w * h)) for v in (10, 20, 30, 40, 50)]
+    chroma = bytes((w // 2) * (h // 2) * 2)
+    y4m = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n" + b"".join(
+        b"FRAME\n" + f + chroma for f in frames
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(y4m), "video/x-yuv4mpeg", len(y4m), "{}")], MEDIA_SCHEMA
+    )
+    out = {r.frame_no: bytes(r.frame) for r in frame_sample(media, every_n=2).collect()}
+    assert sorted(out) == [0, 2, 4]            # every 2nd frame sampled
+    assert out[0] == frames[0] and out[4] == frames[4]  # exact Y planes
+
+
 def test_with_global_index(spark):
     from lakota_spark.operators.index import release_index, with_global_index
 
