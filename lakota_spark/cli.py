@@ -19,6 +19,7 @@ resolve by unique prefix (`lakota/cli.py:254-277`).
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -67,10 +68,30 @@ def _series(repo, path: str, auto_create: bool = False):
 
 def cmd_ls(args):
     repo = _repo(args)
+    long = getattr(args, "long", False)
     if args.path:
-        print("\n".join(repo.collection(args.path).ls()))
+        coll = repo.collection(args.path)
+        if not long:
+            print("\n".join(coll.ls()))
+            return
+        # long listing (`lakota ls -l`): per-series segment count, row
+        # count and index span — metadata only, no Spark job
+        snap = coll.snapshot()
+        for label in coll.ls():
+            segs = snap.for_label(label)
+            n = snap.length(label)
+            lo = min((tuple(s.start) for s in segs), default=())
+            hi = max((tuple(s.stop) for s in segs), default=())
+            span = f"{list(lo)} .. {list(hi)}" if segs else "-"
+            print(f"{label}\t{len(segs)} segs\t{n} rows\t{span}")
     else:
-        print("\n".join(repo.ls()))
+        if not long:
+            print("\n".join(repo.ls()))
+            return
+        for label in repo.ls():
+            coll = repo.collection(label)
+            labels = coll.ls()
+            print(f"{label}\t{len(labels)} series\t{json.dumps(coll.schema.to_dict())}")
 
 
 def cmd_create(args):
@@ -285,7 +306,9 @@ def _build_parser():
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    s = sub.add_parser("ls"); s.add_argument("path", nargs="?"); s.set_defaults(fn=cmd_ls)
+    s = sub.add_parser("ls"); s.add_argument("path", nargs="?")
+    s.add_argument("-l", "--long", action="store_true")
+    s.set_defaults(fn=cmd_ls)
     s = sub.add_parser("create")
     s.add_argument("label"); s.add_argument("columns", nargs="+")
     s.set_defaults(fn=cmd_create)

@@ -287,6 +287,48 @@ def _iter_y4m_frames(b: bytes):
         no += 1
 
 
+def extract_video_features(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Per-sampled-frame luminance statistics over `frame_sample` output:
+    (media_id, frame_no, n_pixels, mean_luma, std_luma). Real numbers for
+    Y4M payloads (frames are exact Y planes); byte-window stats for the
+    codec fallback — same contract either way."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_no", LongType()),
+            StructField("n_pixels", LongType()),
+            StructField("mean_luma", DoubleType()),
+            StructField("std_luma", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            means, stds, ns = [], [], []
+            for frame in pdf["frame"]:
+                y = np.frombuffer(bytes(frame), dtype=np.uint8)
+                ns.append(len(y))
+                if len(y):
+                    means.append(float(y.mean()))
+                    stds.append(float(y.std()))
+                else:
+                    means.append(0.0)
+                    stds.append(0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_no": pdf["frame_no"],
+                    "n_pixels": ns,
+                    "mean_luma": means,
+                    "std_luma": stds,
+                }
+            )
+
+    return frame_sample(media, every_n=every_n).mapInPandas(run, schema=schema)
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling: expand each payload into every-``every_n``-th
     frame row. REAL frame extraction for uncompressed Y4M containers

@@ -94,6 +94,15 @@ def test_import_csv_and_trim(cli_env, tmp_path):
     assert len(coll.series("paris")) == 5
 
 
+def test_ls_long(cli_env):
+    root, repo, run = cli_env
+    _seed(repo)
+    out = run("ls", "-l")
+    assert "temperature" in out and "1 series" in out
+    out = run("ls", "temperature", "-l")
+    assert "paris" in out and "3 rows" in out and "1 segs" in out
+
+
 def test_help_version_length(cli_env):
     root, repo, run = cli_env
     _seed(repo)

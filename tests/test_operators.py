@@ -181,6 +181,15 @@ def test_real_video_frame_sample_y4m(spark):
     assert sorted(out) == [0, 2, 4]            # every 2nd frame sampled
     assert out[0] == frames[0] and out[4] == frames[4]  # exact Y planes
 
+    from lakota_spark.operators.multimodal import extract_video_features
+
+    feats = {
+        r.frame_no: r for r in extract_video_features(media, every_n=2).collect()
+    }
+    assert feats[2].mean_luma == 30.0          # constant-value frame
+    assert feats[2].std_luma == 0.0
+    assert feats[2].n_pixels == w * h
+
 
 def test_with_global_index(spark):
     from lakota_spark.operators.index import release_index, with_global_index
