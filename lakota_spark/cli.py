@@ -130,13 +130,32 @@ def cmd_read(args):
 
     repo = _repo(args)
     series = _series(repo, args.path)
-    df = series.frame(
-        start=args.greater_than,
-        stop=args.less_than,
-        before=args.before,
-        limit=args.limit,
-        offset=args.offset,
-    )
+    if args.paginate:
+        # page stream (`lakota/cli.py` --paginate): one CSV block per page
+        header = True
+        for page in series.paginate(
+            args.paginate, start=args.greater_than, stop=args.less_than
+        ):
+            print(page.toPandas().to_csv(index=False, header=header).rstrip())
+            header = False
+        return
+    if args.tail:
+        df = series.tail(
+            args.tail,
+            start=args.greater_than,
+            stop=args.less_than,
+            before=args.before,
+            limit=args.limit,
+            offset=args.offset,
+        )
+    else:
+        df = series.frame(
+            start=args.greater_than,
+            stop=args.less_than,
+            before=args.before,
+            limit=args.limit,
+            offset=args.offset,
+        )
     if args.mask:
         df = sexpr.mask(df, args.mask)
     cols = args.columns or None
@@ -321,6 +340,8 @@ def _build_parser():
     s.add_argument("--offset", type=int); s.add_argument("--before")
     s.add_argument("--greater-than", "--start", dest="greater_than")
     s.add_argument("--less-than", "--stop", dest="less_than")
+    s.add_argument("--tail", type=int)
+    s.add_argument("--paginate", type=int)
     s.set_defaults(fn=cmd_read)
     s = sub.add_parser("len", aliases=["length"])
     s.add_argument("path"); s.set_defaults(fn=cmd_len)

@@ -113,3 +113,15 @@ def test_help_version_length(cli_env):
     assert run("length", "temperature/paris") == run("len", "temperature/paris")
     # Collection supports label iteration (`lakota/collection.py:91`)
     assert list(repo.collection("temperature")) == ["paris"]
+
+
+def test_read_tail_and_paginate(cli_env):
+    root, repo, run = cli_env
+    _seed(repo)
+    out = run("read", "temperature/paris", "--tail", "2")
+    lines = out.strip().splitlines()
+    assert lines[0] == "timestamp,value"
+    assert [ln.split(",")[0] for ln in lines[1:]] == ["2", "3"]
+    out = run("read", "temperature/paris", "--paginate", "2")
+    lines = out.strip().splitlines()
+    assert lines[0] == "timestamp,value" and len(lines) == 4  # one header
