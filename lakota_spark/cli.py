@@ -190,16 +190,27 @@ def cmd_squash(args):
     print(f"squashed {args.label}")
 
 
+def _target_labels(repo, args):
+    """Multiple labels, or every collection when none given / --all
+    (reference defrag/trim verbs, `lakota/cli.py:748-763`)."""
+    labels = getattr(args, "labels", None) or []
+    if getattr(args, "all", False) or not labels:
+        return repo.ls()
+    return [_collection(repo, lb).label for lb in labels]
+
+
 def cmd_defrag(args):
     repo = _repo(args)
-    _collection(repo, args.label).defrag()
-    print(f"defragged {args.label}")
+    for label in _target_labels(repo, args):
+        repo.collection(label).defrag()
+        print(f"defragged {label}")
 
 
 def cmd_trim(args):
     repo = _repo(args)
-    _collection(repo, args.label).trim(before=args.before)
-    print(f"trimmed {args.label}")
+    for label in _target_labels(repo, args):
+        repo.collection(label).trim(before=args.before)
+        print(f"trimmed {label}")
 
 
 def cmd_merge(args):
@@ -316,12 +327,21 @@ def main(argv=None):
     if extra:
         args.columns = [*(args.columns or []), *extra]
     args.fn(args)
+    if getattr(args, "metrics", False):
+        from lakota_spark.fsio import BaseFS
+
+        for key, nbytes in sorted(BaseFS.metrics().items()):
+            print(f"{key}: {nbytes}", file=sys.stderr)
 
 
 def _build_parser():
     p = argparse.ArgumentParser(prog="lakota-spark")
     p.add_argument(
         "-r", "--repo", default=os.environ.get("LAKOTA_SPARK_REPO", ".")
+    )
+    p.add_argument(
+        "--metrics", action="store_true",
+        help="print per-backend I/O byte counters after the command",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -352,9 +372,12 @@ def _build_parser():
     s.set_defaults(fn=cmd_help)
     s = sub.add_parser("rev"); s.add_argument("label"); s.set_defaults(fn=cmd_rev)
     s = sub.add_parser("squash"); s.add_argument("label"); s.set_defaults(fn=cmd_squash)
-    s = sub.add_parser("defrag"); s.add_argument("label"); s.set_defaults(fn=cmd_defrag)
+    s = sub.add_parser("defrag")
+    s.add_argument("labels", nargs="*"); s.add_argument("-a", "--all", action="store_true")
+    s.set_defaults(fn=cmd_defrag)
     s = sub.add_parser("trim")
-    s.add_argument("label"); s.add_argument("--before", type=float)
+    s.add_argument("labels", nargs="*"); s.add_argument("--before", type=float)
+    s.add_argument("-a", "--all", action="store_true")
     s.set_defaults(fn=cmd_trim)
     s = sub.add_parser("merge"); s.add_argument("label"); s.set_defaults(fn=cmd_merge)
     s = sub.add_parser("push")

@@ -125,3 +125,16 @@ def test_read_tail_and_paginate(cli_env):
     out = run("read", "temperature/paris", "--paginate", "2")
     lines = out.strip().splitlines()
     assert lines[0] == "timestamp,value" and len(lines) == 4  # one header
+
+
+def test_defrag_all_and_metrics(cli_env, capsys):
+    root, repo, run = cli_env
+    _seed(repo)
+    out = run("defrag")          # no labels -> every collection
+    assert "defragged temperature" in out
+    out = run("trim", "--all")
+    assert "trimmed temperature" in out
+    # --metrics prints I/O counters to stderr after the verb
+    cli.main(["-r", root, "--metrics", "ls"])
+    captured = capsys.readouterr()
+    assert "FS." in captured.err or "MemFS." in captured.err
