@@ -175,13 +175,19 @@ def cmd_len(args):
 
 
 def cmd_rev(args):
-    repo = _repo(args)
-    coll = _collection(repo, args.label)
-    for rev in coll.changelog.log():
-        import datetime as dt
+    import datetime as dt
 
-        ts = dt.datetime.fromtimestamp(rev.epoch).isoformat(timespec="seconds")
-        print(f"{rev.parent[:12]} -> {rev.child[:24]}  {ts}")
+    repo = _repo(args)
+    labels = [args.label] if args.label else repo.ls()
+    for label in labels:
+        coll = _collection(repo, label)
+        if not args.label or len(labels) > 1:
+            print(f"{label}:")
+        for rev in coll.changelog.log():
+            ts = dt.datetime.fromtimestamp(rev.epoch).isoformat(
+                timespec="seconds"
+            )
+            print(f"{rev.parent[:12]} -> {rev.child[:24]}  {ts}")
 
 
 def cmd_squash(args):
@@ -370,7 +376,7 @@ def _build_parser():
     s = sub.add_parser("help")
     s.add_argument("verb", nargs="?")
     s.set_defaults(fn=cmd_help)
-    s = sub.add_parser("rev"); s.add_argument("label"); s.set_defaults(fn=cmd_rev)
+    s = sub.add_parser("rev"); s.add_argument("label", nargs="?"); s.set_defaults(fn=cmd_rev)
     s = sub.add_parser("squash"); s.add_argument("label"); s.set_defaults(fn=cmd_squash)
     s = sub.add_parser("defrag")
     s.add_argument("labels", nargs="*"); s.add_argument("-a", "--all", action="store_true")
