@@ -447,7 +447,17 @@ class Collection:
             if leaf is None:
                 return 0
             payload = dict(leaf.read())
-            payload["delta"] = []
+            # the shallow commit is a ROOT: its delta must carry the FULL
+            # segment list, not [] — merge() replays deltas from the
+            # common ancestor (none, for a second root), so an empty
+            # delta would make the pulled data vanish on the first merge
+            # into a non-fresh collection
+            leaf_snap = Snapshot.from_payload(payload, self.schema)
+            payload["delta"] = [
+                s.to_dict(self.schema)
+                for label in leaf_snap.labels()
+                for s in leaf_snap.for_label(label)
+            ]
             from lakota_spark.changelog import PHI
 
             rev = self.changelog.commit(payload, parents=[PHI], force=True)

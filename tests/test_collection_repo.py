@@ -378,6 +378,30 @@ def test_shallow_push_pull(repo, spark, tmp_path):
     assert len(other2.collection("sh").changelog.revisions()) == 4
 
 
+def test_shallow_pull_into_nonfresh_then_merge(spark, tmp_path):
+    # a shallow pull into a collection that already has data creates a
+    # second root; merge() must keep BOTH sides' rows — the shallow root
+    # carries its full segment list as delta, so replay can't drop it
+    from lakota_spark.repo import Repo
+
+    sch = Schema(ts="int*", value="float")
+    src = Repo(str(tmp_path / "src"), spark)
+    dst = Repo(str(tmp_path / "dst"), spark)
+    src.create_collection(sch, "c").series("s").write(
+        {"ts": [1, 2], "value": [1.0, 2.0]}
+    )
+    dst.create_collection(sch, "c").series("s").write(
+        {"ts": [10], "value": [10.0]}
+    )
+    src.push(dst, ["c"], shallow=True)
+    dc = dst.collection("c")
+    assert len(dc.changelog.leaves()) == 2
+    dc.merge()
+    assert len(dc.changelog.leaves()) == 1
+    got = sorted((r.ts, r.value) for r in dc.series("s").frame().collect())
+    assert got == [(1, 1.0), (2, 2.0), (10, 10.0)]
+
+
 def test_reference_api_aliases(repo, spark, tmp_path):
     # reference method names work unchanged: Repo.delete/rename/refresh/
     # export_collections, Collection.delete/rename/refresh/digests
