@@ -100,14 +100,26 @@ class Collection:
             payload, parents=[leaf.child] if leaf else [PHI]
         )
 
+    def _full_delta(self, snap: Snapshot) -> list[dict]:
+        """Every segment of a snapshot as delta dicts. ROOT commits
+        (parent PHI) must carry this instead of []: merge() replays
+        deltas from the common ancestor, and when branches share no
+        ancestor the replay base is empty — an empty-delta root's
+        content would silently vanish from the merge result."""
+        return [
+            s.to_dict(self.schema)
+            for label in snap.labels()
+            for s in snap.for_label(label)
+        ]
+
     def commit_snapshot(self, snap: Snapshot, parents=None):
         payload = snap.to_payload(self.schema)
-        payload["delta"] = []
         leaf = self.changelog.leaf()
-        return self.changelog.commit(
-            payload,
-            parents=parents or ([leaf.child] if leaf else [PHI]),
+        parents = parents or ([leaf.child] if leaf else [PHI])
+        payload["delta"] = (
+            self._full_delta(snap) if parents == [PHI] else []
         )
+        return self.changelog.commit(payload, parents=parents)
 
     @contextmanager
     def multi(self):
@@ -233,7 +245,7 @@ class Collection:
             return None
         snap = Snapshot.from_payload(leaf.read(), self.schema)
         payload = snap.to_payload(self.schema)
-        payload["delta"] = []
+        payload["delta"] = self._full_delta(snap)  # root: see _full_delta
         new_root = self.changelog.commit(payload, parents=[PHI], force=True)
         cutoff = before
         revs = [
@@ -447,17 +459,9 @@ class Collection:
             if leaf is None:
                 return 0
             payload = dict(leaf.read())
-            # the shallow commit is a ROOT: its delta must carry the FULL
-            # segment list, not [] — merge() replays deltas from the
-            # common ancestor (none, for a second root), so an empty
-            # delta would make the pulled data vanish on the first merge
-            # into a non-fresh collection
+            # shallow commit is a ROOT → full-delta invariant (_full_delta)
             leaf_snap = Snapshot.from_payload(payload, self.schema)
-            payload["delta"] = [
-                s.to_dict(self.schema)
-                for label in leaf_snap.labels()
-                for s in leaf_snap.for_label(label)
-            ]
+            payload["delta"] = self._full_delta(leaf_snap)
             from lakota_spark.changelog import PHI
 
             rev = self.changelog.commit(payload, parents=[PHI], force=True)

@@ -402,6 +402,29 @@ def test_shallow_pull_into_nonfresh_then_merge(spark, tmp_path):
     assert got == [(1, 1.0), (2, 2.0), (10, 10.0)]
 
 
+def test_squash_then_push_merges_without_loss(spark, tmp_path):
+    # squash re-roots locally; pushing to a replica that still holds the
+    # pre-squash chain creates two unrelated roots there — merge must
+    # keep the squashed root's content (full-delta root invariant)
+    from lakota_spark.repo import Repo
+
+    sch = Schema(ts="int*", value="float")
+    a = Repo(str(tmp_path / "a"), spark)
+    b = Repo(str(tmp_path / "b"), spark)
+    ca = a.create_collection(sch, "c")
+    ca.series("s").write({"ts": [1], "value": [1.0]})
+    ca.series("s").write({"ts": [2], "value": [2.0]})
+    a.push(b)
+    ca.series("s").write({"ts": [3], "value": [3.0]})
+    ca.squash()
+    a.push(b)
+    cb = b.collection("c")
+    assert len(cb.changelog.leaves()) == 2
+    cb.merge()
+    got = sorted((r.ts, r.value) for r in cb.series("s").frame().collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
 def test_reference_api_aliases(repo, spark, tmp_path):
     # reference method names work unchanged: Repo.delete/rename/refresh/
     # export_collections, Collection.delete/rename/refresh/digests
