@@ -425,6 +425,47 @@ def test_squash_then_push_merges_without_loss(spark, tmp_path):
     assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
 
 
+def test_kv_squash_push_merge_keeps_resolution(spark, tmp_path):
+    # KV upsert resolution must survive squash → push → merge on a
+    # replica still holding pre-squash history
+    from lakota_spark.repo import Repo
+
+    a = Repo(str(tmp_path / "a"), spark)
+    b = Repo(str(tmp_path / "b"), spark)
+    sch = Schema.kv(key="int*", value="float")
+    ca = a.create_collection(sch, "c")
+    ca.series("s").write({"key": [1, 2], "value": [1.0, 2.0]})
+    a.push(b)
+    ca.series("s").write({"key": [2, 3], "value": [20.0, 30.0]})
+    ca.squash()
+    a.push(b)
+    cb = b.collection("c")
+    cb.merge()
+    got = sorted((r.key, r.value) for r in cb.series("s").frame().collect())
+    assert got == [(1, 1.0), (2, 20.0), (3, 30.0)]
+
+
+def test_shallow_then_deep_sync(spark, tmp_path):
+    # a shallow-pulled root followed by a full history pull must merge
+    # into one head with complete content
+    from lakota_spark.repo import Repo
+
+    a = Repo(str(tmp_path / "a"), spark)
+    b = Repo(str(tmp_path / "b"), spark)
+    sch = Schema(ts="int*", value="float")
+    ca = a.create_collection(sch, "c")
+    ca.series("s").write({"ts": [1], "value": [1.0]})
+    ca.series("s").write({"ts": [2], "value": [2.0]})
+    a.push(b, shallow=True)
+    ca.series("s").write({"ts": [3], "value": [3.0]})
+    a.push(b)
+    cb = b.collection("c")
+    cb.merge()
+    assert len(cb.changelog.leaves()) == 1
+    got = sorted((r.ts, r.value) for r in cb.series("s").frame().collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
 def test_reference_api_aliases(repo, spark, tmp_path):
     # reference method names work unchanged: Repo.delete/rename/refresh/
     # export_collections, Collection.delete/rename/refresh/digests
