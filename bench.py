@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "embedding_dup_top_pairs",
     "embedding_dup_lsh",
     "pretrain_clean",
+    "tpch_q9_profit",
 ]
 
 
