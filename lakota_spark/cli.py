@@ -166,7 +166,10 @@ def cmd_read(args):
     elif cols:
         df = df.select(*cols)
     pdf = df.toPandas()
-    print(pdf.to_csv(index=False).rstrip())
+    if getattr(args, "pretty", False):
+        print(pdf.to_string(index=False))
+    else:
+        print(pdf.to_csv(index=False).rstrip())
 
 
 def cmd_len(args):
@@ -332,7 +335,12 @@ def main(argv=None):
         p.error(f"unrecognized arguments: {' '.join(extra)}")
     if extra:
         args.columns = [*(args.columns or []), *extra]
+    import time as _time
+
+    t0 = _time.time()
     args.fn(args)
+    if getattr(args, "timing", False):
+        print(f"elapsed: {_time.time() - t0:.3f}s", file=sys.stderr)
     if getattr(args, "metrics", False):
         from lakota_spark.fsio import BaseFS
 
@@ -348,6 +356,14 @@ def _build_parser():
     p.add_argument(
         "--metrics", action="store_true",
         help="print per-backend I/O byte counters after the command",
+    )
+    p.add_argument(
+        "--timing", "-t", action="store_true",
+        help="print elapsed wall time after the command",
+    )
+    p.add_argument(
+        "--pretty", "-P", action="store_true",
+        help="tabulate read output instead of CSV",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
