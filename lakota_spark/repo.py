@@ -169,6 +169,34 @@ class Repo:
         for label in collections or self.ls():
             self.export_collection(label, f"{out_dir}/{label}", fmt=fmt)
 
+    def import_collections(
+        self, src_dir: str, fmt: str = "parquet"
+    ) -> list[str]:
+        """Inverse of :meth:`export_collections` (`lakota/repo.py:500-530`):
+        each subdir holding a `_schema.json` becomes a collection, every
+        data subdir inside it a series. Returns imported labels."""
+        import os
+
+        imported = []
+        for label in sorted(os.listdir(src_dir)):
+            cdir = os.path.join(src_dir, label)
+            schema_file = os.path.join(cdir, "_schema.json")
+            if not os.path.isfile(schema_file):
+                continue
+            with open(schema_file) as fh:
+                schema = Schema.from_dict(json.load(fh))
+            self.create_collection(schema, label)
+            for series_label in sorted(os.listdir(cdir)):
+                sdir = os.path.join(cdir, series_label)
+                if not os.path.isdir(sdir):
+                    continue
+                if fmt == "parquet":
+                    self.import_parquet(label, series_label, f"file://{sdir}")
+                else:
+                    self.import_csv(label, series_label, f"file://{sdir}")
+            imported.append(label)
+        return imported
+
     # ---------------------------------------------------------------- gc
 
     def gc(self, timeout: float = 600.0) -> dict:

@@ -466,6 +466,25 @@ def test_shallow_then_deep_sync(spark, tmp_path):
     assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
 
 
+def test_export_import_collections_roundtrip(spark, tmp_path):
+    # repo-level export/import (`lakota/repo.py:463-530` counterpart)
+    from lakota_spark.repo import Repo
+
+    src = Repo(str(tmp_path / "src"), spark)
+    sch = Schema(ts="int*", value="float")
+    for label in ("one", "two"):
+        src.create_collection(sch, label).series("s").write(
+            {"ts": [1, 2], "value": [1.0, 2.0]}
+        )
+    out = str(tmp_path / "dump")
+    src.export_collections(out)
+    dst = Repo(str(tmp_path / "dst"), spark)
+    assert dst.import_collections(out) == ["one", "two"]
+    for label in ("one", "two"):
+        got = rows(dst.collection(label).series("s").frame())
+        assert got == [(1, 1.0), (2, 2.0)]
+
+
 def test_reference_api_aliases(repo, spark, tmp_path):
     # reference method names work unchanged: Repo.delete/rename/refresh/
     # export_collections, Collection.delete/rename/refresh/digests
