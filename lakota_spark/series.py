@@ -734,6 +734,16 @@ class Series:
         """Spark count over effective bounds (exact under overlays)."""
         return self.frame(sort=False).count()
 
+    def __getitem__(self, key) -> "SeriesSlice":
+        """Quickstart slice syntax (`lakota/__init__.py` front page):
+        ``series[:'2020-01-03'].df()`` — bounds are closed on both ends
+        like the reference's default."""
+        if not isinstance(key, slice):
+            raise TypeError("Series supports slice indexing only")
+        if key.step is not None:
+            raise ValueError("Series slices take no step")
+        return SeriesSlice(self, key.start, key.stop)
+
     def __bool__(self) -> bool:
         """True when the series has any committed segment — metadata only,
         no Spark job (`tests/series_test.py:721-724`: `bool(clc / label)`
@@ -744,6 +754,26 @@ class Series:
         """O(1) metadata count — exact when no overlay truncation occurred
         (`lakota/series.py:231-232`)."""
         return self.collection.snapshot().length(self.label)
+
+
+class SeriesSlice:
+    """A range-bound view of a series: every read method forwards with
+    the slice's start/stop pre-applied (reference quickstart
+    ``series[:'2020-01-03'].df()``)."""
+
+    def __init__(self, series: Series, start, stop):
+        self.series = series
+        self.start = start
+        self.stop = stop
+
+    def frame(self, **kwargs) -> DataFrame:
+        return self.series.frame(start=self.start, stop=self.stop, **kwargs)
+
+    def df(self, **kwargs):
+        return self.series.df(start=self.start, stop=self.stop, **kwargs)
+
+    def __len__(self) -> int:
+        return self.frame(sort=False).count()
 
 
 class KVSeries(Series):

@@ -198,6 +198,15 @@ def test_column_types_matrix(repo):
             assert got[c] == row[c], (idx_len, c, got[c])
 
 
+def test_slice_syntax(series):
+    # quickstart front-page API: `series[:stop].df()`, both-closed bounds
+    assert rows(series[: TS[1]].frame()) == [(TS[0], 3.3), (TS[1], 4.4)]
+    assert rows(series[TS[1] :].frame()) == [(TS[1], 4.4), (TS[2], 5.5)]
+    pdf = series[TS[0] : TS[2]].df()
+    assert list(pdf["value"]) == [3.3, 4.4, 5.5]
+    assert len(series[: TS[1]]) == 2
+
+
 def test_series_bool(series):
     # reference `tests/series_test.py:721-724`
     assert bool(series)
