@@ -174,4 +174,43 @@ __all__ = [
     "dot",
     "l2_norm",
     "cosine",
+    "drange",
+    "time_windows",
 ]
+
+
+def drange(start, end, delta, right_closed: bool = False):
+    """Driver-side datetime range (`lakota/utils.py:104-107`): half-open
+    [start, end) by default, stepping ``delta`` (a ``timedelta``).
+    Returns a list of second-precision datetimes — handy for building
+    write frames and range queries."""
+    import datetime as dt
+
+    def _parse(v):
+        return dt.datetime.fromisoformat(v) if isinstance(v, str) else v
+
+    start, end = _parse(start), _parse(end)
+    out = []
+    cur = start
+    while cur < end or (right_closed and cur == end):
+        out.append(cur)
+        cur = cur + delta
+    return out
+
+
+def time_windows(start, stop, **delta_kw):
+    """Chunk [start, stop] into consecutive (lo, hi) windows of
+    ``timedelta(**delta_kw)`` (`lakota/utils.py:110-119`) — the driver
+    loop for partitioned backfills: one engine write per window."""
+    import datetime as dt
+
+    delta = dt.timedelta(**delta_kw)
+    if delta.total_seconds() <= 0:
+        raise ValueError("Delta of zero length!")
+    step = start
+    while True:
+        nxt = step + delta
+        yield step, min(nxt, stop)
+        if nxt >= stop:
+            break
+        step = nxt

@@ -230,3 +230,21 @@ def test_simhash_64bit_near_dup_detection(spark):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(sims, 3).collect()}
     assert (1, 2) in pairs
     assert all(p == (1, 2) for p in pairs)
+
+
+def test_drange_time_windows():
+    import datetime as dt
+
+    from lakota_spark.functions import drange, time_windows
+
+    r = drange("2020-01-01", "2020-01-04", dt.timedelta(days=1))
+    assert r == [dt.datetime(2020, 1, d) for d in (1, 2, 3)]
+    r = drange("2020-01-01", "2020-01-03", dt.timedelta(days=1), right_closed=True)
+    assert r[-1] == dt.datetime(2020, 1, 3)
+    w = list(time_windows(dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 10), days=4))
+    assert w[0] == (dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 5))
+    assert w[-1][1] == dt.datetime(2020, 1, 10)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        list(time_windows(dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 2), days=0))
