@@ -26,7 +26,7 @@ import uuid
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lakota_spark.commit import Segment, Snapshot
+from lakota_spark.commit import Segment
 from lakota_spark.fsio import FS
 
 PAGE_LEN = 500_000  # target rows per segment (`lakota/utils.py:38`)
