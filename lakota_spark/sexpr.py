@@ -146,6 +146,39 @@ def _has_column(pos, kw) -> bool:
     )
 
 
+def _np_floor(arr, unit):
+    """Driver-side numpy twin of `floor_time` (`lakota/utils.py:232-240`):
+    datetime64 truncation to the unit — used when sexpr evaluates over
+    plain arrays (reference `tests/sexpr_test.py:64-75`)."""
+    import numpy as np
+
+    if unit not in "YMDhms":
+        raise SexprError(f"floor: unsupported unit {unit!r}")
+    return np.asarray(arr, dtype="M8[s]").astype(f"M8[{unit}]")
+
+
+def _np_dow(arr):
+    """numpy day-of-week, Monday=0 (`lakota/utils.py:243-247`)."""
+    import numpy as np
+
+    return (np.asarray(arr, dtype="M8[s]").astype("M8[D]").view("int64") - 4) % 7
+
+
+def _np_as_tz(arr, tz_name):
+    """UTC-naive -> tz-local naive over a plain array
+    (`lakota/utils.py:253-270` — zoneinfo per-element; driver-side only,
+    so the python loop is fine)."""
+    import datetime as dt
+    import numpy as np
+    from zoneinfo import ZoneInfo
+
+    tz = ZoneInfo(tz_name)
+    out = []
+    for v in np.asarray(arr, dtype="M8[s]").astype("O"):
+        out.append(v.replace(tzinfo=dt.timezone.utc).astimezone(tz).replace(tzinfo=None))
+    return np.asarray(out, dtype="M8[s]")
+
+
 def _in(a, vals):
     """`(in x (list ...))` — membership; the needle may be a Column OR a
     plain literal (reference `tests/sexpr_test.py:17` evaluates
@@ -178,9 +211,17 @@ BUILTINS: dict[str, Callable] = {
     "list": lambda *xs: list(xs),
     "dict": lambda *xs: dict(zip(xs[::2], xs[1::2])),
     "kw": KWargs,
-    "floor": floor_time,
-    "as-tz": as_tz,
-    "day_of_week_num": day_of_week_num,
+    "floor": lambda a, unit: (
+        floor_time(a, unit)
+        if isinstance(a, Column)
+        else _np_floor(a, unit)
+    ),
+    "as-tz": lambda a, tz: (
+        as_tz(a, tz) if isinstance(a, Column) else _np_as_tz(a, tz)
+    ),
+    "day_of_week_num": lambda a: (
+        day_of_week_num(a) if isinstance(a, Column) else _np_dow(a)
+    ),
     "pretty_nb": lambda c: F.format_number(c, 2),
     "abs": F.abs,
     "sqrt": F.sqrt,

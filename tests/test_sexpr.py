@@ -101,6 +101,33 @@ def test_numpy_style_fallbacks(frame):
     assert all(r.category == "b" for r in out.collect())
 
 
+def test_floor_over_plain_arrays():
+    # reference `tests/sexpr_test.py:64-75` (test_with_frame): the time
+    # builtins also evaluate driver-side over numpy arrays
+    import numpy as np
+
+    arr = np.asarray(
+        ["2020-01-01T11:30", "2020-01-02T12:30", "2020-01-03T13:30"],
+        dtype="datetime64[s]",
+    )
+    res = sexpr.evaluate(sexpr.parse("(floor ts 'Y')"), {"ts": arr})
+    assert all(res == np.asarray(["2020"] * 3, dtype="datetime64[Y]"))
+    res = sexpr.evaluate(sexpr.parse("(floor ts 'h')"), {"ts": arr})
+    assert all(
+        res
+        == np.asarray(
+            ["2020-01-01T11", "2020-01-02T12", "2020-01-03T13"],
+            dtype="datetime64",
+        )
+    )
+    res = sexpr.evaluate(sexpr.parse("(day_of_week_num ts)"), {"ts": arr})
+    assert list(res) == [2, 3, 4]  # Wed, Thu, Fri; Monday=0
+    res = sexpr.evaluate(
+        sexpr.parse("(as-tz ts 'Europe/Brussels')"), {"ts": arr}
+    )
+    assert str(res[0]) == "2020-01-01T12:30:00"  # UTC+1 in winter
+
+
 def test_trueish_literals():
     # reference `tests/sexpr_test.py:8-30` — plain-literal expressions
     # evaluate driver-side to exactly True (no Spark involved)
