@@ -75,15 +75,18 @@ class Collection:
             return Snapshot()
         return Snapshot.from_payload(leaf.read(), self.schema)
 
-    def apply_segments(self, segs: list[Segment]):
-        """Overlay new segments onto the leaf (or stage them in a batch)."""
+    def apply_segments(self, segs: list[Segment], root: bool = False):
+        """Overlay new segments onto the leaf (or stage them in a batch).
+        ``root=True`` discards the current state and commits the segments
+        as a NEW ROOT (reference `Series.write(root=True)`) — a reset
+        that keeps history reachable as a separate branch."""
         if self._batch is not None:
             self._batch.extend(segs)
             return None
-        return self._commit(segs)
+        return self._commit(segs, root=root)
 
-    def _commit(self, segs: list[Segment]):
-        leaf = self.changelog.leaf()
+    def _commit(self, segs: list[Segment], root: bool = False):
+        leaf = None if root else self.changelog.leaf()
         snap = (
             Snapshot.from_payload(leaf.read(), self.schema)
             if leaf
@@ -92,12 +95,14 @@ class Collection:
         before_sig = _sig(snap, self.schema)
         for seg in segs:
             snap = snap.overlay(seg, kv=self.schema.kv and seg.path is not None)
-        if _sig(snap, self.schema) == before_sig:
+        if _sig(snap, self.schema) == before_sig and not root:
             return None  # double-write no-op (`lakota/changelog.py:49-52`)
         payload = snap.to_payload(self.schema)
         payload["delta"] = [s.to_dict(self.schema) for s in segs]
         return self.changelog.commit(
-            payload, parents=[leaf.child] if leaf else [PHI]
+            payload,
+            parents=[leaf.child] if leaf else [PHI],
+            force=root,
         )
 
     def _full_delta(self, snap: Snapshot) -> list[dict]:

@@ -131,8 +131,12 @@ class Series:
         closed: str = "b",
         validate_sorted: bool = False,
         checkpoint: bool | None = None,
+        root: bool = False,
     ):
         """Write a frame as one content-addressed segment + one revision.
+        ``root=True`` commits as a NEW ROOT, discarding the current state
+        (reference `Series.write(root=True)` reset semantics; old history
+        stays reachable as a branch until trimmed).
 
         ``start``/``stop`` may widen the interval beyond the data's own
         min/max — the widened range *deletes* pre-existing rows it shadows
@@ -225,7 +229,8 @@ class Series:
                 path=path,
                 length=n,
                 meta={"digest": digest},
-            )
+            ),
+            root=root,
         )
 
     def _assert_sorted(self, df: DataFrame) -> None:
@@ -370,8 +375,8 @@ class Series:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
-    def _commit_segment(self, seg: Segment):
-        return self.collection.apply_segments([seg])
+    def _commit_segment(self, seg: Segment, root: bool = False):
+        return self.collection.apply_segments([seg], root=root)
 
     # ---------------------------------------------------------------- read
 

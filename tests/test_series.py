@@ -207,6 +207,14 @@ def test_slice_syntax(series):
     assert len(series[: TS[1]]) == 2
 
 
+def test_root_write_reset(series):
+    # reference `Series.write(root=True)`: commit as a new root — reads
+    # see only the reset; the old chain stays reachable as a branch
+    series.write({"timestamp": [9999], "value": [99.0]}, root=True)
+    assert rows(series.frame()) == [(9999, 99.0)]
+    assert len(series.collection.changelog.leaves()) == 2
+
+
 def test_series_bool(series):
     # reference `tests/series_test.py:721-724`
     assert bool(series)
