@@ -665,8 +665,9 @@ class Series:
         )
         return self.write(merged.select(*self.schema.columns))
 
-    def delete(self, start, stop, closed: str = "b"):
-        """Range delete = empty overlay (`lakota/series.py:227-229`)."""
+    def delete(self, start, stop, closed: str = "b", root: bool = False):
+        """Range delete = empty overlay (`lakota/series.py:227-229`);
+        ``root=True`` commits the tombstone as a new root (total reset)."""
         start = self.schema.coerce_bound(start)
         stop = self.schema.coerce_bound(stop)
         sc, ec = CLOSED[closed]
@@ -679,7 +680,8 @@ class Series:
                 stop_closed=ec,
                 path=None,
                 length=0,
-            )
+            ),
+            root=root,
         )
 
     def records(self, map_dtype: str | None = "default", **frame_kwargs):
