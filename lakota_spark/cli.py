@@ -121,7 +121,7 @@ def cmd_write(args):
     data = pd.read_csv(
         args.file if args.file else io.StringIO(sys.stdin.read())
     )
-    _series(repo, args.path, auto_create=True).write(data)
+    _series(repo, args.path, auto_create=True).write(data, root=args.root)
     print(f"wrote {len(data)} rows to {args.path}")
 
 
@@ -155,6 +155,7 @@ def cmd_read(args):
             before=args.before,
             limit=args.limit,
             offset=args.offset,
+            closed=args.closed,
         )
     if args.mask:
         df = sexpr.mask(df, args.mask)
@@ -375,6 +376,7 @@ def _build_parser():
     s.set_defaults(fn=cmd_create)
     s = sub.add_parser("write")
     s.add_argument("path"); s.add_argument("--file")
+    s.add_argument("--root", action="store_true")
     s.set_defaults(fn=cmd_write)
     s = sub.add_parser("read")
     s.add_argument("path"); s.add_argument("columns", nargs="*")
@@ -384,6 +386,8 @@ def _build_parser():
     s.add_argument("--less-than", "--stop", dest="less_than")
     s.add_argument("--tail", type=int)
     s.add_argument("--paginate", type=int)
+    s.add_argument("--closed", default="b",
+                   choices=["b", "l", "r", "n", "BOTH", "LEFT", "RIGHT", "NONE"])
     s.set_defaults(fn=cmd_read)
     s = sub.add_parser("len", aliases=["length"])
     s.add_argument("path"); s.set_defaults(fn=cmd_len)
