@@ -145,6 +145,7 @@ def cmd_read(args):
             start=args.greater_than,
             stop=args.less_than,
             before=args.before,
+            closed=args.closed,
             limit=args.limit,
             offset=args.offset,
         )
