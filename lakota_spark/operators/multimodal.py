@@ -66,6 +66,18 @@ def attach_binary_payload(
     )
 
 
+def _safe(parser, b: bytes):
+    """Run a payload parser, treating ANY malformed-input error as "not
+    this format" (None) so the caller's deterministic fallback applies.
+    A corpus-cleaning pipeline must never let one truncated file kill the
+    whole Spark stage (truncated buffers raise ValueError in np.frombuffer,
+    garbage header tokens raise ValueError/IndexError in int()/index())."""
+    try:
+        return parser(b)
+    except (ValueError, IndexError, OverflowError):
+        return None
+
+
 def _parse_ppm(b: bytes):
     """Binary PPM (P6) → HxWx3 uint8 array — numpy-only real decode."""
     import numpy as np
@@ -144,9 +156,9 @@ def _decode_image_batch(payload: pd.Series) -> pd.Series:
 
     def decode(b: bytes) -> list[float]:
         b = bytes(b)
-        img = _parse_ppm(b)
+        img = _safe(_parse_ppm, b)
         if img is None:
-            img = _parse_bmp(b)
+            img = _safe(_parse_bmp, b)
         if img is not None:
             return _image_features(img)
         counts = [0] * 8
@@ -215,7 +227,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def decode(b: bytes) -> list[float]:
-            parsed = _parse_wav(bytes(b))
+            parsed = _safe(_parse_wav, bytes(b))
             if parsed is not None:
                 return _audio_features(*parsed)
             counts = [0] * 8
@@ -350,12 +362,18 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
                 got_real = False
-                for no, y_plane in _iter_y4m_frames(payload):
-                    got_real = True
-                    if no % every_n == 0:
-                        ids.append(mid)
-                        nos.append(no)
-                        frames.append(y_plane)
+                try:
+                    # malformed Y4M (garbage header ints, missing newline)
+                    # must fall through, not kill the stage; frames already
+                    # yielded from a truncated tail are kept
+                    for no, y_plane in _iter_y4m_frames(payload):
+                        got_real = True
+                        if no % every_n == 0:
+                            ids.append(mid)
+                            nos.append(no)
+                            frames.append(y_plane)
+                except (ValueError, IndexError, OverflowError):
+                    pass
                 if got_real:
                     continue
                 for i, off in enumerate(range(0, len(payload), every_n * 16)):

@@ -233,7 +233,11 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch twin of `applyInPandasWithState` sessionization."""
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # TIMESTAMP_NTZ refuses a direct bigint cast (Spark 4); go through
+    # TIMESTAMP first — exact, since the session tz is pinned UTC and the
+    # gap is a difference anyway (tz-shift-invariant)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
     brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = e.withColumn(
         "session_id",

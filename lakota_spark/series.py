@@ -187,7 +187,8 @@ class Series:
                     stop_closed=stop_closed,
                     path=None,
                     length=0,
-                )
+                ),
+                root=root,
             )
         if local is not None:
             lo, hi = tuple(local_lo), tuple(local_hi)

@@ -41,7 +41,7 @@ def read_parquet(
     except Exception:  # pragma: no cover - immutable conf on some builds
         pass
     df = spark.read.parquet(path)
-    schema = spark.read.parquet(path).schema
+    schema = df.schema
     # Parquet logical-type info is gone by now; detect "nanos read as long"
     # via the raw parquet footer instead.
     import pyarrow.parquet as pq
@@ -50,11 +50,13 @@ def read_parquet(
         arrow_schema = pq.read_schema(_one_file(path))
     except Exception:  # pragma: no cover - directory datasets
         return df
+    handled = set()
     for field, spark_field in zip(arrow_schema, schema):
         if (
             str(field.type).startswith("timestamp[ns")
             and spark_field.dataType.simpleString() == "bigint"
         ):
+            handled.add(field.name)
             if ns_range and field.name in ns_range:
                 lo, hi, lo_closed, hi_closed = ns_range[field.name]
                 c = F.col(field.name)
@@ -71,7 +73,35 @@ def read_parquet(
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
+    # Native µs/ms timestamp columns (timestamp / timestamp_ntz): apply the
+    # same bounds directly. A string literal cast to the column's own type
+    # is constant-folded by Catalyst, so the predicate still reaches the
+    # parquet scan (PushedFilters → row-group skipping).
+    if ns_range:
+        for spark_field in schema:
+            name = spark_field.name
+            if name in handled or name not in ns_range:
+                continue
+            if not spark_field.dataType.simpleString().startswith("timestamp"):
+                continue
+            lo, hi, lo_closed, hi_closed = ns_range[name]
+            c = F.col(name)
+            tname = spark_field.dataType.simpleString()
+            if lo is not None:
+                lit = F.lit(_iso(lo)).cast(tname)
+                df = df.where(c >= lit if lo_closed else c > lit)
+            if hi is not None:
+                lit = F.lit(_iso(hi)).cast(tname)
+                df = df.where(c <= lit if hi_closed else c < lit)
     return df
+
+
+def _iso(value) -> str:
+    import datetime as dt
+
+    if isinstance(value, str):
+        value = dt.datetime.fromisoformat(value)
+    return value.isoformat(sep=" ")
 
 
 def _epoch_ns(value) -> int:

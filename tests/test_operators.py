@@ -191,6 +191,51 @@ def test_real_video_frame_sample_y4m(spark):
     assert feats[2].n_pixels == w * h
 
 
+def test_malformed_payloads_fall_back_not_crash(spark):
+    # Truncated / garbage payloads that LOOK like a known format must hit
+    # the deterministic byte-histogram fallback, never raise inside the
+    # Spark stage (corpus-cleaning contract: bad files are data, not bugs).
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        extract_features,
+        frame_sample,
+    )
+
+    bad = [
+        # PPM with garbage header tokens (int() would raise)
+        b"P6\nnot a number\n255\n",
+        # PPM header claiming pixels beyond the buffer (np.frombuffer raises)
+        b"P6\n100 100\n255\n" + bytes(10),
+        # PPM with no whitespace/newline at all after magic
+        b"P6#",
+        # BMP with pixel offset/size beyond the buffer
+        b"BM" + bytes(8) + (54).to_bytes(4, "little") + bytes(4)
+        + (2000).to_bytes(4, "little") + (2000).to_bytes(4, "little")
+        + bytes(2) + (24).to_bytes(2, "little") + bytes(30),
+        # WAV fmt chunk shorter than the fields read from it
+        b"RIFF" + bytes(4) + b"WAVE" + b"fmt " + (4).to_bytes(4, "little")
+        + bytes(4) + b"data" + (4).to_bytes(4, "little") + bytes(4),
+        # Y4M with garbage dimensions and a frame header missing its newline
+        b"YUV4MPEG2 Wx Hy C420\nFRAME",
+        b"YUV4MPEG2 W4 H2 C420\nFRAME",  # truncated: no frame payload
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(b), "application/octet-stream", len(b), "{}")
+         for i, b in enumerate(bad)],
+        MEDIA_SCHEMA,
+    )
+    img = extract_features(media).collect()
+    assert len(img) == len(bad)
+    assert all(len(r.feature) == 8 for r in img)  # histogram fallback
+    aud = extract_audio_features(media).collect()
+    assert len(aud) == len(bad)
+    assert all(len(r.feature) == 8 for r in aud)
+    # frame_sample: every payload lands in the byte-window fallback path
+    rows = frame_sample(media, every_n=2).collect()
+    assert {r.media_id for r in rows} == set(range(len(bad)))
+
+
 def test_with_global_index(spark):
     from lakota_spark.operators.index import release_index, with_global_index
 
