@@ -522,13 +522,20 @@ class MemFS(BaseFS):
         src, dst = rel_src.strip("/"), rel_dst.strip("/")
         if src in self.files:
             self.makedirs(posixpath.dirname(dst))
+            old = self.files.get(dst)
+            if old is not None:  # overwrite: keep LRU byte accounting exact
+                self._meta["size"] -= len(old)
             self.files[dst] = self.files.pop(src)
             return
         if not self.exists(src):
             raise FileNotFoundError(rel_src)
         prefix = src + "/"
         for path in [p for p in self.files if p.startswith(prefix)]:
-            self.files[dst + "/" + path[len(prefix):]] = self.files.pop(path)
+            target = dst + "/" + path[len(prefix):]
+            old = self.files.get(target)
+            if old is not None:
+                self._meta["size"] -= len(old)
+            self.files[target] = self.files.pop(path)
         for d in [d for d in self.dirs if d == src or d.startswith(prefix)]:
             self.dirs.discard(d)
             self.dirs.add(dst + d[len(src):])
@@ -632,9 +639,13 @@ class CacheFS(BaseFS):
 
     def move(self, rel_src: str, rel_dst: str) -> None:
         self.inner.move(rel_src, rel_dst)
-        # cheap coherence: drop the cached source (dst re-fetches on read)
-        for evict in (self.cache.remove_tree, self.cache.remove_file):
-            try:
-                evict(rel_src)
-            except OSError:
-                pass
+        # cheap coherence: drop BOTH cached paths — the source (gone on the
+        # remote) and any previously cached copy of the destination, which
+        # the remote overwrite just made stale (e.g. rename_collection
+        # moving a registry json onto a name that was read earlier)
+        for rel in (rel_src, rel_dst):
+            for evict in (self.cache.remove_tree, self.cache.remove_file):
+                try:
+                    evict(rel)
+                except OSError:
+                    pass

@@ -74,6 +74,13 @@ class Repo:
         label = label.strip()
         if not label:
             raise ValueError(f"Invalid label: {label!r}")
+        # '~' is the namespace separator in registry filenames: a label (or
+        # namespace) containing it would be classified under the wrong
+        # namespace by ls()/gc/pull and become invisible
+        if "~" in label or "~" in namespace:
+            raise ValueError(
+                f"Invalid label/namespace (reserved '~'): {label!r}"
+            )
         rel = self._reg_rel(label, namespace)
         if self.fs.exists(rel):
             if raise_if_exists:

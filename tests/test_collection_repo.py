@@ -301,6 +301,13 @@ def test_label_validation(repo):
         with pytest.raises(ValueError):
             repo.create_collection(sch, label)
     assert repo.create_collection(sch, " padded ").label == "padded"
+    # '~' is the namespace separator in registry filenames: a label holding
+    # it would be misclassified by ls()/gc/pull and become invisible
+    for label in ["a~b", "~", "x~"]:
+        with pytest.raises(ValueError):
+            repo.create_collection(sch, label)
+    with pytest.raises(ValueError):
+        repo.create_collection(sch, "ok", namespace="bad~ns")
 
 
 @pytest.mark.parametrize("defrag", [False, True])

@@ -194,6 +194,44 @@ def test_memfs_lru_eviction():
     fs.remove_tree(".")
 
 
+def test_memfs_move_overwrite_accounting():
+    # move() onto an existing destination must release the overwritten
+    # bytes from the LRU budget (file and tree cases) or a capped cache
+    # store evicts earlier than it should
+    from lakota_spark.fsio import MemFS
+
+    fs = MemFS("memory://move-acct")
+    fs.write_bytes_atomic("a", b"x" * 10)
+    fs.write_bytes_atomic("b", b"y" * 7)
+    fs.move("a", "b")  # overwrites b
+    assert fs.read_bytes("b") == b"x" * 10
+    assert fs._meta["size"] == 10
+    # tree move overwriting files under the destination prefix
+    fs.write_bytes_atomic("t1/f", b"z" * 5)
+    fs.write_bytes_atomic("t2/f", b"w" * 9)
+    fs.move("t1", "t2")
+    assert fs.read_bytes("t2/f") == b"z" * 5
+    assert fs._meta["size"] == 10 + 5
+    fs.remove_tree(".")
+
+
+def test_cachefs_move_evicts_stale_destination(tmp_path):
+    # a previously cached copy of the DESTINATION path must be evicted on
+    # move — the remote overwrite made it stale (rename_collection moving
+    # a registry json onto a name that was read, hence cached, before)
+    from lakota_spark.fsio import CacheFS, MemFS
+
+    remote = MemFS("memory://cache-move-remote")
+    cache_dir = tmp_path / "cache"
+    cache_dir.mkdir()
+    fs = CacheFS(remote, cache_dir=str(cache_dir))
+    remote.write_bytes_atomic("src.json", b"new-bytes")
+    remote.write_bytes_atomic("dst.json", b"old-bytes")
+    assert fs.read_bytes("dst.json") == b"old-bytes"  # fills the cache
+    fs.move("src.json", "dst.json")
+    assert fs.read_bytes("dst.json") == b"new-bytes"  # not the cached copy
+
+
 def test_io_metrics(tmp_path):
     # reference `tests/pod_test.py:229-239`: byte counters per backend+op
     from lakota_spark.fsio import FS, BaseFS, MemFS

@@ -215,6 +215,15 @@ def test_root_write_reset(series):
     assert len(series.collection.changelog.leaves()) == 2
 
 
+def test_root_range_delete_reset(series):
+    # empty data + explicit bounds = range delete; with root=True it must
+    # commit as a NEW ROOT (total reset), not a normal overlay
+    series.write({"timestamp": [], "value": []}, start=TS[0], stop=TS[1],
+                 root=True)
+    assert rows(series.frame()) == []  # reset discarded TS[2] too
+    assert len(series.collection.changelog.leaves()) == 2
+
+
 def test_series_bool(series):
     # reference `tests/series_test.py:721-724`
     assert bool(series)
