@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": pipeline.token_counts,
         "lang_id": pipeline.lang_id,
         "doc_fingerprint": pipeline.doc_fingerprint,
+        "trigram_search": pipeline.trigram_search,
+        "trigram_posting_stats": pipeline.trigram_posting_stats,
         # --- composite cleaning pass ---
         "pretrain_clean": pipeline.pretrain_clean,
         # --- dedup ---
@@ -669,6 +671,21 @@ FROM documents
 SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest
 FROM documents
+""",
+        "trigram_search": """
+SELECT doc_id FROM documents
+WHERE contains(lower(text), 'fast table')
+""",
+        "trigram_posting_stats": """
+SELECT tg AS trigram, count(*) AS df
+FROM (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(length(lower(text)) - 1, 1)),
+           i -> substr(lower(text), i, 3)))) AS tg
+  FROM documents
+)
+GROUP BY 1 ORDER BY df DESC, trigram LIMIT 20
 """,
         "dedup_exact": """
 SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest,

@@ -58,6 +58,35 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_fingerprint(_docs(spark, sf_dir))
 
 
+# pattern fixed in lockstep with the DuckDB oracle in __spark_entry__.py
+TRIGRAM_PATTERN = "fast table"
+
+
+def trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through the trigram inverted index
+    (`contrib/trigram.py:105-116`): posting-list AND-intersection prunes
+    to candidates, exact contains() verifies — result IS substring
+    search, so the oracle is a plain LIKE scan."""
+    from lakota_spark.operators import trigram as TG
+
+    return TG.trigram_search(_docs(spark, sf_dir), TRIGRAM_PATTERN)
+
+
+def trigram_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 trigrams by document frequency over the posting table
+    (`contrib/trigram.py:78-102` index, aggregated) — the index-build
+    path exercised end-to-end."""
+    from lakota_spark.operators import trigram as TG
+
+    idx = TG.trigram_index(_docs(spark, sf_dir))
+    return (
+        idx.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "trigram")
+        .limit(20)
+    )
+
+
 # quality gate thresholds for pretrain_clean (kept in lockstep with the
 # DuckDB oracle in __spark_entry__.py)
 MIN_TOKENS, MAX_TOKENS, MAX_PUNCT = 20, 2000, 0.1

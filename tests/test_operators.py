@@ -236,6 +236,45 @@ def test_malformed_payloads_fall_back_not_crash(spark):
     assert {r.media_id for r in rows} == set(range(len(bad)))
 
 
+def test_trigram_search(spark):
+    # reference contrib/trigram.py: AND-intersected posting lists +
+    # contains verify == exact substring search
+    from lakota_spark.operators.trigram import trigram_index, trigram_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick thinking wins"),
+            (3, "QUICKSILVER"),          # case-insensitive
+            (4, "slow and steady"),
+            (5, "qu ick"),               # has 'qui'? no — split; not a match
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id for r in trigram_search(docs, "quick").collect()}
+    assert hits == {1, 2, 3}
+    # trigram candidates are necessary-not-sufficient: 'abc ... cde' holds
+    # all trigrams of 'abcde' minus the bridge ones — build a true case:
+    tricky = spark.createDataFrame(
+        [(1, "xabcy xbcdz xcdew"), (2, "abcde")], "doc_id long, text string"
+    )
+    # candidates for 'abcde' are docs holding abc+bcd+cde: both docs
+    cand = {
+        r.doc_id
+        for r in trigram_search(tricky, "abcde", verify=False).collect()
+    }
+    assert cand == {1, 2}
+    verified = {r.doc_id for r in trigram_search(tricky, "abcde").collect()}
+    assert verified == {2}  # verify culls the false positive
+    # short patterns (<3 chars) fall back to a plain contains scan
+    assert {r.doc_id for r in trigram_search(docs, "qu").collect()} == {
+        1, 2, 3, 5,
+    }
+    # posting table carries one row per distinct trigram per doc
+    idx = trigram_index(docs).collect()
+    assert len(idx) == len({(r.trigram, r.doc_id) for r in idx})
+
+
 def test_with_global_index(spark):
     from lakota_spark.operators.index import release_index, with_global_index
 
