@@ -738,6 +738,21 @@ class Series:
         p = self.period()
         return None if p is None else p * target_rows
 
+    def interval_unit(self, target_rows: int = PAGE_LEN) -> str | None:
+        """Smallest natural time partition ('m'/'h'/'D'/'W'/'M'/'Y', None
+        when even a year is too small) fitting ~target_rows rows — the
+        reference's `Interval.bisect` (`lakota/utils.py:289-304`), usable
+        directly as a `floor`/`paginate` unit."""
+        secs = self.interval(target_rows)
+        if secs is None:
+            return None
+        units = [("m", 60), ("h", 3600), ("D", 86_400), ("W", 604_800),
+                 ("M", 2_592_000), ("Y", 31_536_000)]
+        for label, dur in units:
+            if secs < dur:
+                return label
+        return None
+
     def __len__(self) -> int:
         """Spark count over effective bounds (exact under overlays)."""
         return self.frame(sort=False).count()

@@ -190,6 +190,79 @@ def streaming_near_dup_filter(
     return out.drop(*band_cols)
 
 
+def streaming_near_dup_vs_corpus(
+    stream_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """VERIFIED near-dup gate against the landed corpus — the streaming
+    twin of `operators.dedup.minhash_dedup`'s full pipeline, including
+    the exact-Jaccard tier the in-stream gate can't afford.
+
+    Shape: per-row band keys (array exprs, no shuffle) → one
+    stream-static LEFT ANTI join per band, equi on the band key with the
+    exact set-Jaccard >= threshold as an extra join condition. A stream
+    row is dropped iff some landed doc collides on a band AND genuinely
+    clears the similarity bar — band collisions of dissimilar docs
+    survive, so unlike `streaming_near_dup_filter` this gate has NO
+    false drops (up to MinHash recall).
+
+    Stream-static joins are STATELESS: nothing accumulates across
+    triggers, the static side is re-resolved per micro-batch (a growing
+    landed table is picked up on file-source refresh). At 100 TB land
+    the corpus band table as parquet bucketed by band key so each
+    micro-batch join is a pruned lookup, not a corpus scan; the per-band
+    anti-join chain keeps every join an equi-join (an ANY-band OR
+    condition would degenerate to a nested loop).
+    """
+    from lakota_spark.functions import hash32, tokens, word_shingles
+
+    rows_per_band = num_hashes // bands
+
+    def band_cols(col_text):
+        sh = word_shingles(tokens(col_text), n)
+        mh = [
+            F.array_min(F.transform(sh, _seeded_hash(hash32, k)))
+            for k in range(num_hashes)
+        ]
+        cols = {
+            f"_band_{b}": F.concat_ws(
+                "-",
+                *[
+                    c.cast("string")
+                    for c in mh[b * rows_per_band : (b + 1) * rows_per_band]
+                ],
+            )
+            for b in range(bands)
+        }
+        cols["_shset"] = F.array_distinct(sh)
+        return cols
+
+    out = stream_df.withColumns(band_cols(text_col))
+    corpus = corpus_df.withColumns(band_cols(text_col)).select(
+        "_shset", *[f"_band_{b}" for b in range(bands)]
+    )
+    for b in range(bands):
+        # rebuild the condition against the CURRENT plans: column refs
+        # resolved on a pre-join frame don't survive into the next join
+        inter = F.size(F.array_intersect(out["_shset"], corpus["_shset"]))
+        union = (
+            F.size(out["_shset"]) + F.size(corpus["_shset"]) - inter
+        ).cast("double")
+        sim_bar = inter >= F.lit(threshold) * union
+        out = out.join(
+            corpus,
+            (out[f"_band_{b}"] == corpus[f"_band_{b}"]) & sim_bar,
+            "left_anti",
+        )
+    return out.drop("_shset", *[f"_band_{b}" for b in range(bands)])
+
+
 def _seeded_hash(hash32, k):
     # closure, not a default arg: a second lambda param would switch
     # F.transform to its (element, index) form

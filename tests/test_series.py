@@ -310,6 +310,11 @@ def test_records_and_period(series):
     # 3 rows spanning 2 units -> period 1.0
     assert series.period() == 1.0
     assert series.interval(target_rows=10) == 10.0
+    # Interval.bisect parity (`lakota/utils.py:289-304`): smallest natural
+    # unit strictly wider than the target span
+    assert series.interval_unit(target_rows=10) == "m"
+    assert series.interval_unit(target_rows=100_000) == "W"
+    assert series.interval_unit(target_rows=40_000_000) is None
 
 
 def test_tail_after_overlay_narrowing(series):

@@ -192,3 +192,55 @@ def test_streaming_near_dup_filter(spark, tmp_path):
     )
     assert 2 in kept and 4 in kept      # distinct docs always pass
     assert len([d for d in kept if d in (1, 3)]) == 1  # near-pair collapsed
+
+
+def test_streaming_near_dup_vs_corpus(spark, tmp_path):
+    # verified gate: band collision alone is NOT enough — only stream rows
+    # exactly-Jaccard-similar to a landed doc are dropped (no false drops)
+    import datetime as dt
+    import os as _os
+
+    from lakota_spark.streaming import streaming_near_dup_vs_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    near = base + "tail"          # true near-dup of the landed doc
+    novel = "completely different words entirely nothing alike here " * 6
+    corpus = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "vsrc")
+    _os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    spark.createDataFrame(
+        [(t0, 1, near), (t0, 2, novel)],
+        "ts timestamp, doc_id long, text string",
+    ).write.parquet(f"file://{src}/b0.parquet")
+    stream = spark.readStream.schema(
+        "ts timestamp, doc_id long, text string"
+    ).parquet(f"file://{src}/*")
+    out_path = str(tmp_path / "vout")
+    q = (
+        streaming_near_dup_vs_corpus(stream, corpus, threshold=0.5)
+        .writeStream.format("parquet")
+        .option("path", f"file://{out_path}")
+        .option("checkpointLocation", str(tmp_path / "vckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(f"file://{out_path}").collect()
+    )
+    assert kept == [2]  # near-dup of landed doc dropped, novel doc passes
+
+    # batch parity of the same expression graph: a band-colliding but
+    # DISSIMILAR doc must survive (the in-stream gate would drop it)
+    from lakota_spark.operators.dedup import jaccard_pairs  # noqa: F401
+
+    batch = spark.createDataFrame(
+        [(1, near), (2, novel)], "doc_id long, text string"
+    )
+    out = streaming_near_dup_vs_corpus(batch, corpus, threshold=0.99)
+    # at threshold .99 even the near-dup isn't similar enough -> both pass
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
