@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "embedding_dup_lsh",
     "pretrain_clean",
     "tpch_q9_profit",
+    "trigram_search",
 ]
 
 

@@ -67,19 +67,38 @@ def trigram_search(
 ) -> DataFrame:
     """Substring search via the trigram index (`contrib/trigram.py:105-116`).
 
-    AND-intersection of the pattern's trigram posting lists = group the
-    matching postings by doc and keep docs holding ALL query trigrams —
-    one shuffle over the matching postings only. ``verify=True`` adds the
-    exact `contains` check over the candidates (trigram containment is
-    necessary, not sufficient), making the result exactly substring
-    search. Patterns shorter than 3 chars fall back to a plain scan."""
+    Two physical strategies for the same AND-intersection semantics:
+
+    - ``index=None`` (no precomputed postings): the posting filter is
+      algebraically a per-doc "holds ALL query trigrams" test, so it
+      compiles to a conjunction of `contains()` probes in ONE codegen
+      scan — no explode, no shuffle. Building an inline index to search
+      it once would cost more than the scan it prunes.
+    - ``index=...`` (a materialized `trigram_index` table, bucketed/
+      partitioned by trigram at scale): filter the postings to the query
+      trigrams (partition-pruned lookup), AND-count per doc — one
+      partial-agg shuffle over matching postings only, never a corpus
+      scan. This is the 100 TB path.
+
+    ``verify=True`` adds the exact `contains` check over the candidates
+    (trigram containment is necessary, not sufficient), making the
+    result exactly substring search. Patterns shorter than 3 chars fall
+    back to a plain scan."""
     pat = pattern.lower()
     tris = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
     contains = F.contains(F.lower(F.col(text_col)), F.lit(pat))
     if not tris:  # < 3 chars: no trigram to prune on
         return df.where(contains).select(id_col)
     if index is None:
-        index = trigram_index(df, text_col, id_col)
+        lowered = F.lower(F.col(text_col))
+        hit_all = None
+        for tri in tris:
+            probe = F.contains(lowered, F.lit(tri))
+            hit_all = probe if hit_all is None else (hit_all & probe)
+        out = df.where(hit_all)
+        if verify:
+            out = out.where(contains)
+        return out.select(id_col)
     candidates = (
         index.where(F.col("trigram").isin(tris))
         .groupBy(id_col)

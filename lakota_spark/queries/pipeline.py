@@ -63,10 +63,11 @@ TRIGRAM_PATTERN = "fast table"
 
 
 def trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring search through the trigram inverted index
-    (`contrib/trigram.py:105-116`): posting-list AND-intersection prunes
-    to candidates, exact contains() verifies — result IS substring
-    search, so the oracle is a plain LIKE scan."""
+    """Trigram substring search (`contrib/trigram.py:105-116`): AND of
+    per-trigram contains() probes in one codegen scan (the inline
+    strategy; the posting-join path needs a materialized index), exact
+    contains() verify — result IS substring search, so the oracle is a
+    plain LIKE scan."""
     from lakota_spark.operators import trigram as TG
 
     return TG.trigram_search(_docs(spark, sf_dir), TRIGRAM_PATTERN)

@@ -273,6 +273,15 @@ def test_trigram_search(spark):
     # posting table carries one row per distinct trigram per doc
     idx = trigram_index(docs).collect()
     assert len(idx) == len({(r.trigram, r.doc_id) for r in idx})
+    # the materialized-index path (the 100 TB strategy) agrees with the
+    # inline conjunction-scan path
+    via_index = {
+        r.doc_id
+        for r in trigram_search(
+            docs, "quick", index=trigram_index(docs)
+        ).collect()
+    }
+    assert via_index == {1, 2, 3}
 
 
 def test_with_global_index(spark):

@@ -126,6 +126,13 @@ def test_floor_over_plain_arrays():
         sexpr.parse("(as-tz ts 'Europe/Brussels')"), {"ts": arr}
     )
     assert str(res[0]) == "2020-01-01T12:30:00"  # UTC+1 in winter
+    # DST side (reference `tests/utils_test.py:96-101` semantics):
+    # Brussels is UTC+2 in July
+    summer = np.asarray(["2020-07-01T11:30"], dtype="datetime64[s]")
+    res = sexpr.evaluate(
+        sexpr.parse("(as-tz ts 'Europe/Brussels')"), {"ts": summer}
+    )
+    assert str(res[0]) == "2020-07-01T13:30:00"
 
 
 def test_trueish_literals():
