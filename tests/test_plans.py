@@ -126,3 +126,33 @@ def test_q9_broadcasts_and_pushes_part_filter(spark):
     pushed = " ".join(plans.pushed_filters(df))
     assert "p_name" in pushed  # bolt predicate reaches the part scan
     assert plans.has_partial_aggregation(df)
+
+
+def test_trigram_inline_search_is_single_scan(spark):
+    # the inline strategy must be ONE codegen corpus scan: no explode,
+    # no exchange, no join — just conjunction contains() probes
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.trigram_search(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+
+
+def test_streaming_near_dup_vs_corpus_equi_joins(spark):
+    # every per-band anti-join must be an equi hash join (an ANY-band OR
+    # would degenerate to BroadcastNestedLoopJoin over the corpus)
+    from lakota_spark.streaming import streaming_near_dup_vs_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(2, "totally different reference corpus text here")],
+        "doc_id long, text string",
+    )
+    out = streaming_near_dup_vs_corpus(docs, corpus)
+    plan = plans.explain_str(out, "simple")
+    assert "NestedLoop" not in plan, plan
