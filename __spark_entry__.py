@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": pipeline.doc_fingerprint,
         "trigram_search": pipeline.trigram_search,
         "trigram_posting_stats": pipeline.trigram_posting_stats,
+        "decontaminate_flag": pipeline.decontaminate_flag,
+        "stratified_sample_mix": pipeline.stratified_sample_mix,
+        "pack_sequences_demo": pipeline.pack_sequences_demo,
         # --- composite cleaning pass ---
         "pretrain_clean": pipeline.pretrain_clean,
         # --- dedup ---
@@ -675,6 +678,39 @@ FROM documents
         "trigram_search": """
 SELECT doc_id FROM documents
 WHERE contains(lower(text), 'fast table')
+""",
+        "decontaminate_flag": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh4 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tk)-3, 0)),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))
+         AS shingle
+  FROM toks
+)
+SELECT c.doc_id, count(*) AS n_shared
+FROM (SELECT * FROM sh4 WHERE doc_id % 97 <> 0) c
+JOIN (SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 97 = 0) b
+  USING (shingle)
+GROUP BY 1 HAVING count(*) >= 1
+""",
+        "stratified_sample_mix": """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('strata:' || doc_id), 1, 8))::BIGINT % 10000
+      < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 ELSE 1000 END
+""",
+        "pack_sequences_demo": f"""
+WITH nt AS (
+  SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
+         ('0x' || substr(md5('pack:' || doc_id), 1, 8))::BIGINT % 32
+           AS pack_bucket
+  FROM documents
+)
+SELECT doc_id, n_tokens, pack_bucket,
+       ((sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        // 2000) AS pack_id
+FROM nt
 """,
         "trigram_posting_stats": """
 SELECT tg AS trigram, count(*) AS df

@@ -1,0 +1,140 @@
+"""Corpus-curation operators: decontamination, stratified sampling,
+sequence packing — the training-data pipeline stages downstream of dedup.
+
+All pure Catalyst expressions (hash / window / join) — engine-reproducible
+(md5-derived hashing, deterministic orderings) so every operator has an
+exact DuckDB oracle, and every shuffle is keyed for scale:
+
+- decontaminate: benchmark shingles are a broadcast-sized relation; the
+  corpus-side join is an equi-join on the shingle, aggregated per doc.
+- stratified_sample: zero shuffles — the keep/drop decision is a pure
+  per-row hash test, exactly reproducible on any engine, any partitioning.
+- pack_sequences: cumulative token sums inside hash-bucketed partitions
+  (one window shuffle, all buckets in parallel) — never a global
+  single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakota_spark.functions import hash32, tokens, word_shingles
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+    mode: str = "flag",
+) -> DataFrame:
+    """Benchmark decontamination: find (or drop) corpus documents sharing
+    >= ``min_hits`` distinct word ``n``-gram shingles with any benchmark
+    document — the standard eval-leakage guard for pretraining corpora.
+
+    ``mode='flag'`` returns (doc_id, n_shared) for contaminated docs;
+    ``mode='drop'`` returns the clean corpus (left_anti).
+
+    Scale shape: benchmark sets are eval suites — thousands of docs, not
+    billions — so their distinct shingle set broadcasts; the corpus side
+    is one explode + broadcast semi-join + per-doc count. No corpus
+    self-join anywhere.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(tokens(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_hits)
+    )
+    if mode == "flag":
+        return hits
+    return corpus.join(hits.select(id_col), id_col, "left_anti")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Deterministic per-stratum sampling for training-mix control:
+    keep a row iff ``hash(salt:id) % 10000 < rate * 10000`` for its
+    stratum's rate. Unlike `df.sampleBy` the decision is a pure function
+    of the row — reproducible across engines, runs, partitionings, and
+    incremental re-runs (a doc's fate never changes when the corpus
+    grows). Zero shuffles: the filter is map-side only.
+    """
+    probe = hash32(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    bucket = probe % 10000
+    rate_expr = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == value
+        thr = F.lit(int(round(rate * 10000)))
+        rate_expr = (
+            F.when(cond, thr)
+            if rate_expr is None
+            else rate_expr.when(cond, thr)
+        )
+    rate_expr = (
+        rate_expr.otherwise(F.lit(int(round(default_rate * 10000))))
+        if rate_expr is not None
+        else F.lit(int(round(default_rate * 10000)))
+    )
+    return df.where(bucket < rate_expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to training shards of at
+    most ~``budget`` tokens (docs above the budget get their own shard).
+
+    Docs are hash-partitioned into ``n_buckets`` independent packing
+    streams (deterministic: bucket = hash(id) % n_buckets), each packed
+    by running token count in ``id_col`` order — shard boundaries fall
+    where the cumulative sum crosses a budget multiple. One window
+    shuffle keyed by bucket; every bucket packs in parallel, so the
+    operator scales with the corpus while a single global cumulative sum
+    would funnel through one task. Returns the input plus
+    (pack_bucket, pack_id).
+    """
+    bucket = (
+        hash32(F.concat_ws(":", F.lit("pack"), F.col(id_col).cast("string")))
+        % n_buckets
+    )
+    out = df.withColumn("pack_bucket", bucket)
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    # shard index = budget multiples crossed before this doc started. A
+    # doc never splits; a shard can overshoot the budget by less than its
+    # last doc's length (the window-expressible packing — exact
+    # close-when-full first-fit is inherently sequential/stateful)
+    return out.withColumn(
+        "pack_id",
+        ((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
+    )

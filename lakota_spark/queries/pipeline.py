@@ -73,6 +73,43 @@ def trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TG.trigram_search(_docs(spark, sf_dir), TRIGRAM_PATTERN)
 
 
+def decontaminate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage guard: corpus docs sharing any distinct word 4-gram
+    with the 'benchmark' slice (doc_id % 97 == 0) — broadcast semi-join
+    on the shingle, per-doc hit count (operators/sampling.decontaminate)."""
+    from lakota_spark.operators.sampling import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, n=4)
+
+
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix control: deterministic per-language hash sampling
+    (en 50%, fr 25%, others 10%) — pure map-side filter, reproducible
+    on any engine/partitioning (operators/sampling.stratified_sample)."""
+    from lakota_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(
+        docs, {"en": 0.5, "fr": 0.25}, "lang", default_rate=0.1
+    )
+
+
+def pack_sequences_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing into training shards: hash-bucketed
+    parallel packing streams, one window shuffle
+    (operators/sampling.pack_sequences)."""
+    from lakota_spark.functions import tokens
+    from lakota_spark.operators.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=2000)
+
+
 def trigram_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 trigrams by document frequency over the posting table
     (`contrib/trigram.py:78-102` index, aggregated) — the index-build

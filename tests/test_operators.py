@@ -341,3 +341,70 @@ def test_drange_time_windows():
 
     with _pytest.raises(ValueError):
         list(time_windows(dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 2), days=0))
+
+
+def test_decontaminate_drop_mode(spark):
+    from lakota_spark.operators.sampling import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # shares a 3-gram
+            (2, "zeta eta theta iota kappa"),        # clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma something else")], "doc_id long, text string"
+    )
+    flagged = decontaminate(corpus, bench, n=3).collect()
+    assert [(r.doc_id, r.n_shared) for r in flagged] == [(1, 1)]
+    clean = decontaminate(corpus, bench, n=3, mode="drop").collect()
+    assert [r.doc_id for r in clean] == [2]
+
+
+def test_stratified_sample_deterministic(spark):
+    from lakota_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    out = stratified_sample(df, {"en": 0.5, "fr": 0.1}, "lang")
+    counts = {r.lang: r.c for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    # hash sampling: counts near the target rate
+    assert 400 < counts["en"] < 600 and 50 < counts["fr"] < 150
+    # decision is a pure function of the row: re-run identical, and a doc's
+    # fate is unchanged when the corpus grows
+    again = {r.doc_id for r in out.collect()}
+    subset = stratified_sample(
+        df.where(F.col("doc_id") < 1000), {"en": 0.5, "fr": 0.1}, "lang"
+    )
+    assert {r.doc_id for r in subset.collect()} == {
+        d for d in again if d < 1000
+    }
+    # rate 0 default drops unknown strata
+    zero = stratified_sample(df, {}, "lang")
+    assert zero.count() == 0
+
+
+def test_pack_sequences_budget(spark):
+    from lakota_spark.operators.sampling import pack_sequences
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.lit(60)).alias("n_tokens")
+    )
+    out = pack_sequences(df, budget=300, n_buckets=4).collect()
+    assert len(out) == 500
+    packs = {}
+    for r in out:
+        packs.setdefault((r.pack_bucket, r.pack_id), []).append(r.n_tokens)
+    # every doc fits somewhere; a shard overshoots by less than one doc
+    for (_, _), toks in packs.items():
+        assert sum(toks) < 300 + 60
+    # packing respects doc order within bucket: pack_id non-decreasing
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: (r.pack_bucket, r.doc_id)):
+        ids = by_bucket.setdefault(r.pack_bucket, [])
+        assert not ids or r.pack_id >= ids[-1]
+        ids.append(r.pack_id)
