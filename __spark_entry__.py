@@ -64,6 +64,37 @@ def _band_union() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def _minhash_pair_ctes() -> str:
+    """Shared CTE chain producing verified MinHash pairs as `vpairs`
+    (used by minhash_dedup_pairs and dedup_clusters oracles)."""
+    return f"""{_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id),
+bands AS (
+{_band_union()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+vpairs AS (
+  SELECT i.doc_a, i.doc_b, i.inter, x.sz AS size_a, y.sz AS size_b,
+         i.inter / (x.sz + y.sz - i.inter) AS jaccard
+  FROM inter i
+  JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sz x ON x.doc_id = i.doc_a
+  JOIN sz y ON y.doc_id = i.doc_b
+  WHERE i.inter / (x.sz + y.sz - i.inter) >= 0.5
+)"""
+
+
 _SIMHASH_BITS = 64
 _SIMHASH_WORDS = _SIMHASH_BITS // 16
 
@@ -244,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_top_pairs": pipeline.jaccard_top_pairs,
         "minhash_signatures": pipeline.minhash_signatures,
         "minhash_dedup_pairs": pipeline.minhash_dedup_pairs,
+        "dedup_clusters": pipeline.dedup_clusters,
         "simhash_signatures": pipeline.simhash_signatures,
         "simhash_near_pairs": pipeline.simhash_near_pairs,
         "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
@@ -796,30 +828,22 @@ WHERE s.n_tokens BETWEEN 20 AND 2000
   AND nd.doc_id IS NULL
 """,
         "minhash_dedup_pairs": f"""
-WITH {_SHINGLES_CTE},
-sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-sig AS (SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id),
-bands AS (
-{_band_union()}
+WITH {_minhash_pair_ctes()}
+SELECT doc_a, doc_b, inter, size_a, size_b, jaccard FROM vpairs
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM vpairs
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b USING (band_idx, band_key)
-  WHERE a.doc_id < b.doc_id
-),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b USING (shingle)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
+reach(node, lbl) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN e ON r.node = e.b
 )
-SELECT i.doc_a, i.doc_b, i.inter, x.sz AS size_a, y.sz AS size_b,
-       i.inter / (x.sz + y.sz - i.inter) AS jaccard
-FROM inter i
-JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-JOIN sz x ON x.doc_id = i.doc_a
-JOIN sz y ON y.doc_id = i.doc_b
-WHERE i.inter / (x.sz + y.sz - i.inter) >= 0.5
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
 """,
         "simhash_signatures": f"""
 WITH {_simhash_cte()}

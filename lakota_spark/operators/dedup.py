@@ -439,3 +439,69 @@ def embedding_dup_pairs(
         .select(*out_cols)
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster canonicalization (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Collapse verified near-dup PAIRS into clusters: connected
+    components by iterative min-label propagation; returns
+    (doc_id, cluster_id) with cluster_id = the smallest doc id in the
+    component (the canonical survivor).
+
+    A real dedup pipeline needs this step — pair lists alone over-delete
+    (dropping both sides) or under-delete (keeping transitive dups);
+    canonical-per-component keeps exactly one doc per cluster.
+
+    Each round is one shuffle: labels join onto the symmetrized edge
+    list, then min-aggregate per node; ``localCheckpoint`` truncates the
+    growing lineage. Near-dup components are cliquish (tiny diameter),
+    so convergence takes 2-3 rounds in practice; the fixpoint test is an
+    exact count of changed labels per round. At billions of edges you'd
+    switch to the large-star/small-star contraction (same primitives,
+    O(log n) rounds guaranteed); min-propagation keeps the plan simple
+    and engine-reproducible for diameter-bounded dedup graphs.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over neighbors' labels and its own
+        via_edges = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .select(F.col("a").alias("node"), F.col("lbl"))
+        )
+        new_labels = (
+            labels.union(via_edges)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )

@@ -188,6 +188,14 @@ def jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: the verified MinHash pairs
+    collapsed into connected components, cluster_id = smallest member
+    (operators/dedup.dedup_clusters — iterative min-label propagation)."""
+    pairs = minhash_dedup_pairs(spark, sf_dir)
+    return D.dedup_clusters(pairs)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingle_table(_docs(spark, sf_dir), n=SHINGLE_N)
     return D.minhash_signatures(sh, NUM_HASHES)

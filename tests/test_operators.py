@@ -408,3 +408,18 @@ def test_pack_sequences_budget(spark):
         ids = by_bucket.setdefault(r.pack_bucket, [])
         assert not ids or r.pack_id >= ids[-1]
         ids.append(r.pack_id)
+
+
+def test_dedup_clusters_connected_components(spark):
+    # pairs (1-2)(2-3) + (5-6) + isolated pair graph: transitive closure
+    # with cluster_id = min member; convergence needs >1 round for chains
+    from lakota_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6), (9, 8)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8}
