@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": pipeline.minhash_signatures,
         "minhash_dedup_pairs": pipeline.minhash_dedup_pairs,
         "dedup_clusters": pipeline.dedup_clusters,
+        "gap_fill_daily": pipeline.gap_fill_daily,
         "simhash_signatures": pipeline.simhash_signatures,
         "simhash_near_pairs": pipeline.simhash_near_pairs,
         "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
@@ -706,6 +707,29 @@ FROM documents
 SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest
 FROM documents
+""",
+        "gap_fill_daily": """
+WITH f AS (
+  SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bucket,
+         sum(round(value * 100)::BIGINT) / 100.0 AS sum_value,
+         count(*) AS n_events
+  FROM events
+  WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 1000 = 0
+  GROUP BY 1, 2
+),
+cal AS (
+  SELECT event_type,
+         unnest(generate_series(min(bucket), max(bucket),
+                                INTERVAL 1 DAY))::TIMESTAMP AS bucket
+  FROM f GROUP BY event_type
+)
+SELECT c.event_type, c.bucket,
+       last_value(f.sum_value IGNORE NULLS) OVER w AS sum_value,
+       last_value(f.n_events IGNORE NULLS) OVER w AS n_events
+FROM cal c LEFT JOIN f ON f.event_type = c.event_type
+                      AND f.bucket = c.bucket
+WINDOW w AS (PARTITION BY c.event_type ORDER BY c.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
         "trigram_search": """
 SELECT doc_id FROM documents

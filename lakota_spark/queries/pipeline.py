@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakota_spark.operators import dedup as D
+from lakota_spark.queries import parity
 from lakota_spark.operators import multimodal as M
 from lakota_spark.operators import similarity as S
 from lakota_spark.operators import text as T
@@ -185,6 +186,30 @@ def jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.jaccard_pairs(sh, threshold=0.0)
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
         .limit(20)
+    )
+
+
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily calendar per event_type with forward-filled sums
+    (operators/timeseries.gap_fill): missing days appear with the last
+    observed value — resample/asfreq over the events stream."""
+    from lakota_spark.functions import money_sum
+    from lakota_spark.operators.timeseries import gap_fill
+
+    from lakota_spark.functions import hash32
+
+    e = parity._events(spark, sf_dir)
+    # deterministic 1/1000 thinning so the dense calendar has REAL gaps
+    # at the driver's sf0.01 (a value threshold doesn't thin: every
+    # type-day keeps hits at any sf)
+    e = e.where(hash32(F.col("event_id").cast("string")) % 1000 == 0)
+    return gap_fill(
+        e,
+        "ts",
+        ["event_type"],
+        "D",
+        {"sum_value": money_sum(F.col("value"), 100),
+         "n_events": F.count(F.lit(1))},
     )
 
 

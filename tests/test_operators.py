@@ -423,3 +423,31 @@ def test_dedup_clusters_connected_components(spark):
         r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+
+
+def test_gap_fill_ffill(spark):
+    from lakota_spark.operators.timeseries import gap_fill
+
+    df = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 5), 10.0),
+            ("a", dt.datetime(2024, 1, 4, 7), 40.0),   # 3-day gap before
+            ("b", dt.datetime(2024, 1, 2, 1), 5.0),
+        ],
+        "g string, ts timestamp, v double",
+    )
+    out = gap_fill(
+        df, "ts", ["g"], "D", {"s": F.sum("v"), "n": F.count(F.lit(1))}
+    ).collect()
+    rows = {(r.g, str(r.bucket.date())): (r.s, r.n) for r in out}
+    # group a: 4 dense days, gap days forward-filled from Jan 1
+    assert rows[("a", "2024-01-01")] == (10.0, 1)
+    assert rows[("a", "2024-01-02")] == (10.0, 1)   # filled
+    assert rows[("a", "2024-01-03")] == (10.0, 1)   # filled
+    assert rows[("a", "2024-01-04")] == (40.0, 1)
+    # group b: single-day span, no padding beyond its own range
+    assert [k for k in rows if k[0] == "b"] == [("b", "2024-01-02")]
+    # fill=None keeps nulls on the gap days
+    raw = gap_fill(df, "ts", ["g"], "D", {"s": F.sum("v")}, fill=None)
+    nulls = [r for r in raw.collect() if r.s is None]
+    assert len(nulls) == 2
