@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": pipeline.minhash_dedup_pairs,
         "dedup_clusters": pipeline.dedup_clusters,
         "gap_fill_daily": pipeline.gap_fill_daily,
+        "bm25_topk": pipeline.bm25_topk,
         "simhash_signatures": pipeline.simhash_signatures,
         "simhash_near_pairs": pipeline.simhash_near_pairs,
         "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
@@ -707,6 +708,30 @@ FROM documents
 SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest
 FROM documents
+""",
+        "bm25_topk": f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({_TOKS}, t -> lower(t)) AS tk FROM documents
+),
+base AS (SELECT doc_id, unnest(tk) AS term, len(tk)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                 avg(len(tk)) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM base WHERE term IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df_t FROM tf GROUP BY term),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln((s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5) + 1.0)
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS w
+  FROM tf JOIN dft d USING (term), stats s
+)
+SELECT doc_id, round(sum(w ORDER BY term), 6) AS bm25
+FROM w GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
 """,
         "gap_fill_daily": """
 WITH f AS (

@@ -134,3 +134,83 @@ def doc_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Normalized md5 fingerprint per document (exact-dedup key)."""
     return df.select(F.col(id_col), fingerprint(text_col).alias("digest"))
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` documents for a bag of query terms
+    (Robertson/Sparck-Jones idf with the +1 floor, the Lucene form).
+
+    Pure Catalyst: one explode+groupBy computes per-(doc, term) counts —
+    filtered to the query terms BEFORE the shuffle, so only matching
+    postings move — and the corpus scalars (N, avgdl) ride along as a
+    broadcast single-row join, keeping the plan fully distributed (no
+    driver collect). Scores round to 6 decimals so a SQL oracle
+    reproduces them exactly (the ANN-oracle convention).
+
+    At scale the tf relation is the inverted index: materialize it once
+    (bucketed by term) and searches skip the explode entirely — same
+    two-table join as `trigram_search`'s indexed path.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    toks = F.transform(tokens(text_col), lambda x: F.lower(x))
+    base = df.select(
+        F.col(id_col), F.explode(toks).alias("term"),
+        F.size(tokens(text_col)).cast("double").alias("dl"),
+    )
+    stats = df.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    )
+    tf = (
+        base.where(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"),
+             F.first("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        # ordered fold (sort by term, then left-fold) — float addition is
+        # not associative, so a plain sum() would be partition-order
+        # dependent and could flip a 6-decimal rounding tie vs the oracle
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "w"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["w"],
+                ),
+                6,
+            ).alias("bm25")
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), id_col).limit(k)

@@ -189,6 +189,16 @@ def jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ["spark", "window", "merge"]
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over documents for a fixed query
+    (operators/text.bm25_scores) — postings filtered to query terms
+    before the shuffle, corpus scalars broadcast."""
+    return T.bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
+
+
 def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense daily calendar per event_type with forward-filled sums
     (operators/timeseries.gap_fill): missing days appear with the last

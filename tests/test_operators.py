@@ -451,3 +451,30 @@ def test_gap_fill_ffill(spark):
     raw = gap_fill(df, "ts", ["g"], "D", {"s": F.sum("v")}, fill=None)
     nulls = [r for r in raw.collect() if r.s is None]
     assert len(nulls) == 2
+
+
+def test_bm25_ranking(spark):
+    from lakota_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),        # high tf for 'spark'
+            (2, "spark engine with window merge"),  # one of each
+            (3, "window window window window"),     # rare-term heavy
+            (4, "nothing relevant here at all"),    # no hit
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_scores(docs, ["spark", "merge"], k=10).collect()
+    got = {r.doc_id: r.bm25 for r in out}
+    assert 4 not in got                     # zero-hit docs never surface
+    assert set(got) == {1, 2}
+    # doc 2 matches two terms incl. the rarer 'merge' -> outranks tf-spam
+    assert got[2] > got[1] > 0
+    # idf sanity: 'merge' (df=1) contributes more than 'spark' (df=2)
+    only_merge = bm25_scores(docs, ["merge"], k=10).collect()
+    only_spark = [
+        r for r in bm25_scores(docs, ["spark"], k=10).collect()
+        if r.doc_id == 2
+    ]
+    assert only_merge[0].bm25 > only_spark[0].bm25
