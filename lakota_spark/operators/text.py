@@ -157,7 +157,10 @@ def bm25_scores(
 
     At scale the tf relation is the inverted index: materialize it once
     (bucketed by term) and searches skip the explode entirely — same
-    two-table join as `trigram_search`'s indexed path.
+    two-table join as `trigram_search`'s indexed path. The corpus
+    scalars cost a second (column-pruned) pass here; with a materialized
+    index they come from its stats, so an indexed search touches only
+    the query terms' postings.
     """
     terms = sorted({t.lower() for t in query_terms})
     toks = F.transform(tokens(text_col), lambda x: F.lower(x))

@@ -6,8 +6,10 @@ this covers the missing buckets).
 Scale shape: the dense calendar is generated per group from that group's
 own [min, max] span (`sequence` + explode — map-side, no driver loop),
 the join back to observed buckets is an equi-join on (group, bucket),
-and forward-fill is one window per group ordered by bucket. One shuffle
-keyed by group for the whole operator chain.
+and forward-fill is one window per group ordered by bucket. Every
+shuffle is keyed by the group (or group+bucket) — there is no global
+window and no single-partition stage anywhere; the small calendar side
+broadcast-joins.
 """
 
 from __future__ import annotations
