@@ -119,6 +119,8 @@ def pack_sequences(
     would funnel through one task. Returns the input plus
     (pack_bucket, pack_id).
     """
+    if budget <= 0 or n_buckets <= 0:
+        raise ValueError("pack_sequences needs positive budget/n_buckets")
     bucket = (
         hash32(F.concat_ws(":", F.lit("pack"), F.col(id_col).cast("string")))
         % n_buckets

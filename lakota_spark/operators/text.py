@@ -163,6 +163,8 @@ def bm25_scores(
     the query terms' postings.
     """
     terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
     toks = F.transform(tokens(text_col), lambda x: F.lower(x))
     base = df.select(
         F.col(id_col), F.explode(toks).alias("term"),
