@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": pipeline.dedup_clusters,
         "gap_fill_daily": pipeline.gap_fill_daily,
         "bm25_topk": pipeline.bm25_topk,
+        "near_dup_gate": pipeline.near_dup_gate,
         "simhash_signatures": pipeline.simhash_signatures,
         "simhash_near_pairs": pipeline.simhash_near_pairs,
         "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
@@ -708,6 +709,35 @@ FROM documents
 SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest
 FROM documents
+""",
+        "near_dup_gate": f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id),
+bands AS (
+{_band_union()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS sid, b.doc_id AS cid
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id >= 250 AND b.doc_id < 250
+),
+inter AS (
+  SELECT a.doc_id AS sid, b.doc_id AS cid, count(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id >= 250 AND b.doc_id < 250
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT c.sid
+  FROM cand c
+  JOIN inter i ON i.sid = c.sid AND i.cid = c.cid
+  JOIN sz x ON x.doc_id = c.sid
+  JOIN sz y ON y.doc_id = c.cid
+  WHERE i.i >= 0.5 * (x.sz + y.sz - i.i)
+)
+SELECT doc_id FROM documents
+WHERE doc_id >= 250 AND doc_id NOT IN (SELECT sid FROM dropped)
 """,
         "bm25_topk": f"""
 WITH toks AS (

@@ -189,6 +189,21 @@ def jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified streaming near-dup gate, exercised in batch mode so
+    it gets a full value-exact oracle: docs >= 250 play the incoming
+    stream, docs < 250 the landed corpus; survivors = stream docs with
+    NO banded corpus collision that clears exact Jaccard >= 0.5
+    (streaming/streaming_near_dup_vs_corpus — same expression graph the
+    stream runs)."""
+    from lakota_spark.streaming import streaming_near_dup_vs_corpus
+
+    docs = _docs(spark, sf_dir)
+    incoming = docs.where(F.col("doc_id") >= 250)
+    landed = docs.where(F.col("doc_id") < 250)
+    return streaming_near_dup_vs_corpus(incoming, landed).select("doc_id")
+
+
 BM25_TERMS = ["spark", "window", "merge"]
 
 
