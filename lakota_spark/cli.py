@@ -434,7 +434,8 @@ def _build_parser():
     # second gc pass, protecting segments of in-flight commits
     s.add_argument("--timeout", type=float, default=600.0)
     s.set_defaults(fn=cmd_gc)
-    s = sub.add_parser("delete"); s.add_argument("path"); s.set_defaults(fn=cmd_delete)
+    s = sub.add_parser("delete", aliases=["del"])
+    s.add_argument("path"); s.set_defaults(fn=cmd_delete)
     s = sub.add_parser("export")
     s.add_argument("label"); s.add_argument("out")
     s.add_argument("--format", default="parquet")
