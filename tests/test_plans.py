@@ -156,3 +156,25 @@ def test_streaming_near_dup_vs_corpus_equi_joins(spark):
     out = streaming_near_dup_vs_corpus(docs, corpus)
     plan = plans.explain_str(out, "simple")
     assert "NestedLoop" not in plan, plan
+
+
+def test_bm25_plan_shape(spark):
+    # postings filtered pre-shuffle (partial agg), scalar stats ride a
+    # broadcast join — no plain cartesian product anywhere
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.bm25_topk(spark, SF)
+    assert plans.has_partial_aggregation(df)
+    strategies = plans.join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastHashJoin" in strategies
+
+
+def test_gap_fill_no_global_window(spark):
+    # forward-fill windows partition by group: no single-partition
+    # exchange may appear anywhere in the plan
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.gap_fill_daily(spark, "/root/testdata/sf0.01")
+    plan = plans.explain_str(df, "simple")
+    assert "SinglePartition" not in plan, plan
