@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_daily": pipeline.gap_fill_daily,
         "bm25_topk": pipeline.bm25_topk,
         "near_dup_gate": pipeline.near_dup_gate,
+        "kmeans_assign": pipeline.kmeans_assign,
         "simhash_signatures": pipeline.simhash_signatures,
         "simhash_near_pairs": pipeline.simhash_near_pairs,
         "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
@@ -709,6 +710,49 @@ FROM documents
 SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest
 FROM documents
+""",
+        # k-means unrolled: each Lloyd iteration is a pure function of the
+        # data once centroids/distances round to 6 decimals and ties break
+        # on cluster id — so the ITERATIVE operator still oracles exactly.
+        "kmeans_assign": """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+u0 AS (
+  SELECT e.vec_id, s.cluster,
+         unnest(e.embedding) AS x, unnest(s.embedding) AS y
+  FROM embeddings e, seeds s
+),
+d0 AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
+       FROM u0 GROUP BY 1, 2),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM d0) WHERE rn = 1
+),
+pos AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+m1 AS (
+  SELECT a.cluster, p.i, round(avg(p.x), 6) AS m
+  FROM a0 a JOIN pos p USING (vec_id) GROUP BY 1, 2
+),
+c1 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM m1 GROUP BY cluster),
+u1 AS (
+  SELECT e.vec_id, c.cluster,
+         unnest(e.embedding) AS x, unnest(c.cent) AS y
+  FROM embeddings e, c1 c
+),
+d1 AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
+       FROM u1 GROUP BY 1, 2)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+  FROM d1) WHERE rn = 1
 """,
         "near_dup_gate": f"""
 WITH {_SHINGLES_CTE},

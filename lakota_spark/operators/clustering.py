@@ -1,0 +1,82 @@
+"""Iterative clustering over embedding columns — Lloyd k-means expressed
+Spark-first, engine-reproducible by construction.
+
+Two sources of cross-engine nondeterminism are killed explicitly:
+
+- centroid means and point-to-centroid distances round to 6 decimals
+  before any comparison (float summation order differs between engines;
+  rounding re-synchronizes the iteration state),
+- cluster assignment breaks distance ties by the smaller cluster id
+  (struct-min over (distance, cluster)).
+
+With deterministic seeds (the k smallest ids' vectors) every iteration
+is then a pure function of the data — the whole loop unrolls into SQL,
+so even this ITERATIVE operator gets an exact DuckDB oracle.
+
+Scale shape: per iteration, assignment is a map-side argmin against k
+broadcast literal centroids (zero shuffle), and the centroid update is
+one posexplode + (cluster, dim)-keyed partial agg — k×dim doubles come
+back to the driver between iterations (the same tiny-scalar pattern as
+`ivf_topk`'s probed centroid ids; never the data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster assignments after ``iters`` Lloyd iterations from
+    deterministic seeds. Returns (id, cluster); clusters that lose all
+    members drop out (they cannot re-acquire points — matching the
+    straightforward SQL unrolling of the same recurrence)."""
+    if k <= 0 or iters <= 0:
+        raise ValueError("kmeans_assign needs positive k/iters")
+    seeds = (
+        df.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (c, [float(x) for x in row[vec_col]]) for c, row in enumerate(seeds)
+    ]
+
+    def assign_expr(centroids):
+        vec = F.col(vec_col)
+        cands = []
+        for c, coords in centroids:
+            lit = F.array(*[F.lit(x) for x in coords])
+            d = F.round(
+                F.aggregate(
+                    F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            cands.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
+        return F.array_min(F.array(*cands))["c"]
+
+    for it in range(iters):
+        assigned = df.withColumn("cluster", assign_expr(cents))
+        if it == iters - 1:
+            return assigned.select(F.col(id_col), F.col("cluster"))
+        rows = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("col"), 6).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        cents = [
+            (c, [dims[i] for i in sorted(dims)])
+            for c, dims in sorted(by_cluster.items())
+        ]
+    raise AssertionError("unreachable")

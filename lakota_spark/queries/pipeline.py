@@ -189,6 +189,15 @@ def jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations over the embeddings table, k=8, deterministic
+    seeds — the iterative operator whose rounded state lets even k-means
+    carry an exact SQL oracle (operators/clustering.kmeans_assign)."""
+    from lakota_spark.operators.clustering import kmeans_assign as KM
+
+    return KM(_emb(spark, sf_dir), k=8, iters=2)
+
+
 def near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified streaming near-dup gate, exercised in batch mode so
     it gets a full value-exact oracle: docs >= 250 play the incoming

@@ -478,3 +478,24 @@ def test_bm25_ranking(spark):
         if r.doc_id == 2
     ]
     assert only_merge[0].bm25 > only_spark[0].bm25
+
+
+def test_kmeans_assign_separable(spark):
+    from lakota_spark.operators.clustering import kmeans_assign
+
+    # two tight blobs far apart; seeds = ids 0,1 land one in each blob
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]),
+            (2, [0.1, 0.2]), (3, [0.2, 0.1]),
+            (4, [10.1, 9.9]), (5, [9.9, 10.2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cluster for r in kmeans_assign(df, k=2, iters=3).collect()}
+    assert got[0] == got[2] == got[3]
+    assert got[1] == got[4] == got[5]
+    assert got[0] != got[1]
+    # distance ties break toward the smaller cluster id: identical seeds
+    tie = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    t = {r.vec_id: r.cluster for r in kmeans_assign(tie, k=2, iters=2).collect()}
+    assert set(t.values()) == {0}  # all points tie -> cluster 0 everywhere
