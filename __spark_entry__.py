@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": pipeline.bm25_topk,
         "near_dup_gate": pipeline.near_dup_gate,
         "kmeans_assign": pipeline.kmeans_assign,
+        "pii_scrub_stats": pipeline.pii_scrub_stats,
         "simhash_signatures": pipeline.simhash_signatures,
         "simhash_near_pairs": pipeline.simhash_near_pairs,
         "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
@@ -710,6 +711,28 @@ FROM documents
 SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest
 FROM documents
+""",
+        "pii_scrub_stats": r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 40 = 0
+              THEN text || ' contact user' || doc_id || '@example.com'
+              WHEN doc_id % 40 = 7
+              THEN text || ' see https://example.com/d/' || doc_id
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT AS n_url,
+  len(regexp_extract_all(text,
+      '\+?[0-9][0-9()\-\. ]{7,}[0-9]'))::BIGINT AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\+?[0-9][0-9()\-\. ]{7,}[0-9]', '<PHONE>', 'g'),
+      'https?://[^\s]+', '<URL>', 'g')) AS scrubbed_digest
+FROM aug
 """,
         # k-means unrolled: each Lloyd iteration is a pure function of the
         # data once centroids/distances round to 6 decimals and ties break

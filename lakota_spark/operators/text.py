@@ -219,3 +219,41 @@ def bm25_scores(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), id_col).limit(k)
+
+
+# PII patterns kept deliberately RE2-compatible (no backrefs/lookaround):
+# the same strings compile identically under Java regex (Spark) and RE2
+# (DuckDB oracle), so scrub results compare bitwise.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-\. ]{7,}[0-9]",
+}
+
+
+def pii_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII hit counts (emails / URLs / phone-ish runs) —
+    the measurement half of a scrubbing pass, pure codegen."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+    )
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", kinds: list[str] | None = None
+) -> DataFrame:
+    """Redact PII in place: each kind replaced by its '<KIND>' tag, in a
+    fixed kind order so the rewrite is deterministic. Map-side only —
+    at 100 TB this runs inside the same scan as the rest of the
+    cleaning pass."""
+    out = F.col(text_col)
+    for name in kinds or sorted(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return df.withColumn(text_col, out)

@@ -189,6 +189,33 @@ def jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII measurement + redaction (operators/text.pii_stats/pii_scrub).
+    The synthetic corpus holds no real PII, so the query deterministically
+    injects emails/URLs into known docs first — proving detection AND
+    scrub produce the exact expected rewrite (digest-compared)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 40 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), did,
+                     F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 40 == 7,
+            F.concat(F.col("text"), F.lit(" see https://example.com/d/"), did),
+        )
+        .otherwise(F.col("text")),
+    )
+    stats = T.pii_stats(aug)
+    digest = T.pii_scrub(aug).select(
+        "doc_id", F.md5("text").alias("scrubbed_digest")
+    )
+    return stats.join(digest, "doc_id")
+
+
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations over the embeddings table, k=8, deterministic
     seeds — the iterative operator whose rounded state lets even k-means

@@ -499,3 +499,28 @@ def test_kmeans_assign_separable(spark):
     )
     t = {r.vec_id: r.cluster for r in kmeans_assign(tie, k=2, iters=2).collect()}
     assert set(t.values()) == {0}  # all points tie -> cluster 0 everywhere
+
+
+def test_pii_stats_and_scrub(spark):
+    from lakota_spark.operators.text import pii_scrub, pii_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@corp.example.org today"),
+            (2, "docs at https://a.example.com/x?q=1 and http://b.io"),
+            (3, "call +32 (0)2 345-67-89 now"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: (r.n_email, r.n_url, r.n_phone)
+             for r in pii_stats(docs).collect()}
+    assert stats[1] == (1, 0, 0)
+    assert stats[2] == (0, 2, 0)
+    assert stats[3][2] == 1
+    assert stats[4] == (0, 0, 0)
+    scrubbed = {r.doc_id: r.text for r in pii_scrub(docs).collect()}
+    assert scrubbed[1] == "reach me at <EMAIL> today"
+    assert "<URL>" in scrubbed[2] and "example" not in scrubbed[2]
+    assert "<PHONE>" in scrubbed[3]
+    assert scrubbed[4] == "nothing sensitive here"
