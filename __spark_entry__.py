@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_gate": pipeline.near_dup_gate,
         "kmeans_assign": pipeline.kmeans_assign,
         "pii_scrub_stats": pipeline.pii_scrub_stats,
+        "quality_deciles": pipeline.quality_deciles,
         "simhash_signatures": pipeline.simhash_signatures,
         "simhash_near_pairs": pipeline.simhash_near_pairs,
         "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
@@ -711,6 +712,20 @@ FROM documents
 SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest
 FROM documents
+""",
+        "quality_deciles": f"""
+WITH d AS (
+  SELECT doc_id, lang, len({_TOKS})::BIGINT AS n_tokens FROM documents
+),
+t AS (
+  SELECT lang, n_tokens,
+         ntile(10) OVER (PARTITION BY lang
+                         ORDER BY n_tokens, doc_id)::BIGINT AS decile
+  FROM d
+)
+SELECT lang, decile, count(*) AS n_docs,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+FROM t GROUP BY 1, 2
 """,
         "pii_scrub_stats": r"""
 WITH aug AS (

@@ -189,6 +189,29 @@ def jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles by token count (ntile window with a
+    deterministic tiebreak) → per-decile doc counts and token ranges —
+    the curation view used to pick per-stratum sampling rates."""
+    from pyspark.sql import Window
+
+    from lakota_spark.functions import tokens
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    return (
+        d.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
 def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII measurement + redaction (operators/text.pii_stats/pii_scrub).
     The synthetic corpus holds no real PII, so the query deterministically
