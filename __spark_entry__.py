@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": pipeline.kmeans_assign,
         "pii_scrub_stats": pipeline.pii_scrub_stats,
         "quality_deciles": pipeline.quality_deciles,
+        "value_outliers": pipeline.value_outliers,
         "simhash_signatures": pipeline.simhash_signatures,
         "simhash_near_pairs": pipeline.simhash_near_pairs,
         "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
@@ -712,6 +713,23 @@ FROM documents
 SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest
 FROM documents
+""",
+        "value_outliers": """
+WITH st AS (
+  SELECT event_type, count(*) AS n,
+         sum(round(value * 100)::BIGINT) AS s1,
+         sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT) AS s2
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT event_type, s1 / n / 100.0 AS mean,
+         sqrt((s2 / 1e4 - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1)) AS std
+  FROM st
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - m.mean) / m.std, 6) AS z
+FROM events e JOIN m USING (event_type)
+WHERE abs(round((e.value - m.mean) / m.std, 6)) >= 2.5
 """,
         "quality_deciles": f"""
 WITH d AS (

@@ -189,6 +189,43 @@ def jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers (|z| >= 2.5) over events.value.
+
+    Moments come from EXACT integer sums of the 2-decimal grid (cents and
+    cents² fit BIGINT), so mean/std are pure functions of the data — no
+    float-summation-order drift — and the z-score rounds to 6 for the
+    oracle. One partial-agg shuffle for the per-group moments (broadcast
+    back), one corpus pass for the filter."""
+    e = parity._events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    stats = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s1"),
+            F.sum(cents * cents).alias("s2"),
+        )
+        .withColumn("mean", F.col("s1") / F.col("n") / 100.0)
+        .withColumn(
+            "std",
+            F.sqrt(
+                (F.col("s2") / 1e4 - (F.col("s1") / 100.0)
+                 * (F.col("s1") / 100.0) / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+        )
+        .select("event_type", "mean", "std")
+    )
+    z = F.round((F.col("value") - F.col("mean")) / F.col("std"), 6)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) >= 2.5)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
 def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality deciles by token count (ntile window with a
     deterministic tiebreak) → per-decile doc counts and token ranges —
