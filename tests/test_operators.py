@@ -524,3 +524,35 @@ def test_pii_stats_and_scrub(spark):
     assert "<URL>" in scrubbed[2] and "example" not in scrubbed[2]
     assert "<PHONE>" in scrubbed[3]
     assert scrubbed[4] == "nothing sensitive here"
+
+
+def test_exactness_is_partition_independent(spark):
+    # the oracle discipline's core claim: results are pure functions of
+    # the data, not of partitioning — rerun sensitive operators on a
+    # repartitioned input and demand IDENTICAL values
+    import random
+
+    from lakota_spark.operators.clustering import kmeans_assign
+    from lakota_spark.operators.text import bm25_scores
+
+    rng = random.Random(7)
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(["spark", "merge", "scan", "row", "agg"])
+                      for _ in range(30)))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bm25_scores(docs, ["spark", "merge"]).collect()))
+    b = sorted(map(tuple,
+                   bm25_scores(docs.repartition(7), ["spark", "merge"])
+                   .collect()))
+    assert a == b
+    vecs = spark.createDataFrame(
+        [(i, [rng.random() for _ in range(8)]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    ka = sorted(map(tuple, kmeans_assign(vecs, k=4, iters=2).collect()))
+    kb = sorted(map(tuple,
+                    kmeans_assign(vecs.repartition(9), k=4, iters=2)
+                    .collect()))
+    assert ka == kb
