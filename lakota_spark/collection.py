@@ -117,6 +117,26 @@ class Collection:
             for s in snap.for_label(label)
         ]
 
+    def leaf_and_snapshot(self):
+        """The current leaf and ITS snapshot, read consistently — the
+        pair maintenance flows (defrag, delete_keys) must capture so they
+        can commit with optimistic concurrency (parent = the leaf they
+        read). Parenting on the CURRENT leaf at commit time instead
+        silently drops any write that raced in between: the new head is
+        a full snapshot that never saw it (data loss — caught by
+        tests/test_concurrency.py::test_chaos_writes_defrag_gc_merge).
+        With the origin leaf as parent a raced maintenance commit forks,
+        and merge() replays the racing write's delta while the
+        maintenance rev (delta=[]) contributes nothing — maintenance is
+        disposable, data is not."""
+        leaf = self.changelog.leaf()
+        snap = (
+            Snapshot.from_payload(leaf.read(), self.schema)
+            if leaf
+            else Snapshot()
+        )
+        return leaf, snap
+
     def commit_snapshot(self, snap: Snapshot, parents=None):
         payload = snap.to_payload(self.schema)
         leaf = self.changelog.leaf()
@@ -185,46 +205,54 @@ class Collection:
         leaves = self.changelog.leaves()
         if len(leaves) <= 1:
             return None
-        revs = {r.child: r for r in self.changelog.revisions()}
+        # Multi-parent merge revisions are stored as one FILE PER PARENT
+        # (same child id). Ancestry must walk ALL edges — a child-keyed
+        # dict keeps one arbitrary parent edge, and a later merge walking
+        # the other side would silently drop a whole branch's deltas
+        # (data loss — caught by test_chaos_writes_defrag_gc_merge).
+        parent_edges: dict[str, set[str]] = {}
+        payload_rev: dict[str, object] = {}
+        for r in self.changelog.revisions():
+            parent_edges.setdefault(r.child, set()).add(r.parent)
+            payload_rev[r.child] = r  # any edge; payloads are identical
 
-        def ancestors(child: str) -> list[str]:
-            chain = []
-            cur = child
-            while cur != PHI and cur in revs:
-                chain.append(cur)
-                cur = revs[cur].parent
-            return chain
+        def reachable(child: str) -> set[str]:
+            seen: set[str] = set()
+            frontier = [child]
+            while frontier:
+                cur = frontier.pop()
+                if cur == PHI or cur in seen or cur not in parent_edges:
+                    continue
+                seen.add(cur)
+                frontier.extend(parent_edges[cur])
+            return seen
 
-        chains = [ancestors(leaf.child) for leaf in leaves]
-        common = set(chains[0])
-        for ch in chains[1:]:
-            common &= set(ch)
-        base_child = None
-        for c in chains[0]:  # leaf-to-root order; first common = nearest
-            if c in common:
-                base_child = c
-                break
+        closures = [reachable(leaf.child) for leaf in leaves]
+        common = set.intersection(*closures)
+        # newest common ancestor: with merge nodes carrying every prior
+        # head as a parent, its closure covers all older common history
+        base_child = max(common) if common else None
         base_snap = (
-            Snapshot.from_payload(revs[base_child].read(), self.schema)
+            Snapshot.from_payload(payload_rev[base_child].read(), self.schema)
             if base_child
             else Snapshot()
         )
-        # all deltas strictly after the ancestor, replayed in child-id order
+        replay_ids = set.union(*closures) - (
+            reachable(base_child) | {base_child} if base_child else set()
+        )
+        # deltas strictly after the ancestor, replayed in child-id order
         replay: list[tuple[str, list[Segment]]] = []
-        for chain in chains:
-            for child in chain:
-                if base_child is not None and child == base_child:
-                    break
-                payload = revs[child].read()
-                replay.append(
-                    (
-                        child,
-                        [
-                            Segment.from_dict(d, self.schema)
-                            for d in payload.get("delta", [])
-                        ],
-                    )
+        for child in replay_ids:
+            payload = payload_rev[child].read()
+            replay.append(
+                (
+                    child,
+                    [
+                        Segment.from_dict(d, self.schema)
+                        for d in payload.get("delta", [])
+                    ],
                 )
+            )
         replay.sort(key=lambda t: t[0])
         snap = base_snap
         for _, segs in replay:
@@ -290,8 +318,13 @@ class Collection:
     def defrag(self, page_len: int = PAGE_LEN, max_chunk: int = DEFRAG_MAX_CHUNK):
         """Compaction (`lakota/collection.py:364-403`): rewrite runs of
         small segments into page-sized ones; fast-forward past chunks that
-        are already large. One Spark job per fragmented run."""
-        snap = self.snapshot()
+        are already large. One Spark job per fragmented run.
+
+        Commits with optimistic concurrency (see `leaf_and_snapshot`): a
+        write racing past the captured leaf forks the changelog instead
+        of being silently dropped from the compacted head; merge() then
+        keeps the write and discards the compaction (re-run later)."""
+        leaf, snap = self.leaf_and_snapshot()
         changed = False
         for label in snap.labels():
             segs = snap.for_label(label)
@@ -351,7 +384,9 @@ class Collection:
                     run = []
             flush(run)
         if changed:
-            return self.commit_snapshot(snap)
+            return self.commit_snapshot(
+                snap, parents=[leaf.child] if leaf else None
+            )
         return None
 
     def clone(

@@ -431,6 +431,25 @@ class Series:
         """pandas sink (`lakota/series.py:340-358`)."""
         return self.frame(*args, **kwargs).toPandas()
 
+    def _resurrect_missing(self, paths: list[str]) -> None:
+        """Move referenced segment dirs back out of GC trash (see
+        `_read_segments`); missing dirs with no trash copy are left for
+        the retry to fail loudly on."""
+        from lakota_spark.repo import TRASH_MARK
+
+        fs = self.collection.fs
+        seg_prefix = self.collection.seg_prefix
+        listing = None
+        for p in paths:
+            if fs.exists(f"{seg_prefix}/{p}"):
+                continue
+            if listing is None:
+                listing = fs.ls(seg_prefix)
+            for name in listing:
+                if name.startswith(p + TRASH_MARK):
+                    fs.move(f"{seg_prefix}/{name}", f"{seg_prefix}/{p}")
+                    break
+
     def _read_segments(self, segs: list[Segment], range_pred=None) -> DataFrame:
         live = [s for s in segs if s.path]
         if not live:
@@ -438,9 +457,23 @@ class Series:
         fs = self.collection.fs
         seg_prefix = self.collection.seg_prefix
         paths = sorted({s.path for s in live})
-        df = self.spark.read.parquet(
-            *fs.spark_read_uris([f"{seg_prefix}/{p}" for p in paths])
-        )
+        try:
+            df = self.spark.read.parquet(
+                *fs.spark_read_uris([f"{seg_prefix}/{p}" for p in paths])
+            )
+        except Exception:
+            # GC bury race (inherited from the reference `lakota/repo.py:
+            # 368-375`): a concurrent gc() lists segments BEFORE scanning
+            # revisions, so a segment written-but-not-yet-committed can be
+            # soft-deleted; the reference only re-enables it on the NEXT
+            # gc pass, failing reads in between. Self-heal instead:
+            # resurrect referenced-but-buried segments from trash and
+            # retry once. Zero cost on the happy path (no per-segment
+            # existence probes — the failed read is the probe).
+            self._resurrect_missing(paths)
+            df = self.spark.read.parquet(
+                *fs.spark_read_uris([f"{seg_prefix}/{p}" for p in paths])
+            )
         if range_pred is not None:
             df = range_pred(df)  # before input_file_name: stays pushable
         bounds = self.collection.bounds_df(live)
@@ -813,8 +846,10 @@ class KVSeries(Series):
         remaining = current.join(keys, on=list(self.schema.idx), how="left_anti")
         # span bounds from segment METADATA (no full-frame Spark job):
         # the union of segment intervals covers every live row by
-        # definition, and the overlay may only be wider than the data
-        snap = self.collection.snapshot()
+        # definition, and the overlay may only be wider than the data.
+        # leaf captured for optimistic commit — a racing write forks
+        # rather than vanishing from the rewritten head
+        leaf, snap = self.collection.leaf_and_snapshot()
         segs = snap.for_label(self.label)
         if not segs:
             return
@@ -833,7 +868,9 @@ class KVSeries(Series):
         )
         # force non-KV overlay so older key versions are shadowed
         new_snap = snap.overlay(seg, kv=False)
-        self.collection.commit_snapshot(new_snap)
+        self.collection.commit_snapshot(
+            new_snap, parents=[leaf.child] if leaf else None
+        )
 
     def _coerce_keys(self, keys) -> DataFrame:
         if isinstance(keys, DataFrame):

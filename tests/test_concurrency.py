@@ -105,3 +105,62 @@ def test_concurrent_same_series_disjoint_ranges(repo):
     part = s.frame(start=250, stop=350, closed="l").collect()
     assert len(part) == 100
     assert {r.value for r in part} == {2.0, 3.0}
+
+
+def test_chaos_writes_defrag_gc_merge(repo):
+    # the riskiest interleaving in one pot: racing writers on DISJOINT
+    # ranges of one series while another thread defrags and a third runs
+    # soft GC. Invariant: after the dust settles + merge, every committed
+    # row is present exactly once and a fresh read matches.
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "chaos")
+    s = coll.series("x")
+    s.write({"ts": [0], "value": [0.0]})
+    errs = []
+    stop = threading.Event()
+
+    def writer(i):
+        try:
+            base = (i + 1) * 1000
+            for j in range(3):
+                (repo.collection("chaos") / "x").write(
+                    {"ts": [base + j], "value": [float(base + j)]}
+                )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    def maintainer():
+        try:
+            while not stop.is_set():
+                c = repo.collection("chaos")
+                c.merge()
+                c.defrag()
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    def collector():
+        try:
+            while not stop.is_set():
+                repo.gc()  # soft pass; 600 s grace spares young segments
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    writers = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    m = threading.Thread(target=maintainer)
+    g = threading.Thread(target=collector)
+    m.start(); g.start()
+    for t in writers:
+        t.start()
+    for t in writers:
+        t.join()
+    stop.set()
+    m.join(); g.join()
+    assert not errs, errs
+    coll = repo.collection("chaos")
+    coll.merge()
+    rows = sorted((r.ts, r.value) for r in (coll / "x").frame().collect())
+    expect = sorted(
+        [(0, 0.0)]
+        + [((i + 1) * 1000 + j, float((i + 1) * 1000 + j))
+           for i in range(4) for j in range(3)]
+    )
+    assert rows == expect
