@@ -450,25 +450,37 @@ def dedup_clusters(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    method: str = "min_label",
 ) -> DataFrame:
     """Collapse verified near-dup PAIRS into clusters: connected
-    components by iterative min-label propagation; returns
-    (doc_id, cluster_id) with cluster_id = the smallest doc id in the
-    component (the canonical survivor).
+    components; returns (doc_id, cluster_id) with cluster_id = the
+    smallest doc id in the component (the canonical survivor).
 
     A real dedup pipeline needs this step — pair lists alone over-delete
     (dropping both sides) or under-delete (keeping transitive dups);
     canonical-per-component keeps exactly one doc per cluster.
 
-    Each round is one shuffle: labels join onto the symmetrized edge
-    list, then min-aggregate per node; ``localCheckpoint`` truncates the
-    growing lineage. Near-dup components are cliquish (tiny diameter),
-    so convergence takes 2-3 rounds in practice; the fixpoint test is an
-    exact count of changed labels per round. At billions of edges you'd
-    switch to the large-star/small-star contraction (same primitives,
-    O(log n) rounds guaranteed); min-propagation keeps the plan simple
-    and engine-reproducible for diameter-bounded dedup graphs.
+    Two methods, same result (property-tested equal on random graphs):
+
+    - ``method="min_label"`` (default): iterative min-label propagation.
+      Each round is one shuffle: labels join onto the symmetrized edge
+      list, then min-aggregate per node; ``localCheckpoint`` truncates
+      the growing lineage. Rounds needed = graph diameter; near-dup
+      components are cliquish (tiny diameter), so 2-3 rounds in
+      practice. Raises if ``max_iter`` rounds pass without reaching the
+      fixpoint (an unconverged label set would silently disagree with
+      the connected-components oracle).
+    - ``method="star"``: alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+      O(log n) rounds regardless of diameter. The upgrade path for
+      adversarial long-chain graphs where min-propagation needs
+      diameter rounds; slightly more work per round (two groupBy+join
+      passes), so the cliquish default stays min_label.
     """
+    if method == "star":
+        return _dedup_clusters_star(pairs, src, dst, max_iter)
+    if method != "min_label":
+        raise ValueError(f"unknown method: {method!r}")
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -480,6 +492,7 @@ def dedup_clusters(
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
+    changed = None
     for _ in range(max_iter):
         # candidate label per node: min over neighbors' labels and its own
         via_edges = (
@@ -502,6 +515,113 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_clusters(min_label) did not converge in {max_iter} "
+            f"rounds — the graph's diameter exceeds max_iter; raise "
+            f"max_iter or use method='star' (O(log n) rounds)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def _sym_edges(e: DataFrame) -> DataFrame:
+    """Symmetrize an (a, b) edge list, dropping self-loops."""
+    return (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _dedup_clusters_star(
+    pairs: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Per round (all equi-joins / partial-agg groupBys, no cartesian):
+
+    - large-star: for each node u with m = min(N(u) ∪ {u}), rewire every
+      strictly-larger neighbor v > u to m.
+    - small-star: orient edges large→small; for each u with smaller
+      neighborhood N⁻(u) and m = min(N⁻(u)), rewire N⁻(u) ∪ {u} to m.
+
+    The edge set contracts toward stars (v, component_min) in O(log n)
+    alternations; convergence = canonical edge set unchanged. Node count
+    never grows, so every intermediate fits wherever the input fit.
+    """
+    nodes = _sym_edges(
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ).select(F.col("a").alias("node")).distinct().localCheckpoint(eager=False)
+
+    und = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    converged = False
+    for _ in range(max_iter):
+        sym = _sym_edges(und)
+        # large-star
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        lsym = _sym_edges(large)
+        # small-star on edges oriented large -> small
+        oriented = lsym.where(F.col("a") > F.col("b"))
+        mins2 = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            oriented.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("a"), F.col("m").alias("b")))
+        )
+        new_und = (
+            small.where(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("a"),
+                F.least("a", "b").alias("b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_und.exceptAll(und).limit(1).count()
+            + und.exceptAll(new_und).limit(1).count()
+        )
+        und = new_und
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters(star) did not converge in {max_iter} rounds"
+        )
+    # at the fixpoint every edge is (member, component_min); isolated
+    # components of size>1 all have their min as direct neighbor
+    lbl = (
+        _sym_edges(und)
+        .groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(F.col("a").alias("node"), F.col("mb"))
+    )
+    return (
+        nodes.join(lbl, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.least(F.col("node"), F.coalesce("mb", "node")).alias(
+                "cluster_id"
+            ),
+        )
     )

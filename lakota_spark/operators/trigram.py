@@ -35,12 +35,18 @@ def _trigram_expr(text_col: str):
     Mirrors `contrib/trigram.py:19-29` (overlapping 3-grams, lowercased;
     the reference also strips accents via NFD — Spark has no builtin
     normalizer, and the synthetic corpus is ASCII, so lower() is the
-    engine-reproducible common ground)."""
+    engine-reproducible common ground).
+
+    Guard: Spark's ``sequence(1, 0)`` DESCENDS to [1, 0] instead of being
+    empty, so texts shorter than 3 chars must short-circuit to an empty
+    typed array (same pitfall as `functions.word_shingles`)."""
     t = f"lower({text_col})"
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(length({t}) - 2, 0)),"
+            f"CASE WHEN length({t}) >= 3 THEN"
+            f" transform(sequence(1, length({t}) - 2),"
             f" i -> substring({t}, i, 3))"
+            f" ELSE cast(array() AS array<string>) END"
         )
     )
 

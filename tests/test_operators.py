@@ -284,6 +284,38 @@ def test_trigram_search(spark):
     assert via_index == {1, 2, 3}
 
 
+def test_trigram_index_short_texts(spark):
+    # Spark's sequence(1, 0) DESCENDS: docs shorter than 3 chars must
+    # contribute NO postings (not bogus ''/1-char/2-char "trigrams")
+    from lakota_spark.operators.trigram import trigram_index
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "ab"), (4, "abc"), (5, "abcd")],
+        "doc_id long, text string",
+    )
+    idx = trigram_index(docs).collect()
+    assert {r.doc_id for r in idx} == {4, 5}
+    assert all(len(r.trigram) == 3 for r in idx)
+    assert sorted(r.trigram for r in idx if r.doc_id == 5) == ["abc", "bcd"]
+
+
+def test_sketch_stats_semantics(spark):
+    # rows-only query (approx by construction) still gets a local
+    # semantic check: HLL distinct within documented rel-error of exact,
+    # approx p50 inside the value range, counts positive
+    from lakota_spark.queries.pipeline import sketch_stats
+
+    rows = sketch_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n > 0 and r.exact_users > 0
+        # approx_count_distinct default rsd = 5%; allow 3x headroom
+        assert abs(r.approx_users - r.exact_users) <= max(
+            0.15 * r.exact_users, 2
+        ), (r.event_type, r.approx_users, r.exact_users)
+        assert r.approx_p50 is not None
+
+
 def test_with_global_index(spark):
     from lakota_spark.operators.index import release_index, with_global_index
 
@@ -423,6 +455,59 @@ def test_dedup_clusters_connected_components(spark):
         r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(pairs, method="star").collect()
+    }
+    assert star == got
+
+
+def test_dedup_clusters_star_matches_min_label_random_graphs(spark):
+    # property: both methods produce identical components on random
+    # graphs (seeded: mixes chains, cliques and isolated pairs)
+    import random
+
+    from lakota_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(8, 40)
+        m = rng.randint(n // 2, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        base = {
+            r.doc_id: r.cluster_id
+            for r in dedup_clusters(pairs, max_iter=50).collect()
+        }
+        star = {
+            r.doc_id: r.cluster_id
+            for r in dedup_clusters(pairs, method="star").collect()
+        }
+        assert star == base, f"trial {trial}: {star} != {base}"
+
+
+def test_dedup_clusters_long_chain(spark):
+    # a 30-node chain: min_label needs ~diameter rounds, so max_iter=5
+    # must RAISE (not silently return unconverged labels); the star
+    # contraction converges in O(log n) rounds and labels the whole
+    # chain with its min node
+    import pytest as _pytest
+
+    from lakota_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iter=5).collect()
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(chain, method="star", max_iter=10).collect()
+    }
+    assert star == {i: 0 for i in range(31)}
 
 
 def test_gap_fill_ffill(spark):

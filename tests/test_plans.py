@@ -175,6 +175,6 @@ def test_gap_fill_no_global_window(spark):
     # exchange may appear anywhere in the plan
     from lakota_spark.queries import pipeline
 
-    df = pipeline.gap_fill_daily(spark, "/root/testdata/sf0.01")
+    df = pipeline.gap_fill_daily(spark, SF)
     plan = plans.explain_str(df, "simple")
     assert "SinglePartition" not in plan, plan
