@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": pipeline.lang_id,
         "doc_fingerprint": pipeline.doc_fingerprint,
         "trigram_search": pipeline.trigram_search,
+        "trigram_search_indexed": pipeline.trigram_search_indexed,
         "trigram_posting_stats": pipeline.trigram_posting_stats,
         "decontaminate_flag": pipeline.decontaminate_flag,
         "stratified_sample_mix": pipeline.stratified_sample_mix,
@@ -255,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": pipeline.dedup_clusters,
         "gap_fill_daily": pipeline.gap_fill_daily,
         "bm25_topk": pipeline.bm25_topk,
+        "bm25_topk_indexed": pipeline.bm25_topk_indexed,
         "near_dup_gate": pipeline.near_dup_gate,
         "kmeans_assign": pipeline.kmeans_assign,
         "pii_scrub_stats": pipeline.pii_scrub_stats,
@@ -878,6 +880,33 @@ SELECT doc_id, round(sum(w ORDER BY term), 6) AS bm25
 FROM w GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT 20
 """,
+        # indexed BM25 ranks identically (tf/dl from the materialized
+        # posting partitions, scalars from the index stats row) — same
+        # oracle as the un-indexed form
+        "bm25_topk_indexed": f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({_TOKS}, t -> lower(t)) AS tk FROM documents
+),
+base AS (SELECT doc_id, unnest(tk) AS term, len(tk)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                 avg(len(tk)) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM base WHERE term IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df_t FROM tf GROUP BY term),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln((s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5) + 1.0)
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS w
+  FROM tf JOIN dft d USING (term), stats s
+)
+SELECT doc_id, round(sum(w ORDER BY term), 6) AS bm25
+FROM w GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
         "gap_fill_daily": """
 WITH f AS (
   SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bucket,
@@ -902,6 +931,12 @@ WINDOW w AS (PARTITION BY c.event_type ORDER BY c.bucket
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
         "trigram_search": """
+SELECT doc_id FROM documents
+WHERE contains(lower(text), 'fast table')
+""",
+        # the materialized-index path returns the SAME set (both are
+        # exact substring search; only the physical plan differs)
+        "trigram_search_indexed": """
 SELECT doc_id FROM documents
 WHERE contains(lower(text), 'fast table')
 """,

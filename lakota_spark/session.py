@@ -51,7 +51,29 @@ def get_spark(
         builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _silence_benign_accumulator_noise(spark)
+    return spark
+
+
+def _silence_benign_accumulator_noise(spark: SparkSession) -> None:
+    """Raise DAGScheduler's log threshold to FATAL.
+
+    Python accumulator updates for already-collected SQL metrics log a
+    benign ``DAGScheduler: Failed to update accumulator`` ERROR on fast
+    local queries (rc=0, results unaffected); at ERROR level they bury
+    real failures in the bench/oracle log tails. Real scheduler failures
+    surface as job exceptions regardless of log level, so FATAL-only
+    loses nothing. Best-effort: never fail session creation over logging.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:  # noqa: BLE001 - log4j API drift; logging only
+        pass
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):

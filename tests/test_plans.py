@@ -170,6 +170,63 @@ def test_bm25_plan_shape(spark):
     assert "BroadcastHashJoin" in strategies
 
 
+def test_trigram_indexed_search_plan(spark, tmp_path):
+    # materialized-index search: candidates-only lookup must touch ZERO
+    # corpus bytes and must partition-prune the posting table to the
+    # query trigrams' prefixes; the verified form scans the corpus
+    # exactly once with candidates broadcast
+    from lakota_spark.operators.search_index import (
+        search_trigram_index,
+        write_trigram_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "tgidx")
+    write_trigram_index(docs, path)
+
+    cand = search_trigram_index(spark, path, "fast table")
+    plan = plans.explain_str(cand)
+    assert "documents.parquet" not in plan, plan
+    assert "PartitionFilters" in plan and "tg_pfx" in plan, plan
+
+    full = search_trigram_index(spark, path, "fast table", corpus=docs)
+    splan = plans.explain_str(full, "simple")
+    assert splan.count("documents.parquet") == 1, splan
+    assert "BroadcastHashJoin" in plans.join_strategies(full)
+    # and the two strategies agree with the inline conjunction scan
+    from lakota_spark.operators.trigram import trigram_search
+
+    inline = {r.doc_id for r in trigram_search(docs, "fast table").collect()}
+    assert {r.doc_id for r in full.collect()} == inline
+
+
+def test_bm25_indexed_plan_and_equality(spark, tmp_path):
+    # indexed BM25: no corpus scan at search time (stats come from the
+    # index's one-row table), posting scan partition-pruned to the query
+    # terms' buckets, scores bitwise-equal to the un-indexed form
+    from lakota_spark.operators import text as T
+    from lakota_spark.operators.search_index import (
+        search_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "bmidx")
+    write_bm25_index(docs, path)
+
+    terms = ["spark", "window", "merge"]
+    out = search_bm25_index(spark, path, terms)
+    plan = plans.explain_str(out)
+    assert "documents.parquet" not in plan, plan
+    assert "PartitionFilters" in plan and "term_bucket" in plan, plan
+
+    base = T.bm25_scores(docs, terms).collect()
+    got = out.collect()
+    assert [(r.doc_id, r.bm25) for r in got] == [
+        (r.doc_id, r.bm25) for r in base
+    ]
+
+
 def test_gap_fill_no_global_window(spark):
     # forward-fill windows partition by group: no single-partition
     # exchange may appear anywhere in the plan
