@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": pipeline.doc_fingerprint,
         "trigram_search": pipeline.trigram_search,
         "trigram_search_indexed": pipeline.trigram_search_indexed,
+        "trigram_accent_search": pipeline.trigram_accent_search,
         "trigram_posting_stats": pipeline.trigram_posting_stats,
         "decontaminate_flag": pipeline.decontaminate_flag,
         "stratified_sample_mix": pipeline.stratified_sample_mix,
@@ -932,13 +933,28 @@ WINDOW w AS (PARTITION BY c.event_type ORDER BY c.bucket
 """,
         "trigram_search": """
 SELECT doc_id FROM documents
-WHERE contains(lower(text), 'fast table')
+WHERE contains(strip_accents(lower(text)), 'fast table')
 """,
         # the materialized-index path returns the SAME set (both are
         # exact substring search; only the physical plan differs)
         "trigram_search_indexed": """
 SELECT doc_id FROM documents
-WHERE contains(lower(text), 'fast table')
+WHERE contains(strip_accents(lower(text)), 'fast table')
+""",
+        # accent-insensitive search: accented marker injected into a
+        # deterministic doc slice, searched with the unaccented pattern.
+        # Spark folds via one translate() built from NFD; DuckDB's
+        # strip_accents is the same NFD+drop-Mn fold, so both agree.
+        "trigram_accent_search": """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0
+              THEN text || ' Le café est à côté du musée'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id FROM aug
+WHERE contains(strip_accents(lower(text)), 'cafe est a cote du musee')
 """,
         "decontaminate_flag": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
@@ -978,8 +994,8 @@ SELECT tg AS trigram, count(*) AS df
 FROM (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
-           range(1, greatest(length(lower(text)) - 1, 1)),
-           i -> substr(lower(text), i, 3)))) AS tg
+           range(1, greatest(length(strip_accents(lower(text))) - 1, 1)),
+           i -> substr(strip_accents(lower(text)), i, 3)))) AS tg
   FROM documents
 )
 GROUP BY 1 ORDER BY df DESC, trigram LIMIT 20

@@ -110,6 +110,57 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def _accent_fold_maps() -> tuple[str, str]:
+    """Build the translate() source/target strings for accent folding.
+
+    Derived from NFD at import time: every Latin-1 Supplement /
+    Latin Extended-A/B precomposed character whose decomposition is
+    base + combining marks maps to its base; bare combining marks
+    (U+0300-U+036F, for already-decomposed input) are appended to the
+    source with no target, which `translate` treats as deletion. This is
+    exactly DuckDB's ``strip_accents`` (NFD + drop Mn — verified: both
+    leave æ œ ß đ ł ħ ı untouched) and the reference's `unidecode`
+    (`contrib/trigram.py:32-34`), so oracles reproduce the fold."""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0x00C0, 0x0250):
+        ch = chr(cp)
+        d = unicodedata.normalize("NFD", ch)
+        if (
+            len(d) > 1
+            and not unicodedata.combining(d[0])
+            and all(unicodedata.combining(c) for c in d[1:])
+        ):
+            src.append(ch)
+            dst.append(d[0])
+    marks = "".join(chr(cp) for cp in range(0x0300, 0x0370))
+    return "".join(src) + marks, "".join(dst)
+
+
+_FOLD_SRC, _FOLD_DST = _accent_fold_maps()
+
+
+def fold_accents(col: Column | str) -> Column:
+    """Accent-fold Latin text (é→e, Š→S, ñ→n; æ/ß/đ untouched) — a single
+    codegen `translate`, bitwise-equal to DuckDB ``strip_accents``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _FOLD_SRC, _FOLD_DST)
+
+
+def fold_accents_py(text: str) -> str:
+    """Driver-side twin of `fold_accents` (for folding query patterns)."""
+    out = []
+    for ch in text:
+        i = _FOLD_SRC.find(ch)
+        if i < 0:
+            out.append(ch)
+        elif i < len(_FOLD_DST):
+            out.append(_FOLD_DST[i])
+        # else: combining mark -> deleted
+    return "".join(out)
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token array — pure Catalyst.
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakota_spark.functions import hash32, tokens
+from lakota_spark.functions import fold_accents, fold_accents_py, hash32, tokens
 from lakota_spark.operators.trigram import trigram_index
 
 BM25_BUCKETS = 64
@@ -74,7 +74,7 @@ def search_trigram_index(
     pruned scan; without it, returns the (necessary-not-sufficient)
     candidate set from the index alone, touching no corpus bytes.
     """
-    pat = pattern.lower()
+    pat = fold_accents_py(pattern.lower())
     tris = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
     if not tris:
         if corpus is None:
@@ -83,7 +83,7 @@ def search_trigram_index(
                 "for the plain-scan fallback"
             )
         return corpus.where(
-            F.contains(F.lower(F.col(text_col)), F.lit(pat))
+            F.contains(fold_accents(F.lower(F.col(text_col))), F.lit(pat))
         ).select(id_col)
     prefixes = sorted({t[0] for t in tris})
     idx = spark.read.parquet(path)
@@ -100,7 +100,7 @@ def search_trigram_index(
         return candidates
     return (
         corpus.join(F.broadcast(candidates), id_col, "left_semi")
-        .where(F.contains(F.lower(F.col(text_col)), F.lit(pat)))
+        .where(F.contains(fold_accents(F.lower(F.col(text_col))), F.lit(pat)))
         .select(id_col)
     )
 

@@ -25,29 +25,37 @@ whole-stage codegen end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from lakota_spark.functions import fold_accents, fold_accents_py
+
+
+def _norm(text_col: str) -> Column:
+    """Search normalization: lowercase + NFD accent fold — the reference's
+    `unidecode(str(value).lower())` (`contrib/trigram.py:32-40`), as one
+    codegen translate (oracle: ``strip_accents(lower(text))``)."""
+    return fold_accents(F.lower(F.col(text_col)))
 
 
 def _trigram_expr(text_col: str):
-    """Distinct lowercase character trigrams of a column, as an array.
+    """Distinct normalized character trigrams of a column, as an array.
 
-    Mirrors `contrib/trigram.py:19-29` (overlapping 3-grams, lowercased;
-    the reference also strips accents via NFD — Spark has no builtin
-    normalizer, and the synthetic corpus is ASCII, so lower() is the
-    engine-reproducible common ground).
+    Mirrors `contrib/trigram.py:19-29` (overlapping 3-grams, lowercased,
+    NFD accent-stripped).
 
     Guard: Spark's ``sequence(1, 0)`` DESCENDS to [1, 0] instead of being
     empty, so texts shorter than 3 chars must short-circuit to an empty
     typed array (same pitfall as `functions.word_shingles`)."""
-    t = f"lower({text_col})"
+    t = _norm(text_col)
     return F.array_distinct(
-        F.expr(
-            f"CASE WHEN length({t}) >= 3 THEN"
-            f" transform(sequence(1, length({t}) - 2),"
-            f" i -> substring({t}, i, 3))"
-            f" ELSE cast(array() AS array<string>) END"
-        )
+        F.when(
+            F.length(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 2),
+                lambda i: F.substring(t, i, F.lit(3)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -88,18 +96,19 @@ def trigram_search(
 
     ``verify=True`` adds the exact `contains` check over the candidates
     (trigram containment is necessary, not sufficient), making the
-    result exactly substring search. Patterns shorter than 3 chars fall
-    back to a plain scan."""
-    pat = pattern.lower()
+    result exactly substring search — search is accent-insensitive on
+    both sides (pattern folded driver-side, text folded in the scan).
+    Patterns shorter than 3 chars fall back to a plain scan."""
+    pat = fold_accents_py(pattern.lower())
     tris = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
-    contains = F.contains(F.lower(F.col(text_col)), F.lit(pat))
+    contains = F.contains(_norm(text_col), F.lit(pat))
     if not tris:  # < 3 chars: no trigram to prune on
         return df.where(contains).select(id_col)
     if index is None:
-        lowered = F.lower(F.col(text_col))
+        normed = _norm(text_col)
         hit_all = None
         for tri in tris:
-            probe = F.contains(lowered, F.lit(tri))
+            probe = F.contains(normed, F.lit(tri))
             hit_all = probe if hit_all is None else (hit_all & probe)
         out = df.where(hit_all)
         if verify:

@@ -76,7 +76,8 @@ def trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: bump when the materialized index layout changes — stale /tmp indexes
 #: from an older build are rebuilt instead of breaking the gate
-_INDEX_VERSION = "v1"
+#: (v2: trigram postings are accent-folded)
+_INDEX_VERSION = "v2"
 
 
 def _index_path(sf_dir: str, kind: str) -> str:
@@ -124,6 +125,26 @@ def trigram_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_trigram_index(
         spark, path, TRIGRAM_PATTERN, corpus=_docs(spark, sf_dir)
     )
+
+
+def trigram_accent_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent-insensitive substring search (reference
+    `contrib/trigram.py:32-40` unidecode semantics): an accented marker
+    is injected into a deterministic doc slice and found by the
+    UNACCENTED pattern — both sides fold through one codegen
+    `translate()` built from NFD, bitwise-equal to DuckDB's
+    strip_accents."""
+    from lakota_spark.operators import trigram as TG
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.col("text"), F.lit(" Le café est à côté du musée")),
+        ).otherwise(F.col("text")),
+    )
+    return TG.trigram_search(aug, "cafe est a cote du musee")
 
 
 def decontaminate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -284,6 +284,56 @@ def test_trigram_search(spark):
     assert via_index == {1, 2, 3}
 
 
+def test_trigram_accent_folding(spark, tmp_path):
+    # reference contrib/trigram.py:32 unidecode (NFD + drop combining
+    # marks): accented text matches unaccented patterns and vice versa;
+    # non-decomposable chars (æ, ß) are NOT folded (DuckDB strip_accents
+    # parity). Covers inline, index-build and materialized-index paths.
+    from lakota_spark.functions import fold_accents_py
+    from lakota_spark.operators.search_index import (
+        search_trigram_index,
+        write_trigram_index,
+    )
+    from lakota_spark.operators.trigram import trigram_index, trigram_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Le café est ouvert"),
+            (2, "le cafe est ferme"),
+            (3, "Fußball straße"),       # ß not foldable
+            (4, "naïve façade émigré"),
+            (5, "nothing relevant"),
+            (6, "e\u0301migre\u0301 decomposed"),  # e + combining acute
+        ],
+        "doc_id long, text string",
+    )
+    # unaccented pattern finds accented docs; accented pattern finds both
+    assert {r.doc_id for r in trigram_search(docs, "cafe").collect()} == {1, 2}
+    assert {r.doc_id for r in trigram_search(docs, "café").collect()} == {1, 2}
+    assert {r.doc_id for r in trigram_search(docs, "émigré").collect()} == {4, 6}
+    assert {r.doc_id for r in trigram_search(docs, "emigre").collect()} == {4, 6}
+    # ß stays ß (NFD-stable): 'fussball' must NOT match
+    assert {r.doc_id for r in trigram_search(docs, "fußball").collect()} == {3}
+    assert trigram_search(docs, "fussball").count() == 0
+    # postings are folded: no accented trigrams in the index
+    tris = {r.trigram for r in trigram_index(docs).collect()}
+    assert "caf" in tris and "afe" in tris
+    assert not any("é" in t or "ï" in t or "ç" in t for t in tris)
+    # materialized-index path agrees
+    path = str(tmp_path / "tgidx")
+    write_trigram_index(docs, path)
+    got = {
+        r.doc_id
+        for r in search_trigram_index(
+            spark, path, "émigré", corpus=docs
+        ).collect()
+    }
+    assert got == {4, 6}
+    # driver-side twin folds patterns identically
+    assert fold_accents_py("café à côté") == "cafe a cote"
+    assert fold_accents_py("Fußball æon") == "Fußball æon"
+
+
 def test_trigram_index_short_texts(spark):
     # Spark's sequence(1, 0) DESCENDS: docs shorter than 3 chars must
     # contribute NO postings (not bogus ''/1-char/2-char "trigrams")
