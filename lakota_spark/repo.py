@@ -58,6 +58,11 @@ class Repo:
     def _reg_rel(self, label: str, namespace: str = "collection") -> str:
         return f"{REGISTRY_DIR}/{self._storage_prefix(label, namespace)}.json"
 
+    def _tomb_rel(self, label: str, namespace: str = "collection") -> str:
+        # deletion marker: lets replicas distinguish "deleted here" from
+        # "never seen here" when registries reconcile (LWW, see merge)
+        return f"{REGISTRY_DIR}/{self._storage_prefix(label, namespace)}.tomb"
+
     def create_collection(
         self,
         schema: Schema,
@@ -93,6 +98,11 @@ class Repo:
             return existing  # double-create is a no-op (`lakota/repo.py`)
         entry = {"schema": schema.to_dict(), "meta": meta or {}, "ts": time.time()}
         self.fs.write_bytes_atomic(rel, json.dumps(entry).encode())
+        # re-creating after a delete: the create is the newest registry
+        # event, so the tombstone must not outlive it (LWW, see merge)
+        tomb = self._tomb_rel(label, namespace)
+        if self.fs.exists(tomb):
+            self.fs.remove_file(tomb)
         return Collection(
             self, label, schema, prefix=self._storage_prefix(label, namespace)
         )
@@ -150,11 +160,28 @@ class Repo:
     def delete_collection(
         self, label: str, namespace: str = "collection"
     ) -> None:
+        # tombstone first: once the entry is gone a replica can no longer
+        # tell deletion from never-created, and pull would resurrect it
+        self.fs.write_bytes_atomic(
+            self._tomb_rel(label, namespace),
+            json.dumps({"ts": time.time()}).encode(),
+        )
         self.fs.remove_file(self._reg_rel(label, namespace))
         self.fs.remove_tree(self._storage_prefix(label, namespace))
 
     def rename_collection(self, old: str, new: str) -> None:
-        self.fs.move(self._reg_rel(old), self._reg_rel(new))
+        # rename = delete(old) + create(new) as registry events: the moved
+        # entry gets a fresh ts (the rename IS its creation) and the old
+        # label gets a tombstone so replicas drop it on reconcile
+        entry = json.loads(self.fs.read_bytes(self._reg_rel(old)))
+        entry["ts"] = time.time()
+        self.fs.write_bytes_atomic(
+            self._reg_rel(new), json.dumps(entry).encode()
+        )
+        self.fs.write_bytes_atomic(
+            self._tomb_rel(old), json.dumps({"ts": entry["ts"]}).encode()
+        )
+        self.fs.remove_file(self._reg_rel(old))
         if self.fs.exists(old):
             self.fs.move(old, new)
 
@@ -254,21 +281,106 @@ class Repo:
 
     # --------------------------------------------------------- replication
 
+    def _registry_state(self) -> dict[str, dict]:
+        """Registry as {prefixed-name: {"entry": ..., "tomb": ...}}."""
+        state: dict[str, dict] = {}
+        for f in self.fs.ls(REGISTRY_DIR):
+            for suffix, key in ((".json", "entry"), (".tomb", "tomb")):
+                if f.endswith(suffix):
+                    name = f[: -len(suffix)]
+                    payload = json.loads(
+                        self.fs.read_bytes(f"{REGISTRY_DIR}/{f}")
+                    )
+                    state.setdefault(name, {})[key] = payload
+        return state
+
+    def merge_registry(self, other: "Repo") -> dict:
+        """Reconcile this registry with another replica's — the flat-JSON
+        equivalent of the reference's `Repo.merge` (`lakota/repo.py:303`),
+        where the registry is itself a versioned series and concurrent
+        collection creates/deletes merge at the repo level.
+
+        Last-writer-wins per label over BOTH replicas' events: the newest
+        of (create ts, tombstone ts) decides whether the label is alive;
+        a tie keeps it alive (never drop data on ambiguity). Between two
+        live entries the newer meta wins, but their schemas must agree —
+        divergent schemas under one label raise, mirroring the
+        reference's "incompatible meta-info" on pull. Only SELF mutates;
+        run it from both ends (or push+pull) for convergence. Storage
+        trees of merge-deleted labels are left for gc-style cleanup —
+        only an explicit local delete removes data.
+
+        Wall-clock ts drives the LWW decision (as does the reference's
+        hextime revision naming); replicas with skewed clocks resolve in
+        skew order, never losing both sides.
+        """
+        stats = {"created": 0, "updated": 0, "deleted": 0, "tombstoned": 0}
+        mine, theirs = self._registry_state(), other._registry_state()
+        for name in sorted(set(mine) | set(theirs)):
+            lo, rm = mine.get(name, {}), theirs.get(name, {})
+            entries = [e for e in (lo.get("entry"), rm.get("entry")) if e]
+            tombs = [t for t in (lo.get("tomb"), rm.get("tomb")) if t]
+            entry = max(entries, key=lambda e: e.get("ts", 0.0)) if entries else None
+            tomb = max(tombs, key=lambda t: t.get("ts", 0.0)) if tombs else None
+            alive = entry is not None and (
+                tomb is None or entry.get("ts", 0.0) >= tomb.get("ts", 0.0)
+            )
+            rel = f"{REGISTRY_DIR}/{name}.json"
+            tomb_rel = f"{REGISTRY_DIR}/{name}.tomb"
+            if alive:
+                if lo.get("entry") != entry:
+                    if (
+                        lo.get("entry")
+                        and lo["entry"]["schema"] != entry["schema"]
+                    ):
+                        raise ValueError(
+                            f"collection {name!r}: divergent schemas "
+                            f"across replicas — resolve manually"
+                        )
+                    self.fs.write_bytes_atomic(
+                        rel, json.dumps(entry).encode()
+                    )
+                    stats["created" if not lo.get("entry") else "updated"] += 1
+                if lo.get("tomb"):
+                    self.fs.remove_file(tomb_rel)
+            else:
+                if lo.get("tomb") != tomb and tomb is not None:
+                    self.fs.write_bytes_atomic(
+                        tomb_rel, json.dumps(tomb).encode()
+                    )
+                    stats["tombstoned"] += 1
+                if lo.get("entry"):
+                    self.fs.remove_file(rel)
+                    stats["deleted"] += 1
+        return stats
+
+    # reference API name: `Repo.merge` (`lakota/repo.py:303-309`)
+    merge = merge_registry
+
     def pull(
         self,
         other: "Repo",
         labels: list[str] | None = None,
         shallow: bool = False,
     ) -> None:
-        """Copy registry entries, revisions and missing segment dirs
-        (`lakota/repo.py:259-301`) — across any pair of backends.
-        ``shallow`` replicates only each collection's leaf snapshot
-        (no history; best into a fresh remote)."""
-        for label in labels or other.ls():
-            src = other.collection(label)
-            if label not in self.ls():
-                self.create_collection(src.schema, label)
-            self.collection(label).pull(src, shallow=shallow)
+        """Reconcile registries, then copy revisions and missing segment
+        dirs (`lakota/repo.py:259-301`) — across any pair of backends.
+        Covers every namespace (collection + archive). ``shallow``
+        replicates only each collection's leaf snapshot (no history;
+        best into a fresh remote)."""
+        self.merge_registry(other)
+        for ns in ("collection", "archive"):
+            ns_labels = labels if ns == "collection" else None
+            for label in ns_labels or other.ls(ns):
+                if label not in self.ls(ns):
+                    # tombstoned during reconcile (their entry was stale)
+                    # or explicitly-requested missing label
+                    if label not in other.ls(ns):
+                        raise KeyError(f"no collection {label!r} to pull")
+                    continue
+                self.collection(label, ns).pull(
+                    other.collection(label, ns), shallow=shallow
+                )
 
     def push(
         self,

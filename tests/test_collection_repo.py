@@ -175,6 +175,73 @@ def test_push_pull_roundtrip(repo, spark, tmp_path):
     ]
 
 
+def test_registry_replica_convergence(spark, tmp_path):
+    # the reference's Repo.merge scenario (lakota/repo.py:223,303 +
+    # cli.py:501): two replicas concurrently create/rename/delete
+    # collections, then sync both ways — registries converge with no
+    # lost collections and merged data for the concurrently-created one
+    import time
+
+    from lakota_spark.repo import Repo
+
+    a = Repo(str(tmp_path / "a"), spark)
+    b = Repo(str(tmp_path / "b"), spark)
+    schema = Schema(ts="int*", value="float")
+
+    # concurrent creates: X only on a, Z only on b, Y on BOTH (each
+    # replica writes its own rows)
+    a.create_collection(schema, "x").series("s").write(
+        {"ts": [1], "value": [1.0]}
+    )
+    ya = a.create_collection(schema, "y")
+    ya.series("s").write({"ts": [1], "value": [10.0]})
+    b.create_collection(schema, "z").series("s").write(
+        {"ts": [9], "value": [9.0]}
+    )
+    yb = b.create_collection(schema, "y")
+    yb.series("s").write({"ts": [2], "value": [20.0]})
+
+    # sync both ways
+    a.pull(b)
+    b.pull(a)
+    assert a.ls() == b.ls() == ["x", "y", "z"]
+    # concurrently-created 'y' merged BOTH replicas' writes (registry
+    # entries share the label-derived storage prefix, so the commit DAGs
+    # union and merge keeps every row)
+    a.collection("y").merge()
+    b.collection("y").merge()
+    assert rows(a.collection("y").series("s").frame()) == [
+        (1, 10.0), (2, 20.0)
+    ]
+    assert rows(b.collection("y").series("s").frame()) == [
+        (1, 10.0), (2, 20.0)
+    ]
+
+    # divergent events: a renames x -> x2 while b deletes z
+    time.sleep(0.01)  # LWW ordering vs the creates above
+    a.rename_collection("x", "x2")
+    b.delete_collection("z")
+    a.pull(b)
+    b.pull(a)
+    assert a.ls() == b.ls() == ["x2", "y"]
+    # renamed collection kept its data on both replicas
+    assert rows(b.collection("x2").series("s").frame()) == [(1, 1.0)]
+
+    # re-create after delete: the newer create wins over the tombstone
+    time.sleep(0.01)
+    z2 = b.create_collection(schema, "z")
+    z2.series("s").write({"ts": [7], "value": [7.0]})
+    a.pull(b)
+    assert "z" in a.ls()
+    assert rows(a.collection("z").series("s").frame()) == [(7, 7.0)]
+
+    # merge() alone (the reference Repo.merge surface) reconciles a
+    # third replica's registry without pulling data
+    c = Repo(str(tmp_path / "c"), spark)
+    c.merge(a)
+    assert c.ls() == a.ls()
+
+
 def test_export_import(repo, spark, tmp_path):
     coll = _mk(repo)
     coll.series("s").write({"ts": [1, 2], "value": [1.0, 2.0]})
