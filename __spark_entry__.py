@@ -230,9 +230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_tail": engine_demo.engine_tail,
         "engine_overlay_update": engine_demo.engine_overlay_update,
         "engine_defrag_scan": engine_demo.engine_defrag_scan,
-        # --- sentinels: reference parity on events (SURVEY §2.1-2.8) ---
-        "scan_range": parity.scan_range,
-        "agg_daily": parity.agg_daily,
+        # --- sentinels: reference parity on events (SURVEY §2.1-2.8;
+        #     scan/agg shapes also covered by the engine/tpch sentinels) ---
         "kv_last_wins": parity.kv_last_wins,
         "asof_purchase_click": parity.purchase_asof_click,
         # --- text analysis ---
@@ -261,6 +260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_gate": pipeline.near_dup_gate,
         "kmeans_assign": pipeline.kmeans_assign,
         "pii_scrub_stats": pipeline.pii_scrub_stats,
+        "doc_repetition_stats": pipeline.doc_repetition_stats,
+        "repeated_span_flags": pipeline.repeated_span_flags,
         "quality_deciles": pipeline.quality_deciles,
         "value_outliers": pipeline.value_outliers,
         "simhash_signatures": pipeline.simhash_signatures,
@@ -301,8 +302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo": tpch.q14_promo_revenue,
         "tpch_q19_disjunctive": tpch.q19_disjunctive_revenue,
         "tpch_q22_no_orders": tpch.q22_balance_no_orders,
+        "scan_range": parity.scan_range,
         "scan_closed_both": parity.scan_closed_both,
         "tail_100": parity.tail_100,
+        "agg_daily": parity.agg_daily,
         "topk_value": parity.topk_value,
         "agg_first_last": parity.agg_first_last,
         "union_concat": parity.union_concat,
@@ -748,6 +751,107 @@ SELECT e.event_id, e.event_type, e.value,
        round((e.value - m.mean) / m.std, 6) AS z
 FROM events e JOIN m USING (event_type)
 WHERE abs(round((e.value - m.mean) / m.std, 6)) >= 2.5
+""",
+        # Gopher-style repetition signals: duplicate-instance counts are
+        # len - len(distinct); modal 2-gram tie-breaks (count desc, gram
+        # asc) mirror the Spark fold's first-wins over the sorted array
+        "doc_repetition_stats": f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 30 = 0
+              THEN text || chr(10) || 'repeat line' || chr(10)
+                   || 'repeat line' || chr(10) || 'unique tail'
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM aug),
+lc AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS ln
+  FROM (SELECT doc_id, unnest(ls) AS line FROM lines)
+  GROUP BY 1, 2
+),
+dupchars AS (
+  SELECT doc_id,
+         sum(CASE WHEN c >= 2 THEN c * ln ELSE 0 END)::BIGINT AS dup_chars
+  FROM lc GROUP BY 1
+),
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM aug),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+                               i -> tk[i] || ' ' || tk[i+1])) AS g
+  FROM toks
+),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+top2 AS (
+  SELECT doc_id, c AS top_count, g AS top_g FROM (
+    SELECT doc_id, g, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+    FROM g2c) WHERE rn = 1
+),
+g5 AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(tk)-4, 0)),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                || tk[i+3] || ' ' || tk[i+4]) AS gs
+  FROM toks
+),
+g5s AS (
+  SELECT doc_id, len(gs)::BIGINT AS n5,
+         len(list_distinct(gs))::BIGINT AS d5
+  FROM g5
+)
+SELECT l.doc_id,
+       len(l.ls)::BIGINT AS n_lines,
+       (len(l.ls) - len(list_distinct(l.ls))) / greatest(len(l.ls), 1)
+         AS dup_line_frac,
+       coalesce(d.dup_chars, 0) / greatest(length(l.text), 1)
+         AS dup_line_char_frac,
+       coalesce(t.top_count, 0)::BIGINT AS top_2gram_count,
+       coalesce(t.top_count * length(t.top_g), 0)
+         / greatest(length(l.text), 1) AS top_2gram_char_frac,
+       (g.n5 - g.d5) / greatest(g.n5, 1) AS dup_5gram_frac
+FROM lines l
+LEFT JOIN dupchars d USING (doc_id)
+LEFT JOIN top2 t USING (doc_id)
+JOIN g5s g USING (doc_id)
+""",
+        "repeated_span_flags": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tk)-5, 0)),
+           i -> {{'pos': i - 1,
+                  'g': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                       || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5]}}))
+         AS s
+  FROM toks
+),
+ps AS (SELECT doc_id, s.pos AS pos, s.g AS shingle FROM sh),
+flc AS (
+  SELECT shingle, count(DISTINCT doc_id) AS n_docs
+  FROM ps GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT p.doc_id, p.pos, f.n_docs FROM ps p JOIN flc f USING (shingle)
+),
+brk AS (
+  SELECT doc_id, pos, n_docs,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 6
+              THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos, n_docs,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM brk
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + 6)::BIGINT AS span_end,
+       count(*) AS n_grams, max(n_docs) AS n_docs_max
+FROM isl GROUP BY doc_id, island
 """,
         "quality_deciles": f"""
 WITH d AS (

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "trigram_search",
     "trigram_search_indexed",
     "bm25_topk_indexed",
+    "doc_repetition_stats",
+    "repeated_span_flags",
 ]
 
 

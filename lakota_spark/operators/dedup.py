@@ -442,6 +442,90 @@ def embedding_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Inter-document repeated spans (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+def repeated_spans(
+    df: DataFrame,
+    n: int = 6,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token spans whose word ``n``-grams appear in ``min_df``+ documents —
+    the distributed shape of exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": a
+    suffix-array pass marks 50-token spans duplicated across the corpus;
+    here the unit is hashed word n-grams, the join-friendly equivalent).
+
+    Three stages, all shuffle-lean:
+      1. positioned shingles — posexplode (map-side, keeps token offset);
+      2. document frequency per shingle — ONE groupBy with map-side
+         partial agg; flagged shingles (df >= min_df) semi-join back
+         onto the positioned relation (equi-join on the shingle);
+      3. per-doc span assembly — gaps-and-islands over (doc, pos):
+         lag + running break-count window, both partitioned by doc.
+
+    Returns (doc_id, span_start, span_end, n_grams, n_docs_max): token
+    interval [span_start, span_end) covered by flagged n-grams, how many
+    flagged grams it merged, and the widest cross-doc spread among them.
+    A cleaning pass clips these spans out (or drops docs whose spans
+    cover too much of the text) instead of deleting whole documents —
+    the operator exact-dedup/MinHash cannot express.
+
+    Everything is integer arithmetic on (doc_id, pos) — exact under any
+    partitioning, so a SQL oracle reproduces it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from lakota_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    pos_sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_shingles(tokens(text_col), n)).alias(
+            "pos", "shingle"
+        ),
+    )
+    flagged = (
+        pos_sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_df)
+    )
+    hits = pos_sh.join(flagged, "shingle").select(
+        "doc_id", "pos", "n_docs"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.withColumn(
+            # a new island starts when this gram's window [pos, pos+n)
+            # no longer overlaps the previous gram's
+            "brk",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > F.lit(n)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.max("n_docs").alias("n_docs_max"),
+        )
+        .drop("island")
+    )
+    return spans
+
+
+# ---------------------------------------------------------------------------
 # Cluster canonicalization (connected components over candidate pairs)
 # ---------------------------------------------------------------------------
 

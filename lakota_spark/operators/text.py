@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lakota_spark.functions import fingerprint, tokens
+from lakota_spark.functions import fingerprint, tokens, word_shingles
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Deliberately short and deterministic so a SQL oracle can reproduce them.
@@ -134,6 +134,104 @@ def doc_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Normalized md5 fingerprint per document (exact-dedup key)."""
     return df.select(F.col(id_col), fingerprint(text_col).alias("digest"))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    §A1.1 quality heuristics) — the standard pretrain-corpus filters for
+    boilerplate and degenerate text:
+
+    - ``dup_line_frac``: fraction of line instances beyond the first
+      occurrence of their value (0 for single-line docs).
+    - ``dup_line_char_frac``: fraction of characters contained in lines
+      that occur 2+ times.
+    - ``top_2gram_count`` / ``top_2gram_char_frac``: occurrences of the
+      most frequent word 2-gram (ties -> lexicographically smallest) and
+      the fraction of characters it covers.
+    - ``dup_5gram_frac``: fraction of word-5-gram instances beyond the
+      first occurrence of their value.
+
+    ZERO SHUFFLE: every signal is a per-row array computation — counts
+    of duplicate instances come from ``size - size(array_distinct)``,
+    and the modal 2-gram from a left fold over the SORTED gram array
+    (run-length max with a struct accumulator), so the whole operator is
+    one codegen pass over the corpus scan. No (doc, gram) explode, no
+    groupBy — the shape that survives 100 TB without moving a byte.
+
+    Ratios are int/int divisions (bitwise-deterministic, no rounding).
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    sorted_lines = F.array_sort(lines)
+    # chars in all instances of duplicated lines: element i is a dup iff
+    # it equals its sorted neighbor on either side (F.get is 0-based and
+    # NULL out of range — never an ANSI index error)
+    dup_line_chars = F.aggregate(
+        F.sequence(F.lit(0), n_lines - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.coalesce(
+                F.get(sorted_lines, i) == F.get(sorted_lines, i - 1),
+                F.lit(False),
+            )
+            | F.coalesce(
+                F.get(sorted_lines, i) == F.get(sorted_lines, i + 1),
+                F.lit(False),
+            ),
+            F.length(F.get(sorted_lines, i)).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    g2 = word_shingles(toks, 2)
+    g5 = word_shingles(toks, 5)
+    sorted_g2 = F.array_sort(g2)
+
+    # modal 2-gram by run-length over the sorted array; strict > keeps
+    # the first (lexicographically smallest) gram on count ties
+    def _run_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_g"]).alias("best_g"),
+        )
+
+    top = F.aggregate(
+        sorted_g2,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit("").alias("best_g"),
+        ),
+        _run_step,
+    )
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        (
+            (n_lines - F.size(F.array_distinct(lines)))
+            / F.greatest(n_lines, F.lit(1))
+        ).alias("dup_line_frac"),
+        (dup_line_chars / n_chars).alias("dup_line_char_frac"),
+        top["best"].alias("top_2gram_count"),
+        (top["best"] * F.length(top["best_g"]) / n_chars).alias(
+            "top_2gram_char_frac"
+        ),
+        (
+            (F.size(g5) - F.size(F.array_distinct(g5)))
+            / F.greatest(F.size(g5), F.lit(1))
+        ).alias("dup_5gram_frac"),
+    )
 
 
 def bm25_scores(

@@ -383,6 +383,32 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
 
 
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition quality signals
+    (operators/text.repetition_stats) — zero-shuffle per-row array math.
+    A duplicated-line block is injected into a deterministic doc slice so
+    the line-level signals are non-trivial on the single-line corpus."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 30 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nrepeat line\nrepeat line\nunique tail"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return T.repetition_stats(aug)
+
+
+def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document repeated token spans (operators/dedup.repeated_spans,
+    the hashed-n-gram equivalent of suffix-array substring dedup): word
+    6-grams appearing in 2+ docs, merged into per-doc token intervals."""
+    return D.repeated_spans(_docs(spark, sf_dir), n=6, min_df=2)
+
+
 def bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same ranking as `bm25_topk` from the MATERIALIZED tf index:
     postings come from the query terms' hash-bucket partitions only and

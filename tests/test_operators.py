@@ -560,6 +560,74 @@ def test_dedup_clusters_long_chain(spark):
     assert star == {i: 0 for i in range(31)}
 
 
+def test_repetition_stats_gopher_signals(spark):
+    # Gopher-style intra-doc repetition: duplicate-line fractions, modal
+    # 2-gram coverage (ties -> lexicographically smallest), dup-5gram
+    # instance fraction — all per-row array math, hand-checked values
+    from lakota_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\nc d\na b\nx y z"),
+            (2, "one two one two one two tail"),
+            (3, "w w w w w w"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    # doc 1: 4 lines, 'a b' twice -> 1 dup instance; dup chars 2*3 of 17
+    assert got[1].n_lines == 4
+    assert got[1].dup_line_frac == 0.25
+    assert abs(got[1].dup_line_char_frac - 6 / 17) < 1e-12
+    # doc 2: 'one two' x3 is modal (vs 'two one' x2); covers 21/28 chars
+    assert got[2].top_2gram_count == 3
+    assert abs(got[2].top_2gram_char_frac - 21 / 28) < 1e-12
+    # doc 3: 'w w' appears 5 times; 5-grams: 2 total, 1 distinct
+    assert got[3].top_2gram_count == 5
+    assert got[3].dup_5gram_frac == 0.5
+    # doc 4: no 2-grams/5-grams, single line — all zeros
+    assert got[4].top_2gram_count == 0
+    assert got[4].dup_5gram_frac == 0.0
+    assert got[4].dup_line_frac == 0.0
+
+
+def test_repeated_spans_inter_doc(spark):
+    # hashed-n-gram substring dedup: shared 6-gram runs merge into token
+    # intervals per doc; isolated docs produce no spans
+    from lakota_spark.operators.dedup import repeated_spans
+
+    shared = "the shared passage appears verbatim here now"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " plus unique suffix alpha"),
+            (2, "prefix beta " + shared + " trailing words"),
+            (3, "totally unrelated content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.n_grams, r.n_docs_max)
+        for r in repeated_spans(docs, n=6, min_df=2).collect()
+    }
+    # 7 shared tokens -> two 6-grams, merged into one span of 7 tokens
+    assert got == {1: (0, 7, 2, 2), 2: (2, 9, 2, 2)}
+    # distant repeats do NOT merge: same doc holds the shared run twice
+    far = spark.createDataFrame(
+        [
+            (1, shared + " filler one two three four five six " + shared),
+            (2, shared),
+        ],
+        "doc_id long, text string",
+    )
+    spans1 = sorted(
+        (r.span_start, r.span_end)
+        for r in repeated_spans(far, n=6, min_df=2).collect()
+        if r.doc_id == 1
+    )
+    assert spans1 == [(0, 7), (14, 21)]
+
+
 def test_gap_fill_ffill(spark):
     from lakota_spark.operators.timeseries import gap_fill
 

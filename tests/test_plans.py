@@ -227,6 +227,18 @@ def test_bm25_indexed_plan_and_equality(spark, tmp_path):
     ]
 
 
+def test_repetition_stats_zero_shuffle(spark):
+    # every Gopher repetition signal is per-row array math: the plan must
+    # be ONE corpus scan with no Exchange and no Generate (no explode)
+    from lakota_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plans.explain_str(repetition_stats(docs), "simple")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
 def test_gap_fill_no_global_window(spark):
     # forward-fill windows partition by group: no single-partition
     # exchange may appear anywhere in the plan
