@@ -113,22 +113,26 @@ def tokens(col: Column | str) -> Column:
 def _accent_fold_maps() -> tuple[str, str]:
     """Build the translate() source/target strings for accent folding.
 
-    Derived from NFD at import time: every Latin-1 Supplement /
-    Latin Extended-A/B precomposed character whose decomposition is
-    base + combining marks maps to its base; bare combining marks
-    (U+0300-U+036F, for already-decomposed input) are appended to the
-    source with no target, which `translate` treats as deletion. This is
-    exactly DuckDB's ``strip_accents`` (NFD + drop Mn — verified: both
-    leave æ œ ß đ ł ħ ı untouched) and the reference's `unidecode`
+    Derived from NFD at import time: every precomposed character up to
+    U+2000 (Latin-1 Supplement through Latin Extended Additional, Greek,
+    Cyrillic) whose decomposition is base + combining marks maps to its
+    base; bare combining marks (U+0300-U+036F, for already-decomposed
+    input) are appended to the source with no target, which `translate`
+    treats as deletion. This is exactly DuckDB's ``strip_accents`` (NFD +
+    drop Mn — property-tested char-by-char; both leave æ œ ß đ ł ħ ı
+    untouched) and the reference's `unidecode`
     (`contrib/trigram.py:32-34`), so oracles reproduce the fold."""
     import unicodedata
 
     src, dst = [], []
-    for cp in range(0x00C0, 0x0250):
+    for cp in range(0x00C0, 0x2000):
         ch = chr(cp)
         d = unicodedata.normalize("NFD", ch)
+        # base + combining marks -> base; singleton canonical
+        # decompositions (e.g. GREEK ANO TELEIA -> MIDDLE DOT) map 1:1,
+        # matching DuckDB's full-NFD behavior
         if (
-            len(d) > 1
+            d != ch
             and not unicodedata.combining(d[0])
             and all(unicodedata.combining(c) for c in d[1:])
         ):

@@ -124,6 +124,16 @@ class Repo:
     def __truediv__(self, label: str) -> Collection:
         return self.collection(label)
 
+    def reify(self, label: str, entry: dict) -> Collection:
+        """Build a Collection from a registry row without re-reading it
+        (reference `Repo.reify`, `lakota/repo.py:222-224`)."""
+        return Collection(
+            self,
+            label,
+            Schema.from_dict(entry["schema"]),
+            prefix=self._storage_prefix(label),
+        )
+
     def ls(self, namespace: str = "collection") -> list[str]:
         out = []
         for f in self.fs.ls(REGISTRY_DIR):

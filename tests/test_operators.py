@@ -592,6 +592,84 @@ def test_repetition_stats_gopher_signals(spark):
     assert got[4].dup_line_frac == 0.0
 
 
+def test_fold_accents_matches_duckdb_strip_accents(spark):
+    # cross-engine guarantee behind every trigram oracle: the translate()
+    # fold equals DuckDB strip_accents for EVERY char in the mapped range
+    # (plus ASCII and decomposed sequences)
+    import duckdb
+
+    from lakota_spark.functions import fold_accents, fold_accents_py
+
+    samples = (
+        [chr(cp) for cp in range(0x20, 0x250)]
+        + [chr(cp) for cp in range(0x1E00, 0x1F00)]  # Latin Ext Additional
+        + [chr(cp) for cp in range(0x0386, 0x03CE)]  # Greek incl. tonos
+    ) + [
+        "émigré",          # decomposed
+        "café Fußball ÆON œuvre",
+        "Škoda Ångström đại łódź",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, s string")
+    got = {
+        r.i: r.f
+        for r in df.select("i", fold_accents(F.col("s")).alias("f")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        want = con.execute("select strip_accents(?)", [s]).fetchone()[0]
+        assert got[i] == want, (hex(ord(s[0])) if len(s) == 1 else s, got[i], want)
+        assert fold_accents_py(s) == want  # driver-side twin agrees too
+
+
+def test_repetition_stats_property_vs_python(spark):
+    # property: the zero-shuffle fold agrees with a plain-Python
+    # reference on seeded random word-soup docs (with newlines)
+    import random
+    from collections import Counter
+
+    from lakota_spark.operators.text import repetition_stats
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 40))]
+        text = " ".join(words)
+        if rng.random() < 0.5:  # sprinkle newlines
+            text = text.replace(" ", "\n", rng.randint(1, 3))
+        docs.append((i, text))
+    got = {
+        r.doc_id: r
+        for r in repetition_stats(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    for i, text in docs:
+        lines = text.split("\n")
+        toks = text.split()
+        g2 = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        g5 = [" ".join(toks[j : j + 5]) for j in range(len(toks) - 4)]
+        r = got[i]
+        assert r.n_lines == len(lines)
+        assert r.dup_line_frac == (len(lines) - len(set(lines))) / len(lines)
+        lc = Counter(lines)
+        dup_chars = sum(c * len(l) for l, c in lc.items() if c >= 2)
+        assert abs(r.dup_line_char_frac - dup_chars / max(len(text), 1)) < 1e-12
+        if g2:
+            cnt = Counter(g2)
+            # tie-break: count desc, gram asc
+            top_g, top_c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert r.top_2gram_count == top_c, (i, text)
+            assert (
+                abs(r.top_2gram_char_frac - top_c * len(top_g) / max(len(text), 1))
+                < 1e-12
+            )
+        else:
+            assert r.top_2gram_count == 0
+        if g5:
+            assert r.dup_5gram_frac == (len(g5) - len(set(g5))) / len(g5)
+
+
 def test_repeated_spans_inter_doc(spark):
     # hashed-n-gram substring dedup: shared 6-gram runs merge into token
     # intervals per doc; isolated docs produce no spans
