@@ -43,11 +43,28 @@ sh AS (
 _NUM_HASHES = 16
 _BANDS = 4
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
+#: affine minhash family modulus (operators/dedup.MINHASH_P)
+_MINHASH_P = (1 << 31) - 1
+
+
+def _affine_consts(k: int) -> tuple[int, int]:
+    a = (2654435761 * (k + 1)) % _MINHASH_P or 1
+    b = (40503 * (k + 7) + 11) % _MINHASH_P
+    return a, b
 
 
 def _mh_cols() -> str:
+    """hash_k = (a_k·(h mod p) + b_k) mod p over one md5-derived base
+    hash — mirrors `operators/dedup.minhash_hash_k` exactly."""
+    base = f"(('0x' || substr(md5(shingle), 1, 8))::BIGINT % {_MINHASH_P})"
     return ",\n    ".join(
-        f"min(('0x' || substr(md5('{k}:' || shingle), 1, 8))::BIGINT) AS mh_{k}"
+        "min(({a} * {base} + {b}) % {p}) AS mh_{k}".format(
+            a=_affine_consts(k)[0],
+            b=_affine_consts(k)[1],
+            base=base,
+            p=_MINHASH_P,
+            k=k,
+        )
         for k in range(_NUM_HASHES)
     )
 

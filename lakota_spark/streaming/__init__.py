@@ -264,9 +264,14 @@ def streaming_near_dup_vs_corpus(
 
 
 def _seeded_hash(hash32, k):
-    # closure, not a default arg: a second lambda param would switch
+    # affine minhash family over ONE md5-derived base hash per shingle
+    # (operators/dedup.minhash_hash_k) — kept in lockstep with the batch
+    # pipeline so the near_dup_gate batch oracle reproduces band keys.
+    # Closure, not a default arg: a second lambda param would switch
     # F.transform to its (element, index) form
-    return lambda s: hash32(F.concat(F.lit(f"{k}:"), s))
+    from lakota_spark.operators.dedup import minhash_hash_k
+
+    return lambda s: minhash_hash_k(hash32(s), k)
 
 
 def stateful_running_totals(

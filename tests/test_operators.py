@@ -492,6 +492,31 @@ def test_pack_sequences_budget(spark):
         ids.append(r.pack_id)
 
 
+def test_minhash_family_not_degenerate(spark):
+    # the affine family must be a DIFFERENT pseudo-permutation per k: if
+    # a_k*h never wrapped the modulus, every hash_k would share one
+    # argmin shingle and the K-hash signature would collapse to 1 hash
+    # (breaking LSH recall — this exact bug shipped briefly in round 4).
+    from lakota_spark.functions import hash32
+    from lakota_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"shingle-{i}") for i in range(200)], "doc_id long, shingle string"
+    )
+    # one "doc" holding all 200 shingles: its signature mins should come
+    # from many different argmin shingles across k
+    sigs = minhash_signatures(
+        docs.select(F.lit(1).alias("doc_id"), "shingle"), num_hashes=16
+    ).collect()[0]
+    vals = [sigs[f"mh_{k}"] for k in range(16)]
+    assert len(set(vals)) >= 12, vals  # distinct mins => distinct argmins
+    # and each hash_k must itself be deterministic
+    again = minhash_signatures(
+        docs.select(F.lit(1).alias("doc_id"), "shingle"), num_hashes=16
+    ).collect()[0]
+    assert vals == [again[f"mh_{k}"] for k in range(16)]
+
+
 def test_dedup_clusters_connected_components(spark):
     # pairs (1-2)(2-3) + (5-6) + isolated pair graph: transitive closure
     # with cluster_id = min member; convergence needs >1 round for chains
