@@ -330,8 +330,11 @@ class Repo:
             lo, rm = mine.get(name, {}), theirs.get(name, {})
             entries = [e for e in (lo.get("entry"), rm.get("entry")) if e]
             tombs = [t for t in (lo.get("tomb"), rm.get("tomb")) if t]
-            entry = max(entries, key=lambda e: e.get("ts", 0.0)) if entries else None
-            tomb = max(tombs, key=lambda t: t.get("ts", 0.0)) if tombs else None
+            # ties on ts break on serialized content so BOTH replicas pick
+            # the same winner regardless of which side held which event
+            key = lambda e: (e.get("ts", 0.0), json.dumps(e, sort_keys=True))
+            entry = max(entries, key=key) if entries else None
+            tomb = max(tombs, key=key) if tombs else None
             alive = entry is not None and (
                 tomb is None or entry.get("ts", 0.0) >= tomb.get("ts", 0.0)
             )

@@ -242,6 +242,53 @@ def test_registry_replica_convergence(spark, tmp_path):
     assert c.ls() == a.ls()
 
 
+def test_registry_merge_converges_on_random_states(spark, tmp_path):
+    # CRDT-style property: for random per-label (entry ts, tomb ts)
+    # states on two replicas, merging both ways always converges to the
+    # same registry — regardless of which side had which events
+    import json
+    import random
+
+    from lakota_spark.repo import REGISTRY_DIR, Repo
+
+    schema = Schema(ts="int*", value="float").to_dict()
+    rng = random.Random(11)
+    for trial in range(5):
+        a = Repo(str(tmp_path / f"a{trial}"), spark)
+        b = Repo(str(tmp_path / f"b{trial}"), spark)
+        for label in "pqrstuv":
+            for repo in (a, b):
+                # each replica independently saw some subset of events
+                if rng.random() < 0.7:
+                    ts = rng.randint(1, 100)
+                    repo.fs.write_bytes_atomic(
+                        f"{REGISTRY_DIR}/{label}.json",
+                        json.dumps(
+                            {"schema": schema, "meta": {}, "ts": ts}
+                        ).encode(),
+                    )
+                if rng.random() < 0.4:
+                    ts = rng.randint(1, 100)
+                    repo.fs.write_bytes_atomic(
+                        f"{REGISTRY_DIR}/{label}.tomb",
+                        json.dumps({"ts": ts}).encode(),
+                    )
+        a.merge(b)
+        b.merge(a)
+
+        def state(repo):
+            out = {}
+            for f in sorted(repo.fs.ls(REGISTRY_DIR)):
+                out[f] = json.loads(repo.fs.read_bytes(f"{REGISTRY_DIR}/{f}"))
+            return out
+
+        assert state(a) == state(b), f"trial {trial} diverged"
+        # idempotence: merging again changes nothing
+        before = state(a)
+        a.merge(b)
+        assert state(a) == before
+
+
 def test_export_import(repo, spark, tmp_path):
     coll = _mk(repo)
     coll.series("s").write({"ts": [1, 2], "value": [1.0, 2.0]})
