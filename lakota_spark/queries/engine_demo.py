@@ -31,9 +31,17 @@ def _event_repo(spark: SparkSession, sf_dir: str) -> Repo:
     key = os.path.abspath(sf_dir)
     if key in _CACHE:
         return _CACHE[key]
+    # key on source mtime+size: the driver regenerates testdata between
+    # rounds; a stale repo would pass the sanity probe (same schema) but
+    # serve the OLD rows and fail the oracle
+    try:
+        st = os.stat(os.path.join(sf_dir, "events.parquet"))
+        stamp = f"{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        stamp = "nosrc"
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakota-spark-demo-{_LAYOUT_VERSION}-"
+        f"lakota-spark-demo-{_LAYOUT_VERSION}-{stamp}-"
         f"{key.strip(os.sep).replace(os.sep, '_')}",
     )
     try:

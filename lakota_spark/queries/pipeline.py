@@ -85,9 +85,16 @@ def _index_path(sf_dir: str, kind: str) -> str:
     import tempfile
 
     key = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
+    # key on source mtime+size: the driver regenerates testdata between
+    # rounds, and a stale /tmp index would silently serve wrong postings
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        stamp = f"{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        stamp = "nosrc"
     return os.path.join(
         tempfile.gettempdir(),
-        f"lakota-spark-index-{_INDEX_VERSION}-{kind}-{key}",
+        f"lakota-spark-index-{_INDEX_VERSION}-{kind}-{stamp}-{key}",
     )
 
 
