@@ -240,7 +240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": tpch.q5_local_supplier_volume,
         "tpch_q6": tpch.q6_forecast_revenue,
         "tpch_q10": tpch.q10_returned_items,
-        "tpch_q9_profit": tpch.q9_product_profit,
         # --- sentinels: storage-engine round-trips (write path + read path
         #     under the oracle: ingest -> segment -> commit -> prune -> scan) ---
         "engine_range_scan": engine_demo.engine_range_scan,
@@ -289,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": pipeline.cosine_topk,
         "ann_lsh_topk": pipeline.ann_lsh_topk,
         "ivf_topk": pipeline.ivf_topk,
+        "ivf_kmeans_topk": pipeline.ivf_kmeans_topk,
         "knn_same_label": pipeline.knn_same_label,
         # --- multimodal plumbing (rows-only: mapInPandas stubs) ---
         "sketch_stats": pipeline.sketch_stats,  # rows-only (approx)
@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rounds 1-3 and still exercised by the judge's full oracle re-run.
         # ------------------------------------------------------------------
         "part_brand_share": tpch.q_part_type_share,
+        "tpch_q9_profit": tpch.q9_product_profit,
         "tpch_q4_exists": tpch.q4_order_priority,
         "customers_no_orders": tpch.customers_without_orders,
         "rollup_qty": tpch.rollup_quantity,
@@ -1284,6 +1285,71 @@ top_blocks AS (SELECT label FROM cs ORDER BY s DESC, label LIMIT 3),
 p AS (SELECT e.vec_id AS ia, 0 AS ib, e.embedding AS ea, q.qv AS eb
       FROM embeddings e, q
       WHERE e.label IN (SELECT label FROM top_blocks)),
+u AS (SELECT ia, ib, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM p),
+s AS (SELECT ia, ib, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+      FROM u GROUP BY ia, ib)
+SELECT ia AS vec_id, round(dp / (na * nb), 6) AS cos_sim
+FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20
+""",
+        # IVF over LEARNED k-means lists: the full Lloyd chain (identical
+        # to the kmeans_assign oracle) feeds the centroid ranking and the
+        # probed-list candidate scan — an exact oracle for a learned ANN
+        # index
+        "ivf_kmeans_topk": """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+u0 AS (
+  SELECT e.vec_id, s.cluster,
+         unnest(e.embedding) AS x, unnest(s.embedding) AS y
+  FROM embeddings e, seeds s
+),
+d0 AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
+       FROM u0 GROUP BY 1, 2),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM d0) WHERE rn = 1
+),
+pos AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+m1 AS (
+  SELECT a.cluster, p.i, round(avg(p.x), 6) AS m
+  FROM a0 a JOIN pos p USING (vec_id) GROUP BY 1, 2
+),
+c1 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM m1 GROUP BY cluster),
+u1 AS (
+  SELECT e.vec_id, c.cluster,
+         unnest(e.embedding) AS x, unnest(c.cent) AS y
+  FROM embeddings e, c1 c
+),
+d1 AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
+       FROM u1 GROUP BY 1, 2),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM d1) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qel AS (SELECT unnest(qv)::DOUBLE AS qx, unnest(range(1, len(qv) + 1)) AS qi
+        FROM q),
+cel AS (SELECT cluster, unnest(cent)::DOUBLE AS m,
+               unnest(range(1, len(cent) + 1)) AS i FROM c1),
+cs AS (SELECT c.cluster,
+              round(sum(c.m * qe.qx)
+                    / (sqrt(sum(c.m * c.m)) * sqrt(sum(qe.qx * qe.qx))),
+                    6) AS s
+       FROM cel c JOIN qel qe ON c.i = qe.qi GROUP BY c.cluster),
+probe AS (SELECT cluster FROM cs ORDER BY s DESC, cluster LIMIT 3),
+p AS (SELECT e.vec_id AS ia, 0 AS ib, e.embedding AS ea, q.qv AS eb
+      FROM embeddings e JOIN a1 ON e.vec_id = a1.vec_id, q
+      WHERE a1.cluster IN (SELECT cluster FROM probe)),
 u AS (SELECT ia, ib, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM p),
 s AS (SELECT ia, ib, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
       FROM u GROUP BY ia, ib)

@@ -37,8 +37,24 @@ def kmeans_assign(
     deterministic seeds. Returns (id, cluster); clusters that lose all
     members drop out (they cannot re-acquire points — matching the
     straightforward SQL unrolling of the same recurrence)."""
+    _, assigned = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    return assigned.select(F.col(id_col), F.col("cluster"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Run the Lloyd loop and return BOTH the final centroids (the ones
+    the last assignment used — k×dim rounded floats, driver-side) and
+    the assignment DataFrame (original columns + ``cluster``). The
+    centroid list is what IVF-style retrieval quantizes against
+    (`similarity.ivf_kmeans_topk`)."""
     if k <= 0 or iters <= 0:
-        raise ValueError("kmeans_assign needs positive k/iters")
+        raise ValueError("kmeans_fit needs positive k/iters")
     seeds = (
         df.orderBy(id_col).limit(k).select(vec_col).collect()
     )
@@ -65,7 +81,7 @@ def kmeans_assign(
     for it in range(iters):
         assigned = df.withColumn("cluster", assign_expr(cents))
         if it == iters - 1:
-            return assigned.select(F.col(id_col), F.col("cluster"))
+            return cents, assigned
         rows = (
             assigned.select("cluster", F.posexplode(F.col(vec_col)))
             .groupBy("cluster", "pos")

@@ -251,3 +251,60 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_kmeans_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 8,
+    iters: int = 2,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-ANN with a LEARNED coarse quantizer: Lloyd k-means centroids
+    (`clustering.kmeans_fit`, deterministic rounded state) replace
+    `ivf_topk`'s pre-existing block column — the shape of a real IVF
+    index, where the inverted lists come from clustering the corpus
+    itself. Rank the k centroids by rounded cosine to the query (tiny —
+    k rows), scan only the ``n_probe`` closest lists, exact top-k within
+    them. Because every piece of k-means state is rounded/tie-broken
+    deterministically, even this learned-index ANN carries an exact SQL
+    oracle (the Lloyd loop unrolls into the same WITH-chain as
+    `kmeans_assign`).
+
+    Scale shape: training is `kmeans_fit` (broadcast-argmin assignment,
+    (cluster, dim)-keyed partial-agg updates; k×dim scalars to the
+    driver per iteration); probing filters on the already-computed
+    assignment column, so the query-time scan touches only the probed
+    lists' rows.
+    """
+    from lakota_spark.operators.clustering import kmeans_fit
+
+    cents, assigned = kmeans_fit(
+        df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    cent_df = df.sparkSession.createDataFrame(
+        [(c, coords) for c, coords in cents],
+        "cluster int, centroid array<double>",
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = [
+        r["cluster"]
+        for r in cent_df.select(
+            "cluster", F.round(cosine(F.col("centroid"), q), 6).alias("s")
+        )
+        .orderBy(F.col("s").desc(), "cluster")
+        .limit(n_probe)
+        .collect()
+    ]
+    return (
+        assigned.where(F.col("cluster").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

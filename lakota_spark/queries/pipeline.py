@@ -536,6 +536,15 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_emb(spark, sf_dir), q, k=20, n_probe=3)
 
 
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN over LEARNED k-means lists (operators/similarity.
+    ivf_kmeans_topk): the coarse quantizer is trained by the exact-oracle
+    Lloyd loop, so the whole learned index unrolls into SQL."""
+    return S.ivf_kmeans_topk(
+        _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=20
+    )
+
+
 def knn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-NN per vector within its label block (rows-only check)."""
     e = _emb(spark, sf_dir)

@@ -492,6 +492,22 @@ def test_pack_sequences_budget(spark):
         ids.append(r.pack_id)
 
 
+def test_ivf_kmeans_topk_semantics(spark):
+    # learned-quantizer IVF: the query's own cluster is always probed, so
+    # the query vector itself must rank first; results are a subset of
+    # brute-force cosine ranking restricted to probed lists
+    from lakota_spark.operators.similarity import cosine_topk, ivf_kmeans_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    got = ivf_kmeans_topk(emb, qv, k=10, n_clusters=4, iters=2, n_probe=2).collect()
+    assert got[0].vec_id == 0 and got[0].cos_sim == 1.0
+    exact = {r.vec_id: r.cos_sim for r in cosine_topk(emb, qv, k=200).collect()}
+    # every IVF hit carries the exact cosine score
+    for r in got:
+        assert r.vec_id in exact and exact[r.vec_id] == r.cos_sim
+
+
 def test_minhash_family_not_degenerate(spark):
     # the affine family must be a DIFFERENT pseudo-permutation per k: if
     # a_k*h never wrapped the modulus, every hash_k would share one
