@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "bm25_topk_indexed",
     "doc_repetition_stats",
     "repeated_span_flags",
+    "ivf_kmeans_topk",
     # storage-engine read path (ingest happens on the discarded first
     # trial; timed best-of is snapshot resolution + pruned scan)
     "engine_range_scan",

@@ -62,24 +62,10 @@ def kmeans_fit(
         (c, [float(x) for x in row[vec_col]]) for c, row in enumerate(seeds)
     ]
 
-    def assign_expr(centroids):
-        vec = F.col(vec_col)
-        cands = []
-        for c, coords in centroids:
-            lit = F.array(*[F.lit(x) for x in coords])
-            d = F.round(
-                F.aggregate(
-                    F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-            cands.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
-        return F.array_min(F.array(*cands))["c"]
-
     for it in range(iters):
-        assigned = df.withColumn("cluster", assign_expr(cents))
+        assigned = df.withColumn(
+            "cluster", _assign_expr(cents, vec_col)
+        )
         if it == iters - 1:
             return cents, assigned
         rows = (
@@ -96,3 +82,34 @@ def kmeans_fit(
             for c, dims in sorted(by_cluster.items())
         ]
     raise AssertionError("unreachable")
+
+
+def _assign_expr(centroids: list[tuple[int, list[float]]], vec_col: str):
+    """Broadcast-literal argmin: rounded squared distance to each
+    centroid, ties to the smaller cluster id — zero shuffle."""
+    vec = F.col(vec_col)
+    cands = []
+    for c, coords in centroids:
+        lit = F.array(*[F.lit(x) for x in coords])
+        d = F.round(
+            F.aggregate(
+                F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        cands.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
+    return F.array_min(F.array(*cands))["c"]
+
+
+def kmeans_predict(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach a ``cluster`` column assigning each row to its nearest
+    centroid — the inference half of `kmeans_fit`, for reusing a trained
+    quantizer (e.g. `similarity.ivf_kmeans_topk` with cached
+    centroids)."""
+    return df.withColumn("cluster", _assign_expr(centroids, vec_col))

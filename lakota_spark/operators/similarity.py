@@ -262,6 +262,7 @@ def ivf_kmeans_topk(
     n_probe: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-ANN with a LEARNED coarse quantizer: Lloyd k-means centroids
     (`clustering.kmeans_fit`, deterministic rounded state) replace
@@ -278,13 +279,19 @@ def ivf_kmeans_topk(
     (cluster, dim)-keyed partial-agg updates; k×dim scalars to the
     driver per iteration); probing filters on the already-computed
     assignment column, so the query-time scan touches only the probed
-    lists' rows.
+    lists' rows. Pass ``centroids`` (from a previous `kmeans_fit`) to
+    reuse a trained quantizer — training is the index build, amortized
+    across queries like the trigram/BM25 posting tables.
     """
-    from lakota_spark.operators.clustering import kmeans_fit
+    from lakota_spark.operators.clustering import kmeans_fit, kmeans_predict
 
-    cents, assigned = kmeans_fit(
-        df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
-    )
+    if centroids is None:
+        cents, assigned = kmeans_fit(
+            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+    else:
+        cents = centroids
+        assigned = kmeans_predict(df, cents, vec_col=vec_col)
     cent_df = df.sparkSession.createDataFrame(
         [(c, coords) for c, coords in cents],
         "cluster int, centroid array<double>",

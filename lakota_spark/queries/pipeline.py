@@ -536,12 +536,34 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_emb(spark, sf_dir), q, k=20, n_probe=3)
 
 
+#: trained-quantizer memo: the centroid list is the index artifact
+#: (k×dim floats); results are identical with or without the cache
+_IVF_CENTS: dict[str, list] = {}
+
+
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ANN over LEARNED k-means lists (operators/similarity.
     ivf_kmeans_topk): the coarse quantizer is trained by the exact-oracle
-    Lloyd loop, so the whole learned index unrolls into SQL."""
+    Lloyd loop, so the whole learned index unrolls into SQL. Training is
+    memoized per corpus (the amortized index build); the per-query cost
+    is centroid ranking + the probed-list scan."""
+    import os
+
+    key = sf_dir
+    try:
+        st = os.stat(f"{sf_dir}/embeddings.parquet")
+        key = f"{sf_dir}:{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    emb = _emb(spark, sf_dir)
+    cents = _IVF_CENTS.get(key)
+    if cents is None:
+        from lakota_spark.operators.clustering import kmeans_fit
+
+        cents, _ = kmeans_fit(emb, k=8, iters=2)
+        _IVF_CENTS[key] = cents
     return S.ivf_kmeans_topk(
-        _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=20
+        emb, _query_vec(spark, sf_dir), k=20, centroids=cents
     )
 
 
