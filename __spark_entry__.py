@@ -248,7 +248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_defrag_scan": engine_demo.engine_defrag_scan,
         # --- sentinels: reference parity on events (SURVEY §2.1-2.8;
         #     scan/agg shapes also covered by the engine/tpch sentinels) ---
-        "kv_last_wins": parity.kv_last_wins,
         "asof_purchase_click": parity.purchase_asof_click,
         # --- text analysis ---
         "text_stats": pipeline.text_stats,
@@ -289,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": pipeline.ann_lsh_topk,
         "ivf_topk": pipeline.ivf_topk,
         "ivf_kmeans_topk": pipeline.ivf_kmeans_topk,
+        "quantized_cosine_topk": pipeline.quantized_cosine_topk,
         "knn_same_label": pipeline.knn_same_label,
         # --- multimodal plumbing (rows-only: mapInPandas stubs) ---
         "sketch_stats": pipeline.sketch_stats,  # rows-only (approx)
@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_closed_both": parity.scan_closed_both,
         "tail_100": parity.tail_100,
         "agg_daily": parity.agg_daily,
+        "kv_last_wins": parity.kv_last_wins,
         "topk_value": parity.topk_value,
         "agg_first_last": parity.agg_first_last,
         "union_concat": parity.union_concat,
@@ -1355,6 +1356,42 @@ s AS (SELECT ia, ib, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
       FROM u GROUP BY ia, ib)
 SELECT ia AS vec_id, round(dp / (na * nb), 6) AS cos_sim
 FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20
+""",
+        # int8 quantize→dequantize→rank: floor(x/scale + 0.5) is the
+        # engine-unambiguous half-up rounding, so the quantized codes —
+        # and both cosines — reproduce exactly
+        "quantized_cosine_topk": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))),
+                  1e-30) / 127.0 AS scale
+  FROM embeddings
+),
+p AS (
+  SELECT s.vec_id AS ia,
+         list_transform(s.embedding,
+                        x -> floor(x::DOUBLE / s.scale + 0.5) * s.scale)
+           AS dq,
+         s.embedding AS ex, q.qv
+  FROM sc s, q
+),
+u AS (
+  SELECT ia, unnest(dq)::DOUBLE AS dx, unnest(ex)::DOUBLE AS xx,
+         unnest(qv)::DOUBLE AS y
+  FROM p
+),
+s AS (
+  SELECT ia,
+         sum(dx * y) AS dpq, sqrt(sum(dx * dx)) AS nq,
+         sum(xx * y) AS dpe, sqrt(sum(xx * xx)) AS ne,
+         sqrt(sum(y * y)) AS nb
+  FROM u GROUP BY ia
+)
+SELECT ia AS vec_id,
+       round(dpq / (nq * nb), 6) AS q_sim,
+       round(dpe / (ne * nb), 6) AS cos_sim
+FROM s ORDER BY q_sim DESC, vec_id LIMIT 20
 """,
         "knn_same_label": f"""
 WITH p AS (

@@ -508,6 +508,28 @@ def test_ivf_kmeans_topk_semantics(spark):
         assert r.vec_id in exact and exact[r.vec_id] == r.cos_sim
 
 
+def test_quantized_cosine_close_to_exact(spark):
+    # int8 quantization: the quantized score tracks the exact score
+    # within the per-dim error bound; only the corpus side is quantized,
+    # so the query's own vector scores just under 1.0 but still first
+    from lakota_spark.operators.similarity import (
+        quantize_int8,
+        quantized_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    got = quantized_cosine_topk(emb, qv, k=50).collect()
+    assert got[0].vec_id == 0 and got[0].q_sim > 0.999
+    assert got[0].cos_sim == 1.0
+    for r in got:
+        assert abs(r.q_sim - r.cos_sim) < 0.02, (r.vec_id, r.q_sim, r.cos_sim)
+    # codes are genuine int8 range
+    codes = quantize_int8(emb).select(F.explode("codes").alias("c"))
+    mn, mx = codes.agg(F.min("c"), F.max("c")).first()
+    assert -127 <= mn and mx <= 127
+
+
 def test_minhash_family_not_degenerate(spark):
     # the affine family must be a DIFFERENT pseudo-permutation per k: if
     # a_k*h never wrapped the modulus, every hash_k would share one
