@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "doc_repetition_stats",
     "repeated_span_flags",
     "ivf_kmeans_topk",
+    "quantized_cosine_topk",
     # storage-engine read path (ingest happens on the discarded first
     # trial; timed best-of is snapshot resolution + pruned scan)
     "engine_range_scan",

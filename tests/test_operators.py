@@ -769,6 +769,60 @@ def test_repeated_spans_inter_doc(spark):
     assert spans1 == [(0, 7), (14, 21)]
 
 
+def test_repeated_spans_property_vs_python(spark):
+    # property: span assembly agrees with a plain-Python reference
+    # (flag n-grams in >= min_df docs, merge windows with gap <= n)
+    # on seeded random word-soup corpora
+    import random
+
+    from lakota_spark.operators.dedup import repeated_spans
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    n = 4
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 30))))
+        for i in range(25)
+    ]
+
+    def py_spans(docs, n, min_df):
+        grams: dict[str, set[int]] = {}
+        per_doc: dict[int, list[tuple[int, str]]] = {}
+        for i, text in docs:
+            toks = text.split()
+            for p in range(len(toks) - n + 1):
+                g = " ".join(toks[p : p + n])
+                grams.setdefault(g, set()).add(i)
+                per_doc.setdefault(i, []).append((p, g))
+        flagged = {g: len(d) for g, d in grams.items() if len(d) >= min_df}
+        out = set()
+        for i, hits in per_doc.items():
+            hs = sorted(
+                (p, flagged[g]) for p, g in hits if g in flagged
+            )
+            if not hs:
+                continue
+            start, prev, ng, nd = hs[0][0], hs[0][0], 1, hs[0][1]
+            for p, d in hs[1:]:
+                if p - prev > n:
+                    out.add((i, start, prev + n, ng, nd))
+                    start, ng, nd = p, 0, 0
+                prev, ng, nd = p, ng + 1, max(nd, d)
+            out.add((i, start, prev + n, ng, nd))
+        return out
+
+    want = py_spans(docs, n, 2)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams, r.n_docs_max)
+        for r in repeated_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            n=n,
+            min_df=2,
+        ).collect()
+    }
+    assert got == want
+
+
 def test_gap_fill_ffill(spark):
     from lakota_spark.operators.timeseries import gap_fill
 

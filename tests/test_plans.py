@@ -239,6 +239,38 @@ def test_repetition_stats_zero_shuffle(spark):
     assert "Generate" not in plan, plan
 
 
+def test_ivf_kmeans_probe_plan(spark):
+    # learned-IVF query path: the probed-list scan is ONE corpus pass
+    # with the cluster filter applied in the scan stage (broadcast-
+    # literal argmin — no join, no cartesian, no extra shuffle beyond
+    # the top-k)
+    from lakota_spark.operators.clustering import kmeans_fit
+    from lakota_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    cents, _ = kmeans_fit(emb, k=4, iters=1)
+    df = ivf_kmeans_topk(emb, qv, k=10, centroids=cents)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("embeddings.parquet") == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quantized_cosine_single_scan(spark):
+    # quantize-dequantize-rank is one projection: single scan,
+    # TakeOrderedAndProject, no join/exchange beyond the top-k
+    from lakota_spark.operators.similarity import quantized_cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    df = quantized_cosine_topk(emb, qv, k=10)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("embeddings.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_gap_fill_no_global_window(spark):
     # forward-fill windows partition by group: no single-partition
     # exchange may appear anywhere in the plan
