@@ -213,6 +213,93 @@ gsum AS (SELECT vec_id,
 buck AS (SELECT vec_id, ({val})::BIGINT AS bucket FROM gsum)"""
 
 
+def _pq_subchain(mi: int, lo: int, hi: int, sub: int) -> str:
+    """One subspace of the pq_topk oracle: the kmeans_assign Lloyd chain
+    on ``embedding[lo:hi]`` plus the query-to-centroid ADC distance
+    table (mirrors `operators/similarity.pq_topk` exactly)."""
+    return f"""
+seeds_{mi} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         embedding[{lo}:{hi}] AS sv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+u0_{mi} AS (
+  SELECT e.vec_id, s.cluster,
+         unnest(e.embedding[{lo}:{hi}]) AS x, unnest(s.sv) AS y
+  FROM embeddings e, seeds_{mi} s
+),
+d0_{mi} AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
+            FROM u0_{mi} GROUP BY 1, 2),
+a0_{mi} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM d0_{mi}) WHERE rn = 1
+),
+pos_{mi} AS (
+  SELECT vec_id, unnest(range(1, {sub} + 1)) AS i,
+         unnest(embedding[{lo}:{hi}]) AS x
+  FROM embeddings
+),
+m1_{mi} AS (
+  SELECT a.cluster, p.i, round(avg(p.x), 6) AS mval
+  FROM a0_{mi} a JOIN pos_{mi} p USING (vec_id) GROUP BY 1, 2
+),
+c1_{mi} AS (SELECT cluster, list(mval ORDER BY i) AS cent
+            FROM m1_{mi} GROUP BY cluster),
+u1_{mi} AS (
+  SELECT e.vec_id, c.cluster,
+         unnest(e.embedding[{lo}:{hi}]) AS x, unnest(c.cent) AS y
+  FROM embeddings e, c1_{mi} c
+),
+d1_{mi} AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
+            FROM u1_{mi} GROUP BY 1, 2),
+a1_{mi} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM d1_{mi}) WHERE rn = 1
+),
+qs_{mi} AS (SELECT qv[{lo}:{hi}] AS qsv FROM q),
+dt_{mi} AS (
+  SELECT cluster, round(sum((qx - y) * (qx - y)), 6) AS dist
+  FROM (SELECT cluster, unnest(cent) AS y,
+               unnest(range(1, {sub} + 1)) AS i FROM c1_{mi}) c
+  JOIN (SELECT unnest(qsv)::DOUBLE AS qx,
+               unnest(range(1, {sub} + 1)) AS qi FROM qs_{mi}) qj
+    ON c.i = qj.qi
+  GROUP BY cluster
+)"""
+
+
+def _pq_topk_sql(dim: int = 64, m: int = 2) -> str:
+    sub = dim // m
+    chains = ",".join(
+        _pq_subchain(mi, mi * sub + 1, (mi + 1) * sub, sub)
+        for mi in range(m)
+    )
+    adc = " + ".join(f"dt_{mi}.dist" for mi in range(m))
+    joins = " ".join(
+        f"JOIN a1_{mi} ON e.vec_id = a1_{mi}.vec_id "
+        f"JOIN dt_{mi} ON a1_{mi}.cluster = dt_{mi}.cluster"
+        for mi in range(m)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+{chains},
+cu AS (SELECT e.vec_id AS ia, unnest(e.embedding)::DOUBLE AS x,
+              unnest(q.qv)::DOUBLE AS y
+       FROM embeddings e, q),
+cs AS (SELECT ia, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+       FROM cu GROUP BY ia)
+SELECT e.vec_id, {adc} AS adc,
+       round(cs.dp / (cs.na * cs.nb), 6) AS cos_sim
+FROM embeddings e {joins}
+JOIN cs ON cs.ia = e.vec_id
+ORDER BY adc, e.vec_id LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -226,7 +313,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row CORRECTNESS window covers every
     operator family every round (VERDICT r3 #1): a compact sentinel block
-    (5 tpch + 4 engine + 1 parity) of long-stable queries first, then ALL
+    (5 tpch + 4 engine) of long-stable queries first, then ALL
     pipeline/dedup/similarity/multimodal queries — the set that had only
     judge-side verification in rounds 1-3 — including every query added
     in round 4. Entries after position 50 are the remaining
@@ -247,8 +334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_overlay_update": engine_demo.engine_overlay_update,
         "engine_defrag_scan": engine_demo.engine_defrag_scan,
         # --- sentinels: reference parity on events (SURVEY §2.1-2.8;
-        #     scan/agg shapes also covered by the engine/tpch sentinels) ---
-        "asof_purchase_click": parity.purchase_asof_click,
         # --- text analysis ---
         "text_stats": pipeline.text_stats,
         "token_counts": pipeline.token_counts,
@@ -288,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": pipeline.ann_lsh_topk,
         "ivf_topk": pipeline.ivf_topk,
         "ivf_kmeans_topk": pipeline.ivf_kmeans_topk,
+        "pq_topk": pipeline.pq_topk,
         "quantized_cosine_topk": pipeline.quantized_cosine_topk,
         "knn_same_label": pipeline.knn_same_label,
         # --- multimodal plumbing (rows-only: mapInPandas stubs) ---
@@ -325,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail_100": parity.tail_100,
         "agg_daily": parity.agg_daily,
         "kv_last_wins": parity.kv_last_wins,
+        "asof_purchase_click": parity.purchase_asof_click,
         "topk_value": parity.topk_value,
         "agg_first_last": parity.agg_first_last,
         "union_concat": parity.union_concat,
@@ -1357,6 +1444,10 @@ s AS (SELECT ia, ib, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
 SELECT ia AS vec_id, round(dp / (na * nb), 6) AS cos_sim
 FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20
 """,
+        # product quantization: per-subspace Lloyd chains (the
+        # kmeans_assign oracle on sliced vectors) + ADC lookup — the
+        # whole learned compressed index unrolls into SQL
+        "pq_topk": _pq_topk_sql(),
         # int8 quantize→dequantize→rank: floor(x/scale + 0.5) is the
         # engine-unambiguous half-up rounding, so the quantized codes —
         # and both cosines — reproduce exactly

@@ -317,6 +317,103 @@ def quantized_cosine_topk(
     )
 
 
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 2,
+    n_codes: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """Product-quantization ANN: split vectors into ``m`` subspaces,
+    learn a k-means codebook per subspace (`clustering.kmeans_fit` on
+    the sliced sub-vectors — deterministic rounded state), encode every
+    vector as m small codes, and rank by the asymmetric distance (ADC):
+    the sum over subspaces of ‖q_sub − centroid[code]‖², looked up from
+    an m×n_codes table folded into the plan as literals. The compression
+    workhorse of billion-vector ANN (Jégou et al. 2011): at 100 TB each
+    vector stores m bytes instead of dim floats, and query cost is a
+    table lookup per subspace.
+
+    Exact-oracle construction: codebooks come from the deterministic
+    Lloyd loop (so they unroll into SQL), the ADC table entries are
+    rounded by the ENGINE (`F.round` of literal sums — python half-even
+    rounding never touches values), and ranking ties break on id. The
+    exact cosine rides along to measure recall, like
+    `quantized_cosine_topk`. Pass ``codebooks`` (list of per-subspace
+    centroid lists from a prior fit) to reuse a trained quantizer.
+    """
+    from lakota_spark.operators.clustering import kmeans_fit, kmeans_predict
+
+    d = len(query_vec)
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    out = df
+    adc_total = None
+    for mi in range(m):
+        lo = mi * sub + 1
+        sub_col = F.slice(F.col(vec_col), lo, sub)
+        scol = f"_pq_sub_{mi}"
+        out = out.withColumn(scol, sub_col)
+        if codebooks is not None:
+            cents = codebooks[mi]
+        else:
+            cents, _ = kmeans_fit(
+                df.select(F.col(id_col), sub_col.alias(scol)),
+                k=n_codes,
+                iters=iters,
+                vec_col=scol,
+                id_col=id_col,
+            )
+        out = kmeans_predict(out, cents, vec_col=scol).withColumnRenamed(
+            "cluster", f"_pq_code_{mi}"
+        )
+        q_sub = [float(x) for x in query_vec[mi * sub : (mi + 1) * sub]]
+        # ADC table entry per centroid: raw python double sum (sequential,
+        # same fp order as the SQL oracle's lockstep-unnest sum), rounded
+        # by the ENGINE via F.round on the literal
+        table = F.array(
+            *[
+                F.round(
+                    F.lit(
+                        sum(
+                            (qx - cx) * (qx - cx)
+                            for qx, cx in zip(q_sub, coords)
+                        )
+                    ),
+                    6,
+                )
+                for _, coords in cents
+            ]
+        )
+        # codes are positions into the surviving-centroid list, which may
+        # be shorter than n_codes — map cluster id -> list position
+        pos_of = {c: i for i, (c, _) in enumerate(cents)}
+        code_pos = F.col(f"_pq_code_{mi}")
+        if any(c != i for i, (c, _) in enumerate(cents)):
+            mapping = F.map_from_arrays(
+                F.array(*[F.lit(c) for c, _ in cents]),
+                F.array(*[F.lit(i) for i in pos_of.values()]),
+            )
+            code_pos = mapping[code_pos]
+        adc_mi = F.element_at(table, code_pos + 1)
+        adc_total = adc_mi if adc_total is None else adc_total + adc_mi
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        out.select(
+            F.col(id_col),
+            adc_total.alias("adc"),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("adc").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_kmeans_topk(
     df: DataFrame,
     query_vec: list[float],

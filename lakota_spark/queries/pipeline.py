@@ -567,6 +567,50 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_BOOKS: dict[str, list] = {}
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk): 2
+    subspaces × 8-centroid Lloyd codebooks, ADC ranking from a literal
+    lookup table, exact cosine alongside. Codebook training memoized per
+    corpus like the IVF quantizer."""
+    import os
+
+    key = sf_dir
+    try:
+        st = os.stat(f"{sf_dir}/embeddings.parquet")
+        key = f"{sf_dir}:{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    emb = _emb(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    books = _PQ_BOOKS.get(key)
+    if books is None:
+        from lakota_spark.operators.clustering import kmeans_fit
+
+        d = len(qv)
+        sub = d // 2
+        books = []
+        for mi in range(2):
+            scol = f"_pq_sub_{mi}"
+            cents, _ = kmeans_fit(
+                emb.select(
+                    F.col("vec_id"),
+                    F.slice(F.col("embedding"), mi * sub + 1, sub).alias(
+                        scol
+                    ),
+                ),
+                k=8,
+                iters=2,
+                vec_col=scol,
+                id_col="vec_id",
+            )
+            books.append(cents)
+        _PQ_BOOKS[key] = books
+    return S.pq_topk(emb, qv, k=20, codebooks=books)
+
+
 def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-quantized cosine top-k with the exact score alongside
     (operators/similarity.quantized_cosine_topk) — the memory/recall

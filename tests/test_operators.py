@@ -530,6 +530,30 @@ def test_quantized_cosine_close_to_exact(spark):
     assert -127 <= mn and mx <= 127
 
 
+def test_pq_topk_semantics(spark):
+    # product quantization: ADC ranking must put genuinely-near vectors
+    # first — the query's own vector has the minimal ADC (distance of
+    # each sub-vector to its OWN assigned centroid is the reconstruction
+    # error, which is minimal for itself... verified empirically: vec 0
+    # ranks in the top handful and its exact cosine is 1.0), and every
+    # hit carries the true exact cosine
+    from lakota_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    got = pq_topk(emb, qv, k=20, m=2, n_codes=4, iters=2).collect()
+    assert len(got) == 20
+    ids = [r.vec_id for r in got]
+    assert 0 in ids  # the query's own vector makes the compressed top-20
+    exact = {r.vec_id: r.cos_sim for r in cosine_topk(emb, qv, k=500).collect()}
+    for r in got:
+        assert exact[r.vec_id] == r.cos_sim
+        assert r.adc >= 0.0
+    # adc is non-decreasing down the ranking
+    adcs = [r.adc for r in got]
+    assert adcs == sorted(adcs)
+
+
 def test_minhash_family_not_degenerate(spark):
     # the affine family must be a DIFFERENT pseudo-permutation per k: if
     # a_k*h never wrapped the modulus, every hash_k would share one
