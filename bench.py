@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "repeated_span_flags",
     "ivf_kmeans_topk",
     "quantized_cosine_topk",
+    "pq_topk",
     # storage-engine read path (ingest happens on the discarded first
     # trial; timed best-of is snapshot resolution + pruned scan)
     "engine_range_scan",
