@@ -334,6 +334,45 @@ def test_trigram_accent_folding(spark, tmp_path):
     assert fold_accents_py("Fußball æon") == "Fußball æon"
 
 
+def test_search_index_edges(spark, tmp_path):
+    # regex-special chars in patterns stay LITERAL (contains, not regex);
+    # query terms absent from the corpus contribute nothing; terms
+    # colliding into one hash bucket still resolve per-term
+    from lakota_spark.operators.search_index import (
+        search_bm25_index,
+        search_trigram_index,
+        write_bm25_index,
+        write_trigram_index,
+    )
+    from lakota_spark.operators.trigram import trigram_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "price is $1.50 today"),
+            (2, "price is $1X50 today"),
+            (3, "spark streams data"),
+        ],
+        "doc_id long, text string",
+    )
+    # '.' must not act as a wildcard: only doc 1 contains "$1.50"
+    assert {r.doc_id for r in trigram_search(docs, "$1.50").collect()} == {1}
+    tpath = str(tmp_path / "tg")
+    write_trigram_index(docs, tpath)
+    got = {
+        r.doc_id
+        for r in search_trigram_index(spark, tpath, "$1.50", corpus=docs).collect()
+    }
+    assert got == {1}
+    # bm25: one query term missing from the corpus entirely
+    bpath = str(tmp_path / "bm")
+    write_bm25_index(docs, bpath, n_buckets=2)  # forces bucket collisions
+    out = search_bm25_index(
+        spark, bpath, ["spark", "zzz-missing"], n_buckets=2
+    ).collect()
+    assert [r.doc_id for r in out] == [3]
+    assert out[0].bm25 > 0
+
+
 def test_trigram_index_short_texts(spark):
     # Spark's sequence(1, 0) DESCENDS: docs shorter than 3 chars must
     # contribute NO postings (not bogus ''/1-char/2-char "trigrams")
