@@ -469,3 +469,166 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("long").alias("o_year"),
     ).agg(money_sum(_DISC_PRICE(), 10000).alias("sum_profit"))
+
+
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-flavored (adapted: the testdata lineitem has no
+    l_commitdate/l_receiptdate, so "late" = shipped more than 60 days
+    after the order date): suppliers who were the SOLE late supplier on a
+    finished multi-supplier order.
+
+    Exercises Q21's signature shape — a semi-join ("another supplier took
+    part") AND an anti-join ("no OTHER supplier was late") against the
+    same fact table, then a dim join + count. Plan shape for scale: the
+    late-lines relation is filtered before both self-joins; both
+    self-joins are equi-joins on l_orderkey (co-partitioned shuffle,
+    reused exchange); supplier is broadcast.
+    """
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        l.join(o.select("o_orderkey", "o_orderdate"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    multi = late.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    late2 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole = multi.join(
+        late2,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-flavored (adapted: no partsupp, so a part's "value" is
+    its discounted shipped revenue rather than supplycost × availqty):
+    parts whose value exceeds 1.3× the average part value — the
+    scalar-aggregate subquery pattern. (TPC-H scales Q11's fraction by
+    1/SF; anchoring to the average is the equivalent scale-robust cut
+    for this near-uniform synthetic distribution.)
+
+    The fraction test is done on the EXACT integer (cents) sums —
+    ``10 * part_cents * n_parts > 13 * total_cents`` — so the cut is
+    bitwise reproducible on any engine and any partitioning. The total
+    is a one-row broadcast (cross join) — no second scan of the fact
+    table, and at 100 TB the per-part aggregate is the only real
+    shuffle.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    cents = F.sum(
+        F.round(_DISC_PRICE() * 10000).cast("long")
+    )
+    per_part = l.groupBy("l_partkey").agg(cents.alias("part_cents"))
+    total = per_part.agg(
+        F.sum("part_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(
+            F.lit(10) * F.col("part_cents") * F.col("n_parts")
+            > F.lit(13) * F.col("total_cents")
+        )
+        .select(
+            "l_partkey",
+            (F.col("part_cents") / F.lit(10000.0)).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-flavored (adapted: the part↔supplier bridge is the
+    distinct (l_partkey, l_suppkey) pairs actually shipped, standing in
+    for partsupp; the "customer complaints" exclusion keeps its NOT-IN →
+    anti-join shape using s_acctbal < 0): distinct supplier count per
+    (p_brand, p_type, p_size).
+
+    Plan shape for scale: the bridge distinct partial-aggregates
+    map-side; the exclusion list is a broadcast anti-join; part is
+    broadcast; countDistinct expands once (single count-distinct column).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bridge = l.select("l_partkey", "l_suppkey").distinct()
+    excluded = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    kept = bridge.join(
+        F.broadcast(excluded),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        kept.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q20_promotion_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-flavored (adapted: no partsupp availqty, so the "half
+    the shipped quantity" test compares a supplier's 1997 shipped
+    quantity of a PROMO part against half that part's total): suppliers
+    who shipped MORE than half of some PROMO part's 1997 volume.
+
+    The half test is exact on integer quantity units
+    (``2 * supp_units > part_units``). Plan shape for scale: the PROMO +
+    year filters reach the lineitem scan before the aggregate; per-part
+    totals derive from the per-(part,supplier) aggregate (no second
+    lineitem scan); the qualifying pairs semi-join into the broadcast
+    supplier dim.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    units = F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+    shipped = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(units.alias("supp_units"))
+    )
+    part_tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_units").alias("part_units")
+    )
+    qualifying = shipped.join(
+        part_tot, F.col("l_partkey") == F.col("pk")
+    ).where(F.lit(2) * F.col("supp_units") > F.col("part_units"))
+    return (
+        s.join(
+            qualifying.select(F.col("l_suppkey").alias("qk")).distinct(),
+            F.col("s_suppkey") == F.col("qk"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

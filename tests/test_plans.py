@@ -279,3 +279,51 @@ def test_gap_fill_no_global_window(spark):
     df = pipeline.gap_fill_daily(spark, SF)
     plan = plans.explain_str(df, "simple")
     assert "SinglePartition" not in plan, plan
+
+
+def test_q21_self_joins_are_equi(spark):
+    # Q21's EXISTS/NOT-EXISTS self-joins must compile to equi-joins on
+    # l_orderkey (the <> supplier test is a residual condition), never a
+    # cartesian/nested-loop — that's the difference between a shuffle and
+    # an n^2 explosion on a 100 TB lineitem.
+    df = tpch.q21_suppliers_waiting(spark, SF)
+    strategies = plans.join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "SortMergeJoin" in strategies or "ShuffledHashJoin" in strategies
+
+
+def test_q21_status_filter_reaches_orders_scan(spark):
+    df = tpch.q21_suppliers_waiting(spark, SF)
+    assert any(
+        "EqualTo(o_orderstatus,F)" in f for f in plans.pushed_filters(df)
+    )
+
+
+def test_q11_single_scalar_broadcast(spark):
+    # The total is a one-row broadcast: exactly one join in the whole
+    # plan (the scalar cross-join), and the fact scan reads only the
+    # three columns the aggregate needs.
+    df = tpch.q11_important_parts(spark, SF)
+    strategies = plans.join_strategies(df)
+    assert strategies == ["BroadcastNestedLoopJoin"]
+    cols = plans.scan_columns(df)
+    assert {"l_partkey", "l_extendedprice", "l_discount"} <= cols
+    assert "l_orderkey" not in cols and "l_shipdate" not in cols
+    assert plans.has_partial_aggregation(df)
+
+
+def test_q16_exclusion_is_broadcast_anti(spark):
+    df = tpch.q16_supplier_counts(spark, SF)
+    strategies = plans.join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "BroadcastHashJoin" in strategies
+
+
+def test_q20_year_filter_reaches_scan(spark):
+    df = tpch.q20_promotion_share(spark, SF)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "GreaterThanOrEqual(l_shipdate,1997" in pushed
+    assert "LessThan(l_shipdate,1998" in pushed
+    assert "CartesianProduct" not in plans.join_strategies(df)
