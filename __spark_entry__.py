@@ -192,6 +192,52 @@ s AS (SELECT ia, ib, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
       FROM u GROUP BY ia, ib)"""
 
 
+# The unrolled 2-iteration Lloyd chain from deterministic seeds — shared by
+# the kmeans_assign oracle and every oracle that blocks on its clusters
+# (semdedup_top_pairs). Mirrors `operators/clustering.kmeans_fit` exactly:
+# 6-decimal rounded distances/means, ties to the smaller cluster id.
+_KMEANS_CTES = """seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+u0 AS (
+  SELECT e.vec_id, s.cluster,
+         unnest(e.embedding) AS x, unnest(s.embedding) AS y
+  FROM embeddings e, seeds s
+),
+d0 AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
+       FROM u0 GROUP BY 1, 2),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM d0) WHERE rn = 1
+),
+pos AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+m1 AS (
+  SELECT a.cluster, p.i, round(avg(p.x), 6) AS m
+  FROM a0 a JOIN pos p USING (vec_id) GROUP BY 1, 2
+),
+c1 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM m1 GROUP BY cluster),
+u1 AS (
+  SELECT e.vec_id, c.cluster,
+         unnest(e.embedding) AS x, unnest(c.cent) AS y
+  FROM embeddings e, c1 c
+),
+d1 AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
+       FROM u1 GROUP BY 1, 2),
+af AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM d1) WHERE rn = 1
+)"""
+
+
 def _lsh_bucket_cte(planes: int = 8) -> str:
     """Reproduce `operators/similarity.lsh_bucket` exactly: hyperplane p's
     coefficient for element i is ±1 by the parity of hash32(f"{p},{i}"),
@@ -348,8 +394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_search_indexed": pipeline.trigram_search_indexed,
         "trigram_accent_search": pipeline.trigram_accent_search,
         "trigram_posting_stats": pipeline.trigram_posting_stats,
+        "unigram_lm_quality": pipeline.unigram_lm_quality,
         "decontaminate_flag": pipeline.decontaminate_flag,
         "stratified_sample_mix": pipeline.stratified_sample_mix,
+        "lang_mixture_weights": pipeline.lang_mixture_weights,
         "pack_sequences_demo": pipeline.pack_sequences_demo,
         # --- composite cleaning pass ---
         "pretrain_clean": pipeline.pretrain_clean,
@@ -364,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": pipeline.bm25_topk_indexed,
         "near_dup_gate": pipeline.near_dup_gate,
         "kmeans_assign": pipeline.kmeans_assign,
+        "semdedup_top_pairs": pipeline.semdedup_top_pairs,
         "pii_scrub_stats": pipeline.pii_scrub_stats,
         "doc_repetition_stats": pipeline.doc_repetition_stats,
         "repeated_span_flags": pipeline.repeated_span_flags,
@@ -565,6 +614,39 @@ WHERE EXISTS (
   SELECT 1 FROM shipped JOIN part_tot ON l_partkey = pk
   WHERE l_suppkey = s_suppkey AND 2 * supp_units > part_units)
 ORDER BY s_name
+""",
+        "lang_mixture_weights": """
+WITH g AS (
+  SELECT lang, count(*) AS n_docs,
+         round(pow(count(*), 0.3) * 1000000)::BIGINT AS p_lo,
+         round(pow(count(*), 0.7) * 1000000)::BIGINT AS p_hi
+  FROM documents GROUP BY lang
+),
+t AS (SELECT sum(n_docs) AS total, sum(p_lo) AS p_lo_tot,
+             sum(p_hi) AS p_hi_tot FROM g)
+SELECT lang, n_docs,
+       n_docs * 1.0 / total AS nat_share,
+       round(p_lo * 1.0 / p_lo_tot, 6) AS w_alpha_lo,
+       round(p_hi * 1.0 / p_hi_tot, 6) AS w_alpha_hi,
+       round((p_lo * 1.0 / p_lo_tot) / (n_docs * 1.0 / total), 6)
+         AS boost_alpha_lo
+FROM g, t
+""",
+        "unigram_lm_quality": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+stats AS (SELECT sum(c) AS total, count(*) AS v FROM vocab),
+lp AS (
+  SELECT token, round(ln((c + 1.0) / (total + v)) * 1000000)::BIGINT AS lp_micro
+  FROM vocab, stats
+)
+SELECT doc_id, count(*) AS n_tokens,
+       sum(lp_micro) * 1.0 / (count(*) * 1000000) AS avg_logprob
+FROM tok JOIN lp USING (token)
+GROUP BY doc_id
 """,
         "tpch_q4_exists": """
 SELECT o_orderpriority, count(*) AS order_count
@@ -1067,45 +1149,23 @@ FROM aug
         # k-means unrolled: each Lloyd iteration is a pure function of the
         # data once centroids/distances round to 6 decimals and ties break
         # on cluster id — so the ITERATIVE operator still oracles exactly.
-        "kmeans_assign": """
-WITH seeds AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
-),
-u0 AS (
-  SELECT e.vec_id, s.cluster,
-         unnest(e.embedding) AS x, unnest(s.embedding) AS y
-  FROM embeddings e, seeds s
-),
-d0 AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
-       FROM u0 GROUP BY 1, 2),
-a0 AS (
-  SELECT vec_id, cluster FROM (
-    SELECT vec_id, cluster,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-    FROM d0) WHERE rn = 1
-),
-pos AS (
-  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
-         unnest(embedding) AS x
-  FROM embeddings
-),
-m1 AS (
-  SELECT a.cluster, p.i, round(avg(p.x), 6) AS m
-  FROM a0 a JOIN pos p USING (vec_id) GROUP BY 1, 2
-),
-c1 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM m1 GROUP BY cluster),
-u1 AS (
-  SELECT e.vec_id, c.cluster,
-         unnest(e.embedding) AS x, unnest(c.cent) AS y
-  FROM embeddings e, c1 c
-),
-d1 AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
-       FROM u1 GROUP BY 1, 2)
-SELECT vec_id, cluster FROM (
-  SELECT vec_id, cluster,
-         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-  FROM d1) WHERE rn = 1
+        "kmeans_assign": f"""
+WITH {_KMEANS_CTES}
+SELECT vec_id, cluster FROM af
+""",
+        "semdedup_top_pairs": f"""
+WITH {_KMEANS_CTES},
+p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         ea.embedding AS ea, eb.embedding AS eb
+  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),{_COSINE_PAIR_CTE}
+SELECT s.ia AS id_a, s.ib AS id_b, af.cluster AS cluster,
+       round(dp / (na * nb), 6) AS cos_sim
+FROM s JOIN af ON s.ia = af.vec_id
+ORDER BY cos_sim DESC, id_a, id_b LIMIT 25
 """,
         "near_dup_gate": f"""
 WITH {_SHINGLES_CTE},

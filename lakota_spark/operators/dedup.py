@@ -739,3 +739,61 @@ def _dedup_clusters_star(
             ),
         )
     )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    top: int = 25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication that blocks
+    the pairwise cosine search by K-MEANS CLUSTER instead of by an LSH
+    signature — near-duplicates land in the same semantic cluster, so
+    only intra-cluster pairs are scored. Returns the top near-duplicate
+    candidate pairs (id_a < id_b, their shared cluster, cosine).
+
+    Composition: `clustering.kmeans_assign` (deterministic seeds,
+    6-decimal rounded state — the iterative loop with an exact unrolled
+    SQL oracle) supplies the blocking key; the pair join is an equi-join
+    on that key.
+
+    Scale shape: the cluster assignment is a zero-shuffle broadcast
+    argmin; the candidate join is an equi-join on cluster whose
+    per-block cost is (n/k)² — k grows with the corpus in a real
+    SemDeDup deployment (×100k clusters for web-scale), keeping blocks
+    bounded exactly like `embedding_dup_pairs`' LSH buckets. Ranking is
+    TakeOrderedAndProject: only `top` rows cross the wire.
+    """
+    from lakota_spark.functions import cosine
+    from lakota_spark.operators.clustering import kmeans_assign
+
+    assigned = kmeans_assign(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    e = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    a = e.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("ea"),
+    )
+    b = e.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("eb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cluster") == F.col("cluster_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "cluster",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
+        .limit(top)
+    )

@@ -140,3 +140,54 @@ def pack_sequences(
         "pack_id",
         ((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+    alphas: tuple[float, float] = (0.3, 0.7),
+) -> DataFrame:
+    """Temperature-based sampling weights for a multi-domain/multilingual
+    training mixture (the multilingual-LM recipe from mBERT/XLM-R:
+    ``p_i ∝ c_i^alpha`` flattens the natural distribution so low-resource
+    groups are upsampled; alpha=1 keeps natural frequencies, alpha→0
+    approaches uniform). Returns per-group natural share, the exponented
+    weight at each alpha, and the resulting up/down-sampling boost.
+
+    Engine-reproducible: each group's ``c^alpha`` quantizes to integer
+    micro-units BEFORE the normalizing sum (exact long addition, any
+    order/partitioning); every emitted ratio is a single deterministic
+    double division of exact integers, rounded once at 6 decimals.
+
+    Scale shape: one partial-aggregating count per group (the only
+    shuffle), a one-row broadcast of the normalizers, map-side ratios —
+    group cardinality (languages/domains) is tiny by construction.
+    """
+    a_lo, a_hi = alphas
+    g = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    g = g.select(
+        group_col,
+        "n_docs",
+        F.round(F.pow(F.col("n_docs"), F.lit(a_lo)) * 1000000)
+        .cast("long")
+        .alias("p_lo"),
+        F.round(F.pow(F.col("n_docs"), F.lit(a_hi)) * 1000000)
+        .cast("long")
+        .alias("p_hi"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum("p_lo").alias("p_lo_tot"),
+        F.sum("p_hi").alias("p_hi_tot"),
+    )
+    share = F.col("n_docs") / F.col("total")
+    w_lo = F.col("p_lo") / F.col("p_lo_tot")
+    w_hi = F.col("p_hi") / F.col("p_hi_tot")
+    return g.join(F.broadcast(tot)).select(
+        F.col(group_col),
+        F.col("n_docs"),
+        share.alias("nat_share"),
+        F.round(w_lo, 6).alias("w_alpha_lo"),
+        F.round(w_hi, 6).alias("w_alpha_hi"),
+        F.round(w_lo / share, 6).alias("boost_alpha_lo"),
+    )

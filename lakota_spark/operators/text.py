@@ -355,3 +355,65 @@ def pii_scrub(
     for name in kinds or sorted(PII_PATTERNS):
         out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
     return df.withColumn(text_col, out)
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-one-
+    smoothed unigram LM on the corpus itself, then score every document
+    by its average token log-probability (a perplexity proxy — low
+    scores mark boilerplate-free rare-token junk, high scores mark
+    head-distribution text). The CCNet pipeline buckets a crawl into
+    head/middle/tail by exactly this kind of LM score.
+
+    Engine-reproducible by construction: per-token log-probs quantize to
+    integer micro-nats (``round(ln(p) * 1e6)::BIGINT``) BEFORE the
+    per-document sum, so the fold is exact long addition — order- and
+    partitioning-independent — and the final ``sum / (n * 1e6)`` is one
+    deterministic double division (same discipline as
+    `functions.money_sum`).
+
+    Scale shape: one token explode feeding two aggregates (vocab count,
+    then per-doc sum) plus one token-keyed equi-join of the exploded
+    relation against the vocab. Both aggregates partial-combine map-side.
+    The vocab join key is Zipf-skewed ("the" dominates) — AQE skew-join
+    splits the hot partitions; when the vocab fits executor memory Spark
+    broadcasts it outright. Documents with zero alphabetic tokens carry
+    no LM evidence and are omitted (join semantics, documented).
+    """
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+    )
+    tok = df.select(F.col(id_col), F.explode(words).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    stats = vocab.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    lp = vocab.join(F.broadcast(stats)).select(
+        "token",
+        F.round(
+            F.log((F.col("c") + F.lit(1.0)) / (F.col("total") + F.col("v")))
+            * 1000000
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        tok.join(lp, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("sum_lp"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (
+                F.col("sum_lp")
+                / (F.col("n_tokens") * F.lit(1000000))
+            ).alias("avg_logprob"),
+        )
+    )

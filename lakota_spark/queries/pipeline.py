@@ -668,3 +668,23 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_p50"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy scoring: corpus-trained add-one
+    unigram LM, per-doc average token log-prob in exact micro-nats."""
+    return T.unigram_lm_scores(_docs(spark, sf_dir))
+
+
+def semdedup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means clusters as the dedup blocking key, intra-cluster
+    cosine ranking (operators/dedup.semdedup_pairs)."""
+    return D.semdedup_pairs(_emb(spark, sf_dir))
+
+
+def lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling weights over the documents
+    table (operators/sampling.mixture_weights, alpha = 0.3 / 0.7)."""
+    from lakota_spark.operators.sampling import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir), "lang")
