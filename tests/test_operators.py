@@ -1017,3 +1017,79 @@ def test_exactness_is_partition_independent(spark):
                     kmeans_assign(vecs.repartition(9), k=4, iters=2)
                     .collect()))
     assert ka == kb
+
+
+def test_unigram_lm_scores_semantics(spark):
+    # a doc made of corpus-frequent tokens must outscore a doc of
+    # hapaxes; scores are averages of negative log-probs (all < 0), and
+    # the fold is partition-independent (micro-nat integer discipline)
+    from lakota_spark.operators.text import unigram_lm_scores
+
+    common = "the cat sat on the mat " * 5
+    docs = spark.createDataFrame(
+        [(0, common), (1, common), (2, common), (3, "zyx qwv plk mnb")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_lm_scores(docs).collect()}
+    assert rows[0].avg_logprob == rows[1].avg_logprob
+    assert rows[0].avg_logprob > rows[3].avg_logprob
+    assert all(r.avg_logprob < 0 for r in rows.values())
+    a = sorted(map(tuple, unigram_lm_scores(docs).collect()))
+    b = sorted(map(tuple, unigram_lm_scores(docs.repartition(5)).collect()))
+    assert a == b
+
+
+def test_unigram_lm_skips_tokenless_docs(spark):
+    from lakota_spark.operators.text import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(0, "real words here"), (1, "12345 !!!"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in unigram_lm_scores(docs).collect()}
+    assert got == {0}
+
+
+def test_semdedup_blocks_by_cluster(spark):
+    # two tight, well-separated clusters: every returned pair must be
+    # intra-cluster, and the planted near-duplicate must rank first
+    from lakota_spark.operators.dedup import semdedup_pairs
+
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    rows = []
+    for i in range(10):
+        rows.append((i, [x + 0.01 * i for x in base_a]))
+        rows.append((100 + i, [x + 0.01 * i for x in base_b]))
+    rows.append((999, base_a))  # near-exact dup of vec 0
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_pairs(vecs, k=2, iters=2, top=5).collect()
+    assert out, "expected candidate pairs"
+    top = out[0]
+    assert {top.id_a, top.id_b} == {0, 999}
+    clusters = {r.vec_id: r.cluster for r in
+                __import__("lakota_spark.operators.clustering",
+                           fromlist=["kmeans_assign"])
+                .kmeans_assign(vecs, k=2, iters=2).collect()}
+    for r in out:
+        assert clusters[r.id_a] == clusters[r.id_b] == r.cluster
+
+
+def test_mixture_weights_flatten_distribution(spark):
+    from lakota_spark.operators.sampling import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 90 else "sw") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    rows = {r.lang: r for r in mixture_weights(docs, "lang").collect()}
+    # weights normalize
+    assert abs(sum(r.w_alpha_lo for r in rows.values()) - 1.0) < 1e-5
+    assert abs(sum(r.w_alpha_hi for r in rows.values()) - 1.0) < 1e-5
+    # temperature flattens: low-resource group gains, high-resource loses
+    assert rows["sw"].w_alpha_lo > rows["sw"].nat_share
+    assert rows["en"].w_alpha_lo < rows["en"].nat_share
+    # lower alpha flattens MORE
+    assert rows["sw"].w_alpha_lo > rows["sw"].w_alpha_hi
+    # boost column is the up-sampling factor
+    assert rows["sw"].boost_alpha_lo > 1.0 > rows["en"].boost_alpha_lo

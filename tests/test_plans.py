@@ -327,3 +327,34 @@ def test_q20_year_filter_reaches_scan(spark):
     assert "GreaterThanOrEqual(l_shipdate,1997" in pushed
     assert "LessThan(l_shipdate,1998" in pushed
     assert "CartesianProduct" not in plans.join_strategies(df)
+
+
+def test_unigram_lm_joins_are_hash_or_merge(spark):
+    # token->vocab is an equi-join (broadcast here; SMJ+AQE-skew at
+    # scale); the only nested-loop allowed is the one-row stats
+    # broadcast. Both aggregates must partial-combine map-side.
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.unigram_lm_quality(spark, SF)
+    strategies = plans.join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert strategies.count("BroadcastNestedLoopJoin") <= 1
+    assert plans.has_partial_aggregation(df)
+
+
+def test_semdedup_pair_join_is_equi(spark):
+    # the intra-cluster pair join must be an equi-join on the cluster
+    # key (id_a < id_b as residual), never a nested loop over n^2 pairs
+    from lakota_spark.queries import pipeline
+
+    strategies = plans.join_strategies(pipeline.semdedup_top_pairs(spark, SF))
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_mixture_weights_single_scalar_broadcast(spark):
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.lang_mixture_weights(spark, SF)
+    assert plans.join_strategies(df) == ["BroadcastNestedLoopJoin"]
+    assert plans.has_partial_aggregation(df)
