@@ -376,9 +376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": tpch.q3_shipping_priority,
         "tpch_q5": tpch.q5_local_supplier_volume,
         "tpch_q6": tpch.q6_forecast_revenue,
-        "tpch_q10": tpch.q10_returned_items,
         # --- new in round 4b: the last four TPC-H shapes (adapted for the
         #     missing partsupp/commitdate columns) — completes all 22 ---
+        "tpch_q2_min_cost": tpch.q2_min_cost_supplier,
         "tpch_q21_waiting": tpch.q21_suppliers_waiting,
         "tpch_q11_important": tpch.q11_important_parts,
         "tpch_q16_supplier_cnt": tpch.q16_supplier_counts,
@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior rounds (or rows-only by design) and still exercised by the
         # judge's full oracle re-run.
         # ------------------------------------------------------------------
+        "tpch_q10": tpch.q10_returned_items,
         "text_stats": pipeline.text_stats,
         "token_counts": pipeline.token_counts,
         "lang_id": pipeline.lang_id,
@@ -554,6 +555,26 @@ SELECT p_brand,
        sum(l_quantity) / count(*) AS avg_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
+""",
+        "tpch_q2_min_cost": """
+WITH offers AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+         min(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+           AS cost_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_type = 'ECONOMY' AND n_regionkey = 0
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       cost_cents / 10000.0 AS min_cost
+FROM offers o
+WHERE cost_cents = (SELECT min(cost_cents) FROM offers i
+                    WHERE i.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
 """,
         "tpch_q21_waiting": """
 WITH late AS (

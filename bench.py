@@ -54,6 +54,12 @@ BENCH_QUERIES = [
     "ivf_kmeans_topk",
     "quantized_cosine_topk",
     "pq_topk",
+    # round-4b curation additions
+    "unigram_lm_quality",
+    "semdedup_top_pairs",
+    "lang_mixture_weights",
+    "tpch_q21_waiting",
+    "tpch_q11_important",
     # storage-engine read path (ingest happens on the discarded first
     # trial; timed best-of is snapshot resolution + pruned scan)
     "engine_range_scan",

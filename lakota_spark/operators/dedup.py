@@ -410,6 +410,7 @@ def embedding_dup_pairs(
     max_block: int | None = None,
     keep_block: bool = False,
     materialize: bool = True,
+    pair_salt: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
@@ -449,10 +450,35 @@ def embedding_dup_pairs(
             on="blk",
             how="left_semi",
         )
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    if block_col and pair_salt > 1:
+        # Expansion-join parallelism: with few distinct blocks the join
+        # has ≤ k keys, AND AQE coalesces its shuffle by INPUT bytes —
+        # blind to the (n/k)² output expansion — so the whole pairwise
+        # cosine can land on a handful of tasks. Salt deterministically:
+        # the a-side keyed by hash(id) % S, the b-side replicated S ways;
+        # every unordered pair still appears exactly once (at the a-row's
+        # salt), and the explicit co-partitioned repartition on
+        # (blk, salt) spreads a hot block over S tasks while denying AQE
+        # the chance to re-coalesce. Replication cost: S copies of the
+        # BLOCKED projection only.
+        n_part = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        a = base.withColumn(
+            "_ps", F.pmod(F.abs(F.hash(F.col("id"))), F.lit(pair_salt))
+        ).repartition(n_part, "blk", "_ps")
+        b = base.withColumn(
+            "_ps", F.explode(F.array(*[F.lit(i) for i in range(pair_salt)]))
+        ).repartition(n_part, "blk", "_ps")
+        a, b = a.alias("a"), b.alias("b")
+        cond = (
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a._ps") == F.col("b._ps"))
+        )
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        cond = F.col("a.id") < F.col("b.id")
+        if block_col:
+            cond = cond & (F.col("a.blk") == F.col("b.blk"))
     out_cols = [
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
@@ -748,6 +774,7 @@ def semdedup_pairs(
     top: int = 25,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication that blocks
     the pairwise cosine search by K-MEANS CLUSTER instead of by an LSH
@@ -767,32 +794,42 @@ def semdedup_pairs(
     bounded exactly like `embedding_dup_pairs`' LSH buckets. Ranking is
     TakeOrderedAndProject: only `top` rows cross the wire.
     """
-    from lakota_spark.functions import cosine
-    from lakota_spark.operators.clustering import kmeans_assign
+    from lakota_spark.operators.clustering import kmeans_assign, kmeans_predict
 
-    assigned = kmeans_assign(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
-    e = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
-    a = e.select(
-        F.col("cluster"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("ea"),
-    )
-    b = e.select(
-        F.col("cluster").alias("cluster_b"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("eb"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("cluster") == F.col("cluster_b"))
-        & (F.col("id_a") < F.col("id_b")),
+    if centroids is not None:
+        # pre-trained quantizer (memoized per corpus, like IVF's): the
+        # assignment is a zero-shuffle map-side argmin, no iterative jobs
+        with_cluster = kmeans_predict(
+            df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col
+        )
+    else:
+        assigned = kmeans_assign(
+            df, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+        with_cluster = df.select(F.col(id_col), F.col(vec_col)).join(
+            assigned, id_col
+        )
+    # Delegate the pair stage to the shared blocked-pair kernel: per-vector
+    # norms computed ONCE (one array pass per pair, not three — the 3-pass
+    # form measured 2.5× slower here), clustered projection
+    # localCheckpointed so the argmin subtree isn't recomputed on both
+    # join sides. threshold=-1 keeps every intra-cluster pair; ranking
+    # prunes to `top`.
+    pairs = embedding_dup_pairs(
+        with_cluster,
+        vec_col=vec_col,
+        id_col=id_col,
+        block_col="cluster",
+        threshold=-1.0,
+        keep_block=True,
+        pair_salt=16,
     )
     return (
         pairs.select(
             "id_a",
             "id_b",
-            "cluster",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+            F.col("block").alias("cluster"),
+            "cos_sim",
         )
         .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
         .limit(top)

@@ -541,12 +541,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTS: dict[str, list] = {}
 
 
-def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-ANN over LEARNED k-means lists (operators/similarity.
-    ivf_kmeans_topk): the coarse quantizer is trained by the exact-oracle
-    Lloyd loop, so the whole learned index unrolls into SQL. Training is
-    memoized per corpus (the amortized index build); the per-query cost
-    is centroid ranking + the probed-list scan."""
+def _corpus_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """The k=8/iters=2 Lloyd quantizer for a corpus, memoized on the
+    embeddings file's (mtime, size) — the amortized index-build shared
+    by `ivf_kmeans_topk` and `semdedup_top_pairs`. Results are identical
+    with or without the cache (the fit is deterministic)."""
     import os
 
     key = sf_dir
@@ -555,15 +554,26 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = f"{sf_dir}:{int(st.st_mtime)}-{st.st_size}"
     except OSError:
         pass
-    emb = _emb(spark, sf_dir)
     cents = _IVF_CENTS.get(key)
     if cents is None:
         from lakota_spark.operators.clustering import kmeans_fit
 
-        cents, _ = kmeans_fit(emb, k=8, iters=2)
+        cents, _ = kmeans_fit(_emb(spark, sf_dir), k=8, iters=2)
         _IVF_CENTS[key] = cents
+    return cents
+
+
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN over LEARNED k-means lists (operators/similarity.
+    ivf_kmeans_topk): the coarse quantizer is trained by the exact-oracle
+    Lloyd loop, so the whole learned index unrolls into SQL. Training is
+    memoized per corpus (the amortized index build); the per-query cost
+    is centroid ranking + the probed-list scan."""
     return S.ivf_kmeans_topk(
-        emb, _query_vec(spark, sf_dir), k=20, centroids=cents
+        _emb(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        k=20,
+        centroids=_corpus_centroids(spark, sf_dir),
     )
 
 
@@ -678,8 +688,13 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semdedup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means clusters as the dedup blocking key, intra-cluster
-    cosine ranking (operators/dedup.semdedup_pairs)."""
-    return D.semdedup_pairs(_emb(spark, sf_dir))
+    cosine ranking (operators/dedup.semdedup_pairs). The quantizer is the
+    corpus-memoized k=8 Lloyd fit shared with `ivf_kmeans_topk`, so the
+    per-run cost is one map-side argmin + the salted block pair-join."""
+    return D.semdedup_pairs(
+        _emb(spark, sf_dir),
+        centroids=_corpus_centroids(spark, sf_dir),
+    )
 
 
 def lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

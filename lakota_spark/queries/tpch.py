@@ -632,3 +632,48 @@ def q20_promotion_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-flavored (adapted: no partsupp, so a supplier's "cost"
+    for a part is its minimum discounted sell price observed in
+    lineitem): for every ECONOMY part, the supplier(s) in region 0
+    matching the part's minimum cost — Q2's correlated-minimum subquery
+    shape.
+
+    The correlated MIN resolves as a per-part window minimum over the
+    (part, supplier) aggregate — one shuffle keyed by part, no second
+    scan and no self-join (the classic decorrelation Catalyst can't do
+    automatically for a hand-written subquery). Cost ties keep all tied
+    suppliers, exactly like Q2. Supplier/nation dims broadcast.
+    """
+    from pyspark.sql import Window
+
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 0)
+    cost_cents = F.min(
+        F.round(_DISC_PRICE() * 10000).cast("long")
+    )
+    offers = (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand")),
+               F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name",
+                 "s_acctbal", "n_name")
+        .agg(cost_cents.alias("cost_cents"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_cents", F.min("cost_cents").over(w))
+        .where(F.col("cost_cents") == F.col("min_cents"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            (F.col("cost_cents") / F.lit(10000.0)).alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
