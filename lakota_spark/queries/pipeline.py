@@ -28,12 +28,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # Single-file parquet arrives as ONE partition; every similarity/
+    # quantization query downstream does per-row vector math (interpreted
+    # higher-order functions — the expensive kind), so under-parallel
+    # input serializes it all. At cluster scale the scan is already
+    # multi-partition and the guard is a no-op.
+    from lakota_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    # raw read: a one-row probe shouldn't pay the repartition exchange
     row = (
-        _emb(spark, sf_dir)
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .where(F.col("vec_id") == vec_id)
         .select("embedding")
         .first()
@@ -394,8 +404,14 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-doc repetition quality signals
     (operators/text.repetition_stats) — zero-shuffle per-row array math.
     A duplicated-line block is injected into a deterministic doc slice so
-    the line-level signals are non-trivial on the single-line corpus."""
-    docs = _docs(spark, sf_dir)
+    the line-level signals are non-trivial on the single-line corpus.
+
+    The operator itself adds no shuffle (plan contract); the wrapper
+    round-robins the under-parallel single-file input so the per-row
+    gram math uses every core — a no-op on a well-partitioned scan."""
+    from lakota_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(_docs(spark, sf_dir))
     aug = docs.withColumn(
         "text",
         F.when(
