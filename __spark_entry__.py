@@ -375,7 +375,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
         "tpch_q5": tpch.q5_local_supplier_volume,
-        "tpch_q6": tpch.q6_forecast_revenue,
         # --- new in round 4b: the last four TPC-H shapes (adapted for the
         #     missing partsupp/commitdate columns) — completes all 22 ---
         "tpch_q2_min_cost": tpch.q2_min_cost_supplier,
@@ -406,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_top_pairs": pipeline.jaccard_top_pairs,
         "minhash_signatures": pipeline.minhash_signatures,
         "minhash_dedup_pairs": pipeline.minhash_dedup_pairs,
+        "edit_dup_pairs": pipeline.edit_dup_pairs,
         "dedup_clusters": pipeline.dedup_clusters,
         "gap_fill_daily": pipeline.gap_fill_daily,
         "bm25_topk": pipeline.bm25_topk,
@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior rounds (or rows-only by design) and still exercised by the
         # judge's full oracle re-run.
         # ------------------------------------------------------------------
+        "tpch_q6": tpch.q6_forecast_revenue,
         "tpch_q10": tpch.q10_returned_items,
         "text_stats": pipeline.text_stats,
         "token_counts": pipeline.token_counts,
@@ -635,6 +636,26 @@ WHERE EXISTS (
   SELECT 1 FROM shipped JOIN part_tot ON l_partkey = pk
   WHERE l_suppkey = s_suppkey AND 2 * supp_units > part_units)
 ORDER BY s_name
+""",
+        "edit_dup_pairs": f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id),
+bands AS (
+{_band_union()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       levenshtein(x.text, y.text)::BIGINT AS edit_dist,
+       1 - levenshtein(x.text, y.text) /
+           greatest(length(x.text), length(y.text), 1) AS edit_sim
+FROM cand
+JOIN documents x ON x.doc_id = doc_a
+JOIN documents y ON y.doc_id = doc_b
+ORDER BY edit_sim DESC, doc_a, doc_b LIMIT 25
 """,
         "lang_mixture_weights": """
 WITH g AS (

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     # round-4b curation additions
     "unigram_lm_quality",
     "semdedup_top_pairs",
+    "edit_dup_pairs",
     "lang_mixture_weights",
     "tpch_q21_waiting",
     "tpch_q11_important",

@@ -834,3 +834,61 @@ def semdedup_pairs(
         .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
         .limit(top)
     )
+
+
+def edit_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    top: int = 25,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Edit-distance near-duplicate verification: MinHash-LSH proposes
+    candidate pairs, Levenshtein on the raw text confirms them —
+    the character-level verify tier next to the token-level Jaccard one
+    (`jaccard_pairs`). Catches the near-dups shingle sets blur together
+    (small in-word edits, reorderings of rare tokens) and is the
+    standard second stage of RETSim/edit-similarity dedup pipelines.
+
+    Emits (doc_a < doc_b, edit_dist, edit_sim) for the top pairs by
+    normalized similarity ``1 - lev/max(len)`` — an exact int/int
+    division, so the oracle compare has zero float-tie risk.
+
+    Scale shape: candidates come from the banded equi-join (bounded by
+    ``max_bucket``); texts attach via two id-keyed equi-joins (shuffle
+    co-partitioned on doc id — never a corpus self-join); Levenshtein
+    runs JVM-side per candidate pair only. Ranking is
+    TakeOrderedAndProject.
+    """
+    sh = shingle_table(df, text_col=text_col, id_col=id_col, n=shingle_n)
+    sigs = minhash_signatures(sh, num_hashes=num_hashes)
+    cand = lsh_candidates(sigs, num_hashes=num_hashes, bands=bands,
+                          max_bucket=max_bucket)
+    ta = df.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta")
+    )
+    tb = df.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb")
+    )
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_dist"),
+            (
+                1
+                - lev
+                / F.greatest(
+                    F.length("_ta"), F.length("_tb"), F.lit(1)
+                )
+            ).alias("edit_sim"),
+        )
+        .orderBy(F.col("edit_sim").desc(), "doc_a", "doc_b")
+        .limit(top)
+    )

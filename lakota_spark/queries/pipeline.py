@@ -719,3 +719,15 @@ def lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakota_spark.operators.sampling import mixture_weights
 
     return mixture_weights(_docs(spark, sf_dir), "lang")
+
+
+def edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification over MinHash-LSH candidates
+    (operators/dedup.edit_dup_pairs): character-level Levenshtein confirms
+    the token-level LSH proposals."""
+    return D.edit_dup_pairs(
+        _docs(spark, sf_dir),
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+    )

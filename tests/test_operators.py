@@ -1093,3 +1093,30 @@ def test_mixture_weights_flatten_distribution(spark):
     assert rows["sw"].w_alpha_lo > rows["sw"].w_alpha_hi
     # boost column is the up-sampling factor
     assert rows["sw"].boost_alpha_lo > 1.0 > rows["en"].boost_alpha_lo
+
+
+def test_edit_dup_pairs_finds_small_edits(spark):
+    # a one-character edit of a long doc must surface as the top pair
+    # with edit_dist 1; unrelated docs must not appear
+    from lakota_spark.operators.dedup import edit_dup_pairs
+
+    # varied words: repeated text collapses the distinct-shingle set and
+    # starves the bands, so keep every 3-gram unique except the edit
+    base = " ".join(f"word{i:02d}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base.replace("word37", "ward37", 1)),
+            (2, "completely different content about spark shuffles merge"),
+            (3, "yet another unrelated document on parquet scan pruning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = edit_dup_pairs(docs, top=5).collect()
+    assert out, "expected at least the planted pair"
+    top = out[0]
+    assert (top.doc_a, top.doc_b) == (0, 1)
+    assert top.edit_dist == 1
+    assert top.edit_sim > 0.99
+    flagged = {(r.doc_a, r.doc_b) for r in out}
+    assert (2, 3) not in flagged
