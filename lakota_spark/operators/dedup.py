@@ -845,6 +845,7 @@ def edit_dup_pairs(
     shingle_n: int = 3,
     top: int = 25,
     max_bucket: int | None = 1000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Edit-distance near-duplicate verification: MinHash-LSH proposes
     candidate pairs, Levenshtein on the raw text confirms them —
@@ -862,11 +863,19 @@ def edit_dup_pairs(
     co-partitioned on doc id — never a corpus self-join); Levenshtein
     runs JVM-side per candidate pair only. Ranking is
     TakeOrderedAndProject.
+
+    Pass ``candidates`` (a (doc_a, doc_b) frame, e.g. a materialized
+    per-corpus candidate table) to skip generation — the multi-tier
+    architecture: sign+band ONCE per corpus, then every verify tier
+    (Jaccard, edit, embedding) reads the same candidate relation.
     """
-    sh = shingle_table(df, text_col=text_col, id_col=id_col, n=shingle_n)
-    sigs = minhash_signatures(sh, num_hashes=num_hashes)
-    cand = lsh_candidates(sigs, num_hashes=num_hashes, bands=bands,
-                          max_bucket=max_bucket)
+    if candidates is not None:
+        cand = candidates.select("doc_a", "doc_b")
+    else:
+        sh = shingle_table(df, text_col=text_col, id_col=id_col, n=shingle_n)
+        sigs = minhash_signatures(sh, num_hashes=num_hashes)
+        cand = lsh_candidates(sigs, num_hashes=num_hashes, bands=bands,
+                              max_bucket=max_bucket)
     ta = df.select(
         F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta")
     )

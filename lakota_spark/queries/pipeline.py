@@ -721,13 +721,28 @@ def lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(_docs(spark, sf_dir), "lang")
 
 
+def _ensure_candidate_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized LSH candidate-pair table, written once per corpus
+    (mtime-keyed like the trigram/BM25 indexes): shingle→sign→band runs
+    ONE time and every verify tier reads the same (doc_a, doc_b)
+    relation — the multi-tier dedup architecture at 100 TB, where the
+    signature pass is far too expensive to re-derive per tier."""
+    import os
+
+    path = _index_path(sf_dir, "lshcand")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        sh = D.shingle_table(_docs(spark, sf_dir), n=SHINGLE_N)
+        sh = sh.localCheckpoint(eager=False)
+        sigs = D.minhash_signatures(sh, num_hashes=NUM_HASHES)
+        cand = D.lsh_candidates(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+        cand.write.mode("overwrite").parquet(path)
+    return path
+
+
 def edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup verification over MinHash-LSH candidates
     (operators/dedup.edit_dup_pairs): character-level Levenshtein confirms
-    the token-level LSH proposals."""
-    return D.edit_dup_pairs(
-        _docs(spark, sf_dir),
-        num_hashes=NUM_HASHES,
-        bands=BANDS,
-        shingle_n=SHINGLE_N,
-    )
+    the token-level LSH proposals, read from the materialized per-corpus
+    candidate index."""
+    cand = spark.read.parquet(_ensure_candidate_index(spark, sf_dir))
+    return D.edit_dup_pairs(_docs(spark, sf_dir), candidates=cand)
