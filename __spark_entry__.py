@@ -374,7 +374,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- sentinels: relational suite (SURVEY §2.5 extension) ---
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
-        "tpch_q5": tpch.q5_local_supplier_volume,
         # --- new in round 4b: the last four TPC-H shapes (adapted for the
         #     missing partsupp/commitdate columns) — completes all 22 ---
         "tpch_q2_min_cost": tpch.q2_min_cost_supplier,
@@ -389,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_overlay_update": engine_demo.engine_overlay_update,
         "engine_defrag_scan": engine_demo.engine_defrag_scan,
         # --- text analysis ---
+        "winnow_fingerprint_stats": pipeline.winnow_fingerprint_stats,
         "trigram_search": pipeline.trigram_search,
         "trigram_search_indexed": pipeline.trigram_search_indexed,
         "trigram_accent_search": pipeline.trigram_accent_search,
@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior rounds (or rows-only by design) and still exercised by the
         # judge's full oracle re-run.
         # ------------------------------------------------------------------
+        "tpch_q5": tpch.q5_local_supplier_volume,
         "tpch_q6": tpch.q6_forecast_revenue,
         "tpch_q10": tpch.q10_returned_items,
         "text_stats": pipeline.text_stats,
@@ -636,6 +637,28 @@ WHERE EXISTS (
   SELECT 1 FROM shipped JOIN part_tot ON l_partkey = pk
   WHERE l_suppkey = s_suppkey AND 2 * supp_units > part_units)
 ORDER BY s_name
+""",
+        "winnow_fingerprint_stats": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(tk) - 4, 0)),
+    i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                          || ' ' || tk[i+3] || ' ' || tk[i+4]), 1, 8))::BIGINT
+  ) AS gh FROM toks
+),
+w AS (
+  SELECT doc_id, gh, list_distinct(list_transform(
+    generate_series(1, greatest(len(gh) - 3, 0)),
+    i -> list_min(gh[i:i+3]))) AS fp
+  FROM g
+)
+SELECT doc_id, len(gh)::BIGINT AS n_grams, len(fp)::BIGINT AS n_fps,
+       coalesce(list_sum(fp), 0)::BIGINT AS fp_sum,
+       list_min(fp) AS fp_min, list_max(fp) AS fp_max
+FROM w
 """,
         "edit_dup_pairs": f"""
 WITH {_SHINGLES_CTE},

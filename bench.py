@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "unigram_lm_quality",
     "semdedup_top_pairs",
     "edit_dup_pairs",
+    "winnow_fingerprint_stats",
     "lang_mixture_weights",
     "tpch_q21_waiting",
     "tpch_q11_important",

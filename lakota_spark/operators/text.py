@@ -417,3 +417,51 @@ def unigram_lm_scores(
             ).alias("avg_logprob"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every positional word
+    ``k``-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum. Guarantees every shared run of ``w+k-1`` words
+    between two documents contributes at least one shared fingerprint —
+    the local-sampling property plain MinHash lacks — so the selected
+    set supports partial-overlap/plagiarism detection, not just
+    whole-document similarity.
+
+    This emits the robust summary per document: fingerprint count, exact
+    long sum, min and max of the distinct selected hashes (set-equality
+    evidence without shipping the sets). The selection is ALL map-side
+    array math — zero shuffle, one corpus scan; hashes are md5-derived
+    (`functions.hash32`) so a SQL oracle reproduces them bit-for-bit.
+    """
+    from lakota_spark.functions import hash32, tokens, word_shingles
+
+    grams = F.transform(
+        word_shingles(tokens(text_col), k), lambda s: hash32(s)
+    )
+    n_win = F.size(grams) - F.lit(w - 1)
+    wins = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+            lambda i: F.array_min(F.slice(grams, i, w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    fp = F.array_distinct(wins)
+    return df.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(fp).cast("long").alias("n_fps"),
+        F.aggregate(
+            fp, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("fp_sum"),
+        F.array_min(fp).alias("fp_min"),
+        F.array_max(fp).alias("fp_max"),
+    )

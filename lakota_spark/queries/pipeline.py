@@ -746,3 +746,12 @@ def edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate index."""
     cand = spark.read.parquet(_ensure_candidate_index(spark, sf_dir))
     return D.edit_dup_pairs(_docs(spark, sf_dir), candidates=cand)
+
+
+def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection per document
+    (operators/text.winnow_fingerprints) — local-sampling guarantees for
+    partial-overlap detection, zero shuffle."""
+    from lakota_spark.operators.util import ensure_parallelism
+
+    return T.winnow_fingerprints(ensure_parallelism(_docs(spark, sf_dir)))

@@ -1120,3 +1120,42 @@ def test_edit_dup_pairs_finds_small_edits(spark):
     assert top.edit_sim > 0.99
     flagged = {(r.doc_a, r.doc_b) for r in out}
     assert (2, 3) not in flagged
+
+
+def test_winnow_local_sampling_guarantee(spark):
+    # the winnowing property: any shared word run of >= w+k-1 words
+    # (here 4+5-1 = 8) yields at least one SHARED fingerprint between
+    # the two docs; disjoint docs share nothing
+    from lakota_spark.functions import hash32, tokens, word_shingles
+    from lakota_spark.operators.text import winnow_fingerprints
+    from pyspark.sql import functions as F
+
+    shared = " ".join(f"common{i}" for i in range(10))  # 10-word run
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma " + shared + " delta epsilon zeta"),
+            (1, "one two three four five " + shared + " six seven"),
+            (2, " ".join(f"other{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r for r in winnow_fingerprints(docs).collect()}
+    assert stats[0].n_fps > 0 and stats[2].n_fps > 0
+    # recover the actual fingerprint sets to check overlap
+    grams = F.transform(word_shingles(tokens("text"), 5), lambda s: hash32(s))
+    n_win = F.size(grams) - F.lit(3)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+        lambda i: F.array_min(F.slice(grams, i, 4)),
+    )
+    fps = {
+        r.doc_id: set(r.fp)
+        for r in docs.select(
+            "doc_id", F.array_distinct(wins).alias("fp")
+        ).collect()
+    }
+    assert fps[0] & fps[1], "shared 10-word run must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    # summary columns agree with the recovered sets
+    assert stats[0].n_fps == len(fps[0])
+    assert stats[0].fp_sum == sum(fps[0])
