@@ -465,3 +465,33 @@ def winnow_fingerprints(
         F.array_min(fp).alias("fp_min"),
         F.array_max(fp).alias("fp_max"),
     )
+
+
+def quality_gate_col(
+    text_col: str = "text",
+    min_tokens: int = 25,
+    max_tokens: int = 5000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 8.0,
+    max_punct: float = 0.1,
+):
+    """Gopher/C4-style document-quality KEEP predicate as one boolean
+    Column: token-count window, mean-word-length window, punctuation
+    ratio cap. Every signal is per-row codegen (the same expressions as
+    `text_stats`), so the predicate applies identically to batch frames
+    and to streams — the stateless ingest filter every crawl pipeline
+    runs before anything stateful."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    spaces = F.length(t) - F.length(F.regexp_replace(t, r"\s", ""))
+    punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    mwl = (F.length(t) - spaces) / F.greatest(n_tok, F.lit(1))
+    pr = punct / F.greatest(F.length(t), F.lit(1))
+    return (
+        (n_tok >= F.lit(min_tokens))
+        & (n_tok <= F.lit(max_tokens))
+        & (mwl >= F.lit(min_mwl))
+        & (mwl <= F.lit(max_mwl))
+        & (pr <= F.lit(max_punct))
+    )

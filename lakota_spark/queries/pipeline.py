@@ -755,3 +755,14 @@ def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakota_spark.operators.util import ensure_parallelism
 
     return T.winnow_fingerprints(ensure_parallelism(_docs(spark, sf_dir)))
+
+
+def quality_gate_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming Gopher/C4 quality gate
+    (streaming/streaming_quality_gate — same expression graph): docs
+    clearing the token-count/word-length/punctuation rules."""
+    from lakota_spark.operators.text import quality_gate_col
+
+    return _docs(spark, sf_dir).where(quality_gate_col()).select(
+        "doc_id", "lang", "n_chars"
+    )

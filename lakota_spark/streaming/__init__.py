@@ -332,3 +332,18 @@ def stateful_running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_quality_gate(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    **thresholds,
+) -> DataFrame:
+    """Stateless Gopher/C4 quality gate on a document stream: per-row
+    token-count / word-length / punctuation rules
+    (`operators.text.quality_gate_col`), no watermark, no state, no
+    shuffle — the filter runs inside the micro-batch scan. Identical
+    expression graph batch-side, so the batch twin IS the oracle."""
+    from lakota_spark.operators.text import quality_gate_col
+
+    return stream_df.where(quality_gate_col(text_col, **thresholds))

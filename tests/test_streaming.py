@@ -244,3 +244,44 @@ def test_streaming_near_dup_vs_corpus(spark, tmp_path):
     out = streaming_near_dup_vs_corpus(batch, corpus, threshold=0.99)
     # at threshold .99 even the near-dup isn't similar enough -> both pass
     assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+def test_streaming_quality_gate(spark, tmp_path):
+    # stateless Gopher gate on a real micro-batch stream: batch twin on
+    # the same data is the oracle (identical expression graph)
+    import os as _os
+
+    from lakota_spark.operators.text import quality_gate_col
+    from lakota_spark.streaming import streaming_quality_gate
+
+    good = " ".join(f"token{i}" for i in range(30))          # passes
+    short = "too short"                                       # n_tok < 25
+    shouty = " ".join("!!!" for _ in range(30))               # punct + mwl
+    rows = [(1, good), (2, short), (3, shouty), (4, good + " extra words here")]
+    src = str(tmp_path / "qsrc")
+    _os.makedirs(src)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"file://{src}/b0.parquet"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"file://{src}/*"
+    )
+    out_path = str(tmp_path / "qout")
+    q = (
+        streaming_quality_gate(stream)
+        .writeStream.format("parquet")
+        .option("path", f"file://{out_path}")
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    survived = {
+        r.doc_id for r in spark.read.parquet(f"file://{out_path}").collect()
+    }
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {
+        r.doc_id for r in batch.where(quality_gate_col()).collect()
+    }
+    assert survived == expected == {1, 4}
