@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "semdedup_top_pairs",
     "edit_dup_pairs",
     "winnow_fingerprint_stats",
+    "quality_gate_pass",
     "lang_mixture_weights",
     "tpch_q21_waiting",
     "tpch_q11_important",
