@@ -1159,3 +1159,44 @@ def test_winnow_local_sampling_guarantee(spark):
     # summary columns agree with the recovered sets
     assert stats[0].n_fps == len(fps[0])
     assert stats[0].fp_sum == sum(fps[0])
+
+
+def test_unigram_lm_property_vs_python(spark):
+    # differential vs a pure-Python add-one unigram LM on random docs:
+    # same tokens, same smoothing, micro-nat quantization reproduced
+    import math
+    import random
+    import re
+    from collections import Counter
+
+    from lakota_spark.operators.text import unigram_lm_scores
+
+    rng = random.Random(13)
+    vocab_pool = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab_pool) for _ in range(rng.randint(5, 40))))
+        for i in range(60)
+    ]
+    # NOTE: operator tokenizes [a-z]+ — digits split words (w1 -> 'w')
+    counts = Counter()
+    toks_by_doc = {}
+    for i, text in docs:
+        tk = re.findall(r"[a-z]+", text.lower())
+        toks_by_doc[i] = tk
+        counts.update(tk)
+    total, v = sum(counts.values()), len(counts)
+    expected = {}
+    for i, tk in toks_by_doc.items():
+        if not tk:
+            continue
+        s = sum(
+            round(math.log((counts[t] + 1.0) / (total + v)) * 1000000)
+            for t in tk
+        )
+        expected[i] = (len(tk), s / (len(tk) * 1000000))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logprob)
+        for r in unigram_lm_scores(sdf).collect()
+    }
+    assert got == expected
