@@ -446,14 +446,19 @@ def winnow_fingerprints(
     grams = F.transform(
         word_shingles(tokens(text_col), k), lambda s: hash32(s)
     )
+    # window minimum as a zip_with(least) chain over w shifted slice
+    # views — w slices per doc instead of one per POSITION (the same
+    # trick as `functions.word_shingles`; the per-position
+    # array_min(slice(...)) form re-sliced at every offset and measured
+    # ~6 s at sf0.1 / 56 s at 10x vs ~1 s / ~8 s for this chain)
     n_win = F.size(grams) - F.lit(w - 1)
-    wins = F.when(
-        n_win >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
-            lambda i: F.array_min(F.slice(grams, i, w)),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    m = F.greatest(n_win, F.lit(1))
+    acc = F.slice(grams, F.lit(1), m)
+    for j in range(1, w):
+        acc = F.zip_with(
+            acc, F.slice(grams, F.lit(j + 1), m), lambda a, b: F.least(a, b)
+        )
+    wins = F.when(n_win >= 1, acc).otherwise(F.array().cast("array<long>"))
     fp = F.array_distinct(wins)
     return df.select(
         F.col(id_col),
