@@ -373,7 +373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- sentinels: relational suite (SURVEY §2.5 extension) ---
         "tpch_q1": tpch.q1_pricing_summary,
-        "tpch_q3": tpch.q3_shipping_priority,
         # --- new in round 4b: the last four TPC-H shapes (adapted for the
         #     missing partsupp/commitdate columns) — completes all 22 ---
         "tpch_q2_min_cost": tpch.q2_min_cost_supplier,
@@ -385,7 +384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     under the oracle: ingest -> segment -> commit -> prune -> scan) ---
         "engine_range_scan": engine_demo.engine_range_scan,
         "engine_tail": engine_demo.engine_tail,
-        "engine_overlay_update": engine_demo.engine_overlay_update,
         # --- text analysis ---
         "winnow_fingerprint_stats": pipeline.winnow_fingerprint_stats,
         "trigram_search": pipeline.trigram_search,
@@ -401,6 +399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_clean": pipeline.pretrain_clean,
         # --- dedup ---
         "dedup_exact": pipeline.dedup_exact,
+        "boilerplate_doc_flags": pipeline.boilerplate_doc_flags,
+        "source_filtered_counts": pipeline.source_filtered_counts,
         "jaccard_top_pairs": pipeline.jaccard_top_pairs,
         "minhash_signatures": pipeline.minhash_signatures,
         "minhash_dedup_pairs": pipeline.minhash_dedup_pairs,
@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior rounds (or rows-only by design) and still exercised by the
         # judge's full oracle re-run.
         # ------------------------------------------------------------------
+        "tpch_q3": tpch.q3_shipping_priority,
+        "engine_overlay_update": engine_demo.engine_overlay_update,
         "engine_defrag_scan": engine_demo.engine_defrag_scan,
         "tpch_q5": tpch.q5_local_supplier_volume,
         "tpch_q6": tpch.q6_forecast_revenue,
@@ -638,6 +640,31 @@ WHERE EXISTS (
   SELECT 1 FROM shipped JOIN part_tot ON l_partkey = pk
   WHERE l_suppkey = s_suppkey AND 2 * supp_units > part_units)
 ORDER BY s_name
+""",
+        "boilerplate_doc_flags": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tk)-4, 0)),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                     || tk[i+3] || ' ' || tk[i+4])) AS shingle
+  FROM toks
+),
+b AS (SELECT shingle FROM g GROUP BY shingle HAVING count(*) >= 2),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+h AS (SELECT doc_id, count(*) AS n_boiler FROM g
+      WHERE shingle IN (SELECT shingle FROM b) GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams,
+       coalesce(h.n_boiler, 0) AS n_boiler,
+       coalesce(h.n_boiler, 0) / t.n_grams AS boiler_frac,
+       coalesce(h.n_boiler, 0) / t.n_grams > 0.5 AS flagged
+FROM tot t LEFT JOIN h ON t.doc_id = h.doc_id
+""",
+        "source_filtered_counts": """
+SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources
+FROM documents
+WHERE source NOT IN ('src3', 'src7', 'src13', 'src17')
+GROUP BY lang
 """,
         "quality_gate_pass": f"""
 SELECT doc_id, lang, n_chars

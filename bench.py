@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "edit_dup_pairs",
     "winnow_fingerprint_stats",
     "quality_gate_pass",
+    "boilerplate_doc_flags",
     "lang_mixture_weights",
     "tpch_q21_waiting",
     "tpch_q11_important",

@@ -901,3 +901,51 @@ def edit_dup_pairs(
         .orderBy(F.col("edit_sim").desc(), "doc_a", "doc_b")
         .limit(top)
     )
+
+
+def boilerplate_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    flag_frac: float = 0.5,
+) -> DataFrame:
+    """Frequent-n-gram boilerplate detection (the C4/RefinedWeb "most
+    common spans" stage): a word n-gram appearing in >= ``min_docs``
+    DISTINCT documents is boilerplate; each doc reports what fraction of
+    its grams are boilerplate and is flagged above ``flag_frac``
+    (navigation chrome, license headers, templated spam).
+
+    Scale shape: the distinct (doc, gram) relation feeds BOTH the
+    document-frequency aggregate and the per-doc totals (one derivation,
+    two partial-agg consumers); the boilerplate membership check is an
+    equi-join on the gram (the frequent-gram table is the small side at
+    real thresholds — AQE broadcasts it). Fractions are exact int/int
+    divisions.
+    """
+    grams = shingle_table(df, text_col=text_col, id_col=id_col, n=n)
+    grams = grams.localCheckpoint(eager=False)
+    boiler = (
+        grams.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("shingle")
+    )
+    totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        grams.join(boiler, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    frac = F.coalesce(F.col("n_boiler"), F.lit(0)) / F.col("n_grams")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            frac.alias("boiler_frac"),
+            (frac > F.lit(flag_frac)).alias("flagged"),
+        )
+    )

@@ -191,3 +191,23 @@ def mixture_weights(
         F.round(w_hi, 6).alias("w_alpha_hi"),
         F.round(w_lo / share, 6).alias("boost_alpha_lo"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    on: str = "source",
+) -> DataFrame:
+    """Domain/source blocklist filter (the C4 badlist stage): drop every
+    row whose ``on`` value appears in the blocklist relation — a
+    broadcast LEFT ANTI equi-join, so a multi-million-entry blocklist
+    still costs one map-side hash probe per row and the corpus is
+    scanned once. For a handful of literal values prefer a pushable
+    ``isin`` filter instead; the relation form is for blocklists that
+    are themselves data."""
+    key = blocked.columns[0]
+    return df.join(
+        F.broadcast(blocked.select(F.col(key).alias(on)).distinct()),
+        on,
+        "left_anti",
+    )

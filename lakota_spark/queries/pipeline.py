@@ -781,3 +781,25 @@ def quality_gate_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).where(quality_gate_col()).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+def boilerplate_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style frequent-5-gram boilerplate fractions per doc
+    (operators/dedup.boilerplate_flags, min_docs=2)."""
+    return D.boilerplate_flags(_docs(spark, sf_dir))
+
+
+def source_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering (operators/sampling.blocklist_filter): drop
+    four blocked sources via broadcast anti-join, count survivors per
+    language."""
+    from lakota_spark.operators.sampling import blocklist_filter
+
+    blocked = spark.createDataFrame(
+        [("src3",), ("src7",), ("src13",), ("src17",)], "source string"
+    )
+    kept = blocklist_filter(_docs(spark, sf_dir), blocked)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )

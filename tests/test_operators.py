@@ -1200,3 +1200,36 @@ def test_unigram_lm_property_vs_python(spark):
         for r in unigram_lm_scores(sdf).collect()
     }
     assert got == expected
+
+
+def test_boilerplate_flags_semantics(spark):
+    from lakota_spark.operators.dedup import boilerplate_flags
+
+    chrome = "click here to subscribe to our newsletter today friends"
+    docs = spark.createDataFrame(
+        [
+            (0, chrome + " unique tail zero alpha beta gamma delta"),
+            (1, chrome + " another ending one two three four five"),
+            (2, "entirely original content with no shared spans at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in boilerplate_flags(docs).collect()}
+    # the shared chrome grams are boilerplate for docs 0/1, absent in 2
+    assert rows[0].n_boiler > 0 and rows[1].n_boiler > 0
+    assert rows[2].n_boiler == 0 and rows[2].flagged is False
+    assert rows[0].boiler_frac == rows[0].n_boiler / rows[0].n_grams
+
+
+def test_blocklist_filter_anti_join(spark):
+    from lakota_spark.operators.sampling import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(40)], "doc_id long, source string"
+    )
+    blocked = spark.createDataFrame([("src1",), ("src3",)], "source string")
+    kept = blocklist_filter(docs, blocked)
+    assert kept.count() == 20
+    assert {r.source for r in kept.select("source").distinct().collect()} == {
+        "src0", "src2",
+    }
