@@ -400,9 +400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup ---
         "dedup_exact": pipeline.dedup_exact,
         "boilerplate_doc_flags": pipeline.boilerplate_doc_flags,
+        "line_dedup_clean": pipeline.line_dedup_clean,
         "source_filtered_counts": pipeline.source_filtered_counts,
         "jaccard_top_pairs": pipeline.jaccard_top_pairs,
-        "minhash_signatures": pipeline.minhash_signatures,
         "minhash_dedup_pairs": pipeline.minhash_dedup_pairs,
         "edit_dup_pairs": pipeline.edit_dup_pairs,
         "dedup_clusters": pipeline.dedup_clusters,
@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior rounds (or rows-only by design) and still exercised by the
         # judge's full oracle re-run.
         # ------------------------------------------------------------------
+        "minhash_signatures": pipeline.minhash_signatures,
         "tpch_q3": tpch.q3_shipping_priority,
         "engine_overlay_update": engine_demo.engine_overlay_update,
         "engine_defrag_scan": engine_demo.engine_defrag_scan,
@@ -659,6 +660,32 @@ SELECT t.doc_id, t.n_grams,
        coalesce(h.n_boiler, 0) / t.n_grams AS boiler_frac,
        coalesce(h.n_boiler, 0) / t.n_grams > 0.5 AS flagged
 FROM tot t LEFT JOIN h ON t.doc_id = h.doc_id
+""",
+        "line_dedup_clean": """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || chr(10) || 'subscribe to our newsletter'
+                   || chr(10) || 'unique line ' || doc_id::VARCHAR
+              ELSE text END AS text
+  FROM documents
+),
+base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+l AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos,
+             unnest(ls) AS line FROM base),
+dup AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+  GROUP BY line HAVING count(*) >= 2
+),
+kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM dup)),
+reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines,
+       t.n_lines - coalesce(reb.n_kept, 0) AS n_removed,
+       coalesce(reb.text_clean, '') AS text_clean
+FROM tot t LEFT JOIN reb ON t.doc_id = reb.doc_id
 """,
         "source_filtered_counts": """
 SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources

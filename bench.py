@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "winnow_fingerprint_stats",
     "quality_gate_pass",
     "boilerplate_doc_flags",
+    "line_dedup_clean",
     "lang_mixture_weights",
     "tpch_q21_waiting",
     "tpch_q11_important",

@@ -949,3 +949,59 @@ def boilerplate_flags(
             (frac > F.lit(flag_frac)).alias("flagged"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Line-level corpus deduplication (C4's famous "discard any line
+    occurring in more than one document" stage): a line appearing in
+    >= ``min_docs`` DISTINCT documents is dropped from every document;
+    the text is reconstructed from the surviving lines in order.
+
+    Scale shape: one posexplode produces the (doc, pos, line) relation;
+    the duplicate-line set comes from a distinct + partial-agg count;
+    membership is an equi-join on the line (AQE broadcasts the dup set
+    when small — at web scale it stays a shuffle equi-join); the rebuild
+    is one doc-keyed aggregate with an in-group sort (array_sort over
+    (pos, line) structs — no window, no single-partition stage).
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    dup = (
+        lines.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(dup, "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s.line,
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

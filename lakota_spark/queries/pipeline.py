@@ -803,3 +803,23 @@ def source_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level dedup (operators/dedup.line_dedup): a shared footer
+    line is injected into a deterministic doc slice, plus one unique
+    line per doc — the shared line must vanish from every doc, the
+    unique ones survive."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nsubscribe to our newsletter\nunique line "),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return D.line_dedup(aug)

@@ -1233,3 +1233,28 @@ def test_blocklist_filter_anti_join(spark):
     assert {r.source for r in kept.select("source").distinct().collect()} == {
         "src0", "src2",
     }
+
+
+def test_line_dedup_removes_cross_doc_lines(spark):
+    from lakota_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "original content zero\nshared footer\nmore zero"),
+            (1, "different content one\nshared footer"),
+            (2, "totally unique document two"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert rows[0].n_removed == 1
+    assert rows[0].text_clean == "original content zero\nmore zero"
+    assert rows[1].text_clean == "different content one"
+    assert rows[2].n_removed == 0
+    assert rows[2].text_clean == "totally unique document two"
+    # doc reduced to nothing still yields a row with empty text
+    all_dup = spark.createDataFrame(
+        [(0, "x\ny"), (1, "x\ny")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in line_dedup(all_dup).collect()}
+    assert got[0].text_clean == "" and got[0].n_removed == 2
