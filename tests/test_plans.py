@@ -358,3 +358,30 @@ def test_mixture_weights_single_scalar_broadcast(spark):
     df = pipeline.lang_mixture_weights(spark, SF)
     assert plans.join_strategies(df) == ["BroadcastNestedLoopJoin"]
     assert plans.has_partial_aggregation(df)
+
+
+def test_boilerplate_and_line_dedup_plan_shape(spark):
+    # both C4 stages: equi-joins only, no global window, no
+    # single-partition exchange anywhere
+    from lakota_spark.queries import pipeline
+
+    for fn in (pipeline.boilerplate_doc_flags, pipeline.line_dedup_clean):
+        df = fn(spark, SF)
+        strategies = plans.join_strategies(df)
+        assert "CartesianProduct" not in strategies
+        assert "BroadcastNestedLoopJoin" not in strategies
+        plan = plans.explain_str(df, "simple")
+        assert "SinglePartition" not in plan, plan
+        assert "Window" not in plan, plan
+
+
+def test_winnow_zero_shuffle_operator(spark):
+    # the selection itself is per-row array math: no joins, and the only
+    # exchange allowed is the wrapper's input repartition
+    from lakota_spark.operators.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = winnow_fingerprints(docs)
+    assert plans.join_strategies(df) == []
+    plan = plans.explain_str(df, "simple")
+    assert "Exchange" not in plan, plan
