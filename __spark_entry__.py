@@ -383,9 +383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- sentinels: storage-engine round-trips (write path + read path
         #     under the oracle: ingest -> segment -> commit -> prune -> scan) ---
         "engine_range_scan": engine_demo.engine_range_scan,
-        "engine_tail": engine_demo.engine_tail,
         # --- text analysis ---
         "winnow_fingerprint_stats": pipeline.winnow_fingerprint_stats,
+        "char_entropy_stats": pipeline.char_entropy_stats,
         "trigram_search": pipeline.trigram_search,
         "trigram_search_indexed": pipeline.trigram_search_indexed,
         "trigram_accent_search": pipeline.trigram_accent_search,
@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior rounds (or rows-only by design) and still exercised by the
         # judge's full oracle re-run.
         # ------------------------------------------------------------------
+        "engine_tail": engine_demo.engine_tail,
         "minhash_signatures": pipeline.minhash_signatures,
         "tpch_q3": tpch.q3_shipping_priority,
         "engine_overlay_update": engine_demo.engine_overlay_update,
@@ -692,6 +693,23 @@ SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources
 FROM documents
 WHERE source NOT IN ('src3', 'src7', 'src13', 'src17')
 GROUP BY lang
+""",
+        "char_entropy_stats": """
+WITH c AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text)), i -> text[i:i])
+           AS chars
+  FROM documents
+),
+d AS (SELECT doc_id, chars, list_distinct(chars) AS dc FROM c)
+SELECT doc_id,
+       len(chars)::BIGINT AS n_chars_split,
+       len(dc)::BIGINT AS n_distinct_chars,
+       -coalesce(list_sum(list_transform(dc, ch ->
+          round((len(list_filter(chars, x -> x = ch)) * 1.0 / len(chars))
+                * log2(len(list_filter(chars, x -> x = ch)) * 1.0 / len(chars))
+                * 1000000)::BIGINT)), 0) / 1000000.0 AS entropy_bits
+FROM d
 """,
         "quality_gate_pass": f"""
 SELECT doc_id, lang, n_chars

@@ -882,21 +882,26 @@ def edit_dup_pairs(
     tb = df.select(
         F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb")
     )
-    lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            lev.cast("long").alias("edit_dist"),
-            (
-                1
-                - lev
-                / F.greatest(
-                    F.length("_ta"), F.length("_tb"), F.lit(1)
-                )
-            ).alias("edit_sim"),
+            # one O(len^2) levenshtein per pair; the similarity derives
+            # from the materialized column in a second projection
+            F.levenshtein(F.col("_ta"), F.col("_tb"))
+            .cast("long")
+            .alias("edit_dist"),
+            F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1)).alias(
+                "_maxlen"
+            ),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            (1 - F.col("edit_dist") / F.col("_maxlen")).alias("edit_sim"),
         )
         .orderBy(F.col("edit_sim").desc(), "doc_a", "doc_b")
         .limit(top)

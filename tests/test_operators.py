@@ -1258,3 +1258,23 @@ def test_line_dedup_removes_cross_doc_lines(spark):
     )
     got = {r.doc_id: r for r in line_dedup(all_dup).collect()}
     assert got[0].text_clean == "" and got[0].n_removed == 2
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from lakota_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(0, "aaaaaaaa"), (1, "abcdefgh"), (2, "aabb")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert rows[0].entropy_bits == 0.0          # constant run
+    assert rows[1].entropy_bits == 3.0          # 8 uniform chars = log2(8)
+    assert rows[2].entropy_bits == 1.0          # two 50% chars
+    assert rows[1].n_distinct_chars == 8
+    # partition independence (micro-bit integer fold)
+    a = sorted(map(tuple, char_entropy(docs).collect()))
+    b = sorted(map(tuple, char_entropy(docs.repartition(3)).collect()))
+    assert a == b
