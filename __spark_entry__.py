@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_mix": pipeline.stratified_sample_mix,
         "lang_mixture_weights": pipeline.lang_mixture_weights,
         "pack_sequences_demo": pipeline.pack_sequences_demo,
+        "chunked_documents": pipeline.chunked_documents,
         # --- composite cleaning pass ---
         "pretrain_clean": pipeline.pretrain_clean,
         # --- dedup ---
@@ -418,7 +419,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_span_flags": pipeline.repeated_span_flags,
         "quality_deciles": pipeline.quality_deciles,
         "value_outliers": pipeline.value_outliers,
-        "simhash_signatures": pipeline.simhash_signatures,
         "simhash_near_pairs": pipeline.simhash_near_pairs,
         "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
         "embedding_dup_lsh": pipeline.embedding_dup_lsh,
@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior rounds (or rows-only by design) and still exercised by the
         # judge's full oracle re-run.
         # ------------------------------------------------------------------
+        "simhash_signatures": pipeline.simhash_signatures,
         "engine_tail": engine_demo.engine_tail,
         "minhash_signatures": pipeline.minhash_signatures,
         "tpch_q3": tpch.q3_shipping_priority,
@@ -693,6 +694,17 @@ SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources
 FROM documents
 WHERE source NOT IN ('src3', 'src7', 'src13', 'src17')
 GROUP BY lang
+""",
+        "chunked_documents": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
+SELECT doc_id,
+       ((start_tok - 1) // 24)::BIGINT AS chunk_idx,
+       start_tok::BIGINT AS start_tok,
+       len(tk[start_tok:start_tok + 31])::BIGINT AS n_chunk_tokens,
+       array_to_string(tk[start_tok:start_tok + 31], ' ') AS chunk_text
+FROM (SELECT doc_id, tk,
+             unnest(generate_series(1, greatest(len(tk), 1), 24)) AS start_tok
+      FROM toks)
 """,
         "char_entropy_stats": """
 WITH c AS (

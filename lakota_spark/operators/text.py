@@ -537,3 +537,41 @@ def char_entropy(
         F.size(distinct).cast("long").alias("n_distinct_chars"),
         (-micro / F.lit(1000000.0)).alias("entropy_bits"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking — the standard pre-embedding
+    step of retrieval/RAG pipelines: each document explodes into
+    windows of ``chunk_tokens`` whitespace tokens starting every
+    ``stride`` tokens (overlap = chunk_tokens - stride), each chunk
+    carrying provenance (doc id, chunk index, token offset).
+
+    Scale shape: one map-side explode — window starts come from a
+    `sequence` with step, the chunk text from one `slice` per start; no
+    shuffle, no window function, output size n_tokens/stride per doc.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    exploded = df.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.explode(starts).alias("start_tok"),
+        toks.alias("_tk"),
+    )
+    chunk = F.slice(F.col("_tk"), F.col("start_tok"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        ((F.col("start_tok") - 1) / F.lit(stride))
+        .cast("long")
+        .alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -833,3 +833,9 @@ def char_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakota_spark.operators.util import ensure_parallelism
 
     return T.char_entropy(ensure_parallelism(_docs(spark, sf_dir)))
+
+
+def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token chunking with provenance
+    (operators/text.chunk_documents, 32-token windows, stride 24)."""
+    return T.chunk_documents(_docs(spark, sf_dir))

@@ -1278,3 +1278,22 @@ def test_char_entropy_known_values(spark):
     a = sorted(map(tuple, char_entropy(docs).collect()))
     b = sorted(map(tuple, char_entropy(docs.repartition(3)).collect()))
     assert a == b
+
+
+def test_chunk_documents_overlap_and_provenance(spark):
+    from lakota_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(50))
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    chunks = sorted(
+        chunk_documents(docs, chunk_tokens=32, stride=24).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # starts at 1, 25, 49 -> 3 chunks; sizes 32, 26, 2
+    assert [(c.chunk_idx, c.start_tok, c.n_chunk_tokens) for c in chunks] == [
+        (0, 1, 32), (1, 25, 26), (2, 49, 2),
+    ]
+    assert chunks[0].chunk_text.split()[:2] == ["t0", "t1"]
+    assert chunks[1].chunk_text.split()[0] == "t24"  # 8-token overlap
+    assert chunks[0].chunk_text.split()[-8:] == chunks[1].chunk_text.split()[:8]
+    assert chunks[2].chunk_text == "t48 t49"
