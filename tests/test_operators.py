@@ -1297,3 +1297,70 @@ def test_chunk_documents_overlap_and_provenance(spark):
     assert chunks[1].chunk_text.split()[0] == "t24"  # 8-token overlap
     assert chunks[0].chunk_text.split()[-8:] == chunks[1].chunk_text.split()[:8]
     assert chunks[2].chunk_text == "t48 t49"
+
+
+def test_line_dedup_property_vs_python(spark):
+    # differential vs a pure-Python reference on random multi-line docs
+    import random
+    from collections import Counter
+
+    from lakota_spark.operators.dedup import line_dedup
+
+    rng = random.Random(29)
+    pool = [f"line {i}" for i in range(12)]  # small pool -> real collisions
+    docs = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 6))))
+        for i in range(40)
+    ]
+    df_count = Counter()
+    for _, text in docs:
+        for ln in set(text.split("\n")):
+            df_count[ln] += 1
+    dup = {ln for ln, c in df_count.items() if c >= 2}
+    expected = {}
+    for i, text in docs:
+        lines = text.split("\n")
+        kept = [ln for ln in lines if ln not in dup]
+        expected[i] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in line_dedup(sdf).collect()
+    }
+    assert got == expected
+
+
+def test_boilerplate_property_vs_python(spark):
+    import random
+    from collections import Counter
+
+    from lakota_spark.operators.dedup import boilerplate_flags
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(15)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20))))
+        for i in range(50)
+    ]
+
+    def grams(text, n=5):
+        tk = text.split()
+        return {" ".join(tk[j:j + n]) for j in range(len(tk) - n + 1)}
+
+    dfc = Counter()
+    for _, text in docs:
+        dfc.update(grams(text))
+    boiler = {g for g, c in dfc.items() if c >= 2}
+    expected = {}
+    for i, text in docs:
+        g = grams(text)
+        if not g:
+            continue
+        nb = len(g & boiler)
+        expected[i] = (len(g), nb, nb / len(g), nb / len(g) > 0.5)
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_boiler, r.boiler_frac, r.flagged)
+        for r in boilerplate_flags(sdf).collect()
+    }
+    assert got == expected
