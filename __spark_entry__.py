@@ -403,7 +403,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_doc_flags": pipeline.boilerplate_doc_flags,
         "line_dedup_clean": pipeline.line_dedup_clean,
         "source_filtered_counts": pipeline.source_filtered_counts,
-        "jaccard_top_pairs": pipeline.jaccard_top_pairs,
         "minhash_dedup_pairs": pipeline.minhash_dedup_pairs,
         "edit_dup_pairs": pipeline.edit_dup_pairs,
         "dedup_clusters": pipeline.dedup_clusters,
@@ -412,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": pipeline.bm25_topk_indexed,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
+        "value_histogram": parity.value_histogram,
         "kmeans_assign": pipeline.kmeans_assign,
         "semdedup_top_pairs": pipeline.semdedup_top_pairs,
         "pii_scrub_stats": pipeline.pii_scrub_stats,
@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior rounds (or rows-only by design) and still exercised by the
         # judge's full oracle re-run.
         # ------------------------------------------------------------------
+        "jaccard_top_pairs": pipeline.jaccard_top_pairs,
         "simhash_signatures": pipeline.simhash_signatures,
         "engine_tail": engine_demo.engine_tail,
         "minhash_signatures": pipeline.minhash_signatures,
@@ -694,6 +695,11 @@ SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources
 FROM documents
 WHERE source NOT IN ('src3', 'src7', 'src13', 'src17')
 GROUP BY lang
+""",
+        "value_histogram": """
+SELECT event_type, floor(value / 10.0)::BIGINT AS bucket,
+       count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM events GROUP BY 1, 2
 """,
         "chunked_documents": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)

@@ -368,3 +368,19 @@ def pivot_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_if("signup"),
         cents_if("error"),
     )
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the value column per event type — the
+    bucket key is an exact integer floor, so no approx_* sketch and no
+    float-boundary ambiguity; one partial-aggregating shuffle."""
+    e = _events(spark, sf_dir)
+    bucket = F.floor(F.col("value") / F.lit(10.0)).cast("long")
+    return (
+        e.groupBy(F.col("event_type"), bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
