@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "quality_gate_pass",
     "boilerplate_doc_flags",
     "line_dedup_clean",
+    "char_entropy_stats",
+    "chunked_documents",
+    "value_histogram",
     "lang_mixture_weights",
     "tpch_q21_waiting",
     "tpch_q11_important",
