@@ -357,18 +357,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so the driver's 50-row CORRECTNESS window covers every
-    operator family every round (VERDICT r3 #1): a compact sentinel block
-    (5 tpch + 4 engine) of long-stable queries first, then every query
-    that has never had a driver-recorded row — all round-4 additions
-    (the four newly adapted TPC-H queries, every pipeline/dedup/
-    similarity op). Entries after position 50 are rotated-out queries
-    with 1-3 rounds of green driver history, still judge-checked via
-    scripts/check_oracle.py each round (the text sentinels text_stats/
-    token_counts/lang_id/doc_fingerprint rotated out after three green
-    rounds; the rows-only multimodal/sketch entries sit just past the
-    window — their driver row is the weakest check kind and every
-    oracle-backed newcomer outranks them for window space).
+    """Ordered so the driver's 50-row CORRECTNESS window always contains
+    EVERY oracle-backed query that has never had a driver-recorded row
+    (VERDICT r3 #1). Layout: a small sentinel block of long-stable
+    queries first (tpch_q1, engine_range_scan, plus the dedup staples
+    recorded in r1), then all round-4 additions — the five newly adapted
+    TPC-H shapes and every pipeline/dedup/similarity/curation operator.
+    Entries after position 50 are rotated-out queries with 1-3 rounds of
+    green driver history, still exercised by scripts/check_oracle.py
+    each round; the rows-only multimodal/sketch entries sit just past
+    the window (their driver row is the weakest check kind, so every
+    oracle-backed newcomer outranks them for window space). The
+    invariant is asserted ad hoc:
+    [k for k in list(queries())[50:] if never-recorded and oracle-backed]
+    must be empty.
     """
     return {
         # --- sentinels: relational suite (SURVEY §2.5 extension) ---
