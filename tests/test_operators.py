@@ -1364,3 +1364,24 @@ def test_boilerplate_property_vs_python(spark):
         for r in boilerplate_flags(sdf).collect()
     }
     assert got == expected
+
+
+def test_partial_index_write_is_rebuilt(spark):
+    # a crashed index write leaves a dir WITHOUT _SUCCESS: the ensure
+    # helpers must rebuild (mode=overwrite), never serve partial postings
+    import os
+    import shutil
+
+    from lakota_spark.queries import pipeline
+
+    sf = "/root/testdata/sf0.001"
+    path = pipeline._index_path(sf, "trigram")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    with open(os.path.join(path, "part-garbage.parquet"), "w") as fh:
+        fh.write("not parquet")
+    got = pipeline._ensure_trigram_index(spark, sf)
+    assert got == path
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    # and the search works against the rebuilt index
+    assert pipeline.trigram_search_indexed(spark, sf).count() > 0
