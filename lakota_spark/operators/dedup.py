@@ -267,6 +267,17 @@ def minhash_dedup(
       codegen (6.4 s; `.persist()` measured 14-20 s — caching breaks
       pipelining and per-consumer column pruning, so checkpoint/bucketed
       are the only materializations worth having).
+
+    At pathological duplicate density the job is OUTPUT-bound, not
+    input-bound: a 500k-doc probe with ~100 near-identical variants per
+    document holds ~25M genuine pairs — verified end-to-end in ~9 min
+    with a 32 g heap, but an under-provisioned block manager loses
+    result blocks (TaskResultLost). The two controls are executor
+    memory and ``lsh_candidates(max_bucket=...)``: a tight cap drops
+    the pathological buckets and bounds the verify to the candidate
+    budget (measured: cap=50 → 1.0M candidates in 30 s on the same
+    corpus). Boilerplate-grade duplicate masses are better handled by
+    `boilerplate_flags`/`line_dedup` upstream anyway.
     """
     sh = shingle_table(df, text_col, id_col, n)
     if materialize == "bucketed":
