@@ -285,3 +285,44 @@ def test_streaming_quality_gate(spark, tmp_path):
         r.doc_id for r in batch.where(quality_gate_col()).collect()
     }
     assert survived == expected == {1, 4}
+
+
+def test_streaming_chunking_stateless(spark, tmp_path):
+    # chunk_documents is pure map-side (sequence+explode+slice): the
+    # identical operator applies to a stream with no watermark/state
+    import os as _os
+
+    from lakota_spark.operators.text import chunk_documents
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    src = str(tmp_path / "csrc")
+    _os.makedirs(src)
+    spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    ).write.parquet(f"file://{src}/b0.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"file://{src}/*"
+    )
+    out_path = str(tmp_path / "cout")
+    q = (
+        chunk_documents(stream)
+        .writeStream.format("parquet")
+        .option("path", f"file://{out_path}")
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.read.parquet(f"file://{out_path}")
+            .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens")
+            .collect())
+    )
+    batch = sorted(
+        map(tuple, chunk_documents(
+            spark.createDataFrame([(1, text)], "doc_id long, text string"))
+            .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens")
+            .collect())
+    )
+    assert got == batch and len(got) == 2
