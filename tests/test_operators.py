@@ -1385,3 +1385,30 @@ def test_partial_index_write_is_rebuilt(spark):
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
     # and the search works against the rebuilt index
     assert pipeline.trigram_search_indexed(spark, sf).count() > 0
+
+
+def test_round4b_ops_partition_independent(spark):
+    # same invariant as test_exactness_is_partition_independent, for the
+    # 4b additions: results must be pure functions of the data
+    import random
+
+    from lakota_spark.operators.dedup import boilerplate_flags, line_dedup
+    from lakota_spark.operators.text import chunk_documents, winnow_fingerprints
+
+    rng = random.Random(41)
+    pool = [f"w{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [
+            (i, "\n".join(
+                " ".join(rng.choice(pool) for _ in range(rng.randint(4, 15)))
+                for _ in range(rng.randint(1, 3))
+            ))
+            for i in range(80)
+        ],
+        "doc_id long, text string",
+    )
+    for op in (boilerplate_flags, line_dedup, chunk_documents,
+               winnow_fingerprints):
+        a = sorted(map(tuple, op(docs).collect()))
+        b = sorted(map(tuple, op(docs.repartition(11)).collect()))
+        assert a == b, op.__name__
