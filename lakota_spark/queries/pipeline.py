@@ -749,7 +749,10 @@ def _ensure_candidate_index(spark: SparkSession, sf_dir: str) -> str:
     signature pass is far too expensive to re-derive per tier."""
     import os
 
-    path = _index_path(sf_dir, "lshcand")
+    # the index content is a function of the LSH parameters too — encode
+    # them in the path so a constant change can never serve stale pairs
+    kind = f"lshcand-k{NUM_HASHES}b{BANDS}n{SHINGLE_N}"
+    path = _index_path(sf_dir, kind)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         sh = D.shingle_table(_docs(spark, sf_dir), n=SHINGLE_N)
         sh = sh.localCheckpoint(eager=False)
