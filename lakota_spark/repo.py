@@ -234,10 +234,9 @@ class Repo:
                 sdir = os.path.join(cdir, series_label)
                 if not os.path.isdir(sdir):
                     continue
-                if fmt == "parquet":
-                    self.import_parquet(label, series_label, f"file://{sdir}")
-                else:
-                    self.import_csv(label, series_label, f"file://{sdir}")
+                self.import_series(
+                    label, series_label, f"file://{sdir}", fmt=fmt
+                )
             imported.append(label)
         return imported
 
@@ -405,19 +404,58 @@ class Repo:
 
     # ------------------------------------------------------ import/export
 
-    def import_parquet(self, collection: str, series: str, path: str) -> None:
+    #: supported interchange formats: parquet/orc are self-describing
+    #: columnar; csv/jsonl read with the collection's declared schema
+    #: (jsonl = one JSON object per line, the standard corpus format)
+    IO_FORMATS = ("parquet", "orc", "csv", "jsonl")
+
+    def _read_fmt(self, fmt: str, path: str, schema) -> "DataFrame":
+        r = self.spark.read
+        if fmt == "parquet":
+            return r.parquet(path)
+        if fmt == "orc":
+            return r.orc(path)
+        if fmt == "csv":
+            return r.option("header", "true").schema(schema).csv(path)
+        if fmt == "jsonl":
+            return r.schema(schema).json(path)
+        raise ValueError(f"unknown format {fmt!r}; use one of {self.IO_FORMATS}")
+
+    @staticmethod
+    def _write_fmt(df, fmt: str, path: str) -> None:
+        w = df.write.mode("overwrite")
+        if fmt == "parquet":
+            w.parquet(path)
+        elif fmt == "orc":
+            w.orc(path)
+        elif fmt == "csv":
+            w.option("header", "true").csv(path)
+        elif fmt == "jsonl":
+            w.json(path)
+        else:
+            raise ValueError(
+                f"unknown format {fmt!r}; use one of {Repo.IO_FORMATS}"
+            )
+
+    def import_series(
+        self, collection: str, series: str, path: str, fmt: str = "parquet"
+    ) -> None:
+        """Ingest one series from an interchange file tree."""
         coll = self.collection(collection)
-        df = self.spark.read.parquet(path)
+        df = self._read_fmt(fmt, path, coll.schema.struct_type())
         coll.series(series).write(df)
 
+    def import_parquet(self, collection: str, series: str, path: str) -> None:
+        self.import_series(collection, series, path, "parquet")
+
     def import_csv(self, collection: str, series: str, path: str) -> None:
-        coll = self.collection(collection)
-        df = (
-            self.spark.read.option("header", "true")
-            .schema(coll.schema.struct_type())
-            .csv(path)
-        )
-        coll.series(series).write(df)
+        self.import_series(collection, series, path, "csv")
+
+    def import_jsonl(self, collection: str, series: str, path: str) -> None:
+        self.import_series(collection, series, path, "jsonl")
+
+    def import_orc(self, collection: str, series: str, path: str) -> None:
+        self.import_series(collection, series, path, "orc")
 
     def export_collection(self, collection: str, out_dir: str, fmt: str = "parquet") -> None:
         """Dump every series + `_schema.json` (`lakota/repo.py:463-499`)."""
@@ -430,9 +468,4 @@ class Repo:
         for label in coll.ls():
             df = coll.series(label).frame()
             target = os.path.join(out_dir, label)
-            if fmt == "parquet":
-                df.write.mode("overwrite").parquet(f"file://{target}")
-            else:
-                df.write.mode("overwrite").option("header", "true").csv(
-                    f"file://{target}"
-                )
+            self._write_fmt(df, fmt, f"file://{target}")

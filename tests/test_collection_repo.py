@@ -627,3 +627,31 @@ def test_reference_api_aliases(repo, spark, tmp_path):
     assert (out / "al2").exists()
     repo.delete("al2")
     assert repo.ls() == []
+
+
+def test_export_import_round_trip_all_formats(repo, spark, tmp_path):
+    # parquet / orc / csv / jsonl must all survive export -> fresh-repo
+    # import with identical values (jsonl is the standard corpus format)
+    from lakota_spark.repo import Repo
+    from lakota_spark.schema import Schema
+
+    coll = repo.create_collection(
+        Schema(ts="timestamp*", value="float", tag="str"), "fmt_rt"
+    )
+    rows = {
+        "ts": ["2024-01-01T00:00:01", "2024-01-01T00:00:02",
+               "2024-01-01T00:00:03"],
+        "value": [1.5, 2.5, 3.5],
+        "tag": ["a", "b", "c"],
+    }
+    coll.series("s1").write(rows)
+    expected = sorted(map(tuple, coll.series("s1").frame().collect()))
+    for fmt in Repo.IO_FORMATS:
+        out = str(tmp_path / f"exp_{fmt}")
+        repo.export_collections(out, ["fmt_rt"], fmt=fmt)
+        other = Repo(f"file://{tmp_path}/imp_{fmt}", spark=spark)
+        assert other.import_collections(out, fmt=fmt) == ["fmt_rt"]
+        got = sorted(
+            map(tuple, other.collection("fmt_rt").series("s1").frame().collect())
+        )
+        assert got == expected, fmt
