@@ -251,12 +251,17 @@ def cmd_pull(args):
 def cmd_import(args):
     repo = _repo(args)
     coll_label, series_label = _split(args.path)
-    if args.format == "csv" or (
-        args.format == "auto" and args.file.endswith(".csv")
-    ):
-        repo.import_csv(coll_label, series_label, args.file)
-    else:
-        repo.import_parquet(coll_label, series_label, args.file)
+    fmt = args.format
+    if fmt == "auto":
+        # extension sniff; jsonl files commonly end .jsonl or .json
+        for ext, f in ((".csv", "csv"), (".jsonl", "jsonl"),
+                       (".json", "jsonl"), (".orc", "orc")):
+            if args.file.endswith(ext):
+                fmt = f
+                break
+        else:
+            fmt = "parquet"
+    repo.import_series(coll_label, series_label, args.file, fmt=fmt)
     print(f"imported {args.file} -> {args.path}")
 
 
@@ -417,7 +422,11 @@ def _build_parser():
     s.set_defaults(fn=cmd_pull)
     s = sub.add_parser("import")
     s.add_argument("path"); s.add_argument("file")
-    s.add_argument("--format", default="auto", choices=["auto", "csv", "parquet"])
+    s.add_argument(
+        "--format",
+        default="auto",
+        choices=["auto", "csv", "parquet", "jsonl", "orc"],
+    )
     s.set_defaults(fn=cmd_import)
     s = sub.add_parser("rename")
     s.add_argument("old"); s.add_argument("new")
@@ -438,7 +447,10 @@ def _build_parser():
     s.add_argument("path"); s.set_defaults(fn=cmd_delete)
     s = sub.add_parser("export")
     s.add_argument("label"); s.add_argument("out")
-    s.add_argument("--format", default="parquet")
+    s.add_argument(
+        "--format", default="parquet",
+        choices=["csv", "parquet", "jsonl", "orc"],
+    )
     s.set_defaults(fn=cmd_export)
     return p, sub
 

@@ -138,3 +138,20 @@ def test_defrag_all_and_metrics(cli_env, capsys):
     cli.main(["-r", root, "--metrics", "ls"])
     captured = capsys.readouterr()
     assert "FS." in captured.err or "MemFS." in captured.err
+
+
+def test_import_export_jsonl_cli(cli_env, tmp_path):
+    # jsonl round-trip through the CLI: export a series, import it into
+    # a new series, read both back identical
+    root, repo, run = cli_env
+    from lakota_spark.schema import Schema
+
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "jl")
+    coll.series("a").write({"ts": [1, 2, 3], "value": [1.0, 2.0, 3.0]})
+    out = str(tmp_path / "jl_export")
+    run("export", "jl", out, "--format", "jsonl")
+    src = f"{out}/a"
+    run("import", "jl/b", src, "--format", "jsonl")
+    got_a = sorted(map(tuple, coll.series("a").frame().collect()))
+    got_b = sorted(map(tuple, coll.series("b").frame().collect()))
+    assert got_a == got_b
