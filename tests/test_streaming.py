@@ -326,3 +326,37 @@ def test_streaming_chunking_stateless(spark, tmp_path):
             .collect())
     )
     assert got == batch and len(got) == 2
+
+
+def test_jsonl_stream_ingest_with_quality_gate(spark, tmp_path):
+    # the canonical corpus ingest chain: JSONL file stream -> stateless
+    # Gopher gate -> landed parquet table; two micro-batch drops
+    import json as _json
+    import os as _os
+
+    from lakota_spark.streaming import streaming_quality_gate
+
+    src = str(tmp_path / "jsrc")
+    _os.makedirs(src)
+    good = " ".join(f"tok{i}" for i in range(30))
+    with open(f"{src}/b0.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": good}) + "\n")
+        fh.write(_json.dumps({"doc_id": 2, "text": "too short"}) + "\n")
+    with open(f"{src}/b1.jsonl", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 3, "text": good + " more"}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        f"file://{src}/*"
+    )
+    out_path = str(tmp_path / "jout")
+    q = (
+        streaming_quality_gate(stream)
+        .writeStream.format("parquet")
+        .option("path", f"file://{out_path}")
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = {r.doc_id for r in spark.read.parquet(f"file://{out_path}").collect()}
+    assert landed == {1, 3}
