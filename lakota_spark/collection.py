@@ -60,6 +60,30 @@ class Collection:
     def ls(self) -> list[str]:
         return self.snapshot().labels()
 
+    def sql_view(self, view_name: str | None = None, labels=None) -> str:
+        """Register the collection as a Spark SQL temp view and return
+        its name — the DataFrame/SQL duality the engine inherits for
+        free: the view is the union of every (or the named) series with
+        a ``series`` provenance column, so `spark.sql("SELECT ... FROM
+        <view> WHERE series = 'x'")` works against versioned storage.
+        The view captures the CURRENT snapshot's plan (lazy — nothing is
+        materialized); re-register after writes to see new data.
+        """
+        from pyspark.sql import functions as F
+
+        name = view_name or f"lakota_{self.label}"
+        df = None
+        for label in labels or self.ls():
+            part = self.series(label).frame().withColumn(
+                "series", F.lit(label)
+            )
+            df = part if df is None else df.unionAll(part)
+        if df is None:  # empty collection: typed empty view
+            struct = self.schema.struct_type().add("series", "string")
+            df = self.spark.createDataFrame([], struct)
+        df.createOrReplaceTempView(name)
+        return name
+
     # ----------------------------------------------------------- snapshot
 
     def snapshot(self, before=None) -> Snapshot:

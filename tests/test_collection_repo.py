@@ -655,3 +655,25 @@ def test_export_import_round_trip_all_formats(repo, spark, tmp_path):
             map(tuple, other.collection("fmt_rt").series("s1").frame().collect())
         )
         assert got == expected, fmt
+
+
+def test_sql_view_over_collection(repo, spark):
+    from lakota_spark.schema import Schema
+
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "sqlv")
+    coll.series("x").write({"ts": [1, 2], "value": [1.0, 2.0]})
+    coll.series("y").write({"ts": [1], "value": [9.0]})
+    name = coll.sql_view()
+    rows = spark.sql(
+        f"SELECT series, sum(value) AS s FROM {name} GROUP BY series"
+    ).collect()
+    assert {(r.series, r.s) for r in rows} == {("x", 3.0), ("y", 9.0)}
+    # per-series predicate works through SQL
+    n = spark.sql(
+        f"SELECT count(*) AS n FROM {name} WHERE series = 'x' AND ts >= 2"
+    ).collect()[0].n
+    assert n == 1
+    # empty collection still registers a typed view
+    empty = repo.create_collection(Schema(ts="int*", value="float"), "sqlv2")
+    ename = empty.sql_view()
+    assert spark.sql(f"SELECT * FROM {ename}").count() == 0
