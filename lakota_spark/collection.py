@@ -60,26 +60,41 @@ class Collection:
     def ls(self) -> list[str]:
         return self.snapshot().labels()
 
-    def sql_view(self, view_name: str | None = None, labels=None) -> str:
+    def sql_view(
+        self,
+        view_name: str | None = None,
+        labels=None,
+        series_col: str = "series",
+    ) -> str:
         """Register the collection as a Spark SQL temp view and return
         its name — the DataFrame/SQL duality the engine inherits for
         free: the view is the union of every (or the named) series with
-        a ``series`` provenance column, so `spark.sql("SELECT ... FROM
-        <view> WHERE series = 'x'")` works against versioned storage.
-        The view captures the CURRENT snapshot's plan (lazy — nothing is
-        materialized); re-register after writes to see new data.
+        a ``series_col`` provenance column, so `spark.sql("SELECT ...
+        FROM <view> WHERE series = 'x'")` works against versioned
+        storage. The view captures the CURRENT snapshot's plan (lazy —
+        nothing is materialized); re-register after writes to see new
+        data. Collection labels may contain characters SQL identifiers
+        can't, so the derived name sanitizes them; an explicitly empty
+        ``labels`` list yields the typed empty view (not all series).
         """
+        import re
+
         from pyspark.sql import functions as F
 
-        name = view_name or f"lakota_{self.label}"
+        if series_col in self.schema.columns:
+            raise ValueError(
+                f"schema already has a {series_col!r} column; pass a "
+                "different series_col for the provenance column"
+            )
+        name = view_name or "lakota_" + re.sub(r"\W", "_", self.label)
         df = None
-        for label in labels or self.ls():
+        for label in labels if labels is not None else self.ls():
             part = self.series(label).frame().withColumn(
-                "series", F.lit(label)
+                series_col, F.lit(label)
             )
             df = part if df is None else df.unionAll(part)
-        if df is None:  # empty collection: typed empty view
-            struct = self.schema.struct_type().add("series", "string")
+        if df is None:  # empty collection / empty selection: typed view
+            struct = self.schema.struct_type().add(series_col, "string")
             df = self.spark.createDataFrame([], struct)
         df.createOrReplaceTempView(name)
         return name

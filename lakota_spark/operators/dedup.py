@@ -243,9 +243,13 @@ def minhash_dedup(
     threshold: float = 0.5,
     materialize: str = "checkpoint",
     n_buckets: int = 64,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: shingle → sign → band →
     candidate join → exact-Jaccard verify. Returns verified pairs.
+    ``max_bucket`` passes through to `lsh_candidates`; set None to keep
+    pathological buckets (required when comparing against an uncapped
+    oracle).
 
     ``materialize`` picks how the shingle relation — used by three
     subplans (signatures + both sides of the verify join) — is shared.
@@ -296,7 +300,7 @@ def minhash_dedup(
     elif materialize == "checkpoint":
         sh = sh.localCheckpoint(eager=False)
     sigs = minhash_signatures(sh, num_hashes)
-    cands = lsh_candidates(sigs, num_hashes, bands)
+    cands = lsh_candidates(sigs, num_hashes, bands, max_bucket=max_bucket)
     return jaccard_pairs(sh, threshold, candidates=cands)
 
 
@@ -805,7 +809,7 @@ def semdedup_pairs(
     bounded exactly like `embedding_dup_pairs`' LSH buckets. Ranking is
     TakeOrderedAndProject: only `top` rows cross the wire.
     """
-    from lakota_spark.operators.clustering import kmeans_assign, kmeans_predict
+    from lakota_spark.operators.clustering import kmeans_fit, kmeans_predict
 
     if centroids is not None:
         # pre-trained quantizer (memoized per corpus, like IVF's): the
@@ -814,11 +818,13 @@ def semdedup_pairs(
             df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col
         )
     else:
-        assigned = kmeans_assign(
+        # kmeans_fit's assignment frame already carries the original
+        # columns + cluster — no join back (a full extra shuffle) needed
+        _, assigned = kmeans_fit(
             df, k=k, iters=iters, vec_col=vec_col, id_col=id_col
         )
-        with_cluster = df.select(F.col(id_col), F.col(vec_col)).join(
-            assigned, id_col
+        with_cluster = assigned.select(
+            F.col(id_col), F.col(vec_col), F.col("cluster")
         )
     # Delegate the pair stage to the shared blocked-pair kernel: per-vector
     # norms computed ONCE (one array pass per pair, not three — the 3-pass
@@ -989,6 +995,10 @@ def line_dedup(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
+    # the explode feeds THREE subplans (dup counts, the anti-join probe,
+    # per-doc totals) — truncate lineage once, same as boilerplate_flags'
+    # grams relation, so the corpus scan + split runs once per action
+    lines = lines.localCheckpoint(eager=False)
     dup = (
         lines.select("doc_id", "line")
         .distinct()

@@ -521,15 +521,17 @@ def char_entropy(
     chars = F.split(t, "")
     n = F.size(chars)
     distinct = F.array_distinct(chars)
-    # per distinct char: count via a filter pass (|distinct| × len ops,
-    # bounded by the alphabet — fine for text; byte spill caps at 256)
-    term = lambda c: F.round(  # noqa: E731
-        (F.size(F.filter(chars, lambda x: x == c)) / n)
-        * F.log2(F.size(F.filter(chars, lambda x: x == c)) / n)
-        * 1000000
-    ).cast("long")
+    # one filter-count per distinct char (|distinct| × len ops, bounded
+    # by the alphabet); the count binds ONCE into a counts array so the
+    # p·log2(p) term doesn't re-run the filter pass inside the log
+    counts = F.transform(
+        distinct, lambda c: F.size(F.filter(chars, lambda x: x == c))
+    )
     micro = F.aggregate(
-        distinct, F.lit(0).cast("long"), lambda acc, c: acc + term(c)
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, cnt: acc
+        + F.round((cnt / n) * F.log2(cnt / n) * 1000000).cast("long"),
     )
     return df.select(
         F.col(id_col),

@@ -40,20 +40,26 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _file_stamp(path: str) -> str:
+    """Identity stamp of a source file for memo/index keys: mtime+size.
+    The ONE definition every per-corpus cache keys on — a future change
+    to the staleness rule (e.g. mtime_ns) lands everywhere at once."""
+    import os
+
+    try:
+        st = os.stat(path)
+        return f"{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        return "nosrc"
+
+
 #: query-vector memo keyed on the embeddings file identity — six ANN
 #: queries probe the same fixed vector; one .first() job serves them all
 _QVEC: dict[tuple, list] = {}
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    import os
-
-    key = (sf_dir, vec_id)
-    try:
-        st = os.stat(f"{sf_dir}/embeddings.parquet")
-        key = (sf_dir, vec_id, int(st.st_mtime), st.st_size)
-    except OSError:
-        pass
+    key = (sf_dir, vec_id, _file_stamp(f"{sf_dir}/embeddings.parquet"))
     if key not in _QVEC:
         # raw read: a one-row probe shouldn't pay the repartition exchange
         row = (
@@ -112,11 +118,7 @@ def _index_path(sf_dir: str, kind: str) -> str:
     key = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
     # key on source mtime+size: the driver regenerates testdata between
     # rounds, and a stale /tmp index would silently serve wrong postings
-    try:
-        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-        stamp = f"{int(st.st_mtime)}-{st.st_size}"
-    except OSError:
-        stamp = "nosrc"
+    stamp = _file_stamp(os.path.join(sf_dir, "documents.parquet"))
     return os.path.join(
         tempfile.gettempdir(),
         f"lakota-spark-index-{_INDEX_VERSION}-{kind}-{stamp}-{key}",
@@ -503,13 +505,17 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash→LSH→verify pipeline; pairs with true Jaccard ≥ 0.5."""
+    """Full MinHash→LSH→verify pipeline; pairs with true Jaccard ≥ 0.5.
+    max_bucket=None: the DuckDB oracle generates candidates with no
+    bucket cap, so the oracle-matched entry must not cap either (the
+    cap is the production knob for boilerplate-mass corpora)."""
     return D.minhash_dedup(
         _docs(spark, sf_dir),
         n=SHINGLE_N,
         num_hashes=NUM_HASHES,
         bands=BANDS,
         threshold=0.5,
+        max_bucket=None,
     )
 
 
@@ -582,14 +588,7 @@ def _corpus_centroids(spark: SparkSession, sf_dir: str) -> list:
     embeddings file's (mtime, size) — the amortized index-build shared
     by `ivf_kmeans_topk` and `semdedup_top_pairs`. Results are identical
     with or without the cache (the fit is deterministic)."""
-    import os
-
-    key = sf_dir
-    try:
-        st = os.stat(f"{sf_dir}/embeddings.parquet")
-        key = f"{sf_dir}:{int(st.st_mtime)}-{st.st_size}"
-    except OSError:
-        pass
+    key = f"{sf_dir}:{_file_stamp(f'{sf_dir}/embeddings.parquet')}"
     cents = _IVF_CENTS.get(key)
     if cents is None:
         from lakota_spark.operators.clustering import kmeans_fit
@@ -621,14 +620,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspaces × 8-centroid Lloyd codebooks, ADC ranking from a literal
     lookup table, exact cosine alongside. Codebook training memoized per
     corpus like the IVF quantizer."""
-    import os
-
-    key = sf_dir
-    try:
-        st = os.stat(f"{sf_dir}/embeddings.parquet")
-        key = f"{sf_dir}:{int(st.st_mtime)}-{st.st_size}"
-    except OSError:
-        pass
+    key = f"{sf_dir}:{_file_stamp(f'{sf_dir}/embeddings.parquet')}"
     emb = _emb(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
     books = _PQ_BOOKS.get(key)
@@ -757,7 +749,13 @@ def _ensure_candidate_index(spark: SparkSession, sf_dir: str) -> str:
         sh = D.shingle_table(_docs(spark, sf_dir), n=SHINGLE_N)
         sh = sh.localCheckpoint(eager=False)
         sigs = D.minhash_signatures(sh, num_hashes=NUM_HASHES)
-        cand = D.lsh_candidates(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+        # UNCAPPED: the index is the complete candidate relation (and the
+        # DuckDB oracles generate candidates with no bucket cap — a capped
+        # index would silently diverge on a boilerplate-mass corpus);
+        # consumers apply their own max_bucket policy when needed
+        cand = D.lsh_candidates(
+            sigs, num_hashes=NUM_HASHES, bands=BANDS, max_bucket=None
+        )
         cand.write.mode("overwrite").parquet(path)
     return path
 

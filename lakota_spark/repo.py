@@ -418,7 +418,11 @@ class Repo:
         if fmt == "csv":
             return r.option("header", "true").schema(schema).csv(path)
         if fmt == "jsonl":
-            return r.schema(schema).json(path)
+            # FAILFAST: with a user-supplied schema the default PERMISSIVE
+            # mode turns malformed lines (e.g. a pretty-printed JSON array
+            # mistakenly imported as jsonl) into silent all-null rows —
+            # corrupt data must error, not land
+            return r.schema(schema).option("mode", "FAILFAST").json(path)
         raise ValueError(f"unknown format {fmt!r}; use one of {self.IO_FORMATS}")
 
     @staticmethod
