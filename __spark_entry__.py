@@ -1490,9 +1490,9 @@ WITH nt AS (
   FROM documents
 )
 SELECT doc_id, n_tokens, pack_bucket,
-       ((sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+       (((sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-        // 2000) AS pack_id
+        // 2000))::BIGINT AS pack_id
 FROM nt
 """,
         "trigram_posting_stats": """

@@ -23,6 +23,37 @@ TABLES = (
 ).split()
 
 
+def dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class used for the pre-normalization schema check.
+
+    The driver's correctness gate hashes rendered values, so an int64 column
+    on one side vs float64 on the other (e.g. DuckDB HUGEINT window-sum fed
+    through `//`) hash-mismatches even when numerically equal.  normalize()
+    below coerces both to a common dtype, which HID that class of bug in
+    round 4 (pack_sequences_demo).  Fail loudly on kind divergence instead.
+    """
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
+def schema_mismatches(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    out = []
+    for c in sorted(set(spark_pdf.columns) & set(duck_pdf.columns)):
+        ka, kb = dtype_kind(spark_pdf[c]), dtype_kind(duck_pdf[c])
+        # Arrow->pandas may give object for strings/decimals on either side;
+        # only flag the numeric-class divergences the driver hash detects.
+        if ka != kb and {ka, kb} <= {"int", "float", "bool"}:
+            out.append(f"{c}: spark={spark_pdf[c].dtype} vs oracle={duck_pdf[c].dtype}")
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -67,6 +98,11 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        strict = schema_mismatches(spark_pdf, duck_pdf)
+        if strict:
+            failures.append(name)
+            print(f"FAIL  {name}: dtype kind mismatch (driver would hash-fail): {strict}")
             continue
         a, b = normalize(spark_pdf), normalize(duck_pdf)
         if list(a.columns) != list(b.columns):
