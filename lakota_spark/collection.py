@@ -77,6 +77,7 @@ class Collection:
         can't, so the derived name sanitizes them; an explicitly empty
         ``labels`` list yields the typed empty view (not all series).
         """
+        import hashlib
         import re
 
         from pyspark.sql import functions as F
@@ -86,7 +87,14 @@ class Collection:
                 f"schema already has a {series_col!r} column; pass a "
                 "different series_col for the provenance column"
             )
-        name = view_name or "lakota_" + re.sub(r"\W", "_", self.label)
+        if view_name:
+            name = view_name
+        else:
+            # distinct labels like 'a-b' and 'a.b' sanitize identically;
+            # a short hash of the RAW label keeps derived names unique so
+            # createOrReplaceTempView can't silently clobber a sibling
+            tag = hashlib.sha1(self.label.encode()).hexdigest()[:6]
+            name = "lakota_" + re.sub(r"\W", "_", self.label) + "_" + tag
         df = None
         for label in labels if labels is not None else self.ls():
             part = self.series(label).frame().withColumn(

@@ -516,9 +516,19 @@ def char_entropy(
     Exactness: each character's term ``p·log2(p)`` quantizes to an
     integer micro-bit BEFORE the sum (long addition — order-free), so
     the oracle compare is exact like every other log-based score here.
+
+    Edge semantics: empty text is guarded to an empty char array
+    (``F.split('', '')`` would otherwise yield ``['']`` and report
+    n_chars_split=1); characters outside the BMP (astral plane) are
+    split into UTF-16 surrogate halves by Java's regex engine, so for
+    such documents the "character" unit is the UTF-16 code unit — a
+    known divergence from per-codepoint engines, acceptable for a
+    junk-score where surrogate halves still measure repetitiveness.
     """
     t = F.col(text_col)
-    chars = F.split(t, "")
+    chars = F.when(F.length(t) > 0, F.split(t, "")).otherwise(
+        F.array().cast("array<string>")
+    )
     n = F.size(chars)
     distinct = F.array_distinct(chars)
     # one filter-count per distinct char (|distinct| × len ops, bounded

@@ -41,14 +41,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _file_stamp(path: str) -> str:
-    """Identity stamp of a source file for memo/index keys: mtime+size.
-    The ONE definition every per-corpus cache keys on — a future change
-    to the staleness rule (e.g. mtime_ns) lands everywhere at once."""
+    """Identity stamp of a source file for memo/index keys:
+    nanosecond mtime + size — second-granularity mtime would serve
+    stale centroids/candidates if a same-size file were regenerated
+    within the same second. The ONE definition every per-corpus cache
+    keys on, so a future change to the staleness rule lands everywhere
+    at once."""
     import os
 
     try:
         st = os.stat(path)
-        return f"{int(st.st_mtime)}-{st.st_size}"
+        return f"{st.st_mtime_ns}-{st.st_size}"
     except OSError:
         return "nosrc"
 

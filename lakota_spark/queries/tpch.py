@@ -535,6 +535,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a one-row broadcast (cross join) — no second scan of the fact
     table, and at 100 TB the per-part aggregate is the only real
     shuffle.
+
+    Integer-range bound: the predicate stays in int64, so it is exact
+    only while ``10 * max(part_cents) * n_parts < 2^63`` (DuckDB
+    promotes to HUGEINT and never wraps). At SF=100k that is ~1e6-cent
+    parts × ~2e7 parts × 10 ≈ 2e14 — five orders inside the bound; a
+    deployment beyond ~SF 1e7 should move the predicate to
+    decimal(38,0) before the multiply.
     """
     l = _t(spark, sf_dir, "lineitem")
     cents = F.sum(

@@ -677,3 +677,12 @@ def test_sql_view_over_collection(repo, spark):
     empty = repo.create_collection(Schema(ts="int*", value="float"), "sqlv2")
     ename = empty.sql_view()
     assert spark.sql(f"SELECT * FROM {ename}").count() == 0
+    # labels that sanitize to the same identifier get DISTINCT views
+    ca = repo.create_collection(Schema(ts="int*", value="float"), "a-b")
+    cb = repo.create_collection(Schema(ts="int*", value="float"), "a.b")
+    ca.series("s").write({"ts": [1], "value": [1.0]})
+    cb.series("s").write({"ts": [1], "value": [2.0]})
+    na, nb = ca.sql_view(), cb.sql_view()
+    assert na != nb
+    assert spark.sql(f"SELECT value FROM {na}").collect()[0].value == 1.0
+    assert spark.sql(f"SELECT value FROM {nb}").collect()[0].value == 2.0

@@ -1278,6 +1278,12 @@ def test_char_entropy_known_values(spark):
     a = sorted(map(tuple, char_entropy(docs).collect()))
     b = sorted(map(tuple, char_entropy(docs.repartition(3)).collect()))
     assert a == b
+    # empty text: zero chars (NOT the [''] artifact of split('', ''))
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    row = char_entropy(empty).collect()[0]
+    assert row.n_chars_split == 0
+    assert row.n_distinct_chars == 0
+    assert row.entropy_bits == 0.0
 
 
 def test_chunk_documents_overlap_and_provenance(spark):
