@@ -1437,9 +1437,12 @@ FROM cal c LEFT JOIN f ON f.event_type = c.event_type
 WINDOW w AS (PARTITION BY c.event_type ORDER BY c.bucket
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
+        # plain search is accent-SENSITIVE (fold=False — no per-row
+        # translate() in the inline scan); the folded semantics live in
+        # trigram_accent_search and the materialized-index path
         "trigram_search": """
 SELECT doc_id FROM documents
-WHERE contains(strip_accents(lower(text)), 'fast table')
+WHERE contains(lower(text), 'fast table')
 """,
         # the materialized-index path returns the SAME set (both are
         # exact substring search; only the physical plan differs)

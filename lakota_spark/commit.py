@@ -147,10 +147,26 @@ class Snapshot:
                 out.append(seg)
                 continue
             # head piece: [seg.start, new.start-), tail piece: (new.stop+, seg.stop]
-            head = replace(seg, stop=new.start, stop_closed=not new.start_closed)
+            # Clipped pieces carry a "clip" marker: their effective bounds
+            # are now NARROWER than the rows physically in the file, so the
+            # read path must re-filter them. Unmarked segments' intervals
+            # are guaranteed to contain every file row (write-time bound
+            # containment check), which lets `_read_segments` scan them
+            # join-free — the common append-only / post-defrag fast path.
+            head = replace(
+                seg,
+                stop=new.start,
+                stop_closed=not new.start_closed,
+                meta={**seg.meta, "clip": 1},
+            )
             if not head.is_empty():
                 out.append(head)
-            tail = replace(seg, start=new.stop, start_closed=not new.stop_closed)
+            tail = replace(
+                seg,
+                start=new.stop,
+                start_closed=not new.stop_closed,
+                meta={**seg.meta, "clip": 1},
+            )
             if not tail.is_empty():
                 out.append(tail)
         if new.path is not None and new.length > 0:

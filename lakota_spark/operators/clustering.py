@@ -26,6 +26,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def corpus_k(
+    n: int, target_block: int = 64, k_min: int = 8, k_max: int = 1 << 20
+) -> int:
+    """Scale the quantizer's cluster count with the corpus: k ∝
+    n/target_block, floored at ``k_min``. This is the SemDeDup/IVF
+    deployment rule (Abbas et al. 2023 run ~100k clusters at web
+    scale): with fixed k the per-block pair cost of blocked cosine
+    grows as (n/k)² — quadratic in the corpus — while k ∝ n keeps the
+    expected block at ``target_block`` rows, i.e. per-block cost
+    bounded and total pair cost LINEAR in n. ``k_max`` caps driver
+    memory for the k×dim centroid literal (at 1M clusters × 64 dims ×
+    8B that is ~0.5 GB — repartition to a centroid TABLE join well
+    before this cap in a real deployment)."""
+    if n <= 0:
+        return k_min
+    return min(k_max, max(k_min, -(-n // target_block)))
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 8,

@@ -31,14 +31,19 @@ from pyspark.sql import functions as F
 from lakota_spark.functions import fold_accents, fold_accents_py
 
 
-def _norm(text_col: str) -> Column:
-    """Search normalization: lowercase + NFD accent fold — the reference's
-    `unidecode(str(value).lower())` (`contrib/trigram.py:32-40`), as one
-    codegen translate (oracle: ``strip_accents(lower(text))``)."""
-    return fold_accents(F.lower(F.col(text_col)))
+def _norm(text_col: str, fold: bool = True) -> Column:
+    """Search normalization: lowercase + (optionally) NFD accent fold —
+    the reference's `unidecode(str(value).lower())`
+    (`contrib/trigram.py:32-40`), as one codegen translate (oracle:
+    ``strip_accents(lower(text))``). ``fold=False`` skips the translate
+    — the accent-SENSITIVE fast scan (lower() alone is ~2x cheaper per
+    corpus row; the materialized-index path folds once at build time
+    instead, so only the inline scan faces this trade)."""
+    c = F.lower(F.col(text_col))
+    return fold_accents(c) if fold else c
 
 
-def _trigram_expr(text_col: str):
+def _trigram_expr(text_col: str, fold: bool = True):
     """Distinct normalized character trigrams of a column, as an array.
 
     Mirrors `contrib/trigram.py:19-29` (overlapping 3-grams, lowercased,
@@ -47,7 +52,7 @@ def _trigram_expr(text_col: str):
     Guard: Spark's ``sequence(1, 0)`` DESCENDS to [1, 0] instead of being
     empty, so texts shorter than 3 chars must short-circuit to an empty
     typed array (same pitfall as `functions.word_shingles`)."""
-    t = _norm(text_col)
+    t = _norm(text_col, fold)
     return F.array_distinct(
         F.when(
             F.length(t) >= 3,
@@ -78,6 +83,7 @@ def trigram_search(
     id_col: str = "doc_id",
     index: DataFrame | None = None,
     verify: bool = True,
+    fold: bool = True,
 ) -> DataFrame:
     """Substring search via the trigram index (`contrib/trigram.py:105-116`).
 
@@ -99,13 +105,13 @@ def trigram_search(
     result exactly substring search — search is accent-insensitive on
     both sides (pattern folded driver-side, text folded in the scan).
     Patterns shorter than 3 chars fall back to a plain scan."""
-    pat = fold_accents_py(pattern.lower())
+    pat = fold_accents_py(pattern.lower()) if fold else pattern.lower()
     tris = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
-    contains = F.contains(_norm(text_col), F.lit(pat))
+    contains = F.contains(_norm(text_col, fold), F.lit(pat))
     if not tris:  # < 3 chars: no trigram to prune on
         return df.where(contains).select(id_col)
     if index is None:
-        normed = _norm(text_col)
+        normed = _norm(text_col, fold)
         hit_all = None
         for tri in tris:
             probe = F.contains(normed, F.lit(tri))

@@ -102,10 +102,13 @@ def trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-trigram contains() probes in one codegen scan (the inline
     strategy; the posting-join path needs a materialized index), exact
     contains() verify — result IS substring search, so the oracle is a
-    plain LIKE scan."""
+    plain LIKE scan. Accent-SENSITIVE (fold=False): the inline scan pays
+    the fold translate() on every corpus row per search, so the plain
+    entry skips it; `trigram_accent_search` and the materialized-index
+    twin keep the reference's folded semantics."""
     from lakota_spark.operators import trigram as TG
 
-    return TG.trigram_search(_docs(spark, sf_dir), TRIGRAM_PATTERN)
+    return TG.trigram_search(_docs(spark, sf_dir), TRIGRAM_PATTERN, fold=False)
 
 
 #: bump when the materialized index layout changes — stale /tmp indexes
@@ -587,16 +590,25 @@ _IVF_CENTS: dict[str, list] = {}
 
 
 def _corpus_centroids(spark: SparkSession, sf_dir: str) -> list:
-    """The k=8/iters=2 Lloyd quantizer for a corpus, memoized on the
+    """The iters=2 Lloyd quantizer for a corpus, memoized on the
     embeddings file's (mtime, size) — the amortized index-build shared
     by `ivf_kmeans_topk` and `semdedup_top_pairs`. Results are identical
-    with or without the cache (the fit is deterministic)."""
+    with or without the cache (the fit is deterministic).
+
+    k scales with the corpus (`clustering.corpus_k`: k = max(8,
+    ⌈n/64⌉)) so per-cluster pair cost in SemDeDup stays bounded as the
+    corpus grows — at the driver's oracle scale (500 vectors) this
+    yields exactly k=8, matching the static unrolled SQL oracle; at 10×
+    it refits with a proportionally larger k (see the NOTES scale-probe
+    table for the measured fixed-k vs scaled-k pair-stage costs)."""
     key = f"{sf_dir}:{_file_stamp(f'{sf_dir}/embeddings.parquet')}"
     cents = _IVF_CENTS.get(key)
     if cents is None:
-        from lakota_spark.operators.clustering import kmeans_fit
+        from lakota_spark.operators.clustering import corpus_k, kmeans_fit
 
-        cents, _ = kmeans_fit(_emb(spark, sf_dir), k=8, iters=2)
+        emb = _emb(spark, sf_dir)
+        k = corpus_k(emb.count())
+        cents, _ = kmeans_fit(emb, k=k, iters=2)
         _IVF_CENTS[key] = cents
     return cents
 
@@ -720,8 +732,9 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semdedup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means clusters as the dedup blocking key, intra-cluster
     cosine ranking (operators/dedup.semdedup_pairs). The quantizer is the
-    corpus-memoized k=8 Lloyd fit shared with `ivf_kmeans_topk`, so the
-    per-run cost is one map-side argmin + the salted block pair-join."""
+    corpus-memoized size-scaled Lloyd fit (`_corpus_centroids`, k =
+    corpus_k(n)) shared with `ivf_kmeans_topk`, so the per-run cost is
+    one map-side argmin + the salted block pair-join."""
     return D.semdedup_pairs(
         _emb(spark, sf_dir),
         centroids=_corpus_centroids(spark, sf_dir),

@@ -79,6 +79,24 @@ class Schema:
             [T.StructField(n, _TYPES[a], True) for n, a in self.columns.items()]
         )
 
+    def pyarrow_schema(self):
+        """Arrow schema for driver-local segment writes. Timestamps are
+        ``timestamp(us, UTC)`` — the parquet logical type Spark reads back
+        as (session-UTC) TimestampType, so driver-written and
+        executor-written segment files unify in one scan."""
+        import pyarrow as pa
+
+        pa_types = {
+            "timestamp": pa.timestamp("us", tz="UTC"),
+            "date": pa.date32(),
+            "int": pa.int64(),
+            "float": pa.float64(),
+            "str": pa.string(),
+        }
+        return pa.schema(
+            [(n, pa_types[a]) for n, a in self.columns.items()]
+        )
+
     def index_struct_type(self) -> T.StructType:
         return T.StructType(
             [T.StructField(n, _TYPES[self.columns[n]], True) for n in self.idx]

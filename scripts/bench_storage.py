@@ -1,0 +1,212 @@
+"""Storage-engine benchmark against BASELINE.md's published numbers.
+
+Replicates the reference's own micro-benchmarks on THIS engine:
+
+* bulk: `bench/bench_pg.py:7-12` — 5,259,457 rows (5-minute timestamp
+  grid 1970→2020, sin values), bulk write / full read / on-disk size.
+  Reference: write 375.67 ms, read 193.10 ms (PostgreSQL: 83.74 s /
+  10.03 s, 382 MB). NB the reference's "2.0 MB" disk figure cannot be
+  lossless for this data — sin(arange) float64 measures ~42 MB of
+  entropy under zstd/blosc alike (their `du -hs .lakota/` targeted the
+  default repo dir while the bench wrote to `test-db/`); the honest
+  yardstick is the PostgreSQL 382 MB row.
+* fragmentation: `bench/bench_fragmentation.py:5-12` — 1M rows written
+  in chunks of 500 / 5,000 / 50,000 / 500,000.
+  Reference: 23.86 s/972 MB, 1.06 s/19 MB, 148.83 ms/3.5 MB,
+  57.62 ms/3.4 MB.
+* interchange: round-trip the 5.26M-row table through each non-parquet
+  interchange format (orc, jsonl) — export + re-import timings, so the
+  round-4 formats carry a measured cost, not just a correctness test.
+
+Usage: python scripts/bench_storage.py [--compact]
+  --compact  skip the 500-row fragmentation rung and the jsonl
+             round-trip (the two slow entries) — the per-round bench.py
+             embeds this mode.
+
+Prints ONE JSON object with a ratio-to-reference for every comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_BULK = 5_259_457
+N_FRAG = 1_000_000
+REF = {  # BASELINE.md values, seconds / MB
+    "bulk_write_s": 0.37567,
+    "bulk_read_s": 0.19310,
+    "pg_write_s": 83.74,
+    "pg_read_s": 10.03,
+    "pg_disk_mb": 382.0,
+    "frag": {500: 23.86, 5_000: 1.06, 50_000: 0.14883, 500_000: 0.05762},
+    "frag_mb": {500: 972.0, 5_000: 19.0, 50_000: 3.5, 500_000: 3.4},
+}
+
+
+def dir_size(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def bench_df():
+    import numpy as np
+    import pandas as pd
+
+    ts = pd.date_range("1970-01-01", "2020-01-01", freq="5min")
+    return pd.DataFrame(
+        {"timestamp": ts, "value": np.sin(np.arange(len(ts)))}
+    )
+
+
+def run(spark, compact: bool = False) -> dict:
+    from lakota_spark.repo import Repo
+    from lakota_spark.schema import Schema
+
+    out: dict = {}
+    df = bench_df()
+    assert len(df) == N_BULK
+    # pre-touch: first-touch page faults on the fresh 80 MB belong to
+    # data generation, not the engine write being measured
+    df["value"].to_numpy().sum()
+
+    # ---- bulk (bench_pg parity) -----------------------------------------
+    root = tempfile.mkdtemp(prefix="bench-storage-")
+    try:
+        repo = Repo(root, spark)
+        coll = repo.create_collection(
+            Schema(timestamp="timestamp*", value="float"), "bench"
+        )
+        series = coll.series("test")
+        t0 = time.perf_counter()
+        series.write(df)
+        write_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n = series.frame(sort=False).count()
+        read_count_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pdf = series.df(sort=False)
+        read_pandas_s = time.perf_counter() - t0
+        size_mb = dir_size(root) / 1e6
+        out["bulk"] = {
+            "rows": n,
+            "write_s": round(write_s, 3),
+            "read_count_s": round(read_count_s, 3),
+            "read_pandas_s": round(read_pandas_s, 3),
+            "rows_ok": n == N_BULK and len(pdf) == N_BULK,
+            "on_disk_mb": round(size_mb, 1),
+            "write_vs_ref": round(write_s / REF["bulk_write_s"], 2),
+            "read_vs_ref": round(read_pandas_s / REF["bulk_read_s"], 2),
+            "write_vs_pg": round(write_s / REF["pg_write_s"], 3),
+            "read_vs_pg": round(read_pandas_s / REF["pg_read_s"], 3),
+            "disk_vs_pg": round(size_mb / REF["pg_disk_mb"], 3),
+        }
+
+        # ---- interchange round-trip (round-4 formats) -------------------
+        fmts = ["orc"] if compact else ["orc", "jsonl"]
+        inter = {}
+        for fmt in fmts:
+            exp_dir = os.path.join(root, f"export-{fmt}")
+            t0 = time.perf_counter()
+            repo.export_collection("bench", exp_dir, fmt=fmt)
+            export_s = time.perf_counter() - t0
+            repo.create_collection(
+                Schema(timestamp="timestamp*", value="float"),
+                f"rt_{fmt}",
+            )
+            t0 = time.perf_counter()
+            repo.import_series(
+                f"rt_{fmt}",
+                "test",
+                os.path.join(exp_dir, "test"),
+                fmt=fmt,
+            )
+            import_s = time.perf_counter() - t0
+            n_rt = (
+                repo.collection(f"rt_{fmt}")
+                .series("test")
+                .frame(sort=False)
+                .count()
+            )
+            inter[fmt] = {
+                "export_s": round(export_s, 3),
+                "import_s": round(import_s, 3),
+                "export_mb": round(dir_size(exp_dir) / 1e6, 1),
+                "rows_ok": n_rt == N_BULK,
+            }
+        out["interchange"] = inter
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # ---- fragmentation ladder (bench_fragmentation parity) --------------
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    values = np.arange(N_FRAG, dtype="int64")
+    rng.shuffle(values)
+    chunk_sizes = [5_000, 50_000, 500_000] if compact else [
+        500,
+        5_000,
+        50_000,
+        500_000,
+    ]
+    frag = {}
+    for chunk in chunk_sizes:
+        root = tempfile.mkdtemp(prefix="bench-frag-")
+        try:
+            repo = Repo(root, spark)
+            coll = repo.create_collection(
+                Schema(timestamp="int*", value="float"), "frag"
+            )
+            series = coll.series("frag")
+            t0 = time.perf_counter()
+            for lo in range(0, N_FRAG, chunk):
+                series.write(
+                    pd.DataFrame(
+                        {
+                            "timestamp": np.arange(lo, lo + chunk),
+                            "value": values[lo : lo + chunk].astype(
+                                "float64"
+                            ),
+                        }
+                    )
+                )
+            write_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n = series.frame(sort=False).count()
+            read_s = time.perf_counter() - t0
+            frag[str(chunk)] = {
+                "write_s": round(write_s, 2),
+                "read_s": round(read_s, 2),
+                "rows_ok": n == N_FRAG,
+                "on_disk_mb": round(dir_size(root) / 1e6, 1),
+                "write_vs_ref": round(write_s / REF["frag"][chunk], 2),
+                "disk_vs_ref_mb": REF["frag_mb"][chunk],
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    out["fragmentation"] = frag
+    return out
+
+
+def main() -> None:
+    from lakota_spark.session import get_spark
+
+    compact = "--compact" in sys.argv
+    spark = get_spark("bench-storage")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run(spark, compact=compact)))
+
+
+if __name__ == "__main__":
+    main()

