@@ -368,9 +368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each round; the rows-only multimodal/sketch entries sit just past
     the window (their driver row is the weakest check kind, so every
     oracle-backed newcomer outranks them for window space). The
-    invariant is asserted ad hoc:
-    [k for k in list(queries())[50:] if never-recorded and oracle-backed]
-    must be empty.
+    invariant — [k for k in list(queries())[50:] if never-recorded and
+    oracle-backed] == [] — is ENFORCED by
+    `tests/test_driver_contract.py::test_every_unrecorded_oracle_query_inside_window`
+    against the committed CORRECTNESS_r*.json history.
     """
     return {
         # --- sentinels: relational suite (SURVEY §2.5 extension) ---
@@ -400,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunked_documents": pipeline.chunked_documents,
         # --- composite cleaning pass ---
         "pretrain_clean": pipeline.pretrain_clean,
+        # --- new in round 5: span-level clean (clip/drop decision) ---
+        "span_clip_clean": pipeline.span_clip_clean,
         # --- dedup ---
         "dedup_exact": pipeline.dedup_exact,
         "boilerplate_doc_flags": pipeline.boilerplate_doc_flags,
@@ -1276,6 +1279,73 @@ SELECT doc_id, min(pos)::BIGINT AS span_start,
        (max(pos) + 6)::BIGINT AS span_end,
        count(*) AS n_grams, max(n_docs) AS n_docs_max
 FROM isl GROUP BY doc_id, island
+""",
+        # span-level clean: 4+6-gram flagged windows merged by a
+        # running-max-end island pass (variable widths), then the
+        # drop-or-clip decision + token-rebuilt text — all integer/token
+        # arithmetic, bit-exact vs the Spark operator
+        "span_clip_clean": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, s.pos AS pos, s.g AS shingle, s.w AS width FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(tk)-3, 0)),
+             i -> {{'pos': i - 1, 'w': 4,
+                    'g': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                         || tk[i+3]}})) AS s
+    FROM toks
+    UNION ALL
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(tk)-5, 0)),
+             i -> {{'pos': i - 1, 'w': 6,
+                    'g': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                         || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5]}}))
+           AS s
+    FROM toks)
+),
+flc AS (SELECT shingle FROM sh GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT s.doc_id, s.pos, s.pos + s.width AS e
+         FROM sh s JOIN flc USING (shingle)),
+brk AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER w_prev IS NULL
+                OR pos > max(e) OVER w_prev THEN 1 ELSE 0 END AS brk
+  FROM hits
+  WINDOW w_prev AS (PARTITION BY doc_id ORDER BY pos, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM brk
+),
+spans AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+          FROM isl GROUP BY doc_id, island),
+agg AS (SELECT doc_id, sum(e - s)::BIGINT AS n_clipped
+        FROM spans GROUP BY doc_id),
+tok AS (SELECT doc_id, unnest(tk) AS w, unnest(range(len(tk))) AS pos
+        FROM toks),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = t.doc_id
+                      AND t.pos >= sp.s AND t.pos < sp.e)
+),
+reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS txt
+        FROM kept GROUP BY doc_id),
+base AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+                array_to_string(tk, ' ') AS orig FROM toks)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(a.n_clipped, 0)::BIGINT AS n_clipped,
+       CASE WHEN a.doc_id IS NULL THEN 'keep'
+            WHEN a.n_clipped > 0.5 * b.n_tokens THEN 'drop'
+            ELSE 'clip' END AS action,
+       CASE WHEN a.doc_id IS NULL THEN b.orig
+            WHEN a.n_clipped > 0.5 * b.n_tokens THEN ''
+            ELSE coalesce(r.txt, '') END AS text_clean
+FROM base b LEFT JOIN agg a USING (doc_id) LEFT JOIN reb r USING (doc_id)
 """,
         "quality_deciles": f"""
 WITH d AS (

@@ -106,6 +106,28 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # Storage-engine section (BASELINE.md comparables — bench_pg bulk
+    # write/read/size, fragmentation ladder, orc interchange). Reported
+    # under its own key so "value" stays the cross-round-comparable
+    # query-suite sum.
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_storage",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "scripts",
+                "bench_storage.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        storage = mod.run(spark, compact=True)
+    except Exception as exc:  # noqa: BLE001 - keep the query bench alive
+        storage = {"error": str(exc)[:200]}
+
     print(
         json.dumps(
             {
@@ -113,6 +135,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "storage": storage,
                 "sf": float(sf),
             }
         )

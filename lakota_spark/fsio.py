@@ -67,6 +67,9 @@ class BaseFS:
     scheme: str
     is_local: bool = False
     spark_readable: bool = False
+    #: backend exposes a pyarrow FileSystem (`.fs` + `.full()`), so the
+    #: driver-local pandas sink can read parquet directly (no Spark job)
+    arrow_readable: bool = False
 
     #: process-wide I/O byte counters keyed "<Backend>.<op>" (reference
     #: `POD._metrics`, `lakota/pod.py:58-75`) — cheap observability for
@@ -205,6 +208,7 @@ class FS(BaseFS):
         self.scheme = self.uri.split("://", 1)[0]
         self.fs, self.root = pafs.FileSystem.from_uri(self.uri)
         self.is_local = self.scheme == "file"
+        self.arrow_readable = True
         # schemes Spark's Hadoop layer can scan directly (distributed IO)
         self.spark_readable = self.scheme in {
             "file", "s3", "s3a", "gs", "hdfs", "abfs", "wasbs"

@@ -596,6 +596,124 @@ def repeated_spans(
     return spans
 
 
+def clip_repeated_spans(
+    df: DataFrame,
+    ns: tuple = (4, 6),
+    min_df: int = 2,
+    drop_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CONSUMING side of `repeated_spans` — Lee et al. 2021 clean
+    semantics: merge flagged islands ACROSS n-gram sizes into disjoint
+    token spans, then emit the drop-or-clip decision a cleaning pass
+    applies — ``action`` ∈ {keep, clip, drop} plus the rebuilt text.
+
+    - flagged windows from EVERY n in ``ns`` union into one positioned
+      relation (a long exact repeat surfaces via the wide grams, short
+      boilerplate via the narrow ones);
+    - islands merge with a running-max-end window (variable widths, so
+      the fixed-gap trick of `repeated_spans` does not apply): a new
+      island starts when this gram's start passes every previous gram's
+      end → islands are DISJOINT by construction, making ``n_clipped``
+      a plain sum;
+    - docs whose spans cover more than ``drop_frac`` of their tokens
+      are dropped (text_clean = ''); others are clipped — the text is
+      rebuilt from the surviving token positions (whitespace-normalized:
+      single spaces, like every tokens()-derived operator here).
+
+    Scale shape: one corpus scan feeds both the shingle union and the
+    rebuild (localCheckpoint); one partial-agg groupBy for document
+    frequencies; doc-keyed windows only. All integer/token arithmetic —
+    exact under any partitioning, bit-for-bit SQL oracle.
+    """
+    import functools
+
+    from pyspark.sql import Window
+
+    from lakota_spark.operators.util import ensure_parallelism
+
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
+        .localCheckpoint(eager=False)
+    )
+    pos_sh = functools.reduce(
+        DataFrame.unionByName,
+        [
+            base.select(
+                "doc_id",
+                F.posexplode(word_shingles(F.col("tk"), n)).alias(
+                    "pos", "shingle"
+                ),
+            ).withColumn("width", F.lit(n))
+            for n in ns
+        ],
+    )
+    flagged = (
+        pos_sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_df)
+    )
+    hits = pos_sh.join(flagged, "shingle").select(
+        "doc_id", "pos", (F.col("pos") + F.col("width")).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos", "end")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        hits.withColumn(
+            "brk",
+            F.when(
+                prev_max.isNull() | (F.col("pos") > prev_max), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            F.max("end").alias("e"),
+        )
+    )
+    doc_spans = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("s"), F.col("e")))
+        ).alias("spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("clipped"),
+    )
+    out = base.join(doc_spans, "doc_id", "left")
+    n_tokens = F.size("tk").cast("long")
+    n_clipped = F.coalesce(F.col("clipped"), F.lit(0).cast("long"))
+    action = (
+        F.when(F.col("spans").isNull(), F.lit("keep"))
+        .when(n_clipped > F.lit(drop_frac) * n_tokens, F.lit("drop"))
+        .otherwise(F.lit("clip"))
+    )
+    kept = F.filter(
+        F.col("tk"),
+        lambda x, i: ~F.exists(
+            F.col("spans"),
+            lambda sp: (i >= sp["s"]) & (i < sp["e"]),
+        ),
+    )
+    text_clean = (
+        F.when(action == "drop", F.lit(""))
+        .when(action == "keep", F.array_join(F.col("tk"), " "))
+        .otherwise(F.array_join(kept, " "))
+    )
+    return out.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_clipped.alias("n_clipped"),
+        action.alias("action"),
+        text_clean.alias("text_clean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cluster canonicalization (connected components over candidate pairs)
 # ---------------------------------------------------------------------------

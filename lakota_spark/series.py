@@ -647,8 +647,155 @@ class Series:
         return df.select(*cols)
 
     def df(self, *args, **kwargs):
-        """pandas sink (`lakota/series.py:340-358`)."""
+        """pandas sink (`lakota/series.py:340-358`).
+
+        When the backend exposes a pyarrow filesystem and every pruned
+        segment is clean (never clipped by an overlay) and the
+        collection is not KV, the frame is read DRIVER-SIDE with
+        pyarrow — parallel file reads, zero Spark jobs, and the global
+        sort comes free (clean segments are pairwise disjoint and
+        internally sorted, so interval-ordered concatenation IS the
+        sorted frame). Everything else falls back to
+        ``frame(...).toPandas()``; both paths return identical frames
+        (covered by the differential tests that call ``df()``)."""
+        try:
+            out = self._df_local(*args, **kwargs)
+        except Exception:  # noqa: BLE001 - any surprise: correct, slower path
+            out = None
+        if out is not None:
+            return out
         return self.frame(*args, **kwargs).toPandas()
+
+    def _df_local(
+        self,
+        start=None,
+        stop=None,
+        before=None,
+        closed: str = "b",
+        select: list[str] | None = None,
+        limit: int | None = None,
+        offset: int | None = None,
+        sort: bool = True,
+    ):
+        fs = self.collection.fs
+        if self.schema.kv or not getattr(fs, "arrow_readable", False):
+            return None
+        segs = self.segments(start, stop, before, closed)
+        live = [s for s in segs if s.path]
+        if any(s.meta.get("clip") for s in live):
+            return None  # narrowed bounds need the per-segment filter
+        import pandas as pd
+
+        cols = select or list(self.schema.columns)
+        if not live:
+            import pyarrow as pa
+
+            pa_ns = {
+                "timestamp": pa.timestamp("ns"),
+                "date": pa.date32(),
+                "int": pa.int64(),
+                "float": pa.float64(),
+                "str": pa.string(),
+            }
+            return pa.schema(
+                [(c, pa_ns[self.schema.columns[c]]) for c in cols]
+            ).empty_table().to_pandas()
+        import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        idx = self.schema.idx
+        read_cols = list(dict.fromkeys([*cols, *idx]))
+        start_b = self.schema.coerce_bound(start)
+        stop_b = self.schema.coerce_bound(stop)
+        start_closed, stop_closed = CLOSED[closed]
+        # coarse row-group pruning on the leading index column (the same
+        # shape `_bound_pred` pushes to the Spark scan)
+        filters = []
+        if start_b is not None:
+            op = ">=" if (start_closed or len(start_b) > 1) else ">"
+            filters.append((idx[0], op, start_b[0]))
+        if stop_b is not None:
+            op = "<=" if (stop_closed or len(stop_b) > 1) else "<"
+            filters.append((idx[0], op, stop_b[0]))
+        seg_prefix = self.collection.seg_prefix
+        files = []
+        for s in live:  # interval order == global sort order
+            d = f"{seg_prefix}/{s.path}"
+            files.extend(
+                f"{d}/{nm}" for nm in fs.ls(d) if nm.endswith(".parquet")
+            )
+
+        def read_one(rel: str):
+            return pq.read_table(
+                fs.full(rel),
+                filesystem=fs.fs,
+                columns=read_cols,
+                filters=filters or None,
+            )
+
+        if len(files) == 1:
+            tables = [read_one(files[0])]
+        else:
+            with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+                tables = list(ex.map(read_one, files))
+        # Stay in arrow until ONE to_pandas at the end: the naive-pandas
+        # shape (per-file to_pandas + pd.concat + dtype normalize +
+        # column select) costs four full-frame copies — measured 4 s on
+        # 5.26M rows where the arrow-level concat/cast/select runs in
+        # 0.09 s. The cast also unifies mixed physical timestamps
+        # (Spark INT96 → ns-naive, driver-written us/UTC → ns-naive
+        # wall values — the session timezone is UTC) to the exact dtype
+        # Spark's toPandas yields.
+        import pyarrow as pa
+
+        pa_ns = {
+            "timestamp": pa.timestamp("ns"),
+            "date": pa.date32(),
+            "int": pa.int64(),
+            "float": pa.float64(),
+            "str": pa.string(),
+        }
+        target = pa.schema(
+            [(c, pa_ns[self.schema.columns[c]]) for c in read_cols]
+        )
+        tbl = (
+            pa.concat_tables(tables, promote_options="permissive")
+            .select(read_cols)
+            .cast(target)
+        )
+        pdf = tbl.to_pandas(self_destruct=True)
+        if start_b is not None:
+            pdf = pdf[
+                self._pandas_bound_mask(pdf, start_b, start_closed, True)
+            ]
+        if stop_b is not None:
+            pdf = pdf[
+                self._pandas_bound_mask(pdf, stop_b, stop_closed, False)
+            ]
+        if start_b is not None or stop_b is not None:
+            pdf = pdf.reset_index(drop=True)
+        if offset:
+            pdf = pdf.iloc[offset:].reset_index(drop=True)
+        if limit is not None:
+            pdf = pdf.iloc[:limit]
+        if list(pdf.columns) != cols:
+            pdf = pdf[cols]
+        return pdf
+
+    def _pandas_bound_mask(self, pdf, bound, closed: bool, is_start: bool):
+        """Pandas twin of `_bound_pred`: lexicographic prefix compare
+        over the leading ``len(bound)`` index columns."""
+        import numpy as np
+
+        idx = self.schema.idx
+        strict = np.zeros(len(pdf), dtype=bool)
+        eq_all = np.ones(len(pdf), dtype=bool)
+        for c, v in zip(idx[: len(bound)], bound):
+            s = pdf[c]
+            cmp = (s > v) if is_start else (s < v)
+            strict |= eq_all & cmp.to_numpy()
+            eq_all &= (s == v).to_numpy()
+        return strict | eq_all if closed else strict
 
     def _resurrect_missing(self, paths: list[str]) -> None:
         """Move referenced segment dirs back out of GC trash (see
