@@ -1463,3 +1463,44 @@ def test_corpus_k_scaling_bounds_block_sizes(spark):
     # 4x the data must NOT mean 4x the biggest block (Lloyd on gaussian
     # noise is uneven, so allow slack well below the fixed-k ratio)
     assert max_blocks[4096] < 4 * max_blocks[1024]
+
+
+def test_clip_repeated_spans_semantics(spark):
+    # merged multi-width islands, clip/drop decision, rebuilt text
+    from lakota_spark.operators.dedup import clip_repeated_spans
+
+    boiler = "subscribe to our newsletter for more updates every day"  # 9 toks
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma " + boiler),                # trailing repeat
+            (1, boiler + " delta epsilon zeta eta theta iota kappa"),
+            (2, "unique words only here nothing repeated at all"),
+            (3, boiler),                                      # 100% covered
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in clip_repeated_spans(
+        docs, ns=(4, 6), min_df=2, drop_frac=0.5
+    ).collect()}
+    # doc 2 shares no 4-gram: untouched
+    assert rows[2].action == "keep"
+    assert rows[2].text_clean == "unique words only here nothing repeated at all"
+    assert rows[2].n_clipped == 0
+    # doc 3 is pure boilerplate: dropped, empty rebuild
+    assert rows[3].action == "drop"
+    assert rows[3].text_clean == ""
+    assert rows[3].n_clipped == rows[3].n_tokens == 9
+    # doc 0: 9 of 12 tokens covered -> 9 > 0.5*12 -> drop
+    assert rows[0].action == "drop"
+    # doc 1: 9 of 16 covered -> 9 > 8 -> drop too; loosen the gate and
+    # the same doc becomes a clip with the boilerplate removed
+    loose = {r.doc_id: r for r in clip_repeated_spans(
+        docs, ns=(4, 6), min_df=2, drop_frac=0.9
+    ).collect()}
+    assert loose[1].action == "clip"
+    assert loose[1].text_clean == "delta epsilon zeta eta theta iota kappa"
+    assert loose[1].n_clipped == 9
+    # partition independence (exact integer/token arithmetic)
+    a = sorted(map(tuple, clip_repeated_spans(docs).collect()))
+    b = sorted(map(tuple, clip_repeated_spans(docs.repartition(3)).collect()))
+    assert a == b
