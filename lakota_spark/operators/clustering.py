@@ -81,9 +81,12 @@ def kmeans_fit(
     ]
 
     for it in range(iters):
-        assigned = df.withColumn(
-            "cluster", _assign_expr(cents, vec_col)
-        )
+        if k > LITERAL_MAX_K:
+            assigned = _assign_join(df, cents, vec_col, id_col)
+        else:
+            assigned = df.withColumn(
+                "cluster", _assign_expr(cents, vec_col)
+            )
         if it == iters - 1:
             return cents, assigned
         rows = (
@@ -100,6 +103,52 @@ def kmeans_fit(
             for c, dims in sorted(by_cluster.items())
         ]
     raise AssertionError("unreachable")
+
+
+#: above this k the assignment switches from the broadcast-literal argmin
+#: (zero shuffle, but the expression tree grows as k×dim and falls out of
+#: codegen) to the broadcast centroid-TABLE join (one partial-agg groupBy)
+LITERAL_MAX_K = 64
+
+
+def _assign_join(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Large-k assignment: nearest centroid via a broadcast cross-join
+    against the k×dim centroid TABLE + per-row struct-min (map-side
+    partial agg on the id). Identical rounding/tie-break to
+    `_assign_expr` — same result, different physical plan; the
+    expression stays O(dim) so whole-stage codegen survives any k."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in coords]) for c, coords in centroids],
+        "cluster long, _cent array<double>",
+    )
+    d = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.col("_cent"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    arg = (
+        df.select(id_col, vec_col)
+        .join(F.broadcast(cent_df))
+        .select(
+            F.col(id_col),
+            F.struct(d.alias("d"), F.col("cluster").alias("c")).alias("dc"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("dc").alias("m"))
+        .select(F.col(id_col), F.col("m.c").alias("cluster"))
+    )
+    return df.join(arg, id_col)
 
 
 def _assign_expr(centroids: list[tuple[int, list[float]]], vec_col: str):
@@ -125,9 +174,13 @@ def kmeans_predict(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Attach a ``cluster`` column assigning each row to its nearest
     centroid — the inference half of `kmeans_fit`, for reusing a trained
     quantizer (e.g. `similarity.ivf_kmeans_topk` with cached
-    centroids)."""
+    centroids). Large centroid sets route through the table-join
+    assignment when the frame has ``id_col`` to group on."""
+    if len(centroids) > LITERAL_MAX_K and id_col in df.columns:
+        return _assign_join(df, centroids, vec_col, id_col)
     return df.withColumn("cluster", _assign_expr(centroids, vec_col))
