@@ -228,8 +228,16 @@ class Snapshot:
 
     # -- (de)serialization -------------------------------------------------
 
+    #: payload format: 2 = overlay-clipped pieces carry a meta "clip"
+    #: marker (read path trusts its ABSENCE for the join-free scan).
+    #: Format-1 payloads predate the marker, so every segment there must
+    #: be treated as possibly-clipped — correctness first, the fast scan
+    #: returns after a defrag/squash rewrites the segments.
+    FMT = 2
+
     def to_payload(self, schema: Schema) -> dict:
         return {
+            "fmt": self.FMT,
             "segments": [s.to_dict(schema) for s in self.segments],
             "max_seq": self.max_seq,
         }
@@ -238,7 +246,13 @@ class Snapshot:
     def from_payload(cls, payload: dict | None, schema: Schema) -> "Snapshot":
         if not payload:
             return cls()
-        return cls(
-            [Segment.from_dict(d, schema) for d in payload.get("segments", [])],
-            max_seq=payload.get("max_seq", 0),
-        )
+        segs = [
+            Segment.from_dict(d, schema)
+            for d in payload.get("segments", [])
+        ]
+        if payload.get("fmt", 1) < 2:
+            segs = [
+                replace(s, meta={**s.meta, "clip": 1}) if s.path else s
+                for s in segs
+            ]
+        return cls(segs, max_seq=payload.get("max_seq", 0))

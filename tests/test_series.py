@@ -499,3 +499,23 @@ def test_records_dtype_styles(repo):
         "float_val": 1.0,
         "int_val": 1,
     }
+
+
+def test_format1_payload_reads_conservatively(repo):
+    # a changelog payload written BEFORE the clip marker existed (fmt 1)
+    # must mark every segment possibly-clipped: the join-free fast scan
+    # trusts the ABSENCE of "clip", which format-1 data cannot promise
+    from lakota_spark.commit import Snapshot
+
+    coll = repo.create_collection(Schema(timestamp="int*", value="float"), "f1")
+    s = coll.series("s")
+    s.write({"timestamp": [1, 2, 3], "value": [1.0, 2.0, 3.0]})
+    payload = coll.snapshot().to_payload(coll.schema)
+    assert payload["fmt"] == 2
+    legacy = dict(payload)
+    legacy.pop("fmt")
+    snap = Snapshot.from_payload(legacy, coll.schema)
+    assert all(seg.meta.get("clip") for seg in snap.for_label("s"))
+    # fmt-2 round-trip keeps the clean (markerless) state
+    snap2 = Snapshot.from_payload(payload, coll.schema)
+    assert not any(seg.meta.get("clip") for seg in snap2.for_label("s"))
