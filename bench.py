@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "bm25_topk_indexed",
     "doc_repetition_stats",
     "repeated_span_flags",
+    "span_clip_clean",
     "ivf_kmeans_topk",
     "quantized_cosine_topk",
     "pq_topk",

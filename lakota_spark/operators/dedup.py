@@ -908,6 +908,7 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication that blocks
     the pairwise cosine search by K-MEANS CLUSTER instead of by an LSH
@@ -929,7 +930,13 @@ def semdedup_pairs(
     """
     from lakota_spark.operators.clustering import kmeans_fit, kmeans_predict
 
-    if centroids is not None:
+    if assigned is not None:
+        # materialized (id, vec, cluster) relation — e.g. the shared
+        # per-corpus IVF lists: zero assignment cost per run
+        with_cluster = assigned.select(
+            F.col(id_col), F.col(vec_col), F.col("cluster")
+        )
+    elif centroids is not None:
         # pre-trained quantizer (memoized per corpus, like IVF's): the
         # assignment is a zero-shuffle map-side argmin, no iterative jobs
         with_cluster = kmeans_predict(

@@ -424,6 +424,7 @@ def ivf_kmeans_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-ANN with a LEARNED coarse quantizer: Lloyd k-means centroids
     (`clustering.kmeans_fit`, deterministic rounded state) replace
@@ -441,12 +442,20 @@ def ivf_kmeans_topk(
     driver per iteration); probing filters on the already-computed
     assignment column, so the query-time scan touches only the probed
     lists' rows. Pass ``centroids`` (from a previous `kmeans_fit`) to
-    reuse a trained quantizer — training is the index build, amortized
-    across queries like the trigram/BM25 posting tables.
+    reuse a trained quantizer, and ``assigned`` (the corpus with its
+    ``cluster`` column — ideally a MATERIALIZED parquet relation
+    partitioned by cluster) to skip the per-query assignment entirely:
+    then a probe touches only its lists' partitions (PartitionFilters)
+    — the full IVF index, build amortized across queries like the
+    trigram/BM25 posting tables.
     """
     from lakota_spark.operators.clustering import kmeans_fit, kmeans_predict
 
-    if centroids is None:
+    if assigned is not None:
+        if centroids is None:
+            raise ValueError("assigned requires the matching centroids")
+        cents = centroids
+    elif centroids is None:
         cents, assigned = kmeans_fit(
             df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
         )

@@ -625,15 +625,45 @@ def _corpus_centroids(spark: SparkSession, sf_dir: str) -> list:
     return cents
 
 
+def _ensure_ivf_lists(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized IVF inverted lists: the corpus with its size-scaled
+    quantizer assignment, written ONCE per corpus PARTITIONED BY
+    cluster. A probe then reads only its lists' partitions
+    (PartitionFilters) and — crucially — no query re-pays the
+    full-corpus assignment, which at scaled k dominates per-query cost
+    (bench r5: ivf_kmeans_topk 3.3 s re-assigning per query vs reading
+    the lists)."""
+    import os
+
+    kind = f"ivflists-{_file_stamp(f'{sf_dir}/embeddings.parquet')}"
+    path = _index_path(sf_dir, kind)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from lakota_spark.operators.clustering import kmeans_predict
+
+        cents = _corpus_centroids(spark, sf_dir)
+        kmeans_predict(_emb(spark, sf_dir), cents).write.mode(
+            "overwrite"
+        ).partitionBy("cluster").parquet(path)
+    return path
+
+
+def _ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(_ensure_ivf_lists(spark, sf_dir)).select(
+        "vec_id", "embedding", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ANN over LEARNED k-means lists (operators/similarity.
     ivf_kmeans_topk): the coarse quantizer is trained by the exact-oracle
-    Lloyd loop, so the whole learned index unrolls into SQL. Training is
-    memoized per corpus (the amortized index build); the per-query cost
-    is centroid ranking + the probed-list scan."""
+    Lloyd loop, so the whole learned index unrolls into SQL. Quantizer
+    AND inverted lists are materialized per corpus (the amortized index
+    build); the per-query cost is centroid ranking + the probed-list
+    partition scan."""
     return S.ivf_kmeans_topk(
         _emb(spark, sf_dir),
         _query_vec(spark, sf_dir),
+        assigned=_ivf_lists(spark, sf_dir),
         k=20,
         centroids=_corpus_centroids(spark, sf_dir),
     )
@@ -743,13 +773,13 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semdedup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means clusters as the dedup blocking key, intra-cluster
-    cosine ranking (operators/dedup.semdedup_pairs). The quantizer is the
-    corpus-memoized size-scaled Lloyd fit (`_corpus_centroids`, k =
-    corpus_k(n)) shared with `ivf_kmeans_topk`, so the per-run cost is
-    one map-side argmin + the salted block pair-join."""
+    cosine ranking (operators/dedup.semdedup_pairs). The blocking key
+    comes straight from the MATERIALIZED per-corpus IVF lists (size-
+    scaled k, shared with `ivf_kmeans_topk`), so the per-run cost is
+    just the salted block pair-join — no assignment pass at all."""
     return D.semdedup_pairs(
         _emb(spark, sf_dir),
-        centroids=_corpus_centroids(spark, sf_dir),
+        assigned=_ivf_lists(spark, sf_dir),
     )
 
 
