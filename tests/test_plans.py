@@ -385,3 +385,35 @@ def test_winnow_zero_shuffle_operator(spark):
     assert plans.join_strategies(df) == []
     plan = plans.explain_str(df, "simple")
     assert "Exchange" not in plan, plan
+
+
+def test_clean_segment_read_is_join_free(spark, tmp_path):
+    # Never-clipped segments scan as a bare FileScan (no bounds join);
+    # an overlay update clips -> the join returns for the dirty pieces;
+    # defrag rewrites them -> the fast plan comes back.
+    from lakota_spark.repo import Repo
+    from lakota_spark.schema import Schema
+
+    repo = Repo(str(tmp_path / "r"), spark)
+    coll = repo.create_collection(Schema(ts="int*", v="float"), "c")
+    s = coll.series("s")
+    # fragmented appends (small enough for defrag's threshold policy)
+    for lo in range(0, 200, 8):
+        s.write({
+            "ts": list(range(lo, lo + 8)),
+            "v": [float(i) for i in range(lo, lo + 8)],
+        })
+    plan = plans.explain_str(s.frame(sort=False), "simple")
+    assert "Join" not in plan, plan
+    # overlay update: the clipped pieces of the old segment need the
+    # per-segment bounds filter again
+    s.write({"ts": [50], "v": [999.0]})
+    plan = plans.explain_str(s.frame(sort=False), "simple")
+    assert "Join" in plan, plan
+    assert s.frame(sort=False).count() == 200
+    # defrag rewrites the fragmented run into clean segments: join-free
+    coll.defrag()
+    plan = plans.explain_str(s.frame(sort=False), "simple")
+    assert "Join" not in plan, plan
+    got = {r.ts: r.v for r in s.frame().collect()}
+    assert got[50] == 999.0 and len(got) == 200
