@@ -1280,33 +1280,43 @@ SELECT doc_id, min(pos)::BIGINT AS span_start,
        count(*) AS n_grams, max(n_docs) AS n_docs_max
 FROM isl GROUP BY doc_id, island
 """,
-        # span-level clean: 4+6-gram flagged windows merged by a
-        # running-max-end island pass (variable widths), then the
-        # drop-or-clip decision + token-rebuilt text — all integer/token
-        # arithmetic, bit-exact vs the Spark operator
+        # span-level clean: tiered flagged windows (4-grams df>=8,
+        # 6-grams df>=2) merged by a running-max-end island pass
+        # (variable widths), then the drop-or-clip decision +
+        # token-rebuilt text — all integer/token arithmetic, bit-exact
+        # vs the Spark operator
         "span_clip_clean": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
-sh AS (
-  SELECT doc_id, s.pos AS pos, s.g AS shingle, s.w AS width FROM (
+sh4 AS (
+  SELECT doc_id, s.pos AS pos, s.g AS shingle, 4 AS width FROM (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, greatest(len(tk)-3, 0)),
-             i -> {{'pos': i - 1, 'w': 4,
+             i -> {{'pos': i - 1,
                     'g': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
                          || tk[i+3]}})) AS s
-    FROM toks
-    UNION ALL
+    FROM toks)
+),
+sh6 AS (
+  SELECT doc_id, s.pos AS pos, s.g AS shingle, 6 AS width FROM (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, greatest(len(tk)-5, 0)),
-             i -> {{'pos': i - 1, 'w': 6,
+             i -> {{'pos': i - 1,
                     'g': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
                          || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5]}}))
            AS s
     FROM toks)
 ),
-flc AS (SELECT shingle FROM sh GROUP BY 1
-        HAVING count(DISTINCT doc_id) >= 2),
-hits AS (SELECT s.doc_id, s.pos, s.pos + s.width AS e
-         FROM sh s JOIN flc USING (shingle)),
+flc4 AS (SELECT shingle FROM sh4 GROUP BY 1
+         HAVING count(DISTINCT doc_id) >= 8),
+flc6 AS (SELECT shingle FROM sh6 GROUP BY 1
+         HAVING count(DISTINCT doc_id) >= 2),
+hits AS (
+  SELECT s.doc_id, s.pos, s.pos + s.width AS e
+  FROM sh4 s JOIN flc4 USING (shingle)
+  UNION ALL
+  SELECT s.doc_id, s.pos, s.pos + s.width AS e
+  FROM sh6 s JOIN flc6 USING (shingle)
+),
 brk AS (
   SELECT doc_id, pos, e,
          CASE WHEN max(e) OVER w_prev IS NULL

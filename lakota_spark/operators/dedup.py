@@ -598,20 +598,26 @@ def repeated_spans(
 
 def clip_repeated_spans(
     df: DataFrame,
-    ns: tuple = (4, 6),
-    min_df: int = 2,
+    tiers: tuple = ((4, 8), (6, 2)),
     drop_frac: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The CONSUMING side of `repeated_spans` — Lee et al. 2021 clean
-    semantics: merge flagged islands ACROSS n-gram sizes into disjoint
+    semantics: merge flagged islands ACROSS n-gram tiers into disjoint
     token spans, then emit the drop-or-clip decision a cleaning pass
     applies — ``action`` ∈ {keep, clip, drop} plus the rebuilt text.
 
-    - flagged windows from EVERY n in ``ns`` union into one positioned
-      relation (a long exact repeat surfaces via the wide grams, short
-      boilerplate via the narrow ones);
+    - each tier is an ``(n, min_df)`` pair and the thresholds MUST
+      differ per width to be non-redundant: with one shared min_df the
+      smallest n's flags provably cover every larger n's (substrings
+      of a cross-doc-shared string are themselves shared, so a flagged
+      6-gram window lies inside flagged 4-gram windows). The practical
+      tiering is strict-on-short / lenient-on-long — default: 4-grams
+      only when very common (df ≥ 8, boilerplate), 6-grams at df ≥ 2
+      (genuine long repeats);
+    - flagged windows from every tier union into one positioned
+      relation;
     - islands merge with a running-max-end window (variable widths, so
       the fixed-gap trick of `repeated_spans` does not apply): a new
       island starts when this gram's start passes every previous gram's
@@ -638,26 +644,25 @@ def clip_repeated_spans(
         .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
         .localCheckpoint(eager=False)
     )
-    pos_sh = functools.reduce(
-        DataFrame.unionByName,
-        [
-            base.select(
-                "doc_id",
-                F.posexplode(word_shingles(F.col("tk"), n)).alias(
-                    "pos", "shingle"
-                ),
-            ).withColumn("width", F.lit(n))
-            for n in ns
-        ],
-    )
-    flagged = (
-        pos_sh.groupBy("shingle")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .where(F.col("n_docs") >= min_df)
-    )
-    hits = pos_sh.join(flagged, "shingle").select(
-        "doc_id", "pos", (F.col("pos") + F.col("width")).alias("end")
-    )
+    hit_parts = []
+    for n, min_df in tiers:
+        ps = base.select(
+            "doc_id",
+            F.posexplode(word_shingles(F.col("tk"), n)).alias(
+                "pos", "shingle"
+            ),
+        )
+        flagged = (
+            ps.groupBy("shingle")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            .where(F.col("n_docs") >= min_df)
+        )
+        hit_parts.append(
+            ps.join(flagged, "shingle").select(
+                "doc_id", "pos", (F.col("pos") + F.lit(n)).alias("end")
+            )
+        )
+    hits = functools.reduce(DataFrame.unionByName, hit_parts)
     w = Window.partitionBy("doc_id").orderBy("pos", "end")
     prev_max = F.max("end").over(
         w.rowsBetween(Window.unboundedPreceding, -1)

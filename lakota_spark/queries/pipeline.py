@@ -462,13 +462,15 @@ def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def span_clip_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The consuming half of span-level dedup (operators/dedup.
-    clip_repeated_spans): flagged 4- AND 6-gram windows merge into
-    disjoint per-doc spans, docs losing >50% of their tokens are
-    DROPPED, the rest have the spans CLIPPED out of the rebuilt text —
-    Lee et al. exact-substring cleaning as a decision column + text, the
-    variant of `pretrain_clean` that repairs instead of discarding."""
+    clip_repeated_spans): tiered flagged windows — 4-grams only when
+    very common (df>=8, boilerplate), 6-grams at df>=2 (long repeats) —
+    merge into disjoint per-doc spans; docs losing >50% of their tokens
+    are DROPPED, the rest have the spans CLIPPED out of the rebuilt
+    text — Lee et al. exact-substring cleaning as a decision column +
+    text, the variant of `pretrain_clean` that repairs instead of
+    discarding."""
     return D.clip_repeated_spans(
-        _docs(spark, sf_dir), ns=(4, 6), min_df=2, drop_frac=0.5
+        _docs(spark, sf_dir), tiers=((4, 8), (6, 2)), drop_frac=0.5
     )
 
 

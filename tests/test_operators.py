@@ -1480,7 +1480,7 @@ def test_clip_repeated_spans_semantics(spark):
         "doc_id long, text string",
     )
     rows = {r.doc_id: r for r in clip_repeated_spans(
-        docs, ns=(4, 6), min_df=2, drop_frac=0.5
+        docs, tiers=((4, 2), (6, 2)), drop_frac=0.5
     ).collect()}
     # doc 2 shares no 4-gram: untouched
     assert rows[2].action == "keep"
@@ -1495,11 +1495,18 @@ def test_clip_repeated_spans_semantics(spark):
     # doc 1: 9 of 16 covered -> 9 > 8 -> drop too; loosen the gate and
     # the same doc becomes a clip with the boilerplate removed
     loose = {r.doc_id: r for r in clip_repeated_spans(
-        docs, ns=(4, 6), min_df=2, drop_frac=0.9
+        docs, tiers=((4, 2), (6, 2)), drop_frac=0.9
     ).collect()}
     assert loose[1].action == "clip"
     assert loose[1].text_clean == "delta epsilon zeta eta theta iota kappa"
     assert loose[1].n_clipped == 9
+    # tiered thresholds: 4-grams need df>=3 now, so only doc pairs
+    # sharing the full 6-gram run still flag; a strict-short/lenient-long
+    # tiering must NOT behave like the flat min_df=2 one
+    tiered = {r.doc_id: r for r in clip_repeated_spans(
+        docs, tiers=((4, 3), (6, 2)), drop_frac=0.5
+    ).collect()}
+    assert tiered[0].n_clipped >= 6  # long 6-gram repeat still caught
     # partition independence (exact integer/token arithmetic)
     a = sorted(map(tuple, clip_repeated_spans(docs).collect()))
     b = sorted(map(tuple, clip_repeated_spans(docs.repartition(3)).collect()))
