@@ -519,3 +519,61 @@ def test_format1_payload_reads_conservatively(repo):
     # fmt-2 round-trip keeps the clean (markerless) state
     snap2 = Snapshot.from_payload(payload, coll.schema)
     assert not any(seg.meta.get("clip") for seg in snap2.for_label("s"))
+
+
+def test_df_local_parity_multi_index_and_date(repo, spark):
+    # the driver-local pandas sink must match frame().toPandas() on
+    # multi-column lexicographic bounds and date indexes too
+    import datetime as dt
+
+    coll = repo.create_collection(
+        Schema(ts="int*", version="int*", value="float"), "mi"
+    )
+    s = coll.series("s")
+    s.write({
+        "ts": [1, 1, 2, 2, 3, 3],
+        "version": [1, 2, 1, 2, 1, 2],
+        "value": [float(i) for i in range(6)],
+    })
+    for kw in (
+        dict(),
+        dict(start=(1, 2), stop=(3, 1)),
+        dict(start=(1, 2), stop=(3, 1), closed="n"),
+        dict(start=2),           # prefix bound: leading column only
+        dict(stop=(2,), closed="l"),
+    ):
+        a = s.df(**kw)
+        b = s.frame(**kw).toPandas()
+        assert a.equals(b), (kw, a, b)
+
+    dcoll = repo.create_collection(Schema(d="date*", v="float"), "dt")
+    ds = dcoll.series("s")
+    days = [dt.date(2020, 1, i) for i in range(1, 8)]
+    ds.write({"d": days, "v": [float(i) for i in range(7)]})
+    for kw in (
+        dict(),
+        dict(start=dt.date(2020, 1, 3), stop=dt.date(2020, 1, 5)),
+        dict(start=dt.date(2020, 1, 3), closed="r"),
+    ):
+        a = ds.df(**kw)
+        b = ds.frame(**kw).toPandas()
+        assert a.equals(b), (kw, a, b)
+
+
+def test_df_local_fast_path_engages(spark, tmp_path):
+    # guard against the fast path silently regressing to the Spark
+    # fallback: on a clean file-backed series _df_local must serve the
+    # frame itself (non-None), and must decline once a clip exists
+    from lakota_spark.repo import Repo
+
+    file_repo = Repo(str(tmp_path / "fp"), spark)
+    coll = file_repo.create_collection(
+        Schema(ts="int*", value="float"), "fp"
+    )
+    s = coll.series("s")
+    s.write({"ts": [1, 2, 3], "value": [1.0, 2.0, 3.0]})
+    out = s._df_local()
+    assert out is not None and len(out) == 3
+    s.write({"ts": [2], "value": [9.0]})  # overlay -> clipped pieces
+    assert s._df_local() is None
+    assert list(s.df()["value"]) == [1.0, 9.0, 3.0]  # fallback correct
