@@ -663,6 +663,14 @@ def clip_repeated_spans(
             )
         )
     hits = functools.reduce(DataFrame.unionByName, hit_parts)
+    return _clip_from_hits(base, hits, drop_frac)
+
+
+def _clip_from_hits(base: DataFrame, hits: DataFrame, drop_frac: float) -> DataFrame:
+    """Shared island-merge + decision + rebuild core: ``base`` is
+    (doc_id, tk), ``hits`` is (doc_id, pos, end) flagged windows."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos", "end")
     prev_max = F.max("end").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -717,6 +725,73 @@ def clip_repeated_spans(
         action.alias("action"),
         text_clean.alias("text_clean"),
     )
+
+
+def flagged_shingle_table(
+    df: DataFrame,
+    tiers: tuple = ((4, 8), (6, 2)),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The (shingle, width) relation of corpus-flagged windows — the
+    learned-boilerplate artifact of `clip_repeated_spans`, split out so
+    it can be MATERIALIZED once per landed corpus (like the LSH
+    candidate index) and served as the STATIC side of the streaming
+    span gate: incoming documents are clipped against what the corpus
+    already established as repeated, with no corpus re-scan per batch."""
+    import functools
+
+    parts = []
+    for n, min_df in tiers:
+        sh = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(tokens(text_col), n)).alias("shingle"),
+        )
+        parts.append(
+            sh.groupBy("shingle")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            .where(F.col("n_docs") >= min_df)
+            .select("shingle", F.lit(n).alias("width"))
+        )
+    return functools.reduce(DataFrame.unionByName, parts)
+
+
+def clip_spans_vs_flags(
+    df: DataFrame,
+    flags: DataFrame,
+    widths: tuple = (4, 6),
+    drop_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-clip a document batch against a PRECOMPUTED flagged-shingle
+    relation (`flagged_shingle_table`) — the foreachBatch body of the
+    streaming span gate, and the incremental form of
+    `clip_repeated_spans` (same island/decision/rebuild core; the only
+    difference is where the flags come from)."""
+    import functools
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
+    ).localCheckpoint(eager=False)
+    hit_parts = []
+    for n in widths:
+        ps = base.select(
+            "doc_id",
+            F.posexplode(word_shingles(F.col("tk"), n)).alias(
+                "pos", "shingle"
+            ),
+        )
+        hit_parts.append(
+            ps.join(
+                flags.where(F.col("width") == n).select("shingle"),
+                "shingle",
+            ).select(
+                "doc_id", "pos", (F.col("pos") + F.lit(n)).alias("end")
+            )
+        )
+    hits = functools.reduce(DataFrame.unionByName, hit_parts)
+    return _clip_from_hits(base, hits, drop_frac)
 
 
 # ---------------------------------------------------------------------------

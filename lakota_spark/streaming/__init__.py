@@ -347,3 +347,48 @@ def streaming_quality_gate(
     from lakota_spark.operators.text import quality_gate_col
 
     return stream_df.where(quality_gate_col(text_col, **thresholds))
+
+
+def streaming_span_clip(
+    flags: DataFrame,
+    widths: tuple = (4, 6),
+    drop_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Span-level cleaning of a document stream against the landed
+    corpus's MATERIALIZED flagged-shingle table
+    (`operators.dedup.flagged_shingle_table`): incoming docs are
+    clipped/dropped where they repeat what the corpus already
+    established as boilerplate/duplicated — the streaming twin of
+    `clip_repeated_spans`, factored through `clip_spans_vs_flags`.
+
+    The island merge needs a per-doc window, which streaming plans
+    disallow, so this returns a ``foreachBatch``-shaped callable:
+    ``writeStream.foreachBatch(streaming_span_clip(...))`` and the
+    caller's ``sink(cleaned_df, batch_id)`` receives the decided batch.
+    Per micro-batch the static flags are a pruned equi-join (at 100 TB,
+    materialize the flags bucketed by shingle); no state accumulates
+    across triggers.
+    """
+    from lakota_spark.operators.dedup import clip_spans_vs_flags
+
+    def transform(batch_df: DataFrame, sink):
+        return sink(
+            clip_spans_vs_flags(
+                batch_df,
+                flags,
+                widths=widths,
+                drop_frac=drop_frac,
+                text_col=text_col,
+                id_col=id_col,
+            )
+        )
+
+    def for_each_batch(sink):
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            transform(batch_df, sink)
+
+        return fn
+
+    return for_each_batch

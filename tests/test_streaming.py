@@ -360,3 +360,67 @@ def test_jsonl_stream_ingest_with_quality_gate(spark, tmp_path):
     q.awaitTermination(120)
     landed = {r.doc_id for r in spark.read.parquet(f"file://{out_path}").collect()}
     assert landed == {1, 3}
+
+
+def test_streaming_span_clip_vs_batch(spark, tmp_path):
+    # span gate on a real micro-batch stream: flags learned from the
+    # LANDED corpus; the batch twin (clip_spans_vs_flags on the same
+    # rows) is the oracle
+    import os as _os
+
+    from lakota_spark.operators.dedup import (
+        clip_spans_vs_flags,
+        flagged_shingle_table,
+    )
+    from lakota_spark.streaming import streaming_span_clip
+
+    boiler = "all rights reserved subscribe to our newsletter today"
+    corpus_rows = [
+        (100 + i, f"landed doc {i} " + boiler) for i in range(8)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    flags = flagged_shingle_table(corpus, tiers=((4, 4), (6, 4)))
+
+    stream_rows = [
+        (1, "fresh unique words nothing shared " + boiler),  # clipped
+        (2, "completely novel text with no overlap at all"),  # kept
+        (3, boiler),                                          # dropped
+    ]
+    src = str(tmp_path / "ssrc")
+    _os.makedirs(src)
+    spark.createDataFrame(
+        stream_rows, "doc_id long, text string"
+    ).write.parquet(f"file://{src}/b0.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"file://{src}/*"
+    )
+    out_path = f"file://{tmp_path}/sout"
+
+    def sink(cleaned):
+        cleaned.write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_span_clip(flags)(sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            clip_spans_vs_flags(
+                spark.createDataFrame(
+                    stream_rows, "doc_id long, text string"
+                ),
+                flags,
+            ).collect(),
+        )
+    )
+    assert got == batch
+    actions = {r[0]: r[3] for r in got}
+    assert actions[2] == "keep" and actions[3] == "drop"
+    assert actions[1] in ("clip", "drop")
