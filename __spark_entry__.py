@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_clean": pipeline.pretrain_clean,
         # --- new in round 5: span-level clean (clip/drop decision) ---
         "span_clip_clean": pipeline.span_clip_clean,
+        "pretrain_clean_spans": pipeline.pretrain_clean_spans,
         # --- dedup ---
         "dedup_exact": pipeline.dedup_exact,
         "boilerplate_doc_flags": pipeline.boilerplate_doc_flags,
@@ -1660,6 +1661,126 @@ LEFT JOIN near_drop nd ON nd.doc_id = s.doc_id
 WHERE s.n_tokens BETWEEN 20 AND 2000
   AND s.punct_ratio <= 0.1
   AND nd.doc_id IS NULL
+""",
+        # the REPAIRING pretrain variant: pretrain_clean's survivors,
+        # span-clipped against corpus-learned flags (flags on the FULL
+        # corpus; spans clipped only from survivors)
+        "pretrain_clean_spans": f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id),
+bands AS (
+{_band_union()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near_drop AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sz x ON x.doc_id = i.doc_a
+  JOIN sz y ON y.doc_id = i.doc_b
+  WHERE i.inter / (x.sz + y.sz - i.inter) >= 0.5
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+),
+stats AS (
+  SELECT doc_id, len({_TOKS}) AS n_tokens,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+          / greatest(length(text), 1) AS punct_ratio
+  FROM documents
+),
+surv AS (
+  SELECT s.doc_id
+  FROM stats s
+  JOIN canon c ON c.doc_id = s.doc_id
+  LEFT JOIN near_drop nd ON nd.doc_id = s.doc_id
+  WHERE s.n_tokens BETWEEN 20 AND 2000
+    AND s.punct_ratio <= 0.1
+    AND nd.doc_id IS NULL
+),
+toks2 AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sp4 AS (
+  SELECT doc_id, s.pos AS pos, s.g AS shingle, 4 AS width FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(tk)-3, 0)),
+             i -> {{'pos': i - 1,
+                    'g': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                         || tk[i+3]}})) AS s
+    FROM toks2)
+),
+sp6 AS (
+  SELECT doc_id, s.pos AS pos, s.g AS shingle, 6 AS width FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(tk)-5, 0)),
+             i -> {{'pos': i - 1,
+                    'g': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                         || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5]}}))
+           AS s
+    FROM toks2)
+),
+flc4 AS (SELECT shingle FROM sp4 GROUP BY 1
+         HAVING count(DISTINCT doc_id) >= 8),
+flc6 AS (SELECT shingle FROM sp6 GROUP BY 1
+         HAVING count(DISTINCT doc_id) >= 2),
+hits AS (
+  SELECT s.doc_id, s.pos, s.pos + s.width AS e
+  FROM sp4 s JOIN flc4 USING (shingle) JOIN surv USING (doc_id)
+  UNION ALL
+  SELECT s.doc_id, s.pos, s.pos + s.width AS e
+  FROM sp6 s JOIN flc6 USING (shingle) JOIN surv USING (doc_id)
+),
+brk AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER w_prev IS NULL
+                OR pos > max(e) OVER w_prev THEN 1 ELSE 0 END AS brk
+  FROM hits
+  WINDOW w_prev AS (PARTITION BY doc_id ORDER BY pos, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM brk
+),
+spans AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+          FROM isl GROUP BY doc_id, island),
+agg AS (SELECT doc_id, sum(e - s)::BIGINT AS n_clipped
+        FROM spans GROUP BY doc_id),
+tok AS (SELECT t.doc_id, unnest(tk) AS w, unnest(range(len(tk))) AS pos
+        FROM toks2 t JOIN surv USING (doc_id)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = t.doc_id
+                      AND t.pos >= sp.s AND t.pos < sp.e)
+),
+reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS txt
+        FROM kept GROUP BY doc_id),
+base AS (SELECT t.doc_id, len(tk)::BIGINT AS n_tokens,
+                array_to_string(tk, ' ') AS orig
+         FROM toks2 t JOIN surv USING (doc_id))
+SELECT b.doc_id, b.n_tokens,
+       coalesce(a.n_clipped, 0)::BIGINT AS n_clipped,
+       CASE WHEN a.doc_id IS NULL THEN 'keep'
+            WHEN a.n_clipped > 0.5 * b.n_tokens THEN 'drop'
+            ELSE 'clip' END AS action,
+       CASE WHEN a.doc_id IS NULL THEN b.orig
+            WHEN a.n_clipped > 0.5 * b.n_tokens THEN ''
+            ELSE coalesce(r.txt, '') END AS text_clean
+FROM base b LEFT JOIN agg a USING (doc_id) LEFT JOIN reb r USING (doc_id)
 """,
         "minhash_dedup_pairs": f"""
 WITH {_minhash_pair_ctes()}

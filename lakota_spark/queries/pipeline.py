@@ -460,6 +460,24 @@ def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.repeated_spans(_docs(spark, sf_dir), n=6, min_df=2)
 
 
+def pretrain_clean_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPAIRING pretrain variant (VERDICT r4 #7): run the full
+    `pretrain_clean` pipeline (quality gate → canonical-per-digest →
+    LSH near-dup removal), then SPAN-CLIP the survivors instead of
+    stopping at doc-level decisions — flagged windows are learned on
+    the FULL corpus (boilerplate statistics must not depend on the
+    gates), spans are clipped from surviving docs, and docs that would
+    lose >50% of their tokens are dropped. Output is the cleaned
+    corpus a tokenizer actually consumes: (doc_id, n_tokens,
+    n_clipped, action, text_clean)."""
+    docs = _docs(spark, sf_dir)
+    survivors = pretrain_clean(spark, sf_dir).select("doc_id")
+    flags = D.flagged_shingle_table(docs, tiers=((4, 8), (6, 2)))
+    return D.clip_spans_vs_flags(
+        docs.join(survivors, "doc_id", "left_semi"), flags
+    )
+
+
 def span_clip_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The consuming half of span-level dedup (operators/dedup.
     clip_repeated_spans): tiered flagged windows — 4-grams only when
