@@ -58,7 +58,20 @@ class Revision:
     def basename(self) -> str:
         return posixpath.basename(self.rel)
 
+    #: parsed-payload memo keyed by child id. Sound because revisions are
+    #: content-addressed (the child id embeds the payload sha1, verified
+    #: on first read) and immutable once written. Kills the per-write
+    #: re-read+re-parse of the head snapshot — the dominant commit cost
+    #: on fragmented-append workloads, where it grows with the segment
+    #: table (O(N²) across N appends without the memo). Consumers treat
+    #: payloads as read-only (from_payload/merge only read keys).
+    _PAYLOADS: "dict[str, dict]" = {}
+    _PAYLOADS_MAX = 64
+
     def read(self) -> dict:
+        cached = Revision._PAYLOADS.get(self.child)
+        if cached is not None:
+            return cached
         raw = self.fs.read_bytes(self.rel)
         digest = hashlib.sha1(raw).hexdigest()  # noqa: S324 - integrity only
         want = self.child.split("-", 1)[1]
@@ -67,7 +80,12 @@ class Revision:
             raw = self.fs.read_bytes(self.rel)
             if hashlib.sha1(raw).hexdigest() != want:  # noqa: S324
                 raise IOError(f"corrupt revision {self.rel}")
-        return json.loads(raw)
+        payload = json.loads(raw)
+        if len(Revision._PAYLOADS) >= Revision._PAYLOADS_MAX:
+            # FIFO eviction is enough: the hot key is always the head
+            Revision._PAYLOADS.pop(next(iter(Revision._PAYLOADS)))
+        Revision._PAYLOADS[self.child] = payload
+        return payload
 
     def __repr__(self) -> str:
         return f"<Revision {self.parent[:8]}..{self.child[:20]}>"

@@ -139,10 +139,27 @@ class Collection:
             if leaf
             else Snapshot()
         )
-        before_sig = _sig(snap, self.schema)
+        # The double-write no-op test serializes every segment twice
+        # (O(table) per commit). A NEW content address absent from the
+        # table is a guaranteed change (overlay appends it), so the
+        # normal append skips both signatures; anything else — re-writes
+        # of known paths, pure range deletes — still takes the full
+        # compare (a delete shadowing nothing must stay revision-free).
+        known = {(s.label, s.path) for s in snap.segments}
+        maybe_noop = not any(
+            seg.path is not None
+            and seg.length > 0
+            and (seg.label, seg.path) not in known
+            for seg in segs
+        )
+        before_sig = _sig(snap, self.schema) if maybe_noop else None
         for seg in segs:
             snap = snap.overlay(seg, kv=self.schema.kv and seg.path is not None)
-        if _sig(snap, self.schema) == before_sig and not root:
+        if (
+            maybe_noop
+            and not root
+            and _sig(snap, self.schema) == before_sig
+        ):
             return None  # double-write no-op (`lakota/changelog.py:49-52`)
         payload = snap.to_payload(self.schema)
         payload["delta"] = [s.to_dict(self.schema) for s in segs]

@@ -292,10 +292,22 @@ class Series:
         name = digest[:20]
         final_rel = f"{seg_prefix}/{name}"
         if not fs.exists(final_rel):
+            # Stage under a `_tmp-` dir then move, like the Spark path:
+            # GC skips `_tmp-` (in-flight) dirs, whereas publishing
+            # file-by-file into the final dir races a concurrent gc()'s
+            # soft-delete rename mid-write (caught by the chaos suite).
+            tmp_rel = f"{seg_prefix}/_tmp-{uuid.uuid4().hex}"
             for i, b in enumerate(blobs):
                 fs.write_bytes_atomic(
-                    f"{final_rel}/part-{i:05d}.parquet", b
+                    f"{tmp_rel}/part-{i:05d}.parquet", b
                 )
+            try:
+                fs.move(tmp_rel, final_rel)
+            except Exception:
+                if fs.exists(final_rel):  # identical-content racer won
+                    fs.remove_tree(tmp_rel)
+                else:
+                    raise
         return name, digest
 
     # --------------------------------------------------------------- write
