@@ -83,20 +83,36 @@ def run(spark, compact: bool = False) -> dict:
     root = tempfile.mkdtemp(prefix="bench-storage-")
     try:
         repo = Repo(root, spark)
-        coll = repo.create_collection(
-            Schema(timestamp="timestamp*", value="float"), "bench"
-        )
-        series = coll.series("test")
-        t0 = time.perf_counter()
-        series.write(df)
-        write_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        n = series.frame(sort=False).count()
-        read_count_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        pdf = series.df(sort=False)
-        read_pandas_s = time.perf_counter() - t0
-        size_mb = dir_size(root) / 1e6
+        # best-of-2 like the query bench's best-of-3: single runs swing
+        # with machine load (measured 0.38-0.87 s for the same write on
+        # this box); each trial writes a fresh collection
+        write_s = read_count_s = read_pandas_s = None
+        for trial in range(2):
+            coll = repo.create_collection(
+                Schema(timestamp="timestamp*", value="float"),
+                f"bench{trial}",
+            )
+            series = coll.series("test")
+            t0 = time.perf_counter()
+            series.write(df)
+            w = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n = series.frame(sort=False).count()
+            rc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            pdf = series.df(sort=False)
+            rp = time.perf_counter() - t0
+            write_s = w if write_s is None else min(write_s, w)
+            read_count_s = (
+                rc if read_count_s is None else min(read_count_s, rc)
+            )
+            read_pandas_s = (
+                rp if read_pandas_s is None else min(read_pandas_s, rp)
+            )
+        # one copy of the data (trial 1's dir mirrors trial 0's segments
+        # via content addressing inside its own collection; report the
+        # per-collection size, not the doubled repo total)
+        size_mb = dir_size(os.path.join(root, "bench0")) / 1e6
         out["bulk"] = {
             "rows": n,
             "write_s": round(write_s, 3),
@@ -117,7 +133,7 @@ def run(spark, compact: bool = False) -> dict:
         for fmt in fmts:
             exp_dir = os.path.join(root, f"export-{fmt}")
             t0 = time.perf_counter()
-            repo.export_collection("bench", exp_dir, fmt=fmt)
+            repo.export_collection("bench0", exp_dir, fmt=fmt)
             export_s = time.perf_counter() - t0
             repo.create_collection(
                 Schema(timestamp="timestamp*", value="float"),
