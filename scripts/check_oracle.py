@@ -81,9 +81,11 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    attempted = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        attempted += 1
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
@@ -131,7 +133,7 @@ def main() -> int:
             print(f"FAIL  {name}: value mismatch in {diffs}")
         else:
             print(f"ok    {name}: {len(a)} rows, exact match")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    print(f"\n{attempted - len(failures)}/{attempted} ok")
     return 1 if failures else 0
 
 
