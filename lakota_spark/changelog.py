@@ -95,6 +95,11 @@ class Changelog:
     def __init__(self, fs: FS, prefix: str):
         self.fs = fs
         self.prefix = prefix
+        # (frozenset of basenames, linearized log) — see log(). The
+        # directory is still listed on every call (external writers must
+        # be seen); the cache only skips re-LINEARIZING an unchanged or
+        # purely-appended DAG, which is O(N) python work per commit.
+        self._log_cache: tuple[frozenset, list[Revision]] | None = None
 
     # -- listing / ordering ------------------------------------------------
 
@@ -113,10 +118,55 @@ class Changelog:
 
     def log(self, before: float | None = None) -> list[Revision]:
         """Depth-first, child-id-ordered linearization from the root
-        (`lakota/changelog.py:91-122`). The LAST entry is the winning leaf."""
+        (`lakota/changelog.py:91-122`). The LAST entry is the winning leaf.
+
+        The head-path (``before=None``) result is cached keyed by the
+        exact set of revision files: an unchanged listing returns the
+        cached list, and the sequential-append case (new revisions that
+        form a single-child chain off the cached winning leaf — the bulk
+        write-loop shape) extends it in O(new). Any other change —
+        deletions (trim/squash), branching, merge files — recomputes.
+        """
         revs = self.revisions()
         if before is not None:
-            revs = [r for r in revs if r.epoch < before]
+            return self._linearize([r for r in revs if r.epoch < before])
+        names = frozenset(r.basename for r in revs)
+        cached = self._log_cache
+        if cached is not None and cached[0] == names:
+            return cached[1]
+        if cached is not None and cached[1] and names > cached[0]:
+            extended = self._extend_chain(
+                cached[1], [r for r in revs if r.basename not in cached[0]]
+            )
+            if extended is not None:
+                self._log_cache = (names, extended)
+                return extended
+        out = self._linearize(revs)
+        self._log_cache = (names, out)
+        return out
+
+    @staticmethod
+    def _extend_chain(
+        old: list[Revision], added: list[Revision]
+    ) -> list[Revision] | None:
+        """``old + chain`` when the added revisions are one linear chain
+        rooted at the old winning leaf (the deepest DFS node, so a full
+        relinearization would place them exactly there); None otherwise."""
+        by_parent: dict[str, list[Revision]] = {}
+        for r in added:
+            by_parent.setdefault(r.parent, []).append(r)
+        out = list(old)
+        tail = out[-1].child
+        for _ in range(len(added)):
+            nxt = by_parent.pop(tail, None)
+            if nxt is None or len(nxt) != 1:
+                return None  # branch, merge file, or detached rev
+            out.append(nxt[0])
+            tail = nxt[0].child
+        return out if not by_parent else None
+
+    @staticmethod
+    def _linearize(revs: list[Revision]) -> list[Revision]:
         children: dict[str, list[Revision]] = {}
         for r in revs:
             children.setdefault(r.parent, []).append(r)
@@ -162,9 +212,15 @@ class Changelog:
         payload: dict,
         parents: list[str] | None = None,
         force: bool = False,
+        known_changed: bool = False,
     ) -> Revision | None:
         """Append a revision. Returns None when the payload is identical to
         the (first) parent's — double-write no-op (`lakota/changelog.py:49-57`).
+
+        ``known_changed=True`` skips the no-op head compare (one extra
+        directory listing + an O(payload) serialization) — pass it only
+        when the caller already proved the table changed, as
+        ``Collection._commit`` does via its signature check.
 
         Atomicity: content-addressed names make racing identical commits
         collide harmlessly on any backend (local rename / object-store PUT).
@@ -172,7 +228,7 @@ class Changelog:
         parents = parents or [PHI]
         raw = json.dumps(payload, sort_keys=True, separators=(",", ":")).encode()
         sha = hashlib.sha1(raw).hexdigest()  # noqa: S324 - content address
-        if not force and parents[0] != PHI:
+        if not force and not known_changed and parents[0] != PHI:
             head = next(
                 (r for r in self.revisions() if r.child == parents[0]), None
             )

@@ -38,6 +38,15 @@ class Collection:
         self.seg_prefix = f"{self.prefix}/segments"
         self.changelog = Changelog(self.fs, f"{self.prefix}/_log")
         self._batch: list[Segment] | None = None
+        # (leaf child id, Snapshot) of the head revision — the changelog
+        # is a full-snapshot log, so sequential appends otherwise re-parse
+        # an O(table) payload per commit. Keyed by the leaf id: any commit
+        # from another writer (thread/process) changes the id and the
+        # cache silently falls back to the payload read. Segments are
+        # frozen and overlay() never mutates an input snapshot, so
+        # sharing the cached object is safe (audited: all callers
+        # read-only).
+        self._snap_cache: tuple[str, Snapshot] | None = None
 
     @property
     def segments_dir(self):
@@ -120,7 +129,15 @@ class Collection:
         leaf = self.changelog.leaf(before=before)
         if leaf is None:
             return Snapshot()
-        return Snapshot.from_payload(leaf.read(), self.schema)
+        return self._leaf_snapshot(leaf)
+
+    def _leaf_snapshot(self, leaf) -> Snapshot:
+        cached = self._snap_cache
+        if cached is not None and cached[0] == leaf.child:
+            return cached[1]
+        snap = Snapshot.from_payload(leaf.read(), self.schema)
+        self._snap_cache = (leaf.child, snap)
+        return snap
 
     def apply_segments(self, segs: list[Segment], root: bool = False):
         """Overlay new segments onto the leaf (or stage them in a batch).
@@ -134,11 +151,7 @@ class Collection:
 
     def _commit(self, segs: list[Segment], root: bool = False):
         leaf = None if root else self.changelog.leaf()
-        snap = (
-            Snapshot.from_payload(leaf.read(), self.schema)
-            if leaf
-            else Snapshot()
-        )
+        snap = self._leaf_snapshot(leaf) if leaf else Snapshot()
         # The double-write no-op test serializes every segment twice
         # (O(table) per commit). A NEW content address absent from the
         # table is a guaranteed change (overlay appends it), so the
@@ -163,11 +176,18 @@ class Collection:
             return None  # double-write no-op (`lakota/changelog.py:49-52`)
         payload = snap.to_payload(self.schema)
         payload["delta"] = [s.to_dict(self.schema) for s in segs]
-        return self.changelog.commit(
+        # known_changed: both paths that reach here proved the table
+        # changed (fresh content address, or differing signatures), so
+        # the changelog can skip its own head-payload re-compare.
+        rev = self.changelog.commit(
             payload,
             parents=[leaf.child] if leaf else [PHI],
             force=root,
+            known_changed=True,
         )
+        if rev is not None:
+            self._snap_cache = (rev.child, snap)
+        return rev
 
     def _full_delta(self, snap: Snapshot) -> list[dict]:
         """Every segment of a snapshot as delta dicts. ROOT commits
@@ -195,7 +215,7 @@ class Collection:
         disposable, data is not."""
         leaf = self.changelog.leaf()
         snap = (
-            Snapshot.from_payload(leaf.read(), self.schema)
+            self._leaf_snapshot(leaf)
             if leaf
             else Snapshot()
         )

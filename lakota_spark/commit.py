@@ -78,7 +78,17 @@ class Segment:
         return True
 
     def to_dict(self, schema: Schema) -> dict:
-        return {
+        # Memoized per (segment, schema): the changelog is a full-snapshot
+        # log, so every commit re-serializes the WHOLE table — O(N) bound
+        # serializations per commit, O(N^2) across an append run. Segments
+        # are frozen and survive across snapshots (overlay only replaces
+        # the clipped ones), so caching here turns the steady-state cost
+        # into one dict per NEW segment. `dataclasses.replace` builds a
+        # fresh object, which drops the cache with the stale bounds.
+        cached = getattr(self, "_dict_cache", None)
+        if cached is not None and cached[0] is schema:
+            return cached[1]
+        d = {
             "label": self.label,
             "start": schema.serialize_bound(self.start),
             "stop": schema.serialize_bound(self.stop),
@@ -89,6 +99,8 @@ class Segment:
             "seq": self.seq,
             "meta": self.meta,
         }
+        object.__setattr__(self, "_dict_cache", (schema, d))
+        return d
 
     @classmethod
     def from_dict(cls, d: dict, schema: Schema) -> "Segment":

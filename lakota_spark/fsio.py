@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import posixpath
+import threading
 from collections import OrderedDict
 
 _SPARK_SCHEME = {"s3": "s3a"}  # pyarrow scheme -> hadoop connector scheme
@@ -229,6 +230,15 @@ class FS(BaseFS):
     # -- small-file IO -----------------------------------------------------
 
     def ls(self, rel: str) -> list[str]:
+        if self.is_local:
+            # hot path: the changelog lists its directory on every
+            # commit/read — os.scandir is ~5x cheaper than a pyarrow
+            # FileSelector round-trip for local dirs
+            try:
+                with os.scandir(self.full(rel)) as it:
+                    return sorted(e.name for e in it)
+            except FileNotFoundError:
+                return []
         from pyarrow import fs as pafs
 
         sel = pafs.FileSelector(self.full(rel), allow_not_found=True)
@@ -248,6 +258,11 @@ class FS(BaseFS):
         return sorted(out)
 
     def read_bytes(self, rel: str) -> bytes:
+        if self.is_local:
+            with open(self.full(rel), "rb") as fh:
+                data = fh.read()
+            self._count("read", len(data))
+            return data
         with self.fs.open_input_stream(self.full(rel)) as fh:
             data = fh.read()
         self._count("read", len(data))
@@ -260,10 +275,15 @@ class FS(BaseFS):
         path = self.full(rel)
         self.makedirs(posixpath.dirname(rel))
         if self.is_local:
-            tmp = f"{path}.tmp{os.getpid()}"
-            with self.fs.open_output_stream(tmp) as fh:
+            # plain os IO: pyarrow's local output stream spins up a
+            # background-writer thread per open — ~1 ms of pure overhead
+            # on the sub-KB changelog/revision writes. os.replace keeps
+            # the same atomicity (and overwrite-wins matches the
+            # content-addressed collision semantics).
+            tmp = f"{path}.tmp{os.getpid()}-{threading.get_ident()}"
+            with open(tmp, "wb") as fh:
                 fh.write(data)
-            self.fs.move(tmp, path)
+            os.replace(tmp, path)
         else:
             with self.fs.open_output_stream(path) as fh:
                 fh.write(data)
@@ -271,6 +291,8 @@ class FS(BaseFS):
     # -- tree ops ----------------------------------------------------------
 
     def exists(self, rel: str) -> bool:
+        if self.is_local:
+            return os.path.exists(self.full(rel))
         from pyarrow import fs as pafs
 
         info = self.fs.get_file_info(self.full(rel))
@@ -278,7 +300,10 @@ class FS(BaseFS):
 
     def makedirs(self, rel: str) -> None:
         if rel:
-            self.fs.create_dir(self.full(rel), recursive=True)
+            if self.is_local:
+                os.makedirs(self.full(rel), exist_ok=True)
+            else:
+                self.fs.create_dir(self.full(rel), recursive=True)
 
     def remove_file(self, rel: str) -> None:
         try:

@@ -178,8 +178,16 @@ class Series:
             else:
                 return None
         out = pd.DataFrame(cols)
-        if out[self.schema.idx].isna().any().any():
-            return None  # NA index values: let the engine path decide
+        # NA index values: let the engine path decide. int (cannot hold
+        # NA) and timestamp (NaT-rejected above) index columns are
+        # already proven non-null — only float/date/str still can be.
+        nullable_idx = [
+            c
+            for c in self.schema.idx
+            if self.schema.columns[c] not in ("int", "timestamp")
+        ]
+        if nullable_idx and out[nullable_idx].isna().any().any():
+            return None
         return out
 
     def _pdf_is_sorted(self, pdf) -> bool:
@@ -267,8 +275,14 @@ class Series:
 
         def write_chunk(i: int) -> tuple[str, bytes]:
             chunk = pdf.iloc[i * PAGE_LEN : (i + 1) * PAGE_LEN]
+            # nthreads=1 below 100k rows: from_pandas otherwise spins up
+            # a fresh thread pool per call (~1.5 ms), which dominates the
+            # conversion itself on small append chunks
             table = pa.Table.from_pandas(
-                chunk, schema=pa_schema, preserve_index=False
+                chunk,
+                schema=pa_schema,
+                preserve_index=False,
+                nthreads=1 if len(chunk) < 100_000 else None,
             )
             buf = io.BytesIO()
             pq.write_table(

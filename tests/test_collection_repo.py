@@ -686,3 +686,55 @@ def test_sql_view_over_collection(repo, spark):
     assert na != nb
     assert spark.sql(f"SELECT value FROM {na}").collect()[0].value == 1.0
     assert spark.sql(f"SELECT value FROM {nb}").collect()[0].value == 2.0
+
+
+def test_snapshot_cache_sees_external_writers(spark, tmp_path):
+    """The per-collection head-snapshot memo and the changelog's
+    linearization memo are keyed by the on-disk revision set, so a
+    SECOND writer on the same storage (other process/instance) must be
+    picked up on the next read or commit — a stale cache here would
+    fork the changelog or serve vanished data."""
+    from lakota_spark.repo import Repo
+
+    root = str(tmp_path / "dual")
+    a = Repo(root, spark).create_collection(
+        Schema(ts="int*", value="float"), "c"
+    )
+    b = Repo(root, spark).collection("c")
+    # interleave writers; each side reads through its own caches
+    a.series("s").write({"ts": [1], "value": [1.0]})
+    assert rows(b.series("s").frame()) == [(1, 1.0)]
+    b.series("s").write({"ts": [2], "value": [2.0]})
+    # A's cached head predates B's commit: its next write must chain on
+    # B's head (one linear history, no fork) and keep B's row
+    a.series("s").write({"ts": [3], "value": [3.0]})
+    assert len(a.changelog.leaves()) == 1
+    assert rows(a.series("s").frame()) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    assert rows(b.series("s").frame()) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    # non-append changes (trim rewrites the revision set) invalidate too
+    a.trim()
+    b.series("s").write({"ts": [4], "value": [4.0]})
+    assert rows(a.series("s").frame()) == [
+        (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)
+    ]
+
+
+def test_double_write_noop_after_external_commit(spark, tmp_path):
+    """Known-changed commits skip the changelog's head compare; the
+    no-op detection lives in the signature check, which must still see
+    the LATEST head when another instance committed in between."""
+    from lakota_spark.repo import Repo
+
+    root = str(tmp_path / "dual2")
+    a = Repo(root, spark).create_collection(
+        Schema(ts="int*", value="float"), "c"
+    )
+    b = Repo(root, spark).collection("c")
+    a.series("s").write({"ts": [1, 2], "value": [1.0, 2.0]})
+    n0 = len(a.changelog.revisions())
+    # identical re-write through the OTHER instance: still a no-op
+    b.series("s").write({"ts": [1, 2], "value": [1.0, 2.0]})
+    assert len(b.changelog.revisions()) == n0
+    # and through the same instance
+    a.series("s").write({"ts": [1, 2], "value": [1.0, 2.0]})
+    assert len(a.changelog.revisions()) == n0
