@@ -738,3 +738,43 @@ def test_double_write_noop_after_external_commit(spark, tmp_path):
     # and through the same instance
     a.series("s").write({"ts": [1, 2], "value": [1.0, 2.0]})
     assert len(a.changelog.revisions()) == n0
+
+
+def test_log_cache_matches_full_relinearization(tmp_path):
+    """The changelog memoizes its linearization and extends it in O(new)
+    for pure append chains; every cached/extended result must equal a
+    cold full recompute — across appends, forks, merge files (one file
+    per parent, same child), and deletions."""
+    from lakota_spark.changelog import PHI, Changelog
+    from lakota_spark.fsio import FS
+
+    fs = FS(str(tmp_path / "log"))
+    cl = Changelog(fs, "_log")
+
+    def fresh():  # cold instance: no caches
+        return [r.basename for r in Changelog(fs, "_log").log()]
+
+    def cached():
+        return [r.basename for r in cl.log()]
+
+    # append chain: each commit extends the cached linearization
+    for i in range(5):
+        cl.commit({"i": i}, parents=[cl.leaf().child] if i else [PHI])
+        assert cached() == fresh()
+    # fork: second child off an interior revision -> full recompute path
+    interior = cl.log()[1].child
+    cl.commit({"fork": True}, parents=[interior], force=True)
+    assert cached() == fresh()
+    assert len(cl.leaves()) == 2
+    # merge file per parent (same child id) -> not a simple chain
+    heads = [leaf.child for leaf in cl.leaves()]
+    cl.commit({"merged": True}, parents=heads, force=True)
+    assert cached() == fresh()
+    assert len(cl.leaves()) == 1
+    # deletion (trim-like): remove an old revision file
+    victim = cl.revisions()[0]
+    fs.remove_file(victim.rel)
+    assert cached() == fresh()
+    # and appends keep working on the recomputed cache
+    cl.commit({"post": 1}, parents=[cl.leaf().child])
+    assert cached() == fresh()
