@@ -31,6 +31,15 @@ from lakota_spark.fsio import FS
 
 PHI = "phi"  # root sentinel (`lakota/changelog.py:10-12`)
 
+#: Checkpoint cadence of the fmt-3 delta log: a full-snapshot checkpoint
+#: every N commits bounds cold-read resolution to N-1 small delta reads
+#: (Delta-Lake-style log compaction). Appends in between serialize only
+#: their own segments — O(new) instead of O(table) per commit, which is
+#: what keeps fragmented-append workloads linear at millions of segments.
+import os as _os
+
+CHECKPOINT_EVERY = int(_os.environ.get("LAKOTA_SPARK_CKPT_EVERY", "32"))
+
 
 def hexts(ts: float | None = None) -> str:
     """Sortable hex timestamp prefix (millisecond resolution)."""
@@ -249,6 +258,15 @@ class Changelog:
         for parent in parents:
             rel = f"{self.prefix}/{parent}.{child}.json"
             self.fs.write_bytes_atomic(rel, raw)
+        # Seed the payload memo with the object we just serialized: the
+        # next commit reads its parent's payload (ckpt_dist / no-op
+        # compare), and in the sequential-append case that parent is
+        # exactly this revision. Sound: `raw` was produced from `payload`
+        # with the same canonical dumps a later read would parse, and
+        # serialize_bound emits JSON-stable lists (no tuples survive).
+        if len(Revision._PAYLOADS) >= Revision._PAYLOADS_MAX:
+            Revision._PAYLOADS.pop(next(iter(Revision._PAYLOADS)))
+        Revision._PAYLOADS[child] = payload
         return Revision(parents[0], child, self.fs, rel)
 
     def pull(self, other: "Changelog") -> int:

@@ -17,8 +17,8 @@ from contextlib import contextmanager
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lakota_spark.changelog import PHI, Changelog
-from lakota_spark.commit import Segment, Snapshot
+from lakota_spark.changelog import CHECKPOINT_EVERY, PHI, Changelog
+from lakota_spark.commit import Segment, Snapshot, payload_paths
 from lakota_spark.schema import Schema
 from lakota_spark.series import PAGE_LEN, KVSeries, Series
 
@@ -135,8 +135,55 @@ class Collection:
         cached = self._snap_cache
         if cached is not None and cached[0] == leaf.child:
             return cached[1]
-        snap = Snapshot.from_payload(leaf.read(), self.schema)
+        snap = self._snapshot_at(leaf)
         self._snap_cache = (leaf.child, snap)
+        return snap
+
+    # -- fmt-3 delta-log resolution ---------------------------------------
+
+    def _snapshot_at(self, rev, by_child: dict | None = None) -> Snapshot:
+        """Resolve the segment table AT a revision: walk the parent chain
+        to the nearest CHECKPOINT (full-snapshot payload), then replay the
+        intervening delta entries through the same ``overlay`` the commits
+        used — seq assignment and clipping are deterministic, so the
+        resolved table is bit-identical to the one the writer cached.
+
+        Delta revisions always have a single parent (merge commits are
+        forced checkpoints), so the walk is unambiguous. ``by_child``
+        (child id → Revision) is built from the changelog listing when not
+        supplied; the chain is bounded by CHECKPOINT_EVERY, so a cold read
+        costs one checkpoint read plus at most that many small delta
+        reads."""
+        payload = rev.read()
+        if payload.get("kind") != "delta":
+            return Snapshot.from_payload(payload, self.schema)
+        chain = [payload]
+        cur = rev
+        while True:
+            if by_child is None:
+                by_child = {r.child: r for r in self.changelog.log()}
+            parent = by_child.get(cur.parent)
+            if parent is None:
+                raise IOError(
+                    f"changelog corrupt: delta revision {cur.child} has "
+                    f"no parent {cur.parent} (missing checkpoint)"
+                )
+            payload = parent.read()
+            if payload.get("kind") != "delta":
+                snap = Snapshot.from_payload(payload, self.schema)
+                break
+            chain.append(payload)
+            cur = parent
+        for p in reversed(chain):
+            snap = self._replay_delta(snap, p)
+        return snap
+
+    def _replay_delta(self, snap: Snapshot, payload: dict) -> Snapshot:
+        for d in payload.get("delta", []):
+            seg = Segment.from_dict(d, self.schema)
+            snap = snap.overlay(
+                seg, kv=self.schema.kv and seg.path is not None
+            )
         return snap
 
     def apply_segments(self, segs: list[Segment], root: bool = False):
@@ -174,8 +221,27 @@ class Collection:
             and _sig(snap, self.schema) == before_sig
         ):
             return None  # double-write no-op (`lakota/changelog.py:49-52`)
-        payload = snap.to_payload(self.schema)
-        payload["delta"] = [s.to_dict(self.schema) for s in segs]
+        delta = [s.to_dict(self.schema) for s in segs]
+        payload = None
+        if leaf is not None and not root:
+            # fmt-3 delta log: serialize only THIS commit's segments and
+            # let readers replay onto the nearest checkpoint — O(new) per
+            # append instead of O(table). Every CHECKPOINT_EVERY-th commit
+            # (distance carried in the payload, O(1) to consult via the
+            # seeded payload memo) writes the full snapshot to bound the
+            # replay chain. Roots / merges / maintenance commits are
+            # always checkpoints.
+            dist = int(leaf.read().get("ckpt_dist", 0)) + 1
+            if dist < CHECKPOINT_EVERY:
+                payload = {
+                    "fmt": Snapshot.FMT,
+                    "kind": "delta",
+                    "ckpt_dist": dist,
+                    "delta": delta,
+                }
+        if payload is None:
+            payload = snap.to_payload(self.schema)
+            payload["delta"] = delta
         # known_changed: both paths that reach here proved the table
         # changed (fresh content address, or differing signatures), so
         # the changelog can skip its own head-payload re-compare.
@@ -222,13 +288,30 @@ class Collection:
         return leaf, snap
 
     def commit_snapshot(self, snap: Snapshot, parents=None):
-        payload = snap.to_payload(self.schema)
         leaf = self.changelog.leaf()
         parents = parents or ([leaf.child] if leaf else [PHI])
+        # No-op check at snapshot level: the changelog's byte-compare
+        # can't see through a delta head (different payload shape, same
+        # table), so an idempotent maintenance call — delete of a missing
+        # label, re-run rename — must be caught here or it would mint a
+        # redundant checkpoint.
+        if (
+            leaf is not None
+            and parents == [leaf.child]
+            and _sig(snap, self.schema)
+            == _sig(self._leaf_snapshot(leaf), self.schema)
+        ):
+            return None
+        payload = snap.to_payload(self.schema)
         payload["delta"] = (
             self._full_delta(snap) if parents == [PHI] else []
         )
-        return self.changelog.commit(payload, parents=parents)
+        rev = self.changelog.commit(
+            payload, parents=parents, known_changed=True
+        )
+        if rev is not None:
+            self._snap_cache = (rev.child, snap)
+        return rev
 
     @contextmanager
     def multi(self):
@@ -317,7 +400,7 @@ class Collection:
         # head as a parent, its closure covers all older common history
         base_child = max(common) if common else None
         base_snap = (
-            Snapshot.from_payload(payload_rev[base_child].read(), self.schema)
+            self._snapshot_at(payload_rev[base_child], by_child=payload_rev)
             if base_child
             else Snapshot()
         )
@@ -360,7 +443,7 @@ class Collection:
         leaf = self.changelog.leaf()
         if leaf is None:
             return None
-        snap = Snapshot.from_payload(leaf.read(), self.schema)
+        snap = self._leaf_snapshot(leaf)
         payload = snap.to_payload(self.schema)
         payload["delta"] = self._full_delta(snap)  # root: see _full_delta
         new_root = self.changelog.commit(payload, parents=[PHI], force=True)
@@ -375,16 +458,70 @@ class Collection:
         survivors = [r for r in revs if (r.parent, r.child) not in doomed_keys]
         surviving_children = {r.child for r in survivors}
         if cutoff is not None:
-            for r in survivors:
-                if r.parent != PHI and r.parent not in surviving_children:
-                    # orphaned edge: re-parent onto the new root (revision
-                    # payloads are full snapshots, so no replay is needed)
+            # Orphaned edges (ancestors below the cutoff) re-parent onto
+            # the new root. A CHECKPOINT survivor keeps its payload bytes
+            # (and so its content-addressed child id) — only the
+            # filename's parent half changes. A DELTA survivor CANNOT be
+            # re-parented as-is: its payload would replay against the new
+            # root's (leaf) snapshot instead of its real historical base.
+            # Materialize its resolved snapshot as a checkpoint under a
+            # new sha — keeping the original hextime so time-travel
+            # ordering is preserved — and re-point its surviving
+            # children's edge files at the new id (their payloads, and
+            # therefore their ids, are unchanged). All resolutions happen
+            # BEFORE any file mutation: a conversion deletes edge files a
+            # later orphan's parent-chain walk might still need.
+            import hashlib
+            import json
+
+            by_child = {r.child: r for r in revs}
+            orphans = [
+                r
+                for r in survivors
+                if r.parent != PHI and r.parent not in surviving_children
+            ]
+            conversions: dict[str, tuple[str, bytes]] = {}
+            for r in orphans:
+                payload = r.read()
+                if payload.get("kind") != "delta":
+                    continue
+                snap_r = self._snapshot_at(r, by_child=by_child)
+                new_payload = snap_r.to_payload(self.schema)
+                # keep the original incremental delta: merge() replays
+                # deltas, and this revision still contributes exactly
+                # what it wrote
+                new_payload["delta"] = payload.get("delta", [])
+                raw = json.dumps(
+                    new_payload, sort_keys=True, separators=(",", ":")
+                ).encode()
+                sha = hashlib.sha1(raw).hexdigest()  # noqa: S324
+                conversions[r.child] = (
+                    r.child.split("-", 1)[0] + "-" + sha,
+                    raw,
+                )
+            for r in orphans:
+                conv = conversions.get(r.child)
+                if conv is None:
                     raw = self.fs.read_bytes(r.rel)
                     self.fs.write_bytes_atomic(
                         f"{self.changelog.prefix}/{new_root.child}.{r.child}.json",
                         raw,
                     )
                     self.fs.remove_file(r.rel)
+                    continue
+                new_child, raw = conv
+                self.fs.write_bytes_atomic(
+                    f"{self.changelog.prefix}/{new_root.child}.{new_child}.json",
+                    raw,
+                )
+                self.fs.remove_file(r.rel)
+                for c in survivors:
+                    if c is not r and c.parent == r.child:
+                        self.fs.write_bytes_atomic(
+                            f"{self.changelog.prefix}/{new_child}.{c.child}.json",
+                            self.fs.read_bytes(c.rel),
+                        )
+                        self.fs.remove_file(c.rel)
         for r in doomed:
             self.fs.remove_file(r.rel)
         return new_root
@@ -562,8 +699,7 @@ class Collection:
         (`lakota/collection.py:405-413`) — the sync/GC working set."""
         seen = set()
         for rev in self.changelog.revisions():
-            snap = Snapshot.from_payload(rev.read(), self.schema)
-            for name in snap.paths():
+            for name in payload_paths(rev.read()):
                 if name not in seen:
                     seen.add(name)
                     yield name
@@ -582,9 +718,11 @@ class Collection:
             leaf = other.changelog.leaf()
             if leaf is None:
                 return 0
-            payload = dict(leaf.read())
-            # shallow commit is a ROOT → full-delta invariant (_full_delta)
-            leaf_snap = Snapshot.from_payload(payload, self.schema)
+            # resolve through the delta log on the SOURCE side (its
+            # changelog holds the checkpoint chain), then commit the full
+            # table here; shallow commit is a ROOT → full-delta invariant
+            leaf_snap = other._leaf_snapshot(leaf)
+            payload = leaf_snap.to_payload(self.schema)
             payload["delta"] = self._full_delta(leaf_snap)
             from lakota_spark.changelog import PHI
 
@@ -596,8 +734,7 @@ class Collection:
             revisions = self.changelog.revisions()
         self.fs.makedirs(self.seg_prefix)
         for rev in revisions:
-            snap = Snapshot.from_payload(rev.read(), self.schema)
-            for name in snap.paths():
+            for name in payload_paths(rev.read()):
                 dst = f"{self.seg_prefix}/{name}"
                 src = f"{other.seg_prefix}/{name}"
                 if not self.fs.exists(dst) and other.fs.exists(src):

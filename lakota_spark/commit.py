@@ -245,7 +245,14 @@ class Snapshot:
     #: Format-1 payloads predate the marker, so every segment there must
     #: be treated as possibly-clipped — correctness first, the fast scan
     #: returns after a defrag/squash rewrites the segments.
-    FMT = 2
+    #: Format 3 = checkpoint + delta log: a revision is either a
+    #: CHECKPOINT (this full-snapshot payload, ``kind`` absent) or a
+    #: DELTA entry (``kind: "delta"``, no ``segments`` key) holding only
+    #: the segments written by that commit — appends cost O(new) instead
+    #: of O(table). Deltas resolve by replaying onto the nearest-ancestor
+    #: checkpoint (``Collection._snapshot_at``); ``from_payload`` REFUSES
+    #: delta payloads so no caller can mistake one for an empty table.
+    FMT = 3
 
     def to_payload(self, schema: Schema) -> dict:
         return {
@@ -258,6 +265,11 @@ class Snapshot:
     def from_payload(cls, payload: dict | None, schema: Schema) -> "Snapshot":
         if not payload:
             return cls()
+        if payload.get("kind") == "delta":
+            raise ValueError(
+                "delta payload is not a snapshot — resolve it via "
+                "Collection._snapshot_at (nearest checkpoint + replay)"
+            )
         segs = [
             Segment.from_dict(d, schema)
             for d in payload.get("segments", [])
@@ -268,3 +280,20 @@ class Snapshot:
                 for s in segs
             ]
         return cls(segs, max_seq=payload.get("max_seq", 0))
+
+
+def payload_paths(payload: dict | None) -> set[str]:
+    """Segment dirs a RAW revision payload references — checkpoint
+    ``segments`` plus ``delta`` entries — without resolving the snapshot.
+    Union over all revisions equals the union of all resolved snapshots'
+    paths (every segment enters a snapshot through a checkpoint list or a
+    delta overlay, and clipping keeps the path), which is exactly the
+    GC / sync working set."""
+    if not payload:
+        return set()
+    return {
+        d["path"]
+        for key in ("segments", "delta")
+        for d in payload.get(key) or []
+        if d.get("path")
+    }

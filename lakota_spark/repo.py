@@ -19,7 +19,7 @@ from pyspark.sql import SparkSession
 
 from lakota_spark.changelog import hexts, hexts_to_epoch
 from lakota_spark.collection import Collection
-from lakota_spark.commit import Snapshot
+from lakota_spark.commit import Snapshot, payload_paths
 from lakota_spark.fsio import open_fs
 from lakota_spark.schema import Schema
 
@@ -267,8 +267,7 @@ class Repo:
             listing = self.fs.ls(coll.seg_prefix)
             referenced: set[str] = set()
             for rev in coll.changelog.revisions():
-                snap = Snapshot.from_payload(rev.read(), coll.schema)
-                referenced |= snap.paths()
+                referenced |= payload_paths(rev.read())
             for name in listing:
                 rel = f"{coll.seg_prefix}/{name}"
                 if TRASH_MARK in name:

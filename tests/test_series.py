@@ -511,7 +511,7 @@ def test_format1_payload_reads_conservatively(repo):
     s = coll.series("s")
     s.write({"timestamp": [1, 2, 3], "value": [1.0, 2.0, 3.0]})
     payload = coll.snapshot().to_payload(coll.schema)
-    assert payload["fmt"] == 2
+    assert payload["fmt"] == Snapshot.FMT >= 2
     legacy = dict(payload)
     legacy.pop("fmt")
     snap = Snapshot.from_payload(legacy, coll.schema)
