@@ -91,6 +91,22 @@ def main() -> None:
     # cold-start costs unrelated to its plan.
     qs["tpch_q1"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # Machine-calibration sentinel: a fixed CPU-bound Spark job with no
+    # data or code-under-test dependency. Rounds run on VMs whose speed
+    # drifts (r4→r5 measured ~1.4× uniform slowdown with zero code
+    # change); dividing any query's seconds by calib_seconds gives a
+    # machine-independent number, so cross-round deltas become
+    # attributable to code. Best-of-3 like the queries.
+    calib = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 1_000_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + (id % 7)) as s"
+        ).collect()
+        dt = time.perf_counter() - t0
+        calib = dt if calib is None or dt < calib else calib
+    calib = round(calib, 4)
+
     # best-of-3: single runs swing with machine load; the minimum is the
     # stable estimate of what the plan actually costs (3 trials also
     # absorb one-off index/materialization builds on first call)
@@ -135,7 +151,12 @@ def main() -> None:
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
+                "calib_seconds": calib,
+                "value_per_calib": round(total / calib, 2),
                 "queries": timings,
+                "queries_per_calib": {
+                    k: round(v / calib, 3) for k, v in timings.items()
+                },
                 "storage": storage,
                 "sf": float(sf),
             }

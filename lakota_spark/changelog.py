@@ -135,6 +135,12 @@ class Changelog:
         form a single-child chain off the cached winning leaf — the bulk
         write-loop shape) extends it in O(new). Any other change —
         deletions (trim/squash), branching, merge files — recomputes.
+
+        CONTRACT: on a cache hit the CACHED list object itself is
+        returned — callers must not mutate it (reverse, slice-assign,
+        append), or they poison every later log()/leaf() call. All
+        current callers only read/index; copying here would tax the hot
+        leaf() path for nothing.
         """
         revs = self.revisions()
         if before is not None:

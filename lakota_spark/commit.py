@@ -78,13 +78,19 @@ class Segment:
         return True
 
     def to_dict(self, schema: Schema) -> dict:
-        # Memoized per (segment, schema): the changelog is a full-snapshot
-        # log, so every commit re-serializes the WHOLE table — O(N) bound
-        # serializations per commit, O(N^2) across an append run. Segments
-        # are frozen and survive across snapshots (overlay only replaces
-        # the clipped ones), so caching here turns the steady-state cost
-        # into one dict per NEW segment. `dataclasses.replace` builds a
-        # fresh object, which drops the cache with the stale bounds.
+        # Memoized per (segment, schema): checkpoint commits serialize
+        # the WHOLE table — O(N) bound serializations per checkpoint —
+        # and segments are frozen and survive across snapshots (overlay
+        # only replaces the clipped ones), so caching turns the
+        # steady-state cost into one dict per NEW segment.
+        # `dataclasses.replace` builds a fresh object, which drops the
+        # cache with the stale bounds.
+        #
+        # CONTRACT: the returned dict is SHARED and FROZEN — it is
+        # embedded by reference into every commit payload/delta that
+        # serializes this segment, and its 'meta' aliases segment.meta.
+        # Callers must treat it (and nested values) as read-only;
+        # mutation-prone boundaries must take copies.
         cached = getattr(self, "_dict_cache", None)
         if cached is not None and cached[0] is schema:
             return cached[1]

@@ -237,7 +237,10 @@ class FS(BaseFS):
             try:
                 with os.scandir(self.full(rel)) as it:
                     return sorted(e.name for e in it)
-            except FileNotFoundError:
+            except (FileNotFoundError, NotADirectoryError):
+                # NotADirectoryError: path exists as a regular file —
+                # treat like the pyarrow FileSelector branch (empty
+                # listing), keeping both backends' error contracts equal
                 return []
         from pyarrow import fs as pafs
 

@@ -756,6 +756,127 @@ def flagged_shingle_table(
     return functools.reduce(DataFrame.unionByName, parts)
 
 
+class SpanFlagTracker:
+    """Incrementally-refreshed flagged-shingle store for the streaming
+    span gate.
+
+    ``flagged_shingle_table`` is a one-shot snapshot: as the landed
+    corpus grows batch by batch, document frequencies drift and a
+    shingle that crosses ``min_df`` mid-stream would never start being
+    clipped. This tracker materializes the underlying COUNTS relation
+    ``(shingle, width, n_docs)`` as versioned parquet and folds every
+    micro-batch's per-shingle distinct-doc counts into it with a
+    sum-merge — exact because each document arrives in exactly ONE
+    batch (the stream-of-new-documents contract; re-delivered doc_ids
+    would double-count, which is the same at-least-once caveat the
+    other foreachBatch gates document). Flags are derived on read:
+    ``n_docs >= min_df`` per tier width.
+
+    Publication is atomic: each fold writes ``v{N+1}`` under a tmp name
+    and renames it into place, so a concurrent reader sees v{N} or
+    v{N+1}, never a torn directory. Per-fold cost is O(distinct
+    shingles) — at 100 TB, partition the counts by a shingle hash
+    bucket and keep a bucket→version manifest so a fold rewrites only
+    the buckets the batch touched (Delta-style); the relation shape and
+    merge are unchanged.
+    """
+
+    def __init__(self, spark, path: str, tiers: tuple = ((4, 8), (6, 2))):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.tiers = tuple(tiers)
+        os.makedirs(path, exist_ok=True)
+
+    def _versions(self) -> list[int]:
+        import os
+
+        return sorted(
+            int(name[1:])
+            for name in os.listdir(self.path)
+            if name.startswith("v") and name[1:].isdigit()
+        )
+
+    def counts(self) -> DataFrame | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        return self.spark.read.parquet(f"{self.path}/v{vs[-1]}")
+
+    def _batch_counts(
+        self, df: DataFrame, text_col: str, id_col: str
+    ) -> DataFrame:
+        import functools
+
+        parts = []
+        for n, _min_df in self.tiers:
+            sh = df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(word_shingles(tokens(text_col), n)).alias(
+                    "shingle"
+                ),
+            )
+            parts.append(
+                sh.groupBy("shingle")
+                .agg(F.count_distinct("doc_id").alias("n_docs"))
+                .select("shingle", F.lit(n).alias("width"), "n_docs")
+            )
+        return functools.reduce(DataFrame.unionByName, parts)
+
+    def fold(
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> None:
+        """Merge one batch's shingle counts into the materialized
+        relation and publish the next version."""
+        import os
+        import uuid
+
+        batch = self._batch_counts(df, text_col, id_col)
+        prev = self.counts()
+        merged = (
+            batch
+            if prev is None
+            else prev.unionByName(batch)
+            .groupBy("shingle", "width")
+            .agg(F.sum("n_docs").alias("n_docs"))
+        )
+        nxt = (self._versions() or [0])[-1] + 1
+        tmp = f"{self.path}/_tmp-{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, f"{self.path}/v{nxt}")
+        except OSError:
+            # lost a publish race: another fold landed v{nxt} — merge
+            # again on the next fold; drop our attempt
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # the initial landed corpus seeds the store through the same merge
+    seed = fold
+
+    def flags(self) -> DataFrame:
+        """Current ``(shingle, width)`` flag relation — the static side
+        of `clip_spans_vs_flags`. Empty-typed when nothing is folded."""
+        import functools
+        import operator
+
+        c = self.counts()
+        if c is None:
+            return self.spark.createDataFrame(
+                [], "shingle string, width int"
+            )
+        cond = functools.reduce(
+            operator.or_,
+            [
+                (F.col("width") == n) & (F.col("n_docs") >= min_df)
+                for n, min_df in self.tiers
+            ],
+        )
+        return c.where(cond).select("shingle", "width")
+
+
 def clip_spans_vs_flags(
     df: DataFrame,
     flags: DataFrame,

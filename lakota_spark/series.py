@@ -23,6 +23,8 @@ from __future__ import annotations
 import datetime as dt
 import uuid
 
+import pyarrow as pa_lib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -45,6 +47,11 @@ CLOSED = {
 
 
 class Series:
+    #: class-level ring of recent driver-local read fallbacks (reason
+    #: strings) — lets tests and operators detect a silent demotion of
+    #: `df()` to the Spark path (see `df()` docstring)
+    df_fallbacks: list[str] = []
+
     def __init__(self, collection, label: str):
         self.collection = collection
         self.label = label
@@ -683,10 +690,22 @@ class Series:
         internally sorted, so interval-ordered concatenation IS the
         sorted frame). Everything else falls back to
         ``frame(...).toPandas()``; both paths return identical frames
-        (covered by the differential tests that call ``df()``)."""
+        (covered by the differential tests that call ``df()``).
+
+        The fallback catches ONLY environment-shaped failures (IO /
+        Arrow / OS errors — e.g. a backend that advertised
+        arrow_readable but can't serve a path) and counts them in
+        ``Series.df_fallbacks`` so a silent demotion to the ~100×
+        slower Spark path is observable. Programming errors in
+        ``_df_local`` propagate — tests must see them, not a slow
+        green run."""
         try:
             out = self._df_local(*args, **kwargs)
-        except Exception:  # noqa: BLE001 - any surprise: correct, slower path
+        except (OSError, pa_lib.ArrowInvalid, pa_lib.ArrowException) as exc:
+            Series.df_fallbacks.append(
+                f"{type(exc).__name__}: {exc}"
+            )
+            del Series.df_fallbacks[:-20]  # bounded ring
             out = None
         if out is not None:
             return out

@@ -392,3 +392,42 @@ def streaming_span_clip(
         return fn
 
     return for_each_batch
+
+
+def streaming_span_clip_tracked(
+    tracker,
+    drop_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Span gate with an INCREMENTALLY REFRESHED flags table: each
+    micro-batch first folds its shingle counts into the
+    `operators.dedup.SpanFlagTracker` store, then clips against the
+    updated flags — so a shingle whose document frequency crosses
+    ``min_df`` mid-stream starts being clipped from that batch on
+    (fold-before-clip also matches the batch oracle, which counts a
+    document's own shingles toward its flags). The static
+    `streaming_span_clip` variant serves a frozen corpus; this one
+    serves a landed corpus that keeps growing.
+    """
+    from lakota_spark.operators.dedup import clip_spans_vs_flags
+
+    widths = tuple(n for n, _ in tracker.tiers)
+
+    def for_each_batch(sink):
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            tracker.fold(batch_df, text_col=text_col, id_col=id_col)
+            sink(
+                clip_spans_vs_flags(
+                    batch_df,
+                    tracker.flags(),
+                    widths=widths,
+                    drop_frac=drop_frac,
+                    text_col=text_col,
+                    id_col=id_col,
+                )
+            )
+
+        return fn
+
+    return for_each_batch

@@ -577,3 +577,33 @@ def test_df_local_fast_path_engages(spark, tmp_path):
     s.write({"ts": [2], "value": [9.0]})  # overlay -> clipped pieces
     assert s._df_local() is None
     assert list(s.df()["value"]) == [1.0, 9.0, 3.0]  # fallback correct
+
+
+def test_df_fallback_narrow_and_counted(spark, tmp_path, monkeypatch):
+    # IO/Arrow failures in the driver-local read fall back to the Spark
+    # path AND are counted (observable demotion); a programming error
+    # must PROPAGATE — a bug in _df_local may not silently demote every
+    # read to the ~100x slower path
+    from lakota_spark.repo import Repo
+    from lakota_spark.series import Series
+
+    file_repo = Repo(str(tmp_path / "fb"), spark)
+    coll = file_repo.create_collection(Schema(ts="int*", value="float"), "fb")
+    s = coll.series("s")
+    s.write({"ts": [1, 2], "value": [1.0, 2.0]})
+
+    monkeypatch.setattr(
+        Series, "_df_local", lambda self, *a, **k: (_ for _ in ()).throw(OSError("disk gone"))
+    )
+    del Series.df_fallbacks[:]
+    out = s.df()
+    assert list(out["value"]) == [1.0, 2.0]  # fallback served the frame
+    assert Series.df_fallbacks and "disk gone" in Series.df_fallbacks[-1]
+
+    monkeypatch.setattr(
+        Series, "_df_local", lambda self, *a, **k: (_ for _ in ()).throw(TypeError("bug"))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        s.df()

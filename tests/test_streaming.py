@@ -424,3 +424,91 @@ def test_streaming_span_clip_vs_batch(spark, tmp_path):
     actions = {r[0]: r[3] for r in got}
     assert actions[2] == "keep" and actions[3] == "drop"
     assert actions[1] in ("clip", "drop")
+
+
+def test_streaming_span_clip_tracked_flag_appears_midstream(spark, tmp_path):
+    # incremental flags refresh: a shingle that crosses min_df only
+    # after several batches must start being clipped from that batch on
+    # (VERDICT r5 ask #6); the final materialized flags must equal the
+    # one-shot batch artifact on the full landed corpus
+    import os as _os
+    import time as _time
+
+    from lakota_spark.operators.dedup import (
+        SpanFlagTracker,
+        clip_spans_vs_flags,
+        flagged_shingle_table,
+    )
+    from lakota_spark.streaming import streaming_span_clip_tracked
+
+    boiler = "subscribe to our newsletter today please"
+    # every non-boiler 4-gram must contain an i-specific token, else the
+    # shared template itself crosses min_df and the docs drop entirely
+    mk = lambda i: (
+        i,
+        f"doc {i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i} "
+        f"zeta{i} eta{i} theta{i} iota{i} kappa{i} " + boiler,
+    )
+    b0_rows = [mk(1), mk(2)]           # df(boiler 4-grams) = 2 < 4
+    b1_rows = [mk(3), mk(4)]           # df crosses 4 -> flags appear
+    src = str(tmp_path / "tsrc")
+    _os.makedirs(src)
+    spark.createDataFrame(b0_rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"file://{src}/b0.parquet")
+    _time.sleep(1.1)  # distinct mtimes: file source processes oldest first
+    spark.createDataFrame(b1_rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"file://{src}/b1.parquet")
+
+    tracker = SpanFlagTracker(
+        spark, str(tmp_path / "flags"), tiers=((4, 4),)
+    )
+    out_path = f"file://{tmp_path}/tout"
+
+    def sink(cleaned):
+        cleaned.write.mode("append").parquet(out_path)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"file://{src}/*")
+        .writeStream.foreachBatch(streaming_span_clip_tracked(tracker)(sink))
+        .option("checkpointLocation", str(tmp_path / "tckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out_path).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # batch 0: boiler seen only twice -> under min_df, nothing clipped
+    assert got[1]["action"] == "keep" and got[2]["action"] == "keep"
+    # batch 1: the fold pushed the boiler shingles to df=4 -> clipped,
+    # and the rebuilt text no longer contains the boilerplate
+    for i in (3, 4):
+        assert got[i]["action"] == "clip"
+        assert "newsletter" not in got[i]["text_clean"]
+        assert f"kappa{i}" in got[i]["text_clean"]
+
+    # the incrementally-merged artifact == the one-shot batch artifact
+    full = spark.createDataFrame(
+        b0_rows + b1_rows, "doc_id long, text string"
+    )
+    want = sorted(
+        map(tuple, flagged_shingle_table(full, tiers=((4, 4),)).collect())
+    )
+    have = sorted(map(tuple, tracker.flags().collect()))
+    assert have == want
+    # and the stream's batch-1 output == the batch twin on those flags
+    batch_twin = {
+        r["doc_id"]: r
+        for r in clip_spans_vs_flags(
+            spark.createDataFrame(b1_rows, "doc_id long, text string"),
+            tracker.flags(),
+            widths=(4,),
+        ).collect()
+    }
+    for i in (3, 4):
+        assert got[i]["text_clean"] == batch_twin[i]["text_clean"]
+        assert got[i]["action"] == batch_twin[i]["action"]
