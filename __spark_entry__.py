@@ -363,11 +363,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries first (tpch_q1, engine_range_scan, plus the dedup staples
     recorded in r1), then all round-4 additions — the five newly adapted
     TPC-H shapes and every pipeline/dedup/similarity/curation operator.
-    Entries after position 50 are rotated-out queries with 1-3 rounds of
+    Entries after position 50 are rotated-out queries with 1-4 rounds of
     green driver history, still exercised by scripts/check_oracle.py
-    each round; the rows-only multimodal/sketch entries sit just past
-    the window (their driver row is the weakest check kind, so every
-    oracle-backed newcomer outranks them for window space). The
+    each round. Round 6: with every oracle-backed query driver-recorded
+    after r5's 50/50, the three rows-only multimodal/sketch entries take
+    one window turn each (VERDICT r5 #7) so all 106 queries carry at
+    least one driver row. The
     invariant — [k for k in list(queries())[50:] if never-recorded and
     oracle-backed] == [] — is ENFORCED by
     `tests/test_driver_contract.py::test_every_unrecorded_oracle_query_inside_window`
@@ -391,8 +392,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy_stats": pipeline.char_entropy_stats,
         "trigram_search": pipeline.trigram_search,
         "trigram_search_indexed": pipeline.trigram_search_indexed,
-        "trigram_accent_search": pipeline.trigram_accent_search,
-        "trigram_posting_stats": pipeline.trigram_posting_stats,
+        # --- rows-only entries rotated INTO the window for round 6
+        #     (VERDICT r5 #7): the only 3 of 106 queries with zero driver
+        #     history — one recorded rows-only row each closes the gap ---
+        "sketch_stats": pipeline.sketch_stats,
+        "multimodal_features": pipeline.multimodal_features,
+        "multimodal_frames": pipeline.multimodal_frames,
         "unigram_lm_quality": pipeline.unigram_lm_quality,
         "decontaminate_flag": pipeline.decontaminate_flag,
         "stratified_sample_mix": pipeline.stratified_sample_mix,
@@ -417,7 +422,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": pipeline.bm25_topk_indexed,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
-        "value_histogram": parity.value_histogram,
         "kmeans_assign": pipeline.kmeans_assign,
         "semdedup_top_pairs": pipeline.semdedup_top_pairs,
         "pii_scrub_stats": pipeline.pii_scrub_stats,
@@ -455,11 +459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": pipeline.token_counts,
         "lang_id": pipeline.lang_id,
         "doc_fingerprint": pipeline.doc_fingerprint,
-        # rows-only by design (mapInPandas stubs / approx sketches) — the
-        # judge records these as the weaker rows-only check either way
-        "sketch_stats": pipeline.sketch_stats,
-        "multimodal_features": pipeline.multimodal_features,
-        "multimodal_frames": pipeline.multimodal_frames,
+        # rotated out in round 6 to make window room for the rows-only
+        # trio (all three below are driver-green in r5)
+        "trigram_accent_search": pipeline.trigram_accent_search,
+        "trigram_posting_stats": pipeline.trigram_posting_stats,
+        "value_histogram": parity.value_histogram,
         "quantiles": parity.quantiles,
         "series_update": parity.series_update,
         "sessionize": parity.sessionize,
