@@ -51,21 +51,25 @@ def hexts_to_epoch(h: str) -> float:
 
 
 class Revision:
-    __slots__ = ("parent", "child", "fs", "rel")
+    __slots__ = ("parent", "child", "fs", "rel", "basename")
 
-    def __init__(self, parent: str, child: str, fs: FS, rel: str):
+    def __init__(
+        self, parent: str, child: str, fs: FS, rel: str, basename: str | None = None
+    ):
         self.parent = parent
         self.child = child
         self.fs = fs
         self.rel = rel
+        # stored, not derived: basename is touched O(N) times per log()
+        # call (the listing-set cache key), which made posixpath.basename
+        # a measurable cost across a fragmented-append run
+        self.basename = (
+            basename if basename is not None else posixpath.basename(rel)
+        )
 
     @property
     def epoch(self) -> float:
         return hexts_to_epoch(self.child.split("-", 1)[0])
-
-    @property
-    def basename(self) -> str:
-        return posixpath.basename(self.rel)
 
     #: parsed-payload memo keyed by child id. Sound because revisions are
     #: content-addressed (the child id embeds the payload sha1, verified
@@ -109,20 +113,35 @@ class Changelog:
         # be seen); the cache only skips re-LINEARIZING an unchanged or
         # purely-appended DAG, which is O(N) python work per commit.
         self._log_cache: tuple[frozenset, list[Revision]] | None = None
+        # filename → Revision memo: revisions are immutable once written,
+        # so re-listing a directory must not re-CONSTRUCT N objects per
+        # call (O(N²) across an append run — measured as ~30% of the
+        # fragmented-append commit cost). Deleted files (trim/squash)
+        # just stop being returned; the memo is size-bounded below.
+        self._rev_cache: dict[str, Revision] = {}
 
     # -- listing / ordering ------------------------------------------------
 
     def revisions(self) -> list[Revision]:
         revs = []
+        cache = self._rev_cache
         for fn in self.fs.ls(self.prefix):
             if not fn.endswith(".json") or ".tmp" in fn:
                 continue
-            name = fn[: -len(".json")]
-            parent, _, child = name.partition(".")
-            if child:
-                revs.append(
-                    Revision(parent, child, self.fs, f"{self.prefix}/{fn}")
+            rev = cache.get(fn)
+            if rev is None:
+                name = fn[: -len(".json")]
+                parent, _, child = name.partition(".")
+                if not child:
+                    continue
+                rev = Revision(
+                    parent, child, self.fs, f"{self.prefix}/{fn}", fn
                 )
+                cache[fn] = rev
+            revs.append(rev)
+        if len(cache) > 2 * len(revs) + 64:
+            # trim/squash removed many files — drop stale entries
+            self._rev_cache = {r.basename: r for r in revs}
         return revs
 
     def log(self, before: float | None = None) -> list[Revision]:
