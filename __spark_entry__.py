@@ -417,7 +417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": pipeline.minhash_dedup_pairs,
         "edit_dup_pairs": pipeline.edit_dup_pairs,
         "dedup_clusters": pipeline.dedup_clusters,
-        "gap_fill_daily": pipeline.gap_fill_daily,
+        # --- new in round 6: quality-aware cluster retention ---
+        "dedup_keep_best": pipeline.dedup_keep_best,
         "bm25_topk": pipeline.bm25_topk,
         "bm25_topk_indexed": pipeline.bm25_topk_indexed,
         "near_dup_gate": pipeline.near_dup_gate,
@@ -464,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_accent_search": pipeline.trigram_accent_search,
         "trigram_posting_stats": pipeline.trigram_posting_stats,
         "value_histogram": parity.value_histogram,
+        "gap_fill_daily": pipeline.gap_fill_daily,
         "quantiles": parity.quantiles,
         "series_update": parity.series_update,
         "sessionize": parity.sessionize,
@@ -1803,6 +1805,30 @@ reach(node, lbl) AS (
   SELECT e.a, r.lbl FROM reach r JOIN e ON r.node = e.b
 )
 SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+""",
+        "dedup_keep_best": f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM vpairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN e ON r.node = e.b
+),
+cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+sc AS (SELECT doc_id, len({_TOKS})::BIGINT AS score FROM documents),
+j AS (SELECT cl.cluster_id, cl.doc_id, sc.score FROM cl JOIN sc USING (doc_id)),
+agg AS (
+  SELECT cluster_id, count(*)::BIGINT AS n_members, max(score) AS best
+  FROM j GROUP BY 1
+)
+SELECT a.cluster_id, a.n_members, a.n_members - 1 AS n_dropped,
+       min(j.doc_id) AS kept_doc, a.best AS kept_tokens
+FROM agg a JOIN j ON j.cluster_id = a.cluster_id AND j.score = a.best
+GROUP BY a.cluster_id, a.n_members, a.best
 """,
         "simhash_signatures": f"""
 WITH {_simhash_cte()}

@@ -1000,6 +1000,50 @@ def dedup_clusters(
     )
 
 
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware dedup retention: per near-dup cluster, keep the
+    member with the highest score (ties: smallest id — deterministic,
+    so the result is oracle-comparable).
+
+    Canonical-by-min-id (`dedup_clusters`) keeps an ARBITRARY member;
+    real curation pipelines keep the best one (highest quality score,
+    longest doc, freshest crawl). Returns one row per cluster:
+    ``(cluster_id, n_members, n_dropped, kept_doc, kept_score)``.
+
+    Scale shape: one broadcast-or-shuffle equi-join (clusters ⨝ scores
+    on id) plus ONE partial-aggregated groupBy on cluster_id — the
+    argmax folds map-side as ``max(struct(score, -id))``, so a single
+    row per cluster crosses the wire regardless of cluster size (no
+    window, no second pass).
+    """
+    joined = clusters.join(scores, id_col)
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+        )
+    )
+    return (
+        joined.groupBy(cluster_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            best.alias("_best"),
+        )
+        .select(
+            cluster_col,
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+            (-F.col("_best.neg_id")).alias("kept_doc"),
+            F.col("_best.s").alias("kept_score"),
+        )
+    )
+
+
 def _sym_edges(e: DataFrame) -> DataFrame:
     """Symmetrize an (a, b) edge list, dropping self-loops."""
     return (

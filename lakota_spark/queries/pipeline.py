@@ -537,6 +537,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs)
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup retention: MinHash clusters keep their
+    highest-token-count member (ties → smallest doc_id) instead of the
+    arbitrary min-id canonical — the curation step an actual pretrain
+    pipeline runs after clustering (operators/dedup.keep_best_per_cluster;
+    one join + one partial-agg groupBy, no window)."""
+    from lakota_spark.functions import tokens
+
+    clusters = dedup_clusters(spark, sf_dir)
+    scores = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("score")
+    )
+    out = D.keep_best_per_cluster(clusters, scores)
+    return out.select(
+        "cluster_id",
+        "n_members",
+        "n_dropped",
+        "kept_doc",
+        F.col("kept_score").alias("kept_tokens"),
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingle_table(_docs(spark, sf_dir), n=SHINGLE_N)
     return D.minhash_signatures(sh, NUM_HASHES)

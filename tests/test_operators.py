@@ -1511,3 +1511,32 @@ def test_clip_repeated_spans_semantics(spark):
     a = sorted(map(tuple, clip_repeated_spans(docs).collect()))
     b = sorted(map(tuple, clip_repeated_spans(docs.repartition(3)).collect()))
     assert a == b
+
+
+def test_keep_best_per_cluster_argmax_and_ties(spark):
+    # highest score wins; equal scores break to the SMALLEST id (the
+    # determinism the oracle comparison depends on); one row per cluster
+    from pyspark.sql import functions as F
+
+    from lakota_spark.operators.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (7, 70), (9, 70)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (7, 4), (9, 4)], "doc_id long, score long"
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in keep_best_per_cluster(clusters, scores).collect()
+    }
+    assert set(out) == {10, 70}
+    # cluster 10: docs 2 and 3 tie at score 9 -> doc 2 kept
+    assert out[10]["kept_doc"] == 2 and out[10]["kept_score"] == 9
+    assert out[10]["n_members"] == 3 and out[10]["n_dropped"] == 2
+    # cluster 70: tie at 4 -> doc 7 kept
+    assert out[70]["kept_doc"] == 7 and out[70]["n_dropped"] == 1
+    # plan shape: partial-agg groupBy, no window, no cartesian
+    plan = keep_best_per_cluster(clusters, scores)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Cartesian" not in plan
