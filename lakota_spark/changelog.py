@@ -36,9 +36,28 @@ PHI = "phi"  # root sentinel (`lakota/changelog.py:10-12`)
 #: (Delta-Lake-style log compaction). Appends in between serialize only
 #: their own segments — O(new) instead of O(table) per commit, which is
 #: what keeps fragmented-append workloads linear at millions of segments.
+#:
+#: The cadence is ADAPTIVE: a fixed every-K cadence still pays O(table)
+#: every K commits — amortized O(table/K) per append, i.e. linear growth
+#: again at large segment counts. Scaling the cadence with the table
+#: (one checkpoint per SEGS_PER_CKPT new table-segments' worth of
+#: commits, capped at CHECKPOINT_MAX so a cold reader never replays an
+#: unbounded delta chain) makes the amortized checkpoint bytes per
+#: commit CONSTANT: O(N) payload / (N/SEGS_PER_CKPT) commits =
+#: O(SEGS_PER_CKPT). Resolution is cadence-agnostic (walk to the
+#: nearest checkpoint, whatever the spacing).
 import os as _os
 
 CHECKPOINT_EVERY = int(_os.environ.get("LAKOTA_SPARK_CKPT_EVERY", "32"))
+CHECKPOINT_MAX = int(_os.environ.get("LAKOTA_SPARK_CKPT_MAX", "512"))
+SEGS_PER_CKPT = 16
+
+
+def checkpoint_cadence(n_segments: int) -> int:
+    """Commits between checkpoints for a table of ``n_segments``."""
+    return max(
+        CHECKPOINT_EVERY, min(CHECKPOINT_MAX, n_segments // SEGS_PER_CKPT)
+    )
 
 
 def hexts(ts: float | None = None) -> str:
@@ -79,7 +98,11 @@ class Revision:
     #: table (O(N²) across N appends without the memo). Consumers treat
     #: payloads as read-only (from_payload/merge only read keys).
     _PAYLOADS: "dict[str, dict]" = {}
-    _PAYLOADS_MAX = 64
+    #: must exceed CHECKPOINT_MAX so a cold delta-chain resolution never
+    #: thrashes its own working set; full-history scans (gc/digests)
+    #: stream through and evict FIFO, which is fine — their hot key is
+    #: whatever they read next, not what they read before
+    _PAYLOADS_MAX = 600
 
     def read(self) -> dict:
         cached = Revision._PAYLOADS.get(self.child)

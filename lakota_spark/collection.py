@@ -17,7 +17,7 @@ from contextlib import contextmanager
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lakota_spark.changelog import CHECKPOINT_EVERY, PHI, Changelog
+from lakota_spark.changelog import PHI, Changelog, checkpoint_cadence
 from lakota_spark.commit import Segment, Snapshot, payload_paths
 from lakota_spark.schema import Schema
 from lakota_spark.series import PAGE_LEN, KVSeries, Series
@@ -226,13 +226,14 @@ class Collection:
         if leaf is not None and not root:
             # fmt-3 delta log: serialize only THIS commit's segments and
             # let readers replay onto the nearest checkpoint — O(new) per
-            # append instead of O(table). Every CHECKPOINT_EVERY-th commit
-            # (distance carried in the payload, O(1) to consult via the
-            # seeded payload memo) writes the full snapshot to bound the
-            # replay chain. Roots / merges / maintenance commits are
-            # always checkpoints.
+            # append instead of O(table). The checkpoint cadence scales
+            # with the table (see `checkpoint_cadence`) so the amortized
+            # checkpoint cost per commit stays CONSTANT as segments
+            # accumulate; the distance is carried in the payload, O(1)
+            # to consult via the seeded payload memo. Roots / merges /
+            # maintenance commits are always checkpoints.
             dist = int(leaf.read().get("ckpt_dist", 0)) + 1
-            if dist < CHECKPOINT_EVERY:
+            if dist < checkpoint_cadence(len(snap.segments)):
                 payload = {
                     "fmt": Snapshot.FMT,
                     "kind": "delta",

@@ -241,3 +241,34 @@ def test_double_write_noop_survives_delta_head(coll):
     n = len(coll.changelog.revisions())
     s.write({"ts": [10, 11], "value": [1.0, 1.0]})  # identical re-write
     assert len(coll.changelog.revisions()) == n
+
+
+def test_adaptive_checkpoint_cadence(repo, coll, monkeypatch):
+    # the cadence grows with the table so amortized checkpoint bytes per
+    # commit stay constant; resolution is cadence-agnostic
+    import lakota_spark.changelog as cl
+
+    monkeypatch.setattr(cl, "CHECKPOINT_EVERY", 4)
+    monkeypatch.setattr(cl, "CHECKPOINT_MAX", 8)
+    monkeypatch.setattr(cl, "SEGS_PER_CKPT", 1)
+    s = coll.series("s")
+    # phase 1: repeated overwrites of the same interval — the table
+    # stays at ~1 segment, so the cadence sits at the floor (4)
+    for i in range(13):
+        s.write({"ts": [0, 1], "value": [float(i), float(i + 1)]})
+    # phase 2: appends — the table grows past the cap threshold and the
+    # cadence widens to CHECKPOINT_MAX (8)
+    _write_n(s, 40, start=100)
+    kinds = [k for k, _ in _payloads(coll)]
+    ckpt_pos = [i for i, k in enumerate(kinds) if k == "ckpt"]
+    gaps = [b - a for a, b in zip(ckpt_pos, ckpt_pos[1:])]
+    assert gaps[0] == 4      # small table: floor cadence
+    assert gaps[-1] == 8     # grown table: capped cadence
+    assert all(4 <= g <= 8 for g in gaps)
+    # cold resolution still exact across the variable spacing
+    Revision._PAYLOADS.clear()
+    cold = repo.collection("dl")
+    assert cold.snapshot().length("s") == 82  # 2 overwritten + 80 appended
+    assert [x.to_dict(coll.schema) for x in cold.snapshot().segments] == [
+        x.to_dict(coll.schema) for x in coll.snapshot().segments
+    ]
