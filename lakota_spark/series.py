@@ -874,6 +874,14 @@ class Series:
         existence probes — the failed read is the probe)."""
         fs = self.collection.fs
         seg_prefix = self.collection.seg_prefix
+        if len(paths) > 32:
+            # per-path listing tasks dominate many-segment scans at the
+            # Spark default (10000 == one task per path); batch them.
+            # Only override the untouched default — an explicit user
+            # setting (session.py sets 64 for engine-built sessions) wins.
+            key = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
+            if self.spark.conf.get(key, "10000") == "10000":
+                self.spark.conf.set(key, "64")
         try:
             return self.spark.read.parquet(
                 *fs.spark_read_uris([f"{seg_prefix}/{p}" for p in paths])
