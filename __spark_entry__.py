@@ -399,7 +399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": pipeline.multimodal_features,
         "multimodal_frames": pipeline.multimodal_frames,
         "unigram_lm_quality": pipeline.unigram_lm_quality,
-        "decontaminate_flag": pipeline.decontaminate_flag,
+        # --- new in round 6: DSIR importance reweighting ---
+        "dsir_importance": pipeline.dsir_importance,
         "stratified_sample_mix": pipeline.stratified_sample_mix,
         "lang_mixture_weights": pipeline.lang_mixture_weights,
         "pack_sequences_demo": pipeline.pack_sequences_demo,
@@ -466,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_posting_stats": pipeline.trigram_posting_stats,
         "value_histogram": parity.value_histogram,
         "gap_fill_daily": pipeline.gap_fill_daily,
+        "decontaminate_flag": pipeline.decontaminate_flag,
         "quantiles": parity.quantiles,
         "series_update": parity.series_update,
         "sessionize": parity.sessionize,
@@ -1805,6 +1807,35 @@ reach(node, lbl) AS (
   SELECT e.a, r.lbl FROM reach r JOIN e ON r.node = e.b
 )
 SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+""",
+        "dsir_importance": """
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+bt AS (
+  SELECT doc_id, is_target,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT % 1024 AS bucket
+  FROM tok
+),
+counts AS (
+  SELECT bucket, count(*) AS c_raw,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+  FROM bt GROUP BY bucket
+),
+totals AS (SELECT sum(c_raw) AS raw_total, sum(c_tgt) AS tgt_total FROM counts),
+lr AS (
+  SELECT bucket,
+         round(ln(((c_tgt + 1) * (raw_total + 1024))::DOUBLE /
+                  ((c_raw + 1) * (tgt_total + 1024))::DOUBLE) * 1000000)::BIGINT
+           AS lr_micro
+  FROM counts, totals
+)
+SELECT doc_id, count(*) AS n_tokens,
+       sum(lr_micro) * 1.0 / (count(*) * 1000000) AS avg_log_ratio
+FROM bt JOIN lr USING (bucket)
+GROUP BY doc_id
 """,
         "dedup_keep_best": f"""
 WITH RECURSIVE {_minhash_pair_ctes()},

@@ -142,6 +142,86 @@ def pack_sequences(
     )
 
 
+def importance_weights(
+    df: DataFrame,
+    target_filter,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    hashed-feature variant): score every raw document by how much its
+    token-bucket distribution looks like a TARGET domain (the rows
+    passing ``target_filter``) versus the raw corpus — the standard
+    recipe for reweighting a crawl toward a high-quality reference
+    (Wikipedia, books, a curated lang slice).
+
+    Feature = token → md5 bucket (`hash32 % n_buckets` — engine-
+    independent, so the DuckDB oracle reproduces it bit-exactly). Each
+    bucket's add-one-smoothed log probability ratio is computed as ONE
+    ``ln`` of an exact integer-product ratio —
+    ``ln(((c_tgt+1)·(raw_total+B)) / ((c_raw+1)·(tgt_total+B)))`` —
+    then quantized to integer micro-nats BEFORE the per-document sum,
+    so the fold is exact long addition (order/partitioning-independent;
+    same discipline as `text.unigram_lm_scores`). Returns
+    ``(doc_id, n_tokens, avg_log_ratio)``; documents with no alphabetic
+    tokens carry no evidence and are omitted (join semantics).
+
+    Scale shape: one token explode feeding two bucket aggregates (both
+    partial-combine map-side; the bucket relation is ≤ n_buckets rows →
+    broadcast to the scoring join), then one per-doc groupBy. The
+    explode is localCheckpointed so raw and target counts share the
+    single tokenization pass.
+    """
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+    )
+    tok = (
+        df.select(
+            F.col(id_col),
+            target_filter.alias("_is_target"),
+            F.explode(words).alias("token"),
+        )
+        .withColumn("bucket", F.pmod(hash32(F.col("token")), F.lit(n_buckets)))
+        .localCheckpoint(eager=False)
+    )
+    counts = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("raw_total"), F.sum("c_tgt").alias("tgt_total")
+    )
+    b = F.lit(n_buckets)
+    lr = counts.join(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("c_tgt") + 1) * (F.col("raw_total") + b)).cast(
+                    "double"
+                )
+                / ((F.col("c_raw") + 1) * (F.col("tgt_total") + b)).cast(
+                    "double"
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    return (
+        tok.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum("lr_micro") * 1.0 / (F.count(F.lit(1)) * 1000000)
+            ).alias("avg_log_ratio"),
+        )
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str = "lang",

@@ -537,6 +537,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs)
 
 
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-unigram importance weights with lang='en' as the
+    target domain (operators/sampling.importance_weights): each raw doc
+    scored by avg per-token log ratio of target vs raw bucket
+    distributions — the data-selection reweighting step of a pretrain
+    mixing pipeline. Micro-nat integer fold keeps the oracle exact."""
+    from lakota_spark.operators.sampling import importance_weights
+
+    return importance_weights(
+        _docs(spark, sf_dir), target_filter=(F.col("lang") == "en")
+    )
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup retention: MinHash clusters keep their
     highest-token-count member (ties → smallest doc_id) instead of the

@@ -1540,3 +1540,26 @@ def test_keep_best_per_cluster_argmax_and_ties(spark):
     # plan shape: partial-agg groupBy, no window, no cartesian
     plan = keep_best_per_cluster(clusters, scores)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Cartesian" not in plan
+
+
+def test_importance_weights_targets_score_higher(spark):
+    # docs drawn from the target vocabulary must get a higher avg log
+    # ratio than off-target docs; folds are integer micro-nats (exact)
+    from pyspark.sql import functions as F
+
+    from lakota_spark.operators.sampling import importance_weights
+
+    rows = []
+    for i in range(20):  # target domain: science-y vocabulary
+        rows.append((i, "quantum physics entropy theorem proof lemma", "tgt"))
+    for i in range(20, 40):  # raw filler: celebrity gossip vocabulary
+        rows.append((i, "celebrity gossip scandal rumor tabloid drama", "raw"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, domain string")
+    out = importance_weights(df, target_filter=(F.col("domain") == "tgt"))
+    scores = {r["doc_id"]: r["avg_log_ratio"] for r in out.collect()}
+    assert len(scores) == 40
+    tgt_avg = sum(scores[i] for i in range(20)) / 20
+    raw_avg = sum(scores[i] for i in range(20, 40)) / 20
+    assert tgt_avg > 0 > raw_avg
+    # n_tokens counted per doc
+    assert all(r["n_tokens"] == 6 for r in out.collect())
