@@ -186,6 +186,22 @@ def importance_weights(
         .withColumn("bucket", F.pmod(hash32(F.col("token")), F.lit(n_buckets)))
         .localCheckpoint(eager=False)
     )
+    lr = _lr_from_bucketed(tok, n_buckets)
+    return (
+        tok.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum("lr_micro") * 1.0 / (F.count(F.lit(1)) * 1000000)
+            ).alias("avg_log_ratio"),
+        )
+    )
+
+
+def _lr_from_bucketed(tok: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, lr_micro) from a bucketed token relation carrying an
+    ``_is_target`` flag — the fit half of DSIR."""
     counts = tok.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_raw"),
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("c_tgt"),
@@ -194,7 +210,7 @@ def importance_weights(
         F.sum("c_raw").alias("raw_total"), F.sum("c_tgt").alias("tgt_total")
     )
     b = F.lit(n_buckets)
-    lr = counts.join(F.broadcast(totals)).select(
+    return counts.join(F.broadcast(totals)).select(
         "bucket",
         F.round(
             F.log(
@@ -209,6 +225,48 @@ def importance_weights(
         )
         .cast("long")
         .alias("lr_micro"),
+    )
+
+
+def fit_importance_lr(
+    df: DataFrame,
+    target_filter,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fit ONLY the per-bucket log-ratio relation of `importance_weights`
+    — the corpus artifact a stream materializes once and scores against
+    (`score_against_lr`); ≤ n_buckets rows, broadcastable anywhere."""
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+    )
+    tok = df.select(
+        F.col(id_col),
+        target_filter.alias("_is_target"),
+        F.explode(words).alias("token"),
+    ).withColumn("bucket", F.pmod(hash32(F.col("token")), F.lit(n_buckets)))
+    return _lr_from_bucketed(tok, n_buckets)
+
+
+def score_against_lr(
+    df: DataFrame,
+    lr: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a PRECOMPUTED per-bucket log-ratio
+    relation (``(bucket, lr_micro)`` from `importance_weights`'s fit) —
+    the serving half of DSIR, split out so a STREAM can score incoming
+    docs against the materialized corpus artifact without re-fitting:
+    tokenize → bucket → broadcast-join lr → per-doc integer fold. No
+    state, no corpus scan per batch."""
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+    )
+    tok = df.select(F.col(id_col), F.explode(words).alias("token")).withColumn(
+        "bucket", F.pmod(hash32(F.col("token")), F.lit(n_buckets))
     )
     return (
         tok.join(F.broadcast(lr), "bucket")

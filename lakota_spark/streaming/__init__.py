@@ -394,6 +394,63 @@ def streaming_span_clip(
     return for_each_batch
 
 
+def streaming_importance_gate(
+    stream_df: DataFrame,
+    lr: DataFrame,
+    threshold: float = 0.0,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance gate on a document stream: score incoming docs
+    against the log-ratio relation fitted on the landed corpus
+    (`operators.sampling.fit_importance_lr`) and keep docs whose avg
+    log ratio clears ``threshold`` — on-ingest data selection toward
+    the target domain.
+
+    The lr relation is ≤ n_buckets rows, so it collapses into a MAP
+    LITERAL folded per row with array lambdas (tokenize → bucket →
+    map lookup → integer micro-nat sum): a pure stateless projection —
+    zero shuffle, zero state, valid in any streaming output mode, and
+    exactly the inner-join semantics of the batch twin
+    `score_against_lr` (map misses are dropped from both the sum and
+    the count; docs with no scored tokens are dropped like the twin's
+    join omits them). Re-call after refitting lr to pick up corpus
+    drift — the artifact is versioned by the caller like the span
+    gate's flags table."""
+    from lakota_spark.functions import hash32
+
+    rows = lr.collect()
+    keys = F.array(*[F.lit(int(r["bucket"])) for r in rows])
+    vals = F.array(*[F.lit(int(r["lr_micro"])) for r in rows])
+    lr_map = F.map_from_arrays(keys, vals)
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+    )
+    hits = F.filter(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                lr_map, F.pmod(hash32(t), F.lit(n_buckets)).cast("int")
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n = F.size(hits)
+    # n == 0 → NULL score (doc carries no evidence) → gated out below,
+    # matching the batch twin's inner-join omission; plain division
+    # would raise under ANSI mode
+    score = F.try_divide(
+        F.aggregate(hits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        * 1.0,
+        n * 1000000,
+    )
+    return (
+        stream_df.withColumn("n_tokens", n.cast("long"))
+        .withColumn("avg_log_ratio", score)
+        .where(F.col("avg_log_ratio") > F.lit(threshold))
+    )
+
+
 def streaming_span_clip_tracked(
     tracker,
     drop_frac: float = 0.5,

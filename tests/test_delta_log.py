@@ -44,6 +44,30 @@ def coll(repo):
     return repo.create_collection(Schema(ts="int*", value="float"), "dl")
 
 
+def test_delta_log_storage_matrix(any_repo):
+    # the fmt-3 log is backend-agnostic: delta chains resolve and trim
+    # converts orphans identically over file, HTTP, and memory backends
+    import time
+
+    coll = any_repo.create_collection(Schema(ts="int*", value="float"), "dlm")
+    s = coll.series("s")
+    _write_n(s, 5)
+    assert coll.changelog.leaf().read().get("kind") == "delta"
+    time.sleep(0.01)
+    cutoff = time.time()
+    time.sleep(0.01)
+    _write_n(s, 3, start=10)
+    Revision._PAYLOADS.clear()
+    cold = any_repo.collection("dlm")
+    assert cold.snapshot().length("s") == 16
+    coll.trim(before=cutoff)
+    Revision._PAYLOADS.clear()
+    cold2 = any_repo.collection("dlm")
+    assert list(cold2.series("s").df()["ts"]) == list(range(10)) + list(
+        range(10, 16)
+    )
+
+
 def test_checkpoint_cadence_and_payload_shape(coll):
     s = coll.series("s")
     n = CHECKPOINT_EVERY + 3

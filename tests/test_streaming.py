@@ -512,3 +512,64 @@ def test_streaming_span_clip_tracked_flag_appears_midstream(spark, tmp_path):
     for i in (3, 4):
         assert got[i]["text_clean"] == batch_twin[i]["text_clean"]
         assert got[i]["action"] == batch_twin[i]["action"]
+
+
+def test_streaming_importance_gate_vs_batch(spark, tmp_path):
+    # DSIR gate in-stream: scores from the map-literal fold must equal
+    # the batch twin's join-based scores; only above-threshold docs pass
+    import os as _os
+
+    from lakota_spark.operators.sampling import (
+        fit_importance_lr,
+        score_against_lr,
+    )
+    from lakota_spark.streaming import streaming_importance_gate
+    from pyspark.sql import functions as F
+
+    corpus_rows = [(i, "quantum physics entropy theorem proof", "tgt") for i in range(10)]
+    corpus_rows += [(100 + i, "celebrity gossip scandal rumor tabloid", "raw") for i in range(10)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, text string, domain string"
+    )
+    lr = fit_importance_lr(corpus, target_filter=(F.col("domain") == "tgt"))
+
+    stream_rows = [
+        (1, "quantum entropy proof theorem physics theorem"),  # target-like
+        (2, "gossip tabloid scandal rumor celebrity gossip"),  # off-target
+        (3, "zzzqx"),                                          # no scored tokens
+    ]
+    src = str(tmp_path / "isrc")
+    _os.makedirs(src)
+    spark.createDataFrame(
+        stream_rows, "doc_id long, text string"
+    ).write.parquet(f"file://{src}/b0.parquet")
+    out_path = f"file://{tmp_path}/iout"
+    q = (
+        streaming_importance_gate(
+            spark.readStream.schema("doc_id long, text string").parquet(
+                f"file://{src}/*"
+            ),
+            lr,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ickpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out_path).collect()}
+    assert set(got) == {1}  # target-like passes, off-target + empty drop
+
+    batch = {
+        r["doc_id"]: r
+        for r in score_against_lr(
+            spark.createDataFrame(stream_rows, "doc_id long, text string"),
+            lr,
+        ).collect()
+    }
+    assert got[1]["avg_log_ratio"] == batch[1]["avg_log_ratio"]
+    assert got[1]["n_tokens"] == batch[1]["n_tokens"]
+    assert batch[2]["avg_log_ratio"] <= 0  # twin agrees doc 2 is off-target
+    assert 3 not in batch  # no scored tokens -> omitted by the twin too
