@@ -396,7 +396,17 @@ class Series:
                 local_pdf = local_pdf.sort_values(
                     self.schema.idx, kind="stable"
                 )
-            local_pdf = local_pdf.reset_index(drop=True)
+            # reset_index deep-copies every column (~0.2 s on the 80 MB
+            # bench frame) — skip it when the index is already trivial
+            import pandas as pd
+
+            idx = local_pdf.index
+            if not (
+                isinstance(idx, pd.RangeIndex)
+                and idx.start == 0
+                and idx.step == 1
+            ):
+                local_pdf = local_pdf.reset_index(drop=True)
             n = len(local_pdf)
             lo = self._local_bound(local_pdf.iloc[0])
             hi = self._local_bound(local_pdf.iloc[-1])
