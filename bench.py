@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "ivf_kmeans_topk",
     "quantized_cosine_topk",
     "pq_topk",
+    # round-6 curation addition (dedup_keep_best stays correctness-only:
+    # like dedup_clusters it re-derives the full verified-pair pipeline,
+    # which minhash_dedup_pairs already prices here)
+    "dsir_importance",
     # round-4b curation additions
     "unigram_lm_quality",
     "semdedup_top_pairs",

@@ -87,11 +87,12 @@ def run(spark, compact: bool = False) -> dict:
     root = tempfile.mkdtemp(prefix="bench-storage-")
     try:
         repo = Repo(root, spark)
-        # best-of-2 like the query bench's best-of-3: single runs swing
-        # with machine load (measured 0.38-0.87 s for the same write on
-        # this box); each trial writes a fresh collection
+        # best-of-3 like the query bench: single runs swing with machine
+        # load and the FIRST write additionally pays allocator/page-cache
+        # warmup (measured 0.46/0.52/0.44 for identical writes); each
+        # trial writes a fresh collection
         write_s = read_count_s = read_pandas_s = None
-        for trial in range(2):
+        for trial in range(3):
             coll = repo.create_collection(
                 Schema(timestamp="timestamp*", value="float"),
                 f"bench{trial}",
