@@ -399,8 +399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": pipeline.multimodal_features,
         "multimodal_frames": pipeline.multimodal_frames,
         "unigram_lm_quality": pipeline.unigram_lm_quality,
-        # --- new in round 6: DSIR importance reweighting ---
+        # --- new in round 6: DSIR importance reweighting + CCNet strata ---
         "dsir_importance": pipeline.dsir_importance,
+        "ccnet_buckets": pipeline.ccnet_buckets,
         "stratified_sample_mix": pipeline.stratified_sample_mix,
         "lang_mixture_weights": pipeline.lang_mixture_weights,
         "pack_sequences_demo": pipeline.pack_sequences_demo,
@@ -414,7 +415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": pipeline.dedup_exact,
         "boilerplate_doc_flags": pipeline.boilerplate_doc_flags,
         "line_dedup_clean": pipeline.line_dedup_clean,
-        "source_filtered_counts": pipeline.source_filtered_counts,
         "minhash_dedup_pairs": pipeline.minhash_dedup_pairs,
         "edit_dup_pairs": pipeline.edit_dup_pairs,
         "dedup_clusters": pipeline.dedup_clusters,
@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": parity.value_histogram,
         "gap_fill_daily": pipeline.gap_fill_daily,
         "decontaminate_flag": pipeline.decontaminate_flag,
+        "source_filtered_counts": pipeline.source_filtered_counts,
         "quantiles": parity.quantiles,
         "series_update": parity.series_update,
         "sessionize": parity.sessionize,
@@ -1807,6 +1808,33 @@ reach(node, lbl) AS (
   SELECT e.a, r.lbl FROM reach r JOIN e ON r.node = e.b
 )
 SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+""",
+        "ccnet_buckets": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+stats AS (SELECT sum(c) AS total, count(*) AS v FROM vocab),
+lp AS (
+  SELECT token, round(ln((c + 1.0) / (total + v)) * 1000000)::BIGINT AS lp_micro
+  FROM vocab, stats
+),
+scored AS (
+  SELECT t.doc_id, d.lang,
+         sum(lp_micro) * 1.0 / (count(*) * 1000000) AS avg_logprob
+  FROM tok t JOIN lp USING (token) JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY t.doc_id, d.lang
+),
+b AS (
+  SELECT lang, avg_logprob,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY avg_logprob DESC, doc_id)::BIGINT AS bucket
+  FROM scored
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       min(avg_logprob) AS min_logprob, max(avg_logprob) AS max_logprob
+FROM b GROUP BY 1, 2
 """,
         "dsir_importance": """
 WITH tok AS (

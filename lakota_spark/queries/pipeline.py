@@ -826,6 +826,33 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.unigram_lm_scores(_docs(spark, sf_dir))
 
 
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail stratification: per-language ntile(3) over
+    the unigram-LM score (deterministic tiebreak on doc_id), rolled up
+    to per-(lang, bucket) doc counts and score ranges — the partition
+    CCNet samples from when building a crawl corpus. One window shuffle
+    over the scored relation; the LM scoring itself is the
+    `unigram_lm_quality` plan (micro-nat folds, oracle-exact)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    scored = T.unigram_lm_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_logprob").alias("min_logprob"),
+            F.max("avg_logprob").alias("max_logprob"),
+        )
+    )
+
+
 def semdedup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means clusters as the dedup blocking key, intra-cluster
     cosine ranking (operators/dedup.semdedup_pairs). The blocking key
