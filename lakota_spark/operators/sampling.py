@@ -202,9 +202,17 @@ def importance_weights(
 def _lr_from_bucketed(tok: DataFrame, n_buckets: int) -> DataFrame:
     """(bucket, lr_micro) from a bucketed token relation carrying an
     ``_is_target`` flag — the fit half of DSIR."""
-    counts = tok.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("c_tgt"),
+    counts = (
+        tok.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias(
+                "c_tgt"
+            ),
+        )
+        # ≤ n_buckets rows, consumed twice (totals + the ratio select):
+        # materialize once instead of re-aggregating the token relation
+        .localCheckpoint(eager=False)
     )
     totals = counts.agg(
         F.sum("c_raw").alias("raw_total"), F.sum("c_tgt").alias("tgt_total")

@@ -417,3 +417,37 @@ def test_clean_segment_read_is_join_free(spark, tmp_path):
     assert "Join" not in plan, plan
     got = {r.ts: r.v for r in s.frame().collect()}
     assert got[50] == 999.0 and len(got) == 200
+
+
+def test_dsir_importance_plan_shape(spark):
+    # both bucket relations broadcast to the scoring join; the per-doc
+    # fold is a partial-aggregated HashAggregate; no cartesian anywhere
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.dsir_importance(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan
+    # the only nested-loop allowed is the 1-row totals scalar broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_dedup_keep_best_single_groupby_no_window(spark):
+    # the per-cluster argmax folds map-side: no Window operator, one
+    # final HashAggregate on cluster_id
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.dedup_keep_best(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "Window" not in plan, plan
+    assert "Cartesian" not in plan
+
+
+def test_ccnet_buckets_one_window_partial_rollup(spark):
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.ccnet_buckets(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("Window") == 1, plan
+    assert "Cartesian" not in plan
