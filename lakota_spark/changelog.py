@@ -148,7 +148,7 @@ class Changelog:
     def revisions(self) -> list[Revision]:
         revs = []
         cache = self._rev_cache
-        for fn in self.fs.ls(self.prefix):
+        for fn in self.fs.ls(self.prefix, sort=False):
             if not fn.endswith(".json") or ".tmp" in fn:
                 continue
             rev = cache.get(fn)

@@ -47,6 +47,9 @@ class Collection:
         # sharing the cached object is safe (audited: all callers
         # read-only).
         self._snap_cache: tuple[str, Snapshot] | None = None
+        # (leaf child id, {(label, path)}) — the double-write no-op
+        # pre-check's working set, maintained incrementally (see _commit)
+        self._known_cache: tuple[str, set] | None = None
 
     @property
     def segments_dir(self):
@@ -205,7 +208,21 @@ class Collection:
         # normal append skips both signatures; anything else — re-writes
         # of known paths, pure range deletes — still takes the full
         # compare (a delete shadowing nothing must stay revision-free).
-        known = {(s.label, s.path) for s in snap.segments}
+        # The (label, path) set is cached keyed by leaf id and extended
+        # incrementally on commit — rebuilding it is an O(table) pass
+        # per append. Staleness safety: EXTRA entries only demote a
+        # fresh write to the sig compare (still correct); entries are
+        # never dropped while the leaf id matches, so the
+        # misses-break-no-op direction can't occur.
+        cached_known = self._known_cache
+        if (
+            leaf is not None
+            and cached_known is not None
+            and cached_known[0] == leaf.child
+        ):
+            known = cached_known[1]
+        else:
+            known = {(s.label, s.path) for s in snap.segments}
         maybe_noop = not any(
             seg.path is not None
             and seg.length > 0
@@ -254,6 +271,11 @@ class Collection:
         )
         if rev is not None:
             self._snap_cache = (rev.child, snap)
+            self._known_cache = (
+                rev.child,
+                known
+                | {(s.label, s.path) for s in segs if s.path is not None},
+            )
         return rev
 
     def _full_delta(self, snap: Snapshot) -> list[dict]:

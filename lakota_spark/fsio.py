@@ -164,7 +164,11 @@ class BaseFS:
 
     # -- primitives (subclass responsibility) ------------------------------
 
-    def ls(self, rel: str) -> list[str]:
+    def ls(self, rel: str, sort: bool = True) -> list[str]:
+        """``sort=False`` permits arbitrary order — the changelog's
+        hot path lists thousands of revision files per commit and needs
+        only set semantics, so skipping the O(N log N) sort matters.
+        Backends may ignore the hint (remote listing cost dominates)."""
         raise NotImplementedError
 
     def walk(self, rel: str) -> list[tuple[str, bool]]:
@@ -229,14 +233,15 @@ class FS(BaseFS):
 
     # -- small-file IO -----------------------------------------------------
 
-    def ls(self, rel: str) -> list[str]:
+    def ls(self, rel: str, sort: bool = True) -> list[str]:
         if self.is_local:
             # hot path: the changelog lists its directory on every
             # commit/read — os.scandir is ~5x cheaper than a pyarrow
             # FileSelector round-trip for local dirs
             try:
                 with os.scandir(self.full(rel)) as it:
-                    return sorted(e.name for e in it)
+                    names = [e.name for e in it]
+                return sorted(names) if sort else names
             except (FileNotFoundError, NotADirectoryError):
                 # NotADirectoryError: path exists as a regular file —
                 # treat like the pyarrow FileSelector branch (empty
@@ -381,7 +386,7 @@ class HttpFS(BaseFS):
 
         return json.loads(self._request("GET", rel, **params))
 
-    def ls(self, rel: str) -> list[str]:
+    def ls(self, rel: str, sort: bool = True) -> list[str]:
         try:
             return sorted(name for name, _ in self._json(rel, op="ls"))
         except FileNotFoundError:
@@ -483,7 +488,7 @@ class MemFS(BaseFS):
                 break  # an oversized value stays readable (reference parity)
             self._meta["size"] -= len(self.files.pop(oldest))
 
-    def ls(self, rel: str) -> list[str]:
+    def ls(self, rel: str, sort: bool = True) -> list[str]:
         rel = rel.strip("/")
         prefix = rel + "/" if rel else ""
         names = set()
@@ -646,8 +651,8 @@ class CacheFS(BaseFS):
         self.inner.write_bytes_atomic(rel, data)
         self.cache.write_bytes_atomic(rel, data)
 
-    def ls(self, rel: str) -> list[str]:
-        return self.inner.ls(rel)
+    def ls(self, rel: str, sort: bool = True) -> list[str]:
+        return self.inner.ls(rel, sort=sort)
 
     def walk(self, rel: str) -> list[tuple[str, bool]]:
         return self.inner.walk(rel)

@@ -52,8 +52,8 @@ def test_gc_spares_segment_landing_mid_scan(repo):
     orig_ls = fs.ls
     state = {"fired": False}
 
-    def ls_hook(rel):
-        listing = orig_ls(rel)
+    def ls_hook(rel, **kw):
+        listing = orig_ls(rel, **kw)
         if rel == seg_prefix and not state["fired"]:
             state["fired"] = True
             # concurrent writer lands segment + commit AFTER the listing
