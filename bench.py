@@ -111,27 +111,11 @@ def main() -> None:
         calib = dt if calib is None or dt < calib else calib
     calib = round(calib, 4)
 
-    # best-of-3: single runs swing with machine load; the minimum is the
-    # stable estimate of what the plan actually costs (3 trials also
-    # absorb one-off index/materialization builds on first call)
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 4)
-
-    total = round(sum(timings.values()), 4)
-
-    # Storage-engine section (BASELINE.md comparables — bench_pg bulk
-    # write/read/size, fragmentation ladder, orc interchange). Reported
-    # under its own key so "value" stays the cross-round-comparable
-    # query-suite sum.
+    # Storage-engine section FIRST (right after warmup): it is driver-
+    # heap sensitive (pyarrow writes), and running it after 35 s of
+    # query jobs measured 1.35 s for a bulk write that a fresh session
+    # does in 0.30 s — the queries are best-of-3 with their own warmup
+    # and don't care what ran before them.
     try:
         import importlib.util
 
@@ -148,6 +132,23 @@ def main() -> None:
         storage = mod.run(spark, compact=True)
     except Exception as exc:  # noqa: BLE001 - keep the query bench alive
         storage = {"error": str(exc)[:200]}
+
+    # best-of-3: single runs swing with machine load; the minimum is the
+    # stable estimate of what the plan actually costs (3 trials also
+    # absorb one-off index/materialization builds on first call)
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
 
     print(
         json.dumps(
