@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 6: DSIR importance reweighting + CCNet strata ---
         "dsir_importance": pipeline.dsir_importance,
         "ccnet_buckets": pipeline.ccnet_buckets,
+        "decontaminate_bloom_flag": pipeline.decontaminate_bloom_flag,
         "stratified_sample_mix": pipeline.stratified_sample_mix,
         "lang_mixture_weights": pipeline.lang_mixture_weights,
         "pack_sequences_demo": pipeline.pack_sequences_demo,
@@ -1569,6 +1570,24 @@ FROM (SELECT * FROM sh4 WHERE doc_id % 97 <> 0) c
 JOIN (SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 97 = 0) b
   USING (shingle)
 GROUP BY 1 HAVING count(*) >= 1
+""",
+        # bloom prefilter has no false negatives and the survivors are
+        # exact-verified, so the oracle is the plain exact semi-join —
+        # only min_hits differs from decontaminate_flag
+        "decontaminate_bloom_flag": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh4 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tk)-3, 0)),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))
+         AS shingle
+  FROM toks
+)
+SELECT c.doc_id, count(*) AS n_shared
+FROM (SELECT * FROM sh4 WHERE doc_id % 97 <> 0) c
+JOIN (SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 97 = 0) b
+  USING (shingle)
+GROUP BY 1 HAVING count(*) >= 2
 """,
         "stratified_sample_mix": """
 SELECT doc_id, lang FROM documents

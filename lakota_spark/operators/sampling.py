@@ -66,6 +66,112 @@ def decontaminate(
     return corpus.join(hits.select(id_col), id_col, "left_anti")
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    mode: str = "flag",
+) -> DataFrame:
+    """`decontaminate` with a Bloom-filter prefilter — the 100 TB shape
+    when the benchmark shingle set itself is too big to broadcast.
+
+    `decontaminate` broadcasts the DISTINCT benchmark shingles; at a few
+    thousand eval docs that is KBs, but a full eval-suite union (every
+    benchmark ever published, ~10⁷–10⁸ distinct n-grams × ~60 B) is a
+    multi-GB broadcast that evicts executor cache everywhere. Here the
+    broadcast is a fixed ``n_bits/8``-byte bitmap (128 KiB at the 2²⁰
+    default) regardless of benchmark size:
+
+    1. Build the bitmap IN SPARK (no driver round-trip): explode
+       benchmark shingles → k=``n_hashes`` xxhash64 positions each →
+       ``bit_or`` per 64-bit word → ONE row holding a sparse
+       ``map<word_idx, bits>`` (zero words omitted).
+    2. Corpus side: broadcast that one row, test all k bits per shingle
+       map-side (`getbit`, pure codegen). Shingles failing ANY bit are
+       provably not in the benchmark — dropped before any shuffle.
+    3. Exact verify: the tiny surviving fraction equi-joins the real
+       benchmark shingle relation (a SHUFFLE join — nothing here
+       requires the benchmark side to broadcast), then per-doc count.
+
+    Bloom filters have no false negatives, so the output is IDENTICAL
+    to `decontaminate` (differential-tested); false positives only cost
+    verify-join traffic, ~``(1-e^(-k·m/n_bits))^k`` of corpus shingles
+    at m benchmark shingles. The k hashes derive from one xxhash64 with
+    distinct seed prefixes — engine-local is fine because the bloom is
+    a prefilter, not part of the answer.
+    """
+    if n_bits % 64 or n_bits <= 0 or n_hashes <= 0:
+        raise ValueError("n_bits must be a positive multiple of 64")
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+
+    def _pos(seed, shingle):
+        h = F.xxhash64(F.concat_ws(":", seed.cast("string"), shingle))
+        return F.pmod(h, F.lit(n_bits))
+
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(tokens(text_col), n)).alias("shingle")
+        )
+        .distinct()
+        # consumed twice (bitmap build + exact verify): one shingle pass
+        .localCheckpoint(eager=False)
+    )
+    bitmap = (
+        bench_sh.select(
+            F.explode(
+                F.transform(seeds, lambda i: _pos(i, F.col("shingle")))
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    bloom = bitmap.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
+            "bloom"
+        )
+    )
+
+    def _bit_set(seed):
+        p = _pos(seed, F.col("shingle"))
+        word = F.coalesce(
+            F.try_element_at(F.col("bloom"), (p / 64).cast("int")),
+            F.lit(0).cast("long"),
+        )
+        return F.getbit(word, F.pmod(p, F.lit(64))) == 1
+
+    corpus_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+    survivors = (
+        corpus_sh.join(F.broadcast(bloom))  # 1-row broadcast, no key
+        .where(F.forall(F.transform(seeds, _bit_set), lambda x: x))
+        .select(id_col, "shingle")
+    )
+    hits = (
+        survivors.join(bench_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_hits)
+    )
+    if mode == "flag":
+        return hits
+    return corpus.join(hits.select(id_col), id_col, "left_anti")
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -199,6 +199,22 @@ def decontaminate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, bench, n=4)
 
 
+def decontaminate_bloom_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (the 100 TB variant of
+    `decontaminate_flag`: a fixed 8 KiB bitmap broadcast replaces the
+    benchmark-shingle broadcast; exact verify join on the survivors, so
+    the answer is identical to the plain semi-join — same oracle shape,
+    stricter min_hits to differentiate the query)."""
+    from lakota_spark.operators.sampling import decontaminate_bloom
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate_bloom(
+        corpus, bench, n=4, min_hits=2, n_bits=1 << 16, n_hashes=3
+    )
+
+
 def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix control: deterministic per-language hash sampling
     (en 50%, fr 25%, others 10%) — pure map-side filter, reproducible

@@ -483,6 +483,55 @@ def test_decontaminate_drop_mode(spark):
     assert [r.doc_id for r in clean] == [2]
 
 
+def test_decontaminate_bloom_matches_exact(spark):
+    """Bloom prefilter has no false negatives → identical output to the
+    plain broadcast semi-join, at any (even tiny, collision-heavy)
+    bitmap size; drop mode complements flag mode."""
+    from lakota_spark.operators.sampling import decontaminate, decontaminate_bloom
+
+    words = "the quick brown fox jumps over a lazy dog near some riverbank".split()
+    rows = [
+        (i, " ".join(words[j % len(words)] for j in range(i, i + 12)))
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100 + i, t) for i, t in [(0, rows[3][1]), (1, rows[17][1])]],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.doc_id, r.n_shared)
+        for r in decontaminate(corpus, bench, n=4).collect()
+    }
+    assert exact  # the fixture must actually contaminate something
+    for n_bits in (1 << 16, 256):  # 256 bits: force real fp collisions
+        got = {
+            (r.doc_id, r.n_shared)
+            for r in decontaminate_bloom(
+                corpus, bench, n=4, n_bits=n_bits, n_hashes=3
+            ).collect()
+        }
+        assert got == exact
+    clean = decontaminate_bloom(
+        corpus, bench, n=4, n_bits=1 << 16, n_hashes=3, mode="drop"
+    )
+    flagged_ids = {d for d, _ in exact}
+    assert {r.doc_id for r in clean.select("doc_id").collect()} == {
+        r[0] for r in corpus.select("doc_id").collect()
+    } - flagged_ids
+
+
+def test_decontaminate_bloom_rejects_bad_params(spark):
+    from lakota_spark.operators.sampling import decontaminate_bloom
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    for bad in ({"n_bits": 100}, {"n_bits": 0}, {"n_hashes": 0}):
+        with _pytest.raises(ValueError):
+            decontaminate_bloom(df, df, **bad)
+
+
 def test_stratified_sample_deterministic(spark):
     from lakota_spark.operators.sampling import stratified_sample
 
