@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": pipeline.dsir_importance,
         "ccnet_buckets": pipeline.ccnet_buckets,
         "decontaminate_bloom_flag": pipeline.decontaminate_bloom_flag,
+        "contamination_overlap": pipeline.contamination_overlap,
         "stratified_sample_mix": pipeline.stratified_sample_mix,
         "lang_mixture_weights": pipeline.lang_mixture_weights,
         "pack_sequences_demo": pipeline.pack_sequences_demo,
@@ -1588,6 +1589,34 @@ FROM (SELECT * FROM sh4 WHERE doc_id % 97 <> 0) c
 JOIN (SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 97 = 0) b
   USING (shingle)
 GROUP BY 1 HAVING count(*) >= 2
+""",
+        # positions are 1-based here vs 0-based posexplode — the island
+        # key (pos - row_number) cancels the constant offset, so runs
+        # and counts agree exactly
+        "contamination_overlap": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh4 AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(tk)-3, 0))) AS pos,
+         unnest(list_transform(generate_series(1, greatest(len(tk)-3, 0)),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))
+         AS shingle
+  FROM toks
+),
+matched AS (
+  SELECT c.doc_id, c.pos
+  FROM (SELECT * FROM sh4 WHERE doc_id % 97 <> 0) c
+  JOIN (SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 97 = 0) b
+    USING (shingle)
+),
+isl AS (
+  SELECT doc_id,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM matched
+),
+runs AS (SELECT doc_id, grp, count(*) AS run FROM isl GROUP BY 1, 2)
+SELECT doc_id, sum(run)::BIGINT AS n_matched_pos, max(run)::BIGINT AS max_run
+FROM runs GROUP BY 1
 """,
         "stratified_sample_mix": """
 SELECT doc_id, lang FROM documents

@@ -105,14 +105,45 @@ def decontaminate_bloom(
     distinct seed prefixes — engine-local is fine because the bloom is
     a prefilter, not part of the answer.
     """
+    bloom, bench_sh = fit_decontaminate_bloom(
+        benchmark, text_col=text_col, n=n, n_bits=n_bits, n_hashes=n_hashes
+    )
+    return decontaminate_with_bloom(
+        corpus,
+        bloom,
+        bench_sh,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        min_hits=min_hits,
+        n_bits=n_bits,
+        n_hashes=n_hashes,
+        mode=mode,
+    )
+
+
+def _bloom_pos(seed, shingle, n_bits: int):
+    """Bit position of hash ``seed`` for a shingle: one xxhash64 with a
+    distinct seed prefix per hash (the composed-hash bloom family)."""
+    h = F.xxhash64(F.concat_ws(":", seed.cast("string"), shingle))
+    return F.pmod(h, F.lit(n_bits))
+
+
+def fit_decontaminate_bloom(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit half of `decontaminate_bloom`: returns ``(bloom, bench_sh)``
+    — the one-row sparse-bitmap relation and the distinct benchmark
+    shingle relation it summarizes. Both are localCheckpointed so a
+    caller applying them repeatedly (the streaming gate, incremental
+    re-runs) pays the benchmark shingle pass once."""
     if n_bits % 64 or n_bits <= 0 or n_hashes <= 0:
         raise ValueError("n_bits must be a positive multiple of 64")
     seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
-
-    def _pos(seed, shingle):
-        h = F.xxhash64(F.concat_ws(":", seed.cast("string"), shingle))
-        return F.pmod(h, F.lit(n_bits))
-
     bench_sh = (
         benchmark.select(
             F.explode(word_shingles(tokens(text_col), n)).alias("shingle")
@@ -124,7 +155,9 @@ def decontaminate_bloom(
     bitmap = (
         bench_sh.select(
             F.explode(
-                F.transform(seeds, lambda i: _pos(i, F.col("shingle")))
+                F.transform(
+                    seeds, lambda i: _bloom_pos(i, F.col("shingle"), n_bits)
+                )
             ).alias("pos")
         )
         .select(
@@ -140,10 +173,29 @@ def decontaminate_bloom(
         F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
             "bloom"
         )
-    )
+    ).localCheckpoint(eager=False)
+    return bloom, bench_sh
+
+
+def decontaminate_with_bloom(
+    corpus: DataFrame,
+    bloom: DataFrame,
+    bench_sh: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    mode: str = "flag",
+) -> DataFrame:
+    """Apply half of `decontaminate_bloom` against a pre-fitted
+    ``(bloom, bench_sh)`` pair — bloom prefilter map-side, exact verify
+    join on the survivors. ``n_bits``/``n_hashes`` must match the fit."""
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
 
     def _bit_set(seed):
-        p = _pos(seed, F.col("shingle"))
+        p = _bloom_pos(seed, F.col("shingle"), n_bits)
         word = F.coalesce(
             F.try_element_at(F.col("bloom"), (p / 64).cast("int")),
             F.lit(0).cast("long"),
@@ -170,6 +222,54 @@ def decontaminate_bloom(
     if mode == "flag":
         return hits
     return corpus.join(hits.select(id_col), id_col, "left_anti")
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Contamination SEVERITY: for each contaminated corpus document,
+    the longest contiguous run of benchmark-shared word ``n``-gram
+    positions (GPT-3-appendix-style overlap measurement — a doc sharing
+    one stray n-gram and a doc embedding a whole benchmark item both
+    "hit", but their longest runs differ by orders of magnitude, and
+    clip-vs-drop policies key off exactly that).
+
+    Returns ``(doc_id, n_matched_pos, max_run)``: matched shingle
+    positions total and the longest gaps-and-islands run (a run of r
+    shingles = r+n-1 contiguous shared tokens).
+
+    Scale shape: posexplode (positions matter, so no distinct) →
+    broadcast semi-join on the shingle → doc-keyed row_number window →
+    per-(doc, island) count → per-doc max. Every shuffle after the join
+    is keyed by doc id; only matched positions (a tiny fraction of the
+    corpus) ever reach the window.
+    """
+    bench_sh = benchmark.select(
+        F.explode(word_shingles(tokens(text_col), n)).alias("shingle")
+    ).distinct()
+    pos_sh = corpus.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(tokens(text_col), n)).alias(
+            "pos", "shingle"
+        ),
+    )
+    matched = pos_sh.join(F.broadcast(bench_sh), "shingle").select(
+        id_col, "pos"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        matched.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return runs.groupBy(id_col).agg(
+        F.sum("run").alias("n_matched_pos"),
+        F.max("run").alias("max_run"),
+    )
 
 
 def stratified_sample(

@@ -215,6 +215,18 @@ def decontaminate_bloom_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination severity: longest contiguous benchmark-shared
+    4-gram run per contaminated doc (gaps-and-islands over matched
+    shingle positions — operators/sampling.contamination_overlap)."""
+    from lakota_spark.operators.sampling import contamination_overlap as op
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return op(corpus, bench, n=4)
+
+
 def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix control: deterministic per-language hash sampling
     (en 50%, fr 25%, others 10%) — pure map-side filter, reproducible

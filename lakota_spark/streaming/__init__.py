@@ -394,6 +394,61 @@ def streaming_span_clip(
     return for_each_batch
 
 
+def streaming_decontaminate_gate(
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Benchmark-decontamination gate on a document stream: drop
+    incoming docs sharing >= ``min_hits`` word ``n``-grams with the eval
+    suite BEFORE they land — the streaming twin of
+    `operators.sampling.decontaminate(mode='drop')`, factored through
+    the same bloom fit/apply halves.
+
+    foreachBatch-shaped like `streaming_span_clip` (the per-doc hit
+    count needs a groupBy, which append-mode streaming plans disallow):
+    ``writeStream.foreachBatch(streaming_decontaminate_gate(bench)(sink))``.
+    The bloom bitmap + benchmark shingle relation are fitted ONCE at
+    gate construction and reused across micro-batches (localCheckpoint)
+    — per batch the work is a map-side bloom test plus an equi-join over
+    the few surviving shingles; no state, no benchmark re-scan. Refit
+    (re-call) when the eval suite grows, like the span gate's flags
+    table."""
+    from lakota_spark.operators.sampling import (
+        decontaminate_with_bloom,
+        fit_decontaminate_bloom,
+    )
+
+    bloom, bench_sh = fit_decontaminate_bloom(
+        benchmark, text_col=text_col, n=n, n_bits=n_bits, n_hashes=n_hashes
+    )
+
+    def for_each_batch(sink):
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            sink(
+                decontaminate_with_bloom(
+                    batch_df,
+                    bloom,
+                    bench_sh,
+                    text_col=text_col,
+                    id_col=id_col,
+                    n=n,
+                    min_hits=min_hits,
+                    n_bits=n_bits,
+                    n_hashes=n_hashes,
+                    mode="drop",
+                )
+            )
+
+        return fn
+
+    return for_each_batch
+
+
 def streaming_importance_gate(
     stream_df: DataFrame,
     lr: DataFrame,

@@ -521,6 +521,36 @@ def test_decontaminate_bloom_matches_exact(spark):
     } - flagged_ids
 
 
+def test_contamination_overlap_run_lengths(spark):
+    """A doc embedding a whole benchmark item scores a long contiguous
+    run; a doc sharing one stray n-gram scores max_run=1; islands
+    separated by a gap don't merge."""
+    from lakota_spark.operators.sampling import contamination_overlap
+
+    bench_text = "q one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words " + bench_text + " outro words"),  # full embed
+            (2, "four five six unrelated middle gap seven eight nine ten"),
+            (3, "totally clean document with no overlap whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, bench_text)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_matched_pos, r.max_run)
+        for r in contamination_overlap(corpus, bench, n=3).collect()
+    }
+    # doc 1: all 9 3-gram positions of the 11-token bench text match, one run
+    assert got[1] == (9, 9)
+    # doc 2: "four five six" (1 matched pos) + "seven eight nine ten"
+    # (2 matched pos, contiguous) — gap keeps the islands separate
+    assert got[2] == (3, 2)
+    assert 3 not in got
+
+
 def test_decontaminate_bloom_rejects_bad_params(spark):
     from lakota_spark.operators.sampling import decontaminate_bloom
 

@@ -426,6 +426,59 @@ def test_streaming_span_clip_vs_batch(spark, tmp_path):
     assert actions[1] in ("clip", "drop")
 
 
+def test_streaming_decontaminate_gate_vs_batch(spark, tmp_path):
+    # decontamination gate on a real micro-batch stream across TWO
+    # triggers; the batch twin (decontaminate mode='drop' on the same
+    # rows) is the oracle — and a tiny bitmap forces bloom collisions,
+    # which the exact verify must absorb
+    import os as _os
+
+    from lakota_spark.operators.sampling import decontaminate
+    from lakota_spark.streaming import streaming_decontaminate_gate
+
+    bench_rows = [
+        (900, "question what is the capital of france answer paris"),
+        (901, "translate the following sentence into german please"),
+    ]
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    stream_rows = [
+        (1, "prefix text question what is the capital of france answer paris"),
+        (2, "novel document with entirely original content here"),
+        (3, "translate the following sentence into german please suffix"),
+        (4, "another clean document nothing shared with any benchmark"),
+    ]
+    src = str(tmp_path / "dsrc")
+    _os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    mk(stream_rows[:2]).write.parquet(f"file://{src}/b0.parquet")
+    mk(stream_rows[2:]).write.parquet(f"file://{src}/b1.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"file://{src}/*"
+    )
+    out_path = f"file://{tmp_path}/dout"
+
+    def sink(clean):
+        clean.write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_decontaminate_gate(bench, n=4, n_bits=256)(sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    batch = sorted(
+        r.doc_id
+        for r in decontaminate(
+            mk(stream_rows), bench, n=4, mode="drop"
+        ).collect()
+    )
+    assert got == batch == [2, 4]
+
+
 def test_streaming_span_clip_tracked_flag_appears_midstream(spark, tmp_path):
     # incremental flags refresh: a shingle that crosses min_df only
     # after several batches must start being clipped from that batch on
