@@ -16,6 +16,8 @@ exact DuckDB oracle, and every shuffle is keyed for scale:
 
 from __future__ import annotations
 
+import struct
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -87,13 +89,19 @@ def decontaminate_bloom(
     broadcast is a fixed ``n_bits/8``-byte bitmap (128 KiB at the 2²⁰
     default) regardless of benchmark size:
 
-    1. Build the bitmap IN SPARK (no driver round-trip): explode
-       benchmark shingles → k=``n_hashes`` xxhash64 positions each →
-       ``bit_or`` per 64-bit word → ONE row holding a sparse
-       ``map<word_idx, bits>`` (zero words omitted).
-    2. Corpus side: broadcast that one row, test all k bits per shingle
-       map-side (`getbit`, pure codegen). Shingles failing ANY bit are
-       provably not in the benchmark — dropped before any shuffle.
+    1. Build the bitmap's set bits IN SPARK (the benchmark shingle pass
+       is distributed): explode benchmark shingles → k=``n_hashes``
+       xxhash64 positions each → ``bit_or`` per 64-bit word; only the
+       finished ``n_bits/8``-byte bitmap is collected and embedded as
+       ONE binary literal (a single Literal node riding the task
+       closure — NOT a join: a one-row map-column join materializes
+       the map into every probe row, measured 45× slower than the plain
+       path at sf0.1; an array<long> literal pays ~7 s of element-wise
+       py4j conversion at 2²⁰ bits; binary is one transfer, O(1) probes).
+    2. Corpus side: test all k bits per shingle map-side (positional
+       ``substring``+``getbit`` on the literal, pure codegen). Shingles
+       failing ANY bit are provably not in the benchmark — dropped
+       before any shuffle.
     3. Exact verify: the tiny surviving fraction equi-joins the real
        benchmark shingle relation (a SHUFFLE join — nothing here
        requires the benchmark side to broadcast), then per-doc count.
@@ -105,18 +113,17 @@ def decontaminate_bloom(
     distinct seed prefixes — engine-local is fine because the bloom is
     a prefilter, not part of the answer.
     """
-    bloom, bench_sh = fit_decontaminate_bloom(
+    bitmap, bench_sh = fit_decontaminate_bloom(
         benchmark, text_col=text_col, n=n, n_bits=n_bits, n_hashes=n_hashes
     )
     return decontaminate_with_bloom(
         corpus,
-        bloom,
+        bitmap,
         bench_sh,
         text_col=text_col,
         id_col=id_col,
         n=n,
         min_hits=min_hits,
-        n_bits=n_bits,
         n_hashes=n_hashes,
         mode=mode,
     )
@@ -135,12 +142,18 @@ def fit_decontaminate_bloom(
     n: int = 8,
     n_bits: int = 1 << 20,
     n_hashes: int = 5,
-) -> tuple[DataFrame, DataFrame]:
-    """Fit half of `decontaminate_bloom`: returns ``(bloom, bench_sh)``
-    — the one-row sparse-bitmap relation and the distinct benchmark
-    shingle relation it summarizes. Both are localCheckpointed so a
-    caller applying them repeatedly (the streaming gate, incremental
-    re-runs) pays the benchmark shingle pass once."""
+) -> tuple[bytes, DataFrame]:
+    """Fit half of `decontaminate_bloom`: returns ``(bitmap, bench_sh)``
+    — the dense ``n_bits/8``-byte bitmap (bit ``p`` lives at byte
+    ``p//8``, bit ``p%8``; embedded as ONE binary literal by the apply
+    half — a binary literal is a single py4j transfer and an O(1)
+    positional ``substring`` per probe, where an array<long> literal
+    paid ~7 s of element-wise py4j conversion at 2²⁰ bits and a
+    map-column join copied the map into every probe row) and the
+    distinct benchmark shingle relation it summarizes. The shingle
+    relation is localCheckpointed so a caller applying it repeatedly
+    (the streaming gate, incremental re-runs) pays the benchmark shingle
+    pass once; only the fixed-size finished bitmap reaches the driver."""
     if n_bits % 64 or n_bits <= 0 or n_hashes <= 0:
         raise ValueError("n_bits must be a positive multiple of 64")
     seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
@@ -152,7 +165,7 @@ def fit_decontaminate_bloom(
         # consumed twice (bitmap build + exact verify): one shingle pass
         .localCheckpoint(eager=False)
     )
-    bitmap = (
+    sparse = (
         bench_sh.select(
             F.explode(
                 F.transform(
@@ -168,51 +181,55 @@ def fit_decontaminate_bloom(
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("bits"))
+        .collect()
     )
-    bloom = bitmap.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
-            "bloom"
-        )
-    ).localCheckpoint(eager=False)
-    return bloom, bench_sh
+    words = [0] * (n_bits // 64)
+    for r in sparse:
+        words[r["w"]] = r["bits"]
+    # little-endian word packing puts bit p at byte p//8, bit p%8
+    bitmap = struct.pack(f"<{len(words)}q", *words)
+    return bitmap, bench_sh
 
 
 def decontaminate_with_bloom(
     corpus: DataFrame,
-    bloom: DataFrame,
+    bitmap: bytes,
     bench_sh: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
     min_hits: int = 1,
-    n_bits: int = 1 << 20,
     n_hashes: int = 5,
     mode: str = "flag",
 ) -> DataFrame:
     """Apply half of `decontaminate_bloom` against a pre-fitted
-    ``(bloom, bench_sh)`` pair — bloom prefilter map-side, exact verify
-    join on the survivors. ``n_bits``/``n_hashes`` must match the fit."""
-    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    ``(bitmap, bench_sh)`` pair — bloom prefilter map-side against the
+    binary bitmap literal, exact verify join on the survivors.
+    ``n_hashes`` must match the fit (``n_bits`` is ``len(bitmap)*8``).
+    The k probes unroll to k AND-ed predicates (n_hashes is single
+    digits) — plain codegen conjunction, no array lambdas."""
+    n_bits = len(bitmap) * 8
+    bloom_lit = F.lit(bitmap)
 
-    def _bit_set(seed):
-        p = _bloom_pos(seed, F.col("shingle"), n_bits)
-        word = F.coalesce(
-            F.try_element_at(F.col("bloom"), (p / 64).cast("int")),
-            F.lit(0).cast("long"),
-        )
-        return F.getbit(word, F.pmod(p, F.lit(64))) == 1
+    def _bit_set(seed: int):
+        p = _bloom_pos(F.lit(seed), F.col("shingle"), n_bits)
+        byte = F.conv(
+            F.hex(F.substring(bloom_lit, (p / 8).cast("int") + 1, 1)),
+            16,
+            10,
+        ).cast("int")
+        return F.getbit(byte, F.pmod(p, F.lit(8)).cast("int")) == 1
 
+    cond = _bit_set(0)
+    for k in range(1, n_hashes):
+        cond = cond & _bit_set(k)
     corpus_sh = corpus.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias(
             "shingle"
         ),
     )
-    survivors = (
-        corpus_sh.join(F.broadcast(bloom))  # 1-row broadcast, no key
-        .where(F.forall(F.transform(seeds, _bit_set), lambda x: x))
-        .select(id_col, "shingle")
-    )
+    survivors = corpus_sh.where(cond).select(id_col, "shingle")
     hits = (
         survivors.join(bench_sh, "shingle")
         .groupBy(id_col)

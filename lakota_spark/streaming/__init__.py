@@ -423,7 +423,7 @@ def streaming_decontaminate_gate(
         fit_decontaminate_bloom,
     )
 
-    bloom, bench_sh = fit_decontaminate_bloom(
+    bitmap, bench_sh = fit_decontaminate_bloom(
         benchmark, text_col=text_col, n=n, n_bits=n_bits, n_hashes=n_hashes
     )
 
@@ -432,13 +432,12 @@ def streaming_decontaminate_gate(
             sink(
                 decontaminate_with_bloom(
                     batch_df,
-                    bloom,
+                    bitmap,
                     bench_sh,
                     text_col=text_col,
                     id_col=id_col,
                     n=n,
                     min_hits=min_hits,
-                    n_bits=n_bits,
                     n_hashes=n_hashes,
                     mode="drop",
                 )
