@@ -451,3 +451,39 @@ def test_ccnet_buckets_one_window_partial_rollup(spark):
     plan = plans.explain_str(df, "simple")
     assert plan.count("Window") == 1, plan
     assert "Cartesian" not in plan
+
+
+def test_decontaminate_bloom_plan_shape(spark):
+    # the ONLY keyless join allowed is the single-row bitmap broadcast
+    # (BroadcastNestedLoopJoin over 1 row); the exact-verify join must be
+    # an equi-join on the shingle, and the bloom bit test (getbit) must
+    # run as a Filter on the corpus side — survivors are decided
+    # map-side, before any shuffle
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.decontaminate_bloom_flag(spark, SF)
+    strategies = plans.join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert strategies.count("BroadcastNestedLoopJoin") <= 1
+    assert (
+        "SortMergeJoin" in strategies
+        or "ShuffledHashJoin" in strategies
+        or "BroadcastHashJoin" in strategies
+    )
+    plan = plans.explain_str(df, "simple")
+    assert "getbit" in plan, plan
+    # per-doc hit count partially aggregates map-side
+    assert plans.has_partial_aggregation(df)
+
+
+def test_contamination_overlap_plan_shape(spark):
+    # bench shingles broadcast; the gaps-and-islands window partitions
+    # by doc id — no single-partition exchange anywhere
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.contamination_overlap(spark, SF)
+    strategies = plans.join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+    plan = plans.explain_str(df, "simple")
+    assert "SinglePartition" not in plan, plan
