@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": pipeline.ccnet_buckets,
         "decontaminate_bloom_flag": pipeline.decontaminate_bloom_flag,
         "contamination_overlap": pipeline.contamination_overlap,
+        "ivf_recall_audit": pipeline.ivf_recall_audit,
         "stratified_sample_mix": pipeline.stratified_sample_mix,
         "lang_mixture_weights": pipeline.lang_mixture_weights,
         "pack_sequences_demo": pipeline.pack_sequences_demo,
@@ -509,6 +510,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_vcp": parity.funnel_view_click_purchase,
         "pivot_daily_by_type": parity.pivot_daily_by_type,
     }
+
+
+# The unrolled learned-IVF chain (Lloyd fit + assignment + centroid
+# ranking + probed-list candidate cosine) shared by the ivf_kmeans_topk
+# oracle and the recall audit built on top of it. Ends at CTE `s`
+# (candidate dot products/norms).
+_IVF_KMEANS_CHAIN = """WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+u0 AS (
+  SELECT e.vec_id, s.cluster,
+         unnest(e.embedding) AS x, unnest(s.embedding) AS y
+  FROM embeddings e, seeds s
+),
+d0 AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
+       FROM u0 GROUP BY 1, 2),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM d0) WHERE rn = 1
+),
+pos AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+m1 AS (
+  SELECT a.cluster, p.i, round(avg(p.x), 6) AS m
+  FROM a0 a JOIN pos p USING (vec_id) GROUP BY 1, 2
+),
+c1 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM m1 GROUP BY cluster),
+u1 AS (
+  SELECT e.vec_id, c.cluster,
+         unnest(e.embedding) AS x, unnest(c.cent) AS y
+  FROM embeddings e, c1 c
+),
+d1 AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
+       FROM u1 GROUP BY 1, 2),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM d1) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qel AS (SELECT unnest(qv)::DOUBLE AS qx, unnest(range(1, len(qv) + 1)) AS qi
+        FROM q),
+cel AS (SELECT cluster, unnest(cent)::DOUBLE AS m,
+               unnest(range(1, len(cent) + 1)) AS i FROM c1),
+cs AS (SELECT c.cluster,
+              round(sum(c.m * qe.qx)
+                    / (sqrt(sum(c.m * c.m)) * sqrt(sum(qe.qx * qe.qx))),
+                    6) AS s
+       FROM cel c JOIN qel qe ON c.i = qe.qi GROUP BY c.cluster),
+probe AS (SELECT cluster FROM cs ORDER BY s DESC, cluster LIMIT 3),
+p AS (SELECT e.vec_id AS ia, 0 AS ib, e.embedding AS ea, q.qv AS eb
+      FROM embeddings e JOIN a1 ON e.vec_id = a1.vec_id, q
+      WHERE a1.cluster IN (SELECT cluster FROM probe)),
+u AS (SELECT ia, ib, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM p),
+s AS (SELECT ia, ib, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+      FROM u GROUP BY ia, ib)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2020,67 +2084,32 @@ FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20
         # to the kmeans_assign oracle) feeds the centroid ranking and the
         # probed-list candidate scan — an exact oracle for a learned ANN
         # index
-        "ivf_kmeans_topk": """
-WITH seeds AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
-),
-u0 AS (
-  SELECT e.vec_id, s.cluster,
-         unnest(e.embedding) AS x, unnest(s.embedding) AS y
-  FROM embeddings e, seeds s
-),
-d0 AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
-       FROM u0 GROUP BY 1, 2),
-a0 AS (
-  SELECT vec_id, cluster FROM (
-    SELECT vec_id, cluster,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-    FROM d0) WHERE rn = 1
-),
-pos AS (
-  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
-         unnest(embedding) AS x
-  FROM embeddings
-),
-m1 AS (
-  SELECT a.cluster, p.i, round(avg(p.x), 6) AS m
-  FROM a0 a JOIN pos p USING (vec_id) GROUP BY 1, 2
-),
-c1 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM m1 GROUP BY cluster),
-u1 AS (
-  SELECT e.vec_id, c.cluster,
-         unnest(e.embedding) AS x, unnest(c.cent) AS y
-  FROM embeddings e, c1 c
-),
-d1 AS (SELECT vec_id, cluster, round(sum((x - y) * (x - y)), 6) AS d
-       FROM u1 GROUP BY 1, 2),
-a1 AS (
-  SELECT vec_id, cluster FROM (
-    SELECT vec_id, cluster,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-    FROM d1) WHERE rn = 1
-),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-qel AS (SELECT unnest(qv)::DOUBLE AS qx, unnest(range(1, len(qv) + 1)) AS qi
-        FROM q),
-cel AS (SELECT cluster, unnest(cent)::DOUBLE AS m,
-               unnest(range(1, len(cent) + 1)) AS i FROM c1),
-cs AS (SELECT c.cluster,
-              round(sum(c.m * qe.qx)
-                    / (sqrt(sum(c.m * c.m)) * sqrt(sum(qe.qx * qe.qx))),
-                    6) AS s
-       FROM cel c JOIN qel qe ON c.i = qe.qi GROUP BY c.cluster),
-probe AS (SELECT cluster FROM cs ORDER BY s DESC, cluster LIMIT 3),
-p AS (SELECT e.vec_id AS ia, 0 AS ib, e.embedding AS ea, q.qv AS eb
-      FROM embeddings e JOIN a1 ON e.vec_id = a1.vec_id, q
-      WHERE a1.cluster IN (SELECT cluster FROM probe)),
-u AS (SELECT ia, ib, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM p),
-s AS (SELECT ia, ib, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
-      FROM u GROUP BY ia, ib)
+        "ivf_kmeans_topk": _IVF_KMEANS_CHAIN
+        + """
 SELECT ia AS vec_id, round(dp / (na * nb), 6) AS cos_sim
 FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20
 """,
+        # recall@20 of the learned IVF index against brute-force cosine
+        # ground truth — both sides reuse the exact deterministic top-20
+        # selections of their standalone oracles, so the intersection
+        # count is exact
+        "ivf_recall_audit": _IVF_KMEANS_CHAIN
+        + """,
+ivf AS (SELECT ia AS vec_id
+        FROM (SELECT ia, round(dp / (na * nb), 6) AS cs FROM s
+              ORDER BY cs DESC, ia LIMIT 20)),
+bp AS (SELECT e.vec_id AS ia, e.embedding AS ea, q.qv AS eb
+       FROM embeddings e, q),
+bu AS (SELECT ia, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM bp),
+bs AS (SELECT ia, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+       FROM bu GROUP BY ia),
+brute AS (SELECT ia AS vec_id
+          FROM (SELECT ia, round(dp / (na * nb), 6) AS cs FROM bs
+                ORDER BY cs DESC, ia LIMIT 20))
+SELECT count(*)::BIGINT AS n_hits, round(count(*) / 20.0, 6) AS recall_at_20
+FROM brute JOIN ivf USING (vec_id)
+""",
+
         # product quantization: per-subspace Lloyd chains (the
         # kmeans_assign oracle on sliced vectors) + ADC lookup — the
         # whole learned compressed index unrolls into SQL

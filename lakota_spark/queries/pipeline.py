@@ -227,6 +227,21 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(corpus, bench, n=4)
 
 
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@20 of the learned-IVF index against brute-force cosine
+    ground truth — the index-quality gauge an ANN deployment re-checks
+    whenever the quantizer is refit (corpus growth rescales k, lists are
+    rematerialized). Both sides reuse their standalone queries'
+    deterministic top-20, so the intersection is exact and the whole
+    audit unrolls into SQL."""
+    brute = cosine_topk(spark, sf_dir).select("vec_id")
+    approx = ivf_kmeans_topk(spark, sf_dir).select("vec_id")
+    return brute.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.round(F.count(F.lit(1)) / F.lit(20.0), 6).alias("recall_at_20"),
+    )
+
+
 def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix control: deterministic per-language hash sampling
     (en 50%, fr 25%, others 10%) — pure map-side filter, reproducible
