@@ -55,10 +55,14 @@ BENCH_QUERIES = [
     "ivf_kmeans_topk",
     "quantized_cosine_topk",
     "pq_topk",
-    # round-6 curation addition (dedup_keep_best stays correctness-only:
+    # round-6 curation additions (dedup_keep_best stays correctness-only:
     # like dedup_clusters it re-derives the full verified-pair pipeline,
-    # which minhash_dedup_pairs already prices here)
+    # which minhash_dedup_pairs already prices here; decontaminate_bloom
+    # is priced by its probe table in NOTES — at bench scale the plain
+    # broadcast semi-join it differentially matches is the faster shape)
     "dsir_importance",
+    "contamination_overlap",
+    "ivf_recall_audit",
     # round-4b curation additions
     "unigram_lm_quality",
     "semdedup_top_pairs",
