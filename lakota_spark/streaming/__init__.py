@@ -36,6 +36,8 @@ def stream_into_series(
     series_label: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    maintain_every: int | None = None,
+    **maintain_kwargs,
 ):
     """Pipe a streaming DataFrame into a series: one revision per
     micro-batch (atomic, replayable, overlay semantics for late data).
@@ -44,13 +46,25 @@ def stream_into_series(
     batch on failure — the engine's content-addressed segments + the
     double-write no-op make replays idempotent, the same trick as the
     reference's SKIP-WRITE (`lakota/pod.py:201-204`).
+
+    ``maintain_every=N`` runs `Collection.maintain(**maintain_kwargs)`
+    after every Nth non-empty batch — a long-running ingest otherwise
+    accretes one revision file + one small segment per trigger forever,
+    and the per-commit listing cost grows with it. A threshold-crossing
+    squash collapses pre-squash time travel (documented trade; pass
+    ``max_revisions=None`` to keep history and only defrag).
     """
     series = collection.series(series_label)
+    n_written = 0
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_written
         if batch_df.isEmpty():
             return
         series.write(batch_df)
+        n_written += 1
+        if maintain_every and n_written % maintain_every == 0:
+            collection.maintain(**maintain_kwargs)
 
     writer = (
         stream_df.writeStream.foreachBatch(write_batch)

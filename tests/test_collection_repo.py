@@ -117,6 +117,47 @@ def test_defrag(repo):
     assert rows(s.frame()) == [(i, float(i)) for i in range(6)]
 
 
+def test_maintain_noop_below_thresholds(repo):
+    coll = _mk(repo)
+    s = coll.series("s")
+    for i in range(4):
+        s.write({"ts": [i], "value": [float(i)]})
+    out = coll.maintain(max_revisions=100, max_segments=100)
+    assert out["action"] is None
+    assert out["revisions"] == 4 and out["max_series_segments"] == 4
+    assert rows(s.frame()) == [(i, float(i)) for i in range(4)]
+
+
+def test_maintain_squashes_past_revision_threshold(repo):
+    coll = _mk(repo)
+    s = coll.series("s")
+    for i in range(8):
+        s.write({"ts": [i], "value": [float(i)]})
+    out = coll.maintain(max_revisions=5, max_segments=100)
+    assert out["action"] == "squash"
+    # history collapsed to one root; data intact; a re-run is a no-op
+    assert len(coll.changelog.revisions()) == 1
+    assert rows(s.frame()) == [(i, float(i)) for i in range(8)]
+    assert coll.maintain(max_revisions=5, max_segments=100)["action"] is None
+
+
+def test_maintain_defrags_past_segment_threshold_keeping_history(repo):
+    coll = _mk(repo)
+    s = coll.series("s")
+    for i in range(6):
+        s.write({"ts": [i], "value": [float(i)]})
+    out = coll.maintain(max_revisions=None, max_segments=3)
+    assert out["action"] == "defrag"
+    assert len(coll.snapshot().for_label("s")) <= 3
+    assert len(coll.changelog.revisions()) >= 6  # history preserved
+    assert rows(s.frame()) == [(i, float(i)) for i in range(6)]
+
+
+def test_maintain_empty_collection(repo):
+    coll = _mk(repo)
+    assert coll.maintain()["action"] is None
+
+
 def test_delete_and_rename_series(repo):
     coll = _mk(repo)
     coll.series("a").write({"ts": [1], "value": [1.0]})

@@ -41,6 +41,39 @@ def test_stream_ingest_into_series(repo, spark, tmp_path):
     assert len(coll.changelog.revisions()) >= 1
 
 
+def test_stream_ingest_maintain_every(repo, spark, tmp_path):
+    # maintain_every triggers the threshold policy inside foreachBatch:
+    # with max_revisions=2 the 4-batch ingest must squash at least once,
+    # keeping the log bounded with all data intact
+    src = str(tmp_path / "msrc")
+    os.makedirs(src)
+    for b in range(4):
+        spark.createDataFrame(
+            [(b, float(b) * 10)], "ts long, value double"
+        ).write.parquet(f"file://{src}/b{b}.parquet")
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "mstream")
+    stream = spark.readStream.schema("ts long, value double").parquet(
+        f"file://{src}/*"
+    )
+    q = stream_into_series(
+        stream,
+        coll,
+        "events",
+        checkpoint_dir=str(tmp_path / "mckpt"),
+        trigger={"availableNow": True},
+        maintain_every=1,
+        max_revisions=2,
+        max_segments=None,
+    )
+    q.awaitTermination(120)
+    out = coll.series("events").frame().collect()
+    assert sorted((r.ts, r.value) for r in out) == [
+        (0, 0.0), (1, 10.0), (2, 20.0), (3, 30.0)
+    ]
+    # squash ran: the log never grew past threshold+1 and ends compact
+    assert len(coll.changelog.revisions()) <= 3
+
+
 def test_windowed_rollup_batch_parity(spark):
     import datetime as dt
 
