@@ -367,8 +367,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green driver history, still exercised by scripts/check_oracle.py
     each round. Round 6: with every oracle-backed query driver-recorded
     after r5's 50/50, the three rows-only multimodal/sketch entries take
-    one window turn each (VERDICT r5 #7) so all 106 queries carry at
-    least one driver row. The
+    one window turn each (VERDICT r5 #7) so all queries carry at least
+    one driver row, and the six round-6 additions (dsir_importance,
+    ccnet_buckets, dedup_keep_best, decontaminate_bloom_flag,
+    contamination_overlap, ivf_recall_audit — 112 queries / 109 oracles
+    total) sit inside the window for their first recording. The
     invariant — [k for k in list(queries())[50:] if never-recorded and
     oracle-backed] == [] — is ENFORCED by
     `tests/test_driver_contract.py::test_every_unrecorded_oracle_query_inside_window`
