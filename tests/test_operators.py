@@ -551,6 +551,40 @@ def test_contamination_overlap_run_lengths(spark):
     assert 3 not in got
 
 
+def test_decontaminate_bloom_randomized_no_false_negatives(spark):
+    """Seeded randomized differential: across random corpora and
+    collision-heavy bitmap sizes, the bloom path must equal the plain
+    semi-join exactly (no-false-negative property) — flag AND drop."""
+    import random
+
+    from lakota_spark.operators.sampling import decontaminate, decontaminate_bloom
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    for trial, n_bits in [(0, 128), (1, 192), (2, 1 << 12)]:
+        corpus_rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 15))))
+            for i in range(60)
+        ]
+        bench_rows = [
+            (1000 + j, corpus_rows[rng.randrange(60)][1])
+            for j in range(3)
+        ] + [(2000, " ".join(rng.choice(vocab) for _ in range(10)))]
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+        exact = {
+            (r.doc_id, r.n_shared)
+            for r in decontaminate(corpus, bench, n=3).collect()
+        }
+        got = {
+            (r.doc_id, r.n_shared)
+            for r in decontaminate_bloom(
+                corpus, bench, n=3, n_bits=n_bits, n_hashes=2
+            ).collect()
+        }
+        assert got == exact, f"trial={trial} n_bits={n_bits}"
+
+
 def test_decontaminate_bloom_rejects_bad_params(spark):
     from lakota_spark.operators.sampling import decontaminate_bloom
 
