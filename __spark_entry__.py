@@ -368,10 +368,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each round. Round 6: with every oracle-backed query driver-recorded
     after r5's 50/50, the three rows-only multimodal/sketch entries take
     one window turn each (VERDICT r5 #7) so all queries carry at least
-    one driver row, and the six round-6 additions (dsir_importance,
+    one driver row, and the seven round-6 additions (dsir_importance,
     ccnet_buckets, dedup_keep_best, decontaminate_bloom_flag,
-    contamination_overlap, ivf_recall_audit — 112 queries / 109 oracles
-    total) sit inside the window for their first recording. The
+    contamination_overlap, ivf_recall_audit, containment_dup_pairs —
+    113 queries / 110 oracles total) sit inside the window for their
+    first recording. The
     invariant — [k for k in list(queries())[50:] if never-recorded and
     oracle-backed] == [] — is ENFORCED by
     `tests/test_driver_contract.py::test_every_unrecorded_oracle_query_inside_window`
@@ -423,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_clean": pipeline.line_dedup_clean,
         "minhash_dedup_pairs": pipeline.minhash_dedup_pairs,
         "edit_dup_pairs": pipeline.edit_dup_pairs,
+        "containment_dup_pairs": pipeline.containment_dup_pairs,
         "dedup_clusters": pipeline.dedup_clusters,
         # --- new in round 6: quality-aware cluster retention ---
         "dedup_keep_best": pipeline.dedup_keep_best,
@@ -863,6 +865,38 @@ FROM cand
 JOIN documents x ON x.doc_id = doc_a
 JOIN documents y ON y.doc_id = doc_b
 ORDER BY edit_sim DESC, doc_a, doc_b LIMIT 25
+""",
+        # asymmetric containment over the same LSH candidate relation:
+        # raw long/long divisions on exact intersection/size counts, so
+        # both directed ratios reproduce bitwise
+        "containment_dup_pairs": f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id),
+bands AS (
+{_band_union()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter::BIGINT AS inter,
+       sa.sz::BIGINT AS size_a, sb.sz::BIGINT AS size_b,
+       i.inter * 1.0 / sa.sz AS cont_a,
+       i.inter * 1.0 / sb.sz AS cont_b,
+       greatest(i.inter * 1.0 / sa.sz, i.inter * 1.0 / sb.sz) AS containment
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.doc_a
+JOIN sz sb ON sb.doc_id = i.doc_b
+ORDER BY containment DESC, doc_a, doc_b LIMIT 25
 """,
         "lang_mixture_weights": """
 WITH g AS (

@@ -130,6 +130,45 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT (Broder '97's second resemblance
+    measure): ``cont_a = |S(A)∩S(B)| / |S(A)|`` — the fraction of doc A
+    already present in doc B, and symmetrically ``cont_b``.
+
+    This is the partial-duplication / quote-embedding detector: a
+    50-shingle doc fully quoted inside a 5,000-shingle doc has
+    containment 1.0 where symmetric Jaccard dilutes to ~0.01 and never
+    clears a dedup bar. Dedup policies drop the contained (smaller) side.
+
+    Reuses `jaccard_pairs`' intersection/size relation (same
+    candidate-driven 100 TB shape: with an LSH ``candidates`` frame the
+    work is O(|candidates| × shingles-per-doc), never all-pairs) and
+    adds the two directed ratios plus ``containment = max(cont_a,
+    cont_b)``; ``threshold`` filters on that max. All ratios are raw
+    long/long divisions — bitwise-deterministic for the oracle.
+    """
+    base = jaccard_pairs(shingles, threshold=0.0, candidates=candidates)
+    cont_a = F.col("inter") / F.col("size_a").cast("double")
+    cont_b = F.col("inter") / F.col("size_b").cast("double")
+    return (
+        base.select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "size_a",
+            "size_b",
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+            F.greatest(cont_a, cont_b).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

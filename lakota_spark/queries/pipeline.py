@@ -952,6 +952,20 @@ def edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.edit_dup_pairs(_docs(spark, sf_dir), candidates=cand)
 
 
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment verify tier over the materialized LSH candidates
+    (operators/dedup.containment_pairs): asymmetric |A∩B|/|S| ratios
+    catch quote-embedding partial duplication that symmetric Jaccard
+    dilutes; top 25 pairs by max-direction containment."""
+    cand = spark.read.parquet(_ensure_candidate_index(spark, sf_dir))
+    sh = D.shingle_table(_docs(spark, sf_dir), n=SHINGLE_N)
+    return (
+        D.containment_pairs(sh, candidates=cand)
+        .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
+        .limit(25)
+    )
+
+
 def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection per document
     (operators/text.winnow_fingerprints) — local-sampling guarantees for

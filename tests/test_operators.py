@@ -483,6 +483,37 @@ def test_decontaminate_drop_mode(spark):
     assert [r.doc_id for r in clean] == [2]
 
 
+def test_containment_detects_quote_embedding(spark):
+    """A short doc fully embedded in a long one: containment = 1.0 while
+    Jaccard dilutes below any dedup bar — the asymmetric measure's point.
+    Candidate-driven and all-pairs paths agree."""
+    from lakota_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingle_table,
+    )
+
+    quote = "to be or not to be that is the question"
+    filler = " ".join(f"filler{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    sh = shingle_table(docs, n=3)
+    all_pairs = containment_pairs(sh).collect()
+    assert len(all_pairs) == 1
+    r = all_pairs[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment == 1.0 and r.cont_a == 1.0 and r.cont_b < 0.1
+    jac = jaccard_pairs(sh, threshold=0.0).collect()[0].jaccard
+    assert jac < 0.1  # symmetric measure misses the embedding
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    driven = containment_pairs(sh, candidates=cand).collect()
+    assert [tuple(x) for x in driven] == [tuple(x) for x in all_pairs]
+    # threshold filters on the max direction
+    assert containment_pairs(sh, threshold=1.1).count() == 0
+
+
 def test_decontaminate_bloom_matches_exact(spark):
     """Bloom prefilter has no false negatives → identical output to the
     plain broadcast semi-join, at any (even tiny, collision-heavy)
