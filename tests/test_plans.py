@@ -487,3 +487,14 @@ def test_contamination_overlap_plan_shape(spark):
     assert "CartesianProduct" not in strategies
     plan = plans.explain_str(df, "simple")
     assert "SinglePartition" not in plan, plan
+
+
+def test_containment_pairs_candidate_driven_plan(spark):
+    # candidate-driven verify: id/shingle equi-joins only — the pair
+    # list bounds the work, never an all-pairs product
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.containment_dup_pairs(spark, SF)
+    strategies = plans.join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
