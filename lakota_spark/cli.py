@@ -217,6 +217,22 @@ def cmd_defrag(args):
         print(f"defragged {label}")
 
 
+def cmd_maintain(args):
+    """Threshold-triggered housekeeping (`Collection.maintain`): squash
+    past --max-revisions, defrag past --max-segments, no-op otherwise —
+    cron-safe over every collection."""
+    repo = _repo(args)
+    for label in _target_labels(repo, args):
+        out = repo.collection(label).maintain(
+            max_revisions=args.max_revisions, max_segments=args.max_segments
+        )
+        print(
+            f"{label}: {out['action'] or 'ok'} "
+            f"(revisions={out['revisions']}, "
+            f"max_segments={out['max_series_segments']})"
+        )
+
+
 def cmd_trim(args):
     repo = _repo(args)
     for label in _target_labels(repo, args):
@@ -407,6 +423,11 @@ def _build_parser():
     s = sub.add_parser("defrag")
     s.add_argument("labels", nargs="*"); s.add_argument("-a", "--all", action="store_true")
     s.set_defaults(fn=cmd_defrag)
+    s = sub.add_parser("maintain")
+    s.add_argument("labels", nargs="*"); s.add_argument("-a", "--all", action="store_true")
+    s.add_argument("--max-revisions", type=int, default=1024)
+    s.add_argument("--max-segments", type=int, default=4096)
+    s.set_defaults(fn=cmd_maintain)
     s = sub.add_parser("trim")
     s.add_argument("labels", nargs="*"); s.add_argument("--before", type=float)
     s.add_argument("-a", "--all", action="store_true")

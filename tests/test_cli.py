@@ -140,6 +140,20 @@ def test_defrag_all_and_metrics(cli_env, capsys):
     assert "FS." in captured.err or "MemFS." in captured.err
 
 
+def test_cli_maintain(cli_env):
+    root, repo, run = cli_env
+    _seed(repo)
+    out = run("maintain")  # defaults: thresholds not crossed → no-op
+    assert "temperature: ok" in out
+    out = run("maintain", "--max-revisions", "0")
+    assert "temperature: squash" in out
+    coll = repo.collection("temperature")
+    assert len(coll.changelog.revisions()) == 1
+    assert [r.value for r in coll.series("paris").frame().collect()] == [
+        1.0, 2.0, 3.0,
+    ]
+
+
 def test_import_export_jsonl_cli(cli_env, tmp_path):
     # jsonl round-trip through the CLI: export a series, import it into
     # a new series, read both back identical
