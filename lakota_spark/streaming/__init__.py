@@ -484,23 +484,64 @@ def streaming_importance_gate(
     the count; docs with no scored tokens are dropped like the twin's
     join omits them). Re-call after refitting lr to pick up corpus
     drift — the artifact is versioned by the caller like the span
-    gate's flags table."""
+    gate's flags table.
+
+    The relation ships as TWO binary literals probed positionally —
+    a presence bitmap (bit ``bucket``) and a dense value blob (8
+    big-endian offset-encoded bytes at ``bucket*8``) — not as
+    element-wise ``F.lit`` arrays: at the 2¹⁶ buckets a real DSIR
+    deployment uses, 2×65536 literal nodes cost ~7 s of plan build and
+    fall out of codegen (the same pathology the bloom bitmap fixed;
+    binary literals are one py4j transfer and O(1) ``substring`` +
+    ``getbit`` probes in codegen — measured flat plan-build cost in
+    ``n_buckets``)."""
+    import struct
+
     from lakota_spark.functions import hash32
 
     rows = lr.collect()
-    keys = F.array(*[F.lit(int(r["bucket"])) for r in rows])
-    vals = F.array(*[F.lit(int(r["lr_micro"])) for r in rows])
-    lr_map = F.map_from_arrays(keys, vals)
+    if not rows:
+        # empty relation: the batch twin's inner join omits every doc —
+        # match that instead of building a map<null,null> that fails at
+        # analysis time
+        return (
+            stream_df.withColumn("n_tokens", F.lit(None).cast("long"))
+            .withColumn("avg_log_ratio", F.lit(None).cast("double"))
+            .where(F.lit(False))
+        )
+    # offset encoding keeps the conv()-decoded unsigned value inside
+    # long range without two's-complement gymnastics; |lr_micro| is
+    # ln-of-count-ratio micro-nats (< ~1e8), far inside the headroom
+    offset = 1 << 62
+    values = [0] * n_buckets
+    present = [0] * ((n_buckets + 7) // 8)
+    for r in rows:
+        b = int(r["bucket"])
+        if not 0 <= b < n_buckets:
+            raise ValueError(f"lr bucket {b} outside [0, {n_buckets})")
+        v = int(r["lr_micro"])
+        if abs(v) >= (1 << 61):
+            raise ValueError(f"lr_micro {v} exceeds offset headroom")
+        values[b] = v + offset
+        present[b // 8] |= 1 << (b % 8)
+    blob = F.lit(struct.pack(f">{n_buckets}Q", *values))
+    pres = F.lit(bytes(present))
+
+    def lookup(t):
+        b = F.pmod(hash32(t), F.lit(n_buckets)).cast("int")
+        pbyte = F.conv(
+            F.hex(F.substring(pres, (b / 8).cast("int") + 1, 1)), 16, 10
+        ).cast("int")
+        is_set = F.getbit(pbyte, F.pmod(b, F.lit(8)).cast("int")) == 1
+        raw = F.conv(F.hex(F.substring(blob, b * 8 + 1, 8)), 16, 10)
+        val = (raw.cast("decimal(20,0)") - F.lit(offset)).cast("long")
+        return F.when(is_set, val)
+
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
     )
     hits = F.filter(
-        F.transform(
-            toks,
-            lambda t: F.element_at(
-                lr_map, F.pmod(hash32(t), F.lit(n_buckets)).cast("int")
-            ),
-        ),
+        F.transform(toks, lookup),
         lambda x: x.isNotNull(),
     )
     n = F.size(hits)

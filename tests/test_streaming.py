@@ -659,3 +659,72 @@ def test_streaming_importance_gate_vs_batch(spark, tmp_path):
     assert got[1]["n_tokens"] == batch[1]["n_tokens"]
     assert batch[2]["avg_log_ratio"] <= 0  # twin agrees doc 2 is off-target
     assert 3 not in batch  # no scored tokens -> omitted by the twin too
+
+
+def test_streaming_importance_gate_negative_scores_bit_exact(spark):
+    # The binary-literal decode must round-trip NEGATIVE lr_micro values
+    # bit-exactly (offset encoding): lower the threshold so off-target
+    # docs FLOW THROUGH the gate and their scores compare against the
+    # join-based batch twin. Batch DataFrame input keeps this a plan
+    # test — the gate is a stateless projection either way.
+    from lakota_spark.operators.sampling import (
+        fit_importance_lr,
+        score_against_lr,
+    )
+    from lakota_spark.streaming import streaming_importance_gate
+    from pyspark.sql import functions as F
+
+    corpus_rows = [
+        (i, "quantum physics entropy theorem proof", "tgt")
+        for i in range(10)
+    ]
+    corpus_rows += [
+        (100 + i, "celebrity gossip scandal rumor tabloid", "raw")
+        for i in range(10)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, text string, domain string"
+    )
+    lr = fit_importance_lr(corpus, target_filter=(F.col("domain") == "tgt"))
+    probe = spark.createDataFrame(
+        [
+            (1, "quantum entropy proof theorem physics theorem"),
+            (2, "gossip tabloid scandal rumor celebrity gossip"),
+            (3, "zzzqx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in streaming_importance_gate(
+            probe, lr, threshold=-1e9
+        ).collect()
+    }
+    twin = {
+        r["doc_id"]: r for r in score_against_lr(probe, lr).collect()
+    }
+    assert set(got) == {1, 2}  # doc 3: no scored tokens, omitted
+    for d in (1, 2):
+        assert got[d]["avg_log_ratio"] == twin[d]["avg_log_ratio"]
+        assert got[d]["n_tokens"] == twin[d]["n_tokens"]
+    assert twin[2]["avg_log_ratio"] < 0  # the negative-decode case
+
+
+def test_streaming_importance_gate_empty_lr(spark):
+    # Empty lr relation: the batch twin's inner join omits every doc —
+    # the gate must do the same instead of failing analysis on a
+    # map<null,null> literal (ADVICE r6).
+    from lakota_spark.streaming import streaming_importance_gate
+
+    empty_lr = spark.createDataFrame([], "bucket int, lr_micro long")
+    probe = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+    out = streaming_importance_gate(probe, empty_lr)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "text",
+        "n_tokens",
+        "avg_log_ratio",
+    ]
