@@ -52,6 +52,20 @@ CHECKPOINT_EVERY = int(_os.environ.get("LAKOTA_SPARK_CKPT_EVERY", "32"))
 CHECKPOINT_MAX = int(_os.environ.get("LAKOTA_SPARK_CKPT_MAX", "512"))
 SEGS_PER_CKPT = 16
 
+#: History archive (round 7): revision files older than the recent
+#: window move to ``{prefix}/_archive/`` and a ``_manifest-*.json``
+#: cursor in the hot directory records their linearized order — so the
+#: per-commit listing + linearization is O(recent window), not
+#: O(all history), while every archived revision stays readable (time
+#: travel, merge, gc, pull all see the full set). This is the
+#: Delta-Lake `_last_checkpoint` idea adapted to a content-addressed
+#: DAG; the reference lists the whole directory per commit
+#: (`lakota/changelog.py:66-67`) — an opportunity, not a parity gap.
+#: KEEP_HOT = revisions left hot after an archive pass (cheap no-op
+#: compares + racing writers attach to a hot parent).
+KEEP_HOT = int(_os.environ.get("LAKOTA_SPARK_KEEP_HOT", "64"))
+ARCHIVE_DIR = "_archive"
+
 
 def checkpoint_cadence(n_segments: int) -> int:
     """Commits between checkpoints for a table of ``n_segments``."""
@@ -104,11 +118,24 @@ class Revision:
     #: whatever they read next, not what they read before
     _PAYLOADS_MAX = 600
 
+    def _alt_rel(self) -> str:
+        """The other location this revision file may live at: a racing
+        archive pass moves hot files to ``_archive/`` (and trim moves
+        re-parented survivors back to hot) between our listing and this
+        read — content addressing makes either copy equally valid."""
+        dirname, _, base = self.rel.rpartition("/")
+        if dirname.endswith("/" + ARCHIVE_DIR):
+            return f"{dirname[: -len(ARCHIVE_DIR) - 1]}/{base}"
+        return f"{dirname}/{ARCHIVE_DIR}/{base}"
+
     def read(self) -> dict:
         cached = Revision._PAYLOADS.get(self.child)
         if cached is not None:
             return cached
-        raw = self.fs.read_bytes(self.rel)
+        try:
+            raw = self.fs.read_bytes(self.rel)
+        except (FileNotFoundError, IOError):
+            raw = self.fs.read_bytes(self._alt_rel())
         digest = hashlib.sha1(raw).hexdigest()  # noqa: S324 - integrity only
         want = self.child.split("-", 1)[1]
         if digest != want:
@@ -131,52 +158,156 @@ class Changelog:
     def __init__(self, fs: FS, prefix: str):
         self.fs = fs
         self.prefix = prefix
-        # (frozenset of basenames, linearized log) — see log(). The
-        # directory is still listed on every call (external writers must
-        # be seen); the cache only skips re-LINEARIZING an unchanged or
-        # purely-appended DAG, which is O(N) python work per commit.
-        self._log_cache: tuple[frozenset, list[Revision]] | None = None
+        # ((manifest name, frozenset of hot basenames), linearized log)
+        # — see log(). The HOT directory is still listed on every call
+        # (external writers must be seen); the cache only skips
+        # re-LINEARIZING an unchanged or purely-appended DAG. The
+        # manifest name keys archive-state: any archive/reset pass
+        # writes/removes a manifest file in the hot directory, so the
+        # same listing that finds new revisions invalidates this cache.
+        self._log_cache: tuple[tuple, list[Revision]] | None = None
         # filename → Revision memo: revisions are immutable once written,
         # so re-listing a directory must not re-CONSTRUCT N objects per
         # call (O(N²) across an append run — measured as ~30% of the
         # fragmented-append commit cost). Deleted files (trim/squash)
         # just stop being returned; the memo is size-bounded below.
         self._rev_cache: dict[str, Revision] = {}
+        #: (manifest basename, linearized archived chain) — loaded once
+        #: per manifest version; manifest files are content-named so a
+        #: name match proves the cache is current.
+        self._manifest_cache: tuple[str, list[Revision]] | None = None
+        #: archives may exist (manifest seen / archive ran / reset):
+        #: when False, log() skips the extra _archive listing entirely,
+        #: keeping the small-collection hot path at one ls. None =
+        #: unknown (cold instance) — resolved by ONE _archive existence
+        #: probe, which catches manifest-less archive leftovers (e.g. a
+        #: trim re-parented survivors and dropped the cursor). Sound
+        #: cross-process afterwards because an archive pass writes its
+        #: manifest BEFORE moving any file — a listing that misses the
+        #: manifest predates every move it covers.
+        self._maybe_archived: bool | None = None
 
     # -- listing / ordering ------------------------------------------------
 
-    def revisions(self) -> list[Revision]:
-        revs = []
+    def _rev_from_name(self, fn: str, rel: str) -> "Revision | None":
+        name = fn[: -len(".json")]
+        parent, _, child = name.partition(".")
+        if not child:
+            return None
         cache = self._rev_cache
+        rev = cache.get(fn)
+        if rev is None or rev.rel != rel:
+            rev = Revision(parent, child, self.fs, rel, fn)
+            cache[fn] = rev
+        return rev
+
+    def _scan_hot(self) -> tuple[list[Revision], str | None]:
+        """One listing of the hot directory → (revisions, newest
+        manifest basename)."""
+        revs: list[Revision] = []
+        manifest = None
         for fn in self.fs.ls(self.prefix, sort=False):
             if not fn.endswith(".json") or ".tmp" in fn:
                 continue
-            rev = cache.get(fn)
-            if rev is None:
-                name = fn[: -len(".json")]
-                parent, _, child = name.partition(".")
-                if not child:
-                    continue
-                rev = Revision(
-                    parent, child, self.fs, f"{self.prefix}/{fn}", fn
-                )
-                cache[fn] = rev
-            revs.append(rev)
-        if len(cache) > 2 * len(revs) + 64:
-            # trim/squash removed many files — drop stale entries
+            if fn.startswith("_manifest-"):
+                # content-named; zero-padded seq makes max() the newest
+                if manifest is None or fn > manifest:
+                    manifest = fn
+                continue
+            rev = self._rev_from_name(fn, f"{self.prefix}/{fn}")
+            if rev is not None:
+                revs.append(rev)
+        if manifest is not None:
+            self._maybe_archived = True
+        if len(self._rev_cache) > 2 * len(revs) + 2 * KEEP_HOT + 64:
+            # trim/squash/archive removed or moved many files — rebuild
+            # from live entries (archived chain objects re-enter through
+            # the manifest cache, not this memo)
             self._rev_cache = {r.basename: r for r in revs}
+        return revs, manifest
+
+    def _scan_archive(self) -> list[Revision]:
+        revs = []
+        arch = f"{self.prefix}/{ARCHIVE_DIR}"
+        for fn in self.fs.ls(arch, sort=False):
+            if not fn.endswith(".json") or ".tmp" in fn:
+                continue
+            rev = self._rev_from_name(fn, f"{arch}/{fn}")
+            if rev is not None:
+                revs.append(rev)
         return revs
+
+    def _archived_possible(self) -> bool:
+        if self._maybe_archived is None:
+            self._maybe_archived = self.fs.exists(
+                f"{self.prefix}/{ARCHIVE_DIR}"
+            )
+        return self._maybe_archived
+
+    def revisions(self) -> list[Revision]:
+        """EVERY revision file — hot + archived. Full-history callers
+        (gc, merge, trim, pull, push) use this; the per-commit hot path
+        goes through log(), which reads the archived prefix from the
+        manifest cursor instead of listing it."""
+        hot, _ = self._scan_hot()
+        if not self._archived_possible():
+            return hot
+        seen = {r.basename for r in hot}
+        # hot listed FIRST: a file being archived concurrently is in the
+        # archive listing if the move happened before it left hot — the
+        # union always covers it (dedup by basename if seen in both)
+        out = list(hot)
+        for rev in self._scan_archive():
+            if rev.basename not in seen:
+                out.append(rev)
+        return out
+
+    def _chain_for(self, manifest: str | None) -> list[Revision] | None:
+        """Linearized archived chain recorded by ``manifest`` (cached per
+        manifest version); None when it cannot be loaded/validated —
+        callers fall back to a full listing."""
+        if manifest is None:
+            return None
+        cached = self._manifest_cache
+        if cached is not None and cached[0] == manifest:
+            return cached[1]
+        try:
+            body = json.loads(
+                self.fs.read_bytes(f"{self.prefix}/{manifest}")
+            )
+            files = body["files"]
+        except Exception:
+            return None
+        arch = f"{self.prefix}/{ARCHIVE_DIR}"
+        revs = []
+        for fn in files:
+            rev = self._rev_from_name(fn, f"{arch}/{fn}")
+            if rev is not None:
+                revs.append(rev)
+        chain = self._linearize(revs)
+        if len(chain) != len({r.child for r in revs}):
+            return None  # detached entries — manifest unusable
+        self._manifest_cache = (manifest, chain)
+        return chain
 
     def log(self, before: float | None = None) -> list[Revision]:
         """Depth-first, child-id-ordered linearization from the root
         (`lakota/changelog.py:91-122`). The LAST entry is the winning leaf.
 
-        The head-path (``before=None``) result is cached keyed by the
-        exact set of revision files: an unchanged listing returns the
-        cached list, and the sequential-append case (new revisions that
-        form a single-child chain off the cached winning leaf — the bulk
-        write-loop shape) extends it in O(new). Any other change —
-        deletions (trim/squash), branching, merge files — recomputes.
+        The head path (``before=None``) lists only the HOT directory and
+        prepends the archived chain from the manifest cursor — O(recent
+        window) per call, not O(history). The fast path requires every
+        hot revision to be reachable from the chain tail (or PHI when no
+        archive exists); any gap — a root branch, an attachment into the
+        archived interior, a mid-move race — falls back to the full
+        hot+archive linearization, which is always correct.
+
+        The result is cached keyed by (manifest name, exact hot file
+        set): an unchanged listing returns the cached list, and the
+        sequential-append case (new revisions forming a single-child
+        chain off the cached winning leaf — the bulk write-loop shape)
+        extends it in O(new). ``before=`` (time travel) always takes the
+        full listing.
 
         CONTRACT: on a cache hit the CACHED list object itself is
         returned — callers must not mutate it (reverse, slice-assign,
@@ -184,22 +315,41 @@ class Changelog:
         current callers only read/index; copying here would tax the hot
         leaf() path for nothing.
         """
-        revs = self.revisions()
         if before is not None:
+            revs = self.revisions()
             return self._linearize([r for r in revs if r.epoch < before])
-        names = frozenset(r.basename for r in revs)
+        hot, manifest = self._scan_hot()
+        names = frozenset(r.basename for r in hot)
+        key = (manifest, names)
         cached = self._log_cache
-        if cached is not None and cached[0] == names:
+        if cached is not None and cached[0] == key:
             return cached[1]
-        if cached is not None and cached[1] and names > cached[0]:
+        if (
+            cached is not None
+            and cached[1]
+            and cached[0][0] == manifest
+            and names > cached[0][1]
+        ):
             extended = self._extend_chain(
-                cached[1], [r for r in revs if r.basename not in cached[0]]
+                cached[1],
+                [r for r in hot if r.basename not in cached[0][1]],
             )
             if extended is not None:
-                self._log_cache = (names, extended)
+                self._log_cache = (key, extended)
                 return extended
-        out = self._linearize(revs)
-        self._log_cache = (names, out)
+        out = None
+        if not self._archived_possible():
+            out = self._linearize(hot)
+        else:
+            chain = self._chain_for(manifest)
+            if chain is not None:
+                root = chain[-1].child if chain else PHI
+                hot_part = self._linearize(hot, root=root)
+                if len(hot_part) == len({r.child for r in hot}):
+                    out = chain + hot_part
+            if out is None:
+                out = self._linearize(self.revisions())
+        self._log_cache = (key, out)
         return out
 
     @staticmethod
@@ -223,7 +373,9 @@ class Changelog:
         return out if not by_parent else None
 
     @staticmethod
-    def _linearize(revs: list[Revision]) -> list[Revision]:
+    def _linearize(revs: list[Revision], root: str = PHI) -> list[Revision]:
+        """``root`` other than PHI linearizes a SUBGRAPH hanging off an
+        archived chain tail (the manifest fast path)."""
         children: dict[str, list[Revision]] = {}
         for r in revs:
             children.setdefault(r.parent, []).append(r)
@@ -239,16 +391,20 @@ class Changelog:
             n_edges[r.child] = n_edges.get(r.child, 0) + 1
         out: list[Revision] = []
         seen_edges: dict[str, int] = {}
-
-        def walk(parent: str) -> None:
-            for rev in children.get(parent, ()):  # ordered: oldest branch first
-                seen_edges[rev.child] = seen_edges.get(rev.child, 0) + 1
-                if seen_edges[rev.child] < n_edges[rev.child]:
-                    continue  # wait for the merge node's remaining parents
-                out.append(rev)
-                walk(rev.child)
-
-        walk(PHI)
+        # iterative DFS: the recursive form overflowed the interpreter
+        # stack on linear histories past ~1000 revisions (any cold
+        # time-travel read of a long chain)
+        stack = [iter(children.get(root, ()))]
+        while stack:
+            rev = next(stack[-1], None)
+            if rev is None:
+                stack.pop()
+                continue
+            seen_edges[rev.child] = seen_edges.get(rev.child, 0) + 1
+            if seen_edges[rev.child] < n_edges[rev.child]:
+                continue  # wait for the merge node's remaining parents
+            out.append(rev)
+            stack.append(iter(children.get(rev.child, ())))
         return out
 
     def leaf(self, before: float | None = None) -> Revision | None:
@@ -286,8 +442,16 @@ class Changelog:
         raw = json.dumps(payload, sort_keys=True, separators=(",", ":")).encode()
         sha = hashlib.sha1(raw).hexdigest()  # noqa: S324 - content address
         if not force and not known_changed and parents[0] != PHI:
-            head = next(
-                (r for r in self.revisions() if r.child == parents[0]), None
+            # the parent is almost always the current winning leaf —
+            # check the cached log tail before scanning it (the full
+            # revisions() listing here would be O(history) per commit)
+            log = self.log()
+            head = (
+                log[-1]
+                if log and log[-1].child == parents[0]
+                else next(
+                    (r for r in log if r.child == parents[0]), None
+                )
             )
             if head is not None:
                 head_payload = head.read()
@@ -316,6 +480,110 @@ class Changelog:
             Revision._PAYLOADS.pop(next(iter(Revision._PAYLOADS)))
         Revision._PAYLOADS[child] = payload
         return Revision(parents[0], child, self.fs, rel)
+
+    # -- history archiving -------------------------------------------------
+
+    def maybe_archive(self, keep: int | None = None) -> bool:
+        """Move old revision files to ``_archive/`` and publish a
+        manifest cursor recording their linearized order — called after
+        checkpoint commits, no-op below the threshold.
+
+        The archived set must be a DFS PREFIX nothing outside attaches
+        into (except at its tail): then ``chain + linearize(hot, root=
+        tail)`` equals the full linearization and the per-commit path
+        never touches the archive. Attachment points are validated here
+        against every parent edge; the prefix shrinks below any interior
+        attachment (stale-leaf racers, old branch points).
+
+        Threshold ~√history balances the per-commit hot-listing cost
+        against the O(history) manifest rewrite: both land at O(√N)
+        amortized, flat in practice (the 10k-append probe: ms/append
+        3.9→31 before, flat after). Ordering: manifest is written BEFORE
+        any file moves (a reader that sees a moved-away file also sees
+        the manifest covering it; mid-move reads fall back via
+        ``Revision._alt_rel``).
+        """
+        keep = KEEP_HOT if keep is None else keep
+        hot, manifest = self._scan_hot()
+        chain = self._chain_for(manifest) or []
+        total = len(chain) + len(hot)
+        import math
+
+        if len(hot) <= max(keep + 64, 4 * math.isqrt(total)):
+            return False
+        log = self.log()
+        files = self.revisions()
+        pos = {r.child: i for i, r in enumerate(log)}
+        if len(pos) != len({r.child for r in files}):
+            return False  # detached/unreachable revisions — leave as-is
+        k = len(log) - keep
+        changed = True
+        while changed and k > len(chain):
+            changed = False
+            for r in files:
+                ci = pos[r.child]
+                pj = pos.get(r.parent)
+                if ci >= k and pj is not None and pj < k - 1:
+                    k = pj + 1  # r attaches inside the prefix — shrink
+                    changed = True
+        if k <= len(chain):
+            return False
+        p_children = {log[i].child for i in range(k)}
+        new_files = sorted(
+            r.basename for r in files if r.child in p_children
+        )
+        body = json.dumps(
+            {"fmt": 1, "files": new_files}, separators=(",", ":")
+        ).encode()
+        seq = int(manifest.split("-")[1]) + 1 if manifest else 1
+        mname = (
+            f"_manifest-{seq:08d}-"
+            f"{hashlib.sha1(body).hexdigest()[:8]}.json"  # noqa: S324
+        )
+        arch = f"{self.prefix}/{ARCHIVE_DIR}"
+        self.fs.makedirs(arch)
+        self.fs.write_bytes_atomic(f"{self.prefix}/{mname}", body)
+        self._maybe_archived = True
+        for r in files:
+            if r.child not in p_children or r.rel.startswith(arch + "/"):
+                continue
+            dst = f"{arch}/{r.basename}"
+            try:
+                self.fs.move(r.rel, dst)
+            except Exception:
+                if not self.fs.exists(dst):  # racing archiver moved it
+                    raise
+        if manifest is not None:
+            try:
+                self.fs.remove_file(f"{self.prefix}/{manifest}")
+            except Exception:
+                pass  # best-effort: newest-name wins at read time
+        # chain cache: the archived prefix in log order, rel under _archive
+        self._manifest_cache = (
+            mname,
+            [
+                self._rev_from_name(
+                    log[i].basename, f"{arch}/{log[i].basename}"
+                )
+                for i in range(k)
+            ],
+        )
+        self._log_cache = None
+        return True
+
+    def reset_manifest(self) -> None:
+        """Drop the archive cursor — history-rewriting flows (trim /
+        squash) call this after deleting or re-parenting revision files;
+        reads fall back to full hot+archive listings until the next
+        checkpoint re-archives."""
+        for fn in self.fs.ls(self.prefix, sort=False):
+            if fn.startswith("_manifest-") and fn.endswith(".json"):
+                try:
+                    self.fs.remove_file(f"{self.prefix}/{fn}")
+                except Exception:
+                    pass
+        self._manifest_cache = None
+        self._log_cache = None
 
     def pull(self, other: "Changelog") -> int:
         """Copy revision files missing locally (`lakota/changelog.py:124-137`)."""

@@ -185,7 +185,9 @@ class Collection:
         for d in payload.get("delta", []):
             seg = Segment.from_dict(d, self.schema)
             snap = snap.overlay(
-                seg, kv=self.schema.kv and seg.path is not None
+                seg,
+                kv=self.schema.kv and seg.path is not None,
+                overlapping=self.schema.kv,
             )
         return snap
 
@@ -231,7 +233,11 @@ class Collection:
         )
         before_sig = _sig(snap, self.schema) if maybe_noop else None
         for seg in segs:
-            snap = snap.overlay(seg, kv=self.schema.kv and seg.path is not None)
+            snap = snap.overlay(
+                seg,
+                kv=self.schema.kv and seg.path is not None,
+                overlapping=self.schema.kv,
+            )
         if (
             maybe_noop
             and not root
@@ -276,6 +282,13 @@ class Collection:
                 known
                 | {(s.label, s.path) for s in segs if s.path is not None},
             )
+            if payload.get("kind") != "delta":
+                # checkpoint cadence is also the archive cadence: move
+                # old revision files behind the manifest cursor so the
+                # per-commit listing stays O(recent window) with full
+                # history intact (time travel, merge, gc all still see
+                # the archived files)
+                self.changelog.maybe_archive()
         return rev
 
     def _full_delta(self, snap: Snapshot) -> list[dict]:
@@ -448,7 +461,9 @@ class Collection:
         for _, segs in replay:
             for seg in segs:
                 snap = snap.overlay(
-                    seg, kv=self.schema.kv and seg.path is not None
+                    seg,
+                    kv=self.schema.kv and seg.path is not None,
+                    overlapping=self.schema.kv,
                 )
         payload = snap.to_payload(self.schema)
         payload["delta"] = []
@@ -470,6 +485,11 @@ class Collection:
         payload = snap.to_payload(self.schema)
         payload["delta"] = self._full_delta(snap)  # root: see _full_delta
         new_root = self.changelog.commit(payload, parents=[PHI], force=True)
+        # Drop the archive cursor FIRST: readers then fall back to full
+        # hot+archive listings, so the deletions/re-parents below are
+        # seen directly instead of through a stale manifest naming
+        # already-deleted files. The next checkpoint re-archives.
+        self.changelog.reset_manifest()
         cutoff = before
         revs = [
             r

@@ -16,6 +16,7 @@ bound carries an inclusive/exclusive flag (reference Closed ∈
 
 from __future__ import annotations
 
+from bisect import bisect_left, bisect_right
 from dataclasses import dataclass, field, replace
 from typing import Any
 
@@ -123,22 +124,55 @@ class Segment:
         )
 
 
+def _skey(s: "Segment") -> tuple:
+    """Snapshot sort key — (label, start, open-start-last)."""
+    return (s.label, s.start, s.start_closed is False)
+
+
 class Snapshot:
     """The segment table of one revision (reference `Commit`,
     `lakota/commit.py:1-16`): all segments of all labels, sorted by
-    (label, start)."""
+    (label, start).
 
-    def __init__(self, segments: list[Segment] | None = None, max_seq: int = 0):
-        self.segments = sorted(
-            segments or [], key=lambda s: (s.label, s.start, s.start_closed is False)
-        )
+    Within a non-KV label the segments are pairwise DISJOINT — `overlay`
+    clips every intersecting older segment, so the invariant holds
+    inductively from the empty table, and defrag/squash rewrite disjoint
+    runs. The windowed overlay below leans on it: sorted-by-start +
+    disjoint means intersecting segments form one contiguous window,
+    located by bisect instead of an O(table) scan per write."""
+
+    def __init__(
+        self,
+        segments: list[Segment] | None = None,
+        max_seq: int = 0,
+        _presorted: bool = False,
+    ):
+        if _presorted:
+            # caller guarantees sort order and an exact max_seq — the
+            # overlay fast path, where the O(N log N) re-sort and the
+            # O(N) seq scan were half the sustained-append cost
+            self.segments = segments if segments is not None else []
+            self.max_seq = max_seq
+            return
+        self.segments = sorted(segments or [], key=_skey)
         self.max_seq = max(
             [max_seq, *[s.seq for s in self.segments]] or [0]
         )
 
+    def _keys(self) -> list[tuple]:
+        """Sort-key array parallel to ``segments`` (lazy, carried across
+        overlays by splicing — rebuilding it is an O(N) pass per write)."""
+        k = getattr(self, "_keys_cache", None)
+        if k is None:
+            k = [_skey(s) for s in self.segments]
+            self._keys_cache = k
+        return k
+
     # -- overlay (the core write-path semantics) ---------------------------
 
-    def overlay(self, new: Segment, kv: bool = False) -> "Snapshot":
+    def overlay(
+        self, new: Segment, kv: bool = False, overlapping: bool = False
+    ) -> "Snapshot":
         """Apply one write: ``new``'s interval shadows older data of the
         same label (`lakota/commit.py:263-359`). Older overlapping segments
         are truncated/split; a zero-length ``new`` is a pure range delete
@@ -147,6 +181,16 @@ class Snapshot:
         KV collections skip the shadowing: rows merge by key at read time
         (last seq wins), so prior segments stay intact
         (`lakota/series.py:449-475`).
+
+        Cost: O(log N + K) for K intersecting segments (bisect the label
+        block, walk the contiguous intersecting window, splice) — the
+        sustained-append shape is K=0. The windowing leans on the non-KV
+        disjointness invariant; callers overlaying a label that may hold
+        OVERLAPPING segments (a range delete / key shadowing pass on a KV
+        collection) must pass ``overlapping=True`` to widen the window to
+        the whole label block. Correctness is differentially pinned
+        against a reference linear-scan overlay by the Hypothesis suite
+        (`tests/test_overlay_property.py`).
         """
         # Degenerate (empty) interval — e.g. delete (x, x) with an open
         # bound — shadows nothing; without this guard the head/tail split
@@ -154,42 +198,92 @@ class Snapshot:
         # closed at the same point). Found by the Hypothesis overlay suite.
         c = cmp_prefix(new.start, new.stop)
         if c > 0 or (c == 0 and not (new.start_closed and new.stop_closed)):
-            return Snapshot(list(self.segments), max_seq=self.max_seq)
+            return Snapshot(
+                self.segments, max_seq=self.max_seq, _presorted=True
+            )
         seq = self.max_seq + 1
         new = replace(new, seq=seq)
-        out: list[Segment] = []
-        for seg in self.segments:
-            if seg.label != new.label or kv or not seg.intersects(
-                new.start, new.stop, new.start_closed, new.stop_closed
-            ):
-                out.append(seg)
-                continue
-            # head piece: [seg.start, new.start-), tail piece: (new.stop+, seg.stop]
-            # Clipped pieces carry a "clip" marker: their effective bounds
-            # are now NARROWER than the rows physically in the file, so the
-            # read path must re-filter them. Unmarked segments' intervals
-            # are guaranteed to contain every file row (write-time bound
-            # containment check), which lets `_read_segments` scan them
-            # join-free — the common append-only / post-defrag fast path.
-            head = replace(
-                seg,
-                stop=new.start,
-                stop_closed=not new.start_closed,
-                meta={**seg.meta, "clip": 1},
-            )
-            if not head.is_empty():
-                out.append(head)
-            tail = replace(
-                seg,
-                start=new.stop,
-                start_closed=not new.stop_closed,
-                meta={**seg.meta, "clip": 1},
-            )
-            if not tail.is_empty():
-                out.append(tail)
-        if new.path is not None and new.length > 0:
-            out.append(new)
-        return Snapshot(out, max_seq=seq)
+        segments = self.segments
+        keys = self._keys()
+        label = new.label
+        llo = bisect_left(keys, (label,))
+        # labels are plain strings: label+"\x00" sorts after every
+        # (label, ...) key and before any longer label's block
+        lhi = bisect_left(keys, (label + "\x00",))
+        add_new = new.path is not None and new.length > 0
+        if kv:
+            if not add_new:
+                return Snapshot(segments, max_seq=seq, _presorted=True)
+            lo = hi = bisect_right(keys, _skey(new), llo, lhi)
+            pieces = [new]
+        else:
+            if overlapping:
+                # label may hold overlapping segments (KV) — stops are
+                # not ascending, so the window is the whole label block;
+                # the piece loop's intersects test sorts members out
+                lo, hi = llo, lhi
+            else:
+                # Window top: segments whose start sorts after (label,
+                # new.stop, True) cannot intersect — except short
+                # (prefix) stored bounds that prefix-equal new.stop yet
+                # tuple-sort after it; extend over that run explicitly.
+                hi = bisect_right(keys, (label, new.stop, True), llo, lhi)
+                while (
+                    hi < lhi
+                    and cmp_prefix(segments[hi].start, new.stop) == 0
+                ):
+                    hi += 1
+                # Window bottom: walk back while seg.stop >= new.start
+                # at PREFIX-compare level (flags ignored — an
+                # open-boundary touch must not stop the walk while an
+                # earlier closed segment still intersects). Disjointness
+                # keeps stops ascending, so the first strictly-smaller
+                # stop terminates for every earlier segment too. Window
+                # members that turn out not to intersect pass through
+                # unchanged below.
+                lo = hi
+                while lo > llo and cmp_prefix(
+                    segments[lo - 1].stop, new.start
+                ) >= 0:
+                    lo -= 1
+            pieces: list[Segment] = []
+            for seg in segments[lo:hi]:
+                if not seg.intersects(
+                    new.start, new.stop, new.start_closed, new.stop_closed
+                ):
+                    pieces.append(seg)  # in window, outside interval
+                    continue
+                # head piece: [seg.start, new.start-), tail: (new.stop+, seg.stop]
+                # Clipped pieces carry a "clip" marker: their effective
+                # bounds are now NARROWER than the rows physically in the
+                # file, so the read path must re-filter them. Unmarked
+                # segments' intervals are guaranteed to contain every file
+                # row (write-time bound containment check), which lets
+                # `_read_segments` scan them join-free — the common
+                # append-only / post-defrag fast path.
+                head = replace(
+                    seg,
+                    stop=new.start,
+                    stop_closed=not new.start_closed,
+                    meta={**seg.meta, "clip": 1},
+                )
+                if not head.is_empty():
+                    pieces.append(head)
+                tail = replace(
+                    seg,
+                    start=new.stop,
+                    start_closed=not new.stop_closed,
+                    meta={**seg.meta, "clip": 1},
+                )
+                if not tail.is_empty():
+                    pieces.append(tail)
+            if add_new:
+                pieces.append(new)
+            pieces.sort(key=_skey)  # stable: ties keep old-before-new
+        out_segments = segments[:lo] + pieces + segments[hi:]
+        out = Snapshot(out_segments, max_seq=seq, _presorted=True)
+        out._keys_cache = keys[:lo] + [_skey(p) for p in pieces] + keys[hi:]
+        return out
 
     # -- queries over the table -------------------------------------------
 

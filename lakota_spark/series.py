@@ -1394,8 +1394,10 @@ class KVSeries(Series):
         seg = Segment(
             self.label, lo, hi, True, True, path, n, seq, {"digest": digest}
         )
-        # force non-KV overlay so older key versions are shadowed
-        new_snap = snap.overlay(seg, kv=False)
+        # force non-KV overlay so older key versions are shadowed; the
+        # KV table holds OVERLAPPING segments, so the windowed fast path
+        # must widen to the whole label block
+        new_snap = snap.overlay(seg, kv=False, overlapping=True)
         self.collection.commit_snapshot(
             new_snap, parents=[leaf.child] if leaf else None
         )

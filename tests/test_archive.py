@@ -1,0 +1,153 @@
+"""Changelog history archive (round 7): old revision files move behind
+a ``_manifest-*`` cursor into ``_archive/`` so the per-commit listing is
+O(recent window) — with FULL history intact: cold readers, time travel,
+merge, pull and trim must all see archived revisions.
+
+The flat-append claim itself is probed in NOTES (10k appends); these
+tests pin the correctness surface.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lakota_spark.changelog import ARCHIVE_DIR, Changelog
+from lakota_spark.repo import Repo
+from lakota_spark.schema import Schema
+
+N_COMMITS = 220  # enough checkpoints to cross the archive threshold
+CHUNK = 20
+
+
+@pytest.fixture()
+def archived_repo(spark, tmp_path):
+    root = str(tmp_path / "arch-repo")
+    repo = Repo(root, spark)
+    coll = repo.create_collection(
+        Schema(timestamp="int*", value="float"), "c"
+    )
+    series = coll.series("s")
+    for c in range(N_COMMITS):
+        lo = c * CHUNK
+        series.write(
+            pd.DataFrame(
+                {
+                    "timestamp": np.arange(lo, lo + CHUNK),
+                    "value": np.arange(lo, lo + CHUNK, dtype="f8"),
+                }
+            )
+        )
+    return root, repo, coll
+
+
+def _layout(coll):
+    fs, prefix = coll.changelog.fs, coll.changelog.prefix
+    hot = [
+        f
+        for f in fs.ls(prefix)
+        if f.endswith(".json") and not f.startswith("_manifest")
+    ]
+    manifests = [f for f in fs.ls(prefix) if f.startswith("_manifest")]
+    arch = fs.ls(f"{prefix}/{ARCHIVE_DIR}")
+    return hot, manifests, arch
+
+
+def test_archive_triggers_and_bounds_hot(archived_repo):
+    _, _, coll = archived_repo
+    hot, manifests, arch = _layout(coll)
+    assert len(manifests) == 1
+    assert len(arch) > 0
+    assert len(hot) + len(arch) == N_COMMITS
+    # hot stays bounded by threshold (keep+64=128 at this size) plus one
+    # checkpoint cadence (32) of slack — archives run at checkpoints
+    assert len(hot) <= 160
+
+
+def test_cold_reader_sees_full_history(spark, archived_repo):
+    root, _, coll = archived_repo
+    n = coll.series("s").frame(sort=False).count()
+    assert n == N_COMMITS * CHUNK
+    cold = Repo(root, spark).collection("c")
+    assert cold.series("s").frame(sort=False).count() == N_COMMITS * CHUNK
+    # the manifest fast path must equal a from-scratch full linearization
+    fast = [r.child for r in cold.changelog.log()]
+    fresh = Changelog(cold.changelog.fs, cold.changelog.prefix)
+    full = [r.child for r in fresh._linearize(fresh.revisions())]
+    assert fast == full
+    assert len(fast) == N_COMMITS
+
+
+def test_time_travel_into_archived_region(spark, archived_repo):
+    root, _, coll = archived_repo
+    log = coll.changelog.log()
+    mid = log[N_COMMITS // 2]
+    cold = Repo(root, spark).collection("c")
+    snap = cold.snapshot(before=mid.epoch + 0.0005)
+    rows = sum(s.length for s in snap.for_label("s"))
+    assert rows == (N_COMMITS // 2 + 1) * CHUNK
+
+
+def test_trim_across_archive_boundary_cold_reader(spark, archived_repo):
+    root, _, coll = archived_repo
+    log = coll.changelog.log()
+    cutoff = log[N_COMMITS - 50].epoch
+    coll.trim(before=cutoff)
+    # manifest cursor dropped; survivors (some still physically in
+    # _archive) must stay visible to a COLD instance
+    _, manifests, _ = _layout(coll)
+    assert manifests == []
+    cold = Repo(root, spark).collection("c")
+    assert (
+        cold.series("s").frame(sort=False).count() == N_COMMITS * CHUNK
+    )
+    # appends + a fresh archive cycle work after the reset
+    series = cold.series("s")
+    for c in range(N_COMMITS, N_COMMITS + 100):
+        lo = c * CHUNK
+        series.write(
+            pd.DataFrame(
+                {
+                    "timestamp": np.arange(lo, lo + CHUNK),
+                    "value": np.arange(lo, lo + CHUNK, dtype="f8"),
+                }
+            )
+        )
+    again = Repo(root, spark).collection("c")
+    assert (
+        again.series("s").frame(sort=False).count()
+        == (N_COMMITS + 100) * CHUNK
+    )
+
+
+def test_stale_parent_branch_falls_back_and_merges(spark, archived_repo):
+    """A writer committing onto a parent that has since been ARCHIVED
+    (interior attachment) must not lose data: the fast path declines,
+    the full linearization sees both branches, merge reconciles."""
+    root, _, coll = archived_repo
+    log = coll.changelog.log()
+    stale_parent = log[N_COMMITS // 2]
+    # hand-commit a branch off the archived interior revision
+    payload = {"fmt": 3, "kind": "delta", "ckpt_dist": 1, "delta": []}
+    branch = coll.changelog.commit(
+        payload, parents=[stale_parent.child], force=True
+    )
+    assert branch is not None
+    cold = Repo(root, spark).collection("c")
+    full_log = cold.changelog.log()
+    assert {r.child for r in full_log} >= {branch.child, log[-1].child}
+    leaves = cold.changelog.leaves()
+    assert len(leaves) == 2
+    cold.merge()
+    merged = Repo(root, spark).collection("c")
+    assert merged.series("s").frame(sort=False).count() == N_COMMITS * CHUNK
+    assert len(merged.changelog.leaves()) == 1
+
+
+def test_pull_replicates_archived_history(spark, archived_repo, tmp_path):
+    root, repo, coll = archived_repo
+    dst_root = str(tmp_path / "replica")
+    dst = Repo(dst_root, spark)
+    dst.pull(repo)
+    got = dst.collection("c")
+    assert got.series("s").frame(sort=False).count() == N_COMMITS * CHUNK
+    assert len(got.changelog.log()) == N_COMMITS
