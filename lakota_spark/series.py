@@ -424,12 +424,24 @@ class Series:
             if local is not None:
                 n, local_lo, local_hi = local
             else:
-                stats = df.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.min(self._idx_struct()).alias("lo"),
-                    F.max(self._idx_struct()).alias("hi"),
-                ).collect()[0]
-                n = stats["n"]
+                # Pure-DataFrame input: SINGLE-PASS executor write. The
+                # old flow ran a dedicated count/min/max job before the
+                # write — a whole extra read of the input, which at
+                # cluster scale doubles the scan cost of every bulk
+                # ingest. Write first (sorted, PAGE_LEN-capped files),
+                # then take n/lo/hi from the written files' footers and
+                # edge rows. Bound-validation failures below leave the
+                # published segment dir uncommitted — content-addressed
+                # garbage the two-phase gc collects.
+                if validate_sorted:
+                    self._assert_sorted(df)
+                (
+                    exec_path,
+                    exec_digest,
+                    n,
+                    exec_lo,
+                    exec_hi,
+                ) = self._write_segment_files_df(df)
         start_closed, stop_closed = CLOSED[closed]
         start = self.schema.coerce_bound(start)
         stop = self.schema.coerce_bound(stop)
@@ -452,7 +464,7 @@ class Series:
             if local is not None:
                 lo, hi = tuple(local_lo), tuple(local_hi)
             else:
-                lo, hi = tuple(stats["lo"]), tuple(stats["hi"])
+                lo, hi = exec_lo, exec_hi
         # explicit bounds may only widen (reference asserts containment,
         # `lakota/series.py:117-121`): narrower bounds would silently hide
         # rows of the new segment at read time while length=n still counts
@@ -475,11 +487,13 @@ class Series:
             raise ValueError(
                 f"stop bound {stop!r} excludes data rows (max index {hi!r})"
             )
-        if validate_sorted and local_pdf is None:
+        if validate_sorted and local_pdf is None and local is not None:
             self._assert_sorted(df)
 
         if local_pdf is not None:
             path, digest = self._write_segment_files_local(local_pdf)
+        elif local is None:
+            path, digest = exec_path, exec_digest  # already written above
         else:
             path, digest = self._write_segment_files(df, n)
         return self._commit_segment(
@@ -637,6 +651,166 @@ class Series:
             return name, digest
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+
+    def _write_segment_files_df(self, df: DataFrame):
+        """Single-pass executor write (round 7): globally range-sort,
+        write PAGE_LEN-capped sorted parquet files, then derive n/lo/hi
+        from the written files (`_files_stats`) — no prior stats job, so
+        the input is read ONCE (plus the range sampler) instead of
+        twice. At cluster scale the dropped stats job is a whole extra
+        scan of every bulk ingest.
+
+        Content addressing is unchanged (per-file sha1 job, Merkle
+        combine, SKIP-WRITE dedup). The file layout — and hence the
+        address — is deterministic for a given input partitioning:
+        range boundaries come from Spark's seeded reservoir sampler and
+        the PAGE_LEN cap is applied per partition.
+
+        Returns ``(name, digest, n, lo, hi)``; empty input returns
+        ``(None, None, 0, None, None)`` with nothing published.
+        """
+        fs = self.collection.fs
+        seg_prefix = self.collection.seg_prefix
+        fs.makedirs(seg_prefix)
+        idx_cols = [F.col(c) for c in self.schema.idx]
+        out = df.sort(*idx_cols)
+        if fs.spark_readable:
+            tmp_rel = f"{seg_prefix}/_tmp-{uuid.uuid4().hex}"
+            (
+                out.write.mode("overwrite")
+                .option("maxRecordsPerFile", PAGE_LEN)
+                .parquet(fs.spark_uri(tmp_rel))
+            )
+            parts = sorted(
+                p for p in fs.ls(tmp_rel) if p.endswith(".parquet")
+            )
+            n, lo, hi = self._files_stats(fs, tmp_rel, parts)
+            if n == 0:
+                fs.remove_tree(tmp_rel)
+                return None, None, 0, None, None
+            digest = fs.combine_sha1(
+                fs.files_sha1(
+                    [f"{tmp_rel}/{p}" for p in parts],
+                    spark=df.sparkSession,
+                )
+            )
+            name = digest[:20]
+            final_rel = f"{seg_prefix}/{name}"
+            if fs.exists(final_rel):
+                fs.remove_tree(tmp_rel)  # content dedup: segment exists
+            else:
+                fs.move(tmp_rel, final_rel)
+            return name, digest, n, lo, hi
+        # Non-Hadoop backend (HTTP repo): local staging like
+        # `_write_segment_files`, same bytes/ordering either path.
+        import shutil
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="lakota-stage-")
+        try:
+            (
+                out.write.mode("overwrite")
+                .option("maxRecordsPerFile", PAGE_LEN)
+                .parquet("file://" + staging)
+            )
+            local = FS(staging)
+            parts = sorted(
+                p for p in local.ls("") if p.endswith(".parquet")
+            )
+            n, lo, hi = self._files_stats(local, "", parts)
+            if n == 0:
+                return None, None, 0, None, None
+            digest = fs.combine_sha1(
+                local.files_sha1(parts, spark=df.sparkSession)
+            )
+            name = digest[:20]
+            final_rel = f"{seg_prefix}/{name}"
+            if not fs.exists(final_rel):
+                for part in parts:
+                    fs.write_bytes_atomic(
+                        f"{final_rel}/{part}", local.read_bytes(part)
+                    )
+            return name, digest, n, lo, hi
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def _files_stats(self, fs, dir_rel: str, parts: list[str]):
+        """``(n, lo, hi)`` straight from just-written SORTED segment
+        files: footers give exact per-file row counts, and because the
+        files are range-partitioned and internally sorted, the global
+        min/max index tuples are the FIRST row of the first non-empty
+        file and the LAST row of the last one — exact for every index
+        type including strings (parquet column statistics may be
+        truncated; actual edge rows never are). Driver-side cost: one
+        footer read per file plus two partial row reads."""
+        import datetime as dtmod
+
+        import pyarrow.parquet as pq
+
+        pafs = getattr(fs, "fs", None)  # pyarrow filesystem handle
+
+        def open_pf(p):
+            rel = f"{dir_rel}/{p}" if dir_rel else p
+            full = fs.full(rel)
+            if pafs is not None:
+                return pq.ParquetFile(pafs.open_input_file(full))
+            return pq.ParquetFile(full)
+
+        idx = list(self.schema.idx)
+        pfs = []
+        try:
+            counts = []
+            for p in parts:
+                pf = open_pf(p)
+                pfs.append(pf)
+                counts.append(pf.metadata.num_rows)
+            n = sum(counts)
+            if n == 0:
+                return 0, None, None
+            first = next(pf for pf, c in zip(pfs, counts) if c)
+            last = next(
+                pf for pf, c in zip(reversed(pfs), reversed(counts)) if c
+            )
+            lo_row = next(
+                first.iter_batches(batch_size=1, columns=idx)
+            ).to_pylist()[0]
+            rg = last.metadata.num_row_groups - 1
+            while last.metadata.row_group(rg).num_rows == 0:
+                rg -= 1
+            tbl = last.read_row_group(rg, columns=idx)
+            hi_row = tbl.slice(tbl.num_rows - 1, 1).to_pylist()[0]
+        finally:
+            for pf in pfs:
+                try:
+                    pf.close()
+                except Exception:
+                    pass
+
+        def norm(v):
+            # normalize to the plain-datetime bound types the Spark-Row
+            # and driver-local paths produce: pyarrow surfaces
+            # pd.Timestamp for ns-unit (INT96) files and may carry a tz
+            # depending on the parquet annotation
+            if isinstance(v, dtmod.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(dtmod.timezone.utc).replace(
+                        tzinfo=None
+                    )
+                if type(v) is not dtmod.datetime:  # pd.Timestamp subclass
+                    v = dtmod.datetime(
+                        v.year,
+                        v.month,
+                        v.day,
+                        v.hour,
+                        v.minute,
+                        v.second,
+                        v.microsecond,
+                    )
+            return v
+
+        lo = tuple(norm(lo_row[c]) for c in idx)
+        hi = tuple(norm(hi_row[c]) for c in idx)
+        return n, lo, hi
 
     def _commit_segment(self, seg: Segment, root: bool = False):
         return self.collection.apply_segments([seg], root=root)
