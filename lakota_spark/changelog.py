@@ -426,6 +426,7 @@ class Changelog:
         parents: list[str] | None = None,
         force: bool = False,
         known_changed: bool = False,
+        ts: float | None = None,
     ) -> Revision | None:
         """Append a revision. Returns None when the payload is identical to
         the (first) parent's — double-write no-op (`lakota/changelog.py:49-57`).
@@ -434,6 +435,10 @@ class Changelog:
         directory listing + an O(payload) serialization) — pass it only
         when the caller already proved the table changed, as
         ``Collection._commit`` does via its signature check.
+
+        ``ts`` pins the revision's hextime (default: now) — trim uses it
+        to place the replacement root AT the retention cutoff so time
+        travel inside the retained window keeps resolving.
 
         Atomicity: content-addressed names make racing identical commits
         collide harmlessly on any backend (local rename / object-store PUT).
@@ -462,7 +467,7 @@ class Changelog:
                     == raw
                 ):
                     return None
-        child = f"{hexts()}-{sha}"
+        child = f"{hexts(ts)}-{sha}"
         # Multi-parent commits (merge) write ONE FILE PER PARENT with the
         # same child id — every head gains a descendant, so `leaves()`
         # collapses to the merge commit (reference changelog naming scheme).

@@ -221,10 +221,19 @@ def cmd_maintain(args):
     """Threshold-triggered housekeeping (`Collection.maintain`): squash
     past --max-revisions, defrag past --max-segments, no-op otherwise —
     cron-safe over every collection."""
+    import datetime as dt
+
     repo = _repo(args)
+    keep = (
+        dt.timedelta(seconds=args.keep_seconds)
+        if args.keep_seconds is not None
+        else None
+    )
     for label in _target_labels(repo, args):
         out = repo.collection(label).maintain(
-            max_revisions=args.max_revisions, max_segments=args.max_segments
+            max_revisions=args.max_revisions,
+            max_segments=args.max_segments,
+            keep=keep,
         )
         print(
             f"{label}: {out['action'] or 'ok'} "
@@ -427,6 +436,8 @@ def _build_parser():
     s.add_argument("labels", nargs="*"); s.add_argument("-a", "--all", action="store_true")
     s.add_argument("--max-revisions", type=int, default=1024)
     s.add_argument("--max-segments", type=int, default=4096)
+    # retain a time-travel window through triggered squashes
+    s.add_argument("--keep-seconds", type=float, default=None)
     s.set_defaults(fn=cmd_maintain)
     s = sub.add_parser("trim")
     s.add_argument("labels", nargs="*"); s.add_argument("--before", type=float)

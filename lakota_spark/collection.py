@@ -481,16 +481,39 @@ class Collection:
         leaf = self.changelog.leaf()
         if leaf is None:
             return None
-        snap = self._leaf_snapshot(leaf)
+        cutoff = before
+        if cutoff is None:
+            # full collapse: the replacement root is the CURRENT state
+            snap = self._leaf_snapshot(leaf)
+            root_ts = None
+        else:
+            # retention trim: the replacement root is the state AS OF
+            # the cutoff, PLACED AT the cutoff (pinned hextime) — so
+            # ``before=t`` for any t inside the retained window still
+            # resolves: the root chains under the re-parented survivors
+            # with the correct temporal order, and a query between the
+            # cutoff and the first survivor sees exactly the cutoff
+            # state. (Head resolution never reads this root's payload:
+            # each branch's first survivor is re-parented as a full
+            # CHECKPOINT below.) Pinning the timestamp also makes
+            # same-cutoff trims idempotent (identical content address).
+            leaf_cut = self.changelog.leaf(before=cutoff)
+            snap = (
+                self._snapshot_at(leaf_cut)
+                if leaf_cut is not None
+                else Snapshot()
+            )
+            root_ts = cutoff - 0.001  # strictly below the cutoff window
         payload = snap.to_payload(self.schema)
         payload["delta"] = self._full_delta(snap)  # root: see _full_delta
-        new_root = self.changelog.commit(payload, parents=[PHI], force=True)
+        new_root = self.changelog.commit(
+            payload, parents=[PHI], force=True, ts=root_ts
+        )
         # Drop the archive cursor FIRST: readers then fall back to full
         # hot+archive listings, so the deletions/re-parents below are
         # seen directly instead of through a stale manifest naming
         # already-deleted files. The next checkpoint re-archives.
         self.changelog.reset_manifest()
-        cutoff = before
         revs = [
             r
             for r in self.changelog.revisions()
@@ -499,7 +522,11 @@ class Collection:
         doomed = [r for r in revs if cutoff is None or r.epoch < cutoff]
         doomed_keys = {(r.parent, r.child) for r in doomed}
         survivors = [r for r in revs if (r.parent, r.child) not in doomed_keys]
-        surviving_children = {r.child for r in survivors}
+        # the new root counts as surviving: a revision already parented
+        # on it (same-cutoff re-trim — the root's pinned ts makes it
+        # content-stable) must NOT be treated as an orphan, or the
+        # "re-parent" below writes its own filename and then deletes it
+        surviving_children = {r.child for r in survivors} | {new_root.child}
         if cutoff is not None:
             # Orphaned edges (ancestors below the cutoff) re-parent onto
             # the new root. A CHECKPOINT survivor keeps its payload bytes
@@ -573,6 +600,7 @@ class Collection:
         self,
         max_revisions: int | None = 1024,
         max_segments: int | None = 4096,
+        keep=None,
     ) -> dict:
         """Threshold-triggered housekeeping — the product answer to
         sustained-append growth made automatic. The fmt-3 delta log
@@ -589,6 +617,16 @@ class Collection:
           ms/append after a squash at 10k commits vs 31 ms before).
         - else any series over ``max_segments`` segments → ``defrag()``:
           rewrites fragmented runs page-sized, KEEPS history.
+
+        ``keep`` retains a TIME-TRAVEL WINDOW through the squash: a
+        ``datetime.timedelta`` (relative to now) or an absolute
+        epoch/datetime maps to ``squash(trim=cutoff)`` — revisions
+        inside the window survive (re-rooted at the cutoff state), so a
+        bounded ingest loop keeps ``before=`` queries over its retention
+        horizon instead of collapsing to a single root. Note the
+        changelog history ARCHIVE already keeps per-commit cost flat
+        with FULL history — ``keep`` is for bounding STORAGE/file-count,
+        not a performance requirement.
 
         Pass None to disable either trigger. Returns
         ``{"revisions", "max_series_segments", "action"}``. Safe under
@@ -612,7 +650,18 @@ class Collection:
         if snap is None:
             return out
         if max_revisions is not None and len(revs) > max_revisions:
-            self.squash()
+            cutoff = None
+            if keep is not None:
+                import datetime as dt
+                import time as _time
+
+                if isinstance(keep, dt.timedelta):
+                    cutoff = _time.time() - keep.total_seconds()
+                elif isinstance(keep, dt.datetime):
+                    cutoff = keep.timestamp()
+                else:
+                    cutoff = float(keep)
+            self.squash(trim=cutoff if cutoff is not None else None)
             out["action"] = "squash"
         elif max_segments is not None and worst > max_segments:
             self.defrag()

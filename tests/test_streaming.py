@@ -728,3 +728,46 @@ def test_streaming_importance_gate_empty_lr(spark):
         "n_tokens",
         "avg_log_ratio",
     ]
+
+
+def test_stream_ingest_maintain_keep_window(repo, spark, tmp_path):
+    # maintain(keep=...) inside foreachBatch: the triggered squash must
+    # retain a time-travel window, so `before=` inside it still resolves
+    # after the mid-stream maintenance (r6 verdict ask #7)
+    import datetime as dt
+
+    src = str(tmp_path / "ksrc")
+    os.makedirs(src)
+    for b in range(6):
+        spark.createDataFrame(
+            [(b, float(b) * 10)], "ts long, value double"
+        ).write.parquet(f"file://{src}/b{b}.parquet")
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "kstream")
+    stream = (
+        spark.readStream.schema("ts long, value double")
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .parquet(f"file://{src}/*")
+    )
+    q = stream_into_series(
+        stream,
+        coll,
+        "events",
+        checkpoint_dir=str(tmp_path / "kckpt"),
+        trigger={"availableNow": True},
+        maintain_every=3,
+        max_revisions=2,
+        max_segments=None,
+        keep=dt.timedelta(hours=1),  # everything is inside the window
+    )
+    q.awaitTermination(120)
+    out = coll.series("events").frame().collect()
+    assert sorted((r.ts, r.value) for r in out) == [
+        (i, float(i) * 10) for i in range(6)
+    ]
+    # the squash ran (log re-rooted) but the window survived: time
+    # travel to each retained revision's epoch still resolves
+    log = coll.changelog.log()
+    assert len(log) >= 2
+    mid = log[len(log) // 2]
+    snap = coll.snapshot(before=mid.epoch + 0.0005)
+    assert sum(s.length for s in snap.for_label("events")) > 0
