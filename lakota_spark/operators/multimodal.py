@@ -71,10 +71,13 @@ def _safe(parser, b: bytes):
     this format" (None) so the caller's deterministic fallback applies.
     A corpus-cleaning pipeline must never let one truncated file kill the
     whole Spark stage (truncated buffers raise ValueError in np.frombuffer,
-    garbage header tokens raise ValueError/IndexError in int()/index())."""
+    garbage header tokens raise ValueError/IndexError in int()/index(),
+    corrupt deflate streams raise zlib.error)."""
+    import zlib
+
     try:
         return parser(b)
-    except (ValueError, IndexError, OverflowError):
+    except (ValueError, IndexError, OverflowError, zlib.error):
         return None
 
 
@@ -128,6 +131,123 @@ def _parse_bmp(b: bytes):
     return img[..., ::-1]  # BGR -> RGB
 
 
+def _parse_png(b: bytes):
+    """PNG → HxWx3 uint8 RGB with stdlib ``zlib`` + numpy scanline
+    unfiltering — a REAL codec decode with no PIL/opencv dependency
+    (round 7: shrinks the byte-histogram fallback to JPEG/audio/video).
+
+    Covers the overwhelmingly common shape: 8-bit depth, color types
+    0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) / 6 (RGBA),
+    non-interlaced. Filters: None/Up/Sub vectorize whole-row (Sub is a
+    per-lane prefix sum mod 256); Average/Paeth are inherently
+    sequential in x, so those rows pay a python-per-pixel loop — fine
+    for metadata/feature extraction, and encoders typically emit
+    None/Sub/Up rows for synthetic content. Anything else (16-bit,
+    Adam7) returns None → deterministic fallback."""
+    import zlib
+
+    import numpy as np
+
+    if not b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos, width, palette, idat = 8, None, None, []
+    bit_depth = color_type = interlace = height = None
+    while pos + 8 <= len(b):
+        length = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type = data[8], data[9]
+            interlace = data[12]
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + payload + crc
+    if not idat or width is None or bit_depth != 8 or interlace != 0:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None or (color_type == 3 and palette is None):
+        return None
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+    rows = np.frombuffer(
+        raw, dtype=np.uint8, count=height * (stride + 1)
+    ).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = rows[y, 0]
+        cur = rows[y, 1:]
+        if f == 0:  # None
+            rec = cur.copy()
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            rec = (
+                cur.reshape(width, channels)
+                .cumsum(axis=0, dtype=np.uint32)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 2:  # Up
+            rec = cur + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average (sequential in x)
+            c2 = cur.reshape(width, channels).astype(np.uint16)
+            pv = prev.reshape(width, channels).astype(np.uint16)
+            rec2 = np.empty((width, channels), dtype=np.uint8)
+            left = np.zeros(channels, dtype=np.uint16)
+            for x in range(width):
+                val = (c2[x] + ((left + pv[x]) >> 1)) & 0xFF
+                rec2[x] = val
+                left = val
+            rec = rec2.reshape(stride)
+        elif f == 4:  # Paeth (sequential in x)
+            c2 = cur.reshape(width, channels).astype(np.int32)
+            pv = prev.reshape(width, channels).astype(np.int32)
+            rec2 = np.empty((width, channels), dtype=np.uint8)
+            left = np.zeros(channels, dtype=np.int32)
+            upleft = np.zeros(channels, dtype=np.int32)
+            for x in range(width):
+                up = pv[x]
+                p = left + up - upleft
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - up),
+                    np.abs(p - upleft),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, up, upleft),
+                )
+                val = (c2[x] + pred) & 0xFF
+                rec2[x] = val
+                left, upleft = val.astype(np.int32), up
+            rec = rec2.reshape(stride)
+        else:
+            return None
+        out[y] = rec
+        prev = rec
+    px = out.reshape(height, width, channels)
+    if color_type == 2:
+        return px
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 3:
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            return None
+        return palette[idx]
+    if color_type == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]  # 6: RGBA -> RGB
+
+
 def _image_features(img) -> list[float]:
     """[width, height, mean_r, mean_g, mean_b] + 8-bucket luminance
     histogram (L1-normalized) — a deterministic 13-float descriptor."""
@@ -146,12 +266,13 @@ def _image_features(img) -> list[float]:
 def _decode_image_batch(payload: pd.Series) -> pd.Series:
     """Decode a batch of image payloads → feature vectors.
 
-    REAL decode for uncompressed formats parseable with numpy alone (PPM
-    P6, 24-bit BMP) → 13-float descriptor (dims + channel means +
-    luminance histogram). Codec formats (JPEG/PNG/...) need PIL/opencv,
-    absent in this container — those payloads fall through to a
-    deterministic byte-histogram (8 floats), keeping the pipeline
-    end-to-end testable with real Arrow batch boundaries.
+    REAL decode for formats parseable with the stdlib + numpy alone
+    (PPM P6, 24-bit BMP, and — round 7 — 8-bit non-interlaced PNG via
+    zlib + scanline unfiltering) → 13-float descriptor (dims + channel
+    means + luminance histogram). Remaining codec formats (JPEG/...)
+    need PIL/opencv, absent in this container — those payloads fall
+    through to a deterministic byte-histogram (8 floats), keeping the
+    pipeline end-to-end testable with real Arrow batch boundaries.
     """
 
     def decode(b: bytes) -> list[float]:
@@ -159,6 +280,8 @@ def _decode_image_batch(payload: pd.Series) -> pd.Series:
         img = _safe(_parse_ppm, b)
         if img is None:
             img = _safe(_parse_bmp, b)
+        if img is None:
+            img = _safe(_parse_png, b)
         if img is not None:
             return _image_features(img)
         counts = [0] * 8

@@ -1707,3 +1707,146 @@ def test_importance_weights_targets_score_higher(spark):
     assert tgt_avg > 0 > raw_avg
     # n_tokens counted per doc
     assert all(r["n_tokens"] == 6 for r in out.collect())
+
+
+def _encode_png(img, color_type, filters, palette=None):
+    """Minimal PNG encoder for the golden tests: forward-filters each
+    scanline with the REQUESTED filter type, so the decoder's five
+    unfilter paths are each exercised against ground truth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h = len(filters)
+    if color_type == 2:
+        data = img  # HxWx3
+        channels = 3
+    elif color_type == 0:
+        data = img[..., :1]
+        channels = 1
+    elif color_type == 6:
+        data = np.concatenate(
+            [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=2
+        )
+        channels = 4
+    elif color_type == 3:
+        data = img  # HxWx1 of palette indices
+        channels = 1
+    w = data.shape[1]
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(w * channels, np.int32)
+    for y, f in enumerate(filters):
+        cur = data[y].reshape(-1).astype(np.int32)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prev),
+                np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, upleft),
+            )
+            enc = (cur - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_bit_exact_all_filters():
+    # golden: a 5xW RGB image round-trips bit-exactly through the
+    # stdlib-zlib decoder with every filter type (None/Sub/Up/Avg/Paeth)
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    png = _encode_png(img, 2, filters=[0, 1, 2, 3, 4])
+    got = _parse_png(png)
+    assert got is not None and got.shape == (5, 9, 3)
+    assert np.array_equal(got, img)
+
+
+def test_png_decode_color_types():
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_png
+
+    rng = np.random.default_rng(11)
+    # grayscale (type 0) -> replicated channels
+    g = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    g[..., 1] = g[..., 0]
+    g[..., 2] = g[..., 0]
+    got = _parse_png(_encode_png(g, 0, filters=[0, 2, 1, 4]))
+    assert np.array_equal(got, g)
+    # RGBA (type 6) -> alpha dropped
+    c = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    got = _parse_png(_encode_png(c, 6, filters=[1, 3, 0]))
+    assert np.array_equal(got, c)
+    # palette (type 3)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(4, 4, 1), dtype=np.uint8)
+    got = _parse_png(_encode_png(idx, 3, filters=[0, 1, 2, 4], palette=palette))
+    assert np.array_equal(got, palette[idx[..., 0]])
+    # corrupt deflate stream -> safe fallback (None), not an exception
+    from lakota_spark.operators.multimodal import _safe
+
+    png = _encode_png(c, 6, filters=[1, 3, 0])
+    broken = png[:40] + b"\x00\x00\x00\x00" + png[44:]
+    assert _safe(_parse_png, broken) is None
+
+
+def test_png_features_through_spark(spark):
+    # multimodal_features returns TRUE pixel features for a PNG payload
+    # (r6 verdict ask #5): compare against the descriptor computed
+    # directly from the source array
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _image_features,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
+    png = _encode_png(img, 2, filters=[0, 1, 2, 3, 4, 1, 2, 0])
+    rows = [(1, bytearray(png), "image/png", len(png), "{}")]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    import pytest
+
+    want = _image_features(img)
+    assert len(feats[1]) == 13  # real decode, not the 8-float fallback
+    assert feats[1] == pytest.approx(want)
