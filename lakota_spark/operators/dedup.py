@@ -867,30 +867,52 @@ class SpanFlagTracker:
         self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> None:
         """Merge one batch's shingle counts into the materialized
-        relation and publish the next version."""
+        relation and publish the next version.
+
+        Concurrency: optimistic-retry. On a lost publish race (another
+        fold landed ``v{next}`` first) the merge RE-RUNS against the
+        newly-landed head — this batch's counts must never be dropped,
+        or concurrent folders silently undercount document frequencies
+        and flags may never cross ``min_df`` (ADVICE r6). The batch
+        relation is localCheckpointed once, so retries re-run only the
+        tiny merge-aggregate, not the shingle pass."""
         import os
+        import shutil
         import uuid
 
-        batch = self._batch_counts(df, text_col, id_col)
-        prev = self.counts()
-        merged = (
-            batch
-            if prev is None
-            else prev.unionByName(batch)
-            .groupBy("shingle", "width")
-            .agg(F.sum("n_docs").alias("n_docs"))
+        batch = self._batch_counts(df, text_col, id_col).localCheckpoint(
+            eager=False
         )
-        nxt = (self._versions() or [0])[-1] + 1
-        tmp = f"{self.path}/_tmp-{uuid.uuid4().hex}"
-        merged.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, f"{self.path}/v{nxt}")
-        except OSError:
-            # lost a publish race: another fold landed v{nxt} — merge
-            # again on the next fold; drop our attempt
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
+        for _ in range(16):
+            # CAS discipline: publish to base+1 OF THE VERSION MERGED —
+            # reading "latest" and publishing to "next free" separately
+            # would let a racer's version land in between and be
+            # silently skipped over (its counts lost from every later
+            # head even though no rename ever failed)
+            vs = self._versions()
+            base = vs[-1] if vs else 0
+            prev = (
+                self.spark.read.parquet(f"{self.path}/v{base}")
+                if base
+                else None
+            )
+            merged = (
+                batch
+                if prev is None
+                else prev.unionByName(batch)
+                .groupBy("shingle", "width")
+                .agg(F.sum("n_docs").alias("n_docs"))
+            )
+            tmp = f"{self.path}/_tmp-{uuid.uuid4().hex}"
+            merged.write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, f"{self.path}/v{base + 1}")
+                return
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        raise IOError(
+            "SpanFlagTracker.fold: lost 16 consecutive publish races"
+        )
 
     # the initial landed corpus seeds the store through the same merge
     seed = fold
@@ -1057,14 +1079,18 @@ def keep_best_per_cluster(
 
     Scale shape: one broadcast-or-shuffle equi-join (clusters ⨝ scores
     on id) plus ONE partial-aggregated groupBy on cluster_id — the
-    argmax folds map-side as ``max(struct(score, -id))``, so a single
-    row per cluster crosses the wire regardless of cluster size (no
-    window, no second pass).
+    argmax folds map-side as ``min(struct(-score, id))`` (negating the
+    SCORE, which is always numeric, keeps the smallest-id tie-break
+    working for ANY orderable id type — string doc ids included; the
+    earlier ``max(struct(score, -id))`` form failed on unary minus over
+    strings, ADVICE r6). A single row per cluster crosses the wire
+    regardless of cluster size (no window, no second pass).
     """
     joined = clusters.join(scores, id_col)
-    best = F.max(
+    best = F.min(
         F.struct(
-            F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+            (-F.col(score_col)).alias("neg_s"),
+            F.col(id_col).alias("id"),
         )
     )
     return (
@@ -1077,8 +1103,8 @@ def keep_best_per_cluster(
             cluster_col,
             "n_members",
             (F.col("n_members") - 1).alias("n_dropped"),
-            (-F.col("_best.neg_id")).alias("kept_doc"),
-            F.col("_best.s").alias("kept_score"),
+            F.col("_best.id").alias("kept_doc"),
+            (-F.col("_best.neg_s")).alias("kept_score"),
         )
     )
 

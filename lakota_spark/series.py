@@ -1131,23 +1131,38 @@ class Series:
         existence probes — the failed read is the probe)."""
         fs = self.collection.fs
         seg_prefix = self.collection.seg_prefix
-        if len(paths) > 32:
-            # per-path listing tasks dominate many-segment scans at the
-            # Spark default (10000 == one task per path); batch them.
-            # Only override the untouched default — an explicit user
-            # setting (session.py sets 64 for engine-built sessions) wins.
-            key = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
-            if self.spark.conf.get(key, "10000") == "10000":
-                self.spark.conf.set(key, "64")
+        # per-path listing tasks dominate many-segment scans at the
+        # Spark default (10000 == one task per path); batch them for
+        # the DURATION OF THE LISTING only (file-index construction
+        # happens inside spark.read.parquet), then restore — a
+        # session-wide override would leak into every later parquet
+        # scan on user-supplied sessions, including non-lakota ones
+        # (ADVICE r6). Only the untouched default is overridden — an
+        # explicit user setting (session.py sets 64 for engine-built
+        # sessions) wins.
+        key = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
+        override = (
+            len(paths) > 32 and self.spark.conf.get(key, "10000") == "10000"
+        )
+        if override:
+            self.spark.conf.set(key, "64")
         try:
-            return self.spark.read.parquet(
-                *fs.spark_read_uris([f"{seg_prefix}/{p}" for p in paths])
-            )
-        except Exception:
-            self._resurrect_missing(paths)
-            return self.spark.read.parquet(
-                *fs.spark_read_uris([f"{seg_prefix}/{p}" for p in paths])
-            )
+            try:
+                return self.spark.read.parquet(
+                    *fs.spark_read_uris(
+                        [f"{seg_prefix}/{p}" for p in paths]
+                    )
+                )
+            except Exception:
+                self._resurrect_missing(paths)
+                return self.spark.read.parquet(
+                    *fs.spark_read_uris(
+                        [f"{seg_prefix}/{p}" for p in paths]
+                    )
+                )
+        finally:
+            if override:
+                self.spark.conf.unset(key)
 
     def _read_segments(self, segs: list[Segment], range_pred=None) -> DataFrame:
         live = [s for s in segs if s.path]

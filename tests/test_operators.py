@@ -1850,3 +1850,69 @@ def test_png_features_through_spark(spark):
     want = _image_features(img)
     assert len(feats[1]) == 13  # real decode, not the 8-float fallback
     assert feats[1] == pytest.approx(want)
+
+
+def test_keep_best_per_cluster_string_ids(spark):
+    # the argmax folds as min(struct(-score, id)) so the smallest-id
+    # tie-break works for STRING doc ids too (ADVICE r6: the old
+    # max(struct(score, -id)) form failed on unary minus over strings)
+    from lakota_spark.operators.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [("docA", 1), ("docB", 1), ("docC", 1), ("docZ", 2)],
+        "doc_id string, cluster_id int",
+    )
+    scores = spark.createDataFrame(
+        [("docA", 0.5), ("docB", 0.9), ("docC", 0.9), ("docZ", 0.1)],
+        "doc_id string, score double",
+    )
+    got = {
+        r.cluster_id: r
+        for r in keep_best_per_cluster(clusters, scores).collect()
+    }
+    assert got[1].kept_doc == "docB"  # max score, tie -> smallest id
+    assert got[1].kept_score == 0.9
+    assert got[1].n_members == 3 and got[1].n_dropped == 2
+    assert got[2].kept_doc == "docZ"
+
+
+def test_span_flag_tracker_publish_race_retries(spark, tmp_path):
+    # a lost publish race must RE-MERGE this batch's counts against the
+    # newly-landed head, not drop them (ADVICE r6): simulate the race by
+    # pre-landing a competing version between _batch_counts and publish
+    from lakota_spark.operators.dedup import SpanFlagTracker
+
+    t = SpanFlagTracker(spark, str(tmp_path / "flags"), tiers=((2, 3),))
+    d1 = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    t.fold(d1)
+    # competing writer lands the NEXT version directly (same engine)
+    racer = SpanFlagTracker(spark, str(tmp_path / "flags"), tiers=((2, 3),))
+    orig_versions = t._versions
+
+    raced = {"done": False}
+
+    def versions_with_race():
+        vs = orig_versions()
+        if not raced["done"] and vs:
+            raced["done"] = True
+            racer.fold(
+                spark.createDataFrame(
+                    [(3, "a b e")], "doc_id long, text string"
+                )
+            )
+        return vs
+
+    t._versions = versions_with_race
+    t.fold(
+        spark.createDataFrame([(4, "a b f")], "doc_id long, text string")
+    )
+    t._versions = orig_versions
+    # all four docs' "a b" shingles must be counted: 4 >= min_df=3
+    counts = {
+        (r.shingle, r.width): r.n_docs for r in t.counts().collect()
+    }
+    assert counts[("a b", 2)] == 4
+    flags = {(r.shingle, r.width) for r in t.flags().collect()}
+    assert ("a b", 2) in flags
