@@ -138,7 +138,7 @@ def main() -> None:
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        storage = mod.run(spark, compact=True)
+        storage = mod.run(spark, compact=True, calib=calib)
     except Exception as exc:  # noqa: BLE001 - keep the query bench alive
         storage = {"error": str(exc)[:200]}
 
@@ -197,6 +197,10 @@ def main() -> None:
         "frag_vs_ref": {
             k: v.get("write_vs_ref") for k, v in sorted(frag.items())
         },
+        # machine-speed-corrected ratio for the tightest BASELINE rung
+        "frag500k_norm": (frag.get("500000") or {}).get(
+            "write_vs_ref_norm"
+        ),
     }
     final = {
         "metric": "headline_suite_seconds",
