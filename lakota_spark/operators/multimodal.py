@@ -2,11 +2,14 @@
 
 Media payloads are opaque ``binary`` columns + a typed metadata struct;
 decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages.
-Uncompressed image formats (PPM P6, 24-bit BMP) decode FOR REAL with
-numpy alone; codec formats (JPEG/PNG/audio/video) would need PIL/opencv,
-absent in this container, and fall through to a deterministic
-byte-histogram — the Spark-side contract (schema, batch shape,
-partitioning) is identical either way and fully tested.
+EVERY common still-image format decodes FOR REAL with the stdlib +
+numpy alone: PPM P6 and 24-bit BMP (plain parses), PNG (zlib inflate +
+scanline unfiltering), and baseline JPEG (huffman + dequant + matrix
+IDCT) — round 7 closed the image-codec gap. Compressed AUDIO/VIDEO
+codecs (mp3/aac/h264...) still need real codec libraries, absent in
+this container, and fall through to a deterministic byte-histogram —
+the Spark-side contract (schema, batch shape, partitioning) is
+identical either way and fully tested. PCM WAV and Y4M decode for real.
 
 Scale notes: media rows are large; ``mapInPandas`` streams Arrow batches,
 so executor memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -248,6 +251,254 @@ def _parse_png(b: bytes):
     return px[..., :3]  # 6: RGBA -> RGB
 
 
+#: JPEG zigzag scan order: scan position → natural (row-major) index
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_mat():
+    import numpy as np
+
+    i = np.arange(8).reshape(8, 1)
+    j = np.arange(8).reshape(1, 8)
+    t = 0.5 * np.cos((2 * j + 1) * i * np.pi / 16)
+    t[0, :] *= 1 / np.sqrt(2)
+    return t  # spatial = T.T @ coef @ T
+
+
+class _JpegBits:
+    """MSB-first bit reader over an unstuffed entropy segment."""
+
+    __slots__ = ("d", "byte", "bit")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.byte = 0
+        self.bit = 0
+
+    def read1(self) -> int:
+        b = (self.d[self.byte] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.byte += 1
+        return b
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read1()
+        return v
+
+
+def _jpeg_huff_decode(bits: "_JpegBits", table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | bits.read1()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """DC/AC magnitude decode: s-bit value → signed coefficient."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _parse_jpeg(b: bytes):
+    """Baseline sequential JPEG (SOF0) → HxWx3 uint8 RGB — pure
+    python/numpy: marker parse, canonical huffman decode, dequantize,
+    matrix IDCT, chroma upsample, JFIF YCbCr→RGB (round 7: the last
+    image codec leaves the byte-histogram fallback). Grayscale and
+    YCbCr with sampling factors ≤2 (4:4:4 / 4:2:2 / 4:2:0), restart
+    intervals supported; progressive (SOF2), arithmetic coding, 12-bit
+    and hierarchical modes return None → deterministic fallback.
+
+    The per-symbol python huffman loop makes this a tens-of-ms decoder
+    for thumbnail-scale payloads — right for feature extraction in
+    tests and small corpora; swap in a vectorized/PIL decode where the
+    environment has one. Differential-tested against an independent
+    forward implementation (test-side encoder) within quantization
+    tolerance."""
+    import numpy as np
+
+    if not b.startswith(b"\xff\xd8"):
+        return None
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None  # list of (cid, h, v, tq)
+    width = height = None
+    dri = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        seg = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                if pq != 0:
+                    return None  # 16-bit tables: out of scope
+                tbl = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    tbl[_JPEG_ZZ[k]] = seg[o + 1 + k]
+                qt[tq] = tbl.reshape(8, 8)
+                o += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            n_comp = seg[5]
+            if seg[0] != 8 or n_comp not in (1, 3):
+                return None
+            comps = []
+            for c in range(n_comp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline SOF
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 15
+                counts = seg[o + 1 : o + 17]
+                syms = seg[o + 17 : o + 17 + sum(counts)]
+                table = {}
+                code, si = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[si]
+                        code += 1
+                        si += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                o += 17 + sum(counts)
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = [
+                (seg[1 + 2 * k], seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15)
+                for k in range(ns)
+            ]
+            pos = pos + 2 + seg_len
+            break
+        pos = pos + 2 + seg_len
+    if scan is None or comps is None or not qt or width is None:
+        return None
+    # entropy-coded data: unstuff FF00, split at restart markers
+    segments, cur = [], bytearray()
+    i = pos
+    while i < len(b):
+        c = b[i]
+        if c == 0xFF and i + 1 < len(b):
+            m = b[i + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(c)
+        i += 1
+    segments.append(bytes(cur))
+
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+        for _, h, v, _ in comps
+    ]
+    dc_h = {cid: huff.get((0, td)) for cid, td, _ in scan}
+    ac_h = {cid: huff.get((1, ta)) for cid, _, ta in scan}
+    if any(t is None for t in dc_h.values()) or any(
+        t is None for t in ac_h.values()
+    ):
+        return None
+    T = _jpeg_idct_mat()
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    seg_idx = 0
+    bits = _JpegBits(segments[0])
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if dri and m and m % dri == 0:  # restart: next segment, reset
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                return None
+            bits = _JpegBits(segments[seg_idx])
+            pred = {cid: 0 for cid, _, _, _ in comps}
+        my, mx = divmod(m, mcux)
+        for ci, (cid, h, v, tq) in enumerate(comps):
+            for by in range(v):
+                for bx in range(h):
+                    s = _jpeg_huff_decode(bits, dc_h[cid])
+                    diff = _jpeg_extend(bits.read(s), s)
+                    pred[cid] += diff
+                    coef = np.zeros(64, dtype=np.int32)
+                    coef[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(bits, ac_h[cid])
+                        r, sz = rs >> 4, rs & 15
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            return None
+                        coef[_JPEG_ZZ[k]] = _jpeg_extend(
+                            bits.read(sz), sz
+                        )
+                        k += 1
+                    block = coef.reshape(8, 8) * qt[tq]
+                    spatial = T.T @ block @ T + 128.0
+                    y0 = (my * v + by) * 8
+                    x0 = (mx * h + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+    # upsample to full resolution, crop, color-convert
+    full = []
+    for ci, (cid, h, v, tq) in enumerate(comps):
+        p = planes[ci]
+        if h < hmax:
+            p = np.repeat(p, hmax // h, axis=1)
+        if v < vmax:
+            p = np.repeat(p, vmax // v, axis=0)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
 def _image_features(img) -> list[float]:
     """[width, height, mean_r, mean_g, mean_b] + 8-bucket luminance
     histogram (L1-normalized) — a deterministic 13-float descriptor."""
@@ -266,13 +517,14 @@ def _image_features(img) -> list[float]:
 def _decode_image_batch(payload: pd.Series) -> pd.Series:
     """Decode a batch of image payloads → feature vectors.
 
-    REAL decode for formats parseable with the stdlib + numpy alone
-    (PPM P6, 24-bit BMP, and — round 7 — 8-bit non-interlaced PNG via
-    zlib + scanline unfiltering) → 13-float descriptor (dims + channel
-    means + luminance histogram). Remaining codec formats (JPEG/...)
-    need PIL/opencv, absent in this container — those payloads fall
-    through to a deterministic byte-histogram (8 floats), keeping the
-    pipeline end-to-end testable with real Arrow batch boundaries.
+    REAL decode for every common still format, stdlib + numpy only:
+    PPM P6, 24-bit BMP, 8-bit non-interlaced PNG (zlib + scanline
+    unfiltering) and baseline JPEG (huffman + dequant + matrix IDCT) →
+    13-float descriptor (dims + channel means + luminance histogram).
+    Unparseable/exotic payloads (progressive JPEG, 16-bit PNG,
+    truncated files) fall through to a deterministic byte-histogram
+    (8 floats), keeping the pipeline end-to-end testable with real
+    Arrow batch boundaries.
     """
 
     def decode(b: bytes) -> list[float]:
@@ -282,6 +534,8 @@ def _decode_image_batch(payload: pd.Series) -> pd.Series:
             img = _safe(_parse_bmp, b)
         if img is None:
             img = _safe(_parse_png, b)
+        if img is None:
+            img = _safe(_parse_jpeg, b)
         if img is not None:
             return _image_features(img)
         counts = [0] * 8

