@@ -74,9 +74,33 @@ def checkpoint_cadence(n_segments: int) -> int:
     )
 
 
+import threading as _threading
+
+_HEXTS_LOCK = _threading.Lock()
+_HEXTS_LAST = 0
+
+
 def hexts(ts: float | None = None) -> str:
-    """Sortable hex timestamp prefix (millisecond resolution)."""
-    return format(int((time.time() if ts is None else ts) * 1000), "013x")
+    """Sortable hex timestamp prefix (millisecond resolution).
+
+    Wall-clock calls are MONOTONIC per process (same-ms calls bump by
+    1 ms): child ids are ``{hextime}-{sha1(payload)}``, so two commits
+    with IDENTICAL payloads at different chain positions inside one
+    millisecond would otherwise collide on the same child id — the
+    linearizer then sees a phantom two-parent merge node and cold
+    replay diverges from the writer (surfaced by the delta-log
+    Hypothesis suite once the round-7 commit path got fast enough to
+    land several commits per ms). Explicit ``ts`` stays pinned — trim
+    relies on same-cutoff idempotency."""
+    if ts is not None:
+        return format(int(ts * 1000), "013x")
+    global _HEXTS_LAST
+    with _HEXTS_LOCK:
+        now = int(time.time() * 1000)
+        if now <= _HEXTS_LAST:
+            now = _HEXTS_LAST + 1
+        _HEXTS_LAST = now
+    return format(now, "013x")
 
 
 def hexts_to_epoch(h: str) -> float:

@@ -296,3 +296,37 @@ def test_adaptive_checkpoint_cadence(repo, coll, monkeypatch):
     assert [x.to_dict(coll.schema) for x in cold.snapshot().segments] == [
         x.to_dict(coll.schema) for x in coll.snapshot().segments
     ]
+
+
+def test_same_ms_identical_payload_commits_get_distinct_children():
+    # child ids are {hextime}-{sha1(payload)}: identical payloads at
+    # different chain positions inside one wall-clock millisecond must
+    # NOT collide (a collision fabricates a two-parent merge node and
+    # cold replay diverges — caught by the Hypothesis suite when the
+    # r7 commit path got fast enough). hexts() is monotonic in-process.
+    import time as time_mod
+    import uuid
+
+    import lakota_spark.changelog as cl
+    from lakota_spark.fsio import MemFS, open_fs
+
+    uri = f"memory://samems-{uuid.uuid4().hex}"
+    fs = open_fs(uri)
+    log = cl.Changelog(fs, "log")
+    frozen = time_mod.time()
+    orig = cl.time.time
+    cl.time.time = lambda: frozen  # freeze the wall clock
+    try:
+        a = log.commit({"delta": [], "kind": "delta"}, force=True)
+        b = log.commit(
+            {"delta": [], "kind": "delta"}, parents=[a.child], force=True
+        )
+        c = log.commit(
+            {"delta": [], "kind": "delta"}, parents=[b.child], force=True
+        )
+        assert len({a.child, b.child, c.child}) == 3
+        lin = [r.child for r in log.log()]
+        assert lin == [a.child, b.child, c.child]
+    finally:
+        cl.time.time = orig
+        MemFS._STORES.pop(uri, None)
