@@ -615,13 +615,33 @@ class Changelog:
         self._log_cache = None
 
     def pull(self, other: "Changelog") -> int:
-        """Copy revision files missing locally (`lakota/changelog.py:124-137`)."""
+        """Copy revision files missing locally (`lakota/changelog.py:124-137`).
+
+        Source hot/archive placement is PRESERVED: a replica bootstrap
+        of a long history would otherwise dump every archived revision
+        into the hot directory, paying full-listing commits until its
+        own first archive pass re-moves them all. (No manifest is
+        copied — the destination's next checkpoint publishes its own
+        cursor over the already-in-place files.)"""
         have = {r.basename for r in self.revisions()}
+        arch = f"{self.prefix}/{ARCHIVE_DIR}"
+        made_arch = False
         n = 0
         for r in other.revisions():
-            if r.basename not in have:
-                self.fs.write_bytes_atomic(
-                    f"{self.prefix}/{r.basename}", other.fs.read_bytes(r.rel)
-                )
-                n += 1
+            if r.basename in have:
+                continue
+            archived = r.rel.rpartition("/")[0].endswith(
+                "/" + ARCHIVE_DIR
+            )
+            if archived and not made_arch:
+                self.fs.makedirs(arch)
+                self._maybe_archived = True
+                made_arch = True
+            dst = (
+                f"{arch}/{r.basename}"
+                if archived
+                else f"{self.prefix}/{r.basename}"
+            )
+            self.fs.write_bytes_atomic(dst, other.fs.read_bytes(r.rel))
+            n += 1
         return n

@@ -151,6 +151,13 @@ def test_pull_replicates_archived_history(spark, archived_repo, tmp_path):
     got = dst.collection("c")
     assert got.series("s").frame(sort=False).count() == N_COMMITS * CHUNK
     assert len(got.changelog.log()) == N_COMMITS
+    # hot/archive placement preserved: the replica must not dump the
+    # archived history into its hot directory
+    src_hot, _, src_arch = _layout(coll)
+    dst_hot, dst_manifests, dst_arch = _layout(got)
+    assert sorted(dst_hot) == sorted(src_hot)
+    assert sorted(dst_arch) == sorted(src_arch)
+    assert dst_manifests == []  # cursor is rebuilt locally, not copied
 
 
 # --- retention trim / maintain(keep=) ------------------------------------
@@ -233,3 +240,51 @@ def test_maintain_keep_retains_window(spark, tmp_path):
     # counts remain exact
     snap = cold.snapshot(before=epochs[25] + 0.0005)
     assert sum(s.length for s in snap.for_label("s")) == 260
+
+
+def test_archive_on_memfs_backend(spark):
+    """The archive verbs (makedirs/move/atomic manifest) must work on
+    every fsio backend — drive the whole cycle on MemFS with the
+    no-Spark stub collection (delta-log-property pattern)."""
+    import uuid
+
+    import lakota_spark.changelog as cl
+    from lakota_spark.collection import Collection
+    from lakota_spark.commit import Segment
+    from lakota_spark.fsio import MemFS, open_fs
+
+    uri = f"memory://arch-{uuid.uuid4().hex}"
+    fs = open_fs(uri)
+
+    class _StubRepo:
+        def __init__(self, f):
+            self.fs = f
+            self.spark = None
+
+    coll = Collection(_StubRepo(fs), "c", Schema(ts="int*", value="float"))
+    n = 260
+    for i in range(n):
+        coll.apply_segments(
+            [
+                Segment(
+                    label="s",
+                    start=(i * 10,),
+                    stop=(i * 10 + 9,),
+                    path=f"sha-{i}",
+                    length=10,
+                )
+            ]
+        )
+    hot = [
+        f
+        for f in fs.ls(coll.changelog.prefix)
+        if f.endswith(".json") and not f.startswith("_manifest")
+    ]
+    arch = fs.ls(f"{coll.changelog.prefix}/{ARCHIVE_DIR}")
+    assert len(arch) > 0 and len(hot) + len(arch) == n
+    # cold instance resolves the full table through the manifest
+    cold = Collection(_StubRepo(fs), "c", Schema(ts="int*", value="float"))
+    snap = cold.snapshot()
+    assert sum(s.length for s in snap.for_label("s")) == n * 10
+    assert len(cold.changelog.log()) == n
+    MemFS._STORES.pop(uri, None)
