@@ -587,3 +587,44 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+def ccnet_buckets_scalable(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    score_col: str = "avg_logprob",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Two-pass CCNet head/middle/tail stratification — the CLUSTER-SCALE
+    form of the exact per-lang ``ntile(3)`` window (`queries/pipeline.
+    ccnet_buckets`): the window funnels each language through ONE task,
+    so a billion-doc `en` slice bottlenecks there. This variant instead
+
+    1. sketches per-lang score TERTILE BOUNDARIES with
+       ``percentile_approx`` (fixed-size mergeable sketch, partial-agg
+       map-side — one tiny relation, ≤ n_langs rows), then
+    2. assigns buckets map-side via two comparisons against the
+       broadcast boundaries — no window, every stage fully parallel.
+
+    Trade-off: boundary ties land whole tied runs in one bucket, so
+    bucket sizes are approximately-equal thirds instead of ntile's
+    exact ±1 split (closeness pinned by test vs the exact form). Use
+    this above the single-task window ceiling; the oracle-exact ntile
+    stays the default (NOTES r7 scale probe)."""
+    bounds = scored.groupBy(lang_col).agg(
+        F.percentile_approx(
+            score_col, [2.0 / 3.0, 1.0 / 3.0], accuracy
+        ).alias("_b")
+    )
+    assigned = scored.join(F.broadcast(bounds), lang_col).withColumn(
+        "bucket",
+        F.when(F.col(score_col) >= F.col("_b")[0], F.lit(1))
+        .when(F.col(score_col) >= F.col("_b")[1], F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long"),
+    )
+    return assigned.groupBy(lang_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(score_col).alias("min_logprob"),
+        F.max(score_col).alias("max_logprob"),
+    )

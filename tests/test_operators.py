@@ -2157,3 +2157,42 @@ def test_jpeg_decode_420_and_textured():
 
     full = _encode_jpeg(img)
     assert _safe(_parse_jpeg, full[: len(full) // 2]) in (None,) or True
+
+
+def test_ccnet_buckets_scalable_close_to_exact_and_windowless(spark):
+    # the two-pass percentile form must (a) carry NO window in its plan
+    # (that is its whole point - the exact ntile funnels each lang
+    # through one task) and (b) land within a couple of docs per bucket
+    # of the exact split on real data
+    from lakota_spark.operators.text import (
+        ccnet_buckets_scalable,
+        unigram_lm_scores,
+    )
+    from lakota_spark.sources import read_parquet
+    from pyspark.sql import Window
+
+    docs = read_parquet(
+        spark, "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    scored = unigram_lm_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).localCheckpoint(eager=False)
+
+    approx = ccnet_buckets_scalable(scored)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), "doc_id"
+    )
+    exact = (
+        scored.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    got = {(r.lang, r.bucket): r.n_docs for r in approx.collect()}
+    want = {(r.lang, r.bucket): r.n_docs for r in exact.collect()}
+    assert set(got) == set(want)
+    # same totals per lang; per-bucket within +-2 of the exact thirds
+    for k in want:
+        assert abs(got[k] - want[k]) <= 2, (k, got[k], want[k])
