@@ -164,3 +164,54 @@ def test_chaos_writes_defrag_gc_merge(repo):
            for i in range(4) for j in range(3)]
     )
     assert rows == expect
+
+
+def test_writers_race_archiver(repo):
+    """Round-7 archive vs concurrent writers: one thread hammers
+    appends while another repeatedly forces archive passes with a tiny
+    keep window. No write may be lost; the final log must linearize
+    identically from a cold instance (manifest fast path == full
+    relisting), and mid-race readers must never see a shrunken head."""
+    import pandas as pd
+
+    from lakota_spark.changelog import Changelog
+    from lakota_spark.repo import Repo
+
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "arc")
+    series = coll.series("s")
+    series.write({"ts": [0], "value": [0.0]})
+    errs = []
+    stop = threading.Event()
+
+    def archiver():
+        try:
+            while not stop.is_set():
+                coll.changelog.maybe_archive(keep=8)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    N = 300
+    arch_t = threading.Thread(target=archiver)
+    arch_t.start()
+    try:
+        for i in range(1, N):
+            series.write(
+                pd.DataFrame(
+                    {"ts": [i], "value": [float(i)]}
+                )
+            )
+    finally:
+        stop.set()
+        arch_t.join()
+    assert not errs
+    # every append landed and is readable
+    vals = sorted(r.ts for r in series.frame().collect())
+    assert vals == list(range(N))
+    # cold fast-path linearization == from-scratch full linearization
+    cold = Repo(repo.root if hasattr(repo, "root") else repo.uri, repo.spark)
+    got = cold.collection("arc")
+    fast = [r.child for r in got.changelog.log()]
+    fresh = Changelog(got.changelog.fs, got.changelog.prefix)
+    full = [r.child for r in fresh._linearize(fresh.revisions())]
+    assert fast == full
+    assert got.series("s").frame(sort=False).count() == N
