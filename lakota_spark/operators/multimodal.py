@@ -5,11 +5,13 @@ decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages.
 EVERY common still-image format decodes FOR REAL with the stdlib +
 numpy alone: PPM P6 and 24-bit BMP (plain parses), PNG (zlib inflate +
 scanline unfiltering), and baseline JPEG (huffman + dequant + matrix
-IDCT) — round 7 closed the image-codec gap. Compressed AUDIO/VIDEO
-codecs (mp3/aac/h264...) still need real codec libraries, absent in
-this container, and fall through to a deterministic byte-histogram —
-the Spark-side contract (schema, batch shape, partitioning) is
-identical either way and fully tested. PCM WAV and Y4M decode for real.
+IDCT) — round 7 closed the image-codec gap. Audio: PCM WAV and FLAC
+(lossless integer decode — Rice residuals, fixed/LPC predictors,
+stereo decorrelation — bit-exact round-trip tests) decode for real, as
+does Y4M video. Only LOSSY audio/video codecs (mp3/aac/h264...) still
+need real codec libraries, absent in this container, and fall through
+to a deterministic byte-histogram — the Spark-side contract (schema,
+batch shape, partitioning) is identical either way and fully tested.
 
 Scale notes: media rows are large; ``mapInPandas`` streams Arrow batches,
 so executor memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -584,6 +586,232 @@ def _parse_wav(b: bytes):
     return x.mean(axis=1), rate
 
 
+class _FlacBits:
+    """MSB-first bit reader for FLAC frames."""
+
+    __slots__ = ("d", "byte", "bit")
+
+    def __init__(self, d: bytes, byte: int = 0):
+        self.d = d
+        self.byte = byte
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | ((self.d[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+    def utf8_number(self) -> int:
+        first = self.read(8)
+        if first < 0x80:
+            return first
+        n_extra = 0
+        mask = 0x40
+        while first & mask:
+            n_extra += 1
+            mask >>= 1
+        v = first & (mask - 1)
+        for _ in range(n_extra):
+            v = (v << 6) | (self.read(8) & 0x3F)
+        return v
+
+
+_FLAC_BLOCK_SIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_residual(bits: "_FlacBits", n: int, order: int) -> list[int]:
+    """Partitioned-Rice residual decode (both 4- and 5-bit param
+    methods, escape partitions as raw signed)."""
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError("reserved residual method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    po = bits.read(4)
+    parts = 1 << po
+    out = []
+    for p in range(parts):
+        count = (n >> po) - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("bad partition order")
+        param = bits.read(pbits)
+        if param == escape:
+            raw_n = bits.read(5)
+            for _ in range(count):
+                out.append(bits.read_signed(raw_n) if raw_n else 0)
+        else:
+            for _ in range(count):
+                q = bits.unary()
+                v = (q << param) | bits.read(param)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag → signed
+    return out
+
+
+def _flac_subframe(bits: "_FlacBits", n: int, bps: int) -> list[int]:
+    if bits.read(1):
+        raise ValueError("bad subframe sync")
+    sft = bits.read(6)
+    wasted = 0
+    if bits.read(1):
+        wasted = 1 + bits.unary()
+        bps -= wasted
+    if sft == 0:  # CONSTANT
+        v = bits.read_signed(bps)
+        out = [v] * n
+    elif sft == 1:  # VERBATIM
+        out = [bits.read_signed(bps) for _ in range(n)]
+    elif 8 <= sft <= 12:  # FIXED order 0-4
+        order = sft - 8
+        warm = [bits.read_signed(bps) for _ in range(order)]
+        resid = _flac_residual(bits, n, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        out = list(warm)
+        for r in resid:
+            pred = sum(c * out[-i - 1] for i, c in enumerate(coefs))
+            out.append(pred + r)
+    elif sft >= 32:  # LPC, order = sft - 31
+        order = sft - 31
+        warm = [bits.read_signed(bps) for _ in range(order)]
+        precision = bits.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid lpc precision")
+        shift = bits.read_signed(5)
+        coefs = [bits.read_signed(precision) for _ in range(order)]
+        resid = _flac_residual(bits, n, order)
+        out = list(warm)
+        for r in resid:
+            pred = sum(
+                c * out[-i - 1] for i, c in enumerate(coefs)
+            ) >> shift
+            out.append(pred + r)
+    else:
+        raise ValueError("reserved subframe type")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def _parse_flac(b: bytes):
+    """FLAC → (samples float64 in [-1, 1], sample_rate) — pure
+    python/numpy lossless decode (round 7): STREAMINFO, frame headers,
+    CONSTANT/VERBATIM/FIXED/LPC subframes, partitioned-Rice residuals,
+    left/right/mid-side stereo decorrelation. Bit-exact by construction
+    (integer predictors), round-trip-tested against an independent
+    test-side encoder. CRCs are not verified (integrity is the storage
+    layer's job here); exotic shapes (>2 channels, >16 bps) fall back.
+
+    Per-sample python loops make this a tens-of-ms decoder per short
+    clip — feature-extraction scale, like the JPEG path."""
+    import numpy as np
+
+    if not b.startswith(b"fLaC"):
+        return None
+    pos = 4
+    rate = channels = bps = None
+    while pos + 4 <= len(b):
+        hdr = b[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        length = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        if btype == 0:  # STREAMINFO
+            si = b[pos + 4 : pos + 4 + length]
+            rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+            channels = ((si[12] >> 1) & 0x7) + 1
+            bps = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1
+        pos += 4 + length
+        if last:
+            break
+    if rate is None or rate == 0 or channels > 2 or bps > 16:
+        return None
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF or (b[pos + 1] >> 2) != 0x3E:
+            break  # no more frames (padding/garbage)
+        bits = _FlacBits(b, pos)
+        bits.read(16)  # sync + reserved + blocking strategy
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        ss_code = bits.read(3)
+        bits.read(1)
+        bits.utf8_number()  # frame/sample number
+        if bs_code == 6:
+            n = bits.read(8) + 1
+        elif bs_code == 7:
+            n = bits.read(16) + 1
+        else:
+            n = _FLAC_BLOCK_SIZES.get(bs_code)
+            if n is None:
+                return None
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        bits.read(8)  # header CRC-8
+        if ch_code < 8:
+            n_sub = ch_code + 1
+            if n_sub != channels:
+                return None
+            subs = [_flac_subframe(bits, n, bps) for _ in range(n_sub)]
+        elif ch_code == 8:  # left/side
+            left = _flac_subframe(bits, n, bps)
+            side = _flac_subframe(bits, n, bps + 1)
+            subs = [left, [l - s for l, s in zip(left, side)]]
+        elif ch_code == 9:  # right/side
+            side = _flac_subframe(bits, n, bps + 1)
+            right = _flac_subframe(bits, n, bps)
+            subs = [[r + s for r, s in zip(right, side)], right]
+        elif ch_code == 10:  # mid/side
+            mid = _flac_subframe(bits, n, bps)
+            side = _flac_subframe(bits, n, bps + 1)
+            subs = [[], []]
+            for m, s in zip(mid, side):
+                m = (m << 1) | (s & 1)
+                subs[0].append((m + s) >> 1)
+                subs[1].append((m - s) >> 1)
+        else:
+            return None
+        for c in range(channels):
+            chans[c].extend(subs[c % len(subs)])
+        bits.align()
+        bits.read(16)  # frame CRC-16
+        pos = bits.byte
+    if not chans[0]:
+        return None
+    x = np.array(chans, dtype=np.float64).T / float(2 ** (bps - 1))
+    return x.mean(axis=1), rate
+
+
 def _audio_features(samples, rate: int) -> list[float]:
     """[duration_s, rms, zero_crossing_rate, peak] — deterministic
     4-float descriptor of a mono sample array."""
@@ -599,12 +827,15 @@ def _audio_features(samples, rate: int) -> list[float]:
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """Arrow-batched audio feature extraction: REAL decode for PCM WAV
-    (numpy-only), byte-histogram fallback for codec formats (mp3/ogg/...
-    would need ffmpeg/librosa, absent here)."""
+    and FLAC (pure python/numpy — round 7), byte-histogram fallback for
+    lossy codec formats (mp3/ogg/aac would need ffmpeg/librosa, absent
+    here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def decode(b: bytes) -> list[float]:
             parsed = _safe(_parse_wav, bytes(b))
+            if parsed is None:
+                parsed = _safe(_parse_flac, bytes(b))
             if parsed is not None:
                 return _audio_features(*parsed)
             counts = [0] * 8

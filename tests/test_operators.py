@@ -2196,3 +2196,234 @@ def test_ccnet_buckets_scalable_close_to_exact_and_windowless(spark):
     # same totals per lang; per-bucket within +-2 of the exact thirds
     for k in want:
         assert abs(got[k] - want[k]) <= 2, (k, got[k], want[k])
+
+
+class _FlacWriter:
+    """Minimal FLAC encoder for the golden tests — independent of the
+    decoder (shares only spec constants): STREAMINFO + frames with
+    CONSTANT/VERBATIM/FIXED subframes, single-partition Rice residuals,
+    optional mid/side stereo, real CRC-8/16."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def w(self, v, n):
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self):
+        if self.nbits:
+            self.w(0, 8 - self.nbits)
+
+
+def _crc8(data):
+    c = 0
+    for byte in data:
+        c ^= byte
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16(data):
+    c = 0
+    for byte in data:
+        c ^= byte << 8
+        for _ in range(8):
+            c = (
+                ((c << 1) ^ 0x8005) & 0xFFFF
+                if c & 0x8000
+                else (c << 1) & 0xFFFF
+            )
+    return c
+
+
+def _flac_write_subframe(bw, samples, bps, kind):
+    bw.w(0, 1)
+    if kind == "verbatim":
+        bw.w(1, 6)
+        bw.w(0, 1)
+        for s in samples:
+            bw.w(s, bps)
+        return
+    if kind == "constant":
+        bw.w(0, 6)
+        bw.w(0, 1)
+        bw.w(samples[0], bps)
+        return
+    order = int(kind[-1])  # "fixed0".."fixed2"
+    bw.w(8 + order, 6)
+    bw.w(0, 1)
+    for s in samples[:order]:
+        bw.w(s, bps)
+    coefs = {0: [], 1: [1], 2: [2, -1]}[order]
+    resid = [
+        samples[i] - sum(c * samples[i - j - 1] for j, c in enumerate(coefs))
+        for i in range(order, len(samples))
+    ]
+    bw.w(0, 2)  # 4-bit rice method
+    bw.w(0, 4)  # partition order 0
+    param = 6
+    bw.w(param, 4)
+    for r in resid:
+        u = (r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1
+        q = u >> param
+        for _ in range(q):
+            bw.w(0, 1)
+        bw.w(1, 1)
+        bw.w(u, param)
+
+
+def _encode_flac(channels, rate=8000, bps=16, frame_plan=None):
+    """channels: list of equal-length int sample lists. frame_plan:
+    list of (n_samples, subframe_kind, channel_mode)."""
+    import numpy as np
+
+    n_total = len(channels[0])
+    out = bytearray(b"fLaC")
+    si = bytearray()
+    si += (192).to_bytes(2, "big") * 2          # min/max block size
+    si += (0).to_bytes(3, "big") * 2            # min/max frame size
+    si.append((rate >> 12) & 0xFF)
+    si.append((rate >> 4) & 0xFF)
+    si.append(
+        ((rate & 0xF) << 4)
+        | ((len(channels) - 1) << 1)
+        | ((bps - 1) >> 4)
+    )
+    si.append((((bps - 1) & 0xF) << 4) | ((n_total >> 32) & 0xF))
+    si += (n_total & 0xFFFFFFFF).to_bytes(4, "big")
+    si += bytes(16)  # md5 unset
+    out.append(0x80)  # last metadata block, STREAMINFO
+    out += len(si).to_bytes(3, "big")
+    out += si
+
+    pos = 0
+    for fi, (n, kind, mode) in enumerate(frame_plan):
+        bw = _FlacWriter()
+        bw.w(0b11111111111110, 14)
+        bw.w(0, 1)  # reserved
+        bw.w(0, 1)  # fixed blocksize strategy
+        bw.w(6, 4)  # blocksize: 8-bit value follows
+        bw.w(0, 4)  # sample rate: from streaminfo
+        ch_code = {
+            "independent": len(channels) - 1,
+            "left_side": 8,
+            "mid_side": 10,
+        }[mode]
+        bw.w(ch_code, 4)
+        bw.w(0, 3)  # sample size: from streaminfo
+        bw.w(0, 1)
+        assert fi < 128
+        bw.w(fi, 8)  # utf8 frame number (single byte)
+        bw.w(n - 1, 8)  # 8-bit blocksize-1
+        bw.w(_crc8(bytes(bw.out)), 8)
+        sl = [ch[pos : pos + n] for ch in channels]
+        if mode == "independent":
+            for ch in sl:
+                _flac_write_subframe(bw, ch, bps, kind)
+        elif mode == "left_side":
+            side = [l - r for l, r in zip(sl[0], sl[1])]
+            _flac_write_subframe(bw, sl[0], bps, kind)
+            _flac_write_subframe(bw, side, bps + 1, kind)
+        else:  # mid_side
+            mid = [(l + r) >> 1 for l, r in zip(sl[0], sl[1])]
+            side = [l - r for l, r in zip(sl[0], sl[1])]
+            _flac_write_subframe(bw, mid, bps, kind)
+            _flac_write_subframe(bw, side, bps + 1, kind)
+        bw.align()
+        bw.w(_crc16(bytes(bw.out)), 16)
+        out += bw.out
+        pos += n
+    return bytes(out)
+
+
+def test_flac_decode_bit_exact_mono():
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_flac
+
+    rng = np.random.default_rng(5)
+    t = np.arange(192 * 3)
+    sig = (
+        3000 * np.sin(2 * np.pi * 440 * t / 8000)
+        + rng.integers(-50, 50, len(t))
+    ).astype(np.int64)
+    samples = [int(v) for v in sig]
+    blob = _encode_flac(
+        [samples],
+        frame_plan=[
+            (192, "fixed2", "independent"),
+            (192, "verbatim", "independent"),
+            (192, "fixed1", "independent"),
+        ],
+    )
+    got = _parse_flac(blob)
+    assert got is not None
+    x, rate = got
+    assert rate == 8000
+    want = sig.astype(np.float64) / 32768.0
+    assert len(x) == len(want)
+    assert np.array_equal(x, want)  # lossless: bit-exact
+
+
+def test_flac_decode_stereo_decorrelation():
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_flac
+
+    rng = np.random.default_rng(9)
+    n = 192 * 3
+    left = rng.integers(-4000, 4000, n).astype(np.int64)
+    right = (left // 2 + rng.integers(-100, 100, n)).astype(np.int64)
+    blob = _encode_flac(
+        [[int(v) for v in left], [int(v) for v in right]],
+        frame_plan=[
+            (192, "verbatim", "independent"),
+            (192, "verbatim", "left_side"),
+            (192, "verbatim", "mid_side"),
+        ],
+    )
+    got = _parse_flac(blob)
+    assert got is not None
+    x, rate = got
+    want = (left + right).astype(np.float64) / 2.0 / 32768.0
+    assert np.array_equal(x, want)
+
+
+def test_flac_features_through_spark(spark):
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _audio_features,
+        _parse_flac,
+        extract_audio_features,
+    )
+
+    t = np.arange(192 * 2)
+    sig = (2000 * np.sin(2 * np.pi * 220 * t / 8000)).astype(np.int64)
+    blob = _encode_flac(
+        [[int(v) for v in sig]],
+        frame_plan=[
+            (192, "fixed2", "independent"),
+            (192, "fixed2", "independent"),
+        ],
+    )
+    rows = [(1, bytearray(blob), "audio/flac", len(blob), "{}")]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r.media_id: r.feature
+        for r in extract_audio_features(media).collect()
+    }
+    import pytest
+
+    want = _audio_features(*_parse_flac(blob))
+    assert len(feats[1]) == 4  # real decode, not the 8-float fallback
+    assert feats[1] == pytest.approx(want)
