@@ -3,9 +3,10 @@
 Media payloads are opaque ``binary`` columns + a typed metadata struct;
 decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages.
 EVERY common still-image format decodes FOR REAL with the stdlib +
-numpy alone: PPM P6 and 24-bit BMP (plain parses), PNG (zlib inflate +
-scanline unfiltering), and baseline JPEG (huffman + dequant + matrix
-IDCT) — round 7 closed the image-codec gap. Audio: PCM WAV and FLAC
+numpy alone: PPM P6 and 24-bit BMP (plain parses), GIF (LZW,
+global/local palettes, interlace), PNG (zlib inflate + scanline
+unfiltering), and baseline JPEG (huffman + dequant + matrix IDCT) —
+round 7 closed the image-codec gap. Audio: PCM WAV and FLAC
 (lossless integer decode — Rice residuals, fixed/LPC predictors,
 stereo decorrelation — bit-exact round-trip tests) decode for real, as
 does Y4M video. Only LOSSY audio/video codecs (mp3/aac/h264...) still
@@ -134,6 +135,146 @@ def _parse_bmp(b: bytes):
     if h > 0:
         img = img[::-1]  # bottom-up storage
     return img[..., ::-1]  # BGR -> RGB
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-variant LZW → palette-index bytearray.
+
+    LSB-first variable-width codes (min+1 … 12 bits), clear/end codes,
+    table rebuilt on clear. Decoder widens one step behind the encoder
+    (widen when the NEXT code to assign would not fit), the standard
+    matched convention. Stops at the end code or once ``n_pixels``
+    indices are out (tolerates encoders that omit the end code)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = bits = pos = 0
+    prev = None
+    while len(out) < n_pixels:
+        while bits < code_size:
+            if pos >= len(data):
+                return out if out else None
+            acc |= data[pos] << bits
+            pos += 1
+            bits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:  # first code after a clear: literal by spec
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            return None  # code ahead of the table: corrupt stream
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def _parse_gif(b: bytes):
+    """GIF (87a/89a) → HxWx3 uint8 RGB — stdlib + numpy LZW decode.
+
+    First frame only (features don't animate): global/local color
+    tables, interlaced row reordering, frame composed onto a canvas of
+    the logical screen size filled with the background color. The
+    GCE transparency flag is ignored (the transparent index renders as
+    its palette color) — fine for feature extraction, where the
+    descriptor is channel means + a luminance histogram."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    packed, bg_idx = b[10], b[11]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, count=3 * n, offset=pos).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    if gct is not None and bg_idx < len(gct):
+        canvas[:] = gct[bg_idx]
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return None  # no image descriptor seen
+        if block == 0x21:  # extension: label + size-prefixed sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:  # image descriptor is the only other block
+            return None
+        left = int.from_bytes(b[pos : pos + 2], "little")
+        top = int.from_bytes(b[pos + 2 : pos + 4], "little")
+        w = int.from_bytes(b[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+        ipacked = b[pos + 8]
+        pos += 9
+        table = gct
+        if ipacked & 0x80:  # local color table overrides
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(
+                b, np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None or w == 0 or h == 0:
+            return None
+        min_code_size = b[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 8:
+            return None
+        chunks = []
+        while pos < len(b) and b[pos]:
+            size = b[pos]
+            chunks.append(b[pos + 1 : pos + 1 + size])
+            pos += 1 + size
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
+        if idx is None or len(idx) < w * h:
+            return None
+        rows = np.frombuffer(
+            bytes(idx), np.uint8, count=w * h
+        ).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: 4-pass row shuffle
+            order = np.concatenate(
+                [np.arange(s, h, step) for s, step in
+                 ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            deinterlaced = np.empty_like(rows)
+            deinterlaced[order] = rows
+            rows = deinterlaced
+        if int(rows.max(initial=0)) >= len(table):
+            return None
+        ph, pw = min(h, sh - top), min(w, sw - left)
+        if ph <= 0 or pw <= 0:
+            return None
+        canvas[top : top + ph, left : left + pw] = table[rows[:ph, :pw]]
+        return canvas
+    return None
 
 
 def _parse_png(b: bytes):
@@ -520,9 +661,10 @@ def _decode_image_batch(payload: pd.Series) -> pd.Series:
     """Decode a batch of image payloads → feature vectors.
 
     REAL decode for every common still format, stdlib + numpy only:
-    PPM P6, 24-bit BMP, 8-bit non-interlaced PNG (zlib + scanline
-    unfiltering) and baseline JPEG (huffman + dequant + matrix IDCT) →
-    13-float descriptor (dims + channel means + luminance histogram).
+    PPM P6, 24-bit BMP, GIF (LZW + palettes + interlace), 8-bit
+    non-interlaced PNG (zlib + scanline unfiltering) and baseline JPEG
+    (huffman + dequant + matrix IDCT) → 13-float descriptor (dims +
+    channel means + luminance histogram).
     Unparseable/exotic payloads (progressive JPEG, 16-bit PNG,
     truncated files) fall through to a deterministic byte-histogram
     (8 floats), keeping the pipeline end-to-end testable with real
@@ -534,6 +676,8 @@ def _decode_image_batch(payload: pd.Series) -> pd.Series:
         img = _safe(_parse_ppm, b)
         if img is None:
             img = _safe(_parse_bmp, b)
+        if img is None:
+            img = _safe(_parse_gif, b)
         if img is None:
             img = _safe(_parse_png, b)
         if img is None:

@@ -1852,6 +1852,164 @@ def test_png_features_through_spark(spark):
     assert feats[1] == pytest.approx(want)
 
 
+def _gif_lzw_encode(indices, min_code_size):
+    """Real LZW compressor for the GIF golden tests: dict-grown codes,
+    variable width (widens when the code just assigned hits the width
+    ceiling — the one-ahead twin of the decoder's rule), clear-on-full."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = bits = 0
+    code_size = min_code_size + 1
+
+    def emit(code):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    def reset():
+        nonlocal code_size
+        code_size = min_code_size + 1
+        return {bytes([i]): i for i in range(clear)}, end + 1
+
+    table, next_code = reset()
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == 1 << code_size and code_size < 12:
+            code_size += 1
+        elif next_code == 4096:
+            emit(clear)
+            table, next_code = reset()
+        w = wk[-1:]
+    if w:
+        emit(table[w])
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(idx, palette, interlace=False, left=0, top=0,
+                screen=None, bg=0, local_palette=None):
+    """Minimal-but-real GIF89a encoder for the golden tests: true LZW,
+    optional interlace, frame offsets, local color table, a GCE block
+    the parser must skip, ≤255-byte data sub-blocks."""
+    import numpy as np
+
+    h, w = idx.shape
+    sw, sh = screen if screen else (left + w, top + h)
+
+    def color_table(pal):
+        bits = max(1, (len(pal) - 1).bit_length())
+        padded = np.zeros((2**bits, 3), dtype=np.uint8)
+        padded[: len(pal)] = pal
+        return bits, padded.tobytes()
+
+    gbits, gdata = color_table(palette)
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | (gbits - 1), bg, 0]) + gdata
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: must be skipped
+    out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    flags, lbits, ldata = (0x40 if interlace else 0), None, b""
+    if local_palette is not None:
+        lbits, ldata = color_table(local_palette)
+        flags |= 0x80 | (lbits - 1)
+    out.append(flags)
+    out += ldata
+    rows = idx
+    if interlace:
+        order = np.concatenate(
+            [np.arange(s, h, step)
+             for s, step in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        rows = idx[order]
+    mcs = max(2, lbits if lbits is not None else gbits)
+    out.append(mcs)
+    data = _gif_lzw_encode(rows.reshape(-1).tolist(), mcs)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_bit_exact():
+    # 40x40 random 16-color frame: enough emitted codes to widen the LZW
+    # width several steps past min_code_size+1, decoded bit-exactly
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_gif
+
+    rng = np.random.default_rng(17)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(40, 40), dtype=np.uint8)
+    got = _parse_gif(_encode_gif(idx, palette))
+    assert got is not None and got.shape == (40, 40, 3)
+    assert np.array_equal(got, palette[idx])
+
+
+def test_gif_decode_interlace_offsets_local_table():
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_gif, _safe
+
+    rng = np.random.default_rng(23)
+    decoy = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    local = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(13, 7), dtype=np.uint8)
+    # interlaced frame at (3,2) inside a 12x20 screen, bg color 1 from
+    # the GLOBAL table, pixels through the LOCAL table
+    gif = _encode_gif(
+        idx, decoy, interlace=True, left=3, top=2, screen=(12, 20),
+        bg=1, local_palette=local,
+    )
+    got = _parse_gif(gif)
+    assert got is not None and got.shape == (20, 12, 3)
+    want = np.zeros((20, 12, 3), dtype=np.uint8)
+    want[:] = decoy[1]
+    want[2:15, 3:10] = local[idx]
+    assert np.array_equal(got, want)
+    # truncated payload -> safe fallback (None), not an exception
+    assert _safe(_parse_gif, gif[: len(gif) // 2]) is None
+    # a stream whose codes run ahead of the table is rejected
+    assert _parse_gif(b"GIF89a" + b"\x00" * 20) is None
+
+
+def test_gif_features_through_spark(spark):
+    import numpy as np
+    import pytest
+
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _image_features,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(29)
+    palette = rng.integers(0, 256, size=(32, 3), dtype=np.uint8)
+    idx = rng.integers(0, 32, size=(9, 11), dtype=np.uint8)
+    gif = _encode_gif(idx, palette)
+    rows = [(1, bytearray(gif), "image/gif", len(gif), "{}")]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    want = _image_features(palette[idx])
+    assert len(feats[1]) == 13  # real decode, not the 8-float fallback
+    assert feats[1] == pytest.approx(want)
+
+
 def test_keep_best_per_cluster_string_ids(spark):
     # the argmax folds as min(struct(-score, id)) so the smallest-id
     # tie-break works for STRING doc ids too (ADVICE r6: the old
