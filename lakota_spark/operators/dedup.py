@@ -1079,16 +1079,22 @@ def keep_best_per_cluster(
 
     Scale shape: one broadcast-or-shuffle equi-join (clusters ⨝ scores
     on id) plus ONE partial-aggregated groupBy on cluster_id — the
-    argmax folds map-side as ``min(struct(-score, id))`` (negating the
-    SCORE, which is always numeric, keeps the smallest-id tie-break
-    working for ANY orderable id type — string doc ids included; the
-    earlier ``max(struct(score, -id))`` form failed on unary minus over
-    strings, ADVICE r6). A single row per cluster crosses the wire
-    regardless of cluster size (no window, no second pass).
+    argmax folds map-side as ``min(struct(score IS NULL, -score, id))``
+    (negating the SCORE, which is always numeric, keeps the smallest-id
+    tie-break working for ANY orderable id type — string doc ids
+    included; the earlier ``max(struct(score, -id))`` form failed on
+    unary minus over strings, ADVICE r6). The leading null flag makes
+    NULL-score members LOSE to any scored member (struct comparison
+    sorts a null field first, so without the flag ``min`` would *keep*
+    the one document with no quality signal); a cluster whose members
+    are all unscored reports ``kept_score`` NULL with the min-id member.
+    A single row per cluster crosses the wire regardless of cluster
+    size (no window, no second pass).
     """
     joined = clusters.join(scores, id_col)
     best = F.min(
         F.struct(
+            F.col(score_col).isNull().cast("int").alias("s_null"),
             (-F.col(score_col)).alias("neg_s"),
             F.col(id_col).alias("id"),
         )

@@ -78,13 +78,40 @@ def _safe(parser, b: bytes):
     A corpus-cleaning pipeline must never let one truncated file kill the
     whole Spark stage (truncated buffers raise ValueError in np.frombuffer,
     garbage header tokens raise ValueError/IndexError in int()/index(),
-    corrupt deflate streams raise zlib.error)."""
+    corrupt deflate streams raise zlib.error, headers referencing
+    undefined tables raise KeyError in the JPEG dict lookups, and
+    header-driven over-allocation raises MemoryError once the size caps
+    below are exceeded)."""
     import zlib
 
     try:
         return parser(b)
-    except (ValueError, IndexError, OverflowError, zlib.error):
+    except (
+        ValueError,
+        IndexError,
+        KeyError,
+        OverflowError,
+        MemoryError,
+        zlib.error,
+    ):
         return None
+
+
+# Decoders allocate output buffers from header-declared dimensions BEFORE
+# validating the payload; a 13-byte file claiming 65535x65535 must not OOM
+# an executor. Any header implying more pixels than this is treated as
+# malformed (raised as ValueError -> caught by _safe). 64 MPix covers every
+# real photographic input while capping the pre-validation canvas at
+# ~192 MB.
+_MAX_PIXELS = 64_000_000
+# PNG IDAT streams are zlib; a small bomb can inflate to GBs. Expected
+# decompressed size is height*(1+width*channels); we cap decompress at the
+# expected size (+1 to detect overflow) instead of letting it run free.
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"implausible image dims {w}x{h}")
 
 
 def _parse_ppm(b: bytes):
@@ -205,6 +232,7 @@ def _parse_gif(b: bytes):
         return None
     sw = int.from_bytes(b[6:8], "little")
     sh = int.from_bytes(b[8:10], "little")
+    _check_dims(sw, sh)
     packed, bg_idx = b[10], b[11]
     pos, gct = 13, None
     if packed & 0x80:
@@ -319,8 +347,14 @@ def _parse_png(b: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None or (color_type == 3 and palette is None):
         return None
-    raw = zlib.decompress(b"".join(idat))
+    _check_dims(width, height)
     stride = width * channels
+    # Bounded inflate: a small IDAT zlib bomb must not balloon to GBs.
+    # We need exactly height*(stride+1) bytes; anything past that is
+    # ignorable (and anything short fails the length check below).
+    raw = zlib.decompressobj().decompress(
+        b"".join(idat), height * (stride + 1)
+    )
     if len(raw) < height * (stride + 1):
         return None
     rows = np.frombuffer(
@@ -506,6 +540,7 @@ def _parse_jpeg(b: bytes):
         elif marker == 0xC0:  # SOF0 baseline
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
+            _check_dims(width, height)
             n_comp = seg[5]
             if seg[0] != 8 or n_comp not in (1, 3):
                 return None

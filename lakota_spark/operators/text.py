@@ -610,13 +610,27 @@ def ccnet_buckets_scalable(
     bucket sizes are approximately-equal thirds instead of ntile's
     exact ±1 split (closeness pinned by test vs the exact form). Use
     this above the single-task window ceiling; the oracle-exact ntile
-    stays the default (NOTES r7 scale probe)."""
+    stays the default (NOTES r7 scale probe).
+
+    NULL handling (divergence from the ntile form beyond tie
+    placement): the boundary join is null-SAFE, so lang=NULL documents
+    (langid failures) form their own stratum instead of being silently
+    dropped; documents whose score is NULL — or whose language has no
+    non-NULL scores at all, leaving no boundaries — land in bucket 3
+    (tail), where unscorable content belongs in a curation pipeline.
+    The exact window form instead places NULL scores wherever ntile's
+    null-first sort ordering puts them."""
     bounds = scored.groupBy(lang_col).agg(
         F.percentile_approx(
             score_col, [2.0 / 3.0, 1.0 / 3.0], accuracy
         ).alias("_b")
     )
-    assigned = scored.join(F.broadcast(bounds), lang_col).withColumn(
+    bounds = bounds.withColumnRenamed(lang_col, "_lang_b")
+    assigned = scored.join(
+        F.broadcast(bounds),
+        F.col(lang_col).eqNullSafe(F.col("_lang_b")),
+        "left",
+    ).drop("_lang_b").withColumn(
         "bucket",
         F.when(F.col(score_col) >= F.col("_b")[0], F.lit(1))
         .when(F.col(score_col) >= F.col("_b")[1], F.lit(2))

@@ -1984,8 +1984,10 @@ def test_gif_decode_interlace_offsets_local_table():
     assert np.array_equal(got, want)
     # truncated payload -> safe fallback (None), not an exception
     assert _safe(_parse_gif, gif[: len(gif) // 2]) is None
-    # a stream whose codes run ahead of the table is rejected
-    assert _parse_gif(b"GIF89a" + b"\x00" * 20) is None
+    # a stream whose codes run ahead of the table is rejected (the 0x0
+    # screen now trips the _check_dims guard, so go through _safe like
+    # every production call site does)
+    assert _safe(_parse_gif, b"GIF89a" + b"\x00" * 20) is None
 
 
 def test_gif_features_through_spark(spark):
@@ -2032,6 +2034,30 @@ def test_keep_best_per_cluster_string_ids(spark):
     assert got[1].kept_score == 0.9
     assert got[1].n_members == 3 and got[1].n_dropped == 2
     assert got[2].kept_doc == "docZ"
+
+
+def test_keep_best_per_cluster_null_scores_lose(spark):
+    # struct comparison sorts a null field FIRST, so a naive
+    # min(struct(-score, id)) would let the one UNSCORED member win its
+    # cluster; the leading score-is-null flag must make it lose to any
+    # scored member, and an all-null cluster reports kept_score NULL
+    # with the min-id member
+    from lakota_spark.operators.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 2)],
+        "doc_id string, cluster_id int",
+    )
+    scores = spark.createDataFrame(
+        [("a", None), ("b", 0.2), ("c", None), ("d", None)],
+        "doc_id string, score double",
+    )
+    got = {
+        r.cluster_id: r
+        for r in keep_best_per_cluster(clusters, scores).collect()
+    }
+    assert got[1].kept_doc == "b" and got[1].kept_score == 0.2
+    assert got[2].kept_doc == "c" and got[2].kept_score is None
 
 
 def test_span_flag_tracker_publish_race_retries(spark, tmp_path):
@@ -2314,7 +2340,85 @@ def test_jpeg_decode_420_and_textured():
     from lakota_spark.operators.multimodal import _safe
 
     full = _encode_jpeg(img)
-    assert _safe(_parse_jpeg, full[: len(full) // 2]) in (None,) or True
+    truncated = full[: len(full) // 2]
+    # may decode partially (garbage pixels) or fail; must never raise
+    _safe(_parse_jpeg, truncated)
+
+
+def test_decoders_survive_hostile_headers():
+    """Crafted/corrupt payloads must degrade to None through _safe — a
+    corpus cleaner over crawled data cannot let one file kill a stage or
+    OOM an executor via header-declared allocations."""
+    import zlib
+
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import (
+        _parse_gif,
+        _parse_jpeg,
+        _parse_png,
+        _safe,
+    )
+
+    # JPEG referencing a quant table never defined in any DQT: the
+    # qt[tq] lookup raises KeyError, which _safe must swallow.
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(
+            2, "big"
+        ) + payload
+
+    dqt0 = seg(0xDB, b"\x00" + bytes(range(1, 65)))
+    sof_bad_tq = seg(0xC0, b"\x08\x00\x08\x00\x08\x01" + b"\x01\x11\x05")
+    dht = seg(0xC4, b"\x00" + b"\x01" + b"\x00" * 15 + b"\x00")
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    bad_jpeg = b"\xff\xd8" + dqt0 + sof_bad_tq + dht + sos + b"\x00\xff\xd9"
+    assert _safe(_parse_jpeg, bad_jpeg) is None
+
+    # SOS naming a component id absent from SOF: dc_h[cid] KeyError.
+    sof_ok = seg(0xC0, b"\x08\x00\x08\x00\x08\x01" + b"\x01\x11\x00")
+    sos_bad_cid = seg(0xDA, b"\x01\x07\x00\x00\x3f\x00")
+    bad_jpeg2 = (
+        b"\xff\xd8" + dqt0 + sof_ok + dht + sos_bad_cid + b"\x00\xff\xd9"
+    )
+    assert _safe(_parse_jpeg, bad_jpeg2) is None
+
+    # 13-byte GIF claiming a 65535x65535 screen: must NOT allocate the
+    # 12.9 GB canvas.
+    huge_gif = b"GIF89a" + b"\xff\xff\xff\xff" + b"\x00\x00\x00"
+    assert _safe(_parse_gif, huge_gif) is None
+
+    # JPEG claiming 65535x65535: must NOT allocate ~34 GB of planes.
+    sof_huge = seg(0xC0, b"\x08\xff\xff\xff\xff\x01" + b"\x01\x11\x00")
+    huge_jpeg = b"\xff\xd8" + dqt0 + sof_huge + dht + sos + b"\x00\xff\xd9"
+    assert _safe(_parse_jpeg, huge_jpeg) is None
+
+    # PNG zlib bomb: tiny IDAT inflating to ~1 GB with a huge declared
+    # height; bounded decompress caps the inflate at the canvas size,
+    # and the canvas itself is capped by _check_dims.
+    def chunk(ctype, data):
+        c = ctype + data
+        return (
+            len(data).to_bytes(4, "big")
+            + c
+            + zlib.crc32(c).to_bytes(4, "big")
+        )
+
+    ihdr = chunk(
+        b"IHDR",
+        (1 << 16).to_bytes(4, "big")  # width 65536
+        + (1 << 16).to_bytes(4, "big")  # height 65536
+        + bytes([8, 2, 0, 0, 0]),
+    )
+    bomb = chunk(b"IDAT", zlib.compress(bytes(10_000_000), 9))
+    png_bomb = (
+        b"\x89PNG\r\n\x1a\n" + ihdr + bomb + chunk(b"IEND", b"")
+    )
+    assert _safe(_parse_png, png_bomb) is None
+
+    # sanity: the caps must not reject a real (small) image — regression
+    # guard that _check_dims sits on the hostile path only.
+    img = np.full((4, 4, 3), 128, dtype=np.uint8)
+    assert _safe(_parse_png, _encode_png(img, 2, filters=[0, 0, 0, 0])) is not None
 
 
 def test_ccnet_buckets_scalable_close_to_exact_and_windowless(spark):
@@ -2585,3 +2689,32 @@ def test_flac_features_through_spark(spark):
     want = _audio_features(*_parse_flac(blob))
     assert len(feats[1]) == 4  # real decode, not the 8-float fallback
     assert feats[1] == pytest.approx(want)
+
+
+def test_ccnet_buckets_scalable_null_lang_and_score(spark):
+    # lang=NULL docs (langid failures) must form their own stratum —
+    # a plain equi-join on lang would silently drop them; NULL-score
+    # docs land in bucket 3 (tail) rather than poisoning comparisons
+    from lakota_spark.operators.text import ccnet_buckets_scalable
+
+    scored = spark.createDataFrame(
+        [
+            ("a", "en", -1.0),
+            ("b", "en", -2.0),
+            ("c", "en", -3.0),
+            ("d", None, -1.5),
+            ("e", None, -2.5),
+            ("f", "fr", None),  # lang with NO non-null scores
+        ],
+        "doc_id string, lang string, avg_logprob double",
+    )
+    rows = ccnet_buckets_scalable(scored).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, 0)
+        by_lang[r.lang] += r.n_docs
+    assert by_lang.get("en") == 3
+    assert by_lang.get(None) == 2  # null-lang stratum retained
+    assert by_lang.get("fr") == 1
+    fr = [r for r in rows if r.lang == "fr"]
+    assert fr[0].bucket == 3  # unscorable -> tail
