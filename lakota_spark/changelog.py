@@ -544,7 +544,16 @@ class Changelog:
         files = self.revisions()
         pos = {r.child: i for i, r in enumerate(log)}
         if len(pos) != len({r.child for r in files}):
-            return False  # detached/unreachable revisions — leave as-is
+            # Unreachable revisions exist — mid-pull transients (children
+            # copied before their archived parents) or strays left by a
+            # concurrent trim. Archiving them would bake garbage into the
+            # manifest; bailing entirely would let ONE stray disable
+            # archiving forever. Skip them: the reachable prefix archives
+            # normally, strays stay in place (linearization already drops
+            # them; a later trim deletes them).
+            files = [r for r in files if r.child in pos]
+            if not files:
+                return False
         k = len(log) - keep
         changed = True
         while changed and k > len(chain):
@@ -580,7 +589,14 @@ class Changelog:
             try:
                 self.fs.move(r.rel, dst)
             except Exception:
-                if not self.fs.exists(dst):  # racing archiver moved it
+                # dst present: a racing archiver moved it. BOTH missing:
+                # a racing trim deleted it after our listing — skip. Our
+                # manifest then names a dead file, but the trim's new
+                # root is PHI-parented in hot, so the fast path's
+                # hot-coverage check fails and readers fall back to the
+                # (correct) full listing until the next checkpoint
+                # republishes a clean manifest.
+                if not self.fs.exists(dst) and self.fs.exists(r.rel):
                     raise
         if manifest is not None:
             try:
@@ -620,9 +636,24 @@ class Changelog:
         Source hot/archive placement is PRESERVED: a replica bootstrap
         of a long history would otherwise dump every archived revision
         into the hot directory, paying full-listing commits until its
-        own first archive pass re-moves them all. (No manifest is
-        copied — the destination's next checkpoint publishes its own
-        cursor over the already-in-place files.)"""
+        own first archive pass re-moves them all.
+
+        Archive coherence: whenever this pull ADDS files under
+        ``_archive/``, a manifest covering the post-pull archived set is
+        published in the hot directory AFTER the copies land. Without
+        it, a long-lived peer instance that probed ``exists(_archive)``
+        False before the pull keeps its cached ``_maybe_archived=False``
+        forever (nothing in its hot listing ever flips it), lists hot
+        only, drops the pulled hot revisions as detached (their parents
+        live in the invisible archive) and stays pinned to the stale
+        pre-pull leaf. Mid-pull readers see a stale-but-consistent view
+        (children before parents linearize as detached and are dropped);
+        the manifest lands last, atomically flipping peers to the full
+        history. If the combined archived set is not a clean DFS prefix
+        (two-way sync with divergent archives) the manifest fails
+        ``_chain_for`` validation and reads fall back to the full
+        hot+archive listing — correct, and repaired by the next
+        checkpoint's archive pass."""
         have = {r.basename for r in self.revisions()}
         arch = f"{self.prefix}/{ARCHIVE_DIR}"
         made_arch = False
@@ -644,4 +675,28 @@ class Changelog:
             )
             self.fs.write_bytes_atomic(dst, other.fs.read_bytes(r.rel))
             n += 1
+        if made_arch:
+            _, manifest = self._scan_hot()
+            body = json.dumps(
+                {
+                    "fmt": 1,
+                    "files": sorted(
+                        r.basename for r in self._scan_archive()
+                    ),
+                },
+                separators=(",", ":"),
+            ).encode()
+            seq = int(manifest.split("-")[1]) + 1 if manifest else 1
+            mname = (
+                f"_manifest-{seq:08d}-"
+                f"{hashlib.sha1(body).hexdigest()[:8]}.json"  # noqa: S324
+            )
+            self.fs.write_bytes_atomic(f"{self.prefix}/{mname}", body)
+            if manifest is not None:
+                try:
+                    self.fs.remove_file(f"{self.prefix}/{manifest}")
+                except Exception:
+                    pass  # best-effort: newest-name wins at read time
+            self._manifest_cache = None
+            self._log_cache = None
         return n

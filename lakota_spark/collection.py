@@ -594,6 +594,29 @@ class Collection:
                         self.fs.remove_file(c.rel)
         for r in doomed:
             self.fs.remove_file(r.rel)
+        # Second purge pass: a WRITER's checkpoint may have run
+        # maybe_archive() concurrently, moving a doomed file hot ->
+        # _archive between our listing above and the remove_file (which
+        # no-ops on a missing source). The archived copy would then
+        # survive with its parent chain deleted — worse, if its CHILD id
+        # also exists as a re-parented survivor edge, the stale copy
+        # inflates that child's merge edge-count and the survivor
+        # vanishes from linearization. Re-list (hot + archive) and purge
+        # by BASENAME — placement-independent — and drop any manifest
+        # the racing archiver published after our reset above. A fully
+        # post-trim archive pass can still land after this pass; its
+        # strays are unreachable (dropped by linearization, skipped by
+        # maybe_archive's reachability filter) and the next trim removes
+        # them.
+        doomed_names = {r.basename for r in doomed}
+        if doomed_names:
+            self.changelog.reset_manifest()
+            # force a fresh archive-existence probe: the racing archiver
+            # may have CREATED _archive/ after this instance cached False
+            self.changelog._maybe_archived = None
+            for r in self.changelog.revisions():
+                if r.basename in doomed_names:
+                    self.fs.remove_file(r.rel)
         return new_root
 
     def maintain(

@@ -157,7 +157,42 @@ def test_pull_replicates_archived_history(spark, archived_repo, tmp_path):
     dst_hot, dst_manifests, dst_arch = _layout(got)
     assert sorted(dst_hot) == sorted(src_hot)
     assert sorted(dst_arch) == sorted(src_arch)
-    assert dst_manifests == []  # cursor is rebuilt locally, not copied
+    # pull publishes its own cursor over the copied archive (archive
+    # files without a hot-listing manifest would be invisible to peers
+    # with a cached no-archive probe) — and the cursor must be VALID so
+    # the fast log path works immediately
+    assert len(dst_manifests) == 1
+    cl = Changelog(got.changelog.fs, got.changelog.prefix)
+    chain = cl._chain_for(dst_manifests[0])
+    assert chain is not None and len(chain) == len(dst_arch)
+
+
+def test_pull_flips_stale_peer_with_cached_no_archive_probe(
+    spark, archived_repo, tmp_path
+):
+    # A long-lived Changelog on the DESTINATION that probed
+    # exists(_archive)=False before the pull must still converge to the
+    # pulled history: the manifest published by pull() appears in its
+    # hot listing and flips _maybe_archived, otherwise the pulled hot
+    # revisions (parents in the invisible archive) linearize as
+    # detached and the peer stays pinned to its stale leaf forever.
+    root, repo, coll = archived_repo
+    dst_root = str(tmp_path / "replica2")
+    dst = Repo(dst_root, spark)
+    # peer opens the (empty) destination collection path and caches the
+    # no-archive probe before any history exists
+    dst_probe = Repo(dst_root, spark)
+    dst.pull(repo)  # creates the collection + archived files
+    got = dst.collection("c")
+    peer = Changelog(got.changelog.fs, got.changelog.prefix)
+    assert peer._archived_possible() in (True, False)  # cold: probes
+    # simulate the stale cached state explicitly: a peer that probed
+    # before the pull
+    peer._maybe_archived = False
+    log = peer.log()
+    assert len(log) == N_COMMITS  # manifest in hot listing flipped it
+    assert log[-1].child == coll.changelog.leaf().child
+    del dst_probe
 
 
 # --- retention trim / maintain(keep=) ------------------------------------
@@ -288,3 +323,100 @@ def test_archive_on_memfs_backend(spark):
     assert sum(s.length for s in snap.for_label("s")) == n * 10
     assert len(cold.changelog.log()) == n
     MemFS._STORES.pop(uri, None)
+
+
+# --- trim vs concurrent archive pass (race end-states) --------------------
+
+
+def test_trim_purges_doomed_copy_raced_into_archive(spark, tmp_path):
+    # End-state of the race: a concurrent writer's maybe_archive() moves
+    # a doomed revision hot -> _archive between trim's listing and its
+    # remove_file (which no-ops on the missing hot path). Simulated by
+    # COPYING a doomed file into _archive before the trim: the first
+    # deletion pass removes the hot copy only, and the second
+    # basename-keyed pass must purge the archived copy — otherwise it
+    # survives with its parent chain deleted and (sharing a child id
+    # with a re-parented survivor edge) inflates that child's merge
+    # edge-count, vanishing the survivor from linearization.
+    root = str(tmp_path / "race-repo")
+    repo = Repo(root, spark)
+    coll = repo.create_collection(
+        Schema(timestamp="int*", value="float"), "c"
+    )
+    series = coll.series("s")
+    for c in range(8):
+        lo = c * CHUNK
+        series.write(
+            pd.DataFrame(
+                {
+                    "timestamp": np.arange(lo, lo + CHUNK),
+                    "value": np.arange(lo, lo + CHUNK, dtype="f8"),
+                }
+            )
+        )
+    cl = coll.changelog
+    log = cl.log()
+    cutoff = log[4].epoch
+    doomed = log[2]  # strictly below the cutoff
+    arch = f"{cl.prefix}/{ARCHIVE_DIR}"
+    cl.fs.makedirs(arch)
+    cl.fs.write_bytes_atomic(
+        f"{arch}/{doomed.basename}", cl.fs.read_bytes(doomed.rel)
+    )
+    coll.trim(before=cutoff)
+    assert doomed.basename not in cl.fs.ls(arch, sort=False)
+    cold = Repo(root, spark).collection("c")
+    assert cold.series("s").frame(sort=False).count() == 8 * CHUNK
+    # full history below the cutoff is gone, retained window readable
+    assert len(cold.changelog.log()) >= 8 - 4
+
+
+def test_maybe_archive_skips_unreachable_strays(spark, tmp_path):
+    # ONE stray (unreachable revision file — e.g. left by a racing trim,
+    # or a mid-pull child whose parents haven't landed) must not disable
+    # archiving forever: the reachable prefix still archives and the
+    # stray stays in place.
+    root = str(tmp_path / "stray-repo")
+    repo = Repo(root, spark)
+    coll = repo.create_collection(
+        Schema(timestamp="int*", value="float"), "c"
+    )
+    series = coll.series("s")
+    for c in range(N_COMMITS):
+        lo = c * CHUNK
+        series.write(
+            pd.DataFrame(
+                {
+                    "timestamp": np.arange(lo, lo + CHUNK),
+                    "value": np.arange(lo, lo + CHUNK, dtype="f8"),
+                }
+            )
+        )
+    cl = coll.changelog
+    hot, manifests, arch = _layout(coll)
+    assert len(arch) > 0  # archiving worked before the stray
+    # plant a stray: a revision file whose parent never existed
+    real = next(f for f in hot if not f.startswith("_"))
+    child_id = real.split(".")[1]
+    stray_name = f"{'f' * 11}-{'0' * 40}.{child_id}.json"
+    cl.fs.write_bytes_atomic(
+        f"{cl.prefix}/{stray_name}", cl.fs.read_bytes(f"{cl.prefix}/{real}")
+    )
+    cl2 = Changelog(cl.fs, cl.prefix)
+    n_before = len(cl2.log())
+    # force passes until the hot window would normally archive again
+    for c in range(N_COMMITS, N_COMMITS + 120):
+        lo = c * CHUNK
+        series.write(
+            pd.DataFrame(
+                {
+                    "timestamp": np.arange(lo, lo + CHUNK),
+                    "value": np.arange(lo, lo + CHUNK, dtype="f8"),
+                }
+            )
+        )
+    _, _, arch_after = _layout(coll)
+    assert len(arch_after) > len(arch)  # archiving continued past the stray
+    assert stray_name not in arch_after  # stray never baked into archive
+    cold = Changelog(cl.fs, cl.prefix)
+    assert len(cold.log()) == n_before + 120
