@@ -592,9 +592,6 @@ class Series:
         identical data written twice lands on the same path and the second
         write is dropped (reference SKIP-WRITE, `lakota/pod.py:201-204`).
         """
-        fs = self.collection.fs
-        seg_prefix = self.collection.seg_prefix
-        fs.makedirs(seg_prefix)
         n_parts = max(1, -(-n_rows // PAGE_LEN))
         idx_cols = [F.col(c) for c in self.schema.idx]
         out = (
@@ -603,54 +600,8 @@ class Series:
             if n_parts > 1
             else df.coalesce(1).sortWithinPartitions(*idx_cols)
         )
-        if fs.spark_readable:
-            tmp_rel = f"{seg_prefix}/_tmp-{uuid.uuid4().hex}"
-            out.write.mode("overwrite").parquet(fs.spark_uri(tmp_rel))
-            # NB: hash CONTENT only — Spark part-file names embed a random
-            # UUID. Per-file sha1 runs as a distributed job on the
-            # executors (no segment bytes through the driver); only the
-            # 40-char digests are collected and Merkle-combined into the
-            # content address.
-            parts = [
-                f"{tmp_rel}/{n}"
-                for n in fs.ls(tmp_rel)
-                if n.endswith(".parquet")
-            ]
-            digest = fs.combine_sha1(
-                fs.files_sha1(parts, spark=df.sparkSession)
-            )
-            name = digest[:20]
-            final_rel = f"{seg_prefix}/{name}"
-            if fs.exists(final_rel):
-                fs.remove_tree(tmp_rel)  # content dedup: segment exists
-            else:
-                fs.move(tmp_rel, final_rel)
-            return name, digest
-        # Non-Hadoop backend (HTTP repo): Spark writes to LOCAL staging —
-        # still distributed compute, local disk IO — then the part files
-        # publish through the FS verbs. Identical bytes/ordering to the
-        # direct path, so content addresses agree across backends.
-        import shutil
-        import tempfile
-
-        staging = tempfile.mkdtemp(prefix="lakota-stage-")
-        try:
-            out.write.mode("overwrite").parquet("file://" + staging)
-            local = FS(staging)
-            parts = [n for n in local.ls("") if n.endswith(".parquet")]
-            digest = fs.combine_sha1(
-                local.files_sha1(parts, spark=df.sparkSession)
-            )
-            name = digest[:20]
-            final_rel = f"{seg_prefix}/{name}"
-            if not fs.exists(final_rel):
-                for part in parts:
-                    fs.write_bytes_atomic(
-                        f"{final_rel}/{part}", local.read_bytes(part)
-                    )
-            return name, digest
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        name, digest = self._publish_parts(out)
+        return name, digest
 
     def _write_segment_files_df(self, df: DataFrame):
         """Single-pass executor write (round 7): globally range-sort,
@@ -669,68 +620,102 @@ class Series:
         Returns ``(name, digest, n, lo, hi)``; empty input returns
         ``(None, None, 0, None, None)`` with nothing published.
         """
+        idx_cols = [F.col(c) for c in self.schema.idx]
+        out = df.sort(*idx_cols)
+        return self._publish_parts(
+            out, max_records=PAGE_LEN, with_stats=True
+        )
+
+    def _publish_parts(
+        self,
+        out: DataFrame,
+        max_records: int | None = None,
+        with_stats: bool = False,
+    ):
+        """Shared staging/digest/publish tail of both segment-write
+        paths: write ``out`` to a staging location, content-address the
+        part files, publish under ``segments/<sha1[:20]>`` with
+        SKIP-WRITE dedup (reference `lakota/pod.py:201-204`).
+
+        NB: the address hashes CONTENT only — Spark part-file names
+        embed a random UUID. Per-file sha1 runs as a distributed job on
+        the executors (no segment bytes through the driver); only the
+        40-char digests are collected and Merkle-combined. On a
+        non-Hadoop backend (HTTP repo) Spark writes to LOCAL staging —
+        still distributed compute, local disk IO — and the part files
+        publish through the FS verbs; identical bytes/ordering to the
+        direct path, so content addresses agree across backends
+        (push/pull dedup relies on this).
+
+        ``with_stats=True`` also derives ``(n, lo, hi)`` from the
+        written files (`_files_stats`) and returns the 5-tuple
+        ``(name, digest, n, lo, hi)`` — ``(None, None, 0, None, None)``
+        for empty input, with nothing published. Otherwise returns
+        ``(name, digest)``.
+        """
         fs = self.collection.fs
         seg_prefix = self.collection.seg_prefix
         fs.makedirs(seg_prefix)
-        idx_cols = [F.col(c) for c in self.schema.idx]
-        out = df.sort(*idx_cols)
-        if fs.spark_readable:
-            tmp_rel = f"{seg_prefix}/_tmp-{uuid.uuid4().hex}"
-            (
-                out.write.mode("overwrite")
-                .option("maxRecordsPerFile", PAGE_LEN)
-                .parquet(fs.spark_uri(tmp_rel))
-            )
+
+        def write_to(uri: str) -> None:
+            w = out.write.mode("overwrite")
+            if max_records is not None:
+                w = w.option("maxRecordsPerFile", max_records)
+            w.parquet(uri)
+
+        def address_and_publish(staging_fs, staging_rel, publish):
             parts = sorted(
-                p for p in fs.ls(tmp_rel) if p.endswith(".parquet")
+                p
+                for p in staging_fs.ls(staging_rel)
+                if p.endswith(".parquet")
             )
-            n, lo, hi = self._files_stats(fs, tmp_rel, parts)
-            if n == 0:
-                fs.remove_tree(tmp_rel)
-                return None, None, 0, None, None
+            stats = None
+            if with_stats:
+                stats = self._files_stats(staging_fs, staging_rel, parts)
+                if stats[0] == 0:
+                    return None, None, 0, None, None
+            pref = f"{staging_rel}/" if staging_rel else ""
             digest = fs.combine_sha1(
-                fs.files_sha1(
-                    [f"{tmp_rel}/{p}" for p in parts],
-                    spark=df.sparkSession,
+                staging_fs.files_sha1(
+                    [pref + p for p in parts], spark=out.sparkSession
                 )
             )
             name = digest[:20]
-            final_rel = f"{seg_prefix}/{name}"
-            if fs.exists(final_rel):
-                fs.remove_tree(tmp_rel)  # content dedup: segment exists
-            else:
-                fs.move(tmp_rel, final_rel)
-            return name, digest, n, lo, hi
-        # Non-Hadoop backend (HTTP repo): local staging like
-        # `_write_segment_files`, same bytes/ordering either path.
+            publish(name, parts)
+            return (name, digest, *stats) if with_stats else (name, digest)
+
+        if fs.spark_readable:
+            tmp_rel = f"{seg_prefix}/_tmp-{uuid.uuid4().hex}"
+            write_to(fs.spark_uri(tmp_rel))
+
+            def publish_move(name, parts):
+                final_rel = f"{seg_prefix}/{name}"
+                if fs.exists(final_rel):
+                    fs.remove_tree(tmp_rel)  # content dedup: exists
+                else:
+                    fs.move(tmp_rel, final_rel)
+
+            result = address_and_publish(fs, tmp_rel, publish_move)
+            if with_stats and result[0] is None:
+                fs.remove_tree(tmp_rel)  # empty input: nothing published
+            return result
         import shutil
         import tempfile
 
         staging = tempfile.mkdtemp(prefix="lakota-stage-")
         try:
-            (
-                out.write.mode("overwrite")
-                .option("maxRecordsPerFile", PAGE_LEN)
-                .parquet("file://" + staging)
-            )
+            write_to("file://" + staging)
             local = FS(staging)
-            parts = sorted(
-                p for p in local.ls("") if p.endswith(".parquet")
-            )
-            n, lo, hi = self._files_stats(local, "", parts)
-            if n == 0:
-                return None, None, 0, None, None
-            digest = fs.combine_sha1(
-                local.files_sha1(parts, spark=df.sparkSession)
-            )
-            name = digest[:20]
-            final_rel = f"{seg_prefix}/{name}"
-            if not fs.exists(final_rel):
-                for part in parts:
-                    fs.write_bytes_atomic(
-                        f"{final_rel}/{part}", local.read_bytes(part)
-                    )
-            return name, digest, n, lo, hi
+
+            def publish_copy(name, parts):
+                final_rel = f"{seg_prefix}/{name}"
+                if not fs.exists(final_rel):
+                    for part in parts:
+                        fs.write_bytes_atomic(
+                            f"{final_rel}/{part}", local.read_bytes(part)
+                        )
+
+            return address_and_publish(local, "", publish_copy)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
