@@ -728,10 +728,124 @@ def _decode_image_batch(payload: pd.Series) -> pd.Series:
     return payload.map(decode)
 
 
+def _ulaw_table():
+    """G.711 µ-law byte → int16 expansion LUT (ITU-T G.711 decode)."""
+    import numpy as np
+
+    u = (~np.arange(256, dtype=np.int64)) & 0xFF
+    exponent = (u >> 4) & 7
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _alaw_table():
+    """G.711 A-law byte → int16 expansion LUT (ITU-T G.711 decode)."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    exponent = (a >> 4) & 7
+    mantissa = a & 0x0F
+    mag = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+    )
+    # A-law sign convention is INVERTED vs µ-law: bit 7 (after the 0x55
+    # unscramble) set means POSITIVE — the standard silence byte 0xD5
+    # decodes to +8, 0x55 to -8.
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+#: IMA ADPCM step-size and index-adjust tables (IMA/DVI ADPCM standard,
+#: as used by WAVE_FORMAT_IMA_ADPCM = 0x0011).
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_channel(pred: int, index: int, nibbles) -> list[int]:
+    """Decode one channel's nibble stream from its block-header state.
+    Sequential by construction (each sample feeds the next predictor) —
+    python loop is fine at feature-extraction payload sizes."""
+    out = []
+    for n in nibbles:
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = (
+            max(pred - diff, -32768) if n & 8 else min(pred + diff, 32767)
+        )
+        index = min(max(index + _IMA_INDEX[n], 0), 88)
+        out.append(pred)
+    return out
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """WAVE_FORMAT_IMA_ADPCM (0x0011) blocks → float64 mono in [-1, 1].
+
+    Block layout: per-channel 4-byte header (int16 predictor, uint8 step
+    index, reserved) then the 4-bit samples — mono packs two per byte
+    (low nibble first); stereo interleaves 4-byte (8-nibble) groups per
+    channel."""
+    import numpy as np
+
+    if block_align <= 4 * channels or channels not in (1, 2):
+        raise ValueError("bad ADPCM block layout")
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    for off in range(0, len(data) - block_align + 1, block_align):
+        block = data[off : off + block_align]
+        preds, idxs = [], []
+        for c in range(channels):
+            h = block[4 * c : 4 * c + 4]
+            p = int.from_bytes(h[0:2], "little", signed=True)
+            preds.append(p)
+            idxs.append(min(max(h[2], 0), 88))
+            chans[c].append(p)  # header predictor IS the first sample
+        body = np.frombuffer(block, np.uint8, offset=4 * channels)
+        nib = np.empty(body.size * 2, dtype=np.uint8)
+        nib[0::2] = body & 0x0F  # low nibble first
+        nib[1::2] = body >> 4
+        if channels == 1:
+            chans[0].extend(
+                _ima_decode_channel(preds[0], idxs[0], nib.tolist())
+            )
+        else:
+            # 8-nibble groups alternate channels
+            groups = nib.reshape(-1, 8)
+            for c in range(channels):
+                chans[c].extend(
+                    _ima_decode_channel(
+                        preds[c], idxs[c], groups[c::channels].ravel().tolist()
+                    )
+                )
+    n = min(len(c) for c in chans)
+    if n == 0:
+        raise ValueError("empty ADPCM stream")
+    x = np.array([c[:n] for c in chans], dtype=np.float64)
+    return x.mean(axis=0) / 32768.0
+
+
 def _parse_wav(b: bytes):
-    """PCM WAV (RIFF) → (samples float64 in [-1, 1], sample_rate) —
-    numpy-only real decode. 8/16/32-bit integer PCM, any channel count
-    (averaged to mono). Returns None for non-WAV or compressed codecs."""
+    """WAV (RIFF) → (samples float64 in [-1, 1], sample_rate) —
+    numpy-only real decode. Coverage: integer PCM (8/16/32-bit), IEEE
+    float (32/64-bit, format 3), G.711 µ-law/A-law companded (formats
+    7/6 — LUT expansion), IMA ADPCM (format 0x11 — real compressed
+    audio, block-predictor decode), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) wrapping any of those. Any channel count (averaged to
+    mono). Returns None for other codecs (mp3/aac need external libs)."""
     import numpy as np
 
     if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -751,18 +865,38 @@ def _parse_wav(b: bytes):
     audio_format = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or channels < 1 or bits not in (8, 16, 32):
-        return None  # compressed / float WAV: out of numpy-only scope
-    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
-    raw = np.frombuffer(data, dtype=dtype)
-    raw = raw[: len(raw) - len(raw) % channels].reshape(-1, channels)
-    x = raw.astype(np.float64)
-    if bits == 8:
-        x = (x - 128.0) / 128.0
-    else:
-        x = x / float(2 ** (bits - 1))
-    return x.mean(axis=1), rate
+    if audio_format == 0xFFFE and len(fmt) >= 26:
+        # EXTENSIBLE: the real format is the SubFormat GUID's first two
+        # bytes (PCM/float/alaw/mulaw/adpcm GUIDs share the KSDATAFORMAT
+        # suffix)
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if channels < 1:
+        return None
+    if audio_format == 1 and bits in (8, 16, 32):  # integer PCM
+        dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+        raw = np.frombuffer(data, dtype=dtype)
+        raw = raw[: len(raw) - len(raw) % channels].reshape(-1, channels)
+        x = raw.astype(np.float64)
+        if bits == 8:
+            x = (x - 128.0) / 128.0
+        else:
+            x = x / float(2 ** (bits - 1))
+        return x.mean(axis=1), rate
+    if audio_format == 3 and bits in (32, 64):  # IEEE float
+        dtype = np.float32 if bits == 32 else np.float64
+        raw = np.frombuffer(data, dtype=dtype)
+        raw = raw[: len(raw) - len(raw) % channels].reshape(-1, channels)
+        return raw.astype(np.float64).mean(axis=1), rate
+    if audio_format in (6, 7) and bits == 8:  # G.711 A-law / µ-law
+        table = _alaw_table() if audio_format == 6 else _ulaw_table()
+        raw = table[np.frombuffer(data, dtype=np.uint8)]
+        raw = raw[: len(raw) - len(raw) % channels].reshape(-1, channels)
+        return raw.astype(np.float64).mean(axis=1) / 32768.0, rate
+    if audio_format == 0x11 and bits == 4:  # IMA ADPCM
+        return _ima_adpcm_decode(data, channels, block_align), rate
+    return None  # mp3/aac/gsm: out of stdlib+numpy scope
 
 
 class _FlacBits:
@@ -1128,13 +1262,68 @@ def extract_video_features(media: DataFrame, every_n: int = 10) -> DataFrame:
     return frame_sample(media, every_n=every_n).mapInPandas(run, schema=schema)
 
 
+def _iter_avi_mjpeg_frames(b: bytes):
+    """Motion-JPEG AVI (RIFF) → yields (frame_no, jpeg_bytes) WITHOUT
+    decoding — real compressed-video container parse; the caller decodes
+    only the frames it samples (that's the whole point of sampling: a
+    1000-frame clip at every_n=10 pays 100 JPEG decodes, not 1000).
+
+    Walks the RIFF chunk tree to the ``movi`` LIST (nested ``rec ``
+    lists included) and yields every video chunk (``..dc``/``..db``)
+    that starts with a JPEG SOI marker."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return
+    no = 0
+    # iterative chunk-tree walk: (pos, end) ranges still to scan
+    stack = [(12, min(12 + int.from_bytes(b[4:8], "little") - 4, len(b)))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            nxt = body + size + (size & 1)
+            if cid == b"LIST" and size >= 4:
+                inner_end = min(body + size, end)
+                ltype = b[body : body + 4]
+                if ltype == b"movi":
+                    p = body + 4
+                    while p + 8 <= inner_end:
+                        ccid = b[p : p + 4]
+                        csize = int.from_bytes(b[p + 4 : p + 8], "little")
+                        payload = b[p + 8 : p + 8 + csize]
+                        if ccid[2:4] in (b"dc", b"db") and payload[
+                            :2
+                        ] == b"\xff\xd8":
+                            yield no, payload
+                            no += 1
+                        elif ccid == b"LIST":  # 'rec ' grouping
+                            stack.append((p + 12, p + 8 + csize))
+                        p += 8 + csize + (csize & 1)
+                else:
+                    stack.append((body + 4, inner_end))
+            pos = nxt
+
+
+def _rgb_to_luma(img):
+    """HxWx3 uint8 → BT.601 luma plane bytes (what Y4M frames carry)."""
+    import numpy as np
+
+    y = (
+        0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    )
+    return np.clip(y + 0.5, 0, 255).astype(np.uint8).tobytes()
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling: expand each payload into every-``every_n``-th
     frame row. REAL frame extraction for uncompressed Y4M containers
-    (the Y luminance plane per sampled frame); codec containers
-    (mp4/mkv/...) would need ffmpeg, absent here, and fall back to
-    fixed-stride byte windows — the row-expanding mapInPandas contract
-    is identical either way."""
+    (the Y luminance plane per sampled frame) AND Motion-JPEG AVI
+    (sampled frames JPEG-decoded to the same BT.601 luma-plane
+    contract — only the sampled frames pay a decode). Inter-frame
+    codec containers (mp4/mkv/h264) would need ffmpeg, absent here,
+    and fall back to fixed-stride byte windows — the row-expanding
+    mapInPandas contract is identical either way."""
     schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -1161,6 +1350,19 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
                             frames.append(y_plane)
                 except (ValueError, IndexError, OverflowError):
                     pass
+                if not got_real:
+                    # MJPEG AVI: sampled frames decode to luma planes;
+                    # container walk is cheap, only sampled frames pay a
+                    # JPEG decode (undecodable sampled frames are
+                    # skipped, the container still counts as real)
+                    for no, jpeg in _iter_avi_mjpeg_frames(payload):
+                        got_real = True
+                        if no % every_n == 0:
+                            img = _safe(_parse_jpeg, jpeg)
+                            if img is not None:
+                                ids.append(mid)
+                                nos.append(no)
+                                frames.append(_rgb_to_luma(img))
                 if got_real:
                     continue
                 for i, off in enumerate(range(0, len(payload), every_n * 16)):

@@ -2718,3 +2718,210 @@ def test_ccnet_buckets_scalable_null_lang_and_score(spark):
     assert by_lang.get("fr") == 1
     fr = [r for r in rows if r.lang == "fr"]
     assert fr[0].bucket == 3  # unscorable -> tail
+
+
+def _wav_container(fmt: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 20 + len(fmt) + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_wav_g711_and_float_decode():
+    # µ-law / A-law companded WAV and IEEE-float WAV are REAL decodes:
+    # round-trip through test-side G.711 encoders within companding
+    # quantization error; float is exact
+    import struct
+
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_wav
+
+    rate = 8000
+    t = np.arange(rate // 4)
+    x = (0.5 * np.sin(2 * np.pi * 440 * t / rate) * 32767).astype(np.int64)
+
+    def ulaw_encode(pcm):
+        out = bytearray()
+        for s in pcm:
+            sign = 0x80 if s < 0 else 0
+            m = min(abs(int(s)), 32635) + 0x84
+            exp = m.bit_length() - 8
+            mant = (m >> (exp + 3)) & 0x0F
+            out.append(~(sign | (exp << 4) | mant) & 0xFF)
+        return bytes(out)
+
+    def alaw_encode(pcm):
+        out = bytearray()
+        for s in pcm:
+            sign = 0x80 if s >= 0 else 0  # A-law: bit7 set = positive
+            m = min(abs(int(s)), 32767)
+            if m >= 256:
+                exp = m.bit_length() - 8
+                mant = (m >> (exp + 3)) & 0x0F
+            else:
+                exp, mant = 0, m >> 4
+            out.append((sign | (exp << 4) | mant) ^ 0x55)
+        return bytes(out)
+
+    for code, enc in ((7, ulaw_encode), (6, alaw_encode)):
+        fmt = struct.pack("<HHIIHH", code, 1, rate, rate, 1, 8)
+        got = _parse_wav(_wav_container(fmt, enc(x)))
+        assert got is not None
+        samples, r = got
+        assert r == rate and len(samples) == len(x)
+        err = np.abs(samples - x / 32768.0)
+        assert err.max() < 0.04 and err.mean() < 0.004, (code, err.max())
+
+    # G.711 silence bytes: µ-law 0xFF -> 0, A-law 0xD5 -> +8/32768
+    fmt_u = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+    s_u, _ = _parse_wav(_wav_container(fmt_u, b"\xff" * 8))
+    assert np.all(s_u == 0.0)
+    fmt_a = struct.pack("<HHIIHH", 6, 1, rate, rate, 1, 8)
+    s_a, _ = _parse_wav(_wav_container(fmt_a, b"\xd5" * 8))
+    assert np.all(s_a == 8.0 / 32768.0)
+
+    # IEEE float32 stereo: exact, channel-averaged
+    xf = (np.sin(2 * np.pi * 440 * t / rate) * 0.25).astype(np.float32)
+    inter = np.empty(2 * len(xf), dtype=np.float32)
+    inter[0::2] = xf
+    inter[1::2] = -xf  # cancels to exactly zero on average
+    fmt = struct.pack("<HHIIHH", 3, 2, rate, rate * 8, 8, 32)
+    samples, r = _parse_wav(_wav_container(fmt, inter.tobytes()))
+    assert r == rate and np.all(samples == 0.0)
+
+
+def test_wav_ima_adpcm_bit_exact():
+    # IMA ADPCM (format 0x11) — real COMPRESSED audio decode: the
+    # decoder must reproduce the encoder's own reconstruction exactly
+    # (both sides track the same predictor/step state)
+    import struct
+
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        _parse_wav,
+    )
+
+    rate = 8000
+    t = np.arange(1997)  # deliberately not a multiple of the block size
+    x = (0.6 * np.sin(2 * np.pi * 233 * t / rate) * 32767).astype(np.int64)
+
+    block_align = 256  # mono: 4-byte header + 252 bytes = 505 samples
+    spb = (block_align - 4) * 2 + 1
+
+    def encode(pcm):
+        blocks, recon = [], []
+        pred, idx = 0, 0
+        for off in range(0, len(pcm), spb):
+            chunk = pcm[off : off + spb]
+            if len(chunk) < spb:  # pad the tail block like encoders do
+                chunk = np.concatenate(
+                    [chunk, np.full(spb - len(chunk), chunk[-1])]
+                )
+            pred = int(chunk[0])
+            recon.append(pred)
+            body = bytearray(struct.pack("<hBB", pred, idx, 0))
+            nibbles = []
+            for s in chunk[1:]:
+                step = _IMA_STEPS[idx]
+                diff = int(s) - pred
+                n = 8 if diff < 0 else 0
+                diff = abs(diff)
+                d = step >> 3
+                if diff >= step:
+                    n |= 4
+                    diff -= step
+                    d += step
+                if diff >= step >> 1:
+                    n |= 2
+                    diff -= step >> 1
+                    d += step >> 1
+                if diff >= step >> 2:
+                    n |= 1
+                    d += step >> 2
+                pred = (
+                    max(pred - d, -32768) if n & 8 else min(pred + d, 32767)
+                )
+                idx = min(max(idx + _IMA_INDEX[n], 0), 88)
+                recon.append(pred)
+                nibbles.append(n)
+            for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+                body.append(lo | (hi << 4))
+            blocks.append(bytes(body))
+        return b"".join(blocks), np.array(recon, dtype=np.float64)
+
+    data, recon = encode(x)
+    fmt = struct.pack("<HHIIHH", 0x11, 1, rate, rate // 2, block_align, 4)
+    got = _parse_wav(_wav_container(fmt, data))
+    assert got is not None
+    samples, r = got
+    assert r == rate
+    assert np.array_equal(samples, recon / 32768.0)  # bit-exact
+    # and the reconstruction is actually CLOSE to the source signal
+    err = np.abs(recon[: len(x)] - x)
+    assert err.mean() < 600  # ~4.6 bits of SNR headroom on a sine
+
+
+def test_mjpeg_avi_frame_sample(spark):
+    # Motion-JPEG AVI is a REAL compressed-video parse: sampled frames
+    # are JPEG-decoded to BT.601 luma planes; only sampled frames pay a
+    # decode, and the byte-window fallback never triggers
+    import struct
+
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_video_features,
+        frame_sample,
+    )
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    h, w = 16, 16
+    frames = []
+    for v in (16, 64, 128, 200, 240):
+        img = np.full((h, w, 3), v, dtype=np.uint8)
+        frames.append(_encode_jpeg(img))
+    movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    hdrl = b"hdrl" + chunk(b"avih", bytes(56))
+    body = (
+        b"AVI "
+        + chunk(b"LIST", hdrl)
+        + chunk(b"LIST", movi)
+    )
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    media = spark.createDataFrame(
+        [(1, bytearray(avi), "video/x-msvideo", len(avi), "{}")],
+        MEDIA_SCHEMA,
+    )
+    out = {
+        r.frame_no: bytes(r.frame)
+        for r in frame_sample(media, every_n=2).collect()
+    }
+    assert sorted(out) == [0, 2, 4]  # every 2nd frame, real parse
+    assert all(len(f) == h * w for f in out.values())  # luma planes
+    feats = {
+        r.frame_no: r
+        for r in extract_video_features(media, every_n=2).collect()
+    }
+    # constant-gray frames: luma ~= the gray value, flat
+    for no, v in ((0, 16), (2, 128), (4, 240)):
+        assert abs(feats[no].mean_luma - v) < 4.0, (no, feats[no].mean_luma)
+        assert feats[no].std_luma < 2.0
+        assert feats[no].n_pixels == h * w
