@@ -1139,9 +1139,10 @@ def _audio_features(samples, rate: int) -> list[float]:
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched audio feature extraction: REAL decode for PCM WAV
-    and FLAC (pure python/numpy — round 7), byte-histogram fallback for
-    lossy codec formats (mp3/ogg/aac would need ffmpeg/librosa, absent
+    """Arrow-batched audio feature extraction: REAL decode for WAV
+    (integer PCM, IEEE float, G.711 µ-law/A-law, IMA ADPCM) and FLAC
+    (pure python/numpy — round 7), byte-histogram fallback for lossy
+    perceptual codecs (mp3/ogg/aac would need ffmpeg/librosa, absent
     here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -2925,3 +2925,41 @@ def test_mjpeg_avi_frame_sample(spark):
         assert abs(feats[no].mean_luma - v) < 4.0, (no, feats[no].mean_luma)
         assert feats[no].std_luma < 2.0
         assert feats[no].n_pixels == h * w
+
+
+def test_wav_ima_adpcm_stereo_interleave():
+    # stereo ADPCM interleaves 4-byte (8-nibble) groups per channel;
+    # decode two constant-drift channels and check the mono average
+    # tracks both predictors (bit-exact per-channel state tracking)
+    import struct
+
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _ima_adpcm_decode
+
+    block_align = 16  # stereo: 2x4-byte headers + 8 bytes = 2 groups
+    # channel 0 starts at 1000 idx 10, channel 1 at -2000 idx 20;
+    # all-zero nibbles decay each predictor by step>>3 per sample
+    block = (
+        struct.pack("<hBB", 1000, 10, 0)
+        + struct.pack("<hBB", -2000, 20, 0)
+        + bytes(8)
+    )
+    out = _ima_adpcm_decode(block, 2, block_align)
+    # header predictors are the first samples of each channel
+    assert out[0] == (1000 + -2000) / 2 / 32768.0
+    # 8 nibbles decoded per channel after the header sample
+    assert len(out) == 9
+    # nibble 0 = +step>>3 with index decaying by 1 each sample: track it
+    from lakota_spark.operators.multimodal import _IMA_STEPS
+
+    p0, i0 = 1000, 10
+    p1, i1 = -2000, 20
+    expect = [(p0 + p1) / 2]
+    for _ in range(8):
+        p0 = min(p0 + (_IMA_STEPS[i0] >> 3), 32767)
+        i0 = max(i0 - 1, 0)
+        p1 = min(p1 + (_IMA_STEPS[i1] >> 3), 32767)
+        i1 = max(i1 - 1, 0)
+        expect.append((p0 + p1) / 2)
+    assert np.allclose(out * 32768.0, expect)
