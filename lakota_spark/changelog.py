@@ -570,18 +570,9 @@ class Changelog:
         new_files = sorted(
             r.basename for r in files if r.child in p_children
         )
-        body = json.dumps(
-            {"fmt": 1, "files": new_files}, separators=(",", ":")
-        ).encode()
-        seq = int(manifest.split("-")[1]) + 1 if manifest else 1
-        mname = (
-            f"_manifest-{seq:08d}-"
-            f"{hashlib.sha1(body).hexdigest()[:8]}.json"  # noqa: S324
-        )
         arch = f"{self.prefix}/{ARCHIVE_DIR}"
         self.fs.makedirs(arch)
-        self.fs.write_bytes_atomic(f"{self.prefix}/{mname}", body)
-        self._maybe_archived = True
+        mname = self._publish_manifest(new_files, manifest)
         for r in files:
             if r.child not in p_children or r.rel.startswith(arch + "/"):
                 continue
@@ -598,11 +589,6 @@ class Changelog:
                 # republishes a clean manifest.
                 if not self.fs.exists(dst) and self.fs.exists(r.rel):
                     raise
-        if manifest is not None:
-            try:
-                self.fs.remove_file(f"{self.prefix}/{manifest}")
-            except Exception:
-                pass  # best-effort: newest-name wins at read time
         # chain cache: the archived prefix in log order, rel under _archive
         self._manifest_cache = (
             mname,
@@ -620,7 +606,10 @@ class Changelog:
         """Drop the archive cursor — history-rewriting flows (trim /
         squash) call this after deleting or re-parenting revision files;
         reads fall back to full hot+archive listings until the next
-        checkpoint re-archives."""
+        checkpoint re-archives. Also drops the cached archive-existence
+        probe: a rewrite may race an archiver that CREATED ``_archive/``
+        after this instance cached False, and every rewrite flow needs
+        the fresh probe, not just the callers that remember to poke it."""
         for fn in self.fs.ls(self.prefix, sort=False):
             if fn.startswith("_manifest-") and fn.endswith(".json"):
                 try:
@@ -629,6 +618,35 @@ class Changelog:
                     pass
         self._manifest_cache = None
         self._log_cache = None
+        self._maybe_archived = None
+
+    def _publish_manifest(
+        self, file_names, prev: str | None
+    ) -> str:
+        """Atomically publish the archive cursor: content-named
+        ``_manifest-{seq}-{sha1[:8]}.json`` listing the archived
+        basenames, superseding ``prev`` (readers always pick the
+        lexicographically-largest name, so the best-effort removal of
+        the old file is cleanup, not correctness). Shared by
+        ``maybe_archive`` and ``pull`` so the naming/sequencing protocol
+        cannot drift between them."""
+        body = json.dumps(
+            {"fmt": 1, "files": sorted(file_names)},
+            separators=(",", ":"),
+        ).encode()
+        seq = int(prev.split("-")[1]) + 1 if prev else 1
+        mname = (
+            f"_manifest-{seq:08d}-"
+            f"{hashlib.sha1(body).hexdigest()[:8]}.json"  # noqa: S324
+        )
+        self.fs.write_bytes_atomic(f"{self.prefix}/{mname}", body)
+        self._maybe_archived = True
+        if prev is not None:
+            try:
+                self.fs.remove_file(f"{self.prefix}/{prev}")
+            except Exception:
+                pass  # best-effort: newest-name wins at read time
+        return mname
 
     def pull(self, other: "Changelog") -> int:
         """Copy revision files missing locally (`lakota/changelog.py:124-137`).
@@ -677,26 +695,9 @@ class Changelog:
             n += 1
         if made_arch:
             _, manifest = self._scan_hot()
-            body = json.dumps(
-                {
-                    "fmt": 1,
-                    "files": sorted(
-                        r.basename for r in self._scan_archive()
-                    ),
-                },
-                separators=(",", ":"),
-            ).encode()
-            seq = int(manifest.split("-")[1]) + 1 if manifest else 1
-            mname = (
-                f"_manifest-{seq:08d}-"
-                f"{hashlib.sha1(body).hexdigest()[:8]}.json"  # noqa: S324
+            self._publish_manifest(
+                (r.basename for r in self._scan_archive()), manifest
             )
-            self.fs.write_bytes_atomic(f"{self.prefix}/{mname}", body)
-            if manifest is not None:
-                try:
-                    self.fs.remove_file(f"{self.prefix}/{manifest}")
-                except Exception:
-                    pass  # best-effort: newest-name wins at read time
             self._manifest_cache = None
             self._log_cache = None
         return n

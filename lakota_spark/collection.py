@@ -527,6 +527,10 @@ class Collection:
         # content-stable) must NOT be treated as an orphan, or the
         # "re-parent" below writes its own filename and then deletes it
         surviving_children = {r.child for r in survivors} | {new_root.child}
+        # every edge file this trim removes, by basename — the second
+        # purge pass below must cover re-parented survivor edges too, not
+        # just the doomed set: a racing archiver can move ANY of them
+        removed_names: set[str] = set()
         if cutoff is not None:
             # Orphaned edges (ancestors below the cutoff) re-parent onto
             # the new root. A CHECKPOINT survivor keeps its payload bytes
@@ -578,6 +582,7 @@ class Collection:
                         raw,
                     )
                     self.fs.remove_file(r.rel)
+                    removed_names.add(r.basename)
                     continue
                 new_child, raw = conv
                 self.fs.write_bytes_atomic(
@@ -585,6 +590,7 @@ class Collection:
                     raw,
                 )
                 self.fs.remove_file(r.rel)
+                removed_names.add(r.basename)
                 for c in survivors:
                     if c is not r and c.parent == r.child:
                         self.fs.write_bytes_atomic(
@@ -592,6 +598,7 @@ class Collection:
                             self.fs.read_bytes(c.rel),
                         )
                         self.fs.remove_file(c.rel)
+                        removed_names.add(c.basename)
         for r in doomed:
             self.fs.remove_file(r.rel)
         # Second purge pass: a WRITER's checkpoint may have run
@@ -608,14 +615,14 @@ class Collection:
         # strays are unreachable (dropped by linearization, skipped by
         # maybe_archive's reachability filter) and the next trim removes
         # them.
-        doomed_names = {r.basename for r in doomed}
-        if doomed_names:
+        removed_names |= {r.basename for r in doomed}
+        if removed_names:
+            # reset_manifest also drops the cached archive-existence
+            # probe, so revisions() re-probes and sees an _archive/ a
+            # racing archiver may have just created
             self.changelog.reset_manifest()
-            # force a fresh archive-existence probe: the racing archiver
-            # may have CREATED _archive/ after this instance cached False
-            self.changelog._maybe_archived = None
             for r in self.changelog.revisions():
-                if r.basename in doomed_names:
+                if r.basename in removed_names:
                     self.fs.remove_file(r.rel)
         return new_root
 

@@ -261,6 +261,11 @@ def _parse_gif(b: bytes):
         top = int.from_bytes(b[pos + 2 : pos + 4], "little")
         w = int.from_bytes(b[pos + 4 : pos + 6], "little")
         h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+        if w and h:
+            # frame dims are independent of the (already-capped) screen
+            # dims — a 1x1 screen with a 65535x65535 frame would other-
+            # wise drive a ~4.3 GB LZW decode target
+            _check_dims(w, h)
         ipacked = b[pos + 8]
         pos += 9
         table = gct
@@ -1274,36 +1279,44 @@ def _iter_avi_mjpeg_frames(b: bytes):
     that starts with a JPEG SOI marker."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return
-    no = 0
-    # iterative chunk-tree walk: (pos, end) ranges still to scan
-    stack = [(12, min(12 + int.from_bytes(b[4:8], "little") - 4, len(b)))]
-    while stack:
-        pos, end = stack.pop()
+
+    # depth cap: real AVIs nest 2-3 levels (hdrl/strl, movi/rec); a
+    # crafted 12-bytes-per-level LIST chain must not RecursionError out
+    # of the stage (that escapes frame_sample's malformed-input guard)
+    _MAX_LIST_DEPTH = 16
+
+    def movi_chunks(pos, end, depth=0):
+        """Yield video payloads from a movi range IN FILE ORDER,
+        descending into 'rec ' grouping LISTs inline (the standard VfW
+        interleaved-capture layout wraps every frame in one)."""
         while pos + 8 <= end:
             cid = b[pos : pos + 4]
             size = int.from_bytes(b[pos + 4 : pos + 8], "little")
-            body = pos + 8
-            nxt = body + size + (size & 1)
-            if cid == b"LIST" and size >= 4:
-                inner_end = min(body + size, end)
-                ltype = b[body : body + 4]
-                if ltype == b"movi":
-                    p = body + 4
-                    while p + 8 <= inner_end:
-                        ccid = b[p : p + 4]
-                        csize = int.from_bytes(b[p + 4 : p + 8], "little")
-                        payload = b[p + 8 : p + 8 + csize]
-                        if ccid[2:4] in (b"dc", b"db") and payload[
-                            :2
-                        ] == b"\xff\xd8":
-                            yield no, payload
-                            no += 1
-                        elif ccid == b"LIST":  # 'rec ' grouping
-                            stack.append((p + 12, p + 8 + csize))
-                        p += 8 + csize + (csize & 1)
+            if cid == b"LIST" and size >= 4 and depth < _MAX_LIST_DEPTH:
+                yield from movi_chunks(
+                    pos + 12, min(pos + 8 + size, end), depth + 1
+                )
+            elif cid[2:4] in (b"dc", b"db"):
+                payload = b[pos + 8 : pos + 8 + size]
+                if payload[:2] == b"\xff\xd8":
+                    yield payload
+            pos += 8 + size + (size & 1)
+
+    def find_movi(pos, end, depth=0):
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            if cid == b"LIST" and size >= 4 and depth < _MAX_LIST_DEPTH:
+                inner_end = min(pos + 8 + size, end)
+                if b[pos + 8 : pos + 12] == b"movi":
+                    yield from movi_chunks(pos + 12, inner_end)
                 else:
-                    stack.append((body + 4, inner_end))
-            pos = nxt
+                    yield from find_movi(pos + 12, inner_end, depth + 1)
+            pos += 8 + size + (size & 1)
+
+    riff_end = min(12 + int.from_bytes(b[4:8], "little") - 4, len(b))
+    for no, payload in enumerate(find_movi(12, riff_end)):
+        yield no, payload
 
 
 def _rgb_to_luma(img):

@@ -420,3 +420,42 @@ def test_maybe_archive_skips_unreachable_strays(spark, tmp_path):
     assert stray_name not in arch_after  # stray never baked into archive
     cold = Changelog(cl.fs, cl.prefix)
     assert len(cold.log()) == n_before + 120
+
+
+def test_trim_purges_raced_copy_of_reparented_edge(spark, tmp_path):
+    # The raced hot->_archive move can hit a file trim RE-PARENTS (not
+    # just one it dooms): the stale archived old-parent edge then gives
+    # the re-parented child TWO parent edges, one unreachable, so the
+    # survivor (and all its descendants) vanish from linearization.
+    # The second purge pass must cover every removed edge basename.
+    root = str(tmp_path / "race-repo2")
+    repo = Repo(root, spark)
+    coll = repo.create_collection(
+        Schema(timestamp="int*", value="float"), "c"
+    )
+    series = coll.series("s")
+    for c in range(8):
+        lo = c * CHUNK
+        series.write(
+            pd.DataFrame(
+                {
+                    "timestamp": np.arange(lo, lo + CHUNK),
+                    "value": np.arange(lo, lo + CHUNK, dtype="f8"),
+                }
+            )
+        )
+    cl = coll.changelog
+    log = cl.log()
+    cutoff = log[4].epoch
+    orphan = log[4]  # first survivor: parent below the cutoff
+    arch = f"{cl.prefix}/{ARCHIVE_DIR}"
+    cl.fs.makedirs(arch)
+    cl.fs.write_bytes_atomic(
+        f"{arch}/{orphan.basename}", cl.fs.read_bytes(orphan.rel)
+    )
+    coll.trim(before=cutoff)
+    assert orphan.basename not in cl.fs.ls(arch, sort=False)
+    cold = Repo(root, spark).collection("c")
+    # the re-parented survivor chain is fully visible
+    assert cold.series("s").frame(sort=False).count() == 8 * CHUNK
+    assert cold.changelog.leaf().child == log[-1].child

@@ -2926,6 +2926,48 @@ def test_mjpeg_avi_frame_sample(spark):
         assert feats[no].std_luma < 2.0
         assert feats[no].n_pixels == h * w
 
+    # 'rec '-grouped layout (standard VfW interleaved capture): every
+    # frame wrapped in a rec LIST must still yield IN FILE ORDER
+    movi_rec = b"movi" + b"".join(
+        chunk(b"LIST", b"rec " + chunk(b"00dc", f)) for f in frames
+    )
+    body2 = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi_rec)
+    avi2 = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    from lakota_spark.operators.multimodal import _iter_avi_mjpeg_frames
+
+    got = list(_iter_avi_mjpeg_frames(avi2))
+    assert [no for no, _ in got] == [0, 1, 2, 3, 4]
+    assert [f for _, f in got] == frames
+
+    # hostile: a deep nested-LIST chain must terminate, not
+    # RecursionError out of the stage
+    deep = chunk(b"00dc", frames[0])
+    for _ in range(5000):
+        deep = chunk(b"LIST", b"rec " + deep)
+    bomb_body = b"AVI " + chunk(b"LIST", b"movi" + deep)
+    bomb = b"RIFF" + struct.pack("<I", len(bomb_body)) + bomb_body
+    assert list(_iter_avi_mjpeg_frames(bomb)) == []  # capped, no crash
+
+
+def test_gif_frame_dims_capped_independently_of_screen():
+    # a 1x1 SCREEN with a 65535x65535 FRAME descriptor must not drive a
+    # multi-GB LZW decode target — frame dims get their own cap
+    from lakota_spark.operators.multimodal import _parse_gif, _safe
+
+    gif = (
+        b"GIF89a"
+        + (1).to_bytes(2, "little") * 2  # screen 1x1, no GCT
+        + b"\x00\x00\x00"
+        + b"\x2c"  # image descriptor at (0,0), 65535x65535
+        + bytes(4)
+        + b"\xff\xff\xff\xff"
+        + b"\x00"  # no local table
+        + b"\x02"  # min code size
+        + b"\x01\x00"  # one data sub-block
+        + b"\x00\x3b"
+    )
+    assert _safe(_parse_gif, gif) is None
+
 
 def test_wav_ima_adpcm_stereo_interleave():
     # stereo ADPCM interleaves 4-byte (8-nibble) groups per channel;
