@@ -543,17 +543,22 @@ class Changelog:
         log = self.log()
         files = self.revisions()
         pos = {r.child: i for i, r in enumerate(log)}
-        if len(pos) != len({r.child for r in files}):
-            # Unreachable revisions exist — mid-pull transients (children
-            # copied before their archived parents) or strays left by a
-            # concurrent trim. Archiving them would bake garbage into the
-            # manifest; bailing entirely would let ONE stray disable
-            # archiving forever. Skip them: the reachable prefix archives
-            # normally, strays stay in place (linearization already drops
-            # them; a later trim deletes them).
-            files = [r for r in files if r.child in pos]
-            if not files:
-                return False
+        # Skip revisions log() cannot place — mid-pull transients
+        # (children copied before their archived parents), strays left
+        # by a concurrent trim, or files that landed between the log()
+        # and revisions() listings. Archiving them would bake garbage
+        # into the manifest; bailing entirely would let ONE stray
+        # disable archiving forever. The membership filter is
+        # UNCONDITIONAL: a count comparison (len(pos) vs distinct file
+        # children) can coincidentally balance — e.g. a racing trim
+        # deletes N listed revisions while N strays appear — and a
+        # skipped filter turns pos[r.child] below into a KeyError
+        # (caught live by the trim-races-archiver chaos test). Strays
+        # stay in place: linearization already drops them; a later trim
+        # deletes them.
+        files = [r for r in files if r.child in pos]
+        if not files:
+            return False
         k = len(log) - keep
         changed = True
         while changed and k > len(chain):

@@ -215,3 +215,85 @@ def test_writers_race_archiver(repo):
     full = [r.child for r in fresh._linearize(fresh.revisions())]
     assert fast == full
     assert got.series("s").frame(sort=False).count() == N
+
+
+def test_trim_races_writers_and_archiver(repo):
+    """Round-7 trim vs archive coherence under REAL interleaving (the
+    planted end-state tests live in test_archive.py): one thread
+    appends, one forces archive passes with a tiny keep window, one
+    runs retention trims. Readers racing a history REWRITE may
+    legitimately fail mid-flight (trim deletes revision files a
+    concurrent snapshot walk might still need) — the contract under
+    test is that the SYSTEM converges: the archiver never crashes or
+    wedges, and after the dust settles a cold instance linearizes
+    consistently (fast path == full relisting), new writes land, and
+    reads work."""
+    import time
+
+    import pandas as pd
+
+    from lakota_spark.changelog import Changelog
+    from lakota_spark.repo import Repo
+
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "tra")
+    series = coll.series("s")
+    series.write({"ts": [0], "value": [0.0]})
+    arch_errs, trim_errs, write_errs = [], [], []
+    stop = threading.Event()
+
+    def archiver():
+        while not stop.is_set():
+            try:
+                coll.changelog.maybe_archive(keep=4)
+            except Exception as exc:  # noqa: BLE001
+                arch_errs.append(exc)
+                return
+
+    def trimmer():
+        while not stop.is_set():
+            try:
+                repo.collection("tra").trim(before=time.time() - 0.2)
+            except FileNotFoundError:
+                pass  # racing a concurrent archiver/writer mid-walk
+            except Exception as exc:  # noqa: BLE001
+                trim_errs.append(exc)
+                return
+            time.sleep(0.05)
+
+    threads = [
+        threading.Thread(target=archiver),
+        threading.Thread(target=trimmer),
+    ]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(1, 120):
+            try:
+                series.write({"ts": [i], "value": [float(i)]})
+            except FileNotFoundError:
+                pass  # leaf-snapshot walk raced a trim deletion
+            except Exception as exc:  # noqa: BLE001
+                write_errs.append(exc)
+                break
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    # the archiver must never crash (move-source-deleted tolerance) and
+    # nothing else may fail in an unexpected way
+    assert not arch_errs, arch_errs
+    assert not trim_errs, trim_errs
+    assert not write_errs, write_errs
+    # convergence: cold instance reads a consistent history
+    cold = Repo(repo.root if hasattr(repo, "root") else repo.uri, repo.spark)
+    got = cold.collection("tra")
+    fast = [r.child for r in got.changelog.log()]
+    fresh = Changelog(got.changelog.fs, got.changelog.prefix)
+    full = [r.child for r in fresh._linearize(fresh.revisions())]
+    assert fast == full
+    # the system still works: a fresh write + archive pass + read
+    gs = got.series("s")
+    gs.write({"ts": [10_000], "value": [1.0]})
+    got.changelog.maybe_archive(keep=4)
+    vals = [r.ts for r in gs.frame().collect()]
+    assert 10_000 in vals
