@@ -497,95 +497,9 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _parse_jpeg(b: bytes):
-    """Baseline sequential JPEG (SOF0) → HxWx3 uint8 RGB — pure
-    python/numpy: marker parse, canonical huffman decode, dequantize,
-    matrix IDCT, chroma upsample, JFIF YCbCr→RGB (round 7: the last
-    image codec leaves the byte-histogram fallback). Grayscale and
-    YCbCr with sampling factors ≤2 (4:4:4 / 4:2:2 / 4:2:0), restart
-    intervals supported; progressive (SOF2), arithmetic coding, 12-bit
-    and hierarchical modes return None → deterministic fallback.
-
-    The per-symbol python huffman loop makes this a tens-of-ms decoder
-    for thumbnail-scale payloads — right for feature extraction in
-    tests and small corpora; swap in a vectorized/PIL decode where the
-    environment has one. Differential-tested against an independent
-    forward implementation (test-side encoder) within quantization
-    tolerance."""
-    import numpy as np
-
-    if not b.startswith(b"\xff\xd8"):
-        return None
-    qt: dict[int, "np.ndarray"] = {}
-    huff: dict[tuple[int, int], dict] = {}
-    comps = None  # list of (cid, h, v, tq)
-    width = height = None
-    dri = 0
-    pos = 2
-    scan = None
-    while pos + 4 <= len(b):
-        if b[pos] != 0xFF:
-            return None
-        marker = b[pos + 1]
-        if marker == 0xD9:  # EOI
-            break
-        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
-        seg = b[pos + 4 : pos + 2 + seg_len]
-        if marker == 0xDB:  # DQT
-            o = 0
-            while o < len(seg):
-                pq, tq = seg[o] >> 4, seg[o] & 15
-                if pq != 0:
-                    return None  # 16-bit tables: out of scope
-                tbl = np.zeros(64, dtype=np.int32)
-                for k in range(64):
-                    tbl[_JPEG_ZZ[k]] = seg[o + 1 + k]
-                qt[tq] = tbl.reshape(8, 8)
-                o += 65
-        elif marker == 0xC0:  # SOF0 baseline
-            height = int.from_bytes(seg[1:3], "big")
-            width = int.from_bytes(seg[3:5], "big")
-            _check_dims(width, height)
-            n_comp = seg[5]
-            if seg[0] != 8 or n_comp not in (1, 3):
-                return None
-            comps = []
-            for c in range(n_comp):
-                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline SOF
-        elif marker == 0xC4:  # DHT
-            o = 0
-            while o < len(seg):
-                tc, th = seg[o] >> 4, seg[o] & 15
-                counts = seg[o + 1 : o + 17]
-                syms = seg[o + 17 : o + 17 + sum(counts)]
-                table = {}
-                code, si = 0, 0
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        table[(length, code)] = syms[si]
-                        code += 1
-                        si += 1
-                    code <<= 1
-                huff[(tc, th)] = table
-                o += 17 + sum(counts)
-        elif marker == 0xDD:  # DRI
-            dri = int.from_bytes(seg[0:2], "big")
-        elif marker == 0xDA:  # SOS
-            ns = seg[0]
-            scan = [
-                (seg[1 + 2 * k], seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15)
-                for k in range(ns)
-            ]
-            pos = pos + 2 + seg_len
-            break
-        pos = pos + 2 + seg_len
-    if scan is None or comps is None or not qt or width is None:
-        return None
-    # entropy-coded data: unstuff FF00, split at restart markers
+def _jpeg_entropy_segments(b: bytes, pos: int):
+    """Entropy-coded data from ``pos``: unstuff FF00 and split at
+    restart markers. Returns ``(segments, next_marker_pos)``."""
     segments, cur = [], bytearray()
     i = pos
     while i < len(b):
@@ -605,67 +519,295 @@ def _parse_jpeg(b: bytes):
         cur.append(c)
         i += 1
     segments.append(bytes(cur))
+    return segments, i
 
-    hmax = max(h for _, h, _, _ in comps)
-    vmax = max(v for _, _, v, _ in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
-        for _, h, v, _ in comps
-    ]
-    dc_h = {cid: huff.get((0, td)) for cid, td, _ in scan}
-    ac_h = {cid: huff.get((1, ta)) for cid, _, ta in scan}
-    if any(t is None for t in dc_h.values()) or any(
-        t is None for t in ac_h.values()
-    ):
-        return None
-    T = _jpeg_idct_mat()
-    pred = {cid: 0 for cid, _, _, _ in comps}
-    seg_idx = 0
+
+def _jpeg_block_first(block, bits, dct, act, si, Ss, Se, Al, pred, eobrun):
+    """First-pass coefficient decode for one block (spec F.2.2):
+    baseline is the ``Ss=0, Se=63, Al=0`` case; a progressive DC scan
+    is ``Ss=Se=0``; a progressive AC scan is ``Ss≥1`` with EOB-run
+    codes shared across blocks. Returns the updated EOB run."""
+    k = Ss
+    if k == 0:
+        s = _jpeg_huff_decode(bits, dct)
+        pred[si] += _jpeg_extend(bits.read(s), s)
+        block[0] = pred[si] << Al
+        k = 1
+    if k > Se:
+        return eobrun
+    if eobrun > 0:
+        return eobrun - 1
+    while k <= Se:
+        rs = _jpeg_huff_decode(bits, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn (baseline EOB is the r=0 case)
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.read(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > 63:
+                raise ValueError("AC index out of range")
+            block[_JPEG_ZZ[k]] = _jpeg_extend(bits.read(s), s) << Al
+            k += 1
+    return eobrun
+
+
+def _jpeg_block_refine(block, bits, act, Ss, Se, Al, eobrun):
+    """Successive-approximation refinement for one block (spec G.1.2):
+    DC scans append one bit; AC scans place newly-significant ±1<<Al
+    coefficients and emit a correction bit for every already-nonzero
+    coefficient they pass. Returns the updated EOB run."""
+    if Ss == 0:  # DC refinement: one appended bit, two's complement
+        if bits.read1():
+            block[0] |= 1 << Al
+        return eobrun
+    p1, m1 = 1 << Al, -(1 << Al)
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = _jpeg_huff_decode(bits, act)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:  # EOBn: corrections continue below
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.read(r)
+                    break
+                # ZRL: skip 16 zero-history slots, correcting en route
+            else:  # s == 1 by spec: a newly-significant coefficient
+                val = p1 if bits.read1() else m1
+            while k <= Se:
+                z = _JPEG_ZZ[k]
+                if block[z] != 0:
+                    if bits.read1() and (block[z] & p1) == 0:
+                        block[z] += p1 if block[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= Se:
+                block[_JPEG_ZZ[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            z = _JPEG_ZZ[k]
+            if block[z] != 0:
+                if bits.read1() and (block[z] & p1) == 0:
+                    block[z] += p1 if block[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan(
+    coefs, comps, hmax, vmax, mcux, mcuy, width, height,
+    scan_spec, Ss, Se, Ah, Al, segments, dri, huff,
+):
+    """Decode one scan's entropy segments into the per-component
+    coefficient arrays. Interleaved scans walk MCU order over the
+    padded grid; single-component scans walk that component's own
+    (unpadded) block raster, per spec A.2.2."""
+    scan_comps = []
+    for ci, td, ta in scan_spec:
+        dct = huff.get((0, td))
+        act = huff.get((1, ta))
+        if Ss == 0 and Ah == 0 and dct is None:
+            raise ValueError("missing DC table")
+        if Se > 0 and act is None:
+            raise ValueError("missing AC table")
+        scan_comps.append((ci, dct, act))
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = mcux * mcuy
+        nbw = None
+    else:
+        ci0 = scan_comps[0][0]
+        _, h0, v0, _ = comps[ci0]
+        comp_w = -(-(width * h0) // hmax)
+        comp_h = -(-(height * v0) // vmax)
+        nbw = -(-comp_w // 8)
+        nbh = -(-comp_h // 8)
+        units = nbw * nbh
     bits = _JpegBits(segments[0])
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
+    seg_idx = 0
+    pred = [0] * len(scan_comps)
+    eobrun = 0
+    refine = Ah != 0
+    for m in range(units):
         if dri and m and m % dri == 0:  # restart: next segment, reset
             seg_idx += 1
             if seg_idx >= len(segments):
-                return None
+                raise ValueError("missing restart segment")
             bits = _JpegBits(segments[seg_idx])
-            pred = {cid: 0 for cid, _, _, _ in comps}
-        my, mx = divmod(m, mcux)
-        for ci, (cid, h, v, tq) in enumerate(comps):
-            for by in range(v):
-                for bx in range(h):
-                    s = _jpeg_huff_decode(bits, dc_h[cid])
-                    diff = _jpeg_extend(bits.read(s), s)
-                    pred[cid] += diff
-                    coef = np.zeros(64, dtype=np.int32)
-                    coef[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = _jpeg_huff_decode(bits, ac_h[cid])
-                        r, sz = rs >> 4, rs & 15
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += r
-                        if k > 63:
-                            return None
-                        coef[_JPEG_ZZ[k]] = _jpeg_extend(
-                            bits.read(sz), sz
-                        )
-                        k += 1
-                    block = coef.reshape(8, 8) * qt[tq]
-                    spatial = T.T @ block @ T + 128.0
-                    y0 = (my * v + by) * 8
-                    x0 = (mx * h + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-    # upsample to full resolution, crop, color-convert
+            pred = [0] * len(scan_comps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(m, mcux)
+            for si, (ci, dct, act) in enumerate(scan_comps):
+                _, h, v, _ = comps[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        blk = coefs[ci][my * v + by, mx * h + bx]
+                        if refine:
+                            eobrun = _jpeg_block_refine(
+                                blk, bits, act, Ss, Se, Al, eobrun
+                            )
+                        else:
+                            eobrun = _jpeg_block_first(
+                                blk, bits, dct, act, si, Ss, Se, Al,
+                                pred, eobrun,
+                            )
+        else:
+            ci, dct, act = scan_comps[0]
+            by, bx = divmod(m, nbw)
+            blk = coefs[ci][by, bx]
+            if refine:
+                eobrun = _jpeg_block_refine(
+                    blk, bits, act, Ss, Se, Al, eobrun
+                )
+            else:
+                eobrun = _jpeg_block_first(
+                    blk, bits, dct, act, 0, Ss, Se, Al, pred, eobrun
+                )
+
+
+def _parse_jpeg(b: bytes):
+    """Huffman JPEG → HxWx3 uint8 RGB — pure python/numpy: marker
+    parse, canonical huffman decode, multi-scan coefficient
+    accumulation, vectorized dequant + matrix IDCT, chroma upsample,
+    JFIF YCbCr→RGB. Covers baseline (SOF0), extended sequential
+    (SOF1) and PROGRESSIVE (SOF2 — spectral selection, successive
+    approximation with DC/AC refinement scans, EOB runs; most web
+    JPEGs are progressive). Grayscale and YCbCr with sampling factors
+    ≤2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals in any scan;
+    arithmetic coding, 12-bit and hierarchical modes return None →
+    deterministic fallback.
+
+    Baseline decodes through the SAME scan machinery as progressive —
+    it is the degenerate ``Ss=0, Se=63, Ah=Al=0`` single-scan case
+    (`_jpeg_block_first`). The per-symbol python huffman loop makes
+    this a tens-of-ms decoder for thumbnail-scale payloads — right for
+    feature extraction in tests and small corpora; swap in a
+    vectorized/PIL decode where the environment has one.
+    Differential-tested against an independent forward implementation
+    (test-side sequential + progressive encoders): progressive scan
+    scripts must reproduce the baseline decode of the same quantized
+    coefficients bit-exactly."""
+    import numpy as np
+
+    if not b.startswith(b"\xff\xd8"):
+        return None
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None  # list of (cid, h, v, tq)
+    width = height = None
+    dri = 0
+    pos = 2
+    coefs = None
+    hmax = vmax = mcux = mcuy = None
+    saw_scan = False
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        seg = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                if pq != 0:
+                    return None  # 16-bit tables: out of scope
+                tbl = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    tbl[_JPEG_ZZ[k]] = seg[o + 1 + k]
+                qt[tq] = tbl.reshape(8, 8)
+                o += 65
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 (huffman, 8-bit)
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            _check_dims(width, height)
+            n_comp = seg[5]
+            if seg[0] != 8 or n_comp not in (1, 3):
+                return None
+            comps = []
+            for c in range(n_comp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            coefs = [
+                np.zeros((mcuy * v, mcux * h, 64), dtype=np.int32)
+                for _, h, v, _ in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless/arithmetic/hierarchical SOF
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 15
+                counts = seg[o + 1 : o + 17]
+                syms = seg[o + 17 : o + 17 + sum(counts)]
+                table = {}
+                code, si = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[si]
+                        code += 1
+                        si += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                o += 17 + sum(counts)
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if comps is None:
+                return None
+            cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+            ns = seg[0]
+            scan_spec = []
+            for k in range(ns):
+                cs, tt = seg[1 + 2 * k], seg[2 + 2 * k]
+                ci = cid_to_ci.get(cs)
+                if ci is None:
+                    return None
+                scan_spec.append((ci, tt >> 4, tt & 15))
+            Ss = seg[1 + 2 * ns]
+            Se = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            segments, pos = _jpeg_entropy_segments(b, pos + 2 + seg_len)
+            _jpeg_decode_scan(
+                coefs, comps, hmax, vmax, mcux, mcuy, width, height,
+                scan_spec, Ss, Se, ahal >> 4, ahal & 15,
+                segments, dri, huff,
+            )
+            saw_scan = True
+            continue
+        pos = pos + 2 + seg_len
+    if not saw_scan or not qt:
+        return None
+    # reconstruction: vectorized dequant + IDCT over all blocks at once
+    T = _jpeg_idct_mat()
     full = []
     for ci, (cid, h, v, tq) in enumerate(comps):
-        p = planes[ci]
+        q = qt.get(tq)
+        if q is None:
+            return None
+        bh, bw = coefs[ci].shape[:2]
+        blocks = coefs[ci].reshape(bh, bw, 8, 8).astype(np.float64) * q
+        spatial = np.einsum("ij,yxjk,kl->yxil", T.T, blocks, T) + 128.0
+        p = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         if h < hmax:
             p = np.repeat(p, hmax // h, axis=1)
         if v < vmax:

@@ -3005,3 +3005,357 @@ def test_wav_ima_adpcm_stereo_interleave():
         i1 = max(i1 - 1, 0)
         expect.append((p0 + p1) / 2)
     assert np.allclose(out * 32768.0, expect)
+
+
+def _encode_jpeg_progressive(img, script=None, subsample=False):
+    """Minimal PROGRESSIVE JPEG encoder (SOF2) for the golden tests —
+    independent transcription of spec G.1.2 / libjpeg's AC first +
+    refine emission (EOB-run buffering, correction bits), sharing only
+    the spec constants with the decoder. Grayscale (2-D input) or
+    color; ``script`` is a list of scans
+    ``(comp_sel, Ss, Se, Ah, Al)`` where comp_sel is None for an
+    interleaved DC scan or a component index. Default script exercises
+    DC successive approximation + spectral AC bands + AC refinements.
+    """
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _JPEG_ZZ, _jpeg_idct_mat
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    QL = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]).reshape(8, 8)
+    QC = np.array([
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ]).reshape(8, 8)
+    T = _jpeg_idct_mat()
+
+    # --- planes + per-component quantized coefficients (zigzag order)
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qts = [QL]
+    else:
+        f = img.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = (128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1]
+              + 0.5 * f[..., 2])
+        cr = (128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1]
+              - 0.081312 * f[..., 2])
+        if subsample:
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qts = [QL, QC, QC]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # quantize into PADDED per-component grids (edge-replicated), but
+    # remember each component's UNPADDED grid for AC scans
+    coefzz, grids = [], []
+    for ci, p in enumerate(planes):
+        sh, sv = samp[ci]
+        pw, ph = mcux * sh * 8, mcuy * sv * 8
+        pad = np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
+        bh, bw = ph // 8, pw // 8
+        cz = np.zeros((bh, bw, 64), dtype=int)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                cf = np.round(
+                    (T @ (blk - 128.0) @ T.T) / qts[ci]
+                ).astype(int)
+                cz[by, bx] = [
+                    int(cf.reshape(-1)[_JPEG_ZZ[k]]) for k in range(64)
+                ]
+        coefzz.append(cz)
+    # unpadded grids for the non-interleaved AC scans
+    grids = []
+    for ci in range(len(planes)):
+        sh, sv = samp[ci]
+        comp_w = -(-(w * sh) // hmax)
+        comp_h = -(-(h * sv) // vmax)
+        grids.append((-(-comp_h // 8), -(-comp_w // 8)))
+
+    if script is None:
+        n = len(planes)
+        script = [(None, 0, 0, 0, 1)]
+        for ci in range(n):
+            script += [(ci, 1, 5, 0, 2), (ci, 6, 63, 0, 2)]
+        for ci in range(n):
+            script += [(ci, 1, 63, 2, 1), (ci, 1, 63, 1, 0)]
+        script += [(None, 0, 0, 1, 0)]
+
+    # --- header
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    for tq, q in ((0, QL),) + ((() if gray else ((1, QC),))):
+        zz = bytes(int(q.reshape(-1)[_JPEG_ZZ[k]]) for k in range(64))
+        seg(0xDB, bytes([tq]) + zz)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(planes)])
+    for ci in range(len(planes)):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    seg(0xC2, sof)
+
+    # Huffman tables: the Annex-K baseline AC table lacks the EOBn
+    # symbols (0x10..0xE0) progressive streams need, so carry a simple
+    # FULL-coverage canonical AC table: 255 symbols at length 8 + one at
+    # length 9 (keeps the all-ones max-length code unassigned, as the
+    # spec's table construction does)
+    DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    DC_VALS = list(range(12))
+    AC_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+    AC_VALS = list(range(256))
+
+    def canonical(bits, vals):
+        table, code, si = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[vals[si]] = (code, length)
+                code += 1
+                si += 1
+            code <<= 1
+        return table
+
+    enc_dc = canonical(DC_BITS, DC_VALS)
+    enc_ac = canonical(AC_BITS, AC_VALS)
+    seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+
+    # --- per-scan emission
+    for comp_sel, Ss, Se, Ah, Al in script:
+        bitbuf = []
+
+        def put(code, length):
+            for i in range(length - 1, -1, -1):
+                bitbuf.append((code >> i) & 1)
+
+        def put_val(v):
+            s = 0 if v == 0 else max(v, -v).bit_length()
+            if v < 0:
+                v = v + (1 << s) - 1
+            return s, v
+
+        eob_state = {"run": 0, "bits": []}
+
+        def emit_eobrun():
+            if eob_state["run"] > 0:
+                nbits = eob_state["run"].bit_length() - 1
+                c, ln = enc_ac[nbits << 4]
+                put(c, ln)
+                if nbits:
+                    put(eob_state["run"] & ((1 << nbits) - 1), nbits)
+                bitbuf.extend(eob_state["bits"])
+                eob_state["run"] = 0
+                eob_state["bits"] = []
+
+        def ac_first_block(zz):
+            r = 0
+            for k in range(Ss, Se + 1):
+                c0 = zz[k]
+                t = (c0 >> Al) if c0 >= 0 else -((-c0) >> Al)
+                if t == 0:
+                    r += 1
+                    continue
+                emit_eobrun()
+                while r > 15:
+                    c, ln = enc_ac[0xF0]
+                    put(c, ln)
+                    r -= 16
+                s, v = put_val(t)
+                c, ln = enc_ac[(r << 4) | s]
+                put(c, ln)
+                put(v, s)
+                r = 0
+            if r > 0:
+                eob_state["run"] += 1
+                if eob_state["run"] == 0x7FFF:
+                    emit_eobrun()
+
+        def ac_refine_block(zz):
+            absv = [0] * 64
+            eob_k = Ss - 1
+            for k in range(Ss, Se + 1):
+                absv[k] = abs(zz[k]) >> Al
+                if absv[k] == 1:
+                    eob_k = k
+            r = 0
+            br = []
+            for k in range(Ss, Se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_k:
+                    emit_eobrun()
+                    c, ln = enc_ac[0xF0]
+                    put(c, ln)
+                    r -= 16
+                    bitbuf.extend(br)
+                    br = []
+                if t > 1:  # already significant: correction bit
+                    br.append(t & 1)
+                    continue
+                emit_eobrun()
+                c, ln = enc_ac[(r << 4) | 1]
+                put(c, ln)
+                put(1 if zz[k] >= 0 else 0, 1)
+                bitbuf.extend(br)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eob_state["run"] += 1
+                eob_state["bits"].extend(br)
+                if eob_state["run"] == 0x7FFF:
+                    emit_eobrun()
+
+        if comp_sel is None:  # DC scan: interleaved over all comps
+            ns = len(planes)
+            hdr = bytes([ns])
+            for ci in range(ns):
+                hdr += bytes([ci + 1, 0x00])
+            hdr += bytes([Ss, Se, (Ah << 4) | Al])
+            seg(0xDA, hdr)
+            preds = [0] * ns
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci in range(ns):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = int(
+                                coefzz[ci][my * sv + by, mx * sh + bx][0]
+                            )
+                            if Ah == 0:
+                                dv = dc >> Al
+                                s, v = put_val(dv - preds[ci])
+                                c, ln = enc_dc[s]
+                                put(c, ln)
+                                put(v, s)
+                                preds[ci] = dv
+                            else:
+                                bitbuf.append((dc >> Al) & 1)
+        else:
+            ci = comp_sel
+            hdr = bytes([1, ci + 1, 0x00])
+            hdr += bytes([Ss, Se, (Ah << 4) | Al])
+            seg(0xDA, hdr)
+            nbh, nbw = grids[ci]
+            for m in range(nbh * nbw):
+                by, bx = divmod(m, nbw)
+                zz = [int(x) for x in coefzz[ci][by, bx]]
+                if Ah == 0:
+                    ac_first_block(zz)
+                else:
+                    ac_refine_block(zz)
+        emit_eobrun()
+        while len(bitbuf) % 8:
+            bitbuf.append(1)
+        for i in range(0, len(bitbuf), 8):
+            byte = 0
+            for bit in bitbuf[i : i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_jpeg_progressive_equals_sequential_scan():
+    # the multi-scan progressive script (DC successive approximation +
+    # spectral AC bands + two AC refinement levels) must reconstruct
+    # EXACTLY the coefficients of a single full scan of the same image -
+    # decoded pixels bit-equal
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_jpeg
+
+    rng = np.random.default_rng(7)
+    h, w = 24, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = ((xx * 9 + yy * 5) % 256).astype(np.uint8)
+    gray[8:16, 4:12] = rng.integers(0, 256, (8, 8))
+    single = _encode_jpeg_progressive(
+        gray, script=[(None, 0, 0, 0, 0), (0, 1, 63, 0, 0)]
+    )
+    multi = _encode_jpeg_progressive(gray)  # default SA script
+    a = _parse_jpeg(single)
+    bimg = _parse_jpeg(multi)
+    assert a is not None and bimg is not None
+    assert np.array_equal(a, bimg)
+    # and both track the source within quantization error
+    err = np.abs(a[:, :, 0].astype(int) - gray.astype(int)).mean()
+    assert err < 16.0, err
+
+
+def test_jpeg_progressive_color_matches_baseline_bitexact():
+    # color 4:4:4: the progressive file and the BASELINE file built by
+    # the independent sequential encoder share the exact same quantized
+    # coefficients (identical DCT/round), so the decodes must be
+    # bit-identical - progressive machinery vs the trusted baseline path
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_jpeg
+
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (xx * 255 / (w - 1)),
+            (yy * 255 / (h - 1)),
+            ((xx * 3 + yy * 7) % 256),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    base = _parse_jpeg(_encode_jpeg(img))
+    prog = _parse_jpeg(_encode_jpeg_progressive(img))
+    assert base is not None and prog is not None
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_420_unpadded_ac_grid():
+    # 4:2:0 with dims a multiple of 8 but NOT 16: the interleaved DC
+    # scan walks the PADDED MCU grid while per-component AC scans walk
+    # the component's own unpadded grid (spec A.2.2) - a decoder that
+    # reuses the padded grid for AC misparses the stream
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_jpeg
+
+    rng = np.random.default_rng(11)
+    h, w = 24, 40  # mcu grid 2x3 padded, luma blocks 3x5 unpadded
+    tiles = rng.integers(40, 216, size=(3, 5, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    got = _parse_jpeg(_encode_jpeg_progressive(img, subsample=True))
+    assert got is not None and got.shape == img.shape
+    err = np.abs(got.astype(int) - img.astype(int)).mean()
+    assert err < 10.0, err
