@@ -510,6 +510,9 @@ def _jpeg_entropy_segments(b: bytes, pos: int):
                 cur.append(0xFF)
                 i += 2
                 continue
+            if m == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+                i += 1
+                continue
             if 0xD0 <= m <= 0xD7:  # RSTn
                 segments.append(bytes(cur))
                 cur = bytearray()
@@ -716,6 +719,9 @@ def _parse_jpeg(b: bytes):
         if b[pos] != 0xFF:
             return None
         marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
@@ -844,10 +850,11 @@ def _decode_image_batch(payload: pd.Series) -> pd.Series:
 
     REAL decode for every common still format, stdlib + numpy only:
     PPM P6, 24-bit BMP, GIF (LZW + palettes + interlace), 8-bit
-    non-interlaced PNG (zlib + scanline unfiltering) and baseline JPEG
-    (huffman + dequant + matrix IDCT) → 13-float descriptor (dims +
-    channel means + luminance histogram).
-    Unparseable/exotic payloads (progressive JPEG, 16-bit PNG,
+    non-interlaced PNG (zlib + scanline unfiltering) and huffman JPEG
+    — baseline AND progressive (multi-scan successive approximation +
+    vectorized IDCT) → 13-float descriptor (dims + channel means +
+    luminance histogram).
+    Unparseable/exotic payloads (arithmetic/12-bit JPEG, 16-bit PNG,
     truncated files) fall through to a deterministic byte-histogram
     (8 floats), keeping the pipeline end-to-end testable with real
     Arrow batch boundaries.

@@ -2102,15 +2102,11 @@ def test_span_flag_tracker_publish_race_retries(spark, tmp_path):
     assert ("a b", 2) in flags
 
 
-def _encode_jpeg(img, subsample=False):
-    """Minimal baseline JPEG encoder for the golden tests: forward DCT +
-    Annex-K tables + canonical huffman, independent of the decoder
-    (shares only the spec constants), so decode(encode(x)) pins the
-    decoder within quantization tolerance. ``subsample=True`` emits
-    4:2:0 (dims must be multiples of 16)."""
+def _jpeg_q_tables():
+    """Annex-K luma/chroma quantization tables — ONE copy shared by the
+    sequential and progressive test encoders so their quantized
+    coefficients (and the bit-exact cross-encoder tests) can't drift."""
     import numpy as np
-
-    from lakota_spark.operators.multimodal import _JPEG_ZZ, _jpeg_idct_mat
 
     QL = np.array([
         16, 11, 10, 16, 24, 40, 51, 61,
@@ -2132,6 +2128,50 @@ def _encode_jpeg(img, subsample=False):
         99, 99, 99, 99, 99, 99, 99, 99,
         99, 99, 99, 99, 99, 99, 99, 99,
     ]).reshape(8, 8)
+    return QL, QC
+
+
+def _jpeg_canonical(bits, vals):
+    """symbol → (code, length) canonical huffman assignment (encoder
+    side of the decoder's DHT walk)."""
+    table, code, si = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[si]] = (code, length)
+            code += 1
+            si += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_ycbcr_planes(img, subsample):
+    """BT.601 RGB → (Y, Cb, Cr) float planes, optional 4:2:0 chroma."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    cb = (128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1]
+          + 0.5 * f[..., 2])
+    cr = (128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1]
+          - 0.081312 * f[..., 2])
+    if subsample:
+        cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    return y, cb, cr
+
+
+def _encode_jpeg(img, subsample=False):
+    """Minimal baseline JPEG encoder for the golden tests: forward DCT +
+    Annex-K tables + canonical huffman, independent of the decoder
+    (shares only the spec constants), so decode(encode(x)) pins the
+    decoder within quantization tolerance. ``subsample=True`` emits
+    4:2:0 (dims must be multiples of 16)."""
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _JPEG_ZZ, _jpeg_idct_mat
+
+    QL, QC = _jpeg_q_tables()
     DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
             list(range(12)))
     DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
@@ -2183,18 +2223,8 @@ def _encode_jpeg(img, subsample=False):
         0xF9, 0xFA,
     ])
 
-    def canonical(bits, vals):
-        table, code, si = {}, 0, 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                table[vals[si]] = (code, length)
-                code += 1
-                si += 1
-            code <<= 1
-        return table
-
-    enc_dc = {0: canonical(*DC_L), 1: canonical(*DC_C)}
-    enc_ac = {0: canonical(*AC_L), 1: canonical(*AC_C)}
+    enc_dc = {0: _jpeg_canonical(*DC_L), 1: _jpeg_canonical(*DC_C)}
+    enc_ac = {0: _jpeg_canonical(*AC_L), 1: _jpeg_canonical(*AC_C)}
     T = _jpeg_idct_mat()  # DCT-II forward: T @ block @ T.T
 
     out = bytearray(b"\xff\xd8")
@@ -2222,13 +2252,7 @@ def _encode_jpeg(img, subsample=False):
     seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
 
     # color convert + plane split
-    f = img.astype(np.float64)
-    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
-    cb = 128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2]
-    cr = 128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2]
-    if subsample:
-        cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-        cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    y, cb, cr = _jpeg_ycbcr_planes(img, subsample)
 
     bitbuf = []
 
@@ -3023,26 +3047,7 @@ def _encode_jpeg_progressive(img, script=None, subsample=False):
 
     gray = img.ndim == 2
     h, w = img.shape[:2]
-    QL = np.array([
-        16, 11, 10, 16, 24, 40, 51, 61,
-        12, 12, 14, 19, 26, 58, 60, 55,
-        14, 13, 16, 24, 40, 57, 69, 56,
-        14, 17, 22, 29, 51, 87, 80, 62,
-        18, 22, 37, 56, 68, 109, 103, 77,
-        24, 35, 55, 64, 81, 104, 113, 92,
-        49, 64, 78, 87, 103, 121, 120, 101,
-        72, 92, 95, 98, 112, 100, 103, 99,
-    ]).reshape(8, 8)
-    QC = np.array([
-        17, 18, 24, 47, 99, 99, 99, 99,
-        18, 21, 26, 66, 99, 99, 99, 99,
-        24, 26, 56, 99, 99, 99, 99, 99,
-        47, 66, 99, 99, 99, 99, 99, 99,
-        99, 99, 99, 99, 99, 99, 99, 99,
-        99, 99, 99, 99, 99, 99, 99, 99,
-        99, 99, 99, 99, 99, 99, 99, 99,
-        99, 99, 99, 99, 99, 99, 99, 99,
-    ]).reshape(8, 8)
+    QL, QC = _jpeg_q_tables()
     T = _jpeg_idct_mat()
 
     # --- planes + per-component quantized coefficients (zigzag order)
@@ -3051,18 +3056,11 @@ def _encode_jpeg_progressive(img, script=None, subsample=False):
         samp = [(1, 1)]
         qts = [QL]
     else:
-        f = img.astype(np.float64)
-        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
-        cb = (128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1]
-              + 0.5 * f[..., 2])
-        cr = (128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1]
-              - 0.081312 * f[..., 2])
-        if subsample:
-            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
+        y, cb, cr = _jpeg_ycbcr_planes(img, subsample)
+        samp = (
+            [(2, 2), (1, 1), (1, 1)] if subsample
+            else [(1, 1), (1, 1), (1, 1)]
+        )
         planes = [y, cb, cr]
         qts = [QL, QC, QC]
     hmax = max(s[0] for s in samp)
@@ -3135,18 +3133,8 @@ def _encode_jpeg_progressive(img, script=None, subsample=False):
     AC_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
     AC_VALS = list(range(256))
 
-    def canonical(bits, vals):
-        table, code, si = {}, 0, 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                table[vals[si]] = (code, length)
-                code += 1
-                si += 1
-            code <<= 1
-        return table
-
-    enc_dc = canonical(DC_BITS, DC_VALS)
-    enc_ac = canonical(AC_BITS, AC_VALS)
+    enc_dc = _jpeg_canonical(DC_BITS, DC_VALS)
+    enc_ac = _jpeg_canonical(AC_BITS, AC_VALS)
     seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
     seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
 
@@ -3359,3 +3347,30 @@ def test_jpeg_progressive_420_unpadded_ac_grid():
     assert got is not None and got.shape == img.shape
     err = np.abs(got.astype(int) - img.astype(int)).mean()
     assert err < 10.0, err
+
+
+def test_jpeg_fill_bytes_between_scans_and_before_rst():
+    # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes. A
+    # multi-scan file with padding before the second SOS must decode
+    # identically (pre-fix: the marker loop misread FF FF as a marker
+    # and silently skipped every remaining scan -> DC-only pixels)
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_jpeg
+
+    h, w = 16, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = ((xx * 11 + yy * 3) % 256).astype(np.uint8)
+    plain = _encode_jpeg_progressive(gray)
+    want = _parse_jpeg(plain)
+    # insert one fill byte before the SECOND SOS marker
+    first = plain.index(b"\xff\xda")
+    second = plain.index(b"\xff\xda", first + 2)
+    padded = plain[:second] + b"\xff" + plain[second:]
+    got = _parse_jpeg(padded)
+    assert got is not None and np.array_equal(got, want)
+    # and padding before EOI is tolerated too
+    assert plain.endswith(b"\xff\xd9")
+    padded_eoi = plain[:-2] + b"\xff\xff\xd9"
+    got2 = _parse_jpeg(padded_eoi)
+    assert got2 is not None and np.array_equal(got2, want)
