@@ -317,12 +317,13 @@ def _parse_png(b: bytes):
 
     Covers the overwhelmingly common shape: 8-bit depth, color types
     0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) / 6 (RGBA),
-    non-interlaced. Filters: None/Up/Sub vectorize whole-row (Sub is a
-    per-lane prefix sum mod 256); Average/Paeth are inherently
-    sequential in x, so those rows pay a python-per-pixel loop — fine
-    for metadata/feature extraction, and encoders typically emit
-    None/Sub/Up rows for synthetic content. Anything else (16-bit,
-    Adam7) returns None → deterministic fallback."""
+    non-interlaced AND Adam7-interlaced (seven independently-filtered
+    sub-images scattered back onto the canvas). Filters: None/Up/Sub
+    vectorize whole-row (Sub is a per-lane prefix sum mod 256);
+    Average/Paeth are inherently sequential in x, so those rows pay a
+    python-per-pixel loop — fine for metadata/feature extraction, and
+    encoders typically emit None/Sub/Up rows for synthetic content.
+    Anything else (16-bit) returns None → deterministic fallback."""
     import zlib
 
     import numpy as np
@@ -347,21 +348,82 @@ def _parse_png(b: bytes):
         elif ctype == b"IEND":
             break
         pos += 12 + length  # length + type + payload + crc
-    if not idat or width is None or bit_depth != 8 or interlace != 0:
+    if not idat or width is None or bit_depth != 8 or interlace not in (
+        0,
+        1,
+    ):
         return None
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None or (color_type == 3 and palette is None):
         return None
     _check_dims(width, height)
     stride = width * channels
-    # Bounded inflate: a small IDAT zlib bomb must not balloon to GBs.
-    # We need exactly height*(stride+1) bytes; anything past that is
-    # ignorable (and anything short fails the length check below).
-    raw = zlib.decompressobj().decompress(
-        b"".join(idat), height * (stride + 1)
-    )
-    if len(raw) < height * (stride + 1):
-        return None
+    if interlace == 1:  # Adam7: seven independently-filtered sub-images
+        passes = [
+            (x0, y0, dx, dy)
+            for x0, y0, dx, dy in (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            )
+        ]
+        dims = []
+        need = 0
+        for x0, y0, dx, dy in passes:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            dims.append((pw, ph))
+            if pw and ph:
+                need += ph * (pw * channels + 1)
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
+        if len(raw) < need:
+            return None
+        out = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(passes, dims):
+            if not (pw and ph):
+                continue
+            n = ph * (pw * channels + 1)
+            sub = _png_unfilter(raw[off : off + n], ph, pw, channels)
+            if sub is None:
+                return None
+            off += n
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        px = out
+    else:
+        # Bounded inflate: a small IDAT zlib bomb must not balloon to
+        # GBs. We need exactly height*(stride+1) bytes; anything past
+        # that is ignorable (anything short fails the length check).
+        raw = zlib.decompressobj().decompress(
+            b"".join(idat), height * (stride + 1)
+        )
+        if len(raw) < height * (stride + 1):
+            return None
+        out = _png_unfilter(raw, height, width, channels)
+        if out is None:
+            return None
+        px = out.reshape(height, width, channels)
+    if color_type == 2:
+        return px
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 3:
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            return None
+        return palette[idx]
+    if color_type == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]
+
+
+def _png_unfilter(raw, height: int, width: int, channels: int):
+    """Reverse PNG scanline filters over one (sub-)image: ``raw`` holds
+    ``height`` rows of ``1 + width*channels`` bytes (filter id +
+    data). Returns a (height, width*channels) uint8 array, or None on
+    an unknown filter id."""
+    import numpy as np
+
+    stride = width * channels
     rows = np.frombuffer(
         raw, dtype=np.uint8, count=height * (stride + 1)
     ).reshape(height, stride + 1)
@@ -418,19 +480,7 @@ def _parse_png(b: bytes):
             return None
         out[y] = rec
         prev = rec
-    px = out.reshape(height, width, channels)
-    if color_type == 2:
-        return px
-    if color_type == 0:
-        return np.repeat(px, 3, axis=2)
-    if color_type == 3:
-        idx = px[..., 0]
-        if int(idx.max(initial=0)) >= len(palette):
-            return None
-        return palette[idx]
-    if color_type == 4:
-        return np.repeat(px[..., :1], 3, axis=2)
-    return px[..., :3]  # 6: RGBA -> RGB
+    return out
 
 
 #: JPEG zigzag scan order: scan position → natural (row-major) index
@@ -850,7 +900,7 @@ def _decode_image_batch(payload: pd.Series) -> pd.Series:
 
     REAL decode for every common still format, stdlib + numpy only:
     PPM P6, 24-bit BMP, GIF (LZW + palettes + interlace), 8-bit
-    non-interlaced PNG (zlib + scanline unfiltering) and huffman JPEG
+    PNG incl. Adam7 (zlib + scanline unfiltering) and huffman JPEG
     — baseline AND progressive (multi-scan successive approximation +
     vectorized IDCT) → 13-float descriptor (dims + channel means +
     luminance histogram).

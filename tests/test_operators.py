@@ -3374,3 +3374,68 @@ def test_jpeg_fill_bytes_between_scans_and_before_rst():
     padded_eoi = plain[:-2] + b"\xff\xff\xd9"
     got2 = _parse_jpeg(padded_eoi)
     assert got2 is not None and np.array_equal(got2, want)
+
+
+def test_png_adam7_interlaced_decode_bit_exact():
+    # Adam7: seven independently-filtered sub-images scattered onto the
+    # canvas. Encode pass-by-pass (mixed filter types per row) and
+    # require a bit-exact reconstruction, including edge passes that
+    # are empty or 1 pixel wide on a non-multiple-of-8 canvas.
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_png
+
+    rng = np.random.default_rng(19)
+    h, w = 13, 11  # not multiples of 8: exercises ragged passes
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    fsel = 0
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        prev = np.zeros(pw * 3, np.int32)
+        for y in range(ph):
+            cur = sub[y].reshape(-1).astype(np.int32)
+            f = (fsel := fsel + 1) % 3  # rotate None/Sub/Up filters
+            if f == 0:
+                enc = cur & 0xFF
+            elif f == 1:
+                left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+                enc = (cur - left) & 0xFF
+            else:
+                enc = (cur - prev) & 0xFF
+            raw.append(f)
+            raw.extend(enc.astype(np.uint8).tobytes())
+            prev = cur
+
+    def chunk(ctype, payload):
+        c = ctype + payload
+        return (
+            len(payload).to_bytes(4, "big")
+            + c
+            + zlib.crc32(c).to_bytes(4, "big")
+        )
+
+    ihdr = chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1),  # interlace=1
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + ihdr
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = _parse_png(png)
+    assert got is not None and got.shape == img.shape
+    assert np.array_equal(got, img)
