@@ -315,15 +315,18 @@ def _parse_png(b: bytes):
     unfiltering — a REAL codec decode with no PIL/opencv dependency
     (round 7: shrinks the byte-histogram fallback to JPEG/audio/video).
 
-    Covers the overwhelmingly common shape: 8-bit depth, color types
-    0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) / 6 (RGBA),
-    non-interlaced AND Adam7-interlaced (seven independently-filtered
-    sub-images scattered back onto the canvas). Filters: None/Up/Sub
-    vectorize whole-row (Sub is a per-lane prefix sum mod 256);
-    Average/Paeth are inherently sequential in x, so those rows pay a
-    python-per-pixel loop — fine for metadata/feature extraction, and
-    encoders typically emit None/Sub/Up rows for synthetic content.
-    Anything else (16-bit) returns None → deterministic fallback."""
+    Covers 8- AND 16-bit depth (16-bit big-endian samples reduce to
+    their high byte; the filter left-offset is bytes-per-pixel, per
+    spec), color types 0 (gray) / 2 (RGB) / 3 (palette) / 4
+    (gray+alpha) / 6 (RGBA), non-interlaced AND Adam7-interlaced
+    (seven independently-filtered sub-images scattered back onto the
+    canvas). Filters: None/Up/Sub vectorize whole-row (Sub is a
+    per-lane prefix sum mod 256); Average/Paeth are inherently
+    sequential in x, so those rows pay a python-per-pixel loop — fine
+    for metadata/feature extraction, and encoders typically emit
+    None/Sub/Up rows for synthetic content. Sub-byte depths (1/2/4 —
+    vanishingly rare outside icons) return None → deterministic
+    fallback."""
     import zlib
 
     import numpy as np
@@ -348,16 +351,19 @@ def _parse_png(b: bytes):
         elif ctype == b"IEND":
             break
         pos += 12 + length  # length + type + payload + crc
-    if not idat or width is None or bit_depth != 8 or interlace not in (
-        0,
-        1,
+    if not idat or width is None or bit_depth not in (8, 16) or (
+        interlace not in (0, 1)
     ):
         return None
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None or (color_type == 3 and palette is None):
         return None
+    if bit_depth == 16 and color_type == 3:
+        return None  # 16-bit palette indices do not exist in the spec
     _check_dims(width, height)
-    stride = width * channels
+    bps = bit_depth // 8  # bytes per sample
+    bpp = channels * bps  # bytes per pixel = filter left-offset
+    stride = width * bpp
     if interlace == 1:  # Adam7: seven independently-filtered sub-images
         passes = [
             (x0, y0, dx, dy)
@@ -373,21 +379,21 @@ def _parse_png(b: bytes):
             ph = max(0, -(-(height - y0) // dy))
             dims.append((pw, ph))
             if pw and ph:
-                need += ph * (pw * channels + 1)
+                need += ph * (pw * bpp + 1)
         raw = zlib.decompressobj().decompress(b"".join(idat), need)
         if len(raw) < need:
             return None
-        out = np.zeros((height, width, channels), dtype=np.uint8)
+        out = np.zeros((height, width, bpp), dtype=np.uint8)
         off = 0
         for (x0, y0, dx, dy), (pw, ph) in zip(passes, dims):
             if not (pw and ph):
                 continue
-            n = ph * (pw * channels + 1)
-            sub = _png_unfilter(raw[off : off + n], ph, pw, channels)
+            n = ph * (pw * bpp + 1)
+            sub = _png_unfilter(raw[off : off + n], ph, pw, bpp)
             if sub is None:
                 return None
             off += n
-            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
         px = out
     else:
         # Bounded inflate: a small IDAT zlib bomb must not balloon to
@@ -398,10 +404,14 @@ def _parse_png(b: bytes):
         )
         if len(raw) < height * (stride + 1):
             return None
-        out = _png_unfilter(raw, height, width, channels)
+        out = _png_unfilter(raw, height, width, bpp)
         if out is None:
             return None
-        px = out.reshape(height, width, channels)
+        px = out.reshape(height, width, bpp)
+    if bps == 2:
+        # 16-bit samples are big-endian; the top byte IS the 8-bit
+        # rendition (65535-domain value / 257 ~= high byte)
+        px = px.reshape(height, width, channels, 2)[..., 0]
     if color_type == 2:
         return px
     if color_type == 0:
@@ -416,14 +426,16 @@ def _parse_png(b: bytes):
     return px[..., :3]
 
 
-def _png_unfilter(raw, height: int, width: int, channels: int):
+def _png_unfilter(raw, height: int, width: int, bpp: int):
     """Reverse PNG scanline filters over one (sub-)image: ``raw`` holds
-    ``height`` rows of ``1 + width*channels`` bytes (filter id +
-    data). Returns a (height, width*channels) uint8 array, or None on
-    an unknown filter id."""
+    ``height`` rows of ``1 + width*bpp`` bytes (filter id + data),
+    where ``bpp`` is BYTES per pixel (bpp × bytes-per-sample —
+    the filter left-neighbor offset per the spec). Returns a
+    (height, width*bpp) uint8 array, or None on an unknown filter
+    id."""
     import numpy as np
 
-    stride = width * channels
+    stride = width * bpp
     rows = np.frombuffer(
         raw, dtype=np.uint8, count=height * (stride + 1)
     ).reshape(height, stride + 1)
@@ -436,7 +448,7 @@ def _png_unfilter(raw, height: int, width: int, channels: int):
             rec = cur.copy()
         elif f == 1:  # Sub: per-lane prefix sum mod 256
             rec = (
-                cur.reshape(width, channels)
+                cur.reshape(width, bpp)
                 .cumsum(axis=0, dtype=np.uint32)
                 .astype(np.uint8)
                 .reshape(stride)
@@ -444,21 +456,21 @@ def _png_unfilter(raw, height: int, width: int, channels: int):
         elif f == 2:  # Up
             rec = cur + prev  # uint8 wraps mod 256
         elif f == 3:  # Average (sequential in x)
-            c2 = cur.reshape(width, channels).astype(np.uint16)
-            pv = prev.reshape(width, channels).astype(np.uint16)
-            rec2 = np.empty((width, channels), dtype=np.uint8)
-            left = np.zeros(channels, dtype=np.uint16)
+            c2 = cur.reshape(width, bpp).astype(np.uint16)
+            pv = prev.reshape(width, bpp).astype(np.uint16)
+            rec2 = np.empty((width, bpp), dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.uint16)
             for x in range(width):
                 val = (c2[x] + ((left + pv[x]) >> 1)) & 0xFF
                 rec2[x] = val
                 left = val
             rec = rec2.reshape(stride)
         elif f == 4:  # Paeth (sequential in x)
-            c2 = cur.reshape(width, channels).astype(np.int32)
-            pv = prev.reshape(width, channels).astype(np.int32)
-            rec2 = np.empty((width, channels), dtype=np.uint8)
-            left = np.zeros(channels, dtype=np.int32)
-            upleft = np.zeros(channels, dtype=np.int32)
+            c2 = cur.reshape(width, bpp).astype(np.int32)
+            pv = prev.reshape(width, bpp).astype(np.int32)
+            rec2 = np.empty((width, bpp), dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
             for x in range(width):
                 up = pv[x]
                 p = left + up - upleft
@@ -904,7 +916,7 @@ def _decode_image_batch(payload: pd.Series) -> pd.Series:
     — baseline AND progressive (multi-scan successive approximation +
     vectorized IDCT) → 13-float descriptor (dims + channel means +
     luminance histogram).
-    Unparseable/exotic payloads (arithmetic/12-bit JPEG, 16-bit PNG,
+    Unparseable/exotic payloads (arithmetic/12-bit JPEG, sub-byte PNG,
     truncated files) fall through to a deterministic byte-histogram
     (8 floats), keeping the pipeline end-to-end testable with real
     Arrow batch boundaries.

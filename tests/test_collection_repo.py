@@ -812,8 +812,13 @@ def test_log_cache_matches_full_relinearization(tmp_path):
     cl.commit({"merged": True}, parents=heads, force=True)
     assert cached() == fresh()
     assert len(cl.leaves()) == 1
-    # deletion (trim-like): remove an old revision file
-    victim = cl.revisions()[0]
+    # deletion (trim-like): remove an old NON-ROOT revision file.
+    # revisions() is deliberately unsorted (the hot path skips the
+    # O(N log N) sort), so [0] is scandir order — under load it can be
+    # the ROOT file, whose deletion makes the whole history unreachable
+    # and leaf() None (observed flake). Pick a non-root victim: the
+    # root stays reachable, so a head always survives.
+    victim = next(r for r in cl.revisions() if r.parent != PHI)
     fs.remove_file(victim.rel)
     assert cached() == fresh()
     # and appends keep working on the recomputed cache

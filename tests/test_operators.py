@@ -3439,3 +3439,53 @@ def test_png_adam7_interlaced_decode_bit_exact():
     got = _parse_png(png)
     assert got is not None and got.shape == img.shape
     assert np.array_equal(got, img)
+
+
+def test_png_16bit_decode():
+    # 16-bit RGB PNG: big-endian samples, filter left-offset is SIX
+    # bytes (channels x 2); decoder returns the high-byte rendition
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_png
+
+    rng = np.random.default_rng(29)
+    h, w = 6, 7
+    img16 = rng.integers(0, 65536, size=(h, w, 3), dtype=np.uint16)
+    raw = bytearray()
+    prev = np.zeros(w * 6, np.int32)
+    for y in range(h):
+        cur = np.frombuffer(
+            img16[y].astype(">u2").tobytes(), np.uint8
+        ).astype(np.int32)
+        f = y % 3  # rotate None/Sub/Up
+        if f == 0:
+            enc = cur & 0xFF
+        elif f == 1:
+            left = np.concatenate([np.zeros(6, np.int32), cur[:-6]])
+            enc = (cur - left) & 0xFF
+        else:
+            enc = (cur - prev) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, payload):
+        c = ctype + payload
+        return (
+            len(payload).to_bytes(4, "big")
+            + c
+            + zlib.crc32(c).to_bytes(4, "big")
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = _parse_png(png)
+    assert got is not None and got.shape == (h, w, 3)
+    assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
