@@ -402,6 +402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": pipeline.sketch_stats,
         "multimodal_features": pipeline.multimodal_features,
         "multimodal_frames": pipeline.multimodal_frames,
+        # --- new in round 7: learned-BPE tokenizer (fit + encode). Subword
+        #     inference is not SQL-expressible -> rows-only by design;
+        #     pinned by tests/test_tokenizer.py differentials instead ---
+        "bpe_token_stats": pipeline.bpe_token_stats,
         "unigram_lm_quality": pipeline.unigram_lm_quality,
         # --- new in round 6: DSIR importance reweighting + CCNet strata ---
         "dsir_importance": pipeline.dsir_importance,

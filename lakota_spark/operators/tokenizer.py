@@ -1,0 +1,287 @@
+"""Learned byte-pair-encoding tokenizer: distributed fit + encode.
+
+The one canonical LLM-pipeline operator the regex token counter
+(`text.token_count_bpe`) approximates but does not implement: an actual
+BPE (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+with Subword Units") fitted ON the corpus, then applied to it.
+
+Scale design (the HuggingFace-tokenizers / SentencePiece trainer shape):
+
+- **Fit** needs only the distinct-word frequency table, not the corpus:
+  pre-tokenization splits text into words, and BPE merges never cross a
+  word boundary, so pair statistics are fully determined by
+  ``word -> count``. One distributed ``groupBy(word).count()`` (map-side
+  partial agg) + a ``TakeOrderedAndProject`` cap to the top ``max_words``
+  by mass produces a BOUNDED driver relation (Zipf: the top 200k words
+  carry almost all pair mass of a 100 TB corpus); the merge loop then
+  runs driver-side over that table with incremental pair counts and a
+  lazy max-heap — O(occurrences touched) per merge, not O(table). Corpus
+  bytes never reach the driver.
+- **Encode** is embarrassingly parallel and shuffle-free: an
+  Arrow-batched pandas UDF applies the learned merges per word with a
+  per-batch word->tokens memo (Zipf again: hit rate ~ 1 - distinct/total,
+  so per-doc cost is ~O(new distinct words)). The merge-rank dict is
+  ``n_merges`` entries (a few KB) — closure-shipped once per task, far
+  below any broadcast threshold. The alternative distributed form
+  (distinct-word relation -> encode -> posexplode + join + re-agg) costs
+  two shuffles to save Python work that the memo already amortizes; not
+  taken.
+
+Word pre-tokenization reuses ``text.BPE_RE`` so the learned tokenizer and
+the regex token counter segment words identically. Words are encoded as
+their character sequence plus a trailing end-of-word sentinel symbol
+(the paper's ``</w>``), so decode round-trips and "er" vs "er</w>" stay
+distinct merge targets.
+
+Determinism (required for the differential tests and any reproducible
+data pipeline): pair selection breaks count ties by lexicographically
+smallest pair; the word cap breaks count ties by word asc.
+
+Reference comparables: none in bertrandchenal/lakota (numeric series
+store); this extends the repo's training-data surface alongside
+`operators/text.py` / `operators/sampling.py`.
+"""
+
+from __future__ import annotations
+
+import heapq
+import re
+from collections import Counter, defaultdict
+from typing import NamedTuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakota_spark.operators.text import BPE_RE
+
+EOW = "</w>"  # end-of-word sentinel symbol (Sennrich sec. 3.2)
+
+
+class BpeModel(NamedTuple):
+    """Fitted BPE model: ``merges`` in learned order (rank = position),
+    ``vocab`` = initial alphabet (sorted) + one merged symbol per merge."""
+
+    merges: list  # list[tuple[str, str]]
+    vocab: list  # list[str]
+
+    def ranks(self) -> dict:
+        return {tuple(m): i for i, m in enumerate(self.merges)}
+
+
+def _word_pairs(syms):
+    return zip(syms, syms[1:])
+
+
+def fit_bpe_from_counts(
+    word_counts, n_merges: int = 256, min_pair_count: int = 2
+) -> BpeModel:
+    """Driver-side BPE merge loop over a ``[(word, count), ...]`` table.
+
+    Incremental algorithm: a pair->word-set index plus a lazy max-heap of
+    (-count, pair). On each merge only the words actually containing the
+    winning pair are re-counted (subtract the word's old pair multiset,
+    merge greedily left-to-right, add the new multiset); stale heap
+    entries are skipped on pop by comparing against the live count.
+    Complexity per merge is O(sum len(word) over words touched), not
+    O(vocabulary) — the recount-everything textbook loop is the test
+    oracle, not the implementation.
+    """
+    words = []  # [(symbols list, count)]
+    alphabet = set()
+    for w, c in word_counts:
+        if not w:
+            continue
+        syms = list(w) + [EOW]
+        alphabet.update(syms)
+        words.append((syms, int(c)))
+
+    pair_counts: Counter = Counter()
+    pair_words: dict = defaultdict(set)
+    for i, (syms, c) in enumerate(words):
+        for p in _word_pairs(syms):
+            pair_counts[p] += c
+            pair_words[p].add(i)
+
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges = []
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        live = pair_counts.get(best, 0)
+        if live != -negc:  # stale entry — re-queue at the live count
+            if live >= min_pair_count:
+                heapq.heappush(heap, (-live, best))
+            continue
+        if live < min_pair_count:
+            break
+        a, b = best
+        new_sym = a + b
+        dirty = set()
+        for i in sorted(pair_words.pop(best, ())):
+            syms, c = words[i]
+            if best not in _word_pairs(syms):
+                continue  # stale index entry (word mutated by prior merges)
+            for p in _word_pairs(syms):
+                pair_counts[p] -= c
+                dirty.add(p)
+            merged = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    merged.append(new_sym)
+                    j += 2
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            words[i] = (merged, c)
+            for p in _word_pairs(merged):
+                pair_counts[p] += c
+                pair_words[p].add(i)
+                dirty.add(p)
+        pair_counts[best] = 0
+        dirty.discard(best)
+        for p in dirty:
+            c = pair_counts.get(p, 0)
+            if c >= min_pair_count:
+                heapq.heappush(heap, (-c, p))
+        merges.append((a, b))
+    return BpeModel(
+        merges=merges, vocab=sorted(alphabet) + [a + b for a, b in merges]
+    )
+
+
+def corpus_word_counts(
+    df: DataFrame, text_col: str = "text", max_words: int = 200_000
+) -> list:
+    """The ONE distributed job of the fit: word frequencies, capped.
+
+    regexp_extract_all + explode + groupBy — partial aggregation
+    map-side, then a global sort-limit (TakeOrderedAndProject: per
+    partition top-N, merged on the driver — never a full sort at scale).
+    Tie-break word asc keeps the cap deterministic across partitionings.
+    """
+    rows = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(max_words)
+        .collect()
+    )
+    return [(r["word"], r["cnt"]) for r in rows]
+
+
+def fit_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 256,
+    max_words: int = 200_000,
+    min_pair_count: int = 2,
+) -> BpeModel:
+    """Fit BPE on a corpus: one Spark agg + driver-side merge loop."""
+    return fit_bpe_from_counts(
+        corpus_word_counts(df, text_col, max_words),
+        n_merges=n_merges,
+        min_pair_count=min_pair_count,
+    )
+
+
+def encode_word(word: str, ranks: dict) -> list:
+    """Segment one word with fitted merges: repeatedly apply the
+    LOWEST-RANK pair present (all its occurrences, left-to-right) until
+    no learned pair remains — the standard BPE inference loop, which
+    reproduces exactly the segmentation the fit left that word with."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank = None
+        best = None
+        for p in _word_pairs(syms):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, p
+        if best is None:
+            break
+        a, b = best
+        merged = []
+        j = 0
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                merged.append(a + b)
+                j += 2
+            else:
+                merged.append(syms[j])
+                j += 1
+        syms = merged
+    return syms
+
+
+def encode_text(text: str, ranks: dict, cache: dict) -> list:
+    out = []
+    for w in re.findall(BPE_RE, text):
+        toks = cache.get(w)
+        if toks is None:
+            toks = encode_word(w, ranks)
+            cache[w] = toks
+        out.extend(toks)
+    return out
+
+
+def bpe_tokenize(
+    model: BpeModel,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Distributed encode: (id, array<string> tokens). Shuffle-free —
+    one Arrow-batched pandas UDF pass with a per-batch word memo."""
+    ranks = model.ranks()
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return texts.map(
+            lambda t: [] if t is None else encode_text(t, ranks, cache)
+        )
+
+    return df.select(F.col(id_col), enc(F.col(text_col)).alias(out_col))
+
+
+def bpe_token_stats(
+    model: BpeModel,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document tokenization stats: learned-BPE token count and the
+    compression ratio chars-per-token (the fertility gauge a tokenizer
+    fit is judged by). Single pass, no shuffle — tokens and char length
+    come out of the same projection, no self-join."""
+    ranks = model.ranks()
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return texts.map(
+            lambda t: [] if t is None else encode_text(t, ranks, cache)
+        )
+
+    # two-step projection so the UDF column is computed once, then reused
+    base = df.select(
+        F.col(id_col),
+        F.size(enc(F.col(text_col))).cast("long").alias("n_bpe"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    return base.select(
+        id_col,
+        "n_bpe",
+        "n_chars",
+        (F.col("n_chars") / F.greatest(F.col("n_bpe"), F.lit(1))).alias(
+            "chars_per_token"
+        ),
+    )

@@ -1042,3 +1042,33 @@ def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style overlapping token chunking with provenance
     (operators/text.chunk_documents, 32-token windows, stride 24)."""
     return T.chunk_documents(_docs(spark, sf_dir))
+
+
+#: fitted-BPE memo keyed on the documents file identity — the tokenizer
+#: is a per-corpus index artifact like the IVF centroids above
+_BPE_MEMO: dict = {}
+
+
+def _bpe_model(spark: SparkSession, sf_dir: str):
+    from lakota_spark.operators import tokenizer as TK
+
+    key = (sf_dir, _file_stamp(f"{sf_dir}/documents.parquet"))
+    if key not in _BPE_MEMO:
+        _BPE_MEMO[key] = TK.fit_bpe(
+            _docs(spark, sf_dir), n_merges=200, max_words=200_000
+        )
+    return _BPE_MEMO[key]
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-BPE tokenization (operators/tokenizer.py): fit 200 merges
+    on the corpus word-frequency table (one distributed agg + driver
+    merge loop — the HF-trainer shape), then one shuffle-free
+    Arrow-batched encode pass reporting per-doc token counts and
+    chars-per-token fertility. Fit + subword inference are not
+    SQL-expressible, so this entry is rows-only by design (pinned
+    instead by tests/test_tokenizer.py: incremental-fit ≡ naive
+    recount fit, Spark encode ≡ driver encode, round-trip identity)."""
+    from lakota_spark.operators import tokenizer as TK
+
+    return TK.bpe_token_stats(_bpe_model(spark, sf_dir), _docs(spark, sf_dir))

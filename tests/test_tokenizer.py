@@ -1,0 +1,187 @@
+"""Learned-BPE tokenizer (operators/tokenizer.py).
+
+The driver gate records bpe_token_stats rows-only (subword inference is
+not SQL-expressible), so correctness is pinned here three ways:
+
+1. incremental fit ≡ naive recount-everything fit (randomized corpora),
+2. Spark Arrow-batched encode ≡ driver-side per-row encode,
+3. decode round-trip identity + deterministic tie-breaks.
+"""
+
+from collections import Counter
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakota_spark.operators.tokenizer import (
+    EOW,
+    BpeModel,
+    bpe_token_stats,
+    bpe_tokenize,
+    corpus_word_counts,
+    encode_text,
+    encode_word,
+    fit_bpe,
+    fit_bpe_from_counts,
+)
+
+
+def naive_fit(word_counts, n_merges, min_pair_count=2):
+    """Textbook Sennrich loop: recount EVERY pair each iteration.
+    O(n_merges × corpus) — the oracle, not the implementation."""
+    words = [([*w, EOW], c) for w, c in word_counts if w]
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, c in words:
+            for p in zip(syms, syms[1:]):
+                pc[p] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        nxt = []
+        for syms, c in words:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            nxt.append((out, c))
+        words = nxt
+        merges.append((a, b))
+    return merges
+
+
+def test_fit_matches_naive_reference_randomized():
+    rng = random.Random(41)
+    for trial in range(40):
+        wc = {}
+        for _ in range(rng.randint(1, 60)):
+            w = "".join(
+                rng.choice("abcxé✓") for _ in range(rng.randint(1, 9))
+            )
+            wc[w] = wc.get(w, 0) + rng.randint(1, 9)
+        wc = sorted(wc.items())
+        n = rng.randint(1, 30)
+        got = fit_bpe_from_counts(wc, n).merges
+        assert got == naive_fit(wc, n), (trial, wc)
+
+
+def test_fit_classic_example_and_roundtrip():
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    m = fit_bpe_from_counts(wc, n_merges=10)
+    # highest-frequency pair first: ('e','s') at 9 beats ('l','o') at 7
+    assert m.merges[0] == ("e", "s")
+    assert m.merges[1] == ("es", "t")
+    ranks = m.ranks()
+    assert encode_word("newest", ranks) == ["newest</w>"]
+    assert encode_word("lowest", ranks) == ["low", "est</w>"]  # unseen word
+    for w, _ in wc + [("lowestest", 0), ("", 0), ("zq", 0)]:
+        assert "".join(encode_word(w, ranks)).replace(EOW, "") == w
+
+
+def test_fit_deterministic_tie_breaks():
+    # ab and cd both occur 3 times; lexicographically smaller pair wins
+    m = fit_bpe_from_counts([("ab", 3), ("cd", 3)], n_merges=1,
+                            min_pair_count=2)
+    assert m.merges == [("a", "b")]
+    # all pairs unique -> below min_pair_count -> zero merges
+    assert fit_bpe_from_counts([("xy", 1), ("qr", 1)], n_merges=5).merges == []
+
+
+def test_encode_equals_fit_segmentation():
+    # the inference loop must reproduce the exact segmentation the fit
+    # left each training word with: re-derive it by replaying merges
+    rng = random.Random(99)
+    wc = {}
+    for _ in range(80):
+        w = "".join(rng.choice("abcde") for _ in range(rng.randint(1, 10)))
+        wc[w] = wc.get(w, 0) + rng.randint(1, 5)
+    wc = sorted(wc.items())
+    m = fit_bpe_from_counts(wc, n_merges=40)
+    ranks = m.ranks()
+    for w, _ in wc:
+        syms = [*w, EOW]
+        for a, b in m.merges:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        assert encode_word(w, ranks) == syms, w
+
+
+def test_spark_encode_matches_driver(spark):
+    texts = [
+        "the cat sat on the mat, the cat sat!",
+        "lower newest widest lowest",
+        "numbers 12345 and 99 mix, naïve café ✓",
+        "",
+        None,
+        "repeated repeated repeated words words",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    model = fit_bpe(df, n_merges=30, max_words=1000)
+    # fit's distributed word count == driver count
+    got = dict(corpus_word_counts(df, "text", 1000))
+    import re
+    from lakota_spark.operators.text import BPE_RE
+
+    exp = Counter(
+        w for t in texts if t for w in re.findall(BPE_RE, t)
+    )
+    assert got == dict(exp)
+    ranks = model.ranks()
+    rows = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_tokenize(model, df).collect()
+    }
+    for i, t in enumerate(texts):
+        exp_toks = [] if t is None else encode_text(t, ranks, {})
+        assert rows[i] == exp_toks, (i, t)
+    stats = {r["doc_id"]: r for r in bpe_token_stats(model, df).collect()}
+    for i, t in enumerate(texts):
+        exp_toks = [] if t is None else encode_text(t, ranks, {})
+        assert stats[i]["n_bpe"] == len(exp_toks)
+        if t is None:
+            assert stats[i]["n_chars"] is None
+        else:
+            assert stats[i]["n_chars"] == len(t)
+            assert stats[i]["chars_per_token"] == pytest.approx(
+                len(t) / max(len(exp_toks), 1)
+            )
+
+
+def test_word_cap_is_deterministic_and_by_mass(spark):
+    df = spark.createDataFrame(
+        [(0, "aa aa aa bb bb cc")], "doc_id long, text string"
+    )
+    assert corpus_word_counts(df, "text", 2) == [("aa", 3), ("bb", 2)]
+    # count tie at 1 -> word asc
+    df2 = spark.createDataFrame(
+        [(0, "zz yy xx")], "doc_id long, text string"
+    )
+    assert corpus_word_counts(df2, "text", 2) == [("xx", 1), ("yy", 1)]
+
+
+def test_encode_plan_is_single_pass_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world")], "doc_id long, text string"
+    )
+    model = BpeModel(merges=[("l", "o")], vocab=[])
+    for q in (bpe_tokenize(model, df), bpe_token_stats(model, df)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert plan.count("ArrowEvalPython") == 1, plan
