@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     inference is not SQL-expressible -> rows-only by design;
         #     pinned by tests/test_tokenizer.py differentials instead ---
         "bpe_token_stats": pipeline.bpe_token_stats,
+        "bpe_packed_sequences": pipeline.bpe_packed_sequences,
         "unigram_lm_quality": pipeline.unigram_lm_quality,
         # --- new in round 6: DSIR importance reweighting + CCNet strata ---
         "dsir_importance": pipeline.dsir_importance,

@@ -285,3 +285,126 @@ def bpe_token_stats(
             "chars_per_token"
         ),
     )
+
+
+def bpe_tokenize_ids(
+    model: BpeModel,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "input_ids",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Distributed encode to integer token ids: (id, array<int>).
+
+    Ids are vocab positions shifted by +1 so id 0 stays free as
+    ``unk_id`` (symbols outside the fitted vocab — impossible on the
+    training corpus itself, possible on unseen text). Same shuffle-free
+    single-UDF-pass shape as `bpe_tokenize`.
+    """
+    ranks = model.ranks()
+    vocab_ids = {s: i + 1 for i, s in enumerate(model.vocab)}
+
+    @F.pandas_udf("array<int>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return texts.map(
+            lambda t: []
+            if t is None
+            else [
+                vocab_ids.get(s, unk_id)
+                for s in encode_text(t, ranks, cache)
+            ]
+        )
+
+    return df.select(F.col(id_col), enc(F.col(text_col)).alias(out_col))
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    seq_len: int,
+    ids_col: str = "input_ids",
+    id_col: str = "doc_id",
+    eos_id: int = -1,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Pack per-doc token ids into fixed-length training sequences — the
+    GPT-style pretraining prep step AFTER tokenization: append ``eos_id``
+    to each doc, concatenate docs, slice the stream into ``seq_len``
+    windows. Docs are hash-split into ``n_buckets`` independent streams
+    so packing parallelizes (the complement of
+    `sampling.pack_sequences`, which assigns whole docs to budgeted
+    shards without materializing the token stream).
+
+    Plan shape, scale notes: (1) one doc-level window per bucket
+    computes each doc's starting offset from the cumulative id count —
+    the window moves doc-sized rows, not tokens; (2) posexplode +
+    offset yields (bucket, seq_idx, pos, id) for every token — the
+    one unavoidable token-granular stage, since the output IS the
+    token stream — feeding (3) a groupBy (bucket, seq_idx) that
+    reassembles fixed windows via array_sort(collect_list(struct)).
+    Both shuffles key on (bucket, seq_idx): uniformly hash-distributed,
+    skew-free regardless of doc-length skew, and each group is at most
+    ``seq_len`` structs. The final partial sequence of each bucket is
+    emitted unpadded (``n_ids < seq_len``); padding policy belongs to
+    the training loader.
+
+    Returns (pack_bucket, seq_idx, input_ids, n_ids, n_docs) where
+    n_docs counts docs contributing ≥1 token to the window.
+    """
+    if seq_len <= 0 or n_buckets <= 0:
+        raise ValueError("pack_token_sequences needs positive seq_len/n_buckets")
+    from pyspark.sql import Window
+
+    from lakota_spark.functions import hash32
+
+    bucket = (
+        hash32(F.concat_ws(":", F.lit("tpack"), F.col(id_col).cast("string")))
+        % n_buckets
+    ).alias("pack_bucket")
+    with_eos = F.concat(
+        F.col(ids_col), F.array(F.lit(eos_id).cast("int"))
+    )
+    base = df.select(
+        F.col(id_col), bucket, with_eos.alias("_ids")
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = base.withColumn(
+        "_start", (F.sum(F.size("_ids")).over(w) - F.size("_ids"))
+    )
+    toks = base.select(
+        "pack_bucket",
+        id_col,
+        "_start",
+        F.posexplode("_ids").alias("_pos", "_id"),
+    ).select(
+        "pack_bucket",
+        id_col,
+        (F.col("_start") + F.col("_pos")).alias("_gpos"),
+        "_id",
+    )
+    return (
+        toks.groupBy(
+            "pack_bucket",
+            (F.col("_gpos") / F.lit(seq_len)).cast("long").alias("seq_idx"),
+        )
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("_gpos") % F.lit(seq_len)).alias("off"),
+                            F.col("_id").alias("id"),
+                        )
+                    )
+                ),
+                lambda s: s["id"],
+            ).alias("input_ids"),
+            F.count(F.lit(1)).cast("long").alias("n_ids"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+        )
+    )

@@ -1072,3 +1072,25 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakota_spark.operators import tokenizer as TK
 
     return TK.bpe_token_stats(_bpe_model(spark, sf_dir), _docs(spark, sf_dir))
+
+
+def bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining prep composite: fit BPE on the corpus,
+    encode every doc to token ids, pack the id stream into fixed 64-token
+    training sequences (operators/tokenizer.pack_token_sequences —
+    EOS-joined, hash-bucketed parallel streams). Aggregates per bucket:
+    sequence count, full/partial split, mean docs per sequence. Rows-only
+    by design (the tokenizer is not SQL-expressible); the packing itself
+    is pinned exactly by tests/test_tokenizer.py's driver reference."""
+    from lakota_spark.operators import tokenizer as TK
+
+    ids = TK.bpe_tokenize_ids(
+        _bpe_model(spark, sf_dir), _docs(spark, sf_dir)
+    )
+    packed = TK.pack_token_sequences(ids, seq_len=64, n_buckets=16)
+    return packed.groupBy("pack_bucket").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum(F.when(F.col("n_ids") == 64, 1).otherwise(0)).alias("n_full"),
+        F.sum("n_ids").alias("total_ids"),
+        F.sum("n_docs").alias("doc_slots"),
+    )

@@ -185,3 +185,98 @@ def test_encode_plan_is_single_pass_no_shuffle(spark):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_tokenize_ids_and_unk(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat"), (1, "the ZZZ")], "doc_id long, text string"
+    )
+    model = fit_bpe(
+        spark.createDataFrame([(0, "the cat the")], "doc_id long, text string"),
+        n_merges=10,
+        max_words=100,
+    )
+    from lakota_spark.operators.tokenizer import bpe_tokenize_ids
+
+    rows = {
+        r["doc_id"]: r["input_ids"]
+        for r in bpe_tokenize_ids(model, df, unk_id=0).collect()
+    }
+    vocab_ids = {s: i + 1 for i, s in enumerate(model.vocab)}
+    ranks = model.ranks()
+    assert rows[0] == [vocab_ids[s] for s in encode_text("the cat", ranks, {})]
+    # Z never seen in the fit corpus -> its symbols map to unk; the bare
+    # trailing EOW symbol IS in-vocab (every fitted word contributes it)
+    zzz = encode_text("ZZZ", ranks, {})
+    assert rows[1][-len(zzz):] == [vocab_ids.get(s, 0) for s in zzz]
+    assert rows[1].count(0) == 3  # the three Z chars
+    assert 0 not in rows[0]
+
+
+def test_pack_token_sequences_matches_driver_reference(spark):
+    from lakota_spark.functions import hash32
+    from lakota_spark.operators.tokenizer import pack_token_sequences
+
+    rng = random.Random(5)
+    docs = [
+        (i, [rng.randint(1, 50) for _ in range(rng.randint(0, 23))])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, input_ids array<int>")
+    n_buckets, seq_len = 4, 8
+    packed = pack_token_sequences(
+        df, seq_len=seq_len, n_buckets=n_buckets, eos_id=-1
+    )
+    bk = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id",
+            (
+                hash32(
+                    F.concat_ws(
+                        ":", F.lit("tpack"), F.col("doc_id").cast("string")
+                    )
+                )
+                % n_buckets
+            ).alias("b"),
+        ).collect()
+    }
+    exp = {}
+    exp_docs = {}
+    for b in set(bk.values()):
+        stream = []
+        for d, ids in sorted(p for p in docs if bk[p[0]] == b):
+            stream += [(x, d) for x in ids + [-1]]
+        for s in range(0, len(stream), seq_len):
+            win = stream[s : s + seq_len]
+            exp[(b, s // seq_len)] = [x for x, _ in win]
+            exp_docs[(b, s // seq_len)] = len({d for _, d in win})
+    rows = packed.collect()
+    got = {(r["pack_bucket"], r["seq_idx"]): r["input_ids"] for r in rows}
+    assert got == exp
+    for r in rows:
+        key = (r["pack_bucket"], r["seq_idx"])
+        assert r["n_ids"] == len(exp[key])
+        assert r["n_docs"] == exp_docs[key]
+
+
+def test_pack_plan_two_bucket_keyed_exchanges(spark):
+    from lakota_spark.operators.tokenizer import pack_token_sequences
+
+    df = spark.createDataFrame(
+        [(0, [1, 2, 3])], "doc_id long, input_ids array<int>"
+    )
+    plan = (
+        pack_token_sequences(df, seq_len=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # ONE bucket-keyed hash exchange total: the groupBy on
+    # (pack_bucket, seq_idx) reuses the window's hashpartitioning on
+    # pack_bucket (a subset of the grouping keys satisfies the
+    # clustered distribution), so the token-granular stage never
+    # re-shuffles; and never a single-partition funnel
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(pack_bucket" in plan, plan
+    assert "SinglePartition" not in plan, plan
