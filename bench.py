@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "dsir_importance",
     "contamination_overlap",
     "ivf_recall_audit",
+    # round-7 tokenizer additions (fit is memoized per corpus — priced in
+    # the first trial, timed best-of prices the recurring encode / pack)
+    "bpe_token_stats",
+    "bpe_packed_sequences",
     # round-4b curation additions
     "unigram_lm_quality",
     "semdedup_top_pairs",
