@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": pipeline.contamination_overlap,
         "ivf_recall_audit": pipeline.ivf_recall_audit,
         "stratified_sample_mix": pipeline.stratified_sample_mix,
+        "balanced_lang_sample": pipeline.balanced_lang_sample,
         "lang_mixture_weights": pipeline.lang_mixture_weights,
         "pack_sequences_demo": pipeline.pack_sequences_demo,
         "chunked_documents": pipeline.chunked_documents,
@@ -1723,6 +1724,16 @@ isl AS (
 runs AS (SELECT doc_id, grp, count(*) AS run FROM isl GROUP BY 1, 2)
 SELECT doc_id, sum(run)::BIGINT AS n_matched_pos, max(run)::BIGINT AS max_run
 FROM runs GROUP BY 1
+""",
+        "balanced_lang_sample": """
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('bal:' || doc_id), 1, 8))::BIGINT,
+                    doc_id) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 30
 """,
         "stratified_sample_mix": """
 SELECT doc_id, lang FROM documents

@@ -580,3 +580,50 @@ def blocklist_filter(
         on,
         "left_anti",
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "bal",
+    n_sub: int = 64,
+) -> DataFrame:
+    """Deterministic exact-k-per-group sampling (balanced subsets: k docs
+    per language, k examples per source...): rank rows inside each group
+    by a pure row hash and keep the k smallest — like `stratified_sample`
+    the decision is a function of the row alone, so it reproduces across
+    engines and runs, and unlike a rate it yields EXACTLY min(k, n) rows
+    per group.
+
+    Skew-safe two-stage top-k: a single `row_number` window per group
+    would funnel a billion-row group through one task, so stage 1 ranks
+    within (group, hash % n_sub) sub-streams — uniformly split regardless
+    of group skew — and keeps k per sub-stream; stage 2 re-ranks the
+    ≤ k·n_sub survivors per group (tiny) and keeps k. Global top-k is a
+    subset of per-bucket top-ks, so the composition is exact; both
+    shuffles are on hash-uniform keys. Returns the input columns plus
+    ``sample_rank`` (1-based hash order within the group — the SQL
+    ``row_number() OVER (PARTITION BY g ORDER BY hash, id) <= k``).
+    """
+    if k <= 0 or n_sub <= 0:
+        raise ValueError("sample_k_per_group needs positive k/n_sub")
+    probe = hash32(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    ).alias("_probe")
+    base = df.withColumn("_probe", probe)
+    w1 = Window.partitionBy(
+        F.col(group_col), F.col("_probe") % F.lit(n_sub)
+    ).orderBy(F.col("_probe").asc(), F.col(id_col).asc())
+    stage1 = base.withColumn("_r1", F.row_number().over(w1)).where(
+        F.col("_r1") <= k
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col("_probe").asc(), F.col(id_col).asc()
+    )
+    return (
+        stage1.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= k)
+        .drop("_probe", "_r1")
+    )

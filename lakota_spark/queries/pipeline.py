@@ -1094,3 +1094,14 @@ def bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ids").alias("total_ids"),
         F.sum("n_docs").alias("doc_slots"),
     )
+
+
+def balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k balanced subset: 30 docs per language by deterministic
+    hash rank (operators/sampling.sample_k_per_group — skew-safe
+    two-stage top-k; same result as the single-window SQL row_number
+    form, which is the oracle)."""
+    from lakota_spark.operators.sampling import sample_k_per_group
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sample_k_per_group(docs, k=30, group_col="lang", salt="bal")

@@ -3489,3 +3489,61 @@ def test_png_16bit_decode():
     got = _parse_png(png)
     assert got is not None and got.shape == (h, w, 3)
     assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
+
+
+def test_sample_k_per_group_exact_and_skew_safe(spark):
+    from pyspark.sql import functions as F
+
+    from lakota_spark.functions import hash32
+    from lakota_spark.operators.sampling import sample_k_per_group
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 460, "en")  # skewed giant group
+        .when(F.col("id") < 490, "fr")
+        .otherwise("de")
+        .alias("lang"),
+    )
+    out = sample_k_per_group(df, k=25, group_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # exactly min(k, n) rows per group
+    assert {g: len(v) for g, v in by_lang.items()} == {
+        "en": 25, "fr": 25, "de": 10,
+    }
+    # ranks are 1..n in hash order; result equals the single-window form
+    probe = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id",
+            hash32(
+                F.concat_ws(":", F.lit("bal"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        ).collect()
+    }
+    langs = {r["doc_id"]: r["lang"] for r in df.collect()}
+    for g, rows in by_lang.items():
+        ids = sorted(d for d, l in langs.items() if l == g)
+        expect = sorted(ids, key=lambda d: (probe[d], d))[: len(rows)]
+        got = [r["doc_id"] for r in sorted(rows, key=lambda r: r["sample_rank"])]
+        assert got == expect, g
+        assert [r["sample_rank"] for r in sorted(rows, key=lambda r: r["sample_rank"])] == list(range(1, len(rows) + 1))
+    # deterministic under arbitrary repartitioning
+    again = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in sample_k_per_group(
+            df.repartition(13), k=25, group_col="lang"
+        ).collect()
+    )
+    assert again == sorted((r["doc_id"], r["sample_rank"]) for r in out)
+    # plan: both window exchanges key on hash-uniform columns, never a
+    # whole-group single-task funnel at stage 1
+    plan = (
+        sample_k_per_group(df, k=25, group_col="lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "(_probe" in plan.split("Window")[-1] or "_probe" in plan, plan
