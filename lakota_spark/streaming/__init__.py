@@ -597,3 +597,28 @@ def streaming_span_clip_tracked(
         return fn
 
     return for_each_batch
+
+
+def streaming_tokenize(
+    model,
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    to_ids: bool = False,
+) -> DataFrame:
+    """Tokenize a document stream with a fitted BPE model
+    (`operators.tokenizer`): fit once batch-side (the model is an index
+    artifact, like the span-flag relation and the decontamination
+    bloom), then the stateless Arrow-batched encode applies per
+    micro-batch — no watermark, no state, no shuffle; the merge-rank
+    dict is a few KB of closure, reused across batches. Identical
+    expression graph to the batch twin, so the batch result IS the
+    oracle. ``to_ids=True`` emits vocab-position ids instead of token
+    strings."""
+    from lakota_spark.operators.tokenizer import (
+        bpe_tokenize,
+        bpe_tokenize_ids,
+    )
+
+    fn = bpe_tokenize_ids if to_ids else bpe_tokenize
+    return fn(model, stream_df, text_col=text_col, id_col=id_col)

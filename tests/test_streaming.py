@@ -771,3 +771,50 @@ def test_stream_ingest_maintain_keep_window(repo, spark, tmp_path):
     mid = log[len(log) // 2]
     snap = coll.snapshot(before=mid.epoch + 0.0005)
     assert sum(s.length for s in snap.for_label("events")) > 0
+
+
+def test_streaming_tokenize_matches_batch(spark, tmp_path):
+    # fitted-BPE encode is stateless: the identical UDF graph applies to
+    # a micro-batch stream; the batch twin on the same rows is the oracle
+    import os as _os
+
+    from lakota_spark.operators.tokenizer import bpe_tokenize_ids, fit_bpe
+    from lakota_spark.streaming import streaming_tokenize
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "lower newest widest"),
+        (3, "the the the unseen ZZZ"),
+        (4, ""),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    model = fit_bpe(batch, n_merges=25, max_words=500)
+    src = str(tmp_path / "tsrc")
+    _os.makedirs(src)
+    # two files -> two micro-batches under availableNow
+    batch.where("doc_id <= 2").write.parquet(f"file://{src}/b0.parquet")
+    batch.where("doc_id > 2").write.parquet(f"file://{src}/b1.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"file://{src}/*"
+    )
+    out_path = str(tmp_path / "tout")
+    q = (
+        streaming_tokenize(model, stream, to_ids=True)
+        .writeStream.format("parquet")
+        .option("path", f"file://{out_path}")
+        .option("checkpointLocation", str(tmp_path / "tckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: list(r.input_ids)
+        for r in spark.read.parquet(f"file://{out_path}").collect()
+    }
+    exp = {
+        r.doc_id: list(r.input_ids)
+        for r in bpe_tokenize_ids(model, batch).collect()
+    }
+    assert got == exp
+    assert got[4] == []
