@@ -343,11 +343,15 @@ def pack_token_sequences(
     one unavoidable token-granular stage, since the output IS the
     token stream — feeding (3) a groupBy (bucket, seq_idx) that
     reassembles fixed windows via array_sort(collect_list(struct)).
-    Both shuffles key on (bucket, seq_idx): uniformly hash-distributed,
-    skew-free regardless of doc-length skew, and each group is at most
-    ``seq_len`` structs. The final partial sequence of each bucket is
-    emitted unpadded (``n_ids < seq_len``); padding policy belongs to
-    the training loader.
+    ONE exchange total: the groupBy's clustering requirement on
+    (bucket, seq_idx) is satisfied by the window's hashpartitioning on
+    bucket — a subset of the grouping keys — so the token-granular
+    stage never re-shuffles (plan contract pins it). The bucket key is
+    hash-uniform, skew-free regardless of doc-length skew, and each
+    group is at most ``seq_len`` structs. The final partial sequence of
+    each bucket is emitted unpadded (``n_ids < seq_len``); padding
+    policy belongs to the training loader. A null ``ids_col`` row is
+    treated as an absent doc (contributes no tokens, not even EOS).
 
     Returns (pack_bucket, seq_idx, input_ids, n_ids, n_docs) where
     n_docs counts docs contributing ≥1 token to the window.
@@ -407,4 +411,35 @@ def pack_token_sequences(
             F.count(F.lit(1)).cast("long").alias("n_ids"),
             F.countDistinct(id_col).cast("long").alias("n_docs"),
         )
+    )
+
+
+def save_bpe(model: BpeModel, fs, rel: str) -> None:
+    """Persist a fitted model through the FS verbs (works on every
+    backend — file/mem/HTTP/S3): one JSON blob, atomically published.
+    The tokenizer is an index artifact like the IVF centroid lists; a
+    100 TB pipeline fits once and ships the artifact, not the fit."""
+    import json
+
+    payload = {
+        "format": 1,
+        "merges": [list(m) for m in model.merges],
+        "vocab": list(model.vocab),
+    }
+    parent = rel.rsplit("/", 1)[0] if "/" in rel else ""
+    fs.makedirs(parent)  # no-op for root-level rel (repo root pre-exists)
+    fs.write_bytes_atomic(rel, json.dumps(payload).encode("utf-8"))
+
+
+def load_bpe(fs, rel: str) -> BpeModel:
+    import json
+
+    payload = json.loads(fs.read_bytes(rel).decode("utf-8"))
+    if payload.get("format") != 1:
+        raise ValueError(
+            f"unsupported bpe model format: {payload.get('format')!r}"
+        )
+    return BpeModel(
+        merges=[tuple(m) for m in payload["merges"]],
+        vocab=list(payload["vocab"]),
     )

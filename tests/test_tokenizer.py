@@ -280,3 +280,19 @@ def test_pack_plan_two_bucket_keyed_exchanges(spark):
     assert plan.count("Exchange") == 1, plan
     assert "hashpartitioning(pack_bucket" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_save_load_roundtrip_all_backends(spark, tmp_path):
+    from lakota_spark.fsio import open_fs
+    from lakota_spark.operators.tokenizer import load_bpe, save_bpe
+
+    model = fit_bpe_from_counts(
+        [("low", 5), ("lower", 2), ("newest", 6)], n_merges=8
+    )
+    for uri in (f"file://{tmp_path}", "memory://bpe-test"):
+        fs = open_fs(uri)
+        save_bpe(model, fs, "models/tokenizer.json")
+        back = load_bpe(fs, "models/tokenizer.json")
+        assert back.merges == model.merges
+        assert back.vocab == model.vocab
+        assert back.ranks() == model.ranks()
