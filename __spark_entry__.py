@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_range_scan": engine_demo.engine_range_scan,
         # --- text analysis ---
         "winnow_fingerprint_stats": pipeline.winnow_fingerprint_stats,
+        "winnow_dup_pairs": pipeline.winnow_dup_pairs,
         "char_entropy_stats": pipeline.char_entropy_stats,
         "trigram_search": pipeline.trigram_search,
         "trigram_search_indexed": pipeline.trigram_search_indexed,
@@ -1734,6 +1735,30 @@ SELECT doc_id, lang, sample_rank FROM (
                     doc_id) AS sample_rank
   FROM documents)
 WHERE sample_rank <= 30
+""",
+        "winnow_dup_pairs": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(tk) - 4, 0)),
+    i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                          || ' ' || tk[i+3] || ' ' || tk[i+4]), 1, 8))::BIGINT
+  ) AS gh FROM toks
+),
+w AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(gh) - 3, 0)),
+    i -> list_min(gh[i:i+3]))) AS fp
+  FROM g
+),
+e AS (SELECT doc_id, unnest(fp) AS fp FROM w),
+ok AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 1000),
+ee AS (SELECT e.doc_id, e.fp FROM e JOIN ok USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "stratified_sample_mix": """
 SELECT doc_id, lang FROM documents

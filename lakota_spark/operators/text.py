@@ -419,6 +419,30 @@ def unigram_lm_scores(
     )
 
 
+def _winnow_cols(text_col: str, k: int, w: int):
+    """(gram-hash array, distinct winnowed fingerprint array) columns.
+
+    Window minimum as a zip_with(least) chain over w shifted slice
+    views — w slices per doc instead of one per POSITION (the same
+    trick as `functions.word_shingles`; the per-position
+    array_min(slice(...)) form re-sliced at every offset and measured
+    ~6 s at sf0.1 / 56 s at 10x vs ~1 s / ~8 s for this chain)."""
+    from lakota_spark.functions import hash32, tokens, word_shingles
+
+    grams = F.transform(
+        word_shingles(tokens(text_col), k), lambda s: hash32(s)
+    )
+    n_win = F.size(grams) - F.lit(w - 1)
+    m = F.greatest(n_win, F.lit(1))
+    acc = F.slice(grams, F.lit(1), m)
+    for j in range(1, w):
+        acc = F.zip_with(
+            acc, F.slice(grams, F.lit(j + 1), m), lambda a, b: F.least(a, b)
+        )
+    wins = F.when(n_win >= 1, acc).otherwise(F.array().cast("array<long>"))
+    return grams, F.array_distinct(wins)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -441,25 +465,7 @@ def winnow_fingerprints(
     array math — zero shuffle, one corpus scan; hashes are md5-derived
     (`functions.hash32`) so a SQL oracle reproduces them bit-for-bit.
     """
-    from lakota_spark.functions import hash32, tokens, word_shingles
-
-    grams = F.transform(
-        word_shingles(tokens(text_col), k), lambda s: hash32(s)
-    )
-    # window minimum as a zip_with(least) chain over w shifted slice
-    # views — w slices per doc instead of one per POSITION (the same
-    # trick as `functions.word_shingles`; the per-position
-    # array_min(slice(...)) form re-sliced at every offset and measured
-    # ~6 s at sf0.1 / 56 s at 10x vs ~1 s / ~8 s for this chain)
-    n_win = F.size(grams) - F.lit(w - 1)
-    m = F.greatest(n_win, F.lit(1))
-    acc = F.slice(grams, F.lit(1), m)
-    for j in range(1, w):
-        acc = F.zip_with(
-            acc, F.slice(grams, F.lit(j + 1), m), lambda a, b: F.least(a, b)
-        )
-    wins = F.when(n_win >= 1, acc).otherwise(F.array().cast("array<long>"))
-    fp = F.array_distinct(wins)
+    grams, fp = _winnow_cols(text_col, k, w)
     return df.select(
         F.col(id_col),
         F.size(grams).cast("long").alias("n_grams"),
@@ -641,4 +647,47 @@ def ccnet_buckets_scalable(
         F.count(F.lit(1)).alias("n_docs"),
         F.min(score_col).alias("min_logprob"),
         F.max(score_col).alias("max_logprob"),
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Fingerprint-based near-dup candidate pairs — the MOSS use of the
+    winnowed set: docs sharing ≥ ``min_shared`` fingerprints. The
+    local-sampling guarantee makes this the PARTIAL-overlap complement
+    of whole-document MinHash banding: any shared w+k-1-word run
+    contributes a shared fingerprint, so plagiarized passages between
+    otherwise-different documents surface here that LSH banding misses.
+
+    Scale shape (the LSH-band discipline): explode fingerprints, drop
+    hot buckets above ``max_bucket`` (boilerplate fingerprints — the
+    documented coverage cap, same contract as `dedup.lsh_candidates`),
+    equi-join on fingerprint with doc_a < doc_b, partial-agg count per
+    pair. Never all-pairs; in-bucket fan-out is bounded by the cap.
+    """
+    _, fp = _winnow_cols(text_col, k, w)
+    e = df.select(F.col(id_col).alias("doc"), F.explode(fp).alias("fp"))
+    if max_bucket is not None:
+        ok = (
+            e.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket)
+            .select("fp")
+        )
+        e = e.join(ok, "fp")
+    a = e.select(F.col("fp"), F.col("doc").alias("doc_a"))
+    b = e.select(F.col("fp"), F.col("doc").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )

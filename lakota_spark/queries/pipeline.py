@@ -1105,3 +1105,13 @@ def balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     return sample_k_per_group(docs, k=30, group_col="lang", salt="bal")
+
+
+def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style fingerprint dup pairs (operators/text.winnow_dup_pairs):
+    docs sharing ≥2 winnowed fingerprints — the partial-overlap
+    complement of whole-document MinHash banding (any shared w+k-1-word
+    run contributes a shared fingerprint). Band-join discipline:
+    fingerprint explode, hot-bucket cap, equi-join, partial-agg pair
+    count — exact SQL oracle."""
+    return T.winnow_dup_pairs(_docs(spark, sf_dir))

@@ -498,3 +498,17 @@ def test_containment_pairs_candidate_driven_plan(spark):
     strategies = plans.join_strategies(df)
     assert "CartesianProduct" not in strategies
     assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_winnow_dup_pairs_band_join_plan(spark):
+    # MOSS fingerprint pairs: fp equi-join only (the band discipline) —
+    # no cartesian/nested-loop product; pair counting is a partial agg
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.winnow_dup_pairs(spark, SF)
+    strategies = plans.join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    plan = plans.explain_str(df, "simple")
+    assert "SinglePartition" not in plan, plan
+    assert "partial_count" in plan, plan
