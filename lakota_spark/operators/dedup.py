@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakota_spark.functions import fingerprint, hash32, tokens, word_shingles
+from lakota_spark.operators.tracker import VersionedCountsTracker
 
 
 # ---------------------------------------------------------------------------
@@ -795,7 +796,7 @@ def flagged_shingle_table(
     return functools.reduce(DataFrame.unionByName, parts)
 
 
-class SpanFlagTracker:
+class SpanFlagTracker(VersionedCountsTracker):
     """Incrementally-refreshed flagged-shingle store for the streaming
     span gate.
 
@@ -811,40 +812,21 @@ class SpanFlagTracker:
     other foreachBatch gates document). Flags are derived on read:
     ``n_docs >= min_df`` per tier width.
 
-    Publication is atomic: each fold writes ``v{N+1}`` under a tmp name
-    and renames it into place, so a concurrent reader sees v{N} or
-    v{N+1}, never a torn directory. Per-fold cost is O(distinct
-    shingles) — at 100 TB, partition the counts by a shingle hash
-    bucket and keep a bucket→version manifest so a fold rewrites only
-    the buckets the batch touched (Delta-style); the relation shape and
-    merge are unchanged.
+    Versioning / atomic publish / CAS race discipline live in the
+    shared `tracker.VersionedCountsTracker` base (also behind the BPE
+    word-count store) — see its module docstring for the 100 TB
+    bucketed-manifest upgrade path.
     """
 
+    key_cols = ("shingle", "width")
+    agg_col = "n_docs"
+
     def __init__(self, spark, path: str, tiers: tuple = ((4, 8), (6, 2))):
-        import os
-
-        self.spark = spark
-        self.path = path
+        super().__init__(spark, path)
         self.tiers = tuple(tiers)
-        os.makedirs(path, exist_ok=True)
-
-    def _versions(self) -> list[int]:
-        import os
-
-        return sorted(
-            int(name[1:])
-            for name in os.listdir(self.path)
-            if name.startswith("v") and name[1:].isdigit()
-        )
-
-    def counts(self) -> DataFrame | None:
-        vs = self._versions()
-        if not vs:
-            return None
-        return self.spark.read.parquet(f"{self.path}/v{vs[-1]}")
 
     def _batch_counts(
-        self, df: DataFrame, text_col: str, id_col: str
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> DataFrame:
         import functools
 
@@ -862,60 +844,6 @@ class SpanFlagTracker:
                 .select("shingle", F.lit(n).alias("width"), "n_docs")
             )
         return functools.reduce(DataFrame.unionByName, parts)
-
-    def fold(
-        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-    ) -> None:
-        """Merge one batch's shingle counts into the materialized
-        relation and publish the next version.
-
-        Concurrency: optimistic-retry. On a lost publish race (another
-        fold landed ``v{next}`` first) the merge RE-RUNS against the
-        newly-landed head — this batch's counts must never be dropped,
-        or concurrent folders silently undercount document frequencies
-        and flags may never cross ``min_df`` (ADVICE r6). The batch
-        relation is localCheckpointed once, so retries re-run only the
-        tiny merge-aggregate, not the shingle pass."""
-        import os
-        import shutil
-        import uuid
-
-        batch = self._batch_counts(df, text_col, id_col).localCheckpoint(
-            eager=False
-        )
-        for _ in range(16):
-            # CAS discipline: publish to base+1 OF THE VERSION MERGED —
-            # reading "latest" and publishing to "next free" separately
-            # would let a racer's version land in between and be
-            # silently skipped over (its counts lost from every later
-            # head even though no rename ever failed)
-            vs = self._versions()
-            base = vs[-1] if vs else 0
-            prev = (
-                self.spark.read.parquet(f"{self.path}/v{base}")
-                if base
-                else None
-            )
-            merged = (
-                batch
-                if prev is None
-                else prev.unionByName(batch)
-                .groupBy("shingle", "width")
-                .agg(F.sum("n_docs").alias("n_docs"))
-            )
-            tmp = f"{self.path}/_tmp-{uuid.uuid4().hex}"
-            merged.write.mode("overwrite").parquet(tmp)
-            try:
-                os.rename(tmp, f"{self.path}/v{base + 1}")
-                return
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
-        raise IOError(
-            "SpanFlagTracker.fold: lost 16 consecutive publish races"
-        )
-
-    # the initial landed corpus seeds the store through the same merge
-    seed = fold
 
     def flags(self) -> DataFrame:
         """Current ``(shingle, width)`` flag relation — the static side

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakota_spark.operators.text import BPE_RE
+from lakota_spark.operators.tracker import VersionedCountsTracker
 
 EOW = "</w>"  # end-of-word sentinel symbol (Sennrich sec. 3.2)
 
@@ -443,3 +444,68 @@ def load_bpe(fs, rel: str) -> BpeModel:
         merges=[tuple(m) for m in payload["merges"]],
         vocab=list(payload["vocab"]),
     )
+
+
+class BpeWordTracker(VersionedCountsTracker):
+    """Incrementally-refreshed BPE fit over a growing corpus: each
+    landed batch's word counts sum-merge into a versioned relation
+    (the `tracker.VersionedCountsTracker` CAS discipline shared with
+    the span-flag store), and `model()` refits from the current head —
+    so a long-running ingest keeps its tokenizer current without ever
+    re-scanning landed text. Exact: word counts are additive over
+    batches (each doc arrives in exactly one batch — the same
+    at-least-once caveat as the other foreachBatch stores).
+
+    The refit is cheap by the same argument as `fit_bpe`: the merge
+    loop consumes only the capped word->count head, never the corpus.
+    `model()` memoizes per version, so reading between folds is free.
+    """
+
+    key_cols = ("word",)
+    agg_col = "cnt"
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        n_merges: int = 256,
+        max_words: int = 200_000,
+        min_pair_count: int = 2,
+    ):
+        super().__init__(spark, path)
+        self.n_merges = n_merges
+        self.max_words = max_words
+        self.min_pair_count = min_pair_count
+        self._model_cache: tuple | None = None  # (version, BpeModel)
+
+    def _batch_counts(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)
+                ).alias("word")
+            )
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def model(self) -> BpeModel:
+        vs = self._versions()
+        if not vs:
+            return BpeModel(merges=[], vocab=[])
+        head = vs[-1]
+        if self._model_cache and self._model_cache[0] == head:
+            return self._model_cache[1]
+        rows = (
+            self.spark.read.parquet(f"{self.path}/v{head}")
+            .orderBy(F.col("cnt").desc(), F.col("word").asc())
+            .limit(self.max_words)
+            .collect()
+        )
+        m = fit_bpe_from_counts(
+            [(r["word"], r["cnt"]) for r in rows],
+            n_merges=self.n_merges,
+            min_pair_count=self.min_pair_count,
+        )
+        self._model_cache = (head, m)
+        return m

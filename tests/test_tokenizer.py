@@ -296,3 +296,30 @@ def test_save_load_roundtrip_all_backends(spark, tmp_path):
         assert back.merges == model.merges
         assert back.vocab == model.vocab
         assert back.ranks() == model.ranks()
+
+
+def test_word_tracker_incremental_fit_equals_batch_fit(spark, tmp_path):
+    # fold per-batch word counts -> model() must equal a one-shot fit on
+    # the whole landed corpus (counts are additive; cap rule identical)
+    from lakota_spark.operators.tokenizer import BpeWordTracker
+
+    b1 = [(1, "the cat sat on the mat"), (2, "lower newest widest")]
+    b2 = [(3, "the newest cat is the lowest"), (4, "newest newest mat")]
+    df1 = spark.createDataFrame(b1, "doc_id long, text string")
+    df2 = spark.createDataFrame(b2, "doc_id long, text string")
+    t = BpeWordTracker(
+        spark, str(tmp_path / "wc"), n_merges=30, max_words=1000
+    )
+    assert t.model().merges == []  # empty store -> empty model
+    t.seed(df1)
+    m1 = t.model()
+    assert m1.merges == fit_bpe(df1, n_merges=30, max_words=1000).merges
+    t.fold(df2)
+    full = fit_bpe(df1.unionByName(df2), n_merges=30, max_words=1000)
+    m2 = t.model()
+    assert m2.merges == full.merges
+    assert m2.vocab == full.vocab
+    # memoized per version: same object until the next fold
+    assert t.model() is m2
+    t.fold(spark.createDataFrame([(5, "zzz zzz zzz")], "doc_id long, text string"))
+    assert t.model() is not m2
