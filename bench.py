@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     # the first trial, timed best-of prices the recurring encode / pack)
     "bpe_token_stats",
     "bpe_packed_sequences",
+    "balanced_lang_sample",
+    "winnow_dup_pairs",
     # round-4b curation additions
     "unigram_lm_quality",
     "semdedup_top_pairs",
