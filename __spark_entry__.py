@@ -112,6 +112,14 @@ vpairs AS (
 )"""
 
 
+# Learned-langid demo: marker CASE built from the SAME constant the Spark
+# query uses (operators/text.LANG_MARKERS) so both sides stay in lockstep.
+from lakota_spark.operators.text import LANG_MARKERS as _LANG_MARKERS
+
+_LANGID_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in sorted(_LANG_MARKERS.items())
+) + " ELSE '' END"
+
 _SIMHASH_BITS = 64
 _SIMHASH_WORDS = _SIMHASH_BITS // 16
 
@@ -409,6 +417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": pipeline.bpe_token_stats,
         "bpe_packed_sequences": pipeline.bpe_packed_sequences,
         "unigram_lm_quality": pipeline.unigram_lm_quality,
+        # --- new in round 7: learned char-trigram naive-Bayes langid ---
+        "langid_ngram_confusion": pipeline.langid_ngram_confusion,
         # --- new in round 6: DSIR importance reweighting + CCNet strata ---
         "dsir_importance": pipeline.dsir_importance,
         "ccnet_buckets": pipeline.ccnet_buckets,
@@ -937,6 +947,53 @@ SELECT doc_id, count(*) AS n_tokens,
        sum(lp_micro) * 1.0 / (count(*) * 1000000) AS avg_logprob
 FROM tok JOIN lp USING (token)
 GROUP BY doc_id
+""",
+        # learned langid: the whole fit/predict chain unrolled. Micro-nat
+        # quantization before every sum keeps the fold exact (the
+        # unigram_lm discipline); ties argmax -> alphabetically-first lang.
+        "langid_ngram_confusion": f"""
+WITH aug AS (
+  SELECT doc_id, lang, lower(text || {_LANGID_CASE}) AS t FROM documents
+),
+gr AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                               i -> substr(t, i, 3))) AS g
+  FROM aug
+),
+counts AS (SELECT lang AS cand, g, count(*) AS c FROM gr GROUP BY 1, 2),
+vocab AS (SELECT count(DISTINCT g) AS v FROM counts),
+totals AS (SELECT cand, sum(c) AS total FROM counts GROUP BY 1),
+model AS (
+  SELECT cand, g,
+         round(ln((c + 1.0) / (total + v)) * 1000000)::BIGINT AS lp
+  FROM counts JOIN totals USING (cand) CROSS JOIN vocab
+),
+defaults AS (
+  SELECT cand, round(ln(1.0 / (total + v)) * 1000000)::BIGINT AS dlp
+  FROM totals CROSS JOIN vocab
+),
+base AS (
+  SELECT doc_id, lang, greatest(length(t) - 2, 0)::BIGINT AS n_g FROM aug
+),
+matched AS (
+  SELECT doc_id, cand, sum(lp)::BIGINT AS sum_lp, count(*)::BIGINT AS n_match
+  FROM gr JOIN model USING (g) GROUP BY 1, 2
+),
+scores AS (
+  SELECT b.doc_id, b.lang, d.cand,
+         coalesce(m.sum_lp, 0)
+           + (b.n_g - coalesce(m.n_match, 0)) * d.dlp AS s
+  FROM base b CROSS JOIN defaults d
+  LEFT JOIN matched m ON m.doc_id = b.doc_id AND m.cand = d.cand
+),
+pred AS (
+  SELECT doc_id, lang, cand,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cand ASC) AS rn
+  FROM scores
+)
+SELECT lang, cand AS pred_lang, count(*)::BIGINT AS n_docs
+FROM pred WHERE rn = 1 GROUP BY 1, 2
 """,
         "tpch_q4_exists": """
 SELECT o_orderpriority, count(*) AS order_count

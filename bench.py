@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "winnow_dup_pairs",
     # round-4b curation additions
     "unigram_lm_quality",
+    "langid_ngram_confusion",
     "semdedup_top_pairs",
     "edit_dup_pairs",
     "winnow_fingerprint_stats",

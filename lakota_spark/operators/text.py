@@ -22,6 +22,19 @@ STOPWORDS = {
     "zh": ["de", "shi", "le", "wo", "zai", "you", "he"],
 }
 
+# Per-language marker phrases for the learned-langid demo query: the
+# synthetic corpus's text is language-independent word soup, so the demo
+# appends a deterministic per-label phrase (same CASE in the SQL oracle)
+# to give the learned model real signal - the `trigram_accent_search`
+# augmentation pattern.
+LANG_MARKERS = {
+    "en": " the quick brown fox jumps over the lazy dog",
+    "de": " der schnelle braune fuchs springt uber den faulen hund",
+    "fr": " le rapide renard brun saute par-dessus le chien paresseux",
+    "es": " el rapido zorro marron salta sobre el perro perezoso",
+    "zh": " \u654f\u6377\u7684\u68d5\u8272\u72d0\u72f8\u8df3\u8fc7\u61d2\u72d7",
+}
+
 PUNCT_RE = r"[^\w\s]"
 # BPE-ish token regex: words, numbers, or single punctuation marks.
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
@@ -690,4 +703,154 @@ def winnow_dup_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def _char_ngram_expr(text_col: str, n: int):
+    """All overlapping character ``n``-grams of ``lower(text_col)``, WITH
+    multiplicity (multinomial evidence — unlike the distinct-gram trigram
+    index). Same ``sequence(1, 0)`` descent guard as `_trigram_expr`."""
+    t = F.lower(F.col(text_col))
+    return F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: F.substring(t, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def langid_ngram_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n: int = 3,
+    min_count: int = 1,
+):
+    """Fit a Cavnar-Trenkle-style character-n-gram naive-Bayes language
+    model from a labelled corpus: ``P(gram | lang)`` with add-one
+    smoothing over the GLOBAL gram vocabulary, quantized to integer
+    micro-nats (the `unigram_lm_scores` discipline — exact long folds,
+    order/partitioning independent).
+
+    Returns ``(model, langs)``:
+
+    - ``model``: one row per (cand, g) seen in training with
+      ``lp_micro = round(ln((c+1) / (total_cand + V)) * 1e6)`` — the
+      log-likelihood contribution of one occurrence of gram ``g`` under
+      language ``cand``.
+    - ``langs``: one row per language with ``default_lp_micro`` — the
+      smoothed log-prob of a gram UNSEEN under that language (so a
+      document's full score needs only the matched grams plus a count).
+
+    This is the learned complement of the fixed-list stopword heuristic
+    `lang_id`: that one is a zero-shuffle scan with hand-picked features;
+    this one learns its features from labels (the fastText-style
+    pretrain-pipeline shape) and handles any script.
+
+    Scale shape: ONE token explode feeding one partial-agg
+    groupBy(lang, gram); the per-lang totals and global vocabulary size
+    are one-row/tiny aggregates broadcast back onto the counts relation.
+    The model relation is (distinct grams x langs) rows — broadcastable;
+    at open-web scale cap it with ``min_count`` (grams below it fall back
+    to the unseen default, the Cavnar-Trenkle profile-truncation knob —
+    a map-side filter, no extra pass).
+    """
+    tok = df.select(
+        F.col(lang_col).alias("cand"),
+        F.explode(_char_ngram_expr(text_col, n)).alias("g"),
+    )
+    counts = tok.groupBy("cand", "g").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.agg(F.countDistinct("g").alias("v"))
+    if min_count > 1:
+        counts = counts.where(F.col("c") >= min_count)
+    totals = counts.groupBy("cand").agg(F.sum("c").alias("total"))
+    # one-row broadcast stats join (same pattern as unigram_lm_scores)
+    denom = F.col("total") + F.col("v")
+    model = counts.join(F.broadcast(totals), "cand").join(
+        F.broadcast(vocab)
+    ).select(
+        "cand",
+        "g",
+        F.round(F.log((F.col("c") + F.lit(1.0)) / denom) * 1000000)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    langs = totals.join(F.broadcast(vocab)).select(
+        "cand",
+        F.round(F.log(F.lit(1.0) / denom) * 1000000)
+        .cast("long")
+        .alias("default_lp_micro"),
+    )
+    return model, langs
+
+
+def langid_ngram_predict(
+    df: DataFrame,
+    model: DataFrame,
+    langs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Predict the max-likelihood language per document under a fitted
+    `langid_ngram_fit` model. Exact integer scoring:
+
+        score(doc, cand) = sum over matched gram occurrences of lp_micro
+                         + (n_grams - matched) * default_lp_micro(cand)
+
+    so only grams PRESENT in the model ever join — unseen grams are
+    folded in arithmetically via the per-doc gram count (a map-side
+    ``size()`` column, no second explode). Documents shorter than ``n``
+    chars carry zero evidence, score 0 under every language, and take
+    the deterministic tie-break (alphabetically-first language), so no
+    document is dropped.
+
+    Scale shape: one gram explode -> broadcast equi-join against the
+    model -> groupBy(doc, cand) partial agg (the exploded relation
+    collapses to <= n_langs rows per doc map-side) -> one docs x n_langs
+    broadcast expansion for the unseen-mass term -> per-doc min(struct)
+    argmax (ties: smallest language code; min over (-score, cand) is
+    lexicographic, so the tie-break needs no precomputed ordinal).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.size(_char_ngram_expr(text_col, n)).cast("long").alias("n_g"),
+    )
+    tok = df.select(
+        F.col(id_col), F.explode(_char_ngram_expr(text_col, n)).alias("g")
+    )
+    matched = (
+        tok.join(F.broadcast(model), "g")
+        .groupBy(id_col, "cand")
+        .agg(
+            F.sum("lp_micro").alias("sum_lp"),
+            F.count(F.lit(1)).alias("n_match"),
+        )
+    )
+    scores = (
+        base.join(F.broadcast(langs))
+        .join(matched, [id_col, "cand"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cand"),
+            (
+                F.coalesce(F.col("sum_lp"), F.lit(0))
+                + (F.col("n_g") - F.coalesce(F.col("n_match"), F.lit(0)))
+                * F.col("default_lp_micro")
+            ).alias("score_micro"),
+        )
+    )
+    best = scores.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("score_micro")).alias("neg_s"),
+                F.col("cand").alias("cand"),
+            )
+        ).alias("_best")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("_best.cand").alias("pred_lang"),
+        (-F.col("_best.neg_s")).alias("score_micro"),
     )

@@ -1115,3 +1115,35 @@ def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint explode, hot-bucket cap, equi-join, partial-agg pair
     count — exact SQL oracle."""
     return T.winnow_dup_pairs(_docs(spark, sf_dir))
+
+
+def langid_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned language-ID (operators/text.langid_ngram_fit/predict):
+    character-trigram naive Bayes fitted from the corpus's own labels,
+    scored in exact integer micro-nats, argmax per doc, reported as the
+    (lang, pred_lang, n_docs) confusion matrix. The synthetic corpus's
+    text is language-independent word soup, so a deterministic per-label
+    marker phrase is appended first (the `trigram_accent_search`
+    augmentation pattern) - the model then has genuine per-language
+    trigram mass and wide integer margins. Exact SQL oracle (the whole
+    fit/predict chain unrolls to CTEs)."""
+    m = T.LANG_MARKERS
+    docs = _docs(spark, sf_dir)
+    marker = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in sorted(m.items())
+        ],
+        F.lit(""),
+    )
+    aug = docs.select(
+        "doc_id", "lang", F.concat(F.col("text"), marker).alias("text")
+    )
+    model, langs = T.langid_ngram_fit(aug)
+    pred = T.langid_ngram_predict(aug, model, langs)
+    return (
+        aug.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

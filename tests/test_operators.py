@@ -3547,3 +3547,68 @@ def test_sample_k_per_group_exact_and_skew_safe(spark):
     )
     assert "SinglePartition" not in plan, plan
     assert "(_probe" in plan.split("Window")[-1] or "_probe" in plan, plan
+
+
+def test_langid_ngram_learns_and_generalizes(spark):
+    # fit on labelled docs, predict a HELD-OUT doc per language: the
+    # learned trigram model must recover the label from unseen text in
+    # the same language (shared character distribution), and a doc
+    # shorter than n chars must take the deterministic tie-break
+    # (alphabetically-first language, score 0) instead of being dropped
+    from lakota_spark.operators.text import (
+        langid_ngram_fit,
+        langid_ngram_predict,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "the sharing of the things within the shore", "en"),
+            (1, "the other hand holds another weathered feather", "en"),
+            (2, "der wetter bruder wird wieder wunderbar wandern", "de"),
+            (3, "die mutter und der vater wandern durch wiesen", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "the weather gathers there"),
+            (11, "der wunderbare wanderer wird wieder"),
+            (12, "xy"),  # shorter than n=3: zero evidence, tie-break
+        ],
+        "doc_id long, text string",
+    )
+    model, langs = langid_ngram_fit(train)
+    out = {
+        r.doc_id: r
+        for r in langid_ngram_predict(test, model, langs).collect()
+    }
+    assert len(out) == 3  # no document dropped
+    assert out[10].pred_lang == "en"
+    assert out[11].pred_lang == "de"
+    assert out[12].pred_lang == "de"  # alphabetically-first of {de, en}
+    assert out[12].score_micro == 0
+
+
+def test_langid_ngram_min_count_prunes_model(spark):
+    # grams below min_count leave the model (profile truncation): the
+    # model relation shrinks but every language keeps a default, so
+    # prediction still covers all docs
+    from lakota_spark.operators.text import (
+        langid_ngram_fit,
+        langid_ngram_predict,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "aaaa aaaa aaaa zz", "en"),
+            (1, "bbbb bbbb bbbb yy", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    m_full, l_full = langid_ngram_fit(train)
+    m_cut, l_cut = langid_ngram_fit(train, min_count=2)
+    assert m_cut.count() < m_full.count()
+    out = langid_ngram_predict(
+        train.select("doc_id", "text"), m_cut, l_cut
+    ).collect()
+    assert {r.doc_id for r in out} == {0, 1}

@@ -512,3 +512,18 @@ def test_winnow_dup_pairs_band_join_plan(spark):
     plan = plans.explain_str(df, "simple")
     assert "SinglePartition" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_langid_ngram_plan_shape(spark):
+    # model + defaults broadcast to the scoring joins; the gram explode
+    # collapses map-side (partial agg) before the per-doc shuffle; the
+    # only keyless join allowed is the docs x n_langs defaults expansion
+    # (plus the one-row vocab stats join inside the fit)
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.langid_ngram_confusion(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    assert "partial" in plan.lower(), plan
