@@ -419,6 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_quality": pipeline.unigram_lm_quality,
         # --- new in round 7: learned char-trigram naive-Bayes langid ---
         "langid_ngram_confusion": pipeline.langid_ngram_confusion,
+        # --- new in round 7: sketch-pruned exact frequent items ---
+        "heavy_hitter_tokens": pipeline.heavy_hitter_tokens,
         # --- new in round 6: DSIR importance reweighting + CCNet strata ---
         "dsir_importance": pipeline.dsir_importance,
         "ccnet_buckets": pipeline.ccnet_buckets,
@@ -994,6 +996,17 @@ pred AS (
 )
 SELECT lang, cand AS pred_lang, count(*)::BIGINT AS n_docs
 FROM pred WHERE rn = 1 GROUP BY 1, 2
+""",
+        # exact heavy hitters: the Spark side prunes via a merged Karp
+        # sketch then verifies exactly, so the oracle is the plain
+        # full-groupBy HAVING form (integer cross-multiplied threshold)
+        "heavy_hitter_tokens": f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+t AS (SELECT count(*) AS total FROM tok)
+SELECT token, count(*)::BIGINT AS n
+FROM tok CROSS JOIN t
+GROUP BY token
+HAVING count(*) * 100 >= 1 * max(total)
 """,
         "tpch_q4_exists": """
 SELECT o_orderpriority, count(*) AS order_count

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     # round-4b curation additions
     "unigram_lm_quality",
     "langid_ngram_confusion",
+    "heavy_hitter_tokens",
     "semdedup_top_pairs",
     "edit_dup_pairs",
     "winnow_fingerprint_stats",

@@ -627,3 +627,70 @@ def sample_k_per_group(
         .where(F.col("sample_rank") <= k)
         .drop("_probe", "_r1")
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str = "token",
+    numer: int = 1,
+    denom: int = 100,
+) -> DataFrame:
+    """EXACT frequent items above ``numer/denom`` of the relation's rows,
+    found without shuffling the full distinct-value set: a single-pass
+    merged Karp/Misra-Gries candidate sketch (Spark's JVM-side
+    ``stat.freqItems`` — per-partition bounded counter maps, mergeable,
+    NO false negatives above the support) prunes to a bounded candidate
+    list, and a broadcast semi-join + groupBy verifies candidates
+    exactly. Same two-phase discipline as the bloom decontaminator:
+    approximate structure prunes, exact join decides, so the output is
+    EXACT (plain ``HAVING count(*) >= t`` oracle).
+
+    The threshold is the RATIONAL ``numer/denom`` and the final filter is
+    the integer cross-multiplication ``count * denom >= numer * total`` —
+    no float boundary, engine-exact. The sketch support is half the
+    threshold, so items sitting exactly ON the threshold are still
+    guaranteed candidates (freqItems' no-false-negative bound is strict
+    ``> support*n``).
+
+    Scale shape: at 100 TB a plain ``groupBy(col).count`` shuffles every
+    distinct value per partition (the Zipf tail — possibly billions of
+    hapaxes); this shuffles NOTHING for the sketch (driver collects a
+    bounded ``<= 2*denom/numer + 1`` candidate list, the centroids-class
+    driver aggregate) and only candidate rows reach the verify groupBy
+    (broadcast hash semi-join, map-side partial agg).
+    """
+    import math
+
+    spark = df.sparkSession
+    total = df.count()
+    if total == 0:
+        return df.select(F.col(col)).limit(0).withColumn(
+            "n", F.lit(0).cast("long")
+        )
+    # strict-inequality guard: support strictly below the threshold
+    # fraction. freqItems floors support at 1e-4, so thresholds under
+    # 2e-4 would silently lose the no-false-negative guarantee - refuse
+    # them (at that selectivity the full groupBy is the right tool).
+    if numer / denom < 2e-4:
+        raise ValueError(
+            "heavy_hitters threshold below 2e-4: the candidate sketch "
+            "cannot guarantee completeness (freqItems support floor); "
+            "use a plain groupBy/HAVING at this selectivity"
+        )
+    support = min(numer / denom / 2.0, 0.49)
+    cands = (
+        df.stat.freqItems([col], support).collect()[0][f"{col}_freqItems"]
+    )
+    if not cands:
+        return df.select(F.col(col)).limit(0).withColumn(
+            "n", F.lit(0).cast("long")
+        )
+    cand_df = spark.createDataFrame(
+        [(c,) for c in cands], df.select(col).schema
+    )
+    return (
+        df.join(F.broadcast(cand_df), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") * F.lit(denom) >= F.lit(numer) * F.lit(total))
+    )

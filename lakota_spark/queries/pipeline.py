@@ -1147,3 +1147,19 @@ def langid_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent tokens above 1% of all token occurrences
+    (operators/sampling.heavy_hitters): JVM-side merged Karp sketch
+    prunes to a bounded candidate list, broadcast semi-join + groupBy
+    verifies exactly — the sketch-prunes/exact-verify discipline, so the
+    oracle is a plain HAVING filter. Integer cross-multiplied threshold
+    (count * 100 >= total), no float boundary."""
+    from lakota_spark.functions import tokens
+    from lakota_spark.operators.sampling import heavy_hitters
+
+    tok = _docs(spark, sf_dir).select(
+        F.explode(tokens("text")).alias("token")
+    )
+    return heavy_hitters(tok, "token", numer=1, denom=100)

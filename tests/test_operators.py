@@ -3612,3 +3612,48 @@ def test_langid_ngram_min_count_prunes_model(spark):
         train.select("doc_id", "text"), m_cut, l_cut
     ).collect()
     assert {r.doc_id for r in out} == {0, 1}
+
+
+def test_heavy_hitters_exact_vs_full_groupby(spark):
+    # the sketch prunes, the verify join decides: output must equal the
+    # plain exact groupBy/HAVING on a skewed corpus, including an item
+    # sitting EXACTLY on the threshold (count * denom == numer * total)
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lakota_spark.operators.sampling import heavy_hitters
+
+    rng = random.Random(7)
+    # 1000 rows: 'hot' 300x, 'warm' exactly 10x (== 1% of 1000 via
+    # numer=1, denom=100), the rest a hapax-heavy tail
+    vals = ["hot"] * 300 + ["warm"] * 10
+    vals += [f"tail{i}" for i in range(690)]
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "token string")
+    got = {
+        (r.token, r.n)
+        for r in heavy_hitters(df, "token", numer=1, denom=100).collect()
+    }
+    exact = {
+        (r.token, r.n)
+        for r in df.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") * 100 >= 1 * 1000)
+        .collect()
+    }
+    assert got == exact
+    assert ("warm", 10) in got  # the on-threshold item survives
+    assert ("hot", 300) in got
+
+
+def test_heavy_hitters_empty_and_tiny_threshold(spark):
+    import pytest as _pytest
+
+    from lakota_spark.operators.sampling import heavy_hitters
+
+    empty = spark.createDataFrame([], "token string")
+    assert heavy_hitters(empty, "token").count() == 0
+    df = spark.createDataFrame([("a",)], "token string")
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "token", numer=1, denom=100000)

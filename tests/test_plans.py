@@ -527,3 +527,17 @@ def test_langid_ngram_plan_shape(spark):
     assert "Cartesian" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_heavy_hitters_broadcast_verify_plan(spark):
+    # only candidate rows reach the verify groupBy: broadcast hash join
+    # against the bounded candidate relation, partial agg, no shuffle of
+    # the full distinct-value set, no cartesian
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.heavy_hitter_tokens(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial" in plan.lower(), plan
