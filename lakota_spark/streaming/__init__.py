@@ -234,33 +234,47 @@ def streaming_near_dup_vs_corpus(
     anti-join chain keeps every join an equi-join (an ANY-band OR
     condition would degenerate to a nested loop).
     """
+    out = stream_df.withColumns(
+        _near_dup_cols(text_col, n, num_hashes, bands)
+    )
+    corpus = corpus_df.withColumns(
+        _near_dup_cols(text_col, n, num_hashes, bands)
+    ).select("_shset", *[f"_band_{b}" for b in range(bands)])
+    out = _anti_join_bands(out, corpus, bands, threshold)
+    return out.drop("_shset", *[f"_band_{b}" for b in range(bands)])
+
+
+def _near_dup_cols(text_col: str, n: int, num_hashes: int, bands: int):
+    """Per-row MinHash band-key columns + distinct shingle set (pure
+    array exprs, no shuffle) — the probe/index schema shared by the
+    static-corpus gate and `NearDupIndex`."""
     from lakota_spark.functions import hash32, tokens, word_shingles
 
     rows_per_band = num_hashes // bands
+    sh = word_shingles(tokens(text_col), n)
+    mh = [
+        F.array_min(F.transform(sh, _seeded_hash(hash32, k)))
+        for k in range(num_hashes)
+    ]
+    cols = {
+        f"_band_{b}": F.concat_ws(
+            "-",
+            *[
+                c.cast("string")
+                for c in mh[b * rows_per_band : (b + 1) * rows_per_band]
+            ],
+        )
+        for b in range(bands)
+    }
+    cols["_shset"] = F.array_distinct(sh)
+    return cols
 
-    def band_cols(col_text):
-        sh = word_shingles(tokens(col_text), n)
-        mh = [
-            F.array_min(F.transform(sh, _seeded_hash(hash32, k)))
-            for k in range(num_hashes)
-        ]
-        cols = {
-            f"_band_{b}": F.concat_ws(
-                "-",
-                *[
-                    c.cast("string")
-                    for c in mh[b * rows_per_band : (b + 1) * rows_per_band]
-                ],
-            )
-            for b in range(bands)
-        }
-        cols["_shset"] = F.array_distinct(sh)
-        return cols
 
-    out = stream_df.withColumns(band_cols(text_col))
-    corpus = corpus_df.withColumns(band_cols(text_col)).select(
-        "_shset", *[f"_band_{b}" for b in range(bands)]
-    )
+def _anti_join_bands(out, corpus, bands: int, threshold: float):
+    """One stream-static LEFT ANTI equi-join per band with the exact
+    set-Jaccard bar as an extra join condition (see
+    `streaming_near_dup_vs_corpus` for why per-band chains beat an
+    ANY-band OR: the OR degenerates to a nested loop)."""
     for b in range(bands):
         # rebuild the condition against the CURRENT plans: column refs
         # resolved on a pre-join frame don't survive into the next join
@@ -274,7 +288,7 @@ def streaming_near_dup_vs_corpus(
             (out[f"_band_{b}"] == corpus[f"_band_{b}"]) & sim_bar,
             "left_anti",
         )
-    return out.drop("_shset", *[f"_band_{b}" for b in range(bands)])
+    return out
 
 
 def _seeded_hash(hash32, k):
@@ -622,3 +636,103 @@ def streaming_tokenize(
 
     fn = bpe_tokenize_ids if to_ids else bpe_tokenize
     return fn(model, stream_df, text_col=text_col, id_col=id_col)
+
+
+class NearDupIndex:
+    """Append-only MinHash-LSH band index over every document KEPT so
+    far — the growing-corpus complement of `streaming_near_dup_vs_corpus`
+    (whose static side is frozen at plan time). Each `fold` APPENDS the
+    batch's (band keys, shingle set) rows as new parquet part files —
+    no merge, no rewrite, O(batch) per fold — and each `filter` reads
+    the directory as of its own call, so a foreachBatch loop that gates
+    then folds sees exactly the pre-batch corpus.
+
+    Single-writer contract (the `SpanFlagTracker` discipline): one
+    streaming query owns the directory; `filter`'s file listing snapshots
+    at call time, so the subsequent fold's append never leaks into the
+    same batch's gate. At 100 TB partition the index files by a band-key
+    hash bucket so each micro-batch join prunes to the probed buckets,
+    and periodically compact small part files (both are layout concerns;
+    the row schema and joins are unchanged).
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        text_col: str = "text",
+        threshold: float = 0.5,
+        n: int = 3,
+        num_hashes: int = 16,
+        bands: int = 4,
+    ):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.text_col = text_col
+        self.threshold = threshold
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        os.makedirs(path, exist_ok=True)
+
+    def _band_rows(self, df: DataFrame) -> DataFrame:
+        return df.withColumns(
+            _near_dup_cols(self.text_col, self.n, self.num_hashes, self.bands)
+        ).select("_shset", *[f"_band_{b}" for b in range(self.bands)])
+
+    def _corpus(self) -> DataFrame | None:
+        import os
+
+        if not any(f.endswith(".parquet") for f in os.listdir(self.path)):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def filter(self, df: DataFrame) -> DataFrame:
+        """Rows of ``df`` that are NOT verified near-dups of any indexed
+        document (band equi-join + exact Jaccard bar — no false drops up
+        to MinHash recall, same contract as the static gate)."""
+        corpus = self._corpus()
+        if corpus is None:
+            return df
+        out = df.withColumns(
+            _near_dup_cols(self.text_col, self.n, self.num_hashes, self.bands)
+        )
+        out = _anti_join_bands(out, corpus, self.bands, self.threshold)
+        return out.drop("_shset", *[f"_band_{b}" for b in range(self.bands)])
+
+    def fold(self, df: DataFrame) -> None:
+        """Append ``df``'s band rows to the index (O(batch) — new part
+        files only, the landed corpus is never rewritten)."""
+        self._band_rows(df).write.mode("append").parquet(self.path)
+
+
+def streaming_near_dup_tracked(
+    index: NearDupIndex, id_col: str = "doc_id"
+):
+    """foreachBatch gate that dedups a stream against EVERYTHING kept so
+    far: each micro-batch is (1) verified-gated against the landed index
+    (band equi-joins + exact Jaccard), (2) delivered to the sink, and
+    (3) its SURVIVORS appended to the index — so a document near-dup of
+    any earlier-batch survivor is dropped, however far apart the batches
+    are. Survivors-only indexing matches batch canonicalization (a
+    dropped dup's shingles are represented by the survivor it matched).
+    Within one micro-batch, co-arriving dups both pass (the batch is the
+    dedup granularity; run `streaming_near_dup_filter` upstream for
+    in-batch signature dedup). The batch is gated and folded through ONE
+    localCheckpoint, so the anti-join runs once, not once per consumer.
+    """
+
+    def for_each_batch(sink):
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            kept = index.filter(batch_df).localCheckpoint()
+            try:
+                sink(kept)
+                index.fold(kept)
+            finally:
+                kept.unpersist()
+
+        return fn
+
+    return for_each_batch

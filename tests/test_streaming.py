@@ -818,3 +818,76 @@ def test_streaming_tokenize_matches_batch(spark, tmp_path):
     }
     assert got == exp
     assert got[4] == []
+
+
+def test_near_dup_index_filter_and_fold(spark, tmp_path):
+    # direct contract: empty index passes everything; after folding, an
+    # exact copy is dropped, disjoint text passes, and a band-colliding-
+    # but-dissimilar doc would survive the Jaccard bar (verified gate)
+    from lakota_spark.streaming import NearDupIndex
+
+    idx = NearDupIndex(spark, str(tmp_path / "ndidx"))
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    assert idx.filter(b0).count() == 1  # empty index: all pass
+    idx.fold(b0)
+    b1 = spark.createDataFrame(
+        [
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # copy
+            (3, "one two three four five six seven eight nine"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in idx.filter(b1).collect()}
+    assert kept == {3}
+
+
+def test_streaming_near_dup_tracked_drops_cross_batch_dups(spark, tmp_path):
+    # a doc near-dup of a FIRST-batch survivor must be dropped when it
+    # arrives two batches later; survivors-only indexing: a doc matching
+    # only a DROPPED dup's text is still caught (the survivor represents
+    # it); disjoint docs always pass
+    import os as _os
+    import time as _time
+
+    from lakota_spark.streaming import (
+        NearDupIndex,
+        streaming_near_dup_tracked,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    batches = [
+        [(1, base)],
+        [(2, other)],
+        [(3, base), (4, "red orange yellow green blue indigo violet ultra")],
+    ]
+    src = str(tmp_path / "ndsrc")
+    _os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"file://{src}/b{i}.parquet")
+        _time.sleep(1.1)  # distinct mtimes: oldest-first processing
+
+    idx = NearDupIndex(spark, str(tmp_path / "ndidx2"))
+    out_path = f"file://{tmp_path}/ndout"
+
+    def sink(kept):
+        kept.write.mode("append").parquet(out_path)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"file://{src}/*")
+        .writeStream.foreachBatch(streaming_near_dup_tracked(idx)(sink))
+        .option("checkpointLocation", str(tmp_path / "ndckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert kept == {1, 2, 4}  # 3 dropped: dup of batch-0 survivor
