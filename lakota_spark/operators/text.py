@@ -709,14 +709,29 @@ def winnow_dup_pairs(
 def _char_ngram_expr(text_col: str, n: int):
     """All overlapping character ``n``-grams of ``lower(text_col)``, WITH
     multiplicity (multinomial evidence — unlike the distinct-gram trigram
-    index). Same ``sequence(1, 0)`` descent guard as `_trigram_expr`."""
+    index). Built as a zip_with(concat) chain over n shifted slices of
+    the split-to-chars array — the `functions.word_shingles` trick: n-1
+    element-wise zips instead of one interpreted substring call per
+    POSITION (the transform(sequence...) form measured 28 s vs 10 s for
+    this chain at a 17.5M-gram corpus; outputs are identical). Code
+    points, not graphemes (regex split('') keeps surrogate pairs whole,
+    matching substring()'s code-point counting). Same ``sequence(1, 0)``
+    descent guard as `_trigram_expr` via the length-<n short-circuit."""
     t = F.lower(F.col(text_col))
+    chars = F.split(t, "")
+    out = None
+    for i in range(n):
+        s = F.slice(
+            chars, i + 1, F.greatest(F.size(chars) - F.lit(i), F.lit(0))
+        )
+        out = (
+            s
+            if out is None
+            else F.zip_with(out, s, lambda a, b: F.concat(a, b))
+        )
     return F.when(
         F.length(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - (n - 1)),
-            lambda i: F.substring(t, i, F.lit(n)),
-        ),
+        F.slice(out, 1, F.length(t) - (n - 1)),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -760,7 +775,15 @@ def langid_ngram_fit(
         F.col(lang_col).alias("cand"),
         F.explode(_char_ngram_expr(text_col, n)).alias("g"),
     )
-    counts = tok.groupBy("cand", "g").agg(F.count(F.lit(1)).alias("c"))
+    # the counts relation (distinct grams x langs - small) feeds THREE
+    # consumers (model, vocab, per-lang totals); without a checkpoint
+    # each would re-run the full corpus explode+groupBy (the dsir
+    # localCheckpoint discipline - measured 3x the corpus scans)
+    counts = (
+        tok.groupBy("cand", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     vocab = counts.agg(F.countDistinct("g").alias("v"))
     if min_count > 1:
         counts = counts.where(F.col("c") >= min_count)
@@ -799,58 +822,82 @@ def langid_ngram_predict(
         score(doc, cand) = sum over matched gram occurrences of lp_micro
                          + (n_grams - matched) * default_lp_micro(cand)
 
-    so only grams PRESENT in the model ever join — unseen grams are
-    folded in arithmetically via the per-doc gram count (a map-side
-    ``size()`` column, no second explode). Documents shorter than ``n``
-    chars carry zero evidence, score 0 under every language, and take
-    the deterministic tie-break (alphabetically-first language), so no
-    document is dropped.
+    Documents shorter than ``n`` chars carry zero evidence, score 0
+    under every language, and take the deterministic tie-break
+    (alphabetically-first language), so no document is dropped.
 
-    Scale shape: one gram explode -> broadcast equi-join against the
-    model -> groupBy(doc, cand) partial agg (the exploded relation
-    collapses to <= n_langs rows per doc map-side) -> one docs x n_langs
-    broadcast expansion for the unseen-mass term -> per-doc min(struct)
-    argmax (ties: smallest language code; min over (-score, cand) is
-    lexicographic, so the tie-break needs no precomputed ordinal).
+    Scale shape: the model is pivoted WIDE (one row per gram, one
+    lp column per language), so the whole predict is one gram explode
+    -> one broadcast LEFT equi-join (join output = gram rows, not
+    gram x langs — the long-model form measured 2x slower at 100x
+    corpus from the n_langs fan-out plus a second docs x langs join)
+    -> ONE groupBy(doc) partial agg (n_langs sum/count pairs fold
+    map-side) -> per-doc argmax over an n_langs struct array, pure
+    codegen. The language list + default log-probs are collected
+    driver-side (n_langs rows — the centroids-class bounded driver
+    aggregate) to name the pivot columns; ``explode_outer`` keeps
+    evidence-free docs as one null-gram row that ``count(g)`` ignores.
     """
-    base = df.select(
-        F.col(id_col),
-        F.size(_char_ngram_expr(text_col, n)).cast("long").alias("n_g"),
+    lang_rows = sorted(
+        (r["cand"], r["default_lp_micro"]) for r in langs.collect()
+    )
+    if not lang_rows:
+        return (
+            df.select(F.col(id_col))
+            .limit(0)
+            .withColumns(
+                {
+                    "pred_lang": F.lit(None).cast("string"),
+                    "score_micro": F.lit(None).cast("long"),
+                }
+            )
+        )
+    names = [c for c, _ in lang_rows]
+    wide = (
+        model.groupBy("g")
+        .pivot("cand", names)
+        .agg(F.first("lp_micro"))
+        .toDF("g", *[f"_lp_{i}" for i in range(len(names))])
     )
     tok = df.select(
-        F.col(id_col), F.explode(_char_ngram_expr(text_col, n)).alias("g")
-    )
-    matched = (
-        tok.join(F.broadcast(model), "g")
-        .groupBy(id_col, "cand")
-        .agg(
-            F.sum("lp_micro").alias("sum_lp"),
-            F.count(F.lit(1)).alias("n_match"),
-        )
-    )
-    scores = (
-        base.join(F.broadcast(langs))
-        .join(matched, [id_col, "cand"], "left")
-        .select(
-            F.col(id_col),
-            F.col("cand"),
-            (
-                F.coalesce(F.col("sum_lp"), F.lit(0))
-                + (F.col("n_g") - F.coalesce(F.col("n_match"), F.lit(0)))
-                * F.col("default_lp_micro")
-            ).alias("score_micro"),
-        )
-    )
-    best = scores.groupBy(id_col).agg(
-        F.min(
-            F.struct(
-                (-F.col("score_micro")).alias("neg_s"),
-                F.col("cand").alias("cand"),
-            )
-        ).alias("_best")
-    )
-    return best.select(
         F.col(id_col),
-        F.col("_best.cand").alias("pred_lang"),
-        (-F.col("_best.neg_s")).alias("score_micro"),
+        F.explode_outer(_char_ngram_expr(text_col, n)).alias("g"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(wide), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("g").alias("n_g"),
+            *[
+                a
+                for i in range(len(names))
+                for a in (
+                    F.sum(f"_lp_{i}").alias(f"_s_{i}"),
+                    F.count(f"_lp_{i}").alias(f"_m_{i}"),
+                )
+            ],
+        )
+    )
+    scores = [
+        (
+            F.coalesce(F.col(f"_s_{i}"), F.lit(0))
+            + (F.col("n_g") - F.col(f"_m_{i}")) * F.lit(dlp)
+        )
+        for i, (_, dlp) in enumerate(lang_rows)
+    ]
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-scores[i]).alias("neg_s"),
+                    F.lit(name).alias("cand"),
+                )
+                for i, name in enumerate(names)
+            ]
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        best["cand"].alias("pred_lang"),
+        (-best["neg_s"]).alias("score_micro"),
     )
