@@ -120,6 +120,106 @@ _LANGID_CASE = "CASE lang " + " ".join(
     f"WHEN '{k}' THEN '{v}'" for k, v in sorted(_LANG_MARKERS.items())
 ) + " ELSE '' END"
 
+# Quality-classifier demo constants — shared with the Spark query
+# (operators/classifier.QUALITY_MARKER, pipeline._qc_model's n/lr/iters).
+from lakota_spark.operators.classifier import QUALITY_MARKER as _QC_MARKER
+
+_QC_N, _QC_ITERS, _QC_LR = 64, 12, 1.0 / 8192
+
+
+def _qc_fit_chain() -> str:
+    """The 12-iteration class-balanced GD fit unrolled to CTEs — the
+    Lloyd-chain discipline (`_IVF_KMEANS_CHAIN`): every engine-exact
+    step of `operators/classifier.quality_classifier_fit` reproduced in
+    SQL. MATERIALIZED CTEs matter: iteration i references iteration
+    i-1's relations several times, and DuckDB's default inlining makes
+    the unroll exponential (measured: >5 min inlined vs 0.1 s
+    materialized at 12 iterations). Fractional literals are ::DOUBLE —
+    DuckDB parses bare decimals as DECIMAL and decimal division rounds
+    differently from the IEEE double math Spark uses. Yields z{n} =
+    per-doc score plus aug/feats/cc relations."""
+    head = f"""
+WITH aug AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+         text || CASE WHEN source = 'src0' THEN '{_QC_MARKER}' ELSE '' END AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(t), '[a-z]+')) AS token FROM aug
+),
+fr AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('qc:' || token), 1, 8))::BIGINT % {_QC_N} AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM tok GROUP BY 1, 2
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, bucket,
+         round(1000000.0::DOUBLE * cnt / sum(cnt) OVER (PARTITION BY doc_id))::BIGINT AS x
+  FROM fr
+),
+cc AS (SELECT sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS ng FROM aug),
+z0 AS (SELECT doc_id, y, 0::BIGINT AS z FROM aug)"""
+    parts = [head]
+    for i in range(1, _QC_ITERS + 1):
+        prev_w_join = f"LEFT JOIN w{i-1} pw USING (bucket)" if i > 1 else ""
+        prev_w_val = "coalesce(pw.w, 0)" if i > 1 else "0"
+        prev_b = f"(SELECT b FROM b{i-1})" if i > 1 else "0"
+        parts.append(f""",
+p{i} AS (SELECT doc_id, y, z,
+        0.5 + (z / 1000000000000.0::DOUBLE)
+              / (2.0 * (1.0 + abs(z / 1000000000000.0::DOUBLE))) AS p
+        FROM z{i-1}),
+r{i} AS MATERIALIZED (SELECT doc_id, y, round((p - y) * 1000000)::BIGINT AS r FROM p{i}),
+g{i} AS (SELECT bucket,
+         sum(CASE WHEN y = 1 THEN r * x ELSE 0 END)::BIGINT AS gp,
+         sum(CASE WHEN y = 0 THEN r * x ELSE 0 END)::BIGINT AS gn
+         FROM feats JOIN r{i} USING (doc_id) GROUP BY 1),
+w{i} AS MATERIALIZED (SELECT g{i}.bucket,
+         ({prev_w_val} - round({_QC_LR!r}::DOUBLE * ((g{i}.gp / cc.np + g{i}.gn / cc.ng) / 2.0))::BIGINT) AS w
+         FROM g{i} {prev_w_join} CROSS JOIN cc),
+b{i} AS MATERIALIZED (SELECT ({prev_b} - (SELECT round({_QC_LR!r}::DOUBLE * 1000000.0 *
+                 ((sum(CASE WHEN y = 1 THEN r ELSE 0 END) / max(cc.np)
+                   + sum(CASE WHEN y = 0 THEN r ELSE 0 END) / max(cc.ng)) / 2.0))::BIGINT
+                             FROM r{i} CROSS JOIN cc)) AS b),
+z{i} AS MATERIALIZED (SELECT a.doc_id, a.y,
+         ((SELECT b FROM b{i}) + coalesce(s.zz, 0))::BIGINT AS z
+         FROM aug a LEFT JOIN (SELECT doc_id, sum(w * x)::BIGINT AS zz
+                               FROM feats JOIN w{i} USING (bucket)
+                               GROUP BY 1) s USING (doc_id))""")
+    return "".join(parts)
+
+
+_QC_EVAL_SQL = _qc_fit_chain() + f"""
+SELECT y AS label, CASE WHEN z >= 0 THEN 1 ELSE 0 END AS pred,
+       count(*)::BIGINT AS n_docs, sum(z)::BIGINT AS sum_score_raw
+FROM z{_QC_ITERS} GROUP BY 1, 2
+"""
+
+# Pareto acceptance over the x8-sharpened probability: q^9 via explicit
+# square-and-multiply (qq=q², q4, q8, q9) — the Spark side multiplies in
+# exactly this order, so no pow/libm anywhere.
+_QC_PARETO_SQL = _qc_fit_chain() + f""",
+pp AS (SELECT doc_id, y,
+       0.5 + (z * 8 / 1000000000000.0::DOUBLE)
+             / (2.0 * (1.0 + abs(z * 8 / 1000000000000.0::DOUBLE))) AS p
+       FROM z{_QC_ITERS}),
+q1 AS (SELECT doc_id, y, 2.0 - p AS q FROM pp),
+q2 AS (SELECT doc_id, y, q, q * q AS qq FROM q1),
+q3 AS (SELECT doc_id, y, q, qq * qq AS q4 FROM q2),
+q4 AS (SELECT doc_id, y, q, q4 * q4 AS q8 FROM q3),
+q5 AS (SELECT doc_id, y, q8 * q AS q9 FROM q4),
+uu AS (SELECT doc_id, y, q9,
+       (('0x' || substr(md5('qpar:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        % 1000000) / 1000000.0::DOUBLE AS u
+       FROM q5)
+SELECT y AS label,
+       CASE WHEN (1.0 - u) * q9 < 1.0 THEN 1 ELSE 0 END AS keep,
+       count(*)::BIGINT AS n_docs
+FROM uu GROUP BY 1, 2
+"""
+
 _SIMHASH_BITS = 64
 _SIMHASH_WORDS = _SIMHASH_BITS // 16
 
@@ -402,6 +502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis ---
         "winnow_fingerprint_stats": pipeline.winnow_fingerprint_stats,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
+        # --- new in round 7: learned quality classifier (GPT-3 app. A) ---
+        "quality_classifier_eval": pipeline.quality_classifier_eval,
+        "pareto_quality_sample": pipeline.pareto_quality_sample,
         "char_entropy_stats": pipeline.char_entropy_stats,
         "trigram_search": pipeline.trigram_search,
         "trigram_search_indexed": pipeline.trigram_search_indexed,
@@ -950,6 +1053,12 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM tok JOIN lp USING (token)
 GROUP BY doc_id
 """,
+        # learned quality classifier: the WHOLE 12-iteration class-balanced
+        # GD fit unrolled to materialized CTEs (engine-exact: integer
+        # micro weights, algebraic fast sigmoid, in-engine rounding) —
+        # see _qc_fit_chain for the transport notes
+        "quality_classifier_eval": _QC_EVAL_SQL,
+        "pareto_quality_sample": _QC_PARETO_SQL,
         # learned langid: the whole fit/predict chain unrolled. Micro-nat
         # quantization before every sum keeps the fold exact (the
         # unigram_lm discipline); ties argmax -> alphabetically-first lang.

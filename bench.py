@@ -74,6 +74,11 @@ BENCH_QUERIES = [
     "bpe_packed_sequences",
     "balanced_lang_sample",
     "winnow_dup_pairs",
+    # round-7 learned quality classifier (fit memoized per corpus — the
+    # 12-iteration GD prices into the first trial; timed best-of prices
+    # the recurring score+confusion pass, the per-corpus cost at scale)
+    "quality_classifier_eval",
+    "pareto_quality_sample",
     # round-4b curation additions
     "unigram_lm_quality",
     "langid_ngram_confusion",

@@ -1163,3 +1163,95 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens("text")).alias("token")
     )
     return heavy_hitters(tok, "token", numer=1, denom=100)
+
+
+#: fitted quality-classifier memo keyed on the documents file identity —
+#: the model is a per-corpus index artifact like the IVF centroids/BPE fit
+_QC_MEMO: dict = {}
+
+
+def _qc_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labelled corpus for the classifier demos: docs from ``src0`` are
+    the designated REFERENCE slice (y=1) and get `QUALITY_MARKER`
+    appended so the learned model has genuine token-level signal (the
+    langid marker-augmentation pattern — the synthetic text itself is
+    label-independent word soup)."""
+    from lakota_spark.operators.classifier import QUALITY_MARKER
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("y"),
+        F.concat(
+            F.col("text"),
+            F.when(F.col("source") == "src0", F.lit(QUALITY_MARKER)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def _qc_model(spark: SparkSession, sf_dir: str):
+    from lakota_spark.operators import classifier as QC
+
+    key = (sf_dir, _file_stamp(f"{sf_dir}/documents.parquet"))
+    if key not in _QC_MEMO:
+        _QC_MEMO[key] = QC.quality_classifier_fit(
+            _qc_aug(spark, sf_dir),
+            "y",
+            n_features=64,
+            n_iter=12,
+            lr=1.0 / 8192,
+        )
+    return _QC_MEMO[key]
+
+
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style learned quality classifier
+    (operators/classifier.quality_classifier_fit): hashed-token logistic
+    regression fitted by class-balanced full-batch GD to separate the
+    reference slice from the crawl, scored over the full corpus,
+    reported as the (label, pred, n_docs, sum_score_raw) confusion
+    matrix. Engine-exact end to end — integer micro weights, algebraic
+    fast sigmoid, in-engine rounding — so the WHOLE 12-iteration fit
+    unrolls to a bit-exact SQL oracle (the Lloyd-chain discipline)."""
+    from lakota_spark.operators import classifier as QC
+
+    aug = _qc_aug(spark, sf_dir)
+    scored = QC.quality_classifier_scores(_qc_model(spark, sf_dir), aug)
+    return (
+        aug.select("doc_id", F.col("y").alias("label"))
+        .join(scored, "doc_id")
+        .groupBy("label", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("score_raw").alias("sum_score_raw"),
+        )
+    )
+
+
+def pareto_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3 Appendix-A acceptance sampling over the learned quality
+    scores (operators/classifier.pareto_quality_sample): keep iff
+    ``Lomax(9) > 1 - prob``, hash-derandomized and rearranged to an
+    integer power so the oracle reproduces every keep decision exactly.
+    The demo sharpens the logit x8 before the sigmoid (a calibration
+    temperature — the raw fast-sigmoid probabilities are too compressed
+    for the Pareto gate to discriminate; x8 spreads the reference slice
+    toward p≈0.9, matching the calibrated-score setting the GPT-3 rule
+    assumes). Returns (label, keep, n_docs)."""
+    from lakota_spark.operators import classifier as QC
+
+    aug = _qc_aug(spark, sf_dir)
+    scored = QC.quality_classifier_scores(
+        _qc_model(spark, sf_dir), aug
+    ).select(
+        "doc_id",
+        QC.fast_sigmoid(F.col("score_raw") * F.lit(8)).alias("prob"),
+    )
+    kept = QC.pareto_quality_sample(scored)
+    return (
+        aug.select("doc_id", F.col("y").alias("label"))
+        .join(kept, "doc_id")
+        .groupBy("label", "keep")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

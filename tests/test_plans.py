@@ -541,3 +541,17 @@ def test_heavy_hitters_broadcast_verify_plan(spark):
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_quality_classifier_scores_plan_shape(spark):
+    # scoring = ONE broadcast hash join with the ≤n_features weight
+    # relation + partial-agg groupBys; the per-doc fraction window and
+    # the doc-keyed folds are all hash-uniform keys — no cartesian, no
+    # nested loop (the fit's bounded driver collects don't appear here)
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.quality_classifier_eval(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
