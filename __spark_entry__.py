@@ -299,6 +299,61 @@ u AS (SELECT ia, ib, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM p),
 s AS (SELECT ia, ib, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
       FROM u GROUP BY ia, ib)"""
 
+# Shared single-run retrieval oracles — reused verbatim by the hybrid
+# RRF fusion oracle, so the fused ranks inherit their proven exactness.
+_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+p AS (SELECT e.vec_id AS ia, 0 AS ib, e.embedding AS ea, q.qv AS eb
+      FROM embeddings e, q),{_COSINE_PAIR_CTE}
+SELECT ia AS vec_id, round(dp / (na * nb), 6) AS cos_sim
+FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20
+"""
+
+_BM25_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({_TOKS}, t -> lower(t)) AS tk FROM documents
+),
+base AS (SELECT doc_id, unnest(tk) AS term, len(tk)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                 avg(len(tk)) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+  FROM base WHERE term IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df_t FROM tf GROUP BY term),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln((s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5) + 1.0)
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS w
+  FROM tf JOIN dft d USING (term), stats s
+)
+SELECT doc_id, round(sum(w ORDER BY term), 6) AS bm25
+FROM w GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+# Hybrid retrieval: RRF-fuse the two proven runs. Ranks come from
+# row_number over each run's rounded score with id tie-breaks; per-run
+# contributions quantize to integer nano BEFORE the cross-run sum (exact
+# long fold — mirrors operators/similarity.rrf_fuse).
+_HYBRID_RRF_SQL = f"""
+WITH dense AS ({_COSINE_TOPK_SQL}),
+lex AS ({_BM25_TOPK_SQL}),
+dr AS (SELECT vec_id AS doc_id,
+              row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+       FROM dense),
+lr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+       FROM lex),
+u AS (SELECT * FROM dr UNION ALL SELECT * FROM lr)
+SELECT doc_id,
+       sum(round(1000000000.0::DOUBLE / (60 + rank))::BIGINT)::BIGINT AS rrf_nano,
+       count(*)::INT AS n_runs
+FROM u GROUP BY doc_id
+"""
+
 
 # The unrolled 2-iteration Lloyd chain from deterministic seeds — shared by
 # the kmeans_assign oracle and every oracle that blocks on its clusters
@@ -505,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 7: learned quality classifier (GPT-3 app. A) ---
         "quality_classifier_eval": pipeline.quality_classifier_eval,
         "pareto_quality_sample": pipeline.pareto_quality_sample,
+        "hybrid_search_rrf": pipeline.hybrid_search_rrf,
         "char_entropy_stats": pipeline.char_entropy_stats,
         "trigram_search": pipeline.trigram_search,
         "trigram_search_indexed": pipeline.trigram_search_indexed,
@@ -1059,6 +1115,8 @@ GROUP BY doc_id
         # see _qc_fit_chain for the transport notes
         "quality_classifier_eval": _QC_EVAL_SQL,
         "pareto_quality_sample": _QC_PARETO_SQL,
+        # hybrid retrieval: RRF over the two shared proven run oracles
+        "hybrid_search_rrf": _HYBRID_RRF_SQL,
         # learned langid: the whole fit/predict chain unrolled. Micro-nat
         # quantization before every sum keeps the fold exact (the
         # unigram_lm discipline); ties argmax -> alphabetically-first lang.
@@ -1742,57 +1800,11 @@ dropped AS (
 SELECT doc_id FROM documents
 WHERE doc_id >= 250 AND doc_id NOT IN (SELECT sid FROM dropped)
 """,
-        "bm25_topk": f"""
-WITH toks AS (
-  SELECT doc_id, list_transform({_TOKS}, t -> lower(t)) AS tk FROM documents
-),
-base AS (SELECT doc_id, unnest(tk) AS term, len(tk)::DOUBLE AS dl FROM toks),
-stats AS (SELECT count(*)::DOUBLE AS n_docs,
-                 avg(len(tk)) AS avgdl FROM toks),
-tf AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
-  FROM base WHERE term IN ('merge', 'spark', 'window')
-  GROUP BY doc_id, term
-),
-dft AS (SELECT term, count(*)::DOUBLE AS df_t FROM tf GROUP BY term),
-w AS (
-  SELECT tf.doc_id, tf.term,
-         ln((s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5) + 1.0)
-         * (tf.tf * 2.2)
-         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS w
-  FROM tf JOIN dft d USING (term), stats s
-)
-SELECT doc_id, round(sum(w ORDER BY term), 6) AS bm25
-FROM w GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id LIMIT 20
-""",
+        "bm25_topk": _BM25_TOPK_SQL,
         # indexed BM25 ranks identically (tf/dl from the materialized
         # posting partitions, scalars from the index stats row) — same
         # oracle as the un-indexed form
-        "bm25_topk_indexed": f"""
-WITH toks AS (
-  SELECT doc_id, list_transform({_TOKS}, t -> lower(t)) AS tk FROM documents
-),
-base AS (SELECT doc_id, unnest(tk) AS term, len(tk)::DOUBLE AS dl FROM toks),
-stats AS (SELECT count(*)::DOUBLE AS n_docs,
-                 avg(len(tk)) AS avgdl FROM toks),
-tf AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
-  FROM base WHERE term IN ('merge', 'spark', 'window')
-  GROUP BY doc_id, term
-),
-dft AS (SELECT term, count(*)::DOUBLE AS df_t FROM tf GROUP BY term),
-w AS (
-  SELECT tf.doc_id, tf.term,
-         ln((s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5) + 1.0)
-         * (tf.tf * 2.2)
-         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS w
-  FROM tf JOIN dft d USING (term), stats s
-)
-SELECT doc_id, round(sum(w ORDER BY term), 6) AS bm25
-FROM w GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id LIMIT 20
-""",
+        "bm25_topk_indexed": _BM25_TOPK_SQL,
         "gap_fill_daily": """
 WITH f AS (
   SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bucket,
@@ -2293,13 +2305,7 @@ SELECT s.ia AS id_a, s.ib AS id_b, bk.bucket AS block,
 FROM s JOIN buck bk ON s.ia = bk.vec_id
 ORDER BY cos_sim DESC, id_a, id_b LIMIT 25
 """,
-        "cosine_topk": f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-p AS (SELECT e.vec_id AS ia, 0 AS ib, e.embedding AS ea, q.qv AS eb
-      FROM embeddings e, q),{_COSINE_PAIR_CTE}
-SELECT ia AS vec_id, round(dp / (na * nb), 6) AS cos_sim
-FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20
-""",
+        "cosine_topk": _COSINE_TOPK_SQL,
         # Approximate-by-construction but DETERMINISTIC: the md5-derived
         # hyperplanes / rounded centroid ranking are reproduced in SQL, so
         # even the ANN paths get exact oracles.

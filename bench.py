@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     # the recurring score+confusion pass, the per-corpus cost at scale)
     "quality_classifier_eval",
     "pareto_quality_sample",
+    "hybrid_search_rrf",
     # round-4b curation additions
     "unigram_lm_quality",
     "langid_ngram_confusion",

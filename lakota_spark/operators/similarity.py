@@ -485,3 +485,39 @@ def ivf_kmeans_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    runs: list,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval runs —
+    the standard hybrid-search combiner for lexical (BM25) + dense
+    (embedding cosine) top-k lists, rank-based so the incomparable score
+    scales never need calibrating.
+
+    Each input carries (id, 1-based ``rank_col``). Per-run contribution
+    is ``round(1e9 / (k0 + rank))`` quantized to integer NANO units
+    before the fold (the unigram-lm discipline — the cross-run sum is
+    exact long addition, order/partitioning independent, and a SQL
+    oracle reproduces it bit-for-bit). Returns
+    ``(id, rrf_nano, n_runs)`` for every id present in any run.
+
+    Scale shape: union of the (tiny) top-k relations + ONE partial-agg
+    groupBy on the id — no window, no join; at web scale the runs are
+    each a TakeOrderedAndProject output, so fusion cost is O(N·k).
+    """
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one run")
+    u = runs[0].select(id_col, rank_col)
+    for r in runs[1:]:
+        u = u.unionByName(r.select(id_col, rank_col))
+    contrib = F.round(
+        F.lit(1000000000.0) / (F.lit(int(k0)) + F.col(rank_col))
+    ).cast("long")
+    return u.groupBy(id_col).agg(
+        F.sum(contrib).alias("rrf_nano"),
+        F.count(F.lit(1)).cast("int").alias("n_runs"),
+    )

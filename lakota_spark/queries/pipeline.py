@@ -1255,3 +1255,34 @@ def pareto_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "keep")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion
+    (operators/similarity.rrf_fuse) of the dense run (exact cosine
+    top-20 to query vector 0 — `cosine_topk`) and the lexical run (BM25
+    top-20 from the materialized index — `bm25_topk_indexed`), joined on
+    the shared doc/vec id space. Ranks come from the proven 6-decimal
+    scores with id tie-breaks; per-run contributions quantize to integer
+    nano before the fold, so the fused scores are engine-exact. Returns
+    every fused candidate (≤40 rows): (doc_id, rrf_nano, n_runs)."""
+    from pyspark.sql import Window
+
+    from lakota_spark.operators.search_index import search_bm25_index
+    from lakota_spark.operators.similarity import rrf_fuse
+
+    q = _query_vec(spark, sf_dir, 0)
+    dense = S.cosine_topk(_emb(spark, sf_dir), q, k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .alias("rank"),
+    )
+    path = _ensure_bm25_index(spark, sf_dir)
+    lex = search_bm25_index(spark, path, BM25_TERMS).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse([dense, lex])

@@ -3657,3 +3657,34 @@ def test_heavy_hitters_empty_and_tiny_threshold(spark):
     df = spark.createDataFrame([("a",)], "token string")
     with _pytest.raises(ValueError):
         heavy_hitters(df, "token", numer=1, denom=100000)
+
+
+def test_rrf_fuse_exact_and_order_free(spark):
+    from lakota_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (1, 2), (9, 3)], "doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_nano"], r["n_runs"])
+        for r in rrf_fuse([a, b]).collect()
+    }
+    c = lambda r: round(1e9 / (60 + r))  # noqa: E731
+    assert got[1] == (c(1) + c(62 - 60), 2)  # ranks 1 and 2
+    assert got[3] == (c(3) + c(1), 2)
+    assert got[2] == (c(2), 1)
+    assert got[9] == (c(3), 1)
+    # run order must not change the fold (exact long addition)
+    rev = {
+        r["doc_id"]: (r["rrf_nano"], r["n_runs"])
+        for r in rrf_fuse([b, a]).collect()
+    }
+    assert rev == got
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from lakota_spark.operators.tokenizer import (
     EOW,
+    pack_token_sequences,
     BpeModel,
     bpe_token_stats,
     bpe_tokenize,
@@ -323,3 +324,22 @@ def test_word_tracker_incremental_fit_equals_batch_fit(spark, tmp_path):
     assert t.model() is m2
     t.fold(spark.createDataFrame([(5, "zzz zzz zzz")], "doc_id long, text string"))
     assert t.model() is not m2
+
+
+def test_pack_null_ids_doc_is_absent(spark):
+    # a null ids row contributes NOTHING (not even EOS) and must not
+    # shift later docs' offsets. This leans on ANSI size(null)=NULL —
+    # the window sum skips it; with ANSI off, size(null)=-1 would
+    # silently corrupt every later offset, so pin the behavior loudly.
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, None), (3, [4, 5, 6, 7])],
+        "doc_id long, input_ids array<int>",
+    )
+    rows = {
+        r["seq_idx"]: (r["input_ids"], r["n_docs"])
+        for r in pack_token_sequences(df, seq_len=4, n_buckets=1).collect()
+    }
+    assert rows[0] == ([1, 2, 3, -1], 1)
+    assert rows[1] == ([4, 5, 6, 7], 1)
+    assert rows[2] == ([-1], 1)
