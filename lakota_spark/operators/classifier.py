@@ -374,3 +374,38 @@ def pareto_quality_sample(
     return scored.withColumn(
         "keep", F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("int")
     )
+
+
+def save_quality_model(model: QualityModel, fs, rel: str) -> None:
+    """Persist a fitted model through the FS verbs (file/mem/HTTP/S3) —
+    one JSON blob, atomically published. Like the BPE tokenizer and the
+    IVF centroid lists, the classifier is a per-corpus index artifact:
+    a 100 TB pipeline fits once and ships the artifact, not the fit."""
+    import json
+
+    payload = {
+        "format": 1,
+        "weights": {str(b): int(w) for b, w in sorted(model.weights.items())},
+        "bias_raw": int(model.bias_raw),
+        "n_features": int(model.n_features),
+        "salt": model.salt,
+    }
+    parent = rel.rsplit("/", 1)[0] if "/" in rel else ""
+    fs.makedirs(parent)
+    fs.write_bytes_atomic(rel, json.dumps(payload).encode("utf-8"))
+
+
+def load_quality_model(fs, rel: str) -> QualityModel:
+    import json
+
+    payload = json.loads(fs.read_bytes(rel).decode("utf-8"))
+    if payload.get("format") != 1:
+        raise ValueError(
+            f"unsupported quality model format: {payload.get('format')!r}"
+        )
+    return QualityModel(
+        weights={int(b): int(w) for b, w in payload["weights"].items()},
+        bias_raw=int(payload["bias_raw"]),
+        n_features=int(payload["n_features"]),
+        salt=payload["salt"],
+    )

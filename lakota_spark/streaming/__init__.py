@@ -736,3 +736,94 @@ def streaming_near_dup_tracked(
         return fn
 
     return for_each_batch
+
+
+def streaming_quality_classifier_gate(
+    model,
+    stream_df: DataFrame,
+    alpha: int = 9,
+    sharpness: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-3 quality gate on a document stream: score incoming docs with
+    a fitted `operators.classifier.QualityModel` and keep them by the
+    Pareto acceptance rule — on-ingest learned quality selection, the
+    streaming twin of `pipeline.pareto_quality_sample`'s keep=1 slice.
+
+    Stateless per-row projection (valid in any streaming output mode,
+    zero shuffle, zero state): tokenize -> bucket -> per-distinct-bucket
+    micro-fraction counts -> exact long dot product against the weight
+    blob -> fast sigmoid (sharpness-scaled logit) -> hash-derandomized
+    Lomax(alpha) keep test. The weights ship as ONE binary literal
+    probed positionally (8 big-endian offset-encoded bytes per bucket —
+    the `streaming_importance_gate` transport; absent buckets encode
+    weight 0, so no presence bitmap is needed). Per-row cost is
+    O(distinct_buckets x tokens) from the count filter — bounded by
+    n_features x doc length, the same order as the per-position shingle
+    work the other gates do.
+
+    Scoring is expression-for-expression the batch
+    `quality_classifier_scores` chain (same hash, same round(1e6·cnt/len)
+    fractions, same long fold), so batch output IS the oracle — pinned by
+    the batch≡stream test."""
+    import struct
+
+    from lakota_spark.functions import hash32
+    from lakota_spark.operators.classifier import fast_sigmoid
+
+    n_features = int(model.n_features)
+    offset = 1 << 62
+    values = [offset] * n_features
+    for b, w in model.weights.items():
+        if not 0 <= int(b) < n_features:
+            raise ValueError(f"weight bucket {b} outside [0, {n_features})")
+        if abs(int(w)) >= (1 << 61):
+            raise ValueError(f"weight {w} exceeds offset headroom")
+        values[int(b)] = int(w) + offset
+    blob = F.lit(struct.pack(f">{n_features}Q", *values))
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+    )
+    buckets = F.transform(
+        toks,
+        lambda t: F.pmod(
+            hash32(F.concat(F.lit(f"{model.salt}:"), t)),
+            F.lit(n_features),
+        ).cast("int"),
+    )
+
+    def w_of(b):
+        raw = F.conv(F.hex(F.substring(blob, b * 8 + 1, 8)), 16, 10)
+        return (raw.cast("decimal(20,0)") - F.lit(offset)).cast("long")
+
+    def contrib(bs, b):
+        cnt = F.size(F.filter(bs, lambda x: x == b))
+        x = F.round(F.lit(1000000.0) * cnt / F.size(bs)).cast("long")
+        return w_of(b) * x
+
+    z = (
+        F.aggregate(
+            F.array_distinct(buckets),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + contrib(buckets, b),
+        )
+        + F.lit(int(model.bias_raw))
+    ).cast("long")
+    prob = fast_sigmoid(z * F.lit(int(sharpness)))
+
+    u = (
+        F.pmod(
+            hash32(F.concat(F.lit("qpar:"), F.col(id_col).cast("string"))),
+            F.lit(1000000),
+        )
+        / F.lit(1000000.0)
+    )
+    q = F.lit(2.0) - prob
+    acc = q
+    for bit in bin(int(alpha))[3:]:
+        acc = acc * acc
+        if bit == "1":
+            acc = acc * q
+    return stream_df.where((F.lit(1.0) - u) * acc < F.lit(1.0))

@@ -141,3 +141,23 @@ def test_pareto_rejects_bad_alpha(spark):
     base = spark.createDataFrame([(1, 0.5)], "doc_id long, prob double")
     with pytest.raises(ValueError, match="alpha"):
         C.pareto_quality_sample(base, alpha=0)
+
+
+def test_quality_model_persistence_roundtrip(tmp_path):
+    from lakota_spark.fsio import open_fs
+    from lakota_spark.operators.classifier import (
+        load_quality_model,
+        save_quality_model,
+    )
+
+    model = C.QualityModel(
+        weights={3: -17, 11: 123456789, 31: 0},
+        bias_raw=-42,
+        n_features=32,
+        salt="qc",
+    )
+    for uri in (f"file://{tmp_path}", "memory://qc-test"):
+        fs = open_fs(uri)
+        save_quality_model(model, fs, "models/quality.json")
+        back = load_quality_model(fs, "models/quality.json")
+        assert back == model

@@ -891,3 +891,58 @@ def test_streaming_near_dup_tracked_drops_cross_batch_dups(spark, tmp_path):
 
     kept = {r.doc_id for r in spark.read.parquet(out_path).collect()}
     assert kept == {1, 2, 4}  # 3 dropped: dup of batch-0 survivor
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    # the learned quality gate is a stateless projection: the binary
+    # weight-blob scoring + Pareto keep on a two-trigger micro-batch
+    # stream must keep EXACTLY the rows the batch twin
+    # (quality_classifier_scores -> pareto_quality_sample) keeps
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from lakota_spark.operators import classifier as C
+    from lakota_spark.streaming import streaming_quality_classifier_gate
+
+    rows = [
+        (i, y, " ".join(["alpha beta gamma delta"] * 3)
+         + (" curated encyclopedia editorial reviewed citation" if y else ""))
+        for i, y in [(i, 1 if i % 3 == 0 else 0) for i in range(24)]
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, y long, text string")
+    model = C.quality_classifier_fit(
+        df, "y", n_features=32, n_iter=8, lr=1.0 / 8192
+    )
+
+    batch_scored = C.quality_classifier_scores(model, df).select(
+        "doc_id", C.fast_sigmoid(F.col("score_raw") * F.lit(8)).alias("prob")
+    )
+    batch_kept = sorted(
+        r["doc_id"]
+        for r in C.pareto_quality_sample(batch_scored)
+        .where(F.col("keep") == 1)
+        .collect()
+    )
+
+    src = str(tmp_path / "qsrc")
+    _os.makedirs(src)
+    plain = df.select("doc_id", "text")
+    plain.where(F.col("doc_id") < 12).write.parquet(f"file://{src}/b0.parquet")
+    plain.where(F.col("doc_id") >= 12).write.parquet(f"file://{src}/b1.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"file://{src}/*"
+    )
+    out_path = f"file://{tmp_path}/qout"
+    q = (
+        streaming_quality_classifier_gate(model, stream)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert got == batch_kept
+    assert 0 < len(got) < 24  # the gate actually discriminates
