@@ -561,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_eval": pipeline.quality_classifier_eval,
         "pareto_quality_sample": pipeline.pareto_quality_sample,
         "hybrid_search_rrf": pipeline.hybrid_search_rrf,
+        "bigram_lm_quality": pipeline.bigram_lm_quality,
         "char_entropy_stats": pipeline.char_entropy_stats,
         "trigram_search": pipeline.trigram_search,
         "trigram_search_indexed": pipeline.trigram_search_indexed,
@@ -1117,6 +1118,41 @@ GROUP BY doc_id
         "pareto_quality_sample": _QC_PARETO_SQL,
         # hybrid retrieval: RRF over the two shared proven run oracles
         "hybrid_search_rrf": _HYBRID_RRF_SQL,
+        # Stupid-Backoff bigram LM: every position is one ln of an exact
+        # integer ratio (c12/c1, c/N, or 2c/5N), micro-quantized before
+        # the per-doc fold — the unigram_lm discipline with word order
+        "bigram_lm_quality": """
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+),
+pr AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w)),
+                i -> CASE WHEN i = 1 THEN NULL ELSE w[i-1] END)) AS prev,
+         unnest(w) AS cur
+  FROM tk
+),
+uni AS (SELECT cur AS token, count(*)::BIGINT AS c FROM pr GROUP BY 1),
+nn AS (SELECT sum(c)::BIGINT AS n FROM uni),
+bi AS (SELECT prev, cur, count(*)::BIGINT AS c12
+       FROM pr WHERE prev IS NOT NULL GROUP BY 1, 2),
+sc AS (
+  SELECT p.doc_id,
+         round(CASE
+           WHEN p.prev IS NULL THEN ln(cu.c::DOUBLE / nn.n::DOUBLE)
+           WHEN b.c12 IS NOT NULL THEN ln(b.c12::DOUBLE / cp.c::DOUBLE)
+           ELSE ln((2 * cu.c)::DOUBLE / (5 * nn.n)::DOUBLE)
+         END * 1000000)::BIGINT AS lp
+  FROM pr p
+  JOIN uni cu ON cu.token = p.cur
+  LEFT JOIN uni cp ON cp.token = p.prev
+  LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+  CROSS JOIN nn
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(lp) * 1.0 / (count(*) * 1000000) AS avg_logprob
+FROM sc GROUP BY doc_id
+""",
         # learned langid: the whole fit/predict chain unrolled. Micro-nat
         # quantization before every sum keeps the fold exact (the
         # unigram_lm discipline); ties argmax -> alphabetically-first lang.

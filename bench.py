@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "quality_classifier_eval",
     "pareto_quality_sample",
     "hybrid_search_rrf",
+    "bigram_lm_quality",
     # round-4b curation additions
     "unigram_lm_quality",
     "langid_ngram_confusion",

@@ -901,3 +901,113 @@ def langid_ngram_predict(
         best["cand"].alias("pred_lang"),
         (-best["neg_s"]).alias("score_micro"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff_num: int = 2,
+    backoff_den: int = 5,
+) -> DataFrame:
+    """Stupid-Backoff bigram LM quality scoring (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the n-gram upgrade
+    of `unigram_lm_scores`, one step toward CCNet's KenLM 5-gram: score
+    position i by ``c(w_{i-1} w_i) / c(w_{i-1})`` when the bigram was
+    seen, else back off to ``0.4 · c(w_i) / N`` (0.4 as the exact
+    rational ``backoff_num/backoff_den``); the first token scores by its
+    unigram probability. Repetitive/boilerplate text scores high,
+    incoherent token-soup low — a sharper perplexity proxy than the
+    unigram model, which cannot see word ORDER at all.
+
+    Engine-exact discipline (`unigram_lm_scores`): every per-position
+    log-prob is ONE ``ln`` of a ratio of exact integer casts —
+    ``ln(c12/c1)``, ``ln(c/N)`` or ``ln((num·c)/(den·N))`` — quantized
+    to integer micro-nats BEFORE the per-document sum, so the fold is
+    exact long addition and a SQL oracle reproduces it bit-for-bit.
+
+    Scale shape: one per-position explode (prev, cur) feeds the bigram
+    and unigram count aggregates (both partial-combine map-side), then
+    three equi-joins back onto the position relation (bigram left join +
+    two vocab lookups) and one per-doc groupBy. Join keys are Zipf
+    tokens — AQE skew-split applies, and Spark broadcasts the vocab/
+    bigram relations outright when they fit (at open-web scale, bucket
+    the bigram relation by a term hash like the BM25 tf index). Docs
+    with zero alphabetic tokens carry no evidence and are omitted (join
+    semantics, as in the unigram form).
+    """
+    if backoff_num <= 0 or backoff_den <= 0:
+        raise ValueError("bigram_lm_scores needs positive backoff ratio")
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+    )
+    base = df.select(F.col(id_col), words.alias("_w"))
+    n_w = F.size("_w")
+    # per-position (prev, cur): prev NULL at position 1
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice("_w", 1, F.greatest(n_w - 1, F.lit(0))),
+    )
+    pr = (
+        base.select(
+            F.col(id_col),
+            F.explode(F.arrays_zip(prevs.alias("prev"), F.col("_w").alias("cur"))).alias("_pc"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_pc.prev").alias("prev"),
+            F.col("_pc.cur").alias("cur"),
+        )
+        .localCheckpoint(eager=False)  # three consumers: uni, bi, scoring
+    )
+    uni = pr.groupBy(F.col("cur").alias("token")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nn = uni.agg(F.sum("c").alias("n"))
+    bi = (
+        pr.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    cu = uni.select(F.col("token").alias("cur"), F.col("c").alias("_cc"))
+    cp = uni.select(F.col("token").alias("prev"), F.col("c").alias("_cp"))
+    scored = (
+        pr.join(cu, "cur")
+        .join(cp, "prev", "left")
+        .join(bi, ["prev", "cur"], "left")
+        .join(F.broadcast(nn))
+    )
+    lp = (
+        F.when(
+            F.col("prev").isNull(),
+            F.log(F.col("_cc").cast("double") / F.col("n").cast("double")),
+        )
+        .when(
+            F.col("c12").isNotNull(),
+            F.log(F.col("c12").cast("double") / F.col("_cp").cast("double")),
+        )
+        .otherwise(
+            F.log(
+                (F.lit(int(backoff_num)) * F.col("_cc")).cast("double")
+                / (F.lit(int(backoff_den)) * F.col("n")).cast("double")
+            )
+        )
+    )
+    return (
+        scored.select(
+            F.col(id_col),
+            F.round(lp * 1000000).cast("long").alias("lp_micro"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("sum_lp"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (
+                F.col("sum_lp") * 1.0 / (F.col("n_tokens") * 1000000)
+            ).alias("avg_logprob"),
+        )
+    )

@@ -1286,3 +1286,13 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     return rrf_fuse([dense, lex])
+
+
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM quality scores
+    (operators/text.bigram_lm_scores): corpus-trained bigram model with
+    0.4-unigram backoff, per-doc average log-prob in exact micro-nats —
+    the word-ORDER-aware upgrade of `unigram_lm_quality`. Exact SQL
+    oracle (single-ln integer ratios, micro quantization before the
+    fold)."""
+    return T.bigram_lm_scores(_docs(spark, sf_dir))

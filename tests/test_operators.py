@@ -3688,3 +3688,27 @@ def test_rrf_fuse_exact_and_order_free(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_bigram_lm_scores_order_aware(spark):
+    from lakota_spark.operators.text import bigram_lm_scores
+
+    # doc 1 repeats a fixed phrase (high bigram probability); doc 2 has
+    # the SAME unigram distribution but shuffled word order (every
+    # bigram unseen elsewhere). The unigram model cannot tell them
+    # apart; the bigram model must rank the coherent one higher.
+    phrase = "the quick brown fox jumps"
+    shuffled = "quick the jumps brown fox fox brown jumps the quick"
+    df = spark.createDataFrame(
+        [
+            (1, " ".join([phrase] * 4)),
+            (2, shuffled * 2),
+            (3, ""),  # no alphabetic tokens -> omitted
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
+    assert all(r["avg_logprob"] <= 0.0 for r in rows.values())
+    assert rows[1]["n_tokens"] == 20
