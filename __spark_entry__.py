@@ -159,6 +159,11 @@ feats AS MATERIALIZED (
          round(1000000.0::DOUBLE * cnt / sum(cnt) OVER (PARTITION BY doc_id))::BIGINT AS x
   FROM fr
 ),
+gfeats AS MATERIALIZED (
+  SELECT doc_id, bucket, x FROM feats
+  UNION ALL
+  SELECT doc_id, -1::BIGINT AS bucket, 1000000::BIGINT AS x FROM aug
+),
 cc AS (SELECT sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS ng FROM aug),
 z0 AS (SELECT doc_id, y, 0::BIGINT AS z FROM aug)"""
     parts = [head]
@@ -175,14 +180,11 @@ r{i} AS MATERIALIZED (SELECT doc_id, y, round((p - y) * 1000000)::BIGINT AS r FR
 g{i} AS (SELECT bucket,
          sum(CASE WHEN y = 1 THEN r * x ELSE 0 END)::BIGINT AS gp,
          sum(CASE WHEN y = 0 THEN r * x ELSE 0 END)::BIGINT AS gn
-         FROM feats JOIN r{i} USING (doc_id) GROUP BY 1),
+         FROM gfeats JOIN r{i} USING (doc_id) GROUP BY 1),
 w{i} AS MATERIALIZED (SELECT g{i}.bucket,
          ({prev_w_val} - round({_QC_LR!r}::DOUBLE * ((g{i}.gp / cc.np + g{i}.gn / cc.ng) / 2.0))::BIGINT) AS w
          FROM g{i} {prev_w_join} CROSS JOIN cc),
-b{i} AS MATERIALIZED (SELECT ({prev_b} - (SELECT round({_QC_LR!r}::DOUBLE * 1000000.0 *
-                 ((sum(CASE WHEN y = 1 THEN r ELSE 0 END) / max(cc.np)
-                   + sum(CASE WHEN y = 0 THEN r ELSE 0 END) / max(cc.ng)) / 2.0))::BIGINT
-                             FROM r{i} CROSS JOIN cc)) AS b),
+b{i} AS (SELECT w AS b FROM w{i} WHERE bucket = -1),
 z{i} AS MATERIALIZED (SELECT a.doc_id, a.y,
          ((SELECT b FROM b{i}) + coalesce(s.zz, 0))::BIGINT AS z
          FROM aug a LEFT JOIN (SELECT doc_id, sum(w * x)::BIGINT AS zz

@@ -98,6 +98,11 @@ class QualityModel(NamedTuple):
 #: z is weights(micro) x features(micro): one unit of z = 1e12
 Z_SCALE = 1e12
 
+#: pseudo-feature bucket carrying the bias: constant value 1e6 on every
+#: doc, so the bias gradient-updates through the same grouped fold as the
+#: weights (one Spark job per GD iteration)
+BIAS_BUCKET = -1
+
 
 def hashed_token_features(
     df: DataFrame,
@@ -200,7 +205,9 @@ def quality_classifier_fit(
     Per iteration: score every doc under the current weights (exact long
     dot product), quantize residuals ``round((p - y)·1e6)`` to micro,
     fold the per-bucket CLASS-BALANCED gradient map-side (two exact long
-    sums per bucket), and collect the ≤n_features ROUNDED updates
+    sums per bucket; the bias rides along as pseudo-bucket
+    ``BIAS_BUCKET`` with the constant micro feature 1e6), and collect
+    the ≤n_features+1 ROUNDED updates
     ``round(lr·(gp/n_pos + gn/n_neg)/2)`` — the rounding happens IN the
     engine so the oracle's ``round`` defines the same value; the driver
     applies exact integer subtraction only. ``lr`` should be a dyadic
@@ -238,6 +245,19 @@ def quality_classifier_fit(
     balance = (
         F.col("_gp") / F.lit(n_pos) + F.col("_gn") / F.lit(n_neg)
     ) / F.lit(2.0)
+    # the bias is gradient-updated through the SAME path as the weights:
+    # a pseudo-feature BIAS_BUCKET(-1) with the constant micro value 1e6
+    # on every doc rides the union below, so each iteration is ONE Spark
+    # job (score -> residual -> one grouped gradient collect) instead of
+    # a per-bucket job plus a separate global bias aggregate — at 12
+    # iterations that halves the fit's job count (the wall-clock cost at
+    # demo scale is almost entirely fixed job overhead)
+    bias_feat = labels.select(
+        F.col(id_col),
+        F.lit(BIAS_BUCKET).cast("long").alias("bucket"),
+        F.lit(1000000).cast("long").alias("x"),
+    )
+    grad_feats = feats.unionByName(bias_feat).localCheckpoint(eager=False)
     weights: dict = {}
     bias = 0
     for _ in range(n_iter):
@@ -251,10 +271,10 @@ def quality_classifier_fit(
             )
             .cast("long")
             .alias("r"),
-        ).localCheckpoint(eager=False)  # two consumers: gradient + bias
+        )
         rx = F.col("r") * F.col("x")
         upd_rows = (
-            feats.join(resid, id_col)
+            grad_feats.join(resid, id_col)
             .groupBy("bucket")
             .agg(
                 F.sum(F.when(F.col("_y") == 1, rx).otherwise(0)).alias(
@@ -270,25 +290,12 @@ def quality_classifier_fit(
             )
             .collect()
         )
-        # the bias "feature" is the constant micro unit (x_bias = 1e6),
-        # so its gradient is 1e6·r — keeping the update on the same
-        # 1e12 z denomination as the weight·feature products
-        bias_upd = resid.agg(
-            F.sum(F.when(F.col("_y") == 1, F.col("r")).otherwise(0)).alias(
-                "_gp"
-            ),
-            F.sum(F.when(F.col("_y") == 0, F.col("r")).otherwise(0)).alias(
-                "_gn"
-            ),
-        ).select(
-            F.round(F.lit(lr) * F.lit(1000000.0) * balance)
-            .cast("long")
-            .alias("u")
-        ).collect()[0]["u"]
         for row in upd_rows:
             b = int(row["bucket"])
-            weights[b] = weights.get(b, 0) - int(row["upd"])
-        bias -= int(bias_upd or 0)
+            if b == BIAS_BUCKET:
+                bias -= int(row["upd"])
+            else:
+                weights[b] = weights.get(b, 0) - int(row["upd"])
     return QualityModel(
         weights=weights,
         bias_raw=int(bias),
