@@ -909,6 +909,7 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     backoff_num: int = 2,
     backoff_den: int = 5,
+    fit_df: DataFrame | None = None,
 ) -> DataFrame:
     """Stupid-Backoff bigram LM quality scoring (Brants et al. 2007,
     "Large Language Models in Machine Translation") — the n-gram upgrade
@@ -935,37 +936,49 @@ def bigram_lm_scores(
     the bigram relation by a term hash like the BM25 tf index). Docs
     with zero alphabetic tokens carry no evidence and are omitted (join
     semantics, as in the unigram form).
+
+    ``fit_df`` scores ``df`` under counts fitted on a DIFFERENT corpus
+    (the held-out / on-ingest shape); scoring tokens absent from the fit
+    vocabulary carry no evidence and their positions are dropped (inner
+    vocab join), matching the unigram form's semantics. Self-scoring
+    (the default) never reaches the backoff branch — every bigram of the
+    scored text is by construction in its own counts — so backoff only
+    prices unseen ADJACENCIES of known words on held-out text.
     """
     if backoff_num <= 0 or backoff_den <= 0:
         raise ValueError("bigram_lm_scores needs positive backoff ratio")
-    words = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
-    )
-    base = df.select(F.col(id_col), words.alias("_w"))
-    n_w = F.size("_w")
-    # per-position (prev, cur): prev NULL at position 1
-    prevs = F.concat(
-        F.array(F.lit(None).cast("string")),
-        F.slice("_w", 1, F.greatest(n_w - 1, F.lit(0))),
-    )
-    pr = (
-        base.select(
-            F.col(id_col),
-            F.explode(F.arrays_zip(prevs.alias("prev"), F.col("_w").alias("cur"))).alias("_pc"),
+    def positions(rel: DataFrame) -> DataFrame:
+        words = F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
         )
-        .select(
+        base = rel.select(F.col(id_col), words.alias("_w"))
+        n_w = F.size("_w")
+        # per-position (prev, cur): prev NULL at position 1
+        prevs = F.concat(
+            F.array(F.lit(None).cast("string")),
+            F.slice("_w", 1, F.greatest(n_w - 1, F.lit(0))),
+        )
+        return base.select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(prevs.alias("prev"), F.col("_w").alias("cur"))
+            ).alias("_pc"),
+        ).select(
             F.col(id_col),
             F.col("_pc.prev").alias("prev"),
             F.col("_pc.cur").alias("cur"),
         )
-        .localCheckpoint(eager=False)  # three consumers: uni, bi, scoring
+
+    pr = positions(df).localCheckpoint(eager=False)  # consumers below
+    fit_pr = pr if fit_df is None else positions(fit_df).localCheckpoint(
+        eager=False
     )
-    uni = pr.groupBy(F.col("cur").alias("token")).agg(
+    uni = fit_pr.groupBy(F.col("cur").alias("token")).agg(
         F.count(F.lit(1)).alias("c")
     )
     nn = uni.agg(F.sum("c").alias("n"))
     bi = (
-        pr.where(F.col("prev").isNotNull())
+        fit_pr.where(F.col("prev").isNotNull())
         .groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("c12"))
     )

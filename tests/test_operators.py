@@ -3712,3 +3712,29 @@ def test_bigram_lm_scores_order_aware(spark):
     assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
     assert all(r["avg_logprob"] <= 0.0 for r in rows.values())
     assert rows[1]["n_tokens"] == 20
+
+
+def test_bigram_lm_backoff_on_held_out_text(spark):
+    import math
+
+    from lakota_spark.operators.text import bigram_lm_scores
+
+    # fit on a corpus where "fox jumps" is the only bigram involving
+    # these words; score a held-out doc pairing known words in an
+    # UNSEEN order -> the backoff branch (0.4 * c(w)/N) must price it
+    fit = spark.createDataFrame(
+        [(100, "the fox jumps"), (101, "the fox jumps")],
+        "doc_id long, text string",
+    )
+    held = spark.createDataFrame(
+        [(1, "jumps fox")], "doc_id long, text string"
+    )
+    rows = bigram_lm_scores(held, fit_df=fit).collect()
+    assert len(rows) == 1
+    # N=6, c(jumps)=2, c(fox)=2: first token ln(2/6); "fox" after
+    # "jumps" is unseen -> ln(2*2/(5*6))
+    want = (
+        round(math.log(2.0 / 6.0) * 1e6) + round(math.log(4.0 / 30.0) * 1e6)
+    ) / (2 * 1e6)
+    assert abs(rows[0]["avg_logprob"] - want) < 1e-9
+    assert rows[0]["n_tokens"] == 2

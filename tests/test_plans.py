@@ -555,3 +555,27 @@ def test_quality_classifier_scores_plan_shape(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bigram_lm_plan_shape(spark):
+    # one position explode feeding partial-agg count relations; the
+    # scoring joins are all equi-joins (token keys) — the only keyless
+    # join allowed is the one-row total broadcast
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.bigram_lm_quality(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "Cartesian" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_hybrid_rrf_plan_shape(spark):
+    # fusion is a union of two TakeOrdered top-k runs + one groupBy on
+    # the id — no cartesian, no window over the corpus
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.hybrid_search_rrf(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "Cartesian" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
