@@ -564,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_quality_sample": pipeline.pareto_quality_sample,
         "hybrid_search_rrf": pipeline.hybrid_search_rrf,
         "bigram_lm_quality": pipeline.bigram_lm_quality,
+        "pca_top_component": pipeline.pca_top_component,
         "char_entropy_stats": pipeline.char_entropy_stats,
         "trigram_search": pipeline.trigram_search,
         "trigram_search_indexed": pipeline.trigram_search_indexed,
@@ -1120,6 +1121,36 @@ GROUP BY doc_id
         "pareto_quality_sample": _QC_PARETO_SQL,
         # hybrid retrieval: RRF over the two shared proven run oracles
         "hybrid_search_rrf": _HYBRID_RRF_SQL,
+
+        # power-iteration PCA: the kmeans unroll discipline — exact
+        # integer folds for cross-row sums (t quantized micro, per-row
+        # contributions rounded before the pos-sum), 6-dec rounded v
+        # between iterations; v0 = 1/sqrt(64) = 0.125 exactly
+        "pca_top_component": """
+WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+u AS (SELECT vec_id, unnest(emb)::DOUBLE AS x,
+             generate_subscripts(emb, 1) AS pos FROM e),
+mean AS (SELECT pos, round(avg(x), 6) AS m FROM u GROUP BY pos),
+c AS MATERIALIZED (
+  SELECT vec_id, pos, x - m AS c FROM u JOIN mean USING (pos)
+),
+t1 AS (SELECT vec_id, round(sum(c * 0.125::DOUBLE) * 1000000)::BIGINT AS t
+       FROM c GROUP BY vec_id),
+w1 AS (SELECT pos, sum(round(t1.t * c.c)::BIGINT)::BIGINT AS w
+       FROM c JOIN t1 USING (vec_id) GROUP BY pos),
+n1 AS (SELECT sqrt(sum((w / 1000000.0::DOUBLE) * (w / 1000000.0::DOUBLE))) AS nrm FROM w1),
+v1 AS (SELECT pos, round(w / 1000000.0::DOUBLE / nrm, 6) AS v
+       FROM w1 CROSS JOIN n1),
+t2 AS (SELECT vec_id, round(sum(c.c * v1.v) * 1000000)::BIGINT AS t
+       FROM c JOIN v1 USING (pos) GROUP BY vec_id),
+w2 AS (SELECT pos, sum(round(t2.t * c.c)::BIGINT)::BIGINT AS w
+       FROM c JOIN t2 USING (vec_id) GROUP BY pos),
+n2 AS (SELECT sqrt(sum((w / 1000000.0::DOUBLE) * (w / 1000000.0::DOUBLE))) AS nrm FROM w2),
+v2 AS (SELECT pos, round(w / 1000000.0::DOUBLE / nrm, 6) AS v
+       FROM w2 CROSS JOIN n2)
+SELECT vec_id, round(sum(c.c * v2.v), 6) AS pc1
+FROM c JOIN v2 USING (pos) GROUP BY vec_id
+""",
         # Stupid-Backoff bigram LM: every position is one ln of an exact
         # integer ratio (c12/c1, c/N, or 2c/5N), micro-quantized before
         # the per-doc fold — the unigram_lm discipline with word order

@@ -184,3 +184,117 @@ def kmeans_predict(
     if len(centroids) > LITERAL_MAX_K and id_col in df.columns:
         return _assign_join(df, centroids, vec_col, id_col)
     return df.withColumn("cluster", _assign_expr(centroids, vec_col))
+
+
+def pca_power_fit(
+    df: DataFrame,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list, list]:
+    """Top principal component by power iteration — dimensionality
+    reduction for the embedding pipeline (whitening before ANN, 1-D
+    semantic ordering, spectral drift checks), fitted with the
+    `kmeans_fit` exact-oracle discipline: every piece of cross-row state
+    is either an EXACT integer fold or rounded to 6 decimals before the
+    next step, so each iteration is a pure function of the data and the
+    whole fit unrolls into SQL.
+
+    Per iteration, with the current unit vector v (6-dec floats):
+
+    - per-row projection ``t = Σ_j (x_j - mean_j)·v_j`` quantized to
+      integer micro (the only cross-ROW relation, folded exactly);
+    - per-dimension accumulation ``w_j = Σ_rows t_micro·(x_j - mean_j)``
+      quantized per row to micro² BEFORE the sum — exact long addition,
+      order/partitioning independent (this is ``(XᵀX)v`` up to scale);
+    - driver-side normalization to unit length, rounded to 6 decimals
+      (norm is a d-term double fold — the cosine/centroid pragmatism:
+      6-dec rounding absorbs sub-ulp association differences).
+
+    Returns ``(mean, v)`` — both d-element 6-dec float lists (the
+    centroids-class bounded driver artifact). Scale shape: ``iters``
+    passes, each ONE posexplode + partial-agg groupBy(pos) to d rows;
+    nothing quadratic in corpus or dimension.
+    """
+    if iters <= 0:
+        raise ValueError("pca_power_fit needs positive iters")
+    d_row = df.select(F.size(vec_col).alias("d")).first()
+    if d_row is None:
+        raise ValueError("pca_power_fit: empty input")
+    dim = int(d_row["d"])
+
+    mean_rows = (
+        df.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .collect()
+    )
+    mean = [0.0] * dim
+    for r in mean_rows:
+        mean[int(r["pos"])] = float(r["m"])
+
+    import math
+
+    v = [round(1.0 / math.sqrt(dim), 6)] * dim
+    for _ in range(iters):
+        m_arr = F.array(*[F.lit(float(x)) for x in mean])
+        v_arr = F.array(*[F.lit(float(x)) for x in v])
+        centered = F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            m_arr,
+            lambda x, m: x - m,
+        )
+        t = F.round(
+            F.aggregate(
+                F.zip_with(centered, v_arr, lambda c, vj: c * vj),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            )
+            * 1000000
+        ).cast("long")
+        w_rows = (
+            df.select(t.alias("_t"), F.posexplode(centered).alias("pos", "c"))
+            .select(
+                "pos",
+                F.round(F.col("_t") * F.col("c")).cast("long").alias("wc"),
+            )
+            .groupBy("pos")
+            .agg(F.sum("wc").alias("w"))
+            .collect()
+        )
+        w = [0.0] * dim
+        for r in w_rows:
+            w[int(r["pos"])] = int(r["w"]) / 1000000.0
+        norm = math.sqrt(sum(x * x for x in w))
+        if norm == 0.0:
+            raise ValueError("pca_power_fit: zero-variance input")
+        v = [round(x / norm, 6) for x in w]
+    return mean, v
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list,
+    v: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pc1",
+) -> DataFrame:
+    """Project vectors onto a fitted component: ``(id, out_col)`` with
+    ``out_col = round(Σ (x_j - mean_j)·v_j, 6)`` — one zero-shuffle
+    codegen pass (the component is a plan literal, like the cosine
+    query vector)."""
+    m_arr = F.array(*[F.lit(float(x)) for x in mean])
+    v_arr = F.array(*[F.lit(float(x)) for x in v])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), m_arr, lambda x, m: x - m
+    )
+    score = F.round(
+        F.aggregate(
+            F.zip_with(centered, v_arr, lambda c, vj: c * vj),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        ),
+        6,
+    )
+    return df.select(F.col(id_col), score.alias(out_col))

@@ -1296,3 +1296,31 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (single-ln integer ratios, micro quantization before the
     fold)."""
     return T.bigram_lm_scores(_docs(spark, sf_dir))
+
+
+#: fitted PCA memo keyed on the embeddings file identity
+_PCA_MEMO: dict = {}
+
+
+def _pca_model(spark: SparkSession, sf_dir: str):
+    from lakota_spark.operators.clustering import pca_power_fit
+
+    key = (sf_dir, _file_stamp(f"{sf_dir}/embeddings.parquet"))
+    if key not in _PCA_MEMO:
+        _PCA_MEMO[key] = pca_power_fit(_emb(spark, sf_dir), iters=2)
+    return _PCA_MEMO[key]
+
+
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by 2-iteration power iteration
+    (operators/clustering.pca_power_fit — the kmeans rounded-state
+    discipline: exact integer folds for every cross-row sum, 6-dec
+    rounded state between iterations, so the whole fit unrolls to SQL),
+    then every embedding projected onto it (zero-shuffle codegen pass).
+    Returns (vec_id, pc1) — the 1-D semantic ordering used for
+    whitening checks, curriculum sorting and spectral drift monitoring.
+    Exact SQL oracle."""
+    from lakota_spark.operators.clustering import pca_project
+
+    mean, v = _pca_model(spark, sf_dir)
+    return pca_project(_emb(spark, sf_dir), mean, v)

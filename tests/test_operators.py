@@ -3738,3 +3738,43 @@ def test_bigram_lm_backoff_on_held_out_text(spark):
     ) / (2 * 1e6)
     assert abs(rows[0]["avg_logprob"] - want) < 1e-9
     assert rows[0]["n_tokens"] == 2
+
+
+def test_pca_power_fit_recovers_dominant_axis(spark):
+    import math
+
+    from lakota_spark.operators.clustering import pca_power_fit, pca_project
+
+    # synthetic 8-dim vectors with variance concentrated on axis 2
+    # (sigma 10 vs 0.1 elsewhere, deterministic pseudo-noise)
+    rows = []
+    for i in range(200):
+        base = [((i * 37 + j * 11) % 17 - 8) / 80.0 for j in range(8)]
+        base[2] = (i - 100) / 10.0
+        rows.append((i, [float(x) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mean, v = pca_power_fit(df, iters=3)
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-4  # unit length
+    assert abs(abs(v[2]) - 1.0) < 0.05  # dominant axis recovered
+    # projection variance ≈ data variance along axis 2
+    scores = [r["pc1"] for r in pca_project(df, mean, v).collect()]
+    m = sum(scores) / len(scores)
+    var = sum((s - m) ** 2 for s in scores) / len(scores)
+    data_var = sum(((i - 100) / 10.0 - 0.0) ** 2 for i in range(200)) / 200
+    assert abs(var - data_var) / data_var < 0.05
+    # determinism
+    mean2, v2 = pca_power_fit(df, iters=3)
+    assert (mean2, v2) == (mean, v)
+
+
+def test_pca_power_fit_rejects_degenerate(spark):
+    import pytest
+
+    from lakota_spark.operators.clustering import pca_power_fit
+
+    zero = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="zero-variance"):
+        pca_power_fit(zero)
