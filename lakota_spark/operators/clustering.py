@@ -298,3 +298,55 @@ def pca_project(
         6,
     )
     return df.select(F.col(id_col), score.alias(out_col))
+
+
+def pca_power_fit_components(
+    df: DataFrame,
+    n_components: int = 2,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list, list]:
+    """Top-k principal components by power iteration with deflation:
+    fit a component with `pca_power_fit`, subtract each vector's
+    projection onto it (``x' = c - (c·v)v``, 6-dec rounded so every
+    stage stays a pure function of the data), re-fit on the deflated
+    relation, repeat. Returns ``(mean, [v1..vk])`` — mean of the RAW
+    data; scores for component k are ``(x - mean)·v_k``
+    (`pca_project`), valid because deflation preserves orthogonality
+    up to the rounding tolerance (pinned by test).
+
+    Scale shape: each deflation is one zero-shuffle projection pass
+    (localCheckpointed so component k+1's passes do not replay the
+    whole chain); total cost = n_components × the single-component fit.
+    """
+    if n_components <= 0:
+        raise ValueError("pca_power_fit_components needs positive k")
+    comps: list = []
+    cur = df
+    mean0: list = []
+    for k in range(n_components):
+        mean, v = pca_power_fit(cur, iters, vec_col, id_col)
+        if k == 0:
+            mean0 = mean
+        comps.append(v)
+        if k + 1 == n_components:
+            break
+        m_arr = F.array(*[F.lit(float(x)) for x in mean])
+        v_arr = F.array(*[F.lit(float(x)) for x in v])
+        centered = F.zip_with(
+            F.col(vec_col).cast("array<double>"), m_arr, lambda x, m: x - m
+        )
+        t = F.aggregate(
+            F.zip_with(centered, v_arr, lambda c, vj: c * vj),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        deflated = F.transform(
+            F.zip_with(centered, v_arr, lambda c, vj: c - t * vj),
+            lambda e: F.round(e, 6),
+        )
+        cur = cur.select(
+            F.col(id_col), deflated.alias(vec_col)
+        ).localCheckpoint(eager=False)
+    return mean0, comps

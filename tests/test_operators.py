@@ -3778,3 +3778,22 @@ def test_pca_power_fit_rejects_degenerate(spark):
     )
     with pytest.raises(ValueError, match="zero-variance"):
         pca_power_fit(zero)
+
+
+def test_pca_deflation_recovers_two_axes(spark):
+    from lakota_spark.operators.clustering import pca_power_fit_components
+
+    # variance concentrated on axes 1 (sigma ~6) and 4 (sigma ~3)
+    rows = []
+    for i in range(240):
+        base = [((i * 29 + j * 13) % 19 - 9) / 90.0 for j in range(6)]
+        base[1] = (i % 120 - 60) / 10.0
+        base[4] = ((i * 7) % 120 - 60) / 20.0
+        rows.append((i, [float(x) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mean, comps = pca_power_fit_components(df, n_components=2, iters=3)
+    v1, v2 = comps
+    assert abs(abs(v1[1]) - 1.0) < 0.05  # first component = axis 1
+    assert abs(abs(v2[4]) - 1.0) < 0.05  # second = axis 4
+    dot = sum(a * b for a, b in zip(v1, v2))
+    assert abs(dot) < 0.02  # orthogonal up to rounding tolerance
