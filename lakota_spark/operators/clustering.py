@@ -252,8 +252,16 @@ def pca_power_fit(
             )
             * 1000000
         ).cast("long")
+        # BARRIER before the explode: with t and posexplode(centered) in
+        # ONE projection, Generate re-evaluates the O(d) expressions per
+        # OUTPUT row — O(d²) per vector (measured 25 s vs 1.8 s for the
+        # two stages separately at 50k×64). The checkpoint makes the
+        # explode read materialized attributes instead.
+        pre = df.select(t.alias("_t"), centered.alias("_c")).localCheckpoint(
+            eager=False
+        )
         w_rows = (
-            df.select(t.alias("_t"), F.posexplode(centered).alias("pos", "c"))
+            pre.select("_t", F.posexplode("_c").alias("pos", "c"))
             .select(
                 "pos",
                 F.round(F.col("_t") * F.col("c")).cast("long").alias("wc"),
@@ -342,11 +350,17 @@ def pca_power_fit_components(
             F.lit(0.0),
             lambda acc, e: acc + e,
         )
+        # same barrier as the fit's gradient job: referencing t inside
+        # the per-element lambda would re-evaluate the O(d) dot product
+        # per ELEMENT (O(d²) per vector)
+        staged = cur.select(
+            F.col(id_col), centered.alias("_c"), t.alias("_t")
+        ).localCheckpoint(eager=False)
         deflated = F.transform(
-            F.zip_with(centered, v_arr, lambda c, vj: c - t * vj),
+            F.zip_with(
+                F.col("_c"), v_arr, lambda c, vj: c - F.col("_t") * vj
+            ),
             lambda e: F.round(e, 6),
         )
-        cur = cur.select(
-            F.col(id_col), deflated.alias(vec_col)
-        ).localCheckpoint(eager=False)
+        cur = staged.select(F.col(id_col), deflated.alias(vec_col))
     return mean0, comps
