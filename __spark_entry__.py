@@ -120,11 +120,15 @@ _LANGID_CASE = "CASE lang " + " ".join(
     f"WHEN '{k}' THEN '{v}'" for k, v in sorted(_LANG_MARKERS.items())
 ) + " ELSE '' END"
 
-# Quality-classifier demo constants — shared with the Spark query
-# (operators/classifier.QUALITY_MARKER, pipeline._qc_model's n/lr/iters).
+# Quality-classifier demo constants — imported from the SAME definitions
+# the Spark query uses, so hyperparameter tuning cannot desync the
+# unrolled oracle chain from the fit.
 from lakota_spark.operators.classifier import QUALITY_MARKER as _QC_MARKER
-
-_QC_N, _QC_ITERS, _QC_LR = 64, 12, 1.0 / 8192
+from lakota_spark.queries.pipeline import (
+    QC_LR as _QC_LR,
+    QC_N_FEATURES as _QC_N,
+    QC_N_ITER as _QC_ITERS,
+)
 
 
 def _qc_fit_chain() -> str:

@@ -335,6 +335,38 @@ def quality_classifier_scores(
     )
 
 
+def pareto_keep_expr(
+    prob: Column,
+    id_col: str = "doc_id",
+    alpha: int = 9,
+    salt: str = "qpar",
+) -> Column:
+    """The Pareto acceptance predicate as a Column — ONE implementation
+    shared by the batch sampler and the streaming gate so the
+    hash/arithmetic (and hence every keep decision) cannot drift between
+    them: ``(1-u) · (2-p)^alpha < 1`` with ``u`` hash-derived and the
+    integer power an explicit square-and-multiply chain (fixed operation
+    order — the SQL oracle multiplies identically)."""
+    if alpha < 1:
+        raise ValueError("pareto sampling needs alpha >= 1")
+    u = (
+        F.pmod(
+            hash32(
+                F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+            ),
+            F.lit(1000000),
+        )
+        / F.lit(1000000.0)
+    )
+    q = F.lit(2.0) - prob
+    acc = q
+    for bit in bin(alpha)[3:]:
+        acc = acc * acc
+        if bit == "1":
+            acc = acc * q
+    return (F.lit(1.0) - u) * acc < F.lit(1.0)
+
+
 def pareto_quality_sample(
     scored: DataFrame,
     id_col: str = "doc_id",
@@ -357,27 +389,7 @@ def pareto_quality_sample(
     Adds ``keep`` (int 0/1); filtering is the caller's ``where`` so the
     flagged relation stays inspectable.
     """
-    if alpha < 1:
-        raise ValueError("pareto_quality_sample needs alpha >= 1")
-    u = (
-        F.pmod(
-            hash32(
-                F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
-            ),
-            F.lit(1000000),
-        )
-        / F.lit(1000000.0)
-    )
-    q = F.lit(2.0) - F.col(prob_col)
-    # left-to-right square-and-multiply over alpha's bits: the chain of
-    # operations (and hence IEEE rounding) is fixed by alpha alone, so
-    # the SQL twin multiplies in exactly the same order
-    acc = q
-    for bit in bin(alpha)[3:]:
-        acc = acc * acc
-        if bit == "1":
-            acc = acc * q
-    keep = (F.lit(1.0) - u) * acc < F.lit(1.0)
+    keep = pareto_keep_expr(F.col(prob_col), id_col, alpha, salt)
     return scored.withColumn(
         "keep", F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("int")
     )

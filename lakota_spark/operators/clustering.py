@@ -190,7 +190,6 @@ def pca_power_fit(
     df: DataFrame,
     iters: int = 2,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> tuple[list, list]:
     """Top principal component by power iteration — dimensionality
     reduction for the embedding pipeline (whitening before ANN, 1-D
@@ -334,7 +333,7 @@ def pca_power_fit_components(
     cur = df
     mean0: list = []
     for k in range(n_components):
-        mean, v = pca_power_fit(cur, iters, vec_col, id_col)
+        mean, v = pca_power_fit(cur, iters, vec_col)
         if k == 0:
             mean0 = mean
         comps.append(v)

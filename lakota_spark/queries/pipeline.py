@@ -1169,6 +1169,11 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the model is a per-corpus index artifact like the IVF centroids/BPE fit
 _QC_MEMO: dict = {}
 
+#: demo hyperparameters — the SINGLE source of truth; the unrolled SQL
+#: oracle in __spark_entry__ imports these, so tuning here cannot drift
+#: from the oracle chain
+QC_N_FEATURES, QC_N_ITER, QC_LR = 64, 12, 1.0 / 8192
+
 
 def _qc_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labelled corpus for the classifier demos: docs from ``src0`` are
@@ -1198,9 +1203,9 @@ def _qc_model(spark: SparkSession, sf_dir: str):
         _QC_MEMO[key] = QC.quality_classifier_fit(
             _qc_aug(spark, sf_dir),
             "y",
-            n_features=64,
-            n_iter=12,
-            lr=1.0 / 8192,
+            n_features=QC_N_FEATURES,
+            n_iter=QC_N_ITER,
+            lr=QC_LR,
         )
     return _QC_MEMO[key]
 

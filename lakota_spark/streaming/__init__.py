@@ -745,6 +745,7 @@ def streaming_quality_classifier_gate(
     sharpness: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pareto_salt: str = "qpar",
 ) -> DataFrame:
     """GPT-3 quality gate on a document stream: score incoming docs with
     a fitted `operators.classifier.QualityModel` and keep them by the
@@ -770,7 +771,10 @@ def streaming_quality_classifier_gate(
     import struct
 
     from lakota_spark.functions import hash32
-    from lakota_spark.operators.classifier import fast_sigmoid
+    from lakota_spark.operators.classifier import (
+        fast_sigmoid,
+        pareto_keep_expr,
+    )
 
     n_features = int(model.n_features)
     offset = 1 << 62
@@ -783,8 +787,12 @@ def streaming_quality_classifier_gate(
         values[int(b)] = int(w) + offset
     blob = F.lit(struct.pack(f">{n_features}Q", *values))
 
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+    # NULL text must behave like the batch twin (zero feature rows ->
+    # score = bias), not propagate NULL through the fold and get
+    # silently dropped by the final where
+    toks = F.coalesce(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0),
+        F.array().cast("array<string>"),
     )
     buckets = F.transform(
         toks,
@@ -812,18 +820,6 @@ def streaming_quality_classifier_gate(
         + F.lit(int(model.bias_raw))
     ).cast("long")
     prob = fast_sigmoid(z * F.lit(int(sharpness)))
-
-    u = (
-        F.pmod(
-            hash32(F.concat(F.lit("qpar:"), F.col(id_col).cast("string"))),
-            F.lit(1000000),
-        )
-        / F.lit(1000000.0)
+    return stream_df.where(
+        pareto_keep_expr(prob, id_col, int(alpha), pareto_salt)
     )
-    q = F.lit(2.0) - prob
-    acc = q
-    for bit in bin(int(alpha))[3:]:
-        acc = acc * acc
-        if bit == "1":
-            acc = acc * q
-    return stream_df.where((F.lit(1.0) - u) * acc < F.lit(1.0))

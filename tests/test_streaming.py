@@ -910,6 +910,9 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
          + (" curated encyclopedia editorial reviewed citation" if y else ""))
         for i, y in [(i, 1 if i % 3 == 0 else 0) for i in range(24)]
     ]
+    # NULL-text doc: the batch twin scores it at the bias (zero feature
+    # rows); the gate must make the same keep decision, not drop it
+    rows.append((24, 0, None))
     df = spark.createDataFrame(rows, "doc_id long, y long, text string")
     model = C.quality_classifier_fit(
         df, "y", n_features=32, n_iter=8, lr=1.0 / 8192
@@ -945,4 +948,4 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
     assert got == batch_kept
-    assert 0 < len(got) < 24  # the gate actually discriminates
+    assert 0 < len(got) < 25  # the gate actually discriminates
