@@ -226,6 +226,64 @@ SELECT y AS label,
 FROM uu GROUP BY 1, 2
 """
 
+# Power-iteration PCA chain (shared by the projection query and the
+# PSI drift oracle): see operators/clustering.pca_power_fit for the
+# rounded-state discipline the CTEs mirror.
+_PCA_CHAIN = """
+WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+u AS (SELECT vec_id, unnest(emb)::DOUBLE AS x,
+             generate_subscripts(emb, 1) AS pos FROM e),
+mean AS (SELECT pos, round(avg(x), 6) AS m FROM u GROUP BY pos),
+c AS MATERIALIZED (
+  SELECT vec_id, pos, x - m AS c FROM u JOIN mean USING (pos)
+),
+t1 AS (SELECT vec_id, round(sum(c * 0.125::DOUBLE) * 1000000)::BIGINT AS t
+       FROM c GROUP BY vec_id),
+w1 AS (SELECT pos, sum(round(t1.t * c.c)::BIGINT)::BIGINT AS w
+       FROM c JOIN t1 USING (vec_id) GROUP BY pos),
+n1 AS (SELECT sqrt(sum((w / 1000000.0::DOUBLE) * (w / 1000000.0::DOUBLE))) AS nrm FROM w1),
+v1 AS (SELECT pos, round(w / 1000000.0::DOUBLE / nrm, 6) AS v
+       FROM w1 CROSS JOIN n1),
+t2 AS (SELECT vec_id, round(sum(c.c * v1.v) * 1000000)::BIGINT AS t
+       FROM c JOIN v1 USING (pos) GROUP BY vec_id),
+w2 AS (SELECT pos, sum(round(t2.t * c.c)::BIGINT)::BIGINT AS w
+       FROM c JOIN t2 USING (vec_id) GROUP BY pos),
+n2 AS (SELECT sqrt(sum((w / 1000000.0::DOUBLE) * (w / 1000000.0::DOUBLE))) AS nrm FROM w2),
+v2 AS (SELECT pos, round(w / 1000000.0::DOUBLE / nrm, 6) AS v
+       FROM w2 CROSS JOIN n2)"""
+
+_PCA_TOP_SQL = _PCA_CHAIN + """
+SELECT vec_id, round(sum(c.c * v2.v), 6) AS pc1
+FROM c JOIN v2 USING (pos) GROUP BY vec_id
+"""
+
+# PSI drift over the pc1 projection: 16 fixed bins over [-5, 5)
+# (w = 0.625, exact in binary), add-one smoothing, ln on ONE exact
+# integer-product ratio, per-bin terms micro-quantized (the exact fold)
+_PCA_DRIFT_SQL = _PCA_CHAIN + """,
+pc AS (SELECT vec_id, round(sum(c.c * v2.v), 6) AS pc1
+       FROM c JOIN v2 USING (pos) GROUP BY vec_id),
+rh AS (SELECT greatest(0, least(15, floor((pc1 - (-5.0::DOUBLE)) / 0.625::DOUBLE)))::INT AS bin,
+              count(*)::BIGINT AS c
+       FROM pc WHERE vec_id % 2 = 0 GROUP BY 1),
+nh AS (SELECT greatest(0, least(15, floor((pc1 - (-5.0::DOUBLE)) / 0.625::DOUBLE)))::INT AS bin,
+              count(*)::BIGINT AS c
+       FROM pc WHERE vec_id % 2 = 1 GROUP BY 1),
+spine AS (SELECT unnest(generate_series(0, 15))::INT AS bin),
+rt AS (SELECT sum(c)::BIGINT AS rn FROM rh),
+nt AS (SELECT sum(c)::BIGINT AS nn FROM nh)
+SELECT bin,
+       coalesce(rh.c, 0)::BIGINT AS ref_c,
+       coalesce(nh.c, 0)::BIGINT AS new_c,
+       round(((coalesce(rh.c, 0) + 1)::DOUBLE / (rn + 16)::DOUBLE
+              - (coalesce(nh.c, 0) + 1)::DOUBLE / (nn + 16)::DOUBLE)
+             * ln(((coalesce(rh.c, 0) + 1) * (nn + 16))::DOUBLE
+                  / ((coalesce(nh.c, 0) + 1) * (rn + 16))::DOUBLE)
+             * 1000000)::BIGINT AS psi_term_micro
+FROM spine LEFT JOIN rh USING (bin) LEFT JOIN nh USING (bin)
+CROSS JOIN rt CROSS JOIN nt
+"""
+
 _SIMHASH_BITS = 64
 _SIMHASH_WORDS = _SIMHASH_BITS // 16
 
@@ -569,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": pipeline.hybrid_search_rrf,
         "bigram_lm_quality": pipeline.bigram_lm_quality,
         "pca_top_component": pipeline.pca_top_component,
+        "pca_drift_psi": pipeline.pca_drift_psi,
         "char_entropy_stats": pipeline.char_entropy_stats,
         "trigram_search": pipeline.trigram_search,
         "trigram_search_indexed": pipeline.trigram_search_indexed,
@@ -1130,31 +1189,8 @@ GROUP BY doc_id
         # integer folds for cross-row sums (t quantized micro, per-row
         # contributions rounded before the pos-sum), 6-dec rounded v
         # between iterations; v0 = 1/sqrt(64) = 0.125 exactly
-        "pca_top_component": """
-WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
-u AS (SELECT vec_id, unnest(emb)::DOUBLE AS x,
-             generate_subscripts(emb, 1) AS pos FROM e),
-mean AS (SELECT pos, round(avg(x), 6) AS m FROM u GROUP BY pos),
-c AS MATERIALIZED (
-  SELECT vec_id, pos, x - m AS c FROM u JOIN mean USING (pos)
-),
-t1 AS (SELECT vec_id, round(sum(c * 0.125::DOUBLE) * 1000000)::BIGINT AS t
-       FROM c GROUP BY vec_id),
-w1 AS (SELECT pos, sum(round(t1.t * c.c)::BIGINT)::BIGINT AS w
-       FROM c JOIN t1 USING (vec_id) GROUP BY pos),
-n1 AS (SELECT sqrt(sum((w / 1000000.0::DOUBLE) * (w / 1000000.0::DOUBLE))) AS nrm FROM w1),
-v1 AS (SELECT pos, round(w / 1000000.0::DOUBLE / nrm, 6) AS v
-       FROM w1 CROSS JOIN n1),
-t2 AS (SELECT vec_id, round(sum(c.c * v1.v) * 1000000)::BIGINT AS t
-       FROM c JOIN v1 USING (pos) GROUP BY vec_id),
-w2 AS (SELECT pos, sum(round(t2.t * c.c)::BIGINT)::BIGINT AS w
-       FROM c JOIN t2 USING (vec_id) GROUP BY pos),
-n2 AS (SELECT sqrt(sum((w / 1000000.0::DOUBLE) * (w / 1000000.0::DOUBLE))) AS nrm FROM w2),
-v2 AS (SELECT pos, round(w / 1000000.0::DOUBLE / nrm, 6) AS v
-       FROM w2 CROSS JOIN n2)
-SELECT vec_id, round(sum(c.c * v2.v), 6) AS pc1
-FROM c JOIN v2 USING (pos) GROUP BY vec_id
-""",
+        "pca_top_component": _PCA_TOP_SQL,
+        "pca_drift_psi": _PCA_DRIFT_SQL,
         # Stupid-Backoff bigram LM: every position is one ln of an exact
         # integer ratio (c12/c1, c/N, or 2c/5N), micro-quantized before
         # the per-doc fold — the unigram_lm discipline with word order

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     # PCA fit is memoized per corpus (first trial); timed best-of prices
     # the zero-shuffle projection pass
     "pca_top_component",
+    "pca_drift_psi",
     # round-4b curation additions
     "unigram_lm_quality",
     "langid_ngram_confusion",

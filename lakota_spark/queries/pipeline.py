@@ -1329,3 +1329,26 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mean, v = _pca_model(spark, sf_dir)
     return pca_project(_emb(spark, sf_dir), mean, v)
+
+
+def pca_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift via PSI over the PCA top-component
+    projection (operators/drift.py): split the corpus into a reference
+    half and a "new" half (vec_id parity — the deterministic stand-in
+    for landed-vs-incoming), histogram pc1 into 16 fixed bins over
+    [-5, 5), and report per-bin add-one-smoothed PSI terms in exact
+    integer micro-nats (sum = the PSI; >0.25 = refit your artifacts).
+    Exact SQL oracle composed from the shared PCA chain."""
+    from lakota_spark.operators.drift import histogram_counts, psi_terms
+
+    mean, v = _pca_model(spark, sf_dir)
+    from lakota_spark.operators.clustering import pca_project
+
+    pc = pca_project(_emb(spark, sf_dir), mean, v)
+    ref = histogram_counts(
+        pc.where(F.col("vec_id") % 2 == 0), "pc1", -5.0, 5.0, 16
+    )
+    new = histogram_counts(
+        pc.where(F.col("vec_id") % 2 == 1), "pc1", -5.0, 5.0, 16
+    )
+    return psi_terms(ref, new, 16)

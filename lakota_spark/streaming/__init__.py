@@ -823,3 +823,59 @@ def streaming_quality_classifier_gate(
     return stream_df.where(
         pareto_keep_expr(prob, id_col, int(alpha), pareto_salt)
     )
+
+
+def streaming_pca_drift_monitor(
+    mean: list,
+    v: list,
+    ref_hist: DataFrame,
+    lo: float = -5.0,
+    hi: float = 5.0,
+    n_bins: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """foreachBatch drift monitor: project each micro-batch onto a fitted
+    PCA component (`clustering.pca_project` — zero-shuffle literal pass),
+    histogram the projections, and emit one PSI row per batch against the
+    FROZEN reference histogram (the landed corpus at fit time) —
+    on-ingest detection of embedding-distribution shift, the trigger for
+    quantizer/classifier refits. The reference collapses to ≤n_bins
+    driver rows once (the centroids-class bounded artifact) and is
+    rebuilt as a literal relation per batch, so the monitor holds no
+    stream state.
+
+    Returns a factory: ``streaming_pca_drift_monitor(...)(sink)`` gives
+    the foreachBatch fn; ``sink`` receives a ONE-ROW DataFrame
+    ``(batch_id, n_vecs, psi_micro)`` per trigger (append it to a stats
+    table; psi_micro > 250_000 is the conventional act threshold). The
+    per-batch PSI equals the batch `drift.psi_terms` sum on the same rows
+    (pinned by test)."""
+    from lakota_spark.operators.clustering import pca_project
+    from lakota_spark.operators.drift import histogram_counts, psi_terms
+
+    ref_rows = [(int(r["bin"]), int(r["c"])) for r in ref_hist.collect()]
+
+    def factory(sink):
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            spark = batch_df.sparkSession
+            ref = spark.createDataFrame(ref_rows, "bin int, c long")
+            pc = pca_project(batch_df, mean, v, vec_col, id_col)
+            nh = histogram_counts(pc, "pc1", lo, hi, n_bins)
+            stats = psi_terms(ref, nh, n_bins).agg(
+                F.sum(
+                    F.when(F.col("new_c") > 0, F.col("new_c")).otherwise(0)
+                ).alias("n_vecs"),
+                F.sum("psi_term_micro").alias("psi_micro"),
+            )
+            sink(
+                stats.select(
+                    F.lit(int(batch_id)).alias("batch_id"),
+                    F.col("n_vecs").cast("long"),
+                    F.col("psi_micro").cast("long"),
+                )
+            )
+
+        return fn
+
+    return factory

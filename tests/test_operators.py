@@ -3797,3 +3797,40 @@ def test_pca_deflation_recovers_two_axes(spark):
     assert abs(abs(v2[4]) - 1.0) < 0.05  # second = axis 4
     dot = sum(a * b for a, b in zip(v1, v2))
     assert abs(dot) < 0.02  # orthogonal up to rounding tolerance
+
+
+def test_psi_drift_detects_shift(spark):
+    from lakota_spark.operators.drift import histogram_counts, psi_terms
+
+    mk = lambda vals: spark.createDataFrame(  # noqa: E731
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, s double"
+    )
+    base = [(-2.0 + (i % 40) * 0.1) for i in range(400)]
+    same_a = histogram_counts(mk(base), "s", -5.0, 5.0, 16)
+    same_b = histogram_counts(mk(base), "s", -5.0, 5.0, 16)
+    shifted = histogram_counts(
+        mk([v + 2.5 for v in base]), "s", -5.0, 5.0, 16
+    )
+    psi_same = sum(
+        r["psi_term_micro"] for r in psi_terms(same_a, same_b, 16).collect()
+    )
+    psi_shift = sum(
+        r["psi_term_micro"]
+        for r in psi_terms(same_a, shifted, 16).collect()
+    )
+    assert psi_same == 0  # identical distributions -> zero PSI
+    assert psi_shift > 250_000  # a 2.5-sigma shift crosses the action bar
+    # out-of-range values clamp into edge bins rather than vanish
+    far = histogram_counts(mk([-50.0, 50.0]), "s", -5.0, 5.0, 16)
+    rows = {r["bin"]: r["c"] for r in far.collect()}
+    assert rows == {0: 1, 15: 1}
+
+
+def test_histogram_counts_validates(spark):
+    import pytest
+
+    from lakota_spark.operators.drift import histogram_counts
+
+    df = spark.createDataFrame([(1, 0.5)], "id long, s double")
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_counts(df, "s", 5.0, -5.0, 16)

@@ -949,3 +949,77 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
     got = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
     assert got == batch_kept
     assert 0 < len(got) < 25  # the gate actually discriminates
+
+
+def test_streaming_pca_drift_monitor_matches_batch(spark, tmp_path):
+    # per-trigger PSI must equal the batch psi_terms sum on the same
+    # rows against the same frozen reference histogram
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from lakota_spark.operators.clustering import pca_power_fit
+    from lakota_spark.operators.drift import histogram_counts, psi_terms
+    from lakota_spark.streaming import streaming_pca_drift_monitor
+
+    rows = [
+        (i, [((i * 13 + j * 7) % 21 - 10) / 4.0 for j in range(8)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mean, v = pca_power_fit(df, iters=2)
+    from lakota_spark.operators.clustering import pca_project
+
+    ref = histogram_counts(
+        pca_project(df, mean, v), "pc1", -5.0, 5.0, 16
+    ).localCheckpoint()
+
+    src = str(tmp_path / "vsrc")
+    _os.makedirs(src)
+    df.where(F.col("vec_id") < 60).write.parquet(f"file://{src}/b0.parquet")
+    df.where(F.col("vec_id") >= 60).write.parquet(f"file://{src}/b1.parquet")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(f"file://{src}/*")
+    out_path = f"file://{tmp_path}/vout"
+
+    def sink(stats):
+        stats.write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_pca_drift_monitor(mean, v, ref)(sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "vckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["batch_id"]: (r["n_vecs"], r["psi_micro"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert len(got) >= 1 and sum(n for n, _ in got.values()) == 120
+    # recompute each batch's PSI the batch way; single-batch replay over
+    # ALL rows must equal the batch psi on all rows
+    nh = histogram_counts(pca_project(df, mean, v), "pc1", -5.0, 5.0, 16)
+    full_psi = sum(
+        r["psi_term_micro"] for r in psi_terms(ref, nh, 16).collect()
+    )
+    if len(got) == 1:
+        assert list(got.values())[0] == (120, full_psi)
+    else:
+        # two triggers: verify each batch independently
+        for bid in got:
+            lo, hi = (0, 60) if bid == 0 else (60, 120)
+            part = df.where(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            )
+            nh_b = histogram_counts(
+                pca_project(part, mean, v), "pc1", -5.0, 5.0, 16
+            )
+            psi_b = sum(
+                r["psi_term_micro"]
+                for r in psi_terms(ref, nh_b, 16).collect()
+            )
+            assert got[bid] == (60, psi_b)
