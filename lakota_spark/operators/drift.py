@@ -105,3 +105,54 @@ def psi_terms(
         .cast("long")
         .alias("psi_term_micro"),
     )
+
+
+class ScoreHistTracker:
+    """Incrementally-maintained reference histogram — the growing-corpus
+    complement of the frozen-reference drift monitor: each landed batch's
+    bin counts sum-merge into the versioned relation
+    (`tracker.VersionedCountsTracker` CAS discipline), so the PSI
+    reference tracks everything landed so far instead of the corpus at
+    fit time. Gate-then-fold (a batch is compared against the
+    PRE-batch reference, then folded) mirrors `streaming.NearDupIndex`.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        lo: float = -5.0,
+        hi: float = 5.0,
+        n_bins: int = 16,
+        score_col: str = "pc1",
+    ):
+        from lakota_spark.operators.tracker import VersionedCountsTracker
+
+        lo_, hi_, nb, sc = lo, hi, n_bins, score_col
+
+        class _T(VersionedCountsTracker):
+            key_cols = ("bin",)
+            agg_col = "c"
+
+            def _batch_counts(self, df: DataFrame) -> DataFrame:
+                return histogram_counts(df, sc, lo_, hi_, nb)
+
+        self._t = _T(spark, path)
+        self.lo, self.hi, self.n_bins = lo, hi, n_bins
+        self.score_col = score_col
+
+    def fold(self, scores: DataFrame) -> None:
+        self._t.fold(scores)
+
+    def psi_vs(self, scores: DataFrame) -> DataFrame:
+        """Per-bin PSI terms of ``scores`` against the landed reference
+        (empty reference = every landed count 0; add-one smoothing keeps
+        the terms finite, so a cold store still yields a comparison)."""
+        ref = self._t.counts()
+        if ref is None:
+            spark = scores.sparkSession
+            ref = spark.createDataFrame([], "bin int, c long")
+        new = histogram_counts(
+            scores, self.score_col, self.lo, self.hi, self.n_bins
+        )
+        return psi_terms(ref, new, self.n_bins)

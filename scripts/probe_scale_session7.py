@@ -1,6 +1,8 @@
-"""10x/100x scale probes for the round-7 learned quality classifier:
-fit (12-iteration class-balanced GD), score+confusion, and the Pareto
-sampling pass.
+"""10x/100x scale probes for the round-7 session-7 operators: the
+learned quality classifier (12-iteration class-balanced GD fit,
+score+confusion, Pareto sampling), the Stupid-Backoff bigram LM (its
+bigram count relation grows with corpus — the interesting term), and
+the power-iteration PCA fit + projection.
 
 Methodology (the r5 span-clip probe's): replicate the sf0.01 documents
 corpus with fresh doc_ids (text and the source-derived labels unchanged,
@@ -107,11 +109,51 @@ def main() -> None:
                 .save()
             )
 
+        def run_bigram():
+            from lakota_spark.operators.text import bigram_lm_scores
+
+            bigram_lm_scores(corp).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
         print(
             f"x{k:<3} docs={n:<7} fit12={t_fit:>7}s "
-            f"score={timed(run_score):>6}s pareto={timed(run_pareto):>6}s"
+            f"score={timed(run_score):>6}s pareto={timed(run_pareto):>6}s "
+            f"bigram={timed(run_bigram):>6}s"
         )
         corp.unpersist()
+
+    # PCA: replicate embeddings (fresh vec_ids), fit + project
+    from lakota_spark.operators.clustering import pca_power_fit, pca_project
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    for k in (1, 10, 100):
+        copies = spark.range(k).select(F.col("id").alias("_copy"))
+        e = (
+            emb.crossJoin(copies)
+            .select(
+                (F.col("vec_id") * 1000 + F.col("_copy")).alias("vec_id"),
+                "embedding",
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = e.count()
+        t0 = time.perf_counter()
+        mean, v = pca_power_fit(e, iters=2)
+        t_fit = round(time.perf_counter() - t0, 2)
+
+        def run_proj():
+            pca_project(e, mean, v).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
+        print(
+            f"x{k:<3} vecs={n:<7} pca_fit2={t_fit:>6}s "
+            f"project={timed(run_proj):>6}s"
+        )
+        e.unpersist()
 
 
 if __name__ == "__main__":

@@ -3834,3 +3834,34 @@ def test_histogram_counts_validates(spark):
     df = spark.createDataFrame([(1, 0.5)], "id long, s double")
     with pytest.raises(ValueError, match="hi > lo"):
         histogram_counts(df, "s", 5.0, -5.0, 16)
+
+
+def test_score_hist_tracker_incremental_reference(spark, tmp_path):
+    from lakota_spark.operators.drift import ScoreHistTracker, histogram_counts
+
+    mk = lambda vals, off=0: spark.createDataFrame(  # noqa: E731
+        [(i + off, float(v)) for i, v in enumerate(vals)],
+        "id long, pc1 double",
+    )
+    t = ScoreHistTracker(spark, str(tmp_path / "hist"), -5.0, 5.0, 16)
+    b1 = [(-3.0 + (i % 30) * 0.2) for i in range(90)]
+    b2 = [(-1.0 + (i % 20) * 0.1) for i in range(60)]
+    # cold store: psi_vs still yields a finite comparison
+    cold = t.psi_vs(mk(b1))
+    assert cold.count() == 16
+    t.fold(mk(b1))
+    t.fold(mk(b2, off=1000))
+    # landed counts equal a direct histogram of the union
+    want = {
+        r["bin"]: r["c"]
+        for r in histogram_counts(
+            mk(b1 + b2), "pc1", -5.0, 5.0, 16
+        ).collect()
+    }
+    got = {r["bin"]: r["c"] for r in t._t.counts().collect()}
+    assert got == want
+    # scoring the landed distribution against itself -> zero PSI
+    psi = sum(
+        r["psi_term_micro"] for r in t.psi_vs(mk(b1 + b2)).collect()
+    )
+    assert psi == 0
