@@ -131,7 +131,7 @@ from lakota_spark.queries.pipeline import (
 )
 
 
-def _qc_fit_chain() -> str:
+def _qc_fit_chain(train_where: str = "", score_where: str = "") -> str:
     """The 12-iteration class-balanced GD fit unrolled to CTEs — the
     Lloyd-chain discipline (`_IVF_KMEANS_CHAIN`): every engine-exact
     step of `operators/classifier.quality_classifier_fit` reproduced in
@@ -141,7 +141,9 @@ def _qc_fit_chain() -> str:
     materialized at 12 iterations). Fractional literals are ::DOUBLE —
     DuckDB parses bare decimals as DECIMAL and decimal division rounds
     differently from the IEEE double math Spark uses. Yields z{n} =
-    per-doc score plus aug/feats/cc relations."""
+    per-doc score plus aug/feats/cc relations. ``train_where`` restricts
+    the FIT to a slice (the held-out demo); ``score_where`` restricts the
+    final zs scoring relation."""
     head = f"""
 WITH aug AS MATERIALIZED (
   SELECT doc_id,
@@ -163,13 +165,14 @@ feats AS MATERIALIZED (
          round(1000000.0::DOUBLE * cnt / sum(cnt) OVER (PARTITION BY doc_id))::BIGINT AS x
   FROM fr
 ),
+train AS MATERIALIZED (SELECT doc_id, y FROM aug {train_where}),
 gfeats AS MATERIALIZED (
-  SELECT doc_id, bucket, x FROM feats
+  SELECT f.doc_id, f.bucket, f.x FROM feats f JOIN train USING (doc_id)
   UNION ALL
-  SELECT doc_id, -1::BIGINT AS bucket, 1000000::BIGINT AS x FROM aug
+  SELECT doc_id, -1::BIGINT AS bucket, 1000000::BIGINT AS x FROM train
 ),
-cc AS (SELECT sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS ng FROM aug),
-z0 AS (SELECT doc_id, y, 0::BIGINT AS z FROM aug)"""
+cc AS (SELECT sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS ng FROM train),
+z0 AS (SELECT doc_id, y, 0::BIGINT AS z FROM train)"""
     parts = [head]
     for i in range(1, _QC_ITERS + 1):
         prev_w_join = f"LEFT JOIN w{i-1} pw USING (bucket)" if i > 1 else ""
@@ -191,17 +194,40 @@ w{i} AS MATERIALIZED (SELECT g{i}.bucket,
 b{i} AS (SELECT w AS b FROM w{i} WHERE bucket = -1),
 z{i} AS MATERIALIZED (SELECT a.doc_id, a.y,
          ((SELECT b FROM b{i}) + coalesce(s.zz, 0))::BIGINT AS z
-         FROM aug a LEFT JOIN (SELECT doc_id, sum(w * x)::BIGINT AS zz
+         FROM train a LEFT JOIN (SELECT doc_id, sum(w * x)::BIGINT AS zz
                                FROM feats JOIN w{i} USING (bucket)
                                GROUP BY 1) s USING (doc_id))""")
     return "".join(parts)
 
 
-_QC_EVAL_SQL = _qc_fit_chain() + f"""
+_QC_SCORED = """,
+zs AS (SELECT a.doc_id, a.y,
+       ((SELECT b FROM b%(it)d) + coalesce(s.zz, 0))::BIGINT AS z
+       FROM (SELECT doc_id, y FROM aug %(score_where)s) a
+       LEFT JOIN (SELECT doc_id, sum(w * x)::BIGINT AS zz
+                  FROM feats JOIN w%(it)d USING (bucket)
+                  GROUP BY 1) s USING (doc_id))
 SELECT y AS label, CASE WHEN z >= 0 THEN 1 ELSE 0 END AS pred,
        count(*)::BIGINT AS n_docs, sum(z)::BIGINT AS sum_score_raw
-FROM z{_QC_ITERS} GROUP BY 1, 2
+FROM zs GROUP BY 1, 2
 """
+
+
+def _qc_confusion_sql(train_where: str = "", score_where: str = "") -> str:
+    return _qc_fit_chain(train_where) + _QC_SCORED % {
+        "it": _QC_ITERS,
+        "score_where": score_where,
+    }
+
+
+_QC_EVAL_SQL = _qc_confusion_sql()
+_QC_SPLIT = (
+    "(('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 2)"
+)
+_QC_HOLDOUT_SQL = _qc_confusion_sql(
+    train_where=f"WHERE {_QC_SPLIT} = 0",
+    score_where=f"WHERE {_QC_SPLIT} = 1",
+)
 
 # Pareto acceptance over the x8-sharpened probability: q^9 via explicit
 # square-and-multiply (qq=q², q4, q8, q9) — the Spark side multiplies in
@@ -623,7 +649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
         # --- new in round 7: learned quality classifier (GPT-3 app. A) ---
         "quality_classifier_eval": pipeline.quality_classifier_eval,
+        "quality_classifier_holdout": pipeline.quality_classifier_holdout,
         "pareto_quality_sample": pipeline.pareto_quality_sample,
+        "corpus_report": pipeline.corpus_report,
         "hybrid_search_rrf": pipeline.hybrid_search_rrf,
         "bigram_lm_quality": pipeline.bigram_lm_quality,
         "pca_top_component": pipeline.pca_top_component,
@@ -1181,7 +1209,19 @@ GROUP BY doc_id
         # micro weights, algebraic fast sigmoid, in-engine rounding) —
         # see _qc_fit_chain for the transport notes
         "quality_classifier_eval": _QC_EVAL_SQL,
+        # held-out generalization: fit on even ids, confusion on odd
+        "quality_classifier_holdout": _QC_HOLDOUT_SQL,
         "pareto_quality_sample": _QC_PARETO_SQL,
+        "corpus_report": """
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       sum(len(regexp_extract_all(lower(text), '[a-z]+')))::BIGINT AS total_tokens,
+       sum(length(text))::BIGINT AS total_chars,
+       min(length(text))::BIGINT AS min_chars,
+       max(length(text))::BIGINT AS max_chars
+FROM documents
+""",
         # hybrid retrieval: RRF over the two shared proven run oracles
         "hybrid_search_rrf": _HYBRID_RRF_SQL,
 

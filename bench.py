@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     # the zero-shuffle projection pass
     "pca_top_component",
     "pca_drift_psi",
+    "corpus_report",
     # round-4b curation additions
     "unigram_lm_quality",
     "langid_ngram_confusion",

@@ -1352,3 +1352,67 @@ def pca_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc.where(F.col("vec_id") % 2 == 1), "pc1", -5.0, 5.0, 16
     )
     return psi_terms(ref, new, 16)
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop corpus accounting (the first query a data engineer runs
+    on a new crawl snapshot): doc/source/language cardinalities, exact
+    token and character totals, and length extremes — ONE map-side
+    fused scan, no joins, no windows. Exact SQL oracle."""
+    docs = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    return docs.select(
+        F.size(toks).cast("long").alias("_nt"),
+        F.length("text").cast("long").alias("_nc"),
+        "lang",
+        "source",
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("_nt").alias("total_tokens"),
+        F.sum("_nc").alias("total_chars"),
+        F.min("_nc").alias("min_chars"),
+        F.max("_nc").alias("max_chars"),
+    )
+
+
+def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out generalization check for the learned quality classifier:
+    fit on a deterministic hash-half of the corpus, report the confusion
+    matrix on the other half — the classifier must separate reference
+    docs it never saw (marker tokens generalize; per-doc memorization
+    cannot). The split hashes the doc id (`stratified_sample`
+    transport) — a plain parity split would be useless here because the
+    synthetic source assignment correlates with doc_id parity (measured:
+    every src0 doc is even). Same engine-exact chain as
+    `quality_classifier_eval`; the unrolled oracle adds the hash
+    filters."""
+    from lakota_spark.functions import hash32
+    from lakota_spark.operators import classifier as QC
+
+    aug = _qc_aug(spark, sf_dir)
+    split = F.pmod(
+        hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.lit(2),
+    )
+    key = ("holdout", sf_dir, _file_stamp(f"{sf_dir}/documents.parquet"))
+    if key not in _QC_MEMO:
+        _QC_MEMO[key] = QC.quality_classifier_fit(
+            aug.where(split == 0),
+            "y",
+            n_features=QC_N_FEATURES,
+            n_iter=QC_N_ITER,
+            lr=QC_LR,
+        )
+    held = aug.where(split == 1)
+    scored = QC.quality_classifier_scores(_QC_MEMO[key], held)
+    return (
+        held.select("doc_id", F.col("y").alias("label"))
+        .join(scored, "doc_id")
+        .groupBy("label", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("score_raw").alias("sum_score_raw"),
+        )
+    )
