@@ -579,3 +579,25 @@ def test_hybrid_rrf_plan_shape(spark):
     plan = plans.explain_str(df, "simple")
     assert "Cartesian" not in plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_psi_drift_plan_shape(spark):
+    # two map-side histogram groupBys + the bin-spine join; the only
+    # keyless joins are the two one-row total broadcasts
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.pca_drift_psi(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "Cartesian" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_corpus_report_single_scan(spark):
+    # one fused aggregate over one parquet scan — no joins at all
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.corpus_report(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
