@@ -131,7 +131,7 @@ from lakota_spark.queries.pipeline import (
 )
 
 
-def _qc_fit_chain(train_where: str = "", score_where: str = "") -> str:
+def _qc_fit_chain(train_where: str = "") -> str:
     """The 12-iteration class-balanced GD fit unrolled to CTEs — the
     Lloyd-chain discipline (`_IVF_KMEANS_CHAIN`): every engine-exact
     step of `operators/classifier.quality_classifier_fit` reproduced in
@@ -141,9 +141,11 @@ def _qc_fit_chain(train_where: str = "", score_where: str = "") -> str:
     materialized at 12 iterations). Fractional literals are ::DOUBLE —
     DuckDB parses bare decimals as DECIMAL and decimal division rounds
     differently from the IEEE double math Spark uses. Yields z{n} =
-    per-doc score plus aug/feats/cc relations. ``train_where`` restricts
-    the FIT to a slice (the held-out demo); ``score_where`` restricts the
-    final zs scoring relation."""
+    the fitted w{N}/b{N} relations plus aug/feats/cc. ``train_where``
+    restricts the FIT to a slice (the held-out demo); the final scoring
+    relation is emitted by `_qc_confusion_sql`'s zs fragment (with its
+    own optional filter), so the chain's LAST iteration omits the z CTE
+    — no dead relation, one copy of the scoring join per purpose."""
     head = f"""
 WITH aug AS MATERIALIZED (
   SELECT doc_id,
@@ -177,7 +179,6 @@ z0 AS (SELECT doc_id, y, 0::BIGINT AS z FROM train)"""
     for i in range(1, _QC_ITERS + 1):
         prev_w_join = f"LEFT JOIN w{i-1} pw USING (bucket)" if i > 1 else ""
         prev_w_val = "coalesce(pw.w, 0)" if i > 1 else "0"
-        prev_b = f"(SELECT b FROM b{i-1})" if i > 1 else "0"
         parts.append(f""",
 p{i} AS (SELECT doc_id, y, z,
         0.5 + (z / 1000000000000.0::DOUBLE)
@@ -191,7 +192,9 @@ g{i} AS (SELECT bucket,
 w{i} AS MATERIALIZED (SELECT g{i}.bucket,
          ({prev_w_val} - round({_QC_LR!r}::DOUBLE * ((g{i}.gp / cc.np + g{i}.gn / cc.ng) / 2.0))::BIGINT) AS w
          FROM g{i} {prev_w_join} CROSS JOIN cc),
-b{i} AS (SELECT w AS b FROM w{i} WHERE bucket = -1),
+b{i} AS (SELECT w AS b FROM w{i} WHERE bucket = -1)""")
+        if i < _QC_ITERS:
+            parts.append(f""",
 z{i} AS MATERIALIZED (SELECT a.doc_id, a.y,
          ((SELECT b FROM b{i}) + coalesce(s.zz, 0))::BIGINT AS z
          FROM train a LEFT JOIN (SELECT doc_id, sum(w * x)::BIGINT AS zz
@@ -200,24 +203,33 @@ z{i} AS MATERIALIZED (SELECT a.doc_id, a.y,
     return "".join(parts)
 
 
-_QC_SCORED = """,
+_QC_ZS_CTE = """,
 zs AS (SELECT a.doc_id, a.y,
        ((SELECT b FROM b%(it)d) + coalesce(s.zz, 0))::BIGINT AS z
        FROM (SELECT doc_id, y FROM aug %(score_where)s) a
        LEFT JOIN (SELECT doc_id, sum(w * x)::BIGINT AS zz
                   FROM feats JOIN w%(it)d USING (bucket)
-                  GROUP BY 1) s USING (doc_id))
+                  GROUP BY 1) s USING (doc_id))"""
+
+_QC_CONFUSION_SELECT = """
 SELECT y AS label, CASE WHEN z >= 0 THEN 1 ELSE 0 END AS pred,
        count(*)::BIGINT AS n_docs, sum(z)::BIGINT AS sum_score_raw
 FROM zs GROUP BY 1, 2
 """
 
 
+def _qc_zs(score_where: str = "") -> str:
+    """The scoring relation built from the fitted w{N}/b{N} — the ONE
+    place the final scoring join lives (the fit loop's z CTEs cover
+    iterations 1..N-1 over the train slice)."""
+    return _QC_ZS_CTE % {"it": _QC_ITERS, "score_where": score_where}
+
+
 def _qc_confusion_sql(train_where: str = "", score_where: str = "") -> str:
-    return _qc_fit_chain(train_where) + _QC_SCORED % {
-        "it": _QC_ITERS,
-        "score_where": score_where,
-    }
+    return (
+        _qc_fit_chain(train_where) + _qc_zs(score_where)
+        + _QC_CONFUSION_SELECT
+    )
 
 
 _QC_EVAL_SQL = _qc_confusion_sql()
@@ -232,11 +244,11 @@ _QC_HOLDOUT_SQL = _qc_confusion_sql(
 # Pareto acceptance over the x8-sharpened probability: q^9 via explicit
 # square-and-multiply (qq=q², q4, q8, q9) — the Spark side multiplies in
 # exactly this order, so no pow/libm anywhere.
-_QC_PARETO_SQL = _qc_fit_chain() + f""",
+_QC_PARETO_SQL = _qc_fit_chain() + _qc_zs() + """,
 pp AS (SELECT doc_id, y,
        0.5 + (z * 8 / 1000000000000.0::DOUBLE)
              / (2.0 * (1.0 + abs(z * 8 / 1000000000000.0::DOUBLE))) AS p
-       FROM z{_QC_ITERS}),
+       FROM zs),
 q1 AS (SELECT doc_id, y, 2.0 - p AS q FROM pp),
 q2 AS (SELECT doc_id, y, q, q * q AS qq FROM q1),
 q3 AS (SELECT doc_id, y, q, qq * qq AS q4 FROM q2),
@@ -1209,7 +1221,9 @@ GROUP BY doc_id
         # micro weights, algebraic fast sigmoid, in-engine rounding) —
         # see _qc_fit_chain for the transport notes
         "quality_classifier_eval": _QC_EVAL_SQL,
-        # held-out generalization: fit on even ids, confusion on odd
+        # held-out generalization: fit on the HASH-even half, confusion
+        # on the hash-odd half (doc_id parity would be useless: the
+        # synthetic source assignment correlates with it)
         "quality_classifier_holdout": _QC_HOLDOUT_SQL,
         "pareto_quality_sample": _QC_PARETO_SQL,
         "corpus_report": """

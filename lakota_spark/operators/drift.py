@@ -107,6 +107,24 @@ def psi_terms(
     )
 
 
+from lakota_spark.operators.tracker import VersionedCountsTracker
+
+
+class _HistCountsTracker(VersionedCountsTracker):
+    key_cols = ("bin",)
+    agg_col = "c"
+
+    def __init__(self, spark, path, lo, hi, n_bins, score_col):
+        super().__init__(spark, path)
+        self.lo, self.hi, self.n_bins = lo, hi, n_bins
+        self.score_col = score_col
+
+    def _batch_counts(self, df: DataFrame) -> DataFrame:
+        return histogram_counts(
+            df, self.score_col, self.lo, self.hi, self.n_bins
+        )
+
+
 class ScoreHistTracker:
     """Incrementally-maintained reference histogram — the growing-corpus
     complement of the frozen-reference drift monitor: each landed batch's
@@ -114,7 +132,14 @@ class ScoreHistTracker:
     (`tracker.VersionedCountsTracker` CAS discipline), so the PSI
     reference tracks everything landed so far instead of the corpus at
     fit time. Gate-then-fold (a batch is compared against the
-    PRE-batch reference, then folded) mirrors `streaming.NearDupIndex`.
+    PRE-batch reference, then folded) mirrors `streaming.NearDupIndex`;
+    `gate_and_fold` does both with ONE histogram pass over the batch.
+
+    Binning parameters are persisted in a ``_meta.json`` sidecar and
+    validated on open: bin INDEXES are meaningless across different
+    lo/hi/n_bins, so silently sum-merging histograms from two
+    configurations would corrupt every later PSI — reopening with
+    different parameters raises instead.
     """
 
     def __init__(
@@ -126,33 +151,61 @@ class ScoreHistTracker:
         n_bins: int = 16,
         score_col: str = "pc1",
     ):
-        from lakota_spark.operators.tracker import VersionedCountsTracker
+        import json
+        import os
 
-        lo_, hi_, nb, sc = lo, hi, n_bins, score_col
-
-        class _T(VersionedCountsTracker):
-            key_cols = ("bin",)
-            agg_col = "c"
-
-            def _batch_counts(self, df: DataFrame) -> DataFrame:
-                return histogram_counts(df, sc, lo_, hi_, nb)
-
-        self._t = _T(spark, path)
+        self._t = _HistCountsTracker(spark, path, lo, hi, n_bins, score_col)
         self.lo, self.hi, self.n_bins = lo, hi, n_bins
         self.score_col = score_col
+        meta_path = os.path.join(path, "_meta.json")
+        meta = {
+            "lo": float(lo),
+            "hi": float(hi),
+            "n_bins": int(n_bins),
+            "score_col": score_col,
+        }
+        if os.path.exists(meta_path):
+            on_disk = json.load(open(meta_path))
+            if on_disk != meta:
+                raise ValueError(
+                    f"ScoreHistTracker at {path} was created with "
+                    f"{on_disk}; reopening with {meta} would merge "
+                    f"incompatible bin indexes"
+                )
+        else:
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp, meta_path)
 
     def fold(self, scores: DataFrame) -> None:
         self._t.fold(scores)
+
+    def _hist(self, scores: DataFrame) -> DataFrame:
+        return histogram_counts(
+            scores, self.score_col, self.lo, self.hi, self.n_bins
+        )
+
+    def _ref(self, spark) -> DataFrame:
+        ref = self._t.counts()
+        if ref is None:
+            ref = spark.createDataFrame([], "bin int, c long")
+        return ref
 
     def psi_vs(self, scores: DataFrame) -> DataFrame:
         """Per-bin PSI terms of ``scores`` against the landed reference
         (empty reference = every landed count 0; add-one smoothing keeps
         the terms finite, so a cold store still yields a comparison)."""
-        ref = self._t.counts()
-        if ref is None:
-            spark = scores.sparkSession
-            ref = spark.createDataFrame([], "bin int, c long")
-        new = histogram_counts(
-            scores, self.score_col, self.lo, self.hi, self.n_bins
+        return psi_terms(
+            self._ref(scores.sparkSession), self._hist(scores), self.n_bins
         )
-        return psi_terms(ref, new, self.n_bins)
+
+    def gate_and_fold(self, scores: DataFrame) -> DataFrame:
+        """Gate-then-fold with ONE histogram pass: compare the batch
+        against the PRE-batch reference and merge its counts in. Returns
+        the per-bin PSI terms (collect/act on them before or after — the
+        fold has already happened)."""
+        hist = self._hist(scores).localCheckpoint()
+        terms = psi_terms(self._ref(scores.sparkSession), hist, self.n_bins)
+        self._t.fold_counts(hist)
+        return terms

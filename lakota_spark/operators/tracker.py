@@ -66,11 +66,18 @@ class VersionedCountsTracker:
         discipline). The batch relation is localCheckpointed once, so
         retries re-run only the tiny merge-aggregate, not the batch
         pass."""
+        self.fold_counts(self._batch_counts(df, **kw))
+
+    def fold_counts(self, counts: DataFrame) -> None:
+        """Merge a PRE-COMPUTED batch-counts relation (one row per key,
+        additive ``agg_col``) — the path for callers that already built
+        the counts for their own use (a drift gate that histograms the
+        batch to score it should not histogram it again to fold it)."""
         import os
         import shutil
         import uuid
 
-        batch = self._batch_counts(df, **kw).localCheckpoint(eager=False)
+        batch = counts.localCheckpoint(eager=False)
         for _ in range(16):
             vs = self._versions()
             base = vs[-1] if vs else 0

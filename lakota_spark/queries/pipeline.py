@@ -1210,6 +1210,21 @@ def _qc_model(spark: SparkSession, sf_dir: str):
     return _QC_MEMO[key]
 
 
+def _qc_confusion(labeled: DataFrame, scored: DataFrame) -> DataFrame:
+    """(label, pred, n_docs, sum_score_raw) confusion matrix — shared by
+    the full-corpus and held-out evals so the oracle's output shape has
+    exactly one Spark twin."""
+    return (
+        labeled.select("doc_id", F.col("y").alias("label"))
+        .join(scored, "doc_id")
+        .groupBy("label", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("score_raw").alias("sum_score_raw"),
+        )
+    )
+
+
 def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style learned quality classifier
     (operators/classifier.quality_classifier_fit): hashed-token logistic
@@ -1223,15 +1238,7 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     aug = _qc_aug(spark, sf_dir)
     scored = QC.quality_classifier_scores(_qc_model(spark, sf_dir), aug)
-    return (
-        aug.select("doc_id", F.col("y").alias("label"))
-        .join(scored, "doc_id")
-        .groupBy("label", "pred")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("score_raw").alias("sum_score_raw"),
-        )
-    )
+    return _qc_confusion(aug, scored)
 
 
 def pareto_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1407,12 +1414,4 @@ def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     held = aug.where(split == 1)
     scored = QC.quality_classifier_scores(_QC_MEMO[key], held)
-    return (
-        held.select("doc_id", F.col("y").alias("label"))
-        .join(scored, "doc_id")
-        .groupBy("label", "pred")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("score_raw").alias("sum_score_raw"),
-        )
-    )
+    return _qc_confusion(held, scored)

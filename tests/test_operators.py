@@ -3865,3 +3865,31 @@ def test_score_hist_tracker_incremental_reference(spark, tmp_path):
         r["psi_term_micro"] for r in t.psi_vs(mk(b1 + b2)).collect()
     )
     assert psi == 0
+
+
+def test_score_hist_tracker_meta_and_gate_and_fold(spark, tmp_path):
+    import pytest
+
+    from lakota_spark.operators.drift import ScoreHistTracker
+
+    mk = lambda vals: spark.createDataFrame(  # noqa: E731
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, pc1 double"
+    )
+    path = str(tmp_path / "hist2")
+    t = ScoreHistTracker(spark, path, -5.0, 5.0, 16)
+    # gate_and_fold: the returned terms compare against the PRE-batch
+    # reference, and the batch lands afterwards
+    b1 = [(-2.0 + (i % 20) * 0.2) for i in range(40)]
+    terms1 = t.gate_and_fold(mk(b1)).collect()
+    assert sum(r["new_c"] for r in terms1) == 40
+    assert sum(r["ref_c"] for r in terms1) == 0  # pre-batch ref was empty
+    assert sum(r["ref_c"] for r in t.psi_vs(mk(b1)).collect()) == 40
+    # same distribution folded -> gating it again reads zero PSI
+    psi2 = sum(
+        r["psi_term_micro"] for r in t.gate_and_fold(mk(b1)).collect()
+    )
+    assert psi2 == 0
+    # reopening with the SAME parameters is fine; different ones refuse
+    ScoreHistTracker(spark, path, -5.0, 5.0, 16)
+    with pytest.raises(ValueError, match="incompatible bin indexes"):
+        ScoreHistTracker(spark, path, -10.0, 10.0, 32)
