@@ -664,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_holdout": pipeline.quality_classifier_holdout,
         "pareto_quality_sample": pipeline.pareto_quality_sample,
         "corpus_report": pipeline.corpus_report,
+        "source_overlap_jaccard": pipeline.source_overlap_jaccard,
+        "encoding_quality_report": pipeline.encoding_quality_report,
         "hybrid_search_rrf": pipeline.hybrid_search_rrf,
         "bigram_lm_quality": pipeline.bigram_lm_quality,
         "pca_top_component": pipeline.pca_top_component,
@@ -1226,6 +1228,44 @@ GROUP BY doc_id
         # synthetic source assignment correlates with it)
         "quality_classifier_holdout": _QC_HOLDOUT_SQL,
         "pareto_quality_sample": _QC_PARETO_SQL,
+        # dataset-level overlap: distinct 3-shingle sets per source,
+        # pairwise Jaccard (unrounded exact-int division)
+        "source_overlap_jaccard": f"""
+WITH toks AS (SELECT source, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+  FROM toks
+),
+sz AS (SELECT source, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_inter,
+       n_inter::DOUBLE / (x.sz + y.sz - n_inter)::DOUBLE AS jaccard
+FROM inter JOIN sz x ON x.source = src_a JOIN sz y ON y.source = src_b
+""",
+        # encoding triage: single-char-class counts via the
+        # length-minus-replaced identity; DuckDB regexp_replace needs
+        # the 'g' flag (first-match by default; Spark's is global)
+        "encoding_quality_report": """
+WITH st AS (
+  SELECT doc_id, lang, length(text)::BIGINT AS n_chars,
+         (length(text) - length(regexp_replace(text, '�', '', 'g')))::BIGINT AS n_repl,
+         (length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')))::BIGINT AS n_ctrl,
+         (length(text) - length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')))::BIGINT AS n_na
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(n_repl)::BIGINT AS total_replacement,
+       sum(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_control,
+       sum(n_na)::BIGINT AS total_non_ascii
+FROM st GROUP BY lang
+""",
         "corpus_report": """
 SELECT count(*)::BIGINT AS n_docs,
        count(DISTINCT lang)::BIGINT AS n_langs,

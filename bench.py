@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "pca_top_component",
     "pca_drift_psi",
     "corpus_report",
+    "source_overlap_jaccard",
+    "encoding_quality_report",
     # round-4b curation additions
     "unigram_lm_quality",
     "langid_ngram_confusion",

@@ -1400,3 +1400,57 @@ def line_dedup(
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
     )
+
+
+def group_shingle_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """DATASET-level overlap: pairwise Jaccard similarity between the
+    distinct word-shingle sets of document GROUPS (sources, crawl
+    snapshots, dumps) — the corpus-granularity complement of the per-doc
+    dedup ladder, answering "how much of dump B is already in dump A"
+    before any per-doc work is scheduled (the cross-snapshot dedup
+    planning signal).
+
+    Scale shape: one explode + DISTINCT to the (group, shingle)
+    relation, then a shingle equi-join with ``src_a < src_b`` +
+    partial-agg pair counts. Per-shingle fan-out is bounded by
+    n_groups² (groups are FEW by definition — sources/dumps, not docs),
+    so no hot-bucket cap is needed; sizes join back broadcast. Returns
+    ``(src_a, src_b, n_inter, jaccard)`` with the exact-int division
+    left unrounded (engine-deterministic)."""
+    from lakota_spark.functions import tokens, word_shingles
+
+    sh = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(word_shingles(tokens(text_col), n)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a = sh.select(F.col("g").alias("src_a"), "shingle")
+    b = sh.select(F.col("g").alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("g").alias("src_a"), F.col("sz").alias("_sa"))
+    sb = sizes.select(F.col("g").alias("src_b"), F.col("sz").alias("_sb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -1024,3 +1024,34 @@ def bigram_lm_scores(
             ).alias("avg_logprob"),
         )
     )
+
+
+def encoding_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document encoding-quality signals — the mojibake/corruption
+    triage every crawl ingest runs before spending tokens on bad bytes:
+    U+FFFD replacement characters (decoder damage), C0 control
+    characters other than tab/newline/CR (binary leakage), and the
+    non-ASCII character count (expected for non-Latin scripts — judge it
+    per language, which is why the demo aggregates by lang). One
+    zero-shuffle codegen pass; counts via the
+    ``length(x) - length(regexp_replace(x, cls, ''))`` identity, exact
+    for single-CHARACTER classes (DuckDB needs the 'g' flag — its
+    regexp_replace is first-match by default, Spark's is global)."""
+    t = F.col(text_col)
+
+    def n_of(cls: str):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, cls, ""))
+        ).cast("long")
+
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        n_of("�").alias("n_replacement"),
+        n_of("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]").alias("n_control"),
+        n_of("[^\\x00-\\x7f]").alias("n_non_ascii"),
+    )

@@ -1415,3 +1415,40 @@ def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     held = aug.where(split == 1)
     scored = QC.quality_classifier_scores(_QC_MEMO[key], held)
     return _qc_confusion(held, scored)
+
+
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level overlap planning signal
+    (operators/dedup.group_shingle_overlap): pairwise Jaccard between
+    each source's distinct 3-shingle set — "how much of dump B is
+    already in dump A" before any per-doc dedup is scheduled. Exact SQL
+    oracle (unrounded exact-int division)."""
+    from lakota_spark.operators.dedup import group_shingle_overlap
+
+    return group_shingle_overlap(_docs(spark, sf_dir))
+
+
+def encoding_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language encoding triage (operators/text.encoding_stats):
+    replacement-character and control-character totals plus the
+    non-ASCII mass — judged per lang because non-Latin scripts are
+    SUPPOSED to be non-ASCII. One zero-shuffle stats pass + one
+    partial-agg groupBy. Exact SQL oracle."""
+    from lakota_spark.operators.text import encoding_stats
+
+    docs = _docs(spark, sf_dir)
+    st = encoding_stats(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(st, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_replacement").alias("total_replacement"),
+            F.sum(F.when(F.col("n_control") > 0, 1).otherwise(0)).alias(
+                "docs_with_control"
+            ),
+            F.sum("n_non_ascii").alias("total_non_ascii"),
+        )
+    )

@@ -3893,3 +3893,44 @@ def test_score_hist_tracker_meta_and_gate_and_fold(spark, tmp_path):
     ScoreHistTracker(spark, path, -5.0, 5.0, 16)
     with pytest.raises(ValueError, match="incompatible bin indexes"):
         ScoreHistTracker(spark, path, -10.0, 10.0, 32)
+
+
+def test_group_shingle_overlap_hand_computed(spark):
+    from lakota_spark.operators.dedup import group_shingle_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "a b c d"),        # shingles: abc, bcd
+            (2, "A", "a b c"),          # abc (dup within group -> distinct)
+            (3, "B", "a b c x"),        # abc, bcx
+            (4, "C", "q r s t"),        # qrs, rst (disjoint)
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_inter"], round(r["jaccard"], 6))
+        for r in group_shingle_overlap(df).collect()
+    }
+    # A = {abc, bcd}, B = {abc, bcx}: inter 1, union 3
+    assert got[("A", "B")] == (1, round(1 / 3, 6))
+    # disjoint pairs produce no row (inner join semantics)
+    assert ("A", "C") not in got and ("B", "C") not in got
+
+
+def test_encoding_stats_counts(spark):
+    from lakota_spark.operators.text import encoding_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain ascii"),
+            (2, "café naïve"),       # 2 non-ascii
+            (3, "bad�byte�"),        # 2 replacement (non-ascii too)
+            (4, "ctl\x01\x02\ttab"),           # 2 control; tab excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in encoding_stats(df).collect()}
+    assert got[1]["n_non_ascii"] == 0 and got[1]["n_control"] == 0
+    assert got[2]["n_non_ascii"] == 2 and got[2]["n_replacement"] == 0
+    assert got[3]["n_replacement"] == 2 and got[3]["n_non_ascii"] == 2
+    assert got[4]["n_control"] == 2 and got[4]["n_non_ascii"] == 0
