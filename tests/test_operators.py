@@ -3934,3 +3934,37 @@ def test_encoding_stats_counts(spark):
     assert got[2]["n_non_ascii"] == 2 and got[2]["n_replacement"] == 0
     assert got[3]["n_replacement"] == 2 and got[3]["n_non_ascii"] == 2
     assert got[4]["n_control"] == 2 and got[4]["n_non_ascii"] == 0
+
+
+def test_score_hist_tracker_publish_race_retries(spark, tmp_path):
+    # fold_counts under a lost publish race must RE-MERGE against the
+    # newly-landed head, not drop the batch (the SpanFlagTracker race
+    # contract, exercised through the gate_and_fold counts path)
+    from lakota_spark.operators.drift import ScoreHistTracker
+
+    mk = lambda vals, off=0: spark.createDataFrame(  # noqa: E731
+        [(i + off, float(v)) for i, v in enumerate(vals)],
+        "id long, pc1 double",
+    )
+    path = str(tmp_path / "hist-race")
+    t = ScoreHistTracker(spark, path, -5.0, 5.0, 16)
+    t.fold(mk([0.0] * 10))
+
+    racer = ScoreHistTracker(spark, path, -5.0, 5.0, 16)
+    orig_versions = t._t._versions
+    raced = {"done": False}
+
+    def versions_with_race():
+        vs = orig_versions()
+        if not raced["done"] and vs:
+            raced["done"] = True
+            racer.fold(mk([1.0] * 7, off=100))
+        return vs
+
+    t._t._versions = versions_with_race
+    t.gate_and_fold(mk([2.0] * 5, off=200))
+    t._t._versions = orig_versions
+    got = {r["bin"]: r["c"] for r in t._t.counts().collect()}
+    # all three batches' counts present: bins for 0.0 (bin 8), 1.0
+    # (bin 9), 2.0 (bin 11)
+    assert got == {8: 10, 9: 7, 11: 5}
