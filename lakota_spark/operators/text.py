@@ -686,7 +686,14 @@ def winnow_dup_pairs(
     pair. Never all-pairs; in-bucket fan-out is bounded by the cap.
     """
     _, fp = _winnow_cols(text_col, k, w)
-    e = df.select(F.col(id_col).alias("doc"), F.explode(fp).alias("fp"))
+    # the exploded fingerprint relation feeds THREE consumers (the
+    # hot-bucket cap groupBy and BOTH sides of the self-join); without a
+    # checkpoint each re-runs the w-1-zip_with winnow chain — measured
+    # 19.7 s vs ~4 s at sf0.1 (the langid/dsir localCheckpoint
+    # discipline; see tests/test_plans.py recompute guard)
+    e = df.select(
+        F.col(id_col).alias("doc"), F.explode(fp).alias("fp")
+    ).localCheckpoint(eager=False)
     if max_bucket is not None:
         ok = (
             e.groupBy("fp")
@@ -694,7 +701,9 @@ def winnow_dup_pairs(
             .where(F.col("_n") <= max_bucket)
             .select("fp")
         )
-        e = e.join(ok, "fp")
+        # capped relation is itself consumed twice by the self-join;
+        # checkpoint so the cap join runs once, not per side
+        e = e.join(ok, "fp").localCheckpoint(eager=False)
     a = e.select(F.col("fp"), F.col("doc").alias("doc_a"))
     b = e.select(F.col("fp"), F.col("doc").alias("doc_b"))
     return (

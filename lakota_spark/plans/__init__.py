@@ -71,6 +71,27 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     )
 
 
+def node_count(df: DataFrame, node: str, mode: str = "simple") -> int:
+    """Occurrences of a physical operator name in the plan — the
+    RECOMPUTATION guard. A multi-consumer lineage that is consumed N
+    times un-checkpointed repeats its whole subtree N times in the
+    physical plan (N Generates / N FileScans of the same relation);
+    join-strategy contracts cannot see this. Assert
+    ``node_count(df, "Generate") <= 1`` (or FileScan count == expected
+    scans) to fail CI when an expensive subtree is re-derived per
+    consumer instead of checkpointed once."""
+    return len(re.findall(r"\b" + re.escape(node) + r"\b", explain_str(df, mode)))
+
+
+def checkpoint_sources(df: DataFrame) -> int:
+    """Count of checkpoint-truncated lineage roots ("Scan ExistingRDD")
+    in the physical plan — evidence that a shared subtree was
+    materialized once rather than re-derived per consumer."""
+    return len(
+        re.findall(r"Scan ExistingRDD", explain_str(df, "simple"))
+    )
+
+
 def assert_pushed(df: DataFrame, *fragments: str) -> None:
     pushed = " ".join(pushed_filters(df))
     missing = [f for f in fragments if f not in pushed]

@@ -24,6 +24,14 @@ SHINGLE_N = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately NOT ensure_parallelism'd: queries that go
+    # scan -> groupBy immediately (dedup_exact, the LM fits) pay the
+    # repartition exchange without gaining anything (A/B at sf0.1:
+    # unigram_lm 0.67 -> 1.09 s, dedup_exact 0.27 -> 0.69 s with a
+    # global guard). Wrappers whose pre-shuffle per-row work is
+    # expensive (winnow, char-gram, levenshtein chains) apply the
+    # guard at their own call site — winnow_dup_pairs,
+    # langid_ngram_confusion, edit_dup_pairs, pretrain_clean.
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -78,7 +86,11 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
 # --- text analysis --------------------------------------------------------
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.text_stats(_docs(spark, sf_dir))
+    # zero-shuffle per-row token/regex chains: parallelize the
+    # single-file scan (no-op on a well-partitioned one)
+    from lakota_spark.operators.util import ensure_parallelism
+
+    return T.text_stats(ensure_parallelism(_docs(spark, sf_dir)))
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +98,9 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.lang_id(_docs(spark, sf_dir))
+    from lakota_spark.operators.util import ensure_parallelism
+
+    return T.lang_id(ensure_parallelism(_docs(spark, sf_dir)))
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,7 +323,11 @@ def pretrain_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
+    from lakota_spark.operators.util import ensure_parallelism
+
+    # the fused doc_profile projection (shingle/digest chains) runs
+    # BEFORE the digest window's shuffle — parallelize the scan
+    docs = ensure_parallelism(_docs(spark, sf_dir))
     prof = T.doc_profile(docs)
     # canonical flag BEFORE the quality gate: the canonical holder of a
     # digest is the min doc_id over the FULL corpus, so a duplicate of a
@@ -947,9 +965,16 @@ def edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup verification over MinHash-LSH candidates
     (operators/dedup.edit_dup_pairs): character-level Levenshtein confirms
     the token-level LSH proposals, read from the materialized per-corpus
-    candidate index."""
+    candidate index. The broadcast candidate join preserves the doc
+    scan's partitioning, so an under-parallel single-file input runs
+    every Levenshtein on one core — round-robin it first (2.3 -> 0.6 s
+    at sf0.1; no-op on a well-partitioned scan)."""
+    from lakota_spark.operators.util import ensure_parallelism
+
     cand = spark.read.parquet(_ensure_candidate_index(spark, sf_dir))
-    return D.edit_dup_pairs(_docs(spark, sf_dir), candidates=cand)
+    return D.edit_dup_pairs(
+        ensure_parallelism(_docs(spark, sf_dir)), candidates=cand
+    )
 
 
 def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,7 +983,12 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     catch quote-embedding partial duplication that symmetric Jaccard
     dilutes; top 25 pairs by max-direction containment."""
     cand = spark.read.parquet(_ensure_candidate_index(spark, sf_dir))
-    sh = D.shingle_table(_docs(spark, sf_dir), n=SHINGLE_N)
+    # both sides of the pair join consume the shingle relation;
+    # checkpoint so the shingle chain runs once (the winnow_dup_pairs
+    # recompute-guard discipline, tests/test_plans.py)
+    sh = D.shingle_table(_docs(spark, sf_dir), n=SHINGLE_N).localCheckpoint(
+        eager=False
+    )
     return (
         D.containment_pairs(sh, candidates=cand)
         .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
@@ -1113,8 +1143,14 @@ def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of whole-document MinHash banding (any shared w+k-1-word
     run contributes a shared fingerprint). Band-join discipline:
     fingerprint explode, hot-bucket cap, equi-join, partial-agg pair
-    count — exact SQL oracle."""
-    return T.winnow_dup_pairs(_docs(spark, sf_dir))
+    count — exact SQL oracle. The wrapper round-robins the
+    under-parallel single-file input: the w-1-zip_with winnow chain is
+    the per-row-expensive kind that serializes on one core otherwise
+    (19.7 s -> 1.7 s at sf0.1 with this guard + the operator's
+    localCheckpoints; no-op on a well-partitioned scan)."""
+    from lakota_spark.operators.util import ensure_parallelism
+
+    return T.winnow_dup_pairs(ensure_parallelism(_docs(spark, sf_dir)))
 
 
 def langid_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1127,8 +1163,13 @@ def langid_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     augmentation pattern) - the model then has genuine per-language
     trigram mass and wide integer margins. Exact SQL oracle (the whole
     fit/predict chain unrolls to CTEs)."""
+    from lakota_spark.operators.util import ensure_parallelism
+
     m = T.LANG_MARKERS
-    docs = _docs(spark, sf_dir)
+    # char-gram zip chains over the augmented text are per-row
+    # expensive; round-robin the single-partition scan (4.4 -> 2.6 s
+    # at sf0.1; no-op on a well-partitioned scan)
+    docs = ensure_parallelism(_docs(spark, sf_dir))
     marker = F.coalesce(
         *[
             F.when(F.col("lang") == k, F.lit(v))

@@ -514,6 +514,42 @@ def test_winnow_dup_pairs_band_join_plan(spark):
     assert "partial_count" in plan, plan
 
 
+def test_winnow_dup_pairs_no_lineage_recompute(spark):
+    # RECOMPUTE guard (plans.node_count): the exploded fingerprint
+    # relation feeds three consumers (hot-bucket cap + both self-join
+    # sides); un-checkpointed, the w-1-zip_with winnow chain repeats
+    # per consumer — 3 Generate subtrees in the physical plan and a
+    # measured 19.7 s vs 1.7 s at sf0.1. Post-fix the chain lives
+    # behind localCheckpoints: zero live Generates, >=1 ExistingRDD
+    # scan. Join-strategy contracts cannot see this class of bug.
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.winnow_dup_pairs(spark, SF)
+    assert plans.node_count(df, "Generate") == 0, plans.explain_str(
+        df, "simple"
+    )
+    assert plans.checkpoint_sources(df) >= 1
+
+
+def test_pair_join_operators_bounded_generate(spark):
+    # every pair-join operator must consume its expensive exploded
+    # relation a BOUNDED number of times: one Generate per live explode
+    # at most — a self-join that re-derives its child doubles the count
+    # (containment regressed to 4 before its shingle checkpoint)
+    from lakota_spark.queries import pipeline
+
+    for q, max_gen in [
+        ("minhash_dedup_pairs", 2),
+        ("containment_dup_pairs", 2),
+        ("edit_dup_pairs", 1),
+        ("semdedup_top_pairs", 1),
+        ("embedding_dup_lsh", 0),
+    ]:
+        df = getattr(pipeline, q)(spark, SF)
+        n = plans.node_count(df, "Generate")
+        assert n <= max_gen, f"{q}: {n} Generate nodes (max {max_gen})"
+
+
 def test_langid_ngram_plan_shape(spark):
     # model + defaults broadcast to the scoring joins; the gram explode
     # collapses map-side (partial agg) before the per-doc shuffle; the
