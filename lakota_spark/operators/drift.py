@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lakota_spark.operators.tracker import VersionedCountsTracker
+
 
 def histogram_counts(
     df: DataFrame,
@@ -107,9 +109,6 @@ def psi_terms(
     )
 
 
-from lakota_spark.operators.tracker import VersionedCountsTracker
-
-
 class _HistCountsTracker(VersionedCountsTracker):
     key_cols = ("bin",)
     agg_col = "c"
@@ -140,6 +139,14 @@ class ScoreHistTracker:
     lo/hi/n_bins, so silently sum-merging histograms from two
     configurations would corrupt every later PSI — reopening with
     different parameters raises instead.
+
+    Storage constraint (ADVICE r7): the sidecar and the underlying
+    versioned counts live on the DRIVER-LOCAL filesystem (os/json/
+    rename), like every `tracker.VersionedCountsTracker` store — these
+    back single-writer foreachBatch loops on the driver. Unlike the
+    classifier model (`classifier.save_quality_model` routes through
+    the FS verbs), a drift reference cannot live on mem/HTTP/S3
+    backends; export `counts()` to a collection if it must travel.
     """
 
     def __init__(

@@ -1341,6 +1341,85 @@ def _parse_flac(b: bytes):
     return x.mean(axis=1), rate
 
 
+_MP3_BITRATES = {
+    # (version_group, layer_number) -> kbps, index 1..14 (0=free, 15=bad)
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def _parse_mp3_headers(b: bytes):
+    """MPEG-audio frame-header walk (r7 ask #8): duration / bitrate /
+    channel features for the most common lossy codec WITHOUT entropy
+    decode — sync-word scan, version/layer/bitrate/samplerate tables,
+    per-frame length arithmetic, frame count → exact duration. Returns
+    ``(duration_s, kbps_mean, rate_hz, channels, n_frames, is_vbr)`` or
+    None when the payload is not framed MPEG audio (≥2 coherent frames
+    required, so random bytes and other codecs fall through to the
+    byte-histogram fallback). ID3v2 prefix skipped (syncsafe length).
+    """
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        pos = 10 + (
+            (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        )
+    n_frames = 0
+    samples_total = 0
+    kbps_seen: list[int] = []
+    rate0 = channels = None
+    while pos + 4 <= len(b):
+        h = int.from_bytes(b[pos : pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            break
+        ver = (h >> 19) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+        layer = (h >> 17) & 3  # 3=Layer I, 2=Layer II, 1=Layer III
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 3
+        pad = (h >> 9) & 1
+        mode = (h >> 6) & 3
+        if ver == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+            break
+        vgroup = 1 if ver == 3 else 2
+        lnum = {3: 1, 2: 2, 1: 3}[layer]
+        kbps = _MP3_BITRATES[(vgroup, lnum)][br_idx]
+        rate = _MP3_RATES[ver][sr_idx]
+        if lnum == 1:
+            spf = 384
+            flen = (12 * kbps * 1000 // rate + pad) * 4
+        elif lnum == 2:
+            spf = 1152
+            flen = 144 * kbps * 1000 // rate + pad
+        else:  # Layer III
+            spf = 1152 if vgroup == 1 else 576
+            flen = (144 if vgroup == 1 else 72) * kbps * 1000 // rate + pad
+        if flen <= 4:
+            break
+        if rate0 is None:
+            rate0, channels = rate, (1 if mode == 3 else 2)
+        elif rate != rate0:
+            break  # incoherent stream: not MPEG audio
+        n_frames += 1
+        samples_total += spf
+        kbps_seen.append(kbps)
+        pos += flen
+    if n_frames < 2 or rate0 is None:
+        return None
+    duration = samples_total / float(rate0)
+    return (
+        duration,
+        sum(kbps_seen) / float(len(kbps_seen)),
+        float(rate0),
+        float(channels),
+        float(n_frames),
+        1.0 if len(set(kbps_seen)) > 1 else 0.0,
+    )
+
+
 def _audio_features(samples, rate: int) -> list[float]:
     """[duration_s, rms, zero_crossing_rate, peak] — deterministic
     4-float descriptor of a mono sample array."""
@@ -1357,9 +1436,11 @@ def _audio_features(samples, rate: int) -> list[float]:
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """Arrow-batched audio feature extraction: REAL decode for WAV
     (integer PCM, IEEE float, G.711 µ-law/A-law, IMA ADPCM) and FLAC
-    (pure python/numpy — round 7), byte-histogram fallback for lossy
-    perceptual codecs (mp3/ogg/aac would need ffmpeg/librosa, absent
-    here)."""
+    (pure python/numpy — round 7); mp3 gets a frame-header walk (round
+    8: exact duration/bitrate/rate/channels without entropy decode, a
+    6-float header descriptor); byte-histogram fallback only for the
+    remaining perceptual codecs (ogg/aac would need ffmpeg/librosa,
+    absent here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def decode(b: bytes) -> list[float]:
@@ -1368,6 +1449,9 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 parsed = _safe(_parse_flac, bytes(b))
             if parsed is not None:
                 return _audio_features(*parsed)
+            hdr = _safe(_parse_mp3_headers, bytes(b))
+            if hdr is not None:
+                return list(hdr)
             counts = [0] * 8
             for byte in bytes(b)[:4096]:
                 counts[byte >> 5] += 1

@@ -744,12 +744,34 @@ def _char_ngram_expr(text_col: str, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def langid_char_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Shared (doc_id, lang, g) exploded char-gram relation for a
+    fit+predict chain over the SAME corpus: the n-1-zip_with gram chain
+    is the expensive pass, and running it once (checkpointed) instead
+    of once in the fit and again in the predict halves the corpus cost
+    of `langid_ngram_confusion` (the winnow_dup_pairs recompute
+    discipline). Outer explode: evidence-free docs keep one null-g row
+    so predict still emits them; the fit drops nulls."""
+    return df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.explode_outer(_char_ngram_expr(text_col, n)).alias("g"),
+    ).localCheckpoint(eager=False)
+
+
 def langid_ngram_fit(
     df: DataFrame,
     text_col: str = "text",
     lang_col: str = "lang",
     n: int = 3,
     min_count: int = 1,
+    tok: DataFrame | None = None,
 ):
     """Fit a Cavnar-Trenkle-style character-n-gram naive-Bayes language
     model from a labelled corpus: ``P(gram | lang)`` with add-one
@@ -780,10 +802,18 @@ def langid_ngram_fit(
     to the unseen default, the Cavnar-Trenkle profile-truncation knob —
     a map-side filter, no extra pass).
     """
-    tok = df.select(
-        F.col(lang_col).alias("cand"),
-        F.explode(_char_ngram_expr(text_col, n)).alias("g"),
-    )
+    if tok is None:
+        tok = df.select(
+            F.col(lang_col).alias("cand"),
+            F.explode(_char_ngram_expr(text_col, n)).alias("g"),
+        )
+    else:
+        # shared pre-tokenized relation (langid_char_grams): outer
+        # explode carries null-g rows for evidence-free docs — drop
+        # them here (plain explode semantics)
+        tok = tok.where(F.col("g").isNotNull()).select(
+            F.col(lang_col).alias("cand"), "g"
+        )
     # the counts relation (distinct grams x langs - small) feeds THREE
     # consumers (model, vocab, per-lang totals); without a checkpoint
     # each would re-run the full corpus explode+groupBy (the dsir
@@ -824,6 +854,7 @@ def langid_ngram_predict(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Predict the max-likelihood language per document under a fitted
     `langid_ngram_fit` model. Exact integer scoring:
@@ -868,10 +899,13 @@ def langid_ngram_predict(
         .agg(F.first("lp_micro"))
         .toDF("g", *[f"_lp_{i}" for i in range(len(names))])
     )
-    tok = df.select(
-        F.col(id_col),
-        F.explode_outer(_char_ngram_expr(text_col, n)).alias("g"),
-    )
+    if tok is None:
+        tok = df.select(
+            F.col(id_col),
+            F.explode_outer(_char_ngram_expr(text_col, n)).alias("g"),
+        )
+    else:
+        tok = tok.select(F.col(id_col), "g")
     per_doc = (
         tok.join(F.broadcast(wide), "g", "left")
         .groupBy(id_col)

@@ -497,7 +497,7 @@ class BpeWordTracker(VersionedCountsTracker):
         if self._model_cache and self._model_cache[0] == head:
             return self._model_cache[1]
         rows = (
-            self.spark.read.parquet(f"{self.path}/v{head}")
+            self.counts()
             .orderBy(F.col("cnt").desc(), F.col("word").asc())
             .limit(self.max_words)
             .collect()

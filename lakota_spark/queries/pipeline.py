@@ -1180,6 +1180,12 @@ def langid_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs.select(
         "doc_id", "lang", F.concat(F.col("text"), marker).alias("text")
     )
+    # NOT shared-tokenized: a checkpointed (doc_id, lang, g) relation
+    # for fit+predict was A/B'd and LOST (3.4 s vs 2.6 s at sf0.1, 16 s
+    # cold) — materializing ~17.5M exploded gram rows costs more than
+    # re-running the now-parallel gram chain twice. The tok= escape
+    # hatch stays on the operators for corpora where the chain
+    # dominates the explode's row bytes.
     model, langs = T.langid_ngram_fit(aug)
     pred = T.langid_ngram_predict(aug, model, langs)
     return (
@@ -1209,6 +1215,20 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fitted quality-classifier memo keyed on the documents file identity —
 #: the model is a per-corpus index artifact like the IVF centroids/BPE fit
 _QC_MEMO: dict = {}
+
+
+def _memo_get(memo: dict, key: tuple, build):
+    """Stamp-keyed fit memo with per-identity eviction (ADVICE r7):
+    ``key`` is (*identity, file_stamp). On a stamp change the stale
+    entry for the same identity is replaced, not accumulated — a
+    long-lived session that rewrites its corpus holds at most one
+    fitted model per (query, sf_dir), not one per rewrite."""
+    if key not in memo:
+        ident = key[:-1]
+        for stale in [k for k in memo if k[:-1] == ident]:
+            del memo[stale]
+        memo[key] = build()
+    return memo[key]
 
 #: demo hyperparameters — the SINGLE source of truth; the unrolled SQL
 #: oracle in __spark_entry__ imports these, so tuning here cannot drift
@@ -1240,15 +1260,17 @@ def _qc_model(spark: SparkSession, sf_dir: str):
     from lakota_spark.operators import classifier as QC
 
     key = (sf_dir, _file_stamp(f"{sf_dir}/documents.parquet"))
-    if key not in _QC_MEMO:
-        _QC_MEMO[key] = QC.quality_classifier_fit(
+    return _memo_get(
+        _QC_MEMO,
+        key,
+        lambda: QC.quality_classifier_fit(
             _qc_aug(spark, sf_dir),
             "y",
             n_features=QC_N_FEATURES,
             n_iter=QC_N_ITER,
             lr=QC_LR,
-        )
-    return _QC_MEMO[key]
+        ),
+    )
 
 
 def _qc_confusion(labeled: DataFrame, scored: DataFrame) -> DataFrame:
@@ -1359,9 +1381,20 @@ def _pca_model(spark: SparkSession, sf_dir: str):
     from lakota_spark.operators.clustering import pca_power_fit
 
     key = (sf_dir, _file_stamp(f"{sf_dir}/embeddings.parquet"))
-    if key not in _PCA_MEMO:
-        _PCA_MEMO[key] = pca_power_fit(_emb(spark, sf_dir), iters=2)
-    return _PCA_MEMO[key]
+    model = _memo_get(
+        _PCA_MEMO,
+        key,
+        lambda: pca_power_fit(_emb(spark, sf_dir), iters=2),
+    )
+    # the unrolled _PCA_CHAIN oracle hardcodes v0 = 1/sqrt(64) for the
+    # demo corpus's 64-dim embeddings (ADVICE r7): fail loudly if the
+    # corpus dim ever changes instead of silently diverging from it
+    mean, _v = model
+    if len(mean) != 64:
+        raise AssertionError(
+            f"PCA oracle chain assumes dim=64, corpus has {len(mean)}"
+        )
+    return model
 
 
 def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1445,14 +1478,17 @@ def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2),
     )
     key = ("holdout", sf_dir, _file_stamp(f"{sf_dir}/documents.parquet"))
-    if key not in _QC_MEMO:
-        _QC_MEMO[key] = QC.quality_classifier_fit(
+    _memo_get(
+        _QC_MEMO,
+        key,
+        lambda: QC.quality_classifier_fit(
             aug.where(split == 0),
             "y",
             n_features=QC_N_FEATURES,
             n_iter=QC_N_ITER,
             lr=QC_LR,
-        )
+        ),
+    )
     held = aug.where(split == 1)
     scored = QC.quality_classifier_scores(_QC_MEMO[key], held)
     return _qc_confusion(held, scored)

@@ -642,18 +642,29 @@ class NearDupIndex:
     """Append-only MinHash-LSH band index over every document KEPT so
     far — the growing-corpus complement of `streaming_near_dup_vs_corpus`
     (whose static side is frozen at plan time). Each `fold` APPENDS the
-    batch's (band keys, shingle set) rows as new parquet part files —
-    no merge, no rewrite, O(batch) per fold — and each `filter` reads
-    the directory as of its own call, so a foreachBatch loop that gates
-    then folds sees exactly the pre-batch corpus.
+    batch's (band_id, band_key, shingle set) rows as new parquet part
+    files — no merge, no rewrite, O(batch) per fold — and each `filter`
+    reads the directory as of its own call, so a foreachBatch loop that
+    gates then folds sees exactly the pre-batch corpus.
+
+    Scale layout: rows are stored LONG (one per document per band) and
+    PARTITIONED BY a band-key hash bucket (``bucket`` dirs, the
+    `search_index.write_bm25_index` discipline), so a micro-batch gate
+    join reads ONLY the buckets its own band keys hash into
+    (PartitionFilters on the index scan — pinned by a plan contract) —
+    per-batch gate cost is bounded by the probed buckets' postings, not
+    the full landed corpus. The shingle set is stored per band row
+    (bands× storage) — the classic space-for-pruning trade: the
+    Jaccard verify then needs no second join back to a doc table, which
+    would re-shuffle unpruned corpus rows. ``compact()`` (owner-called
+    at `maintain` cadence) merges each partition's accumulated per-fold
+    part files down to one, bounding file count between compactions at
+    O(folds x touched partitions) and after at O(bands x n_buckets).
 
     Single-writer contract (the `SpanFlagTracker` discipline): one
-    streaming query owns the directory; `filter`'s file listing snapshots
-    at call time, so the subsequent fold's append never leaks into the
-    same batch's gate. At 100 TB partition the index files by a band-key
-    hash bucket so each micro-batch join prunes to the probed buckets,
-    and periodically compact small part files (both are layout concerns;
-    the row schema and joins are unchanged).
+    streaming query owns the directory; `filter`'s file listing
+    snapshots at call time, so the subsequent fold's append never leaks
+    into the same batch's gate; `compact` runs between triggers.
     """
 
     def __init__(
@@ -665,6 +676,7 @@ class NearDupIndex:
         n: int = 3,
         num_hashes: int = 16,
         bands: int = 4,
+        n_buckets: int = 16,
     ):
         import os
 
@@ -675,37 +687,138 @@ class NearDupIndex:
         self.n = n
         self.num_hashes = num_hashes
         self.bands = bands
+        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
 
+    def _bucket_of(self, key_col):
+        from lakota_spark.functions import hash32
+
+        return F.pmod(hash32(key_col), F.lit(self.n_buckets)).cast("int")
+
     def _band_rows(self, df: DataFrame) -> DataFrame:
-        return df.withColumns(
+        """Long-format (band_id, band_key, bucket, _shset) rows."""
+        import functools
+
+        wide = df.withColumns(
             _near_dup_cols(self.text_col, self.n, self.num_hashes, self.bands)
-        ).select("_shset", *[f"_band_{b}" for b in range(self.bands)])
+        )
+        parts = [
+            wide.select(
+                F.lit(b).alias("band_id"),
+                F.col(f"_band_{b}").alias("band_key"),
+                F.col("_shset"),
+            )
+            for b in range(self.bands)
+        ]
+        long = functools.reduce(DataFrame.unionByName, parts)
+        return long.withColumn("bucket", self._bucket_of(F.col("band_key")))
 
     def _corpus(self) -> DataFrame | None:
         import os
 
-        if not any(f.endswith(".parquet") for f in os.listdir(self.path)):
+        if not any(
+            name.startswith("bucket=") for name in os.listdir(self.path)
+        ):
             return None
         return self.spark.read.parquet(self.path)
 
     def filter(self, df: DataFrame) -> DataFrame:
         """Rows of ``df`` that are NOT verified near-dups of any indexed
-        document (band equi-join + exact Jaccard bar — no false drops up
-        to MinHash recall, same contract as the static gate)."""
+        document (per-band equi-join + exact Jaccard bar — no false
+        drops up to MinHash recall, same contract as the static gate).
+
+        The batch's (band, bucket) probe set is one bounded collect
+        (≤ bands × n_buckets pairs) off a checkpointed probe relation;
+        each band's anti-join then scans only its own probed partitions
+        (PartitionFilters), so gate latency tracks the probed buckets,
+        not the total landed index."""
         corpus = self._corpus()
         if corpus is None:
             return df
         out = df.withColumns(
             _near_dup_cols(self.text_col, self.n, self.num_hashes, self.bands)
+        ).localCheckpoint(eager=False)
+        probe = (
+            out.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band_id"),
+                                self._bucket_of(
+                                    F.col(f"_band_{b}")
+                                ).alias("bucket"),
+                            )
+                            for b in range(self.bands)
+                        ]
+                    )
+                ).alias("p")
+            )
+            .select("p.band_id", "p.bucket")
+            .distinct()
+            .collect()
         )
-        out = _anti_join_bands(out, corpus, self.bands, self.threshold)
+        buckets_by_band: dict[int, list[int]] = {}
+        for r in probe:
+            buckets_by_band.setdefault(r["band_id"], []).append(r["bucket"])
+        for b in range(self.bands):
+            bks = buckets_by_band.get(b)
+            if not bks:
+                continue
+            side = corpus.where(
+                (F.col("band_id") == b) & F.col("bucket").isin(bks)
+            ).select("band_key", "_shset")
+            inter = F.size(F.array_intersect(out["_shset"], side["_shset"]))
+            union = (
+                F.size(out["_shset"]) + F.size(side["_shset"]) - inter
+            ).cast("double")
+            sim_bar = inter >= F.lit(self.threshold) * union
+            out = out.join(
+                side,
+                (out[f"_band_{b}"] == side["band_key"]) & sim_bar,
+                "left_anti",
+            )
         return out.drop("_shset", *[f"_band_{b}" for b in range(self.bands)])
 
     def fold(self, df: DataFrame) -> None:
         """Append ``df``'s band rows to the index (O(batch) — new part
-        files only, the landed corpus is never rewritten)."""
-        self._band_rows(df).write.mode("append").parquet(self.path)
+        files only in the touched bucket partitions, the landed corpus
+        is never rewritten). Repartitioned by the partition columns so
+        each touched partition gains ONE file per fold."""
+        (
+            self._band_rows(df)
+            .repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )
+
+    def compact(self) -> None:
+        """Merge each bucket partition's accumulated part files to one —
+        `maintain`-cadence housekeeping for forever-running ingest
+        (owner-called between triggers; the directory swap is atomic
+        per-partition only, so readers must not race it — the
+        single-writer contract already guarantees that)."""
+        import os
+        import shutil
+        import uuid
+
+        corpus = self._corpus()
+        if corpus is None:
+            return
+        tmp = f"{self.path}-compact-{uuid.uuid4().hex[:8]}"
+        (
+            corpus.repartition("bucket")
+            .write.partitionBy("bucket")
+            .parquet(tmp)
+        )
+        for name in os.listdir(self.path):
+            if name.startswith("bucket="):
+                shutil.rmtree(f"{self.path}/{name}")
+        for name in os.listdir(tmp):
+            if name.startswith("bucket="):
+                os.rename(f"{tmp}/{name}", f"{self.path}/{name}")
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def streaming_near_dup_tracked(

@@ -2102,6 +2102,71 @@ def test_span_flag_tracker_publish_race_retries(spark, tmp_path):
     assert ("a b", 2) in flags
 
 
+def test_tracker_touched_bucket_only_rewrite(spark, tmp_path):
+    # a fold rewrites ONLY the buckets its batch touches: an untouched
+    # bucket's data dir is carried forward BY REFERENCE (same relative
+    # path in the next manifest), never copied — the Delta-style layout
+    # that bounds per-fold cost by the batch, not the relation
+    from lakota_spark.operators.tracker import VersionedCountsTracker
+
+    class T(VersionedCountsTracker):
+        key_cols = ("k",)
+        agg_col = "n"
+
+        def _batch_counts(self, df):
+            return df
+
+    t = T(spark, str(tmp_path / "c"))
+    rows = [(f"key-{i}", 1) for i in range(40)]
+    t.fold(spark.createDataFrame(rows, "k string, n long"))
+    man1 = t._manifest(t._versions()[-1])
+    assert len(man1) > 1  # 40 keys spread over >1 of the 16 buckets
+    # one-key batch touches exactly one bucket
+    t.fold(spark.createDataFrame([("key-0", 5)], "k string, n long"))
+    man2 = t._manifest(t._versions()[-1])
+    changed = {b for b in man1 if man2[b] != man1[b]}
+    assert len(changed) == 1, changed
+    carried = {b for b in man1 if man2[b] == man1[b]}
+    assert carried  # untouched buckets reference the SAME dirs
+    got = {r.k: r.n for r in t.counts().collect()}
+    assert got["key-0"] == 6 and got["key-1"] == 1 and len(got) == 40
+
+
+def test_tracker_gc_bounds_versions_and_dirs(spark, tmp_path):
+    # old manifests and the bucket dirs only they reference are GC'd
+    # after each publish: file count is bounded by n_buckets x
+    # keep_versions, not by fold count
+    import os
+
+    from lakota_spark.operators.tracker import VersionedCountsTracker
+
+    class T(VersionedCountsTracker):
+        key_cols = ("k",)
+        agg_col = "n"
+
+        def _batch_counts(self, df):
+            return df
+
+    t = T(spark, str(tmp_path / "c"))
+    for i in range(6):
+        t.fold(
+            spark.createDataFrame([(f"key-{i}", 1)], "k string, n long")
+        )
+    vs = t._versions()
+    assert vs == [5, 6], vs  # keep_versions=2
+    # every bucket dir on disk is referenced by a kept manifest
+    refs = set(t._manifest(5).values()) | set(t._manifest(6).values())
+    on_disk = {
+        f"{d}/{tag}"
+        for d in os.listdir(t.path)
+        if d.startswith("b")
+        for tag in os.listdir(f"{t.path}/{d}")
+    }
+    assert on_disk == refs, (on_disk, refs)
+    got = {r.k: r.n for r in t.counts().collect()}
+    assert len(got) == 6 and all(v == 1 for v in got.values())
+
+
 def _jpeg_q_tables():
     """Annex-K luma/chroma quantization tables — ONE copy shared by the
     sequential and progressive test encoders so their quantized
@@ -2713,6 +2778,71 @@ def test_flac_features_through_spark(spark):
     want = _audio_features(*_parse_flac(blob))
     assert len(feats[1]) == 4  # real decode, not the 8-float fallback
     assert feats[1] == pytest.approx(want)
+
+
+def _mk_mp3(frames_kbps, rate=44100, mode=0, id3=False):
+    """Synthesize a framed MPEG-1 Layer III byte stream: valid 4-byte
+    headers + zeroed payloads, one frame per requested bitrate (CBR =
+    same kbps repeated; VBR = mixed). mode 0=stereo, 3=mono."""
+    kbps_table = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    rate_idx = {44100: 0, 48000: 1, 32000: 2}[rate]
+    out = bytearray()
+    if id3:
+        body = b"\x00" * 17
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+             (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+        ) + body
+    for kbps in frames_kbps:
+        br_idx = kbps_table.index(kbps)
+        h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+        h |= (br_idx << 12) | (rate_idx << 10) | (mode << 6)
+        flen = 144 * kbps * 1000 // rate
+        out += h.to_bytes(4, "big") + b"\x00" * (flen - 4)
+    return bytes(out)
+
+
+def test_mp3_frame_header_features_golden():
+    # r7 ask #8: exact duration/bitrate/rate/channels from the frame
+    # headers alone — 3 CBR frames at 128 kbps / 44.1 kHz stereo are
+    # 3*1152 samples = 78.367ms
+    from lakota_spark.operators.multimodal import _parse_mp3_headers
+
+    cbr = _mk_mp3([128, 128, 128])
+    dur, kbps, rate, ch, n, vbr = _parse_mp3_headers(cbr)
+    assert n == 3 and rate == 44100.0 and ch == 2.0 and vbr == 0.0
+    assert kbps == 128.0
+    assert abs(dur - 3 * 1152 / 44100.0) < 1e-9
+    # VBR + ID3v2 prefix + mono
+    vbr_blob = _mk_mp3([64, 128, 192, 128], rate=32000, mode=3, id3=True)
+    dur2, kbps2, rate2, ch2, n2, vbr2 = _parse_mp3_headers(vbr_blob)
+    assert (n2, rate2, ch2, vbr2) == (4.0, 32000.0, 1.0, 1.0)
+    assert kbps2 == 128.0
+    assert abs(dur2 - 4 * 1152 / 32000.0) < 1e-9
+    # non-MPEG bytes fall through (None -> byte-histogram fallback)
+    assert _parse_mp3_headers(b"\x00" * 64) is None
+    assert _parse_mp3_headers(b"\xff\xfb" + b"\x00" * 16) is None  # 1 frame
+
+
+def test_mp3_features_through_spark(spark):
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    blob = _mk_mp3([128] * 5)
+    rows = [
+        (1, bytearray(blob), "audio/mpeg", len(blob), "{}"),
+        (2, bytearray(b"\x01\x02" * 100), "audio/aac", 200, "{}"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r.media_id: r.feature
+        for r in extract_audio_features(media).collect()
+    }
+    assert len(feats[1]) == 6  # header walk, not the 8-float fallback
+    assert feats[1][2] == 44100.0 and feats[1][4] == 5.0
+    assert len(feats[2]) == 8  # aac keeps the documented fallback
 
 
 def test_ccnet_buckets_scalable_null_lang_and_score(spark):

@@ -441,6 +441,42 @@ def test_assert_sorted_distributed(repo):
         s._assert_sorted(bad2)
 
 
+def test_presorted_executor_write_skips_sort(repo):
+    # r7 ask #6: a well-partitioned, already-sorted DataFrame input
+    # writes WITHOUT the range-sample + full sort (input layout kept),
+    # and the result is indistinguishable on read: same rows, same
+    # bounds, segment files still globally ordered for _files_stats
+    from pyspark.sql import functions as F
+
+    spark = repo.spark
+    coll = repo.create_collection(
+        Schema(timestamp="int*", value="float"), "ps"
+    )
+    base = spark.range(0, 10_000).select(
+        F.col("id").alias("timestamp"),
+        (F.col("id") * 0.5).alias("value"),
+    )
+    well = (
+        base.repartitionByRange(4, "timestamp")
+        .sortWithinPartitions("timestamp")
+        .localCheckpoint()
+    )
+    s = coll.series("fast")
+    assert s._df_presorted(well)
+    s.write(well, validate_sorted=True)
+    got = s.df()
+    assert len(got) == 10_000
+    assert got["timestamp"].is_monotonic_increasing
+    assert got["timestamp"].iloc[0] == 0 and got["timestamp"].iloc[-1] == 9999
+    # unsorted input is detected and falls back to the sort path
+    shuffled = base.orderBy(F.rand(7)).localCheckpoint()
+    assert not s._df_presorted(shuffled)
+    s2 = coll.series("slow")
+    s2.write(shuffled)
+    got2 = s2.df()
+    assert got2["timestamp"].is_monotonic_increasing and len(got2) == 10_000
+
+
 def test_schema_from_frame(repo):
     # `Schema.from_frame` bootstrap (`lakota/schema.py:194-205`): dict,
     # pandas, and Spark frames; all columns default to index like the

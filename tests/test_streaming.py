@@ -844,6 +844,72 @@ def test_near_dup_index_filter_and_fold(spark, tmp_path):
     assert kept == {3}
 
 
+def test_near_dup_index_gate_prunes_partitions(spark, tmp_path):
+    # the gate join must read ONLY the probed (band, bucket) partitions:
+    # PartitionFilters with a bucket IN-list on every index scan — the
+    # 100 TB contract that per-batch gate cost tracks the batch's own
+    # band keys, not the whole landed corpus
+    from lakota_spark import plans
+    from lakota_spark.streaming import NearDupIndex
+
+    idx = NearDupIndex(spark, str(tmp_path / "ndidx-p"))
+    idx.fold(
+        spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(8)],
+            "doc_id long, text string",
+        )
+    )
+    probe = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta 3")],
+        "doc_id long, text string",
+    )
+    gated = idx.filter(probe)
+    plan = plans.explain_str(gated)
+    assert "PartitionFilters: [" in plan, plan
+    import re
+
+    pf = [
+        m.group(0)
+        for m in re.finditer(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
+    ]
+    assert pf and all("bucket" in p for p in pf), plan
+    # and the gate itself still verifies: the near-copy is dropped
+    assert gated.count() == 0
+
+
+def test_near_dup_index_compact_bounds_files(spark, tmp_path):
+    # many folds accumulate one part file per touched partition per
+    # fold; compact() merges each partition to one file and the gate
+    # answers identically afterwards
+    import glob
+
+    from lakota_spark.streaming import NearDupIndex
+
+    idx = NearDupIndex(spark, str(tmp_path / "ndidx-c"), n_buckets=4)
+    for i in range(5):
+        idx.fold(
+            spark.createDataFrame(
+                [(i, f"words unique to batch {i} repeated here {i} again")],
+                "doc_id long, text string",
+            )
+        )
+    probe = spark.createDataFrame(
+        [
+            (50, "words unique to batch 2 repeated here 2 again"),
+            (51, "totally disjoint fresh content nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    before = {r.doc_id for r in idx.filter(probe).collect()}
+    n_before = len(glob.glob(f"{idx.path}/bucket=*/*.parquet"))
+    idx.compact()
+    n_after = len(glob.glob(f"{idx.path}/bucket=*/*.parquet"))
+    assert n_after <= 4  # one file per bucket partition
+    assert n_after < n_before
+    after = {r.doc_id for r in idx.filter(probe).collect()}
+    assert after == before == {51}
+
+
 def test_streaming_near_dup_tracked_drops_cross_batch_dups(spark, tmp_path):
     # a doc near-dup of a FIRST-batch survivor must be dropped when it
     # arrives two batches later; survivors-only indexing: a doc matching
