@@ -646,6 +646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_top_pairs": pipeline.jaccard_top_pairs,
         "simhash_signatures": pipeline.simhash_signatures,
         "minhash_signatures": pipeline.minhash_signatures,
+        # --- new in round 8 (inside the window for its first driver
+        #     recording): the cleaning-ladder funnel report ---
+        "pretrain_funnel_report": pipeline.pretrain_funnel_report,
         # --- storage-engine round-trips (last driver row r3) ---
         "engine_tail": engine_demo.engine_tail,
         "engine_overlay_update": engine_demo.engine_overlay_update,
@@ -2188,6 +2191,68 @@ WITH {_SHINGLES_CTE}
 SELECT doc_id,
     {_mh_cols()}
 FROM sh GROUP BY doc_id
+""",
+        "pretrain_funnel_report": f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id),
+bands AS (
+{_band_union()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near_drop AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sz x ON x.doc_id = i.doc_a
+  JOIN sz y ON y.doc_id = i.doc_b
+  WHERE i.inter / (x.sz + y.sz - i.inter) >= 0.5
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+),
+stats AS (
+  SELECT doc_id, len({_TOKS}) AS n_tokens,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+          / greatest(length(text), 1) AS punct_ratio
+  FROM documents
+),
+base AS (
+  SELECT s.n_tokens,
+    (s.n_tokens BETWEEN 20 AND 2000 AND s.punct_ratio <= 0.1) AS q,
+    (c.doc_id IS NOT NULL) AS is_canon,
+    (nd.doc_id IS NULL) AS kept_nd
+  FROM stats s
+  LEFT JOIN canon c ON c.doc_id = s.doc_id
+  LEFT JOIN near_drop nd ON nd.doc_id = s.doc_id
+)
+SELECT '1_ingest' AS stage, count(*)::BIGINT AS n_docs,
+       coalesce(sum(n_tokens), 0)::BIGINT AS n_tokens FROM base
+UNION ALL
+SELECT '2_quality_gate', count(*) FILTER (WHERE q)::BIGINT,
+       coalesce(sum(n_tokens) FILTER (WHERE q), 0)::BIGINT FROM base
+UNION ALL
+SELECT '3_exact_dedup', count(*) FILTER (WHERE q AND is_canon)::BIGINT,
+       coalesce(sum(n_tokens) FILTER (WHERE q AND is_canon), 0)::BIGINT
+FROM base
+UNION ALL
+SELECT '4_near_dup',
+       count(*) FILTER (WHERE q AND is_canon AND kept_nd)::BIGINT,
+       coalesce(
+         sum(n_tokens) FILTER (WHERE q AND is_canon AND kept_nd), 0
+       )::BIGINT
+FROM base
 """,
         "pretrain_clean": f"""
 WITH {_SHINGLES_CTE},

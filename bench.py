@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     # but is deliberately NOT benched: its cost is quadratic-by-design.
     "embedding_dup_lsh",
     "pretrain_clean",
+    "pretrain_funnel_report",
     "tpch_q9_profit",
     "trigram_search",
     "trigram_search_indexed",

@@ -352,6 +352,82 @@ def pretrain_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pretrain_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline FUNNEL: cumulative survivor doc/token counts through the
+    cleaning ladder — ingest → quality gate → exact-dedup canonical →
+    near-dup survivor (`pretrain_clean`'s stages). The planning report
+    every corpus run publishes first: token budgets, per-stage kill
+    rates, and the cheapest wrong-config alarm there is (a stage that
+    kills 90% of tokens).
+
+    Scale shape: the same single fused profile pass + digest window +
+    candidate-index near-dup branch as `pretrain_clean`, but terminated
+    in ONE conditional aggregate (count/sum FILTER per stage) — the
+    funnel adds no corpus pass over the clean itself, and the 4-row
+    unpivot is a driver-free explode of one aggregated row. Exact SQL
+    oracle."""
+    from pyspark.sql import Window
+
+    from lakota_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    prof = T.doc_profile(docs)
+    is_canon = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy("digest")
+    )
+    cand = spark.read.parquet(_ensure_candidate_index(spark, sf_dir))
+    sh = D.shingle_table(docs, n=SHINGLE_N).localCheckpoint(eager=False)
+    near = D.jaccard_pairs(sh, 0.5, candidates=cand)
+    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    flags = (
+        prof.withColumn("is_canon", is_canon)
+        .join(drop.withColumn("_nd", F.lit(1)), "doc_id", "left")
+        .select(
+            "n_tokens",
+            (
+                (F.col("n_tokens") >= MIN_TOKENS)
+                & (F.col("n_tokens") <= MAX_TOKENS)
+                & (F.col("punct_ratio") <= MAX_PUNCT)
+            ).alias("q"),
+            "is_canon",
+            F.col("_nd").isNull().alias("kept_nd"),
+        )
+    )
+    qc = F.col("q") & F.col("is_canon")
+    stages = {
+        "1_ingest": F.lit(True),
+        "2_quality_gate": F.col("q"),
+        "3_exact_dedup": qc,
+        "4_near_dup": qc & F.col("kept_nd"),
+    }
+    one = flags.agg(
+        *[
+            F.count(F.when(c, 1)).alias(f"n_{s}")
+            for s, c in stages.items()
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(c, F.col("n_tokens"))), F.lit(0)
+            ).alias(f"t_{s}")
+            for s, c in stages.items()
+        ],
+    )
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("stage"),
+                        F.col(f"n_{s}").cast("long").alias("n_docs"),
+                        F.col(f"t_{s}").cast("long").alias("n_tokens"),
+                    )
+                    for s in stages
+                ]
+            )
+        ).alias("r")
+    ).select("r.stage", "r.n_docs", "r.n_tokens")
+
+
 # --- dedup ----------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -116,6 +116,22 @@ def test_pretrain_clean_single_corpus_scan(spark):
     assert "CartesianProduct" not in strategies
 
 
+def test_pretrain_funnel_single_scan_partial_agg(spark):
+    # the funnel terminates pretrain_clean's flag relation in ONE
+    # conditional aggregate: one documents scan in this plan (the
+    # near-dup branch is checkpointed out), partial aggregation below
+    # the exchange, no cartesian anywhere, and the unpivot explode is
+    # over a ONE-ROW aggregate, not the corpus
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.pretrain_funnel_report(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("documents.parquet") == 1, plan
+    assert plans.has_partial_aggregation(df)
+    strategies = plans.join_strategies(df)
+    assert "CartesianProduct" not in strategies
+
+
 def test_q9_broadcasts_and_pushes_part_filter(spark):
     from lakota_spark.queries import tpch
 
