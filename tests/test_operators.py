@@ -2842,7 +2842,231 @@ def test_mp3_features_through_spark(spark):
     }
     assert len(feats[1]) == 6  # header walk, not the 8-float fallback
     assert feats[1][2] == 44100.0 and feats[1][4] == 5.0
-    assert len(feats[2]) == 8  # aac keeps the documented fallback
+    assert len(feats[2]) == 8  # non-framed bytes keep the fallback
+
+
+def _mk_adts(frame_lens, sr_idx=4, ch_cfg=2, crc=False, id3=False,
+             n_blocks=1):
+    """Synthesize an AAC ADTS stream: one valid 7/9-byte header per
+    requested frame length (length INCLUDES the header) + zeroed
+    payload — an independent test-side encoder for the header walk."""
+    out = bytearray()
+    if id3:
+        body = b"\x00" * 9
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+             (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+        ) + body
+    for flen in frame_lens:
+        hdr_len = 9 if crc else 7
+        assert flen >= hdr_len
+        b1 = 0xF0 | (0 << 3) | (0 << 1) | (0 if crc else 1)
+        b2 = (1 << 6) | (sr_idx << 2) | ((ch_cfg >> 2) & 1)  # profile=LC
+        b3 = ((ch_cfg & 3) << 6) | ((flen >> 11) & 3)
+        b4 = (flen >> 3) & 0xFF
+        b5 = ((flen & 7) << 5) | 0x1F
+        b6 = (0x3F << 2) | (n_blocks - 1)
+        frame = bytes([0xFF, b1, b2, b3, b4, b5, b6])
+        if crc:
+            frame += b"\x00\x00"
+        out += frame + b"\x00" * (flen - len(frame))
+    return bytes(out)
+
+
+def test_adts_frame_header_features_golden():
+    # 3 CBR frames at 44.1 kHz stereo: 3*1024 samples; per-frame kbps =
+    # flen*8*rate/(1024*1000)
+    from lakota_spark.operators.multimodal import _parse_adts_headers
+
+    cbr = _mk_adts([384, 384, 384])
+    dur, kbps, rate, ch, n, vbr = _parse_adts_headers(cbr)
+    assert (n, rate, ch, vbr) == (3.0, 44100.0, 2.0, 0.0)
+    assert abs(dur - 3 * 1024 / 44100.0) < 1e-9
+    assert abs(kbps - 384 * 8 * 44100 / (1024 * 1000.0)) < 1e-9
+    # VBR + ID3 prefix + CRC headers + mono + 16 kHz + 2 blocks/frame
+    vbr_blob = _mk_adts([200, 300, 400], sr_idx=8, ch_cfg=1, crc=True,
+                        id3=True, n_blocks=2)
+    dur2, kbps2, rate2, ch2, n2, vbr2 = _parse_adts_headers(vbr_blob)
+    assert (n2, rate2, ch2, vbr2) == (3.0, 16000.0, 1.0, 1.0)
+    assert abs(dur2 - 6 * 1024 / 16000.0) < 1e-9
+    # 7.1 channel_configuration=7 reports 8 channels
+    eight = _mk_adts([256, 256], ch_cfg=7)
+    assert _parse_adts_headers(eight)[3] == 8.0
+    # rejections: random bytes; 1 frame; sync inside padding (<90% walk)
+    assert _parse_adts_headers(b"\x00" * 64) is None
+    assert _parse_adts_headers(_mk_adts([256])) is None
+    assert _parse_adts_headers(_mk_adts([64, 64]) + b"\x00" * 4096) is None
+
+
+def test_adts_features_through_spark(spark):
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    blob = _mk_adts([384] * 4)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob), "audio/aac", len(blob), "{}")], MEDIA_SCHEMA
+    )
+    feat = extract_audio_features(media).collect()[0].feature
+    assert len(feat) == 6 and feat[2] == 44100.0 and feat[4] == 4.0
+
+
+class _BitWriter:
+    """Independent MSB-first bit writer for hand-encoding SPS fixtures
+    (test-side twin of the parser's bit reader)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def u(self, val, n):
+        self.bits += [(val >> (n - 1 - i)) & 1 for i in range(n)]
+
+    def ue(self, val):
+        k = val + 1
+        nbits = k.bit_length()
+        self.u(0, nbits - 1)
+        self.u(k, nbits)
+
+    def se(self, val):
+        self.ue(2 * val - 1 if val > 0 else -2 * val)
+
+    def rbsp(self):
+        bits = self.bits + [1]  # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+        return bytes(out)
+
+
+def _mk_sps(profile=66, level=31, w_mbs=80, h_units=45, crop=None,
+            poc_type=0, chroma=None):
+    """Hand-encode a seq_parameter_set RBSP (baseline or high profile)."""
+    bw = _BitWriter()
+    bw.u(profile, 8)
+    bw.u(0, 8)  # constraint flags
+    bw.u(level, 8)
+    bw.ue(0)  # sps id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139,
+                   134, 135):
+        bw.ue(1 if chroma is None else chroma)
+        bw.ue(0)  # bit_depth_luma_minus8
+        bw.ue(0)  # bit_depth_chroma_minus8
+        bw.u(0, 1)  # qpprime
+        bw.u(0, 1)  # no scaling matrix
+    bw.ue(0)  # log2_max_frame_num_minus4
+    bw.ue(poc_type)
+    if poc_type == 0:
+        bw.ue(0)
+    elif poc_type == 1:
+        bw.u(0, 1)
+        bw.se(0)
+        bw.se(0)
+        bw.ue(2)
+        bw.se(1)
+        bw.se(-1)
+    bw.ue(1)  # max_num_ref_frames
+    bw.u(0, 1)  # gaps allowed
+    bw.ue(w_mbs - 1)
+    bw.ue(h_units - 1)
+    bw.u(1, 1)  # frame_mbs_only
+    bw.u(1, 1)  # direct_8x8
+    if crop:
+        bw.u(1, 1)
+        for c in crop:
+            bw.ue(c)
+    else:
+        bw.u(0, 1)
+    return bw.rbsp()
+
+
+def _annexb(*nals):
+    """Join NAL units with alternating 4-/3-byte start codes."""
+    out = bytearray()
+    for i, nal in enumerate(nals):
+        out += (b"\x00\x00\x00\x01" if i % 2 == 0 else b"\x00\x00\x01")
+        out += nal
+    return bytes(out)
+
+
+def test_h264_sps_header_walk_golden():
+    from lakota_spark.operators.multimodal import _parse_h264_headers
+
+    # Baseline 1280x720 (80x45 MBs), level 3.1; 2 IDR-start + 3 P-slice
+    # pictures; 0x88 slice byte = first_mb_in_slice==0
+    sps = bytes([0x67]) + _mk_sps()
+    idr = bytes([0x65, 0x88, 0x84, 0x21])
+    p = bytes([0x41, 0x9A, 0x22, 0x11])
+    blob = _annexb(sps, idr, p, p, bytes([0x65, 0x88]), p)
+    w, h, prof, lvl, n_pics, n_idr = _parse_h264_headers(blob)
+    assert (w, h, prof, lvl) == (1280.0, 720.0, 66.0, 3.1)
+    assert (n_pics, n_idr) == (5.0, 2.0)
+    # continuation slices (first_mb_in_slice>0: leading ue bit 0) are
+    # NOT counted as pictures
+    cont = bytes([0x41, 0x40, 0x22])
+    w2, h2, _, _, n2, _ = _parse_h264_headers(_annexb(sps, idr, cont))
+    assert (w2, h2, n2) == (1280.0, 720.0, 1.0)
+    # High profile + 4:2:0 cropping: 1920x1080 = 120x68 MBs cropped by
+    # 8 luma rows at the bottom (crop_bottom=4 in 2-sample chroma units)
+    sps_high = bytes([0x67]) + _mk_sps(profile=100, level=40, w_mbs=120,
+                                       h_units=68, crop=(0, 0, 0, 4))
+    wh, hh, profh, lvlh, _, _ = _parse_h264_headers(
+        _annexb(sps_high, idr)
+    )
+    assert (wh, hh, profh, lvlh) == (1920.0, 1080.0, 100.0, 4.0)
+    # poc_type=1 branch parses through
+    sps_poc1 = bytes([0x67]) + _mk_sps(poc_type=1)
+    assert _parse_h264_headers(_annexb(sps_poc1, idr))[0] == 1280.0
+    # emulation prevention: a crafted SPS containing 00 00 03 is
+    # unescaped before bit parsing — build one by re-escaping
+    raw = _mk_sps(w_mbs=4, h_units=4)
+    esc = bytearray()
+    zeros = 0
+    for byte in raw:
+        if zeros >= 2 and byte <= 3:
+            esc.append(3)
+            zeros = 0
+        esc.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    assert _parse_h264_headers(
+        _annexb(bytes([0x67]) + bytes(esc), idr)
+    )[0] == 64.0
+    # rejections: random bytes; no SPS; forbidden bit set
+    assert _parse_h264_headers(b"\x01\x02" * 100) is None
+    assert _parse_h264_headers(_annexb(idr, p)) is None
+    assert _parse_h264_headers(_annexb(bytes([0xE7]) + _mk_sps(), idr)) is None
+
+
+def test_video_headers_through_spark(spark):
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_video_headers,
+    )
+
+    sps = bytes([0x67]) + _mk_sps()
+    h264 = _annexb(sps, bytes([0x65, 0x88, 0x84]), bytes([0x41, 0x9A]))
+    # 2-frame 4x4 Y4M: header walk reports dims + frame count
+    y4m = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n" + (
+        b"FRAME\n" + b"\x80" * (16 + 2 * 4)
+    ) * 2
+    rows = [
+        (1, bytearray(h264), "video/h264", len(h264), "{}"),
+        (2, bytearray(y4m), "video/y4m", len(y4m), "{}"),
+        (3, bytearray(b"\x07\x09" * 128), "video/mp4", 256, "{}"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r.media_id: r.feature
+        for r in extract_video_headers(media).collect()
+    }
+    assert feats[1][:2] == [1280.0, 720.0] and feats[1][4] == 2.0
+    assert feats[2] == [4.0, 4.0, 0.0, 0.0, 2.0, 2.0]
+    assert len(feats[3]) == 8  # mp4 keeps the byte-histogram fallback
 
 
 def test_ccnet_buckets_scalable_null_lang_and_score(spark):
