@@ -629,7 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cycle back through the window so external validation stays fresh
     across the whole 129-entry surface, not just the newest additions.
     Round 8 window: the r1-recorded dedup staples + the r3-recorded
-    engine/TPC-H/parity set (50 entries, none driver-checked since r3).
+    engine/TPC-H/parity set (48 stale entries) + the two round-8
+    additions taking their first driver recording.
     The full per-round ledger lives in NOTES.md ("driver-window
     ledger"); entries after position 50 are all driver-green in r5–r7
     (or rows-only by design) and still exercised by
@@ -647,8 +648,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": pipeline.simhash_signatures,
         "minhash_signatures": pipeline.minhash_signatures,
         # --- new in round 8 (inside the window for its first driver
-        #     recording): the cleaning-ladder funnel report ---
+        #     recording): the cleaning-ladder funnel report + the
+        #     oracle-exact H.264/Y4M header-walk entry ---
         "pretrain_funnel_report": pipeline.pretrain_funnel_report,
+        "multimodal_video_headers": pipeline.multimodal_video_headers,
         # --- storage-engine round-trips (last driver row r3) ---
         "engine_tail": engine_demo.engine_tail,
         "engine_overlay_update": engine_demo.engine_overlay_update,
@@ -2253,6 +2256,24 @@ SELECT '4_near_dup',
          sum(n_tokens) FILTER (WHERE q AND is_canon AND kept_nd), 0
        )::BIGINT
 FROM base
+""",
+        # Closed-form expectations for the H.264/Y4M header walks: the
+        # Spark side BUILDS the video payloads (hand-encoded 1280x720
+        # baseline SPS, 1+doc_id%3 P-slices / 4x4 Y4M with 1+doc_id%4
+        # frames) and must parse back exactly these values — the oracle
+        # encodes the ITU-T spec arithmetic, not the parser.
+        "multimodal_video_headers": """
+SELECT doc_id AS media_id,
+  round(CASE WHEN doc_id % 2 = 0 THEN 1280.0 ELSE 4.0 END, 6) AS width,
+  round(CASE WHEN doc_id % 2 = 0 THEN 720.0 ELSE 4.0 END, 6) AS height,
+  round(CASE WHEN doc_id % 2 = 0 THEN 66.0 ELSE 0.0 END, 6) AS profile,
+  round(CASE WHEN doc_id % 2 = 0 THEN 3.1 ELSE 0.0 END, 6) AS lvl,
+  round(CASE WHEN doc_id % 2 = 0 THEN 2.0 + doc_id % 3
+             ELSE 1.0 + doc_id % 4 END, 6) AS n_pictures,
+  round(CASE WHEN doc_id % 2 = 0 THEN 1.0
+             ELSE 1.0 + doc_id % 4 END, 6) AS n_idr
+FROM documents
+ORDER BY media_id
 """,
         "pretrain_clean": f"""
 WITH {_SHINGLES_CTE},

@@ -936,6 +936,78 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hand-encoded 1280x720 baseline-profile level-3.1 SPS NAL (profile 66,
+# 80x45 macroblocks, frame_mbs_only, no crop) — the bit-exact constant the
+# oracle's closed-form expectations are derived from. No 00-00 byte pair,
+# so no emulation-prevention escaping is needed inside the NAL.
+_H264_SPS_NAL_HEX = "6742001ff402802dd0"
+
+
+def multimodal_video_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT multimodal entry (round 8): every document becomes a
+    REAL video payload built JVM-side — even doc_ids an Annex-B H.264
+    elementary stream (the hand-encoded SPS above + one IDR + 1+doc_id%3
+    P-slice NALs whose payloads are utf-8 text bytes: utf-8 never contains
+    0x00, so no accidental start codes), odd doc_ids a 4x4 Y4M container
+    with 1+doc_id%4 frames of ASCII-sanitized text — and
+    ``extract_video_headers`` must recover the spec'd resolution /
+    profile / level / picture counts EXACTLY, giving the NAL+SPS walk a
+    closed-form driver-checked oracle instead of the rows-only check the
+    decode-path multimodal entries get."""
+    d = _docs(spark, sf_dir)
+    sc4 = F.unhex(F.lit("00000001"))
+    sc3 = F.unhex(F.lit("000001"))
+    sps = F.unhex(F.lit(_H264_SPS_NAL_HEX))
+    idr = F.concat(
+        sc3, F.unhex(F.lit("6588")), F.encode(F.substring("text", 1, 20), "utf-8")
+    )
+    p1 = F.concat(
+        sc3, F.unhex(F.lit("419a")), F.encode(F.substring("text", 21, 12), "utf-8")
+    )
+    p_extra = F.concat(sc3, F.unhex(F.lit("419a")))
+    nil = F.unhex(F.lit(""))
+    h264 = F.concat(
+        sc4, sps, idr, p1,
+        F.when(F.col("doc_id") % 3 >= 1, p_extra).otherwise(nil),
+        F.when(F.col("doc_id") % 3 == 2, p_extra).otherwise(nil),
+    )
+    # Y4M 4:2:0 at 4x4: 24 bytes/frame; text sanitized to printable ASCII
+    # so char counts == byte counts and each frame payload is exactly 24
+    # bytes (repeat() takes a column count only in its SQL form)
+    y4m = F.encode(
+        F.concat(
+            F.lit("YUV4MPEG2 W4 H4 F25:1\n"),
+            F.expr(
+                "repeat(concat('FRAME\\n', rpad(regexp_replace("
+                "substring(text, 1, 24), '[^ -~]', 'x'), 24, 'x')),"
+                " cast(1 + doc_id % 4 as int))"
+            ),
+        ),
+        "utf-8",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, h264).otherwise(y4m).alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("video/h264"))
+        .otherwise(F.lit("video/y4m"))
+        .alias("mime"),
+        F.lit(0).cast("long").alias("n_bytes"),
+        F.lit("{}").alias("meta"),
+    ).withColumn("n_bytes", F.octet_length("payload"))
+    feats = M.extract_video_headers(media)
+    # no orderBy: the driver compare is order-insensitive and a global
+    # sort would add a range-partitioning exchange for nothing
+    return feats.select(
+        "media_id",
+        *[
+            F.round(F.element_at("feature", i + 1), 6).alias(name)
+            for i, name in enumerate(
+                ["width", "height", "profile", "lvl", "n_pictures", "n_idr"]
+            )
+        ],
+    )
+
+
 # --- sketches (rows-only: approximate by construction) --------------------
 
 def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -391,6 +391,19 @@ def test_boilerplate_and_line_dedup_plan_shape(spark):
         assert "Window" not in plan, plan
 
 
+def test_multimodal_video_headers_plan_shape(spark):
+    # one Arrow-batched python stage (the header walk), zero shuffles:
+    # payload construction is pure codegen over the scan, the walk is
+    # per-row, and the driver compare needs no global sort
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.multimodal_video_headers(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plans.node_count(df, "MapInPandas") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert plans.join_strategies(df) == [], plan
+
+
 def test_winnow_zero_shuffle_operator(spark):
     # the selection itself is per-row array math: no joins, and the only
     # exchange allowed is the wrapper's input repartition
