@@ -659,7 +659,12 @@ class NearDupIndex:
     would re-shuffle unpruned corpus rows. ``compact()`` (owner-called
     at `maintain` cadence) merges each partition's accumulated per-fold
     part files down to one, bounding file count between compactions at
-    O(folds x touched partitions) and after at O(bands x n_buckets).
+    O(folds x touched partitions) and after at O(bands x n_buckets) —
+    and GROWS the bucket count with the corpus (next power of two
+    keeping mean rows/bucket ≤ ``rows_per_bucket_target``, re-bucketing
+    during the rewrite it was doing anyway, new count persisted in a
+    meta sidecar that restarts read back), so per-probe postings stay
+    bounded on a forever-growing index.
 
     Single-writer contract (the `SpanFlagTracker` discipline): one
     streaming query owns the directory; `filter`'s file listing
@@ -677,6 +682,7 @@ class NearDupIndex:
         num_hashes: int = 16,
         bands: int = 4,
         n_buckets: int = 16,
+        rows_per_bucket_target: int = 100_000,
     ):
         import os
 
@@ -688,7 +694,42 @@ class NearDupIndex:
         self.num_hashes = num_hashes
         self.bands = bands
         self.n_buckets = n_buckets
+        self.rows_per_bucket_target = rows_per_bucket_target
         os.makedirs(path, exist_ok=True)
+        # bucket count is a property of the DATA layout, not the session:
+        # a restart must probe with the same pmod modulus the landed rows
+        # were partitioned under, or the gate silently misses dups — so
+        # the persisted meta wins over the constructor arg. (Sidecar is
+        # driver-local file IO like ScoreHistTracker — local-FS paths
+        # only; starts with "_" so Spark's parquet reader ignores it.)
+        meta = self._load_meta()
+        if meta is not None:
+            self.n_buckets = int(meta["n_buckets"])
+        else:
+            self._save_meta()
+
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_neardup_meta.json")
+
+    def _load_meta(self):
+        import json
+        import os
+
+        if not os.path.exists(self._meta_path()):
+            return None
+        with open(self._meta_path()) as f:
+            return json.load(f)
+
+    def _save_meta(self) -> None:
+        import json
+        import os
+
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": self.n_buckets}, f)
+        os.replace(tmp, self._meta_path())
 
     def _bucket_of(self, key_col):
         from lakota_spark.functions import hash32
@@ -798,7 +839,18 @@ class NearDupIndex:
         `maintain`-cadence housekeeping for forever-running ingest
         (owner-called between triggers; the directory swap is atomic
         per-partition only, so readers must not race it — the
-        single-writer contract already guarantees that)."""
+        single-writer contract already guarantees that).
+
+        Compaction is also where the bucket count SCALES WITH THE
+        CORPUS: when mean rows/bucket exceeds ``rows_per_bucket_target``
+        the count doubles to the next power of two that restores the
+        target, the rewrite re-buckets every row under the new modulus
+        (free — compaction rewrites everything anyway), and the new
+        count is persisted so restarts probe the right partitions. This
+        keeps per-probe postings bounded as the index grows instead of
+        letting each (band, bucket) partition swell linearly — the
+        "n_buckets scaled up with the corpus" half of the pruning
+        story, previously a docstring promise."""
         import os
         import shutil
         import uuid
@@ -806,6 +858,16 @@ class NearDupIndex:
         corpus = self._corpus()
         if corpus is None:
             return
+        n_rows = corpus.count()
+        needed = 1
+        while needed * max(1, self.rows_per_bucket_target) < n_rows:
+            needed *= 2
+        if needed > self.n_buckets:
+            self.n_buckets = needed
+            corpus = corpus.withColumn(
+                "bucket", self._bucket_of(F.col("band_key"))
+            )
+            self._save_meta()
         tmp = f"{self.path}-compact-{uuid.uuid4().hex[:8]}"
         (
             corpus.repartition("bucket")

@@ -910,6 +910,49 @@ def test_near_dup_index_compact_bounds_files(spark, tmp_path):
     assert after == before == {51}
 
 
+def test_near_dup_index_compact_grows_buckets(spark, tmp_path):
+    # corpus-scaled bucket count: with a tiny rows/bucket target the
+    # compact rewrite must double n_buckets past the initial 2, re-bucket
+    # every landed row under the new modulus, persist the new count, and
+    # still answer the gate identically (dup dropped, fresh doc kept)
+    import glob
+    import json
+
+    from lakota_spark.streaming import NearDupIndex
+
+    path = str(tmp_path / "ndidx-g")
+    idx = NearDupIndex(spark, path, n_buckets=2, rows_per_bucket_target=8)
+    for i in range(3):
+        idx.fold(
+            spark.createDataFrame(
+                [
+                    (10 * i + j, f"batch {i} doc {j} text alpha beta {i}{j}")
+                    for j in range(4)
+                ],
+                "doc_id long, text string",
+            )
+        )
+    idx.compact()
+    # 3 folds x 4 docs x 4 bands = 48 rows; target 8 -> needs 8 buckets
+    assert idx.n_buckets == 8
+    with open(f"{path}/_neardup_meta.json") as f:
+        assert json.load(f)["n_buckets"] == 8
+    assert len(glob.glob(f"{path}/bucket=*/*.parquet")) <= 8
+    probe = spark.createDataFrame(
+        [
+            (99, "batch 1 doc 2 text alpha beta 12"),  # exact copy
+            (98, "totally fresh disjoint content nine ten eleven"),
+        ],
+        "doc_id long, text string",
+    )
+    assert {r.doc_id for r in idx.filter(probe).collect()} == {98}
+    # a RESTART with the default constructor bucket count must probe
+    # under the persisted modulus, not its own argument
+    idx2 = NearDupIndex(spark, path)  # default n_buckets=16 != 8
+    assert idx2.n_buckets == 8
+    assert {r.doc_id for r in idx2.filter(probe).collect()} == {98}
+
+
 def test_streaming_near_dup_tracked_drops_cross_batch_dups(spark, tmp_path):
     # a doc near-dup of a FIRST-batch survivor must be dropped when it
     # arrives two batches later; survivors-only indexing: a doc matching
