@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "embedding_dup_lsh",
     "pretrain_clean",
     "pretrain_funnel_report",
+    # round-8 multimodal rung: payload build + Arrow header-walk pass
+    "multimodal_video_headers",
     "tpch_q9_profit",
     "trigram_search",
     "trigram_search_indexed",
