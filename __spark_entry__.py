@@ -652,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     oracle-exact H.264/Y4M header-walk entry ---
         "pretrain_funnel_report": pipeline.pretrain_funnel_report,
         "multimodal_video_headers": pipeline.multimodal_video_headers,
+        "leakage_safe_split": pipeline.leakage_safe_split,
         # --- storage-engine round-trips (last driver row r3) ---
         "engine_tail": engine_demo.engine_tail,
         "engine_overlay_update": engine_demo.engine_overlay_update,
@@ -2459,6 +2460,41 @@ reach(node, lbl) AS (
 )
 SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
 """,
+        # cluster-hash split: near-dup clusters (recursive reach, the
+        # dedup_clusters oracle) + singleton fallback, split side decided
+        # by the md5-prefix hash of 'split:<cluster_id>' — a cluster
+        # contributes to exactly one side by construction
+        "leakage_safe_split": """
+WITH RECURSIVE {pair_ctes},
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM vpairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN e ON r.node = e.b
+),
+cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+         len({toks}) AS n_tokens
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+),
+sp AS (
+  SELECT *,
+    CASE WHEN ('0x' || substr(md5('split:' || cluster_id::VARCHAR), 1, 8)
+              )::BIGINT % 100 < 10
+         THEN 'val' ELSE 'train' END AS split
+  FROM assigned
+)
+SELECT split, lang, count(*)::BIGINT AS n_docs,
+       count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+       sum(n_tokens)::BIGINT AS n_tokens
+FROM sp GROUP BY 1, 2
+""".format(pair_ctes=_minhash_pair_ctes(), toks=_TOKS),
         "ccnet_buckets": """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token

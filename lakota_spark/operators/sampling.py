@@ -694,3 +694,58 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .where(F.col("n") * F.lit(denom) >= F.lit(numer) * F.lit(total))
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    val_pct: int = 10,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Group-aware train/validation split: the split UNIT is the
+    near-dup cluster, not the document, so two near-duplicates can never
+    straddle the boundary — the leakage mode a naive per-doc hash split
+    has (train/val "generalization" measured on val docs whose near-copy
+    sits in train). The held-out fraction is honest by construction.
+
+    ``clusters`` is `dedup_clusters` output (doc_id, cluster_id) and
+    typically covers only docs that appeared in a verified pair; docs
+    with no near-dup are their own singleton cluster
+    (``coalesce(cluster_id, doc_id)``). Assignment is a deterministic,
+    salt-keyed hash of the CLUSTER id — reproducible across runs and
+    engines (`functions.hash32` md5 parity), no RNG state, and adding
+    new docs later never flips an existing cluster's side (the stable
+    re-shardable property reservoir/random splits lack).
+
+    Scale shape: one left equi-join (cluster map onto docs — broadcast
+    when the pair graph is sparse, shuffle otherwise) + a per-row hash
+    projection; no window, no global sort. Returns ``docs`` +
+    (cluster_id, split) with split in {'train', 'val'}.
+
+    Reference parity: beyond-reference (training-pipeline extension
+    surface, SURVEY.md §2.12 ladder).
+    """
+    if not 0 < val_pct < 100:
+        raise ValueError(f"val_pct must be in (0, 100), got {val_pct}")
+    cmap = clusters.select(
+        F.col(id_col), F.col(cluster_col).alias("_leak_cid")
+    )
+    full = docs.join(cmap, on=id_col, how="left").withColumn(
+        "cluster_id", F.coalesce(F.col("_leak_cid"), F.col(id_col))
+    ).drop("_leak_cid")
+    bucket = F.pmod(
+        hash32(
+            F.concat(
+                F.lit(f"{salt}:"), F.col("cluster_id").cast("string")
+            )
+        ),
+        F.lit(100),
+    )
+    return full.withColumn(
+        "split",
+        F.when(bucket < F.lit(val_pct), F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )

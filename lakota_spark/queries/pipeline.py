@@ -674,6 +674,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs)
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split report (round 8): docs are split by
+    a salt-keyed hash of their near-dup CLUSTER id (singletons = own
+    doc_id), so near-duplicates never straddle the boundary — then
+    summarized per (split, lang): docs, distinct clusters, tokens. The
+    invariant the report rides on: a cluster contributes to exactly one
+    split (operators/sampling.leakage_safe_split over
+    operators/dedup.dedup_clusters output)."""
+    from lakota_spark.functions import tokens
+    from lakota_spark.operators.sampling import leakage_safe_split as split_op
+
+    clusters = dedup_clusters(spark, sf_dir)
+    split = split_op(_docs(spark, sf_dir), clusters, val_pct=10)
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+
+
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-unigram importance weights with lang='en' as the
     target domain (operators/sampling.importance_weights): each raw doc

@@ -7,7 +7,13 @@ landed index grows (the partition-pruned join reads only the probed
 buckets — cost tracks batch size and probed-postings, not corpus
 size), and the part-file count is bounded after compact().
 
+Round 8 addition: compaction now also GROWS the bucket count with the
+corpus (rows_per_bucket_target); pass a small target as argv[3] to watch
+n_buckets double while the gate keeps answering (compact every
+n_batches/4 instead of once).
+
 Usage: python scripts/probe_neardup_index.py [n_batches] [batch_docs]
+       [rows_per_bucket_target]
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ from lakota_spark.streaming import NearDupIndex  # noqa: E402
 
 N_BATCHES = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 BATCH_DOCS = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+RPB_TARGET = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
 
 
 def batch_df(spark, b: int):
@@ -47,8 +54,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     path = "/tmp/lakota-neardup-probe"
     shutil.rmtree(path, ignore_errors=True)
-    idx = NearDupIndex(spark, path)
-    print(f"batches={N_BATCHES} batch_docs={BATCH_DOCS} buckets={idx.n_buckets}")
+    idx = NearDupIndex(spark, path, rows_per_bucket_target=RPB_TARGET)
+    print(
+        f"batches={N_BATCHES} batch_docs={BATCH_DOCS} "
+        f"buckets={idx.n_buckets} rows/bucket target={RPB_TARGET}"
+    )
+    compact_every = max(2, N_BATCHES // 4)
     for b in range(N_BATCHES):
         df = batch_df(spark, b).localCheckpoint()
         t0 = time.perf_counter()
@@ -60,12 +71,13 @@ def main() -> None:
         fold_s = time.perf_counter() - t0
         files = len(glob.glob(f"{path}/bucket=*/*.parquet"))
         note = ""
-        if b == N_BATCHES // 2:
+        if b and b % compact_every == 0:
             t0 = time.perf_counter()
             idx.compact()
             note = (
                 f"  [compact {time.perf_counter() - t0:.2f}s -> "
-                f"{len(glob.glob(f'{path}/bucket=*/*.parquet'))} files]"
+                f"{len(glob.glob(f'{path}/bucket=*/*.parquet'))} files, "
+                f"{idx.n_buckets} buckets]"
             )
         print(
             f"batch {b:3d}: gate {gate_s:6.2f}s fold {fold_s:6.2f}s "

@@ -3069,6 +3069,47 @@ def test_video_headers_through_spark(spark):
     assert len(feats[3]) == 8  # mp4 keeps the byte-histogram fallback
 
 
+def test_leakage_safe_split_cluster_atomicity(spark):
+    # the split unit is the CLUSTER: every member of a cluster lands on
+    # the same side; docs absent from the cluster map are singletons
+    # (cluster_id = own doc_id); assignment is deterministic and stable
+    # under corpus growth (hash of cluster id, no RNG)
+    from lakota_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 31)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    out = leakage_safe_split(docs, clusters, val_pct=30).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert len(by_doc) == 30
+    # cluster members agree
+    assert len({by_doc[i].split for i in (1, 2, 3)}) == 1
+    assert len({by_doc[i].split for i in (10, 11)}) == 1
+    assert {by_doc[i].cluster_id for i in (1, 2, 3)} == {1}
+    # singletons carry their own id
+    assert by_doc[20].cluster_id == 20
+    # both sides populated at val_pct=30 over 27 effective clusters
+    sides = {r.split for r in out}
+    assert sides == {"train", "val"}
+    # stability: the same clusters decide the same way on a grown corpus
+    docs2 = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 61)], "doc_id long, text string"
+    )
+    out2 = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(docs2, clusters, val_pct=30).collect()
+    }
+    assert all(out2[d] == r.split for d, r in by_doc.items())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, clusters, val_pct=0)
+
+
 def test_ccnet_buckets_scalable_null_lang_and_score(spark):
     # lang=NULL docs (langid failures) must form their own stratum —
     # a plain equi-join on lang would silently drop them; NULL-score
