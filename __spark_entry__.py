@@ -653,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_funnel_report": pipeline.pretrain_funnel_report,
         "multimodal_video_headers": pipeline.multimodal_video_headers,
         "leakage_safe_split": pipeline.leakage_safe_split,
+        "contrastive_pairs": pipeline.contrastive_pairs,
         # --- storage-engine round-trips (last driver row r3) ---
         "engine_tail": engine_demo.engine_tail,
         "engine_overlay_update": engine_demo.engine_overlay_update,
@@ -2495,6 +2496,33 @@ SELECT split, lang, count(*)::BIGINT AS n_docs,
        sum(n_tokens)::BIGINT AS n_tokens
 FROM sp GROUP BY 1, 2
 """.format(pair_ctes=_minhash_pair_ctes(), toks=_TOKS),
+        # positives = the verified near-dup pairs; negatives = hash-order
+        # neighbors inside (lang, hash%64) shards, (least,greatest)-
+        # normalized and anti-joined against the positives
+        "contrastive_pairs": """
+WITH {pair_ctes},
+pos AS (SELECT doc_a, doc_b, 1 AS label FROM vpairs),
+h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('neg:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM documents
+),
+nn AS (
+  SELECT doc_id, lead(doc_id) OVER (
+           PARTITION BY lang, h % 64 ORDER BY h, doc_id) AS nxt
+  FROM h
+),
+neg AS (
+  SELECT least(doc_id, nxt) AS doc_a, greatest(doc_id, nxt) AS doc_b,
+         0 AS label
+  FROM nn WHERE nxt IS NOT NULL
+)
+SELECT * FROM pos
+UNION ALL
+SELECT n.* FROM neg n
+LEFT JOIN pos p ON p.doc_a = n.doc_a AND p.doc_b = n.doc_b
+WHERE p.doc_a IS NULL
+""".format(pair_ctes=_minhash_pair_ctes()),
         "ccnet_buckets": """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token

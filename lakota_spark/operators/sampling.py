@@ -749,3 +749,55 @@ def leakage_safe_split(
             F.lit("train")
         ),
     )
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 64,
+    salt: str = "neg",
+) -> DataFrame:
+    """Contrastive training-pair mining for embedding models: POSITIVES
+    are the verified near-dup pairs (label 1 — semantically-same text,
+    the classic weak-supervision positive), NEGATIVES (label 0) pair
+    each doc with its hash-order neighbor inside a (lang, hash-bucket)
+    shard — same-language hard-ish negatives, deterministic (salt-keyed
+    md5 order, doc-id tie-break, no RNG), then anti-joined against the
+    positive set so an accidental near-dup can never be labeled 0.
+
+    Scale shape: negatives come from ONE window over (lang, bucket)
+    shards — ``n_buckets`` bounds shard size (scale it with the corpus;
+    no single-language giant partition), the anti-join normalizes to
+    (least, greatest) so it stays an equi-join (broadcastable — the
+    verified-pair relation is tiny next to the corpus). Returns
+    (doc_a, doc_b, label).
+
+    Reference parity: beyond-reference (training-pipeline extension
+    surface); pairs input is `minhash_dedup` / `embedding_dup_pairs`
+    output.
+    """
+    pos = pairs.select("doc_a", "doc_b", F.lit(1).alias("label"))
+    h = hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    sharded = docs.select(
+        F.col(id_col), F.col(lang_col).alias("_lang")
+    ).withColumn("_h", h).withColumn(
+        "_bucket", F.pmod(F.col("_h"), F.lit(n_buckets))
+    )
+    w = Window.partitionBy("_lang", "_bucket").orderBy("_h", id_col)
+    neg = (
+        sharded.withColumn("_nxt", F.lead(id_col).over(w))
+        .where(F.col("_nxt").isNotNull())
+        .select(
+            F.least(F.col(id_col), F.col("_nxt")).alias("doc_a"),
+            F.greatest(F.col(id_col), F.col("_nxt")).alias("doc_b"),
+            F.lit(0).alias("label"),
+        )
+        .join(
+            pos.select("doc_a", "doc_b"),
+            on=["doc_a", "doc_b"],
+            how="left_anti",
+        )
+    )
+    return pos.unionByName(neg)

@@ -694,6 +694,19 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining (round 8): verified near-dup
+    pairs as positives, deterministic same-lang hash-neighbor negatives
+    anti-joined against the positive set
+    (operators/sampling.contrastive_pairs) — the weak-supervision pair
+    set an embedding-model trainer consumes."""
+    from lakota_spark.operators.sampling import contrastive_pairs as mine
+
+    return mine(
+        _docs(spark, sf_dir), minhash_dedup_pairs(spark, sf_dir)
+    )
+
+
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-unigram importance weights with lang='en' as the
     target domain (operators/sampling.importance_weights): each raw doc

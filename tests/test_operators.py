@@ -3110,6 +3110,44 @@ def test_leakage_safe_split_cluster_atomicity(spark):
         leakage_safe_split(docs, clusters, val_pct=0)
 
 
+def test_contrastive_pairs_mining(spark):
+    # positives pass through labeled 1; negatives are same-lang
+    # hash-neighbors labeled 0, normalized (doc_a < doc_b), and NEVER
+    # overlap the positive set even when the hash neighbor happens to
+    # be a verified near-dup; deterministic across calls
+    from lakota_spark.operators.sampling import contrastive_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(1, 21)],
+        "doc_id long, lang string",
+    )
+    pairs = spark.createDataFrame(
+        [(3, 7), (5, 11)], "doc_a long, doc_b long"
+    )
+    out = contrastive_pairs(docs, pairs, n_buckets=2).collect()
+    pos = {(r.doc_a, r.doc_b) for r in out if r.label == 1}
+    neg = {(r.doc_a, r.doc_b) for r in out if r.label == 0}
+    assert pos == {(3, 7), (5, 11)}
+    assert neg and not (pos & neg)
+    lang = {r.doc_id: r.lang for r in docs.collect()}
+    for a, b in neg:
+        assert a < b and lang[a] == lang[b]
+    out2 = contrastive_pairs(docs, pairs, n_buckets=2).collect()
+    assert {(r.doc_a, r.doc_b, r.label) for r in out2} == {
+        (r.doc_a, r.doc_b, r.label) for r in out
+    }
+    # the raw hash-neighbor set includes (3,7) — proven by re-mining
+    # with run 1's negatives as the positive set: every old negative is
+    # anti-joined away and the ex-positive resurfaces as the ONLY
+    # remaining neighbor pair. So run 1 excluding (3,7) from its
+    # negatives was the anti-join doing its job, not hash luck.
+    all_neg = spark.createDataFrame(
+        [(a, b) for a, b in neg], "doc_a long, doc_b long"
+    )
+    out3 = contrastive_pairs(docs, all_neg, n_buckets=2).collect()
+    assert {(r.doc_a, r.doc_b) for r in out3 if r.label == 0} == {(3, 7)}
+
+
 def test_ccnet_buckets_scalable_null_lang_and_score(spark):
     # lang=NULL docs (langid failures) must form their own stratum —
     # a plain equi-join on lang would silently drop them; NULL-score
