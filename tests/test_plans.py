@@ -404,6 +404,20 @@ def test_multimodal_video_headers_plan_shape(spark):
     assert plans.join_strategies(df) == [], plan
 
 
+def test_contrastive_pairs_plan_shape(spark):
+    # negatives come from a SHARDED window (hashpartitioning on
+    # (lang, bucket) — never a single-partition global sort) and the
+    # positive anti-join stays an equi-join
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.contrastive_pairs(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "SinglePartition" not in plan, plan
+    strategies = plans.join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
 def test_winnow_zero_shuffle_operator(spark):
     # the selection itself is per-row array math: no joins, and the only
     # exchange allowed is the wrapper's input repartition
