@@ -778,7 +778,14 @@ def contrastive_pairs(
     surface); pairs input is `minhash_dedup` / `embedding_dup_pairs`
     output.
     """
-    pos = pairs.select("doc_a", "doc_b", F.lit(1).alias("label"))
+    # normalize orientation (identity for minhash/embedding pair output,
+    # which already emits doc_a < doc_b) so the negative anti-join can
+    # never miss a reversed positive
+    pos = pairs.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+        F.lit(1).alias("label"),
+    )
     h = hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
     sharded = docs.select(
         F.col(id_col), F.col(lang_col).alias("_lang")
