@@ -21,7 +21,9 @@ from lakota_spark.operators.dedup import dedup_clusters
 from lakota_spark.operators.index import with_global_index
 from lakota_spark.operators.kv import last_wins, update_zerofill
 from lakota_spark.operators.sampling import (
+    contrastive_pairs,
     decontaminate,
+    leakage_safe_split,
     pack_sequences,
     stratified_sample,
 )
@@ -41,6 +43,7 @@ from lakota_spark.operators.trigram import trigram_index, trigram_search
 __all__ = [
     "asof_join",
     "bm25_scores",
+    "contrastive_pairs",
     "cosine_topk",
     "decontaminate",
     "dedup_clusters",
@@ -51,6 +54,7 @@ __all__ = [
     "knn_join",
     "lang_id",
     "last_wins",
+    "leakage_safe_split",
     "lsh_ann",
     "lsh_candidates",
     "minhash_dedup",
