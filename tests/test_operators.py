@@ -3069,6 +3069,40 @@ def test_video_headers_through_spark(spark):
     assert len(feats[3]) == 8  # mp4 keeps the byte-histogram fallback
 
 
+def test_header_walk_parsers_hostile_input_fuzz():
+    # the decode stage must survive ANY payload: random bytes, truncated
+    # real streams, and sync-word-prefixed garbage either parse or fall
+    # through as None via _safe — nothing may raise an exception class
+    # _safe doesn't catch (that would escape the Spark stage)
+    import random
+
+    from lakota_spark.operators.multimodal import (
+        _parse_adts_headers,
+        _parse_h264_headers,
+        _parse_mp3_headers,
+        _safe,
+    )
+
+    rng = random.Random(8)
+    payloads = [b"", b"\x00", b"\xff" * 7]
+    for _ in range(300):
+        n = rng.randrange(0, 200)
+        payloads.append(bytes(rng.randrange(256) for _ in range(n)))
+    # adversarial prefixes: valid sync/start patterns + garbage tails
+    for pre in (b"\xff\xf1", b"\xff\xfb", b"\x00\x00\x01\x67",
+                b"\x00\x00\x01", b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f"):
+        for _ in range(50):
+            n = rng.randrange(0, 64)
+            payloads.append(pre + bytes(rng.randrange(256) for _ in range(n)))
+    for b in payloads:
+        for parser in (_parse_adts_headers, _parse_h264_headers,
+                       _parse_mp3_headers):
+            out = _safe(parser, b)
+            assert out is None or (
+                isinstance(out, tuple) and len(out) == 6
+            ), (parser.__name__, b[:16])
+
+
 def test_leakage_safe_split_cluster_atomicity(spark):
     # the split unit is the CLUSTER: every member of a cluster lands on
     # the same side; docs absent from the cluster map are singletons
