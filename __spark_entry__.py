@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_headers": pipeline.multimodal_video_headers,
         "leakage_safe_split": pipeline.leakage_safe_split,
         "contrastive_pairs": pipeline.contrastive_pairs,
+        "bpe_fertility_by_lang": pipeline.bpe_fertility_by_lang,
         # --- storage-engine round-trips (last driver row r3) ---
         "engine_tail": engine_demo.engine_tail,
         "engine_overlay_update": engine_demo.engine_overlay_update,

@@ -288,6 +288,62 @@ def bpe_token_stats(
     )
 
 
+def bpe_fertility_by_lang(
+    model: BpeModel,
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer FERTILITY report — the metric a vocab fit
+    is judged by across languages (tokens per whitespace word; a
+    language whose fertility sits far above the corpus mean is
+    under-served by the learned merges and will cost proportionally
+    more sequence length at training time). Also reports chars/token
+    (compression) and the doc/word/token mass per language so the
+    ratios can be re-weighted downstream.
+
+    Scale shape: ONE Arrow-batched encode pass (the token COUNT comes
+    out of the pandas UDF directly — the token array is never
+    materialized into a column) fused with the word/char projections,
+    then one partial-agg groupBy on the low-cardinality lang key. No
+    window, no join, no shuffle beyond the k-group agg."""
+    ranks = model.ranks()
+
+    @F.pandas_udf("long")
+    def n_tok(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return texts.map(
+            lambda t: 0 if t is None else len(encode_text(t, ranks, cache))
+        )
+
+    base = df.select(
+        F.col(lang_col).alias("lang"),
+        n_tok(F.col(text_col)).alias("n_bpe"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long")
+        .alias("n_words"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        (F.col("n_tokens") / F.greatest(F.col("n_words"), F.lit(1))).alias(
+            "tokens_per_word"
+        ),
+        (F.col("n_chars") / F.greatest(F.col("n_tokens"), F.lit(1))).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 def bpe_tokenize_ids(
     model: BpeModel,
     df: DataFrame,

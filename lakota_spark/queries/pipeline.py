@@ -1285,6 +1285,19 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TK.bpe_token_stats(_bpe_model(spark, sf_dir), _docs(spark, sf_dir))
 
 
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility of the corpus-fitted BPE (round 8):
+    tokens/word and chars/token per lang plus the doc/word/token mass —
+    the cross-language vocab-fit report a tokenizer eval produces.
+    Rows-only by design (BPE inference is not SQL-expressible); exact
+    values pinned by tests/test_tokenizer.py's driver-side recount."""
+    from lakota_spark.operators import tokenizer as TK
+
+    return TK.bpe_fertility_by_lang(
+        _bpe_model(spark, sf_dir), _docs(spark, sf_dir)
+    )
+
+
 def bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pretraining prep composite: fit BPE on the corpus,
     encode every doc to token ids, pack the id stream into fixed 64-token

@@ -48,6 +48,9 @@ def test_rows_only_entries_are_known():
         # round 7: learned-BPE fit + subword inference are not
         # SQL-expressible; pinned by tests/test_tokenizer.py instead
         "bpe_token_stats", "bpe_packed_sequences",
+        # round 8: same BPE-inference reason; pinned by the
+        # driver-recount fertility test in tests/test_tokenizer.py
+        "bpe_fertility_by_lang",
     }, no_oracle
 
 

@@ -343,3 +343,46 @@ def test_pack_null_ids_doc_is_absent(spark):
     assert rows[0] == ([1, 2, 3, -1], 1)
     assert rows[1] == ([4, 5, 6, 7], 1)
     assert rows[2] == ([-1], 1)
+
+
+def test_fertility_by_lang_matches_driver_recount(spark):
+    # per-language fertility: Spark's fused encode+count pass must equal
+    # a driver-side recount with the same model (exact longs, exact
+    # long/long ratio doubles); null text counts 0 tokens
+    from lakota_spark.operators.tokenizer import (
+        bpe_fertility_by_lang,
+        encode_text,
+        fit_bpe,
+    )
+
+    rows = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the newest widest cat"),
+        (2, "fr", "le chat est sur le tapis"),
+        (3, "fr", None),
+        (4, "de", "die katze sitzt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = fit_bpe(df, n_merges=25, max_words=1000)
+    got = {
+        r.lang: r for r in bpe_fertility_by_lang(model, df).collect()
+    }
+    ranks = model.ranks()
+    import re
+
+    exp: dict = {}
+    for _i, lang, t in rows:
+        e = exp.setdefault(lang, [0, 0, 0, 0])
+        e[0] += 1
+        if t is not None:
+            e[1] += len(re.split(r"\s+", t.strip()))
+            e[2] += len(encode_text(t, ranks, {}))
+            e[3] += len(t)
+    assert set(got) == set(exp)
+    for lang, (n_docs, n_words, n_tokens, n_chars) in exp.items():
+        r = got[lang]
+        assert (r.n_docs, r.n_words, r.n_tokens) == (
+            n_docs, n_words, n_tokens
+        ), lang
+        assert r.tokens_per_word == n_tokens / max(n_words, 1)
+        assert r.chars_per_token == n_chars / max(n_tokens, 1)
