@@ -386,3 +386,21 @@ def test_fertility_by_lang_matches_driver_recount(spark):
         ), lang
         assert r.tokens_per_word == n_tokens / max(n_words, 1)
         assert r.chars_per_token == n_chars / max(n_tokens, 1)
+
+
+def test_fertility_plan_one_arrow_pass_one_exchange(spark):
+    # the fused encode+count projection is ONE ArrowEvalPython and the
+    # only exchange is the lang groupBy's partial-agg shuffle
+    from lakota_spark.operators.tokenizer import bpe_fertility_by_lang
+
+    df = spark.createDataFrame(
+        [(0, "en", "hello world")], "doc_id long, lang string, text string"
+    )
+    model = BpeModel(merges=[("l", "o")], vocab=[])
+    plan = (
+        bpe_fertility_by_lang(model, df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("Exchange") <= 2, plan  # agg shuffle (+AQE read)
+    assert "partial" in plan.lower() or "HashAggregate" in plan, plan
