@@ -231,43 +231,56 @@ def run(spark, compact: bool = False, calib: float | None = None) -> dict:
     chunk_sizes = [500, 5_000, 50_000, 500_000]
     frag = {}
     for chunk in chunk_sizes:
-        root = tempfile.mkdtemp(prefix="bench-frag-")
-        try:
-            repo = Repo(root, spark)
-            coll = repo.create_collection(
-                Schema(timestamp="int*", value="float"), "frag"
-            )
-            series = coll.series("frag")
-            t0 = time.perf_counter()
-            for lo in range(0, N_FRAG, chunk):
-                series.write(
-                    pd.DataFrame(
-                        {
-                            "timestamp": np.arange(lo, lo + chunk),
-                            "value": values[lo : lo + chunk].astype(
-                                "float64"
-                            ),
-                        }
+        # the sub-second rungs (>=5k chunk) are a handful of ~50-100 ms
+        # writes — a single sample swings +-30% with machine noise, so
+        # they get the same best-of-3 discipline as the query bench; the
+        # 500 rung is ~5 s of real work and stays single-trial
+        trials = 1 if chunk == 500 else 3
+        write_s = read_s = None
+        disk_mb = 0.0
+        rows_ok = False
+        for _trial in range(trials):
+            root = tempfile.mkdtemp(prefix="bench-frag-")
+            try:
+                repo = Repo(root, spark)
+                coll = repo.create_collection(
+                    Schema(timestamp="int*", value="float"), "frag"
+                )
+                series = coll.series("frag")
+                t0 = time.perf_counter()
+                for lo in range(0, N_FRAG, chunk):
+                    series.write(
+                        pd.DataFrame(
+                            {
+                                "timestamp": np.arange(lo, lo + chunk),
+                                "value": values[lo : lo + chunk].astype(
+                                    "float64"
+                                ),
+                            }
+                        )
                     )
-                )
-            write_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            n = series.frame(sort=False).count()
-            read_s = time.perf_counter() - t0
-            frag[str(chunk)] = {
-                "write_s": round(write_s, 2),
-                "read_s": round(read_s, 2),
-                "rows_ok": n == N_FRAG,
-                "on_disk_mb": round(dir_size(root) / 1e6, 1),
-                "write_vs_ref": round(write_s / REF["frag"][chunk], 2),
-                "disk_vs_ref_mb": REF["frag_mb"][chunk],
-            }
-            if calib:
-                frag[str(chunk)]["write_vs_ref_norm"] = round(
-                    write_s * (CALIB_BASE / calib) / REF["frag"][chunk], 2
-                )
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
+                w = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                n = series.frame(sort=False).count()
+                r = time.perf_counter() - t0
+                rows_ok = rows_ok or n == N_FRAG
+                disk_mb = dir_size(root) / 1e6
+                write_s = w if write_s is None or w < write_s else write_s
+                read_s = r if read_s is None or r < read_s else read_s
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+        frag[str(chunk)] = {
+            "write_s": round(write_s, 2),
+            "read_s": round(read_s, 2),
+            "rows_ok": rows_ok,
+            "on_disk_mb": round(disk_mb, 1),
+            "write_vs_ref": round(write_s / REF["frag"][chunk], 2),
+            "disk_vs_ref_mb": REF["frag_mb"][chunk],
+        }
+        if calib:
+            frag[str(chunk)]["write_vs_ref_norm"] = round(
+                write_s * (CALIB_BASE / calib) / REF["frag"][chunk], 2
+            )
     out["fragmentation"] = frag
     return out
 
