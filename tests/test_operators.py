@@ -2985,6 +2985,20 @@ def _mk_sps(profile=66, level=31, w_mbs=80, h_units=45, crop=None,
     return bw.rbsp()
 
 
+def _ep_escape(raw: bytes) -> bytes:
+    """Spec-required emulation-prevention escape (00 00 [0-3] -> insert
+    03) — test-side twin of the parser's _h264_rbsp unescape."""
+    esc = bytearray()
+    zeros = 0
+    for byte in raw:
+        if zeros >= 2 and byte <= 3:
+            esc.append(3)
+            zeros = 0
+        esc.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return bytes(esc)
+
+
 def _annexb(*nals):
     """Join NAL units with alternating 4-/3-byte start codes."""
     out = bytearray()
@@ -3025,16 +3039,8 @@ def test_h264_sps_header_walk_golden():
     # emulation prevention: a crafted SPS containing 00 00 03 is
     # unescaped before bit parsing — build one by re-escaping
     raw = _mk_sps(w_mbs=4, h_units=4)
-    esc = bytearray()
-    zeros = 0
-    for byte in raw:
-        if zeros >= 2 and byte <= 3:
-            esc.append(3)
-            zeros = 0
-        esc.append(byte)
-        zeros = zeros + 1 if byte == 0 else 0
     assert _parse_h264_headers(
-        _annexb(bytes([0x67]) + bytes(esc), idr)
+        _annexb(bytes([0x67]) + _ep_escape(raw), idr)
     )[0] == 64.0
     # rejections: random bytes; no SPS; forbidden bit set
     assert _parse_h264_headers(b"\x01\x02" * 100) is None
@@ -3067,6 +3073,94 @@ def test_video_headers_through_spark(spark):
     assert feats[1][:2] == [1280.0, 720.0] and feats[1][4] == 2.0
     assert feats[2] == [4.0, 4.0, 0.0, 0.0, 2.0, 2.0]
     assert len(feats[3]) == 8  # mp4 keeps the byte-histogram fallback
+
+
+def test_adts_walk_differential_property():
+    # differential property vs the independent test-side encoder: any
+    # coherent (rate, channels, crc, blocks, frame-length list) stream
+    # must parse back its exact duration/rate/channel/frame-count math
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakota_spark.operators.multimodal import (
+        _ADTS_RATES,
+        _parse_adts_headers,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sr_idx=st.integers(0, len(_ADTS_RATES) - 1),
+        ch_cfg=st.integers(1, 7),
+        crc=st.booleans(),
+        id3=st.booleans(),
+        n_blocks=st.integers(1, 4),
+        flens=st.lists(st.integers(16, 600), min_size=2, max_size=12),
+    )
+    def check(sr_idx, ch_cfg, crc, id3, n_blocks, flens):
+        blob = _mk_adts(flens, sr_idx=sr_idx, ch_cfg=ch_cfg, crc=crc,
+                        id3=id3, n_blocks=n_blocks)
+        dur, kbps, rate, ch, n, vbr = _parse_adts_headers(blob)
+        rate_exp = _ADTS_RATES[sr_idx]
+        spf = 1024 * n_blocks
+        assert n == len(flens)
+        assert rate == float(rate_exp)
+        assert ch == (8.0 if ch_cfg == 7 else float(ch_cfg))
+        assert abs(dur - len(flens) * spf / rate_exp) < 1e-9
+        kbps_exp = [f * 8.0 * rate_exp / (spf * 1000.0) for f in flens]
+        assert abs(kbps - sum(kbps_exp) / len(kbps_exp)) < 1e-9
+        assert vbr == (1.0 if len(set(flens)) > 1 else 0.0)
+
+    check()
+
+
+def test_h264_sps_differential_property():
+    # any SPS the test-side bit writer can express (profile class, crop,
+    # poc branch, chroma format) must parse back the spec's exact
+    # width/height arithmetic — including the chroma-dependent crop units
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakota_spark.operators.multimodal import _parse_h264_headers
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        profile=st.sampled_from([66, 77, 100, 244]),
+        level=st.sampled_from([10, 21, 31, 40, 51]),
+        w_mbs=st.integers(1, 260),
+        h_units=st.integers(1, 130),
+        crop=st.one_of(
+            st.none(),
+            st.tuples(st.integers(0, 2), st.integers(0, 2),
+                      st.integers(0, 2), st.integers(0, 2)),
+        ),
+        poc_type=st.sampled_from([0, 1, 2]),
+        n_p_slices=st.integers(0, 4),
+    )
+    def check(profile, level, w_mbs, h_units, crop, poc_type, n_p_slices):
+        # keep crop strictly inside the coded size
+        if crop and (crop[0] + crop[1]) * 2 >= w_mbs * 16:
+            crop = None
+        if crop and (crop[2] + crop[3]) * 2 >= h_units * 16:
+            crop = None
+        sps = bytes([0x67]) + _ep_escape(
+            _mk_sps(
+                profile=profile, level=level, w_mbs=w_mbs,
+                h_units=h_units, crop=crop, poc_type=poc_type,
+            )
+        )
+        idr = bytes([0x65, 0x88, 0x13])
+        p = bytes([0x41, 0x9A, 0x77])
+        blob = _annexb(sps, idr, *([p] * n_p_slices))
+        w, h, prof, lvl, n_pics, n_idr = _parse_h264_headers(blob)
+        exp_w = w_mbs * 16 - (crop[0] + crop[1]) * 2 if crop else w_mbs * 16
+        exp_h = (
+            h_units * 16 - (crop[2] + crop[3]) * 2 if crop else h_units * 16
+        )
+        assert (w, h) == (float(exp_w), float(exp_h))
+        assert (prof, lvl) == (float(profile), level / 10.0)
+        assert (n_pics, n_idr) == (float(1 + n_p_slices), 1.0)
+
+    check()
 
 
 def test_header_walk_parsers_hostile_input_fuzz():
