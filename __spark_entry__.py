@@ -655,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": pipeline.leakage_safe_split,
         "contrastive_pairs": pipeline.contrastive_pairs,
         "bpe_fertility_by_lang": pipeline.bpe_fertility_by_lang,
+        "multimodal_container_headers": pipeline.multimodal_container_headers,
         # --- storage-engine round-trips (last driver row r3) ---
         "engine_tail": engine_demo.engine_tail,
         "engine_overlay_update": engine_demo.engine_overlay_update,
@@ -2275,6 +2276,28 @@ SELECT doc_id AS media_id,
              ELSE 1.0 + doc_id % 4 END, 6) AS n_pictures,
   round(CASE WHEN doc_id % 2 = 0 THEN 1.0
              ELSE 1.0 + doc_id % 4 END, 6) AS n_idr
+FROM documents
+ORDER BY media_id
+""",
+        # closed-form twin of the Ogg-Opus / m4a payloads the Spark side
+        # builds JVM-side; the division chains mirror the page/box walks'
+        # operation order so the IEEE doubles match bit-for-bit
+        "multimodal_container_headers": f"""
+SELECT doc_id AS media_id,
+  round(CASE WHEN doc_id % 2 = 0
+             THEN (960 * (1 + doc_id % 6)) / 48000.0
+             ELSE (250 * (1 + doc_id % 8)) / 1000.0 END, 6) AS duration_s,
+  round(CASE WHEN doc_id % 2 = 0
+             THEN {pipeline.OGG_TEMPLATE_LEN} * 8.0
+                  / ((960 * (1 + doc_id % 6)) / 48000.0) / 1000.0
+             ELSE {pipeline.M4A_TEMPLATE_LEN} * 8.0
+                  / ((250 * (1 + doc_id % 8)) / 1000.0) / 1000.0
+        END, 6) AS kbps,
+  round(CASE WHEN doc_id % 2 = 0 THEN 48000.0 ELSE 8000.0 END, 6) AS rate_hz,
+  round(1.0 + doc_id % 2, 6) AS channels,
+  round(CASE WHEN doc_id % 2 = 0 THEN 2.0
+             ELSE 1.0 + doc_id % 5 END, 6) AS n_frames,
+  round(CASE WHEN doc_id % 2 = 0 THEN 0.0 ELSE 1.0 END, 6) AS vbr
 FROM documents
 ORDER BY media_id
 """,

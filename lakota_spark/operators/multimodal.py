@@ -1492,6 +1492,243 @@ def _parse_adts_headers(b: bytes):
     )
 
 
+def _parse_ogg_headers(b: bytes):
+    """Ogg container walk (round 8, third session): duration / bitrate /
+    rate / channel features for Vorbis and Opus payloads WITHOUT any
+    codec decode — page-structure parse only, closing the "ogg" half of
+    the remaining perceptual-container fallback. Same 6-float descriptor
+    contract as the mp3/ADTS walks: ``(duration_s, kbps_mean, rate_hz,
+    channels, n_pages, is_vbr)``.
+
+    Each Ogg page is ``"OggS" ver(0) header_type granule(8 LE)
+    serial(4) seq(4) crc(4) n_segs lacing[n_segs] body``; the
+    beginning-of-stream page carries the codec id header
+    (``\\x01vorbis``: channels @11, rate LE32 @12; ``OpusHead``:
+    channels @9, pre_skip LE16 @10, granule rate fixed 48 kHz). The
+    final granule position counts PCM samples, so page arithmetic gives
+    exact duration. CRC fields are not verified (that would not change
+    any emitted feature). Rejections keep the fallback honest: ≥2 pages
+    required, a single logical stream only (one serial), the walk must
+    consume ≥90% of the payload, and a stream whose BOS page is neither
+    Vorbis nor Opus falls through. ``is_vbr`` flags varying data-page
+    body sizes (the same "frame sizes vary" reading as the ADTS walk).
+    """
+    if not b.startswith(b"OggS"):
+        return None
+    pos = 0
+    rate = channels = serial0 = last_granule = None
+    pre_skip = 0
+    is_opus = False
+    n_pages = 0
+    body_sizes: list[int] = []
+    while pos + 27 <= len(b):
+        if b[pos : pos + 4] != b"OggS" or b[pos + 4] != 0:
+            break
+        htype = b[pos + 5]
+        granule = int.from_bytes(b[pos + 6 : pos + 14], "little", signed=True)
+        serial = int.from_bytes(b[pos + 14 : pos + 18], "little")
+        nseg = b[pos + 26]
+        body_start = pos + 27 + nseg
+        if body_start > len(b):
+            break
+        body_len = sum(b[pos + 27 : body_start])
+        if body_start + body_len > len(b):
+            break
+        if serial0 is None:
+            serial0 = serial
+        elif serial != serial0:
+            return None  # multiplexed/chained streams: fall through
+        if htype & 2:  # beginning-of-stream page: codec id header
+            body = b[body_start : body_start + body_len]
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                channels = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+            elif body[:8] == b"OpusHead" and len(body) >= 12:
+                is_opus = True
+                channels = body[9]
+                pre_skip = int.from_bytes(body[10:12], "little")
+                rate = 48000  # Opus granules are always 48 kHz
+            else:
+                return None
+        else:
+            body_sizes.append(body_len)
+        if granule > 0:
+            last_granule = granule
+        n_pages += 1
+        pos = body_start + body_len
+    if (
+        n_pages < 2
+        or not rate
+        or last_granule is None
+        or pos < len(b) * 9 // 10
+    ):
+        return None
+    samples = max(last_granule - (pre_skip if is_opus else 0), 0)
+    duration = samples / float(rate)
+    kbps = (pos * 8.0 / duration / 1000.0) if duration > 0 else 0.0
+    return (
+        duration,
+        kbps,
+        float(rate),
+        float(channels),
+        float(n_pages),
+        1.0 if body_sizes and max(body_sizes) != min(body_sizes) else 0.0,
+    )
+
+
+def _iter_mp4_boxes(b: bytes, pos: int, end: int):
+    """Yield ``(fourcc, body_start, box_end)`` for the ISO-BMFF boxes in
+    ``b[pos:end]``. Handles 64-bit ``largesize`` (size==1) and
+    to-end-of-file (size==0) boxes; stops at the first malformed box so
+    hostile payloads terminate instead of looping."""
+    while pos + 8 <= end:
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        fourcc = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield fourcc, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_fullbox_ts_dur(body: bytes):
+    """(timescale, duration) from an mvhd/mdhd full-box body — version 0
+    packs them as u32 @12/@16 after ctime/mtime, version 1 as u32 @20 /
+    u64 @24 after 64-bit times."""
+    if not body:
+        return None
+    if body[0] == 0:
+        if len(body) < 20:
+            return None
+        return (
+            int.from_bytes(body[12:16], "big"),
+            int.from_bytes(body[16:20], "big"),
+        )
+    if len(body) < 32:
+        return None
+    return (
+        int.from_bytes(body[20:24], "big"),
+        int.from_bytes(body[24:32], "big"),
+    )
+
+
+def _parse_mp4_headers(b: bytes):
+    """ISO-BMFF (mp4/m4a/mov) container walk (round 8, third session):
+    the structural parse that closes the "mp4" half of the remaining
+    perceptual-container fallback — box tree only, no codec decode.
+    Returns a dict with movie duration, per-kind track counts, the
+    video track's tkhd dimensions, and the first audio track's mp4a
+    sample-entry rate/channels + stsz frame stats, or None when the
+    payload is not BMFF (first box must be ``ftyp`` and a ``moov`` with
+    a parseable ``mvhd`` + ≥1 ``trak`` is required, so random bytes and
+    other RIFF-ish containers fall through to the byte-histogram).
+
+    Box layout facts used (ISO/IEC 14496-12): ``tkhd`` ends with
+    width/height as 16.16 fixed-point, ``hdlr`` carries the track kind
+    at body[8:12] (``vide``/``soun``), ``stsd``'s first sample entry
+    fourcc names the codec, an audio sample entry packs channelcount
+    @24 and samplerate (16.16) @32 of the entry, and ``stsz`` with
+    sample_size==0 means per-sample sizes vary (the is_vbr reading)."""
+    boxes = list(_iter_mp4_boxes(b, 0, len(b)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        return None
+    moov = next(((s, e) for t, s, e in boxes if t == b"moov"), None)
+    if moov is None:
+        return None
+    info = {
+        "duration_s": 0.0, "n_video": 0, "n_audio": 0,
+        "width": 0.0, "height": 0.0, "v_samples": 0.0,
+        "rate": 0.0, "channels": 0.0, "n_samples": 0.0, "vbr": 0.0,
+    }
+    have_mvhd = False
+    n_trak = 0
+    for t, s, e in _iter_mp4_boxes(b, moov[0], moov[1]):
+        if t == b"mvhd":
+            td = _mp4_fullbox_ts_dur(b[s:e])
+            if td and td[0]:
+                info["duration_s"] = td[1] / float(td[0])
+                have_mvhd = True
+        elif t == b"trak":
+            n_trak += 1
+            kind = None
+            tkhd_wh = (0.0, 0.0)
+            rate = channels = 0.0
+            n_samples = vbr = 0.0
+            mdhd_rate = 0.0
+            for t2, s2, e2 in _iter_mp4_boxes(b, s, e):
+                if t2 == b"tkhd" and e2 - s2 >= 8:
+                    tkhd_wh = (
+                        int.from_bytes(b[e2 - 8 : e2 - 4], "big") / 65536.0,
+                        int.from_bytes(b[e2 - 4 : e2], "big") / 65536.0,
+                    )
+                elif t2 == b"mdia":
+                    for t3, s3, e3 in _iter_mp4_boxes(b, s2, e2):
+                        if t3 == b"mdhd":
+                            td = _mp4_fullbox_ts_dur(b[s3:e3])
+                            if td and td[0]:
+                                mdhd_rate = float(td[0])
+                        elif t3 == b"hdlr" and e3 - s3 >= 12:
+                            kind = b[s3 + 8 : s3 + 12]
+                        elif t3 == b"minf":
+                            for t4, s4, e4 in _iter_mp4_boxes(b, s3, e3):
+                                if t4 != b"stbl":
+                                    continue
+                                for t5, s5, e5 in _iter_mp4_boxes(
+                                    b, s4, e4
+                                ):
+                                    if t5 == b"stsd" and e5 - s5 >= 8 + 36:
+                                        # audio SampleEntry: 16-byte
+                                        # header + 8 reserved, then
+                                        # channelcount @24, 16.16
+                                        # samplerate @32
+                                        ent = s5 + 8
+                                        channels = float(
+                                            int.from_bytes(
+                                                b[ent + 24 : ent + 26],
+                                                "big",
+                                            )
+                                        )
+                                        rate = (
+                                            int.from_bytes(
+                                                b[ent + 32 : ent + 36],
+                                                "big",
+                                            )
+                                            / 65536.0
+                                        )
+                                    elif t5 == b"stsz" and e5 - s5 >= 12:
+                                        fixed = int.from_bytes(
+                                            b[s5 + 4 : s5 + 8], "big"
+                                        )
+                                        n_samples = float(
+                                            int.from_bytes(
+                                                b[s5 + 8 : s5 + 12], "big"
+                                            )
+                                        )
+                                        vbr = 1.0 if fixed == 0 else 0.0
+            if kind == b"vide":
+                info["n_video"] += 1
+                if not info["width"]:
+                    info["width"], info["height"] = tkhd_wh
+                    info["v_samples"] = n_samples
+            elif kind == b"soun":
+                info["n_audio"] += 1
+                if not info["rate"]:
+                    info["rate"] = rate or mdhd_rate
+                    info["channels"] = channels
+                    info["n_samples"] = n_samples
+                    info["vbr"] = vbr
+    if not have_mvhd or n_trak == 0:
+        return None
+    return info
+
+
 def _audio_features(samples, rate: int) -> list[float]:
     """[duration_s, rms, zero_crossing_rate, peak] — deterministic
     4-float descriptor of a mono sample array."""
@@ -1510,9 +1747,12 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     (integer PCM, IEEE float, G.711 µ-law/A-law, IMA ADPCM) and FLAC
     (pure python/numpy — round 7); mp3 AND AAC-ADTS get frame-header
     walks (round 8: exact duration/bitrate/rate/channels without
-    entropy decode, the same 6-float header descriptor); byte-histogram
-    fallback only for the remaining perceptual containers (ogg/mp4
-    would need ffmpeg/librosa, absent here)."""
+    entropy decode, the same 6-float header descriptor); Ogg
+    (Vorbis/Opus) gets the page walk and audio-only BMFF (m4a/mp4) the
+    box walk — same 6-float descriptor, duration from container
+    arithmetic. Byte-histogram fallback only for payloads no structural
+    parse claims (sample DECODE of the perceptual codecs would need
+    ffmpeg/librosa, absent here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def decode(b: bytes) -> list[float]:
@@ -1524,6 +1764,20 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             hdr = _safe(_parse_mp3_headers, bytes(b))
             if hdr is None:
                 hdr = _safe(_parse_adts_headers, bytes(b))
+            if hdr is None:
+                hdr = _safe(_parse_ogg_headers, bytes(b))
+            if hdr is None:
+                mp4 = _safe(_parse_mp4_headers, bytes(b))
+                if mp4 is not None and mp4["n_audio"] and not mp4["n_video"]:
+                    dur = mp4["duration_s"]
+                    hdr = (
+                        dur,
+                        (len(b) * 8.0 / dur / 1000.0) if dur > 0 else 0.0,
+                        mp4["rate"],
+                        mp4["channels"],
+                        mp4["n_samples"],
+                        mp4["vbr"],
+                    )
             if hdr is not None:
                 return list(hdr)
             counts = [0] * 8
@@ -1798,9 +2052,11 @@ def extract_video_headers(media: DataFrame) -> DataFrame:
     for inter-frame codecs whose FRAMES genuinely need ffmpeg, absent
     here); Y4M containers report (width, height, 0, 0, n_frames,
     n_frames) from the stream header so both real video formats share
-    the descriptor; anything else gets the deterministic 8-float
-    byte-histogram. Same (media_id, mime, n_bytes, feature) contract as
-    the image/audio extractors."""
+    the descriptor; BMFF containers with a video track (mp4/mov) report
+    (width, height, duration_s, n_video_samples, n_video_tracks,
+    n_audio_tracks) from the round-8 box walk; anything else gets the
+    deterministic 8-float byte-histogram. Same (media_id, mime,
+    n_bytes, feature) contract as the image/audio extractors."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def decode(b: bytes) -> list[float]:
@@ -1808,6 +2064,16 @@ def extract_video_headers(media: DataFrame) -> DataFrame:
             hdr = _safe(_parse_h264_headers, b)
             if hdr is not None:
                 return list(hdr)
+            mp4 = _safe(_parse_mp4_headers, b)
+            if mp4 is not None and mp4["n_video"]:
+                return [
+                    mp4["width"],
+                    mp4["height"],
+                    mp4["duration_s"],
+                    mp4["v_samples"],
+                    float(mp4["n_video"]),
+                    float(mp4["n_audio"]),
+                ]
             if b.startswith(b"YUV4MPEG2"):
                 # malformed Y4M (garbage ints, missing newline) falls
                 # through to the histogram, same as frame_sample

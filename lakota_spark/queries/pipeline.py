@@ -1041,6 +1041,176 @@ def multimodal_video_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _template_col(template: bytes, repl) -> "F.Column":
+    """Interleave the fixed spans of a binary template with per-row value
+    columns: split ``template`` at each ``(placeholder, column)`` in
+    order and concat ``unhex`` literals with the columns — the JVM-side
+    binary builder the oracle-exact multimodal entries use (every
+    varying field is fixed-width, so payload length stays closed-form).
+    """
+    pieces = []
+    pos = 0
+    for ph, col in repl:
+        i = template.index(ph, pos)
+        if i > pos:
+            pieces.append(F.unhex(F.lit(template[pos:i].hex())))
+        pieces.append(col)
+        pos = i + len(ph)
+    if pos < len(template):
+        pieces.append(F.unhex(F.lit(template[pos:].hex())))
+    return F.concat(*pieces)
+
+
+def _be_col(col, nbytes: int):
+    """Fixed-width big-endian binary of an integer column."""
+    return F.unhex(F.lpad(F.hex(col.cast("long")), 2 * nbytes, "0"))
+
+
+def _le_col(col, nbytes: int):
+    """Fixed-width little-endian binary: byte-swap the padded hex."""
+    h = F.lpad(F.hex(col.cast("long")), 2 * nbytes, "0")
+    return F.unhex(
+        F.concat(*[
+            F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))
+        ])
+    )
+
+
+# Placeholder byte strings for the container templates — distinctive
+# sequences that cannot occur in the fixed spans around them.
+_PH_CH8 = b"\xde"  # 1-byte channel count (Ogg OpusHead)
+_PH_GRAN = b"\xde\xad\xc0\x01\xde\xad\xc0\x01"  # 8-byte LE granule
+_PH_DUR = b"\xde\xad\xc0\x02"  # mvhd duration u32
+_PH_CH16 = b"\xde\xa2"  # stsd channelcount u16
+_PH_CNT = b"\xde\xad\xc0\x03"  # stsz sample_count u32
+_PH_TXT = b"\x7f" * 24  # 24-byte sanitized text body
+
+
+def _ogg_opus_template() -> bytes:
+    """Two-page Ogg-Opus stream: BOS page carrying OpusHead (pre_skip
+    312) + one data page whose granule position is the varying field.
+    CRCs are zero — the walk never checks them, and real decoders are
+    out of scope for a header oracle."""
+    opus = (
+        b"OpusHead\x01" + _PH_CH8 + (312).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + b"\x00\x00\x00"
+    )
+    p1 = (
+        b"OggS\x00\x02" + (0).to_bytes(8, "little")
+        + (7).to_bytes(4, "little") + (0).to_bytes(4, "little")
+        + b"\x00" * 4 + b"\x01" + bytes([len(opus)]) + opus
+    )
+    p2 = (
+        b"OggS\x00\x04" + _PH_GRAN
+        + (7).to_bytes(4, "little") + (1).to_bytes(4, "little")
+        + b"\x00" * 4 + b"\x01" + bytes([len(_PH_TXT)]) + _PH_TXT
+    )
+    return p1 + p2
+
+
+def _m4a_template() -> bytes:
+    """Single-audio-track BMFF (m4a): spec-complete mvhd/tkhd/mdhd/hdlr/
+    stsd/stsz layouts with u32 movie duration, u16 channelcount and u32
+    stsz sample_count as the varying fields (timescale 1000, mp4a rate
+    8000 in 16.16, sample_size 0 so the walk reads VBR), and a 24-byte
+    mdat of sanitized document text."""
+    u32 = lambda v: v.to_bytes(4, "big")  # noqa: E731
+    u16 = lambda v: v.to_bytes(2, "big")  # noqa: E731
+    box = lambda t, *p: u32(8 + sum(len(x) for x in p)) + t + b"".join(p)  # noqa: E731
+    full = lambda t, body: box(t, b"\x00\x00\x00\x00" + body)  # noqa: E731
+    matrix = u32(0x10000) + b"\x00" * 12 + u32(0x10000) + b"\x00" * 12 + u32(0x40000000)
+    mvhd = full(b"mvhd", (
+        u32(0) * 2 + u32(1000) + _PH_DUR + u32(0x10000) + u16(0x100)
+        + b"\x00" * 10 + matrix + b"\x00" * 24 + u32(2)
+    ))
+    entry = (
+        u32(36) + b"mp4a" + b"\x00" * 6 + u16(1) + b"\x00" * 8
+        + _PH_CH16 + u16(16) + b"\x00" * 4 + u32(8000 << 16)
+    )
+    stbl = box(
+        b"stbl",
+        full(b"stsd", u32(1) + entry),
+        full(b"stsz", u32(0) + _PH_CNT),
+    )
+    mdia = box(
+        b"mdia",
+        full(b"mdhd", u32(0) * 2 + u32(8000) + u32(8000) + b"\x55\xc4\x00\x00"),
+        full(b"hdlr", b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"\x00"),
+        box(b"minf", stbl),
+    )
+    tkhd = full(b"tkhd", (
+        u32(0) * 2 + u32(1) + b"\x00" * 4 + u32(1000) + b"\x00" * 8
+        + b"\x00" * 6 + u16(0x100) + matrix + b"\x00" * 8
+    ))
+    return (
+        box(b"ftyp", b"M4A \x00\x00\x00\x00mp42")
+        + box(b"moov", mvhd, box(b"trak", tkhd, mdia))
+        + box(b"mdat", _PH_TXT)
+    )
+
+
+def multimodal_container_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT container-walk entry (round 8, third session): every
+    document becomes a REAL audio container built JVM-side — even
+    doc_ids a two-page Ogg-Opus stream whose data-page granule encodes
+    1+doc_id%6 Opus frames past the 312-sample pre-skip, odd doc_ids a
+    single-track m4a whose mvhd duration / stsd channelcount / stsz
+    sample_count are per-doc fields — and ``extract_audio_features``'s
+    page/box walks must recover the spec'd duration / bitrate / rate /
+    channels / frame counts EXACTLY. Same closed-form-oracle discipline
+    as `multimodal_video_headers`; payload lengths are constants by
+    construction (every varying field is fixed-width, text is sanitized
+    to 24 ASCII bytes), so even kbps has a closed form. The IEEE
+    division chains in the oracle mirror the parser's operation order
+    bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    txt = F.encode(
+        F.expr(
+            "rpad(regexp_replace(substring(text, 1, 24), '[^ -~]', 'x'),"
+            " 24, 'x')"
+        ),
+        "utf-8",
+    )
+    ch = 1 + F.col("doc_id") % 2
+    ogg = _template_col(_ogg_opus_template(), [
+        (_PH_CH8, _be_col(ch, 1)),
+        (_PH_GRAN, _le_col(F.lit(312) + 960 * (1 + F.col("doc_id") % 6), 8)),
+        (_PH_TXT, txt),
+    ])
+    m4a = _template_col(_m4a_template(), [
+        (_PH_DUR, _be_col(250 * (1 + F.col("doc_id") % 8), 4)),
+        (_PH_CH16, _be_col(ch, 2)),
+        (_PH_CNT, _be_col(1 + F.col("doc_id") % 5, 4)),
+        (_PH_TXT, txt),
+    ])
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, ogg).otherwise(m4a).alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("audio/ogg"))
+        .otherwise(F.lit("audio/mp4"))
+        .alias("mime"),
+        F.lit(0).cast("long").alias("n_bytes"),
+        F.lit("{}").alias("meta"),
+    ).withColumn("n_bytes", F.octet_length("payload"))
+    feats = M.extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        *[
+            F.round(F.element_at("feature", i + 1), 6).alias(name)
+            for i, name in enumerate(
+                ["duration_s", "kbps", "rate_hz", "channels", "n_frames",
+                 "vbr"]
+            )
+        ],
+    )
+
+
+# Closed-form payload lengths for the container oracle (both templates
+# substitute fixed-width fields, so len(template) IS the payload length).
+OGG_TEMPLATE_LEN = len(_ogg_opus_template())
+M4A_TEMPLATE_LEN = len(_m4a_template())
+
+
 # --- sketches (rows-only: approximate by construction) --------------------
 
 def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

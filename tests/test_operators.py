@@ -3174,6 +3174,8 @@ def test_header_walk_parsers_hostile_input_fuzz():
         _parse_adts_headers,
         _parse_h264_headers,
         _parse_mp3_headers,
+        _parse_mp4_headers,
+        _parse_ogg_headers,
         _safe,
     )
 
@@ -3184,17 +3186,21 @@ def test_header_walk_parsers_hostile_input_fuzz():
         payloads.append(bytes(rng.randrange(256) for _ in range(n)))
     # adversarial prefixes: valid sync/start patterns + garbage tails
     for pre in (b"\xff\xf1", b"\xff\xfb", b"\x00\x00\x01\x67",
-                b"\x00\x00\x01", b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f"):
+                b"\x00\x00\x01", b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f",
+                b"OggS\x00\x02", b"\x00\x00\x00\x18ftypisom",
+                b"\x00\x00\x00\x01ftyp", b"\x00\x00\x00\x00moov"):
         for _ in range(50):
             n = rng.randrange(0, 64)
             payloads.append(pre + bytes(rng.randrange(256) for _ in range(n)))
     for b in payloads:
         for parser in (_parse_adts_headers, _parse_h264_headers,
-                       _parse_mp3_headers):
+                       _parse_mp3_headers, _parse_ogg_headers):
             out = _safe(parser, b)
             assert out is None or (
                 isinstance(out, tuple) and len(out) == 6
             ), (parser.__name__, b[:16])
+        out = _safe(_parse_mp4_headers, b)
+        assert out is None or isinstance(out, dict), b[:16]
 
 
 def test_leakage_safe_split_cluster_atomicity(spark):
@@ -4529,3 +4535,275 @@ def test_score_hist_tracker_publish_race_retries(spark, tmp_path):
     # all three batches' counts present: bins for 0.0 (bin 8), 1.0
     # (bin 9), 2.0 (bin 11)
     assert got == {8: 10, 9: 7, 11: 5}
+
+
+# --- round-8 third session: Ogg page walk + ISO-BMFF box walk -------------
+
+
+def _mk_ogg(pages, serial=7):
+    """Independent test-side Ogg page writer: one page per (header_type,
+    granule, body) triple — spec-faithful lacing (255-spans + terminal
+    short segment); CRC left zero (the walk never verifies it)."""
+    out = bytearray()
+    for seq, (htype, granule, body) in enumerate(pages):
+        segs = []
+        n = len(body)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        out += b"OggS\x00" + bytes([htype])
+        out += granule.to_bytes(8, "little", signed=True)
+        out += serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+        out += b"\x00\x00\x00\x00" + bytes([len(segs)]) + bytes(segs)
+        out += body
+    return bytes(out)
+
+
+def _vorbis_id(channels, rate):
+    return (
+        b"\x01vorbis"
+        + (0).to_bytes(4, "little")
+        + bytes([channels])
+        + rate.to_bytes(4, "little")
+        + b"\x00" * 12  # bitrate max/nominal/min
+        + b"\xb8"  # blocksizes
+        + b"\x01"  # framing bit
+    )
+
+
+def _opus_head(channels, pre_skip, input_rate=44100):
+    return (
+        b"OpusHead\x01"
+        + bytes([channels])
+        + pre_skip.to_bytes(2, "little")
+        + input_rate.to_bytes(4, "little")
+        + b"\x00\x00"  # output gain
+        + b"\x00"  # mapping family
+    )
+
+
+def test_ogg_page_walk_golden():
+    from lakota_spark.operators.multimodal import _parse_ogg_headers
+
+    # Vorbis: BOS + comment page (granule 0) + one audio page at
+    # granule 88200 -> exactly 2 s at 44.1 kHz stereo
+    blob = _mk_ogg([
+        (2, 0, _vorbis_id(2, 44100)),
+        (0, 0, b"\x03vorbis" + b"\x00" * 40),
+        (4, 88200, b"\xaa" * 300),  # >255 bytes: spans two lacing segs
+    ])
+    dur, kbps, rate, ch, n, vbr = _parse_ogg_headers(blob)
+    assert (rate, ch, n, vbr) == (44100.0, 2.0, 3.0, 1.0)
+    assert abs(dur - 2.0) < 1e-9
+    assert abs(kbps - len(blob) * 8 / 2.0 / 1000.0) < 1e-9
+    # Opus: granules are 48 kHz and pre_skip is subtracted
+    blob2 = _mk_ogg([
+        (2, 0, _opus_head(1, 312)),
+        (0, 0, b"OpusTags" + b"\x00" * 8),
+        (4, 312 + 9600, b"\xbb" * 64),
+    ])
+    dur2, _, rate2, ch2, n2, _ = _parse_ogg_headers(blob2)
+    assert (rate2, ch2, n2) == (48000.0, 1.0, 3.0)
+    assert abs(dur2 - 9600 / 48000.0) < 1e-9
+    # equal-size data pages read as CBR-ish (is_vbr = 0)
+    cbr = _mk_ogg([
+        (2, 0, _opus_head(2, 0)),
+        (0, 960, b"\xcc" * 50),
+        (4, 1920, b"\xdd" * 50),
+    ])
+    assert _parse_ogg_headers(cbr)[5] == 0.0
+    # rejections: not Ogg; single page; non-audio BOS codec; second
+    # logical stream (different serial); >10% trailing garbage
+    assert _parse_ogg_headers(b"\x00" * 64) is None
+    assert _parse_ogg_headers(_mk_ogg([(2, 0, _vorbis_id(2, 44100))])) is None
+    assert _parse_ogg_headers(
+        _mk_ogg([(2, 0, b"Speex   " + b"\x00" * 20), (4, 100, b"x")])
+    ) is None
+    assert _parse_ogg_headers(
+        _mk_ogg([(2, 0, _vorbis_id(2, 44100))])
+        + _mk_ogg([(4, 100, b"x" * 30)], serial=9)
+    ) is None
+    assert _parse_ogg_headers(blob2 + b"\x00" * len(blob2)) is None
+
+
+def _box(t, *payload):
+    body = b"".join(payload)
+    return (8 + len(body)).to_bytes(4, "big") + t + body
+
+
+def _fullbox(t, ver, body):
+    return _box(t, bytes([ver, 0, 0, 0]) + body)
+
+
+def _mk_m4a(timescale=1000, duration=2500, rate=48000, channels=2,
+            n_samples=117, sample_size=0, mdat=b"\x00" * 256):
+    """Independent test-side BMFF writer: spec-complete mvhd/tkhd/mdhd
+    field layouts (not just the offsets the parser reads)."""
+    mvhd = _fullbox(b"mvhd", 0, (
+        (0).to_bytes(4, "big") * 2
+        + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+        + b"\x00" * 10 + _UNITY_MATRIX + b"\x00" * 24
+        + (2).to_bytes(4, "big")
+    ))
+    entry = (
+        (36).to_bytes(4, "big") + b"mp4a" + b"\x00" * 6
+        + (1).to_bytes(2, "big") + b"\x00" * 8
+        + channels.to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + b"\x00" * 4 + (rate << 16).to_bytes(4, "big")
+    )
+    stbl = _box(
+        b"stbl",
+        _fullbox(b"stsd", 0, (1).to_bytes(4, "big") + entry),
+        _fullbox(b"stsz", 0, sample_size.to_bytes(4, "big")
+                 + n_samples.to_bytes(4, "big")),
+    )
+    mdia = _box(
+        b"mdia",
+        _fullbox(b"mdhd", 0, (0).to_bytes(4, "big") * 2
+                 + rate.to_bytes(4, "big")
+                 + (duration * rate // timescale).to_bytes(4, "big")
+                 + b"\x55\xc4\x00\x00"),
+        _fullbox(b"hdlr", 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"\x00"),
+        _box(b"minf", stbl),
+    )
+    tkhd = _fullbox(b"tkhd", 0, (
+        (0).to_bytes(4, "big") * 2 + (1).to_bytes(4, "big")
+        + b"\x00" * 4 + duration.to_bytes(4, "big") + b"\x00" * 8
+        + b"\x00" * 6 + (0x0100).to_bytes(2, "big")
+        + _UNITY_MATRIX + b"\x00" * 8
+    ))
+    return (
+        _box(b"ftyp", b"M4A \x00\x00\x00\x00mp42")
+        + _box(b"moov", mvhd, _box(b"trak", tkhd, mdia))
+        + _box(b"mdat", mdat)
+    )
+
+
+_UNITY_MATRIX = (
+    (0x00010000).to_bytes(4, "big") + b"\x00" * 12
+    + (0x00010000).to_bytes(4, "big") + b"\x00" * 12
+    + (0x40000000).to_bytes(4, "big")
+)
+
+
+def _mk_mp4_video(width=640, height=360, timescale=600, duration=1200,
+                  n_samples=48, with_audio=True):
+    mvhd = _fullbox(b"mvhd", 0, (
+        (0).to_bytes(4, "big") * 2
+        + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+        + b"\x00" * 10 + _UNITY_MATRIX + b"\x00" * 24
+        + (3).to_bytes(4, "big")
+    ))
+    vstbl = _box(
+        b"stbl",
+        _fullbox(b"stsd", 0, (1).to_bytes(4, "big")
+                 + (16).to_bytes(4, "big") + b"avc1" + b"\x00" * 8),
+        _fullbox(b"stsz", 0, (0).to_bytes(4, "big")
+                 + n_samples.to_bytes(4, "big")),
+    )
+    vmdia = _box(
+        b"mdia",
+        _fullbox(b"mdhd", 0, (0).to_bytes(4, "big") * 2
+                 + (90000).to_bytes(4, "big")
+                 + (duration * 90000 // timescale).to_bytes(4, "big")
+                 + b"\x55\xc4\x00\x00"),
+        _fullbox(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00"),
+        _box(b"minf", vstbl),
+    )
+    vtkhd = _fullbox(b"tkhd", 0, (
+        (0).to_bytes(4, "big") * 2 + (1).to_bytes(4, "big")
+        + b"\x00" * 4 + duration.to_bytes(4, "big") + b"\x00" * 8
+        + b"\x00" * 6 + b"\x00" * 2 + _UNITY_MATRIX
+        + (width << 16).to_bytes(4, "big") + (height << 16).to_bytes(4, "big")
+    ))
+    traks = [_box(b"trak", vtkhd, vmdia)]
+    if with_audio:
+        m4a = _mk_m4a(timescale=timescale, duration=duration)
+        # lift the audio trak out of the throwaway m4a (moov body after
+        # its mvhd box)
+        moov_body_at = 8 + len(_box(b"ftyp", b"M4A \x00\x00\x00\x00mp42"))
+        from lakota_spark.operators.multimodal import _iter_mp4_boxes
+
+        for t, s, e in _iter_mp4_boxes(m4a, 0, len(m4a)):
+            if t == b"moov":
+                for t2, s2, e2 in _iter_mp4_boxes(m4a, s, e):
+                    if t2 == b"trak":
+                        traks.append(m4a[s2 - 8:e2])
+    return (
+        _box(b"ftyp", b"isom\x00\x00\x02\x00mp42")
+        + _box(b"moov", mvhd, *traks)
+        + _box(b"mdat", b"\x00" * 512)
+    )
+
+
+def test_mp4_box_walk_golden():
+    from lakota_spark.operators.multimodal import _parse_mp4_headers
+
+    m4a = _mk_m4a()
+    info = _parse_mp4_headers(m4a)
+    assert info is not None and info["n_audio"] == 1 and info["n_video"] == 0
+    assert abs(info["duration_s"] - 2.5) < 1e-9
+    assert (info["rate"], info["channels"]) == (48000.0, 2.0)
+    assert (info["n_samples"], info["vbr"]) == (117.0, 1.0)
+    # fixed sample_size reads as CBR
+    assert _parse_mp4_headers(_mk_m4a(sample_size=640))["vbr"] == 0.0
+    vid = _mk_mp4_video()
+    vinfo = _parse_mp4_headers(vid)
+    assert (vinfo["n_video"], vinfo["n_audio"]) == (1, 1)
+    assert (vinfo["width"], vinfo["height"]) == (640.0, 360.0)
+    assert abs(vinfo["duration_s"] - 2.0) < 1e-9
+    assert vinfo["v_samples"] == 48.0
+    # rejections: not BMFF; ftyp not first; moov missing; trak missing
+    assert _parse_mp4_headers(b"\x00" * 64) is None
+    assert _parse_mp4_headers(_box(b"free", b"x") + m4a) is None
+    assert _parse_mp4_headers(_box(b"ftyp", b"isom")) is None
+    assert _parse_mp4_headers(
+        _box(b"ftyp", b"isom") + _box(b"moov", _box(b"free", b""))
+    ) is None
+
+
+def test_container_walks_through_spark(spark):
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        extract_video_headers,
+    )
+
+    ogg = _mk_ogg([
+        (2, 0, _vorbis_id(2, 44100)),
+        (4, 88200, b"\xaa" * 100),
+    ])
+    m4a = _mk_m4a()
+    vid = _mk_mp4_video()
+    rows = [
+        (1, bytearray(ogg), "audio/ogg", len(ogg), "{}"),
+        (2, bytearray(m4a), "audio/mp4", len(m4a), "{}"),
+        (3, bytearray(b"\x01\x02" * 100), "audio/ogg", 200, "{}"),
+    ]
+    feats = {
+        r.media_id: r.feature
+        for r in extract_audio_features(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert len(feats[1]) == 6 and feats[1][2] == 44100.0
+    assert len(feats[2]) == 6 and feats[2][2] == 48000.0
+    assert abs(feats[2][1] - len(m4a) * 8 / 2.5 / 1000.0) < 1e-6
+    assert len(feats[3]) == 8  # fallback intact
+    vrows = [
+        (1, bytearray(vid), "video/mp4", len(vid), "{}"),
+        # audio-only BMFF is NOT claimed by the video walk
+        (2, bytearray(m4a), "audio/mp4", len(m4a), "{}"),
+    ]
+    vfeats = {
+        r.media_id: r.feature
+        for r in extract_video_headers(
+            spark.createDataFrame(vrows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert vfeats[1][:3] == [640.0, 360.0, 2.0]
+    assert vfeats[1][3:] == [48.0, 1.0, 1.0]
+    assert len(vfeats[2]) == 8

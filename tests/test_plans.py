@@ -680,3 +680,16 @@ def test_corpus_report_single_scan(spark):
     plan = plans.explain_str(df, "simple")
     assert "Join" not in plan, plan
     assert plan.count("FileScan") == 1, plan
+
+
+def test_multimodal_container_headers_plan_shape(spark):
+    # same contract as the video twin: the Ogg/BMFF payload build is
+    # pure codegen (template unhex literals + fixed-width field concat),
+    # the page/box walk is the only python stage, and nothing shuffles
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.multimodal_container_headers(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plans.node_count(df, "MapInPandas") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert plans.join_strategies(df) == [], plan
