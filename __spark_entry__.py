@@ -656,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": pipeline.contrastive_pairs,
         "bpe_fertility_by_lang": pipeline.bpe_fertility_by_lang,
         "multimodal_container_headers": pipeline.multimodal_container_headers,
+        "cluster_topic_terms": pipeline.cluster_topic_terms,
         # --- storage-engine round-trips (last driver row r3) ---
         "engine_tail": engine_demo.engine_tail,
         "engine_overlay_update": engine_demo.engine_overlay_update,
@@ -1949,6 +1950,35 @@ FROM aug
         "kmeans_assign": f"""
 WITH {_KMEANS_CTES}
 SELECT vec_id, cluster FROM af
+""",
+        # c-TF-IDF topic terms over the same Lloyd chain: integer
+        # micro-nat scores (round BEFORE ranking) make even the ln()
+        # ranking engine-exact; ties break on the term string
+        "cluster_topic_terms": f"""
+WITH {_KMEANS_CTES},
+j AS (
+  SELECT af.cluster, d.text
+  FROM af JOIN documents d ON d.doc_id = af.vec_id
+),
+tok AS (
+  SELECT cluster, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM j
+),
+ct AS (SELECT cluster, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+ft AS (SELECT term, sum(tf) AS ft FROM ct GROUP BY 1),
+st AS (SELECT sum(tf) AS total, count(DISTINCT cluster) AS n_clusters FROM ct),
+sc AS (
+  SELECT c.cluster, c.term, c.tf,
+         round(c.tf * ln(1 + (s.total / s.n_clusters) / f.ft)
+               * 1000000)::BIGINT AS ctfidf_micro
+  FROM ct c JOIN ft f USING (term), st s
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster ORDER BY ctfidf_micro DESC, term
+  ) AS rank FROM sc
+)
+SELECT cluster, term, tf, ctfidf_micro, rank FROM r WHERE rank <= 5
 """,
         "semdedup_top_pairs": f"""
 WITH {_KMEANS_CTES},

@@ -16,7 +16,7 @@ from lakota_spark.operators.dedup import (
     simhash,
     simhash_pairs,
 )
-from lakota_spark.operators.clustering import kmeans_assign
+from lakota_spark.operators.clustering import cluster_topic_terms, kmeans_assign
 from lakota_spark.operators.dedup import dedup_clusters
 from lakota_spark.operators.index import with_global_index
 from lakota_spark.operators.kv import last_wins, update_zerofill
@@ -50,6 +50,7 @@ __all__ = [
     "exact_dedup",
     "gap_fill",
     "jaccard_pairs",
+    "cluster_topic_terms",
     "kmeans_assign",
     "knn_join",
     "lang_id",

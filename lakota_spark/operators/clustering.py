@@ -363,3 +363,86 @@ def pca_power_fit_components(
         )
         cur = staged.select(F.col(id_col), deflated.alias(vec_col))
     return mean0, comps
+
+
+def cluster_topic_terms(
+    docs: DataFrame,
+    assignment: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    assign_id_col: str | None = None,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Class-based TF-IDF topic terms per cluster (the BERTopic topic-
+    representation step, round 8): join each document to its k-means
+    cluster, count terms per cluster, and rank each cluster's terms by
+    c-TF-IDF = tf_c * ln(1 + A / f_t) where tf_c is the term's count in
+    the cluster, f_t its corpus-wide count and A the mean token count
+    per cluster — the "what is this cluster about" report a curation
+    pipeline runs after SemDeDup-style embedding clustering.
+
+    Engine-reproducible: scores quantize to integer micro-nats
+    (``round(tf * ln(...) * 1e6)::BIGINT``) before ranking, ties break
+    on the term string, and the cluster assignment is the rounded-state
+    Lloyd chain — so the whole report carries an exact SQL oracle.
+
+    Scale shape: ONE corpus pass (term explode → (cluster, term)
+    partial agg); everything downstream operates on the vocab×k-sized
+    counts relation, which is localCheckpointed because it feeds three
+    consumers (per-term totals, the global stats row, and the scored
+    join — the multi-consumer lineage-recompute trap measured on langid
+    in round 7). The final per-cluster row_number window partitions on
+    k keys over the vocab-sized relation; at open-web vocab (~1e8
+    terms × large k) swap it for the two-stage exact top-k in
+    `sampling.sample_k_per_group`. Documents without an embedding
+    row drop out (inner join), mirroring the SemDeDup scope.
+    """
+    if top_k <= 0:
+        raise ValueError("cluster_topic_terms needs positive top_k")
+    from pyspark.sql import Window
+
+    aid = assign_id_col or id_col
+    joined = docs.select(F.col(id_col), F.col(text_col)).join(
+        assignment.select(F.col(aid).alias(id_col), cluster_col), id_col
+    )
+    terms = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+    )
+    ct = (
+        joined.select(F.col(cluster_col), F.explode(terms).alias("term"))
+        .groupBy(cluster_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    ft = ct.groupBy("term").agg(F.sum("tf").alias("ft"))
+    stats = ct.agg(
+        F.sum("tf").alias("total"),
+        F.count_distinct(F.col(cluster_col)).alias("n_clusters"),
+    )
+    scored = (
+        ct.join(ft, "term")
+        .join(F.broadcast(stats))
+        .select(
+            F.col(cluster_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("total") / F.col("n_clusters")) / F.col("ft")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("ctfidf_micro"),
+        )
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("ctfidf_micro").desc(), "term"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+    )

@@ -540,6 +540,28 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM(_emb(spark, sf_dir), k=8, iters=2)
 
 
+def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF topic terms for the k-means clusters (round 8, third
+    session — operators/clustering.cluster_topic_terms): the BERTopic-
+    style "what is each cluster about" report, top-5 terms per cluster
+    by integer-micro-nat class TF-IDF over the exact-oracle Lloyd
+    assignment the SemDeDup entries already share."""
+    from lakota_spark.operators.clustering import (
+        cluster_topic_terms as CTT,
+        kmeans_assign,
+    )
+
+    assign = kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
+    out = CTT(_docs(spark, sf_dir), assign, top_k=5, assign_id_col="vec_id")
+    return out.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "term",
+        "tf",
+        "ctfidf_micro",
+        "rank",
+    )
+
+
 def near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified streaming near-dup gate, exercised in batch mode so
     it gets a full value-exact oracle: docs >= 250 play the incoming

@@ -4807,3 +4807,41 @@ def test_container_walks_through_spark(spark):
     assert vfeats[1][:3] == [640.0, 360.0, 2.0]
     assert vfeats[1][3:] == [48.0, 1.0, 1.0]
     assert len(vfeats[2]) == 8
+
+
+def test_cluster_topic_terms_semantics(spark):
+    # distinctive per-cluster vocabulary must outrank corpus-wide
+    # filler: c-TF-IDF down-weights terms whose corpus count is high
+    from lakota_spark.operators.clustering import cluster_topic_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quantum physics of the quantum field"),
+            (2, "the quantum entanglement quantum theory"),
+            (3, "the banana smoothie with banana and mango"),
+            (4, "the banana recipe for banana bread"),
+        ],
+        "doc_id long, text string",
+    )
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "doc_id long, cluster int"
+    )
+    out = cluster_topic_terms(docs, assign, top_k=20).collect()
+    top = {r.cluster: r.term for r in out if r.rank == 1}
+    assert top == {0: "quantum", 1: "banana"}
+    # "the" appears in every doc -> high corpus freq -> scores strictly
+    # below the distinctive terms despite equal-or-higher cluster tf
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, {})[r.term] = r.ctfidf_micro
+    assert by_cluster[0]["the"] < by_cluster[0]["quantum"]
+    assert by_cluster[1]["the"] < by_cluster[1]["banana"]
+    # top_k bound holds per cluster
+    narrow = cluster_topic_terms(docs, assign, top_k=3).collect()
+    assert all(
+        sum(1 for r in narrow if r.cluster == c) <= 3 for c in (0, 1)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cluster_topic_terms(docs, assign, top_k=0)

@@ -693,3 +693,20 @@ def test_multimodal_container_headers_plan_shape(spark):
     assert plans.node_count(df, "MapInPandas") == 1, plan
     assert "Exchange" not in plan, plan
     assert plans.join_strategies(df) == [], plan
+
+
+def test_cluster_topic_terms_plan_shape(spark):
+    # ONE corpus pass: the (cluster, term) counts relation is
+    # checkpointed before its three consumers (per-term totals, the
+    # stats row, the scored join), so exactly one Generate (the term
+    # explode) survives in the live plan; no cartesian beyond the
+    # broadcast one-row stats join
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.cluster_topic_terms(spark, SF)
+    assert plans.node_count(df, "Generate") == 0, plans.explain_str(
+        df, "simple"
+    )
+    assert plans.checkpoint_sources(df) >= 1
+    strategies = plans.join_strategies(df)
+    assert "CartesianProduct" not in strategies
