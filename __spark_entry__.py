@@ -437,6 +437,58 @@ ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 
 # Hybrid retrieval: RRF-fuse the two proven runs. Ranks come from
+def _mmr_sql(k: int = 8, pool: int = 32, lam: int = 700000) -> str:
+    """Unrolled MMR greedy chain (mirrors operators/similarity.mmr_topk
+    exactly): relevance pool from the proven cosine CTE quantized to
+    integer micro-units, pool-internal pairwise sims likewise, then k−1
+    argmax steps — each an integer `λ·rel − (1−λ)·max-sim-to-selected`
+    with ties to the smaller vec_id."""
+    mu = 1000000 - lam
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f""",
+cand{i} AS MATERIALIZED (
+  SELECT r.vec_id, r.rel, max(ps.sim) AS ms
+  FROM rel r
+  JOIN ps ON ps.ia = r.vec_id
+  JOIN sel{i - 1} s ON ps.ib = s.vec_id
+  WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  GROUP BY 1, 2
+),
+pick{i} AS (
+  SELECT vec_id, rel, {lam} * rel - {mu} * ms AS score
+  FROM cand{i} ORDER BY score DESC, vec_id LIMIT 1
+),
+sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{i - 1}
+  UNION ALL SELECT {i}::BIGINT, vec_id, rel, score FROM pick{i}
+)""")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+p AS (SELECT e.vec_id AS ia, 0 AS ib, e.embedding AS ea, q.qv AS eb
+      FROM embeddings e, q),{_COSINE_PAIR_CTE},
+rel AS MATERIALIZED (SELECT ia AS vec_id,
+               round(dp / (na * nb) * 1000000)::BIGINT AS rel
+        FROM s ORDER BY rel DESC, vec_id LIMIT {pool}),
+pe AS (SELECT r.vec_id, e.embedding
+       FROM rel r JOIN embeddings e USING (vec_id)),
+pu AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+              unnest(a.embedding)::DOUBLE AS x,
+              unnest(b.embedding)::DOUBLE AS y
+       FROM pe a JOIN pe b ON a.vec_id <> b.vec_id),
+ps AS MATERIALIZED (SELECT ia, ib,
+              round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))
+                    * 1000000)::BIGINT AS sim
+       FROM pu GROUP BY ia, ib),
+sel1 AS MATERIALIZED (
+  SELECT 1::BIGINT AS rank, vec_id, rel, ({lam} * rel)::BIGINT AS score
+  FROM (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 1)
+){"".join(steps)}
+SELECT rank, vec_id, rel AS rel_micro, score AS mmr_micro
+FROM sel{k} ORDER BY rank
+"""
+
+
 # row_number over each run's rounded score with id tie-breaks; per-run
 # contributions quantize to integer nano BEFORE the cross-run sum (exact
 # long fold — mirrors operators/similarity.rrf_fuse).
@@ -657,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility_by_lang": pipeline.bpe_fertility_by_lang,
         "multimodal_container_headers": pipeline.multimodal_container_headers,
         "cluster_topic_terms": pipeline.cluster_topic_terms,
+        "mmr_diverse_topk": pipeline.mmr_diverse_topk,
         # --- storage-engine round-trips (last driver row r3) ---
         "engine_tail": engine_demo.engine_tail,
         "engine_overlay_update": engine_demo.engine_overlay_update,
@@ -2693,6 +2746,7 @@ FROM s JOIN buck bk ON s.ia = bk.vec_id
 ORDER BY cos_sim DESC, id_a, id_b LIMIT 25
 """,
         "cosine_topk": _COSINE_TOPK_SQL,
+        "mmr_diverse_topk": _mmr_sql(),
         # Approximate-by-construction but DETERMINISTIC: the md5-derived
         # hyperplanes / rounded centroid ranking are reproduced in SQL, so
         # even the ANN paths get exact oracles.

@@ -51,8 +51,11 @@ BENCH_QUERIES = [
     "embedding_dup_lsh",
     "pretrain_clean",
     "pretrain_funnel_report",
-    # round-8 multimodal rung: payload build + Arrow header-walk pass
+    # round-8 multimodal rungs: payload build + Arrow header-walk pass
     "multimodal_video_headers",
+    "multimodal_container_headers",
+    # round-8 cluster topic report: one corpus pass + vocab-sized ranking
+    "cluster_topic_terms",
     "tpch_q9_profit",
     "trigram_search",
     "trigram_search_indexed",

@@ -27,7 +27,7 @@ from lakota_spark.operators.sampling import (
     pack_sequences,
     stratified_sample,
 )
-from lakota_spark.operators.similarity import cosine_topk, knn_join, lsh_ann
+from lakota_spark.operators.similarity import cosine_topk, knn_join, lsh_ann, mmr_topk
 from lakota_spark.operators.skew import salted_agg, salted_join
 from lakota_spark.operators.text import (
     bm25_scores,
@@ -45,6 +45,7 @@ __all__ = [
     "bm25_scores",
     "contrastive_pairs",
     "cosine_topk",
+    "mmr_topk",
     "decontaminate",
     "dedup_clusters",
     "exact_dedup",

@@ -521,3 +521,107 @@ def rrf_fuse(
         F.sum(contrib).alias("rrf_nano"),
         F.count(F.lit(1)).cast("int").alias("n_runs"),
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 8,
+    pool: int = 32,
+    lam_micro: int = 700000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998, round 8): greedily select ``k`` results maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` over a relevance-ranked
+    candidate pool — the rerank a RAG/retrieval pipeline runs so the
+    returned set isn't k near-copies of the best hit.
+
+    Engine-reproducible iterative op, same discipline as the Lloyd /
+    power-iteration chains: λ is an integer in micro-units, every
+    cosine quantizes to integer micro-units (round half away from
+    zero, the Spark/DuckDB round), so each greedy step is an integer
+    argmax with ties to the smaller id and the whole loop unrolls into
+    an exact SQL oracle.
+
+    Scale shape: pool selection is the distributed brute-force scan
+    (TakeOrderedAndProject — only ``pool`` rows cross the wire, same
+    as `cosine_topk`; swap in `ivf_topk` for the pool at corpus
+    scale); the greedy runs driver-side over the BOUNDED pool
+    (O(pool²·dim) ≪ one task's work — MMR is definitionally a rerank
+    of a candidate list, never a corpus pass).
+    """
+    if not 0 < k <= pool:
+        raise ValueError("mmr_topk needs 0 < k <= pool")
+    if not 0 <= lam_micro <= 1000000:
+        raise ValueError("lam_micro is in [0, 1000000] micro-units")
+    import math
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    pooled = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.round(cosine(F.col(vec_col), q) * 1000000)
+            .cast("long")
+            .alias("rel_micro"),
+        )
+        .orderBy(F.col("rel_micro").desc(), F.col(id_col))
+        .limit(pool)
+        .collect()
+    )
+
+    def _half_away(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    vecs = {r[id_col]: list(r["_v"]) for r in pooled}
+    rel = {r[id_col]: r["rel_micro"] for r in pooled}
+    ids = sorted(vecs)
+    sim_cache: dict = {}
+
+    def _cos_micro(i, j):
+        key = (i, j) if i <= j else (j, i)
+        got = sim_cache.get(key)
+        if got is None:
+            a, b = vecs[key[0]], vecs[key[1]]
+            # sequential left-to-right folds mirror the SQL sum order
+            dp = na = nb = 0.0
+            for x, y in zip(a, b):
+                dp += x * y
+            for x in a:
+                na += x * x
+            for y in b:
+                nb += y * y
+            got = _half_away(
+                dp / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0
+            )
+            sim_cache[key] = got
+        return got
+
+    mu = 1000000 - lam_micro
+    first = max(ids, key=lambda i: (rel[i], -i))
+    out_rows = [(1, first, rel[first], lam_micro * rel[first])]
+    chosen = [first]
+    while len(out_rows) < k and len(chosen) < len(ids):
+        best = None
+        for i in ids:
+            if i in vecs and i not in chosen:
+                ms = max(_cos_micro(i, j) for j in chosen)
+                cand = (lam_micro * rel[i] - mu * ms, -i)
+                if best is None or cand > best:
+                    best = cand
+        score, neg_i = best
+        pick = -neg_i
+        chosen.append(pick)
+        out_rows.append((len(chosen), pick, rel[pick], score))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("rank", T.LongType()),
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("rel_micro", T.LongType()),
+        T.StructField("mmr_micro", T.LongType()),
+    ])
+    return df.sparkSession.createDataFrame(out_rows, schema)

@@ -546,12 +546,12 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     style "what is each cluster about" report, top-5 terms per cluster
     by integer-micro-nat class TF-IDF over the exact-oracle Lloyd
     assignment the SemDeDup entries already share."""
-    from lakota_spark.operators.clustering import (
-        cluster_topic_terms as CTT,
-        kmeans_assign,
-    )
+    from lakota_spark.operators.clustering import cluster_topic_terms as CTT
 
-    assign = kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
+    # blocking key straight from the MATERIALIZED per-corpus IVF lists
+    # (size-scaled k — exactly 8 at the oracle scales, matching the
+    # unrolled Lloyd SQL chain), same amortization as semdedup_top_pairs
+    assign = _ivf_lists(spark, sf_dir).select("vec_id", "cluster")
     out = CTT(_docs(spark, sf_dir), assign, top_k=5, assign_id_col="vec_id")
     return out.select(
         F.col("cluster").cast("long").alias("cluster"),
@@ -951,6 +951,17 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             books.append(cents)
         _PQ_BOOKS[key] = books
     return S.pq_topk(emb, qv, k=20, codebooks=books)
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators/similarity.mmr_topk): λ=0.7
+    greedy rerank of the 32-candidate cosine pool down to 8 diverse
+    results — the iterative greedy loop whose integer-micro quantized
+    state unrolls into an exact SQL oracle, like the Lloyd and
+    power-iteration chains."""
+    return S.mmr_topk(
+        _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=8, pool=32
+    )
 
 
 def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4845,3 +4845,39 @@ def test_cluster_topic_terms_semantics(spark):
 
     with _pytest.raises(ValueError):
         cluster_topic_terms(docs, assign, top_k=0)
+
+
+def test_mmr_topk_diversifies(spark):
+    # the pool's #2 hit is a near-copy of #1: pure relevance returns
+    # both back-to-back, MMR at lambda=0.7 must defer the copy behind
+    # the diverse vectors; lambda=1.0 degenerates to relevance order
+    from lakota_spark.operators.similarity import mmr_topk
+
+    rows = [
+        (1, [0.95, 0.312, 0.0, 0.0]),   # rel ~0.95 (the top hit)
+        (2, [0.94, 0.31, 0.14, 0.0]),   # near-copy of 1 (sim ~0.99)
+        (3, [0.9, -0.436, 0.0, 0.0]),   # diverse (sim to 1 ~0.72)
+        (4, [0.8, 0.0, 0.6, 0.0]),      # diverse, lower rel
+        (5, [0.4, 0.0, 0.0, 0.9]),      # diverse, lowest rel
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = [1.0, 0.0, 0.0, 0.0]
+    out = mmr_topk(emb, q, k=4, pool=5, lam_micro=700000).collect()
+    order = [r.vec_id for r in out]
+    assert order[0] == 1
+    assert order[1] == 3  # the near-copy is deferred behind diverse 3
+    ranks = [r["rank"] for r in out]
+    assert ranks == [1, 2, 3, 4]
+    # lambda = 1.0 -> pure relevance ranking of the pool
+    pure = [r.vec_id for r in mmr_topk(
+        emb, q, k=4, pool=5, lam_micro=1000000
+    ).collect()]
+    assert pure == [1, 2, 3, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mmr_topk(emb, q, k=6, pool=5)
+    with _pytest.raises(ValueError):
+        mmr_topk(emb, q, k=2, pool=5, lam_micro=2000000)
