@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_container_headers": pipeline.multimodal_container_headers,
         "cluster_topic_terms": pipeline.cluster_topic_terms,
         "mmr_diverse_topk": pipeline.mmr_diverse_topk,
+        "dup_rate_by_source": pipeline.dup_rate_by_source,
         # --- storage-engine round-trips (last driver row r3) ---
         "engine_tail": engine_demo.engine_tail,
         "engine_overlay_update": engine_demo.engine_overlay_update,
@@ -2567,6 +2568,39 @@ reach(node, lbl) AS (
   SELECT e.a, r.lbl FROM reach r JOIN e ON r.node = e.b
 )
 SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+""",
+        # per-source dup report: the dedup_clusters reach chain + two
+        # cluster-sized rollups; dup_frac is one long/long double division
+        "dup_rate_by_source": f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM vpairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN e ON r.node = e.b
+),
+cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+j AS (
+  SELECT d.doc_id, d.source, cl.cluster_id
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+),
+cs AS (
+  SELECT cluster_id, count(DISTINCT source) AS n_src
+  FROM j WHERE cluster_id IS NOT NULL GROUP BY 1
+),
+j2 AS (SELECT j.*, cs.n_src FROM j LEFT JOIN cs USING (cluster_id))
+SELECT source,
+       count(*) AS n_docs,
+       count(cluster_id) AS n_dup_docs,
+       round(count(cluster_id) / count(*), 6) AS dup_frac,
+       count(DISTINCT cluster_id) AS n_clusters,
+       sum(CASE WHEN n_src > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_cross_source_docs
+FROM j2 GROUP BY source
 """,
         # cluster-hash split: near-dup clusters (recursive reach, the
         # dedup_clusters oracle) + singleton fallback, split side decided

@@ -696,6 +696,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs)
 
 
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplication report (round 8, third session): for
+    each dump/source — total docs, docs sitting in any verified near-dup
+    cluster, the dup fraction, distinct clusters touched, and how many
+    of the dup docs sit in CROSS-source clusters (the "two crawls
+    captured the same pages" signal that drives dump-level dedup
+    priorities). Pure composition of proven pieces: the verified
+    MinHash pairs → connected components chain from `dedup_clusters`,
+    then two vocab-of-clusters-sized aggregates. The doc→cluster join
+    relation is checkpointed because it feeds both the cluster
+    source-diversity aggregate and the final rollup."""
+    docs = _docs(spark, sf_dir)
+    clusters = dedup_clusters(spark, sf_dir)
+    j = (
+        docs.select("doc_id", "source")
+        .join(clusters, "doc_id", "left")
+        .localCheckpoint(eager=False)
+    )
+    cs = (
+        j.where(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("source").alias("n_src"))
+    )
+    j2 = j.join(cs, "cluster_id", "left")
+    return j2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("cluster_id").alias("n_dup_docs"),
+        F.round(F.count("cluster_id") / F.count(F.lit(1)), 6).alias(
+            "dup_frac"
+        ),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum(F.when(F.col("n_src") > 1, 1).otherwise(0)).alias(
+            "n_cross_source_docs"
+        ),
+    )
+
+
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val split report (round 8): docs are split by
     a salt-keyed hash of their near-dup CLUSTER id (singletons = own

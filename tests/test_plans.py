@@ -710,3 +710,17 @@ def test_cluster_topic_terms_plan_shape(spark):
     assert plans.checkpoint_sources(df) >= 1
     strategies = plans.join_strategies(df)
     assert "CartesianProduct" not in strategies
+
+
+def test_dup_rate_by_source_plan_shape(spark):
+    # the doc->cluster relation feeds two consumers (cluster source-
+    # diversity + the final rollup) behind a checkpoint, and the pairs/
+    # components chain must not leak live Generates into the report
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.dup_rate_by_source(spark, SF)
+    assert plans.checkpoint_sources(df) >= 1
+    assert plans.node_count(df, "Generate") == 0, plans.explain_str(
+        df, "simple"
+    )
+    assert "CartesianProduct" not in plans.join_strategies(df)
