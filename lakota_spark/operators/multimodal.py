@@ -895,6 +895,98 @@ def _parse_jpeg(b: bytes):
     return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
 
 
+def _parse_tiff(b: bytes):
+    """Real TIFF decode (round 8, third session), stdlib struct + numpy
+    only: II/MM byte orders, IFD0 tag walk (width/height/bits/
+    compression/photometric/samples/strip layout), uncompressed
+    (compression=1) 8-bit strips reassembled into the (h, w, 3) uint8
+    matrix the shared `_image_features` descriptor consumes. Grayscale
+    (incl. MinIsWhite inversion) broadcasts to RGB; RGBA keeps the
+    first three samples. LZW/JPEG-compressed TIFFs return None and keep
+    the documented fallback (same contract as arithmetic JPEG)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 8:
+        return None
+    if b[:2] == b"II":
+        e = "<"
+    elif b[:2] == b"MM":
+        e = ">"
+    else:
+        return None
+    if struct.unpack(e + "H", b[2:4])[0] != 42:
+        return None
+    off = struct.unpack(e + "I", b[4:8])[0]
+    if off + 2 > len(b):
+        return None
+    n = struct.unpack(e + "H", b[off : off + 2])[0]
+    if n == 0 or n > 512:
+        return None
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    tags: dict = {}
+    for i in range(n):
+        p = off + 2 + 12 * i
+        if p + 12 > len(b):
+            return None
+        tag, typ, cnt = struct.unpack(e + "HHI", b[p : p + 8])
+        sz = type_size.get(typ)
+        if sz is None or cnt > 1 << 20:
+            continue  # rational/ascii/unknown types are irrelevant here
+        total = sz * cnt
+        if total <= 4:
+            raw = b[p + 8 : p + 8 + total]
+        else:
+            voff = struct.unpack(e + "I", b[p + 8 : p + 12])[0]
+            if voff + total > len(b):
+                return None
+            raw = b[voff : voff + total]
+        tags[tag] = struct.unpack(e + str(cnt) + type_fmt[typ], raw)
+    width = tags.get(256, (0,))[0]
+    height = tags.get(257, (0,))[0]
+    if width <= 0 or height <= 0:
+        return None
+    _check_dims(width, height)
+    if tags.get(259, (1,))[0] != 1:
+        return None  # only uncompressed strips decode here
+    spp = tags.get(277, (1,))[0]
+    if spp < 1 or spp > 8:
+        return None
+    if any(x != 8 for x in tags.get(258, (8,) * spp)):
+        return None
+    offsets = tags.get(273)
+    if not offsets:
+        return None
+    rps = tags.get(278, (height,))[0] or height
+    counts = tags.get(
+        279,
+        tuple(
+            min(rps, height - i * rps) * width * spp
+            for i in range(len(offsets))
+        ),
+    )
+    data = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(b):
+            return None
+        data += b[o : o + c]
+    need = width * height * spp
+    if len(data) < need:
+        return None
+    arr = np.frombuffer(bytes(data[:need]), dtype=np.uint8).reshape(
+        height, width, spp
+    )
+    photometric = tags.get(262, (1,))[0]
+    if photometric == 2 and spp >= 3:
+        return arr[:, :, :3].copy()
+    g = arr[:, :, 0]
+    if photometric == 0:  # WhiteIsZero
+        g = 255 - g
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
 def _image_features(img) -> list[float]:
     """[width, height, mean_r, mean_g, mean_b] + 8-bucket luminance
     histogram (L1-normalized) — a deterministic 13-float descriptor."""
@@ -915,10 +1007,11 @@ def _decode_image_batch(payload: pd.Series) -> pd.Series:
 
     REAL decode for every common still format, stdlib + numpy only:
     PPM P6, 24-bit BMP, GIF (LZW + palettes + interlace), 8-bit
-    PNG incl. Adam7 (zlib + scanline unfiltering) and huffman JPEG
+    PNG incl. Adam7 (zlib + scanline unfiltering), huffman JPEG
     — baseline AND progressive (multi-scan successive approximation +
-    vectorized IDCT) → 13-float descriptor (dims + channel means +
-    luminance histogram).
+    vectorized IDCT) — and uncompressed-strip TIFF (II/MM, gray/RGB)
+    → 13-float descriptor (dims + channel means + luminance
+    histogram).
     Unparseable/exotic payloads (arithmetic/12-bit JPEG, sub-byte PNG,
     truncated files) fall through to a deterministic byte-histogram
     (8 floats), keeping the pipeline end-to-end testable with real
@@ -936,6 +1029,8 @@ def _decode_image_batch(payload: pd.Series) -> pd.Series:
             img = _safe(_parse_png, b)
         if img is None:
             img = _safe(_parse_jpeg, b)
+        if img is None:
+            img = _safe(_parse_tiff, b)
         if img is not None:
             return _image_features(img)
         counts = [0] * 8
@@ -2227,5 +2322,82 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
                     nos.append(i)
                     frames.append(payload[off : off + 16])
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def _classify_bytes(b: bytes) -> str:
+    """Cheap structural triage of a media payload: which family does
+    some parser CLAIM? Unambiguous magics decide the container formats
+    outright; the headerless frame streams (mp3/ADTS/H.264) run their
+    coherence-gated walks (the walks already reject random bytes, so a
+    claim means ≥2 coherent frames). Full pixel/sample decode is NOT
+    attempted — triage must stay per-row cheap."""
+    if b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if b[:2] == b"P6":
+        return "ppm"
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if b[:4] == b"RIFF" and len(b) >= 12:
+        if b[8:12] == b"WAVE":
+            return "wav"
+        if b[8:12] == b"AVI ":
+            return "avi"
+    if b.startswith(b"fLaC"):
+        return "flac"
+    if b.startswith(b"YUV4MPEG2"):
+        return "y4m"
+    if b.startswith(b"OggS"):
+        return "ogg" if _safe(_parse_ogg_headers, b) is not None else "unknown"
+    mp4 = _safe(_parse_mp4_headers, b)
+    if mp4 is not None:
+        return "mp4_video" if mp4["n_video"] else "mp4_audio"
+    if _safe(_parse_mp3_headers, b) is not None:
+        return "mp3"
+    if _safe(_parse_adts_headers, b) is not None:
+        return "aac"
+    if _safe(_parse_h264_headers, b) is not None:
+        return "h264"
+    return "unknown"
+
+
+def classify_media(media: DataFrame, with_payload: bool = False) -> DataFrame:
+    """Arrow-batched media-kind triage: (media_id, mime, n_bytes, kind)
+    — ``kind`` is the family a structural parser claims, ``unknown``
+    when nothing does. ``with_payload=True`` carries the payload bytes
+    through (the streaming-gate shape: filter on kind, keep the row).
+    Stateless, shuffle-free, one MapInPandas — legal in a streaming
+    plan, so `streaming.streaming_media_gate` reuses the exact same
+    expression graph batch-side as its oracle."""
+    fields = [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("kind", StringType()),
+    ]
+    if with_payload:
+        fields.append(StructField("payload", BinaryType()))
+    schema = StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["n_bytes"],
+                "kind": pdf["payload"].map(
+                    lambda b: _classify_bytes(bytes(b))
+                ),
+            }
+            if with_payload:
+                out["payload"] = pdf["payload"]
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=schema)

@@ -1054,3 +1054,30 @@ def streaming_pca_drift_monitor(
         return fn
 
     return factory
+
+
+def streaming_media_gate(
+    stream_media: DataFrame,
+    keep: tuple | None = None,
+) -> DataFrame:
+    """Stateless multimodal ingest triage (round 8, third session): drop
+    stream payloads no structural parser claims — corrupted blobs,
+    mislabeled binaries, truncated uploads — before they reach the
+    expensive decode/feature stages. ``keep`` optionally narrows the
+    gate to an explicit kind allowlist (e.g. images only).
+
+    One Arrow-batched MapInPandas + a codegen filter: no watermark, no
+    state, no shuffle — legal in any streaming plan, and the batch twin
+    (`multimodal.classify_media(...).where(...)`) is the oracle because
+    the expression graph is identical. At 100 TB-ingest scale the triage
+    cost is one cheap header walk per payload, far below the decode it
+    shields."""
+    from lakota_spark.operators.multimodal import classify_media
+
+    k = classify_media(stream_media, with_payload=True)
+    cond = (
+        F.col("kind") != "unknown"
+        if keep is None
+        else F.col("kind").isin(list(keep))
+    )
+    return k.where(cond)

@@ -4881,3 +4881,151 @@ def test_mmr_topk_diversifies(spark):
         mmr_topk(emb, q, k=6, pool=5)
     with _pytest.raises(ValueError):
         mmr_topk(emb, q, k=2, pool=5, lam_micro=2000000)
+
+
+def test_classify_media_kinds(spark):
+    # one payload per family through the triage stage; random bytes and
+    # a truncated walkable stream read as unknown
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        classify_media,
+    )
+
+    payloads = {
+        1: (b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "png"),
+        2: (b"GIF89a" + b"\x00" * 16, "gif"),
+        3: (b"\xff\xd8\xff\xe0" + b"\x00" * 16, "jpeg"),
+        4: (b"BM" + b"\x00" * 16, "bmp"),
+        5: (b"RIFF\x24\x00\x00\x00WAVE" + b"\x00" * 16, "wav"),
+        6: (b"RIFF\x24\x00\x00\x00AVI " + b"\x00" * 16, "avi"),
+        7: (b"fLaC" + b"\x00" * 16, "flac"),
+        8: (b"YUV4MPEG2 W4 H4\n" + b"\x00" * 16, "y4m"),
+        9: (_mk_ogg([(2, 0, _vorbis_id(2, 44100)), (4, 100, b"x" * 20)]),
+            "ogg"),
+        10: (_mk_m4a(), "mp4_audio"),
+        11: (_mk_mp4_video(), "mp4_video"),
+        12: (_mk_mp3([128] * 3), "mp3"),
+        13: (_mk_adts([384, 384]), "aac"),
+        14: (bytes(range(256)) * 4, "unknown"),
+        15: (b"OggS" + b"\x00" * 8, "unknown"),  # truncated Ogg
+    }
+    media = spark.createDataFrame(
+        [
+            (mid, bytearray(b), "application/octet-stream", len(b), "{}")
+            for mid, (b, _) in payloads.items()
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r.kind for r in classify_media(media).collect()}
+    want = {mid: kind for mid, (b, kind) in payloads.items()}
+    assert got == want
+    # with_payload=True keeps the bytes intact for gate pass-through
+    wp = {
+        r.media_id: bytes(r.payload)
+        for r in classify_media(media, with_payload=True).collect()
+    }
+    assert wp[10] == _mk_m4a()
+
+
+def _mk_tiff(pixels, endian="<", photometric=2, rows_per_strip=None,
+             compression=1):
+    """Independent test-side TIFF writer: header | strip data | overflow
+    tag values | IFD, ascending tag ids, both byte orders — the
+    spec-faithful twin of the parser's IFD walk."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, spp = arr.shape
+    rps = rows_per_strip or h
+    strips = [arr[i:i + rps].tobytes() for i in range(0, h, rps)]
+    offs = []
+    cur = 8
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    ov_base = cur
+    overflow = bytearray()
+    entries = []
+
+    def ent(tag, typ, vals, fmt):
+        raw = struct.pack(endian + str(len(vals)) + fmt, *vals)
+        if len(raw) <= 4:
+            entries.append((tag, typ, len(vals), raw.ljust(4, b"\x00")))
+        else:
+            entries.append((tag, typ, len(vals), ("OV", len(overflow))))
+            overflow.extend(raw)
+
+    ent(256, 3, [w], "H")
+    ent(257, 3, [h], "H")
+    ent(258, 3, [8] * spp, "H")
+    ent(259, 3, [compression], "H")
+    ent(262, 3, [photometric], "H")
+    ent(273, 4, offs, "I")
+    ent(277, 3, [spp], "H")
+    ent(278, 3, [rps], "H")
+    ent(279, 4, [len(s) for s in strips], "I")
+    ifd_off = ov_base + len(overflow)
+    out = bytearray()
+    out += (b"II" if endian == "<" else b"MM")
+    out += struct.pack(endian + "H", 42) + struct.pack(endian + "I", ifd_off)
+    for s in strips:
+        out += s
+    out += overflow
+    out += struct.pack(endian + "H", len(entries))
+    for tag, typ, cnt, v in sorted(entries, key=lambda t: t[0]):
+        out += struct.pack(endian + "HHI", tag, typ, cnt)
+        out += struct.pack(endian + "I", ov_base + v[1]) if isinstance(
+            v, tuple
+        ) else v
+    out += struct.pack(endian + "I", 0)
+    return bytes(out)
+
+
+def test_tiff_decode_golden():
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_tiff, _safe
+
+    rgb = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    got = _parse_tiff(_mk_tiff(rgb))
+    assert got is not None and np.array_equal(got, rgb)
+    # big-endian, grayscale, multi-strip, WhiteIsZero inversion
+    gray = np.array([[0, 100], [200, 255]], dtype=np.uint8)
+    got2 = _parse_tiff(
+        _mk_tiff(gray, endian=">", photometric=0, rows_per_strip=1)
+    )
+    assert np.array_equal(got2[:, :, 0], 255 - gray)
+    assert np.array_equal(got2[:, :, 1], got2[:, :, 0])
+    # black-is-zero gray, little-endian, single strip
+    got3 = _parse_tiff(_mk_tiff(gray, photometric=1))
+    assert np.array_equal(got3[:, :, 2], gray)
+    # rejections -> fallback: LZW-compressed, truncated strips, junk
+    assert _safe(_parse_tiff, _mk_tiff(rgb, compression=5)) is None
+    assert _safe(_parse_tiff, _mk_tiff(rgb)[:20]) is None
+    assert _safe(_parse_tiff, b"II*\x00" + b"\xff" * 16) is None
+    assert _safe(_parse_tiff, b"\x00" * 32) is None
+
+
+def test_tiff_features_through_spark(spark):
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        classify_media,
+        extract_features,
+    )
+
+    rgb = np.full((3, 5, 3), 100, dtype=np.uint8)
+    blob = _mk_tiff(rgb)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob), "image/tiff", len(blob), "{}")], MEDIA_SCHEMA
+    )
+    feat = extract_features(media).collect()[0].feature
+    assert len(feat) == 13  # real decode, not the 8-float fallback
+    assert feat[:2] == [5.0, 3.0]
+    assert abs(feat[2] - 100.0) < 1e-9
+    assert classify_media(media).collect()[0].kind == "tiff"

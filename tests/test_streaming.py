@@ -1132,3 +1132,69 @@ def test_streaming_pca_drift_monitor_matches_batch(spark, tmp_path):
                 for r in psi_terms(ref, nh_b, 16).collect()
             )
             assert got[bid] == (60, psi_b)
+
+
+def test_streaming_media_gate_matches_batch(spark, tmp_path):
+    # stateless triage gate on a real micro-batch stream: payloads no
+    # structural parser claims are dropped; the batch twin on the same
+    # rows is the oracle (identical expression graph), and an explicit
+    # allowlist narrows the gate the same way in both modes
+    import os as _os
+
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        classify_media,
+    )
+    from lakota_spark.streaming import streaming_media_gate
+
+    rows = [
+        (1, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8), "image/png", 16, "{}"),
+        (2, bytearray(b"\x00\x01\x02" * 20), "image/png", 60, "{}"),  # junk
+        (3, bytearray(b"fLaC" + b"\x00" * 12), "audio/flac", 16, "{}"),
+        (4, bytearray(b"RIFF\x10\x00\x00\x00WAVE" + b"\x00" * 4), "audio/wav", 16, "{}"),
+    ]
+    src = str(tmp_path / "msrc")
+    _os.makedirs(src)
+    spark.createDataFrame(rows, MEDIA_SCHEMA).write.parquet(
+        f"file://{src}/b0.parquet"
+    )
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(f"file://{src}/*")
+    out_path = str(tmp_path / "mout")
+    q = (
+        streaming_media_gate(stream)
+        .writeStream.format("parquet")
+        .option("path", f"file://{out_path}")
+        .option("checkpointLocation", str(tmp_path / "mckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.media_id, r.kind)
+        for r in spark.read.parquet(f"file://{out_path}").collect()
+    }
+    batch = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    want = {
+        (r.media_id, r.kind)
+        for r in classify_media(batch, with_payload=True)
+        .where("kind != 'unknown'")
+        .collect()
+    }
+    assert got == want == {(1, "png"), (3, "flac"), (4, "wav")}
+    # allowlist narrows identically in stream mode
+    out2 = str(tmp_path / "mout2")
+    q2 = (
+        streaming_media_gate(stream, keep=("wav", "flac"))
+        .writeStream.format("parquet")
+        .option("path", f"file://{out2}")
+        .option("checkpointLocation", str(tmp_path / "mckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r.media_id for r in spark.read.parquet(f"file://{out2}").collect()
+    }
+    assert got2 == {3, 4}
