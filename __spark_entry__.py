@@ -711,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_topic_terms": pipeline.cluster_topic_terms,
         "mmr_diverse_topk": pipeline.mmr_diverse_topk,
         "dup_rate_by_source": pipeline.dup_rate_by_source,
+        "multimodal_triage_report": pipeline.multimodal_triage_report,
         # --- storage-engine round-trips (last driver row r3) ---
         "engine_tail": engine_demo.engine_tail,
         "engine_overlay_update": engine_demo.engine_overlay_update,
@@ -2384,6 +2385,23 @@ SELECT doc_id AS media_id,
   round(CASE WHEN doc_id % 2 = 0 THEN 0.0 ELSE 1.0 END, 6) AS vbr
 FROM documents
 ORDER BY media_id
+""",
+        # triage rollup: every branch's byte length is closed-form (the
+        # container templates are fixed-length; Y4M frames are 24
+        # sanitized ASCII chars; junk is 5 + utf-8 byte length)
+        "multimodal_triage_report": f"""
+SELECT kind, count(*) AS n, sum(len)::BIGINT AS total_bytes FROM (
+  SELECT CASE doc_id % 5 WHEN 0 THEN 'ogg' WHEN 1 THEN 'mp4_audio'
+              WHEN 2 THEN 'y4m' WHEN 3 THEN 'png' ELSE 'unknown' END AS kind,
+         CASE doc_id % 5
+              WHEN 0 THEN {pipeline.OGG_TEMPLATE_LEN}
+              WHEN 1 THEN {pipeline.M4A_TEMPLATE_LEN}
+              WHEN 2 THEN 22 + 30 * (1 + doc_id % 4)
+              WHEN 3 THEN 24
+              ELSE 5 + octet_length(encode(text))
+         END AS len
+  FROM documents
+) GROUP BY kind
 """,
         "pretrain_clean": f"""
 WITH {_SHINGLES_CTE},

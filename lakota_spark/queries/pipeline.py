@@ -1281,6 +1281,72 @@ OGG_TEMPLATE_LEN = len(_ogg_opus_template())
 M4A_TEMPLATE_LEN = len(_m4a_template())
 
 
+def multimodal_triage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT triage entry (round 8, third session): five payload
+    families built JVM-side by doc_id residue — Ogg-Opus, m4a, Y4M,
+    a PNG-magic stub, and a text blob no parser claims — rolled up per
+    claimed kind by `multimodal.classify_media` (count + total bytes).
+    Every branch's byte length is closed-form (the container templates
+    are fixed-length, Y4M frames are sanitized to 24 ASCII chars, the
+    junk branch is 5 + utf-8 byte length), so the whole report checks
+    against doc_id arithmetic — the triage stage the streaming media
+    gate runs, under a value-exact oracle instead of only the
+    batch≡stream parity test."""
+    d = _docs(spark, sf_dir)
+    txt = F.encode(
+        F.expr(
+            "rpad(regexp_replace(substring(text, 1, 24), '[^ -~]', 'x'),"
+            " 24, 'x')"
+        ),
+        "utf-8",
+    )
+    ogg = _template_col(_ogg_opus_template(), [
+        (_PH_CH8, _be_col(1 + F.col("doc_id") % 2, 1)),
+        (_PH_GRAN, _le_col(F.lit(312) + 960 * (1 + F.col("doc_id") % 6), 8)),
+        (_PH_TXT, txt),
+    ])
+    m4a = _template_col(_m4a_template(), [
+        (_PH_DUR, _be_col(250 * (1 + F.col("doc_id") % 8), 4)),
+        (_PH_CH16, _be_col(1 + F.col("doc_id") % 2, 2)),
+        (_PH_CNT, _be_col(1 + F.col("doc_id") % 5, 4)),
+        (_PH_TXT, txt),
+    ])
+    y4m = F.encode(
+        F.concat(
+            F.lit("YUV4MPEG2 W4 H4 F25:1\n"),
+            F.expr(
+                "repeat(concat('FRAME\\n', rpad(regexp_replace("
+                "substring(text, 1, 24), '[^ -~]', 'x'), 24, 'x')),"
+                " cast(1 + doc_id % 4 as int))"
+            ),
+        ),
+        "utf-8",
+    )
+    png_stub = F.unhex(F.lit(b"\x89PNG\r\n\x1a\n".hex() + "00" * 16))
+    junk = F.encode(F.concat(F.lit("junk:"), F.col("text")), "utf-8")
+    r = F.col("doc_id") % 5
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(r == 0, ogg)
+        .when(r == 1, m4a)
+        .when(r == 2, y4m)
+        .when(r == 3, png_stub)
+        .otherwise(junk)
+        .alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(0).cast("long").alias("n_bytes"),
+        F.lit("{}").alias("meta"),
+    ).withColumn("n_bytes", F.octet_length("payload"))
+    return (
+        M.classify_media(media)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )
+
+
 # --- sketches (rows-only: approximate by construction) --------------------
 
 def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

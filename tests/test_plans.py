@@ -724,3 +724,15 @@ def test_dup_rate_by_source_plan_shape(spark):
         df, "simple"
     )
     assert "CartesianProduct" not in plans.join_strategies(df)
+
+
+def test_multimodal_triage_report_plan_shape(spark):
+    # payload build is codegen, the triage is the single Arrow stage,
+    # and the kind rollup is the only exchange (partial agg map-side)
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.multimodal_triage_report(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plans.node_count(df, "MapInPandas") == 1, plan
+    assert plans.node_count(df, "Exchange") <= 1, plan
+    assert plans.join_strategies(df) == [], plan
