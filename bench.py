@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     # round-8 multimodal rungs: payload build + Arrow header-walk pass
     "multimodal_video_headers",
     "multimodal_container_headers",
+    "multimodal_triage_report",
     # round-8 cluster topic report: one corpus pass + vocab-sized ranking
     "cluster_topic_terms",
     "tpch_q9_profit",
