@@ -933,8 +933,11 @@ def _parse_tiff(b: bytes):
             return None
         tag, typ, cnt = struct.unpack(e + "HHI", b[p : p + 8])
         sz = type_size.get(typ)
-        if sz is None or cnt > 1 << 20:
-            continue  # rational/ascii/unknown types are irrelevant here
+        if sz is None or cnt == 0 or cnt > 1 << 20:
+            # rational/ascii/unknown types are irrelevant here; a
+            # zero-count tag would store an empty tuple and make every
+            # `tags.get(..., default)[0]` read raise on hostile input
+            continue
         total = sz * cnt
         if total <= 4:
             raw = b[p + 8 : p + 8 + total]
@@ -1645,7 +1648,11 @@ def _parse_ogg_headers(b: bytes):
                 rate = 48000  # Opus granules are always 48 kHz
             else:
                 return None
-        else:
+        elif granule > 0:
+            # only granule-bearing audio pages count toward the VBR
+            # flag: the Vorbis comment/setup header pages (granule 0)
+            # always differ in size from audio pages, so including them
+            # would read every real CBR stream as VBR
             body_sizes.append(body_len)
         if granule > 0:
             last_granule = granule
@@ -1733,6 +1740,11 @@ def _parse_mp4_headers(b: bytes):
     sample_size==0 means per-sample sizes vary (the is_vbr reading)."""
     boxes = list(_iter_mp4_boxes(b, 0, len(b)))
     if not boxes or boxes[0][0] != b"ftyp":
+        return None
+    if boxes[-1][2] < len(b) * 9 // 10:
+        # mirror the Ogg >=90%-consumed rule: a valid BMFF prefix with
+        # arbitrary trailing garbage must not be claimed (the caller
+        # derives kbps from len(b), which the garbage would inflate)
         return None
     moov = next(((s, e) for t, s, e in boxes if t == b"moov"), None)
     if moov is None:

@@ -3170,12 +3170,15 @@ def test_header_walk_parsers_hostile_input_fuzz():
     # _safe doesn't catch (that would escape the Spark stage)
     import random
 
+    import numpy as np
+
     from lakota_spark.operators.multimodal import (
         _parse_adts_headers,
         _parse_h264_headers,
         _parse_mp3_headers,
         _parse_mp4_headers,
         _parse_ogg_headers,
+        _parse_tiff,
         _safe,
     )
 
@@ -3188,10 +3191,21 @@ def test_header_walk_parsers_hostile_input_fuzz():
     for pre in (b"\xff\xf1", b"\xff\xfb", b"\x00\x00\x01\x67",
                 b"\x00\x00\x01", b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f",
                 b"OggS\x00\x02", b"\x00\x00\x00\x18ftypisom",
-                b"\x00\x00\x00\x01ftyp", b"\x00\x00\x00\x00moov"):
+                b"\x00\x00\x00\x01ftyp", b"\x00\x00\x00\x00moov",
+                b"II*\x00\x08\x00\x00\x00", b"MM\x00*\x00\x00\x00\x08"):
         for _ in range(50):
             n = rng.randrange(0, 64)
             payloads.append(pre + bytes(rng.randrange(256) for _ in range(n)))
+    # hand-built hostile TIFF: IFD0 whose width tag (256) has count=0 —
+    # a naive walk stores an empty tuple and raises IndexError on
+    # tags.get(256, (0,))[0]; the parser must skip zero-count tags
+    payloads.append(
+        b"II*\x00\x08\x00\x00\x00"          # header, IFD at 8
+        + b"\x02\x00"                        # 2 tags
+        + b"\x00\x01\x03\x00\x00\x00\x00\x00\x00\x00\x00\x00"  # 256 cnt=0
+        + b"\x01\x01\x03\x00\x01\x00\x00\x00\x05\x00\x00\x00"  # 257 = 5
+        + b"\x00\x00\x00\x00"                # next-IFD = 0
+    )
     for b in payloads:
         for parser in (_parse_adts_headers, _parse_h264_headers,
                        _parse_mp3_headers, _parse_ogg_headers):
@@ -3201,6 +3215,11 @@ def test_header_walk_parsers_hostile_input_fuzz():
             ), (parser.__name__, b[:16])
         out = _safe(_parse_mp4_headers, b)
         assert out is None or isinstance(out, dict), b[:16]
+        tout = _safe(_parse_tiff, b)
+        assert tout is None or isinstance(tout, np.ndarray), b[:16]
+    # the zero-count-tag payload must be rejected by the IFD walk itself,
+    # not rescued by _safe's IndexError net (raw call, no wrapper)
+    assert _parse_tiff(payloads[-1]) is None
 
 
 def test_leakage_safe_split_cluster_atomicity(spark):
@@ -4594,7 +4613,11 @@ def test_ogg_page_walk_golden():
         (4, 88200, b"\xaa" * 300),  # >255 bytes: spans two lacing segs
     ])
     dur, kbps, rate, ch, n, vbr = _parse_ogg_headers(blob)
-    assert (rate, ch, n, vbr) == (44100.0, 2.0, 3.0, 1.0)
+    # vbr must be 0 here: the comment page (granule 0) is a HEADER page
+    # and may not count toward page-size variance — with one audio page
+    # there is nothing to vary (a real CBR Vorbis stream always carries
+    # differently-sized comment/setup pages)
+    assert (rate, ch, n, vbr) == (44100.0, 2.0, 3.0, 0.0)
     assert abs(dur - 2.0) < 1e-9
     assert abs(kbps - len(blob) * 8 / 2.0 / 1000.0) < 1e-9
     # Opus: granules are 48 kHz and pre_skip is subtracted
@@ -4613,6 +4636,14 @@ def test_ogg_page_walk_golden():
         (4, 1920, b"\xdd" * 50),
     ])
     assert _parse_ogg_headers(cbr)[5] == 0.0
+    # unequal AUDIO pages still read as VBR (header pages excluded)
+    vbr_blob = _mk_ogg([
+        (2, 0, _opus_head(2, 0)),
+        (0, 0, b"OpusTags" + b"\x00" * 8),
+        (0, 960, b"\xcc" * 50),
+        (4, 1920, b"\xdd" * 90),
+    ])
+    assert _parse_ogg_headers(vbr_blob)[5] == 1.0
     # rejections: not Ogg; single page; non-audio BOS codec; second
     # logical stream (different serial); >10% trailing garbage
     assert _parse_ogg_headers(b"\x00" * 64) is None

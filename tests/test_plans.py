@@ -698,9 +698,9 @@ def test_multimodal_container_headers_plan_shape(spark):
 def test_cluster_topic_terms_plan_shape(spark):
     # ONE corpus pass: the (cluster, term) counts relation is
     # checkpointed before its three consumers (per-term totals, the
-    # stats row, the scored join), so exactly one Generate (the term
-    # explode) survives in the live plan; no cartesian beyond the
-    # broadcast one-row stats join
+    # stats row, the scored join), so the lazy localCheckpoint hides the
+    # term explode and ZERO Generates survive in the live plan; no
+    # cartesian beyond the broadcast one-row stats join
     from lakota_spark.queries import pipeline
 
     df = pipeline.cluster_topic_terms(spark, SF)
