@@ -140,13 +140,12 @@ class ScoreHistTracker:
     configurations would corrupt every later PSI — reopening with
     different parameters raises instead.
 
-    Storage constraint (ADVICE r7): the sidecar and the underlying
-    versioned counts live on the DRIVER-LOCAL filesystem (os/json/
-    rename), like every `tracker.VersionedCountsTracker` store — these
-    back single-writer foreachBatch loops on the driver. Unlike the
-    classifier model (`classifier.save_quality_model` routes through
-    the FS verbs), a drift reference cannot live on mem/HTTP/S3
-    backends; export `counts()` to a collection if it must travel.
+    Storage surface (ADVICE r7, closed in round 9): the sidecar and the
+    underlying versioned counts route through the `fsio` verbs like the
+    classifier model (`classifier.save_quality_model`), so a drift
+    reference lives on any engine backend — local, ``memory://``,
+    ``http(s)://`` or object-store roots (non-Hadoop backends are
+    single-writer by contract; see `tracker.VersionedCountsTracker`).
     """
 
     def __init__(
@@ -159,20 +158,19 @@ class ScoreHistTracker:
         score_col: str = "pc1",
     ):
         import json
-        import os
 
         self._t = _HistCountsTracker(spark, path, lo, hi, n_bins, score_col)
         self.lo, self.hi, self.n_bins = lo, hi, n_bins
         self.score_col = score_col
-        meta_path = os.path.join(path, "_meta.json")
         meta = {
             "lo": float(lo),
             "hi": float(hi),
             "n_bins": int(n_bins),
             "score_col": score_col,
         }
-        if os.path.exists(meta_path):
-            on_disk = json.load(open(meta_path))
+        fs = self._t.fs
+        if fs.exists("_meta.json"):
+            on_disk = json.loads(fs.read_bytes("_meta.json"))
             if on_disk != meta:
                 raise ValueError(
                     f"ScoreHistTracker at {path} was created with "
@@ -180,10 +178,7 @@ class ScoreHistTracker:
                     f"incompatible bin indexes"
                 )
         else:
-            tmp = meta_path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(meta, fh)
-            os.replace(tmp, meta_path)
+            fs.write_bytes_atomic("_meta.json", json.dumps(meta).encode())
 
     def fold(self, scores: DataFrame) -> None:
         self._t.fold(scores)

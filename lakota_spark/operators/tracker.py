@@ -18,8 +18,8 @@ Layout (the Delta-style bucketed manifest — the 100 TB shape):
   their previous dirs forward by reference — zero copy.
 
 Publication is atomic: ``v{N+1}`` is built under a tmp name and
-renamed into place; ``os.rename`` onto an existing non-empty dir
-fails, which IS the CAS. Concurrency is optimistic-retry with the CAS
+renamed into place; a rename onto an existing non-empty dir fails,
+which IS the CAS. Concurrency is optimistic-retry with the CAS
 discipline: publish to base+1 OF THE VERSION MERGED — reading "latest"
 and publishing to "next free" separately would let a racer's version
 land in between and be silently skipped over (its counts lost from
@@ -33,23 +33,32 @@ than ``keep_versions`` are removed together with bucket dirs no kept
 manifest references — the store's file count is bounded by
 ``n_buckets x keep_versions``, not by fold count.
 
-Paths are driver-local filesystem (os/json/rename): these stores back
-single-writer foreachBatch loops on the driver. For mem/HTTP/S3
-artifact surfaces use the fsio-backed model persistence
-(`classifier.save_quality_model`) — routing the tracker through fsio
-is possible (the verbs exist) but unneeded until a tracker must live
-behind an object store.
+Storage surface (ADVICE r7 / VERDICT r8 #3): all IO routes through
+the `fsio` verbs, so a tracker lives on ANY engine backend — plain
+local paths keep the fast native-rename CAS (multi-process safe for
+concurrent local writers), while ``memory://`` and ``http(s)://``
+roots stage Spark's parquet output in a local tempdir and publish
+the part files through `write_bytes_atomic` (reads materialize via
+`spark_read_uris`' read-through cache) — the same staging discipline
+as `Series._publish_parts`. Non-Hadoop backends are single-writer by
+contract (they back one driver's foreachBatch loop); the version CAS
+there is exists-check + atomic write, which still detects a landed
+head and re-merges, but two simultaneous remote writers could race
+the check — use a local/S3 root if you need multi-writer folds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import posixpath
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from lakota_spark.fsio import FS, open_fs
 
 
 class VersionedCountsTracker:
@@ -65,21 +74,29 @@ class VersionedCountsTracker:
     def __init__(self, spark, path: str):
         self.spark = spark
         self.path = path
-        os.makedirs(path, exist_ok=True)
+        self.fs = open_fs(path)
+        # local root (None on memory://, http://): enables the native
+        # os.rename CAS and direct Spark scratch writes under the root
+        self._local = self.fs.local_path("")
+        if self._local is not None:
+            os.makedirs(self._local, exist_ok=True)
 
     # -- version / manifest plumbing ------------------------------------
 
     def _versions(self) -> list[int]:
+        try:
+            names = self.fs.ls("")
+        except FileNotFoundError:
+            return []
         return sorted(
             int(name[1:])
-            for name in os.listdir(self.path)
+            for name in names
             if name.startswith("v") and name[1:].isdigit()
         )
 
     def _manifest(self, version: int) -> dict:
         """bucket(str) -> relative data dir for ``v{version}``."""
-        with open(f"{self.path}/v{version}/manifest.json") as fh:
-            return json.load(fh)
+        return json.loads(self.fs.read_bytes(f"v{version}/manifest.json"))
 
     def _bucket_col(self):
         """Key-hash bucket — a pure function of the key columns, so a
@@ -101,8 +118,9 @@ class VersionedCountsTracker:
         man = self._manifest(vs[-1])
         if not man:
             return None
-        paths = [f"{self.path}/{rel}" for rel in sorted(set(man.values()))]
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.parquet(
+            *self.fs.spark_read_uris(sorted(set(man.values())))
+        )
 
     def _batch_counts(self, df: DataFrame, **kw) -> DataFrame:
         raise NotImplementedError
@@ -138,15 +156,13 @@ class VersionedCountsTracker:
             vs = self._versions()
             base = vs[-1] if vs else 0
             man = self._manifest(base) if base else {}
-            prev_paths = [
-                f"{self.path}/{man[str(k)]}"
-                for k in touched
-                if str(k) in man
+            prev_rels = [
+                man[str(k)] for k in touched if str(k) in man
             ]
-            if prev_paths:
-                prev = self.spark.read.parquet(*prev_paths).withColumn(
-                    "_bucket", self._bucket_col()
-                )
+            if prev_rels:
+                prev = self.spark.read.parquet(
+                    *self.fs.spark_read_uris(prev_rels)
+                ).withColumn("_bucket", self._bucket_col())
                 merged = (
                     prev.unionByName(batch)
                     .groupBy(*self.key_cols)
@@ -155,41 +171,15 @@ class VersionedCountsTracker:
                 )
             else:
                 merged = batch
-            # one write job: partitionBy splits the touched buckets into
-            # their own subdirs, each renamed to a content-unique tag so
-            # a racing fold's identically-numbered attempt can't collide
-            scratch = f"{self.path}/_tmp-{uuid.uuid4().hex}"
-            (
-                merged.repartition(len(touched), "_bucket")
-                .write.partitionBy("_bucket")
-                .parquet(scratch)
-            )
-            new_refs: dict[str, str] = {}
-            for k in touched:
-                src = f"{scratch}/_bucket={k}"
-                if not os.path.isdir(src):
-                    continue  # merge emptied this bucket (can't happen
-                    # with additive counts, but stay safe)
-                tag = uuid.uuid4().hex[:12]
-                os.makedirs(f"{self.path}/b{k}", exist_ok=True)
-                dst_rel = f"b{k}/{tag}"
-                os.rename(src, f"{self.path}/{dst_rel}")
-                new_refs[str(k)] = dst_rel
-            shutil.rmtree(scratch, ignore_errors=True)
-            tmp = f"{self.path}/_tmp-man-{uuid.uuid4().hex}"
-            os.makedirs(tmp)
-            with open(f"{tmp}/manifest.json", "w") as fh:
-                json.dump({**man, **new_refs}, fh, sort_keys=True)
-            try:
-                os.rename(tmp, f"{self.path}/v{base + 1}")
-            except OSError:
+            new_refs = self._write_buckets(merged, touched)
+            if not self._publish_manifest(base + 1, {**man, **new_refs}):
                 # lost the CAS: drop THIS attempt's bucket dirs and
                 # re-merge against the newly-landed head
-                shutil.rmtree(tmp, ignore_errors=True)
                 for rel in new_refs.values():
-                    shutil.rmtree(
-                        f"{self.path}/{rel}", ignore_errors=True
-                    )
+                    try:
+                        self.fs.remove_tree(rel)
+                    except OSError:
+                        pass
                 continue
             self._gc(base + 1)
             return
@@ -199,6 +189,88 @@ class VersionedCountsTracker:
 
     # the initial landed corpus seeds the store through the same merge
     seed = fold
+
+    # -- storage primitives (local fast path / fsio staging) -------------
+
+    def _write_buckets(self, merged: DataFrame, touched: list[int]) -> dict:
+        """ONE write job: partitionBy splits the touched buckets into
+        their own subdirs, each published under a content-unique tag so
+        a racing fold's identically-numbered attempt can't collide.
+        Local roots let Spark write scratch in place and rename; other
+        backends stage locally and upload part files through the FS
+        verbs (`Series._publish_parts` discipline)."""
+        writer = (
+            merged.repartition(len(touched), "_bucket")
+            .write.partitionBy("_bucket")
+        )
+        new_refs: dict[str, str] = {}
+        if self._local is not None:
+            scratch = os.path.join(self._local, f"_tmp-{uuid.uuid4().hex}")
+            writer.parquet("file://" + scratch)
+            for k in touched:
+                src = f"{scratch}/_bucket={k}"
+                if not os.path.isdir(src):
+                    continue  # merge emptied this bucket (can't happen
+                    # with additive counts, but stay safe)
+                tag = uuid.uuid4().hex[:12]
+                os.makedirs(os.path.join(self._local, f"b{k}"), exist_ok=True)
+                dst_rel = f"b{k}/{tag}"
+                os.rename(src, os.path.join(self._local, dst_rel))
+                new_refs[str(k)] = dst_rel
+            shutil.rmtree(scratch, ignore_errors=True)
+            return new_refs
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="lakota-tracker-stage-")
+        try:
+            # write under a subpath: mkdtemp created the parent, and
+            # Spark refuses an existing target without overwrite mode
+            writer.parquet("file://" + staging + "/out")
+            local = FS(staging + "/out")
+            for k in touched:
+                src_rel = f"_bucket={k}"
+                parts = [
+                    p
+                    for p in (
+                        local.ls(src_rel) if local.exists(src_rel) else []
+                    )
+                    if p.endswith(".parquet")
+                ]
+                if not parts:
+                    continue
+                dst_rel = f"b{k}/{uuid.uuid4().hex[:12]}"
+                for part in parts:
+                    self.fs.write_bytes_atomic(
+                        posixpath.join(dst_rel, part),
+                        local.read_bytes(posixpath.join(src_rel, part)),
+                    )
+                new_refs[str(k)] = dst_rel
+            return new_refs
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def _publish_manifest(self, version: int, man: dict) -> bool:
+        """CAS-publish ``v{version}/manifest.json``; False = lost race.
+        Local roots use the native dir rename (atomic, fails on an
+        existing non-empty target — multi-process safe); non-Hadoop
+        backends use exists-check + atomic write (single-writer by
+        contract, still detects a landed head)."""
+        data = json.dumps(man, sort_keys=True).encode()
+        if self._local is not None:
+            tmp = os.path.join(self._local, f"_tmp-man-{uuid.uuid4().hex}")
+            os.makedirs(tmp)
+            with open(os.path.join(tmp, "manifest.json"), "wb") as fh:
+                fh.write(data)
+            try:
+                os.rename(tmp, os.path.join(self._local, f"v{version}"))
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                return False
+            return True
+        if self.fs.exists(f"v{version}/manifest.json"):
+            return False
+        self.fs.write_bytes_atomic(f"v{version}/manifest.json", data)
+        return True
 
     # -- GC -------------------------------------------------------------
 
@@ -224,5 +296,11 @@ class VersionedCountsTracker:
             except OSError:
                 refs = set()
             for rel in refs - kept_refs:
-                shutil.rmtree(f"{self.path}/{rel}", ignore_errors=True)
-            shutil.rmtree(f"{self.path}/v{v}", ignore_errors=True)
+                try:
+                    self.fs.remove_tree(rel)
+                except OSError:
+                    pass
+            try:
+                self.fs.remove_tree(f"v{v}")
+            except OSError:
+                pass

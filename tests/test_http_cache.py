@@ -250,3 +250,72 @@ def test_io_metrics(tmp_path):
     assert BaseFS.metrics()["MemFS.read"] == len(data)
     BaseFS.reset_metrics()
     assert BaseFS.metrics() == {}
+
+
+def _drive_tracker_roundtrip(spark, path):
+    # seed → fold → reopen → psi gate: the full ScoreHistTracker surface
+    # (VERDICT r8 #3 acceptance — same artifact reach as
+    # classifier.save_quality_model)
+    import pytest
+
+    from lakota_spark.operators.drift import ScoreHistTracker
+
+    t = ScoreHistTracker(spark, path, lo=0.0, hi=4.0, n_bins=4,
+                         score_col="x")
+    t.fold(spark.createDataFrame([(0.5,), (1.5,), (1.7,)], "x double"))
+    t.fold(spark.createDataFrame([(2.5,), (0.1,)], "x double"))
+    counts = {r["bin"]: r["c"] for r in t._t.counts().collect()}
+    assert counts == {0: 2, 1: 2, 2: 1}
+    # a REOPENED tracker sees the landed reference (state lives on the
+    # backend, not in the instance) and keeps gating against it
+    t2 = ScoreHistTracker(spark, path, lo=0.0, hi=4.0, n_bins=4,
+                          score_col="x")
+    assert {r["bin"]: r["c"] for r in t2._t.counts().collect()} == counts
+    terms = t2.gate_and_fold(
+        spark.createDataFrame([(3.5,), (3.6,)], "x double")
+    ).collect()
+    assert {r["bin"] for r in terms} == {0, 1, 2, 3}
+    assert {r["bin"]: r["c"] for r in t2._t.counts().collect()} == {
+        0: 2, 1: 2, 2: 1, 3: 2
+    }
+    # the _meta.json sidecar guard works through the FS verbs too
+    with pytest.raises(ValueError):
+        ScoreHistTracker(spark, path, lo=0.0, hi=4.0, n_bins=8,
+                         score_col="x")
+
+
+def test_score_hist_tracker_on_memory_backend(spark):
+    import uuid
+
+    _drive_tracker_roundtrip(
+        spark, f"memory://tracker-{uuid.uuid4().hex}/hist"
+    )
+
+
+def test_score_hist_tracker_on_http_backend(http_root, spark):
+    _, url = http_root
+    _drive_tracker_roundtrip(spark, url.rstrip("/") + "/hist")
+
+
+def test_versioned_tracker_gc_on_memory_backend(spark):
+    # keep_versions GC must hold on non-local backends: after many folds
+    # only the newest manifests/bucket dirs survive (file count bounded
+    # by n_buckets x keep_versions, not fold count)
+    import uuid
+
+    from lakota_spark.operators.drift import _HistCountsTracker
+
+    path = f"memory://tracker-gc-{uuid.uuid4().hex}"
+    t = _HistCountsTracker(spark, path, 0.0, 4.0, 4, "x")
+    for i in range(4):
+        t.fold(spark.createDataFrame([(float(i % 4) + 0.5,)], "x double"))
+    versions = [
+        int(n[1:]) for n in t.fs.ls("") if n.startswith("v") and
+        n[1:].isdigit()
+    ]
+    assert max(versions) == 4
+    assert len(versions) <= t.keep_versions
+    total = sum(
+        {r["bin"]: r["c"] for r in t.counts().collect()}.values()
+    )
+    assert total == 4
