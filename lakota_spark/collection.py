@@ -878,7 +878,8 @@ class Collection:
             return new_coll
         with new_coll.multi():
             for label in self.ls():
-                df = self.series(label).frame()
+                # sort=False: the target series' write() sorts anyway
+                df = self.series(label).frame(sort=False)
                 for old, newc in rename.items():
                     df = df.withColumnRenamed(old, newc)
                 for name, alias in add.items():

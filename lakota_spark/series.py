@@ -46,6 +46,73 @@ CLOSED = {
 }
 
 
+def _ordered_reader(
+    root_uri: str,
+    read_cols: list[str],
+    out_cols: list[str],
+    filters: list[tuple],
+    bounds,
+    out_struct,
+):
+    """Executor-side reader for `Series._ordered_scan`: each partition
+    reads its (interval-contiguous, name-sorted) part files with pyarrow
+    IN ORDER and yields record batches cast to Spark's expected arrow
+    schema — preserving the global sort without any Exchange. ``bounds``
+    is ``(idx_cols, start_b, start_closed, stop_b, stop_closed)`` or
+    None; the exact lexicographic prefix mask mirrors
+    `Series._pandas_bound_mask` in pyarrow.compute (applied BEFORE the
+    cast, on the files' native physical types)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(out_struct)
+
+    def bound_mask(tbl, idx, bound, closed, is_start):
+        import pyarrow.compute as pc
+
+        strict = None
+        eq_all = None
+        for c, v in zip(idx[: len(bound)], bound):
+            col = tbl.column(c)
+            cmp = pc.greater(col, v) if is_start else pc.less(col, v)
+            eq = pc.equal(col, v)
+            if strict is None:
+                strict, eq_all = cmp, eq
+            else:
+                strict = pc.or_(strict, pc.and_(eq_all, cmp))
+                eq_all = pc.and_(eq_all, eq)
+        return pc.or_(strict, eq_all) if closed else strict
+
+    def read(batches):
+        import posixpath
+
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        fsys, root = pafs.FileSystem.from_uri(root_uri)
+        for batch in batches:
+            for rel in batch.column("rel").to_pylist():
+                tbl = pq.read_table(
+                    posixpath.join(root, rel),
+                    filesystem=fsys,
+                    columns=read_cols,
+                    filters=filters or None,
+                )
+                if bounds is not None:
+                    idx, start_b, s_closed, stop_b, e_closed = bounds
+                    if start_b is not None:
+                        tbl = tbl.filter(
+                            bound_mask(tbl, idx, start_b, s_closed, True)
+                        )
+                    if stop_b is not None:
+                        tbl = tbl.filter(
+                            bound_mask(tbl, idx, stop_b, e_closed, False)
+                        )
+                if tbl.num_rows:
+                    yield from tbl.select(out_cols).cast(target).to_batches()
+
+    return read
+
+
 class Series:
     #: class-level ring of recent driver-local read fallbacks (reason
     #: strings) — lets tests and operators detect a silent demotion of
@@ -858,6 +925,26 @@ class Series:
         sort: bool = True,
     ) -> DataFrame:
         segs = self.segments(start, stop, before, closed)
+        cols = select or list(self.schema.columns)
+        if sort:
+            # Sorted reads of clean (never-clipped) segments skip the
+            # global orderBy entirely (VERDICT r8 #2): segments are
+            # pairwise disjoint and internally sorted, so an interval-
+            # ordered scan IS the sorted frame — no range exchange, no
+            # Sort node (see `_ordered_scan`).
+            fast = self._ordered_scan(
+                segs,
+                self.schema.coerce_bound(start),
+                self.schema.coerce_bound(stop),
+                *CLOSED[closed],
+                cols=cols,
+            )
+            if fast is not None:
+                if offset:
+                    fast = fast.offset(offset)
+                if limit is not None:
+                    fast = fast.limit(limit)
+                return fast
         # The query-range predicate MUST be handed to the scan before the
         # _seg_key projection: input_file_name() is nondeterministic, so
         # Catalyst will not push any filter placed above it down to parquet.
@@ -878,7 +965,6 @@ class Series:
             df = df.offset(offset)
         if limit is not None:
             df = df.limit(limit)
-        cols = select or list(self.schema.columns)
         return df.select(*cols)
 
     def df(self, *args, **kwargs):
@@ -1235,6 +1321,126 @@ class Series:
             out = out.unionByName(p)
         return out
 
+    def _ordered_scan(
+        self,
+        segs: list[Segment],
+        start_b,
+        stop_b,
+        start_closed: bool,
+        stop_closed: bool,
+        cols: list[str],
+    ) -> DataFrame | None:
+        """Exchange-free SORTED distributed read (VERDICT r8 #2).
+
+        A native parquet scan cannot report ordering to Catalyst from
+        Python (file splits are bin-packed by size, losing file order),
+        so ``frame(sort=True)`` historically paid a full range-exchange
+        Sort that is pure overhead: clean segments are pairwise disjoint,
+        interval-ordered in the snapshot, and internally sorted (the
+        write path range-partitions + sorts, `_files_stats` relies on
+        it). This scan exploits that: the ordered part-file list is
+        packed into interval-contiguous partitions of a `mapInArrow`
+        relation, each partition reads its files with pyarrow IN ORDER,
+        and partition order == global sort order — so collect / limit /
+        offset / toPandas see sorted rows with ZERO Exchange or Sort
+        nodes in the plan (`tests/test_plans.py` pins this). Pushdown is
+        preserved by hand: coarse leading-index filters go to
+        ``pq.read_table(filters=)`` (row-group pruning), the exact
+        lexicographic prefix bound applies arrow-side, and only
+        ``cols ∪ idx`` columns are read.
+
+        Scale shape: one task per ~2×parallelism chunk of files, bytes
+        never touch the driver, reads are C++ parquet on the executors.
+        Returns None when the scan shape disqualifies — KV (needs
+        last-writer-wins dedup), clipped segments (need the bounds
+        join), or a backend that resolves to neither a pyarrow-readable
+        root nor a local read-through cache — and the classic
+        scan + orderBy path applies."""
+        if self.schema.kv:
+            return None
+        live = [s for s in segs if s.path]
+        if not live or any(s.meta.get("clip") for s in live):
+            return None
+        rels = [
+            f"{self.collection.seg_prefix}/{s.path}" for s in live
+        ]
+        if len(set(rels)) != len(rels):
+            return None  # one file under two pieces ⇒ effectively clipped
+        fs = self.collection.fs
+        if getattr(fs, "arrow_readable", False):
+            base = fs  # executors reopen pafs.FileSystem.from_uri(fs.uri)
+            materialize = None
+        elif hasattr(fs, "cache"):
+
+            def materialize():
+                fs.spark_read_uris(rels)  # fetch through the read cache
+
+            materialize()
+            base = fs.cache
+        else:
+            return None
+
+        def list_parts():
+            files = []
+            for rel in rels:  # interval order == global sort order
+                names = sorted(
+                    n for n in base.ls(rel) if n.endswith(".parquet")
+                )
+                if not names:
+                    return None
+                files.extend(f"{rel}/{n}" for n in names)
+            return files
+
+        try:
+            files = list_parts()
+        except OSError:
+            files = None
+        if files is None:
+            # GC bury race: resurrect referenced-but-buried segments and
+            # retry once (same self-heal as `_read_paths`)
+            self._resurrect_missing([s.path for s in live])
+            if materialize is not None:
+                materialize()
+            try:
+                files = list_parts()
+            except OSError:
+                return None
+            if files is None:
+                return None
+        idx = list(self.schema.idx)
+        need_mask = start_b is not None or stop_b is not None
+        read_cols = (
+            list(dict.fromkeys([*cols, *idx])) if need_mask else list(cols)
+        )
+        # coarse row-group pruning on the leading index column — the
+        # same shape `_bound_pred` pushes to a native scan
+        filters = []
+        if start_b is not None:
+            op = ">=" if (start_closed or len(start_b) > 1) else ">"
+            filters.append((idx[0], op, start_b[0]))
+        if stop_b is not None:
+            op = "<=" if (stop_closed or len(stop_b) > 1) else "<"
+            filters.append((idx[0], op, stop_b[0]))
+        from pyspark.sql.types import StructType
+
+        fields = {f.name: f for f in self.schema.struct_type().fields}
+        out_struct = StructType([fields[c] for c in cols])
+        reader = _ordered_reader(
+            base.uri,
+            read_cols,
+            cols,
+            filters,
+            (idx, start_b, start_closed, stop_b, stop_closed)
+            if need_mask
+            else None,
+            out_struct,
+        )
+        sc = self.spark.sparkContext
+        n_parts = max(1, min(len(files), sc.defaultParallelism * 2))
+        rdd = sc.parallelize([(f,) for f in files], n_parts)
+        fdf = self.spark.createDataFrame(rdd, "rel string")
+        return fdf.mapInArrow(reader, out_struct)
+
     def _apply_range(
         self, df: DataFrame, start, stop, start_closed: bool, stop_closed: bool
     ) -> DataFrame:
@@ -1427,7 +1633,9 @@ class Series:
                 F.max(self._idx_struct()).alias("hi"),
             ).collect()[0]
             lo, hi = tuple(stats["lo"]), tuple(stats["hi"])
-        base = self.frame(start=lo, stop=hi)
+        # sort=False: update_zerofill joins on the index and write()
+        # range-partitions + sorts anyway — row order here is irrelevant
+        base = self.frame(start=lo, stop=hi, sort=False)
         upd_proj = upd.select(*self.schema.idx, *update_cols)
         merged = update_zerofill(
             base, upd_proj, keys=list(self.schema.idx), update_cols=update_cols

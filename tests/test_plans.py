@@ -47,13 +47,60 @@ def test_engine_read_pushdown(repo):
     coll = repo.create_collection(Schema(ts="int*", value="float"), "p")
     s = coll.series("x")
     s.write({"ts": list(range(50)), "value": [float(i) for i in range(50)]})
-    df = s.frame(start=10, stop=20)
+    # the CLASSIC scan path (sort=False): range bounds reach parquet
+    df = s.frame(start=10, stop=20, sort=False)
     plans.assert_pushed(
         df, "GreaterThanOrEqual(ts,10)", "LessThanOrEqual(ts,20)"
     )
     # select-pushdown: only requested columns in the scan
     df2 = s.frame(select=["ts"], sort=False)
     assert "value" not in plans.scan_columns(df2)
+
+
+def test_engine_sorted_read_no_exchange(repo):
+    # VERDICT r8 #2: frame(sort=True) over clean segments must NOT pay a
+    # range exchange — the interval-ordered mapInArrow scan returns
+    # sorted rows with zero Exchange/Sort nodes, equal to the classic
+    # scan + orderBy output (limit/offset slice the sorted stream too)
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "ord")
+    s = coll.series("x")
+    # two disjoint segments written out of order: the ordered scan must
+    # emit them in INTERVAL order, not write order
+    s.write({"ts": list(range(100, 150)),
+             "value": [float(i) for i in range(100, 150)]})
+    s.write({"ts": list(range(50)), "value": [float(i) for i in range(50)]})
+    df = s.frame(start=10, stop=120)
+    plan = plans.explain_str(df, "simple")
+    assert "Exchange" not in plan and "Sort" not in plan, plan
+    assert "MapInArrow" in plan, plan
+    got = [(r.ts, r.value) for r in df.collect()]
+    expected = [(i, float(i)) for i in [*range(10, 50), *range(100, 121)]]
+    assert got == expected
+    # limit/offset operate on the sorted stream without adding a Sort
+    sliced = s.frame(start=10, stop=120, offset=2, limit=3)
+    assert [r.ts for r in sliced.collect()] == [12, 13, 14]
+    assert "Sort" not in plans.explain_str(sliced, "simple")
+    # select excluding the index stays ordered and prunes the read
+    vals = [r.value for r in s.frame(select=["value"]).collect()]
+    assert vals == sorted(vals)
+
+
+def test_engine_sorted_read_overlay_falls_back_sorted(repo):
+    # a clipped (overlay-narrowed) segment disqualifies the ordered scan;
+    # the classic path must still return globally sorted rows
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "ovl")
+    s = coll.series("x")
+    s.write({"ts": list(range(100)), "value": [0.0] * 100})
+    s.write({"ts": [40, 50], "value": [9.0, 9.0]}, start=40, stop=50)
+    df = s.frame()
+    plan = plans.explain_str(df, "simple")
+    assert "Sort" in plan, plan  # fallback path: explicit orderBy
+    rows = [(r.ts, r.value) for r in df.collect()]
+    assert [t for t, _ in rows] == sorted(t for t, _ in rows)
+    # the patch REPLACED [40, 50]: 40/50 carry the new value, 41–49 gone
+    d = dict(rows)
+    assert d[40] == 9.0 and d[39] == 0.0 and 41 not in d
+    assert len(rows) == 100 - 9
 
 
 def test_q19_prefilters_reach_scans(spark):
