@@ -42,15 +42,15 @@ def test_oracle_keys_subset_of_queries():
 def test_rows_only_entries_are_known():
     q = set(entry_mod.queries())
     no_oracle = q - set(entry_mod.oracle_sql())
-    # only the by-design rows-only entries may lack an oracle
+    # only the by-design rows-only entries may lack an oracle. Round 9
+    # (VERDICT r8 #1) turned multimodal_features / multimodal_frames /
+    # bpe_fertility_by_lang hash-exact via constructed golden payloads
+    # and the closed-form fixture corpus — what remains is genuinely
+    # engine-specific (approx sketches) or REAL-corpus subword inference
+    # (pinned by tests/test_tokenizer.py's driver recount instead)
     assert no_oracle == {
-        "sketch_stats", "multimodal_features", "multimodal_frames",
-        # round 7: learned-BPE fit + subword inference are not
-        # SQL-expressible; pinned by tests/test_tokenizer.py instead
+        "sketch_stats",
         "bpe_token_stats", "bpe_packed_sequences",
-        # round 8: same BPE-inference reason; pinned by the
-        # driver-recount fertility test in tests/test_tokenizer.py
-        "bpe_fertility_by_lang",
     }, no_oracle
 
 
