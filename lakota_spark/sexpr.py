@@ -241,6 +241,62 @@ BUILTINS: dict[str, Callable] = {
     "logical_not": lambda a: ~a,
     "logical_and": _fold(lambda a, b: a & b),
     "logical_or": _fold(lambda a, b: a | b),
+    # -- round-9 E8 closure: the rest of the common numpy surface as
+    # Column codegen (VERDICT r8 #5). Plain-value calls still take the
+    # dynamic dotted-numpy path above; these keep COLUMN arguments
+    # JVM-side instead of raising. numpy semantics preserved where they
+    # differ from the nearest Spark builtin (rint = half-even -> bround;
+    # char.capitalize = first char up + rest LOWERED; char.find =
+    # 0-based with -1 miss = instr - 1).
+    "char.lstrip": F.ltrim,
+    "char.rstrip": F.rtrim,
+    "char.title": F.initcap,
+    "char.capitalize": lambda c: F.concat(
+        F.upper(F.substring(c, 1, 1)),
+        F.lower(F.substring(c, 2, 2147483646)),
+    ),
+    "char.str_len": F.length,
+    "char.replace": lambda c, old, new: F.replace(c, F.lit(old), F.lit(new)),
+    "char.startswith": lambda c, pre: c.startswith(pre),
+    "char.endswith": lambda c, suf: c.endswith(suf),
+    "char.find": lambda c, sub: F.instr(c, sub) - 1,
+    "char.zfill": lambda c, width: F.lpad(c, width, "0"),
+    "char.add": _fold(lambda a, b: F.concat(a, b)),
+    "isnan": F.isnan,
+    "isnull": F.isnull,
+    "clip": lambda c, lo, hi: F.least(F.greatest(c, F.lit(lo)), F.lit(hi)),
+    "power": F.pow,
+    "float_power": F.pow,
+    "mod": _fold(lambda a, b: a % b),
+    "fmin": _fold(F.least),
+    "fmax": _fold(F.greatest),
+    "absolute": F.abs,
+    "fabs": F.abs,
+    "negative": lambda a: -a,
+    "rint": lambda a: F.bround(a),  # numpy rounds half to even
+    "log2": F.log2,
+    "log1p": F.log1p,
+    "expm1": F.expm1,
+    "cbrt": F.cbrt,
+    "hypot": F.hypot,
+    "degrees": F.degrees,
+    "radians": F.radians,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "arcsin": F.asin,
+    "arccos": F.acos,
+    "arctan": F.atan,
+    "arctan2": F.atan2,
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "greater": _chain(lambda a, b: a > b),
+    "greater_equal": _chain(lambda a, b: a >= b),
+    "less": _chain(lambda a, b: a < b),
+    "less_equal": _chain(lambda a, b: a <= b),
+    "equal": _chain(lambda a, b: a == b),
+    "not_equal": _chain(lambda a, b: a != b),
 }
 
 #: aggregate heads (`lakota/sexpr.py:164-224`). first/last need the frame's
