@@ -751,6 +751,23 @@ def leakage_safe_split(
     )
 
 
+def contrastive_buckets(
+    n: int, target_shard: int = 100_000, n_min: int = 64
+) -> int:
+    """Bucket-count rule for `contrastive_pairs` (the `corpus_k`
+    discipline, VERDICT r8 #6): with n_buckets FIXED, a 90%-one-language
+    corpus funnels 0.9·n rows through n_buckets window shards — at
+    1e9 docs and 64 buckets that is a 14M-row single-task sort. Scaling
+    n_buckets ∝ n/target_shard caps the expected shard (and therefore
+    the largest skewed-language shard) at ~target_shard rows, keeping
+    per-task sort memory flat while the shard count grows with the
+    corpus. The probe table in NOTES.md ("round 9 skew probes") pins
+    the measured flatness at ×1/×10/×100 under the 90%-en re-tag."""
+    if n <= 0:
+        return n_min
+    return max(n_min, -(-n // target_shard))
+
+
 def contrastive_pairs(
     docs: DataFrame,
     pairs: DataFrame,
