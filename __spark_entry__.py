@@ -2446,6 +2446,39 @@ SELECT s.doc_id AS media_id,
 FROM s JOIN luma l ON s.doc_id = l.doc_id
 ORDER BY media_id
 """,
+        # fixture-corpus packing (round 9): with closed-form per-doc
+        # token counts, the EOS-joined 64-token packing enumerates in
+        # SQL — running sum per hash bucket, ceil/floor for seq counts,
+        # and each doc's window-overlap count for doc_slots
+        "bpe_packed_sequences": """
+WITH per AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('tpack:' || doc_id::VARCHAR), 1, 8))::BIGINT
+          % 16) AS pack_bucket,
+         (3 + doc_id % 5) + (2 + doc_id % 3) + 5
+           + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN doc_id = 3 THEN 2 ELSE 0 END + 1 AS L
+  FROM documents
+),
+cum AS (
+  SELECT pack_bucket, doc_id, L,
+         sum(L) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per
+),
+tot AS (
+  SELECT pack_bucket, max(cum) AS total,
+         sum((cum - 1) // 64 - (cum - L) // 64 + 1) AS doc_slots
+  FROM cum GROUP BY pack_bucket
+)
+SELECT pack_bucket,
+       ((total + 63) // 64)::BIGINT AS n_seqs,
+       (total // 64)::BIGINT AS n_full,
+       total::BIGINT AS total_ids,
+       doc_slots::BIGINT AS doc_slots
+FROM tot
+ORDER BY pack_bucket
+""",
         # fixture-corpus BPE (round 9): construction makes the fit+encode
         # chain closed-form (see pipeline._bpe_fixture_docs) — tokens per
         # doc = words per doc, except 'zz' (doc 3 only) encodes to 2

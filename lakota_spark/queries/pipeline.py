@@ -1710,17 +1710,24 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end pretraining prep composite: fit BPE on the corpus,
-    encode every doc to token ids, pack the id stream into fixed 64-token
-    training sequences (operators/tokenizer.pack_token_sequences —
-    EOS-joined, hash-bucketed parallel streams). Aggregates per bucket:
-    sequence count, full/partial split, mean docs per sequence. Rows-only
-    by design (the tokenizer is not SQL-expressible); the packing itself
-    is pinned exactly by tests/test_tokenizer.py's driver reference."""
+    """ORACLE-EXACT end-to-end pretraining prep composite (round 9 —
+    was rows-only through r8): fit BPE on the closed-form fixture
+    corpus, encode every doc to token ids, pack the id stream into
+    fixed 64-token training sequences
+    (operators/tokenizer.pack_token_sequences — EOS-joined,
+    hash-bucketed parallel streams). With per-doc token counts pure
+    doc_id arithmetic (`_bpe_fixture_docs`), the whole packing is
+    SQL-enumerable: per bucket the EOS-joined stream length is a
+    running sum over hash32-ordered docs, n_seqs = ⌈total/64⌉, n_full =
+    ⌊total/64⌋, and doc_slots folds each doc's window-overlap count
+    ⌊(cum−1)/64⌋−⌊start/64⌋+1 — so fit, encode, offset window AND the
+    token-granular reassembly are all driver-checked. The REAL-corpus
+    packing stays pinned by tests/test_tokenizer.py's driver
+    reference."""
     from lakota_spark.operators import tokenizer as TK
 
     ids = TK.bpe_tokenize_ids(
-        _bpe_model(spark, sf_dir), _docs(spark, sf_dir)
+        _bpe_fixture_model(spark, sf_dir), _bpe_fixture_docs(spark, sf_dir)
     )
     packed = TK.pack_token_sequences(ids, seq_len=64, n_buckets=16)
     return packed.groupBy("pack_bucket").agg(
