@@ -743,20 +743,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_top_pairs": pipeline.embedding_dup_top_pairs,
         "embedding_dup_lsh": pipeline.embedding_dup_lsh,
         "cosine_topk": pipeline.cosine_topk,
-        # --- last driver rows r7: rows-only re-records + the ordered-scan
-        #     read path (engine_range_scan) + heavy hitters of the r7 set ---
+        # --- last driver rows r7: rows-only re-records + BOTH engine read
+        #     paths (classic scan + the new ordered mapInArrow scan,
+        #     never recorded) + heavy hitters of the r7 set ---
         "engine_range_scan": engine_demo.engine_range_scan,
+        "engine_sorted_scan": engine_demo.engine_sorted_scan,
         "sketch_stats": pipeline.sketch_stats,
         "bpe_token_stats": pipeline.bpe_token_stats,
         "bpe_packed_sequences": pipeline.bpe_packed_sequences,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
         "span_clip_clean": pipeline.span_clip_clean,
         "decontaminate_bloom_flag": pipeline.decontaminate_bloom_flag,
-        "langid_ngram_confusion": pipeline.langid_ngram_confusion,
         # ------------------------------------------------------------------
         # Below: outside the driver's 50-row window. All driver-green in
         # r7-r8 and still exercised by scripts/check_oracle.py each round.
+        # (langid_ngram_confusion rotated just below the line to make room
+        # for the never-recorded engine_sorted_scan; its last row is r7.)
         # ------------------------------------------------------------------
+        "langid_ngram_confusion": pipeline.langid_ngram_confusion,
         "jaccard_top_pairs": pipeline.jaccard_top_pairs,
         "simhash_signatures": pipeline.simhash_signatures,
         "minhash_signatures": pipeline.minhash_signatures,
@@ -1604,6 +1608,14 @@ SELECT date_trunc('day', ts)::TIMESTAMP AS day,
 FROM events GROUP BY 1
 """,
         "engine_range_scan": """
+SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+""",
+        # same relation through the round-9 ORDERED read path (the
+        # driver's hash is order-insensitive — this validates the
+        # mapInArrow scan's content; plan order is contract-tested)
+        "engine_sorted_scan": """
 SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     # storage-engine read path (ingest happens on the discarded first
     # trial; timed best-of is snapshot resolution + pruned scan)
     "engine_range_scan",
+    "engine_sorted_scan",
     "engine_tail",
 ]
 

@@ -91,6 +91,27 @@ def engine_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def engine_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the round-9 ORDERED read path: same range as
+    `engine_range_scan` but ``sort=True``, so the interval-ordered
+    mapInArrow scan (pyarrow reads on the executors, coarse filters +
+    exact prefix-bound mask applied arrow-side, cast to Spark's arrow
+    schema — `Series._ordered_scan`) carries the whole result. The
+    driver's value hash is order-insensitive, so this entry externally
+    validates the new path's CONTENT (pushdown, mask, cast); the
+    zero-Exchange/Sort ORDER contract is pinned by
+    tests/test_plans.py::test_engine_sorted_read_no_exchange."""
+    repo = _event_repo(spark, sf_dir)
+    series = repo.collection("events").series("all")
+    return series.frame(
+        start="2024-01-10",
+        stop="2024-01-20",
+        closed="l",
+        select=["ts", "event_id", "value"],
+        sort=True,
+    )
+
+
 def engine_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine tail-N (metadata-pruned backward read)."""
     repo = _event_repo(spark, sf_dir)
