@@ -48,23 +48,50 @@ CLOSED = {
 
 def _ordered_reader(
     root_uri: str,
-    read_cols: list[str],
+    read_struct,
     out_cols: list[str],
     filters: list[tuple],
     bounds,
-    out_struct,
 ):
     """Executor-side reader for `Series._ordered_scan`: each partition
     reads its (interval-contiguous, name-sorted) part files with pyarrow
     IN ORDER and yields record batches cast to Spark's expected arrow
-    schema — preserving the global sort without any Exchange. ``bounds``
-    is ``(idx_cols, start_b, start_closed, stop_b, stop_closed)`` or
-    None; the exact lexicographic prefix mask mirrors
-    `Series._pandas_bound_mask` in pyarrow.compute (applied BEFORE the
-    cast, on the files' native physical types)."""
+    schema — preserving the global sort without any Exchange.
+
+    ``read_struct`` is the Spark StructType of the read projection
+    (out_cols plus any index columns a bound mask needs); ``bounds`` is
+    ``(idx_cols, start_b, start_closed, stop_b, stop_closed)`` or None.
+    The exact lexicographic prefix mask mirrors
+    `Series._pandas_bound_mask` in pyarrow.compute, applied AFTER the
+    cast to Spark's arrow types so timestamp comparisons see ONE
+    timezone convention (Spark-written segments read tz=UTC, legacy
+    INT96 reads naive — the cast unifies both; naive datetime bounds
+    are UTC-localized to match, the session timezone being UTC). The
+    coarse leading-index filters keep row-group pruning; a file whose
+    physical type refuses the comparison (naive legacy timestamps)
+    retries unfiltered — the exact mask still clips it."""
+    import datetime as _dt
+
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    target = to_arrow_schema(out_struct)
+    read_cols = [f.name for f in read_struct.fields]
+    target = to_arrow_schema(read_struct)
+
+    def utcize(v):
+        if isinstance(v, _dt.datetime) and v.tzinfo is None:
+            return v.replace(tzinfo=_dt.timezone.utc)
+        return v
+
+    filters = [(c, op, utcize(v)) for c, op, v in filters]
+    if bounds is not None:
+        idx_b, start_b, s_cl, stop_b, e_cl = bounds
+        bounds = (
+            idx_b,
+            tuple(map(utcize, start_b)) if start_b is not None else None,
+            s_cl,
+            tuple(map(utcize, stop_b)) if stop_b is not None else None,
+            e_cl,
+        )
 
     def bound_mask(tbl, idx, bound, closed, is_start):
         import pyarrow.compute as pc
@@ -85,18 +112,28 @@ def _ordered_reader(
     def read(batches):
         import posixpath
 
+        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyarrow import fs as pafs
 
         fsys, root = pafs.FileSystem.from_uri(root_uri)
         for batch in batches:
             for rel in batch.column("rel").to_pylist():
-                tbl = pq.read_table(
-                    posixpath.join(root, rel),
-                    filesystem=fsys,
-                    columns=read_cols,
-                    filters=filters or None,
-                )
+                full = posixpath.join(root, rel)
+                try:
+                    tbl = pq.read_table(
+                        full,
+                        filesystem=fsys,
+                        columns=read_cols,
+                        filters=filters or None,
+                    )
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    if not filters:
+                        raise
+                    tbl = pq.read_table(
+                        full, filesystem=fsys, columns=read_cols
+                    )
+                tbl = tbl.select(read_cols).cast(target)
                 if bounds is not None:
                     idx, start_b, s_closed, stop_b, e_closed = bounds
                     if start_b is not None:
@@ -108,7 +145,7 @@ def _ordered_reader(
                             bound_mask(tbl, idx, stop_b, e_closed, False)
                         )
                 if tbl.num_rows:
-                    yield from tbl.select(out_cols).cast(target).to_batches()
+                    yield from tbl.select(out_cols).to_batches()
 
     return read
 
@@ -1425,15 +1462,15 @@ class Series:
 
         fields = {f.name: f for f in self.schema.struct_type().fields}
         out_struct = StructType([fields[c] for c in cols])
+        read_struct = StructType([fields[c] for c in read_cols])
         reader = _ordered_reader(
             base.uri,
-            read_cols,
+            read_struct,
             cols,
             filters,
             (idx, start_b, start_closed, stop_b, stop_closed)
             if need_mask
             else None,
-            out_struct,
         )
         sc = self.spark.sparkContext
         n_parts = max(1, min(len(files), sc.defaultParallelism * 2))
