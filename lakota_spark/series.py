@@ -117,35 +117,81 @@ def _ordered_reader(
         from pyarrow import fs as pafs
 
         fsys, root = pafs.FileSystem.from_uri(root_uri)
-        for batch in batches:
-            for rel in batch.column("rel").to_pylist():
-                full = posixpath.join(root, rel)
-                try:
-                    tbl = pq.read_table(
-                        full,
-                        filesystem=fsys,
-                        columns=read_cols,
-                        filters=filters or None,
+        rels = [
+            rel
+            for batch in batches
+            for rel in batch.column("rel").to_pylist()
+        ]
+        if not rels:
+            return
+
+        def finish(tbl):
+            tbl = tbl.select(read_cols).cast(target)
+            if bounds is not None:
+                idx, start_b, s_closed, stop_b, e_closed = bounds
+                if start_b is not None:
+                    tbl = tbl.filter(
+                        bound_mask(tbl, idx, start_b, s_closed, True)
                     )
-                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                    if not filters:
-                        raise
-                    tbl = pq.read_table(
-                        full, filesystem=fsys, columns=read_cols
+                if stop_b is not None:
+                    tbl = tbl.filter(
+                        bound_mask(tbl, idx, stop_b, e_closed, False)
                     )
-                tbl = tbl.select(read_cols).cast(target)
-                if bounds is not None:
-                    idx, start_b, s_closed, stop_b, e_closed = bounds
-                    if start_b is not None:
-                        tbl = tbl.filter(
-                            bound_mask(tbl, idx, start_b, s_closed, True)
-                        )
-                    if stop_b is not None:
-                        tbl = tbl.filter(
-                            bound_mask(tbl, idx, stop_b, e_closed, False)
-                        )
-                if tbl.num_rows:
-                    yield from tbl.select(out_cols).to_batches()
+            return tbl
+
+        if len(rels) > 8:
+            # fragmented partition: ONE C++ dataset scan instead of
+            # per-file pq.read_table calls (GIL-bound python overhead
+            # dominates many small files — the `_read_run_local`
+            # lesson). Scanner.to_table materializes in fragment
+            # (= given-path) order, preserving the partition's sort.
+            import pyarrow.dataset as pads
+
+            expr = None
+            for c, op, v in filters:
+                f = pads.field(c)
+                if op == ">=":
+                    e = f >= v
+                elif op == ">":
+                    e = f > v
+                elif op == "<=":
+                    e = f <= v
+                else:
+                    e = f < v
+                expr = e if expr is None else expr & e
+            ds = pads.dataset(
+                [posixpath.join(root, rel) for rel in rels],
+                format="parquet",
+                filesystem=fsys,
+            )
+            try:
+                tbl = ds.to_table(columns=read_cols, filter=expr)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                if expr is None:
+                    raise
+                tbl = ds.to_table(columns=read_cols)
+            tbl = finish(tbl)
+            if tbl.num_rows:
+                yield from tbl.select(out_cols).to_batches()
+            return
+        for rel in rels:
+            full = posixpath.join(root, rel)
+            try:
+                tbl = pq.read_table(
+                    full,
+                    filesystem=fsys,
+                    columns=read_cols,
+                    filters=filters or None,
+                )
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                if not filters:
+                    raise
+                tbl = pq.read_table(
+                    full, filesystem=fsys, columns=read_cols
+                )
+            tbl = finish(tbl)
+            if tbl.num_rows:
+                yield from tbl.select(out_cols).to_batches()
 
     return read
 
