@@ -320,6 +320,23 @@ def cmd_serve(args):
     httpd.serve_forever()
 
 
+def cmd_web(args):
+    """Browse UI (`web.py` — the reference's contrib lkweb role): works
+    on ANY backend the repo opens (local/http/memory/object store), the
+    UI reads through the engine API, never the filesystem."""
+    from http.server import ThreadingHTTPServer
+
+    from lakota_spark.web import _make_handler
+
+    repo = _repo(args)
+    httpd = ThreadingHTTPServer((args.host, args.port), _make_handler(repo))
+    print(
+        f"browse UI for {repo.fs.uri} on "
+        f"http://{args.host}:{httpd.server_address[1]}"
+    )
+    httpd.serve_forever()
+
+
 def cmd_gc(args):
     repo = _repo(args)
     stats = repo.gc(timeout=args.timeout)
@@ -470,6 +487,10 @@ def _build_parser():
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
     s.set_defaults(fn=cmd_serve)
+    s = sub.add_parser("web")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8081)
+    s.set_defaults(fn=cmd_web)
     s = sub.add_parser("gc")
     # 600 s grace (reference default): trash younger than this survives a
     # second gc pass, protecting segments of in-flight commits

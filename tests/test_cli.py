@@ -169,3 +169,13 @@ def test_import_export_jsonl_cli(cli_env, tmp_path):
     got_a = sorted(map(tuple, coll.series("a").frame().collect()))
     got_b = sorted(map(tuple, coll.series("b").frame().collect()))
     assert got_a == got_b
+
+
+def test_web_verb_registered():
+    # `lakota-spark web` serves the browse UI (web.py handler) — wiring
+    # check only; the endpoints themselves are driven in test_web.py
+    from lakota_spark.cli import _build_parser, cmd_web
+
+    p, sub = _build_parser()
+    args = p.parse_args(["-r", "/tmp/x", "web", "--port", "0"])
+    assert args.fn is cmd_web and args.port == 0
