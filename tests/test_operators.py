@@ -5060,3 +5060,427 @@ def test_tiff_features_through_spark(spark):
     assert feat[:2] == [5.0, 3.0]
     assert abs(feat[2] - 100.0) < 1e-9
     assert classify_media(media).collect()[0].kind == "tiff"
+
+
+# ---- WebP VP8L golden tests (independent test-side encoder) ---------------
+
+
+class _VP8LWriter:
+    """Independent LSB-first bit writer + the spec's canonical-code
+    emission (codes written MSB-first), so the decoder is checked
+    against a second implementation, not itself."""
+
+    def __init__(self):
+        self._bits = []
+
+    def u(self, v, n):
+        for i in range(n):
+            self._bits.append((v >> i) & 1)
+
+    def code(self, code, length):  # huffman code bits, MSB-first
+        for i in range(length - 1, -1, -1):
+            self._bits.append((code >> i) & 1)
+
+    def payload(self):
+        out = bytearray((len(self._bits) + 7) // 8)
+        for i, b in enumerate(self._bits):
+            out[i >> 3] |= b << (i & 7)
+        return bytes(out)
+
+
+def _canon_codes(lengths):
+    """Deflate-canonical codes from lengths — independent twin of the
+    decoder's table builder."""
+    max_len = max(lengths.values())
+    bl = {}
+    for l in lengths.values():
+        bl[l] = bl.get(l, 0) + 1
+    next_code, code = {}, 0
+    for l in range(1, max_len + 1):
+        code = (code + bl.get(l - 1, 0)) << 1
+        next_code[l] = code
+    out = {}
+    for s in sorted(lengths):
+        l = lengths[s]
+        out[s] = (next_code[l], l)
+        next_code[l] += 1
+    return out
+
+
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+              14, 15)
+
+
+def _wr_simple(w, syms):
+    w.u(1, 1)
+    w.u(len(syms) - 1, 1)
+    first = syms[0]
+    if first > 1:
+        w.u(1, 1)
+        w.u(first, 8)
+    else:
+        w.u(0, 1)
+        w.u(first, 1)
+    if len(syms) == 2:
+        w.u(syms[1], 8)
+    # decode codes: first -> 0, second -> 1 (1 bit each)
+    return {s: (i, 1) for i, s in enumerate(syms)} if len(syms) == 2 \
+        else {first: (0, 0)}
+
+
+def _wr_lengths(w, lengths, alphabet):
+    """Emit a code-length-coded tree for {symbol: length} over the FULL
+    ``alphabet`` (the decoder reads lengths to the alphabet size, so the
+    trailing zero run must be emitted too); returns the symbol->(code,
+    len) map for the payload emission. Zero runs compress via 17/18."""
+    w.u(0, 1)  # not simple
+    # RLE ops over the dense lengths array, INCLUDING trailing zeros
+    ops = []
+    sym = 0
+    while sym < alphabet:
+        if sym in lengths:
+            ops.append(("len", lengths[sym]))
+            sym += 1
+            continue
+        run = 0
+        while sym < alphabet and sym not in lengths:
+            run += 1
+            sym += 1
+        while run:
+            if run < 3:
+                ops.extend([("len", 0)] * run)
+                run = 0
+            elif run <= 10:
+                ops.append((17, run - 3, 3))
+                run = 0
+            else:
+                n = min(run, 138)
+                ops.append((18, n - 11, 7))
+                run -= n
+    used = sorted({op[1] if op[0] == "len" else op[0] for op in ops})
+    clc_bits = max((len(used) - 1).bit_length(), 1) if len(used) > 1 else 0
+    clc_len = {s: (clc_bits or 1) for s in used} if len(used) > 1 else {}
+    ncodes = max(_CLC_ORDER.index(s) for s in used) + 1
+    ncodes = max(ncodes, 4)
+    w.u(ncodes - 4, 4)
+    for i in range(ncodes):
+        w.u(clc_len.get(_CLC_ORDER[i], 0) if len(used) > 1 else (
+            1 if _CLC_ORDER[i] == used[0] else 0), 3)
+    w.u(0, 1)  # no explicit max_symbol
+    clc_codes = _canon_codes(clc_len) if len(used) > 1 else {used[0]: (0, 0)}
+    for op in ops:
+        if op[0] == "len":
+            c, l = clc_codes[op[1]]
+            w.code(c, l)
+        else:
+            s, extra, nbits = op
+            c, l = clc_codes[s]
+            w.code(c, l)
+            w.u(extra, nbits)
+    return _canon_codes(lengths)
+
+
+def _wrap_webp(payload):
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _vp8l_head(w_, width, height, n_transform_bits=()):
+    w_.u(0x2F, 8)
+    w_.u(width - 1, 14)
+    w_.u(height - 1, 14)
+    w_.u(0, 1)  # alpha hint
+    w_.u(0, 3)  # version
+    for bit in n_transform_bits:
+        w_.u(bit, 1)
+
+
+def test_vp8l_dist_table_matches_spec_head():
+    from lakota_spark.operators.multimodal import _VP8L_DIST
+
+    assert len(_VP8L_DIST) == 120
+    assert _VP8L_DIST[:10] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1),
+    ]
+    # spot pins deeper in the spec's literal table
+    assert _VP8L_DIST[22] == (0, 4) and _VP8L_DIST[34] == (0, 5)
+    assert _VP8L_DIST[105] == (8, 3) and _VP8L_DIST[104] == (-6, 6)
+    assert _VP8L_DIST[96] == (8, 0) and _VP8L_DIST[119] == (8, 7)
+
+
+def test_vp8l_simple_codes_two_color():
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_webp
+
+    w = _VP8LWriter()
+    _vp8l_head(w, 4, 4)
+    w.u(0, 1)  # no transforms
+    w.u(0, 1)  # no color cache
+    w.u(0, 1)  # no meta huffman
+    g = _wr_simple(w, [40, 200])
+    r = _wr_simple(w, [10, 250])
+    b = _wr_simple(w, [0, 1])
+    _wr_simple(w, [255])   # alpha: zero-bit
+    _wr_simple(w, [0])     # distance: unused
+    px = [(i + (i // 4)) % 2 for i in range(16)]  # checkerboard
+    for p in px:
+        c, l = g[[40, 200][p]]
+        w.code(c, l)
+        c, l = r[[10, 250][p]]
+        w.code(c, l)
+        c, l = b[[0, 1][p]]
+        w.code(c, l)
+        # alpha: zero bits
+    got = _parse_webp(_wrap_webp(w.payload()))
+    assert got is not None and got.shape == (4, 4, 3)
+    exp = np.array(
+        [[[250, 200, 1] if p else [10, 40, 0] for p in px[i * 4:i * 4 + 4]]
+         for i in range(4)],
+        dtype=np.uint8,
+    )
+    assert (got == exp).all()
+
+
+def test_vp8l_lz77_and_color_cache():
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_webp
+
+    # pixels: A B B B B B A A (lit, lit, backref len4 dist1, 2 cache hits)
+    A = (255 << 24) | (9 << 16) | (77 << 8) | 3
+    cache_bits = 4
+    idx_a = (0x1E35A7BD * A & 0xFFFFFFFF) >> (32 - cache_bits)
+    B = (255 << 24) | (200 << 16) | (130 << 8) | 40
+    idx_b = (0x1E35A7BD * B & 0xFFFFFFFF) >> (32 - cache_bits)
+    assert idx_a != idx_b  # chosen to land in distinct cache slots
+    w = _VP8LWriter()
+    _vp8l_head(w, 8, 1)
+    w.u(0, 1)              # no transforms
+    w.u(1, 1)              # color cache
+    w.u(cache_bits, 4)
+    w.u(0, 1)              # no meta huffman
+    # green alphabet: 77, 130 literals; 259 = length-4; 280+idx_a cache
+    g = _wr_lengths(w, {77: 2, 130: 2, 259: 2, 280 + idx_a: 2},
+                256 + 24 + (1 << cache_bits))
+    r = _wr_simple(w, [9, 200])
+    b = _wr_simple(w, [3, 40])
+    _wr_simple(w, [255])
+    d = _wr_simple(w, [13])  # dist prefix code 13 (+5 extra) -> 121
+    def lit(pix, which):
+        c, l = g[[77, 130][which]]
+        w.code(c, l)
+        c, l = r[[9, 200][which]]
+        w.code(c, l)
+        c, l = b[[3, 40][which]]
+        w.code(c, l)
+    lit(A, 0)
+    lit(B, 1)
+    c, l = g[259]            # backref: length code 3 -> 4 (no extra)
+    w.code(c, l)
+    # dist tree zero-bit -> code 13; extra 5 bits value 24 -> 121 -> dist 1
+    w.u(24, 5)
+    for _ in range(2):       # two cache hits for A
+        c, l = g[280 + idx_a]
+        w.code(c, l)
+    got = _parse_webp(_wrap_webp(w.payload()))
+    assert got is not None and got.shape == (1, 8, 3)
+    exp_px = [(9, 77, 3), (200, 130, 40)] 
+    order = [0, 1, 1, 1, 1, 1, 0, 0]
+    exp = np.array([[exp_px[i] for i in order]], dtype=np.uint8)
+    assert (got == exp).all()
+
+
+def test_vp8l_subtract_green_and_2d_distance():
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_webp
+
+    # 4x2: row0 literal residuals, row1 = backref dist-code 1 ((0,1) ->
+    # dist = width) copying row0 in residual space; subtract-green
+    # inverse then adds green to red/blue
+    w = _VP8LWriter()
+    _vp8l_head(w, 4, 2, n_transform_bits=())
+    w.u(1, 1)  # a transform follows
+    w.u(2, 2)  # subtract-green
+    w.u(0, 1)  # no more transforms
+    w.u(0, 1)  # no cache
+    w.u(0, 1)  # no meta
+    greens = [10, 20, 30, 40]
+    g = _wr_lengths(w, {10: 3, 20: 3, 30: 3, 40: 3, 256: 3}, 280)
+    r = _wr_simple(w, [5])
+    b = _wr_simple(w, [7])
+    _wr_simple(w, [255])
+    d = _wr_simple(w, [0])  # dist prefix code 0 -> value 1 -> table (0,1)
+    for gv in greens:
+        c, l = g[gv]
+        w.code(c, l)
+        # red/blue/alpha zero-bit
+    c, l = g[256]  # length code 0 -> length 1? need length 4
+    # length prefix code 0 gives length 1; emit 4 backrefs of length 1
+    for _ in range(4):
+        if _ > 0:
+            c, l = g[256]
+            w.code(c, l)
+        else:
+            w.code(c, l)
+    got = _parse_webp(_wrap_webp(w.payload()))
+    assert got is not None and got.shape == (2, 4, 3)
+    row = [((5 + gv) % 256, gv, (7 + gv) % 256) for gv in greens]
+    exp = np.array([row, row], dtype=np.uint8)
+    assert (got == exp).all()
+
+
+def test_vp8l_predictor_left():
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_webp
+
+    # 4x1 with predictor transform, mode 1 (left); pos0 predicts black
+    w = _VP8LWriter()
+    _vp8l_head(w, 4, 1)
+    w.u(1, 1)  # transform present
+    w.u(0, 2)  # predictor
+    w.u(0, 3)  # size_bits = 2 -> 4-pixel blocks -> 1x1 transform image
+    # sub-image (level0=False): no cache bit... cache bit IS read
+    w.u(0, 1)  # no color cache (sub-image)
+    g = _wr_simple(w, [1])    # predictor mode 1 in GREEN channel
+    _wr_simple(w, [0])        # red
+    _wr_simple(w, [0])        # blue
+    _wr_simple(w, [0])        # alpha
+    _wr_simple(w, [0])        # distance
+    # single transform pixel: all zero-bit trees -> no payload bits
+    w.u(0, 1)  # no more transforms
+    # main image
+    w.u(0, 1)  # no cache
+    w.u(0, 1)  # no meta
+    g = _wr_lengths(w, {0: 2, 10: 2, 2: 2, 3: 2}, 280)
+    r = _wr_simple(w, [0, 1])
+    b = _wr_simple(w, [0, 2])
+    _wr_simple(w, [0, 255])
+    _wr_simple(w, [0])
+    # residuals: pixel0 (a=0 r=1 g=10 b=2) + black -> a=255 r=1 g=10 b=2
+    seq = [
+        (0, 10, 0, 255),   # wait: order per pixel is g, r, b, a reads
+    ]
+    # pixel0: green 10, red 1, blue 2, alpha 0 (black pred adds a=255)
+    c, l = g[10]; w.code(c, l)
+    c, l = r[1]; w.code(c, l)
+    c, l = b[2]; w.code(c, l)
+    c, l = _canon_codes({0: 1, 255: 1})[0]  # alpha simple [0,255]: 0 -> code 0
+    w.u(0, 1)
+    # pixels 1..3: residual +(r=0,g=2,b=0,a=0) each (pred = left)
+    for _ in range(3):
+        c, l = g[2]; w.code(c, l)
+        c, l = r[0]; w.code(c, l)
+        c, l = b[0]; w.code(c, l)
+        w.u(0, 1)  # alpha symbol 0 (code 0)
+    got = _parse_webp(_wrap_webp(w.payload()))
+    assert got is not None and got.shape == (1, 4, 3)
+    exp = np.array([[(1, 10, 2), (1, 12, 2), (1, 14, 2), (1, 16, 2)]],
+                   dtype=np.uint8)
+    assert (got == exp).all()
+
+
+def test_vp8l_color_indexing_palette():
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_webp
+
+    # 8x1, 4-color palette -> 2 packed pixels (4 indices per green byte)
+    w = _VP8LWriter()
+    _vp8l_head(w, 8, 1)
+    w.u(1, 1)  # transform present
+    w.u(3, 2)  # color indexing
+    w.u(3, 8)  # 4 colors
+    # palette image 4x1 (level0=False): first color then per-channel deltas
+    w.u(0, 1)  # no cache
+    g = _wr_simple(w, [10, 5])
+    r = _wr_simple(w, [20, 5])
+    b = _wr_simple(w, [30, 5])
+    a = _wr_simple(w, [255, 0])
+    _wr_simple(w, [0])
+    pal_syms = [(0, 0, 0, 0), (1, 1, 1, 1), (1, 1, 1, 1), (1, 1, 1, 1)]
+    for gg, rr, bb, aa in pal_syms:
+        c, l = g[[10, 5][gg]]; w.code(c, l)
+        c, l = r[[20, 5][rr]]; w.code(c, l)
+        c, l = b[[30, 5][bb]]; w.code(c, l)
+        c, l = a[[255, 0][aa]]; w.code(c, l)
+    w.u(0, 1)  # no more transforms
+    # main packed image 2x1
+    w.u(0, 1)  # no cache
+    w.u(0, 1)  # no meta
+    g = _wr_simple(w, [0b11100100, 0b00011011])  # [0,1,2,3], [3,2,1,0]
+    _wr_simple(w, [0])
+    _wr_simple(w, [0])
+    _wr_simple(w, [0])
+    _wr_simple(w, [0])
+    c, l = g[0b11100100]; w.code(c, l)
+    c, l = g[0b00011011]; w.code(c, l)
+    got = _parse_webp(_wrap_webp(w.payload()))
+    assert got is not None and got.shape == (1, 8, 3)
+    pal = [(20, 10, 30), (25, 15, 35), (30, 20, 40), (35, 25, 45)]
+    exp = np.array([[pal[i] for i in [0, 1, 2, 3, 3, 2, 1, 0]]],
+                   dtype=np.uint8)
+    assert (got == exp).all()
+
+
+def test_vp8l_rejections_and_fuzz():
+    import random
+
+    from lakota_spark.operators.multimodal import _parse_webp, _safe
+
+    assert _parse_webp(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert _parse_webp(b"RIFF\x04\x00\x00\x00WEBPVP8 ") is None  # lossy
+    # truncated VP8L chunk must not be claimed
+    assert _parse_webp(_wrap_webp(b"\x2f\x00")) is None
+    rng = random.Random(9)
+    for _ in range(300):
+        n = rng.randrange(0, 120)
+        blob = _wrap_webp(
+            b"\x2f" + bytes(rng.randrange(256) for _ in range(n))
+        )
+        out = _safe(_parse_webp, blob)
+        assert out is None or out.ndim == 3
+
+
+def test_vp8l_features_through_spark(spark):
+    # the decode ladder claims webp payloads inside the Arrow-batched
+    # extract_features stage, and triage classifies the container
+    import pandas as pd
+
+    from lakota_spark.operators.multimodal import (
+        classify_media,
+        extract_features,
+    )
+
+    w = _VP8LWriter()
+    _vp8l_head(w, 4, 4)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    g = _wr_simple(w, [50])
+    _wr_simple(w, [100])
+    _wr_simple(w, [150])
+    _wr_simple(w, [255])
+    _wr_simple(w, [0])
+    # all trees zero-bit: 16 literal pixels cost no bits
+    blob = _wrap_webp(w.payload())
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "payload": [blob],
+                "mime": ["image/webp"],
+                "n_bytes": [len(blob)],
+            }
+        )
+    )
+    row = extract_features(media).collect()[0]
+    # [w, h, mean_r, mean_g, mean_b, ...] — constant color decodes exact
+    assert row["feature"][:5] == [4.0, 4.0, 100.0, 50.0, 150.0]
+    kind = classify_media(media).collect()[0]["kind"]
+    assert kind == "webp"
