@@ -752,14 +752,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": pipeline.bpe_token_stats,
         "bpe_packed_sequences": pipeline.bpe_packed_sequences,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
-        "span_clip_clean": pipeline.span_clip_clean,
         "decontaminate_bloom_flag": pipeline.decontaminate_bloom_flag,
+        # --- new in round 9 (first driver recording): HTML -> main-text
+        #     extraction with boilerplate signals, oracle-exact ---
+        "html_extract_quality": pipeline.html_extract_quality,
         # ------------------------------------------------------------------
         # Below: outside the driver's 50-row window. All driver-green in
         # r7-r8 and still exercised by scripts/check_oracle.py each round.
-        # (langid_ngram_confusion rotated just below the line to make room
-        # for the never-recorded engine_sorted_scan; its last row is r7.)
+        # (langid_ngram_confusion + span_clip_clean rotated just below the
+        # line to make room for the never-recorded engine_sorted_scan and
+        # html_extract_quality; their last rows are r7.)
         # ------------------------------------------------------------------
+        "span_clip_clean": pipeline.span_clip_clean,
         "langid_ngram_confusion": pipeline.langid_ngram_confusion,
         "jaccard_top_pairs": pipeline.jaccard_top_pairs,
         "simhash_signatures": pipeline.simhash_signatures,
@@ -2413,6 +2417,62 @@ SELECT kind, count(*) AS n, sum(len)::BIGINT AS total_bytes FROM (
          END AS len
   FROM documents
 ) GROUP BY kind
+""",
+        # HTML extraction (round 9): the oracle constructs the SAME page
+        # and runs the SAME RE2-compatible regex chain in DuckDB (with
+        # the 'g' flags its first-match-default regexp_replace needs)
+        "html_extract_quality": """
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id || '</title><style>p{margin:'
+         || (doc_id % 7) || 'px}</style><script>var id=' || doc_id
+         || ';</script></head><body><div id="nav">'
+         || repeat('<a href="/x">L0</a>', (1 + doc_id % 3)::INT)
+         || '</div><p>' || regexp_replace(text, '[<>&]', ' ', 'g')
+         || '</p><!-- built ' || doc_id
+         || ' --><div class="foot">flags &amp; notes</div></body></html>'
+           AS html
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, html,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+           '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+           '(?s)<!--.*?-->', ' ', 'g') AS nohead
+  FROM pages
+),
+ext AS (
+  SELECT doc_id, html, nohead,
+         trim(
+           regexp_replace(regexp_replace(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(nohead,
+                   '(?is)</?(p|div|li|tr|h1|h2|h3|h4|h5|h6)[^>]*>|<br[^>]*>',
+                   chr(10), 'g'),
+                 '(?s)<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+             '[ \t\r]+', ' ', 'g'),
+             ' ?\n ?', chr(10), 'g'),
+             '\n+', chr(10), 'g'),
+           ' ' || chr(10)) AS text
+  FROM cleaned
+)
+SELECT doc_id, text,
+       length(text)::BIGINT AS extract_len,
+       len(regexp_extract_all(html, '(?s)<[^>]*>'))::BIGINT AS n_tags,
+       len(regexp_extract_all(nohead, '(?is)<a[^>]*>(.*?)</a>'))::BIGINT
+         AS n_links,
+       coalesce(list_sum(list_transform(
+           regexp_extract_all(nohead, '(?is)<a[^>]*>(.*?)</a>', 1),
+           x -> length(trim(regexp_replace(regexp_replace(x,
+                '(?s)<[^>]*>', ' ', 'g'), '[ \t\r\n]+', ' ', 'g')))
+       )), 0)::DOUBLE / greatest(length(text), 1) AS link_density
+FROM ext
+ORDER BY doc_id
 """,
         # golden PPM payloads (round 9): every field of the 13-float
         # decode descriptor is doc_id arithmetic; the luminance chain

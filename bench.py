@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_dedup_pairs",
     "text_stats",
+    "html_extract_quality",
     "lang_id",
     "cosine_topk",
     # embedding_dup_lsh IS the headline embedding-dedup entry (candidates

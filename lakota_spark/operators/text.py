@@ -1098,3 +1098,104 @@ def encoding_stats(
         n_of("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]").alias("n_control"),
         n_of("[^\\x00-\\x7f]").alias("n_non_ascii"),
     )
+
+
+def html_extract(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HTML → main-text extraction with quality signals — the FIRST
+    stage of every crawl-derived pretraining corpus (the trafilatura /
+    resiliparse role, re-expressed as ONE whole-stage-codegen
+    projection; no parser library, no UDF):
+
+    1. drop ``<head>…</head>`` (title/meta never belong in body text),
+       then ``<script>``/``<style>`` payloads and ``<!-- comments -->``;
+    2. block-level tags (p/div/li/tr/h1–h6/br) become newlines so
+       paragraph structure survives; every remaining tag becomes a
+       space;
+    3. the five ubiquitous entities decode (&lt; &gt; &quot; &#39;
+       &nbsp;, and &amp; LAST so ``&amp;lt;`` cannot double-decode);
+    4. whitespace collapses (runs of spaces/tabs/CRs → one space, space
+       around newlines trimmed, newline runs → one, ends trimmed).
+
+    Signals for the downstream quality gate: ``n_tags`` (markup mass of
+    the raw payload), ``n_links`` + ``link_density`` (anchor-text chars
+    / extracted chars — the classic boilerplate discriminant: nav/footer
+    pages score high), ``extract_len``.
+
+    Engine-exact discipline: the whole chain is RE2-compatible (no
+    backreferences — script and style are two separate replaces — and
+    only inline ``(?is)`` flags), so the DuckDB oracle runs the same
+    regexes; ``link_density`` is an unrounded int/int division (exact
+    IEEE both sides). Returns (id, text, extract_len, n_tags, n_links,
+    link_density).
+
+    Scale shape: zero shuffle — a linear projection over the scan;
+    regex work is proportional to payload bytes, all inside codegen.
+
+    Reference comparables: none in bertrandchenal/lakota; extends the
+    LLM-pipeline surface (SURVEY.md §2.12 ladder).
+    """
+    h = F.col(html_col)
+    no_head = F.regexp_replace(h, r"(?is)<head[^>]*>.*?</head>", " ")
+    no_script = F.regexp_replace(
+        no_head, r"(?is)<script[^>]*>.*?</script>", " "
+    )
+    no_style = F.regexp_replace(
+        no_script, r"(?is)<style[^>]*>.*?</style>", " "
+    )
+    no_comment = F.regexp_replace(no_style, r"(?s)<!--.*?-->", " ")
+    anchors = F.expr(
+        f"regexp_extract_all(regexp_replace(regexp_replace(regexp_replace("
+        f"regexp_replace({html_col}, '(?is)<head[^>]*>.*?</head>', ' '),"
+        f" '(?is)<script[^>]*>.*?</script>', ' '),"
+        f" '(?is)<style[^>]*>.*?</style>', ' '),"
+        f" '(?s)<!--.*?-->', ' '), '(?is)<a[^>]*>(.*?)</a>', 1)"
+    )
+    blocks = F.regexp_replace(
+        no_comment,
+        r"(?is)</?(p|div|li|tr|h1|h2|h3|h4|h5|h6)[^>]*>|<br[^>]*>",
+        "\n",
+    )
+    stripped = F.regexp_replace(blocks, r"(?s)<[^>]*>", " ")
+    decoded = stripped
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # LAST: &amp;lt; must decode to literal &lt;
+    ):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    collapsed = F.regexp_replace(decoded, r"[ \t\r]+", " ")
+    collapsed = F.regexp_replace(collapsed, r" ?\n ?", "\n")
+    collapsed = F.regexp_replace(collapsed, r"\n+", "\n")
+    # trim() strips spaces only — newlines at the ends need btrim
+    text = F.btrim(collapsed, F.lit(" \n"))
+    anchor_chars = F.expr(
+        "aggregate(transform({a}, x -> length(trim(regexp_replace("
+        "regexp_replace(x, '(?s)<[^>]*>', ' '), '[ \\t\\r\\n]+', ' ')))),"
+        " 0L, (acc, v) -> acc + v)".format(a="_lakota_anchors")
+    )
+    base = df.select(
+        F.col(id_col),
+        text.alias("text"),
+        F.size(
+            F.expr(f"regexp_extract_all({html_col}, '(?s)<[^>]*>', 0)")
+        ).cast("long").alias("n_tags"),
+        anchors.alias("_lakota_anchors"),
+    )
+    return base.select(
+        id_col,
+        "text",
+        F.length("text").cast("long").alias("extract_len"),
+        "n_tags",
+        F.size("_lakota_anchors").cast("long").alias("n_links"),
+        (
+            anchor_chars
+            / F.greatest(F.length("text").cast("long"), F.lit(1))
+        ).alias("link_density"),
+    )

@@ -2117,6 +2117,36 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_shingle_overlap(_docs(spark, sf_dir))
 
 
+def html_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT HTML → main-text extraction entry (round 9): every
+    document becomes a deterministic HTML page built JVM-side — head
+    with title/style/script (must vanish), a nav div with 1+doc_id%3
+    anchor links, the sanitized document text as the body paragraph, an
+    HTML comment, and an entity-bearing footer — then
+    `text.html_extract` (one codegen projection: head/script/style/
+    comment removal, block-tag newlines, tag stripping, entity decode,
+    whitespace collapse) must recover the body text and the boilerplate
+    signals (tag count, link count, anchor-chars/extracted-chars link
+    density). The oracle constructs the same page and runs the same
+    RE2-compatible chain in DuckDB — extraction is validated
+    end-to-end, not spot-checked."""
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        "doc_id",
+        F.expr(
+            "concat('<html><head><title>Doc ', doc_id, '</title>',"
+            " '<style>p{margin:', doc_id % 7, 'px}</style>',"
+            " '<script>var id=', doc_id, ';</script></head><body>',"
+            " '<div id=\"nav\">',"
+            " repeat('<a href=\"/x\">L0</a>', cast(1 + doc_id % 3 as int)),"
+            " '</div><p>', regexp_replace(text, '[<>&]', ' '), '</p>',"
+            " '<!-- built ', doc_id, ' -->',"
+            " '<div class=\"foot\">flags &amp; notes</div></body></html>')"
+        ).alias("html"),
+    )
+    return T.html_extract(pages)
+
+
 def encoding_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language encoding triage (operators/text.encoding_stats):
     replacement-character and control-character totals plus the

@@ -5484,3 +5484,43 @@ def test_vp8l_features_through_spark(spark):
     assert row["feature"][:5] == [4.0, 4.0, 100.0, 50.0, 150.0]
     kind = classify_media(media).collect()[0]["kind"]
     assert kind == "webp"
+
+
+def test_html_extract_semantics(spark):
+    from lakota_spark.operators.text import html_extract
+
+    rows = [
+        # head (title/style/script) vanishes; blocks become newlines;
+        # entities decode with &amp; LAST; whitespace collapses
+        (1, "<html><head><title>T</title><style>p{}</style>"
+            "<script>var a=1;</script></head><body>"
+            "<div id='nav'><a href='/'>Home</a> <a href='/n'>Next</a></div>"
+            "<p>Hello &amp; world</p><!-- c --><div>foot</div>"
+            "</body></html>"),
+        (2, "<p>plain</p>"),
+        (3, "no markup at all"),
+        (4, "<a>x</a><a>y</a>"),
+        (5, "<p>a &amp;lt; b</p>"),           # no double-decode
+        (6, "<BR/>line1<br>line2<BR />"),     # case + self-closing br
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r for r in html_extract(df).collect()}
+    assert out[1].text == "Home Next\nHello & world\nfoot"
+    assert out[1].n_links == 2 and out[1].n_tags == 23  # <!-- --> counts
+    assert abs(out[1].link_density - 8 / 28) < 1e-12
+    assert out[2].text == "plain" and out[2].n_links == 0
+    assert out[3].text == "no markup at all" and out[3].n_tags == 0
+    assert out[4].text == "x y" and abs(out[4].link_density - 2 / 3) < 1e-12
+    assert out[5].text == "a &lt; b"
+    assert out[6].text == "line1\nline2"
+
+
+def test_html_extract_plan_is_single_projection(spark):
+    # zero shuffle: the whole extraction chain is one codegen projection
+    from lakota_spark import plans
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.html_extract_quality(spark, "/root/testdata/sf0.001")
+    plan = plans.explain_str(df, "simple")
+    assert "Exchange" not in plan, plan
+    assert plans.join_strategies(df) == []
