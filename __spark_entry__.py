@@ -752,17 +752,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": pipeline.bpe_token_stats,
         "bpe_packed_sequences": pipeline.bpe_packed_sequences,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
-        "decontaminate_bloom_flag": pipeline.decontaminate_bloom_flag,
-        # --- new in round 9 (first driver recording): HTML -> main-text
-        #     extraction with boilerplate signals, oracle-exact ---
+        # --- new in round 9 (first driver recordings): HTML -> main-text
+        #     extraction and SFT conversation curation, oracle-exact ---
         "html_extract_quality": pipeline.html_extract_quality,
+        "sft_conversation_report": pipeline.sft_conversation_report,
         # ------------------------------------------------------------------
         # Below: outside the driver's 50-row window. All driver-green in
         # r7-r8 and still exercised by scripts/check_oracle.py each round.
-        # (langid_ngram_confusion + span_clip_clean rotated just below the
-        # line to make room for the never-recorded engine_sorted_scan and
-        # html_extract_quality; their last rows are r7.)
+        # (langid_ngram_confusion, span_clip_clean and
+        # decontaminate_bloom_flag rotated just below the line to make room
+        # for the never-recorded engine_sorted_scan / html_extract_quality /
+        # sft_conversation_report; their last rows are r7.)
         # ------------------------------------------------------------------
+        "decontaminate_bloom_flag": pipeline.decontaminate_bloom_flag,
         "span_clip_clean": pipeline.span_clip_clean,
         "langid_ngram_confusion": pipeline.langid_ngram_confusion,
         "jaccard_top_pairs": pipeline.jaccard_top_pairs,
@@ -2417,6 +2419,38 @@ SELECT kind, count(*) AS n, sum(len)::BIGINT AS total_bytes FROM (
          END AS len
   FROM documents
 ) GROUP BY kind
+""",
+        # SFT conversation curation (round 9): CLOSED-FORM oracle — the
+        # construction fixes every stat (turn lengths are least(20,
+        # remaining) slices, roles alternate from user), so the parser
+        # is validated against derived values, not re-run
+        "sft_conversation_report": """
+WITH t AS (
+  SELECT doc_id, text, (2 + doc_id % 4)::INT AS k FROM documents
+),
+lens AS (
+  SELECT t.doc_id, g.i,
+         greatest(least(length(t.text) - g.i * 20, 20), 0) AS len
+  FROM t, generate_series(0, 5) g(i)
+  WHERE g.i < t.k
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN i % 2 = 1 THEN len ELSE 0 END) AS asst,
+         sum(len) AS total
+  FROM lens GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.k::BIGINT AS n_turns,
+       ((t.k + 1) // 2)::BIGINT AS n_user,
+       (t.k // 2)::BIGINT AS n_assistant,
+       true AS starts_user,
+       true AS alternates,
+       a.asst::DOUBLE / greatest(a.total, 1) AS assistant_share,
+       md5(replace(replace(substring(t.text, 1, 20), chr(10), ' '),
+                   chr(13), ' ')) AS prompt_digest
+FROM t JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
 """,
         # HTML extraction (round 9): the oracle constructs the SAME page
         # and runs the SAME RE2-compatible regex chain in DuckDB (with

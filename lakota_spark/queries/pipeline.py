@@ -2147,6 +2147,30 @@ def html_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.html_extract(pages)
 
 
+def sft_conversation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT instruction-data curation entry (round 9): every
+    document becomes a role-tagged conversation built JVM-side —
+    2+doc_id%4 alternating user/assistant turns whose contents are
+    consecutive 20-char slices of the text (newlines sanitized) — and
+    `sft.conversation_stats` (one higher-order-function codegen pass)
+    must recover turn counts by role, the starts-with-user and
+    strict-alternation flags, the assistant char share, and the
+    prompt-dedup digest. The oracle does NOT re-run the parser: it
+    derives every value in closed form from the construction (turn
+    lengths are least(20, remaining) slices; the digest is md5 of the
+    sanitized first slice) — so a parser bug cannot cancel out."""
+    from lakota_spark.operators.sft import conversation_stats
+
+    d = _docs(spark, sf_dir)
+    conv = F.expr(
+        "array_join(transform(sequence(0, cast(1 + doc_id % 4 as int)),"
+        " i -> concat(if(i % 2 = 0, 'user', 'assistant'), ': ',"
+        " replace(replace(substring(text, 1 + i * 20, 20), char(10), ' '),"
+        " char(13), ' '))), char(10))"
+    )
+    return conversation_stats(d.select("doc_id", conv.alias("text")))
+
+
 def encoding_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language encoding triage (operators/text.encoding_stats):
     replacement-character and control-character totals plus the

@@ -5524,3 +5524,40 @@ def test_html_extract_plan_is_single_projection(spark):
     plan = plans.explain_str(df, "simple")
     assert "Exchange" not in plan, plan
     assert plans.join_strategies(df) == []
+
+
+def test_conversation_stats_semantics(spark):
+    from lakota_spark.operators.sft import conversation_stats
+
+    rows = [
+        (1, "user: hi there\nassistant: hello: how can I help\n"
+            "user: bye\nassistant: later"),
+        (2, "assistant: starts wrong\nuser: q"),
+        (3, "user: a\nuser: b\nassistant: c"),   # broken alternation
+        (4, "no roles here"),                     # role-less line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in conversation_stats(df).collect()}
+    assert (out[1].n_turns, out[1].n_user, out[1].n_assistant) == (4, 2, 2)
+    assert out[1].starts_user and out[1].alternates
+    # content keeps its own colons: only the FIRST anchored 'role: '
+    # strips, so assistant chars include 'hello: how can I help'
+    assert abs(out[1].assistant_share - 26 / 37) < 1e-12
+    import hashlib
+
+    assert out[1].prompt_digest == hashlib.md5(b"hi there").hexdigest()
+    assert not out[2].starts_user
+    assert not out[3].alternates
+    assert (out[4].n_user, out[4].n_assistant) == (0, 0)
+    # no user turn: digest of the empty prompt (stable sentinel)
+    assert out[4].prompt_digest == hashlib.md5(b"").hexdigest()
+
+
+def test_sft_report_plan_is_single_projection(spark):
+    from lakota_spark import plans
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.sft_conversation_report(spark, "/root/testdata/sf0.001")
+    plan = plans.explain_str(df, "simple")
+    assert "Exchange" not in plan, plan
+    assert plans.join_strategies(df) == []
