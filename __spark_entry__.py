@@ -751,19 +751,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": pipeline.sketch_stats,
         "bpe_token_stats": pipeline.bpe_token_stats,
         "bpe_packed_sequences": pipeline.bpe_packed_sequences,
-        "winnow_dup_pairs": pipeline.winnow_dup_pairs,
         # --- new in round 9 (first driver recordings): HTML -> main-text
-        #     extraction and SFT conversation curation, oracle-exact ---
+        #     extraction, SFT conversation curation, and the URL/domain
+        #     mixture report — all oracle-exact ---
         "html_extract_quality": pipeline.html_extract_quality,
         "sft_conversation_report": pipeline.sft_conversation_report,
+        "domain_mixture_report": pipeline.domain_mixture_report,
         # ------------------------------------------------------------------
         # Below: outside the driver's 50-row window. All driver-green in
         # r7-r8 and still exercised by scripts/check_oracle.py each round.
-        # (langid_ngram_confusion, span_clip_clean and
+        # (langid_ngram_confusion, span_clip_clean, winnow_dup_pairs and
         # decontaminate_bloom_flag rotated just below the line to make room
         # for the never-recorded engine_sorted_scan / html_extract_quality /
-        # sft_conversation_report; their last rows are r7.)
+        # sft_conversation_report / domain_mixture_report; last rows r7.)
         # ------------------------------------------------------------------
+        "winnow_dup_pairs": pipeline.winnow_dup_pairs,
         "decontaminate_bloom_flag": pipeline.decontaminate_bloom_flag,
         "span_clip_clean": pipeline.span_clip_clean,
         "langid_ngram_confusion": pipeline.langid_ngram_confusion,
@@ -2419,6 +2421,34 @@ SELECT kind, count(*) AS n, sum(len)::BIGINT AS total_bytes FROM (
          END AS len
   FROM documents
 ) GROUP BY kind
+""",
+        # domain mixture (round 9): the construction makes host/domain
+        # closed-form, so the oracle derives the mixture directly
+        "domain_mixture_report": """
+WITH per AS (
+  SELECT doc_id, source,
+         source || CASE (doc_id % 4)::INT WHEN 0 THEN '.com'
+                   WHEN 1 THEN '.org' WHEN 2 THEN '.co.uk'
+                   ELSE '.ac.jp' END AS domain,
+         CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END || source ||
+           CASE (doc_id % 4)::INT WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                WHEN 2 THEN '.co.uk' ELSE '.ac.jp' END AS host,
+         doc_id % 3 AS depth,
+         CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS params
+  FROM documents
+),
+agg AS (
+  SELECT domain, count(*) AS n_docs, count(DISTINCT host) AS n_hosts,
+         sum(depth) AS sum_depth, sum(params) AS sum_params
+  FROM per GROUP BY domain
+),
+tot AS (SELECT count(*) AS total FROM documents)
+SELECT domain, n_docs, n_hosts,
+       n_docs::DOUBLE / total AS share,
+       sum_depth::DOUBLE / n_docs AS mean_depth,
+       sum_params::BIGINT AS sum_params
+FROM agg, tot
+ORDER BY domain
 """,
         # SFT conversation curation (round 9): CLOSED-FORM oracle — the
         # construction fixes every stat (turn lengths are least(20,

@@ -1199,3 +1199,57 @@ def html_extract(
             / F.greatest(F.length("text").cast("long"), F.lit(1))
         ).alias("link_density"),
     )
+
+
+#: multi-label public suffixes the approximate registrable-domain rule
+#: recognizes (the full PSL is a data file; these cover the common
+#: second-level country registries — documented approximation)
+_TLD2_RE = r"(?:co|com|org|gov|ac|net)\.(?:uk|au|jp|nz|za|in|br)"
+
+
+def url_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL structure parse for corpus curation — the fields domain-level
+    mixing, per-site caps and URL-based filters key on: scheme, host
+    (userinfo/port stripped), approximate REGISTRABLE domain (last two
+    labels, or three when the suffix is a known second-level country
+    registry — `_TLD2_RE`; the full Public Suffix List is a data file,
+    so this is the documented approximation), path depth and query-param
+    count. Pure RE2-compatible regex codegen, zero shuffle; the DuckDB
+    oracle runs the same expressions.
+
+    Reference comparables: none in bertrandchenal/lakota; extends the
+    LLM-pipeline surface (SURVEY.md §2.12 ladder)."""
+    u = F.col(url_col)
+    scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.\-]*):", 1)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://([^/?#]*)", 1)
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    domain = F.when(
+        F.regexp_extract(host, rf"([^.]+\.{_TLD2_RE})$", 1) != "",
+        F.regexp_extract(host, rf"([^.]+\.{_TLD2_RE})$", 1),
+    ).when(
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1) != "",
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
+    ).otherwise(host)
+    path = F.regexp_extract(
+        u, r"^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)", 1
+    )
+    depth = F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
+    params = F.size(
+        F.filter(
+            F.split(F.regexp_extract(u, r"\?([^#]*)", 1), "&"),
+            lambda x: x != "",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        scheme.alias("scheme"),
+        host.alias("host"),
+        domain.alias("domain"),
+        depth.cast("long").alias("path_depth"),
+        params.cast("long").alias("n_params"),
+    )

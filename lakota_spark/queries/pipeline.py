@@ -2171,6 +2171,46 @@ def sft_conversation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_stats(d.select("doc_id", conv.alias("text")))
 
 
+def domain_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT URL/domain curation entry (round 9): every document
+    gets a deterministic URL (www-prefix, source-derived site, a TLD mix
+    including second-level country registries, path segments, query
+    params by doc_id residue); `text.url_stats` parses scheme / host /
+    approximate registrable domain / path depth / param count, and the
+    report aggregates the DOMAIN MIXTURE — the per-domain doc mass +
+    corpus share that domain-level reweighting and per-site caps key on
+    (the `lang_mixture_weights` sibling along the URL axis). The oracle
+    runs the same RE2 expressions on the same constructed URLs."""
+    from lakota_spark.operators.text import url_stats
+
+    d = _docs(spark, sf_dir)
+    url = F.expr(
+        "concat('https://', if(doc_id % 2 = 0, 'www.', ''), source,"
+        " CASE cast(doc_id % 4 as int) WHEN 0 THEN '.com' WHEN 1 THEN"
+        " '.org' WHEN 2 THEN '.co.uk' ELSE '.ac.jp' END,"
+        " repeat('/p', cast(doc_id % 3 as int)),"
+        " if(doc_id % 5 = 0, '?q=1&r=2', ''))"
+    )
+    parsed = url_stats(d.select("doc_id", "source", url.alias("url")))
+    agg = parsed.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum("path_depth").alias("sum_depth"),
+        F.sum("n_params").alias("sum_params"),
+    )
+    # one-row broadcast scalar for the corpus share (no window, no
+    # driver collect — the established pattern)
+    tot = parsed.agg(F.count(F.lit(1)).alias("_total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "n_hosts",
+        (F.col("n_docs") / F.col("_total")).alias("share"),
+        (F.col("sum_depth") / F.col("n_docs")).alias("mean_depth"),
+        F.col("sum_params").cast("long").alias("sum_params"),
+    )
+
+
 def encoding_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language encoding triage (operators/text.encoding_stats):
     replacement-character and control-character totals plus the

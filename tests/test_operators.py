@@ -5561,3 +5561,26 @@ def test_sft_report_plan_is_single_projection(spark):
     plan = plans.explain_str(df, "simple")
     assert "Exchange" not in plan, plan
     assert plans.join_strategies(df) == []
+
+
+def test_url_stats_semantics(spark):
+    from lakota_spark.operators.text import url_stats
+
+    rows = [
+        (1, "https://www.example.co.uk/a/b/c?x=1&y=2"),
+        (2, "http://user:pw@blog.example.com:8080/post#frag"),
+        (3, "https://example.org"),
+        (4, "not a url"),
+        (5, "https://deep.sub.site.ac.jp/x?only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in url_stats(df).collect()}
+    assert (out[1].scheme, out[1].domain, out[1].path_depth,
+            out[1].n_params) == ("https", "example.co.uk", 3, 2)
+    # userinfo and port stripped; registrable = last two labels
+    assert (out[2].host, out[2].domain) == ("blog.example.com",
+                                            "example.com")
+    assert out[2].n_params == 0  # fragment is not a query
+    assert (out[3].path_depth, out[3].n_params) == (0, 0)
+    assert (out[4].scheme, out[4].host, out[4].domain) == ("", "", "")
+    assert out[5].domain == "site.ac.jp" and out[5].n_params == 1
