@@ -2422,6 +2422,56 @@ SELECT kind, count(*) AS n, sum(len)::BIGINT AS total_bytes FROM (
   FROM documents
 ) GROUP BY kind
 """,
+        # mergeable sketches (round 9): KMV + hash-sample median are
+        # engine-reproducible (md5-derived hashes, explicit lower-median
+        # rank), so the last approximate entry gains an exact oracle
+        "sketch_stats": """
+WITH uh AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 8))::BIGINT
+           AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM uh
+),
+kmv AS (
+  SELECT event_type,
+         count(*) AS exact_users,
+         max(CASE WHEN rn = 128 THEN h END) AS hk
+  FROM ranked GROUP BY event_type
+),
+smp AS (
+  SELECT event_type, value FROM events
+  WHERE ('0x' || substr(md5('smp:' || event_id::VARCHAR), 1, 8))::BIGINT
+        % 16 = 0
+),
+sc AS (SELECT event_type, count(*) AS sn FROM smp GROUP BY event_type),
+ms AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+  FROM smp
+),
+med AS (
+  SELECT ms.event_type, ms.value AS sample_p50
+  FROM ms JOIN sc ON ms.event_type = sc.event_type
+  WHERE ms.rn = (sc.sn + 1) // 2
+),
+base AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+SELECT k.event_type,
+       CASE WHEN k.hk IS NOT NULL
+            THEN round(127 * 4294967296.0 / k.hk, 6)
+            ELSE k.exact_users::DOUBLE END AS kmv_users,
+       k.exact_users::BIGINT AS exact_users,
+       m.sample_p50,
+       b.n::BIGINT AS n
+FROM kmv k
+JOIN med m ON k.event_type = m.event_type
+JOIN base b ON k.event_type = b.event_type
+ORDER BY k.event_type
+""",
         # domain mixture (round 9): the construction makes host/domain
         # closed-form, so the oracle derives the mixture directly
         "domain_mixture_report": """

@@ -9,7 +9,7 @@ north-star operator families from BASELINE.json, each deterministic and
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakota_spark.operators import dedup as D
@@ -1407,22 +1407,79 @@ def multimodal_triage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sketches (rows-only: approximate by construction) --------------------
 
+_KMV_K = 128
+
+
 def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based statistics per event type: HLL-style distinct users
-    (approx_count_distinct), t-digest-style quantiles (approx_percentile)
-    alongside their exact twins — the mergeable-sketch shapes a 100 TB
-    pipeline uses when exactness isn't worth the shuffle. Approximate
-    values are engine-specific, so this entry has no SQL oracle."""
+    """ORACLE-EXACT mergeable-sketch statistics per event type (round 9
+    — the LAST approximate rows-only entry, rebuilt on ENGINE-
+    REPRODUCIBLE sketches): KMV (k-minimum-values) distinct-user
+    estimation and a deterministic hash-sample median, alongside their
+    exact twins.
+
+    Why not approx_count_distinct/approx_percentile (the r2–r8 shape):
+    their values are Spark-internal (HLL++ register layout, t-digest
+    compression) — not portable across engines, not reproducible across
+    versions, hence unverifiable externally AND operationally fragile
+    (a backfill on a different engine produces different numbers). The
+    replacements keep the mergeable-sketch 100 TB properties —
+
+    - KMV: keep the k smallest DISTINCT md5-derived user hashes per
+      group; estimate = (k−1)·2³²/h₍ₖ₎, error ~1/√k; bottom-k sets
+      union-merge across partitions/engines, and the md5 hash makes the
+      estimate bit-identical anywhere (the minhash discipline). Groups
+      with <k distinct users report exactly.
+    - hash-sample median: the deterministic 1/16 sample (event-hash
+      residue) with the LOWER-median element picked by explicit
+      row_number — no interpolation semantics to disagree on.
+
+    One distinct-agg + one bounded per-group window (top-k over ≤k rows
+    after the partial agg) + one sample pass — same shuffle count as
+    the approx_* form, now externally verified."""
+    from lakota_spark.functions import hash32
     from lakota_spark.sources import read_parquet
 
     e = read_parquet(spark, f"{sf_dir}/events.parquet")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.round(
-            F.expr("approx_percentile(value, 0.5, 1000)"), 2
-        ).alias("approx_p50"),
-        F.count(F.lit(1)).alias("n"),
+    h = hash32(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")))
+    uh = (
+        e.select("event_type", h.alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = uh.withColumn("_rn", F.row_number().over(w))
+    kmv = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_users"),
+        F.max(F.when(F.col("_rn") == _KMV_K, F.col("h"))).alias("_hk"),
+    ).select(
+        "event_type",
+        F.when(
+            F.col("_hk").isNotNull(),
+            F.round((_KMV_K - 1) * 4294967296.0 / F.col("_hk"), 6),
+        ).otherwise(F.col("exact_users").cast("double")).alias("kmv_users"),
+        "exact_users",
+    )
+    sample = e.where(
+        F.pmod(
+            hash32(F.concat(F.lit("smp:"), F.col("event_id").cast("string"))),
+            F.lit(16),
+        )
+        == 0
+    ).select("event_type", "value")
+    ws = Window.partitionBy("event_type").orderBy("value", "event_type")
+    counts = sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_sn")
+    )
+    med = (
+        sample.withColumn("_rn", F.row_number().over(ws))
+        .join(counts, "event_type")
+        .where(F.col("_rn") == F.floor((F.col("_sn") + 1) / 2))
+    )
+    base = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        kmv.join(med.select("event_type", F.col("value").alias("sample_p50")), "event_type")
+        .join(base, "event_type")
+        .select("event_type", "kmv_users", "exact_users", "sample_p50", "n")
     )
 
 

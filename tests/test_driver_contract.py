@@ -42,16 +42,15 @@ def test_oracle_keys_subset_of_queries():
 def test_rows_only_entries_are_known():
     q = set(entry_mod.queries())
     no_oracle = q - set(entry_mod.oracle_sql())
-    # only the by-design rows-only entries may lack an oracle. Round 9
-    # (VERDICT r8 #1) turned multimodal_features / multimodal_frames /
-    # bpe_fertility_by_lang hash-exact via constructed golden payloads
-    # and the closed-form fixture corpus — what remains is genuinely
-    # engine-specific (approx sketches) or REAL-corpus subword inference
-    # (pinned by tests/test_tokenizer.py's driver recount instead)
-    # (bpe_packed_sequences also went exact in round 9: the fixture's
-    # closed-form token counts make the EOS-joined packing enumerable)
+    # only by-design rows-only entries may lack an oracle. Round 9
+    # (VERDICT r8 #1) flipped FIVE of the six: multimodal_features/
+    # multimodal_frames via constructed golden payloads,
+    # bpe_fertility_by_lang + bpe_packed_sequences via the closed-form
+    # fixture corpus, and sketch_stats by replacing Spark-internal
+    # approx_* with engine-reproducible KMV + hash-sample sketches.
+    # What remains is exactly REAL-corpus subword inference, pinned by
+    # tests/test_tokenizer.py's driver recount instead.
     assert no_oracle == {
-        "sketch_stats",
         "bpe_token_stats",
     }, no_oracle
 
