@@ -1198,3 +1198,60 @@ def test_streaming_media_gate_matches_batch(spark, tmp_path):
         r.media_id for r in spark.read.parquet(f"file://{out2}").collect()
     }
     assert got2 == {3, 4}
+
+
+def test_streaming_html_sft_url_stateless(spark, tmp_path):
+    # round-9 curation stages (html_extract, conversation_stats,
+    # url_stats) are pure map-side codegen: the IDENTICAL operators
+    # apply to a stream with no watermark/state, and the streamed
+    # output equals the batch run row-for-row
+    import os as _os
+
+    from lakota_spark.operators.sft import conversation_stats
+    from lakota_spark.operators.text import html_extract, url_stats
+
+    rows = [
+        (1, "<p>Hello &amp; world</p><a href='/'>Home</a>",
+         "user: hi\nassistant: yo",
+         "https://www.example.co.uk/a/b?x=1"),
+        (2, "<script>nope()</script><div>kept</div>",
+         "assistant: starts wrong",
+         "http://plain.org"),
+    ]
+    schema = "doc_id long, html string, text string, url string"
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    spark.createDataFrame(rows, schema).write.parquet(
+        f"file://{src}/b0.parquet"
+    )
+    stream = spark.readStream.schema(schema).parquet(f"file://{src}/*")
+    batch = spark.createDataFrame(rows, schema)
+    for op, cols in (
+        (html_extract, ["doc_id", "text", "n_links"]),
+        (conversation_stats, ["doc_id", "n_turns", "prompt_digest"]),
+        (url_stats, ["doc_id", "domain", "n_params"]),
+    ):
+        out_path = str(tmp_path / f"out-{op.__name__}")
+        q = (
+            op(stream)
+            .writeStream.format("parquet")
+            .option("path", f"file://{out_path}")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ck-{op.__name__}")
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in spark.read.parquet(f"file://{out_path}")
+            .select(*cols)
+            .collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in op(batch).select(*cols).collect()
+        )
+        assert got == want and len(got) == 2, op.__name__
