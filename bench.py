@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "minhash_dedup_pairs",
     "text_stats",
     "html_extract_quality",
+    "sft_conversation_report",
+    "domain_mixture_report",
+    "sketch_stats",
     "lang_id",
     "cosine_topk",
     # embedding_dup_lsh IS the headline embedding-dedup entry (candidates
