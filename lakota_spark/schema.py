@@ -49,14 +49,23 @@ class Schema:
     def __init__(self, _kv: bool = False, **columns: str):
         self.columns: dict[str, str] = {}
         self.idx: list[str] = []
+        self.codecs: dict[str, list[str]] = {}
         self.kv = _kv
         for name, spec in columns.items():
             spec = spec.strip()
-            is_idx = spec.endswith("*")
-            alias = spec.rstrip("*").split("|")[0].strip()
+            # reference mini-language (`lakota/schema.py:111-128`):
+            # ``type[*][|codec codec ...]`` with the index star allowed
+            # on either side of the codec chain (``str*|vlen-utf8 gzip``
+            # is the documented form)
+            type_part, _, codec_part = spec.partition("|")
+            is_idx = type_part.rstrip().endswith("*") or spec.endswith("*")
+            alias = type_part.rstrip("* ").strip()
+            codecs = codec_part.rstrip("* ").split()
             if alias not in _TYPES:
                 raise ValueError(f"unknown column type {alias!r} for {name!r}")
             self.columns[name] = alias
+            if codecs:
+                self.codecs[name] = codecs
             if is_idx:
                 self.idx.append(name)
         if not self.idx:
@@ -196,12 +205,57 @@ class Schema:
 
     # -- (de)serialization of the schema itself ----------------------------
 
+    #: reference codec name -> parquet compression codec. The reference
+    #: chains numcodecs filters per column (`lakota/schema.py:41-95`);
+    #: parquet's per-column compression is the equivalent knob here.
+    #: blosc maps to zstd (its default internal compressor); shuffle /
+    #: delta / vlen-utf8 / categorize are ENCODING concerns the writer
+    #: already covers (DELTA_BINARY_PACKED ints, dictionary strings).
+    _CODEC_COMPRESSION = {
+        "gzip": "gzip",
+        "zlib": "gzip",
+        "zstd": "zstd",
+        "lz4": "lz4",
+        "snappy": "snappy",
+        "blosc": "zstd",
+        "brotli": "brotli",
+        "none": "none",
+    }
+
+    def parquet_compression(self, default: str = "zstd"):
+        """Compression argument for the pyarrow segment writer: the
+        plain ``default`` when no column carries a codec hint, otherwise
+        a full per-column dict (pyarrow applies its own default to
+        unlisted columns, so every column is listed). Unknown codec
+        names are tolerated — the reference's exotic numcodecs chains
+        degrade to the default rather than failing the write. The Spark
+        executor write path supports only table-level compression; the
+        driver-local path (every sub-PAGE_LEN append) honors the
+        per-column hints."""
+        if not self.codecs:
+            return default
+        out = {}
+        for name in self.columns:
+            hint = next(
+                (
+                    self._CODEC_COMPRESSION[c]
+                    for c in self.codecs.get(name, [])
+                    if c in self._CODEC_COMPRESSION
+                ),
+                None,
+            )
+            out[name] = hint or default
+        return out
+
     def to_dict(self) -> dict:
-        return {
+        out = {
             "columns": dict(self.columns),
             "idx": list(self.idx),
             "kv": self.kv,
         }
+        if self.codecs:
+            out["codecs"] = {k: list(v) for k, v in self.codecs.items()}
+        return out
 
     @classmethod
     def from_frame(cls, frame, idx_columns: list[str] | None = None) -> "Schema":
@@ -265,8 +319,11 @@ class Schema:
 
     @classmethod
     def from_dict(cls, d: dict) -> "Schema":
+        codecs = d.get("codecs", {})
         spec = {
-            name: alias + ("*" if name in d["idx"] else "")
+            name: alias
+            + ("*" if name in d["idx"] else "")
+            + (f"|{' '.join(codecs[name])}" if name in codecs else "")
             for name, alias in d["columns"].items()
         }
         return cls(_kv=d.get("kv", False), **spec)

@@ -445,7 +445,9 @@ class Series:
             pq.write_table(
                 table,
                 buf,
-                compression="zstd",
+                # per-column codec hints from the schema mini-language
+                # ("str*|gzip") override the zstd default where given
+                compression=self.schema.parquet_compression(),
                 use_dictionary=dict_cols,
                 column_encoding=enc,
             )

@@ -643,3 +643,59 @@ def test_df_fallback_narrow_and_counted(spark, tmp_path, monkeypatch):
 
     with _pytest.raises(TypeError):
         s.df()
+
+
+def test_schema_codec_chain_syntax_and_write(repo, tmp_path):
+    # reference mini-language (`lakota/schema.py:111-128`): the codec
+    # chain after '|' parses with the index star on the TYPE part
+    # ("str*|vlen-utf8 gzip" is the documented form), round-trips
+    # through _schema.json, and the compression hint is HONORED by the
+    # driver-local segment writer (per-column parquet codec)
+    import pyarrow.parquet as pq
+
+    from lakota_spark.schema import Schema
+
+    s = Schema(
+        key="str*|vlen-utf8 gzip",
+        value="float|blosc",
+        n="int|delta zstd",
+        plain="float",
+    )
+    assert s.idx == ["key"] and s.columns["key"] == "str"
+    assert s.codecs == {
+        "key": ["vlen-utf8", "gzip"],
+        "value": ["blosc"],
+        "n": ["delta", "zstd"],
+    }
+    assert Schema.from_dict(s.to_dict()) .codecs == s.codecs
+    comp = s.parquet_compression()
+    assert comp == {
+        "key": "gzip", "value": "zstd", "n": "zstd", "plain": "zstd"
+    }
+    coll = repo.create_collection(s, "codecs")
+    series = coll.series("x")
+    series.write({
+        "key": [f"k{i}" for i in range(10)],
+        "value": [float(i) for i in range(10)],
+        "n": list(range(10)),
+        "plain": [0.5] * 10,
+    })
+    import io as _io
+
+    seg_rel = "codecs/segments/" + sorted(repo.fs.ls("codecs/segments"))[0]
+    part = next(
+        p for p in repo.fs.ls(seg_rel) if p.endswith(".parquet")
+    )
+    meta = pq.ParquetFile(
+        _io.BytesIO(repo.fs.read_bytes(f"{seg_rel}/{part}"))
+    ).metadata
+    by_col = {
+        meta.row_group(0).column(i).path_in_schema:
+            meta.row_group(0).column(i).compression
+        for i in range(meta.num_columns)
+    }
+    assert by_col["key"] == "GZIP"
+    assert by_col["value"] == "ZSTD" and by_col["plain"] == "ZSTD"
+    # unknown exotic codec names degrade to the default, never fail
+    s2 = Schema(ts="int*", x="str|msgpack2 weird-codec")
+    assert s2.parquet_compression()["x"] == "zstd"
