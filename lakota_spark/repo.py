@@ -204,6 +204,45 @@ class Repo:
         """No-op for parity: nothing is cached driver-side — registry and
         changelog reads always hit the FS (`Repo.refresh`)."""
 
+    def register_views(
+        self,
+        collection: str | None = None,
+        before=None,
+        prefix: str = "",
+    ) -> list[str]:
+        """Register every series as a Spark SQL temp view named
+        ``[prefix]{collection}_{label}`` (non-identifier characters
+        become ``_``) and return the view names — the idiomatic-Spark
+        capability the reference cannot offer: the whole repo becomes
+        `spark.sql`-queryable, joins between series/collections
+        included. Views are LAZY (each is an unsorted `Series.frame`
+        plan, so pruning/pushdown engage per query) and pinned to the
+        snapshot semantics of frame(): pass ``before=`` for a
+        time-travel view of everything.
+
+        Scale note: registering is pure metadata (no jobs run); each
+        query pays only its own pruned scan."""
+        import re as _re
+
+        names = []
+        labels = [collection] if collection is not None else self.ls()
+        for cname in labels:
+            coll = self.collection(cname)
+            for label in coll.ls():
+                view = _re.sub(
+                    r"\W", "_", f"{prefix}{cname}_{label}"
+                )
+                coll.series(label).frame(
+                    before=before, sort=False
+                ).createOrReplaceTempView(view)
+                names.append(view)
+        return names
+
+    def sql(self, query: str, **register_kwargs):
+        """Convenience: `register_views` + `spark.sql(query)`."""
+        self.register_views(**register_kwargs)
+        return self.spark.sql(query)
+
     def export_collections(
         self, out_dir: str, collections: list[str] | None = None,
         fmt: str = "parquet",

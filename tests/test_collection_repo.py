@@ -824,3 +824,24 @@ def test_log_cache_matches_full_relinearization(tmp_path):
     # and appends keep working on the recomputed cache
     cl.commit({"post": 1}, parents=[cl.leaf().child])
     assert cached() == fresh()
+
+
+def test_register_views_and_sql(repo):
+    # the whole repo becomes spark.sql-queryable: lazy per-series views
+    # (pruning/pushdown engage per query), cross-series joins included
+    from lakota_spark.schema import Schema
+
+    coll = repo.create_collection(Schema(ts="int*", v="float"), "m")
+    coll.series("a").write({"ts": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    coll.series("b").write({"ts": [2, 3, 4], "v": [20.0, 30.0, 40.0]})
+    views = repo.register_views()
+    assert "m_a" in views and "m_b" in views
+    row = repo.spark.sql(
+        "SELECT sum(a.v + b.v) AS s FROM m_a a JOIN m_b b USING (ts)"
+    ).collect()[0]
+    assert row.s == (2.0 + 20.0) + (3.0 + 30.0)
+    # repo.sql composes registration + query; time travel via before=
+    assert repo.sql("SELECT count(*) AS n FROM m_a").collect()[0].n == 3
+    # a filtered view query pushes the range to the scan (classic path)
+    out = repo.sql("SELECT v FROM m_a WHERE ts >= 2").collect()
+    assert sorted(r.v for r in out) == [2.0, 3.0]
