@@ -2633,6 +2633,39 @@ def _parse_h264_headers(b: bytes):
     )
 
 
+def _parse_vp8_dims(b: bytes):
+    """Lossy-WebP (VP8) KEYFRAME header walk: dims without any decode.
+    RIFF/WEBP container → 'VP8 ' chunk → 3-byte frame tag (bit0 = 0 for
+    keyframes) → the 9D 01 2A start code → 14-bit width/height (scale
+    bits masked). Returns (w, h) or None — the perceptual DCT payload
+    itself stays histogram-tier (needs libvpx, absent here)."""
+    if len(b) < 30 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    pos = 12
+    while pos + 8 <= len(b):
+        tag = b[pos:pos + 4]
+        size = int.from_bytes(b[pos + 4:pos + 8], "little")
+        if pos + 8 + size > len(b):
+            return None
+        if tag == b"VP8 ":
+            p = b[pos + 8:pos + 8 + size]
+            if len(p) < 10:
+                return None
+            frame_tag = int.from_bytes(p[0:3], "little")
+            if frame_tag & 1:  # interframe first: not a valid stream head
+                return None
+            if p[3:6] != b"\x9d\x01\x2a":
+                return None
+            w = int.from_bytes(p[6:8], "little") & 0x3FFF
+            h = int.from_bytes(p[8:10], "little") & 0x3FFF
+            if w == 0 or h == 0:
+                return None
+            _check_dims(w, h)
+            return (w, h)
+        pos += 8 + size + (size & 1)
+    return None
+
+
 def extract_video_headers(media: DataFrame) -> DataFrame:
     """Arrow-batched video *header* feature extraction: resolution /
     profile / level / picture counts for H.264 Annex-B payloads via the
@@ -2662,6 +2695,11 @@ def extract_video_headers(media: DataFrame) -> DataFrame:
                     float(mp4["n_video"]),
                     float(mp4["n_audio"]),
                 ]
+            vp8 = _safe(_parse_vp8_dims, b)
+            if vp8 is not None:
+                # lossy WebP: an intra still — dims from the keyframe
+                # header, one picture, no audio track
+                return [float(vp8[0]), float(vp8[1]), 0.0, 0.0, 1.0, 0.0]
             if b.startswith(b"YUV4MPEG2"):
                 # malformed Y4M (garbage ints, missing newline) falls
                 # through to the histogram, same as frame_sample

@@ -5584,3 +5584,30 @@ def test_url_stats_semantics(spark):
     assert (out[3].path_depth, out[3].n_params) == (0, 0)
     assert (out[4].scheme, out[4].host, out[4].domain) == ("", "", "")
     assert out[5].domain == "site.ac.jp" and out[5].n_params == 1
+
+
+def test_vp8_lossy_dims_header_walk():
+    from lakota_spark.operators.multimodal import _parse_vp8_dims, _safe
+
+    def mk_vp8(w, h, keyframe=True, start=b"\x9d\x01\x2a"):
+        tag = (0 if keyframe else 1).to_bytes(3, "little")
+        body = tag + start + w.to_bytes(2, "little") + h.to_bytes(
+            2, "little") + b"\x00" * 16
+        chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
+        return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little")
+                + b"WEBP" + chunk)
+
+    assert _parse_vp8_dims(mk_vp8(640, 480)) == (640, 480)
+    # scale bits in the top 2 bits are masked out of the dimension
+    assert _parse_vp8_dims(mk_vp8(640 | 0x4000, 480)) == (640, 480)
+    assert _parse_vp8_dims(mk_vp8(640, 480, keyframe=False)) is None
+    assert _parse_vp8_dims(mk_vp8(640, 480, start=b"\x00\x01\x2a")) is None
+    assert _parse_vp8_dims(b"RIFF\x04\x00\x00\x00WAVE") is None
+    import random
+
+    rng = random.Random(11)
+    for _ in range(200):
+        blob = b"RIFF" + bytes(rng.randrange(256) for _ in range(
+            rng.randrange(0, 60)))
+        out = _safe(_parse_vp8_dims, blob)
+        assert out is None or len(out) == 2
