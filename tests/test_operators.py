@@ -389,20 +389,32 @@ def test_trigram_index_short_texts(spark):
 
 
 def test_sketch_stats_semantics(spark):
-    # rows-only query (approx by construction) still gets a local
-    # semantic check: HLL distinct within documented rel-error of exact,
-    # approx p50 inside the value range, counts positive
-    from lakota_spark.queries.pipeline import sketch_stats
+    # round 9: sketches are engine-reproducible (KMV + hash-sample
+    # median) and ORACLE-EXACT; the local semantic check asserts the
+    # documented KMV accuracy (~1/sqrt(k), k=128 -> allow 3x headroom)
+    # and that the sampled median sits inside the group's value range
+    from pyspark.sql import functions as FF
 
-    rows = sketch_stats(spark, "/root/testdata/sf0.001").collect()
+    from lakota_spark.queries.pipeline import sketch_stats
+    from lakota_spark.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    rows = sketch_stats(spark, sf).collect()
     assert rows
+    rng = {
+        r.event_type: (r.lo, r.hi)
+        for r in read_parquet(spark, f"{sf}/events.parquet")
+        .groupBy("event_type")
+        .agg(FF.min("value").alias("lo"), FF.max("value").alias("hi"))
+        .collect()
+    }
     for r in rows:
         assert r.n > 0 and r.exact_users > 0
-        # approx_count_distinct default rsd = 5%; allow 3x headroom
-        assert abs(r.approx_users - r.exact_users) <= max(
-            0.15 * r.exact_users, 2
-        ), (r.event_type, r.approx_users, r.exact_users)
-        assert r.approx_p50 is not None
+        assert abs(r.kmv_users - r.exact_users) <= max(
+            3 * r.exact_users / (128 ** 0.5), 2
+        ), (r.event_type, r.kmv_users, r.exact_users)
+        lo, hi = rng[r.event_type]
+        assert lo <= r.sample_p50 <= hi
 
 
 def test_with_global_index(spark):
