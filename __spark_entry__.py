@@ -2468,7 +2468,7 @@ SELECT k.event_type,
        m.sample_p50,
        b.n::BIGINT AS n
 FROM kmv k
-JOIN med m ON k.event_type = m.event_type
+LEFT JOIN med m ON k.event_type = m.event_type
 JOIN base b ON k.event_type = b.event_type
 ORDER BY k.event_type
 """,

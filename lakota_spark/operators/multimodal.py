@@ -1305,7 +1305,6 @@ def _vp8l_apply_inverse(out, w: int, h: int, t):
         return full.reshape(h * orig_w).astype(np.uint32), orig_w
     if kind == "color":
         _, sb, sub, tw = t
-        res = out.view()  # modified in place below
         arr = out.copy()
         for pos in range(len(arr)):
             x, y = pos % w, pos // w
@@ -1321,7 +1320,6 @@ def _vp8l_apply_inverse(out, w: int, h: int, t):
             blue += (r2b * _vp8l_i8(red)) >> 5
             blue &= 0xFF
             arr[pos] = (px & 0xFF00FF00) | (red << 16) | blue
-        del res
         return arr, w
     if kind == "pred":
         _, sb, sub, tw = t

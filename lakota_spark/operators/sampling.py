@@ -773,7 +773,7 @@ def contrastive_pairs(
     pairs: DataFrame,
     id_col: str = "doc_id",
     lang_col: str = "lang",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     salt: str = "neg",
 ) -> DataFrame:
     """Contrastive training-pair mining for embedding models: POSITIVES
@@ -785,8 +785,10 @@ def contrastive_pairs(
     positive set so an accidental near-dup can never be labeled 0.
 
     Scale shape: negatives come from ONE window over (lang, bucket)
-    shards — ``n_buckets`` bounds shard size (scale it with the corpus;
-    no single-language giant partition), the anti-join normalizes to
+    shards — ``n_buckets`` bounds shard size; left at None it derives
+    from the corpus via `contrastive_buckets` (one count job, shards
+    ≈ 100k rows even when 90% of the corpus is one language — the
+    round-9 skew probe's regime); the anti-join normalizes to
     (least, greatest) so it stays an equi-join (broadcastable — the
     verified-pair relation is tiny next to the corpus). Returns
     (doc_a, doc_b, label).
@@ -795,6 +797,8 @@ def contrastive_pairs(
     surface); pairs input is `minhash_dedup` / `embedding_dup_pairs`
     output.
     """
+    if n_buckets is None:
+        n_buckets = contrastive_buckets(docs.count())
     # normalize orientation (identity for minhash/embedding pair output,
     # which already emits doc_a < doc_b) so the negative anti-join can
     # never miss a reversed positive

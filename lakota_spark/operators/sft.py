@@ -46,6 +46,18 @@ def conversation_stats(
 ) -> DataFrame:
     """(id, n_turns, n_user, n_assistant, starts_user, alternates,
     assistant_share, prompt_digest) per conversation."""
+    import re
+
+    # the role parameters are interpolated into SQL lambda strings below
+    # AND must be matchable by the `^[A-Za-z]+: ` turn regex — validate
+    # both at once instead of failing with a ParseException (or silently
+    # never matching) downstream
+    for role in (user_role, assistant_role):
+        if not re.fullmatch(r"[A-Za-z]+", role):
+            raise ValueError(
+                f"role names must be alphabetic (got {role!r}) — the turn "
+                "format is '<role>: content' with [A-Za-z]+ roles"
+            )
     turns = F.split(F.col(text_col), "\n")
     roles = F.transform(
         turns, lambda t: F.regexp_extract(t, _ROLE_RE, 1)

@@ -1147,15 +1147,15 @@ def html_extract(
         no_script, r"(?is)<style[^>]*>.*?</style>", " "
     )
     no_comment = F.regexp_replace(no_style, r"(?s)<!--.*?-->", " ")
+    # the cleaned payload is materialized ONCE as a column (the anchor
+    # extraction below reads it by name) — the head/script/style/comment
+    # regex passes are the heavy part and must not run twice per row
+    df = df.withColumn("_lakota_clean", no_comment)
     anchors = F.expr(
-        f"regexp_extract_all(regexp_replace(regexp_replace(regexp_replace("
-        f"regexp_replace({html_col}, '(?is)<head[^>]*>.*?</head>', ' '),"
-        f" '(?is)<script[^>]*>.*?</script>', ' '),"
-        f" '(?is)<style[^>]*>.*?</style>', ' '),"
-        f" '(?s)<!--.*?-->', ' '), '(?is)<a[^>]*>(.*?)</a>', 1)"
+        "regexp_extract_all(_lakota_clean, '(?is)<a[^>]*>(.*?)</a>', 1)"
     )
     blocks = F.regexp_replace(
-        no_comment,
+        F.col("_lakota_clean"),
         r"(?is)</?(p|div|li|tr|h1|h2|h3|h4|h5|h6)[^>]*>|<br[^>]*>",
         "\n",
     )

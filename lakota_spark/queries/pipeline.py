@@ -1476,8 +1476,14 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == F.floor((F.col("_sn") + 1) / 2))
     )
     base = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # LEFT join: a group whose 1/16 hash sample came up empty keeps its
+    # row (null median) instead of silently vanishing from the report
     return (
-        kmv.join(med.select("event_type", F.col("value").alias("sample_p50")), "event_type")
+        kmv.join(
+            med.select("event_type", F.col("value").alias("sample_p50")),
+            "event_type",
+            "left",
+        )
         .join(base, "event_type")
         .select("event_type", "kmv_users", "exact_users", "sample_p50", "n")
     )

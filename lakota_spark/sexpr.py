@@ -260,16 +260,28 @@ BUILTINS: dict[str, Callable] = {
     "char.startswith": lambda c, pre: c.startswith(pre),
     "char.endswith": lambda c, suf: c.endswith(suf),
     "char.find": lambda c, sub: F.instr(c, sub) - 1,
-    "char.zfill": lambda c, width: F.lpad(c, width, "0"),
+    # str.zfill pads AFTER a leading sign ('-12' -> '-012'), unlike lpad
+    "char.zfill": lambda c, width: F.when(
+        c.startswith("-") | c.startswith("+"),
+        F.concat(
+            F.substring(c, 1, 1),
+            F.lpad(F.substring(c, 2, 2147483646), width - 1, "0"),
+        ),
+    ).otherwise(F.lpad(c, width, "0")),
     "char.add": _fold(lambda a, b: F.concat(a, b)),
     "isnan": F.isnan,
     "isnull": F.isnull,
     "clip": lambda c, lo, hi: F.least(F.greatest(c, F.lit(lo)), F.lit(hi)),
     "power": F.pow,
     "float_power": F.pow,
-    "mod": _fold(lambda a, b: a % b),
-    "fmin": _fold(F.least),
-    "fmax": _fold(F.greatest),
+    # numpy.mod follows the DIVISOR's sign (Spark % follows the
+    # dividend's): ((a % b) + b) % b reproduces it for either sign
+    "mod": _fold(lambda a, b: ((a % b) + b) % b),
+    # numpy fmin/fmax IGNORE NaN (return the other operand); nanvl
+    # substitutes the partner before the comparison so Spark's
+    # NaN-is-largest ordering never leaks through
+    "fmin": _fold(lambda a, b: F.least(F.nanvl(a, b), F.nanvl(b, a))),
+    "fmax": _fold(lambda a, b: F.greatest(F.nanvl(a, b), F.nanvl(b, a))),
     "absolute": F.abs,
     "fabs": F.abs,
     "negative": lambda a: -a,

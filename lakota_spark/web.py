@@ -186,6 +186,15 @@ def _make_handler(repo):
                     return self._read(parts[1], parts[2], col, q)
             except KeyError:
                 return self._send(404, b"not found", "text/plain")
+            except Exception as exc:  # noqa: BLE001 — a handler thread
+                # must always answer: malformed page numbers, garbage
+                # start/stop bounds, unknown columns etc. become a 400
+                # instead of a dropped connection
+                return self._send(
+                    400,
+                    f"bad request: {type(exc).__name__}".encode(),
+                    "text/plain",
+                )
             return self._send(404, b"not found", "text/plain")
 
         def _index(self):
@@ -256,25 +265,23 @@ def _make_handler(repo):
             base = (
                 f"/view/{quote(collection)}/{quote(label)}/{quote(column)}"
             )
-            keep = "&".join(
-                f"{k}={quote(v)}"
-                for k, v in q.items()
-                if k in ("start", "stop", "view") and v
-            )
-            sep = "&" if keep else ""
+
+            def href(params):
+                pairs = [f"page={params.pop('page')}"] + [
+                    f"{k}={quote(v)}"
+                    for k, v in params.items()
+                    if k in ("start", "stop", "view") and v
+                ]
+                return base + "?" + "&".join(pairs)
+
             other = "table" if q.get("view") != "table" else "graph"
             return (
-                f"<p><a href='{base}?page={max(page - 1, 0)}{sep}{keep}'>"
+                f"<p><a href='{href({**q, 'page': max(page - 1, 0)})}'>"
                 "prev</a> "
                 f"page {page} "
-                f"<a href='{base}?page={page + 1}{sep}{keep}'>next</a> | "
-                f"<a href='{base}?page={page}{sep}"
-                + "&".join(
-                    f"{k}={quote(v)}"
-                    for k, v in {**q, 'view': other}.items()
-                    if k in ("start", "stop", "view") and v
-                )
-                + f"'>switch to {other}</a></p>"
+                f"<a href='{href({**q, 'page': page + 1})}'>next</a> | "
+                f"<a href='{href({**q, 'page': page, 'view': other})}'>"
+                f"switch to {other}</a></p>"
             )
 
         def _view(self, collection, label, column, q):

@@ -267,3 +267,36 @@ def test_numpy_column_codegen_extended(frame):
     # unmapped Column-side names keep the helpful error
     with pytest.raises(SexprError, match="pandas_udf"):
         sexpr.select_expr(frame, "(as (char.swapcase self.category) 'x')")
+
+
+def test_numpy_semantics_mod_fmax_zfill(frame):
+    # review findings (round 9): Column codegen must match the numpy
+    # plain-value path on the tricky cases — mod's divisor sign, fmax's
+    # NaN-ignoring, zfill's sign handling
+    import numpy as np
+
+    def col(expr, alias="o"):
+        out = sexpr.select_expr(frame, f"(as {expr} '{alias}')")
+        return [r[alias] for r in out.collect()]
+
+    # mod follows the DIVISOR's sign like np.mod, not Spark %
+    got = sorted(col("(mod (- 0 self.value) 3)"))
+    exp = sorted(np.mod(-np.array([1, 2, 3, 4]), 3).tolist())
+    assert got == exp  # [0, 1, 2, 2] — Spark % would give negatives
+    assert sexpr.evaluate(sexpr.parse("(mod -7 3)")) == 2
+    # fmax ignores NaN (returns the other operand); the NaN comes from a
+    # COLUMN division so the whole expression stays JVM-side
+    nan = "(sqrt (- 0.0 self.value))"  # sqrt of negative -> NaN, ANSI-safe
+    got = col(f"(fmax {nan} (* self.value 1.0))")
+    assert sorted(got) == [1.0, 2.0, 3.0, 4.0]
+    got = col(f"(fmin {nan} (* self.value 1.0))")
+    assert sorted(got) == [1.0, 2.0, 3.0, 4.0]
+    # zfill pads AFTER a leading sign
+    out = sexpr.select_expr(
+        frame,
+        "(as (char.zfill (concat_str '-' self.category) 4) 'z')",
+        env={"concat_str": lambda a, b: __import__(
+            "pyspark").sql.functions.concat(
+            __import__("pyspark").sql.functions.lit(a), b)},
+    )
+    assert sorted(set(r.z for r in out.collect())) == ["-00a", "-00b"]

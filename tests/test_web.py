@@ -111,3 +111,24 @@ def test_page_len_slices(ui):
     assert PAGE_LEN > 0
     data = json.loads(_get(ui + "/read/metrics/cpu/value.json?page=1"))
     assert data["data"] == [[], []]  # 50 rows < one page
+
+
+def test_malformed_requests_get_http_errors(ui):
+    # review finding (round 9): a handler thread must always answer —
+    # malformed params become 400, never a dropped connection
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    for path, code in (
+        ("/view/metrics/cpu/value?view=table&page=abc", 400),
+        ("/view/metrics/nope/value", 404),
+        ("/series/metrics/nope", 404),
+    ):
+        try:
+            urlopen(ui + path)
+            raise AssertionError(f"{path} unexpectedly succeeded")
+        except HTTPError as e:
+            assert e.code == code, (path, e.code)
+    # the switch-view link is well-formed even with no kept params
+    body = _get(ui + "/view/metrics/cpu/value?page=1").decode()
+    assert "?page=1&view=table" in body  # '&' present before view
