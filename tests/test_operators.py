@@ -5623,3 +5623,41 @@ def test_vp8_lossy_dims_header_walk():
             rng.randrange(0, 60)))
         out = _safe(_parse_vp8_dims, blob)
         assert out is None or len(out) == 2
+
+
+def test_vp8l_meta_huffman_groups():
+    import numpy as np
+
+    from lakota_spark.operators.multimodal import _parse_webp
+
+    # 8x1, huffman_bits=2 -> 4-pixel blocks -> meta image 2x1 selecting
+    # group 0 for the left half and group 1 for the right: the two
+    # groups carry DIFFERENT literal trees, so a group-selection bug
+    # cannot decode to the expected pixels
+    w = _VP8LWriter()
+    _vp8l_head(w, 8, 1)
+    w.u(0, 1)  # no transforms
+    w.u(0, 1)  # no color cache
+    w.u(1, 1)  # meta huffman present
+    w.u(0, 3)  # huffman_bits = 2
+    # meta image 2x1 (level0=False): pixels' (red<<8)|green = group idx
+    w.u(0, 1)  # no cache (meta image)
+    mg = _wr_simple(w, [0, 1])   # green channel: 0 then 1
+    _wr_simple(w, [0])           # red 0 (groups 0 and 1)
+    _wr_simple(w, [0])           # blue
+    _wr_simple(w, [0])           # alpha
+    _wr_simple(w, [0])           # distance
+    c, l = mg[0]; w.code(c, l)   # meta pixel 0 -> group 0
+    c, l = mg[1]; w.code(c, l)   # meta pixel 1 -> group 1
+    # two tree groups: group 0 emits green 11, group 1 green 222
+    g0 = _wr_simple(w, [11]); _wr_simple(w, [1]); _wr_simple(w, [2])
+    _wr_simple(w, [255]); _wr_simple(w, [0])
+    g1 = _wr_simple(w, [222]); _wr_simple(w, [3]); _wr_simple(w, [4])
+    _wr_simple(w, [255]); _wr_simple(w, [0])
+    # 8 literal pixels: all trees zero-bit -> no payload bits at all
+    got = _parse_webp(_wrap_webp(w.payload()))
+    assert got is not None and got.shape == (1, 8, 3)
+    exp = np.array(
+        [[(1, 11, 2)] * 4 + [(3, 222, 4)] * 4], dtype=np.uint8
+    )
+    assert (got == exp).all()
