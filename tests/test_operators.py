@@ -5661,3 +5661,92 @@ def test_vp8l_meta_huffman_groups():
         [[(1, 11, 2)] * 4 + [(3, 222, 4)] * 4], dtype=np.uint8
     )
     assert (got == exp).all()
+
+
+def test_conversation_stats_differential(spark):
+    # 200 random conversations vs an independent pure-python reference
+    # computing the same stats from the raw text
+    import hashlib
+    import random
+
+    from lakota_spark.operators.sft import conversation_stats
+
+    rng = random.Random(0)
+    roles = ["user", "assistant", "tool", "system", ""]
+    words = ["alpha", "beta:", "gamma", "x", "longer content here"]
+    rows = []
+    for i in range(200):
+        lines = []
+        for _ in range(rng.randrange(1, 7)):
+            role = rng.choice(roles)
+            content = " ".join(
+                rng.choice(words) for _ in range(rng.randrange(0, 4))
+            )
+            lines.append(f"{role}: {content}" if role else content)
+        rows.append((i, "\n".join(lines)))
+
+    def ref(text):
+        import re
+
+        turns = text.split("\n")
+        parsed = []
+        for t in turns:
+            m = re.match(r"^([A-Za-z]+): ", t)
+            role = m.group(1) if m else ""
+            content = t[m.end():] if m else t
+            parsed.append((role, content))
+        n_user = sum(1 for r, _ in parsed if r == "user")
+        n_asst = sum(1 for r, _ in parsed if r == "assistant")
+        alt = all(
+            parsed[i][0] != parsed[i + 1][0] for i in range(len(parsed) - 1)
+        )
+        uc = sum(len(c) for r, c in parsed if r == "user")
+        ac = sum(len(c) for r, c in parsed if r == "assistant")
+        first = next((c for r, c in parsed if r == "user"), "")
+        return (
+            len(parsed), n_user, n_asst, parsed[0][0] == "user", alt,
+            ac / max(uc + ac, 1),
+            hashlib.md5(first.encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in conversation_stats(df).collect()}
+    for i, text in rows:
+        r = got[i]
+        exp = ref(text)
+        assert (
+            r.n_turns, r.n_user, r.n_assistant, r.starts_user,
+            r.alternates, r.assistant_share, r.prompt_digest,
+        ) == exp, (i, text)
+
+
+def test_url_stats_differential(spark):
+    # 200 constructed URLs vs urllib.parse for the standard fields
+    import random
+    from urllib.parse import urlparse
+
+    from lakota_spark.operators.text import url_stats
+
+    rng = random.Random(1)
+    rows = []
+    for i in range(200):
+        scheme = rng.choice(["http", "https", "ftp"])
+        host = ".".join(
+            rng.choice(["www", "a", "blog", "x9"])
+            for _ in range(rng.randrange(1, 4))
+        ) + rng.choice([".com", ".org", ".co.uk", ".io"])
+        port = rng.choice(["", ":8080"])
+        user = rng.choice(["", "u:p@"])
+        path = "".join(f"/p{j}" for j in range(rng.randrange(0, 4)))
+        q = rng.choice(["", "?a=1", "?a=1&b=2&c=3"])
+        frag = rng.choice(["", "#frag"])
+        rows.append((i, f"{scheme}://{user}{host}{port}{path}{q}{frag}"))
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in url_stats(df).collect()}
+    for i, url in rows:
+        p = urlparse(url)
+        r = got[i]
+        assert r.scheme == p.scheme, url
+        assert r.host == (p.hostname or ""), url
+        assert r.path_depth == len([s for s in p.path.split("/") if s]), url
+        assert r.n_params == (len(p.query.split("&")) if p.query else 0), url
