@@ -513,6 +513,14 @@ FROM u GROUP BY doc_id
 # the kmeans_assign oracle and every oracle that blocks on its clusters
 # (semdedup_top_pairs). Mirrors `operators/clustering.kmeans_fit` exactly:
 # 6-decimal rounded distances/means, ties to the smaller cluster id.
+# Dynamic seed count matching `clustering.corpus_k(n)` (k = max(8,
+# ceil(n/64))): the Spark side auto-scales k with the corpus, so the
+# Lloyd chain's ONLY k-dependence — the seeds LIMIT — must scale the
+# same way for the oracle to hold at every SF (the chain itself is
+# k-generic). kmeans_assign keeps the static k=8 chain: its Spark side
+# passes a fixed k by contract.
+_CORPUS_K_LIMIT = "(SELECT greatest(8, (count(*) + 63) // 64) FROM embeddings)"
+
 _KMEANS_CTES = """seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
@@ -553,6 +561,11 @@ af AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
     FROM d1) WHERE rn = 1
 )"""
+
+_KMEANS_CTES_DYN = _KMEANS_CTES.replace(
+    "LIMIT 8", f"LIMIT {_CORPUS_K_LIMIT}"
+)
+
 
 
 def _lsh_bucket_cte(planes: int = 8) -> str:
@@ -865,9 +878,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ranking + probed-list candidate cosine) shared by the ivf_kmeans_topk
 # oracle and the recall audit built on top of it. Ends at CTE `s`
 # (candidate dot products/norms).
-_IVF_KMEANS_CHAIN = """WITH seeds AS (
+_IVF_KMEANS_CHAIN = f"""WITH seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+        LIMIT {_CORPUS_K_LIMIT})
 ),
 u0 AS (
   SELECT e.vec_id, s.cluster,
@@ -2029,7 +2043,7 @@ SELECT vec_id, cluster FROM af
         # micro-nat scores (round BEFORE ranking) make even the ln()
         # ranking engine-exact; ties break on the term string
         "cluster_topic_terms": f"""
-WITH {_KMEANS_CTES},
+WITH {_KMEANS_CTES_DYN},
 j AS (
   SELECT af.cluster, d.text
   FROM af JOIN documents d ON d.doc_id = af.vec_id
@@ -2055,7 +2069,7 @@ r AS (
 SELECT cluster, term, tf, ctfidf_micro, rank FROM r WHERE rank <= 5
 """,
         "semdedup_top_pairs": f"""
-WITH {_KMEANS_CTES},
+WITH {_KMEANS_CTES_DYN},
 p AS (
   SELECT a.vec_id AS ia, b.vec_id AS ib,
          ea.embedding AS ea, eb.embedding AS eb
