@@ -744,7 +744,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": pipeline.bm25_topk,
         "bm25_topk_indexed": pipeline.bm25_topk_indexed,
         "near_dup_gate": pipeline.near_dup_gate,
-        "quality_gate_pass": pipeline.quality_gate_pass,
         "kmeans_assign": pipeline.kmeans_assign,
         "semdedup_top_pairs": pipeline.semdedup_top_pairs,
         "pii_scrub_stats": pipeline.pii_scrub_stats,
@@ -761,6 +760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     never recorded) + heavy hitters of the r7 set ---
         "engine_range_scan": engine_demo.engine_range_scan,
         "engine_sorted_scan": engine_demo.engine_sorted_scan,
+        # order-SENSITIVE slice through the ordered scan (round 9):
+        # unique index -> the slice contents prove the global sort
+        "engine_sorted_page": engine_demo.engine_sorted_page,
         "sketch_stats": pipeline.sketch_stats,
         "bpe_token_stats": pipeline.bpe_token_stats,
         "bpe_packed_sequences": pipeline.bpe_packed_sequences,
@@ -778,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the never-recorded engine_sorted_scan / html_extract_quality /
         # sft_conversation_report / domain_mixture_report; last rows r7.)
         # ------------------------------------------------------------------
+        "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
         "decontaminate_bloom_flag": pipeline.decontaminate_bloom_flag,
         "span_clip_clean": pipeline.span_clip_clean,
@@ -1637,6 +1640,12 @@ WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
         # same relation through the round-9 ORDERED read path (the
         # driver's hash is order-insensitive — this validates the
         # mapInArrow scan's content; plan order is contract-tested)
+        # order-sensitive: WHICH rows land in [1000, 1500) is a pure
+        # function of the global sort over the unique index
+        "engine_sorted_page": """
+SELECT event_id, user_id, value FROM events
+ORDER BY event_id LIMIT 500 OFFSET 1000
+""",
         "engine_sorted_scan": """
 SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value
 FROM events

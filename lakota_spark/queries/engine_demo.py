@@ -112,6 +112,30 @@ def engine_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def engine_sorted_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE slice through the round-9 ordered read path: the
+    driver's value hash is order-insensitive, so `engine_sorted_scan`
+    can only validate the mapInArrow scan's CONTENT — this entry makes
+    the ORDER itself externally checkable by slicing. Events ingest
+    into a collection indexed on the UNIQUE event_id, and the query
+    returns rows [1000, 1500) of the sorted frame: which rows appear in
+    the slice is a pure function of the global sort, so a partition-
+    ordering bug in the exchange-free scan changes the result SET and
+    the oracle (ORDER BY event_id LIMIT 500 OFFSET 1000) catches it."""
+    repo = _event_repo(spark, sf_dir)
+    label = "by_id"
+    if label not in repo.ls():
+        coll = repo.create_collection(
+            Schema(event_id="int*", user_id="int", value="float"), label
+        )
+        src = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id", "value"
+        )
+        coll.series("all").write(src.orderBy("event_id"))
+    series = repo.collection(label).series("all")
+    return series.frame(offset=1000, limit=500, sort=True)
+
+
 def engine_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine tail-N (metadata-pruned backward read)."""
     repo = _event_repo(spark, sf_dir)
