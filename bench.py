@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     # trial; timed best-of is snapshot resolution + pruned scan)
     "engine_range_scan",
     "engine_sorted_scan",
+    "engine_sorted_page",
     "engine_tail",
 ]
 
