@@ -743,7 +743,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": pipeline.dedup_keep_best,
         "bm25_topk": pipeline.bm25_topk,
         "bm25_topk_indexed": pipeline.bm25_topk_indexed,
-        "near_dup_gate": pipeline.near_dup_gate,
         "kmeans_assign": pipeline.kmeans_assign,
         "semdedup_top_pairs": pipeline.semdedup_top_pairs,
         "pii_scrub_stats": pipeline.pii_scrub_stats,
@@ -763,6 +762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order-SENSITIVE slice through the ordered scan (round 9):
         # unique index -> the slice contents prove the global sort
         "engine_sorted_page": engine_demo.engine_sorted_page,
+        # time travel (P8) under the oracle: before=<patch epoch>
+        # must serve the PRE-patch snapshot (raw values)
+        "engine_time_travel": engine_demo.engine_time_travel,
         "sketch_stats": pipeline.sketch_stats,
         "bpe_token_stats": pipeline.bpe_token_stats,
         "bpe_packed_sequences": pipeline.bpe_packed_sequences,
@@ -780,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the never-recorded engine_sorted_scan / html_extract_quality /
         # sft_conversation_report / domain_mixture_report; last rows r7.)
         # ------------------------------------------------------------------
+        "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
         "decontaminate_bloom_flag": pipeline.decontaminate_bloom_flag,
@@ -1640,6 +1643,12 @@ WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
         # same relation through the round-9 ORDERED read path (the
         # driver's hash is order-insensitive — this validates the
         # mapInArrow scan's content; plan order is contract-tested)
+        # pre-patch snapshot: raw values in the window, un-doubled
+        "engine_time_travel": """
+SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-12'
+""",
         # order-sensitive: WHICH rows land in [1000, 1500) is a pure
         # function of the global sort over the unique index
         "engine_sorted_page": """

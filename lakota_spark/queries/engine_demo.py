@@ -170,6 +170,31 @@ def engine_overlay_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def engine_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (P8) under the oracle: read the PATCHED collection
+    from `engine_overlay_update` at ``before = <patch revision's
+    epoch>`` — the pre-patch snapshot, which must equal the RAW events
+    range (values un-doubled) even though the current head serves the
+    patched values. The cutoff comes from the changelog itself (the
+    last revision is the patch commit), so the entry is deterministic
+    for any repo build time; this puts snapshot resolution's ``before=``
+    chain under a driver-recorded oracle instead of tests only."""
+    # ensure the patched collection exists (same lazy build)
+    engine_overlay_update(spark, sf_dir)
+    repo = _event_repo(spark, sf_dir)
+    coll = repo.collection("patched")
+    patch_epoch = coll.changelog.log()[-1].epoch
+    series = coll.series("all")
+    return series.frame(
+        start="2024-01-01",
+        stop="2024-01-12",
+        closed="l",
+        select=["ts", "event_id", "value"],
+        before=patch_epoch,
+        sort=False,
+    )
+
+
 def engine_defrag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction under the oracle: ingest events as out-of-order
     WEEKLY fragments (4 segments + 4 revisions), defrag into page-sized
