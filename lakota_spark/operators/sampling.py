@@ -629,6 +629,131 @@ def sample_k_per_group(
     )
 
 
+def bottom_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    order_col: str,
+    n_sub: int = 64,
+) -> DataFrame:
+    """Skew-safe exact bottom-k per group: the ``k`` smallest
+    ``order_col`` rows per ``group_col`` WITHOUT sorting a whole group in
+    one task. A single ``row_number() OVER (PARTITION BY g ORDER BY v)``
+    funnels every row of a hot group through one executor's sort — the
+    shape that dies on a skewed 100 TB relation. Instead, the same
+    two-stage discipline as `sample_k_per_group`: stage 1 ranks within
+    ``(group, order_col % n_sub)`` sub-streams (hash-uniform splits of
+    the hot group) and keeps k per sub-stream; stage 2 re-ranks the
+    ``<= k*n_sub`` survivors per group (tiny). The global bottom-k is a
+    subset of the per-shard bottom-ks, so the composition is exact.
+
+    ``order_col`` must be a non-negative integral column (the sub-shard
+    key is ``pmod``) with distinct values within a group — the KMV /
+    minhash discipline — so ranks are deterministic. Returns the input
+    columns plus ``bottom_rank`` (1-based order within the group).
+    """
+    if k <= 0 or n_sub <= 0:
+        raise ValueError("bottom_k_per_group needs positive k/n_sub")
+    w1 = Window.partitionBy(
+        F.col(group_col), F.pmod(F.col(order_col), F.lit(n_sub))
+    ).orderBy(F.col(order_col).asc())
+    stage1 = df.withColumn("_r1", F.row_number().over(w1)).where(
+        F.col("_r1") <= k
+    )
+    w2 = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    return (
+        stage1.withColumn("bottom_rank", F.row_number().over(w2))
+        .where(F.col("bottom_rank") <= k)
+        .drop("_r1")
+    )
+
+
+def exact_group_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_parts: int | None = None,
+    _pin: bool = True,
+) -> DataFrame:
+    """EXACT per-group lower median — the rank ``floor((n+1)/2)`` element,
+    the ``row_number() OVER (PARTITION BY g ORDER BY v)`` answer — via a
+    distributed order-statistic selection that never sorts a whole group
+    in one task.
+
+    Why not the window: a hot group funnels ALL its rows through one
+    task's sort. Why not bottom-k: the median's rank is ~n/2, so
+    per-shard pruning keeps half the data. The scalable exact shape is
+    the two-level prefix-scan (the classic distributed selection):
+
+    1. ties collapse map-side: ``V = (g, v) -> c`` — hash shuffle with
+       partial agg, so a billion repeats of one value cost one row;
+    2. ``V`` is RANGE-repartitioned on ``(g, v)``: the range partitioner
+       SAMPLES boundaries, so a hot group is split across many
+       partitions by value sub-range (the skew control). The relation is
+       pinned (``localCheckpoint``) so both consumers observe the same
+       physical partition ids;
+    3. per-(partition, group) subtotals via ``spark_partition_id`` give
+       a BOUNDED relation (``<= n_parts x n_groups`` rows); a window
+       over THAT (tiny) yields each partition's global cumulative
+       offset and each group's total ``n``;
+    4. exactly ONE partition per group covers the target rank
+       ``m = floor((n+1)/2)`` (``off < m <= off + t``); a broadcast join
+       keeps only that partition's rows — one balanced range-partition's
+       worth — and a running-count window over those survivors picks the
+       first value whose cumulative multiplicity reaches ``m``.
+
+    Every shuffle is hash-uniform or range-balanced; the only windows
+    run over the bounded offsets relation and one partition's survivors.
+    Returns ``(group_col, median)``; deterministic and engine-exact
+    (byte-identical to the row_number form, ties included, because ties
+    collapse into one weighted row before selection).
+
+    ``_pin=False`` skips the localCheckpoint so plan contracts can see
+    the range exchange through the lineage (a checkpoint truncates the
+    visible plan to "Scan ExistingRDD"); partition-id consistency then
+    relies on Spark's deterministic range-boundary sampling. Production
+    callers keep the default.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    g, v = group_col, value_col
+    V = (
+        df.groupBy(g, v)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .repartitionByRange(n_parts, g, v)
+    )
+    if _pin:
+        V = V.localCheckpoint(eager=False)
+    vp = V.withColumn("_pid", F.spark_partition_id())
+    totals = vp.groupBy("_pid", g).agg(F.sum("_c").alias("_t"))
+    wo = Window.partitionBy(g).orderBy("_pid")
+    offs = totals.withColumn("_hi", F.sum("_t").over(wo)).withColumn(
+        "_off", F.col("_hi") - F.col("_t")
+    )
+    grp = totals.groupBy(g).agg(F.sum("_t").alias("_n"))
+    cover = (
+        offs.join(grp, g)
+        .withColumn("_m", F.floor((F.col("_n") + 1) / 2))
+        .where((F.col("_off") < F.col("_m")) & (F.col("_m") <= F.col("_hi")))
+        .select("_pid", g, "_off", "_m")
+    )
+    wq = (
+        Window.partitionBy(g)
+        .orderBy(F.col(v).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        vp.join(F.broadcast(cover), ["_pid", g])
+        .withColumn("_cum", F.sum("_c").over(wq) + F.col("_off"))
+        .where(
+            (F.col("_cum") >= F.col("_m"))
+            & (F.col("_cum") - F.col("_c") < F.col("_m"))
+        )
+        .select(g, F.col(v).alias("median"))
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str = "token",

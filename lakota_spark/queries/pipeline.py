@@ -1433,25 +1433,43 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       residue) with the LOWER-median element picked by explicit
       row_number — no interpolation semantics to disagree on.
 
-    One distinct-agg + one bounded per-group window (top-k over ≤k rows
-    after the partial agg) + one sample pass — same shuffle count as
-    the approx_* form, now externally verified."""
+    Skew-safe shapes throughout (VERDICT r9 #1 — a hot event type must
+    NOT funnel its full distinct-user relation through one task's sort):
+    the k-th smallest hash comes from the two-stage sub-shard bottom-k
+    (`sampling.bottom_k_per_group` — rank within (event_type, h%64),
+    re-rank the <= k*64 survivors), `exact_users` is a windowless
+    partial-agg count of the deduped relation, and the sample median
+    runs the distributed two-level prefix-scan selection
+    (`sampling.exact_group_median`) instead of a per-group full-relation
+    row_number. Identical output; plan pinned by
+    `tests/test_plans.py::test_sketch_stats_skew_safe_windows`."""
     from lakota_spark.functions import hash32
+    from lakota_spark.operators.sampling import (
+        bottom_k_per_group,
+        exact_group_median,
+    )
     from lakota_spark.sources import read_parquet
 
     e = read_parquet(spark, f"{sf_dir}/events.parquet")
     h = hash32(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")))
+    # pinned: the distinct-user relation feeds BOTH the bottom-k and the
+    # exact count — one materialization instead of two corpus scans
     uh = (
         e.select("event_type", h.alias("h"))
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .select("event_type", "h")
+        .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("event_type").orderBy("h")
-    ranked = uh.withColumn("_rn", F.row_number().over(w))
-    kmv = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("exact_users"),
-        F.max(F.when(F.col("_rn") == _KMV_K, F.col("h"))).alias("_hk"),
-    ).select(
+    hk = (
+        bottom_k_per_group(uh, _KMV_K, "event_type", "h")
+        .where(F.col("bottom_rank") == _KMV_K)
+        .select("event_type", F.col("h").alias("_hk"))
+    )
+    cnt = uh.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_users")
+    )
+    kmv = cnt.join(hk, "event_type", "left").select(
         "event_type",
         F.when(
             F.col("_hk").isNotNull(),
@@ -1466,24 +1484,14 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         == 0
     ).select("event_type", "value")
-    ws = Window.partitionBy("event_type").orderBy("value", "event_type")
-    counts = sample.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("_sn")
-    )
-    med = (
-        sample.withColumn("_rn", F.row_number().over(ws))
-        .join(counts, "event_type")
-        .where(F.col("_rn") == F.floor((F.col("_sn") + 1) / 2))
+    med = exact_group_median(sample, "event_type", "value").select(
+        "event_type", F.col("median").alias("sample_p50")
     )
     base = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     # LEFT join: a group whose 1/16 hash sample came up empty keeps its
     # row (null median) instead of silently vanishing from the report
     return (
-        kmv.join(
-            med.select("event_type", F.col("value").alias("sample_p50")),
-            "event_type",
-            "left",
-        )
+        kmv.join(med, "event_type", "left")
         .join(base, "event_type")
         .select("event_type", "kmv_users", "exact_users", "sample_p50", "n")
     )

@@ -4147,6 +4147,85 @@ def test_sample_k_per_group_exact_and_skew_safe(spark):
     assert "(_probe" in plan.split("Window")[-1] or "_probe" in plan, plan
 
 
+def test_bottom_k_per_group_matches_single_window(spark):
+    from pyspark.sql import functions as F
+
+    from lakota_spark.operators.sampling import bottom_k_per_group
+
+    # distinct-per-group integral order values (the KMV discipline):
+    # h = (id*2654435761) % 2**31 visits each residue at most once here
+    df = spark.range(700).select(
+        F.col("id"),
+        F.when(F.col("id") < 650, "hot").otherwise("cold").alias("g"),
+        ((F.col("id") * 2654435761) % (2 ** 31)).alias("h"),
+    )
+    rows = df.collect()
+    out = bottom_k_per_group(df, 8, "g", "h", n_sub=16).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    for g in ("hot", "cold"):
+        want = sorted(r["h"] for r in rows if r["g"] == g)[:8]
+        got = [
+            r["h"] for r in sorted(by_g[g], key=lambda r: r["bottom_rank"])
+        ]
+        assert got == want, g
+        assert [r["bottom_rank"] for r in sorted(by_g[g], key=lambda r: r["bottom_rank"])] == list(range(1, 9))
+    # groups smaller than k report all their rows
+    small = bottom_k_per_group(
+        df.where(F.col("g") == "cold").limit(3), 8, "g", "h"
+    ).collect()
+    assert len(small) == 3
+    # stage-1 window is sub-sharded: its partition spec carries the pmod
+    plan = (
+        bottom_k_per_group(df, 8, "g", "h")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pmod" in plan, plan
+
+
+def test_exact_group_median_matches_row_number_form(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lakota_spark.operators.sampling import exact_group_median
+
+    rng = random.Random(71)
+    rows = []
+    # skewed hot group, heavy ties, odd/even sizes, a singleton group
+    for i in range(900):
+        rows.append(("hot", float(rng.randrange(40))))
+    for i in range(31):
+        rows.append(("mid", float(rng.randrange(1000)) / 8))
+    rows.append(("one", 5.25))
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: r["median"]
+        for r in exact_group_median(df, "g", "v", n_parts=7).collect()
+    }
+    want = {}
+    for g in ("hot", "mid", "one"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        want[g] = vals[(len(vals) + 1) // 2 - 1]  # lower median
+    assert got == want
+    # deterministic under arbitrary input partitioning
+    again = {
+        r["g"]: r["median"]
+        for r in exact_group_median(
+            df.repartition(13), "g", "v", n_parts=5
+        ).collect()
+    }
+    assert again == want
+    # a group collapsing to ONE weighted row (all ties) still selects it
+    const = spark.createDataFrame(
+        [("c", 2.0)] * 50, "g string, v double"
+    )
+    assert exact_group_median(const, "g", "v").collect()[0]["median"] == 2.0
+
+
 def test_langid_ngram_learns_and_generalizes(spark):
     # fit on labelled docs, predict a HELD-OUT doc per language: the
     # learned trigram model must recover the label from unseen text in

@@ -783,3 +783,54 @@ def test_multimodal_triage_report_plan_shape(spark):
     assert plans.node_count(df, "MapInPandas") == 1, plan
     assert plans.node_count(df, "Exchange") <= 1, plan
     assert plans.join_strategies(df) == [], plan
+
+
+def test_sketch_stats_skew_safe_windows(spark):
+    # VERDICT r9 #1: no single-task sort over the full distinct-user (or
+    # sample) relation of a hot event type. The only windows allowed:
+    #   (1) KMV stage-1 ranked within (event_type, pmod(h,64)) sub-shards
+    #   (2) KMV stage-2 re-rank over the <= k*64 filtered survivors
+    #   (3) the offsets window over the bounded (partition x group) totals
+    #   (4) the median running count over ONE range-partition's survivors
+    import re
+
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.sketch_stats(spark, SF)
+    plan = plans.explain_str(df, "formatted")
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert len(specs) == 4, plan
+    # the ONLY row_number over the raw hash column is sub-sharded (two
+    # partition exprs); the re-rank feeds from a bottom_rank-bounded
+    # filter, never the raw relation
+    rn = [s for s in specs if "row_number()" in s]
+    assert len(rn) == 2, specs
+    assert any(
+        re.search(r"windowspecdefinition\(event_type#\d+, _w\d+#", s)
+        for s in rn
+    ), rn
+    assert "pmod" in plan
+    # the OLD shapes are gone: no row_number ordered by the sample value
+    # (full-relation median sort), and exact_users is windowless
+    assert not any(
+        re.search(r"row_number\(\) windowspecdefinition\(event_type#\d+, value#", s)
+        for s in specs
+    ), specs
+    # the median's range-partitioned tie-count relation is PINNED (one
+    # materialization feeding both the totals and the candidate branch)
+    assert plans.checkpoint_sources(df) >= 1, plan
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan, plan
+    # ...and the selection really is the range-partitioned prefix-scan:
+    # the unpinned form exposes the range exchange the checkpoint hides
+    from pyspark.sql import functions as F
+
+    from lakota_spark.operators.sampling import exact_group_median
+    from lakota_spark.sources import read_parquet
+
+    e = read_parquet(spark, f"{SF}/events.parquet").select(
+        "event_type", "value"
+    )
+    open_plan = plans.explain_str(
+        exact_group_median(e, "event_type", "value", _pin=False), "simple"
+    )
+    assert "rangepartitioning(event_type" in open_plan, open_plan
