@@ -2976,11 +2976,18 @@ SELECT split, lang, count(*)::BIGINT AS n_docs,
 FROM sp GROUP BY 1, 2
 """.format(pair_ctes=_minhash_pair_ctes(), toks=_TOKS),
         # positives = the verified near-dup pairs; negatives = hash-order
-        # neighbors inside (lang, hash%64) shards, (least,greatest)-
-        # normalized and anti-joined against the positives
+        # neighbors inside (lang, hash%n_buckets) shards, (least,
+        # greatest)-normalized and anti-joined against the positives.
+        # n_buckets is CORPUS-PARAMETRIC in lockstep with
+        # sampling.contrastive_buckets (max(64, ceil(n/100k))) — ADVICE
+        # r9: a fixed `% 64` silently diverges past 6.4M docs, the same
+        # class of bug _CORPUS_K_LIMIT fixed for the kmeans entries
         "contrastive_pairs": """
 WITH {pair_ctes},
 pos AS (SELECT doc_a, doc_b, 1 AS label FROM vpairs),
+nb AS (
+  SELECT greatest(64, (count(*) + 99999) // 100000) AS b FROM documents
+),
 h AS (
   SELECT doc_id, lang,
          ('0x' || substr(md5('neg:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
@@ -2988,7 +2995,8 @@ h AS (
 ),
 nn AS (
   SELECT doc_id, lead(doc_id) OVER (
-           PARTITION BY lang, h % 64 ORDER BY h, doc_id) AS nxt
+           PARTITION BY lang, h % (SELECT b FROM nb)
+           ORDER BY h, doc_id) AS nxt
   FROM h
 ),
 neg AS (

@@ -3275,6 +3275,25 @@ def test_leakage_safe_split_cluster_atomicity(spark):
         leakage_safe_split(docs, clusters, val_pct=0)
 
 
+def test_contrastive_buckets_oracle_lockstep():
+    # ADVICE r9: the oracle SQL derives n_buckets as
+    # greatest(64, (count(*)+99999)//100000) — pin the python rule to the
+    # exact SQL arithmetic so the two can never drift (the class of bug
+    # _CORPUS_K_LIMIT fixed for kmeans). Sweep across the 6.4M boundary
+    # where a fixed %64 used to silently diverge.
+    import duckdb
+
+    from lakota_spark.operators.sampling import contrastive_buckets
+
+    con = duckdb.connect()
+    for n in (0, 1, 63, 64, 6_399_999, 6_400_000, 6_400_001,
+              10_000_000, 123_456_789):
+        sql = con.execute(
+            "SELECT greatest(64, (? + 99999) // 100000)", [n]
+        ).fetchone()[0]
+        assert contrastive_buckets(n) == sql, n
+
+
 def test_contrastive_pairs_mining(spark):
     # positives pass through labeled 1; negatives are same-lang
     # hash-neighbors labeled 0, normalized (doc_a < doc_b), and NEVER
