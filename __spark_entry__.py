@@ -708,6 +708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against the committed CORRECTNESS_r*.json history.
     """
     return {
+        # --- r10 never-recorded: Repo.sql/register_views under the
+        #     oracle (VERDICT r9 #2) ---
+        "engine_sql_report": engine_demo.engine_sql_report,
         # --- r9 window (stale-first rotation, VERDICT r8 #4): the three
         #     entries redefined ORACLE-EXACT this round take their first
         #     hash-exact recording ---
@@ -1648,6 +1651,29 @@ WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
 SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-12'
+""",
+        # Repo.sql over two registered collection views (raw ingest vs
+        # its patched clone): the oracle re-derives BOTH sides from the
+        # raw parquet — engine truncates ts to seconds, the overlay
+        # doubles values in [01-05, 01-08); uplift in integer cents
+        "engine_sql_report": """
+WITH e AS (SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id,
+                  value
+           FROM events),
+p AS (SELECT event_id,
+             CASE WHEN ts >= TIMESTAMP '2024-01-05'
+                       AND ts < TIMESTAMP '2024-01-08'
+                  THEN round(value * 2, 2) ELSE value END AS value
+      FROM e)
+SELECT date_trunc('day', e.ts)::TIMESTAMP AS day,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN p.value <> e.value THEN 1 ELSE 0 END)::BIGINT
+         AS n_patched,
+       sum(round((p.value - e.value) * 100)::BIGINT)::BIGINT
+         AS uplift_cents
+FROM e JOIN p USING (event_id)
+WHERE e.ts >= TIMESTAMP '2024-01-01' AND e.ts < TIMESTAMP '2024-01-12'
+GROUP BY 1
 """,
         # order-sensitive: WHICH rows land in [1000, 1500) is a pure
         # function of the global sort over the unique index

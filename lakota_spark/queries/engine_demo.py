@@ -233,3 +233,33 @@ def engine_defrag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         select=["ts", "event_id", "value"],
         sort=False,
     )
+
+
+def engine_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`Repo.register_views` / `Repo.sql` under the driver oracle
+    (VERDICT r9 #2 — the round-9 feature had tests but no CORRECTNESS
+    row): the whole demo repo registers as LAZY temp views and ONE plain
+    Spark SQL statement joins two collections' series — the raw ingest
+    (`events_all`) against its patched clone (`patched_all`) — to report
+    the per-day row count, patched-row count and total uplift the
+    overlay introduced. Uplift sums in integer cents (exact across
+    engines); each view is an unsorted `Series.frame` plan, so pruning
+    and pushdown engage inside the SQL like any native scan. The oracle
+    derives both sides from the raw parquet."""
+    engine_overlay_update(spark, sf_dir)  # ensure the patched clone exists
+    repo = _event_repo(spark, sf_dir)
+    return repo.sql(
+        """
+        SELECT date_trunc('DAY', e.ts) AS day,
+               count(*) AS n,
+               sum(CASE WHEN p.value <> e.value THEN 1 ELSE 0 END)
+                 AS n_patched,
+               sum(cast(round((p.value - e.value) * 100) AS BIGINT))
+                 AS uplift_cents
+        FROM events_all e
+        JOIN patched_all p ON p.event_id = e.event_id
+        WHERE e.ts >= timestamp'2024-01-01'
+          AND e.ts < timestamp'2024-01-12'
+        GROUP BY date_trunc('DAY', e.ts)
+        """
+    )

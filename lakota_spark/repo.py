@@ -225,6 +225,7 @@ class Repo:
         import re as _re
 
         names = []
+        seen: dict[str, str] = {}
         labels = [collection] if collection is not None else self.ls()
         for cname in labels:
             coll = self.collection(cname)
@@ -232,6 +233,18 @@ class Repo:
                 view = _re.sub(
                     r"\W", "_", f"{prefix}{cname}_{label}"
                 )
+                # ADVICE r9: \W-mangling can collide distinct series
+                # (collection 'a-b' label 'c' vs 'a' label 'b_c' both
+                # mangle to a_b_c) — createOrReplaceTempView would then
+                # silently keep the LAST one and repo.sql reads the
+                # wrong series. Fail loudly instead.
+                if view in seen:
+                    raise ValueError(
+                        f"view name collision: {cname}/{label} and "
+                        f"{seen[view]} both mangle to {view!r}; "
+                        "disambiguate with prefix= or rename the series"
+                    )
+                seen[view] = f"{cname}/{label}"
                 coll.series(label).frame(
                     before=before, sort=False
                 ).createOrReplaceTempView(view)

@@ -845,3 +845,25 @@ def test_register_views_and_sql(repo):
     # a filtered view query pushes the range to the scan (classic path)
     out = repo.sql("SELECT v FROM m_a WHERE ts >= 2").collect()
     assert sorted(r.v for r in out) == [2.0, 3.0]
+
+
+def test_register_views_collision_raises(repo):
+    # ADVICE r9: \W-mangling can fold distinct series onto one view name
+    # (collection 'a-b' label 'c' vs collection 'a' label 'b_c') —
+    # createOrReplaceTempView would silently keep the LAST registration
+    # and repo.sql would read the wrong series. Fail loudly instead.
+    import pytest
+
+    from lakota_spark.schema import Schema
+
+    s = Schema(ts="int*", v="float")
+    repo.create_collection(s, "a-b").series("c").write(
+        {"ts": [1], "v": [1.0]}
+    )
+    repo.create_collection(s, "a").series("b_c").write(
+        {"ts": [1], "v": [2.0]}
+    )
+    with pytest.raises(ValueError, match="collision.*a_b_c"):
+        repo.register_views()
+    # prefix= disambiguates per-call; single-collection registration works
+    assert repo.register_views(collection="a") == ["a_b_c"]
