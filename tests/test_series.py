@@ -699,3 +699,102 @@ def test_schema_codec_chain_syntax_and_write(repo, tmp_path):
     # unknown exotic codec names degrade to the default, never fail
     s2 = Schema(ts="int*", x="str|msgpack2 weird-codec")
     assert s2.parquet_compression()["x"] == "zstd"
+
+
+def test_frame_mask_on_sorted_fast_path(repo):
+    # VERDICT r9 #3: a mask handed to frame() composes with the ordered
+    # scan — applied arrow-side inside the mapInArrow reader (read-time
+    # pyarrow filter for row-group pruning + exact post-cast filter),
+    # never as an unpushable Catalyst filter ON TOP of the relation.
+    from lakota_spark import plans
+    from lakota_spark.schema import Schema
+
+    coll = repo.create_collection(
+        Schema(ts="int*", value="float", tag="str"), "m"
+    )
+    s = coll.series("x")
+    s.write({
+        "ts": list(range(200)),
+        "value": [float(i % 7) for i in range(200)],
+        "tag": ["a" if i % 2 else "b" for i in range(200)],
+    })
+    df = s.frame(mask="(and (< self.value 5) (= self.tag 'a'))")
+    plan = plans.explain_str(df, "simple")
+    assert "MapInArrow" in plan and "Exchange" not in plan, plan
+    assert "Sort" not in plan, plan
+    got = [(r.ts, r.value, r.tag) for r in df.collect()]
+    want = [
+        (i, float(i % 7), "a")
+        for i in range(200)
+        if i % 2 and i % 7 < 5
+    ]
+    assert got == want  # order-sensitive: the sorted stream survives
+    # mask fields outside select= are read for filtering, not emitted
+    df2 = s.frame(select=["ts"], mask="(> self.value 3)")
+    assert df2.columns == ["ts"]
+    assert [r.ts for r in df2.collect()] == [
+        i for i in range(200) if i % 7 > 3
+    ]
+    # offset/limit slice the MASKED sorted stream
+    sliced = s.frame(mask="(= self.tag 'b')", offset=3, limit=4)
+    assert [r.ts for r in sliced.collect()] == [6, 8, 10, 12]
+
+
+def test_frame_mask_fallback_and_kv_semantics(repo):
+    # non-pushable mask forms (arithmetic) fall back to the classic
+    # path — documented behavior — and stay correct; KV series apply
+    # the mask AFTER last-writer-wins dedup so a filter on the value
+    # column can never resurrect a shadowed row.
+    from lakota_spark import plans
+    from lakota_spark.schema import Schema
+
+    coll = repo.create_collection(
+        Schema(ts="int*", value="float", tag="str"), "fb"
+    )
+    s = coll.series("x")
+    s.write({
+        "ts": list(range(50)),
+        "value": [float(i) for i in range(50)],
+        "tag": ["a"] * 50,
+    })
+    df = s.frame(mask="(< (+ self.value 1) 6)")
+    assert "MapInArrow" not in plans.explain_str(df, "simple")
+    assert sorted(r.ts for r in df.collect()) == [0, 1, 2, 3, 4]
+    # classic path pushes the mask into the scan (below _seg_key)
+    pushed = " ".join(plans.pushed_filters(s.frame(
+        sort=False, mask="(> self.value 45)"
+    )))
+    assert "GreaterThan(value,45" in pushed, pushed
+
+    kv = repo.create_collection(
+        Schema.kv_schema(k="int*", v="float"), "kvm"
+    )
+    ks = kv.series("x")
+    ks.write({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]})
+    ks.write({"k": [2], "v": [5.0]})  # last writer wins: k=2 -> 5.0
+    # mask (> v 9): k=2's LIVE row (5.0) fails the mask -> k=2 absent;
+    # the shadowed 20.0 must NOT resurface
+    out = {r.k: r.v for r in ks.frame(mask="(> self.v 9)").collect()}
+    assert out == {1: 10.0, 3: 30.0}
+
+
+def test_frame_mask_timestamp_literal_on_fast_path(repo):
+    # string literals compared to timestamp columns coerce to UTC
+    # datetimes for the arrow-side filter (the cast schema reads ts as
+    # tz=UTC) — validated driver-side before the fast path is trusted
+    import datetime as dt
+
+    from lakota_spark import plans
+    from lakota_spark.schema import Schema
+
+    coll = repo.create_collection(
+        Schema(ts="timestamp*", value="float"), "tsm"
+    )
+    s = coll.series("x")
+    base = dt.datetime(2024, 3, 1)
+    rows = [base + dt.timedelta(hours=i) for i in range(48)]
+    s.write({"ts": rows, "value": [float(i) for i in range(48)]})
+    df = s.frame(mask="(>= self.ts '2024-03-02')")
+    assert "MapInArrow" in plans.explain_str(df, "simple")
+    got = [r.ts for r in df.collect()]
+    assert got == rows[24:]
