@@ -101,19 +101,38 @@ def _read_page(series, column: str, page: int, start, stop):
     tdim = _time_dim(schema)
     if tdim is None or column not in schema.columns:
         return None
-    frm = series.frame(
-        start=start or None,
-        stop=stop or None,
-        limit=PAGE_LEN,
-        offset=page * PAGE_LEN,
-        select=list(dict.fromkeys([*schema.idx, column])),
-    )
+    select = list(dict.fromkeys([*schema.idx, column]))
     if len(schema.idx) > 1:
-        frm = frm.groupBy(tdim).agg(
-            F.expr(
-                f"max_by({column}, struct({', '.join(schema.idx)}))"
-            ).alias(column)
-        ).orderBy(tdim)
+        # ADVICE r9: aggregate per time point BEFORE paging — paging the
+        # raw rows first would last-aggregate a boundary-straddling
+        # timestamp from only the rows on that page. Page over the
+        # DISTINCT time points instead: the agg is distributed (one
+        # groupBy over the pruned range) and limit/offset slice its
+        # ordered output, so every plotted 'last' equals the
+        # whole-series answer.
+        frm = (
+            series.frame(
+                start=start or None, stop=stop or None, select=select
+            )
+            .groupBy(tdim)
+            .agg(
+                F.expr(
+                    f"max_by({column}, struct({', '.join(schema.idx)}))"
+                ).alias(column)
+            )
+            .orderBy(tdim)
+        )
+        if page:
+            frm = frm.offset(page * PAGE_LEN)
+        frm = frm.limit(PAGE_LEN)
+    else:
+        frm = series.frame(
+            start=start or None,
+            stop=stop or None,
+            limit=PAGE_LEN,
+            offset=page * PAGE_LEN,
+            select=select,
+        )
     rows = frm.select(
         F.col(tdim).cast("timestamp").cast("long").alias("_t"),
         F.col(column).alias("_v"),
@@ -186,13 +205,28 @@ def _make_handler(repo):
                     return self._read(parts[1], parts[2], col, q)
             except KeyError:
                 return self._send(404, b"not found", "text/plain")
-            except Exception as exc:  # noqa: BLE001 — a handler thread
-                # must always answer: malformed page numbers, garbage
-                # start/stop bounds, unknown columns etc. become a 400
-                # instead of a dropped connection
+            except (ValueError, TypeError) as exc:
+                # input-shaped failures: malformed page numbers, garbage
+                # start/stop bounds, unknown columns -> the client's fault
                 return self._send(
                     400,
                     f"bad request: {type(exc).__name__}".encode(),
+                    "text/plain",
+                )
+            except Exception as exc:  # noqa: BLE001 — a handler thread
+                # must always answer; genuine server-side faults (Spark
+                # job errors, backend IO) are 500s WITH a logged
+                # traceback, not mislabeled client errors (ADVICE r9)
+                import logging
+                import traceback
+
+                logging.getLogger("lakota_spark.web").error(
+                    "GET %s failed:\n%s", self.path,
+                    traceback.format_exc(),
+                )
+                return self._send(
+                    500,
+                    f"internal error: {type(exc).__name__}".encode(),
                     "text/plain",
                 )
             return self._send(404, b"not found", "text/plain")

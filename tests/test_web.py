@@ -132,3 +132,38 @@ def test_malformed_requests_get_http_errors(ui):
     # the switch-view link is well-formed even with no kept params
     body = _get(ui + "/view/metrics/cpu/value?page=1").decode()
     assert "?page=1&view=table" in body  # '&' present before view
+
+
+def test_page_boundary_aggregates_whole_series(ui, monkeypatch):
+    # ADVICE r9: paging must slice DISTINCT time points after the
+    # composite-index last-aggregation — with PAGE_LEN=1 the two rows at
+    # t0 straddle the old raw-row page boundary and the plotted 'last'
+    # would have been the page-local 10.0 instead of 20.0
+    import lakota_spark.web as web
+
+    monkeypatch.setattr(web, "PAGE_LEN", 1)
+    p0 = json.loads(_get(ui + "/read/multi/m/value.json"))
+    assert p0["data"][1] == [20.0]
+    p1 = json.loads(_get(ui + "/read/multi/m/value.json?page=1"))
+    assert p1["data"][1] == [30.0]
+
+
+def test_server_side_faults_are_500_with_log(ui, monkeypatch, caplog):
+    # ADVICE r9: only input-shaped failures are 400s; an internal fault
+    # (Spark job error, backend IO) answers 500 and logs the traceback
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    import lakota_spark.web as web
+
+    def boom(*a, **k):
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(web, "_read_page", boom)
+    with caplog.at_level("ERROR", logger="lakota_spark.web"):
+        try:
+            urlopen(ui + "/read/multi/m/value.json")
+            raise AssertionError("expected HTTP 500")
+        except HTTPError as e:
+            assert e.code == 500
+    assert any("RuntimeError" in r.message for r in caplog.records)
