@@ -2530,16 +2530,18 @@ LEFT JOIN med m ON k.event_type = m.event_type
 JOIN base b ON k.event_type = b.event_type
 ORDER BY k.event_type
 """,
-        # domain mixture (round 9): the construction makes host/domain
-        # closed-form, so the oracle derives the mixture directly
+        # domain mixture (round 9; .co.kr since r10 — a PSL-only
+        # registry the legacy regex mis-folded): the construction makes
+        # host/domain closed-form, so the oracle derives the mixture
+        # directly
         "domain_mixture_report": """
 WITH per AS (
   SELECT doc_id, source,
          source || CASE (doc_id % 4)::INT WHEN 0 THEN '.com'
-                   WHEN 1 THEN '.org' WHEN 2 THEN '.co.uk'
+                   WHEN 1 THEN '.co.kr' WHEN 2 THEN '.co.uk'
                    ELSE '.ac.jp' END AS domain,
          CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END || source ||
-           CASE (doc_id % 4)::INT WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+           CASE (doc_id % 4)::INT WHEN 0 THEN '.com' WHEN 1 THEN '.co.kr'
                 WHEN 2 THEN '.co.uk' ELSE '.ac.jp' END AS host,
          doc_id % 3 AS depth,
          CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS params

@@ -1201,25 +1201,166 @@ def html_extract(
     )
 
 
-#: multi-label public suffixes the approximate registrable-domain rule
-#: recognizes (the full PSL is a data file; these cover the common
-#: second-level country registries — documented approximation)
+#: multi-label public suffixes the LEGACY approximate registrable-domain
+#: rule recognizes (kept as the ``psl=False`` pure-codegen path; the
+#: default is now the full Public Suffix List — `registrable_domain`)
 _TLD2_RE = r"(?:co|com|org|gov|ac|net)\.(?:uk|au|jp|nz|za|in|br)"
+
+_PSL_CACHE: dict[tuple, list] = {}
+
+
+def _psl_rules(sections: tuple[str, ...] = ("icann",)) -> list[tuple]:
+    """Parse the bundled Public Suffix List (public data, MPL 2.0,
+    https://publicsuffix.org — shipped verbatim at
+    ``lakota_spark/data/public_suffix_list.dat``; VERDICT r9 #6) into
+    merged per-suffix flag rows ``(suffix, n_labels, is_exact,
+    is_wild_base, is_exception)``. Wildcard rules (``*.ck``) store the
+    BASE (``ck``) with the wild flag; exception rules (``!www.ck``)
+    store the name with the exception flag. Unicode entries are doubled
+    with their IDNA/punycode form so both host spellings match."""
+    key = tuple(sorted(sections))
+    if key in _PSL_CACHE:
+        return _PSL_CACHE[key]
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "public_suffix_list.dat",
+    )
+    flags: dict[str, list] = {}
+    section = None
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            s = line.strip()
+            if s == "// ===BEGIN ICANN DOMAINS===":
+                section = "icann"
+                continue
+            if s == "// ===BEGIN PRIVATE DOMAINS===":
+                section = "private"
+                continue
+            if not s or s.startswith("//") or section not in sections:
+                continue
+            exc = s.startswith("!")
+            wild = s.startswith("*.")
+            name = s.lstrip("!")
+            if wild:
+                name = name[2:]
+            name = name.lower()
+            forms = {name}
+            if not name.isascii():
+                try:
+                    forms.add(
+                        ".".join(
+                            lbl.encode("idna").decode("ascii")
+                            for lbl in name.split(".")
+                        )
+                    )
+                except UnicodeError:
+                    pass
+            for form in forms:
+                row = flags.setdefault(form, [False, False, False])
+                if exc:
+                    row[2] = True
+                elif wild:
+                    row[1] = True
+                else:
+                    row[0] = True
+    rules = [
+        (sfx, sfx.count(".") + 1, ex, wd, xc)
+        for sfx, (ex, wd, xc) in flags.items()
+    ]
+    _PSL_CACHE[key] = rules
+    return rules
+
+
+def registrable_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "domain",
+    sections: tuple[str, ...] = ("icann",),
+) -> DataFrame:
+    """EXACT Public-Suffix-List registrable domain (eTLD+1) for a host
+    column — the rule a real crawl needs where the `_TLD2_RE` regex
+    mis-folds rare country registries (``foo.co.kr`` → ``co.kr`` under
+    the regex; ``foo.co.kr`` correctly here).
+
+    100 TB shape: the PSL is ~10k rows — per label-count slices of it
+    BROADCAST-join against the host's last-k-labels columns (one
+    map-side hash probe per k, NO shuffle of the corpus), and the
+    prevailing rule resolves in codegen: exceptions beat everything
+    (``!www.ck``), else the longest match (wildcard base at k ⇒ rule
+    length k+1), else the implicit ``*`` rule (p=1). The registrable
+    domain is the public suffix plus one label; a host that IS a public
+    suffix passes through unchanged (documented; keeps every row
+    countable in mixture reports). Matching is case-insensitive;
+    ``sections=("icann", "private")`` adds the private section (e.g.
+    one registrable domain per ``*.github.io`` user) when per-site caps
+    should treat hosted subdomains as independent sites."""
+    spark = df.sparkSession
+    rules = _psl_rules(sections)
+    host = F.lower(F.col(host_col))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    by_k: dict[int, list[tuple]] = {}
+    for row in rules:
+        by_k.setdefault(row[1], []).append(row)
+    ks = sorted(by_k)
+    out = df
+    for k in ks:
+        r = spark.createDataFrame(
+            [(s, ex, wd, xc) for s, _, ex, wd, xc in by_k[k]],
+            f"_psl_sfx{k} string, _psl_ex{k} boolean, "
+            f"_psl_wd{k} boolean, _psl_xc{k} boolean",
+        )
+        out = out.join(
+            F.broadcast(r),
+            F.when(n >= k, F.substring_index(host, ".", -k))
+            == F.col(f"_psl_sfx{k}"),
+            "left",
+        ).drop(f"_psl_sfx{k}")
+    # prevailing rule: exception (p = len-1) > longest match > '*' (p=1)
+    p = None
+    for k in sorted(ks, reverse=True):
+        cond = F.col(f"_psl_xc{k}").isNotNull() & F.col(f"_psl_xc{k}")
+        p = F.when(cond, F.lit(k - 1)) if p is None else p.when(
+            cond, F.lit(k - 1)
+        )
+    # candidate normal-rule lengths, longest first: exact at k ⇒ p=k,
+    # wildcard base at k (host strictly longer) ⇒ p=k+1
+    cands: list[tuple[int, object]] = []
+    for k in ks:
+        cands.append((k, F.col(f"_psl_ex{k}").isNotNull()
+                      & F.col(f"_psl_ex{k}")))
+        cands.append((k + 1, F.col(f"_psl_wd{k}").isNotNull()
+                      & F.col(f"_psl_wd{k}") & (n > k)))
+    for plen, cond in sorted(cands, key=lambda t: -t[0]):
+        p = p.when(cond, F.lit(plen))
+    p = p.otherwise(F.lit(1))
+    domain = F.when(
+        n > p, F.concat_ws(".", F.slice(labels, n - p, p + 1))
+    ).otherwise(host)
+    drop = [c for k in ks for c in
+            (f"_psl_ex{k}", f"_psl_wd{k}", f"_psl_xc{k}")]
+    return out.withColumn(out_col, domain).drop(*drop)
 
 
 def url_stats(
     df: DataFrame,
     url_col: str = "url",
     id_col: str = "doc_id",
+    psl: bool = True,
 ) -> DataFrame:
     """URL structure parse for corpus curation — the fields domain-level
     mixing, per-site caps and URL-based filters key on: scheme, host
-    (userinfo/port stripped), approximate REGISTRABLE domain (last two
-    labels, or three when the suffix is a known second-level country
-    registry — `_TLD2_RE`; the full Public Suffix List is a data file,
-    so this is the documented approximation), path depth and query-param
-    count. Pure RE2-compatible regex codegen, zero shuffle; the DuckDB
-    oracle runs the same expressions.
+    (userinfo/port stripped), REGISTRABLE domain, path depth and
+    query-param count. Scheme/host/path/params are pure RE2 codegen
+    (zero shuffle); the registrable domain defaults to the EXACT
+    bundled Public Suffix List via `registrable_domain` (broadcast flag
+    joins, still zero corpus shuffle — VERDICT r9 #6), lowercased for
+    stable grouping. ``psl=False`` keeps the legacy pure-codegen
+    approximation (last two labels, three for the `_TLD2_RE`
+    registries) for contexts that must stay join-free.
 
     Reference comparables: none in bertrandchenal/lakota; extends the
     LLM-pipeline surface (SURVEY.md §2.12 ladder)."""
@@ -1228,13 +1369,6 @@ def url_stats(
     host = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://([^/?#]*)", 1)
     host = F.regexp_replace(host, r"^[^@]*@", "")
     host = F.regexp_replace(host, r":[0-9]+$", "")
-    domain = F.when(
-        F.regexp_extract(host, rf"([^.]+\.{_TLD2_RE})$", 1) != "",
-        F.regexp_extract(host, rf"([^.]+\.{_TLD2_RE})$", 1),
-    ).when(
-        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1) != "",
-        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
-    ).otherwise(host)
     path = F.regexp_extract(
         u, r"^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)", 1
     )
@@ -1245,11 +1379,27 @@ def url_stats(
             lambda x: x != "",
         )
     )
-    return df.select(
+    base = df.select(
         F.col(id_col),
         scheme.alias("scheme"),
         host.alias("host"),
-        domain.alias("domain"),
         depth.cast("long").alias("path_depth"),
         params.cast("long").alias("n_params"),
+    )
+    if psl:
+        parsed = registrable_domain(base, "host", "domain")
+    else:
+        h = F.col("host")
+        parsed = base.withColumn(
+            "domain",
+            F.when(
+                F.regexp_extract(h, rf"([^.]+\.{_TLD2_RE})$", 1) != "",
+                F.regexp_extract(h, rf"([^.]+\.{_TLD2_RE})$", 1),
+            ).when(
+                F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1) != "",
+                F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1),
+            ).otherwise(h),
+        )
+    return parsed.select(
+        id_col, "scheme", "host", "domain", "path_depth", "n_params"
     )

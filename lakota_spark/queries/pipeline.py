@@ -2247,18 +2247,21 @@ def domain_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets a deterministic URL (www-prefix, source-derived site, a TLD mix
     including second-level country registries, path segments, query
     params by doc_id residue); `text.url_stats` parses scheme / host /
-    approximate registrable domain / path depth / param count, and the
-    report aggregates the DOMAIN MIXTURE — the per-domain doc mass +
-    corpus share that domain-level reweighting and per-site caps key on
-    (the `lang_mixture_weights` sibling along the URL axis). The oracle
-    runs the same RE2 expressions on the same constructed URLs."""
+    registrable domain (the bundled FULL Public Suffix List since round
+    10 — the ``.co.kr`` variant below is a registry the legacy regex
+    mis-folded, so the driver row now proves the PSL path) / path depth
+    / param count, and the report aggregates the DOMAIN MIXTURE — the
+    per-domain doc mass + corpus share that domain-level reweighting
+    and per-site caps key on (the `lang_mixture_weights` sibling along
+    the URL axis). The oracle derives the same fields closed-form from
+    the construction."""
     from lakota_spark.operators.text import url_stats
 
     d = _docs(spark, sf_dir)
     url = F.expr(
         "concat('https://', if(doc_id % 2 = 0, 'www.', ''), source,"
         " CASE cast(doc_id % 4 as int) WHEN 0 THEN '.com' WHEN 1 THEN"
-        " '.org' WHEN 2 THEN '.co.uk' ELSE '.ac.jp' END,"
+        " '.co.kr' WHEN 2 THEN '.co.uk' ELSE '.ac.jp' END,"
         " repeat('/p', cast(doc_id % 3 as int)),"
         " if(doc_id % 5 = 0, '?q=1&r=2', ''))"
     )

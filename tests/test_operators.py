@@ -5696,6 +5696,64 @@ def test_url_stats_semantics(spark):
     assert out[5].domain == "site.ac.jp" and out[5].n_params == 1
 
 
+def test_registrable_domain_full_psl(spark):
+    # VERDICT r9 #6: the bundled FULL Public Suffix List replaces the
+    # _TLD2_RE approximation — co.kr-style registries the regex
+    # mis-folded, wildcard rules (*.kawasaki.jp), exception rules
+    # (!www.ck, !city.kawasaki.jp), public-suffix passthrough, case
+    # normalization, and the icann/private section switch
+    from lakota_spark.operators.text import registrable_domain, url_stats
+
+    rows = [
+        (1, "bar.foo.co.kr", "foo.co.kr"),      # regex said 'co.kr'
+        (2, "foo.co.kr", "foo.co.kr"),
+        (3, "a.b.kawasaki.jp", "a.b.kawasaki.jp"),   # *.kawasaki.jp
+        (4, "www.city.kawasaki.jp", "city.kawasaki.jp"),  # exception
+        (5, "www.ck", "www.ck"),                 # !www.ck
+        (6, "x.bd", "x.bd"),                     # host IS a suffix
+        (7, "EXAMPLE.Org", "example.org"),       # case-normalized
+        (8, "single", "single"),
+        (9, "sub.example.com", "example.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in rows], "doc_id long, host string"
+    )
+    got = {
+        r.doc_id: r.domain for r in registrable_domain(df).collect()
+    }
+    assert got == {i: d for i, _, d in rows}
+    # private section: hosted subdomains become independent sites
+    gh = spark.createDataFrame(
+        [(1, "alice.github.io"), (2, "deep.alice.github.io"),
+         (3, "s3.amazonaws.com")],
+        "doc_id long, host string",
+    )
+    icann = {r.doc_id: r.domain for r in registrable_domain(gh).collect()}
+    both = {
+        r.doc_id: r.domain
+        for r in registrable_domain(
+            gh, sections=("icann", "private")
+        ).collect()
+    }
+    assert icann == {1: "github.io", 2: "github.io", 3: "amazonaws.com"}
+    assert both[1] == "alice.github.io" and both[2] == "alice.github.io"
+    # unicode rules match both spellings (punycode doubled at load)
+    uni = spark.createDataFrame(
+        [(1, "foo.xn--55qx5d.cn")], "doc_id long, host string"
+    )  # 公司.cn
+    assert registrable_domain(uni).collect()[0].domain == (
+        "foo.xn--55qx5d.cn"
+    )
+    # url_stats(psl=False) keeps the legacy join-free approximation
+    legacy = url_stats(
+        spark.createDataFrame(
+            [(1, "https://bar.foo.co.kr/")], "doc_id long, url string"
+        ),
+        psl=False,
+    ).collect()[0]
+    assert legacy.domain == "co.kr"  # the documented old behavior
+
+
 def test_vp8_lossy_dims_header_walk():
     from lakota_spark.operators.multimodal import _parse_vp8_dims, _safe
 
