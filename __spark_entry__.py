@@ -709,8 +709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- r10 never-recorded: Repo.sql/register_views under the
-        #     oracle (VERDICT r9 #2) ---
+        #     oracle (VERDICT r9 #2) + the per-doc BPE stats fixture
+        #     twin (VERDICT r9 #7) ---
         "engine_sql_report": engine_demo.engine_sql_report,
+        "bpe_token_stats_fixture": pipeline.bpe_token_stats_fixture,
         # --- r9 window (stale-first rotation, VERDICT r8 #4): the three
         #     entries redefined ORACLE-EXACT this round take their first
         #     hash-exact recording ---
@@ -2728,6 +2730,25 @@ ORDER BY pack_bucket
         # fixture-corpus BPE (round 9): construction makes the fit+encode
         # chain closed-form (see pipeline._bpe_fixture_docs) — tokens per
         # doc = words per doc, except 'zz' (doc 3 only) encodes to 2
+        # per-doc BPE stats on the fixture corpus: n_bpe = word count
+        # plus the doc-3 'zz' rare-word split, n_chars = the closed-form
+        # text length (trailing repeat-spaces included)
+        "bpe_token_stats_fixture": """
+WITH per AS (
+  SELECT doc_id,
+         3 + doc_id % 5 AS a,
+         2 + doc_id % 3 AS b,
+         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS x,
+         CASE WHEN doc_id = 3 THEN 1 ELSE 0 END AS z
+  FROM documents
+)
+SELECT doc_id,
+       (a + b + 5 + x + 2 * z)::BIGINT AS n_bpe,
+       (3 * a + 3 * b + 13 + 4 * x + 3 * z)::BIGINT AS n_chars,
+       (3 * a + 3 * b + 13 + 4 * x + 3 * z)::DOUBLE
+         / greatest(a + b + 5 + x + 2 * z, 1) AS chars_per_token
+FROM per
+""",
         "bpe_fertility_by_lang": """
 WITH per AS (
   SELECT lang,

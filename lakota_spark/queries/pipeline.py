@@ -1780,6 +1780,24 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_token_stats_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT per-doc BPE token-stats twin (round 10, VERDICT r9
+    #7 — pins the statistics SHAPE of the last rows-only entry): the
+    same `tokenizer.bpe_token_stats` code path as the real-corpus entry
+    — distributed word-count fit + the single Arrow-batched encode
+    projection — but over `_bpe_fixture_docs`, whose construction makes
+    every output column pure doc_id arithmetic (n_bpe = words + the
+    doc-3 ``zz`` split; n_chars = 3a+3b+13+4x+3z), so per-doc counts
+    AND the fertility ratio are driver-checked value-exact. The
+    real-corpus `bpe_token_stats` stays rows-only by nature (subword
+    inference on natural text is not SQL-expressible — NOTES r10)."""
+    from lakota_spark.operators import tokenizer as TK
+
+    return TK.bpe_token_stats(
+        _bpe_fixture_model(spark, sf_dir), _bpe_fixture_docs(spark, sf_dir)
+    )
+
+
 def bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-EXACT end-to-end pretraining prep composite (round 9 —
     was rows-only through r8): fit BPE on the closed-form fixture
