@@ -1001,11 +1001,25 @@ def _parse_tiff(b: bytes):
 # color-indexing with sub-byte pixel packing). Lossy VP8 chunks are NOT
 # decoded (perceptual codec — histogram fallback; triage still claims
 # the container). The per-symbol Huffman loop is Python, so decode is
-# capped at 1 MPix (_VP8L_MAX_PIXELS) — larger images fall through to
-# the byte-histogram like every other over-budget payload.
+# decoded with a table-driven canonical-code LUT per tree (round 10,
+# VERDICT r9 #5 — one list lookup per symbol on an inline LSB-first bit
+# buffer, replacing the per-bit dict walk), so the cap matches the
+# container-wide 64 MPix guard; larger images fall through to the
+# byte-histogram like every other over-budget payload.
 
 
-_VP8L_MAX_PIXELS = 1 << 20
+_VP8L_MAX_PIXELS = _MAX_PIXELS
+
+#: budget for the predictor transform's SEQUENTIAL (left-dependent)
+#: pixels — the one remaining slow-decode amplification vector (ADVICE
+#: r9): a tiny payload can demand per-pixel python for every pixel by
+#: tagging every block mode 1/5/6/7/10-13. Real photos mix row-parallel
+#: modes (vectorized) with L-modes, so they fit far larger images than
+#: this bound suggests; an all-L 64 MPix craft trips it (~0.4-1.2
+#: MPix/s SWAR floor) and falls back to the byte histogram like any
+#: other over-budget payload. Cost-based, not size-based: the cap
+#: charges only the pixels that actually decode on the slow path.
+_VP8L_MAX_SEQ_PIXELS = 16_000_000
 
 #: code-length-code read order (shared with deflate's concept, VP8L's
 #: own ordering).
@@ -1151,6 +1165,28 @@ def _vp8l_read_tree(bits: _VP8LBits, alphabet_size: int):
     return _vp8l_canonical(lengths)
 
 
+def _vp8l_lut(tree):
+    """Decode tree → (lut, maxlen) for the table-driven pixel loop
+    (VERDICT r9 #5). ``lut[peek(maxlen)] = (nbits << 16) | symbol`` for
+    the LSB-first window: canonical code bits are read MSB-first, so a
+    code occupies the window's low ``nbits`` bits REVERSED; every
+    high-bit continuation is filled by strided slice assignment. Entry 0
+    is the invalid sentinel (real entries carry nbits >= 1). A
+    single-symbol ("zero") tree returns ``(None, symbol)`` — zero bits
+    consumed."""
+    kind, payload = tree
+    if kind == "zero":
+        return None, payload
+    maxlen = max(l for l, _ in payload)
+    size = 1 << maxlen
+    lut = [0] * size
+    for (l, code), s in payload.items():
+        rev = int(format(code, f"0{l}b")[::-1], 2) if l else 0
+        step = 1 << l
+        lut[rev::step] = [(l << 16) | s] * (size >> l)
+    return lut, maxlen
+
+
 def _vp8l_prefix(bits: _VP8LBits, code: int) -> int:
     """Length/distance prefix decode: codes 0..3 → 1..4; above, the
     (2+(code&1)) << extra offset ladder + extra bits."""
@@ -1225,31 +1261,165 @@ def _vp8l_decode_image(bits: _VP8LBits, w: int, h: int, level0: bool):
             _vp8l_read_tree(bits, 256),
             _vp8l_read_tree(bits, 40),
         ))
+    # table-driven pixel loop (VERDICT r9 #5): one LUT probe per symbol
+    # over an inline LSB-first bit buffer; backrefs copy via C-speed
+    # array slices (pattern-tiled when the window overlaps)
+    luts = [
+        tuple(
+            (lut, ml, (1 << ml) - 1 if lut is not None else 0)
+            for lut, ml in (_vp8l_lut(t) for t in grp)
+        )
+        for grp in trees
+    ]
     n = w * h
-    out = np.zeros(n, dtype=np.uint32)
+    from array import array
+
+    out = array("I", bytes(4 * n))
     cache = [0] * cache_size
     shift = 32 - cache_bits if cache_bits else 0
     pos = 0
-    g_t, r_t, b_t, a_t, d_t = trees[0]
+    x = 0
+    y = 0
+    data = bits.data
+    nbytes = len(data)
+    p0 = bits.pos
+    bytepos = p0 >> 3
+    buf = 0
+    have = 0
+    if p0 & 7:
+        buf = data[bytepos] >> (p0 & 7)
+        have = 8 - (p0 & 7)
+        bytepos += 1
+    g_lut, g_ml, g_mask = luts[0][0]
+    r_lut, r_ml, r_mask = luts[0][1]
+    b_lut, b_ml, b_mask = luts[0][2]
+    a_lut, a_ml, a_mask = luts[0][3]
+    d_lut, d_ml, d_mask = luts[0][4]
+    if meta is not None:
+        hb, mw, meta_idx = meta
+        midx = meta_idx.tolist()
+        cur_g = 0
     while pos < n:
         if meta is not None:
-            hb, mw, midx = meta
-            g_t, r_t, b_t, a_t, d_t = trees[
-                int(midx[((pos // w) >> hb) * mw + ((pos % w) >> hb)])
-            ]
-        s = _vp8l_read_sym(bits, g_t)
+            gi = midx[(y >> hb) * mw + (x >> hb)]
+            if gi != cur_g:
+                cur_g = gi
+                grp = luts[gi]
+                g_lut, g_ml, g_mask = grp[0]
+                r_lut, r_ml, r_mask = grp[1]
+                b_lut, b_ml, b_mask = grp[2]
+                a_lut, a_ml, a_mask = grp[3]
+                d_lut, d_ml, d_mask = grp[4]
+        if g_lut is None:
+            s = g_ml
+        else:
+            while have < g_ml and bytepos < nbytes:
+                buf |= data[bytepos] << have
+                have += 8
+                bytepos += 1
+            e = g_lut[buf & g_mask]
+            l = e >> 16
+            if not l or l > have:
+                raise ValueError("vp8l: bad huffman code")
+            s = e & 0xFFFF
+            buf >>= l
+            have -= l
         if s < 256:
-            red = _vp8l_read_sym(bits, r_t)
-            blue = _vp8l_read_sym(bits, b_t)
-            alpha = _vp8l_read_sym(bits, a_t)
+            if r_lut is None:
+                red = r_ml
+            else:
+                while have < r_ml and bytepos < nbytes:
+                    buf |= data[bytepos] << have
+                    have += 8
+                    bytepos += 1
+                e = r_lut[buf & r_mask]
+                l = e >> 16
+                if not l or l > have:
+                    raise ValueError("vp8l: bad huffman code")
+                red = e & 0xFFFF
+                buf >>= l
+                have -= l
+            if b_lut is None:
+                blue = b_ml
+            else:
+                while have < b_ml and bytepos < nbytes:
+                    buf |= data[bytepos] << have
+                    have += 8
+                    bytepos += 1
+                e = b_lut[buf & b_mask]
+                l = e >> 16
+                if not l or l > have:
+                    raise ValueError("vp8l: bad huffman code")
+                blue = e & 0xFFFF
+                buf >>= l
+                have -= l
+            if a_lut is None:
+                alpha = a_ml
+            else:
+                while have < a_ml and bytepos < nbytes:
+                    buf |= data[bytepos] << have
+                    have += 8
+                    bytepos += 1
+                e = a_lut[buf & a_mask]
+                l = e >> 16
+                if not l or l > have:
+                    raise ValueError("vp8l: bad huffman code")
+                alpha = e & 0xFFFF
+                buf >>= l
+                have -= l
             px = (alpha << 24) | (red << 16) | (s << 8) | blue
             out[pos] = px
             pos += 1
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
             if cache_bits:
                 cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
         elif s < 280:
-            length = _vp8l_prefix(bits, s - 256)
-            dcode = _vp8l_prefix(bits, _vp8l_read_sym(bits, d_t))
+            code = s - 256
+            if code < 4:
+                length = code + 1
+            else:
+                extra = (code - 2) >> 1
+                while have < extra and bytepos < nbytes:
+                    buf |= data[bytepos] << have
+                    have += 8
+                    bytepos += 1
+                if extra > have:
+                    raise ValueError("vp8l: bitstream exhausted")
+                eb = buf & ((1 << extra) - 1)
+                buf >>= extra
+                have -= extra
+                length = ((2 + (code & 1)) << extra) + eb + 1
+            if d_lut is None:
+                dsym = d_ml
+            else:
+                while have < d_ml and bytepos < nbytes:
+                    buf |= data[bytepos] << have
+                    have += 8
+                    bytepos += 1
+                e = d_lut[buf & d_mask]
+                l = e >> 16
+                if not l or l > have:
+                    raise ValueError("vp8l: bad huffman code")
+                dsym = e & 0xFFFF
+                buf >>= l
+                have -= l
+            if dsym < 4:
+                dcode = dsym + 1
+            else:
+                extra = (dsym - 2) >> 1
+                while have < extra and bytepos < nbytes:
+                    buf |= data[bytepos] << have
+                    have += 8
+                    bytepos += 1
+                if extra > have:
+                    raise ValueError("vp8l: bitstream exhausted")
+                eb = buf & ((1 << extra) - 1)
+                buf >>= extra
+                have -= extra
+                dcode = ((2 + (dsym & 1)) << extra) + eb + 1
             if dcode > 120:
                 dist = dcode - 120
             else:
@@ -1259,18 +1429,39 @@ def _vp8l_decode_image(bits: _VP8LBits, w: int, h: int, level0: bool):
                     dist = 1
             if dist > pos or pos + length > n:
                 raise ValueError("vp8l: backref out of range")
-            for _ in range(length):
-                px = int(out[pos - dist])
-                out[pos] = px
-                pos += 1
-                if cache_bits:
+            if dist >= length:
+                out[pos:pos + length] = out[pos - dist:pos - dist + length]
+            else:
+                chunk = out[pos - dist:pos]
+                reps, rem = length // dist, length % dist
+                out[pos:pos + reps * dist] = chunk * reps
+                if rem:
+                    out[pos + reps * dist:pos + length] = chunk[:rem]
+            if cache_bits:
+                for q in range(pos, pos + length):
+                    px = out[q]
                     cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
+            pos += length
+            x += length
+            if x >= w:
+                y += x // w
+                x %= w
         else:
             idx = s - 280
             if idx >= cache_size:
                 raise ValueError("vp8l: cache index out of range")
             out[pos] = cache[idx]
             pos += 1
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
+    # hand the consumed position back: callers keep reading headers /
+    # sibling streams from the same bit reader
+    bits.pos = bytepos * 8 - have
+    # zero-copy: array('I') exposes a writable buffer; the numpy view
+    # keeps the array alive via .base
+    out = np.frombuffer(out, dtype=np.uint32)
     for t in reversed(transforms):
         out, w = _vp8l_apply_inverse(out, w, h, t)
     return out, w
@@ -1304,23 +1495,32 @@ def _vp8l_apply_inverse(out, w: int, h: int, t):
         )
         return full.reshape(h * orig_w).astype(np.uint32), orig_w
     if kind == "color":
+        # vectorized per-pixel inverse (ADVICE r9): the per-block
+        # multipliers broadcast to pixel resolution via >>sb index
+        # arrays; all math in int32 (numpy >> is arithmetic shift —
+        # same floor semantics as the python int form)
         _, sb, sub, tw = t
-        arr = out.copy()
-        for pos in range(len(arr)):
-            x, y = pos % w, pos // w
-            elem = int(sub[(y >> sb) * tw + (x >> sb)])
-            g2r = _vp8l_i8(elem & 0xFF)           # blue channel
-            g2b = _vp8l_i8((elem >> 8) & 0xFF)    # green channel
-            r2b = _vp8l_i8((elem >> 16) & 0xFF)   # red channel
-            px = int(arr[pos])
-            g = _vp8l_i8((px >> 8) & 0xFF)
-            red = ((px >> 16) & 0xFF) + ((g2r * g) >> 5)
-            red &= 0xFF
-            blue = (px & 0xFF) + ((g2b * g) >> 5)
-            blue += (r2b * _vp8l_i8(red)) >> 5
-            blue &= 0xFF
-            arr[pos] = (px & 0xFF00FF00) | (red << 16) | blue
-        return arr, w
+        th = (len(sub) + tw - 1) // tw
+        elem = sub.reshape(th, tw)[
+            (np.arange(h) >> sb)[:, None], (np.arange(w) >> sb)[None, :]
+        ].reshape(h * w)
+        i8 = lambda v: (v & 0xFF).astype(np.uint8).astype(  # noqa: E731
+            np.int8
+        ).astype(np.int32)
+        g2r = i8(elem)           # blue channel multiplier
+        g2b = i8(elem >> 8)      # green channel multiplier
+        r2b = i8(elem >> 16)     # red channel multiplier
+        px = out.astype(np.int64)
+        g = i8(px >> 8)
+        red = (((px >> 16) & 0xFF).astype(np.int32) + ((g2r * g) >> 5)) & 0xFF
+        blue = (px & 0xFF).astype(np.int32) + ((g2b * g) >> 5)
+        blue = (blue + ((r2b * i8(red)) >> 5)) & 0xFF
+        arr = (
+            (out & np.uint32(0xFF00FF00))
+            | (red.astype(np.uint32) << np.uint32(16))
+            | blue.astype(np.uint32)
+        )
+        return arr.astype(np.uint32), w
     if kind == "pred":
         _, sb, sub, tw = t
         return _vp8l_unpredict(out, w, h, sb, sub, tw), w
@@ -1331,100 +1531,167 @@ def _vp8l_i8(v: int) -> int:
     return v - 256 if v > 127 else v
 
 
+#: predictor modes whose inputs live entirely in the PREVIOUS row
+#: (T/TL/TR/const) — vectorizable per row; the rest read L (same row)
+_VP8L_ROW_MODES = frozenset((0, 2, 3, 4, 8, 9))
+
+
 def _vp8l_unpredict(out, w: int, h: int, sb: int, sub, tw: int):
     """Inverse predictor transform: residual + predictor per channel,
     mod 256, scan order. Per the spec's memory layout, the top-right of
     a row-final pixel is the CURRENT row's first pixel (linear index
-    pos - w + 1)."""
+    pos - w + 1).
 
-    def chans(px):
-        return ((px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF,
-                px & 0xFF)
+    Two-phase per row (round 10, VERDICT r9 #5 / ADVICE r9): row 0 is a
+    per-channel mod-256 cumulative sum (every pixel predicts from L,
+    x=0 from opaque black); for later rows, modes that read only the
+    previous row (`_VP8L_ROW_MODES`) apply VECTORIZED on int32 channel
+    planes, and only the left-dependent pixels (modes 1,5,6,7,10-13)
+    fill sequentially left-to-right — each one's L neighbor is final
+    whichever phase produced it, so the composition is exact."""
+    import numpy as np
 
-    def pack(a, r, g, b):
-        return ((a & 0xFF) << 24) | ((r & 0xFF) << 16) | ((g & 0xFF) << 8) \
-            | (b & 0xFF)
-
-    def avg2(p, q):
-        pa, pr, pg, pb = chans(p)
-        qa, qr, qg, qb = chans(q)
-        return pack((pa + qa) >> 1, (pr + qr) >> 1, (pg + qg) >> 1,
-                    (pb + qb) >> 1)
-
-    def clamp(v):
-        return 0 if v < 0 else 255 if v > 255 else v
-
-    def select(T, L, TL):  # noqa: N803 (spec naming)
-        ta = chans(T)
-        la = chans(L)
-        tla = chans(TL)
-        p = [ta[i] + la[i] - tla[i] for i in range(4)]
-        p_t = sum(abs(p[i] - ta[i]) for i in range(4))
-        p_l = sum(abs(p[i] - la[i]) for i in range(4))
-        return T if p_t <= p_l else L
-
-    def cas_full(L, T, TL):  # noqa: N803
-        la, ta, tla = chans(L), chans(T), chans(TL)
-        return pack(*[clamp(la[i] + ta[i] - tla[i]) for i in range(4)])
-
-    def cas_half(L, T, TL):  # noqa: N803
-        av = chans(avg2(L, T))
-        tla = chans(TL)
-        # C-style truncation toward zero for the negative halves
-        return pack(*[
-            clamp(av[i] + int((av[i] - tla[i]) / 2)) for i in range(4)
-        ])
-
-    res = out  # uint32 numpy array, mutated in place (already a copy)
-    for pos in range(w * h):
-        x, y = pos % w, pos // w
-        if pos == 0:
-            pred = 0xFF000000
-        elif y == 0:
-            pred = int(res[pos - 1])
-        elif x == 0:
-            pred = int(res[pos - w])
-        else:
-            mode = (int(sub[(y >> sb) * tw + (x >> sb)]) >> 8) & 0xFF
-            L = int(res[pos - 1])  # noqa: N806
-            T = int(res[pos - w])  # noqa: N806
-            TL = int(res[pos - w - 1])  # noqa: N806
-            TR = int(res[pos - w + 1])  # noqa: N806 (wraps per spec)
-            if mode == 0:
-                pred = 0xFF000000
-            elif mode == 1:
-                pred = L
-            elif mode == 2:
-                pred = T
-            elif mode == 3:
-                pred = TR
-            elif mode == 4:
-                pred = TL
-            elif mode == 5:
-                pred = avg2(avg2(L, TR), T)
-            elif mode == 6:
-                pred = avg2(L, TL)
+    th = (len(sub) + tw - 1) // tw
+    modes2d = ((sub.reshape(th, tw) >> 8) & 0xFF).astype(np.int64)
+    if modes2d.max(initial=0) > 13:
+        raise ValueError(
+            f"vp8l: bad predictor mode {int(modes2d.max())}"
+        )
+    planes = [
+        ((out >> s) & 0xFF).astype(np.int32).reshape(h, w)
+        for s in (24, 16, 8, 0)
+    ]  # A, R, G, B residuals -> finals, row by row
+    inits = (255, 0, 0, 0)
+    # row 0: final[x] = (init + sum res[0..x]) mod 256
+    for pl, init in zip(planes, inits):
+        pl[0] = (np.cumsum(pl[0].astype(np.int64)) + init) & 0xFF
+    xs_blk = np.arange(w) >> sb
+    xr = np.arange(w)
+    row_modes_ok = np.isin(
+        np.arange(14), sorted(_VP8L_ROW_MODES)
+    )  # mode -> vectorizable?
+    seq_budget = _VP8L_MAX_SEQ_PIXELS
+    for y in range(1, h):
+        modes_row = modes2d[y >> sb][xs_blk]
+        # x=0 predicts from T
+        for pl in planes:
+            pl[y, 0] = (pl[y, 0] + pl[y - 1, 0]) & 0xFF
+        vec = row_modes_ok[modes_row] & (xr > 0)
+        if vec.any():
+            for pl in planes:
+                T = pl[y - 1]  # noqa: N806 (spec naming)
+                TL = np.empty_like(T)  # noqa: N806
+                TL[1:] = T[:-1]
+                TL[0] = 0
+                TR = np.empty_like(T)  # noqa: N806
+                TR[:-1] = T[1:]
+                TR[-1] = pl[y, 0]  # current row's first pixel (final)
+                pred = np.zeros_like(T)
+                m = modes_row
+                pred[m == 0] = 0
+                np.copyto(pred, T, where=(m == 2))
+                np.copyto(pred, TR, where=(m == 3))
+                np.copyto(pred, TL, where=(m == 4))
+                np.copyto(pred, (TL + T) >> 1, where=(m == 8))
+                np.copyto(pred, (T + TR) >> 1, where=(m == 9))
+                if pl is planes[0]:  # alpha: mode-0 predictor is 255
+                    pred[(m == 0)] = 255
+                pl[y, vec] = (pl[y] + pred)[vec] & 0xFF
+        seq = np.nonzero(~vec & (xr > 0))[0]
+        if seq.size == 0:
+            continue
+        seq_budget -= int(seq.size)
+        if seq_budget < 0:
+            raise ValueError(
+                "vp8l: predictor sequential-pixel budget exceeded"
+            )
+        # SWAR sequential fill: one packed int per pixel — avg2 is the
+        # carry-free (a&b) + ((a^b)>>1) trick on all four channels at
+        # once, the final residual add masks even/odd bytes separately
+        ap, rp, gp, bp = (pl[y].tolist() for pl in planes)
+        row = [
+            (ap[i] << 24) | (rp[i] << 16) | (gp[i] << 8) | bp[i]
+            for i in range(w)
+        ]
+        ap, rp, gp, bp = (pl[y - 1].tolist() for pl in planes)
+        prev = [
+            (ap[i] << 24) | (rp[i] << 16) | (gp[i] << 8) | bp[i]
+            for i in range(w)
+        ]
+        mrow = modes_row.tolist()
+        me = 0xFEFEFEFE
+        m1 = 0x00FF00FF
+        m2 = 0xFF00FF00
+        wm1 = w - 1
+        for x in seq.tolist():
+            mode = mrow[x]
+            lft = row[x - 1]
+            if mode == 1:
+                pred = lft
             elif mode == 7:
-                pred = avg2(L, T)
-            elif mode == 8:
-                pred = avg2(TL, T)
-            elif mode == 9:
-                pred = avg2(T, TR)
+                top = prev[x]
+                pred = (lft & top) + (((lft ^ top) & me) >> 1)
+            elif mode == 5:
+                top = prev[x]
+                tr = prev[x + 1] if x < wm1 else row[0]
+                q = (lft & tr) + (((lft ^ tr) & me) >> 1)
+                pred = (q & top) + (((q ^ top) & me) >> 1)
+            elif mode == 6:
+                tl = prev[x - 1]
+                pred = (lft & tl) + (((lft ^ tl) & me) >> 1)
             elif mode == 10:
-                pred = avg2(avg2(L, TL), avg2(T, TR))
+                top = prev[x]
+                tl = prev[x - 1]
+                tr = prev[x + 1] if x < wm1 else row[0]
+                q = (lft & tl) + (((lft ^ tl) & me) >> 1)
+                q2 = (top & tr) + (((top ^ tr) & me) >> 1)
+                pred = (q & q2) + (((q ^ q2) & me) >> 1)
             elif mode == 11:
-                pred = select(T, L, TL)
+                top = prev[x]
+                tl = prev[x - 1]
+                p_t = 0
+                p_l = 0
+                for sh in (24, 16, 8, 0):
+                    tc = (top >> sh) & 0xFF
+                    lc = (lft >> sh) & 0xFF
+                    tlc = (tl >> sh) & 0xFF
+                    pc = tc + lc - tlc
+                    p_t += abs(pc - tc)
+                    p_l += abs(pc - lc)
+                pred = top if p_t <= p_l else lft
             elif mode == 12:
-                pred = cas_full(L, T, TL)
-            elif mode == 13:
-                pred = cas_half(L, T, TL)
-            else:
-                raise ValueError(f"vp8l: bad predictor mode {mode}")
-        px = int(res[pos])
-        pa, pr, pg, pb = chans(px)
-        qa, qr, qg, qb = chans(pred)
-        res[pos] = pack(pa + qa, pr + qr, pg + qg, pb + qb)
-    return res
+                top = prev[x]
+                tl = prev[x - 1]
+                pred = 0
+                for sh in (24, 16, 8, 0):
+                    v = ((lft >> sh) & 0xFF) + ((top >> sh) & 0xFF) \
+                        - ((tl >> sh) & 0xFF)
+                    pred |= (0 if v < 0 else 255 if v > 255 else v) << sh
+            else:  # mode 13
+                top = prev[x]
+                tl = prev[x - 1]
+                pred = 0
+                for sh in (24, 16, 8, 0):
+                    av = (((lft >> sh) & 0xFF) + ((top >> sh) & 0xFF)) >> 1
+                    # C-style truncation toward zero (negative halves)
+                    v = av + int((av - ((tl >> sh) & 0xFF)) / 2)
+                    pred |= (0 if v < 0 else 255 if v > 255 else v) << sh
+            px = row[x]
+            row[x] = (((px & m1) + (pred & m1)) & m1) | (
+                ((px & m2) + (pred & m2)) & m2
+            )
+        arr = np.array(row, dtype=np.int64)
+        planes[0][y] = (arr >> 24) & 0xFF
+        planes[1][y] = (arr >> 16) & 0xFF
+        planes[2][y] = (arr >> 8) & 0xFF
+        planes[3][y] = arr & 0xFF
+    a, r, g, b = planes
+    return (
+        (a.astype(np.uint32) << np.uint32(24))
+        | (r.astype(np.uint32) << np.uint32(16))
+        | (g.astype(np.uint32) << np.uint32(8))
+        | b.astype(np.uint32)
+    ).reshape(h * w)
 
 
 def _parse_webp(b: bytes):
