@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "engine_sorted_scan",
     "engine_sorted_page",
     "engine_tail",
+    # round-10: Repo.sql over registered views (raw vs patched clone)
+    "engine_sql_report",
 ]
 
 
@@ -145,15 +147,14 @@ def main() -> None:
     # change); dividing any query's seconds by calib_seconds gives a
     # machine-independent number, so cross-round deltas become
     # attributable to code. Best-of-3 like the queries.
-    calib = None
+    calib_trials = []
     for _ in range(3):
         t0 = time.perf_counter()
         spark.range(0, 1_000_000_000, 1, 32).selectExpr(
             "sum(id * 3 + (id % 7)) as s"
         ).collect()
-        dt = time.perf_counter() - t0
-        calib = dt if calib is None or dt < calib else calib
-    calib = round(calib, 4)
+        calib_trials.append(time.perf_counter() - t0)
+    calib = round(min(calib_trials), 4)
 
     # Storage-engine section FIRST (right after warmup): it is driver-
     # heap sensitive (pyarrow writes), and running it after 35 s of
@@ -181,18 +182,41 @@ def main() -> None:
     # stable estimate of what the plan actually costs (3 trials also
     # absorb one-off index/materialization builds on first call)
     timings: dict[str, float] = {}
+    spreads: list[float] = []
     for name in BENCH_QUERIES:
         fn = qs[name]
-        best = None
+        trials = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 4)
+            trials.append(time.perf_counter() - t0)
+        timings[name] = round(min(trials), 4)
+        # within-run trial spread OVER THE RETAINED trials (the first
+        # trial carries one-off fit/index/ingest builds by design —
+        # excluding it measures environment noise, not amortized cost)
+        tail = sorted(trials)[:2]
+        spreads.append(tail[1] / tail[0] if tail[0] > 0 else 1.0)
 
     total = round(sum(timings.values()), 4)
+
+    # Variance methodology (VERDICT r9 #8): every rung reports min-of-3;
+    # `variance` quantifies how noisy THIS run's trials were so the
+    # driver's cross-round diff can tell environment swing from code
+    # regression — med/p90 of per-rung (2nd-best / best) plus the CPU
+    # sentinel's own spread. A drifted VM shows calib_spread and rung
+    # spreads moving together; a code regression moves one rung's
+    # cross-round ratio with a quiet spread.
+    sp = sorted(spreads)
+    # keys deliberately terse: the final line must fit the driver's
+    # 2000-char tail window WITH the per-query dict
+    variance = {
+        "med": round(sp[len(sp) // 2], 3),
+        "p90": round(sp[int(len(sp) * 0.9)], 3),
+        "calib": round(
+            sorted(calib_trials)[1] / min(calib_trials), 3
+        ),
+    }
 
     detail = {
         "metric": "headline_suite_seconds",
@@ -204,6 +228,7 @@ def main() -> None:
         "queries_per_calib": {
             k: round(v / calib, 3) for k, v in timings.items()
         },
+        "variance": variance,
         "storage": storage,
         "sf": float(sf),
     }
@@ -244,11 +269,16 @@ def main() -> None:
         "calib_seconds": calib,
         "value_per_calib": round(total / calib, 2),
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "variance": variance,
         "storage": compact_storage,
         "sf": float(sf),
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(final, separators=(",", ":"))
+    if len(line) > 1900:
+        final["queries"] = {k.replace("tpch_", "q"): v
+                            for k, v in final["queries"].items()}
+        line = json.dumps(final, separators=(",", ":"))
     if len(line) > 1900:
         final.pop("queries")
         final["queries_in"] = "BENCH_DETAIL.json"
