@@ -1148,7 +1148,7 @@ class Series:
             df = df.limit(limit)
         return df.select(*cols)
 
-    def _compile_mask(self, mask: str | None):
+    def _compile_mask(self, mask: str | None, tz_aware: bool = True):
         """Compile ``mask`` to a pyarrow filter plan for the ordered
         scan: `sexpr.to_filter_plan` handles the pushable subset,
         literals compared to timestamp index/value columns coerce to
@@ -1156,7 +1156,9 @@ class Series:
         plan is VALIDATED driver-side against an empty cast table so a
         type the executors would choke on falls back to the classic
         path instead of failing mid-job. Returns (plan, fields) or
-        (None, None) when the mask is absent or not fast-path-safe."""
+        (None, None) when the mask is absent or not fast-path-safe.
+        ``tz_aware=False`` keeps timestamp literals naive for the
+        driver-local reader, whose cast target is naive ns."""
         if mask is None:
             return None, None
         from lakota_spark import sexpr as _sexpr
@@ -1181,36 +1183,53 @@ class Series:
             if kind == "cmp":
                 _, op, a, b = node
                 if a[0] == "field" and a[1] in ts_cols and b[0] == "lit":
-                    b = ("lit", self._ts_lit(b[1]))
+                    b = ("lit", self._ts_lit(b[1], tz_aware))
                 elif b[0] == "field" and b[1] in ts_cols and a[0] == "lit":
-                    a = ("lit", self._ts_lit(a[1]))
+                    a = ("lit", self._ts_lit(a[1], tz_aware))
                 return ("cmp", op, a, b)
             if kind in ("and", "or"):
                 return (kind, [coerce(x) for x in node[1]])
             if kind == "not":
                 return ("not", coerce(node[1]))
             if kind == "in" and node[1][0] == "field" and node[1][1] in ts_cols:
-                return ("in", node[1], [self._ts_lit(v) for v in node[2]])
+                return (
+                    "in",
+                    node[1],
+                    [self._ts_lit(v, tz_aware) for v in node[2]],
+                )
             return node
 
         try:
             plan = coerce(plan)
-            probe = to_arrow_schema(self.schema.struct_type()).empty_table()
+            if tz_aware:
+                probe = to_arrow_schema(
+                    self.schema.struct_type()
+                ).empty_table()
+            else:
+                import pyarrow as pa
+
+                pa_ns = {"timestamp": pa.timestamp("ns"),
+                         "date": pa.date32(), "int": pa.int64(),
+                         "float": pa.float64(), "str": pa.string()}
+                probe = pa.schema(
+                    [(c, pa_ns[t]) for c, t in self.schema.columns.items()]
+                ).empty_table()
             probe.filter(_arrow_mask_expr(plan))
         except Exception:  # noqa: BLE001 — any rejection means classic path
             return None, None
         return plan, fields
 
     @staticmethod
-    def _ts_lit(v):
+    def _ts_lit(v, tz_aware: bool = True):
         """Timestamp literal for an arrow-side mask: parse strings /
-        naive datetimes and UTC-localize (the cast arrow schema reads
-        timestamps as tz=UTC; session timezone is UTC)."""
+        naive datetimes; UTC-localized for the executor reader (its
+        cast schema reads timestamps as tz=UTC; session timezone is
+        UTC), naive for the driver-local ns reader."""
         import pandas as pd
 
         ts = pd.Timestamp(v)
         out = ts.to_pydatetime()
-        if out.tzinfo is None:
+        if tz_aware and out.tzinfo is None:
             out = out.replace(tzinfo=dt.timezone.utc)
         return out
 
@@ -1256,10 +1275,19 @@ class Series:
         limit: int | None = None,
         offset: int | None = None,
         sort: bool = True,
+        mask: str | None = None,
     ):
         fs = self.collection.fs
         if self.schema.kv or not getattr(fs, "arrow_readable", False):
             return None
+        mask_plan = mask_fields = None
+        if mask is not None:
+            # naive-ns literals: the local cast target is timestamp[ns]
+            mask_plan, mask_fields = self._compile_mask(
+                mask, tz_aware=False
+            )
+            if mask_plan is None:
+                return None  # non-pushable mask -> the Spark path
         segs = self.segments(start, stop, before, closed)
         live = [s for s in segs if s.path]
         if any(s.meta.get("clip") for s in live):
@@ -1284,7 +1312,9 @@ class Series:
         from concurrent.futures import ThreadPoolExecutor
 
         idx = self.schema.idx
-        read_cols = list(dict.fromkeys([*cols, *idx]))
+        read_cols = list(
+            dict.fromkeys([*cols, *idx, *(mask_fields or ())])
+        )
         start_b = self.schema.coerce_bound(start)
         stop_b = self.schema.coerce_bound(stop)
         start_closed, stop_closed = CLOSED[closed]
@@ -1343,6 +1373,9 @@ class Series:
             .select(read_cols)
             .cast(target)
         )
+        if mask_plan is not None:
+            # arrow-side exact mask before the single to_pandas
+            tbl = tbl.filter(_arrow_mask_expr(mask_plan))
         pdf = tbl.to_pandas(self_destruct=True)
         if start_b is not None:
             pdf = pdf[

@@ -798,3 +798,34 @@ def test_frame_mask_timestamp_literal_on_fast_path(repo):
     assert "MapInArrow" in plans.explain_str(df, "simple")
     got = [r.ts for r in df.collect()]
     assert got == rows[24:]
+
+
+def test_df_local_mask(repo):
+    # df(mask=...) applies the pushable mask ARROW-SIDE in the
+    # driver-local reader (zero Spark jobs); non-pushable forms route
+    # to the Spark path (frame(mask=) -> classic scan) — never a crash
+    import datetime as dt
+
+    from lakota_spark.schema import Schema
+    from lakota_spark.series import Series
+
+    coll = repo.create_collection(
+        Schema(ts="timestamp*", value="float", tag="str"), "dfm"
+    )
+    s = coll.series("x")
+    base = dt.datetime(2024, 3, 1)
+    s.write({
+        "ts": [base + dt.timedelta(hours=i) for i in range(48)],
+        "value": [float(i % 7) for i in range(48)],
+        "tag": ["a" if i % 2 else "b" for i in range(48)],
+    })
+    del Series.df_fallbacks[:]
+    pdf = s.df(mask="(and (< self.value 5) (= self.tag 'a'))")
+    want = [float(i % 7) for i in range(48) if i % 2 and i % 7 < 5]
+    assert list(pdf["value"]) == want
+    # timestamp literal coerces to the local reader's naive-ns dtype
+    assert len(s.df(mask="(>= self.ts '2024-03-02')")) == 24
+    assert Series.df_fallbacks == []  # pushable masks stayed local
+    # arithmetic (non-pushable) falls through to the Spark path
+    out = s.df(mask="(< (+ self.value 1) 6)")
+    assert len(out) == len([i for i in range(48) if (i % 7) + 1 < 6])
