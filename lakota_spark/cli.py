@@ -150,6 +150,10 @@ def cmd_read(args):
             offset=args.offset,
         )
     else:
+        # reference semantics slice FIRST, mask after — so the mask may
+        # ride inside frame() (ordered-scan pushdown, round 10) only
+        # when no limit/offset slice competes with it
+        mask_in_frame = bool(args.mask) and args.limit is None and not args.offset
         df = series.frame(
             start=args.greater_than,
             stop=args.less_than,
@@ -157,7 +161,10 @@ def cmd_read(args):
             limit=args.limit,
             offset=args.offset,
             closed=args.closed,
+            mask=args.mask if mask_in_frame else None,
         )
+        if mask_in_frame:
+            args = argparse.Namespace(**{**vars(args), "mask": None})
     if args.mask:
         df = sexpr.mask(df, args.mask)
     cols = args.columns or None

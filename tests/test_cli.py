@@ -179,3 +179,17 @@ def test_web_verb_registered():
     p, sub = _build_parser()
     args = p.parse_args(["-r", "/tmp/x", "web", "--port", "0"])
     assert args.fn is cmd_web and args.port == 0
+
+
+def test_read_mask_pushdown_and_slice_order(cli_env):
+    # round 10: a mask WITHOUT limit/offset rides inside frame() (the
+    # ordered-scan pushdown path); with a slice it keeps the reference
+    # order — slice first, mask after
+    root, repo, run = cli_env
+    _seed(repo)
+    out = run("read", "temperature/paris", "--mask", "(> self.value 1)")
+    assert out.splitlines()[1:] == ["2,2.0", "3,3.0"]
+    # slice-then-mask: limit 2 keeps rows (1,2); mask > 1 leaves row 2
+    out = run("read", "temperature/paris", "--limit", "2",
+              "--mask", "(> self.value 1)")
+    assert out.splitlines()[1:] == ["2,2.0"]
