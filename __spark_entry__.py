@@ -717,6 +717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     entries — 50/50 outside the r9 window ---
         "engine_sql_report": engine_demo.engine_sql_report,
         "bpe_token_stats_fixture": pipeline.bpe_token_stats_fixture,
+        # spark.read.format("lakota") — the Python Data Source surface
+        # with filter pushdown (round 10)
+        "engine_datasource_scan": engine_demo.engine_datasource_scan,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
@@ -1667,6 +1670,12 @@ GROUP BY 1
         "engine_sorted_page": """
 SELECT event_id, user_id, value FROM events
 ORDER BY event_id LIMIT 500 OFFSET 1000
+""",
+        "engine_datasource_scan": """
+SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+  AND event_type = 'click'
 """,
         "engine_sorted_scan": """
 SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value

@@ -30,7 +30,6 @@ class Collection:
         self.repo = repo
         self.label = label
         self.schema = schema
-        self.spark = repo.spark
         self.fs = repo.fs
         # storage prefix differs from label for namespaced collections
         # (e.g. the archive namespace) — see Repo._storage_prefix
@@ -50,6 +49,12 @@ class Collection:
         # (leaf child id, {(label, path)}) — the double-write no-op
         # pre-check's working set, maintained incrementally (see _commit)
         self._known_cache: tuple[str, set] | None = None
+
+    @property
+    def spark(self):
+        # lazy via the repo: metadata-only callers (the lakota data
+        # source's planner workers) never force a SparkSession
+        return self.repo.spark
 
     @property
     def segments_dir(self):

@@ -1,0 +1,452 @@
+"""``lakota`` as a first-class Spark (Python) Data Source.
+
+The idiomatic-Spark front door to the storage engine (round 10):
+
+    spark.dataSource.register(LakotaDataSource)   # or Repo(...) auto-registers
+    df = (spark.read.format("lakota")
+          .option("path", "/repo/root")
+          .option("table", "temperature/paris")
+          .load())
+    stream = (spark.readStream.format("lakota")
+              .option("path", "/repo/root")
+              .option("table", "temperature/paris")
+              .load())
+
+Batch read: one input partition per segment part-file (pruned snapshot
+metadata — Spark never schedules a file outside the queried interval),
+pyarrow reads on the executors, and FILTER PUSHDOWN via
+`DataSourceReader.pushFilters`: supported predicates (comparisons, In,
+IsNull/IsNotNull on schema columns) compile to the same neutral plan the
+ordered scan uses (`series._arrow_mask_expr`) — row-group pruning at
+read time, exact arrow-side filtering after the cast, and leading-index
+bounds additionally prune whole SEGMENTS driver-side. Unsupported
+predicates are handed back to Spark. Clipped segments (overlay-narrowed
+bounds) apply their effective-bound mask arrow-side, so results match
+`Series.frame(sort=False)` exactly. KV collections refuse (last-writer-
+wins needs a global shuffle — use `Series.frame`).
+
+Streaming read: the changelog IS the log. Offsets are revision ids;
+each microbatch emits the rows of segments newly referenced between two
+snapshots (append semantics: rows later clipped away by overlays are
+still emitted — a tail of WRITES, not a changing view). Offsets are
+replayable (snapshots are immutable), so Spark's checkpoint gives
+exactly-once. `maintain`/`squash` rewrites history; an open stream whose
+start revision disappears raises rather than silently re-emitting.
+
+Reference parity: none — the reference has no Spark surface; this is
+extension surface (SURVEY §2.12-adjacent) built on public PySpark 4
+`pyspark.sql.datasource` APIs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.datasource import Filter
+
+_CMP_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _open_series(options):
+    from lakota_spark.repo import Repo
+
+    root = options.get("path")
+    table = options.get("table")
+    if not root or not table or "/" not in table:
+        raise ValueError(
+            "lakota data source needs .option('path', <repo root>) and "
+            ".option('table', '<collection>/<series>')"
+        )
+    cname, label = table.split("/", 1)
+    # Repo.spark is LAZY: the data source's planner workers run with no
+    # SparkSession, and everything the readers need (registry, schema,
+    # changelog, snapshots, file listings) is pure fsio metadata
+    repo = Repo(root, spark=None)
+    return repo.collection(cname).series(label)
+
+
+def _resolve_backend(series, rels):
+    """The executor-reopenable pyarrow root for the segment files —
+    `Series._ordered_scan`'s backend resolution: a pyarrow-readable
+    store directly, or a cache-backed store after materializing the
+    needed objects through the read cache."""
+    fs = series.collection.fs
+    if getattr(fs, "arrow_readable", False):
+        return fs.uri
+    if hasattr(fs, "cache"):
+        fs.spark_read_uris(rels)
+        return fs.cache.uri
+    raise ValueError(
+        "lakota data source needs a pyarrow-readable (or cache-backed) "
+        "backend; use Series.frame() on this store"
+    )
+
+
+def _lit(v, tz_aware=True):
+    if isinstance(v, _dt.datetime) and tz_aware and v.tzinfo is None:
+        return v.replace(tzinfo=_dt.timezone.utc)
+    return v
+
+
+class LakotaDataSource(DataSource):
+    """See module docstring. Options: ``path``, ``table``
+    ('collection/series'), ``before`` (batch time travel), and
+    ``startingOffsets`` ('latest' default | 'earliest', streaming)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakota"
+
+    def schema(self):
+        return _open_series(self.options).schema.struct_type()
+
+    def reader(self, schema) -> "LakotaBatchReader":
+        return LakotaBatchReader(self.options, schema)
+
+    def streamReader(self, schema) -> "LakotaStreamReader":  # noqa: N802
+        return LakotaStreamReader(self.options, schema)
+
+
+class _Scanner:
+    """Executor-side read state shared by the batch and stream readers.
+    Everything rides INSIDE the InputPartition values (uri, files,
+    bounds, plan): the reader object's executor copy is pickled at
+    planning time, so driver-side mutations from pushFilters()/
+    partitions() must not be load-bearing."""
+
+    def __init__(self, struct, idx):
+        self.struct = struct
+        self.idx = list(idx)
+
+    def scan(self, part: InputPartition) -> Iterator:
+        import posixpath
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from lakota_spark.series import _arrow_mask_expr, _pa_bound_mask
+
+        meta = part.value
+        if not meta["files"]:
+            return
+        fsys, root = pafs.FileSystem.from_uri(meta["uri"])
+        target = to_arrow_schema(self.struct)
+        plan = meta.get("plan")
+        mask_expr = _arrow_mask_expr(plan) if plan is not None else None
+        for rel in meta["files"]:
+            full = posixpath.join(root, rel)
+            try:
+                tbl = pq.read_table(
+                    full, filesystem=fsys, filters=mask_expr
+                )
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                if mask_expr is None:
+                    raise
+                tbl = pq.read_table(full, filesystem=fsys)
+            tbl = tbl.select(target.names).cast(target)
+            bounds = meta.get("bounds")
+            if bounds is not None:
+                start_b, stop_b, s_cl, e_cl = bounds
+                if start_b is not None:
+                    tbl = tbl.filter(
+                        _pa_bound_mask(tbl, self.idx, start_b, s_cl, True)
+                    )
+                if stop_b is not None:
+                    tbl = tbl.filter(
+                        _pa_bound_mask(tbl, self.idx, stop_b, e_cl, False)
+                    )
+            if mask_expr is not None:
+                # authoritative post-cast filter (read-time pushdown may
+                # have retried unfiltered on physical-type mismatch)
+                tbl = tbl.filter(mask_expr)
+            if tbl.num_rows:
+                yield from tbl.to_batches()
+
+
+def _seg_partitions(series, segs, uri, plan) -> list[InputPartition]:
+    parts = []
+    fs = series.collection.fs
+    for s in segs:
+        if not s.path:
+            continue
+        d = f"{series.collection.seg_prefix}/{s.path}"
+        files = sorted(
+            f"{d}/{nm}" for nm in fs.ls(d) if nm.endswith(".parquet")
+        )
+        bounds = None
+        if s.meta.get("clip"):
+            bounds = (s.start, s.stop, s.start_closed, s.stop_closed)
+        for f in files:
+            parts.append(InputPartition(
+                {"files": [f], "bounds": bounds, "uri": uri, "plan": plan}
+            ))
+    return parts
+
+
+class LakotaBatchReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self._series = _open_series(options)
+        if self._series.schema.kv:
+            raise ValueError(
+                "lakota data source cannot serve KV collections "
+                "(last-writer-wins needs a global shuffle); use "
+                "Series.frame()"
+            )
+        before = options.get("before")
+        if before is not None:
+            # options arrive as strings: accept epoch floats as well as
+            # the ISO datetimes Collection.snapshot already parses
+            try:
+                before = float(before)
+            except ValueError:
+                pass
+        self._before = before
+        self._struct = schema
+        self._idx = list(self._series.schema.idx)
+        self._nodes: list = []  # conjunctive pushed-filter plan nodes
+        self._fields: set[str] = set()
+
+    def __getstate__(self):
+        # the reader object ships to executors: keep only the picklable
+        # read state (struct/uri/idx/plan nodes), drop the driver-side
+        # Series/Repo handles (SparkSession refs)
+        d = dict(self.__dict__)
+        d.pop("_series", None)
+        return d
+
+    # -- pushdown ----------------------------------------------------------
+
+    def pushFilters(self, filters):  # noqa: N802 (API naming)
+        from pyspark.sql.types import TimestampType
+
+        ts_cols = {
+            f.name
+            for f in self._series.schema.struct_type().fields
+            if isinstance(f.dataType, TimestampType)
+        }
+        cols = set(self._series.schema.columns)
+        nodes = []
+        kept = []
+        for f in filters:
+            node = None
+            attr = getattr(f, "attribute", None)
+            name = attr[0] if attr and len(attr) == 1 else None
+            if name in cols:
+                tz = name in ts_cols
+                if type(f) in _CMP_OPS:
+                    node = (
+                        "cmp",
+                        _CMP_OPS[type(f)],
+                        ("field", name),
+                        ("lit", _lit(f.value, tz)),
+                    )
+                elif isinstance(f, In):
+                    node = (
+                        "in",
+                        ("field", name),
+                        [_lit(v, tz) for v in f.value],
+                    )
+                elif isinstance(f, IsNull):
+                    node = ("isnull", ("field", name))
+                elif isinstance(f, IsNotNull):
+                    node = ("not", ("isnull", ("field", name)))
+            if node is None:
+                kept.append(f)
+            else:
+                nodes.append((node, f))
+        if nodes:
+            # validate the whole conjunction against an empty cast table;
+            # on any rejection hand EVERYTHING back to Spark
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            from lakota_spark.series import _arrow_mask_expr
+
+            try:
+                probe = to_arrow_schema(
+                    self._series.schema.struct_type()
+                ).empty_table()
+                probe.filter(
+                    _arrow_mask_expr(("and", [n for n, _ in nodes]))
+                )
+            except Exception:  # noqa: BLE001 — pushdown is best-effort
+                kept.extend(f for _, f in nodes)
+                nodes = []
+        self._nodes = [n for n, _ in nodes]
+        yield from kept
+
+    def _pushed_index_bounds(self):
+        """Leading-index-column bounds from the pushed conjunction — the
+        segment-pruning pass (whole files never scheduled)."""
+        lead = self._idx[0]
+        start = stop = None
+        s_cl = e_cl = True
+        for n in self._nodes:
+            if n[0] != "cmp" or n[2] != ("field", lead):
+                continue
+            op, v = n[1], n[3][1]
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                # segment bounds are UTC-naive wall values; the arrow
+                # plan keeps the tz-aware twin for the cast schema
+                v = v.replace(tzinfo=None)
+            if op in (">", ">="):
+                if start is None or v > start[0]:
+                    start, s_cl = (v,), op == ">="
+            elif op in ("<", "<="):
+                if stop is None or v < stop[0]:
+                    stop, e_cl = (v,), op == "<="
+            elif op == "=":
+                start = stop = (v,)
+                s_cl = e_cl = True
+        return start, stop, s_cl, e_cl
+
+    # -- planning / reading --------------------------------------------------
+
+    def partitions(self):
+        start, stop, s_cl, e_cl = self._pushed_index_bounds()
+        snap = self._series.collection.snapshot(before=self._before)
+        segs = snap.for_label(self._series.label, start, stop, s_cl, e_cl)
+        rels = [
+            f"{self._series.collection.seg_prefix}/{s.path}"
+            for s in segs
+            if s.path
+        ]
+        uri = _resolve_backend(self._series, rels)
+        plan = (
+            ("and", self._nodes)
+            if len(self._nodes) > 1
+            else (self._nodes[0] if self._nodes else None)
+        )
+        parts = _seg_partitions(self._series, segs, uri, plan)
+        # Spark requires at least one partition
+        return parts or [InputPartition({"files": []})]
+
+    def read(self, partition):
+        scanner = _Scanner(self._struct, self._idx)
+        yield from scanner.scan(partition)
+
+
+class LakotaStreamReader(DataSourceStreamReader):
+    """Tail the changelog as a Structured Streaming source — offsets are
+    revision ids, a microbatch is the rows of newly referenced segments
+    (see module docstring)."""
+
+    def __init__(self, options, schema):
+        self._series = _open_series(options)
+        if self._series.schema.kv:
+            raise ValueError(
+                "lakota streaming source cannot serve KV collections"
+            )
+        self._struct = schema
+        self._idx = list(self._series.schema.idx)
+        self._earliest = (
+            str(options.get("startingOffsets", "latest")).lower()
+            == "earliest"
+        )
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d.pop("_series", None)
+        return d
+
+    def _snapshot_at(self, rev_id: str):
+        from lakota_spark.commit import Snapshot
+
+        if not rev_id:
+            return Snapshot()
+        coll = self._series.collection
+        for rev in coll.changelog.log():
+            if rev.child == rev_id:
+                return coll._leaf_snapshot(rev)
+        raise ValueError(
+            f"lakota stream offset {rev_id!r} no longer exists — the "
+            "changelog was squashed/rewritten; restart the stream from "
+            "a fresh checkpoint"
+        )
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        if self._earliest:
+            return {"rev": ""}
+        return self.latestOffset()
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        self._series.collection.repo.refresh()
+        leaf = self._series.collection.changelog.leaf()
+        return {"rev": leaf.child if leaf else ""}
+
+    def partitions(self, start: dict, end: dict):
+        old = {
+            s.path
+            for s in self._snapshot_at(start["rev"]).for_label(
+                self._series.label
+            )
+            if s.path
+        }
+        segs = [
+            s
+            for s in self._snapshot_at(end["rev"]).for_label(
+                self._series.label
+            )
+            if s.path and s.path not in old
+        ]
+        # append semantics: emit the new segments' rows AS WRITTEN (no
+        # effective-bound clipping — this is a tail of writes)
+        rels = [
+            f"{self._series.collection.seg_prefix}/{s.path}" for s in segs
+        ]
+        uri = _resolve_backend(self._series, rels)
+        parts = []
+        fs = self._series.collection.fs
+        for s in segs:
+            d = f"{self._series.collection.seg_prefix}/{s.path}"
+            files = sorted(
+                f"{d}/{nm}" for nm in fs.ls(d) if nm.endswith(".parquet")
+            )
+            for f in files:
+                parts.append(InputPartition(
+                    {"files": [f], "bounds": None, "uri": uri,
+                     "plan": None}
+                ))
+        return parts or [InputPartition({"files": []})]
+
+    def read(self, partition):
+        scanner = _Scanner(self._struct, self._idx)
+        yield from scanner.scan(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register(spark) -> None:
+    """Register the ``lakota`` format on this session (idempotent) and
+    enable Python-data-source filter pushdown (off by default in Spark
+    4.1; without it Spark refuses readers that implement pushFilters)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # noqa: BLE001 — non-configurable session: the
+        pass  # reader still works, Spark just re-applies every filter
+    spark.dataSource.register(LakotaDataSource)

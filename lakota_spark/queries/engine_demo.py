@@ -263,3 +263,29 @@ def engine_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY date_trunc('DAY', e.ts)
         """
     )
+
+
+def engine_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`spark.read.format("lakota")` under the driver oracle (round 10):
+    the Python Data Source surface (lakota_spark/datasource.py) serves
+    the ingested events collection with FILTER PUSHDOWN — the ts range
+    and event_type equality compile to the arrow-side plan
+    (row-group pruning + exact filter) and the leading-index bounds
+    prune whole segments before Spark schedules a single task. The
+    oracle is the same predicate over the raw parquet (engine truncates
+    ts to seconds)."""
+    from lakota_spark.datasource import register
+
+    repo = _event_repo(spark, sf_dir)
+    register(spark)
+    df = (
+        spark.read.format("lakota")
+        .option("path", repo.root)
+        .option("table", "events/all")
+        .load()
+    )
+    return df.where(
+        (F.col("ts") >= "2024-01-10")
+        & (F.col("ts") < "2024-01-20")
+        & (F.col("event_type") == "click")
+    ).select("ts", "event_id", "value")

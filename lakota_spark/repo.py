@@ -39,12 +39,20 @@ class Repo:
             root = f"memory://repo-{uuid.uuid4().hex}"
         self.fs = root if isinstance(root, BaseFS) else open_fs(root)
         self.root = self.fs.local_path() or self.fs.uri
-        if spark is None:
+        # LAZY: metadata operations (registry, changelog, snapshots) are
+        # pure fsio — no session needed. The lakota data source's
+        # planner workers open Repos with NO active SparkSession; a
+        # session is resolved only when a data-path method asks for it.
+        self._spark = spark
+        self.fs.makedirs(REGISTRY_DIR)
+
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
             from lakota_spark.session import get_spark
 
-            spark = get_spark()
-        self.spark = spark
-        self.fs.makedirs(REGISTRY_DIR)
+            self._spark = get_spark()
+        return self._spark
 
     # ------------------------------------------------------------ registry
 

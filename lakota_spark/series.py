@@ -46,6 +46,26 @@ CLOSED = {
 }
 
 
+def _pa_bound_mask(tbl, idx, bound, closed, is_start):
+    """Lexicographic prefix-bound mask over an arrow table — the exact
+    twin of `Series._pandas_bound_mask` in pyarrow.compute. Shared by
+    the ordered mapInArrow reader and the `lakota` data source."""
+    import pyarrow.compute as pc
+
+    strict = None
+    eq_all = None
+    for c, v in zip(idx[: len(bound)], bound):
+        col = tbl.column(c)
+        cmp = pc.greater(col, v) if is_start else pc.less(col, v)
+        eq = pc.equal(col, v)
+        if strict is None:
+            strict, eq_all = cmp, eq
+        else:
+            strict = pc.or_(strict, pc.and_(eq_all, cmp))
+            eq_all = pc.and_(eq_all, eq)
+    return pc.or_(strict, eq_all) if closed else strict
+
+
 def _arrow_mask_expr(plan):
     """Rebuild a `sexpr.to_filter_plan` plan as a pyarrow.compute
     Expression — executor-side inside `_ordered_reader` (so a user mask
@@ -136,21 +156,7 @@ def _ordered_reader(
             e_cl,
         )
 
-    def bound_mask(tbl, idx, bound, closed, is_start):
-        import pyarrow.compute as pc
-
-        strict = None
-        eq_all = None
-        for c, v in zip(idx[: len(bound)], bound):
-            col = tbl.column(c)
-            cmp = pc.greater(col, v) if is_start else pc.less(col, v)
-            eq = pc.equal(col, v)
-            if strict is None:
-                strict, eq_all = cmp, eq
-            else:
-                strict = pc.or_(strict, pc.and_(eq_all, cmp))
-                eq_all = pc.and_(eq_all, eq)
-        return pc.or_(strict, eq_all) if closed else strict
+    bound_mask = _pa_bound_mask
 
     def read(batches):
         import posixpath
@@ -273,7 +279,10 @@ class Series:
         self.collection = collection
         self.label = label
         self.schema = collection.schema
-        self.spark = collection.spark
+
+    @property
+    def spark(self):
+        return self.collection.spark
 
     # ------------------------------------------------------------------ io
 

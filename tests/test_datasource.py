@@ -1,0 +1,159 @@
+"""`spark.read.format("lakota")` — the Python Data Source surface.
+
+Batch: snapshot-pruned partitions, pushFilters row-group pruning +
+exact arrow-side filtering, clipped-segment bounds, time travel, KV
+refusal. Streaming: changelog tailing with replayable revision offsets
+(exactly-once across restarts via Spark's checkpoint).
+"""
+
+import tempfile
+
+import pytest
+
+from lakota_spark.datasource import LakotaBatchReader, register
+from lakota_spark.schema import Schema
+
+
+@pytest.fixture()
+def ds_repo(spark, repo):
+    register(spark)
+    coll = repo.create_collection(
+        Schema(ts="int*", value="float", tag="str"), "m"
+    )
+    s = coll.series("x")
+    s.write({
+        "ts": list(range(100)),
+        "value": [float(i % 7) for i in range(100)],
+        "tag": ["a" if i % 2 else "b" for i in range(100)],
+    })
+    return repo, s
+
+
+def _load(spark, repo, table="m/x", **opts):
+    r = spark.read.format("lakota").option("path", repo.root).option(
+        "table", table
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_roundtrip_and_pushdown(spark, ds_repo):
+    repo, s = ds_repo
+    df = _load(spark, repo)
+    assert df.count() == 100
+    # pushable conjunction: range on the index + equality on a string
+    flt = df.where("ts >= 20 and ts < 40 and tag = 'a'")
+    got = sorted((r.ts, r.value, r.tag) for r in flt.collect())
+    want = sorted(
+        (i, float(i % 7), "a") for i in range(20, 40) if i % 2
+    )
+    assert got == want
+    # non-pushable predicate: Spark applies it above the source
+    got2 = sorted(r.ts for r in df.where("value + 1 < 3").collect())
+    assert got2 == [i for i in range(100) if (i % 7) + 1 < 3]
+    # IN + IsNotNull compile; results exact
+    got3 = sorted(
+        r.ts for r in df.where(
+            "value in (1.0, 2.0) and tag is not null"
+        ).collect()
+    )
+    assert got3 == [i for i in range(100) if i % 7 in (1, 2)]
+
+
+def test_pushed_bounds_prune_segments(spark, ds_repo):
+    repo, s = ds_repo
+    # three disjoint segments; a pushed range must prune to ONE
+    coll = repo.create_collection(
+        Schema(ts="int*", value="float"), "seg"
+    )
+    sr = coll.series("x")
+    for lo in (0, 100, 200):
+        sr.write({
+            "ts": list(range(lo, lo + 100)),
+            "value": [float(i) for i in range(lo, lo + 100)],
+        })
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    opts = {"path": repo.root, "table": "seg/x"}
+    reader = LakotaBatchReader(opts, sr.schema.struct_type())
+    unsupported = list(reader.pushFilters([
+        GreaterThanOrEqual(("ts",), 120), LessThan(("ts",), 180),
+    ]))
+    assert unsupported == []
+    parts = reader.partitions()
+    all_parts = LakotaBatchReader(
+        opts, sr.schema.struct_type()
+    ).partitions()
+    assert len(parts) < len(all_parts)
+    # and end-to-end through Spark the same query is exact
+    df = _load(spark, repo, table="seg/x").where("ts >= 120 and ts < 180")
+    assert sorted(r.ts for r in df.collect()) == list(range(120, 180))
+
+
+def test_clipped_segments_and_time_travel(spark, ds_repo):
+    repo, s = ds_repo
+    import time
+
+    cut = time.time()
+    time.sleep(0.01)
+    # overlay narrows the original segment: the data source must apply
+    # the effective bounds exactly like frame(sort=False)
+    s.write({"ts": [10, 11], "value": [99.0, 98.0], "tag": ["z", "z"]})
+    df = _load(spark, repo)
+    got = {r.ts: (r.value, r.tag) for r in df.collect()}
+    frame = {
+        r.ts: (r.value, r.tag)
+        for r in s.frame(sort=False).collect()
+    }
+    assert got == frame and got[10] == (99.0, "z")
+    # before= reads the pre-overlay snapshot
+    old = _load(spark, repo, before=str(cut))
+    assert {r.ts: r.value for r in old.collect()}[10] == float(10 % 7)
+
+
+def test_kv_refusal_and_option_validation(spark, ds_repo):
+    repo, _ = ds_repo
+    kv = repo.create_collection(
+        Schema.kv_schema(k="int*", v="float"), "kvd"
+    )
+    kv.series("x").write({"k": [1], "v": [1.0]})
+    with pytest.raises(Exception, match="KV"):
+        _load(spark, repo, table="kvd/x").collect()
+    with pytest.raises(Exception, match="table"):
+        spark.read.format("lakota").option("path", repo.root).load()
+
+
+def test_stream_tails_changelog_exactly_once(spark, ds_repo):
+    repo, s = ds_repo
+    ckpt = tempfile.mkdtemp(prefix="lakota-ds-ckpt-")
+    outdir = tempfile.mkdtemp(prefix="lakota-ds-out-")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("lakota")
+            .option("path", repo.root)
+            .option("table", "m/x")
+            .option("startingOffsets", "earliest")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(outdir)
+
+    out = run_batch()
+    assert out.count() == 100  # the initial segment, from earliest
+    # append a new revision: ONLY its rows arrive in the next run
+    s.write({
+        "ts": [200, 201], "value": [1.5, 2.5], "tag": ["n", "n"],
+    })
+    out = run_batch()
+    assert out.count() == 102
+    assert {r.ts for r in out.where("value = 1.5").collect()} == {200}
+    # no new revisions -> a third run emits nothing new
+    out = run_batch()
+    assert out.count() == 102
