@@ -45,6 +45,7 @@ from typing import TYPE_CHECKING, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -56,6 +57,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -128,6 +130,14 @@ class LakotaDataSource(DataSource):
 
     def streamReader(self, schema) -> "LakotaStreamReader":  # noqa: N802
         return LakotaStreamReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> "LakotaArrowWriter":
+        if overwrite:
+            raise ValueError(
+                "lakota writer is append-only (each save = one commit); "
+                "overlay/widen/delete semantics live on Series.write()"
+            )
+        return LakotaArrowWriter(self.options, schema)
 
 
 class _Scanner:
@@ -450,3 +460,188 @@ def register(spark) -> None:
     except Exception:  # noqa: BLE001 — non-configurable session: the
         pass  # reader still works, Spark just re-applies every filter
     spark.dataSource.register(LakotaDataSource)
+
+
+class _SegmentMsg(WriterCommitMessage):
+    def __init__(self, tmp_rel, digests, n, lo, hi):
+        self.tmp_rel = tmp_rel
+        self.digests = digests
+        self.n = n
+        self.lo = lo
+        self.hi = hi
+
+
+class LakotaArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("lakota").mode("append")`` — the distributed
+    ingest path as a native Spark writer.
+
+    Executor side (`write`): each partition's record batches cast to
+    the engine's arrow schema (timestamps truncated to seconds — the
+    reference's M8[s] write cast), sort locally by the index, slice
+    into PAGE_LEN zstd parquet blobs (per-column encodings matching
+    `Series._write_segment_files_local`) and STAGE under a
+    ``_tmp-<uuid>`` dir (invisible to GC) with per-blob sha1s. Driver
+    side (`commit`): every staged dir publishes to its Merkle content
+    address (identical-content dedup like the engine), partition index
+    ranges must be pairwise DISJOINT (repartitionByRange on the index
+    first — overlapping partitions abort before anything commits), and
+    all segments land in ONE changelog revision via
+    `Collection.apply_segments`. ``mode("overwrite")`` is refused —
+    overlay/widen/delete semantics belong to `Series.write`.
+    """
+
+    def __init__(self, options, schema):
+        series = _open_series(options)
+        if series.schema.kv:
+            raise ValueError(
+                "lakota writer cannot serve KV collections; use "
+                "Series.write()"
+            )
+        eng = series.schema
+        names = set(schema.fieldNames())
+        want = set(eng.columns)
+        if names != want:
+            raise ValueError(
+                f"dataframe columns {sorted(names)} != collection "
+                f"schema {sorted(want)}"
+            )
+        fs = series.collection.fs
+        if not getattr(fs, "arrow_readable", False):
+            raise ValueError(
+                "lakota writer needs a pyarrow-writable backend; use "
+                "Series.write() on this store"
+            )
+        # everything the executors need, picklable:
+        self._uri = fs.uri
+        self._seg_prefix = series.collection.seg_prefix
+        self._idx = list(eng.idx)
+        self._aliases = dict(eng.columns)
+        self._compression = eng.parquet_compression()
+        self._options = dict(options)
+
+    def write(self, iterator):
+        import hashlib
+        import io
+        import posixpath
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        from lakota_spark.series import PAGE_LEN
+
+        pa_types = {
+            "timestamp": pa.timestamp("us", tz="UTC"),
+            "date": pa.date32(),
+            "int": pa.int64(),
+            "float": pa.float64(),
+            "str": pa.string(),
+        }
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _SegmentMsg(None, [], 0, None, None)
+        tbl = pa.Table.from_batches(batches)
+        cols = []
+        for name, alias in self._aliases.items():
+            c = tbl.column(name)
+            if alias == "timestamp":
+                # reference write cast: truncate to seconds (M8[s])
+                c = pc.floor_temporal(
+                    c.cast(pa.timestamp("us", tz="UTC")), unit="second"
+                )
+            cols.append(c.cast(pa_types[alias]))
+        tbl = pa.table(dict(zip(self._aliases, cols)))
+        tbl = tbl.sort_by([(c, "ascending") for c in self._idx])
+
+        def bound(i):
+            out = []
+            for c in self._idx:
+                v = tbl.column(c)[i].as_py()
+                if getattr(v, "tzinfo", None) is not None:
+                    v = v.replace(tzinfo=None)  # engine bounds: UTC-naive
+                out.append(v)
+            return tuple(out)
+
+        lo, hi = bound(0), bound(len(tbl) - 1)
+        enc = {
+            n: "DELTA_BINARY_PACKED"
+            for n, a in self._aliases.items()
+            if a in ("int", "timestamp", "date")
+        }
+        enc.update(
+            {n: "PLAIN" for n, a in self._aliases.items() if a == "float"}
+        )
+        dict_cols = [n for n, a in self._aliases.items() if a == "str"]
+        fsys, root = pafs.FileSystem.from_uri(self._uri)
+        tmp_rel = f"{self._seg_prefix}/_tmp-{_uuid.uuid4().hex}"
+        tmp_full = posixpath.join(root, tmp_rel)
+        fsys.create_dir(tmp_full, recursive=True)
+        digests = []
+        n = len(tbl)
+        for i in range(max(1, -(-n // PAGE_LEN))):
+            chunk = tbl.slice(i * PAGE_LEN, PAGE_LEN)
+            buf = io.BytesIO()
+            pq.write_table(
+                chunk,
+                buf,
+                compression=self._compression,
+                use_dictionary=dict_cols,
+                column_encoding=enc,
+            )
+            b = buf.getvalue()
+            digests.append(hashlib.sha1(b).hexdigest())  # noqa: S324
+            with fsys.open_output_stream(
+                posixpath.join(tmp_full, f"part-{i:05d}.parquet")
+            ) as out:
+                out.write(b)
+        return _SegmentMsg(tmp_rel, digests, n, lo, hi)
+
+    # -- driver side ---------------------------------------------------------
+
+    def commit(self, messages):
+        from lakota_spark.commit import Segment, cmp_prefix
+        from lakota_spark.fsio import FS
+
+        series = _open_series(self._options)
+        fs = series.collection.fs
+        parts = [m for m in messages if m is not None and m.n]
+        segs = []
+        for m in sorted(parts, key=lambda m: m.lo):
+            digest = FS.combine_sha1(m.digests)
+            name = digest[:20]
+            final_rel = f"{self._seg_prefix}/{name}"
+            if fs.exists(final_rel):  # identical content already stored
+                fs.remove_tree(m.tmp_rel)
+            else:
+                fs.move(m.tmp_rel, final_rel)
+            segs.append(
+                Segment(
+                    label=series.label,
+                    start=m.lo,
+                    stop=m.hi,
+                    path=name,
+                    length=m.n,
+                    meta={"digest": digest},
+                )
+            )
+        for prev, cur in zip(segs, segs[1:]):
+            if cmp_prefix(cur.start, prev.stop) <= 0:
+                raise ValueError(
+                    "lakota writer partitions overlap on the index "
+                    f"({prev.stop!r} vs {cur.start!r}): repartitionByRange"
+                    " on the index columns before writing"
+                )
+        if segs:
+            series.collection.apply_segments(segs)
+
+    def abort(self, messages):
+        series = _open_series(self._options)
+        fs = series.collection.fs
+        for m in messages or []:
+            if m is not None and getattr(m, "tmp_rel", None):
+                try:
+                    fs.remove_tree(m.tmp_rel)
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass

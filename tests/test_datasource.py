@@ -157,3 +157,121 @@ def test_stream_tails_changelog_exactly_once(spark, ds_repo):
     # no new revisions -> a third run emits nothing new
     out = run_batch()
     assert out.count() == 102
+
+
+def test_writer_append_distributed(spark, ds_repo):
+    from pyspark.sql import functions as F
+
+    repo, _ = ds_repo
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "w")
+    df = spark.range(1000).select(
+        F.col("id").alias("ts"), (F.col("id") * 1.5).alias("value")
+    )
+    (
+        df.repartitionByRange(4, "ts")
+        .write.format("lakota")
+        .option("path", repo.root)
+        .option("table", "w/x")
+        .mode("append")
+        .save()
+    )
+    s = repo.collection("w").series("x")
+    out = [(r.ts, r.value) for r in s.frame().collect()]
+    assert out == [(i, i * 1.5) for i in range(1000)]
+    # ONE revision, one disjoint segment per partition
+    assert len(repo.collection("w").changelog.revisions()) == 1
+    assert len(s.segments()) == 4
+    # a second append = a second revision; engine reads merge both
+    (
+        df.where("ts < 10")
+        .selectExpr("ts + 2000 as ts", "value")
+        .write.format("lakota")
+        .option("path", repo.root)
+        .option("table", "w/x")
+        .mode("append")
+        .save()
+    )
+    assert s.frame().count() == 1010
+    # content-address dedup: re-appending IDENTICAL data stores no new
+    # segment dirs (same Merkle address) — revision may still append
+    before_dirs = set(repo.fs.ls("w/segments"))
+    (
+        df.repartitionByRange(4, "ts")
+        .write.format("lakota")
+        .option("path", repo.root)
+        .option("table", "w/x")
+        .mode("append")
+        .save()
+    )
+    assert set(repo.fs.ls("w/segments")) == before_dirs
+
+
+def test_writer_refusals(spark, ds_repo):
+    from pyspark.sql import functions as F
+
+    repo, _ = ds_repo
+    repo.create_collection(Schema(ts="int*", value="float"), "w2")
+    df = spark.range(100).select(
+        F.col("id").alias("ts"), (F.col("id") * 1.0).alias("value")
+    )
+    # overlapping partitions (plain repartition) abort before commit
+    with pytest.raises(Exception, match="repartitionByRange"):
+        (
+            df.repartition(4)
+            .write.format("lakota")
+            .option("path", repo.root)
+            .option("table", "w2/x")
+            .mode("append")
+            .save()
+        )
+    # nothing committed, no stray segment dirs beyond staging leftovers
+    assert len(repo.collection("w2").changelog.revisions()) == 0
+    # overwrite mode is refused with guidance
+    with pytest.raises(Exception, match="append-only"):
+        (
+            df.write.format("lakota")
+            .option("path", repo.root)
+            .option("table", "w2/x")
+            .mode("overwrite")
+            .save()
+        )
+    # schema mismatch is refused
+    with pytest.raises(Exception, match="schema"):
+        (
+            spark.range(5)
+            .write.format("lakota")
+            .option("path", repo.root)
+            .option("table", "w2/x")
+            .mode("append")
+            .save()
+        )
+
+
+def test_writer_timestamp_cast_matches_engine(spark, ds_repo):
+    import datetime as dt
+
+    repo, _ = ds_repo
+    repo.create_collection(
+        Schema(ts="timestamp*", value="float"), "wts"
+    )
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 0, 123456), 1.0),
+        (dt.datetime(2024, 1, 1, 0, 0, 1, 999999), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    (
+        df.write.format("lakota")
+        .option("path", repo.root)
+        .option("table", "wts/x")
+        .mode("append")
+        .save()
+    )
+    got = [
+        (r.ts, r.value)
+        for r in repo.collection("wts").series("x").frame().collect()
+    ]
+    # the writer truncates to seconds exactly like Series.write's cast
+    assert got == [
+        (dt.datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (dt.datetime(2024, 1, 1, 0, 0, 1), 2.0),
+    ]
