@@ -1207,6 +1207,7 @@ def html_extract(
 _TLD2_RE = r"(?:co|com|org|gov|ac|net)\.(?:uk|au|jp|nz|za|in|br)"
 
 _PSL_CACHE: dict[tuple, list] = {}
+_PSL_DF_CACHE: dict[tuple, dict] = {}
 
 
 def _psl_rules(sections: tuple[str, ...] = ("icann",)) -> list[tuple]:
@@ -1306,13 +1307,25 @@ def registrable_domain(
     for row in rules:
         by_k.setdefault(row[1], []).append(row)
     ks = sorted(by_k)
+    # the per-k rule DataFrames are MEMOIZED per session: rebuilding
+    # ~10k driver rows on every call costs more than the joins do
+    # (bench: domain_mixture_report 0.5 s -> 2.2 s without the memo)
+    memo_key = (spark.sparkContext.applicationId, tuple(sorted(sections)))
+    slices = _PSL_DF_CACHE.get(memo_key)
+    if slices is None:
+        slices = {
+            k: spark.createDataFrame(
+                [(s, ex, wd, xc) for s, _, ex, wd, xc in by_k[k]],
+                f"_psl_sfx{k} string, _psl_ex{k} boolean, "
+                f"_psl_wd{k} boolean, _psl_xc{k} boolean",
+            ).localCheckpoint(eager=True)
+            for k in ks
+        }
+        _PSL_DF_CACHE.clear()  # one session's worth is plenty
+        _PSL_DF_CACHE[memo_key] = slices
     out = df
     for k in ks:
-        r = spark.createDataFrame(
-            [(s, ex, wd, xc) for s, _, ex, wd, xc in by_k[k]],
-            f"_psl_sfx{k} string, _psl_ex{k} boolean, "
-            f"_psl_wd{k} boolean, _psl_xc{k} boolean",
-        )
+        r = slices[k]
         out = out.join(
             F.broadcast(r),
             F.when(n >= k, F.substring_index(host, ".", -k))
