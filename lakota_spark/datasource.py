@@ -33,6 +33,16 @@ replayable (snapshots are immutable), so Spark's checkpoint gives
 exactly-once. `maintain`/`squash` rewrites history; an open stream whose
 start revision disappears raises rather than silently re-emitting.
 
+SQL access goes through `Repo.register_views()` / `Repo.sql()` (lazy
+temp views) — `CREATE TABLE ... USING lakota` is NOT supported: Spark
+4.1 does not hand a catalog table's OPTIONS back to a Python data
+source at scan time (verified: the reader receives an empty options
+dict), so such a table cannot locate its repo. Streaming INGEST stays
+on the established `foreachBatch` + `Series.write` path
+(`lakota_spark/streaming`): the engine's non-KV interval invariant
+needs per-batch range partitioning, which foreachBatch can do on the
+bounded batch DataFrame and a sink-side writer cannot.
+
 Reference parity: none — the reference has no Spark surface; this is
 extension surface (SURVEY §2.12-adjacent) built on public PySpark 4
 `pyspark.sql.datasource` APIs.
@@ -83,6 +93,10 @@ def _open_series(options):
             ".option('table', '<collection>/<series>')"
         )
     cname, label = table.split("/", 1)
+    # SQL DDL (CREATE TABLE ... USING lakota) qualifies the path option
+    # to the single-slash 'file:/...' form — normalize it back
+    if root.startswith("file:") and "://" not in root:
+        root = root[len("file:"):]
     # Repo.spark is LAZY: the data source's planner workers run with no
     # SparkSession, and everything the readers need (registry, schema,
     # changelog, snapshots, file listings) is pure fsio metadata
