@@ -182,7 +182,35 @@ class _Scanner:
         target = to_arrow_schema(self.struct)
         plan = meta.get("plan")
         mask_expr = _arrow_mask_expr(plan) if plan is not None else None
-        for rel in meta["files"]:
+        # the `_read_run_local` lesson: per-file pq.read_table calls are
+        # GIL-bound python overhead on fragmented snapshots — UNCLIPPED
+        # files (no per-segment bounds, the common case) read as ONE
+        # C++ dataset scan; clipped files keep per-file bound masks
+        plain = [rel for rel, b in meta["files"] if b is None]
+        clipped = [(rel, b) for rel, b in meta["files"] if b is not None]
+        if len(plain) > 4:
+            import pyarrow.dataset as pads
+
+            ds = pads.dataset(
+                [posixpath.join(root, rel) for rel in plain],
+                format="parquet",
+                filesystem=fsys,
+            )
+            try:
+                tbl = ds.to_table(filter=mask_expr)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                if mask_expr is None:
+                    raise
+                tbl = ds.to_table()
+            tbl = tbl.select(target.names).cast(target)
+            if mask_expr is not None:
+                tbl = tbl.filter(mask_expr)
+            if tbl.num_rows:
+                yield from tbl.to_batches()
+            files = clipped
+        else:
+            files = [(rel, None) for rel in plain] + clipped
+        for rel, bounds in files:
             full = posixpath.join(root, rel)
             try:
                 tbl = pq.read_table(
@@ -193,7 +221,6 @@ class _Scanner:
                     raise
                 tbl = pq.read_table(full, filesystem=fsys)
             tbl = tbl.select(target.names).cast(target)
-            bounds = meta.get("bounds")
             if bounds is not None:
                 start_b, stop_b, s_cl, e_cl = bounds
                 if start_b is not None:
@@ -212,8 +239,14 @@ class _Scanner:
                 yield from tbl.to_batches()
 
 
+#: ceiling on scheduled input partitions — each one costs a Python
+#: worker round-trip, so a heavily fragmented snapshot (thousands of
+#: small segments) packs many files per partition instead
+_MAX_PARTITIONS = 64
+
+
 def _seg_partitions(series, segs, uri, plan) -> list[InputPartition]:
-    parts = []
+    entries = []  # (file, per-segment effective bounds or None)
     fs = series.collection.fs
     for s in segs:
         if not s.path:
@@ -225,11 +258,14 @@ def _seg_partitions(series, segs, uri, plan) -> list[InputPartition]:
         bounds = None
         if s.meta.get("clip"):
             bounds = (s.start, s.stop, s.start_closed, s.stop_closed)
-        for f in files:
-            parts.append(InputPartition(
-                {"files": [f], "bounds": bounds, "uri": uri, "plan": plan}
-            ))
-    return parts
+        entries.extend((f, bounds) for f in files)
+    per = max(1, -(-len(entries) // _MAX_PARTITIONS))
+    return [
+        InputPartition(
+            {"files": entries[i:i + per], "uri": uri, "plan": plan}
+        )
+        for i in range(0, len(entries), per)
+    ]
 
 
 class LakotaBatchReader(DataSourceReader):
@@ -443,18 +479,7 @@ class LakotaStreamReader(DataSourceStreamReader):
             f"{self._series.collection.seg_prefix}/{s.path}" for s in segs
         ]
         uri = _resolve_backend(self._series, rels)
-        parts = []
-        fs = self._series.collection.fs
-        for s in segs:
-            d = f"{self._series.collection.seg_prefix}/{s.path}"
-            files = sorted(
-                f"{d}/{nm}" for nm in fs.ls(d) if nm.endswith(".parquet")
-            )
-            for f in files:
-                parts.append(InputPartition(
-                    {"files": [f], "bounds": None, "uri": uri,
-                     "plan": None}
-                ))
+        parts = _seg_partitions(self._series, segs, uri, None)
         return parts or [InputPartition({"files": []})]
 
     def read(self, partition):
