@@ -565,3 +565,219 @@ class BpeWordTracker(VersionedCountsTracker):
         )
         self._model_cache = (head, m)
         return m
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (round 10): the BERT-family tokenizer — likelihood-ratio fit,
+# greedy longest-match inference
+# ---------------------------------------------------------------------------
+
+UNK = "[UNK]"
+
+
+class WordPieceModel(NamedTuple):
+    """Fitted WordPiece model: ``vocab`` = initial symbols (word-start
+    chars + ``##``-continuation chars) plus one merged piece per merge,
+    in learned order."""
+
+    merges: list  # list[tuple[str, str]] in learned order
+    vocab: list
+
+    def vocab_set(self) -> set:
+        return set(self.vocab)
+
+
+def _wp_join(a: str, b: str) -> str:
+    """Concatenate two pieces respecting the ``##`` convention: the
+    continuation marker of the RIGHT piece disappears inside the merge
+    (``("a","##b") -> "ab"``, ``("##a","##b") -> "##ab"``)."""
+    return a + (b[2:] if b.startswith("##") else b)
+
+
+def fit_wordpiece_from_counts(
+    word_counts, n_merges: int = 256, min_pair_count: int = 2
+) -> WordPieceModel:
+    """Driver-side WordPiece trainer over a ``[(word, count), ...]``
+    table (Schuster & Nakajima 2012 / the BERT trainer): each step
+    merges the adjacent pair maximizing the LIKELIHOOD RATIO
+    ``count(ab) / (count(a) * count(b))`` — not the raw pair count BPE
+    uses — so a pair of otherwise-rare symbols beats a pair of
+    ubiquitous ones at equal joint count.
+
+    Determinism without floats: scores compare as EXACT rationals
+    (`fractions.Fraction`), ties break by higher pair count then
+    lexicographically smallest pair. The heap is lazy like the BPE
+    loop, but a WordPiece score goes stale whenever EITHER symbol's
+    corpus occurrence count changes (not just the pair count), so every
+    entry carries the (pair_count, count(a), count(b)) snapshot it was
+    scored with and re-scores on pop when any of the three moved.
+    Merges stop when no pair reaches ``min_pair_count`` (same floor as
+    the BPE fit, so the exhausting-fit fixture argument carries over:
+    the fit folds EVERY pair at/above the floor regardless of order).
+    """
+    from fractions import Fraction
+
+    words = []
+    sym_counts: Counter = Counter()
+    for w, c in word_counts:
+        if not w:
+            continue
+        syms = [w[0]] + [f"##{ch}" for ch in w[1:]]
+        c = int(c)
+        words.append((syms, c))
+        for s in syms:
+            sym_counts[s] += c
+
+    pair_counts: Counter = Counter()
+    pair_words: dict = defaultdict(set)
+    for i, (syms, c) in enumerate(words):
+        for p in _word_pairs(syms):
+            pair_counts[p] += c
+            pair_words[p].add(i)
+
+    def entry(p):
+        pc = pair_counts.get(p, 0)
+        sa, sb = sym_counts.get(p[0], 0), sym_counts.get(p[1], 0)
+        score = Fraction(pc, sa * sb) if pc and sa and sb else Fraction(0)
+        return (-score, -pc, p, pc, sa, sb)
+
+    heap = [entry(p) for p in pair_counts]
+    heapq.heapify(heap)
+    init_vocab = sorted(sym_counts)
+    merges = []
+    while len(merges) < n_merges and heap:
+        negs, negpc, best, pc0, sa0, sb0 = heapq.heappop(heap)
+        pc = pair_counts.get(best, 0)
+        sa = sym_counts.get(best[0], 0)
+        sb = sym_counts.get(best[1], 0)
+        if (pc, sa, sb) != (pc0, sa0, sb0):  # stale snapshot — re-score
+            if pc >= min_pair_count:
+                heapq.heappush(heap, entry(best))
+            continue
+        if pc < min_pair_count:
+            continue  # below floor; a later (stale) entry may still win
+        a, b = best
+        new_sym = _wp_join(a, b)
+        dirty = set()
+        for i in sorted(pair_words.pop(best, ())):
+            syms, c = words[i]
+            if best not in _word_pairs(syms):
+                continue
+            for p in _word_pairs(syms):
+                pair_counts[p] -= c
+                dirty.add(p)
+            merged = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    merged.append(new_sym)
+                    sym_counts[a] -= c
+                    sym_counts[b] -= c
+                    sym_counts[new_sym] += c
+                    j += 2
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            words[i] = (merged, c)
+            for p in _word_pairs(merged):
+                pair_counts[p] += c
+                pair_words[p].add(i)
+                dirty.add(p)
+        pair_counts[best] = 0
+        dirty.discard(best)
+        for p in dirty:
+            if pair_counts.get(p, 0) >= min_pair_count:
+                heapq.heappush(heap, entry(p))
+        merges.append((a, b))
+    return WordPieceModel(
+        merges=merges,
+        vocab=init_vocab + [_wp_join(a, b) for a, b in merges],
+    )
+
+
+def fit_wordpiece(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 256,
+    max_words: int = 200_000,
+    min_pair_count: int = 2,
+) -> WordPieceModel:
+    """Fit WordPiece on a corpus: the same ONE distributed word-count
+    agg as the BPE fit (`corpus_word_counts`) + the driver trainer."""
+    return fit_wordpiece_from_counts(
+        corpus_word_counts(df, text_col, max_words),
+        n_merges=n_merges,
+        min_pair_count=min_pair_count,
+    )
+
+
+def wordpiece_encode_word(word: str, vocab: set) -> list:
+    """BERT inference: GREEDY LONGEST-MATCH-FIRST — unlike BPE, the
+    encoder never replays merges; it just takes the longest vocab piece
+    at each position (continuations carry ``##``). A word with an
+    unmatchable remainder encodes to ``[UNK]`` (whole word, per BERT)."""
+    out = []
+    pos = 0
+    n = len(word)
+    while pos < n:
+        end = n
+        piece = None
+        while end > pos:
+            sub = word[pos:end]
+            if pos > 0:
+                sub = "##" + sub
+            if sub in vocab:
+                piece = sub
+                break
+            end -= 1
+        if piece is None:
+            return [UNK]
+        out.append(piece)
+        pos = end
+    return out
+
+
+def wordpiece_encode_text(text: str, vocab: set, cache: dict) -> list:
+    out = []
+    for w in re.findall(BPE_RE, text):
+        toks = cache.get(w)
+        if toks is None:
+            toks = wordpiece_encode_word(w, vocab)
+            cache[w] = toks
+        out.extend(toks)
+    return out
+
+
+def wordpiece_token_stats(
+    model: WordPieceModel,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document WordPiece stats — the `bpe_token_stats` twin on the
+    greedy-inference tokenizer: token count + chars-per-token. Single
+    Arrow-batched pass, no shuffle."""
+    vocab = model.vocab_set()
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return texts.map(
+            lambda t: []
+            if t is None
+            else wordpiece_encode_text(t, vocab, cache)
+        )
+
+    base = df.select(
+        F.col(id_col),
+        F.size(enc(F.col(text_col))).cast("long").alias("n_wp"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    return base.select(
+        id_col,
+        "n_wp",
+        "n_chars",
+        (F.col("n_chars") / F.greatest(F.col("n_wp"), F.lit(1))).alias(
+            "chars_per_token"
+        ),
+    )

@@ -1798,6 +1798,43 @@ def bpe_token_stats_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WP_FIXTURE_MEMO: dict = {}
+
+
+def _wp_fixture_model(spark: SparkSession, sf_dir: str):
+    from lakota_spark.operators import tokenizer as TK
+
+    key = (sf_dir, _file_stamp(f"{sf_dir}/documents.parquet"))
+    if key not in _WP_FIXTURE_MEMO:
+        _WP_FIXTURE_MEMO[key] = TK.fit_wordpiece(
+            _bpe_fixture_docs(spark, sf_dir), n_merges=64
+        )
+    return _WP_FIXTURE_MEMO[key]
+
+
+def wordpiece_token_stats_fixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORACLE-EXACT WordPiece entry (round 10 — the BERT-family
+    tokenizer next to BPE): likelihood-ratio trainer
+    (`tokenizer.fit_wordpiece` — score = count(ab)/(count(a)count(b)),
+    exact-rational comparisons) + greedy longest-match inference over
+    `_bpe_fixture_docs`. The SAME exhausting-fit argument as the BPE
+    fixture applies in the ``##`` symbol space: every pair on a
+    frequent word's path holds corpus count ≥ 2, so the fit folds each
+    of aa/ab/ba/b/xy/xyz into ONE vocab piece regardless of merge
+    ORDER (greedy longest-match then takes the full word), while
+    ``zz`` (count 1 < min_pair_count) provably encodes to
+    ``[z, ##z]`` — per-doc token counts are the same doc_id arithmetic
+    the BPE fixture proves, now validating a DIFFERENT trainer
+    criterion and a DIFFERENT inference rule."""
+    from lakota_spark.operators import tokenizer as TK
+
+    return TK.wordpiece_token_stats(
+        _wp_fixture_model(spark, sf_dir), _bpe_fixture_docs(spark, sf_dir)
+    )
+
+
 def bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-EXACT end-to-end pretraining prep composite (round 9 —
     was rows-only through r8): fit BPE on the closed-form fixture

@@ -404,3 +404,88 @@ def test_fertility_plan_one_arrow_pass_one_exchange(spark):
     assert plan.count("ArrowEvalPython") == 1, plan
     assert plan.count("Exchange") <= 2, plan  # agg shuffle (+AQE read)
     assert "partial" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_wordpiece_criterion_differs_from_bpe():
+    # the differentiator: at equal-ish pair counts BPE picks the raw
+    # count winner, WordPiece the likelihood-ratio winner (a pair of
+    # otherwise-rare symbols beats a pair of ubiquitous ones)
+    from lakota_spark.operators.tokenizer import (
+        fit_bpe_from_counts,
+        fit_wordpiece_from_counts,
+    )
+
+    counts = [("xy", 9), ("x", 91), ("y", 91), ("qz", 8)]
+    bpe = fit_bpe_from_counts(counts, n_merges=1)
+    wp = fit_wordpiece_from_counts(counts, n_merges=1)
+    # BPE: raw pair counts — (y,</w>) at 100 dominates everything
+    assert bpe.merges[0] == ("y", "</w>")
+    # WordPiece: score(x,##y) = 9/(100*9); score(q,##z) = 8/(8*8) wins
+    assert wp.merges[0] == ("q", "##z")
+    assert "qz" in wp.vocab
+
+
+def test_wordpiece_greedy_longest_match_and_unk():
+    from lakota_spark.operators.tokenizer import (
+        UNK,
+        WordPieceModel,
+        wordpiece_encode_word,
+    )
+
+    vocab = WordPieceModel(
+        merges=[],
+        vocab=["un", "u", "##n", "##able", "##ab", "##le", "##a", "##b",
+               "##l", "##e", "a"],
+    ).vocab_set()
+    assert wordpiece_encode_word("unable", vocab) == ["un", "##able"]
+    # longest FIRST match wins even when a shorter split would also work
+    assert wordpiece_encode_word("unab", vocab) == ["un", "##ab"]
+    assert wordpiece_encode_word("a", vocab) == ["a"]
+    # unmatchable remainder -> whole word is [UNK] (BERT semantics)
+    assert wordpiece_encode_word("axq", vocab) == [UNK]
+
+
+def test_wordpiece_exhausting_fit_folds_frequent_words():
+    # the fixture-corpus argument in piece space: every pair on a
+    # frequent word's path holds count >= 2, so an exhausting fit folds
+    # the full word whatever the merge order; a count-1 word stays split
+    from lakota_spark.operators.tokenizer import (
+        fit_wordpiece_from_counts,
+        wordpiece_encode_word,
+    )
+
+    counts = [("aa", 5), ("ab", 4), ("ba", 4), ("xy", 3), ("xyz", 2),
+              ("b", 3), ("zz", 1)]
+    m = fit_wordpiece_from_counts(counts, n_merges=64)
+    v = m.vocab_set()
+    for w in ("aa", "ab", "ba", "xy", "xyz"):
+        assert wordpiece_encode_word(w, v) == [w], w
+    assert wordpiece_encode_word("b", v) == ["b"]
+    assert wordpiece_encode_word("zz", v) == ["z", "##z"]
+
+
+def test_wordpiece_spark_stats_match_driver(spark):
+    from lakota_spark.operators.tokenizer import (
+        fit_wordpiece,
+        wordpiece_encode_text,
+        wordpiece_token_stats,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the catalog of cats"),
+        (3, "zz zq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = fit_wordpiece(df, n_merges=32)
+    got = {
+        r.doc_id: (r.n_wp, r.n_chars)
+        for r in wordpiece_token_stats(m, df).collect()
+    }
+    v = m.vocab_set()
+    for i, t in rows:
+        want = len(wordpiece_encode_text(t, v, {}))
+        assert got[i] == (want, len(t)), (i, t)
+    # determinism across input partitionings
+    m2 = fit_wordpiece(df.repartition(7), n_merges=32)
+    assert m2.merges == m.merges and m2.vocab == m.vocab
