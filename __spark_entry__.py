@@ -725,6 +725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # provable doc_id arithmetic (round 10)
         "wordpiece_token_stats_fixture":
             pipeline.wordpiece_token_stats_fixture,
+        # frame(mask=) through the ordered scan + the data source
+        # writer round-trip (round 10)
+        "engine_mask_scan": engine_demo.engine_mask_scan,
+        "engine_datasource_write": engine_demo.engine_datasource_write,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
@@ -1675,6 +1679,18 @@ GROUP BY 1
         "engine_sorted_page": """
 SELECT event_id, user_id, value FROM events
 ORDER BY event_id LIMIT 500 OFFSET 1000
+""",
+        "engine_mask_scan": """
+SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, event_type,
+       value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+  AND value >= 50 AND event_type IN ('click', 'view')
+""",
+        "engine_datasource_write": """
+SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, event_type,
+       value
+FROM events
 """,
         "engine_datasource_scan": """
 SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value

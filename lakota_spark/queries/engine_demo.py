@@ -289,3 +289,68 @@ def engine_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") < "2024-01-20")
         & (F.col("event_type") == "click")
     ).select("ts", "event_id", "value")
+
+
+def engine_mask_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`frame(mask=...)` under the driver oracle (round 10): the s-expr
+    mask compiles to the arrow-side filter INSIDE the exchange-free
+    ordered scan (row-group pruning + exact post-cast filter — the
+    VERDICT r9 #3 composition), stacked on a ts range handed to
+    `frame(start/stop)`. The oracle runs the same predicate over the
+    raw parquet (engine truncates ts to seconds)."""
+    repo = _event_repo(spark, sf_dir)
+    series = repo.collection("events").series("all")
+    return series.frame(
+        start="2024-01-05",
+        stop="2024-01-25",
+        closed="l",
+        select=["ts", "event_id", "event_type", "value"],
+        mask="(and (>= self.value 50) (in self.event_type"
+             " (list 'click' 'view')))",
+    )
+
+
+def engine_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data source WRITER under the driver oracle (round 10): the
+    raw events ingest AGAIN through
+    ``df.write.format("lakota").mode("append")`` — per-partition
+    content-addressed staged segments, one-revision commit — into a
+    fresh collection (built once per repo, like every demo build), then
+    read back through `Series.frame`. The oracle is the raw table, so
+    the row proves the distributed write path end-to-end: partition
+    disjointness, the engine write-cast (seconds truncation), bounds,
+    and the commit."""
+    from pyspark.sql import functions as F2
+
+    from lakota_spark.datasource import register
+
+    repo = _event_repo(spark, sf_dir)
+    register(spark)
+    label = "ds_written"
+    if label not in repo.ls():
+        repo.create_collection(
+            Schema(
+                ts="timestamp*",
+                event_id="int",
+                user_id="int",
+                event_type="str",
+                value="float",
+            ),
+            label,
+        )
+        src = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+            "ts", "event_id", "user_id", "event_type", "value"
+        )
+        (
+            src.repartitionByRange(8, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
+            .write.format("lakota")
+            .option("path", repo.root)
+            .option("table", f"{label}/all")
+            .mode("append")
+            .save()
+        )
+    series = repo.collection(label).series("all")
+    return series.frame(
+        select=["ts", "event_id", "event_type", "value"], sort=False
+    )
