@@ -5952,3 +5952,64 @@ def test_vp8l_cap_lifted_and_seq_budget(monkeypatch):
 
     with pytest.raises(ValueError, match="sequential-pixel budget"):
         M._vp8l_unpredict(res.copy(), 16, 16, 4, sub, 1)
+
+
+def test_registrable_domain_differential_battery(spark):
+    # independent PSL reference: the CANONICAL algorithm (find all
+    # matching rules; an exception prevails as its own tail; else the
+    # longest match; else the implicit '*') implemented test-side over
+    # the same parsed rule rows, run against 400 seeded random hosts
+    # built from real suffixes, wildcard bases, exceptions and garbage
+    import random
+
+    from lakota_spark.operators.text import _psl_rules, registrable_domain
+
+    rules = _psl_rules(("icann",))
+    exact = {s for s, _, ex, _, _ in rules if ex}
+    wild = {s for s, _, _, wd, _ in rules if wd}
+    exc = {s for s, _, _, _, xc in rules if xc}
+
+    def reference(host):
+        labels = host.lower().split(".")
+        best = 0  # implicit '*' rule: ps = 1 label
+        exc_len = None
+        for k in range(1, len(labels) + 1):
+            sfx = ".".join(labels[-k:])
+            if sfx in exc:
+                exc_len = k - 1
+            if sfx in exact and k > best:
+                best = k
+            if sfx in wild and len(labels) > k and k + 1 > best:
+                best = k + 1
+        p = exc_len if exc_len is not None else max(best, 1)
+        if len(labels) <= p:
+            return host.lower()
+        return ".".join(labels[-(p + 1):])
+
+    rng = random.Random(17)
+    pool = sorted(exact)[:4000]
+    hosts = []
+    for _ in range(400):
+        kind = rng.randrange(6)
+        extra = ["".join(rng.choices("abcxyz", k=rng.randint(1, 4)))
+                 for _ in range(rng.randint(0, 3))]
+        if kind == 0:
+            base = rng.choice(pool)
+        elif kind == 1:
+            base = rng.choice(sorted(wild))
+        elif kind == 2:
+            base = rng.choice(sorted(exc))
+        elif kind == 3:
+            base = rng.choice(pool) + "." + rng.choice(pool).split(".")[-1]
+        elif kind == 4:
+            base = "not-a-tld"
+        else:
+            base = rng.choice(["Co.UK", "example.COM", "x"])
+        host = ".".join(extra + [base]) if extra else base
+        hosts.append(host)
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id long, host string"
+    )
+    got = {r.doc_id: r.domain for r in registrable_domain(df).collect()}
+    for i, h in enumerate(hosts):
+        assert got[i] == reference(h), (h, got[i], reference(h))
