@@ -729,6 +729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # writer round-trip (round 10)
         "engine_mask_scan": engine_demo.engine_mask_scan,
         "engine_datasource_write": engine_demo.engine_datasource_write,
+        # unigram-LM (SentencePiece-family) Viterbi inference under the
+        # counts-derived fixture vocab (round 10)
+        "unigram_token_stats_fixture":
+            pipeline.unigram_token_stats_fixture,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
@@ -2748,6 +2752,24 @@ ORDER BY pack_bucket
         # per-doc BPE stats on the fixture corpus: n_bpe = word count
         # plus the doc-3 'zz' rare-word split, n_chars = the closed-form
         # text length (trailing repeat-spaces included)
+        # unigram fixture: whole-word pieces provably win Viterbi;
+        # count-1 'zz' splits to chars — the same arithmetic
+        "unigram_token_stats_fixture": """
+WITH per AS (
+  SELECT doc_id,
+         3 + doc_id % 5 AS a,
+         2 + doc_id % 3 AS b,
+         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS x,
+         CASE WHEN doc_id = 3 THEN 1 ELSE 0 END AS z
+  FROM documents
+)
+SELECT doc_id,
+       (a + b + 5 + x + 2 * z)::BIGINT AS n_ug,
+       (3 * a + 3 * b + 13 + 4 * x + 3 * z)::BIGINT AS n_chars,
+       (3 * a + 3 * b + 13 + 4 * x + 3 * z)::DOUBLE
+         / greatest(a + b + 5 + x + 2 * z, 1) AS chars_per_token
+FROM per
+""",
         # WordPiece fixture: same closed-form arithmetic as the BPE
         # fixture (full-word folds, zz -> [z, ##z])
         "wordpiece_token_stats_fixture": """

@@ -781,3 +781,256 @@ def wordpiece_token_stats(
             "chars_per_token"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM (round 10): the SentencePiece-family tokenizer — EM-fitted
+# piece probabilities, Viterbi inference
+# ---------------------------------------------------------------------------
+
+
+class UnigramModel(NamedTuple):
+    """Fitted unigram-LM model: ``scores`` maps piece -> INTEGER
+    micro-nat log-probability (quantized once at the end of the fit, so
+    Viterbi is pure integer arithmetic — deterministic on any host)."""
+
+    scores: dict  # piece -> int (micro-nats, negative)
+
+    def vocab(self) -> list:
+        return sorted(self.scores)
+
+
+def unigram_model_from_counts(piece_counts) -> UnigramModel:
+    """Closed-form model constructor: probabilities proportional to the
+    given piece counts, log-quantized to micro-nats. This is both the
+    fit's final step AND the fixture-oracle entry point — a vocab whose
+    counts are doc_id arithmetic yields a provable Viterbi segmentation
+    without running EM inside the oracle."""
+    import math
+
+    total = sum(c for _, c in piece_counts)
+    return UnigramModel(scores={
+        p: int(round(math.log(c / total) * 1_000_000))
+        for p, c in piece_counts
+        if c > 0
+    })
+
+
+def unigram_viterbi(word: str, scores: dict, max_len: int = 16) -> list:
+    """Max-likelihood segmentation: DP over end positions, integer
+    micro-nat scores. Deterministic tie-break: at equal score prefer
+    FEWER pieces, then the lexicographically smaller piece list (via
+    choosing the LONGEST last piece). Unsegmentable words (a char
+    outside the vocab) fall back to per-char pieces with [UNK] for the
+    missing chars — nothing is dropped."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    pieces_used = [0] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0
+    for end in range(1, n + 1):
+        for start in range(max(0, end - max_len), end):
+            if best[start] == NEG:
+                continue
+            s = scores.get(word[start:end])
+            if s is None:
+                continue
+            cand = best[start] + s
+            better = cand > best[end] or (
+                cand == best[end]
+                and (
+                    pieces_used[start] + 1 < pieces_used[end]
+                    or (
+                        pieces_used[start] + 1 == pieces_used[end]
+                        and start < back[end]
+                    )
+                )
+            )
+            if better:
+                best[end] = cand
+                pieces_used[end] = pieces_used[start] + 1
+                back[end] = start
+    if best[n] == NEG:
+        return [w if w in scores else UNK for w in word]
+    out = []
+    end = n
+    while end > 0:
+        start = back[end]
+        out.append(word[start:end])
+        end = start
+    return out[::-1]
+
+
+def fit_unigram_from_counts(
+    word_counts,
+    vocab_size: int = 512,
+    max_piece_len: int = 8,
+    seed_size: int = 20_000,
+    n_iter: int = 4,
+    shrink_num: int = 3,
+    shrink_den: int = 4,
+) -> UnigramModel:
+    """Driver-side unigram-LM trainer (Kudo 2018 / the SentencePiece
+    shape) over the bounded ``[(word, count), ...]`` table:
+
+    1. SEED: every substring up to ``max_piece_len`` of every table
+       word, counts aggregated by containing-word mass, capped to
+       ``seed_size`` by (count desc, piece asc); single characters are
+       always kept (coverage guarantee).
+    2. EM: E-step runs the forward-backward lattice per word (positions
+       x pieces) accumulating EXPECTED piece counts weighted by word
+       count; M-step renormalizes. After each round the vocab PRUNES to
+       ``shrink_num/shrink_den`` of its size by expected count (chars
+       exempt) until ``vocab_size`` is reached.
+    3. The final expected counts quantize through
+       `unigram_model_from_counts` (integer micro-nats), so INFERENCE
+       is exactly reproducible even though EM ran in floats.
+
+    Scale: like the BPE/WordPiece fits, the only distributed work is
+    the word-count agg — EM touches the bounded table only.
+    """
+    import math
+
+    words = [(w, int(c)) for w, c in word_counts if w]
+    seed: Counter = Counter()
+    chars = set()
+    for w, c in words:
+        chars.update(w)
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(n, i + max_piece_len) + 1):
+                seed[w[i:j]] += c
+    pieces = sorted(seed, key=lambda p: (-seed[p], p))[:seed_size]
+    vocab = set(pieces) | chars
+    probs = {p: float(seed[p]) for p in vocab}
+    total = sum(probs.values())
+    probs = {p: v / total for p, v in probs.items()}
+
+    def e_step():
+        expected: Counter = Counter()
+        loglik = 0.0
+        for w, c in words:
+            n = len(w)
+            # forward
+            alpha = [0.0] * (n + 1)
+            alpha[0] = 1.0
+            for end in range(1, n + 1):
+                s = 0.0
+                for start in range(max(0, end - max_piece_len), end):
+                    p = probs.get(w[start:end])
+                    if p:
+                        s += alpha[start] * p
+                alpha[end] = s
+            if alpha[n] <= 0:
+                continue  # uncoverable word (pruned char) — skip
+            # backward
+            beta = [0.0] * (n + 1)
+            beta[n] = 1.0
+            for start in range(n - 1, -1, -1):
+                s = 0.0
+                for end in range(start + 1, min(n, start + max_piece_len) + 1):
+                    p = probs.get(w[start:end])
+                    if p:
+                        s += p * beta[end]
+                beta[start] = s
+            z = alpha[n]
+            loglik += c * math.log(z)
+            for start in range(n):
+                if alpha[start] == 0:
+                    continue
+                for end in range(
+                    start + 1, min(n, start + max_piece_len) + 1
+                ):
+                    p = probs.get(w[start:end])
+                    if p:
+                        expected[w[start:end]] += (
+                            c * alpha[start] * p * beta[end] / z
+                        )
+        return expected, loglik
+
+    for _ in range(n_iter):
+        expected, _ = e_step()
+        if len(probs) > vocab_size:
+            multi = [p for p in probs if len(p) > 1]
+            keep_n = max(
+                vocab_size - len(chars),
+                len(multi) * shrink_num // shrink_den,
+            )
+            kept = sorted(
+                multi, key=lambda p: (-expected.get(p, 0.0), p)
+            )[:keep_n]
+            vocab = set(kept) | chars
+        else:
+            vocab = set(probs)
+        tot = sum(expected.get(p, 0.0) for p in vocab) or 1.0
+        floor = 1e-12  # chars with zero expectation keep coverage
+        probs = {
+            p: max(expected.get(p, 0.0) / tot, floor) for p in vocab
+        }
+    # final integer quantization: micro-nat scores from scaled counts
+    scale = 1e9
+    return unigram_model_from_counts(
+        [(p, max(1, int(round(v * scale)))) for p, v in probs.items()]
+    )
+
+
+def fit_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 512,
+    max_words: int = 200_000,
+    **kw,
+) -> UnigramModel:
+    """Fit the unigram LM on a corpus: the same ONE distributed
+    word-count agg + the driver EM trainer."""
+    return fit_unigram_from_counts(
+        corpus_word_counts(df, text_col, max_words),
+        vocab_size=vocab_size,
+        **kw,
+    )
+
+
+def unigram_encode_text(text: str, scores: dict, cache: dict) -> list:
+    out = []
+    for w in re.findall(BPE_RE, text):
+        toks = cache.get(w)
+        if toks is None:
+            toks = unigram_viterbi(w, scores)
+            cache[w] = toks
+        out.extend(toks)
+    return out
+
+
+def unigram_token_stats(
+    model: UnigramModel,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram-LM stats — the `bpe_token_stats` twin on
+    Viterbi inference. Single Arrow-batched pass, no shuffle."""
+    scores = dict(model.scores)
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return texts.map(
+            lambda t: []
+            if t is None
+            else unigram_encode_text(t, scores, cache)
+        )
+
+    base = df.select(
+        F.col(id_col),
+        F.size(enc(F.col(text_col))).cast("long").alias("n_ug"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    return base.select(
+        id_col,
+        "n_ug",
+        "n_chars",
+        (F.col("n_chars") / F.greatest(F.col("n_ug"), F.lit(1))).alias(
+            "chars_per_token"
+        ),
+    )

@@ -1835,6 +1835,57 @@ def wordpiece_token_stats_fixture(
     )
 
 
+_UG_FIXTURE_MEMO: dict = {}
+
+
+def _unigram_fixture_model(spark: SparkSession, sf_dir: str):
+    """Counts-derived unigram model over the fixture corpus: pieces =
+    corpus words with count >= 2 (the same floor as the BPE/WordPiece
+    fixtures) plus every character at count 1. With probabilities
+    log(c/T), ANY multi-piece split of an in-vocab word w loses to the
+    whole-word piece: the split's best score is
+    log(c_sub/T) + log(c_rest/T) <= log(c_sub/T) + log(c_max/T)
+    < log(c_w/T) whenever c_sub * c_rest < c_w * T — and T (the total
+    mass) exceeds every single count, so the inequality always holds.
+    Hence Viterbi provably emits ONE token per frequent word and
+    [z, ##-free z] for the count-1 ``zz`` — closed-form again."""
+    from lakota_spark.operators import tokenizer as TK
+
+    key = (sf_dir, _file_stamp(f"{sf_dir}/documents.parquet"))
+    if key not in _UG_FIXTURE_MEMO:
+        wc = TK.corpus_word_counts(_bpe_fixture_docs(spark, sf_dir))
+        counts = {ch: 1 for w, _ in wc for ch in w}
+        for w, c in wc:
+            if c >= 2:
+                counts[w] = max(counts.get(w, 0), int(c))
+        _UG_FIXTURE_MEMO[key] = TK.unigram_model_from_counts(
+            sorted(counts.items())
+        )
+    return _UG_FIXTURE_MEMO[key]
+
+
+def unigram_token_stats_fixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORACLE-EXACT unigram-LM (SentencePiece-family) entry (round 10 —
+    the third tokenizer beside BPE and WordPiece): integer-micro-nat
+    VITERBI inference (`tokenizer.unigram_viterbi`) under the
+    counts-derived fixture vocab (`_unigram_fixture_model` — see its
+    proof that whole-word pieces always win), over the same closed-form
+    corpus, so per-doc token counts are the proven doc_id arithmetic.
+    The EM TRAINER (`fit_unigram`) is engine-pinned instead:
+    brute-force segmentation optimality, corpus-likelihood improvement,
+    Spark-vs-driver parity and repartition determinism in
+    tests/test_tokenizer.py (EM probabilities are not SQL-derivable —
+    same reasoning as the real-corpus BPE entry, NOTES r10)."""
+    from lakota_spark.operators import tokenizer as TK
+
+    return TK.unigram_token_stats(
+        _unigram_fixture_model(spark, sf_dir),
+        _bpe_fixture_docs(spark, sf_dir),
+    )
+
+
 def bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-EXACT end-to-end pretraining prep composite (round 9 —
     was rows-only through r8): fit BPE on the closed-form fixture

@@ -489,3 +489,97 @@ def test_wordpiece_spark_stats_match_driver(spark):
     # determinism across input partitionings
     m2 = fit_wordpiece(df.repartition(7), n_merges=32)
     assert m2.merges == m.merges and m2.vocab == m.vocab
+
+
+def test_unigram_viterbi_bruteforce_optimal():
+    # Viterbi vs exhaustive segmentation enumeration over random vocabs
+    import itertools
+    import random
+
+    from lakota_spark.operators.tokenizer import unigram_viterbi
+
+    rng = random.Random(23)
+    alphabet = "abc"
+    for trial in range(60):
+        pieces = {"a", "b", "c"}
+        for _ in range(rng.randint(1, 8)):
+            ln = rng.randint(2, 4)
+            pieces.add(
+                "".join(rng.choice(alphabet) for _ in range(ln))
+            )
+        scores = {p: -rng.randint(1, 50) * 1000 for p in sorted(pieces)}
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+
+        def all_segs(w):
+            if not w:
+                yield []
+                return
+            for i in range(1, len(w) + 1):
+                if w[:i] in scores:
+                    for rest in all_segs(w[i:]):
+                        yield [w[:i]] + rest
+
+        got = unigram_viterbi(word, scores)
+        best = max(sum(scores[p] for p in s) for s in all_segs(word))
+        assert sum(scores[p] for p in got) == best, (trial, word, got)
+
+
+def test_unigram_viterbi_unk_and_ties():
+    from lakota_spark.operators.tokenizer import UNK, unigram_viterbi
+
+    scores = {"a": -1000, "b": -1000, "ab": -1500}
+    # 'ab' piece (-1500) beats ['a','b'] (-2000)
+    assert unigram_viterbi("ab", scores) == ["ab"]
+    # missing char -> per-char fallback with [UNK] holes
+    assert unigram_viterbi("aqb", scores) == ["a", UNK, "b"]
+    # exact tie prefers FEWER pieces: 'aa' (-2000) vs ['a','a'] (-2000)
+    assert unigram_viterbi("aa", {"a": -1000, "aa": -2000}) == ["aa"]
+
+
+def test_unigram_em_improves_likelihood_and_is_deterministic(spark):
+    import math
+
+    from lakota_spark.operators.tokenizer import (
+        corpus_word_counts,
+        fit_unigram,
+        fit_unigram_from_counts,
+        unigram_token_stats,
+        unigram_viterbi,
+    )
+
+    rows = [
+        (1, "banana bandana banana"),
+        (2, "ana ban nab banana"),
+        (3, "band and bandana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wc = corpus_word_counts(df)
+
+    def seg_loglik(model, wc):
+        # marginal likelihood of the corpus under the model's best
+        # segmentations (Viterbi proxy; scores are micro-nat ints)
+        tot = 0
+        for w, c in wc:
+            toks = unigram_viterbi(w, model.scores)
+            s = sum(model.scores.get(t, -40_000_000) for t in toks)
+            tot += c * s
+        return tot
+
+    m1 = fit_unigram_from_counts(wc, vocab_size=24, n_iter=1)
+    m4 = fit_unigram_from_counts(wc, vocab_size=24, n_iter=4)
+    assert seg_loglik(m4, wc) >= seg_loglik(m1, wc)
+    # frequent whole words become single pieces
+    assert unigram_viterbi("banana", m4.scores) == ["banana"]
+    # Spark stats match the driver encode; repartition-deterministic
+    got = {
+        r.doc_id: r.n_ug
+        for r in unigram_token_stats(m4, df).collect()
+    }
+    for i, t in rows:
+        import re as _re
+
+        from lakota_spark.operators.tokenizer import unigram_encode_text
+
+        assert got[i] == len(unigram_encode_text(t, m4.scores, {}))
+    m4b = fit_unigram(df.repartition(5), vocab_size=24, n_iter=4)
+    assert m4b.scores == m4.scores
