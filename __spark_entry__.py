@@ -692,13 +692,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (VERDICT r3 #1), and otherwise rotates STALE-FIRST (VERDICT r7 #4):
     each round, the entries whose last driver-recorded row is oldest
     cycle back through the window so external validation stays fresh
-    across the whole 139-entry surface, not just the newest additions.
-    Round 10 window: the two never-recorded r10 entries
-    (engine_sql_report, bpe_token_stats_fixture) + the r6-recorded gate
-    pair + ALL 44 entries whose last driver row is r7 (the dedup /
+    across the whole 152-entry surface, not just the newest additions.
+    Round 10 window: the SEVEN never-recorded r10 entries (Repo.sql,
+    the BPE/WordPiece/unigram fixture stats, the data source
+    scan/write rows, the ordered-scan mask row) + the r6-recorded gate
+    pair + the first 41 of the 44 r7-last-recorded entries (the dedup /
     clean / quality / tpch-tail families the r9 verdict named as the
-    oldest) + the two signature entries last recorded r8 — all 50
-    outside the r9 window (ask: >= 35).
+    oldest) — all 50 outside the r9 window (ask: >= 35); the 3 spilled
+    r7 entries and the r8 signature pair lead the r11 rotation.
     The full per-round ledger lives in NOTES.md ("driver-window
     ledger"); entries after position 50 are all driver-green in r8-r9
     and still exercised by scripts/check_oracle.py each round. The
