@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     # the first trial, timed best-of prices the recurring encode / pack)
     "bpe_token_stats",
     "bpe_packed_sequences",
+    # round-10 tokenizer trio twins (fits memoized; timed best-of
+    # prices the greedy / Viterbi Arrow encode passes)
+    "wordpiece_token_stats_fixture",
+    "unigram_token_stats_fixture",
     "balanced_lang_sample",
     "winnow_dup_pairs",
     # round-7 learned quality classifier (fit memoized per corpus — the
