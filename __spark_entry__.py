@@ -411,6 +411,14 @@ SELECT ia AS vec_id, round(dp / (na * nb), 6) AS cos_sim
 FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20
 """
 
+_MIPS_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+p AS (SELECT e.vec_id AS ia, 0 AS ib, e.embedding AS ea, q.qv AS eb
+      FROM embeddings e, q),{_COSINE_PAIR_CTE}
+SELECT ia AS vec_id, round(dp, 6) AS ip
+FROM s ORDER BY ip DESC, vec_id LIMIT 20
+"""
+
 _BM25_TOPK_SQL = f"""
 WITH toks AS (
   SELECT doc_id, list_transform({_TOKS}, t -> lower(t)) AS tk FROM documents
@@ -734,6 +742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # counts-derived fixture vocab (round 10)
         "unigram_token_stats_fixture":
             pipeline.unigram_token_stats_fixture,
+        # exact MIPS with norm-bound block pruning (round 10)
+        "mips_topk": pipeline.mips_topk,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
@@ -3231,6 +3241,7 @@ FROM s JOIN buck bk ON s.ia = bk.vec_id
 ORDER BY cos_sim DESC, id_a, id_b LIMIT 25
 """,
         "cosine_topk": _COSINE_TOPK_SQL,
+        "mips_topk": _MIPS_TOPK_SQL,
         "mmr_diverse_topk": _mmr_sql(),
         # Approximate-by-construction but DETERMINISTIC: the md5-derived
         # hyperplanes / rounded centroid ranking are reproduced in SQL, so

@@ -625,3 +625,69 @@ def mmr_topk(
         T.StructField("mmr_micro", T.LongType()),
     ])
     return df.sparkSession.createDataFrame(out_rows, schema)
+
+
+def mips_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """EXACT maximum-inner-product top-k with Cauchy–Schwarz block
+    pruning (round 10) — the scoring most embedding models train for
+    (raw dot product, not cosine), served exactly at sub-corpus scan
+    cost:
+
+    1. per-block max L2 norm (one tiny groupBy, collected): every v in
+       block b satisfies ``q·v <= ||q|| * max_norm(b)`` — the bound;
+    2. phase 1 scans the ``probe`` highest-bound blocks exactly and
+       collects the running k-th best score (a bounded k-row pull);
+    3. phase 2 scans ONLY blocks whose bound can still beat it
+       (``bound >= kth - 1e-6``, the epsilon covering the 6-decimal
+       output rounding); skipped blocks PROVABLY cannot contribute, so
+       the re-ranked union is the exact global top-k — never
+       approximate. The adversarial worst case (all bounds above the
+       kth score) degrades to the brute-force scan: unpruned, not
+       wrong.
+
+    100 TB shape: with materialized IVF lists partitioned by block, the
+    phase-2 scan prunes at the PARTITION level; the bound table is one
+    row per block. Oracle: plain dot-product ORDER BY ... LIMIT k.
+    """
+    import math
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    bounds = {
+        r["b"]: r["mn"]
+        for r in df.groupBy(F.col(block_col).alias("b"))
+        .agg(F.max(l2_norm(F.col(vec_col))).alias("mn"))
+        .collect()
+    }
+    ordered = sorted(bounds, key=lambda b: (-bounds[b] * qn, str(b)))
+    head = ordered[:probe]
+
+    def scan(blocks):
+        return df.where(F.col(block_col).isin(list(blocks))).select(
+            F.col(id_col),
+            F.round(dot(F.col(vec_col), q), 6).alias("ip"),
+        )
+
+    first = (
+        scan(head).orderBy(F.col("ip").desc(), F.col(id_col)).limit(k)
+    )
+    rows = first.collect()  # bounded: k rows
+    rest = ordered[probe:]
+    if len(rows) == k:
+        kth = rows[-1]["ip"]
+        rest = [b for b in rest if bounds[b] * qn >= kth - 1e-6]
+    if not rest:
+        return first
+    return (
+        scan(head + rest)
+        .orderBy(F.col("ip").desc(), F.col(id_col))
+        .limit(k)
+    )

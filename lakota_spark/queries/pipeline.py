@@ -867,6 +867,16 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_emb(spark, sf_dir), q, k=20)
 
 
+def mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT maximum-inner-product top-20 with Cauchy-Schwarz block
+    pruning (operators/similarity.mips_topk — per-block max-norm bounds,
+    phase-1 probe + phase-2 only over blocks that can still beat the
+    k-th score). Oracle: plain dot-product ORDER BY LIMIT — the pruning
+    changes the PLAN, never the values."""
+    q = _query_vec(spark, sf_dir, 0)
+    return S.mips_topk(_emb(spark, sf_dir), q, k=20, probe=2)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via hyperplane LSH (no SQL oracle — approximate by
     construction; the driver records a rows-only check)."""

@@ -6013,3 +6013,48 @@ def test_registrable_domain_differential_battery(spark):
     got = {r.doc_id: r.domain for r in registrable_domain(df).collect()}
     for i, h in enumerate(hosts):
         assert got[i] == reference(h), (h, got[i], reference(h))
+
+
+def test_mips_topk_exact_with_pruning(spark):
+    # exact max-inner-product under Cauchy-Schwarz block pruning: equals
+    # brute force on every query; a dominant-norm block prunes the rest
+    import random
+
+    from lakota_spark.functions import dot
+    from lakota_spark.operators.similarity import mips_topk
+    from pyspark.sql import functions as F
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(300):
+        blk = f"b{i % 6}"
+        scale = 10.0 if blk == "b0" else 1.0  # b0 holds the big norms
+        rows.append((i, blk, [rng.uniform(-1, 1) * scale for _ in range(8)]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    for trial in range(3):
+        qv = [rng.uniform(-1, 1) for _ in range(8)]
+        got = [
+            (r.vec_id, r.ip)
+            for r in mips_topk(
+                df, qv, k=10, probe=2, block_col="label"
+            ).collect()
+        ]
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        want = [
+            (r.vec_id, r.ip)
+            for r in df.select(
+                "vec_id", F.round(dot(F.col("embedding"), q), 6).alias("ip")
+            )
+            .orderBy(F.col("ip").desc(), "vec_id")
+            .limit(10)
+            .collect()
+        ]
+        assert got == want, trial
+    # prune-to-nothing: all of b0's bounds dominate; with probe covering
+    # b0 the phase-2 block list is empty and the phase-1 frame returns
+    sub = df.where("label in ('b0','b1')")
+    out = mips_topk(sub, [1.0] * 8, k=5, probe=1, block_col="label")
+    ids = {r.vec_id for r in out.collect()}
+    assert ids <= {i for i, b, _ in rows if b == "b0"}
