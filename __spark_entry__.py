@@ -744,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pipeline.unigram_token_stats_fixture,
         # exact MIPS with norm-bound block pruning (round 10)
         "mips_topk": pipeline.mips_topk,
+        # integer-exact iterative PageRank (round 10)
+        "pagerank_top_docs": pipeline.pagerank_top_docs,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
@@ -3242,6 +3244,61 @@ ORDER BY cos_sim DESC, id_a, id_b LIMIT 25
 """,
         "cosine_topk": _COSINE_TOPK_SQL,
         "mips_topk": _MIPS_TOPK_SQL,
+        "pagerank_top_docs": """
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+e AS MATERIALIZED (
+  SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT n FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % (SELECT n FROM nn) FROM documents
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  )
+),
+r0 AS MATERIALIZED (SELECT node, 1000000::BIGINT AS r FROM nodes),
+r1 AS MATERIALIZED (
+  SELECT nodes.node,
+         (150000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r.r // deg.deg) AS s
+    FROM e JOIN deg USING (src) JOIN r0 r ON r.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nodes.node
+),
+r2 AS MATERIALIZED (
+  SELECT nodes.node,
+         (150000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r.r // deg.deg) AS s
+    FROM e JOIN deg USING (src) JOIN r1 r ON r.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nodes.node
+),
+r3 AS MATERIALIZED (
+  SELECT nodes.node,
+         (150000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r.r // deg.deg) AS s
+    FROM e JOIN deg USING (src) JOIN r2 r ON r.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nodes.node
+),
+r4 AS MATERIALIZED (
+  SELECT nodes.node,
+         (150000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r.r // deg.deg) AS s
+    FROM e JOIN deg USING (src) JOIN r3 r ON r.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nodes.node
+)
+SELECT node, r AS rank_micro FROM r4 ORDER BY rank_micro DESC, node
+LIMIT 50
+""",
+
         "mmr_diverse_topk": _mmr_sql(),
         # Approximate-by-construction but DETERMINISTIC: the md5-derived
         # hyperplanes / rounded centroid ranking are reproduced in SQL, so

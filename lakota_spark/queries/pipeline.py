@@ -867,6 +867,31 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_emb(spark, sf_dir), q, k=20)
 
 
+def pagerank_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact distributed PageRank (operators/graph.pagerank —
+    the iterative join+agg workload, rank updates in pure int64 ops so
+    values reproduce on any engine/partitioning) over a deterministic
+    corpus-parametric pseudo-link graph: each doc links to
+    (id*31+7) % N and (id*17+3) % N (N = corpus size, derived in BOTH
+    engines like _CORPUS_K_LIMIT). Four unrolled iterations; the oracle
+    replays them CTE-for-CTE (kmeans/MMR discipline). Returns the top
+    50 authority nodes."""
+    from lakota_spark.operators.graph import pagerank
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    edges = d.selectExpr(
+        "doc_id as src", f"(doc_id * 31 + 7) % {n} as dst"
+    ).union(
+        d.selectExpr("doc_id as src", f"(doc_id * 17 + 3) % {n} as dst")
+    )
+    ranks = pagerank(edges, n_iter=4)
+    return (
+        ranks.orderBy(F.col("rank_micro").desc(), F.col("node"))
+        .limit(50)
+    )
+
+
 def mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT maximum-inner-product top-20 with Cauchy-Schwarz block
     pruning (operators/similarity.mips_topk — per-block max-norm bounds,

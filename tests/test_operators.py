@@ -6058,3 +6058,36 @@ def test_mips_topk_exact_with_pruning(spark):
     out = mips_topk(sub, [1.0] * 8, k=5, probe=1, block_col="label")
     ids = {r.vec_id for r in out.collect()}
     assert ids <= {i for i, b, _ in rows if b == "b0"}
+
+
+def test_pagerank_integer_exact_vs_reference(spark):
+    # tiny graph replayed by a python reference with the SAME integer
+    # rules; determinism under arbitrary input partitioning
+    from collections import defaultdict
+
+    from lakota_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 1), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank_micro for r in pagerank(df, n_iter=5).collect()
+    }
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(5):
+        s = defaultdict(int)
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {n: 150_000 + (85 * s.get(n, 0)) // 100 for n in nodes}
+    assert got == r
+    # no in-links -> the base rank exactly
+    assert r[3] == 150_000
+    again = {
+        r2.node: r2.rank_micro
+        for r2 in pagerank(df.repartition(7), n_iter=5).collect()
+    }
+    assert again == got
