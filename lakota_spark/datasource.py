@@ -239,13 +239,17 @@ class _Scanner:
                 yield from tbl.to_batches()
 
 
-#: ceiling on scheduled input partitions — each one costs a Python
-#: worker round-trip, so a heavily fragmented snapshot (thousands of
-#: small segments) packs many files per partition instead
+#: default ceiling on scheduled input partitions — each costs a Python
+#: worker round-trip, so a fragmented snapshot (thousands of small
+#: segments) packs many files per partition; override per read with
+#: .option("maxPartitions", N) to match a larger cluster's parallelism
 _MAX_PARTITIONS = 64
 
 
-def _seg_partitions(series, segs, uri, plan) -> list[InputPartition]:
+def _seg_partitions(
+    series, segs, uri, plan, max_parts: int = _MAX_PARTITIONS
+) -> list[InputPartition]:
+    max_parts = max(1, int(max_parts))
     entries = []  # (file, per-segment effective bounds or None)
     fs = series.collection.fs
     for s in segs:
@@ -259,7 +263,7 @@ def _seg_partitions(series, segs, uri, plan) -> list[InputPartition]:
         if s.meta.get("clip"):
             bounds = (s.start, s.stop, s.start_closed, s.stop_closed)
         entries.extend((f, bounds) for f in files)
-    per = max(1, -(-len(entries) // _MAX_PARTITIONS))
+    per = max(1, -(-len(entries) // max_parts))
     return [
         InputPartition(
             {"files": entries[i:i + per], "uri": uri, "plan": plan}
@@ -286,6 +290,7 @@ class LakotaBatchReader(DataSourceReader):
             except ValueError:
                 pass
         self._before = before
+        self._max_parts = int(options.get("maxPartitions", _MAX_PARTITIONS))
         self._struct = schema
         self._idx = list(self._series.schema.idx)
         self._nodes: list = []  # conjunctive pushed-filter plan nodes
@@ -401,7 +406,9 @@ class LakotaBatchReader(DataSourceReader):
             if len(self._nodes) > 1
             else (self._nodes[0] if self._nodes else None)
         )
-        parts = _seg_partitions(self._series, segs, uri, plan)
+        parts = _seg_partitions(
+            self._series, segs, uri, plan, self._max_parts
+        )
         # Spark requires at least one partition
         return parts or [InputPartition({"files": []})]
 
@@ -422,6 +429,7 @@ class LakotaStreamReader(DataSourceStreamReader):
                 "lakota streaming source cannot serve KV collections"
             )
         self._struct = schema
+        self._max_parts = int(options.get("maxPartitions", _MAX_PARTITIONS))
         self._idx = list(self._series.schema.idx)
         self._earliest = (
             str(options.get("startingOffsets", "latest")).lower()
@@ -479,7 +487,9 @@ class LakotaStreamReader(DataSourceStreamReader):
             f"{self._series.collection.seg_prefix}/{s.path}" for s in segs
         ]
         uri = _resolve_backend(self._series, rels)
-        parts = _seg_partitions(self._series, segs, uri, None)
+        parts = _seg_partitions(
+            self._series, segs, uri, None, self._max_parts
+        )
         return parts or [InputPartition({"files": []})]
 
     def read(self, partition):
