@@ -275,3 +275,51 @@ def test_writer_timestamp_cast_matches_engine(spark, ds_repo):
         (dt.datetime(2024, 1, 1, 0, 0, 0), 1.0),
         (dt.datetime(2024, 1, 1, 0, 0, 1), 2.0),
     ]
+
+
+def test_writer_type_matrix_roundtrip(spark, ds_repo):
+    # every schema type through the writer, in index and payload
+    # position (the test_column_types_matrix discipline): the staged
+    # segments must read back byte-equal through Series.frame
+    import datetime as dt
+
+    repo, _ = ds_repo
+    aliases = ["date", "timestamp", "float", "int", "str"]
+    rows = []
+    base_d = dt.date(2024, 1, 1)
+    base_t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    for i in range(40):
+        rows.append((
+            base_d + dt.timedelta(days=i),
+            base_t + dt.timedelta(minutes=i),
+            i + 0.25,
+            i,
+            f"s{i:03d}",
+        ))
+    for idx_len in (1, 2):
+        stars = ["*"] * idx_len + [""] * (len(aliases) - idx_len)
+        sch = Schema(**{c: c + s for c, s in zip(aliases, stars)})
+        label = f"tm{idx_len}"
+        repo.create_collection(sch, label)
+        df = spark.createDataFrame(
+            rows,
+            "date date, timestamp timestamp, float double, int long,"
+            " str string",
+        )
+        (
+            df.repartitionByRange(3, *aliases[:idx_len])
+            .write.format("lakota")
+            .option("path", repo.root)
+            .option("table", f"{label}/x")
+            .mode("append")
+            .save()
+        )
+        got = [
+            tuple(r)
+            for r in repo.collection(label)
+            .series("x")
+            .frame()
+            .select(*aliases)
+            .collect()
+        ]
+        assert got == rows, idx_len
