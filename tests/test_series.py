@@ -829,3 +829,58 @@ def test_df_local_mask(repo):
     # arithmetic (non-pushable) falls through to the Spark path
     out = s.df(mask="(< (+ self.value 1) 6)")
     assert len(out) == len([i for i in range(48) if (i % 7) + 1 < 6])
+
+
+def test_frame_mask_differential_battery(repo):
+    # seeded random masks from the pushable grammar: the ordered
+    # fast-path result must equal the classic Catalyst path
+    # (sexpr.mask over frame(sort=False)) row-for-row
+    import random
+
+    from lakota_spark import sexpr
+    from lakota_spark.schema import Schema
+
+    coll = repo.create_collection(
+        Schema(ts="int*", value="float", tag="str", n="int"), "mb"
+    )
+    s = coll.series("x")
+    rng = random.Random(97)
+    n_rows = 300
+    s.write({
+        "ts": list(range(n_rows)),
+        "value": [float(rng.randrange(40)) / 4 for _ in range(n_rows)],
+        "tag": [rng.choice("abcd") for _ in range(n_rows)],
+        "n": [rng.randrange(20) for _ in range(n_rows)],
+    })
+
+    def rand_cmp():
+        col, vals = rng.choice([
+            ("value", lambda: rng.randrange(40) / 4),
+            ("n", lambda: rng.randrange(20)),
+            ("ts", lambda: rng.randrange(n_rows)),
+        ])
+        op = rng.choice(["<", "<=", ">", ">=", "=", "!="])
+        return f"({op} self.{col} {vals()})"
+
+    def rand_term():
+        k = rng.randrange(4)
+        if k == 0:
+            return f"(in self.tag (list '{rng.choice('ab')}' 'c'))"
+        if k == 1:
+            return f"(not {rand_cmp()})"
+        return rand_cmp()
+
+    for trial in range(12):
+        terms = [rand_term() for _ in range(rng.randint(1, 3))]
+        head = rng.choice(["and", "or"])
+        mask = terms[0] if len(terms) == 1 else (
+            f"({head} {' '.join(terms)})"
+        )
+        fast = s.frame(mask=mask)
+        assert "MapInArrow" in fast._jdf.queryExecution().executedPlan().toString(), mask
+        got = sorted(tuple(r) for r in fast.collect())
+        want = sorted(
+            tuple(r)
+            for r in sexpr.mask(s.frame(sort=False), mask).collect()
+        )
+        assert got == want, (trial, mask)
