@@ -1034,3 +1034,57 @@ def unigram_token_stats(
             "chars_per_token"
         ),
     )
+
+
+def save_tokenizer(model, fs, rel: str) -> None:
+    """Persist any of the three tokenizer families through the FS verbs
+    (file/mem/HTTP/S3) as one atomically-published JSON blob — the
+    same index-artifact discipline as `save_bpe` (fit once, ship the
+    artifact). The family is encoded in the payload, so `load_tokenizer`
+    round-trips without the caller tracking which trainer produced it."""
+    import json
+
+    if isinstance(model, BpeModel):
+        payload = {"format": 1, "family": "bpe",
+                   "merges": [list(m) for m in model.merges],
+                   "vocab": list(model.vocab)}
+    elif isinstance(model, WordPieceModel):
+        payload = {"format": 1, "family": "wordpiece",
+                   "merges": [list(m) for m in model.merges],
+                   "vocab": list(model.vocab)}
+    elif isinstance(model, UnigramModel):
+        payload = {"format": 1, "family": "unigram",
+                   "scores": dict(model.scores)}
+    else:
+        raise TypeError(f"not a tokenizer model: {type(model).__name__}")
+    parent = rel.rsplit("/", 1)[0] if "/" in rel else ""
+    fs.makedirs(parent)
+    fs.write_bytes_atomic(rel, json.dumps(payload).encode("utf-8"))
+
+
+def load_tokenizer(fs, rel: str):
+    """Inverse of :func:`save_tokenizer` — returns the right model class
+    for the stored family."""
+    import json
+
+    payload = json.loads(fs.read_bytes(rel).decode("utf-8"))
+    if payload.get("format") != 1:
+        raise ValueError(
+            f"unsupported tokenizer format: {payload.get('format')!r}"
+        )
+    fam = payload.get("family")
+    if fam == "bpe":
+        return BpeModel(
+            merges=[tuple(m) for m in payload["merges"]],
+            vocab=list(payload["vocab"]),
+        )
+    if fam == "wordpiece":
+        return WordPieceModel(
+            merges=[tuple(m) for m in payload["merges"]],
+            vocab=list(payload["vocab"]),
+        )
+    if fam == "unigram":
+        return UnigramModel(
+            scores={p: int(v) for p, v in payload["scores"].items()}
+        )
+    raise ValueError(f"unknown tokenizer family: {fam!r}")

@@ -583,3 +583,30 @@ def test_unigram_em_improves_likelihood_and_is_deterministic(spark):
         assert got[i] == len(unigram_encode_text(t, m4.scores, {}))
     m4b = fit_unigram(df.repartition(5), vocab_size=24, n_iter=4)
     assert m4b.scores == m4.scores
+
+
+def test_tokenizer_save_load_all_families(spark, repo):
+    from lakota_spark.operators.tokenizer import (
+        fit_bpe_from_counts,
+        fit_unigram_from_counts,
+        fit_wordpiece_from_counts,
+        load_tokenizer,
+        save_tokenizer,
+    )
+
+    counts = [("hello", 5), ("help", 4), ("held", 2), ("x", 1)]
+    fs = repo.fs
+    models = [
+        fit_bpe_from_counts(counts, n_merges=8),
+        fit_wordpiece_from_counts(counts, n_merges=8),
+        fit_unigram_from_counts(counts, vocab_size=16, n_iter=2),
+    ]
+    for i, m in enumerate(models):
+        rel = f"models/tok{i}.json"
+        save_tokenizer(m, fs, rel)
+        back = load_tokenizer(fs, rel)
+        assert type(back) is type(m) and back == m, type(m).__name__
+    import pytest
+
+    with pytest.raises(TypeError):
+        save_tokenizer(object(), fs, "models/bad.json")
