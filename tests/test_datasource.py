@@ -323,3 +323,37 @@ def test_writer_type_matrix_roundtrip(spark, ds_repo):
             .collect()
         ]
         assert got == rows, idx_len
+
+
+def test_datasource_over_http_backend(spark):
+    # non-pyarrow remote: the reader materializes the needed segment
+    # dirs through the read cache at planning time and executors scan
+    # the local cache bytes (the _ordered_scan backend discipline)
+    import shutil
+    import tempfile
+
+    from lakota_spark.repo import Repo
+    from lakota_spark.server import serve
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="lakota-ds-http-")
+    try:
+        with serve(root) as url:
+            repo = Repo(url, spark)
+            coll = repo.create_collection(
+                Schema(ts="int*", value="float"), "h"
+            )
+            coll.series("x").write({
+                "ts": list(range(50)),
+                "value": [float(i) for i in range(50)],
+            })
+            df = (
+                spark.read.format("lakota")
+                .option("path", url)
+                .option("table", "h/x")
+                .load()
+                .where("ts >= 10 and ts < 20")
+            )
+            assert sorted(r.ts for r in df.collect()) == list(range(10, 20))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
