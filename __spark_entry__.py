@@ -746,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mips_topk": pipeline.mips_topk,
         # integer-exact iterative PageRank (round 10)
         "pagerank_top_docs": pipeline.pagerank_top_docs,
+        # exact multi-quantile selection, skew-safe (round 10)
+        "group_quantiles": pipeline.group_quantiles,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
@@ -3244,6 +3246,20 @@ ORDER BY cos_sim DESC, id_a, id_b LIMIT 25
 """,
         "cosine_topk": _COSINE_TOPK_SQL,
         "mips_topk": _MIPS_TOPK_SQL,
+        "group_quantiles": """
+WITH s AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+qs AS (
+  SELECT * FROM (VALUES ('1/4', 1, 4), ('1/2', 1, 2), ('3/4', 3, 4),
+                        ('9/10', 9, 10)) AS t(q, num, den)
+)
+SELECT s.event_type, qs.q, s.value
+FROM s JOIN qs ON s.rn = ((qs.num * (s.n - 1)) // qs.den) + 1
+""",
         "pagerank_top_docs": """
 WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
 e AS MATERIALIZED (

@@ -668,52 +668,59 @@ def bottom_k_per_group(
     )
 
 
-def exact_group_median(
+def exact_group_quantiles(
     df: DataFrame,
     group_col: str,
     value_col: str,
+    quantiles: tuple = ((1, 2),),
     n_parts: int | None = None,
     _pin: bool = True,
 ) -> DataFrame:
-    """EXACT per-group lower median — the rank ``floor((n+1)/2)`` element,
-    the ``row_number() OVER (PARTITION BY g ORDER BY v)`` answer — via a
-    distributed order-statistic selection that never sorts a whole group
-    in one task.
+    """EXACT per-group order statistics at arbitrary RATIONAL quantiles
+    — for each ``(num, den)`` the element at rank
+    ``m = (num * (n-1)) div den + 1`` (the LOWER quantile: an actual
+    data value, no interpolation; ``(1,2)`` reproduces the classic
+    lower median) — via a distributed selection that never sorts a
+    whole group in one task.
 
-    Why not the window: a hot group funnels ALL its rows through one
-    task's sort. Why not bottom-k: the median's rank is ~n/2, so
-    per-shard pruning keeps half the data. The scalable exact shape is
-    the two-level prefix-scan (the classic distributed selection):
+    Why not the window: ``row_number() OVER (PARTITION BY g ORDER BY
+    v)`` funnels every row of a hot group through one task's sort — the
+    shape that dies on a skewed 100 TB corpus. Why not bottom-k: a
+    median-class rank is ~n/2, so per-shard pruning keeps half the
+    data. The scalable exact shape is the two-level prefix-scan
+    (classic distributed selection):
 
     1. ties collapse map-side: ``V = (g, v) -> c`` — hash shuffle with
        partial agg, so a billion repeats of one value cost one row;
-    2. ``V`` is RANGE-repartitioned on ``(g, v)``: the range partitioner
-       SAMPLES boundaries, so a hot group is split across many
-       partitions by value sub-range (the skew control). The relation is
-       pinned (``localCheckpoint``) so both consumers observe the same
-       physical partition ids;
+    2. ``V`` is RANGE-repartitioned on ``(g, v)``: the range
+       partitioner SAMPLES boundaries, so a hot group is split across
+       many partitions by value sub-range (the skew control). The
+       relation is pinned (``localCheckpoint``) so every consumer
+       observes the same physical partition ids;
     3. per-(partition, group) subtotals via ``spark_partition_id`` give
        a BOUNDED relation (``<= n_parts x n_groups`` rows); a window
        over THAT (tiny) yields each partition's global cumulative
        offset and each group's total ``n``;
-    4. exactly ONE partition per group covers the target rank
-       ``m = floor((n+1)/2)`` (``off < m <= off + t``); a broadcast join
-       keeps only that partition's rows — one balanced range-partition's
-       worth — and a running-count window over those survivors picks the
-       first value whose cumulative multiplicity reaches ``m``.
+    4. for every requested quantile exactly ONE partition per group
+       covers its target rank (``off < m <= off + t``); a broadcast
+       join keeps only covering partitions' rows, and a running-count
+       window over those survivors (partitioned by (g, partition) with
+       the global offset added) picks each rank's value.
 
     Every shuffle is hash-uniform or range-balanced; the only windows
-    run over the bounded offsets relation and one partition's survivors.
-    Returns ``(group_col, median)``; deterministic and engine-exact
-    (byte-identical to the row_number form, ties included, because ties
-    collapse into one weighted row before selection).
+    run over the bounded offsets relation and the covering partitions'
+    survivors. Returns ``(group_col, q, value)`` with ``q`` the
+    "num/den" label — deterministic and engine-exact (byte-identical
+    to the row_number form, ties included, because ties collapse into
+    one weighted row before selection).
 
     ``_pin=False`` skips the localCheckpoint so plan contracts can see
-    the range exchange through the lineage (a checkpoint truncates the
-    visible plan to "Scan ExistingRDD"); partition-id consistency then
-    relies on Spark's deterministic range-boundary sampling. Production
-    callers keep the default.
+    the range exchange through the lineage; partition-id consistency
+    then relies on Spark's deterministic range-boundary sampling.
     """
+    for num, den in quantiles:
+        if not (0 <= num <= den and den > 0):
+            raise ValueError(f"bad quantile {num}/{den}")
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -732,26 +739,68 @@ def exact_group_median(
         "_off", F.col("_hi") - F.col("_t")
     )
     grp = totals.groupBy(g).agg(F.sum("_t").alias("_n"))
+    targets = grp.select(
+        g,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{num}/{den}").alias("_q"),
+                        (
+                            F.expr(f"({num} * (_n - 1)) div {den}") + 1
+                        ).alias("_m"),
+                    )
+                    for num, den in quantiles
+                ]
+            )
+        ).alias("_t_"),
+    ).select(g, F.col("_t_._q").alias("_q"), F.col("_t_._m").alias("_m"))
     cover = (
-        offs.join(grp, g)
-        .withColumn("_m", F.floor((F.col("_n") + 1) / 2))
+        offs.join(targets, g)
         .where((F.col("_off") < F.col("_m")) & (F.col("_m") <= F.col("_hi")))
-        .select("_pid", g, "_off", "_m")
+        .select("_pid", g, "_off", "_q", "_m")
+        # tiny (<= groups x quantiles rows) but consumed twice — pin it
+        # so the offsets window is not re-derived per consumer
+        .localCheckpoint(eager=False)
     )
+    cover_p = cover.select("_pid", g, "_off").distinct()
     wq = (
-        Window.partitionBy(g)
+        Window.partitionBy(g, "_pid")
         .orderBy(F.col(v).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        vp.join(F.broadcast(cover), ["_pid", g])
+    cand = (
+        vp.join(F.broadcast(cover_p), ["_pid", g])
         .withColumn("_cum", F.sum("_c").over(wq) + F.col("_off"))
+    )
+    return (
+        cand.join(
+            F.broadcast(cover.select("_pid", g, "_q", "_m")),
+            ["_pid", g],
+        )
         .where(
             (F.col("_cum") >= F.col("_m"))
             & (F.col("_cum") - F.col("_c") < F.col("_m"))
         )
-        .select(g, F.col(v).alias("median"))
+        .select(g, F.col("_q").alias("q"), F.col(v).alias("value"))
     )
+
+
+def exact_group_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_parts: int | None = None,
+    _pin: bool = True,
+) -> DataFrame:
+    """Lower median via :func:`exact_group_quantiles` ((1,2): rank
+    ``(n-1) div 2 + 1 == floor((n+1)/2)``) — kept as the named entry
+    point `sketch_stats` and the r10 plan contracts pin. Returns
+    ``(group_col, median)``."""
+    out = exact_group_quantiles(
+        df, group_col, value_col, ((1, 2),), n_parts=n_parts, _pin=_pin
+    )
+    return out.select(group_col, F.col("value").alias("median"))
 
 
 def heavy_hitters(

@@ -1532,6 +1532,25 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-event-type value quantiles (p25/p50/p75/p90 as LOWER
+    rational quantiles) via `sampling.exact_group_quantiles` — the
+    multi-rank generalization of the r10 skew-safe median: one
+    tie-collapsed range-partitioned relation serves all four ranks,
+    with no per-group full-relation sort anywhere. Oracle: the plain
+    row_number form joined against the quantile list."""
+    from lakota_spark.operators.sampling import exact_group_quantiles
+    from lakota_spark.sources import read_parquet
+
+    e = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    return exact_group_quantiles(
+        e, "event_type", "value",
+        ((1, 4), (1, 2), (3, 4), (9, 10)),
+    )
+
+
 def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-proxy scoring: corpus-trained add-one
     unigram LM, per-doc average token log-prob in exact micro-nats."""

@@ -6091,3 +6091,32 @@ def test_pagerank_integer_exact_vs_reference(spark):
         for r2 in pagerank(df.repartition(7), n_iter=5).collect()
     }
     assert again == got
+
+
+def test_exact_group_quantiles_matches_row_number_form(spark):
+    import random
+
+    from lakota_spark.operators.sampling import exact_group_quantiles
+
+    rng = random.Random(5)
+    rows = [("hot", float(rng.randrange(25)) / 2) for _ in range(800)]
+    rows += [("mid", float(rng.randrange(500)) / 8) for _ in range(47)]
+    rows += [("one", 3.5)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = ((0, 1), (1, 4), (1, 2), (3, 4), (9, 10), (1, 1))
+    got = {
+        (r.g, r.q): r.value
+        for r in exact_group_quantiles(
+            df, "g", "v", qs, n_parts=5
+        ).collect()
+    }
+    for g in ("hot", "mid", "one"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        n = len(vals)
+        for num, den in qs:
+            m = (num * (n - 1)) // den + 1
+            assert got[(g, f"{num}/{den}")] == vals[m - 1], (g, num, den)
+    # extremes behave: 0/1 = min, 1/1 = max
+    assert got[("one", "0/1")] == got[("one", "1/1")] == 3.5
+    with __import__("pytest").raises(ValueError):
+        exact_group_quantiles(df, "g", "v", ((3, 2),)).collect()

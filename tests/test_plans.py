@@ -799,7 +799,10 @@ def test_sketch_stats_skew_safe_windows(spark):
     df = pipeline.sketch_stats(spark, SF)
     plan = plans.explain_str(df, "formatted")
     specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
-    assert len(specs) == 4, plan
+    # 3 VISIBLE windows — the bounded offsets window now lives inside
+    # the pinned cover relation's checkpointed lineage (r10: the median
+    # generalized to exact_group_quantiles, cover consumed twice)
+    assert len(specs) == 3, plan
     # the ONLY row_number over the raw hash column is sub-sharded (two
     # partition exprs); the re-rank feeds from a bottom_rank-bounded
     # filter, never the raw relation
