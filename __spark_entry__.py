@@ -700,7 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (VERDICT r3 #1), and otherwise rotates STALE-FIRST (VERDICT r7 #4):
     each round, the entries whose last driver-recorded row is oldest
     cycle back through the window so external validation stays fresh
-    across the whole 154-entry surface, not just the newest additions.
+    across the whole 155-entry surface, not just the newest additions.
     Round 10 window: the SEVEN never-recorded r10 entries (Repo.sql,
     the BPE/WordPiece/unigram fixture stats, the data source
     scan/write rows, the ordered-scan mask row) + the r6-recorded gate
