@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     # round-10: exact MIPS with block pruning + integer PageRank
     "mips_topk",
     "pagerank_top_docs",
+    "group_quantiles",
     # round-6 curation additions (dedup_keep_best stays correctness-only:
     # like dedup_clusters it re-derives the full verified-pair pipeline,
     # which minhash_dedup_pairs already prices here; decontaminate_bloom
