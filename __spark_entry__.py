@@ -748,6 +748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top_docs": pipeline.pagerank_top_docs,
         # exact multi-quantile selection, skew-safe (round 10)
         "group_quantiles": pipeline.group_quantiles,
+        # multi-level grid interval overlap join — equi-shaped where the
+        # naive form is a nested loop (round 10)
+        "interval_overlap_report": pipeline.interval_overlap_report,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
@@ -3259,6 +3262,34 @@ qs AS (
 )
 SELECT s.event_type, qs.q, s.value
 FROM s JOIN qs ON s.rn = ((qs.num * (s.n - 1)) // qs.den) + 1
+""",
+        # The oracle is the NAIVE inequality join (fine in DuckDB's
+        # IEJoin at sf0.01) — the Spark side must reproduce it through
+        # the multi-level grid equi-join.  Both intervals are nonempty
+        # by construction (300 s / >=60 s), so the textbook
+        # ls<re AND rs<le condition IS nonempty-intersection here.
+        # All-integer: floor-epoch seconds, counts, summed seconds.
+        "interval_overlap_report": """
+WITH err AS (
+  SELECT event_id AS inc_id,
+         floor(epoch(ts))::BIGINT - 120 AS s,
+         floor(epoch(ts))::BIGINT + 180 AS e
+  FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT event_id AS p_id, user_id,
+         floor(epoch(ts))::BIGINT AS s,
+         floor(epoch(ts))::BIGINT + 60
+           + ((round(value * 100)::BIGINT % 240) + 240) % 240 AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT (err.s + 120) // 86400 AS inc_day,
+       count(*) AS n_pairs,
+       count(DISTINCT p_id) AS n_purchases,
+       count(DISTINCT pur.user_id) AS n_users,
+       sum(least(err.e, pur.e) - greatest(err.s, pur.s))::BIGINT
+         AS overlap_s
+FROM err JOIN pur ON err.s < pur.e AND pur.s < err.e
+GROUP BY 1
 """,
         "pagerank_top_docs": """
 WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),

@@ -2469,3 +2469,49 @@ def encoding_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_non_ascii").alias("total_non_ascii"),
         )
     )
+
+
+def interval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident-impact report through the multi-level interval join
+    (operators/interval.interval_join): error events open a ±minutes
+    incident window, purchase events open a value-derived session
+    window, and the report counts overlapping purchase sessions (and
+    their exact overlap seconds) per incident day.  The naive Spark
+    formulation of this join is a BroadcastNestedLoopJoin; the grid
+    join keeps it equi-shaped (plan pinned in test_plans), which is
+    the difference between O(|err|*|pur|) and a shuffle at 100 TB.
+    All-integer output: epoch-second bounds, counts, summed seconds —
+    hash-exact against the DuckDB inequality-join oracle."""
+    from lakota_spark.operators.interval import (
+        interval_join,
+        overlap_length,
+    )
+
+    e = parity._events(spark, sf_dir)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("inc_id"),
+        (secs - 120).alias("inc_s"),
+        (secs + 180).alias("inc_e"),
+    )
+    pur = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        secs.alias("p_s"),
+        (
+            secs
+            + 60
+            + F.pmod(F.round(F.col("value") * 100).cast("long"), F.lit(240))
+        ).alias("p_e"),
+    )
+    j = interval_join(
+        err, pur, "inc_s", "inc_e", "p_s", "p_e", base_width=300
+    ).withColumn("ov", overlap_length("inc_s", "inc_e", "p_s", "p_e"))
+    return j.groupBy(
+        F.floor((F.col("inc_s") + 120) / 86400).alias("inc_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("ov").alias("overlap_s"),
+    )

@@ -837,3 +837,18 @@ def test_sketch_stats_skew_safe_windows(spark):
         exact_group_median(e, "event_type", "value", _pin=False), "simple"
     )
     assert "rangepartitioning(event_type" in open_plan, open_plan
+
+
+def test_interval_overlap_report_plan_is_equi(spark):
+    # the naive formulation of the incident x session overlap is a
+    # BroadcastNestedLoopJoin; the grid join must keep every join in
+    # the plan equi-shaped (VERDICT scale bar: no O(L*R) node survives)
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.interval_overlap_report(spark, SF)
+    strats = plans.join_strategies(df)
+    assert strats, "expected equi-join operators in the plan"
+    assert not any(
+        s in ("BroadcastNestedLoopJoin", "CartesianProduct")
+        for s in strats
+    ), strats
