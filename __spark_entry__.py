@@ -751,6 +751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-level grid interval overlap join — equi-shaped where the
         # naive form is a nested loop (round 10)
         "interval_overlap_report": pipeline.interval_overlap_report,
+        # end-to-end temperature mixture resampling (round 10)
+        "temperature_resample_report":
+            pipeline.temperature_resample_report,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
@@ -3290,6 +3293,45 @@ SELECT (err.s + 120) // 86400 AS inc_day,
          AS overlap_s
 FROM err JOIN pur ON err.s < pur.e AND pur.s < err.e
 GROUP BY 1
+""",
+        # replicates the resampler's exact-arithmetic chain: sqrt is
+        # correctly rounded (bit-identical across engines), weights
+        # micro-quantized BEFORE the normalizing sum, the rate carried
+        # as the exact rational (num, den) in HUGEINT, whole part
+        # floor-capped at 16 (rem zeroed at the cap, mirroring the
+        # Spark ladder), fractional Bernoulli = integer comparison
+        "temperature_resample_report": """
+WITH g AS (
+  SELECT lang, count(*)::BIGINT AS n,
+         round(sqrt(count(*)) * 1000000)::BIGINT AS p
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n)::BIGINT AS total, sum(p)::BIGINT AS ptot FROM g),
+st AS (
+  SELECT lang, n,
+         least((t.total::HUGEINT * g.p) // (t.ptot::HUGEINT * g.n),
+               16)::BIGINT AS whole,
+         CASE WHEN t.total::HUGEINT * g.p
+                   >= 16 * (t.ptot::HUGEINT * g.n) THEN 0::HUGEINT
+              ELSE (t.total::HUGEINT * g.p) % (t.ptot::HUGEINT * g.n)
+         END AS rem,
+         (t.ptot::HUGEINT * g.n) AS den
+  FROM g CROSS JOIN tot t
+),
+r AS (
+  SELECT d.doc_id, d.lang, st.n,
+         st.whole + CASE
+           WHEN (('0x' || substr(md5('temp:' || d.doc_id::VARCHAR), 1, 8))
+                 ::BIGINT % 1000000)::HUGEINT * st.den
+                < st.rem * 1000000 THEN 1 ELSE 0 END AS reps
+  FROM documents d JOIN st USING (lang)
+)
+SELECT lang,
+       max(n)::BIGINT AS n_docs,
+       sum(reps)::BIGINT AS n_out,
+       (count(*) FILTER (WHERE reps >= 1))::BIGINT AS n_kept,
+       max(reps)::BIGINT AS max_rep
+FROM r GROUP BY lang
 """,
         "pagerank_top_docs": """
 WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),

@@ -1003,3 +1003,101 @@ def contrastive_pairs(
         )
     )
     return pos.unionByName(neg)
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    budget: int | None = None,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+    max_repeat: int = 16,
+) -> DataFrame:
+    """END-TO-END temperature resampling: where `mixture_weights` only
+    REPORTS the ``q_g ∝ c_g^alpha`` mixture, this emits the resampled
+    corpus itself — each group's expected output count is
+    ``budget * q_g``, realized per row as a deterministic repeat count
+    (upsampling low-resource groups by repetition, downsampling
+    high-resource ones by hash thinning).  The multilingual-LM recipe
+    (mBERT/XLM-R/PaLM data mixing) as a corpus transform.
+
+    Exactness discipline: group weights quantize to integer micros
+    AFTER the single ``pow`` (alpha=0.5 is sqrt — correctly rounded in
+    IEEE, so bit-identical across engines); everything after is
+    integer/decimal(38) arithmetic — ``rate_g = budget*p_g/(ptot*n_g)``
+    is carried as the exact pair (num, den), the whole part is a
+    comparison ladder (num >= j*den, j=1..max_repeat — NO decimal
+    division, whose scale-6 rounding could misfloor), and the
+    fractional Bernoulli is the exact integer test
+    ``probe * den < rem * 1e6`` with ``probe = hash32(salt:id) % 1e6``.
+    A row's fate is a pure function of (id, group stats) — stable
+    across runs, partitionings, and engines.
+
+    Scale shape: one partial-agg group count (the only shuffle), a
+    one-row normalizer broadcast, a broadcast join of the tiny group
+    table, then map-side explode bounded by ``max_repeat`` — the
+    output carries ``rep_idx`` so downstream shuffles see distinct
+    rows.  ``budget`` defaults to the input size (reshape, same mass).
+    """
+    import functools
+    import operator as _op
+
+    g = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    g = g.withColumn(
+        "_p",
+        F.round(F.pow(F.col("_n"), F.lit(float(alpha))) * 1000000)
+        .cast("long"),
+    )
+    tot = g.agg(
+        F.sum("_n").alias("_total"), F.sum("_p").alias("_ptot")
+    )
+    g = g.join(F.broadcast(tot))
+    dec = "decimal(38,0)"
+    budget_col = (
+        F.lit(int(budget)).cast(dec)
+        if budget is not None
+        else F.col("_total").cast(dec)
+    )
+    num = budget_col * F.col("_p").cast(dec)
+    den = F.col("_ptot").cast(dec) * F.col("_n").cast(dec)
+    whole = functools.reduce(
+        _op.add,
+        [
+            F.when(num >= den * F.lit(j).cast(dec), 1).otherwise(0)
+            for j in range(1, max_repeat + 1)
+        ],
+    )
+    # a group at the repeat cap gets EXACTLY max_repeat copies — zero
+    # the fractional remainder so the Bernoulli can't push past the cap
+    capped = num >= den * F.lit(max_repeat).cast(dec)
+    stats = F.broadcast(
+        g.select(
+            group_col,
+            whole.cast("int").alias("_whole"),
+            F.when(capped, F.lit(0).cast(dec))
+            .otherwise(num - whole.cast(dec) * den)
+            .alias("_rem"),
+            den.alias("_den"),
+        )
+    )
+    probe = (
+        hash32(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+        % 1000000
+    )
+    out = df.join(stats, group_col).withColumn(
+        "_reps",
+        F.col("_whole")
+        + F.when(
+            probe.cast(dec) * F.col("_den")
+            < F.col("_rem") * F.lit(1000000).cast(dec),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        out.where(F.col("_reps") >= 1)
+        .withColumn(
+            "rep_idx", F.explode(F.sequence(F.lit(1), F.col("_reps")))
+        )
+        .drop("_whole", "_rem", "_den", "_reps")
+    )

@@ -2515,3 +2515,33 @@ def interval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum("ov").alias("overlap_s"),
     )
+
+
+def temperature_resample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture resampling end-to-end
+    (operators/sampling.temperature_resample): the corpus reshaped so
+    each language's share follows sqrt-flattened weights, realized as
+    deterministic per-doc repeat counts; the report rolls the resampled
+    stream back up per language.  alpha=0.5 makes the one float step a
+    correctly-rounded sqrt, so the whole chain — micro-quantized
+    weights, (num, den) exact rational rate, comparison-ladder floor,
+    integer Bernoulli — is bit-identical in the DuckDB oracle.
+    All-integer output."""
+    from lakota_spark.operators.sampling import temperature_resample
+
+    docs = _docs(spark, sf_dir)
+    rs = temperature_resample(
+        docs, "lang", alpha=0.5, id_col="doc_id", salt="temp"
+    )
+    return (
+        rs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.countDistinct("doc_id").alias("n_kept"),
+            F.max("rep_idx").alias("max_rep"),
+        )
+        .join(
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")),
+            "lang",
+        )
+    )

@@ -6120,3 +6120,62 @@ def test_exact_group_quantiles_matches_row_number_form(spark):
     assert got[("one", "0/1")] == got[("one", "1/1")] == 3.5
     with __import__("pytest").raises(ValueError):
         exact_group_quantiles(df, "g", "v", ((3, 2),)).collect()
+
+
+def test_temperature_resample_semantics(spark):
+    """Skewed corpus: the rare group upsamples (reps>1 possible), the
+    dominant group thins; expected output mass tracks the budget; the
+    whole thing is a pure function of doc ids (rerun-identical)."""
+    from lakota_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_resample(df, "lang", alpha=0.5, id_col="doc_id")
+    per = {
+        r["lang"]: (r["n_out"], r["max_rep"])
+        for r in out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.max("rep_idx").alias("max_rep"),
+        )
+        .collect()
+    }
+    # sqrt flattening: weights ~ (30, 10)/40 -> big expects
+    # 1000*0.75=750 (thinned from 900), small expects 250 (boost 2.5x)
+    assert 700 <= per["big"][0] <= 800
+    assert 220 <= per["small"][0] <= 280
+    assert per["small"][1] >= 2  # genuine upsampling by repetition
+    assert per["big"][1] == 1
+    # deterministic: identical output set on recompute
+    a = sorted((r.doc_id, r.rep_idx) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.rep_idx)
+        for r in temperature_resample(
+            df, "lang", alpha=0.5, id_col="doc_id"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_resample_budget_and_cap(spark):
+    from lakota_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "big" if i < 990 else "tiny") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # budget 3x the corpus with a severe 99:1 skew -> tiny boosts hard
+    out = temperature_resample(
+        df, "lang", alpha=0.5, budget=3000, id_col="doc_id", max_repeat=4
+    )
+    per = {
+        r["lang"]: (r["n_out"], r["max_rep"])
+        for r in out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.max("rep_idx").alias("max_rep"),
+        )
+        .collect()
+    }
+    # uncapped tiny boost would be 3000*(sqrt(10)/ (sqrt(990)+sqrt(10)))
+    # / 10 ≈ 27x; the cap pins every tiny doc at EXACTLY max_repeat
+    assert per["tiny"] == (40, 4)
+    assert per["big"][1] <= 4
