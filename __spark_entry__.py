@@ -754,6 +754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # end-to-end temperature mixture resampling (round 10)
         "temperature_resample_report":
             pipeline.temperature_resample_report,
+        # integer-exact bounded-horizon decayed activity (round 10)
+        "decayed_user_activity": pipeline.decayed_user_activity,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
@@ -3332,6 +3334,29 @@ SELECT lang,
        (count(*) FILTER (WHERE reps >= 1))::BIGINT AS n_kept,
        max(reps)::BIGINT AS max_rep
 FROM r GROUP BY lang
+""",
+        # bounded self-join twin of the Spark window ladder: distance-j
+        # rows weigh 2^(30-j), everything stays int64 (pow(2,k) is
+        # exact in double for k<=30), ties broken by event_id in BOTH
+        # row_number orders
+        "decayed_user_activity": """
+WITH s AS (
+  SELECT user_id, event_id, ts, round(value * 100)::BIGINT AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+d AS (
+  SELECT l.user_id, l.rn,
+         sum(r.v * pow(2, 30 - (l.rn - r.rn))::BIGINT)::BIGINT AS decayed
+  FROM s l JOIN s r ON l.user_id = r.user_id
+                   AND r.rn BETWEEN l.rn - 29 AND l.rn
+  GROUP BY 1, 2
+),
+n AS (SELECT user_id, max(rn) AS n_events FROM s GROUP BY 1)
+SELECT n.user_id, n.n_events::BIGINT AS n_events,
+       d.decayed AS last_decayed
+FROM n JOIN d ON d.user_id = n.user_id AND d.rn = n.n_events
 """,
         "pagerank_top_docs": """
 WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),

@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "interval_overlap_report",
     # round-10: end-to-end temperature mixture resampling
     "temperature_resample_report",
+    # round-10: integer-exact decayed activity (bounded window ladder)
+    "decayed_user_activity",
     # round-6 curation additions (dedup_keep_best stays correctness-only:
     # like dedup_clusters it re-derives the full verified-pair pipeline,
     # which minhash_dedup_pairs already prices here; decontaminate_bloom

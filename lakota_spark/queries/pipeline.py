@@ -2545,3 +2545,31 @@ def temperature_resample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
         )
     )
+
+
+def decayed_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed user activity scores
+    (operators/timeseries.decayed_sum): each user's events, ordered by
+    (ts, event_id), fold into an integer half-life-per-event decayed
+    sum over the last 30 events; the report keeps each user's FINAL
+    score — the "how active right now" feature a ranking/eviction
+    pipeline materializes per entity.  Exact longs end-to-end, so the
+    DuckDB bounded self-join oracle matches bit-for-bit."""
+    from lakota_spark.operators.timeseries import decayed_sum
+
+    e = parity._events(spark, sf_dir)
+    scored = decayed_sum(
+        e,
+        "ts",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long"),
+        horizon=30,
+        shift=30,
+        tiebreak="event_id",
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by(
+            "decayed", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("last_decayed"),
+    )

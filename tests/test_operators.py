@@ -6179,3 +6179,32 @@ def test_temperature_resample_budget_and_cap(spark):
     # / 10 ≈ 27x; the cap pins every tiny doc at EXACTLY max_repeat
     assert per["tiny"] == (40, 4)
     assert per["big"][1] <= 4
+
+
+def test_decayed_sum_semantics(spark):
+    """Hand-checked ladder: current row weighs 2^30, previous 2^29...,
+    horizon truncates, keys partition, ties break on the tiebreak col."""
+    from lakota_spark.operators.timeseries import decayed_sum
+
+    rows = [
+        ("u1", 1, 0, 3),
+        ("u1", 2, 1, 5),
+        ("u1", 3, 2, 7),
+        ("u2", 4, 0, 11),
+        # same ts as event 5 below: event_id orders them
+        ("u2", 5, 1, 13),
+        ("u2", 6, 1, 17),
+    ]
+    df = spark.createDataFrame(rows, "u string, eid long, t long, v long")
+    out = decayed_sum(
+        df, "t", "u", F.col("v"), horizon=2, shift=4, tiebreak="eid"
+    )
+    got = {r.eid: r.decayed for r in out.collect()}
+    assert got == {
+        1: 3 * 16,
+        2: 5 * 16 + 3 * 8,
+        3: 7 * 16 + 5 * 8,  # horizon=2 truncates event 1
+        4: 11 * 16,
+        5: 13 * 16 + 11 * 8,
+        6: 17 * 16 + 13 * 8,
+    }
