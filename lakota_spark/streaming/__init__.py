@@ -1081,3 +1081,74 @@ def streaming_media_gate(
         else F.col("kind").isin(list(keep))
     )
     return k.where(cond)
+
+
+def streaming_decayed_activity(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "v",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    horizon: int = 30,
+    shift: int = 30,
+):
+    """Streaming twin of ``timeseries.decayed_sum``: per-key recency-
+    decayed activity maintained across micro-batches via
+    ``applyInPandasWithState``.  State is the last ``horizon`` integer
+    values in (ts, tiebreak) order — bounded per key — and the score is
+    the SAME integer ladder as the batch operator (value at distance j
+    weighs ``2**(shift - j)``), so batch == stream exactly for streams
+    whose batches arrive in event order (the changelog-tail source's
+    append contract; cross-batch stragglers would need full history and
+    are out of scope, as with the other gates).
+
+    Emits one row per key per batch: (key, n_events, decayed) — the
+    continuously-maintained ranking/eviction feature.  State scales
+    with distinct keys x horizon longs, not with throughput.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_type = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("n_events", LongType()),
+            StructField("decayed", LongType()),
+        ]
+    )
+    # state: total count + the last `horizon` values, newest last,
+    # packed as a fixed-width list column (None-padded)
+    state_type = StructType(
+        [StructField("cnt", LongType())]
+        + [StructField(f"v{i}", LongType()) for i in range(horizon)]
+    )
+    ts_col, tie_col = order_cols
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            st = state.get
+            cnt, tail = st[0], [v for v in st[1:] if v is not None]
+        else:
+            cnt, tail = 0, []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, tie_col], kind="mergesort")
+        vals = [int(v) for v in batch[value_col]]
+        cnt += len(vals)
+        tail = (tail + vals)[-horizon:]
+        pad = [None] * (horizon - len(tail))
+        state.update(tuple([cnt] + tail + pad))
+        decayed = sum(
+            v << (shift - j) for j, v in enumerate(reversed(tail))
+        )
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [cnt], "decayed": [decayed]}
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

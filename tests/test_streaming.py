@@ -1255,3 +1255,77 @@ def test_streaming_html_sft_url_stateless(spark, tmp_path):
             for r in op(batch).select(*cols).collect()
         )
         assert got == want and len(got) == 2, op.__name__
+
+
+def test_streaming_decayed_activity_matches_batch(spark, tmp_path):
+    """batch == stream for the decayed-activity feature: three ts-ordered
+    micro-batches must land on exactly the batch ladder's final scores."""
+    from lakota_spark.operators.timeseries import decayed_sum
+    from lakota_spark.streaming import streaming_decayed_activity
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    rows = [
+        (u, e, e * 10, (e * 7) % 50 + 1)
+        for u in (1, 2, 3)
+        for e in range(1, 13)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, v long"
+    )
+    batch = decayed_sum(
+        df, "ts", "user_id", F.col("v"), horizon=5, shift=10,
+        tiebreak="event_id",
+    )
+    expected = {
+        r.user_id: r.decayed
+        for r in batch.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id")
+                .orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .where("rn = 1")
+        .collect()
+    }
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    # 3 event-ordered chunks, one file per trigger
+    for i, lo in enumerate((1, 5, 9)):
+        chunk = [r for r in rows if lo <= r[1] < lo + 4]
+        spark.createDataFrame(
+            chunk, "user_id long, event_id long, ts long, v long"
+        ).coalesce(1).write.parquet(f"file://{src}/b{i}.parquet")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts long, v long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"file://{src}/*")
+    )
+    q = (
+        streaming_decayed_activity(
+            stream, "user_id", "v", ("ts", "event_id"), horizon=5,
+            shift=10,
+        )
+        .writeStream.format("memory")
+        .queryName("decayed_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows_out = spark.sql(
+        "select * from decayed_stream"
+    ).collect()
+    final = {}
+    seen_updates = set()
+    for r in rows_out:
+        final[r.key] = max(final.get(r.key, (0, 0)), (r.n_events, r.decayed))
+        seen_updates.add((r.key, r.n_events))
+    got = {k: v[1] for k, v in final.items()}
+    assert got == expected
+    # state genuinely carried across batches: intermediate emissions exist
+    assert any(n < 12 for _, n in seen_updates)
