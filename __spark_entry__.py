@@ -756,6 +756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pipeline.temperature_resample_report,
         # integer-exact bounded-horizon decayed activity (round 10)
         "decayed_user_activity": pipeline.decayed_user_activity,
+        # content-defined chunking: insertion-stable chunk hashes
+        # (round 10)
+        "cdc_chunk_report": pipeline.cdc_chunk_report,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
@@ -3357,6 +3360,52 @@ n AS (SELECT user_id, max(rn) AS n_events FROM s GROUP BY 1)
 SELECT n.user_id, n.n_events::BIGINT AS n_events,
        d.decayed AS last_decayed
 FROM n JOIN d ON d.user_id = n.user_id AND d.rn = n.n_events
+""",
+        # same closed-form polynomial hash as the Arrow pass: powers
+        # reduced mod 2^25 (pow(31,j) < 2^53 — exact in double), the
+        # 8-term dot stays under 2^49 so no intermediate reduction;
+        # boundary set UNION the doc end reproduces the tail-chunk rule
+        "cdc_chunk_report": """
+WITH ch AS (
+  SELECT doc_id, i, unicode(substr(text, i, 1))::BIGINT AS c
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents WHERE length(text) >= 1)
+),
+h AS (
+  SELECT l.doc_id, l.i,
+         sum(r.c * (pow(31, l.i - r.i)::BIGINT % 33554432)) % 33554432
+           AS hv
+  FROM ch l JOIN ch r ON r.doc_id = l.doc_id
+                     AND r.i BETWEEN l.i - 7 AND l.i
+  WHERE l.i >= 8
+  GROUP BY 1, 2
+),
+ends AS (
+  SELECT doc_id, i AS e FROM h WHERE hv % 256 = 0
+  UNION
+  SELECT doc_id, length(text) FROM documents WHERE length(text) >= 1
+),
+cx AS (
+  SELECT e.doc_id,
+         coalesce(lag(e.e) OVER (PARTITION BY e.doc_id ORDER BY e.e), 0)
+           AS prev,
+         e.e
+  FROM ends e
+),
+chunks AS (
+  SELECT c.doc_id, c.e - c.prev AS chunk_len,
+         md5(substr(d.text, c.prev + 1, c.e - c.prev)) AS chunk_hash
+  FROM cx c JOIN documents d USING (doc_id)
+)
+SELECT d.source,
+       count(DISTINCT k.doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_chunks,
+       count(DISTINCT k.chunk_hash)::BIGINT AS n_uniq_chunks,
+       sum(k.chunk_len)::BIGINT AS total_chars,
+       max(k.chunk_len)::BIGINT AS max_chunk
+FROM chunks k JOIN documents d USING (doc_id)
+GROUP BY d.source
 """,
         "pagerank_top_docs": """
 WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),

@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "temperature_resample_report",
     # round-10: integer-exact decayed activity (bounded window ladder)
     "decayed_user_activity",
+    # round-10: content-defined chunking (vectorized rolling hash)
+    "cdc_chunk_report",
     # round-6 curation additions (dedup_keep_best stays correctness-only:
     # like dedup_clusters it re-derives the full verified-pair pipeline,
     # which minhash_dedup_pairs already prices here; decontaminate_bloom

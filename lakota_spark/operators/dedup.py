@@ -1454,3 +1454,114 @@ def group_shingle_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    base: int = 31,
+    modulus: int = 1 << 25,
+    divisor: int = 256,
+    keep_text: bool = False,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS family): a chunk
+    boundary falls AFTER position ``i`` wherever the polynomial hash of
+    the k chars ending at i — ``H_i = (sum_j code(ch[i-j]) * base^j)
+    % modulus`` — satisfies ``H_i % divisor == 0``.  Because boundaries
+    depend only on local content, inserting or deleting a span only
+    re-chunks its neighborhood: every chunk hash downstream of the edit
+    survives, which is what makes chunk-level dedup robust to edits
+    where fixed-width chunking is not (tested).  Average chunk length
+    ~= ``divisor`` chars.
+
+    Exactness: code points (not bytes), and the k-term dot product
+    stays below 2**59 for base=31, k=8 (max code 0x10FFFF), so the
+    hash needs NO intermediate reduction — the same closed form is
+    computable in plain SQL (DuckDB oracle: per-char unnest + bounded
+    self-join), and the Spark side is ONE vectorized Arrow pass
+    (sliding-window matmul in int64 numpy) — no per-char JVM explode,
+    no shuffle.  Docs shorter than ``k`` (or boundary-free) emit one
+    whole-doc chunk; empty docs emit nothing.
+
+    Output: (id, chunk_idx 0-based, start 1-based, chunk_len,
+    chunk_hash [, chunk_text]) — ``chunk_hash`` is md5 of the chunk
+    text (JVM-side, engine-identical to SQL ``md5``).
+
+    Scale shape: mapInPandas over whatever partitioning the input has;
+    per-row state is one codes array; output mass ~= input text mass.
+    At 100 TB this is a pure map stage — chunk-level dedup afterwards
+    is the usual hash groupBy.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if k < 1 or base < 2 or divisor < 2 or modulus % divisor != 0:
+        # modulus must be a multiple of divisor or the boundary rate
+        # is not 1/divisor
+        raise ValueError("need k>=1, base>=2, divisor>=2, divisor|modulus")
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("chunk_idx", LongType()),
+            StructField("start", LongType()),
+            StructField("chunk_len", LongType()),
+            StructField("chunk_text", StringType()),
+        ]
+    )
+    powers_list = [base**j % modulus for j in range(k)]
+
+    def chunk_batch(batches):
+        import numpy as np
+
+        powers = np.array(powers_list, dtype=np.int64)
+        for pdf in batches:
+            ids, idxs, starts, lens, texts = [], [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) == 0:
+                    continue
+                n = len(text)
+                bounds = []
+                if n >= k:
+                    codes = np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    # windows[i] = codes[i : i+k]; H for the window
+                    # ENDING at 1-based pos i+k -> reversed powers
+                    win = np.lib.stride_tricks.sliding_window_view(
+                        codes, k
+                    )
+                    h = (win @ powers[::-1]) % modulus
+                    bounds = (np.nonzero(h % divisor == 0)[0] + k).tolist()
+                if not bounds or bounds[-1] != n:
+                    bounds.append(n)
+                prev = 0
+                for ci, b in enumerate(bounds):
+                    ids.append(rid)
+                    idxs.append(ci)
+                    starts.append(prev + 1)
+                    lens.append(b - prev)
+                    texts.append(text[prev:b])
+                    prev = b
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "chunk_idx": idxs,
+                    "start": starts,
+                    "chunk_len": lens,
+                    "chunk_text": texts,
+                }
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(chunk_batch, out_schema)
+    out = out.withColumn("chunk_hash", F.md5(F.col("chunk_text")))
+    return out if keep_text else out.drop("chunk_text")

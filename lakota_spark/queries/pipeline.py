@@ -2573,3 +2573,27 @@ def decayed_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decayed", F.struct(F.col("ts"), F.col("event_id"))
         ).alias("last_decayed"),
     )
+
+
+def cdc_chunk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking rolled up per source
+    (operators/dedup.cdc_chunks): polynomial-rolling-hash boundaries
+    (k=8, base=31, mod 2^25, divisor 256 => ~256-char chunks) make
+    chunk hashes insertion-stable, so the unique-vs-total chunk-hash
+    gap is a direct shared-content signal per dump.  The Spark side is
+    one vectorized Arrow map pass + a hash rollup; the oracle replays
+    the SAME closed-form hash with a per-char unnest and a bounded
+    8-row self-join — exact integers throughout."""
+    docs = _docs(spark, sf_dir)
+    ch = D.cdc_chunks(docs)
+    return (
+        ch.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_hash").alias("n_uniq_chunks"),
+            F.sum("chunk_len").alias("total_chars"),
+            F.max("chunk_len").alias("max_chunk"),
+        )
+    )

@@ -6208,3 +6208,74 @@ def test_decayed_sum_semantics(spark):
         5: 13 * 16 + 11 * 8,
         6: 17 * 16 + 13 * 8,
     }
+
+
+def _cdc_ref(text, k=8, base=31, modulus=1 << 25, divisor=256):
+    """Independent loop-based reference for cdc_chunks boundaries."""
+    n = len(text)
+    bounds = []
+    for i in range(k, n + 1):  # 1-based end positions
+        h = 0
+        for j in range(k):
+            h += ord(text[i - 1 - j]) * (base**j % modulus)
+        if (h % modulus) % divisor == 0:
+            bounds.append(i)
+    if not bounds or bounds[-1] != n:
+        bounds.append(n)
+    out, prev = [], 0
+    for ci, b in enumerate(bounds):
+        out.append((ci, prev + 1, b - prev, text[prev:b]))
+        prev = b
+    return out
+
+
+def test_cdc_chunks_differential(spark):
+    import random
+
+    from lakota_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(99)
+    rows = [
+        (i, "".join(chr(rng.randrange(97, 123)) for _ in range(ln)))
+        for i, ln in enumerate([0, 3, 7, 8, 9, 200, 1500, 4000])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    out = cdc_chunks(df, keep_text=True).collect()
+    for r in out:
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start, r.chunk_len, r.chunk_text)
+        )
+    for doc_id, text in rows:
+        exp = _cdc_ref(text)
+        if len(text) == 0:
+            assert doc_id not in got
+            continue
+        assert sorted(got[doc_id]) == exp, doc_id
+        # chunks reconstruct the document exactly
+        assert "".join(t for *_, t in sorted(got[doc_id])) == text
+
+
+def test_cdc_chunks_insertion_robust(spark):
+    """THE content-defined property: an insertion near the head only
+    re-chunks its neighborhood — fixed-width chunking would shift every
+    downstream chunk."""
+    import random
+
+    from lakota_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(4)
+    text = "".join(chr(rng.randrange(97, 123)) for _ in range(5000))
+    edited = text[:100] + "INSERTED" + text[100:]
+    df = spark.createDataFrame(
+        [(0, text), (1, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df).collect()
+    a = {r.chunk_hash for r in out if r.doc_id == 0}
+    b = {r.chunk_hash for r in out if r.doc_id == 1}
+    # at least all-but-3 of the original chunks survive the edit
+    assert len(a - b) <= 3 and len(a) > 10
+    # fixed-width chunking shares (almost) nothing after the edit
+    fixed_a = {text[i : i + 256] for i in range(0, len(text), 256)}
+    fixed_b = {edited[i : i + 256] for i in range(0, len(edited), 256)}
+    assert len(fixed_a & fixed_b) <= 1
