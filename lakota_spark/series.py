@@ -669,6 +669,7 @@ class Series:
                     n,
                     exec_lo,
                     exec_hi,
+                    exec_zmap,
                 ) = self._write_segment_files_df(
                     df, known_sorted=validate_sorted
                 )
@@ -720,12 +721,24 @@ class Series:
         if validate_sorted and local_pdf is None and local is not None:
             self._assert_sorted(df)
 
+        from lakota_spark import zonemap
+
+        zmap = None
         if local_pdf is not None:
             path, digest = self._write_segment_files_local(local_pdf)
+            zmap = zonemap.compute_from_pdf(local_pdf, self.schema)
         elif local is None:
             path, digest = exec_path, exec_digest  # already written above
+            zmap = exec_zmap
         else:
             path, digest = self._write_segment_files(df, n)
+            if pdf is not None:
+                zmap = zonemap.compute_from_pdf(pdf, self.schema)
+        meta = {"digest": digest}
+        if zmap:
+            # value-column zone map: consulted by frame()/df() masked
+            # reads to skip whole segments (zonemap.prune)
+            meta["zmap"] = zmap
         return self._commit_segment(
             Segment(
                 label=self.label,
@@ -735,7 +748,7 @@ class Series:
                 stop_closed=stop_closed if stop is not None else True,
                 path=path,
                 length=n,
-                meta={"digest": digest},
+                meta=meta,
             ),
             root=root,
         )
@@ -860,8 +873,9 @@ class Series:
         exactly as the driver-local and executor paths already do —
         SKIP-WRITE dedup is per-path, correctness never depends on it.
 
-        Returns ``(name, digest, n, lo, hi)``; empty input returns
-        ``(None, None, 0, None, None)`` with nothing published.
+        Returns ``(name, digest, n, lo, hi, zmap)``; empty input
+        returns ``(None, None, 0, None, None, None)`` with nothing
+        published.
         """
         idx_cols = [F.col(c) for c in self.schema.idx]
         # The fast path keeps the INPUT partition layout, so it is only
@@ -908,11 +922,12 @@ class Series:
         direct path, so content addresses agree across backends
         (push/pull dedup relies on this).
 
-        ``with_stats=True`` also derives ``(n, lo, hi)`` from the
-        written files (`_files_stats`) and returns the 5-tuple
-        ``(name, digest, n, lo, hi)`` — ``(None, None, 0, None, None)``
-        for empty input, with nothing published. Otherwise returns
-        ``(name, digest)``.
+        ``with_stats=True`` also derives ``(n, lo, hi, zmap)`` from
+        the written files (`_files_stats` — the value-column zone map
+        rides the footers that are already open) and returns the
+        6-tuple ``(name, digest, n, lo, hi, zmap)`` —
+        ``(None, None, 0, None, None, None)`` for empty input, with
+        nothing published. Otherwise returns ``(name, digest)``.
         """
         fs = self.collection.fs
         seg_prefix = self.collection.seg_prefix
@@ -934,7 +949,7 @@ class Series:
             if with_stats:
                 stats = self._files_stats(staging_fs, staging_rel, parts)
                 if stats[0] == 0:
-                    return None, None, 0, None, None
+                    return None, None, 0, None, None, None
             pref = f"{staging_rel}/" if staging_rel else ""
             digest = fs.combine_sha1(
                 staging_fs.files_sha1(
@@ -981,14 +996,16 @@ class Series:
             shutil.rmtree(staging, ignore_errors=True)
 
     def _files_stats(self, fs, dir_rel: str, parts: list[str]):
-        """``(n, lo, hi)`` straight from just-written SORTED segment
-        files: footers give exact per-file row counts, and because the
-        files are range-partitioned and internally sorted, the global
-        min/max index tuples are the FIRST row of the first non-empty
-        file and the LAST row of the last one — exact for every index
-        type including strings (parquet column statistics may be
-        truncated; actual edge rows never are). Driver-side cost: one
-        footer read per file plus two partial row reads."""
+        """``(n, lo, hi, zmap)`` straight from just-written SORTED
+        segment files: footers give exact per-file row counts, and
+        because the files are range-partitioned and internally sorted,
+        the global min/max index tuples are the FIRST row of the first
+        non-empty file and the LAST row of the last one — exact for
+        every index type including strings (parquet column statistics
+        may be truncated; actual edge rows never are). The value-column
+        zone map (`zonemap.compute_from_parquet_meta`, numeric columns
+        only) reuses the same already-open footers. Driver-side cost:
+        one footer read per file plus two partial row reads."""
         import datetime as dtmod
 
         import pyarrow.parquet as pq
@@ -1012,7 +1029,12 @@ class Series:
                 counts.append(pf.metadata.num_rows)
             n = sum(counts)
             if n == 0:
-                return 0, None, None
+                return 0, None, None, None
+            from lakota_spark import zonemap
+
+            zmap = zonemap.compute_from_parquet_meta(
+                [pf.metadata for pf in pfs], self.schema
+            )
             first = next(pf for pf, c in zip(pfs, counts) if c)
             last = next(
                 pf for pf, c in zip(reversed(pfs), reversed(counts)) if c
@@ -1056,7 +1078,7 @@ class Series:
 
         lo = tuple(norm(lo_row[c]) for c in idx)
         hi = tuple(norm(hi_row[c]) for c in idx)
-        return n, lo, hi
+        return n, lo, hi, zmap
 
     def _commit_segment(self, seg: Segment, root: bool = False):
         return self.collection.apply_segments([seg], root=root)
@@ -1100,11 +1122,21 @@ class Series:
         segs = self.segments(start, stop, before, closed)
         cols = select or list(self.schema.columns)
         mask_col = None
+        mask_plan = mask_fields = None
         if mask is not None:
             from lakota_spark import sexpr as _sexpr
 
             mc = _sexpr.evaluate(_sexpr.parse(mask))
             mask_col = mc.value if isinstance(mc, _sexpr.Alias) else mc
+            mask_plan, mask_fields = self._compile_mask(mask)
+            if mask_plan is not None and not self.schema.kv:
+                # value-column zone maps: skip whole segments the mask
+                # provably cannot match (never for KV — dropping a
+                # masked-out NEWER segment would resurrect the older
+                # rows it shadows)
+                from lakota_spark import zonemap
+
+                segs = zonemap.prune(segs, mask_plan)
         if sort:
             # Sorted reads of clean (never-clipped) segments skip the
             # global orderBy entirely (VERDICT r8 #2): segments are
@@ -1112,7 +1144,6 @@ class Series:
             # ordered scan IS the sorted frame — no range exchange, no
             # Sort node (see `_ordered_scan`).
             fast = None
-            mask_plan, mask_fields = self._compile_mask(mask)
             if mask is None or mask_plan is not None:
                 fast = self._ordered_scan(
                     segs,
@@ -1299,6 +1330,10 @@ class Series:
                 return None  # non-pushable mask -> the Spark path
         segs = self.segments(start, stop, before, closed)
         live = [s for s in segs if s.path]
+        if mask_plan is not None:
+            from lakota_spark import zonemap
+
+            live = zonemap.prune(live, mask_plan)
         if any(s.meta.get("clip") for s in live):
             return None  # narrowed bounds need the per-segment filter
         import pandas as pd

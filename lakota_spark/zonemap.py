@@ -1,0 +1,315 @@
+"""Value-column zone maps: per-segment min/max for NON-index columns,
+stored in segment meta at write time and consulted at read time so a
+``mask=`` predicate can skip whole segments before any parquet bytes
+move.  Index bounds already prune by range (`Series.segments`); this is
+the same idea for the payload columns — the classic zone-map / small
+materialized aggregate trick, and at 100 TB the difference between
+"open every segment's footers and let row-group stats prune" and
+"never even list the files".
+
+Sources of the stats:
+
+* driver-local writes compute exact min/max/has-null from the pandas
+  frame (int/float/str; strings capped at 64 chars — a truncated MIN
+  is still a valid lower bound but a truncated MAX is not, so long
+  strings just drop the column);
+* executor writes reuse the parquet footers `_files_stats` ALREADY
+  opens (zero extra IO) — numeric columns only, because parquet string
+  statistics may be writer-truncated and are not trustworthy as tight
+  bounds.
+
+Pruning logic is a may/must dual over the `sexpr.to_filter_plan` IR:
+``may(plan)`` is True when SOME row could satisfy the mask (False ⇒
+skip the segment), ``must(plan)`` under-approximates "every non-null
+row satisfies" and exists only to drive ``may(not x) = not must(x)``.
+Floats force ``must = False`` (NaN compares false against everything
+arrow-side, so a NaN row can satisfy a negated comparison that every
+finite value fails).  Everything unknown — absent column, mixed types,
+unexpected node — degrades to "keep the segment".  KV collections are
+never pruned by the callers: dropping a segment whose rows fail the
+mask could resurrect OLDER shadowed rows that pass it (mask must apply
+after last-writer-wins dedup).
+"""
+
+from __future__ import annotations
+
+import math
+
+_STR_CAP = 64
+
+
+def _ok_str(v) -> bool:
+    return isinstance(v, str) and len(v) <= _STR_CAP
+
+
+def _ok_num(v) -> bool:
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return False
+    return not (isinstance(v, float) and not math.isfinite(v))
+
+
+def compute_from_pdf(pdf, schema) -> dict | None:
+    """Exact zone map from a driver-local frame: value columns of type
+    int/float/str -> [min, max, has_null].  Columns whose bounds are
+    not JSON-safe tight bounds (long strings, non-finite floats, all
+    null) are omitted."""
+    out = {}
+    for col, kind in schema.columns.items():
+        if col in schema.idx or kind not in ("int", "float", "str"):
+            continue
+        s = pdf[col]
+        has_null = bool(s.isna().any())
+        sv = s.dropna()
+        if len(sv) == 0:
+            continue
+        try:
+            lo, hi = sv.min(), sv.max()
+        except TypeError:
+            continue
+        if kind == "str":
+            lo, hi = str(lo), str(hi)
+            if not (_ok_str(lo) and _ok_str(hi)):
+                continue
+        else:
+            lo = lo.item() if hasattr(lo, "item") else lo
+            hi = hi.item() if hasattr(hi, "item") else hi
+            # coerce to the SCHEMA kind, not the raw input dtype: the
+            # must()-side NaN rule keys off float-typed bounds, so a
+            # float column fed python ints must not masquerade as int
+            try:
+                lo, hi = (
+                    (float(lo), float(hi))
+                    if kind == "float"
+                    else (int(lo), int(hi))
+                )
+            except (TypeError, ValueError):
+                continue
+            if not (_ok_num(lo) and _ok_num(hi)):
+                continue
+        out[col] = [lo, hi, has_null]
+    return out or None
+
+
+def compute_from_parquet_meta(metas, schema) -> dict | None:
+    """Zone map from just-written parquet footers (list of
+    ``pyarrow.parquet.FileMetaData``): numeric value columns only; a
+    column survives only if EVERY non-empty row group carries min/max
+    stats (or is all-null).  Zero extra IO — the caller already holds
+    the footers."""
+    want = {
+        col: kind
+        for col, kind in schema.columns.items()
+        if col not in schema.idx and kind in ("int", "float")
+    }
+    if not want:
+        return None
+    acc: dict[str, list] = {}
+    dead: set[str] = set()
+    for md in metas:
+        names = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        for col in want:
+            if col in dead:
+                continue
+            ci = names.get(col)
+            if ci is None:
+                dead.add(col)
+                continue
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                if g.num_rows == 0:
+                    continue
+                st = g.column(ci).statistics
+                if st is None:
+                    dead.add(col)
+                    break
+                nulls = st.null_count
+                has_null = nulls is None or nulls > 0
+                if nulls is not None and nulls == g.num_rows:
+                    if has_null and col in acc:
+                        acc[col][2] = True
+                    elif has_null:
+                        acc[col] = [None, None, True]
+                    continue  # all-null group: no bounds to offer
+                if not st.has_min_max:
+                    dead.add(col)
+                    break
+                try:
+                    lo, hi = (
+                        (float(st.min), float(st.max))
+                        if want[col] == "float"
+                        else (int(st.min), int(st.max))
+                    )
+                except (TypeError, ValueError):
+                    dead.add(col)
+                    break
+                if not (_ok_num(lo) and _ok_num(hi)):
+                    dead.add(col)
+                    break
+                cur = acc.get(col)
+                if cur is None:
+                    acc[col] = [lo, hi, has_null]
+                else:
+                    if cur[0] is None or lo < cur[0]:
+                        cur[0] = lo
+                    if cur[1] is None or hi > cur[1]:
+                        cur[1] = hi
+                    cur[2] = cur[2] or has_null
+    out = {
+        c: v
+        for c, v in acc.items()
+        if c not in dead and v[0] is not None
+    }
+    return out or None
+
+
+def _comparable(lit, lo) -> bool:
+    if isinstance(lit, bool):
+        return False
+    if isinstance(lit, str):
+        return isinstance(lo, str)
+    if isinstance(lit, (int, float)):
+        return isinstance(lo, (int, float)) and not isinstance(lo, bool)
+    return False
+
+
+def _may_cmp(op: str, lo, hi, lit, flipped: bool) -> bool:
+    """Could some non-null value v in [lo, hi] satisfy ``v op lit``
+    (or ``lit op v`` when flipped)?"""
+    if flipped:  # lit op v  ==  v (mirror op) lit
+        op = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=",
+              "!=": "!="}[op]
+    if op == "<":
+        return lo < lit
+    if op == "<=":
+        return lo <= lit
+    if op == ">":
+        return hi > lit
+    if op == ">=":
+        return hi >= lit
+    if op == "=":
+        return lo <= lit <= hi
+    return not (lo == hi == lit)  # !=
+
+
+def _must_cmp(op: str, lo, hi, lit, flipped: bool) -> bool:
+    """Does EVERY non-null value in [lo, hi] satisfy it?"""
+    if flipped:
+        op = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=",
+              "!=": "!="}[op]
+    if op == "<":
+        return hi < lit
+    if op == "<=":
+        return hi <= lit
+    if op == ">":
+        return lo > lit
+    if op == ">=":
+        return lo >= lit
+    if op == "=":
+        return lo == hi == lit
+    return lit < lo or lit > hi  # !=
+
+
+def may_match(plan, zmap: dict) -> bool:
+    """False ⇒ provably no row of the segment satisfies the mask."""
+
+    def field_of(a, b):
+        if a[0] == "field" and b[0] == "lit":
+            return a[1], b[1], False
+        if b[0] == "field" and a[0] == "lit":
+            return b[1], a[1], True
+        return None
+
+    def may(node) -> bool:
+        kind = node[0]
+        if kind == "lit":
+            return bool(node[1])
+        if kind == "cmp":
+            _, op, a, b = node
+            if a[0] == "lit" and b[0] == "lit":
+                return _may_cmp(op, a[1], a[1], b[1], False) \
+                    if _comparable(b[1], a[1]) else True
+            fl = field_of(a, b)
+            if fl is None:
+                return True
+            col, lit, flipped = fl
+            z = zmap.get(col)
+            if z is None or not _comparable(lit, z[0]):
+                return True
+            return _may_cmp(op, z[0], z[1], lit, flipped)
+        if kind == "and":
+            return all(may(x) for x in node[1])
+        if kind == "or":
+            return any(may(x) for x in node[1])
+        if kind == "not":
+            return not must(node[1])
+        if kind == "in":
+            a, values = node[1], node[2]
+            if a[0] != "field":
+                return True
+            z = zmap.get(a[1])
+            if z is None:
+                return True
+            return any(
+                _comparable(v, z[0]) and z[0] <= v <= z[1]
+                for v in values
+            ) or any(not _comparable(v, z[0]) for v in values)
+        if kind == "isnull":
+            a = node[1]
+            if a[0] != "field":
+                return True
+            z = zmap.get(a[1])
+            return True if z is None else bool(z[2])
+        return True  # unknown node: keep
+
+    def must(node) -> bool:
+        kind = node[0]
+        if kind == "lit":
+            return bool(node[1])
+        if kind == "cmp":
+            _, op, a, b = node
+            fl = field_of(a, b)
+            if fl is None:
+                return False
+            col, lit, flipped = fl
+            z = zmap.get(col)
+            if z is None or not _comparable(lit, z[0]):
+                return False
+            if isinstance(z[0], float) or isinstance(z[1], float):
+                return False  # NaN rows: arrow cmp false, ~cmp true
+            return _must_cmp(op, z[0], z[1], lit, flipped)
+        if kind == "and":
+            return all(must(x) for x in node[1])
+        if kind == "or":
+            return any(must(x) for x in node[1])
+        if kind == "not":
+            return not may(node[1])
+        if kind == "in":
+            a, values = node[1], node[2]
+            if a[0] != "field":
+                return False
+            z = zmap.get(a[1])
+            if z is None or isinstance(z[0], float):
+                return False
+            return z[0] == z[1] and any(
+                _comparable(v, z[0]) and v == z[0] for v in values
+            )
+        return False  # isnull / unknown: never provable
+
+    return may(plan)
+
+
+def prune(segments, plan):
+    """Drop segments whose zone map proves the mask matches nothing.
+    Segments without a zone map (old writes, tombstones, skipped
+    columns) are kept.  Callers must NOT use this on KV collections."""
+    if plan is None:
+        return segments
+    out = []
+    for s in segments:
+        z = (s.meta or {}).get("zmap") if s.path else None
+        if z is not None and not may_match(plan, z):
+            continue
+        out.append(s)
+    return out

@@ -1,0 +1,194 @@
+"""Value-column zone maps: may/must pruning logic, writer-side capture
+on all three write paths, masked-read correctness (incl. the KV
+shadowing trap), and the pruning differential."""
+
+import random
+
+import pytest
+
+from lakota_spark import zonemap
+from lakota_spark.repo import Repo
+from lakota_spark.schema import Schema
+from lakota_spark.sexpr import to_filter_plan
+
+
+def _plan(expr):
+    p = to_filter_plan(expr)
+    assert p is not None, expr
+    return p[0]
+
+
+def test_may_match_table():
+    z = {"v": [10, 20, False], "s": ["bb", "dd", True]}
+    cases = [
+        ("(< self.v 10)", False),
+        ("(< self.v 11)", True),
+        ("(> self.v 20)", False),
+        ("(>= self.v 20)", True),
+        ("(= self.v 15)", True),
+        ("(= self.v 9)", False),
+        ("(!= self.v 15)", True),
+        ("(in self.v (list 1 2 3))", False),
+        ("(in self.v (list 1 12))", True),
+        ("(and (> self.v 12) (< self.v 14))", True),
+        ("(and (> self.v 25) (< self.v 30))", False),
+        ("(or (> self.v 25) (< self.v 5))", False),
+        ("(or (> self.v 25) (< self.v 15))", True),
+        # not: needs the must() dual
+        ("(not (< self.v 25))", False),   # all values ARE < 25
+        ("(not (< self.v 15))", True),
+        ("(isnull self.v)", False),
+        ("(isnull self.s)", True),
+        # strings
+        ("(< self.s \"ba\")", False),
+        ("(< self.s \"bc\")", True),
+        ("(= self.s \"cc\")", True),
+        # unknown column: conservative keep
+        ("(< self.other 0)", True),
+        # flipped literal side
+        ("(< 25 self.v)", False),
+        ("(< 15 self.v)", True),
+    ]
+    for expr, want in cases:
+        assert zonemap.may_match(_plan(expr), z) is want, expr
+
+
+def test_must_float_nan_guard():
+    # float column: must() refuses, so not(cmp) can never prune — a NaN
+    # row satisfies ~(v < 1e9) even when every finite value is < 1e9
+    z = {"f": [0.5, 2.5, False]}
+    assert zonemap.may_match(_plan("(not (< self.f 100.0))"), z) is True
+    # but may() on the positive form still prunes floats fine
+    assert zonemap.may_match(_plan("(> self.f 3.0)"), z) is False
+    # int columns DO prune through not()
+    zi = {"i": [1, 5, False]}
+    assert zonemap.may_match(_plan("(not (< self.i 100))"), zi) is False
+
+
+def test_all_degenerate_cases_conservative():
+    # missing zmap entries / mixed types / odd nodes keep the segment
+    assert zonemap.may_match(_plan("(< self.v \"str\")"), {"v": [1, 2, False]})
+    assert zonemap.may_match(_plan("(< self.v 5)"), {}) is True
+    seg = type("S", (), {"meta": {}, "path": "x"})()
+    assert zonemap.prune([seg], _plan("(< self.v 0)")) == [seg]
+
+
+@pytest.fixture()
+def repo(tmp_path):
+    return Repo(f"file://{tmp_path}/zr")
+
+
+def test_zone_map_captured_on_local_write_and_prunes(spark, repo):
+    clc = repo.create_collection(
+        Schema(ts="timestamp*", v="int", s="str"), "zm"
+    )
+    srs = clc.series("a")
+    import datetime as dt
+
+    def block(day, v0, tag):
+        return {
+            "ts": [dt.datetime(2024, 1, day, h) for h in range(4)],
+            "v": [v0 + i for i in range(4)],
+            "s": [f"{tag}{i}" for i in range(4)],
+        }
+
+    srs.write(block(1, 0, "a"))
+    srs.write(block(2, 100, "b"))
+    srs.write(block(3, 1000, "c"))
+    segs = srs.segments()
+    zms = [s.meta.get("zmap") for s in segs]
+    assert all(z is not None for z in zms)
+    assert sorted(z["v"] for z in zms) == [
+        [0, 3, False], [100, 103, False], [1000, 1003, False]
+    ]
+    assert sorted(z["s"] for z in zms)[0] == ["a0", "a3", False]
+
+    # pruning: only the middle segment can match
+    plan = _plan("(and (>= self.v 100) (< self.v 200))")
+    assert len(zonemap.prune(segs, plan)) == 1
+    # and the masked read is right on both the frame and df paths
+    out = srs.frame(mask="(and (>= self.v 100) (< self.v 200))")
+    assert sorted(r.v for r in out.collect()) == [100, 101, 102, 103]
+    pdf = srs.df(mask="(and (>= self.v 100) (< self.v 200))")
+    assert sorted(pdf["v"].tolist()) == [100, 101, 102, 103]
+    # a mask matching nothing anywhere: zero segments, empty frame
+    assert srs.frame(mask="(> self.v 99999)").count() == 0
+    assert len(srs.df(mask="(> self.v 99999)")) == 0
+
+
+def test_zone_map_captured_on_executor_write(spark, repo):
+    clc = repo.create_collection(
+        Schema(k="int*", v="int", f="float"), "zx"
+    )
+    srs = clc.series("e")
+    df = spark.range(1000).selectExpr(
+        "id as k", "id * 2 as v", "cast(id as double) / 4 as f"
+    )
+    srs.write(df)
+    (seg,) = srs.segments()
+    z = seg.meta.get("zmap")
+    assert z is not None
+    assert z["v"] == [0, 1998, False]
+    assert z["f"] == [0.0, 249.75, False]
+    assert srs.frame(mask="(> self.v 1998)").count() == 0
+    assert srs.frame(mask="(>= self.v 1990)").count() == 5
+
+
+def test_zone_map_kv_never_prunes(spark, repo):
+    # THE trap: a masked-out newer segment must still shadow older rows
+    clc = repo.create_collection(
+        Schema.kv_schema(k="int*", v="int"), "kvz"
+    )
+    srs = clc.series("kv")
+    srs.write({"k": [1, 2], "v": [5, 6]})
+    srs.write({"k": [1], "v": [100]})  # overwrites k=1
+    out = srs.frame(mask="(< self.v 10)").collect()
+    # k=1 now has v=100 (fails mask); only k=2 v=6 survives. If zone
+    # maps pruned the newer segment, the stale (1, 5) would resurface.
+    assert sorted((r.k, r.v) for r in out) == [(2, 6)]
+
+
+def test_zone_map_pruning_differential(spark, repo):
+    """Random segments + random masks: masked read ≡ unmasked read
+    filtered in pandas — pruning must never change results."""
+    clc = repo.create_collection(
+        Schema(i="int*", v="int", f="float"), "zd"
+    )
+    srs = clc.series("d")
+    rng = random.Random(11)
+    base = 0
+    for _ in range(6):
+        n = rng.randrange(3, 30)
+        vs = [rng.randrange(-50, 50) for _ in range(n)]
+        srs.write({
+            "i": list(range(base, base + n)),
+            "v": vs,
+            "f": [x / 4 for x in vs],
+        })
+        base += n
+    full = srs.df()
+    masks = [
+        "(< self.v 0)",
+        "(not (< self.v 10))",
+        "(and (>= self.v -10) (<= self.v 10))",
+        "(or (> self.v 45) (< self.v -45))",
+        "(in self.v (list 0 1 2 3))",
+        "(> self.f 5.0)",
+        "(not (> self.f 0.0))",
+        "(!= self.v 0)",
+    ]
+    for m in masks:
+        got = srs.df(mask=m).reset_index(drop=True)
+        import pandas as pd
+
+        from lakota_spark.series import _arrow_mask_expr
+        import pyarrow as pa
+
+        plan = to_filter_plan(m)[0]
+        tbl = pa.Table.from_pandas(full, preserve_index=False)
+        exp = (
+            tbl.filter(_arrow_mask_expr(plan))
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False), m
