@@ -395,17 +395,24 @@ class LakotaBatchReader(DataSourceReader):
         start, stop, s_cl, e_cl = self._pushed_index_bounds()
         snap = self._series.collection.snapshot(before=self._before)
         segs = snap.for_label(self._series.label, start, stop, s_cl, e_cl)
+        plan = (
+            ("and", self._nodes)
+            if len(self._nodes) > 1
+            else (self._nodes[0] if self._nodes else None)
+        )
+        if plan is not None:
+            # value-column zone maps: drop whole segments the pushed
+            # filters provably cannot match (KV is rejected above, so
+            # no shadowing hazard)
+            from lakota_spark import zonemap
+
+            segs = zonemap.prune(segs, plan)
         rels = [
             f"{self._series.collection.seg_prefix}/{s.path}"
             for s in segs
             if s.path
         ]
         uri = _resolve_backend(self._series, rels)
-        plan = (
-            ("and", self._nodes)
-            if len(self._nodes) > 1
-            else (self._nodes[0] if self._nodes else None)
-        )
         parts = _seg_partitions(
             self._series, segs, uri, plan, self._max_parts
         )

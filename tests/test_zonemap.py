@@ -192,3 +192,22 @@ def test_zone_map_pruning_differential(spark, repo):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, exp, check_dtype=False), m
+
+
+def test_zone_map_prunes_datasource_partitions(spark, repo):
+    from lakota_spark.datasource import register
+
+    register(spark)
+    clc = repo.create_collection(Schema(i="int*", v="int"), "dsz")
+    srs = clc.series("d")
+    srs.write({"i": [1, 2, 3], "v": [10, 11, 12]})
+    srs.write({"i": [4, 5, 6], "v": [500, 501, 502]})
+    df = (
+        spark.read.format("lakota")
+        .option("path", repo.root)
+        .option("table", "dsz/d")
+        .load()
+    )
+    out = df.where("v >= 500").collect()
+    assert sorted(r.v for r in out) == [500, 501, 502]
+    assert df.where("v > 1000").count() == 0
