@@ -230,3 +230,39 @@ def overlap_length(
         - F.greatest(F.col(left_start), F.col(right_start)),
         F.lit(0),
     )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point: str,
+    start: str,
+    end: str,
+    on: list[str] | str | None = None,
+    base_width: int | None = None,
+    levels: int | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (point, interval) pairs with ``start <= point < end`` —
+    events-in-windows, trades-in-sessions, timestamps-in-incidents.
+    A point is the degenerate interval ``[p, p+1)`` (integral bounds),
+    so this is `interval_join` with the left side widened one tick:
+    the overlap test ``max(p, s) < min(p+1, e)`` reduces exactly to
+    ``s <= p < e``.  Same grid shape, same equi-only plan.
+    """
+    pts = points.withColumn("_pt_end", F.col(point) + 1)
+    out = interval_join(
+        pts,
+        intervals,
+        point,
+        "_pt_end",
+        start,
+        end,
+        on=on,
+        base_width=base_width,
+        levels=levels,
+        how=how,
+        suffix=suffix,
+    )
+    return out.drop("_pt_end")

@@ -157,3 +157,20 @@ def test_overlap_length_column(spark):
     ).withColumn("ov", overlap_length("ls", "le", "rs", "re"))
     got = {r.rid: r.ov for r in out.collect()}
     assert got == {0: 5}
+
+
+def test_point_in_interval_join(spark):
+    from lakota_spark.operators.interval import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        [(0, 5), (1, 10), (2, 19), (3, 20), (4, 55)],
+        "pid long, p long",
+    )
+    ivs = spark.createDataFrame(
+        [(0, 10, 20), (1, 0, 6), (2, 18, 60)], "iid long, s long, e long"
+    )
+    out = point_in_interval_join(pts, ivs, "p", "s", "e")
+    got = {(r.pid, r.iid) for r in out.collect()}
+    # half-open: p=20 not in [10,20); p=19 in both [10,20) and [18,60)
+    assert got == {(0, 1), (1, 0), (2, 0), (2, 2), (3, 2), (4, 2)}
+    assert "_pt_end" not in out.columns
