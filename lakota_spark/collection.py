@@ -749,6 +749,12 @@ class Collection:
                         key=lambda t: (t[0], t[1]),
                     )
                     path, digest = series._write_segment_files_local(pdf)
+                    from lakota_spark import zonemap
+
+                    meta = {"digest": digest, "defrag": True}
+                    zm = zonemap.compute_from_pdf(pdf, self.schema)
+                    if zm:
+                        meta["zmap"] = zm
                     merged = Segment(
                         label=label,
                         start=run[0].start,
@@ -758,7 +764,7 @@ class Collection:
                         path=path,
                         length=n,
                         seq=snap.max_seq + 1,
-                        meta={"digest": digest, "defrag": True},
+                        meta=meta,
                     )
                     # identity, not equality: `in run` would pay an
                     # O(|run|) frozen-dataclass field compare per table
@@ -791,6 +797,17 @@ class Collection:
                     key=lambda t: (t[0], t[1]),
                 )
                 path, digest = series._write_segment_files(df, n)
+                from lakota_spark import zonemap
+
+                meta = {"digest": digest, "defrag": True}
+                # no frame in hand on this branch: merge the run's own
+                # zone maps — valid for any subset of the union, so the
+                # KV last-writer-wins rewrite may reuse it too
+                zm = zonemap.merge(
+                    [(s.meta or {}).get("zmap") for s in run]
+                )
+                if zm:
+                    meta["zmap"] = zm
                 merged = Segment(
                     label=label,
                     start=run[0].start,
@@ -800,7 +817,7 @@ class Collection:
                     path=path,
                     length=n,
                     seq=snap.max_seq + 1,
-                    meta={"digest": digest, "defrag": True},
+                    meta=meta,
                 )
                 # identity, not equality (see fast path above)
                 run_ids = {id(s) for s in run}

@@ -519,12 +519,13 @@ def register(spark) -> None:
 
 
 class _SegmentMsg(WriterCommitMessage):
-    def __init__(self, tmp_rel, digests, n, lo, hi):
+    def __init__(self, tmp_rel, digests, n, lo, hi, zmap=None):
         self.tmp_rel = tmp_rel
         self.digests = digests
         self.n = n
         self.lo = lo
         self.hi = hi
+        self.zmap = zmap
 
 
 class LakotaArrowWriter(DataSourceArrowWriter):
@@ -652,7 +653,10 @@ class LakotaArrowWriter(DataSourceArrowWriter):
                 posixpath.join(tmp_full, f"part-{i:05d}.parquet")
             ) as out:
                 out.write(b)
-        return _SegmentMsg(tmp_rel, digests, n, lo, hi)
+        from lakota_spark import zonemap
+
+        zmap = zonemap.compute_from_arrow(tbl, self._idx, self._aliases)
+        return _SegmentMsg(tmp_rel, digests, n, lo, hi, zmap)
 
     # -- driver side ---------------------------------------------------------
 
@@ -672,6 +676,9 @@ class LakotaArrowWriter(DataSourceArrowWriter):
                 fs.remove_tree(m.tmp_rel)
             else:
                 fs.move(m.tmp_rel, final_rel)
+            meta = {"digest": digest}
+            if getattr(m, "zmap", None):
+                meta["zmap"] = m.zmap
             segs.append(
                 Segment(
                     label=series.label,
@@ -679,7 +686,7 @@ class LakotaArrowWriter(DataSourceArrowWriter):
                     stop=m.hi,
                     path=name,
                     length=m.n,
-                    meta={"digest": digest},
+                    meta=meta,
                 )
             )
         for prev, cur in zip(segs, segs[1:]):

@@ -313,3 +313,69 @@ def prune(segments, plan):
             continue
         out.append(s)
     return out
+
+
+def merge(zmaps) -> dict | None:
+    """Combine segment zone maps for a compaction rewrite: valid only
+    when EVERY input segment contributes one (an unknown segment could
+    hold anything).  Per column present in all inputs: [min of mins,
+    max of maxs, any has_null] — a correct (possibly loose) bound for
+    any SUBSET of the union too, so KV last-writer-wins rewrites may
+    reuse it."""
+    out: dict | None = None
+    for z in zmaps:
+        if z is None:
+            return None
+        if out is None:
+            out = {c: list(v) for c, v in z.items()}
+            continue
+        for c in list(out):
+            v = z.get(c)
+            if v is None:
+                del out[c]
+                continue
+            cur = out[c]
+            if v[0] < cur[0]:
+                cur[0] = v[0]
+            if v[1] > cur[1]:
+                cur[1] = v[1]
+            cur[2] = cur[2] or v[2]
+    return out or None
+
+
+def compute_from_arrow(tbl, idx, aliases) -> dict | None:
+    """Exact zone map from an arrow table (executor-side in the data
+    source writer): same rules as `compute_from_pdf`, computed with
+    ``pc.min_max`` (NaN-bearing float columns fail the finite check and
+    drop out — conservative)."""
+    import pyarrow.compute as pc
+
+    out = {}
+    for col, kind in aliases.items():
+        if col in idx or kind not in ("int", "float", "str"):
+            continue
+        c = tbl.column(col)
+        n = len(c)
+        if n == 0 or c.null_count == n:
+            continue
+        has_null = c.null_count > 0
+        mm = pc.min_max(c)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None or hi is None:
+            continue
+        if kind == "str":
+            if not (_ok_str(lo) and _ok_str(hi)):
+                continue
+        else:
+            try:
+                lo, hi = (
+                    (float(lo), float(hi))
+                    if kind == "float"
+                    else (int(lo), int(hi))
+                )
+            except (TypeError, ValueError):
+                continue
+            if not (_ok_num(lo) and _ok_num(hi)):
+                continue
+        out[col] = [lo, hi, has_null]
+    return out or None

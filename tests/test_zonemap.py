@@ -211,3 +211,44 @@ def test_zone_map_prunes_datasource_partitions(spark, repo):
     out = df.where("v >= 500").collect()
     assert sorted(r.v for r in out) == [500, 501, 502]
     assert df.where("v > 1000").count() == 0
+
+
+def test_zone_map_after_defrag_and_ds_writer(spark, repo):
+    from lakota_spark.datasource import register
+
+    register(spark)
+    # defrag merges small segments; the rewritten segment must carry a
+    # zone map again (local path: exact from the merged frame)
+    clc = repo.create_collection(Schema(i="int*", v="int"), "dfz")
+    srs = clc.series("d")
+    for k in range(6):
+        srs.write({"i": [k * 10 + j for j in range(3)],
+                   "v": [k * 100 + j for j in range(3)]})
+    clc.defrag()
+    segs = srs.segments()
+    assert len(segs) < 6
+    assert all(s.meta.get("zmap") for s in segs)
+    z = segs[0].meta["zmap"]["v"]
+    assert z[0] == 0 and z[1] == 502 and z[2] is False
+
+    # distributed writer: per-partition zone maps land in the commit
+    clc2 = repo.create_collection(Schema(i="int*", v="int"), "dwz")
+    df = (
+        spark.range(2000)
+        .selectExpr("id as i", "id * 3 as v")
+        .repartitionByRange(2, "i")
+    )
+    (
+        df.write.format("lakota")
+        .option("path", repo.root)
+        .option("table", "dwz/w")
+        .mode("append")
+        .save()
+    )
+    wsegs = clc2.series("w").segments()
+    assert len(wsegs) == 2
+    for s in wsegs:
+        zm = s.meta.get("zmap")
+        assert zm is not None and "v" in zm
+    lohi = sorted(tuple(s.meta["zmap"]["v"][:2]) for s in wsegs)
+    assert lohi[0][0] == 0 and lohi[1][1] == 5997
