@@ -759,6 +759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # content-defined chunking: insertion-stable chunk hashes
         # (round 10)
         "cdc_chunk_report": pipeline.cdc_chunk_report,
+        # chunk-grain containment near-dup tier over CDC hashes
+        # (round 10)
+        "cdc_containment_pairs": pipeline.cdc_containment_pairs,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
@@ -3406,6 +3409,60 @@ SELECT d.source,
        max(k.chunk_len)::BIGINT AS max_chunk
 FROM chunks k JOIN documents d USING (doc_id)
 GROUP BY d.source
+""",
+        # same chunk CTE as cdc_chunk_report; containment ratios are
+        # single long/long double divisions (identical rounding in both
+        # engines); total order (containment DESC, doc_a, doc_b) makes
+        # the LIMIT set deterministic
+        "cdc_containment_pairs": """
+WITH ch0 AS (
+  SELECT doc_id, i, unicode(substr(text, i, 1))::BIGINT AS c
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents WHERE length(text) >= 1)
+),
+h AS (
+  SELECT l.doc_id, l.i,
+         sum(r.c * (pow(31, l.i - r.i)::BIGINT % 33554432)) % 33554432
+           AS hv
+  FROM ch0 l JOIN ch0 r ON r.doc_id = l.doc_id
+                       AND r.i BETWEEN l.i - 7 AND l.i
+  WHERE l.i >= 8
+  GROUP BY 1, 2
+),
+ends AS (
+  SELECT doc_id, i AS e FROM h WHERE hv % 256 = 0
+  UNION
+  SELECT doc_id, length(text) FROM documents WHERE length(text) >= 1
+),
+cx AS (
+  SELECT e.doc_id,
+         coalesce(lag(e.e) OVER (PARTITION BY e.doc_id ORDER BY e.e), 0)
+           AS prev,
+         e.e
+  FROM ends e
+),
+ch AS (
+  SELECT DISTINCT c.doc_id,
+         md5(substr(d.text, c.prev + 1, c.e - c.prev)) AS chunk_hash
+  FROM cx c JOIN documents d USING (doc_id)
+),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM ch GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM ch a JOIN ch b ON a.chunk_hash = b.chunk_hash
+                     AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+       i.inter / sa.sz AS cont_a, i.inter / sb.sz AS cont_b,
+       greatest(i.inter / sa.sz, i.inter / sb.sz) AS containment
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.doc_a
+JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE greatest(i.inter / sa.sz, i.inter / sb.sz) >= 0.25
+ORDER BY containment DESC, i.doc_a, i.doc_b
+LIMIT 25
 """,
         "pagerank_top_docs": """
 WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),

@@ -2597,3 +2597,27 @@ def cdc_chunk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("chunk_len").alias("max_chunk"),
         )
     )
+
+
+def cdc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level containment near-dup pairs: CDC chunk hashes
+    (operators/dedup.cdc_chunks — insertion-stable boundaries) feed the
+    SAME containment machinery as the n-gram tier
+    (dedup.containment_pairs), so a doc whose chunks survive inside
+    another is caught even after edits shift every fixed offset.  The
+    chunk relation is ~n_chars/256 rows per doc — two orders lighter
+    than the shingle table — which is why chunk-grain containment is
+    the first pass real dedup pipelines run.  Top 25 pairs by
+    max-direction containment (threshold 0.25)."""
+    docs = _docs(spark, sf_dir)
+    ch = (
+        D.cdc_chunks(docs)
+        .select("doc_id", F.col("chunk_hash").alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return (
+        D.containment_pairs(ch, threshold=0.25)
+        .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
+        .limit(25)
+    )
