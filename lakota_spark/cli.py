@@ -202,6 +202,26 @@ def cmd_rev(args):
             print(f"{rev.parent[:12]} -> {rev.child[:24]}  {ts}")
 
 
+def cmd_stats(args):
+    """Per-series storage report (`Collection.stats`) — metadata only,
+    no Spark job: segments, rows, min/max segment size, clipped pieces,
+    zone-map coverage."""
+    repo = _repo(args)
+    cols = ("series", "segments", "rows", "min_segment", "max_segment",
+            "clipped", "zone_maps")
+    header = f"{'collection/series':<32}" + "".join(
+        f"{c:>12}" for c in cols[1:]
+    )
+    print(header)
+    for label in _target_labels(repo, args):
+        for row in repo.collection(label).stats():
+            name = f"{label}/{row['series']}"
+            print(
+                f"{name:<32}"
+                + "".join(f"{row[c]:>12}" for c in cols[1:])
+            )
+
+
 def cmd_squash(args):
     repo = _repo(args)
     _collection(repo, args.label).squash()
@@ -467,6 +487,10 @@ def _build_parser():
     s.add_argument("labels", nargs="*"); s.add_argument("--before", type=float)
     s.add_argument("-a", "--all", action="store_true")
     s.set_defaults(fn=cmd_trim)
+    s = sub.add_parser("stats")
+    s.add_argument("labels", nargs="*")
+    s.add_argument("-a", "--all", action="store_true")
+    s.set_defaults(fn=cmd_stats)
     s = sub.add_parser("merge"); s.add_argument("label"); s.set_defaults(fn=cmd_merge)
     s = sub.add_parser("push")
     s.add_argument("remote"); s.add_argument("labels", nargs="*")

@@ -703,6 +703,36 @@ class Collection:
             out["action"] = "defrag"
         return out
 
+    def stats(self) -> list[dict]:
+        """Per-series storage report from SNAPSHOT METADATA alone — no
+        Spark job, no file IO beyond the changelog the snapshot already
+        read.  One dict per series: live segment count, total rows,
+        smallest/largest segment, overlay-clipped pieces, and zone-map
+        coverage — the numbers that tell an operator whether `defrag`
+        (fragmentation), `squash` (revision count), or a rewrite (zmap
+        coverage after an engine upgrade) is worth running."""
+        snap = self.snapshot()
+        out = []
+        for label in sorted(snap.labels()):
+            live = [s for s in snap.for_label(label) if s.path]
+            lens = [s.length for s in live]
+            out.append(
+                {
+                    "series": label,
+                    "segments": len(live),
+                    "rows": sum(lens),
+                    "min_segment": min(lens, default=0),
+                    "max_segment": max(lens, default=0),
+                    "clipped": sum(
+                        1 for s in live if (s.meta or {}).get("clip")
+                    ),
+                    "zone_maps": sum(
+                        1 for s in live if (s.meta or {}).get("zmap")
+                    ),
+                }
+            )
+        return out
+
     def squash(self, trim=None, max_chunk: int = DEFRAG_MAX_CHUNK):
         """defrag + trim combo (`lakota/collection.py:310-337`): compact
         fragmented segments, then collapse history. ``trim`` False keeps

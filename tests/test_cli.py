@@ -193,3 +193,20 @@ def test_read_mask_pushdown_and_slice_order(cli_env):
     out = run("read", "temperature/paris", "--limit", "2",
               "--mask", "(> self.value 1)")
     assert out.splitlines()[1:] == ["2,2.0"]
+
+
+def test_stats_verb(cli_env):
+    root, repo, run = cli_env
+    coll = _seed(repo)
+    coll.series("paris").write(
+        {"timestamp": [4, 5], "value": [4.0, 5.0]}
+    )
+    out = run("stats")
+    line = next(ln for ln in out.splitlines() if "temperature/paris" in ln)
+    parts = line.split()
+    # segments=2, rows=5, zone maps on both segments
+    assert parts[1] == "2" and parts[2] == "5" and parts[-1] == "2"
+    # library surface agrees
+    (row,) = repo.collection("temperature").stats()
+    assert row["segments"] == 2 and row["rows"] == 5
+    assert row["zone_maps"] == 2 and row["clipped"] == 0
