@@ -401,6 +401,20 @@ class LakotaBatchReader(DataSourceReader):
             else (self._nodes[0] if self._nodes else None)
         )
         if plan is not None:
+            # replicate Spark's NaN-greatest ordering arrow-side (same
+            # rewrite as Series._compile_mask) — also makes zone-map
+            # pruning NaN-conservative for float columns
+            from lakota_spark import sexpr as _sexpr
+
+            plan = _sexpr.spark_nan_semantics(
+                plan,
+                {
+                    c
+                    for c, k in self._series.schema.columns.items()
+                    if k == "float"
+                },
+            )
+        if plan is not None:
             # value-column zone maps: drop whole segments the pushed
             # filters provably cannot match (KV is rejected above, so
             # no shadowing hazard)
@@ -640,12 +654,18 @@ class LakotaArrowWriter(DataSourceArrowWriter):
         for i in range(max(1, -(-n // PAGE_LEN))):
             chunk = tbl.slice(i * PAGE_LEN, PAGE_LEN)
             buf = io.BytesIO()
+            from lakota_spark.series import _nan_safe_stat_columns
+
             pq.write_table(
                 chunk,
                 buf,
                 compression=self._compression,
                 use_dictionary=dict_cols,
                 column_encoding=enc,
+                # NaN-bearing float columns must not publish min/max —
+                # Spark row-group pruning would drop the NaN rows its
+                # own filter semantics keep
+                write_statistics=_nan_safe_stat_columns(chunk),
             )
             b = buf.getvalue()
             digests.append(hashlib.sha1(b).hexdigest())  # noqa: S324

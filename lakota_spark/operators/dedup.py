@@ -1507,6 +1507,15 @@ def cdc_chunks(
         # modulus must be a multiple of divisor or the boundary rate
         # is not 1/divisor
         raise ValueError("need k>=1, base>=2, divisor>=2, divisor|modulus")
+    # powers are reduced mod `modulus`, so every dot-product term is
+    # < 0x110000 * modulus; the k-term sum must stay inside int64 or
+    # numpy wraps SILENTLY and the boundaries diverge from the SQL
+    # oracle's closed form
+    if k * 0x110000 * modulus >= 1 << 63:
+        raise ValueError(
+            f"k={k} * 0x110000 * modulus={modulus} overflows int64 — "
+            "use a smaller modulus or window"
+        )
 
     id_field = df.schema[id_col]
     out_schema = StructType(

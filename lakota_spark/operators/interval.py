@@ -44,9 +44,6 @@ the observed length distribution with one bounded agg).
 
 from __future__ import annotations
 
-import functools
-import operator
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

@@ -120,7 +120,13 @@ def decayed_sum(
     powers = F.array(
         *[F.lit(1 << (shift - j)).cast("long") for j in range(horizon)]
     )
-    frame = F.reverse(F.collect_list(value.cast("long")).over(w))
+    # collect_list SILENTLY DROPS nulls, which would shift every older
+    # row one slot closer and double its weight — a null value must
+    # contribute nothing while still occupying its time slot (the same
+    # semantics a SUM over the rn-distance self-join oracle has)
+    frame = F.reverse(
+        F.collect_list(F.coalesce(value.cast("long"), F.lit(0))).over(w)
+    )
     terms = F.transform(
         frame, lambda x, i: x * F.element_at(powers, i + F.lit(1))
     )

@@ -2533,16 +2533,28 @@ def temperature_resample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = temperature_resample(
         docs, "lang", alpha=0.5, id_col="doc_id", salt="temp"
     )
+    # LEFT join from the docs side: a group whose every doc draws
+    # reps=0 must still appear with zeros (the oracle groups over ALL
+    # docs rows, so an inner join from the resampled side would
+    # silently drop the lang and hash-mismatch)
     return (
-        rs.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_out"),
-            F.countDistinct("doc_id").alias("n_kept"),
-            F.max("rep_idx").alias("max_rep"),
-        )
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .join(
-            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")),
+            rs.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("_n_out"),
+                F.countDistinct("doc_id").alias("_n_kept"),
+                F.max("rep_idx").alias("_max_rep"),
+            ),
             "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("_n_out", F.lit(0)).alias("n_out"),
+            F.coalesce("_n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("_max_rep", F.lit(0)).alias("max_rep"),
         )
     )
 

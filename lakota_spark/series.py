@@ -108,6 +108,27 @@ def _arrow_mask_expr(plan):
     raise ValueError(f"unknown mask plan node {plan!r}")
 
 
+def _nan_safe_stat_columns(table) -> list[str] | bool:
+    """Columns safe to carry parquet min/max statistics: pyarrow SKIPS
+    NaN when computing float stats, and Spark's row-group pruning
+    trusts those stats — so a pushed ``f > 10`` filter silently drops
+    the NaN rows Spark's own NaN-greatest semantics would keep
+    (reproduced; Spark's writer omits stats in this case).  Returns
+    True (all) when no float column holds NaN, else the keep-list."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    drop = set()
+    for name, col in zip(table.column_names, table.columns):
+        if pa.types.is_floating(col.type) and pc.any(
+            pc.is_nan(col)
+        ).as_py():
+            drop.add(name)
+    if not drop:
+        return True
+    return [c for c in table.column_names if c not in drop]
+
+
 def _ordered_reader(
     root_uri: str,
     read_struct,
@@ -526,6 +547,9 @@ class Series:
                 compression=self.schema.parquet_compression(),
                 use_dictionary=dict_cols,
                 column_encoding=enc,
+                # NaN-bearing float columns must not publish min/max
+                # (see _nan_safe_stat_columns)
+                write_statistics=_nan_safe_stat_columns(table),
             )
             b = buf.getvalue()
             return hashlib.sha1(b).hexdigest(), b  # noqa: S324 - address
@@ -1241,6 +1265,19 @@ class Series:
 
         try:
             plan = coerce(plan)
+            # Spark totals-orders doubles with NaN greatest; Arrow
+            # follows IEEE (NaN fails every comparison). Rewrite float
+            # comparisons so the arrow evaluation — and the zone-map
+            # pruning that consumes the same plan — matches the classic
+            # Catalyst path on NaN rows.
+            plan = _sexpr.spark_nan_semantics(
+                plan,
+                {
+                    c
+                    for c, k in self.schema.columns.items()
+                    if k == "float"
+                },
+            )
             if tz_aware:
                 probe = to_arrow_schema(
                     self.schema.struct_type()
@@ -1505,12 +1542,23 @@ class Series:
         target = pa.schema(
             [(c, pa_ns[self.schema.columns[c]]) for c in cols]
         )
-        return (
+        tbl = (
             pa.concat_tables(tables, promote_options="permissive")
             .select(cols)
             .cast(target)
-            .to_pandas(self_destruct=True)
         )
+        # the pandas hop below folds real NaN into null
+        # (`Table.from_pandas` on the rewrite cannot tell them apart) —
+        # a defrag must not corrupt Spark-written NaN data, so such
+        # runs take the Spark rewrite path instead
+        import pyarrow.compute as pc
+
+        for c in cols:
+            if self.schema.columns[c] == "float" and pc.any(
+                pc.is_nan(tbl.column(c))
+            ).as_py():
+                return None
+        return tbl.to_pandas(self_destruct=True)
 
     def _pandas_bound_mask(self, pdf, bound, closed: bool, is_start: bool):
         """Pandas twin of `_bound_pred`: lexicographic prefix compare

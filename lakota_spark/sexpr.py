@@ -563,6 +563,73 @@ def to_filter_plan(expr: str, env: dict | None = None):
     return plan, sorted(fields)
 
 
+def spark_nan_semantics(plan, float_fields: set[str]):
+    """Rewrite a filter plan so its ARROW evaluation matches SPARK's
+    NaN ordering.  Spark totals-orders doubles with NaN GREATEST (and
+    NaN = NaN true); Arrow/IEEE makes NaN fail every comparison.  For
+    comparisons where a float field's NaN would satisfy Spark but not
+    Arrow, attach the NaN case explicitly via the IR's own vocabulary —
+    ``nan(x) := (cmp != x x)``, which is Arrow-true exactly for NaN:
+
+    * ``a > b``  → ``a > b  OR (nan(a) AND NOT nan(b))``
+    * ``a >= b`` → ``a >= b OR nan(a)``
+    * ``a < b``  → ``a < b  OR (nan(b) AND NOT nan(a))``
+    * ``a <= b`` → ``a <= b OR nan(b)``
+    * ``a = b``  → ``a = b  OR (nan(a) AND nan(b))``   (both-float only)
+    * ``a != b`` → ``a != b AND NOT (nan(a) AND nan(b))``  (ditto)
+
+    Branches whose operand cannot be NaN (non-float field, any literal)
+    drop statically, so non-float plans pass through UNCHANGED.  Null
+    propagation is preserved (nan(null) is null; and/or fold it exactly
+    as Spark's null comparison does — the row drops either way).  The
+    zone-map pruner sees the rewritten compound and degrades to "keep"
+    on the field-vs-field nan() probes — which is precisely the
+    conservative answer NaN demands there.
+    """
+
+    def fl(x):
+        return x[0] == "field" and x[1] in float_fields
+
+    def nan(x):
+        return ("cmp", "!=", x, x)
+
+    def walk(node):
+        kind = node[0]
+        if kind in ("and", "or"):
+            return (kind, [walk(x) for x in node[1]])
+        if kind == "not":
+            return ("not", walk(node[1]))
+        if kind != "cmp":
+            return node
+        _, op, a, b = node
+        fa, fb = fl(a), fl(b)
+        if op in (">", ">="):
+            if not fa:
+                return node
+            extra = (
+                nan(a)
+                if (op == ">=" or not fb)
+                else ("and", [nan(a), ("not", nan(b))])
+            )
+            return ("or", [node, extra])
+        if op in ("<", "<="):
+            if not fb:
+                return node
+            extra = (
+                nan(b)
+                if (op == "<=" or not fa)
+                else ("and", [nan(b), ("not", nan(a))])
+            )
+            return ("or", [node, extra])
+        if op == "=" and fa and fb:
+            return ("or", [node, ("and", [nan(a), nan(b)])])
+        if op == "!=" and fa and fb:
+            return ("and", [node, ("not", ("and", [nan(a), nan(b)]))])
+        return node
+
+    return walk(plan)
+
+
 def select_expr(df: DataFrame, *exprs: str, env: dict | None = None) -> DataFrame:
     """Non-aggregate projection with computed columns / renames (P3)."""
     cols = []

@@ -1108,9 +1108,11 @@ def streaming_decayed_activity(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import LongType, StructField, StructType
 
+    # the key column keeps ITS OWN type (string session ids are as
+    # valid as numeric user ids)
     out_type = StructType(
         [
-            StructField("key", LongType()),
+            StructField("key", stream_df.schema[key_col].dataType),
             StructField("n_events", LongType()),
             StructField("decayed", LongType()),
         ]
@@ -1133,7 +1135,11 @@ def streaming_decayed_activity(
             cnt, tail = 0, []
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values([ts_col, tie_col], kind="mergesort")
-        vals = [int(v) for v in batch[value_col]]
+        # null values occupy their slot with 0 weight — the
+        # decayed_sum batch contract (int(NaN) would kill the task)
+        vals = [
+            0 if pd.isna(v) else int(v) for v in batch[value_col]
+        ]
         cnt += len(vals)
         tail = (tail + vals)[-horizon:]
         pad = [None] * (horizon - len(tail))

@@ -237,6 +237,19 @@ def may_match(plan, zmap: dict) -> bool:
             z = zmap.get(col)
             if z is None or not _comparable(lit, z[0]):
                 return True
+            if isinstance(z[0], float) or isinstance(z[1], float):
+                # NaN is invisible to every stats source (pandas/arrow
+                # min_max and parquet footers all skip it) yet satisfies
+                # Spark's NaN-greatest `>`/`>=` and IEEE `!=` — those
+                # shapes can never prune a float column
+                eff = (
+                    {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                     "=": "=", "!=": "!="}[op]
+                    if flipped
+                    else op
+                )
+                if eff in (">", ">=", "!="):
+                    return True
             return _may_cmp(op, z[0], z[1], lit, flipped)
         if kind == "and":
             return all(may(x) for x in node[1])
@@ -346,8 +359,10 @@ def merge(zmaps) -> dict | None:
 def compute_from_arrow(tbl, idx, aliases) -> dict | None:
     """Exact zone map from an arrow table (executor-side in the data
     source writer): same rules as `compute_from_pdf`, computed with
-    ``pc.min_max`` (NaN-bearing float columns fail the finite check and
-    drop out — conservative)."""
+    ``pc.min_max``.  NOTE ``pc.min_max`` SKIPS NaN (like pandas min/max
+    and parquet footer stats), so float bounds never see NaN — which is
+    exactly why `may_match` refuses to prune float columns on the
+    ``>``/``>=``/``!=`` shapes a NaN row could satisfy."""
     import pyarrow.compute as pc
 
     out = {}

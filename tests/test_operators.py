@@ -6279,3 +6279,22 @@ def test_cdc_chunks_insertion_robust(spark):
     fixed_a = {text[i : i + 256] for i in range(0, len(text), 256)}
     fixed_b = {edited[i : i + 256] for i in range(0, len(edited), 256)}
     assert len(fixed_a & fixed_b) <= 1
+
+
+def test_decayed_sum_null_keeps_slot(spark):
+    """A null value contributes nothing but still occupies its time
+    slot (collect_list would silently drop it and double-weight the
+    older row)."""
+    from lakota_spark.operators.timeseries import decayed_sum
+
+    rows = [("u", 1, 0, 10), ("u", 2, 1, None), ("u", 3, 2, 3)]
+    df = spark.createDataFrame(rows, "u string, eid long, t long, v long")
+    out = decayed_sum(
+        df, "t", "u", F.col("v"), horizon=3, shift=4, tiebreak="eid"
+    )
+    got = {r.eid: r.decayed for r in out.collect()}
+    assert got == {
+        1: 10 * 16,
+        2: 0 * 16 + 10 * 8,
+        3: 3 * 16 + 0 * 8 + 10 * 4,  # the 10 is at distance 2, not 1
+    }

@@ -58,11 +58,19 @@ def test_must_float_nan_guard():
     # row satisfies ~(v < 1e9) even when every finite value is < 1e9
     z = {"f": [0.5, 2.5, False]}
     assert zonemap.may_match(_plan("(not (< self.f 100.0))"), z) is True
-    # but may() on the positive form still prunes floats fine
-    assert zonemap.may_match(_plan("(> self.f 3.0)"), z) is False
-    # int columns DO prune through not()
+    # NaN is invisible to every stats source but satisfies Spark's
+    # NaN-greatest > / >= and IEEE != — those shapes never prune floats
+    assert zonemap.may_match(_plan("(> self.f 3.0)"), z) is True
+    assert zonemap.may_match(_plan("(>= self.f 3.0)"), z) is True
+    assert zonemap.may_match(_plan("(!= self.f 1.0)"), z) is True
+    assert zonemap.may_match(_plan("(< 3.0 self.f)"), z) is True  # flip
+    # <, <=, = stay prunable (NaN fails them in BOTH engines)
+    assert zonemap.may_match(_plan("(< self.f 0.25)"), z) is False
+    assert zonemap.may_match(_plan("(= self.f 9.0)"), z) is False
+    # int columns DO prune through not() and >
     zi = {"i": [1, 5, False]}
     assert zonemap.may_match(_plan("(not (< self.i 100))"), zi) is False
+    assert zonemap.may_match(_plan("(> self.i 6)"), zi) is False
 
 
 def test_all_degenerate_cases_conservative():
@@ -252,3 +260,58 @@ def test_zone_map_after_defrag_and_ds_writer(spark, repo):
         assert zm is not None and "v" in zm
     lohi = sorted(tuple(s.meta["zmap"]["v"][:2]) for s in wsegs)
     assert lohi[0][0] == 0 and lohi[1][1] == 5997
+
+
+def test_nan_mask_semantics_match_classic_path(spark, repo):
+    """Spark totals-orders doubles with NaN GREATEST; Arrow follows
+    IEEE. The pushable fast path (ordered scan), the pandas df() path
+    and the data source must all agree with the CLASSIC Catalyst path
+    on NaN-bearing float columns (spark_nan_semantics rewrite), and
+    zone maps must not prune the NaN rows away."""
+    import math
+
+    from lakota_spark.datasource import register
+
+    register(spark)
+    clc = repo.create_collection(Schema(i="int*", f="float"), "nanz")
+    srs = clc.series("n")
+    # REAL NaN only enters through the Spark/arrow write paths — the
+    # driver-local pandas path folds NaN into null at Table.from_pandas
+    # (pandas cannot tell them apart), which is the pandas contract
+    srs.write(
+        spark.createDataFrame(
+            [(0, 5.0), (1, 5.0), (2, float("nan"))], "i long, f double"
+        )
+    )
+    srs.write({"i": [3, 4], "f": [1.0, 2.0]})
+
+    masks = [
+        "(> self.f 10.0)",    # Spark: NaN only; Arrow naive: nothing
+        "(>= self.f 5.0)",
+        "(< self.f 3.0)",
+        "(<= self.f 5.0)",
+        "(!= self.f 5.0)",
+        "(= self.f 5.0)",
+        "(not (> self.f 10.0))",
+    ]
+    for m in masks:
+        classic = sorted(
+            r.i for r in srs.frame(sort=False, mask=m).collect()
+        )
+        fast = sorted(r.i for r in srs.frame(sort=True, mask=m).collect())
+        assert fast == classic, (m, fast, classic)
+        local = sorted(srs.df(mask=m)["i"].tolist())
+        assert local == classic, (m, local, classic)
+    # the NaN row itself survives a > mask end-to-end
+    got = srs.df(mask="(> self.f 10.0)")
+    assert got["i"].tolist() == [2] and math.isnan(got["f"].iloc[0])
+    # data source: Spark re-applies its own semantics on top, so the
+    # source must not DROP NaN rows a Spark filter would keep
+    df = (
+        spark.read.format("lakota")
+        .option("path", repo.root)
+        .option("table", "nanz/n")
+        .load()
+    )
+    assert sorted(r.i for r in df.where("f > 10.0").collect()) == [2]
+    assert sorted(r.i for r in df.where("f != 5.0").collect()) == [2, 3, 4]
