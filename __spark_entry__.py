@@ -762,6 +762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chunk-grain containment near-dup tier over CDC hashes
         # (round 10)
         "cdc_containment_pairs": pipeline.cdc_containment_pairs,
+        # weighted subsampling: Duffield-Lund-Thorup priority sampling
+        # (round 10)
+        "priority_sample_per_source":
+            pipeline.priority_sample_per_source,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
@@ -3463,6 +3467,23 @@ JOIN sz sb ON sb.doc_id = i.doc_b
 WHERE greatest(i.inter / sa.sz, i.inter / sb.sz) >= 0.25
 ORDER BY containment DESC, i.doc_a, i.doc_b
 LIMIT 25
+""",
+        # priority = ((hash32+1)/2^32) / weight — two IEEE divisions,
+        # identical rounding in both engines; rank ties break on doc_id
+        "priority_sample_per_source": """
+WITH p AS (
+  SELECT source, doc_id, n_chars,
+         ((('0x' || substr(md5('prio:' || doc_id::VARCHAR), 1, 8))
+           ::BIGINT + 1) / 4294967296.0) / n_chars AS priority
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY priority, doc_id) AS prio_rank
+  FROM p
+)
+SELECT source, prio_rank::BIGINT AS prio_rank, doc_id, n_chars, priority
+FROM r WHERE prio_rank <= 20
 """,
         "pagerank_top_docs": """
 WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),

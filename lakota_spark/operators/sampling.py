@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import struct
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakota_spark.functions import hash32, tokens, word_shingles
@@ -1100,4 +1100,54 @@ def temperature_resample(
             "rep_idx", F.explode(F.sequence(F.lit(1), F.col("_reps")))
         )
         .drop("_whole", "_rem", "_den", "_reps")
+    )
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    weight,
+    id_col: str = "doc_id",
+    salt: str = "prio",
+    n_sub: int = 64,
+) -> DataFrame:
+    """Weighted k-sample per group by PRIORITY SAMPLING (Duffield, Lund
+    & Thorup: priority = u/w with u uniform; keep the k smallest) — the
+    scheme whose selected set supports unbiased subset-sum estimation,
+    here as the quality-weighted subsample step of a curation pipeline.
+
+    Deterministic and engine-exact: u = (hash32(salt:id)+1) / 2^32 and
+    priority = u / w are two IEEE divisions both engines round
+    identically, and ranks break ties on (priority, id).  Rows with
+    w <= 0 (or null) are excluded — zero weight means never sampled.
+
+    Skew-safe like `bottom_k_per_group`: stage 1 ranks inside
+    (group, hash % n_sub) sub-streams and keeps k per sub-stream, stage
+    2 re-ranks the <= k*n_sub survivors — no whole-group single-task
+    sort.  Returns the input columns + ``priority`` + ``prio_rank``.
+    """
+    if k <= 0 or n_sub <= 0:
+        raise ValueError("priority_sample_per_group needs positive k/n_sub")
+    w_col = weight if isinstance(weight, Column) else F.col(weight)
+    h = hash32(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    pri = ((h + F.lit(1)) / F.lit(4294967296.0)) / w_col
+    base = (
+        df.where(w_col > 0)
+        .withColumn("priority", pri)
+        .withColumn("_ps_shard", F.pmod(h, F.lit(n_sub)))
+    )
+    w1 = Window.partitionBy(F.col(group_col), F.col("_ps_shard")).orderBy(
+        F.col("priority").asc(), F.col(id_col).asc()
+    )
+    stage1 = base.withColumn("_r1", F.row_number().over(w1)).where(
+        F.col("_r1") <= k
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col("priority").asc(), F.col(id_col).asc()
+    )
+    return (
+        stage1.withColumn("prio_rank", F.row_number().over(w2))
+        .where(F.col("prio_rank") <= k)
+        .drop("_r1", "_ps_shard")
     )

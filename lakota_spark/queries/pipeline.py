@@ -2633,3 +2633,23 @@ def cdc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
         .limit(25)
     )
+
+
+def priority_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted subsampling per dump via priority sampling
+    (operators/sampling.priority_sample_per_group — Duffield/Lund/
+    Thorup): 20 docs per source with selection pressure proportional
+    to n_chars, the deterministic weighted counterpart of
+    sample_k_per_group.  Priorities are two IEEE divisions both
+    engines round identically, ranks tie-break on doc_id — the whole
+    result (priorities included) is bit-reproducible."""
+    from lakota_spark.operators.sampling import priority_sample_per_group
+
+    docs = _docs(spark, sf_dir)
+    return priority_sample_per_group(
+        docs.select("doc_id", "source", "n_chars"),
+        k=20,
+        group_col="source",
+        weight="n_chars",
+        id_col="doc_id",
+    ).select("source", "prio_rank", "doc_id", "n_chars", "priority")

@@ -6298,3 +6298,35 @@ def test_decayed_sum_null_keeps_slot(spark):
         2: 0 * 16 + 10 * 8,
         3: 3 * 16 + 0 * 8 + 10 * 4,  # the 10 is at distance 2, not 1
     }
+
+
+def test_priority_sample_weighting_and_determinism(spark):
+    from lakota_spark.operators.sampling import priority_sample_per_group
+
+    rows = [(i, "g", 100 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w long")
+    picks = []
+    for salt in ("a", "b", "c", "d"):
+        out = priority_sample_per_group(
+            df, k=25, group_col="g",
+            weight="w", id_col="doc_id", salt=salt,
+        ).collect()
+        assert len(out) == 25
+        assert sorted(r.prio_rank for r in out) == list(range(1, 26))
+        picks.append({r.doc_id for r in out})
+    # heavy rows (weight 100, 10% of corpus) dominate the sample
+    heavy = sum(len([d for d in p if d < 50]) for p in picks) / 4
+    assert heavy > 15  # E[heavy] ~= 23 of 25; uniform would give 2.5
+    # deterministic per salt
+    again = priority_sample_per_group(
+        df, k=25, group_col="g", weight="w", id_col="doc_id", salt="a"
+    ).collect()
+    assert {r.doc_id for r in again} == picks[0]
+    # zero/negative weights are never sampled
+    df2 = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10)], "doc_id long, w long"
+    ).withColumn("g", F.lit("g"))
+    out2 = priority_sample_per_group(
+        df2, k=3, group_col="g", weight="w", id_col="doc_id"
+    ).collect()
+    assert [r.doc_id for r in out2] == [3]
