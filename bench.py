@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "decayed_user_activity",
     # round-10: content-defined chunking (vectorized rolling hash)
     "cdc_chunk_report",
+    # round-10: chunk-grain containment + weighted priority sampling
+    "cdc_containment_pairs",
+    "priority_sample_per_source",
     # round-6 curation additions (dedup_keep_best stays correctness-only:
     # like dedup_clusters it re-derives the full verified-pair pipeline,
     # which minhash_dedup_pairs already prices here; decontaminate_bloom
