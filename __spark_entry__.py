@@ -700,14 +700,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (VERDICT r3 #1), and otherwise rotates STALE-FIRST (VERDICT r7 #4):
     each round, the entries whose last driver-recorded row is oldest
     cycle back through the window so external validation stays fresh
-    across the whole 155-entry surface, not just the newest additions.
-    Round 10 window: the SEVEN never-recorded r10 entries (Repo.sql,
-    the BPE/WordPiece/unigram fixture stats, the data source
-    scan/write rows, the ordered-scan mask row) + the r6-recorded gate
-    pair + the first 41 of the 44 r7-last-recorded entries (the dedup /
-    clean / quality / tpch-tail families the r9 verdict named as the
-    oldest) — all 50 outside the r9 window (ask: >= 35); the 3 spilled
-    r7 entries and the r8 signature pair lead the r11 rotation.
+    across the whole 161-entry surface, not just the newest additions.
+    Round 10 window (final): the SIXTEEN never-recorded r10 entries
+    (Repo.sql, the three tokenizer fixture stats, the data source
+    scan/write rows, the ordered-scan mask row, MIPS, PageRank,
+    group_quantiles, the interval join, temperature resampling,
+    decayed activity, the two CDC rows, priority sampling) + the
+    r6-recorded gate pair + the first 32 of the r7-last-recorded
+    entries (the dedup / clean / quality / tpch-tail families the r9
+    verdict named as the oldest) — all 50 outside the r9 window
+    (ask: >= 35); the remaining r7 entries and the r8 signature pair
+    lead the r11 rotation.
     The full per-round ledger lives in NOTES.md ("driver-window
     ledger"); entries after position 50 are all driver-green in r8-r9
     and still exercised by scripts/check_oracle.py each round. The
