@@ -59,9 +59,16 @@ def compute_from_pdf(pdf, schema) -> dict | None:
             continue
         s = pdf[col]
         has_null = bool(s.isna().any())
-        sv = s.dropna()
-        if len(sv) == 0:
-            continue
+        if kind == "str":
+            sv = s.dropna()
+            if len(sv) == 0:
+                continue
+        else:
+            # numeric: min/max skip NaN natively — no dropna COPY (the
+            # copy was ~40 ms of a bulk 5M-row write)
+            sv = s
+            if has_null and not s.notna().any():
+                continue
         try:
             lo, hi = sv.min(), sv.max()
         except TypeError:
