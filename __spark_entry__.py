@@ -241,6 +241,26 @@ _QC_HOLDOUT_SQL = _qc_confusion_sql(
     score_where=f"WHERE {_QC_SPLIT} = 1",
 )
 
+# Reliability-diagram bins over the holdout fold: the SAME fit+score
+# chain as _QC_HOLDOUT_SQL, final select binning the fast-sigmoid
+# probability into deciles with micro-quantized confidence mass
+# (quantize per doc BEFORE the sum — order-free long addition)
+_QC_SIG = (
+    "(0.5 + (z / 1000000000000.0)"
+    " / (2.0 * (1.0 + abs(z / 1000000000000.0))))"
+)
+_QC_CALIB_SQL = (
+    _qc_fit_chain(f"WHERE {_QC_SPLIT} = 0")
+    + _qc_zs(f"WHERE {_QC_SPLIT} = 1")
+    + f"""
+SELECT least(floor({_QC_SIG} * 10), 9)::BIGINT AS bin,
+       count(*)::BIGINT AS n_docs,
+       sum(y)::BIGINT AS n_pos,
+       sum(round({_QC_SIG} * 1000000)::BIGINT)::BIGINT AS sum_conf_micro
+FROM zs GROUP BY 1
+"""
+)
+
 # Pareto acceptance over the x8-sharpened probability: q^9 via explicit
 # square-and-multiply (qq=q², q4, q8, q9) — the Spark side multiplies in
 # exactly this order, so no pow/libm anywhere.
@@ -769,6 +789,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (round 10)
         "priority_sample_per_source":
             pipeline.priority_sample_per_source,
+        # reliability-diagram / ECE inputs on the holdout fold
+        # (round 10)
+        "quality_classifier_calibration":
+            pipeline.quality_classifier_calibration,
         "near_dup_gate": pipeline.near_dup_gate,
         "quality_gate_pass": pipeline.quality_gate_pass,
         "winnow_dup_pairs": pipeline.winnow_dup_pairs,
@@ -1346,6 +1370,7 @@ GROUP BY doc_id
         # on the hash-odd half (doc_id parity would be useless: the
         # synthetic source assignment correlates with it)
         "quality_classifier_holdout": _QC_HOLDOUT_SQL,
+        "quality_classifier_calibration": _QC_CALIB_SQL,
         "pareto_quality_sample": _QC_PARETO_SQL,
         # dataset-level overlap: distinct 3-shingle sets per source,
         # pairwise Jaccard (unrounded exact-int division)

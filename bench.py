@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     # round-10: chunk-grain containment + weighted priority sampling
     "cdc_containment_pairs",
     "priority_sample_per_source",
+    # round-10: classifier reliability bins (holdout fit memoized)
+    "quality_classifier_calibration",
     # round-6 curation additions (dedup_keep_best stays correctness-only:
     # like dedup_clusters it re-derives the full verified-pair pipeline,
     # which minhash_dedup_pairs already prices here; decontaminate_bloom

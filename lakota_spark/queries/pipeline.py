@@ -2653,3 +2653,55 @@ def priority_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight="n_chars",
         id_col="doc_id",
     ).select("source", "prio_rank", "doc_id", "n_chars", "priority")
+
+
+def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram / ECE inputs for the held-out classifier
+    (the calibration check a filtering pipeline runs before trusting a
+    probability threshold): the holdout fold's fast-sigmoid
+    probabilities binned into deciles, each bin reporting doc count,
+    positive count, and the micro-quantized confidence mass —
+    ECE = sum n_b/N * |sum_conf_b/(1e6*n_b) - n_pos_b/n_b| follows by
+    two exact divisions per bin.  All-integer output (confidence is
+    quantized per doc BEFORE the order-free long sum), so the unrolled
+    GD oracle extends hash-exactly.  Reuses the memoized holdout fit —
+    same model as `quality_classifier_holdout`."""
+    from lakota_spark.functions import hash32
+    from lakota_spark.operators import classifier as QC
+
+    aug = _qc_aug(spark, sf_dir)
+    split = F.pmod(
+        hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.lit(2),
+    )
+    key = ("holdout", sf_dir, _file_stamp(f"{sf_dir}/documents.parquet"))
+    _memo_get(
+        _QC_MEMO,
+        key,
+        lambda: QC.quality_classifier_fit(
+            aug.where(split == 0),
+            "y",
+            n_features=QC_N_FEATURES,
+            n_iter=QC_N_ITER,
+            lr=QC_LR,
+        ),
+    )
+    held = aug.where(split == 1)
+    scored = QC.quality_classifier_scores(_QC_MEMO[key], held)
+    j = held.select("doc_id", "y").join(
+        scored.select("doc_id", "prob"), "doc_id"
+    )
+    return (
+        j.groupBy(
+            F.least(F.floor(F.col("prob") * 10), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").alias("n_pos"),
+            F.sum(F.round(F.col("prob") * 1000000).cast("long")).alias(
+                "sum_conf_micro"
+            ),
+        )
+    )
