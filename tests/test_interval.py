@@ -174,3 +174,38 @@ def test_point_in_interval_join(spark):
     # half-open: p=20 not in [10,20); p=19 in both [10,20) and [18,60)
     assert got == {(0, 1), (1, 0), (2, 0), (2, 2), (3, 2), (4, 2)}
     assert "_pt_end" not in out.columns
+
+
+def test_interval_join_hypothesis(spark):
+    """Hypothesis differential: random interval sets (incl. empty /
+    unit / giant spans, negative coords) across random base widths —
+    the grid join must equal the all-pairs ground truth with
+    exactly-once multiplicity."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ivs = st.lists(
+        st.tuples(
+            st.integers(-100, 1000),
+            st.integers(0, 400),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(ivs, ivs, st.sampled_from([1, 3, 50, 2000]))
+    def go(lraw, rraw, base):
+        lrows = [(i, "k", s, s + ln) for i, (s, ln) in enumerate(lraw)]
+        rrows = [(i, "k", s, s + ln) for i, (s, ln) in enumerate(rraw)]
+        left, right = _mk(spark, lrows, "l"), _mk(spark, rrows, "r")
+        got = [
+            (r.lid, r.rid)
+            for r in interval_join(
+                left, right, "ls", "le", "rs", "re", base_width=base
+            ).collect()
+        ]
+        assert len(got) == len(set(got))  # exactly-once
+        assert set(got) == _naive_pairs(lrows, rrows)
+
+    go()
