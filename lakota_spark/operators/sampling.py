@@ -1044,11 +1044,17 @@ def temperature_resample(
     import operator as _op
 
     g = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    g = g.withColumn(
-        "_p",
-        F.round(F.pow(F.col("_n"), F.lit(float(alpha))) * 1000000)
-        .cast("long"),
+    # alpha=0.5 uses sqrt, not pow: IEEE-754 requires sqrt to be
+    # correctly rounded, while JVM Math.pow is only 1-ulp-accurate —
+    # a last-ulp difference vs the oracle's sqrt() could flip
+    # round(sqrt*1e6) on a half boundary. Other alphas are pow-based
+    # and engine-approximate at the last ulp (documented trade).
+    _w = (
+        F.sqrt(F.col("_n").cast("double"))
+        if float(alpha) == 0.5
+        else F.pow(F.col("_n"), F.lit(float(alpha)))
     )
+    g = g.withColumn("_p", F.round(_w * 1000000).cast("long"))
     tot = g.agg(
         F.sum("_n").alias("_total"), F.sum("_p").alias("_ptot")
     )

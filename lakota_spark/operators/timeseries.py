@@ -110,6 +110,18 @@ def decayed_sum(
     must fit int64 — the default (shift=30) leaves ~2**33 of headroom
     for money-cent values.
     """
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    if horizon > shift + 1:
+        # the ladder's smallest weight is 2**(shift - (horizon-1)); a
+        # horizon past shift+1 would need fractional weights, which the
+        # exact-integer contract forbids
+        raise ValueError(
+            f"horizon ({horizon}) must be <= shift + 1 ({shift + 1}): "
+            "the integer decay ladder 2**(shift-j) runs out of bits — "
+            "raise `shift` (watch the int64 bound "
+            "max|value| * 2**shift * horizon) or lower `horizon`"
+        )
     keys = [keys] if isinstance(keys, str) else list(keys)
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
     w = (

@@ -17,6 +17,7 @@ a pointer to pandas_udf registration via ``env``.
 
 from __future__ import annotations
 
+import math
 import shlex
 from typing import Any, Callable
 
@@ -560,7 +561,36 @@ def to_filter_plan(expr: str, env: dict | None = None):
         return None
     if plan[0] in ("lit", "field", "list"):
         return None  # not a boolean predicate
+    if _has_nonfinite_literal(plan):
+        # NaN/inf literals break both downstream consumers: Spark
+        # totals-orders NaN greatest (NaN = NaN true) while Arrow fails
+        # every NaN comparison, and the zone-map may/must interval
+        # logic would prune segments whose NaN rows Spark returns.
+        # Non-pushable → Catalyst path, which owns those semantics.
+        return None
     return plan, sorted(fields)
+
+
+def _has_nonfinite_literal(plan) -> bool:
+    kind = plan[0]
+    if kind == "lit":
+        v = plan[1]
+        return isinstance(v, float) and not math.isfinite(v)
+    if kind in ("and", "or"):
+        return any(_has_nonfinite_literal(x) for x in plan[1])
+    if kind == "not":
+        return _has_nonfinite_literal(plan[1])
+    if kind == "cmp":
+        return _has_nonfinite_literal(plan[2]) or _has_nonfinite_literal(plan[3])
+    if kind == "in":
+        return _has_nonfinite_literal(plan[1]) or any(
+            isinstance(v, float) and not math.isfinite(v) for v in plan[2]
+        )
+    if kind == "isnull":
+        return _has_nonfinite_literal(plan[1])
+    if kind == "list":
+        return any(_has_nonfinite_literal(x) for x in plan[1])
+    return False
 
 
 def spark_nan_semantics(plan, float_fields: set[str]):

@@ -176,6 +176,14 @@ def _comparable(lit, lo) -> bool:
         return False
     if isinstance(lit, str):
         return isinstance(lo, str)
+    if isinstance(lit, float) and not math.isfinite(lit):
+        # NaN/inf literal: zone-map bounds are always finite (every
+        # stats source skips NaN), but Spark treats NaN = NaN as TRUE
+        # and NaN as greatest — interval logic on finite bounds would
+        # prune segments whose NaN rows Spark returns. Not comparable
+        # → caller degrades to keep. (to_filter_plan also rejects such
+        # plans outright; this is defense in depth.)
+        return False
     if isinstance(lit, (int, float)):
         return isinstance(lo, (int, float)) and not isinstance(lo, bool)
     return False

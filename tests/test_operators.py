@@ -6300,6 +6300,28 @@ def test_decayed_sum_null_keeps_slot(spark):
     }
 
 
+def test_decayed_sum_horizon_guard(spark):
+    """horizon > shift + 1 would need fractional integer weights —
+    explicit ValueError at plan-build time, not a bare `negative shift
+    count` from `1 << (shift - j)` (ADVICE r10)."""
+    from lakota_spark.operators.timeseries import decayed_sum
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [("u", 1, 0, 10)], "u string, eid long, t long, v long"
+    )
+    with pytest.raises(ValueError, match="horizon.*shift"):
+        decayed_sum(df, "t", "u", F.col("v"), horizon=32, shift=30)
+    with pytest.raises(ValueError, match="horizon"):
+        decayed_sum(df, "t", "u", F.col("v"), horizon=0, shift=30)
+    # boundary horizon == shift + 1 is legal (smallest weight = 2**0)
+    out = decayed_sum(
+        df, "t", "u", F.col("v"), horizon=3, shift=2, tiebreak="eid"
+    )
+    assert out.collect()[0].decayed == 10 * 4
+
+
 def test_priority_sample_weighting_and_determinism(spark):
     from lakota_spark.operators.sampling import priority_sample_per_group
 

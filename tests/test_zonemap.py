@@ -73,6 +73,31 @@ def test_must_float_nan_guard():
     assert zonemap.may_match(_plan("(> self.i 6)"), zi) is False
 
 
+def test_nonfinite_literals_never_pushable_or_pruning():
+    # ADVICE r10 medium: `(= self.f nan)` used to prune segments whose
+    # NaN rows Spark returns (NaN = NaN is TRUE in Spark; zone-map
+    # bounds are always finite). Two layers of defense:
+    # 1) to_filter_plan rejects non-finite literals outright → mask
+    #    takes the Catalyst path (also fixes spark_nan_semantics'
+    #    finite-literal assumption, ADVICE low #1)
+    for m in ("(= self.f nan)", "(in self.f nan)", "(< nan self.f)",
+              "(> self.f inf)", "(<= self.f -inf)",
+              "(and (> self.v 1) (= self.f nan))",
+              "(in self.f (list 1.0 nan))"):
+        assert to_filter_plan(m) is None, m
+    # 2) hand-built plans with NaN/inf literals (defense in depth —
+    #    e.g. a pickled plan from an older writer) degrade to keep
+    nan, inf = float("nan"), float("inf")
+    z = {"f": [1.0, 5.0, False]}
+    for plan in (
+        ("cmp", "=", ("field", "f"), ("lit", nan)),
+        ("in", ("field", "f"), [nan]),
+        ("cmp", "<", ("lit", nan), ("field", "f")),
+        ("cmp", ">", ("field", "f"), ("lit", inf)),
+    ):
+        assert zonemap.may_match(plan, z) is True, plan
+
+
 def test_all_degenerate_cases_conservative():
     # missing zmap entries / mixed types / odd nodes keep the segment
     assert zonemap.may_match(_plan("(< self.v \"str\")"), {"v": [1, 2, False]})

@@ -45,6 +45,17 @@ def _lit_for(col, draw_int, draw_float, draw_str):
 
 _cmp_ops = st.sampled_from(["<", "<=", "=", "!=", ">", ">="])
 
+# literals INCLUDE non-finite floats: Spark treats NaN = NaN as true and
+# NaN as greatest, so a mask like (= self.f nan) must never prune a
+# segment whose rows hold NaN (ADVICE r10 medium — zonemap._comparable
+# now rejects non-finite literals, degrading to keep)
+_float_lits = st.one_of(
+    st.floats(-20, 20, allow_nan=False),
+    st.just(float("nan")),
+    st.just(float("inf")),
+    st.just(float("-inf")),
+)
+
 
 @st.composite
 def _plans(draw, depth=2):
@@ -59,7 +70,7 @@ def _plans(draw, depth=2):
         lit = draw(
             st.integers(-20, 20)
             if col == "v"
-            else st.floats(-20, 20, allow_nan=False)
+            else _float_lits
             if col == "f"
             else st.text("abc", max_size=2)
         )
@@ -73,7 +84,7 @@ def _plans(draw, depth=2):
             st.lists(
                 st.integers(-20, 20)
                 if col == "v"
-                else st.floats(-20, 20, allow_nan=False)
+                else _float_lits
                 if col == "f"
                 else st.text("abc", max_size=2),
                 min_size=1,
