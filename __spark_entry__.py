@@ -714,31 +714,102 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch.q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
+#: Round-11 driver window (stale-first rotation, VERDICT r10 #1): the
+#: driver records CORRECTNESS rows for the FIRST 50 queries() entries,
+#: so this list IS the round's external-validation window. Computed
+#: from the committed CORRECTNESS_r*.json history as the 50 entries
+#: whose last driver-recorded row is oldest (ties by name): the 13
+#: r7-last-recorded entries (the spill set the r10 ledger names) + the
+#: 37 oldest r8 entries — including the r8 signature pair the verdict
+#: called out (mmr_diverse_topk; the bpe_fertility/multimodal-header
+#: family). 50/50 outside the r10 window; after this round every
+#: registry entry's last driver row is >= r8. NEW never-recorded
+#: entries added this round MUST be inserted here (displacing the
+#: newest-stale tail) — enforced by tests/test_driver_contract.py.
+_R11_WINDOW = [
+    # --- new r11 entries (never recorded) lead the window ---
+    # (inserted as they land)
+    # --- last driver row r7 ---
+    "balanced_lang_sample",
+    "boilerplate_doc_flags",
+    "chunked_documents",
+    "containment_dup_pairs",
+    "dedup_clusters",
+    "dedup_exact",
+    "edit_dup_pairs",
+    "lang_mixture_weights",
+    "line_dedup_clean",
+    "minhash_dedup_pairs",
+    "pack_sequences_demo",
+    "pretrain_clean",
+    "pretrain_clean_spans",
+    # --- last driver row r8, stalest-first by name ---
+    "agg_daily",
+    "asof_purchase_click",
+    "cluster_topic_terms",
+    "contrastive_pairs",
+    "cube_qty",
+    "customers_no_orders",
+    "distinct_counts",
+    "doc_fingerprint",
+    "dup_rate_by_source",
+    "engine_defrag_scan",
+    "engine_overlay_update",
+    "engine_tail",
+    "jaccard_top_pairs",
+    "kv_last_wins",
+    "lang_id",
+    "leakage_safe_split",
+    "minhash_signatures",
+    "mmr_diverse_topk",
+    "multimodal_container_headers",
+    "multimodal_triage_report",
+    "multimodal_video_headers",
+    "part_brand_share",
+    "pretrain_funnel_report",
+    "quantiles",
+    "rollup_qty",
+    "scan_closed_both",
+    "scan_range",
+    "series_update",
+    "sessionize",
+    "simhash_signatures",
+    "tail_100",
+    "text_stats",
+    "token_counts",
+    "tpch_q10",
+    "tpch_q12_case_agg",
+    "tpch_q13_order_dist",
+    "tpch_q14_promo",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row CORRECTNESS window always contains
     EVERY oracle-backed query that has never had a driver-recorded row
     (VERDICT r3 #1), and otherwise rotates STALE-FIRST (VERDICT r7 #4):
     each round, the entries whose last driver-recorded row is oldest
     cycle back through the window so external validation stays fresh
-    across the whole 161-entry surface, not just the newest additions.
-    Round 10 window (final): the SIXTEEN never-recorded r10 entries
-    (Repo.sql, the three tokenizer fixture stats, the data source
-    scan/write rows, the ordered-scan mask row, MIPS, PageRank,
-    group_quantiles, the interval join, temperature resampling,
-    decayed activity, the two CDC rows, priority sampling) + the
-    r6-recorded gate pair + the first 32 of the r7-last-recorded
-    entries (the dedup / clean / quality / tpch-tail families the r9
-    verdict named as the oldest) — all 50 outside the r9 window
-    (ask: >= 35); the remaining r7 entries and the r8 signature pair
-    lead the r11 rotation.
-    The full per-round ledger lives in NOTES.md ("driver-window
-    ledger"); entries after position 50 are all driver-green in r8-r9
-    and still exercised by scripts/check_oracle.py each round. The
-    invariant — [k for k in list(queries())[50:] if never-recorded and
-    oracle-backed] == [] — is ENFORCED by
+    across the whole registry surface, not just the newest additions.
+
+    The window is the explicit `_R11_WINDOW` list above (leading the
+    returned dict); the registry literal below keeps its historical
+    order and supplies the tail. The full per-round ledger lives in
+    NOTES.md ("driver-window ledger"); entries after position 50 are
+    all driver-green in r8-r10 and still exercised by
+    scripts/check_oracle.py each round. The invariant — [k for k in
+    list(queries())[50:] if never-recorded and oracle-backed] == [] —
+    is ENFORCED by
     `tests/test_driver_contract.py::test_every_unrecorded_oracle_query_inside_window`
     against the committed CORRECTNESS_r*.json history.
     """
+    reg = _registry()
+    out = {k: reg[k] for k in _R11_WINDOW}
+    out.update((k, v) for k, v in reg.items() if k not in out)
+    return out
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r10 window (stale-first rotation, VERDICT r9 #4): the two
         #     NEVER-RECORDED r10 entries (Repo.sql under the oracle,
