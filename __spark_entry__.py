@@ -728,7 +728,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: newest-stale tail) — enforced by tests/test_driver_contract.py.
 _R11_WINDOW = [
     # --- new r11 entries (never recorded) lead the window ---
-    # (inserted as they land)
+    "engine_datasource_overlay",
+    "engine_datasource_overwrite",
     # --- last driver row r7 ---
     "balanced_lang_sample",
     "boilerplate_doc_flags",
@@ -779,8 +780,8 @@ _R11_WINDOW = [
     "token_counts",
     "tpch_q10",
     "tpch_q12_case_agg",
-    "tpch_q13_order_dist",
-    "tpch_q14_promo",
+    # (tpch_q13_order_dist / tpch_q14_promo displaced by the two new
+    #  r11 entries — r8-green, lead the r12 rotation)
 ]
 
 
@@ -832,6 +833,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # writer round-trip (round 10)
         "engine_mask_scan": engine_demo.engine_mask_scan,
         "engine_datasource_write": engine_demo.engine_datasource_write,
+        # overlay (range-splice) + overwrite (new-root) writer modes
+        # (round 11)
+        "engine_datasource_overlay": engine_demo.engine_datasource_overlay,
+        "engine_datasource_overwrite":
+            engine_demo.engine_datasource_overwrite,
         # unigram-LM (SentencePiece-family) Viterbi inference under the
         # counts-derived fixture vocab (round 10)
         "unigram_token_stats_fixture":
@@ -1827,6 +1833,28 @@ WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
 SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, event_type,
        value
 FROM events
+""",
+        # overlay write: the spliced range serves the patched rows
+        # (+1024.0 — one correctly-rounded IEEE addition, identical in
+        # both engines), everything outside is untouched
+        "engine_datasource_overlay": """
+SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, event_type,
+       value
+FROM events
+WHERE ts < TIMESTAMP '2024-01-10' OR ts >= TIMESTAMP '2024-01-20'
+UNION ALL
+SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, event_type,
+       value + 1024.0 AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+""",
+        # overwrite (new root): only the replacement survives (doubling
+        # is exact in IEEE-754 — no rounding-tie hazard)
+        "engine_datasource_overwrite": """
+SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, event_type,
+       value * 2 AS value
+FROM events
+WHERE event_type = 'click'
 """,
         "engine_datasource_scan": """
 SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, value

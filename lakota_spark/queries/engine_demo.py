@@ -354,3 +354,105 @@ def engine_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series.frame(
         select=["ts", "event_id", "event_type", "value"], sort=False
     )
+
+
+def _ds_base_ingest(spark, repo, sf_dir: str, label: str):
+    """Create + distributed-append the full events table into a fresh
+    collection via the data source writer (shared by the overlay /
+    overwrite demos)."""
+    repo.create_collection(
+        Schema(
+            ts="timestamp*",
+            event_id="int",
+            user_id="int",
+            event_type="str",
+            value="float",
+        ),
+        label,
+    )
+    src = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "ts", "event_id", "user_id", "event_type", "value"
+    )
+    (
+        src.repartitionByRange(8, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.format("lakota")
+        .option("path", repo.root)
+        .option("table", f"{label}/all")
+        .mode("append")
+        .save()
+    )
+    return src
+
+
+def engine_datasource_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data source writer's OVERLAY path under the driver oracle
+    (round 11, VERDICT r10 #3): after the distributed base ingest, a
+    second ``mode("append")`` write whose index range overlaps EXISTING
+    data — all events in [2024-01-10, 2024-01-20) with negated value —
+    splices over it (range replacement, `commit.py` windowed overlay),
+    in ONE atomic revision. The read-back proves: the replaced range
+    serves the NEW rows, everything outside is untouched, and row count
+    is conserved. The oracle rebuilds the same table from the raw
+    parquet as (outside-window UNION ALL transformed-window)."""
+    from lakota_spark.datasource import register
+
+    repo = _event_repo(spark, sf_dir)
+    register(spark)
+    label = "ds_overlay"
+    if label not in repo.ls():
+        src = _ds_base_ingest(spark, repo, sf_dir, label)
+        # +1024.0 is one IEEE addition — correctly rounded identically
+        # in Spark and DuckDB, and never produces -0.0 (a negation of a
+        # 0.00 amount would render-diverge between engines)
+        patched = src.where(
+            (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20")
+        ).withColumn("value", F.col("value") + F.lit(1024.0))
+        (
+            patched.repartitionByRange(4, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
+            .write.format("lakota")
+            .option("path", repo.root)
+            .option("table", f"{label}/all")
+            .mode("append")
+            .save()
+        )
+    series = repo.collection(label).series("all")
+    return series.frame(
+        select=["ts", "event_id", "event_type", "value"], sort=False
+    )
+
+
+def engine_datasource_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mode("overwrite")`` = the distributed `Series.write(root=True)`
+    (round 11, VERDICT r10 #3): after the base ingest, the table is
+    REPLACED in one atomic new-root revision by just the click events
+    with doubled value; prior history stays reachable (time travel —
+    pinned by tests/test_datasource.py). The oracle is the transformed
+    click subset of the raw parquet: the read-back proves the old rows
+    are gone and the new root serves exactly the replacement."""
+    from lakota_spark.datasource import register
+
+    repo = _event_repo(spark, sf_dir)
+    register(spark)
+    label = "ds_rewrite"
+    if label not in repo.ls():
+        src = _ds_base_ingest(spark, repo, sf_dir, label)
+        # doubling is EXACT in IEEE-754 (exponent bump), so both engines
+        # produce bit-identical doubles — no rounding-tie hazard
+        clicks = src.where(F.col("event_type") == "click").withColumn(
+            "value", F.col("value") * 2
+        )
+        (
+            clicks.repartitionByRange(4, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
+            .write.format("lakota")
+            .option("path", repo.root)
+            .option("table", f"{label}/all")
+            .mode("overwrite")
+            .save()
+        )
+    series = repo.collection(label).series("all")
+    return series.frame(
+        select=["ts", "event_id", "event_type", "value"], sort=False
+    )

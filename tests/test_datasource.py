@@ -226,10 +226,12 @@ def test_writer_refusals(spark, ds_repo):
         )
     # nothing committed, no stray segment dirs beyond staging leftovers
     assert len(repo.collection("w2").changelog.revisions()) == 0
-    # overwrite mode is refused with guidance
-    with pytest.raises(Exception, match="append-only"):
+    # overwrite with an EMPTY dataframe is refused (truncate is an
+    # explicit engine op, not a silent side effect)
+    with pytest.raises(Exception, match="empty"):
         (
-            df.write.format("lakota")
+            df.where("ts < 0")
+            .write.format("lakota")
             .option("path", repo.root)
             .option("table", "w2/x")
             .mode("overwrite")
@@ -245,6 +247,101 @@ def test_writer_refusals(spark, ds_repo):
             .mode("append")
             .save()
         )
+
+
+def test_writer_overwrite_new_root(spark, ds_repo):
+    """mode("overwrite") = the distributed Series.write(root=True):
+    table content replaced in ONE revision, history still reachable."""
+    from pyspark.sql import functions as F
+
+    repo, _ = ds_repo
+    repo.create_collection(Schema(ts="int*", value="float"), "ow")
+    opts = {"path": repo.root, "table": "ow/x"}
+
+    def w(df, mode, **extra):
+        wr = df.write.format("lakota").mode(mode)
+        for k, v in {**opts, **extra}.items():
+            wr = wr.option(k, v)
+        wr.save()
+
+    d1 = spark.range(100).select(
+        F.col("id").alias("ts"), (F.col("id") * 1.0).alias("value")
+    )
+    w(d1.repartitionByRange(4, "ts"), "append")
+    s = repo.collection("ow").series("x")
+    assert s.frame().count() == 100
+    import time
+
+    revs = repo.collection("ow").changelog.revisions()
+    assert len(revs) == 1
+    time.sleep(0.02)
+    before = time.time()
+    time.sleep(0.02)
+    # overwrite with a DIFFERENT, overlapping range: old rows gone
+    d2 = spark.range(50).select(
+        (F.col("id") + 80).alias("ts"), F.lit(-1.0).alias("value")
+    )
+    w(d2.repartitionByRange(4, "ts"), "overwrite")
+    out = [(r.ts, r.value) for r in s.frame().collect()]
+    assert out == [(i + 80, -1.0) for i in range(50)]
+    # one new revision; time travel still sees the pre-overwrite table
+    assert s.frame(before=before).count() == 100
+    # overwrite is NOT subject to the double-write no-op skip: identical
+    # content still re-roots deterministically
+    w(d2.repartitionByRange(4, "ts"), "overwrite")
+    assert s.frame().count() == 50
+
+
+def test_writer_overlay_option_splices(spark, ds_repo):
+    """option("overlay","true"): overlapping partitions commit in
+    deterministic (start, stop, digest) order, later splicing over
+    earlier — one atomic revision; and an append overlapping EXISTING
+    data splices over it (the distributed update path)."""
+    from pyspark.sql import functions as F
+
+    repo, _ = ds_repo
+    repo.create_collection(Schema(ts="int*", value="float"), "ov")
+    opts = {"path": repo.root, "table": "ov/x"}
+
+    def w(df, mode="append", **extra):
+        wr = df.write.format("lakota").mode(mode)
+        for k, v in {**opts, **extra}.items():
+            wr = wr.option(k, v)
+        wr.save()
+
+    base = spark.range(100).select(
+        F.col("id").alias("ts"), F.lit(0.0).alias("value")
+    )
+    w(base.repartitionByRange(4, "ts"))
+    s = repo.collection("ov").series("x")
+    # append overlapping EXISTING rows: range replacement, one revision
+    upd = spark.range(20).select(
+        (F.col("id") + 40).alias("ts"), F.lit(9.0).alias("value")
+    )
+    w(upd.repartitionByRange(2, "ts"))
+    got = {r.ts: r.value for r in s.frame().collect()}
+    assert len(got) == 100
+    assert all(got[t] == (9.0 if 40 <= t < 60 else 0.0) for t in got)
+    assert len(repo.collection("ov").changelog.revisions()) == 2
+    # overlapping NEW partitions: refused without the option (covered
+    # by test_writer_refusals), spliced WITH it. Two explicit
+    # partitions whose index ranges overlap: [0,30)@5.0 and [10,20)@7.0
+    wide = spark.createDataFrame(
+        [(i, 5.0) for i in range(0, 30)], "ts long, value double"
+    ).coalesce(1)
+    narrow = spark.createDataFrame(
+        [(i, 7.0) for i in range(10, 20)], "ts long, value double"
+    ).coalesce(1)
+    w(wide.unionAll(narrow), overlay="true")  # union: 2 partitions
+    got = {r.ts: r.value for r in s.frame().collect()}
+    assert len(got) == 100
+    # [10,20) sorts AFTER [0,30) (later start) so it splices over it —
+    # deterministic (start, stop, digest) order, one revision
+    for t in range(30):
+        assert got[t] == (7.0 if 10 <= t < 20 else 5.0), (t, got[t])
+    # rows outside the written range untouched
+    assert got[45] == 9.0 and got[70] == 0.0
+    assert len(repo.collection("ov").changelog.revisions()) == 3
 
 
 def test_writer_timestamp_cast_matches_engine(spark, ds_repo):
