@@ -485,7 +485,134 @@ class Series:
                 out.append(v)
         return tuple(out)
 
+    def _local_cast_arrow(self, data: dict, validate_sorted: bool = False):
+        """Zero-copy arrow twin of `_local_cast` for dict-of-numpy
+        inputs whose columns are already engine-physical (int64 /
+        float64 / datetime64) — the small-frequent-append shape of the
+        reference's fragmentation bench. Skips pandas entirely: the
+        block-manager construction alone costs ~8 ms per 500 k-row
+        write (two full copies of the data), ~20% of the write floor
+        the frag-500k rung measures. Returns ``(pa.Table, n, lo, hi)``
+        with the table cast + floored + SORTED, or None to fall back to
+        the pandas path (str/date columns, non-numpy values, NaT,
+        NA index values). Content addresses are byte-identical to the
+        pandas path (pinned by tests/test_series.py)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        n = None
+        arrays: dict = {}
+        for name, alias in self.schema.columns.items():
+            a = data.get(name)
+            if not isinstance(a, np.ndarray) or a.ndim != 1:
+                return None
+            if n is None:
+                n = len(a)
+            elif len(a) != n:
+                return None
+            kind = a.dtype.kind
+            if alias == "int":
+                if kind not in "iu":
+                    return None
+                arrays[name] = (
+                    a if a.dtype == np.int64 else a.astype(np.int64)
+                )
+            elif alias == "float":
+                if kind not in "iuf":
+                    return None
+                arrays[name] = (
+                    a if a.dtype == np.float64 else a.astype(np.float64)
+                )
+            elif alias == "timestamp":
+                if kind != "M":
+                    return None
+                iv = a.view("i8")
+                if (iv == np.iinfo("i8").min).any():
+                    return None  # NaT: engine path decides
+                unit = a.dtype.str.rsplit("[", 1)[-1].rstrip("]")
+                per_s = {"ns": 10**9, "us": 10**6, "ms": 10**3, "s": 1}[
+                    unit
+                ]
+                # same integer floor-to-second as _local_cast
+                arrays[name] = (iv // per_s * 1_000_000).view("M8[us]")
+            else:  # str/date: the pandas path owns the validation
+                return None
+        if not n:
+            return None
+        idx = self.schema.idx
+        # NA guard for float INDEX columns (int/timestamp proven above)
+        for c in idx:
+            if self.schema.columns[c] == "float" and np.isnan(
+                arrays[c]
+            ).any():
+                return None
+        # lexicographic is-sorted (same three-pass form as
+        # _pdf_is_sorted); stable lexsort when not
+        if n > 1:
+            prev_eq = np.ones(n - 1, dtype=bool)
+            ok = np.zeros(n - 1, dtype=bool)
+            for c in idx:
+                col = arrays[c]
+                x, y = col[:-1], col[1:]
+                ok |= prev_eq & (x < y)
+                prev_eq &= x == y
+            if not bool(np.all(ok | prev_eq)):
+                if validate_sorted:
+                    raise ValueError(
+                        "frame is not sorted by index columns"
+                    )
+                # stable lexsort == the pandas path's stable sort_values
+                order = np.lexsort(
+                    tuple(arrays[c] for c in reversed(idx))
+                )
+                arrays = {k: v[order] for k, v in arrays.items()}
+
+        def bound(i):
+            out = []
+            for c in idx:
+                alias = self.schema.columns[c]
+                v = arrays[c][i]
+                if alias == "int":
+                    out.append(int(v))
+                elif alias == "float":
+                    out.append(float(v))
+                else:  # timestamp — match _local_bound's types
+                    out.append(pd.Timestamp(v).to_pydatetime())
+            return tuple(out)
+
+        pa_schema = self.schema.pyarrow_schema()
+        cols = []
+        for name, alias in self.schema.columns.items():
+            # from_pandas=True: float NaN -> parquet NULL, exactly like
+            # the pandas path (pa.Table.from_pandas) — the two write
+            # paths must emit byte-identical blobs for the same data
+            arr = pa.array(arrays[name], from_pandas=True)
+            if alias == "timestamp":
+                # metadata-only reinterpret: naive M8[us] == UTC wall
+                # (exactly what from_pandas does against the tz field)
+                arr = arr.cast(pa_schema.field(name).type)
+            cols.append(arr)
+        tbl = pa.Table.from_arrays(cols, schema=pa_schema)
+        return tbl, n, bound(0), bound(n - 1)
+
     def _write_segment_files_local(self, pdf) -> tuple[str, str]:
+        """Pandas entry to the driver-side segment writer: one
+        `from_pandas` conversion, then the shared arrow-table path."""
+        import pyarrow as pa
+
+        table = pa.Table.from_pandas(
+            pdf,
+            schema=self.schema.pyarrow_schema(),
+            preserve_index=False,
+            # nthreads=1 below 100k rows: from_pandas otherwise spins up
+            # a fresh thread pool per call (~1.5 ms), which dominates
+            # the conversion itself on small append chunks
+            nthreads=1 if len(pdf) < 100_000 else None,
+        )
+        return self._write_segment_files_table(table)
+
+    def _write_segment_files_table(self, table) -> tuple[str, str]:
         """Driver-side twin of `_write_segment_files` for local inputs:
         slice the sorted frame into PAGE_LEN chunks, write each as one
         zstd parquet blob via pyarrow, sha1 + Merkle-combine into the
@@ -496,13 +623,18 @@ class Series:
         import io
         from concurrent.futures import ThreadPoolExecutor
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         fs = self.collection.fs
         seg_prefix = self.collection.seg_prefix
         fs.makedirs(seg_prefix)
-        pa_schema = self.schema.pyarrow_schema()
+        # drop schema metadata (from_pandas attaches a b'pandas' JSON
+        # blob that embeds the pandas VERSION): content addresses must
+        # be a function of the data alone — identical whether the write
+        # came through the arrow fast path, the pandas path, or a
+        # future library version
+        if table.schema.metadata:
+            table = table.replace_schema_metadata(None)
         # Encodings: DELTA_BINARY_PACKED for the integer-backed columns
         # (int/timestamp/date — near-free on sorted index grids, ~0 bytes
         # for regular series), dictionary for strings, PLAIN for doubles
@@ -524,23 +656,14 @@ class Series:
         dict_cols = [
             n_ for n_, a in self.schema.columns.items() if a == "str"
         ]
-        n = len(pdf)
+        n = len(table)
         n_parts = max(1, -(-n // PAGE_LEN))
 
         def write_chunk(i: int) -> tuple[str, bytes]:
-            chunk = pdf.iloc[i * PAGE_LEN : (i + 1) * PAGE_LEN]
-            # nthreads=1 below 100k rows: from_pandas otherwise spins up
-            # a fresh thread pool per call (~1.5 ms), which dominates the
-            # conversion itself on small append chunks
-            table = pa.Table.from_pandas(
-                chunk,
-                schema=pa_schema,
-                preserve_index=False,
-                nthreads=1 if len(chunk) < 100_000 else None,
-            )
+            chunk = table.slice(i * PAGE_LEN, PAGE_LEN)
             buf = io.BytesIO()
             pq.write_table(
-                table,
+                chunk,
                 buf,
                 # per-column codec hints from the schema mini-language
                 # ("str*|gzip") override the zstd default where given
@@ -548,8 +671,10 @@ class Series:
                 use_dictionary=dict_cols,
                 column_encoding=enc,
                 # NaN-bearing float columns must not publish min/max
-                # (see _nan_safe_stat_columns)
-                write_statistics=_nan_safe_stat_columns(table),
+                # (see _nan_safe_stat_columns) — per CHUNK, so blob
+                # bytes (= content addresses) stay identical to the
+                # pre-refactor per-chunk writer
+                write_statistics=_nan_safe_stat_columns(chunk),
             )
             b = buf.getvalue()
             return hashlib.sha1(b).hexdigest(), b  # noqa: S324 - address
@@ -627,8 +752,14 @@ class Series:
         # path at ~ms cost; genuinely distributed inputs (DataFrames)
         # keep the executor-side write and sha1.
         df = pdf = None
-        local_pdf = None
-        if not isinstance(data, DataFrame):
+        local_pdf = local_tbl = None
+        if isinstance(data, dict):
+            # dict-of-numpy engine-ready columns: straight to arrow,
+            # zero pandas copies (the frag-rung fast path)
+            fast = self._local_cast_arrow(data, validate_sorted)
+            if fast is not None:
+                local_tbl, n, lo, hi = fast
+        if local_tbl is None and not isinstance(data, DataFrame):
             import pandas as pd
 
             pdf0 = None
@@ -638,7 +769,9 @@ class Series:
                 pdf0 = data
             if pdf0 is not None and len(pdf0) > 0:
                 local_pdf = self._local_cast(pdf0)
-        if local_pdf is not None:
+        if local_tbl is not None:
+            pass  # n/lo/hi already set; table sorted by _local_cast_arrow
+        elif local_pdf is not None:
             if not self._pdf_is_sorted(local_pdf):
                 if validate_sorted:
                     raise ValueError(
@@ -715,7 +848,7 @@ class Series:
                 ),
                 root=root,
             )
-        if local_pdf is None:
+        if local_tbl is None and local_pdf is None:
             if local is not None:
                 lo, hi = tuple(local_lo), tuple(local_hi)
             else:
@@ -748,7 +881,12 @@ class Series:
         from lakota_spark import zonemap
 
         zmap = None
-        if local_pdf is not None:
+        if local_tbl is not None:
+            path, digest = self._write_segment_files_table(local_tbl)
+            zmap = zonemap.compute_from_arrow(
+                local_tbl, self.schema.idx, dict(self.schema.columns)
+            )
+        elif local_pdf is not None:
             path, digest = self._write_segment_files_local(local_pdf)
             zmap = zonemap.compute_from_pdf(local_pdf, self.schema)
         elif local is None:

@@ -389,6 +389,13 @@ def compute_from_arrow(tbl, idx, aliases) -> dict | None:
         if n == 0 or c.null_count == n:
             continue
         has_null = c.null_count > 0
+        if not has_null and kind == "float":
+            # count NaN as has_null like the pandas twin (pd.isna):
+            # float round trips make None and NaN indistinguishable, so
+            # the conservative flag keeps isnull-mask pruning identical
+            # whichever write path produced the segment (and zone maps
+            # byte-identical across paths — pinned by tests)
+            has_null = bool(pc.any(pc.is_nan(c)).as_py())
         mm = pc.min_max(c)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         if lo is None or hi is None:

@@ -884,3 +884,48 @@ def test_frame_mask_differential_battery(repo):
             for r in sexpr.mask(s.frame(sort=False), mask).collect()
         )
         assert got == want, (trial, mask)
+
+
+def test_local_write_paths_byte_identical(repo):
+    """The arrow fast path (dict-of-numpy, round 11) and the pandas
+    path must produce BYTE-IDENTICAL segments — same content address,
+    same zone map — for the same logical data, including float NaN
+    (stored as parquet NULL on both), unsorted input (stable sort
+    parity), and timestamp flooring. Content addressing is the dedup
+    and no-op-write backbone; a divergence silently doubles storage."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from lakota_spark.schema import Schema
+
+    rs = np.random.RandomState(7)
+    n = 5000
+    base = np.datetime64("2024-03-01T00:00:00", "ns")
+    data = {
+        "ts": base
+        + rs.randint(0, 10**6, n).astype("m8[ms]").astype("m8[ns]"),
+        "k": rs.randint(-100, 100, n),
+        "v": np.where(rs.rand(n) < 0.1, np.nan, rs.rand(n) * 100),
+    }
+    schema = Schema(ts="timestamp*", k="int", v="float")
+    ca = repo.create_collection(schema, "fast_a")
+    cb = repo.create_collection(schema, "fast_b")
+    sa, sb = ca.series("x"), cb.series("x")
+    sa.write(data)  # dict -> arrow fast path (unsorted: lexsort)
+    sb.write(pd.DataFrame(data))  # pandas path (stable sort_values)
+    assert sorted(repo.fs.ls("fast_a/segments")) == sorted(
+        repo.fs.ls("fast_b/segments")
+    )
+    za = sa.segments()[0].meta.get("zmap")
+    zb = sb.segments()[0].meta.get("zmap")
+    assert za == zb and za["v"][2] is True  # NaN counts as has_null
+    assert sa.df().equals(sb.df())
+    # same bounds either path
+    assert sa.segments()[0].start == sb.segments()[0].start
+    assert sa.segments()[0].stop == sb.segments()[0].stop
+    # validate_sorted raises identically on the fast path
+    bad = {"k": np.array([3, 1, 2]), "v": np.array([1.0, 2.0, 3.0])}
+    ck = repo.create_collection(Schema(k="int*", v="float"), "fast_c")
+    with pytest.raises(ValueError, match="not sorted"):
+        ck.series("x").write(bad, validate_sorted=True)
