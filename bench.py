@@ -26,7 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lakota_spark.session import get_spark  # noqa: E402
 
-BENCH_QUERIES = [
+# Frozen CORE (VERDICT r10 #8): the 73 rungs benched since r9, frozen —
+# the reported core_s is apples-to-apples in every cross-round diff.
+# New/rotating rungs join BENCH_TAIL below; both halves are timed
+# identically and sum into `value` (continuity with r1-r10 totals).
+# Per-rung inclusion rationale (what each prices, why near-duplicates
+# like embedding_dup_top_pairs / dedup_keep_best / decontaminate_bloom
+# are deliberately absent) lives in NOTES.md's bench ledger.
+BENCH_CORE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
@@ -48,18 +55,12 @@ BENCH_QUERIES = [
     "sketch_stats",
     "lang_id",
     "cosine_topk",
-    # embedding_dup_lsh IS the headline embedding-dedup entry (candidates
-    # from signature collisions — the 100 TB plan). The all-pairs
-    # verification tier (embedding_dup_top_pairs) stays a queries() entry
-    # but is deliberately NOT benched: its cost is quadratic-by-design.
     "embedding_dup_lsh",
     "pretrain_clean",
     "pretrain_funnel_report",
-    # round-8 multimodal rungs: payload build + Arrow header-walk pass
     "multimodal_video_headers",
     "multimodal_container_headers",
     "multimodal_triage_report",
-    # round-8 cluster topic report: one corpus pass + vocab-sized ranking
     "cluster_topic_terms",
     "tpch_q9_profit",
     "trigram_search",
@@ -71,56 +72,22 @@ BENCH_QUERIES = [
     "ivf_kmeans_topk",
     "quantized_cosine_topk",
     "pq_topk",
-    # round-10: exact MIPS with block pruning + integer PageRank
-    "mips_topk",
-    "pagerank_top_docs",
-    "group_quantiles",
-    # round-10: multi-level grid interval join (equi-shaped overlap)
-    "interval_overlap_report",
-    # round-10: end-to-end temperature mixture resampling
-    "temperature_resample_report",
-    # round-10: integer-exact decayed activity (bounded window ladder)
-    "decayed_user_activity",
-    # round-10: content-defined chunking (vectorized rolling hash)
-    "cdc_chunk_report",
-    # round-10: chunk-grain containment + weighted priority sampling
-    "cdc_containment_pairs",
-    "priority_sample_per_source",
-    # round-10: classifier reliability bins (holdout fit memoized)
-    "quality_classifier_calibration",
-    # round-6 curation additions (dedup_keep_best stays correctness-only:
-    # like dedup_clusters it re-derives the full verified-pair pipeline,
-    # which minhash_dedup_pairs already prices here; decontaminate_bloom
-    # is priced by its probe table in NOTES — at bench scale the plain
-    # broadcast semi-join it differentially matches is the faster shape)
     "dsir_importance",
     "contamination_overlap",
     "ivf_recall_audit",
-    # round-7 tokenizer additions (fit is memoized per corpus — priced in
-    # the first trial, timed best-of prices the recurring encode / pack)
     "bpe_token_stats",
     "bpe_packed_sequences",
-    # round-10 tokenizer trio twins (fits memoized; timed best-of
-    # prices the greedy / Viterbi Arrow encode passes)
-    "wordpiece_token_stats_fixture",
-    "unigram_token_stats_fixture",
     "balanced_lang_sample",
     "winnow_dup_pairs",
-    # round-7 learned quality classifier (fit memoized per corpus — the
-    # 12-iteration GD prices into the first trial; timed best-of prices
-    # the recurring score+confusion pass, the per-corpus cost at scale)
     "quality_classifier_eval",
     "pareto_quality_sample",
     "hybrid_search_rrf",
     "bigram_lm_quality",
-    # PCA fit is memoized per corpus (first trial); timed best-of prices
-    # the zero-shuffle projection pass
     "pca_top_component",
     "pca_drift_psi",
     "corpus_report",
     "source_overlap_jaccard",
     "encoding_quality_report",
-    # round-4b curation additions
     "unigram_lm_quality",
     "langid_ngram_confusion",
     "heavy_hitter_tokens",
@@ -136,15 +103,33 @@ BENCH_QUERIES = [
     "lang_mixture_weights",
     "tpch_q21_waiting",
     "tpch_q11_important",
-    # storage-engine read path (ingest happens on the discarded first
-    # trial; timed best-of is snapshot resolution + pruned scan)
     "engine_range_scan",
     "engine_sorted_scan",
     "engine_sorted_page",
     "engine_tail",
-    # round-10: Repo.sql over registered views (raw vs patched clone)
-    "engine_sql_report",
 ]
+
+# Rotating TAIL: the r10/r11 additions and anything added later. tail_s
+# moves as coverage grows; core_s does not.
+BENCH_TAIL = [
+    "mips_topk",
+    "pagerank_top_docs",
+    "group_quantiles",
+    "interval_overlap_report",
+    "temperature_resample_report",
+    "decayed_user_activity",
+    "cdc_chunk_report",
+    "cdc_containment_pairs",
+    "priority_sample_per_source",
+    "quality_classifier_calibration",
+    "wordpiece_token_stats_fixture",
+    "unigram_token_stats_fixture",
+    "engine_sql_report",
+    "engine_datasource_overlay",
+    "engine_datasource_overwrite",
+]
+
+BENCH_QUERIES = BENCH_CORE + BENCH_TAIL
 
 
 def main() -> None:
@@ -220,6 +205,8 @@ def main() -> None:
         spreads.append(tail[1] / tail[0] if tail[0] > 0 else 1.0)
 
     total = round(sum(timings.values()), 4)
+    core_s = round(sum(timings[q] for q in BENCH_CORE), 4)
+    tail_s = round(sum(timings[q] for q in BENCH_TAIL), 4)
 
     # Variance methodology (VERDICT r9 #8): every rung reports min-of-3;
     # `variance` quantifies how noisy THIS run's trials were so the
@@ -245,6 +232,10 @@ def main() -> None:
         "unit": "sec",
         "calib_seconds": calib,
         "value_per_calib": round(total / calib, 2),
+        "core_s": core_s,
+        "core_n": len(BENCH_CORE),
+        "tail_s": tail_s,
+        "tail_n": len(BENCH_TAIL),
         "queries": timings,
         "queries_per_calib": {
             k: round(v / calib, 3) for k, v in timings.items()
@@ -289,6 +280,10 @@ def main() -> None:
         "unit": "sec",
         "calib_seconds": calib,
         "value_per_calib": round(total / calib, 2),
+        "core_s": core_s,
+        "core_n": len(BENCH_CORE),
+        "tail_s": tail_s,
+        "tail_n": len(BENCH_TAIL),
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "variance": variance,
         "storage": compact_storage,
