@@ -356,10 +356,34 @@ def engine_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ds_write_by_second(df, repo, table: str, mode: str = "append"):
+    """Range-partition on the TRUNCATED second alone before a data
+    source write: the engine's index is second-truncated ts, and a
+    multi-column range key ((ts, event_id)) can split one second
+    across two partitions — a boundary tie the disjointness check
+    rightly aborts (observed at sf0.1: two events in second
+    2024-01-27T00:12:59 landed either side of a boundary). Range
+    partitioning places EQUAL keys in one partition, so single-key
+    ranges on the truncated second can never tie."""
+    out = df.withColumn("_sec", F.date_trunc("second", F.col("ts")))
+    (
+        out.repartitionByRange(8, "_sec")
+        .drop("_sec")
+        .sortWithinPartitions("ts", "event_id")
+        .write.format("lakota")
+        .option("path", repo.root)
+        .option("table", table)
+        .mode(mode)
+        .save()
+    )
+
+
 def _ds_base_ingest(spark, repo, sf_dir: str, label: str):
     """Create + distributed-append the full events table into a fresh
     collection via the data source writer (shared by the overlay /
-    overwrite demos)."""
+    overwrite demos). On ANY build failure the half-built collection is
+    dropped so the lazy `label not in repo.ls()` gate can't serve a
+    partial table on the next run."""
     repo.create_collection(
         Schema(
             ts="timestamp*",
@@ -373,15 +397,7 @@ def _ds_base_ingest(spark, repo, sf_dir: str, label: str):
     src = read_parquet(spark, f"{sf_dir}/events.parquet").select(
         "ts", "event_id", "user_id", "event_type", "value"
     )
-    (
-        src.repartitionByRange(8, "ts", "event_id")
-        .sortWithinPartitions("ts", "event_id")
-        .write.format("lakota")
-        .option("path", repo.root)
-        .option("table", f"{label}/all")
-        .mode("append")
-        .save()
-    )
+    _ds_write_by_second(src, repo, f"{label}/all")
     return src
 
 
@@ -401,22 +417,19 @@ def engine_datasource_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     label = "ds_overlay"
     if label not in repo.ls():
-        src = _ds_base_ingest(spark, repo, sf_dir, label)
-        # +1024.0 is one IEEE addition — correctly rounded identically
-        # in Spark and DuckDB, and never produces -0.0 (a negation of a
-        # 0.00 amount would render-diverge between engines)
-        patched = src.where(
-            (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20")
-        ).withColumn("value", F.col("value") + F.lit(1024.0))
-        (
-            patched.repartitionByRange(4, "ts", "event_id")
-            .sortWithinPartitions("ts", "event_id")
-            .write.format("lakota")
-            .option("path", repo.root)
-            .option("table", f"{label}/all")
-            .mode("append")
-            .save()
-        )
+        try:
+            src = _ds_base_ingest(spark, repo, sf_dir, label)
+            # +1024.0 is one IEEE addition — correctly rounded
+            # identically in Spark and DuckDB, and never produces -0.0
+            # (a negation of a 0.00 amount would render-diverge
+            # between engines)
+            patched = src.where(
+                (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20")
+            ).withColumn("value", F.col("value") + F.lit(1024.0))
+            _ds_write_by_second(patched, repo, f"{label}/all")
+        except Exception:
+            repo.delete_collection(label)
+            raise
     series = repo.collection(label).series("all")
     return series.frame(
         select=["ts", "event_id", "event_type", "value"], sort=False
@@ -437,21 +450,20 @@ def engine_datasource_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     label = "ds_rewrite"
     if label not in repo.ls():
-        src = _ds_base_ingest(spark, repo, sf_dir, label)
-        # doubling is EXACT in IEEE-754 (exponent bump), so both engines
-        # produce bit-identical doubles — no rounding-tie hazard
-        clicks = src.where(F.col("event_type") == "click").withColumn(
-            "value", F.col("value") * 2
-        )
-        (
-            clicks.repartitionByRange(4, "ts", "event_id")
-            .sortWithinPartitions("ts", "event_id")
-            .write.format("lakota")
-            .option("path", repo.root)
-            .option("table", f"{label}/all")
-            .mode("overwrite")
-            .save()
-        )
+        try:
+            src = _ds_base_ingest(spark, repo, sf_dir, label)
+            # doubling is EXACT in IEEE-754 (exponent bump), so both
+            # engines produce bit-identical doubles — no rounding-tie
+            # hazard
+            clicks = src.where(F.col("event_type") == "click").withColumn(
+                "value", F.col("value") * 2
+            )
+            _ds_write_by_second(
+                clicks, repo, f"{label}/all", mode="overwrite"
+            )
+        except Exception:
+            repo.delete_collection(label)
+            raise
     series = repo.collection(label).series("all")
     return series.frame(
         select=["ts", "event_id", "event_type", "value"], sort=False
