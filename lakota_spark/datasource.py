@@ -37,11 +37,16 @@ SQL access goes through `Repo.register_views()` / `Repo.sql()` (lazy
 temp views) — `CREATE TABLE ... USING lakota` is NOT supported: Spark
 4.1 does not hand a catalog table's OPTIONS back to a Python data
 source at scan time (verified: the reader receives an empty options
-dict), so such a table cannot locate its repo. Streaming INGEST stays
-on the established `foreachBatch` + `Series.write` path
-(`lakota_spark/streaming`): the engine's non-KV interval invariant
-needs per-batch range partitioning, which foreachBatch can do on the
-bounded batch DataFrame and a sink-side writer cannot.
+dict), so such a table cannot locate its repo.
+
+Streaming write (round 11): `df.writeStream.format("lakota")` — one
+atomic revision per microbatch, replay-idempotent through content
+addressing + the double-write no-op (see `LakotaStreamWriter`).
+High-volume ingest that needs per-batch range partitioning on the
+index stays on the `foreachBatch` + `Series.write` path
+(`lakota_spark/streaming`): streaming queries cannot
+repartitionByRange, which foreachBatch can do on the bounded batch
+DataFrame.
 
 Reference parity: none — the reference has no Spark surface; this is
 extension surface (SURVEY §2.12-adjacent) built on public PySpark 4
@@ -57,6 +62,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -147,6 +153,11 @@ class LakotaDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "LakotaArrowWriter":
         return LakotaArrowWriter(self.options, schema, overwrite=overwrite)
+
+    def streamWriter(  # noqa: N802 (API naming)
+        self, schema, overwrite: bool
+    ) -> "LakotaStreamWriter":
+        return LakotaStreamWriter(self.options, schema, overwrite=overwrite)
 
 
 class _Scanner:
@@ -763,3 +774,56 @@ class LakotaArrowWriter(DataSourceArrowWriter):
                     fs.remove_tree(m.tmp_rel)
                 except Exception:  # noqa: BLE001 — best-effort cleanup
                     pass
+
+
+class LakotaStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("lakota")`` — the native Structured
+    Streaming SINK (round 11): each microbatch commits as ONE atomic
+    changelog revision through the same staged-segment machinery as the
+    batch writer (executor-side arrow encode + content addressing,
+    driver-side publish + `apply_segments`).
+
+    Exactly-once WITHOUT sink-side state: a replayed microbatch (task
+    retry or checkpoint recovery) re-stages the SAME bytes, publishes
+    to the SAME Merkle addresses (publish dedups on fs.exists) and the
+    commit hits the engine's double-write no-op — the changelog gains
+    no second revision. This holds whenever the replayed batch produces
+    the same rows per partition (deterministic queries; Spark replays
+    the same offset range).
+
+    Partition contract (same as the batch writer): partitions must be
+    range-disjoint on the index or the commit aborts before anything
+    publishes. Streaming queries cannot repartitionByRange, so either
+    keep microbatches single-partition (``.repartition(1)`` upstream —
+    bounded batches make this cheap), let the natural partitioning be
+    disjoint (e.g. tailing another lakota series), or set
+    ``option("overlay", "true")`` for range-REPLACEMENT semantics
+    (deterministic (start, stop, digest) splice order — rows sharing an
+    index value across two overlapping partitions would be spliced
+    away, which is why overlay is opt-in). High-volume ingest that
+    needs per-batch range partitioning stays on the foreachBatch +
+    `Series.write` path (`lakota_spark/streaming`).
+
+    ``outputMode("complete")`` (overwrite=True) re-roots the table each
+    batch (`Series.write(root=True)`); empty complete batches are
+    no-ops rather than truncates.
+    """
+
+    def __init__(self, options, schema, overwrite: bool = False):
+        # identical validation + executor logic as the batch writer;
+        # root-per-batch when Spark asks for truncate (complete mode)
+        self._inner = LakotaArrowWriter(
+            options, schema, overwrite=overwrite
+        )
+
+    def write(self, iterator):
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId):  # noqa: N803 (API naming)
+        parts = [m for m in messages if m is not None and m.n]
+        if not parts:
+            return  # empty microbatch: no revision (never a truncate)
+        self._inner.commit(messages)
+
+    def abort(self, messages, batchId):  # noqa: N803 (API naming)
+        self._inner.abort(messages)

@@ -454,3 +454,54 @@ def test_datasource_over_http_backend(spark):
             assert sorted(r.ts for r in df.collect()) == list(range(10, 20))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_writer_sink_exactly_once(spark, ds_repo):
+    """df.writeStream.format("lakota"): one revision per microbatch,
+    lakota-to-lakota tail replication, and replay idempotence (a rerun
+    over the same checkpoint adds no revision; restarting after source
+    growth appends exactly the new rows)."""
+    repo, s = ds_repo
+    dst = repo.create_collection(
+        Schema(ts="int*", value="float", tag="str"), "sink"
+    )
+    ckpt = tempfile.mkdtemp(prefix="lakota-sink-ckpt-")
+
+    def run():
+        q = (
+            spark.readStream.format("lakota")
+            .option("path", repo.root)
+            .option("table", "m/x")
+            .option("startingOffsets", "earliest")
+            .load()
+            .writeStream.format("lakota")
+            .option("path", repo.root)
+            .option("table", "sink/x")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    out = repo.collection("sink").series("x")
+    src_rows = sorted(
+        tuple(r) for r in s.frame(sort=False).collect()
+    )
+    assert sorted(tuple(r) for r in out.frame(sort=False).collect()) == (
+        src_rows
+    )
+    n_rev = len(dst.changelog.revisions())
+    assert n_rev >= 1
+    # replay over the same checkpoint: NO new revision (double-write
+    # no-op through content addressing)
+    run()
+    assert len(repo.collection("sink").changelog.revisions()) == n_rev
+    # source grows -> exactly the new rows land, one more revision
+    s.write({"ts": [900, 901], "value": [7.5, 8.5], "tag": ["z", "z"]})
+    run()
+    out2 = repo.collection("sink").series("x")
+    assert out2.frame().count() == len(src_rows) + 2
+    got = {r.ts for r in out2.frame(mask="(>= self.ts 900)").collect()}
+    assert got == {900, 901}
+    assert len(repo.collection("sink").changelog.revisions()) == n_rev + 1
