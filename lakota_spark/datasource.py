@@ -807,6 +807,12 @@ class LakotaStreamWriter(DataSourceStreamArrowWriter):
     ``outputMode("complete")`` (overwrite=True) re-roots the table each
     batch (`Series.write(root=True)`); empty complete batches are
     no-ops rather than truncates.
+
+    ``option("maintain_every", N)`` runs `Collection.maintain()` after
+    every Nth committed batch (same knob as the foreachBatch ingest's
+    ``maintain_every``) so a forever-running sink keeps a bounded
+    changelog — threshold-triggered squash/defrag instead of one
+    revision accreting per trigger.
     """
 
     def __init__(self, options, schema, overwrite: bool = False):
@@ -815,6 +821,7 @@ class LakotaStreamWriter(DataSourceStreamArrowWriter):
         self._inner = LakotaArrowWriter(
             options, schema, overwrite=overwrite
         )
+        self._maintain_every = int(options.get("maintain_every", 0) or 0)
 
     def write(self, iterator):
         return self._inner.write(iterator)
@@ -824,6 +831,14 @@ class LakotaStreamWriter(DataSourceStreamArrowWriter):
         if not parts:
             return  # empty microbatch: no revision (never a truncate)
         self._inner.commit(messages)
+        # keyed on batchId (not a local counter) so the cadence survives
+        # checkpoint restarts
+        if (
+            self._maintain_every
+            and (batchId + 1) % self._maintain_every == 0
+        ):
+            series = _open_series(self._inner._options)
+            series.collection.maintain()
 
     def abort(self, messages, batchId):  # noqa: N803 (API naming)
         self._inner.abort(messages)

@@ -505,3 +505,46 @@ def test_stream_writer_sink_exactly_once(spark, ds_repo):
     got = {r.ts for r in out2.frame(mask="(>= self.ts 900)").collect()}
     assert got == {900, 901}
     assert len(repo.collection("sink").changelog.revisions()) == n_rev + 1
+
+
+def test_stream_writer_maintain_every(spark, ds_repo):
+    """option('maintain_every', N): Collection.maintain runs after
+    every Nth committed microbatch (batchId-keyed, restart-stable) —
+    the native-sink twin of the foreachBatch ingest knob."""
+    repo, s = ds_repo
+    repo.create_collection(
+        Schema(ts="int*", value="float", tag="str"), "sink2"
+    )
+    ckpt = tempfile.mkdtemp(prefix="lakota-sink2-ckpt-")
+
+    def run():
+        q = (
+            spark.readStream.format("lakota")
+            .option("path", repo.root)
+            .option("table", "m/x")
+            .option("startingOffsets", "earliest")
+            .load()
+            .writeStream.format("lakota")
+            .option("path", repo.root)
+            .option("table", "sink2/x")
+            .option("maintain_every", "1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # several source revisions -> several microbatch commits, each
+    # followed by maintain (threshold-gated; must not corrupt reads)
+    for lo in (300, 400, 500):
+        s.write({
+            "ts": [lo, lo + 1],
+            "value": [float(lo), float(lo + 1)],
+            "tag": ["m", "m"],
+        })
+        run()
+    out = repo.collection("sink2").series("x")
+    want = sorted(
+        tuple(r) for r in s.frame(sort=False).collect()
+    )
+    assert sorted(tuple(r) for r in out.frame(sort=False).collect()) == want
