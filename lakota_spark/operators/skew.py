@@ -79,7 +79,14 @@ def salted_agg(
     max -> max).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    salted = df.withColumn("_salt", (F.rand(seed=7) * salt).cast("int"))
+    # deterministic salt (hash of the whole row, like salted_join): no
+    # RNG anywhere in the engine — reruns and retries aggregate the
+    # same rows into the same partial groups
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.abs(F.hash(*[F.col(c) for c in df.columns])),
+               F.lit(salt)),
+    )
     stage1 = salted.groupBy(*keys, "_salt").agg(
         *[c.alias(name) for name, c in aggs.items()]
     )
