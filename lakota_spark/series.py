@@ -531,9 +531,13 @@ class Series:
                 if (iv == np.iinfo("i8").min).any():
                     return None  # NaT: engine path decides
                 unit = a.dtype.str.rsplit("[", 1)[-1].rstrip("]")
-                per_s = {"ns": 10**9, "us": 10**6, "ms": 10**3, "s": 1}[
-                    unit
-                ]
+                per_s = {
+                    "ns": 10**9, "us": 10**6, "ms": 10**3, "s": 1
+                }.get(unit)
+                if per_s is None:
+                    # coarse units (m/h/D/W/M/Y): the pandas path
+                    # coerces them through pd.DataFrame — fall back
+                    return None
                 # same integer floor-to-second as _local_cast
                 arrays[name] = (iv // per_s * 1_000_000).view("M8[us]")
             else:  # str/date: the pandas path owns the validation
