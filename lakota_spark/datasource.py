@@ -557,7 +557,8 @@ class LakotaArrowWriter(DataSourceArrowWriter):
     reference's M8[s] write cast), sort locally by the index, slice
     into PAGE_LEN zstd parquet blobs (per-column encodings matching
     `Series._write_segment_files_local`) and STAGE under a
-    ``_tmp-<uuid>`` dir (invisible to GC) with per-blob sha1s. Driver
+    ``_tmp-<hexts>-<uuid>`` dir (aged out by GC only after the
+    grace period) with per-blob sha1s. Driver
     side (`commit`): every staged dir publishes to its Merkle content
     address (identical-content dedup like the engine), partition index
     ranges must be pairwise DISJOINT (repartitionByRange on the index
@@ -676,7 +677,9 @@ class LakotaArrowWriter(DataSourceArrowWriter):
         )
         dict_cols = [n for n, a in self._aliases.items() if a == "str"]
         fsys, root = pafs.FileSystem.from_uri(self._uri)
-        tmp_rel = f"{self._seg_prefix}/_tmp-{_uuid.uuid4().hex}"
+        from lakota_spark.changelog import hexts as _hexts
+
+        tmp_rel = f"{self._seg_prefix}/_tmp-{_hexts()}-{_uuid.uuid4().hex}"
         tmp_full = posixpath.join(root, tmp_rel)
         fsys.create_dir(tmp_full, recursive=True)
         digests = []

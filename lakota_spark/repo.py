@@ -341,7 +341,21 @@ class Repo:
                         self.fs.remove_tree(rel)
                         stats["hard"] += 1
                 elif name.startswith("_tmp-"):
-                    continue  # in-flight write
+                    # in-flight staging dir. A hard-crashed writer
+                    # (killed before commit OR abort) would leak it
+                    # forever — age it out on the same grace period as
+                    # trash, parsed from the hextime the writers embed
+                    # (_tmp-<hexts>-<uuid>); unparsable names (older
+                    # layout) stay untouched.
+                    parts = name.split("-", 2)
+                    try:
+                        born = hexts_to_epoch(parts[1])
+                    except (IndexError, ValueError):
+                        continue
+                    if now - born >= timeout:
+                        self.fs.remove_tree(rel)
+                        stats["hard"] += 1
+                    continue
                 elif name not in referenced:
                     self.fs.move(rel, rel + TRASH_MARK + hexts(now))
                     stats["soft"] += 1

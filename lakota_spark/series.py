@@ -694,11 +694,15 @@ class Series:
         name = digest[:20]
         final_rel = f"{seg_prefix}/{name}"
         if not fs.exists(final_rel):
-            # Stage under a `_tmp-` dir then move, like the Spark path:
-            # GC skips `_tmp-` (in-flight) dirs, whereas publishing
+            # Stage under a hextime-stamped `_tmp-` dir then move,
+            # like the Spark path: GC leaves young `_tmp-` (in-flight)
+            # dirs alone and ages out crashed writers' leftovers after
+            # the grace period, whereas publishing
             # file-by-file into the final dir races a concurrent gc()'s
             # soft-delete rename mid-write (caught by the chaos suite).
-            tmp_rel = f"{seg_prefix}/_tmp-{uuid.uuid4().hex}"
+            from lakota_spark.changelog import hexts
+
+            tmp_rel = f"{seg_prefix}/_tmp-{hexts()}-{uuid.uuid4().hex}"
             for i, b in enumerate(blobs):
                 fs.write_bytes_atomic(
                     f"{tmp_rel}/part-{i:05d}.parquet", b
@@ -1127,7 +1131,9 @@ class Series:
             return (name, digest, *stats) if with_stats else (name, digest)
 
         if fs.spark_readable:
-            tmp_rel = f"{seg_prefix}/_tmp-{uuid.uuid4().hex}"
+            from lakota_spark.changelog import hexts
+
+            tmp_rel = f"{seg_prefix}/_tmp-{hexts()}-{uuid.uuid4().hex}"
             write_to(fs.spark_uri(tmp_rel))
 
             def publish_move(name, parts):

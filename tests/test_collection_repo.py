@@ -199,6 +199,35 @@ def test_gc_two_phase(repo):
     assert rows(s.frame()) == [(1, 9.0)]
 
 
+def test_gc_ages_out_crashed_staging_dirs(repo):
+    """A writer killed between staging and commit/abort leaves a
+    `_tmp-<hexts>-<uuid>` dir; GC must leave YOUNG ones alone (in-flight
+    writes) and hard-delete them after the grace period. Unparsable
+    names (no hextime) are never touched."""
+    from lakota_spark.changelog import hexts
+
+    coll = _mk(repo)
+    s = coll.series("s")
+    s.write({"ts": [1, 2], "value": [1.0, 2.0]})
+    pre = f"{coll.seg_prefix}"
+    # simulate a crash leftover: stamped 2h ago, plus a fresh one and
+    # one in the old (unstamped) layout
+    repo.fs.write_bytes_atomic(
+        f"{pre}/_tmp-{hexts(__import__('time').time() - 7200)}-dead/x",
+        b"x",
+    )
+    repo.fs.write_bytes_atomic(f"{pre}/_tmp-{hexts()}-live/x", b"x")
+    repo.fs.write_bytes_atomic(f"{pre}/_tmp-oldlayout/x", b"x")
+    stats = repo.gc(timeout=3600)
+    names = set(repo.fs.ls(pre))
+    assert not any("dead" in n for n in names)
+    assert any("live" in n for n in names)
+    assert any(n == "_tmp-oldlayout" for n in names)
+    assert stats["hard"] == 1
+    # committed data untouched
+    assert rows(s.frame()) == [(1, 1.0), (2, 2.0)]
+
+
 def test_push_pull_roundtrip(repo, spark, tmp_path):
     from lakota_spark.repo import Repo
 
