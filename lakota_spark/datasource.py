@@ -726,7 +726,6 @@ class LakotaArrowWriter(DataSourceArrowWriter):
                 "truncation is an explicit engine op (Collection.delete "
                 "or Series range delete)"
             )
-        segs = []
         # deterministic commit order: (start, stop, content digest).
         # In overlay mode LATER segments splice over earlier ones, so
         # this order IS the shadowing rule — content-addressed, stable
@@ -734,14 +733,42 @@ class LakotaArrowWriter(DataSourceArrowWriter):
         def _key(m):
             return (m.lo, m.hi, FS.combine_sha1(m.digests))
 
-        for m in sorted(parts, key=_key):
+        ordered = sorted(parts, key=_key)
+
+        def publish(m):
             digest = FS.combine_sha1(m.digests)
             name = digest[:20]
             final_rel = f"{self._seg_prefix}/{name}"
             if fs.exists(final_rel):  # identical content already stored
                 fs.remove_tree(m.tmp_rel)
             else:
-                fs.move(m.tmp_rel, final_rel)
+                try:
+                    fs.move(m.tmp_rel, final_rel)
+                except Exception:
+                    # two partitions with identical content race the
+                    # same address: the loser cleans up its staging
+                    if fs.exists(final_rel):
+                        fs.remove_tree(m.tmp_rel)
+                    else:
+                        raise
+            return digest, name
+
+        # publishes are independent per segment — run them concurrently
+        # (an object-store "move" is copy+delete per blob, and a
+        # 1000-partition ingest would otherwise pay 1000 sequential
+        # round-trips on the driver); ex.map preserves input order so
+        # the segs list keeps the deterministic sort
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(ordered) > 1:
+            with ThreadPoolExecutor(
+                max_workers=min(len(ordered), 16)
+            ) as ex:
+                published = list(ex.map(publish, ordered))
+        else:
+            published = [publish(m) for m in ordered]
+        segs = []
+        for m, (digest, name) in zip(ordered, published):
             meta = {"digest": digest}
             if getattr(m, "zmap", None):
                 meta["zmap"] = m.zmap
