@@ -527,6 +527,9 @@ class Series:
             elif alias == "timestamp":
                 if kind != "M":
                     return None
+                if not a.flags.c_contiguous:
+                    # .view raises on strided arrays (e.g. arr[::2])
+                    a = np.ascontiguousarray(a)
                 iv = a.view("i8")
                 if (iv == np.iinfo("i8").min).any():
                     return None  # NaT: engine path decides

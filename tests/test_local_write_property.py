@@ -49,6 +49,11 @@ def _frames(draw):
         )
     )
     t = np.array(secs, dtype="i8").view(f"M8[s]").astype(f"M8[{unit}]")
+    if draw(st.booleans()):
+        # strided views (arr[::2]) must not break the zero-copy path
+        k = np.repeat(k, 2)[::2]
+        t = np.repeat(t, 2)[::2]
+        v = np.repeat(v, 2)[::2]
     return {"k": k, "t": t, "v": v}
 
 
