@@ -730,6 +730,7 @@ _R11_WINDOW = [
     # --- new r11 entries (never recorded) lead the window ---
     "engine_datasource_overlay",
     "engine_datasource_overwrite",
+    "unigram_lm_quality_salted",
     # --- last driver row r7 ---
     "balanced_lang_sample",
     "boilerplate_doc_flags",
@@ -779,9 +780,9 @@ _R11_WINDOW = [
     "text_stats",
     "token_counts",
     "tpch_q10",
-    "tpch_q12_case_agg",
-    # (tpch_q13_order_dist / tpch_q14_promo displaced by the two new
-    #  r11 entries — r8-green, lead the r12 rotation)
+    # (tpch_q12_case_agg / tpch_q13_order_dist / tpch_q14_promo
+    #  displaced by the three new r11 entries — r8-green, lead the r12
+    #  rotation)
 ]
 
 
@@ -897,6 +898,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_search": pipeline.trigram_search,
         "trigram_search_indexed": pipeline.trigram_search_indexed,
         "unigram_lm_quality": pipeline.unigram_lm_quality,
+        # skew-safe salted lookup-join twin (round 11)
+        "unigram_lm_quality_salted":
+            pipeline.unigram_lm_quality_salted,
         "heavy_hitter_tokens": pipeline.heavy_hitter_tokens,
         "dsir_importance": pipeline.dsir_importance,
         "ccnet_buckets": pipeline.ccnet_buckets,
@@ -1088,7 +1092,7 @@ s AS (SELECT ia, ib, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         # --- relational ---
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
@@ -3790,3 +3794,8 @@ SELECT qid, nid, cos_sim FROM (
 ) WHERE rn <= 3
 """,
     }
+
+    # the salted skew-safe LM plan must be VALUE-IDENTICAL to the
+    # broadcast plan — same oracle, separate driver row (round 11)
+    out["unigram_lm_quality_salted"] = out["unigram_lm_quality"]
+    return out

