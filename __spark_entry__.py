@@ -716,16 +716,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Round-11 driver window (stale-first rotation, VERDICT r10 #1): the
 #: driver records CORRECTNESS rows for the FIRST 50 queries() entries,
-#: so this list IS the round's external-validation window. Computed
-#: from the committed CORRECTNESS_r*.json history as the 50 entries
-#: whose last driver-recorded row is oldest (ties by name): the 13
-#: r7-last-recorded entries (the spill set the r10 ledger names) + the
-#: 37 oldest r8 entries — including the r8 signature pair the verdict
-#: called out (mmr_diverse_topk; the bpe_fertility/multimodal-header
-#: family). 50/50 outside the r10 window; after this round every
-#: registry entry's last driver row is >= r8. NEW never-recorded
-#: entries added this round MUST be inserted here (displacing the
-#: newest-stale tail) — enforced by tests/test_driver_contract.py.
+#: so this list IS the round's external-validation window. The 3 NEW
+#: r11 entries (never recorded — MUST be in the window, enforced by
+#: tests/test_driver_contract.py) lead; the rest is computed from the
+#: committed CORRECTNESS_r*.json history as the stalest entries (ties
+#: by name): the 13 r7-last-recorded entries (the spill set the r10
+#: ledger names) + the 34 oldest r8 entries — including the r8
+#: signature pair the verdict called out (mmr_diverse_topk; the
+#: bpe_fertility/multimodal-header family). 50/50 outside the r10
+#: window; after this round every registry entry's last driver row is
+#: >= r8 (tpch_q12/q13/q14 displaced, r8-green, lead the r12
+#: rotation).
 _R11_WINDOW = [
     # --- new r11 entries (never recorded) lead the window ---
     "engine_datasource_overlay",
