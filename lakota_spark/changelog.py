@@ -107,6 +107,25 @@ def hexts_to_epoch(h: str) -> float:
     return int(h, 16) / 1000.0
 
 
+def staging_name(uid: str) -> str:
+    """Name for an in-flight segment staging dir: ``_tmp-<hexts>-<uid>``.
+    The embedded hextime lets `Repo.gc` age out leftovers of writers
+    killed between staging and commit/abort. Keep this format and
+    `staging_epoch` in lockstep — every writer (driver-local, executor,
+    streaming) and the GC parser go through this pair."""
+    return f"_tmp-{hexts()}-{uid}"
+
+
+def staging_epoch(name: str) -> float | None:
+    """Creation epoch parsed from a `staging_name`, or None when the
+    name does not carry one (older layout — GC must leave it alone)."""
+    parts = name.split("-", 2)
+    try:
+        return hexts_to_epoch(parts[1])
+    except (IndexError, ValueError):
+        return None
+
+
 class Revision:
     __slots__ = ("parent", "child", "fs", "rel", "basename")
 

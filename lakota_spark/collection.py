@@ -249,6 +249,17 @@ class Collection:
             and _sig(snap, self.schema) == before_sig
         ):
             return None  # double-write no-op (`lakota/changelog.py:49-52`)
+        if root:
+            # root-commit idempotence: re-rooting with CONTENT identical
+            # to the current head is a no-op — this is what makes a
+            # replayed complete-mode streaming microbatch (checkpoint
+            # recovery re-runs the batch) add no phantom root revision.
+            # O(table) sig compare, but root commits are rare by nature.
+            cur = self.changelog.leaf()
+            if cur is not None and _sig(
+                self._leaf_snapshot(cur), self.schema
+            ) == _sig(snap, self.schema):
+                return None
         delta = [s.to_dict(self.schema) for s in segs]
         payload = None
         if leaf is not None and not root:

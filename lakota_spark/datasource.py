@@ -677,9 +677,9 @@ class LakotaArrowWriter(DataSourceArrowWriter):
         )
         dict_cols = [n for n, a in self._aliases.items() if a == "str"]
         fsys, root = pafs.FileSystem.from_uri(self._uri)
-        from lakota_spark.changelog import hexts as _hexts
+        from lakota_spark.changelog import staging_name
 
-        tmp_rel = f"{self._seg_prefix}/_tmp-{_hexts()}-{_uuid.uuid4().hex}"
+        tmp_rel = f"{self._seg_prefix}/{staging_name(_uuid.uuid4().hex)}"
         tmp_full = posixpath.join(root, tmp_rel)
         fsys.create_dir(tmp_full, recursive=True)
         digests = []
@@ -729,14 +729,13 @@ class LakotaArrowWriter(DataSourceArrowWriter):
         # deterministic commit order: (start, stop, content digest).
         # In overlay mode LATER segments splice over earlier ones, so
         # this order IS the shadowing rule — content-addressed, stable
-        # across reruns and partitionings.
-        def _key(m):
-            return (m.lo, m.hi, FS.combine_sha1(m.digests))
+        # across reruns and partitionings. Digests are Merkle-combined
+        # ONCE here and carried through sort + publish.
+        with_digest = [(m, FS.combine_sha1(m.digests)) for m in parts]
+        ordered = sorted(with_digest, key=lambda t: (t[0].lo, t[0].hi, t[1]))
 
-        ordered = sorted(parts, key=_key)
-
-        def publish(m):
-            digest = FS.combine_sha1(m.digests)
+        def publish(item):
+            m, digest = item
             name = digest[:20]
             final_rel = f"{self._seg_prefix}/{name}"
             if fs.exists(final_rel):  # identical content already stored
@@ -751,7 +750,7 @@ class LakotaArrowWriter(DataSourceArrowWriter):
                         fs.remove_tree(m.tmp_rel)
                     else:
                         raise
-            return digest, name
+            return name
 
         # publishes are independent per segment — run them concurrently
         # (an object-store "move" is copy+delete per blob, and a
@@ -766,9 +765,9 @@ class LakotaArrowWriter(DataSourceArrowWriter):
             ) as ex:
                 published = list(ex.map(publish, ordered))
         else:
-            published = [publish(m) for m in ordered]
+            published = [publish(t) for t in ordered]
         segs = []
-        for m, (digest, name) in zip(ordered, published):
+        for (m, digest), name in zip(ordered, published):
             meta = {"digest": digest}
             if getattr(m, "zmap", None):
                 meta["zmap"] = m.zmap

@@ -19,9 +19,10 @@ def salted_join(
     salt: int = 16,
     how: str = "inner",
     pin_partitioning: bool = True,
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join where ``fact`` has hot (Zipf) keys: salt the fact side
-    with a DETERMINISTIC bucket (hash of the whole fact row — no RNG, so
+    with a DETERMINISTIC bucket (hash of the fact row — no RNG, so
     reruns, retries and engine comparisons see identical placement),
     replicate the lookup side across all buckets, join on (keys, salt).
     The hot key's rows spread over ``salt`` tasks instead of one
@@ -29,6 +30,14 @@ def salted_join(
     exactly one salt, so multiplicity is preserved); the dim side pays a
     ``salt``× replication — use when dim is the SMALLER relation (vocab,
     n-gram counts, centroid tables).
+
+    CAVEAT — deterministic salting hashes row CONTENT, so IDENTICAL
+    fact rows land in one bucket: if the hot key's rows are exact
+    duplicates (e.g. a key-only projection), the spread is a no-op.
+    Ensure the fact relation carries a distinguishing column (doc id,
+    position — the LM scorers' token relations all do), or pass
+    ``salt_on`` to pick the columns that vary per row. The default
+    hashes all columns.
 
     ``pin_partitioning`` (default) repartitions BOTH sides explicitly on
     (keys…, _salt): the sort-merge join reuses the exchange, and AQE
@@ -44,9 +53,10 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if salt <= 1:
         return fact.join(dim, on=on, how=how)
+    salt_cols = salt_on if salt_on else fact.columns
     salted_fact = fact.withColumn(
         "_salt",
-        F.pmod(F.abs(F.hash(*[F.col(c) for c in fact.columns])),
+        F.pmod(F.abs(F.hash(*[F.col(c) for c in salt_cols])),
                F.lit(salt)),
     )
     exploded_dim = dim.withColumn(
@@ -67,6 +77,7 @@ def salted_agg(
     keys: list[str] | str,
     aggs: dict[str, Column],
     salt: int = 16,
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage aggregation for hot group keys: aggregate on
     (keys, salt) first (spreads a hot key over ``salt`` partial groups),
@@ -77,14 +88,21 @@ def salted_agg(
     ``aggs``: {output_name: stage1_agg_column}. The combiner is inferred
     from the column's expression head (sum/count -> sum, min -> min,
     max -> max).
+
+    Same duplicate-row CAVEAT as `salted_join`: the deterministic salt
+    hashes row content, so a relation whose rows EQUAL the group key
+    (e.g. ``tokens.select('token')``) gets one bucket per group and the
+    salting is a no-op — keep a varying column in the relation or pass
+    ``salt_on`` naming one.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    # deterministic salt (hash of the whole row, like salted_join): no
-    # RNG anywhere in the engine — reruns and retries aggregate the
-    # same rows into the same partial groups
+    # deterministic salt (hash of the row, like salted_join): no RNG
+    # anywhere in the engine — reruns and retries aggregate the same
+    # rows into the same partial groups
+    salt_cols = salt_on if salt_on else df.columns
     salted = df.withColumn(
         "_salt",
-        F.pmod(F.abs(F.hash(*[F.col(c) for c in df.columns])),
+        F.pmod(F.abs(F.hash(*[F.col(c) for c in salt_cols])),
                F.lit(salt)),
     )
     stage1 = salted.groupBy(*keys, "_salt").agg(

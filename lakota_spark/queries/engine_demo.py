@@ -378,12 +378,26 @@ def _ds_write_by_second(df, repo, table: str, mode: str = "append"):
     )
 
 
+def _ds_demo_stale(repo, label: str, want_revisions: int) -> bool:
+    """Build gate for the two-write datasource demos: a label is served
+    only when its changelog holds BOTH revisions (base ingest + patch /
+    re-root). A process hard-killed between the two writes (the Python
+    except-cleanup never ran) leaves one revision — drop and rebuild
+    instead of silently serving the unpatched base table."""
+    if label not in repo.ls():
+        return True
+    if len(repo.collection(label).changelog.revisions()) >= want_revisions:
+        return False
+    repo.delete_collection(label)
+    return True
+
+
 def _ds_base_ingest(spark, repo, sf_dir: str, label: str):
     """Create + distributed-append the full events table into a fresh
     collection via the data source writer (shared by the overlay /
     overwrite demos). On ANY build failure the half-built collection is
-    dropped so the lazy `label not in repo.ls()` gate can't serve a
-    partial table on the next run."""
+    dropped (and `_ds_demo_stale` catches the hard-kill case the except
+    clause cannot)."""
     repo.create_collection(
         Schema(
             ts="timestamp*",
@@ -416,7 +430,7 @@ def engine_datasource_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo = _event_repo(spark, sf_dir)
     register(spark)
     label = "ds_overlay"
-    if label not in repo.ls():
+    if _ds_demo_stale(repo, label, want_revisions=2):
         try:
             src = _ds_base_ingest(spark, repo, sf_dir, label)
             # +1024.0 is one IEEE addition — correctly rounded
@@ -449,7 +463,7 @@ def engine_datasource_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo = _event_repo(spark, sf_dir)
     register(spark)
     label = "ds_rewrite"
-    if label not in repo.ls():
+    if _ds_demo_stale(repo, label, want_revisions=2):
         try:
             src = _ds_base_ingest(spark, repo, sf_dir, label)
             # doubling is EXACT in IEEE-754 (exponent bump), so both

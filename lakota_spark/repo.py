@@ -17,7 +17,7 @@ import time
 
 from pyspark.sql import SparkSession
 
-from lakota_spark.changelog import hexts, hexts_to_epoch
+from lakota_spark.changelog import hexts, hexts_to_epoch, staging_epoch
 from lakota_spark.collection import Collection
 from lakota_spark.commit import Snapshot, payload_paths
 from lakota_spark.fsio import open_fs
@@ -302,7 +302,11 @@ class Repo:
 
     # ---------------------------------------------------------------- gc
 
-    def gc(self, timeout: float = 600.0) -> dict:
+    def gc(
+        self,
+        timeout: float = 600.0,
+        staging_timeout: float | None = None,
+    ) -> dict:
         """Two-phase GC (`lakota/repo.py:339-413`): segment dirs referenced
         by NO revision of a collection are soft-deleted (renamed with a
         hextime trash suffix); trash older than ``timeout`` seconds is
@@ -315,7 +319,18 @@ class Repo:
         commit is already visible in the later revision scan. The non-zero
         default grace period (reference: 600 s) covers the remaining
         window: a writer's segment is at worst soft-deleted and
-        resurrected, never hard-deleted before its commit lands."""
+        resurrected, never hard-deleted before its commit lands.
+
+        ``_tmp-`` STAGING dirs (in-flight writes — a crashed writer's
+        leftovers would otherwise leak forever) are hard-deleted only
+        past ``staging_timeout``, which defaults to ``max(timeout,
+        6 h)``: staging has no soft-delete/resurrect safety net, and a
+        long-running distributed ingest legitimately holds staging dirs
+        from task write until job commit — far longer than the trash
+        grace. Lower it only when no write can possibly be in flight.
+        """
+        if staging_timeout is None:
+            staging_timeout = max(timeout, 6 * 3600.0)
         stats = {"soft": 0, "hard": 0, "resurrected": 0}
         now = time.time()
         colls = [
@@ -341,18 +356,12 @@ class Repo:
                         self.fs.remove_tree(rel)
                         stats["hard"] += 1
                 elif name.startswith("_tmp-"):
-                    # in-flight staging dir. A hard-crashed writer
-                    # (killed before commit OR abort) would leak it
-                    # forever — age it out on the same grace period as
-                    # trash, parsed from the hextime the writers embed
-                    # (_tmp-<hexts>-<uuid>); unparsable names (older
-                    # layout) stay untouched.
-                    parts = name.split("-", 2)
-                    try:
-                        born = hexts_to_epoch(parts[1])
-                    except (IndexError, ValueError):
-                        continue
-                    if now - born >= timeout:
+                    # in-flight staging dir: age out crashed writers'
+                    # leftovers past the (long) staging grace, parsed
+                    # via the shared `changelog.staging_epoch`;
+                    # unparsable names (older layout) stay untouched
+                    born = staging_epoch(name)
+                    if born is not None and now - born >= staging_timeout:
                         self.fs.remove_tree(rel)
                         stats["hard"] += 1
                     continue

@@ -703,9 +703,9 @@ class Series:
             # the grace period, whereas publishing
             # file-by-file into the final dir races a concurrent gc()'s
             # soft-delete rename mid-write (caught by the chaos suite).
-            from lakota_spark.changelog import hexts
+            from lakota_spark.changelog import staging_name
 
-            tmp_rel = f"{seg_prefix}/_tmp-{hexts()}-{uuid.uuid4().hex}"
+            tmp_rel = f"{seg_prefix}/{staging_name(uuid.uuid4().hex)}"
             for i, b in enumerate(blobs):
                 fs.write_bytes_atomic(
                     f"{tmp_rel}/part-{i:05d}.parquet", b
@@ -1134,9 +1134,9 @@ class Series:
             return (name, digest, *stats) if with_stats else (name, digest)
 
         if fs.spark_readable:
-            from lakota_spark.changelog import hexts
+            from lakota_spark.changelog import staging_name
 
-            tmp_rel = f"{seg_prefix}/_tmp-{hexts()}-{uuid.uuid4().hex}"
+            tmp_rel = f"{seg_prefix}/{staging_name(uuid.uuid4().hex)}"
             write_to(fs.spark_uri(tmp_rel))
 
             def publish_move(name, parts):

@@ -201,9 +201,10 @@ def test_gc_two_phase(repo):
 
 def test_gc_ages_out_crashed_staging_dirs(repo):
     """A writer killed between staging and commit/abort leaves a
-    `_tmp-<hexts>-<uuid>` dir; GC must leave YOUNG ones alone (in-flight
-    writes) and hard-delete them after the grace period. Unparsable
-    names (no hextime) are never touched."""
+    `_tmp-<hexts>-<uuid>` dir; GC must leave anything younger than the
+    STAGING grace alone (default 6h — a distributed ingest legitimately
+    stages for its whole job duration) and hard-delete past it.
+    Unparsable names (no hextime) are never touched."""
     from lakota_spark.changelog import hexts
 
     coll = _mk(repo)
@@ -218,7 +219,12 @@ def test_gc_ages_out_crashed_staging_dirs(repo):
     )
     repo.fs.write_bytes_atomic(f"{pre}/_tmp-{hexts()}-live/x", b"x")
     repo.fs.write_bytes_atomic(f"{pre}/_tmp-oldlayout/x", b"x")
-    stats = repo.gc(timeout=3600)
+    # the DEFAULT staging grace (6h) must keep even the 2h-old dir: a
+    # long-running ingest holds staging dirs from task write to commit
+    stats0 = repo.gc(timeout=3600)
+    assert stats0["hard"] == 0
+    assert any("dead" in n for n in repo.fs.ls(pre))
+    stats = repo.gc(timeout=3600, staging_timeout=3600)
     names = set(repo.fs.ls(pre))
     assert not any("dead" in n for n in names)
     assert any("live" in n for n in names)

@@ -286,10 +286,16 @@ def test_writer_overwrite_new_root(spark, ds_repo):
     assert out == [(i + 80, -1.0) for i in range(50)]
     # one new revision; time travel still sees the pre-overwrite table
     assert s.frame(before=before).count() == 100
-    # overwrite is NOT subject to the double-write no-op skip: identical
-    # content still re-roots deterministically
+    # re-overwriting with IDENTICAL content is a no-op (root-commit
+    # idempotence — what makes complete-mode streaming replays add no
+    # phantom root revision)
+    n_rev = len(repo.collection("ow").changelog.revisions())
     w(d2.repartitionByRange(4, "ts"), "overwrite")
     assert s.frame().count() == 50
+    assert len(repo.collection("ow").changelog.revisions()) == n_rev
+    # a DIFFERENT overwrite still re-roots
+    w(d1.repartitionByRange(4, "ts"), "overwrite")
+    assert s.frame().count() == 100
 
 
 def test_writer_overlay_option_splices(spark, ds_repo):
