@@ -377,15 +377,19 @@ def test_export_import(repo, spark, tmp_path):
 
 
 def test_time_travel_after_branches(repo):
-    import time
-
+    # cutoff derived from the REVISION stamps, not time.time(): hexts()
+    # is monotonic per process (same-ms commits bump by 1 ms), so after
+    # a commit-heavy suite the stamps can run a few ms AHEAD of wall
+    # clock and a wall-clock cutoff between the writes lands before
+    # write 1's stamp (observed as a full-suite-order flake)
     coll = _mk(repo)
     s = coll.series("s")
     s.write({"ts": [1], "value": [1.0]})
-    t1 = time.time()
-    time.sleep(0.01)
+    e1 = coll.changelog.leaf().epoch
     s.write({"ts": [2], "value": [2.0]})
-    snap_then = coll.snapshot(before=t1)
+    e2 = coll.changelog.leaf().epoch
+    assert e2 > e1
+    snap_then = coll.snapshot(before=(e1 + e2) / 2)
     assert snap_then.length("s") == 1
 
 
