@@ -513,6 +513,39 @@ def test_stream_writer_sink_exactly_once(spark, ds_repo):
     assert len(repo.collection("sink").changelog.revisions()) == n_rev + 1
 
 
+def test_writer_identical_content_partitions(spark, ds_repo):
+    """Two write tasks with IDENTICAL bytes publish to the same Merkle
+    address: the concurrent-publish race resolves (one move wins, the
+    loser's staging dir is cleaned) and the overlay splice leaves ONE
+    segment. Driven at the commit() level — Spark's planner collapses
+    any union crafted to produce two identical partitions."""
+    from lakota_spark.datasource import LakotaArrowWriter, _SegmentMsg
+    from lakota_spark.fsio import FS
+
+    repo, _ = ds_repo
+    coll = repo.create_collection(Schema(ts="int*", value="float"), "dup")
+    opts = {"path": repo.root, "table": "dup/x"}
+    w = LakotaArrowWriter(opts, coll.schema.struct_type())
+
+    blob = b"same-bytes-for-both-tasks"
+    import hashlib
+
+    digest = hashlib.sha1(blob).hexdigest()  # noqa: S324
+    msgs = []
+    for i in range(2):
+        tmp_rel = f"{coll.seg_prefix}/_tmp-race-{i}"
+        repo.fs.write_bytes_atomic(f"{tmp_rel}/part-00000.parquet", blob)
+        msgs.append(_SegmentMsg(tmp_rel, [digest], 10, (0,), (9,)))
+    w._overlay = True  # identical bounds overlap by definition
+    w.commit(msgs)
+    name = FS.combine_sha1([digest])[:20]
+    names = repo.fs.ls(coll.seg_prefix)
+    assert names == [name], names  # one address, no staging leftovers
+    segs = coll.snapshot().for_label("x")
+    assert len(segs) == 1 and segs[0].length == 10
+    assert len(coll.changelog.revisions()) == 1
+
+
 def test_stream_writer_maintain_every(spark, ds_repo):
     """option('maintain_every', N): Collection.maintain runs after
     every Nth committed microbatch (batchId-keyed, restart-stable) —
