@@ -192,14 +192,21 @@ def main() -> None:
     # absorb one-off index/materialization builds on first call)
     timings: dict[str, float] = {}
     spreads: list[float] = []
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         trials = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            trials.append(time.perf_counter() - t0)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                trials.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — one rung must not
+            # zero the whole round's bench record
+            errors[name] = str(exc)[:200]
+            print(f"BENCH_ERROR {name}: {errors[name]}")
+            continue
         timings[name] = round(min(trials), 4)
         # within-run trial spread OVER THE RETAINED trials (the first
         # trial carries one-off fit/index/ingest builds by design —
@@ -208,8 +215,8 @@ def main() -> None:
         spreads.append(tail[1] / tail[0] if tail[0] > 0 else 1.0)
 
     total = round(sum(timings.values()), 4)
-    core_s = round(sum(timings[q] for q in BENCH_CORE), 4)
-    tail_s = round(sum(timings[q] for q in BENCH_TAIL), 4)
+    core_s = round(sum(timings.get(q, 0.0) for q in BENCH_CORE), 4)
+    tail_s = round(sum(timings.get(q, 0.0) for q in BENCH_TAIL), 4)
 
     # Variance methodology (VERDICT r9 #8): every rung reports min-of-3;
     # `variance` quantifies how noisy THIS run's trials were so the
@@ -245,6 +252,7 @@ def main() -> None:
         },
         "variance": variance,
         "storage": storage,
+        "errors": errors,
         "sf": float(sf),
     }
     detail_path = os.path.join(
@@ -290,6 +298,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "variance": variance,
         "storage": compact_storage,
+        "bench_errors": len(errors),
         "sf": float(sf),
         "detail": "BENCH_DETAIL.json",
     }
