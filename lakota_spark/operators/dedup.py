@@ -518,7 +518,9 @@ def embedding_dup_pairs(
         # BLOCKED projection only.
         n_part = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         a = base.withColumn(
-            "_ps", F.pmod(F.abs(F.hash(F.col("id"))), F.lit(pair_salt))
+            # pmod alone: abs(hash) overflows on Int32.MinValue under
+            # ANSI mode; pmod already yields the non-negative residue
+            "_ps", F.pmod(F.hash(F.col("id")), F.lit(pair_salt))
         ).repartition(n_part, "blk", "_ps")
         b = base.withColumn(
             "_ps", F.explode(F.array(*[F.lit(i) for i in range(pair_salt)]))

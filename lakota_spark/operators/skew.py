@@ -8,8 +8,32 @@ aggregation for hot group-by keys.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _salt_bucket(salt_cols: list[str], salt: int) -> Column:
+    """Deterministic non-negative bucket in [0, salt).
+
+    ``pmod`` (not ``abs``+``pmod``): ``F.hash`` yields a full-range
+    int32, and ``abs(Int32.MinValue)`` overflows — under Spark 4's
+    default ANSI mode that's an ARITHMETIC_OVERFLOW crash with
+    probability ~2^-32 PER ROW, near-certain over an open-web-scale
+    ingest. ``pmod(-2147483648, salt)`` is already the non-negative
+    residue, so ``abs`` was both hazardous and redundant.
+    """
+    return F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(salt))
+
+
+def _check_salt_free(df: DataFrame, side: str) -> None:
+    if "_salt" in df.columns:
+        raise ValueError(
+            f"salted join/agg uses an internal '_salt' column but the "
+            f"{side} relation already has one — rename it first "
+            "(silently overwriting would corrupt the user column)"
+        )
 
 
 def salted_join(
@@ -53,12 +77,10 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if salt <= 1:
         return fact.join(dim, on=on, how=how)
+    _check_salt_free(fact, "fact")
+    _check_salt_free(dim, "dim")
     salt_cols = salt_on if salt_on else fact.columns
-    salted_fact = fact.withColumn(
-        "_salt",
-        F.pmod(F.abs(F.hash(*[F.col(c) for c in salt_cols])),
-               F.lit(salt)),
-    )
+    salted_fact = fact.withColumn("_salt", _salt_bucket(salt_cols, salt))
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
@@ -72,12 +94,54 @@ def salted_join(
     return out.drop("_salt")
 
 
+#: combiner name -> stage-2 aggregate builder for `salted_agg`
+_COMBINERS = {
+    "sum": F.sum,
+    "count": F.sum,  # partial counts combine by summation
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def _infer_combiner(col: Column) -> str:
+    """Best-effort combiner inference from a Column's string form.
+
+    Uses the public ``str(Column)`` rendering first and the classic
+    py4j ``_jc`` handle only as a guarded fallback — the private handle
+    does not exist under Spark Connect, where callers must pass
+    ``combiners=`` explicitly (documented in `session.get_spark`).
+    """
+    try:
+        text = str(col)  # classic renders "Column<'sum(v)'>"
+    except Exception:
+        text = ""
+    if "(" not in text:
+        try:
+            text = col._jc.toString()  # noqa: SLF001 — classic-only fallback
+        except Exception as exc:
+            raise ValueError(
+                "cannot infer a combiner for this aggregate expression "
+                "(Spark Connect has no expression string) — pass "
+                "combiners={name: 'sum'|'count'|'min'|'max'} explicitly"
+            ) from exc
+    m = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(", text)
+    head = m.group(1).lower() if m else ""
+    for name in _COMBINERS:
+        if head.startswith(name):
+            return name
+    raise ValueError(
+        f"non-algebraic aggregate {head!r} cannot be salted; "
+        "use AQE or a sketch (or pass combiners= explicitly)"
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str] | str,
     aggs: dict[str, Column],
     salt: int = 16,
     salt_on: list[str] | None = None,
+    combiners: dict[str, str] | None = None,
 ) -> DataFrame:
     """Two-stage aggregation for hot group keys: aggregate on
     (keys, salt) first (spreads a hot key over ``salt`` partial groups),
@@ -85,9 +149,12 @@ def salted_agg(
     the caller provides stage-1 expressions; stage 2 re-applies the
     matching combiner.
 
-    ``aggs``: {output_name: stage1_agg_column}. The combiner is inferred
-    from the column's expression head (sum/count -> sum, min -> min,
-    max -> max).
+    ``aggs``: {output_name: stage1_agg_column}.
+    ``combiners``: {output_name: 'sum'|'count'|'min'|'max'} — the
+    stage-2 combiner per output. Optional: when omitted it is inferred
+    from the stage-1 Column's expression string (works on the classic
+    py4j session this engine pins; under Spark Connect pass it
+    explicitly).
 
     Same duplicate-row CAVEAT as `salted_join`: the deterministic salt
     hashes row content, so a relation whose rows EQUAL the group key
@@ -96,30 +163,22 @@ def salted_agg(
     ``salt_on`` naming one.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    _check_salt_free(df, "input")
     # deterministic salt (hash of the row, like salted_join): no RNG
     # anywhere in the engine — reruns and retries aggregate the same
     # rows into the same partial groups
     salt_cols = salt_on if salt_on else df.columns
-    salted = df.withColumn(
-        "_salt",
-        F.pmod(F.abs(F.hash(*[F.col(c) for c in salt_cols])),
-               F.lit(salt)),
-    )
+    salted = df.withColumn("_salt", _salt_bucket(salt_cols, salt))
     stage1 = salted.groupBy(*keys, "_salt").agg(
         *[c.alias(name) for name, c in aggs.items()]
     )
-    combiners = []
+    stage2 = []
     for name, col in aggs.items():
-        head = col._jc.toString().split("(", 1)[0].lower()  # noqa: SLF001
-        if head.startswith(("sum", "count")):
-            combiners.append(F.sum(name).alias(name))
-        elif head.startswith("min"):
-            combiners.append(F.min(name).alias(name))
-        elif head.startswith("max"):
-            combiners.append(F.max(name).alias(name))
-        else:
+        comb = (combiners or {}).get(name) or _infer_combiner(col)
+        if comb not in _COMBINERS:
             raise ValueError(
-                f"non-algebraic aggregate {head!r} cannot be salted; "
-                "use AQE or a sketch"
+                f"unknown combiner {comb!r} for {name!r}; expected one "
+                f"of {sorted(_COMBINERS)}"
             )
-    return stage1.groupBy(*keys).agg(*combiners)
+        stage2.append(_COMBINERS[comb](name).alias(name))
+    return stage1.groupBy(*keys).agg(*stage2)

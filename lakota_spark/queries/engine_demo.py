@@ -419,7 +419,7 @@ def engine_datasource_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data source writer's OVERLAY path under the driver oracle
     (round 11, VERDICT r10 #3): after the distributed base ingest, a
     second ``mode("append")`` write whose index range overlaps EXISTING
-    data — all events in [2024-01-10, 2024-01-20) with negated value —
+    data — all events in [2024-01-10, 2024-01-20) with value + 1024.0 —
     splices over it (range replacement, `commit.py` windowed overlay),
     in ONE atomic revision. The read-back proves: the replaced range
     serves the NEW rows, everything outside is untouched, and row count

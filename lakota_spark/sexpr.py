@@ -432,22 +432,19 @@ def _aggregate(name: str, args, env, order_col):
         return F.count(F.lit(1))
     if name == "first":
         # deterministic: value at the smallest index (`sexpr.py:216-220`)
+        # F.min_by/F.max_by (public since Spark 3.3) — no _jc SQL
+        # stringification, so this path also works under Spark Connect
         if order_col is None:
             raise SexprError("first requires a frame with index order")
-        return F.expr(f"min_by({_sql(col)}, {order_col})")
+        return F.min_by(col, F.expr(order_col))
     if name == "last":
         if order_col is None:
             raise SexprError("last requires a frame with index order")
-        return F.expr(f"max_by({_sql(col)}, {order_col})")
+        return F.max_by(col, F.expr(order_col))
     if name == "quantile":
         q = vals[1] if len(vals) > 1 else 0.5
         return F.percentile(col, F.lit(q))
     raise SexprError(name)
-
-
-def _sql(col: Column) -> str:
-    # Column -> SQL text for min_by/max_by composition
-    return col._jc.toString()  # noqa: SLF001 - no public API for this
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,64 @@ def test_salted_agg_matches_plain(spark):
     assert got == {0: (249500, 500, 0, 998), 1: (250000, 500, 1, 999)}
 
 
+def test_salted_agg_explicit_combiners(spark):
+    """Spark-Connect-safe path: combiners passed explicitly, no
+    expression-string inference needed (VERDICT r11 #6)."""
+    from lakota_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([(i % 2, i) for i in range(100)], "k int, v long")
+    out = salted_agg(
+        df, keys="k",
+        aggs={"s": F.sum("v"), "mx": F.max("v")},
+        combiners={"s": "sum", "mx": "max"},
+        salt=4,
+    )
+    got = {r.k: (r.s, r.mx) for r in out.collect()}
+    assert got == {0: (2450, 98), 1: (2500, 99)}
+
+
+def test_salt_bucket_no_ansi_overflow(spark):
+    """ADVICE r12: abs(hash) overflows on Int32.MinValue under ANSI
+    mode; the bucket must be pmod-only. Pins both the semantics
+    (pmod(MinValue, s) is the non-negative residue, no crash) and the
+    implementation (no F.abs in the bucket expression)."""
+    from lakota_spark.operators.skew import _salt_bucket
+
+    # semantic pin: the exact hazard value flows through pmod unharmed
+    row = spark.range(1).select(
+        F.pmod(F.lit(-2147483648), F.lit(16)).alias("b")
+    ).collect()[0]
+    assert row.b == 0
+    # implementation pin: the bucket expression itself contains no abs()
+    expr_text = str(_salt_bucket(["id"], 16)).lower()
+    assert "abs" not in expr_text and "pmod" in expr_text
+    # and it evaluates in-range over real data under the default ANSI mode
+    buckets = (
+        spark.range(10_000)
+        .select(_salt_bucket(["id"], 16).alias("b"))
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .collect()[0]
+    )
+    assert 0 <= buckets.lo and buckets.hi <= 15
+
+
+def test_salted_reserved_column_rejected(spark):
+    """ADVICE r12: a user relation already carrying '_salt' must be
+    rejected, not silently corrupted."""
+    import pytest
+
+    from lakota_spark.operators.skew import salted_agg, salted_join
+
+    fact = spark.createDataFrame([(1, 7)], "k int, _salt int")
+    dim = spark.createDataFrame([(1, "x")], "k int, name string")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(fact, dim, on="k", salt=4)
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(dim, fact, on="k", salt=4)
+    with pytest.raises(ValueError, match="_salt"):
+        salted_agg(fact, keys="k", aggs={"n": F.count(F.lit(1))}, salt=4)
+
+
 def test_multimodal_feature_contract(spark):
     from lakota_spark.operators.multimodal import (
         attach_binary_payload,
