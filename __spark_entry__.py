@@ -714,76 +714,70 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch.q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
-#: Round-11 driver window (stale-first rotation, VERDICT r10 #1): the
+#: Round-12 driver window (stale-first rotation, VERDICT r11 #1): the
 #: driver records CORRECTNESS rows for the FIRST 50 queries() entries,
 #: so this list IS the round's external-validation window. The 3 NEW
-#: r11 entries (never recorded — MUST be in the window, enforced by
-#: tests/test_driver_contract.py) lead; the rest is computed from the
-#: committed CORRECTNESS_r*.json history as the stalest entries (ties
-#: by name): the 13 r7-last-recorded entries (the spill set the r10
-#: ledger names) + the 34 oldest r8 entries — including the r8
-#: signature pair the verdict called out (mmr_diverse_topk; the
-#: bpe_fertility/multimodal-header family). 50/50 outside the r10
-#: window; after this round every registry entry's last driver row is
-#: >= r8 (tpch_q12/q13/q14 displaced, r8-green, lead the r12
-#: rotation).
-_R11_WINDOW = [
-    # --- new r11 entries (never recorded) lead the window ---
-    "engine_datasource_overlay",
-    "engine_datasource_overwrite",
-    "unigram_lm_quality_salted",
-    # --- last driver row r7 ---
-    "balanced_lang_sample",
-    "boilerplate_doc_flags",
-    "chunked_documents",
-    "containment_dup_pairs",
-    "dedup_clusters",
-    "dedup_exact",
-    "edit_dup_pairs",
-    "lang_mixture_weights",
-    "line_dedup_clean",
-    "minhash_dedup_pairs",
-    "pack_sequences_demo",
-    "pretrain_clean",
-    "pretrain_clean_spans",
-    # --- last driver row r8, stalest-first by name ---
-    "agg_daily",
-    "asof_purchase_click",
-    "cluster_topic_terms",
-    "contrastive_pairs",
-    "cube_qty",
-    "customers_no_orders",
-    "distinct_counts",
-    "doc_fingerprint",
-    "dup_rate_by_source",
-    "engine_defrag_scan",
-    "engine_overlay_update",
-    "engine_tail",
-    "jaccard_top_pairs",
-    "kv_last_wins",
-    "lang_id",
-    "leakage_safe_split",
-    "minhash_signatures",
-    "mmr_diverse_topk",
-    "multimodal_container_headers",
-    "multimodal_triage_report",
-    "multimodal_video_headers",
-    "part_brand_share",
-    "pretrain_funnel_report",
-    "quantiles",
-    "rollup_qty",
-    "scan_closed_both",
-    "scan_range",
-    "series_update",
-    "sessionize",
-    "simhash_signatures",
-    "tail_100",
-    "text_stats",
-    "token_counts",
-    "tpch_q10",
-    # (tpch_q12_case_agg / tpch_q13_order_dist / tpch_q14_promo
-    #  displaced by the three new r11 entries — r8-green, lead the r12
-    #  rotation)
+#: r12 entries (never recorded — MUST be in the window, enforced by
+#: tests/test_driver_contract.py) lead; then ALL 15 entries whose last
+#: driver row is r8 — the whole TPC-H family the r11 verdict named as
+#: the only externally-unverified-since-r8 surface — then the 32
+#: alphabetically-first r9 entries. Computed from the committed
+#: CORRECTNESS_r*.json history (ties by name); after this round every
+#: registry entry's last driver row is >= r9.
+_R12_WINDOW = [
+    # --- new r12 entries (never recorded) lead the window ---
+    "bigram_lm_quality_salted",
+    "langid_ngram_confusion_salted",
+    "multimodal_av_headers",
+    # --- last driver row r8: the full stale TPC-H family ---
+    "tpch_q12_case_agg",
+    "tpch_q13_order_dist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q17_window_avg",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q22_no_orders",
+    "tpch_q3",
+    "tpch_q4_exists",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    # --- last driver row r9, stalest-first by name ---
+    "agg_first_last",
+    "ann_lsh_topk",
+    "bm25_topk",
+    "bm25_topk_indexed",
+    "bpe_fertility_by_lang",
+    "bpe_packed_sequences",
+    "bpe_token_stats",
+    "cosine_topk",
+    "cumulative_sum",
+    "decontaminate_flag",
+    "dedup_keep_best",
+    "doc_repetition_stats",
+    "domain_mixture_report",
+    "embedding_dup_lsh",
+    "embedding_dup_top_pairs",
+    "engine_range_scan",
+    "engine_sorted_page",
+    "engine_sorted_scan",
+    "engine_time_travel",
+    "except_labels",
+    "funnel_vcp",
+    "gap_fill_daily",
+    "html_extract_quality",
+    "ivf_kmeans_topk",
+    "ivf_topk",
+    "kmeans_assign",
+    "knn_same_label",
+    "multimodal_features",
+    "multimodal_frames",
+    "pii_scrub_stats",
+    "pivot_daily_by_type",
+    "pq_topk",
 ]
 
 
@@ -795,7 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cycle back through the window so external validation stays fresh
     across the whole registry surface, not just the newest additions.
 
-    The window is the explicit `_R11_WINDOW` list above (leading the
+    The window is the explicit `_R12_WINDOW` list above (leading the
     returned dict); the registry literal below keeps its historical
     order and supplies the tail. The full per-round ledger lives in
     NOTES.md ("driver-window ledger"); entries after position 50 are
@@ -807,7 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against the committed CORRECTNESS_r*.json history.
     """
     reg = _registry()
-    out = {k: reg[k] for k in _R11_WINDOW}
+    out = {k: reg[k] for k in _R12_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
     return out
 
@@ -899,9 +893,13 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_search": pipeline.trigram_search,
         "trigram_search_indexed": pipeline.trigram_search_indexed,
         "unigram_lm_quality": pipeline.unigram_lm_quality,
-        # skew-safe salted lookup-join twin (round 11)
+        # skew-safe salted lookup-join twins (rounds 11-12)
         "unigram_lm_quality_salted":
             pipeline.unigram_lm_quality_salted,
+        "bigram_lm_quality_salted":
+            pipeline.bigram_lm_quality_salted,
+        "langid_ngram_confusion_salted":
+            pipeline.langid_ngram_confusion_salted,
         "heavy_hitter_tokens": pipeline.heavy_hitter_tokens,
         "dsir_importance": pipeline.dsir_importance,
         "ccnet_buckets": pipeline.ccnet_buckets,
@@ -984,6 +982,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": pipeline.leakage_safe_split,
         "contrastive_pairs": pipeline.contrastive_pairs,
         "multimodal_container_headers": pipeline.multimodal_container_headers,
+        "multimodal_av_headers": pipeline.multimodal_av_headers,
         "cluster_topic_terms": pipeline.cluster_topic_terms,
         "mmr_diverse_topk": pipeline.mmr_diverse_topk,
         "dup_rate_by_source": pipeline.dup_rate_by_source,
@@ -2649,6 +2648,29 @@ SELECT doc_id AS media_id,
 FROM documents
 ORDER BY media_id
 """,
+        # round-12 A/V container walk: multiplexed Ogg (Theora+Vorbis)
+        # and two-track video mp4; every field is doc_id arithmetic and
+        # every float is the parser's own IEEE division chain (Theora
+        # duration = frames*FRD/FRN with the 3.2.1 granule numbering;
+        # movie duration = GREATEST over the two streams)
+        "multimodal_av_headers": """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'ogg' ELSE 'mp4' END AS kind,
+  round(CASE WHEN doc_id % 2 = 0
+             THEN GREATEST((2 + doc_id % 7) / 25.0,
+                           (4096 * (1 + doc_id % 5)) / 44100.0)
+             ELSE (500 * (1 + doc_id % 4)) / 1000.0 END, 6) AS duration_s,
+  1::BIGINT AS n_video,
+  1::BIGINT AS n_audio,
+  CASE WHEN doc_id % 2 = 0 THEN 320 + 16 * (doc_id % 10)
+       ELSE 640 + 16 * (doc_id % 12) END * 1.0 AS width,
+  CASE WHEN doc_id % 2 = 0 THEN 240 + 16 * (doc_id % 6)
+       ELSE 360 + 16 * (doc_id % 8) END * 1.0 AS height,
+  CASE WHEN doc_id % 2 = 0 THEN 'theora' ELSE 'avc1' END AS v_codec,
+  CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'mp4a' END AS a_codec
+FROM documents
+ORDER BY media_id
+""",
         # triage rollup: every branch's byte length is closed-form (the
         # container templates are fixed-length; Y4M frames are 24
         # sanitized ASCII chars; junk is 5 + utf-8 byte length)
@@ -3796,7 +3818,9 @@ SELECT qid, nid, cos_sim FROM (
 """,
     }
 
-    # the salted skew-safe LM plan must be VALUE-IDENTICAL to the
-    # broadcast plan — same oracle, separate driver row (round 11)
+    # the salted skew-safe LM plans must be VALUE-IDENTICAL to the
+    # broadcast plans — same oracles, separate driver rows (rounds 11-12)
     out["unigram_lm_quality_salted"] = out["unigram_lm_quality"]
+    out["bigram_lm_quality_salted"] = out["bigram_lm_quality"]
+    out["langid_ngram_confusion_salted"] = out["langid_ngram_confusion"]
     return out

@@ -1374,6 +1374,163 @@ OGG_TEMPLATE_LEN = len(_ogg_opus_template())
 M4A_TEMPLATE_LEN = len(_m4a_template())
 
 
+# Round-12 A/V container placeholders (VERDICT r11 #4)
+_PH_PICW = b"\xde\xb0\x01"  # Theora PICW u24
+_PH_PICH = b"\xde\xb0\x02"  # Theora PICH u24
+_PH_G1 = b"\xde\xad\xc0\x04\xde\xad\xc0\x04"  # theora data granule LE64
+_PH_G2 = b"\xde\xad\xc0\x05\xde\xad\xc0\x05"  # vorbis data granule LE64
+_PH_W16 = b"\xde\xb1"  # avc1 sample-entry width u16
+_PH_H16 = b"\xde\xb2"  # avc1 sample-entry height u16
+_PH_VCNT = b"\xde\xad\xc0\x06"  # video stsz sample_count u32
+
+
+def _ogg_page_tpl(serial: int, granule8: bytes, htype: int,
+                  seq: int, seg: bytes) -> bytes:
+    """One single-segment Ogg page with a literal-or-placeholder granule
+    (CRC zero — the walks never check it)."""
+    assert len(granule8) == 8 and len(seg) < 255
+    return (
+        b"OggS\x00" + bytes([htype]) + granule8
+        + serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+        + b"\x00" * 4 + b"\x01" + bytes([len(seg)]) + seg
+    )
+
+
+def _ogg_av_template() -> bytes:
+    """MULTIPLEXED Ogg A/V stream (round 12): Theora BOS (serial 7,
+    25 fps, KFGSHIFT 6, picture dims as the varying u24 fields) +
+    Vorbis BOS (serial 9, 44.1 kHz stereo) + one granule-bearing EOS
+    data page per stream (granules varying). Exercises the per-serial
+    grouping the audio-only walk rejects by design."""
+    theora = (
+        b"\x80theora" + bytes([3, 2, 1])
+        + (0).to_bytes(2, "big") * 2  # FMBW/FMBH (not read by the walk)
+        + _PH_PICW + _PH_PICH + bytes([0, 0])  # PICX/PICY
+        + (25).to_bytes(4, "big") + (1).to_bytes(4, "big")  # FRN/FRD
+        + (0).to_bytes(3, "big") * 2 + bytes([0]) + (0).to_bytes(3, "big")
+        + (((48 << 10) | (6 << 5)) & 0xFFFF).to_bytes(2, "big")  # KFG=6
+    )
+    vorbis = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2])
+        + (44100).to_bytes(4, "little") + b"\x00" * 12 + b"\xb8\x01"
+    )
+    zero8 = (0).to_bytes(8, "little")
+    return (
+        _ogg_page_tpl(7, zero8, 2, 0, theora)
+        + _ogg_page_tpl(9, zero8, 2, 0, vorbis)
+        + _ogg_page_tpl(7, _PH_G1, 4, 1, b"\x00" * 16)
+        + _ogg_page_tpl(9, _PH_G2, 4, 1, b"\x00" * 16)
+    )
+
+
+def _mp4_av_template() -> bytes:
+    """Video BMFF (round 12): avc1 video track whose SAMPLE-ENTRY dims
+    are the varying u16 fields (tkhd presentation size left zero so the
+    walk's coded-size preference is what the oracle checks) + a fixed
+    48 kHz stereo mp4a audio track; u32 movie duration @timescale 1000
+    and u32 video stsz sample_count vary."""
+    u32 = lambda v: v.to_bytes(4, "big")  # noqa: E731
+    u16 = lambda v: v.to_bytes(2, "big")  # noqa: E731
+    box = lambda t, *p: u32(8 + sum(len(x) for x in p)) + t + b"".join(p)  # noqa: E731
+    full = lambda t, body: box(t, b"\x00\x00\x00\x00" + body)  # noqa: E731
+    matrix = (u32(0x10000) + b"\x00" * 12 + u32(0x10000) + b"\x00" * 12
+              + u32(0x40000000))
+    mvhd = full(b"mvhd", (
+        u32(0) * 2 + u32(1000) + _PH_DUR + u32(0x10000) + u16(0x100)
+        + b"\x00" * 10 + matrix + b"\x00" * 24 + u32(3)
+    ))
+    avc1 = (
+        u32(86) + b"avc1" + b"\x00" * 6 + u16(1)
+        + u16(0) * 2 + u32(0) * 3 + _PH_W16 + _PH_H16
+        + u32(0x00480000) * 2 + u32(0) + u16(1)
+        + b"\x00" * 32 + u16(24) + b"\xff\xff"
+    )
+    v_mdia = box(
+        b"mdia",
+        full(b"mdhd", u32(0) * 2 + u32(25000) + u32(25000)
+             + b"\x55\xc4\x00\x00"),
+        full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00"),
+        box(b"minf", box(
+            b"stbl",
+            full(b"stsd", u32(1) + avc1),
+            full(b"stsz", u32(0) + _PH_VCNT),
+        )),
+    )
+    v_tkhd = full(b"tkhd", (
+        u32(0) * 2 + u32(1) + b"\x00" * 4 + u32(0) + b"\x00" * 8
+        + b"\x00" * 6 + u16(0) + matrix + b"\x00" * 8
+    ))
+    mp4a = (
+        u32(36) + b"mp4a" + b"\x00" * 6 + u16(1) + b"\x00" * 8
+        + u16(2) + u16(16) + b"\x00" * 4 + u32(48000 << 16)
+    )
+    a_mdia = box(
+        b"mdia",
+        full(b"mdhd", u32(0) * 2 + u32(48000) + u32(48000)
+             + b"\x55\xc4\x00\x00"),
+        full(b"hdlr", b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"\x00"),
+        box(b"minf", box(
+            b"stbl",
+            full(b"stsd", u32(1) + mp4a),
+            full(b"stsz", u32(0) + u32(9)),
+        )),
+    )
+    a_tkhd = full(b"tkhd", (
+        u32(0) * 2 + u32(2) + b"\x00" * 4 + u32(0) + b"\x00" * 8
+        + b"\x00" * 6 + u16(0x100) + matrix + b"\x00" * 8
+    ))
+    return (
+        box(b"ftyp", b"isom\x00\x00\x02\x00mp41")
+        + box(b"moov", mvhd, box(b"trak", v_tkhd, v_mdia),
+              box(b"trak", a_tkhd, a_mdia))
+        + box(b"mdat", b"\x00" * 24)
+    )
+
+
+def multimodal_av_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT A/V container walk entry (round 12, VERDICT r11
+    #4): even doc_ids become a MULTIPLEXED Ogg (Theora video + Vorbis
+    audio — the layout `_parse_ogg_headers` rejects by design and the
+    round-12 `_parse_ogg_av_headers` groups per serial), odd doc_ids a
+    two-track video mp4 whose avc1 SAMPLE-ENTRY dims / mvhd duration /
+    stsz count vary per doc — and `extract_av_headers` must recover
+    duration / stream counts / resolution / codec ids EXACTLY. Theora
+    duration decodes the granule's keyframe<<KFGSHIFT packing
+    ((frames-1)<<6 here, +1 for bitstream 3.2.1 numbering); the movie
+    duration is the max of the video and audio stream durations, so
+    the oracle's GREATEST over the two IEEE divisions mirrors the
+    parser bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    ogg = _template_col(_ogg_av_template(), [
+        (_PH_PICW, _be_col(320 + 16 * (doc % 10), 3)),
+        (_PH_PICH, _be_col(240 + 16 * (doc % 6), 3)),
+        (_PH_G1, _le_col(F.shiftleft(1 + doc % 7, 6), 8)),
+        (_PH_G2, _le_col(4096 * (1 + doc % 5), 8)),
+    ])
+    m4v = _template_col(_mp4_av_template(), [
+        (_PH_DUR, _be_col(500 * (1 + doc % 4), 4)),
+        (_PH_W16, _be_col(640 + 16 * (doc % 12), 2)),
+        (_PH_H16, _be_col(360 + 16 * (doc % 8), 2)),
+        (_PH_VCNT, _be_col(1 + doc % 9, 4)),
+    ])
+    media = d.select(
+        doc.alias("media_id"),
+        F.when(doc % 2 == 0, ogg).otherwise(m4v).alias("payload"),
+        F.when(doc % 2 == 0, F.lit("video/ogg"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("mime"),
+        F.lit(0).cast("long").alias("n_bytes"),
+        F.lit("{}").alias("meta"),
+    ).withColumn("n_bytes", F.octet_length("payload"))
+    hdr = M.extract_av_headers(media)
+    return hdr.select(
+        "media_id", "kind",
+        F.round("duration_s", 6).alias("duration_s"),
+        "n_video", "n_audio", "width", "height", "v_codec", "a_codec",
+    )
+
+
 def multimodal_triage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-EXACT triage entry (round 8, third session): five payload
     families built JVM-side by doc_id residue — Ogg-Opus, m4a, Y4M,
@@ -2008,7 +2165,9 @@ def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.winnow_dup_pairs(ensure_parallelism(_docs(spark, sf_dir)))
 
 
-def langid_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def langid_ngram_confusion(
+    spark: SparkSession, sf_dir: str, salt: int = 1
+) -> DataFrame:
     """Learned language-ID (operators/text.langid_ngram_fit/predict):
     character-trigram naive Bayes fitted from the corpus's own labels,
     scored in exact integer micro-nats, argmax per doc, reported as the
@@ -2042,13 +2201,25 @@ def langid_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hatch stays on the operators for corpora where the chain
     # dominates the explode's row bytes.
     model, langs = T.langid_ngram_fit(aug)
-    pred = T.langid_ngram_predict(aug, model, langs)
+    pred = T.langid_ngram_predict(aug, model, langs, salt=salt)
     return (
         aug.select("doc_id", "lang")
         .join(pred, "doc_id")
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def langid_ngram_confusion_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME learned language-ID confusion matrix with the gram→model
+    lookup join routed through the skew-safe salted path (round 12,
+    VERDICT r11 #5): character trigrams are Zipf-distributed, so at
+    corpus scale the hot grams straggle a plain sort-merge join once the
+    model outgrows broadcast. Shares `langid_ngram_confusion`'s oracle —
+    the salted plan must be value-identical."""
+    return langid_ngram_confusion(spark, sf_dir, salt=8)
 
 
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2226,6 +2397,18 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (single-ln integer ratios, micro quantization before the
     fold)."""
     return T.bigram_lm_scores(_docs(spark, sf_dir))
+
+
+def bigram_lm_quality_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME bigram scoring through the skew-safe salted lookup joins
+    (round 12, VERDICT r11 #5): both the bigram-count and unigram-count
+    lookups spread their Zipf-hot token keys over salt buckets with
+    pinned (key, _salt) co-partitioning — the at-scale plan when the
+    n-gram model exceeds the broadcast threshold. Shares
+    `bigram_lm_quality`'s oracle: the salted plan must be
+    value-identical (plan + spread contract in
+    tests/test_plans.py::test_lm_salted_join_spreads_hot_key)."""
+    return T.bigram_lm_scores(_docs(spark, sf_dir), salt=8)
 
 
 #: fitted PCA memo keyed on the embeddings file identity

@@ -6410,3 +6410,250 @@ def test_priority_sample_weighting_and_determinism(spark):
         df2, k=3, group_col="g", weight="w", id_col="doc_id"
     ).collect()
     assert [r.doc_id for r in out2] == [3]
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (VERDICT r11 #4): multiplexed Ogg page walk + BMFF codec ids
+# — golden-pinned against an INDEPENDENT test-side muxer, like the
+# ADTS/H.264 fixtures above.
+# ---------------------------------------------------------------------------
+
+
+def _mk_ogg_page(serial, granule, htype, seq, segments):
+    """Independent Ogg page muxer: 27-byte header + lacing + body.
+    CRCs left zero (the walks never check them)."""
+    body = b"".join(segments)
+    lacing = []
+    for seg in segments:
+        n = len(seg)
+        while n >= 255:
+            lacing.append(255)
+            n -= 255
+        lacing.append(n)
+    return (
+        b"OggS\x00" + bytes([htype])
+        + granule.to_bytes(8, "little", signed=True)
+        + serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+        + b"\x00" * 4 + bytes([len(lacing)]) + bytes(lacing) + body
+    )
+
+
+def _mk_theora_ident(picw, pich, frn, frd, kfg, ver=(3, 2, 1)):
+    """Theora identification header (spec 6.2), test-side twin."""
+    fmbw = (picw + 15) // 16
+    fmbh = (pich + 15) // 16
+    return (
+        b"\x80theora" + bytes(ver)
+        + fmbw.to_bytes(2, "big") + fmbh.to_bytes(2, "big")
+        + picw.to_bytes(3, "big") + pich.to_bytes(3, "big")
+        + bytes([0, 0])  # PICX, PICY
+        + frn.to_bytes(4, "big") + frd.to_bytes(4, "big")
+        + (0).to_bytes(3, "big") + (0).to_bytes(3, "big")  # PARN/PARD
+        + bytes([0]) + (0).to_bytes(3, "big")  # CS, NOMBR
+        + (((48 << 10) | (kfg << 5)) & 0xFFFF).to_bytes(2, "big")
+    )
+
+
+def _mk_vorbis_ident(channels, rate):
+    return (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([channels])
+        + rate.to_bytes(4, "little") + b"\x00" * 12 + b"\xb8" + b"\x01"
+    )
+
+
+def test_ogg_av_multiplexed_walk_golden():
+    from lakota_spark.operators.multimodal import _parse_ogg_av_headers
+
+    kfg = 6
+    # frames = 8 all-keyframe: granule = (8-1) << kfg, base 1 for 3.2.1
+    theora_data_granule = 7 << kfg
+    blob = (
+        _mk_ogg_page(7, 0, 2, 0, [_mk_theora_ident(320, 240, 25, 1, kfg)])
+        + _mk_ogg_page(9, 0, 2, 0, [_mk_vorbis_ident(2, 44100)])
+        + _mk_ogg_page(7, theora_data_granule, 4, 1, [b"\x00" * 40])
+        + _mk_ogg_page(9, 44100 * 2, 4, 1, [b"\x00" * 32])
+    )
+    got = _parse_ogg_av_headers(blob)
+    assert got is not None
+    assert (got["n_streams"], got["n_video"], got["n_audio"]) == (2, 1, 1)
+    assert (got["width"], got["height"], got["fps"]) == (320.0, 240.0, 25.0)
+    assert (got["v_codec"], got["a_codec"]) == ("theora", "vorbis")
+    assert (got["rate"], got["channels"]) == (44100.0, 2.0)
+    # duration = max(8 frames / 25 fps = 0.32 s, 2 s of PCM) = 2.0
+    assert abs(got["duration_s"] - 2.0) < 1e-12
+    # keyframe+delta granule packing: 3 keyframes then 4 deltas = 7
+    # frames + base = 8 again
+    blob2 = (
+        _mk_ogg_page(7, 0, 2, 0, [_mk_theora_ident(640, 480, 30000, 1001, kfg)])
+        + _mk_ogg_page(7, (3 << kfg) | 4, 4, 1, [b"\x00" * 8])
+    )
+    got2 = _parse_ogg_av_headers(blob2)
+    assert (got2["width"], got2["height"]) == (640.0, 480.0)
+    assert abs(got2["duration_s"] - 8 * 1001 / 30000) < 1e-12
+    # pre-3.2.1 bitstream: granule base 0
+    blob3 = (
+        _mk_ogg_page(7, 0, 2, 0,
+                     [_mk_theora_ident(64, 48, 25, 1, kfg, ver=(3, 2, 0))])
+        + _mk_ogg_page(7, 7 << kfg, 4, 1, [b"\x00" * 8])
+    )
+    assert abs(_parse_ogg_av_headers(blob3)["duration_s"] - 7 / 25) < 1e-12
+
+
+def test_ogg_av_walk_skeleton_and_opus():
+    from lakota_spark.operators.multimodal import _parse_ogg_av_headers
+
+    fishead = b"fishead\x00" + b"\x00" * 40
+    opus = b"OpusHead\x01\x02" + (312).to_bytes(2, "little") \
+        + (48000).to_bytes(4, "little") + b"\x00\x00\x00"
+    blob = (
+        _mk_ogg_page(1, 0, 2, 0, [fishead])
+        + _mk_ogg_page(5, 0, 2, 0, [opus])
+        + _mk_ogg_page(5, 312 + 960 * 4, 4, 1, [b"\x00" * 16])
+    )
+    got = _parse_ogg_av_headers(blob)
+    # skeleton counts as a stream but is neither audio nor video
+    assert (got["n_streams"], got["n_video"], got["n_audio"]) == (2, 0, 1)
+    assert got["a_codec"] == "opus" and got["rate"] == 48000.0
+    assert abs(got["duration_s"] - 960 * 4 / 48000) < 1e-12
+
+
+def test_ogg_av_walk_rejections():
+    from lakota_spark.operators.multimodal import _parse_ogg_av_headers
+
+    assert _parse_ogg_av_headers(b"\x00" * 64) is None
+    # single page only
+    one = _mk_ogg_page(7, 0, 2, 0, [_mk_theora_ident(64, 48, 25, 1, 6)])
+    assert _parse_ogg_av_headers(one) is None
+    # no identified A/V stream (unknown BOS codec)
+    junk = (_mk_ogg_page(3, 0, 2, 0, [b"XJUNKHDR"])
+            + _mk_ogg_page(3, 100, 4, 1, [b"\x00" * 8]))
+    assert _parse_ogg_av_headers(junk) is None
+    # trailing garbage >10%: the walk must not claim it
+    two = (one + _mk_ogg_page(7, 7 << 6, 4, 1, [b"\x00" * 8]))
+    assert _parse_ogg_av_headers(two) is not None
+    assert _parse_ogg_av_headers(two + b"\xab" * len(two)) is None
+
+
+def _mp4_box(t, *parts):
+    body = b"".join(parts)
+    return (8 + len(body)).to_bytes(4, "big") + t + body
+
+
+def _mp4_full(t, body):
+    return _mp4_box(t, b"\x00\x00\x00\x00" + body)
+
+
+def _mk_mp4_av(width, height, dur_ms, v_samples, with_audio=True):
+    """Independent BMFF muxer: one avc1 video track (+ optional mp4a
+    audio track), movie timescale 1000."""
+    u32 = lambda v: v.to_bytes(4, "big")  # noqa: E731
+    u16 = lambda v: v.to_bytes(2, "big")  # noqa: E731
+    matrix = (u32(0x10000) + b"\x00" * 12 + u32(0x10000) + b"\x00" * 12
+              + u32(0x40000000))
+    mvhd = _mp4_full(b"mvhd", (
+        u32(0) * 2 + u32(1000) + u32(dur_ms) + u32(0x10000) + u16(0x100)
+        + b"\x00" * 10 + matrix + b"\x00" * 24 + u32(3)
+    ))
+    avc1 = (
+        u32(86) + b"avc1" + b"\x00" * 6 + u16(1)
+        + u16(0) + u16(0) + u32(0) * 3          # pre_defined/reserved
+        + u16(width) + u16(height)
+        + u32(0x00480000) * 2 + u32(0) + u16(1)
+        + b"\x00" * 32 + u16(24) + b"\xff\xff"
+    )
+    v_stbl = _mp4_box(
+        b"stbl",
+        _mp4_full(b"stsd", u32(1) + avc1),
+        _mp4_full(b"stsz", u32(0) + u32(v_samples)),
+    )
+    v_mdia = _mp4_box(
+        b"mdia",
+        _mp4_full(b"mdhd", u32(0) * 2 + u32(25000) + u32(25000)
+                  + b"\x55\xc4\x00\x00"),
+        _mp4_full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00"),
+        _mp4_box(b"minf", v_stbl),
+    )
+    v_tkhd = _mp4_full(b"tkhd", (
+        u32(0) * 2 + u32(1) + b"\x00" * 4 + u32(dur_ms) + b"\x00" * 8
+        + b"\x00" * 6 + u16(0) + matrix
+        + u32(width << 16) + u32(height << 16)
+    ))
+    traks = [_mp4_box(b"trak", v_tkhd, v_mdia)]
+    if with_audio:
+        mp4a = (
+            u32(36) + b"mp4a" + b"\x00" * 6 + u16(1) + b"\x00" * 8
+            + u16(2) + u16(16) + b"\x00" * 4 + u32(48000 << 16)
+        )
+        a_stbl = _mp4_box(
+            b"stbl",
+            _mp4_full(b"stsd", u32(1) + mp4a),
+            _mp4_full(b"stsz", u32(0) + u32(9)),
+        )
+        a_mdia = _mp4_box(
+            b"mdia",
+            _mp4_full(b"mdhd", u32(0) * 2 + u32(48000) + u32(48000)
+                      + b"\x55\xc4\x00\x00"),
+            _mp4_full(b"hdlr", b"\x00" * 4 + b"soun" + b"\x00" * 12
+                      + b"\x00"),
+            _mp4_box(b"minf", a_stbl),
+        )
+        a_tkhd = _mp4_full(b"tkhd", (
+            u32(0) * 2 + u32(2) + b"\x00" * 4 + u32(dur_ms) + b"\x00" * 8
+            + b"\x00" * 6 + u16(0x100) + matrix + b"\x00" * 8
+        ))
+        traks.append(_mp4_box(b"trak", a_tkhd, a_mdia))
+    return (
+        _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00mp41")
+        + _mp4_box(b"moov", mvhd, *traks)
+        + _mp4_box(b"mdat", b"\x00" * 24)
+    )
+
+
+def test_mp4_codec_ids_and_stsd_dims_golden():
+    from lakota_spark.operators.multimodal import _parse_mp4_headers
+
+    got = _parse_mp4_headers(_mk_mp4_av(1920, 1080, 2500, 60))
+    assert got is not None
+    assert (got["n_video"], got["n_audio"]) == (1, 1)
+    # dims come from the avc1 sample entry (coded size), not tkhd
+    assert (got["width"], got["height"]) == (1920.0, 1080.0)
+    assert (got["v_codec"], got["a_codec"]) == ("avc1", "mp4a")
+    assert got["v_samples"] == 60.0
+    assert abs(got["duration_s"] - 2.5) < 1e-12
+    assert (got["rate"], got["channels"]) == (48000.0, 2.0)
+    video_only = _parse_mp4_headers(_mk_mp4_av(640, 360, 1000, 25,
+                                               with_audio=False))
+    assert (video_only["n_video"], video_only["n_audio"]) == (1, 0)
+    assert video_only["a_codec"] == "" and video_only["v_codec"] == "avc1"
+
+
+def test_extract_av_headers_through_spark(spark):
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_av_headers,
+    )
+
+    ogg = (
+        _mk_ogg_page(7, 0, 2, 0, [_mk_theora_ident(320, 240, 25, 1, 6)])
+        + _mk_ogg_page(9, 0, 2, 0, [_mk_vorbis_ident(1, 8000)])
+        + _mk_ogg_page(7, 7 << 6, 4, 1, [b"\x00" * 16])
+        + _mk_ogg_page(9, 8000, 4, 1, [b"\x00" * 16])
+    )
+    mp4 = _mk_mp4_av(1280, 720, 4000, 100)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(ogg), "video/ogg", len(ogg), "{}"),
+            (2, bytearray(mp4), "video/mp4", len(mp4), "{}"),
+            (3, bytearray(b"not a container"), "text/plain", 15, "{}"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in extract_av_headers(media).collect()}
+    assert rows[1].kind == "ogg" and rows[1].v_codec == "theora"
+    assert (rows[1].width, rows[1].height) == (320.0, 240.0)
+    assert (rows[1].n_video, rows[1].n_audio) == (1, 1)
+    assert abs(rows[1].duration_s - 1.0) < 1e-12  # 8000 samples @ 8 kHz
+    assert rows[2].kind == "mp4" and rows[2].v_codec == "avc1"
+    assert (rows[2].width, rows[2].height) == (1280.0, 720.0)
+    assert abs(rows[2].duration_s - 4.0) < 1e-12
+    assert rows[3].kind == "unknown" and rows[3].duration_s is None
