@@ -669,8 +669,11 @@ def test_schema_codec_chain_syntax_and_write(repo, tmp_path):
     }
     assert Schema.from_dict(s.to_dict()) .codecs == s.codecs
     comp = s.parquet_compression()
+    # unhinted floats default to lz4 (round 12 — PLAIN-encoded doubles
+    # are entropy-dense: lz4 halves the encode cost of the commit path);
+    # the explicit blosc hint on `value` still maps to zstd
     assert comp == {
-        "key": "gzip", "value": "zstd", "n": "zstd", "plain": "zstd"
+        "key": "gzip", "value": "zstd", "n": "zstd", "plain": "lz4"
     }
     coll = repo.create_collection(s, "codecs")
     series = coll.series("x")
@@ -695,7 +698,7 @@ def test_schema_codec_chain_syntax_and_write(repo, tmp_path):
         for i in range(meta.num_columns)
     }
     assert by_col["key"] == "GZIP"
-    assert by_col["value"] == "ZSTD" and by_col["plain"] == "ZSTD"
+    assert by_col["value"] == "ZSTD" and by_col["plain"] == "LZ4"
     # unknown exotic codec names degrade to the default, never fail
     s2 = Schema(ts="int*", x="str|msgpack2 weird-codec")
     assert s2.parquet_compression()["x"] == "zstd"
