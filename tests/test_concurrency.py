@@ -297,3 +297,87 @@ def test_trim_races_writers_and_archiver(repo):
     got.changelog.maybe_archive(keep=4)
     vals = [r.ts for r in gs.frame().collect()]
     assert 10_000 in vals
+
+
+def test_stream_sink_races_gc_and_maintain(spark, repo):
+    """Round 12 (VERDICT r11 #7): the native streaming SINK races a
+    gc loop with a deliberately-lowered staging_timeout while
+    maintain_every squashes/defrags between microbatches. The r11
+    staging-grace fix is pinned statically elsewhere (a 2h-old _tmp-
+    dir survives the default gc); this exercises the LIVE interleaving:
+    no batch may be lost, every committed row must read back exactly
+    once, and no staging dir may leak once the stream is done."""
+    import tempfile
+
+    from lakota_spark.datasource import register
+
+    register(spark)
+    src_coll = repo.create_collection(
+        Schema(ts="int*", value="float", tag="str"), "ssrc"
+    )
+    src = src_coll.series("x")
+    src.write({
+        "ts": list(range(100)),
+        "value": [float(i) for i in range(100)],
+        "tag": ["s"] * 100,
+    })
+    repo.create_collection(
+        Schema(ts="int*", value="float", tag="str"), "ssink"
+    )
+    ckpt = tempfile.mkdtemp(prefix="lakota-chaos-ckpt-")
+    errs: list = []
+    stop = threading.Event()
+
+    def collector():
+        # staging_timeout 30 s: far below the 6 h default but safely
+        # above any microbatch's write->commit window here, so an
+        # IN-FLIGHT batch's staging must survive while crashed
+        # leftovers would age out; the soft/hard segment passes run at
+        # full speed against the sink's commits and maintain's rewrites
+        try:
+            while not stop.is_set():
+                repo.gc(timeout=600.0, staging_timeout=30.0)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    def run_stream():
+        q = (
+            spark.readStream.format("lakota")
+            .option("path", repo.root)
+            .option("table", "ssrc/x")
+            .option("startingOffsets", "earliest")
+            .load()
+            .writeStream.format("lakota")
+            .option("path", repo.root)
+            .option("table", "ssink/x")
+            .option("maintain_every", "1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    g = threading.Thread(target=collector)
+    g.start()
+    try:
+        run_stream()
+        for lo in (1000, 2000, 3000):
+            src.write({
+                "ts": [lo, lo + 1],
+                "value": [float(lo), float(lo + 1)],
+                "tag": ["n", "n"],
+            })
+            run_stream()
+    finally:
+        stop.set()
+        g.join()
+    assert not errs, errs
+    out = repo.collection("ssink").series("x")
+    want = sorted(tuple(r) for r in src.frame(sort=False).collect())
+    got = sorted(tuple(r) for r in out.frame(sort=False).collect())
+    assert got == want
+    # no orphaned staging dirs behind the finished stream
+    leftovers = [
+        p for p in repo.fs.ls("ssink/segments") if p.startswith("_tmp-")
+    ]
+    assert leftovers == []

