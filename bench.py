@@ -130,6 +130,11 @@ BENCH_TAIL = [
     # round-11: the skew-safe salted LM plan (prices the salted
     # exchange + replicated vocab vs the broadcast twin in core)
     "unigram_lm_quality_salted",
+    # round-12 additions: the remaining salted scorer twins + the A/V
+    # container walk (JVM-built multiplexed-Ogg/video-mp4 fixtures)
+    "bigram_lm_quality_salted",
+    "langid_ngram_confusion_salted",
+    "multimodal_av_headers",
 ]
 
 BENCH_QUERIES = BENCH_CORE + BENCH_TAIL

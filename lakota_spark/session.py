@@ -24,6 +24,11 @@ def get_spark(
     *starting* value — AQE coalesces small post-shuffle partitions at runtime,
     which is the knob that actually matters at 100 TB (static tuning cannot
     fit every stage).
+
+    Spark CONNECT caveat: the engine pins a classic (py4j) session. Under
+    Connect, `skew.salted_agg` needs an explicit ``combiners=`` map (its
+    string-based combiner inference has a classic-only ``_jc`` fallback);
+    everything else in the engine uses public DataFrame/SQL APIs.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (

@@ -54,6 +54,11 @@ SPOT_QUERIES = [
     "cluster_topic_terms",
     "ivf_kmeans_topk",
     "hybrid_search_rrf",
+    # round-12 additions (heavy salted twins + the A/V container walk):
+    # the frozen 20 above stay for like-for-like re-runs
+    "bigram_lm_quality_salted",
+    "langid_ngram_confusion_salted",
+    "multimodal_av_headers",
 ]
 
 
