@@ -729,6 +729,7 @@ _R12_WINDOW = [
     "bigram_lm_quality_salted",
     "langid_ngram_confusion_salted",
     "multimodal_av_headers",
+    "multimodal_webm_headers",
     # --- last driver row r8: the full stale TPC-H family ---
     "tpch_q12_case_agg",
     "tpch_q13_order_dist",
@@ -777,7 +778,8 @@ _R12_WINDOW = [
     "multimodal_frames",
     "pii_scrub_stats",
     "pivot_daily_by_type",
-    "pq_topk",
+    # (pq_topk displaced by the 4th new r12 entry — r9-green, leads
+    #  the r13 rotation)
 ]
 
 
@@ -983,6 +985,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": pipeline.contrastive_pairs,
         "multimodal_container_headers": pipeline.multimodal_container_headers,
         "multimodal_av_headers": pipeline.multimodal_av_headers,
+        "multimodal_webm_headers": pipeline.multimodal_webm_headers,
         "cluster_topic_terms": pipeline.cluster_topic_terms,
         "mmr_diverse_topk": pipeline.mmr_diverse_topk,
         "dup_rate_by_source": pipeline.dup_rate_by_source,
@@ -2668,6 +2671,23 @@ SELECT doc_id AS media_id,
        ELSE 360 + 16 * (doc_id % 8) END * 1.0 AS height,
   CASE WHEN doc_id % 2 = 0 THEN 'theora' ELSE 'avc1' END AS v_codec,
   CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'mp4a' END AS a_codec
+FROM documents
+ORDER BY media_id
+""",
+        # round-12b WebM/EBML walk: duration literals decode to exactly-
+        # representable doubles (500/1000/1500/2000 ms at 1e6-ns scale),
+        # so ticks*scale/1e9 is exact arithmetic in both engines
+        "multimodal_webm_headers": """
+SELECT doc_id AS media_id,
+  'webm' AS kind,
+  round((500 * (1 + doc_id % 4)) / 1000.0, 6) AS duration_s,
+  1::BIGINT AS n_video,
+  1::BIGINT AS n_audio,
+  (800 + 16 * (doc_id % 9)) * 1.0 AS width,
+  (450 + 16 * (doc_id % 7)) * 1.0 AS height,
+  'V_VP9' AS v_codec,
+  'A_OPUS' AS a_codec,
+  (1 + doc_id % 2) * 1.0 AS channels
 FROM documents
 ORDER BY media_id
 """,

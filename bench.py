@@ -135,6 +135,7 @@ BENCH_TAIL = [
     "bigram_lm_quality_salted",
     "langid_ngram_confusion_salted",
     "multimodal_av_headers",
+    "multimodal_webm_headers",
 ]
 
 BENCH_QUERIES = BENCH_CORE + BENCH_TAIL

@@ -2424,6 +2424,176 @@ def _parse_ogg_headers(b: bytes):
     )
 
 
+def _ebml_vint(b: bytes, pos: int, keep_marker: bool):
+    """Parse one EBML variable-length integer at ``pos``: the count of
+    leading zero bits of the first byte gives the width; element IDs
+    keep the marker bit (IDs are compared WITH it, per the spec),
+    sizes clear it. Returns (value, next_pos) or None on truncation.
+    An all-ones size value means 'unknown size' -> returned as -1."""
+    if pos >= len(b):
+        return None
+    first = b[pos]
+    if first == 0:
+        return None  # >8-byte vints don't occur in real files
+    width = 9 - first.bit_length()
+    if pos + width > len(b):
+        return None
+    val = first if keep_marker else first & ((1 << (8 - width)) - 1)
+    unknown = (not keep_marker) and val == (1 << (8 - width)) - 1
+    for i in range(1, width):
+        byte = b[pos + i]
+        val = (val << 8) | byte
+        unknown = unknown and byte == 0xFF
+    if unknown:
+        return -1, pos + width
+    return val, pos + width
+
+
+def _ebml_children(b: bytes, pos: int, end: int):
+    """Yield ``(element_id, body_start, body_end)`` for the EBML
+    elements in ``b[pos:end]``; unknown-size elements extend to ``end``
+    (the master-element semantics real muxers use for live Segments).
+    Stops at the first malformed element so hostile payloads terminate."""
+    while pos < end:
+        eid = _ebml_vint(b, pos, keep_marker=True)
+        if eid is None or eid[0] == -1:
+            return
+        size = _ebml_vint(b, eid[1], keep_marker=False)
+        if size is None:
+            return
+        body_start = size[1]
+        body_end = end if size[0] == -1 else body_start + size[0]
+        if body_end > end:
+            return
+        yield eid[0], body_start, body_end
+        pos = body_end
+
+
+def _ebml_uint(b: bytes, s: int, e: int) -> int:
+    return int.from_bytes(b[s:e], "big")
+
+
+def _ebml_float(b: bytes, s: int, e: int):
+    import struct
+
+    if e - s == 4:
+        return struct.unpack(">f", b[s:e])[0]
+    if e - s == 8:
+        return struct.unpack(">d", b[s:e])[0]
+    return None
+
+
+def _parse_mkv_headers(b: bytes):
+    """Matroska/WebM EBML walk (round 12): the third dominant container
+    after BMFF and Ogg, and like them purely STRUCTURAL — length-
+    prefixed elements, no entropy tables — so duration, codec ids,
+    track counts, resolution and audio params come out exact without
+    any codec decode.
+
+    Element facts used (Matroska spec / RFC 9559): the stream starts
+    with the EBML head (0x1A45DFA3) whose DocType (0x4282) is
+    "matroska" or "webm"; the Segment (0x18538067, often unknown-size)
+    contains Info (0x1549A966: TimestampScale 0x2AD7B1 — ns per tick,
+    default 1e6 — and float Duration 0x4489 in ticks) and Tracks
+    (0x1654AE6B) whose TrackEntry (0xAE) carries TrackType (0x83:
+    1=video, 2=audio), CodecID (0x86: "V_VP9", "A_OPUS", ...), Video
+    (0xE0: PixelWidth 0xB0 / PixelHeight 0xBA) and Audio (0xE1:
+    SamplingFrequency 0xB5 float / Channels 0x9F uint, default 1).
+
+    Returns the same dict shape as `_parse_ogg_av_headers` (duration_s,
+    n_video, n_audio, width, height, v_codec, a_codec, rate, channels,
+    + doctype) or None when the payload is not EBML or carries no
+    Segment/tracks."""
+    top = _ebml_children(b, 0, len(b))
+    head = next(top, None)
+    if not head or head[0] != 0x1A45DFA3:
+        return None
+    doctype = ""
+    for eid, s, e in _ebml_children(b, head[1], head[2]):
+        if eid == 0x4282:
+            doctype = b[s:e].decode("ascii", "replace").rstrip("\x00")
+    if doctype not in ("matroska", "webm"):
+        return None
+    seg = next(
+        (c for c in _ebml_children(b, head[2], len(b))
+         if c[0] == 0x18538067),
+        None,
+    )
+    if seg is None:
+        return None
+    out = {
+        "doctype": doctype, "duration_s": 0.0,
+        "n_video": 0, "n_audio": 0, "width": 0.0, "height": 0.0,
+        "v_codec": "", "a_codec": "", "rate": 0.0, "channels": 0.0,
+    }
+    scale = 1_000_000  # TimestampScale default: 1 ms ticks
+    dur_ticks = None
+    saw_tracks = False
+    for eid, s, e in _ebml_children(b, seg[1], seg[2]):
+        if eid == 0x1549A966:  # Info
+            for i2, s2, e2 in _ebml_children(b, s, e):
+                if i2 == 0x2AD7B1:
+                    scale = _ebml_uint(b, s2, e2) or scale
+                elif i2 == 0x4489:
+                    dur_ticks = _ebml_float(b, s2, e2)
+        elif eid == 0x1654AE6B:  # Tracks
+            saw_tracks = True
+            for i2, s2, e2 in _ebml_children(b, s, e):
+                if i2 != 0xAE:  # TrackEntry
+                    continue
+                ttype = 0
+                codec = ""
+                vid = aud = None
+                for i3, s3, e3 in _ebml_children(b, s2, e2):
+                    if i3 == 0x83:
+                        ttype = _ebml_uint(b, s3, e3)
+                    elif i3 == 0x86:
+                        codec = (
+                            b[s3:e3].decode("ascii", "replace")
+                            .rstrip("\x00")
+                        )
+                    elif i3 == 0xE0:
+                        vid = (s3, e3)
+                    elif i3 == 0xE1:
+                        aud = (s3, e3)
+                if ttype == 1:
+                    out["n_video"] += 1
+                    if not out["v_codec"]:
+                        out["v_codec"] = codec
+                        if vid:
+                            for i4, s4, e4 in _ebml_children(b, *vid):
+                                if i4 == 0xB0:
+                                    out["width"] = float(
+                                        _ebml_uint(b, s4, e4)
+                                    )
+                                elif i4 == 0xBA:
+                                    out["height"] = float(
+                                        _ebml_uint(b, s4, e4)
+                                    )
+                elif ttype == 2:
+                    out["n_audio"] += 1
+                    if not out["a_codec"]:
+                        out["a_codec"] = codec
+                        out["channels"] = 1.0  # spec default
+                        if aud:
+                            for i4, s4, e4 in _ebml_children(b, *aud):
+                                if i4 == 0xB5:
+                                    f = _ebml_float(b, s4, e4)
+                                    if f:
+                                        out["rate"] = f
+                                elif i4 == 0x9F:
+                                    out["channels"] = float(
+                                        _ebml_uint(b, s4, e4)
+                                    )
+    if not saw_tracks or not (out["n_video"] or out["n_audio"]):
+        return None
+    if dur_ticks:
+        # ticks * (ns/tick) / 1e9 — both stages in float64, the same
+        # IEEE chain a SQL oracle can replay
+        out["duration_s"] = dur_ticks * scale / 1e9
+    return out
+
+
 def _theora_ident(body: bytes):
     """(width, height, fps_num, fps_den, kfgshift, frame_base) from a
     Theora identification header (``\\x80theora``, spec §6.2): picture
@@ -3183,8 +3353,10 @@ def extract_av_headers(media: DataFrame) -> DataFrame:
     """Arrow-batched A/V CONTAINER metadata extraction (round 12,
     VERDICT r11 #4): exact duration / stream counts / resolution /
     codec ids for ISO-BMFF (mp4/m4a/mov — box walk incl. stsd sample
-    entries) and Ogg (INCLUDING multiplexed Theora+Vorbis/Opus video
-    streams and Skeleton metadata, via `_parse_ogg_av_headers`), with a
+    entries), Matroska/WebM (EBML walk, `_parse_mkv_headers` — kind is
+    the DocType) and Ogg (INCLUDING multiplexed Theora+Vorbis/Opus
+    video streams and Skeleton metadata, via
+    `_parse_ogg_av_headers`), with a
     TYPED schema instead of the extractors' 6-float descriptor —
     structural parses only, no entropy tables, so every emitted value
     is spec-exact. Payloads neither walk claims come back as
@@ -3201,6 +3373,14 @@ def extract_av_headers(media: DataFrame) -> DataFrame:
                     mp4["n_audio"], mp4["width"], mp4["height"],
                     mp4["v_codec"], mp4["a_codec"], mp4["rate"],
                     mp4["channels"],
+                )
+            mkv = _safe(_parse_mkv_headers, b)
+            if mkv is not None:
+                return (
+                    mkv["doctype"], mkv["duration_s"], mkv["n_video"],
+                    mkv["n_audio"], mkv["width"], mkv["height"],
+                    mkv["v_codec"], mkv["a_codec"], mkv["rate"],
+                    mkv["channels"],
                 )
             ogg = _safe(_parse_ogg_av_headers, b)
             if ogg is not None:

@@ -1487,6 +1487,97 @@ def _mp4_av_template() -> bytes:
     )
 
 
+# round-12b WebM placeholders (collision-asserted in the builder)
+_PH_DUR8 = b"\xde\xad\xc0\x07\xde\xad\xc0\x07"  # IEEE double Duration
+_PH_MW = b"\xde\xc7"  # PixelWidth u16
+_PH_MH = b"\xde\xc8"  # PixelHeight u16
+_PH_MC = b"\xde\xc9"  # Channels u16
+
+
+def _webm_template() -> bytes:
+    """One-video (V_VP9) + one-audio (A_OPUS) WebM: EBML head + Segment
+    (Info: explicit 1e6-ns TimestampScale + float64 Duration; Tracks).
+    Placeholders: duration double, pixel dims u16, channels u16 —
+    asserted unique so a size byte can never alias a placeholder."""
+    import struct
+
+    def size(n: int) -> bytes:
+        for width in range(1, 9):
+            if n < (1 << (7 * width)) - 1:
+                return (n | (1 << (7 * width))).to_bytes(width, "big")
+        raise ValueError(n)
+
+    def el(eid: bytes, body: bytes) -> bytes:
+        return eid + size(len(body)) + body
+
+    head = el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", b"webm"))
+    info = el(
+        b"\x15\x49\xa9\x66",
+        el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(4, "big"))
+        + el(b"\x44\x89", _PH_DUR8),
+    )
+    vtrack = el(b"\xae", (
+        el(b"\x83", b"\x01") + el(b"\x86", b"V_VP9")
+        + el(b"\xe0", el(b"\xb0", _PH_MW) + el(b"\xba", _PH_MH))
+    ))
+    atrack = el(b"\xae", (
+        el(b"\x83", b"\x02") + el(b"\x86", b"A_OPUS")
+        + el(b"\xe1",
+             el(b"\xb5", struct.pack(">f", 48000.0))
+             + el(b"\x9f", _PH_MC))
+    ))
+    tpl = head + el(
+        b"\x18\x53\x80\x67",
+        info + el(b"\x16\x54\xae\x6b", vtrack + atrack),
+    )
+    for ph in (_PH_DUR8, _PH_MW, _PH_MH, _PH_MC):
+        assert tpl.count(ph) == 1
+    return tpl
+
+
+def multimodal_webm_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT WebM/EBML walk entry (round 12b): every document
+    becomes a real two-track WebM whose PixelWidth/PixelHeight/Channels
+    vary as integer fields and whose float64 Duration element is
+    spliced per doc_id residue from four EXACT byte literals (500/1000/
+    1500/2000 ms at the explicit 1e6-ns TimestampScale — all four
+    decode to exactly-representable doubles, and the parser's
+    ``ticks * scale / 1e9`` chain is two exact IEEE ops on them, so the
+    oracle is plain arithmetic). `extract_av_headers` must recover
+    kind='webm', codec ids, dims, channels and duration exactly."""
+    import struct
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    dur = F.coalesce(*[
+        F.when(
+            doc % 4 == k,
+            F.unhex(F.lit(struct.pack(">d", 500.0 * (k + 1)).hex())),
+        )
+        for k in range(4)
+    ])
+    blob = _template_col(_webm_template(), [
+        (_PH_DUR8, dur),
+        (_PH_MW, _be_col(800 + 16 * (doc % 9), 2)),
+        (_PH_MH, _be_col(450 + 16 * (doc % 7), 2)),
+        (_PH_MC, _be_col(1 + doc % 2, 2)),
+    ])
+    media = d.select(
+        doc.alias("media_id"),
+        blob.alias("payload"),
+        F.lit("video/webm").alias("mime"),
+        F.octet_length(blob).alias("n_bytes"),
+        F.lit("{}").alias("meta"),
+    )
+    hdr = M.extract_av_headers(media)
+    return hdr.select(
+        "media_id", "kind",
+        F.round("duration_s", 6).alias("duration_s"),
+        "n_video", "n_audio", "width", "height",
+        "v_codec", "a_codec", "channels",
+    )
+
+
 def multimodal_av_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-EXACT A/V container walk entry (round 12, VERDICT r11
     #4): even doc_ids become a MULTIPLEXED Ogg (Theora video + Vorbis

@@ -59,6 +59,7 @@ SPOT_QUERIES = [
     "bigram_lm_quality_salted",
     "langid_ngram_confusion_salted",
     "multimodal_av_headers",
+    "multimodal_webm_headers",
 ]
 
 

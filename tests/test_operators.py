@@ -6657,3 +6657,111 @@ def test_extract_av_headers_through_spark(spark):
     assert (rows[2].width, rows[2].height) == (1280.0, 720.0)
     assert abs(rows[2].duration_s - 4.0) < 1e-12
     assert rows[3].kind == "unknown" and rows[3].duration_s is None
+
+
+# --- round 12b: Matroska/WebM EBML walk, independent test-side muxer ---
+
+
+def _ebml_size(n):
+    """Encode an EBML size vint (marker bit in the first byte)."""
+    for width in range(1, 9):
+        if n < (1 << (7 * width)) - 1:
+            out = n | (1 << (7 * width))
+            return out.to_bytes(width, "big")
+    raise ValueError(n)
+
+
+def _ebml_el(eid_bytes, body):
+    return eid_bytes + _ebml_size(len(body)) + body
+
+
+def _mk_webm(width, height, dur_ms, channels, doctype=b"webm",
+             scale=None, unknown_segment=False, v_codec=b"V_VP9",
+             rate=48000.0):
+    """Independent EBML muxer: head + Segment(Info, Tracks)."""
+    import struct
+
+    head = _ebml_el(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_el(b"\x42\x82", doctype)
+        + _ebml_el(b"\x42\x87", b"\x04"),  # DocTypeVersion (ignored)
+    )
+    info_body = _ebml_el(b"\x44\x89", struct.pack(">d", float(dur_ms)))
+    if scale is not None:
+        info_body = _ebml_el(
+            b"\x2a\xd7\xb1", scale.to_bytes(4, "big")
+        ) + info_body
+    info = _ebml_el(b"\x15\x49\xa9\x66", info_body)
+    vtrack = _ebml_el(b"\xae", (
+        _ebml_el(b"\x83", b"\x01")
+        + _ebml_el(b"\x86", v_codec)
+        + _ebml_el(b"\xe0",
+                   _ebml_el(b"\xb0", width.to_bytes(2, "big"))
+                   + _ebml_el(b"\xba", height.to_bytes(2, "big")))
+    ))
+    atrack = _ebml_el(b"\xae", (
+        _ebml_el(b"\x83", b"\x02")
+        + _ebml_el(b"\x86", b"A_OPUS")
+        + _ebml_el(b"\xe1",
+                   _ebml_el(b"\xb5", struct.pack(">f", rate))
+                   + _ebml_el(b"\x9f", bytes([channels])))
+    ))
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", vtrack + atrack)
+    seg_body = info + tracks
+    if unknown_segment:
+        # unknown-size Segment (live-muxer shape): size vint all-ones
+        return head + b"\x18\x53\x80\x67" + b"\xff" + seg_body
+    return head + _ebml_el(b"\x18\x53\x80\x67", seg_body)
+
+
+def test_mkv_ebml_walk_golden():
+    from lakota_spark.operators.multimodal import _parse_mkv_headers
+
+    got = _parse_mkv_headers(_mk_webm(1920, 1080, 2500, 2))
+    assert got is not None and got["doctype"] == "webm"
+    assert (got["n_video"], got["n_audio"]) == (1, 1)
+    assert (got["width"], got["height"]) == (1920.0, 1080.0)
+    assert (got["v_codec"], got["a_codec"]) == ("V_VP9", "A_OPUS")
+    assert (got["rate"], got["channels"]) == (48000.0, 2.0)
+    # default TimestampScale 1e6 ns: ticks are ms
+    assert abs(got["duration_s"] - 2.5) < 1e-12
+    # explicit scale (100 us ticks) and matroska doctype
+    got2 = _parse_mkv_headers(
+        _mk_webm(640, 360, 50000, 1, doctype=b"matroska", scale=100_000)
+    )
+    assert got2["doctype"] == "matroska"
+    assert abs(got2["duration_s"] - 5.0) < 1e-12
+    # unknown-size Segment (live stream shape) parses to the same values
+    got3 = _parse_mkv_headers(_mk_webm(320, 240, 1000, 1,
+                                       unknown_segment=True))
+    assert (got3["width"], got3["height"]) == (320.0, 240.0)
+    assert abs(got3["duration_s"] - 1.0) < 1e-12
+
+
+def test_mkv_ebml_walk_rejections():
+    from lakota_spark.operators.multimodal import _parse_mkv_headers
+
+    assert _parse_mkv_headers(b"\x00" * 64) is None
+    # EBML head with a non-AV doctype falls through
+    bad = _mk_webm(64, 48, 100, 1, doctype=b"notmedia")
+    assert _parse_mkv_headers(bad) is None
+    # truncated segment: the walk stops without claiming tracks
+    good = _mk_webm(64, 48, 100, 1)
+    assert _parse_mkv_headers(good[: len(good) // 3]) is None
+
+
+def test_extract_av_headers_webm_through_spark(spark):
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_av_headers,
+    )
+
+    blob = _mk_webm(1280, 720, 4000, 2)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob), "video/webm", len(blob), "{}")],
+        MEDIA_SCHEMA,
+    )
+    r = extract_av_headers(media).collect()[0]
+    assert r.kind == "webm" and r.v_codec == "V_VP9"
+    assert (r.width, r.height, r.channels) == (1280.0, 720.0, 2.0)
+    assert abs(r.duration_s - 4.0) < 1e-12
