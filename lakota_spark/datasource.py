@@ -447,7 +447,24 @@ class LakotaBatchReader(DataSourceReader):
 class LakotaStreamReader(DataSourceStreamReader):
     """Tail the changelog as a Structured Streaming source — offsets are
     revision ids, a microbatch is the rows of newly referenced segments
-    (see module docstring)."""
+    (see module docstring).
+
+    ``option("maxRevisionsPerBatch", N)`` (round 12) bounds every
+    microbatch AFTER the first to N changelog revisions — the
+    maxOffsetsPerTrigger-style admission control that stops a
+    catch-up spike (bursty ingest, a slow batch, a paused trigger)
+    from snowballing into one history-sized batch. The FIRST batch a
+    reader process plans is never bounded: Spark seals it via a
+    latestOffset() call that happens before the reader can see any
+    checkpointed position (verified against pyspark's
+    python_streaming_source_runner protocol), and returning an offset
+    below a position this instance cannot know would REWIND the
+    query's offset log — empty backward batches, then re-emission
+    (duplicates on non-idempotent sinks). So the marker only ever
+    advances along sealed batch ends (partitions()/commit()), which
+    keeps offsets monotonic by construction. A squash that rewrites
+    the chain past the marker falls back to head (the snapshot
+    resolver then raises its documented restart error)."""
 
     def __init__(self, options, schema):
         self._series = _open_series(options)
@@ -462,6 +479,20 @@ class LakotaStreamReader(DataSourceStreamReader):
             str(options.get("startingOffsets", "latest")).lower()
             == "earliest"
         )
+        # admission control (round 12): bound how many changelog
+        # revisions one microbatch may ingest. Without it a backfill
+        # from `earliest` over a long-lived table arrives as ONE batch
+        # holding the whole history — the classic streaming-source
+        # failure shape at scale (state/store pressure, no incremental
+        # checkpoints). 0 = unthrottled (default).
+        self._max_revs = int(options.get("maxRevisionsPerBatch", 0) or 0)
+        # admission-control marker: the last SEALED batch end this
+        # instance has seen (partitions() — an end Spark has already
+        # written to its offset WAL, so advancing from it can never
+        # rewind). While None — before the first batch plans —
+        # latestOffset must NOT bound: this instance cannot know the
+        # checkpointed position yet.
+        self._progress: str | None = None
 
     def __getstate__(self):
         d = dict(self.__dict__)
@@ -490,10 +521,39 @@ class LakotaStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:  # noqa: N802
         self._series.collection.repo.refresh()
-        leaf = self._series.collection.changelog.leaf()
-        return {"rev": leaf.child if leaf else ""}
+        log = self._series.collection.changelog.log()
+        if not log:
+            return {"rev": ""}
+        head = log[-1].child
+        if not self._max_revs:
+            return {"rev": head}
+        # maxRevisionsPerBatch: advance at most N revisions past the
+        # last SEALED batch end. The first batch this instance plans
+        # is unthrottled (see class docstring — bounding before the
+        # checkpointed position is visible would rewind the offset
+        # log). A squashed/rewritten chain drops the marker from the
+        # log: fall back to head and let `_snapshot_at`'s documented
+        # restart error surface.
+        if self._progress is None or self._progress == head:
+            return {"rev": head}
+        ids = [r.child for r in log]
+        try:
+            i = ids.index(self._progress)
+        except ValueError:
+            return {"rev": head}
+        return {"rev": ids[min(i + self._max_revs, len(ids) - 1)]}
 
     def partitions(self, start: dict, end: dict):
+        if end.get("rev"):
+            # advance the admission-control marker to this batch's
+            # SEALED end (already in Spark's offset WAL — monotonic, so
+            # never a rewind). It must be the sealed end, not the
+            # committed one: Spark only commits batch k while PLANNING
+            # batch k+1, and it only plans k+1 when latestOffset moves
+            # past the sealed end — bounding from committed progress
+            # deadlocks the stream one batch in (verified against the
+            # runner protocol).
+            self._progress = end["rev"]
         old = {
             s.path
             for s in self._snapshot_at(start["rev"]).for_label(
@@ -524,6 +584,8 @@ class LakotaStreamReader(DataSourceStreamReader):
         yield from scanner.scan(partition)
 
     def commit(self, end: dict) -> None:
+        # the marker advances on SEALED ends in partitions() — nothing
+        # to do here (committed ends always trail sealed ones)
         pass
 
 

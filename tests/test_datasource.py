@@ -698,3 +698,66 @@ def test_stream_writer_range_boundaries_exactly_once(spark, ds_repo):
     }
     assert got == {260, 610}
     assert len(repo.collection("rbsink").changelog.revisions()) == n_rev + 1
+
+
+def test_stream_reader_max_revisions_per_batch(spark, ds_repo):
+    """option('maxRevisionsPerBatch'): after the (never-bounded) first
+    batch, every microbatch of a continuous-trigger stream ingests at
+    most N source revisions — a catch-up backlog drains in bounded
+    steps (one SINK revision per source revision here) instead of one
+    snowballed batch. Totals must still be exact."""
+    import time
+
+    repo, s = ds_repo
+    dst = repo.create_collection(
+        Schema(ts="int*", value="float", tag="str"), "throttled"
+    )
+    ckpt = tempfile.mkdtemp(prefix="lakota-throttle-ckpt-")
+    q = (
+        spark.readStream.format("lakota")
+        .option("path", repo.root)
+        .option("table", "m/x")
+        .option("startingOffsets", "earliest")
+        .option("maxRevisionsPerBatch", "1")
+        .load()
+        .writeStream.format("lakota")
+        .option("path", repo.root)
+        .option("table", "throttled/x")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+
+    def wait_rows(n, deadline=120):
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            try:
+                out = repo.collection("throttled").series("x")
+                if out.frame(sort=False).count() == n:
+                    return
+            except Exception:  # noqa: BLE001 — sink not created yet
+                pass
+            time.sleep(0.4)
+        raise AssertionError(f"sink never reached {n} rows")
+
+    try:
+        # batch 1 (unbounded by design) drains the fixture's single
+        # revision
+        wait_rows(100)
+        assert len(dst.changelog.revisions()) == 1
+        # build a 3-revision backlog while the stream runs; bounded to
+        # 1 revision/batch it must land as exactly 3 MORE sink
+        # revisions (a snowballed catch-up would land as one)
+        for lo in (500, 600, 700):
+            s.write({
+                "ts": [lo, lo + 1],
+                "value": [float(lo), float(lo + 1)],
+                "tag": ["g", "g"],
+            })
+        want = sorted(tuple(r) for r in s.frame(sort=False).collect())
+        wait_rows(len(want))
+    finally:
+        q.stop()
+    out = repo.collection("throttled").series("x")
+    assert sorted(tuple(r) for r in out.frame(sort=False).collect()) == want
+    assert len(dst.changelog.revisions()) == 4
