@@ -2793,10 +2793,11 @@ def _parse_mp4_headers(b: bytes):
         "duration_s": 0.0, "n_video": 0, "n_audio": 0,
         "width": 0.0, "height": 0.0, "v_samples": 0.0,
         "rate": 0.0, "channels": 0.0, "n_samples": 0.0, "vbr": 0.0,
-        "v_codec": "", "a_codec": "",
+        "v_codec": "", "a_codec": "", "n_fragments": 0.0,
     }
     have_mvhd = False
     n_trak = 0
+    kind_by_tid: dict[int, bytes] = {}
     for t, s, e in _iter_mp4_boxes(b, moov[0], moov[1]):
         if t == b"mvhd":
             td = _mp4_fullbox_ts_dur(b[s:e])
@@ -2812,12 +2813,18 @@ def _parse_mp4_headers(b: bytes):
             mdhd_rate = 0.0
             entry_cc = ""  # stsd sample-entry fourcc = the codec id
             entry_wh = (0.0, 0.0)  # VisualSampleEntry width/height
+            track_id = None
             for t2, s2, e2 in _iter_mp4_boxes(b, s, e):
                 if t2 == b"tkhd" and e2 - s2 >= 8:
                     tkhd_wh = (
                         int.from_bytes(b[e2 - 8 : e2 - 4], "big") / 65536.0,
                         int.from_bytes(b[e2 - 4 : e2], "big") / 65536.0,
                     )
+                    # track_ID: after version/flags + 2 times (u32 in
+                    # v0, u64 in v1) — maps moof fragments to tracks
+                    off = s2 + (12 if b[s2] == 0 else 20)
+                    if off + 4 <= e2:
+                        track_id = int.from_bytes(b[off : off + 4], "big")
                 elif t2 == b"mdia":
                     for t3, s3, e3 in _iter_mp4_boxes(b, s2, e2):
                         if t3 == b"mdhd":
@@ -2886,6 +2893,8 @@ def _parse_mp4_headers(b: bytes):
                                             )
                                         )
                                         vbr = 1.0 if fixed == 0 else 0.0
+            if kind and track_id is not None:
+                kind_by_tid[track_id] = kind
             if kind == b"vide":
                 info["n_video"] += 1
                 if not info["width"]:
@@ -2907,6 +2916,57 @@ def _parse_mp4_headers(b: bytes):
                     info["a_codec"] = entry_cc
     if not have_mvhd or n_trak == 0:
         return None
+    # Fragmented BMFF (DASH/CMAF — round 12): movie data lives in
+    # top-level moof/mdat pairs; mvhd duration is typically 0 and the
+    # exact duration comes from sidx (segment index, §8.16.3: per-
+    # reference subsegment_duration over the sidx timescale). trun
+    # sample counts (moof > traf > tfhd track_ID + trun sample_count)
+    # recover per-kind sample totals the empty moov stsz cannot.
+    frag_samples: dict[int, int] = {}
+    sidx_dur: dict[int, float] = {}
+    for t, s, e in boxes:
+        if t == b"sidx" and e - s >= 12:
+            ver = b[s]
+            ref_id = int.from_bytes(b[s + 4 : s + 8], "big")
+            timescale = int.from_bytes(b[s + 8 : s + 12], "big")
+            # after version/flags + ref_id + timescale: earliest_pts +
+            # first_offset (u32 pair in v0, u64 pair in v1), then
+            # reserved u16 + reference_count u16, then 12-byte refs
+            base = s + (20 if ver == 0 else 28)
+            if not timescale or base + 4 > e:
+                continue
+            n_refs = int.from_bytes(b[base + 2 : base + 4], "big")
+            total = 0
+            pos = base + 4
+            for _ in range(n_refs):
+                if pos + 12 > e:
+                    break
+                total += int.from_bytes(b[pos + 4 : pos + 8], "big")
+                pos += 12
+            sidx_dur[ref_id] = (
+                sidx_dur.get(ref_id, 0.0) + total / timescale
+            )
+        elif t == b"moof":
+            info["n_fragments"] += 1
+            for t2, s2, e2 in _iter_mp4_boxes(b, s, e):
+                if t2 != b"traf":
+                    continue
+                tid = None
+                for t3, s3, e3 in _iter_mp4_boxes(b, s2, e2):
+                    if t3 == b"tfhd" and e3 - s3 >= 8:
+                        tid = int.from_bytes(b[s3 + 4 : s3 + 8], "big")
+                    elif t3 == b"trun" and e3 - s3 >= 8 and tid is not None:
+                        frag_samples[tid] = frag_samples.get(
+                            tid, 0
+                        ) + int.from_bytes(b[s3 + 4 : s3 + 8], "big")
+    if sidx_dur and not info["duration_s"]:
+        info["duration_s"] = max(sidx_dur.values())
+    for tid, count in frag_samples.items():
+        kind = kind_by_tid.get(tid)
+        if kind == b"vide" and not info["v_samples"]:
+            info["v_samples"] = float(count)
+        elif kind == b"soun" and not info["n_samples"]:
+            info["n_samples"] = float(count)
     return info
 
 

@@ -6765,3 +6765,75 @@ def test_extract_av_headers_webm_through_spark(spark):
     assert r.kind == "webm" and r.v_codec == "V_VP9"
     assert (r.width, r.height, r.channels) == (1280.0, 720.0, 2.0)
     assert abs(r.duration_s - 4.0) < 1e-12
+
+
+def _mp4_fullbox(t, body, ver=0):
+    return _mp4_box(t, bytes([ver]) + b"\x00\x00\x00" + body)
+
+
+def _mk_fmp4(v_frames_per_frag, a_frames_per_frag, frag_durs_ticks,
+             timescale=25, sidx_ver=0):
+    """Independent fragmented-BMFF muxer: moov (mvhd duration 0, empty
+    stsz) + one sidx per track + moof/mdat pairs with tfhd/trun."""
+    u32 = lambda v: v.to_bytes(4, "big")  # noqa: E731
+    u16 = lambda v: v.to_bytes(2, "big")  # noqa: E731
+    head = _mk_mp4_av(640, 360, 0, 0)  # dur 0, stsz count 0: fMP4 shape
+    head = head[: head.rindex((8 + 24).to_bytes(4, "big") + b"mdat")]
+    # true fMP4 moov: the audio stsz count must be 0 too (samples live
+    # in the fragments)
+    stsz9 = _mp4_fullbox(b"stsz", u32(0) + u32(9))
+    head = head.replace(stsz9, _mp4_fullbox(b"stsz", u32(0) + u32(0)))
+
+    def sidx(ref_id):
+        ept_off = (u32(0) * 2) if sidx_ver == 0 else (
+            (0).to_bytes(8, "big") * 2
+        )
+        refs = b"".join(
+            u32(1000) + u32(d) + u32(0) for d in frag_durs_ticks
+        )
+        return _mp4_fullbox(
+            b"sidx",
+            u32(ref_id) + u32(timescale) + ept_off
+            + u16(0) + u16(len(frag_durs_ticks)) + refs,
+            ver=sidx_ver,
+        )
+
+    frags = b""
+    for _ in frag_durs_ticks:
+        traf_v = _mp4_box(
+            b"traf",
+            _mp4_fullbox(b"tfhd", u32(1) + u32(0)),
+            _mp4_fullbox(b"trun", u32(v_frames_per_frag)),
+        )
+        traf_a = _mp4_box(
+            b"traf",
+            _mp4_fullbox(b"tfhd", u32(2) + u32(0)),
+            _mp4_fullbox(b"trun", u32(a_frames_per_frag)),
+        )
+        frags += _mp4_box(b"moof", _mp4_fullbox(b"mfhd", u32(1)),
+                          traf_v, traf_a)
+        frags += _mp4_box(b"mdat", b"\x00" * 32)
+    return head + sidx(1) + sidx(2) + frags
+
+
+def test_fragmented_mp4_sidx_trun_golden():
+    from lakota_spark.operators.multimodal import _parse_mp4_headers
+
+    # 3 fragments of 25 ticks @ timescale 25 = 3 s total; 30 video and
+    # 48 audio samples per fragment
+    got = _parse_mp4_headers(_mk_fmp4(30, 48, [25, 25, 25]))
+    assert got is not None
+    assert (got["n_video"], got["n_audio"]) == (1, 1)
+    assert got["n_fragments"] == 3.0
+    assert abs(got["duration_s"] - 3.0) < 1e-12
+    assert got["v_samples"] == 90.0 and got["n_samples"] == 144.0
+    assert (got["v_codec"], got["a_codec"]) == ("avc1", "mp4a")
+    # version-1 sidx (64-bit earliest/offset fields) parses identically
+    got1 = _parse_mp4_headers(_mk_fmp4(10, 10, [50], sidx_ver=1))
+    assert abs(got1["duration_s"] - 2.0) < 1e-12
+    assert got1["n_fragments"] == 1.0
+    # a PLAIN mp4 is unchanged: no fragments, mvhd duration wins
+    plain = _parse_mp4_headers(_mk_mp4_av(1280, 720, 4000, 100))
+    assert plain["n_fragments"] == 0.0
+    assert abs(plain["duration_s"] - 4.0) < 1e-12
+    assert plain["v_samples"] == 100.0
