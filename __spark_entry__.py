@@ -730,6 +730,7 @@ _R12_WINDOW = [
     "langid_ngram_confusion_salted",
     "multimodal_av_headers",
     "multimodal_webm_headers",
+    "multimodal_tags_report",
     # --- last driver row r8: the full stale TPC-H family ---
     "tpch_q12_case_agg",
     "tpch_q13_order_dist",
@@ -777,9 +778,8 @@ _R12_WINDOW = [
     "multimodal_features",
     "multimodal_frames",
     "pii_scrub_stats",
-    "pivot_daily_by_type",
-    # (pq_topk displaced by the 4th new r12 entry — r9-green, leads
-    #  the r13 rotation)
+    # (pivot_daily_by_type / pq_topk displaced by the 5th/4th new r12
+    #  entries — r9-green, they lead the r13 rotation)
 ]
 
 
@@ -986,6 +986,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_container_headers": pipeline.multimodal_container_headers,
         "multimodal_av_headers": pipeline.multimodal_av_headers,
         "multimodal_webm_headers": pipeline.multimodal_webm_headers,
+        "multimodal_tags_report": pipeline.multimodal_tags_report,
         "cluster_topic_terms": pipeline.cluster_topic_terms,
         "mmr_diverse_topk": pipeline.mmr_diverse_topk,
         "dup_rate_by_source": pipeline.dup_rate_by_source,
@@ -2671,6 +2672,23 @@ SELECT doc_id AS media_id,
        ELSE 360 + 16 * (doc_id % 8) END * 1.0 AS height,
   CASE WHEN doc_id % 2 = 0 THEN 'theora' ELSE 'avc1' END AS v_codec,
   CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'mp4a' END AS a_codec
+FROM documents
+ORDER BY media_id
+""",
+        # round-12c media tags: titles are the 24-byte sanitized text
+        # (pure ASCII by construction — decode equals the sanitize
+        # chain both engines share; DuckDB regexp_replace needs the 'g'
+        # flag for the global semantics Spark applies by default)
+        "multimodal_tags_report": """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'id3' ELSE 'vorbis' END AS tag_kind,
+  rpad(regexp_replace(substring(text, 1, 24), '[^ -~]', 'x', 'g'),
+       24, 'x') AS title,
+  CASE WHEN doc_id % 2 = 0
+       THEN 'artist-' || lpad(CAST(doc_id % 7 AS VARCHAR), 2, '0')
+       ELSE 'a' || lpad(CAST(doc_id % 7 AS VARCHAR), 2, '0')
+       END AS artist,
+  '' AS album
 FROM documents
 ORDER BY media_id
 """,

@@ -136,6 +136,7 @@ BENCH_TAIL = [
     "langid_ngram_confusion_salted",
     "multimodal_av_headers",
     "multimodal_webm_headers",
+    "multimodal_tags_report",
 ]
 
 BENCH_QUERIES = BENCH_CORE + BENCH_TAIL

@@ -1535,6 +1535,92 @@ def _webm_template() -> bytes:
     return tpl
 
 
+# round-12c tag placeholders (collision-asserted in the builders)
+_PH_D2 = b"\x02\x03"  # two ascii digit bytes (zero-padded residue)
+
+
+def _ss4(n: int) -> bytes:
+    """ID3v2.4 syncsafe 4-byte size."""
+    return bytes([(n >> s) & 0x7F for s in (21, 14, 7, 0)])
+
+
+def _id3_template() -> bytes:
+    """ID3v2.4 tag with TIT2 = the 24-byte sanitized text and TPE1 =
+    'artist-<digit>', followed by a fake MPEG byte tail."""
+    tit = b"\x03" + _PH_TXT
+    tpe = b"\x03" + b"artist-" + _PH_D2
+    frames = (
+        b"TIT2" + _ss4(len(tit)) + b"\x00\x00" + tit
+        + b"TPE1" + _ss4(len(tpe)) + b"\x00\x00" + tpe
+    )
+    tpl = b"ID3\x04\x00\x00" + _ss4(len(frames)) + frames + b"\xff\xfb" * 4
+    assert tpl.count(_PH_TXT) == 1 and tpl.count(_PH_D2) == 1
+    return tpl
+
+
+def _opus_tags_template() -> bytes:
+    """Ogg-Opus stream whose second page is an OpusTags packet with
+    TITLE = the sanitized text and ARTIST = 'a<digit>'."""
+    head = (
+        b"OpusHead\x01\x02" + (312).to_bytes(2, "little")
+        + (48000).to_bytes(4, "little") + b"\x00\x00\x00"
+    )
+    t_item = b"TITLE=" + _PH_TXT
+    a_item = b"ARTIST=a" + _PH_D2
+    tags = (
+        b"OpusTags" + (4).to_bytes(4, "little") + b"lkta"
+        + (2).to_bytes(4, "little")
+        + len(t_item).to_bytes(4, "little") + t_item
+        + len(a_item).to_bytes(4, "little") + a_item
+    )
+    zero8 = (0).to_bytes(8, "little")
+    tpl = (
+        _ogg_page_tpl(5, zero8, 2, 0, head)
+        + _ogg_page_tpl(5, zero8, 0, 1, tags)
+        + _ogg_page_tpl(5, (960).to_bytes(8, "little"), 4, 2, b"\x00" * 8)
+    )
+    assert tpl.count(_PH_TXT) == 1 and tpl.count(_PH_D2) == 1
+    return tpl
+
+
+def multimodal_tags_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT media-tag extraction entry (round 12): even doc_ids
+    become MPEG audio led by an ID3v2.4 tag (TIT2/TPE1 text frames),
+    odd an Ogg-Opus stream with an OpusTags comment packet — and
+    `extract_media_tags` must recover title/artist EXACTLY. Titles are
+    the 24-byte sanitized document text (pure ASCII by construction, so
+    decode == the sanitize chain both engines share); artists carry a
+    doc_id-residue digit."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    txt = F.encode(
+        F.expr(
+            "rpad(regexp_replace(substring(text, 1, 24), '[^ -~]', 'x'),"
+            " 24, 'x')"
+        ),
+        "utf-8",
+    )
+    # two zero-padded ascii digits of the residue ('00'..'06')
+    digit = F.encode(
+        F.lpad((doc % 7).cast("string"), 2, "0"), "utf-8"
+    )
+    id3 = _template_col(_id3_template(), [(_PH_TXT, txt), (_PH_D2, digit)])
+    ogg = _template_col(_opus_tags_template(),
+                        [(_PH_TXT, txt), (_PH_D2, digit)])
+    media = d.select(
+        doc.alias("media_id"),
+        F.when(doc % 2 == 0, id3).otherwise(ogg).alias("payload"),
+        F.when(doc % 2 == 0, F.lit("audio/mpeg"))
+        .otherwise(F.lit("audio/ogg"))
+        .alias("mime"),
+        F.lit(0).cast("long").alias("n_bytes"),
+        F.lit("{}").alias("meta"),
+    ).withColumn("n_bytes", F.octet_length("payload"))
+    return M.extract_media_tags(media).select(
+        "media_id", "tag_kind", "title", "artist", "album"
+    )
+
+
 def multimodal_webm_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-EXACT WebM/EBML walk entry (round 12b): every document
     becomes a real two-track WebM whose PixelWidth/PixelHeight/Channels

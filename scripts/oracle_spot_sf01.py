@@ -60,6 +60,7 @@ SPOT_QUERIES = [
     "langid_ngram_confusion_salted",
     "multimodal_av_headers",
     "multimodal_webm_headers",
+    "multimodal_tags_report",
 ]
 
 

@@ -6837,3 +6837,149 @@ def test_fragmented_mp4_sidx_trun_golden():
     assert plain["n_fragments"] == 0.0
     assert abs(plain["duration_s"] - 4.0) < 1e-12
     assert plain["v_samples"] == 100.0
+
+
+# --- round 12c: media tag extraction, independent test-side muxers ---
+
+
+def _mk_id3v2(frames, ver=4, pad=16):
+    """ID3v2 tag + a fake MPEG byte tail: frames = {b'TIT2': 'text'}."""
+    body = b""
+    for fid, text in frames.items():
+        payload = b"\x03" + text.encode("utf-8")
+        size = (
+            bytes([(len(payload) >> s) & 0x7F for s in (21, 14, 7, 0)])
+            if ver >= 4
+            else len(payload).to_bytes(4, "big")
+        )
+        body += fid + size + b"\x00\x00" + payload
+    body += b"\x00" * pad
+    size_ss = bytes([(len(body) >> s) & 0x7F for s in (21, 14, 7, 0)])
+    return b"ID3" + bytes([ver, 0, 0]) + size_ss + body + b"\xff\xfb" * 8
+
+
+def _mk_vorbis_comments(marker, tags, vendor=b"lavf"):
+    body = len(vendor).to_bytes(4, "little") + vendor
+    body += len(tags).to_bytes(4, "little")
+    for k, v in tags.items():
+        item = f"{k}={v}".encode()
+        body += len(item).to_bytes(4, "little") + item
+    return marker + body
+
+
+def test_media_tags_id3v2_golden():
+    from lakota_spark.operators.multimodal import _parse_id3v2_tags
+
+    got = _parse_id3v2_tags(_mk_id3v2({
+        b"TIT2": "My Title", b"TPE1": "Artist X", b"TALB": "Album Y",
+        b"TXXX": "ignored",
+    }))
+    assert got == {"title": "My Title", "artist": "Artist X",
+                   "album": "Album Y"}
+    # v2.3 (plain big-endian frame sizes) and utf-16 bodies
+    v23 = _mk_id3v2({b"TIT2": "Käse"}, ver=3)
+    assert _parse_id3v2_tags(v23)["title"] == "Käse"
+    assert _parse_id3v2_tags(b"\xff\xfb" * 8) is None
+    assert _parse_id3v2_tags(b"ID3") is None
+
+
+def test_media_tags_ogg_and_mp4_and_mkv_golden():
+    from lakota_spark.operators.multimodal import (
+        _parse_mkv_tags,
+        _parse_mp4_tags,
+        _parse_ogg_tags,
+    )
+
+    # Vorbis: BOS ident page + comment-header page
+    blob = (
+        _mk_ogg_page(9, 0, 2, 0, [_mk_vorbis_ident(2, 44100)])
+        + _mk_ogg_page(9, 0, 0, 1, [_mk_vorbis_comments(
+            b"\x03vorbis", {"TITLE": "Song A", "ARTIST": "B", "ALBUM": "C"}
+        )])
+        + _mk_ogg_page(9, 44100, 4, 2, [b"\x00" * 8])
+    )
+    assert _parse_ogg_tags(blob) == {
+        "title": "Song A", "artist": "B", "album": "C"
+    }
+    # OpusTags variant
+    opus_hdr = (b"OpusHead\x01\x02" + (312).to_bytes(2, "little")
+                + (48000).to_bytes(4, "little") + b"\x00\x00\x00")
+    blob2 = (
+        _mk_ogg_page(5, 0, 2, 0, [opus_hdr])
+        + _mk_ogg_page(5, 0, 0, 1, [_mk_vorbis_comments(
+            b"OpusTags", {"title": "Lower", "artist": "Case"}
+        )])
+    )
+    got2 = _parse_ogg_tags(blob2)
+    assert (got2["title"], got2["artist"], got2["album"]) == (
+        "Lower", "Case", ""
+    )
+    # mp4 ilst: splice a udta/meta/ilst into the muxer's moov
+    u32 = lambda v: v.to_bytes(4, "big")  # noqa: E731
+    data = lambda s: _mp4_fullbox(b"data", u32(0) + s.encode())  # noqa: E731
+    ilst = _mp4_box(
+        b"ilst",
+        _mp4_box(b"\xa9nam", data("Clip Title")),
+        _mp4_box(b"\xa9ART", data("Clip Artist")),
+    )
+    udta = _mp4_box(b"udta", _mp4_fullbox(b"meta", ilst))
+    base = _mk_mp4_av(64, 48, 100, 1)
+    moov_at = base.index(b"moov") - 4
+    moov_size = int.from_bytes(base[moov_at : moov_at + 4], "big")
+    patched = (
+        base[:moov_at]
+        + (moov_size + len(udta)).to_bytes(4, "big")
+        + base[moov_at + 4 : moov_at + moov_size]
+        + udta
+        + base[moov_at + moov_size:]
+    )
+    got3 = _parse_mp4_tags(patched)
+    assert got3 == {"title": "Clip Title", "artist": "Clip Artist"}
+    # mkv: Title element inside Info
+    webm = _mk_webm(64, 48, 100, 1)
+    title_el = b"\x7b\xa9" + bytes([0x80 | 5]) + b"MKVT!"
+    info_at = webm.index(b"\x15\x49\xa9\x66")
+    isz = webm[info_at + 4] & 0x7F
+    patched2 = (
+        webm[:info_at + 4]
+        + bytes([0x80 | (isz + len(title_el))])
+        + webm[info_at + 5 : info_at + 5 + isz]
+        + title_el
+        + webm[info_at + 5 + isz:]
+    )
+    # the Segment size vint must also grow; rebuild via the muxer's
+    # unknown-size form instead (simpler and spec-legal)
+    seg_at = patched2.index(b"\x18\x53\x80\x67")
+    patched2 = (
+        patched2[:seg_at + 4] + b"\xff"
+        + patched2[seg_at + 4 + (8 - 7):]
+    )
+    got4 = _parse_mkv_tags(patched2)
+    assert got4 == {"title": "MKVT!"}
+
+
+def test_extract_media_tags_through_spark(spark):
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_tags,
+    )
+
+    id3 = _mk_id3v2({b"TIT2": "T1"})
+    ogg = (
+        _mk_ogg_page(9, 0, 2, 0, [_mk_vorbis_ident(2, 44100)])
+        + _mk_ogg_page(9, 0, 0, 1, [_mk_vorbis_comments(
+            b"\x03vorbis", {"TITLE": "T2"}
+        )])
+    )
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(id3), "audio/mpeg", len(id3), "{}"),
+            (2, bytearray(ogg), "audio/ogg", len(ogg), "{}"),
+            (3, bytearray(b"plain bytes"), "text/plain", 11, "{}"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in extract_media_tags(media).collect()}
+    assert (rows[1].tag_kind, rows[1].title) == ("id3", "T1")
+    assert (rows[2].tag_kind, rows[2].title) == ("vorbis", "T2")
+    assert (rows[3].tag_kind, rows[3].title) == ("none", "")
