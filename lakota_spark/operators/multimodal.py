@@ -60,6 +60,59 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def media_from_binary_files(spark, path: str,
+                            glob: str | None = None) -> DataFrame:
+    """Build a MEDIA_SCHEMA table straight from files on any
+    Spark-readable store via the built-in ``binaryFile`` source — the
+    production entry for the extractor/tag operators (the
+    `attach_binary_payload` text-bytes harness stays for tests).
+    media_id is a deterministic 63-bit hash of the file path (stable
+    across re-scans, no zipWithIndex/driver loop); mime is inferred
+    from the extension with 'application/octet-stream' fallback."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime = F.coalesce(
+        *[
+            F.when(ext == k, F.lit(v))
+            for k, v in sorted(_EXT_MIME.items())
+        ],
+        F.lit("application/octet-stream"),
+    )
+    return df.select(
+        # 63-bit non-negative id: stable content-independent identity.
+        # shiftrightunsigned, NOT abs — abs(Long.MinValue) is an
+        # ARITHMETIC_OVERFLOW under ANSI mode (the round-12 skew fix)
+        F.shiftrightunsigned(F.xxhash64(F.col("path")), 1)
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+        mime.alias("mime"),
+        F.col("length").alias("n_bytes"),
+        F.to_json(
+            F.struct(
+                F.col("path").alias("src_path"),
+                F.col("modificationTime").cast("string").alias("mtime"),
+            )
+        ).alias("meta"),
+    )
+
+
+#: extension -> mime for `media_from_binary_files`
+_EXT_MIME = {
+    "png": "image/png", "gif": "image/gif", "jpg": "image/jpeg",
+    "jpeg": "image/jpeg", "webp": "image/webp", "bmp": "image/bmp",
+    "tif": "image/tiff", "tiff": "image/tiff", "ppm": "image/x-ppm",
+    "wav": "audio/wav", "flac": "audio/flac", "mp3": "audio/mpeg",
+    "aac": "audio/aac", "ogg": "audio/ogg", "opus": "audio/opus",
+    "m4a": "audio/mp4", "mp4": "video/mp4", "mov": "video/quicktime",
+    "webm": "video/webm", "mkv": "video/x-matroska",
+    "avi": "video/x-msvideo", "y4m": "video/x-y4m",
+    "h264": "video/h264",
+}
+
+
 def attach_binary_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

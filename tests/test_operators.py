@@ -6983,3 +6983,33 @@ def test_extract_media_tags_through_spark(spark):
     assert (rows[1].tag_kind, rows[1].title) == ("id3", "T1")
     assert (rows[2].tag_kind, rows[2].title) == ("vorbis", "T2")
     assert (rows[3].tag_kind, rows[3].title) == ("none", "")
+
+
+def test_media_from_binary_files(spark, tmp_path):
+    from lakota_spark.operators.multimodal import (
+        extract_av_headers,
+        extract_media_tags,
+        media_from_binary_files,
+    )
+
+    (tmp_path / "a.mp4").write_bytes(_mk_mp4_av(320, 240, 1500, 10))
+    (tmp_path / "b.mp3").write_bytes(_mk_id3v2({b"TIT2": "From Disk"}))
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+    media = media_from_binary_files(spark, str(tmp_path))
+    rows = {r.mime: r for r in media.collect()}
+    assert set(rows) == {"video/mp4", "audio/mpeg",
+                         "application/octet-stream"}
+    assert all(r.media_id >= 0 and r.n_bytes > 0 for r in rows.values())
+    # ids are deterministic across re-scans
+    again = {r.mime: r.media_id
+             for r in media_from_binary_files(spark, str(tmp_path)).collect()}
+    assert again == {m: r.media_id for m, r in rows.items()}
+    # and the table feeds the extractors directly
+    hdr = {r.kind for r in extract_av_headers(media).collect()}
+    assert "mp4" in hdr
+    tags = {r.tag_kind: r.title
+            for r in extract_media_tags(media).collect()}
+    assert tags.get("id3") == "From Disk"
+    # glob filter narrows the scan
+    only_mp4 = media_from_binary_files(spark, str(tmp_path), glob="*.mp4")
+    assert only_mp4.count() == 1
