@@ -3685,6 +3685,14 @@ def extract_av_headers(media: DataFrame) -> DataFrame:
                     ogg["v_codec"], ogg["a_codec"], ogg["rate"],
                     ogg["channels"],
                 )
+            avi = _safe(_parse_avi_headers, b)
+            if avi is not None:
+                return (
+                    "avi", avi["duration_s"], avi["n_video"],
+                    avi["n_audio"], avi["width"], avi["height"],
+                    avi["v_codec"], avi["a_codec"], avi["rate"],
+                    avi["channels"],
+                )
             return ("unknown", None, None, None, None, None, None, None,
                     None, None)
 
@@ -3749,6 +3757,82 @@ def extract_media_tags(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=MEDIA_TAGS_SCHEMA)
+
+
+def _parse_avi_headers(b: bytes):
+    """RIFF/AVI header walk (round 12): duration / dims / stream
+    counts / codec ids from the ``hdrl`` LIST — ``avih`` packs
+    dwMicroSecPerFrame @0, dwTotalFrames @16, dwStreams @24, dwWidth
+    @32, dwHeight @36; each ``strl`` LIST's ``strh`` carries
+    fccType @0 ('vids'/'auds') and fccHandler @4 (the codec id) plus
+    dwRate/dwScale @20/@24 and dwLength @32 (frames or samples).
+    Completes the structural container matrix (BMFF, Ogg, EBML, RIFF)
+    — no codec decode. Returns the `extract_av_headers` dict shape or
+    None when the payload is not RIFF/AVI or carries no hdrl/avih."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+
+    def chunks(pos, end):
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            stop = min(body + size, end)
+            yield cid, body, stop
+            pos = body + size + (size & 1)
+
+    hdrl = None
+    for cid, s, e in chunks(12, len(b)):
+        if cid == b"LIST" and b[s : s + 4] == b"hdrl":
+            hdrl = (s + 4, e)
+            break
+    if hdrl is None:
+        return None
+    out = {
+        "duration_s": 0.0, "n_video": 0, "n_audio": 0,
+        "width": 0.0, "height": 0.0, "v_codec": "", "a_codec": "",
+        "rate": 0.0, "channels": 0.0, "us_per_frame": 0.0,
+        "total_frames": 0.0,
+    }
+    have_avih = False
+    for cid, s, e in chunks(*hdrl):
+        if cid == b"avih" and e - s >= 40:
+            have_avih = True
+            uspf = int.from_bytes(b[s : s + 4], "little")
+            total = int.from_bytes(b[s + 16 : s + 20], "little")
+            out["us_per_frame"] = float(uspf)
+            out["total_frames"] = float(total)
+            out["width"] = float(int.from_bytes(b[s + 32 : s + 36],
+                                                "little"))
+            out["height"] = float(int.from_bytes(b[s + 36 : s + 40],
+                                                 "little"))
+            # exact: frames * microseconds-per-frame, one division
+            out["duration_s"] = total * uspf / 1e6
+        elif cid == b"LIST" and b[s : s + 4] == b"strl":
+            for c2, s2, e2 in chunks(s + 4, e):
+                if c2 != b"strh" or e2 - s2 < 36:
+                    continue
+                fcc = b[s2 : s2 + 4]
+                handler = (
+                    b[s2 + 4 : s2 + 8]
+                    .decode("ascii", "replace")
+                    .strip("\x00 ")  # NUL-padded fcc = no handler
+                )
+                scale = int.from_bytes(b[s2 + 20 : s2 + 24], "little")
+                rate = int.from_bytes(b[s2 + 24 : s2 + 28], "little")
+                if fcc == b"vids":
+                    out["n_video"] += 1
+                    if not out["v_codec"]:
+                        out["v_codec"] = handler
+                elif fcc == b"auds":
+                    out["n_audio"] += 1
+                    if not out["a_codec"]:
+                        out["a_codec"] = handler or "pcm"
+                        if scale:
+                            out["rate"] = rate / scale
+    if not have_avih or not (out["n_video"] or out["n_audio"]):
+        return None
+    return out
 
 
 def _iter_avi_mjpeg_frames(b: bytes):

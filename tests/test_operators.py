@@ -7013,3 +7013,75 @@ def test_media_from_binary_files(spark, tmp_path):
     # glob filter narrows the scan
     only_mp4 = media_from_binary_files(spark, str(tmp_path), glob="*.mp4")
     assert only_mp4.count() == 1
+
+
+def _mk_avi(width, height, uspf, total, v_handler=b"MJPG",
+            with_audio=True):
+    """Independent RIFF/AVI muxer: hdrl(avih + strl(strh)...) + movi."""
+    u32 = lambda v: v.to_bytes(4, "little")  # noqa: E731
+
+    def chunk(cid, body):
+        return cid + u32(len(body)) + body + (b"\x00" if len(body) & 1
+                                              else b"")
+
+    def lst(kind, *parts):
+        body = kind + b"".join(parts)
+        return b"LIST" + u32(len(body)) + body
+
+    avih = chunk(b"avih", (
+        u32(uspf) + u32(0) * 3 + u32(total) + u32(0)
+        + u32(2 if with_audio else 1) + u32(0)
+        + u32(width) + u32(height) + u32(0) * 4
+    ))
+    strh_v = chunk(b"strh", (
+        b"vids" + v_handler + u32(0) * 3 + u32(1) + u32(25)
+        + u32(0) + u32(total) + u32(0) * 5
+    ))
+    parts = [avih, lst(b"strl", strh_v)]
+    if with_audio:
+        strh_a = chunk(b"strh", (
+            b"auds" + b"\x00" * 4 + u32(0) * 3 + u32(1) + u32(48000)
+            + u32(0) + u32(48000) + u32(0) * 5
+        ))
+        parts.append(lst(b"strl", strh_a))
+    movi = lst(b"movi", chunk(b"00dc", b"\xff\xd8\xff\xd9"))
+    body = b"AVI " + lst(b"hdrl", *parts) + movi
+    return b"RIFF" + u32(len(body)) + body
+
+
+def test_avi_header_walk_golden():
+    from lakota_spark.operators.multimodal import _parse_avi_headers
+
+    got = _parse_avi_headers(_mk_avi(720, 480, 40000, 250))
+    assert got is not None
+    assert (got["n_video"], got["n_audio"]) == (1, 1)
+    assert (got["width"], got["height"]) == (720.0, 480.0)
+    assert got["v_codec"] == "MJPG" and got["a_codec"] == "pcm"
+    assert got["rate"] == 48000.0
+    # 250 frames * 40000 us = 10 s exactly
+    assert got["duration_s"] == 250 * 40000 / 1e6
+    video_only = _parse_avi_headers(
+        _mk_avi(64, 48, 33333, 30, with_audio=False)
+    )
+    assert (video_only["n_video"], video_only["n_audio"]) == (1, 0)
+    assert video_only["a_codec"] == ""
+    # rejections: non-AVI RIFF (WAV), random bytes, truncated hdrl
+    assert _parse_avi_headers(b"RIFF\x10\x00\x00\x00WAVEfmt ") is None
+    assert _parse_avi_headers(b"\x00" * 64) is None
+
+
+def test_extract_av_headers_avi_through_spark(spark):
+    from lakota_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_av_headers,
+    )
+
+    blob = _mk_avi(1280, 720, 20000, 500)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob), "video/x-msvideo", len(blob), "{}")],
+        MEDIA_SCHEMA,
+    )
+    r = extract_av_headers(media).collect()[0]
+    assert r.kind == "avi" and r.v_codec == "MJPG"
+    assert (r.width, r.height) == (1280.0, 720.0)
+    assert r.duration_s == 10.0
