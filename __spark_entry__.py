@@ -731,6 +731,7 @@ _R12_WINDOW = [
     "multimodal_av_headers",
     "multimodal_webm_headers",
     "multimodal_tags_report",
+    "pii_card_flags",
     # --- last driver row r8: the full stale TPC-H family ---
     "tpch_q12_case_agg",
     "tpch_q13_order_dist",
@@ -777,9 +778,9 @@ _R12_WINDOW = [
     "knn_same_label",
     "multimodal_features",
     "multimodal_frames",
-    "pii_scrub_stats",
-    # (pivot_daily_by_type / pq_topk displaced by the 5th/4th new r12
-    #  entries — r9-green, they lead the r13 rotation)
+    # (pii_scrub_stats / pivot_daily_by_type / pq_topk displaced by
+    #  the 6th/5th/4th new r12 entries — r9-green, they lead the r13
+    #  rotation)
 ]
 
 
@@ -987,6 +988,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_av_headers": pipeline.multimodal_av_headers,
         "multimodal_webm_headers": pipeline.multimodal_webm_headers,
         "multimodal_tags_report": pipeline.multimodal_tags_report,
+        "pii_card_flags": pipeline.pii_card_flags,
         "cluster_topic_terms": pipeline.cluster_topic_terms,
         "mmr_diverse_topk": pipeline.mmr_diverse_topk,
         "dup_rate_by_source": pipeline.dup_rate_by_source,
@@ -2674,6 +2676,37 @@ SELECT doc_id AS media_id,
   CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'mp4a' END AS a_codec
 FROM documents
 ORDER BY media_id
+""",
+
+        # round-12 Luhn card detection: the 16-term fold unrolled as
+        # closed-form doc_id arithmetic (left position j doubles iff j
+        # is even for a 16-digit number)
+        "pii_card_flags": """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+    AS n_card_candidates,
+  CAST(CASE WHEN (
+      (2 * ((doc_id * 3 + 1) % 10) - CASE WHEN ((doc_id * 3 + 1) % 10) > 4 THEN 9 ELSE 0 END)
+      + ((doc_id * 5 + 2) % 10)
+      + (2 * ((doc_id * 7 + 5) % 10) - CASE WHEN ((doc_id * 7 + 5) % 10) > 4 THEN 9 ELSE 0 END)
+      + ((doc_id * 9 + 10) % 10)
+      + (2 * ((doc_id * 11 + 17) % 10) - CASE WHEN ((doc_id * 11 + 17) % 10) > 4 THEN 9 ELSE 0 END)
+      + ((doc_id * 13 + 26) % 10)
+      + (2 * ((doc_id * 15 + 37) % 10) - CASE WHEN ((doc_id * 15 + 37) % 10) > 4 THEN 9 ELSE 0 END)
+      + ((doc_id * 17 + 50) % 10)
+      + (2 * ((doc_id * 19 + 65) % 10) - CASE WHEN ((doc_id * 19 + 65) % 10) > 4 THEN 9 ELSE 0 END)
+      + ((doc_id * 21 + 82) % 10)
+      + (2 * ((doc_id * 23 + 101) % 10) - CASE WHEN ((doc_id * 23 + 101) % 10) > 4 THEN 9 ELSE 0 END)
+      + ((doc_id * 25 + 122) % 10)
+      + (2 * ((doc_id * 27 + 145) % 10) - CASE WHEN ((doc_id * 27 + 145) % 10) > 4 THEN 9 ELSE 0 END)
+      + ((doc_id * 29 + 170) % 10)
+      + (2 * ((doc_id * 31 + 197) % 10) - CASE WHEN ((doc_id * 31 + 197) % 10) > 4 THEN 9 ELSE 0 END)
+      + ((doc_id * 33 + 226) % 10)
+    ) % 10 = 0 THEN 1 ELSE 0 END
+    * CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+    AS n_luhn_valid
+FROM documents
+ORDER BY doc_id
 """,
         # round-12c media tags: titles are the 24-byte sanitized text
         # (pure ASCII by construction — decode equals the sanitize

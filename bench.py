@@ -137,6 +137,7 @@ BENCH_TAIL = [
     "multimodal_av_headers",
     "multimodal_webm_headers",
     "multimodal_tags_report",
+    "pii_card_flags",
 ]
 
 BENCH_QUERIES = BENCH_CORE + BENCH_TAIL

@@ -357,6 +357,65 @@ def pii_stats(
     )
 
 
+def _luhn_total(c):
+    """Luhn checksum of a digits-only string Column, pure higher-order
+    codegen (no UDF): reverse, then fold position-indexed digit terms —
+    odd positions from the right are doubled with the classic
+    subtract-9 carry fold."""
+    chars = F.split(F.reverse(c), "")
+    pairs = F.zip_with(
+        chars,
+        F.sequence(F.lit(0), F.size(chars) - 1),
+        lambda ch, i: F.struct(ch.alias("c"), i.alias("i")),
+    )
+
+    def term(s):
+        d = s.c.cast("int")
+        doubled = d * 2 - F.when(d > 4, F.lit(9)).otherwise(F.lit(0))
+        return F.when(s.i % 2 == 1, doubled).otherwise(d)
+
+    return F.aggregate(pairs, F.lit(0), lambda acc, s: acc + term(s))
+
+
+def credit_card_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document credit-card-number detection with LUHN verification
+    (round 12): digit runs of 13-19 digits (spaces/dashes allowed as
+    group separators) are candidates; a candidate only counts as a
+    card when its Luhn checksum verifies — the verify step is what
+    separates card numbers from order ids and timestamps, exactly the
+    sketch-prunes/exact-verify discipline the heavy-hitter and bloom
+    paths use. Pure codegen (regexp + higher-order folds, no UDF), so
+    at 100 TB this rides the same scan as the rest of the PII pass.
+
+    Returns (id, n_card_candidates, n_luhn_valid). The scrub half
+    stays measurement-first by design: redaction policy (mask valid
+    only? all candidates?) is a caller decision this count table
+    informs."""
+    t = F.col(text_col)
+    # lookarounds pin the run boundaries: a 20+-digit id must produce
+    # NO candidate, not a 19-digit prefix
+    cands = F.regexp_extract_all(
+        t,
+        F.lit(r"(?<![0-9])[0-9](?:[ -]?[0-9]){12,18}(?![ -]?[0-9])"),
+        F.lit(0),
+    )
+    norm = F.transform(
+        cands, lambda c: F.regexp_replace(c, "[ -]", "")
+    )
+    norm = F.filter(
+        norm,
+        lambda c: (F.length(c) >= 13) & (F.length(c) <= 19),
+    )
+    valid = F.filter(norm, lambda c: _luhn_total(c) % 10 == 0)
+    return df.select(
+        F.col(id_col),
+        F.size(norm).cast("long").alias("n_card_candidates"),
+        F.size(valid).cast("long").alias("n_luhn_valid"),
+    )
+
+
 def pii_scrub(
     df: DataFrame, text_col: str = "text", kinds: list[str] | None = None
 ) -> DataFrame:

@@ -1621,6 +1621,39 @@ def multimodal_tags_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_card_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT Luhn card detection entry (round 12): every doc
+    carries a deterministic 16-digit number (digit_j = (doc_id*(3+2j) +
+    j^2+1) mod 10) embedded in a text frame — even docs twice, the
+    second in dashed 4-4-4-4 grouping to exercise separator
+    normalization — and `text.credit_card_flags` must count candidates
+    and Luhn-verified hits exactly. The oracle unrolls the 16-term Luhn
+    fold as closed-form doc_id arithmetic (left position j doubles iff
+    j is even for a 16-digit number), so the whole regex → normalize →
+    fold chain is externally value-pinned."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    cand = F.concat(*[
+        ((doc * (3 + 2 * j) + j * j + 1) % 10).cast("string")
+        for j in range(16)
+    ])
+    dashed = F.concat_ws(
+        "-",
+        F.substring(cand, 1, 4), F.substring(cand, 5, 4),
+        F.substring(cand, 9, 4), F.substring(cand, 13, 4),
+    )
+    # ' ; ' separator: adjacent candidates must not merge into one run
+    # (the boundary lookarounds would then reject both)
+    text = F.when(
+        doc % 2 == 0,
+        F.concat(F.lit("acct "), cand, F.lit(" ; "), dashed,
+                 F.lit(" end")),
+    ).otherwise(F.concat(F.lit("acct "), cand, F.lit(" end")))
+    return T.credit_card_flags(
+        d.select("doc_id", text.alias("text"))
+    ).orderBy("doc_id")
+
+
 def multimodal_webm_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-EXACT WebM/EBML walk entry (round 12b): every document
     becomes a real two-track WebM whose PixelWidth/PixelHeight/Channels

@@ -7085,3 +7085,26 @@ def test_extract_av_headers_avi_through_spark(spark):
     assert r.kind == "avi" and r.v_codec == "MJPG"
     assert (r.width, r.height) == (1280.0, 720.0)
     assert r.duration_s == 10.0
+
+
+def test_credit_card_flags_luhn(spark):
+    """Luhn verification separates card numbers from other digit runs:
+    industry test vectors verify, one-digit corruptions fail, 20+-digit
+    ids produce NO candidate (boundary lookarounds), separators
+    normalize."""
+    from lakota_spark.operators.text import credit_card_flags
+
+    rows = [
+        (1, "pay with 4539 1488 0343 6467 thanks"),   # Visa test vector
+        (2, "pay with 4539 1488 0343 6468 thanks"),   # corrupted digit
+        (3, "order 12345 on 2024-01-01, call +1 555 123 4567"),
+        (4, "4111-1111-1111-1111 and 5500 0000 0000 0004"),  # both valid
+        (5, "no digits at all"),
+        (6, "long id 12345678901234567890123 is not a card"),
+        (7, "amex 378282246310005 verifies at 15 digits"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_card_candidates, r.n_luhn_valid)
+           for r in credit_card_flags(df).collect()}
+    assert got == {1: (1, 1), 2: (1, 0), 3: (0, 0), 4: (2, 2),
+                   5: (0, 0), 6: (0, 0), 7: (1, 1)}
