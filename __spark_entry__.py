@@ -732,6 +732,7 @@ _R12_WINDOW = [
     "multimodal_webm_headers",
     "multimodal_tags_report",
     "pii_card_flags",
+    "pii_iban_flags",
     # --- last driver row r8: the full stale TPC-H family ---
     "tpch_q12_case_agg",
     "tpch_q13_order_dist",
@@ -777,7 +778,8 @@ _R12_WINDOW = [
     "kmeans_assign",
     "knn_same_label",
     "multimodal_features",
-    "multimodal_frames",
+    # (multimodal_frames also displaced by the 7th new r12 entry —
+    #  r9-green, leads the r13 rotation)
     # (pii_scrub_stats / pivot_daily_by_type / pq_topk displaced by
     #  the 6th/5th/4th new r12 entries — r9-green, they lead the r13
     #  rotation)
@@ -989,6 +991,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_webm_headers": pipeline.multimodal_webm_headers,
         "multimodal_tags_report": pipeline.multimodal_tags_report,
         "pii_card_flags": pipeline.pii_card_flags,
+        "pii_iban_flags": pipeline.pii_iban_flags,
         "cluster_topic_terms": pipeline.cluster_topic_terms,
         "mmr_diverse_topk": pipeline.mmr_diverse_topk,
         "dup_rate_by_source": pipeline.dup_rate_by_source,
@@ -2678,6 +2681,33 @@ FROM documents
 ORDER BY media_id
 """,
 
+
+        # round-12 IBAN mod-97: the ISO 13616 rearranged checksum as a
+        # Horner-weight sum (10^k mod 97 constants) over the fixture's
+        # doc_id digit arithmetic; the even-doc twin bumps check digit
+        # c1 by one (wrapping 9 -> 0 subtracts 9*W22)
+        "pii_iban_flags": """
+WITH t AS (
+  SELECT doc_id,
+    ((doc_id * 5 + 1) % 10) * 56 + ((doc_id * 8 + 3) % 10) * 25 + ((doc_id * 11 + 5) % 10) * 51 + ((doc_id * 14 + 7) % 10) * 73 + ((doc_id * 17 + 9) % 10) * 17 + ((doc_id * 20 + 11) % 10) * 89 + ((doc_id * 23 + 13) % 10) * 38 + ((doc_id * 26 + 15) % 10) * 62 + ((doc_id * 29 + 17) % 10) * 45 + ((doc_id * 32 + 19) % 10) * 53 + ((doc_id * 35 + 21) % 10) * 15 + ((doc_id * 38 + 23) % 10) * 50 + ((doc_id * 41 + 25) % 10) * 5 + ((doc_id * 44 + 27) % 10) * 49 + ((doc_id * 47 + 29) % 10) * 34 + ((doc_id * 50 + 31) % 10) * 81 + ((doc_id * 53 + 33) % 10) * 76 + ((doc_id * 56 + 35) % 10) * 27
+    + 159
+    + ((doc_id * 5 + 3) % 10) * 10
+    + ((doc_id * 7 + 1) % 10) * 1 AS total
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+    AS n_iban_candidates,
+  CAST(
+    (CASE WHEN total % 97 = 1 THEN 1 ELSE 0 END)
+    + CASE WHEN doc_id % 2 = 0 THEN
+        CASE WHEN (total + CASE WHEN (doc_id * 5 + 3) % 10 = 9
+                        THEN -9 * 10 ELSE 10 END) % 97 = 1
+             THEN 1 ELSE 0 END
+      ELSE 0 END AS BIGINT) AS n_mod97_valid
+FROM t
+ORDER BY doc_id
+""",
         # round-12 Luhn card detection: the 16-term fold unrolled as
         # closed-form doc_id arithmetic (left position j doubles iff j
         # is even for a 16-digit number)

@@ -138,6 +138,7 @@ BENCH_TAIL = [
     "multimodal_webm_headers",
     "multimodal_tags_report",
     "pii_card_flags",
+    "pii_iban_flags",
 ]
 
 BENCH_QUERIES = BENCH_CORE + BENCH_TAIL

@@ -416,6 +416,55 @@ def credit_card_flags(
     )
 
 
+def _iban_mod97(c):
+    """ISO 13616 mod-97 of an IBAN Column, pure higher-order codegen:
+    move the first 4 chars to the end, map letters to two digits
+    (A=10..Z=35), then a Horner fold ``acc = (acc*10 + digit) % 97``
+    — letters push their two digits in sequence. Valid IBANs fold to
+    exactly 1."""
+    rearranged = F.concat(F.substr(c, F.lit(5)), F.substring(c, 1, 4))
+    chars = F.split(rearranged, "")
+
+    def step(acc, ch):
+        code = F.ascii(ch)
+        v = code - 55  # letters: 'A' (65) -> 10 ... 'Z' -> 35
+        hi = F.when(v < 20, 1).when(v < 30, 2).otherwise(3)
+        as_letter = ((acc * 10 + hi) % 97 * 10 + v % 10) % 97
+        as_digit = (acc * 10 + (code - 48)) % 97
+        return F.when((code >= 65) & (code <= 90), as_letter).otherwise(
+            as_digit
+        )
+
+    return F.aggregate(chars, F.lit(0), step)
+
+
+def iban_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document IBAN detection with MOD-97 verification (round 12,
+    the Luhn companion): candidates are boundary-pinned
+    ``CC`` + 2 check digits + 10-30 alphanumerics; a candidate only
+    counts when the ISO 13616 rearranged mod-97 folds to 1 — the
+    verify step that separates account numbers from ticket ids. The
+    per-country LENGTH registry is deliberately NOT encoded (a
+    hand-recalled table would be silently wrong — the multimodal
+    mp3-Huffman lesson); structure + checksum already reject ~99% of
+    non-IBANs (random check digits pass 1/97). Pure codegen, returns
+    (id, n_iban_candidates, n_mod97_valid)."""
+    t = F.col(text_col)
+    cands = F.regexp_extract_all(
+        t,
+        F.lit(r"(?<![A-Z0-9])[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}(?![A-Z0-9])"),
+        F.lit(0),
+    )
+    valid = F.filter(cands, lambda c: _iban_mod97(c) == 1)
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_iban_candidates"),
+        F.size(valid).cast("long").alias("n_mod97_valid"),
+    )
+
+
 def pii_scrub(
     df: DataFrame, text_col: str = "text", kinds: list[str] | None = None
 ) -> DataFrame:

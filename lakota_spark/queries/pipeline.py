@@ -1654,6 +1654,36 @@ def pii_card_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pii_iban_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT IBAN mod-97 entry (round 12, the `pii_card_flags`
+    companion): every doc carries a deterministic DE-format IBAN
+    ("DE" + 2 doc-derived check digits + 18 doc-derived digits); even
+    docs also a twin whose first check digit is bumped by one (valid
+    ~1/97 of the time, closed-form decidable). `text.iban_flags` must
+    count candidates and mod-97-verified hits exactly; the oracle
+    replays the ISO 13616 rearranged checksum as a Horner-weight sum
+    (10^k mod 97 constants) over the same doc_id digit arithmetic."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    c1 = (doc * 5 + 3) % 10
+    c2 = (doc * 7 + 1) % 10
+    digits = F.concat(*[
+        ((doc * (5 + 3 * j) + 2 * j + 1) % 10).cast("string")
+        for j in range(18)
+    ])
+    iban = F.concat(F.lit("DE"), c1.cast("string"), c2.cast("string"),
+                    digits)
+    twin = F.concat(F.lit("DE"), ((c1 + 1) % 10).cast("string"),
+                    c2.cast("string"), digits)
+    text = F.when(
+        doc % 2 == 0,
+        F.concat(F.lit("iban "), iban, F.lit(" ; "), twin, F.lit(" end")),
+    ).otherwise(F.concat(F.lit("iban "), iban, F.lit(" end")))
+    return T.iban_flags(
+        d.select("doc_id", text.alias("text"))
+    ).orderBy("doc_id")
+
+
 def multimodal_webm_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-EXACT WebM/EBML walk entry (round 12b): every document
     becomes a real two-track WebM whose PixelWidth/PixelHeight/Channels

@@ -7108,3 +7108,25 @@ def test_credit_card_flags_luhn(spark):
            for r in credit_card_flags(df).collect()}
     assert got == {1: (1, 1), 2: (1, 0), 3: (0, 0), 4: (2, 2),
                    5: (0, 0), 6: (0, 0), 7: (1, 1)}
+
+
+def test_iban_flags_mod97(spark):
+    """mod-97 verification on real test vectors incl. letters in the
+    BBAN; corruption fails; short/boundary shapes never candidate."""
+    from lakota_spark.operators.text import iban_flags
+
+    rows = [
+        (1, "send to DE89370400440532013000 please"),
+        (2, "send to DE89370400440532013001 please"),   # corrupted
+        (3, "send to GB29NWBK60161331926819 thanks"),   # BBAN letters
+        (4, "FR1420041010050500013M02606 crosses too"), # letters mid-BBAN
+        (5, "ids ABC123 and ticket XY1234567890 here"),
+        (6, "run DE893704004405320130001234567890123456789 too long"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_iban_candidates, r.n_mod97_valid)
+           for r in iban_flags(df).collect()}
+    # doc 6's 43-char run exceeds the 34-char IBAN maximum: the
+    # boundary lookaheads reject it outright (no prefix candidate)
+    assert got == {1: (1, 1), 2: (1, 0), 3: (1, 1), 4: (1, 1),
+                   5: (0, 0), 6: (0, 0)}
