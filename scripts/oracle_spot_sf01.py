@@ -61,6 +61,8 @@ SPOT_QUERIES = [
     "multimodal_av_headers",
     "multimodal_webm_headers",
     "multimodal_tags_report",
+    "pii_card_flags",
+    "pii_iban_flags",
 ]
 
 
