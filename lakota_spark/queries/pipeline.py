@@ -1649,9 +1649,9 @@ def pii_card_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("acct "), cand, F.lit(" ; "), dashed,
                  F.lit(" end")),
     ).otherwise(F.concat(F.lit("acct "), cand, F.lit(" end")))
-    return T.credit_card_flags(
-        d.select("doc_id", text.alias("text"))
-    ).orderBy("doc_id")
+    # no orderBy: the driver compare is order-insensitive and a
+    # global sort would be the fold's only Exchange
+    return T.credit_card_flags(d.select("doc_id", text.alias("text")))
 
 
 def pii_iban_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1679,9 +1679,7 @@ def pii_iban_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc % 2 == 0,
         F.concat(F.lit("iban "), iban, F.lit(" ; "), twin, F.lit(" end")),
     ).otherwise(F.concat(F.lit("iban "), iban, F.lit(" end")))
-    return T.iban_flags(
-        d.select("doc_id", text.alias("text"))
-    ).orderBy("doc_id")
+    return T.iban_flags(d.select("doc_id", text.alias("text")))
 
 
 def multimodal_webm_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
