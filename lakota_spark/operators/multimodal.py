@@ -2733,6 +2733,33 @@ def _parse_vorbis_comment_block(body: bytes):
     return out
 
 
+def _parse_flac_tags(b: bytes):
+    """title/artist/album from a FLAC VORBIS_COMMENT metadata block
+    (type 4): 'fLaC' magic, then blocks of
+    ``(last<<7 | type) u8 + length u24be + body`` — the comment body is
+    the same layout `_parse_vorbis_comment_block` parses for Ogg."""
+    if b[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(b):
+        head = b[pos]
+        length = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        body = b[pos + 4 : pos + 4 + length]
+        if head & 0x7F == 4:
+            tags = _parse_vorbis_comment_block(body)
+            if tags:
+                return {
+                    "title": tags.get("title", ""),
+                    "artist": tags.get("artist", ""),
+                    "album": tags.get("album", ""),
+                }
+            return None
+        if head & 0x80:  # last-metadata-block flag
+            return None
+        pos += 4 + length
+    return None
+
+
 def _parse_ogg_tags(b: bytes):
     """title/artist/album from an Ogg stream's comment header packet
     (``\\x03vorbis`` or ``OpusTags``) — located within the reassembled
@@ -3735,6 +3762,7 @@ def extract_media_tags(media: DataFrame) -> DataFrame:
             for kind, parser in (
                 ("id3", _parse_id3v2_tags),
                 ("vorbis", _parse_ogg_tags),
+                ("flac", _parse_flac_tags),
                 ("ilst", _parse_mp4_tags),
                 ("mkv", _parse_mkv_tags),
             ):

@@ -7130,3 +7130,24 @@ def test_iban_flags_mod97(spark):
     # boundary lookaheads reject it outright (no prefix candidate)
     assert got == {1: (1, 1), 2: (1, 0), 3: (1, 1), 4: (1, 1),
                    5: (0, 0), 6: (0, 0)}
+
+
+def test_media_tags_flac_golden():
+    """FLAC VORBIS_COMMENT metadata block (type 4) parses with the
+    shared comment-block layout; streams without one fall through."""
+    from lakota_spark.operators.multimodal import _parse_flac_tags
+
+    def block(btype, body, last=False):
+        return bytes([btype | (0x80 if last else 0)]) + len(body).to_bytes(
+            3, "big"
+        ) + body
+
+    si = block(0, b"\x00" * 34)  # STREAMINFO stub
+    vc = _mk_vorbis_comments(b"", {"TITLE": "Flac Song", "ARTIST": "Z"})
+    blob = b"fLaC" + si + block(4, vc, last=True) + b"\x00" * 16
+    got = _parse_flac_tags(blob)
+    assert got == {"title": "Flac Song", "artist": "Z", "album": ""}
+    # no comment block -> None; non-FLAC -> None
+    assert _parse_flac_tags(b"fLaC" + block(0, b"\x00" * 34, last=True)) \
+        is None
+    assert _parse_flac_tags(b"OggS" + b"\x00" * 32) is None
