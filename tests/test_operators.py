@@ -7151,3 +7151,77 @@ def test_media_tags_flac_golden():
     assert _parse_flac_tags(b"fLaC" + block(0, b"\x00" * 34, last=True)) \
         is None
     assert _parse_flac_tags(b"OggS" + b"\x00" * 32) is None
+
+
+def test_luhn_iban_randomized_differential(spark):
+    """400 seeded-random numbers checked against INDEPENDENT pure-python
+    Luhn / ISO-13616 implementations in one batch: generated valid
+    check digits must verify, single-digit corruptions must fail (both
+    checksums detect all single-digit errors)."""
+    import random
+
+    from lakota_spark.operators.text import credit_card_flags, iban_flags
+
+    rng = random.Random(42)
+
+    def luhn_check_digit(digits):
+        total = 0
+        for i, d in enumerate(reversed(digits)):
+            # positions counted with the check digit appended at the end
+            dd = d * 2 if i % 2 == 0 else d
+            total += dd - 9 if dd > 9 else dd
+        return (10 - total % 10) % 10
+
+    def iban_fix_check(cc, bban):
+        rearranged = bban + cc + "00"
+        num = "".join(
+            str(ord(ch) - 55) if ch.isalpha() else ch for ch in rearranged
+        )
+        check = 98 - int(num) % 97
+        return f"{cc}{check:02d}{bban}"
+
+    card_rows, card_expect = [], {}
+    for i in range(200):
+        body = [rng.randrange(10) for _ in range(rng.choice([12, 14, 15]))]
+        card = "".join(map(str, body)) + str(luhn_check_digit(body))
+        corrupt = rng.random() < 0.5
+        if corrupt:
+            j = rng.randrange(len(card))
+            card = card[:j] + str((int(card[j]) + rng.randrange(1, 10))
+                                  % 10) + card[j + 1:]
+        card_rows.append((i, f"n {card} end"))
+        card_expect[i] = (1, 0 if corrupt else 1)
+    got = {
+        r.doc_id: (r.n_card_candidates, r.n_luhn_valid)
+        for r in credit_card_flags(
+            spark.createDataFrame(card_rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got == card_expect
+
+    iban_rows, iban_expect = [], {}
+    alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    for i in range(200):
+        cc = rng.choice(["DE", "GB", "FR", "NL"])
+        bban = "".join(
+            rng.choice(alpha + "0123456789") if rng.random() < 0.3
+            else str(rng.randrange(10))
+            for _ in range(rng.choice([12, 16, 18]))
+        )
+        iban = iban_fix_check(cc, bban)
+        corrupt = rng.random() < 0.5
+        if corrupt:
+            j = rng.randrange(4, len(iban))
+            ch = iban[j]
+            repl = (str((int(ch) + 3) % 10) if ch.isdigit()
+                    else rng.choice(alpha.replace(ch, "")))
+            iban = iban[:j] + repl + iban[j + 1:]
+        iban_rows.append((i, f"acct {iban} end"))
+        iban_expect[i] = (1, 0 if corrupt else 1)
+    got2 = {
+        r.doc_id: (r.n_iban_candidates, r.n_mod97_valid)
+        for r in iban_flags(
+            spark.createDataFrame(iban_rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got2 == iban_expect
