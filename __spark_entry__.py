@@ -733,6 +733,7 @@ _R12_WINDOW = [
     "multimodal_tags_report",
     "pii_card_flags",
     "pii_iban_flags",
+    "token_stats_salted_agg",
     # --- last driver row r8: the full stale TPC-H family ---
     "tpch_q12_case_agg",
     "tpch_q13_order_dist",
@@ -777,9 +778,8 @@ _R12_WINDOW = [
     "ivf_topk",
     "kmeans_assign",
     "knn_same_label",
-    "multimodal_features",
-    # (multimodal_frames also displaced by the 7th new r12 entry —
-    #  r9-green, leads the r13 rotation)
+    # (multimodal_features / multimodal_frames also displaced by the
+    #  8th/7th new r12 entries — r9-green, they lead the r13 rotation)
     # (pii_scrub_stats / pivot_daily_by_type / pq_topk displaced by
     #  the 6th/5th/4th new r12 entries — r9-green, they lead the r13
     #  rotation)
@@ -991,6 +991,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_webm_headers": pipeline.multimodal_webm_headers,
         "multimodal_tags_report": pipeline.multimodal_tags_report,
         "pii_card_flags": pipeline.pii_card_flags,
+        "token_stats_salted_agg": pipeline.token_stats_salted_agg,
         "pii_iban_flags": pipeline.pii_iban_flags,
         "cluster_topic_terms": pipeline.cluster_topic_terms,
         "mmr_diverse_topk": pipeline.mmr_diverse_topk,
@@ -2682,6 +2683,18 @@ ORDER BY media_id
 """,
 
 
+        # round-12 salted_agg external row: the two-stage
+        # (lang, salt) aggregation with explicit combiners must equal
+        # the plain one-stage GROUP BY
+        "token_stats_salted_agg": f"""
+SELECT lang,
+  count(*)::BIGINT AS n_docs,
+  sum(len({_TOKS}))::BIGINT AS total_tokens,
+  min(len({_TOKS}))::BIGINT AS min_tokens,
+  max(len({_TOKS}))::BIGINT AS max_tokens
+FROM documents
+GROUP BY lang
+""",
         # round-12 IBAN mod-97: the ISO 13616 rearranged checksum as a
         # Horner-weight sum (10^k mod 97 constants) over the fixture's
         # doc_id digit arithmetic; the even-doc twin bumps check digit

@@ -139,6 +139,7 @@ BENCH_TAIL = [
     "multimodal_tags_report",
     "pii_card_flags",
     "pii_iban_flags",
+    "token_stats_salted_agg",
 ]
 
 BENCH_QUERIES = BENCH_CORE + BENCH_TAIL

@@ -1621,6 +1621,42 @@ def multimodal_tags_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_stats_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token statistics through `skew.salted_agg` with an
+    EXPLICIT combiner map (round 12, closing the last externally-
+    unverified skew utility — the Spark-Connect-safe path added with
+    the `_jc` retirement): stage 1 aggregates on (lang, _salt), stage 2
+    re-combines — sums by summation, min/max by min/max. The language
+    key is few-valued and Zipf-ish (exactly the hot-group shape the
+    two-stage spread targets); the oracle is the plain one-stage
+    GROUP BY, which the salted plan must reproduce exactly."""
+    from lakota_spark.functions import tokens
+    from lakota_spark.operators.skew import salted_agg
+
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "lang", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    return salted_agg(
+        per_doc,
+        keys="lang",
+        aggs={
+            "n_docs": F.count(F.lit(1)).cast("long"),
+            "total_tokens": F.sum("n_tok"),
+            "min_tokens": F.min("n_tok"),
+            "max_tokens": F.max("n_tok"),
+        },
+        combiners={
+            "n_docs": "count",
+            "total_tokens": "sum",
+            "min_tokens": "min",
+            "max_tokens": "max",
+        },
+        salt=8,
+        salt_on=["n_tok"],
+    )
+
+
 def pii_card_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-EXACT Luhn card detection entry (round 12): every doc
     carries a deterministic 16-digit number (digit_j = (doc_id*(3+2j) +

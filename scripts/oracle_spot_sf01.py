@@ -63,6 +63,7 @@ SPOT_QUERIES = [
     "multimodal_tags_report",
     "pii_card_flags",
     "pii_iban_flags",
+    "token_stats_salted_agg",
 ]
 
 
