@@ -465,6 +465,48 @@ def iban_flags(
     )
 
 
+def pii_scrub_verified(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Checksum-GATED redaction (round 12): replace only the card /
+    IBAN candidates whose Luhn / mod-97 checks VERIFY with '<CARD>' /
+    '<IBAN>' — the low-false-positive policy (`pii_scrub`'s regex-only
+    redaction would eat order ids and ticket numbers; a verified
+    16-digit Luhn hit is a card with probability ~1). Pure codegen:
+    extract candidates, filter by checksum, then fold literal
+    `replace`s over the text — no UDF, rides the cleaning scan."""
+    t = F.col(text_col)
+    cards = F.filter(
+        F.regexp_extract_all(
+            t,
+            F.lit(r"(?<![0-9])[0-9](?:[ -]?[0-9]){12,18}(?![ -]?[0-9])"),
+            F.lit(0),
+        ),
+        lambda c: (
+            (F.length(F.regexp_replace(c, "[ -]", "")) >= 13)
+            & (F.length(F.regexp_replace(c, "[ -]", "")) <= 19)
+            & (_luhn_total(F.regexp_replace(c, "[ -]", "")) % 10 == 0)
+        ),
+    )
+    ibans = F.filter(
+        F.regexp_extract_all(
+            t,
+            F.lit(
+                r"(?<![A-Z0-9])[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}(?![A-Z0-9])"
+            ),
+            F.lit(0),
+        ),
+        lambda c: _iban_mod97(c) == 1,
+    )
+    out = F.aggregate(
+        cards, t, lambda acc, c: F.replace(acc, c, F.lit("<CARD>"))
+    )
+    out = F.aggregate(
+        ibans, out, lambda acc, c: F.replace(acc, c, F.lit("<IBAN>"))
+    )
+    return df.withColumn(text_col, out)
+
+
 def pii_scrub(
     df: DataFrame, text_col: str = "text", kinds: list[str] | None = None
 ) -> DataFrame:

@@ -7225,3 +7225,21 @@ def test_luhn_iban_randomized_differential(spark):
         ).collect()
     }
     assert got2 == iban_expect
+
+
+def test_pii_scrub_verified(spark):
+    """Checksum-gated redaction: verified cards/IBANs are replaced,
+    look-alike digit runs and corrupted numbers survive untouched."""
+    from lakota_spark.operators.text import pii_scrub_verified
+
+    rows = [
+        (1, "pay 4539 1488 0343 6467 or DE89370400440532013000 now"),
+        (2, "order 4539 1488 0343 6468 ref DE89370400440532013001 ok"),
+        (3, "ticket 1234567890123 and note XY12 here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in pii_scrub_verified(df).collect()}
+    assert got[1] == "pay <CARD> or <IBAN> now"
+    # corrupted numbers fail their checksums and are NOT redacted
+    assert got[2] == "order 4539 1488 0343 6468 ref DE89370400440532013001 ok"
+    assert got[3] == "ticket 1234567890123 and note XY12 here"
