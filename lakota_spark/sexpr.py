@@ -212,10 +212,16 @@ BUILTINS: dict[str, Callable] = {
     "list": lambda *xs: list(xs),
     "dict": lambda *xs: dict(zip(xs[::2], xs[1::2])),
     "kw": KWargs,
-    "floor": lambda a, unit: (
-        floor_time(a, unit)
-        if isinstance(a, Column)
-        else _np_floor(a, unit)
+    # two-arg form = the reference's TIME floor; single-arg (round 12)
+    # = numpy's numeric floor
+    "floor": lambda a, unit=None: (
+        (F.floor(a) if isinstance(a, Column) else np.floor(a))
+        if unit is None
+        else (
+            floor_time(a, unit)
+            if isinstance(a, Column)
+            else _np_floor(a, unit)
+        )
     ),
     "as-tz": lambda a, tz: (
         as_tz(a, tz) if isinstance(a, Column) else _np_as_tz(a, tz)
@@ -304,6 +310,55 @@ BUILTINS: dict[str, Callable] = {
     "sinh": F.sinh,
     "cosh": F.cosh,
     "tanh": F.tanh,
+    # -- round-12 E8 widening: the remaining numpy names with exact
+    # Spark-codegen equivalents (semantics notes inline where numpy
+    # and the nearest builtin differ)
+    "arcsinh": F.asinh,
+    "arccosh": F.acosh,
+    "arctanh": F.atanh,
+    "exp2": lambda a: F.pow(F.lit(2.0), a),
+    "square": lambda a: a * a,
+    "reciprocal": lambda a: F.lit(1.0) / a,
+    "positive": lambda a: a,
+    # numpy trunc/fix round toward zero regardless of sign
+    "trunc": lambda a: F.signum(a) * F.floor(F.abs(a)),
+    "fix": lambda a: F.signum(a) * F.floor(F.abs(a)),
+    "floor_divide": _fold(lambda a, b: F.floor(a / b)),
+    # C fmod follows the DIVIDEND's sign — exactly Spark's %
+    "fmod": _fold(lambda a, b: a % b),
+    # numpy remainder == numpy mod (divisor's sign)
+    "remainder": _fold(lambda a, b: ((a % b) + b) % b),
+    # copysign(x, 0.0) keeps +|x|: signum alone would zero it. The
+    # sign source may be a plain literal — coerce before comparing.
+    "copysign": lambda a, b: F.when(
+        (b if isinstance(b, Column) else F.lit(b)) < 0, -F.abs(a)
+    ).otherwise(F.abs(a)),
+    "heaviside": lambda a, h: F.when(a < 0, F.lit(0.0))
+    .when(a == 0, (h if isinstance(h, Column) else F.lit(h))
+          + F.lit(0.0))
+    .otherwise(F.lit(1.0)),
+    "deg2rad": F.radians,
+    "rad2deg": F.degrees,
+    "bitwise_and": _fold(lambda a, b: a.bitwiseAND(b)),
+    "bitwise_or": _fold(lambda a, b: a.bitwiseOR(b)),
+    "bitwise_xor": _fold(lambda a, b: a.bitwiseXOR(b)),
+    "invert": lambda a: F.bitwise_not(a),
+    "bitwise_not": lambda a: F.bitwise_not(a),
+    "left_shift": lambda a, n: F.shiftleft(a, n),
+    "right_shift": lambda a, n: F.shiftright(a, n),
+    "nan_to_num": lambda a: F.nanvl(a, F.lit(0.0)),
+    # str.count counts NON-OVERLAPPING occurrences — the length delta
+    # over the literal removal, divided by the needle length
+    "char.count": lambda c, sub: (
+        (F.length(c) - F.length(F.replace(c, F.lit(sub), F.lit(""))))
+        / len(sub)
+    ).cast("int"),
+    "char.isdigit": lambda c: c.rlike(r"^[0-9]+$"),
+    "char.isalpha": lambda c: c.rlike(r"^[A-Za-z]+$"),
+    "char.isalnum": lambda c: c.rlike(r"^[A-Za-z0-9]+$"),
+    "char.isspace": lambda c: c.rlike(r"^\s+$"),
+    "char.isupper": lambda c: c.rlike(r"^[^a-z]*[A-Z][^a-z]*$"),
+    "char.islower": lambda c: c.rlike(r"^[^A-Z]*[a-z][^A-Z]*$"),
     "greater": _chain(lambda a, b: a > b),
     "greater_equal": _chain(lambda a, b: a >= b),
     "less": _chain(lambda a, b: a < b),

@@ -300,3 +300,65 @@ def test_numpy_semantics_mod_fmax_zfill(frame):
             __import__("pyspark").sql.functions.lit(a), b)},
     )
     assert sorted(set(r.z for r in out.collect())) == ["-00a", "-00b"]
+
+
+def test_numpy_column_codegen_round12(frame):
+    """Round-12 E8 widening: every new mapping differentially checked
+    against numpy on the same values (v = [1, 2, 3, 4])."""
+    import numpy as np
+
+    v = np.array([1, 2, 3, 4], dtype="float64")
+
+    def col(expr, alias="o"):
+        out = sexpr.select_expr(frame, f"(as {expr} '{alias}')")
+        return sorted(r[alias] for r in out.collect())
+
+    fv = "(* self.value 1.0)"
+    cases = [
+        (f"(arcsinh {fv})", np.arcsinh(v)),
+        (f"(arccosh {fv})", np.arccosh(v)),
+        (f"(arctanh (/ {fv} 5.0))", np.arctanh(v / 5.0)),
+        (f"(exp2 {fv})", np.exp2(v)),
+        (f"(square {fv})", np.square(v)),
+        (f"(reciprocal {fv})", np.reciprocal(v)),
+        (f"(positive {fv})", v),
+        (f"(trunc (- 0.5 {fv}))", np.trunc(0.5 - v)),
+        (f"(fix (- 0.5 {fv}))", np.fix(0.5 - v)),
+        (f"(floor_divide (- 0 self.value) 3)",
+         np.floor_divide(-v, 3)),
+        (f"(fmod (- 0 self.value) 3)", np.fmod(-v, 3)),
+        (f"(remainder (- 0 self.value) 3)", np.remainder(-v, 3)),
+        (f"(copysign {fv} -2.0)", np.copysign(v, -2.0)),
+        (f"(copysign {fv} 0.0)", np.copysign(v, 0.0)),
+        (f"(heaviside (- self.value 2) 0.5)",
+         np.heaviside(v - 2, 0.5)),
+        (f"(deg2rad {fv})", np.deg2rad(v)),
+        (f"(rad2deg {fv})", np.rad2deg(v)),
+        ("(bitwise_and self.value 3)", np.bitwise_and(v.astype(int), 3)),
+        ("(bitwise_or self.value 8)", np.bitwise_or(v.astype(int), 8)),
+        ("(bitwise_xor self.value 5)", np.bitwise_xor(v.astype(int), 5)),
+        ("(invert self.value)", np.invert(v.astype(int))),
+        ("(left_shift self.value 2)", np.left_shift(v.astype(int), 2)),
+        ("(right_shift self.value 1)", np.right_shift(v.astype(int), 1)),
+        # single-arg numeric floor (two-arg stays the reference's
+        # TIME floor)
+        (f"(floor (/ {fv} 2.0))", np.floor(v / 2.0)),
+    ]
+    for expr, exp in cases:
+        got = col(expr)
+        assert np.allclose(got, sorted(exp.tolist()), rtol=0, atol=1e-12), (
+            expr, got, sorted(exp.tolist())
+        )
+    # nan_to_num: NaN from a column op -> 0.0, finite values unchanged
+    got = col("(nan_to_num (sqrt (- 2.0 self.value)))")
+    exp = sorted(np.nan_to_num(np.sqrt(np.where(2.0 - v < 0, np.nan,
+                                                2.0 - v))).tolist())
+    assert np.allclose(got, exp)
+    # char.* predicates and count
+    assert col("(char.isalpha self.category)") == [True] * 4
+    assert col("(char.isdigit self.category)") == [False] * 4
+    assert col("(char.count (char.add self.category self.category) 'a')")[
+        -1
+    ] == 2
+    assert col("(char.isupper (char.upper self.category))") == [True] * 4
+    assert col("(char.islower self.category)") == [True] * 4
