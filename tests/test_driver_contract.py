@@ -60,3 +60,58 @@ def test_bench_names_resolve():
     missing = [n for n in bench.BENCH_QUERIES if n not in q]
     assert missing == []
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_r13_window_is_pure_staleness_rotation():
+    """VERDICT r12 #1/#2: with zero never-recorded entries after r12,
+    the r13 window must be exactly the 23 last-r9 entries plus the 27
+    alphabetically-first last-r10 entries, recomputed here from the
+    committed CORRECTNESS history — and must contain the oracle-backed
+    fixture twin instead of the rows-only `bpe_token_stats` so the
+    round records zero non-green cells."""
+    import re
+
+    last = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        for k, v in json.load(open(path)).items():
+            if isinstance(v, dict):
+                last[k] = rnd
+    reg = list(entry_mod.queries())
+    window = reg[:WINDOW]
+    # new never-recorded entries added mid-round must LEAD the window
+    # (test_every_unrecorded_oracle_query_inside_window); everything
+    # after them follows the staleness recipe
+    new = [q for q in window if q not in last]
+    rest = window[len(new) :]
+    r9 = sorted(q for q in reg if last.get(q) == 9)
+    r10 = sorted(q for q in reg if last.get(q) == 10)
+    assert rest == r9 + r10[: WINDOW - len(new) - len(r9)], (
+        "window does not follow the r13 stale-first recipe"
+    )
+    assert "bpe_token_stats" not in window
+    assert "bpe_token_stats_fixture" in window
+    oracles = entry_mod.oracle_sql()
+    rows_only = [q for q in window if q not in oracles]
+    assert rows_only == [], (
+        f"r13 window must be 100% oracle-backed, found: {rows_only}"
+    )
+
+
+def test_bench_variant_tags_resolve():
+    """VERDICT r12 #4: every tagged plan variant must be a real bench
+    rung, its base (when named) must also be benched so the pair can be
+    compared, and the frozen CORE must stay variant-free so core_s
+    keeps comparing like with like across rounds."""
+    for rung, base in bench.BENCH_VARIANTS.items():
+        assert rung in bench.BENCH_QUERIES, rung
+        assert rung not in bench.BENCH_CORE, (
+            f"variant {rung} must not sit in the frozen core"
+        )
+        if base is not None:
+            assert base in bench.BENCH_QUERIES, (rung, base)
+    salted = [n for n in bench.BENCH_QUERIES if "salted" in n]
+    untagged = [n for n in salted if n not in bench.BENCH_VARIANTS]
+    assert untagged == [], (
+        f"salted rungs missing a variant tag: {untagged}"
+    )

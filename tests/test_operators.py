@@ -7236,6 +7236,10 @@ def test_pii_scrub_verified(spark):
         (1, "pay 4539 1488 0343 6467 or DE89370400440532013000 now"),
         (2, "order 4539 1488 0343 6468 ref DE89370400440532013001 ok"),
         (3, "ticket 1234567890123 and note XY12 here"),
+        # a verified card that ALSO appears as a strict substring of a
+        # longer digit run: only the standalone occurrence is redacted
+        # (the r12 substring-replace bug corrupted the 21-digit id)
+        (4, "card 4539148803436467 ref id 945391488034364671234"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.text for r in pii_scrub_verified(df).collect()}
@@ -7243,3 +7247,4 @@ def test_pii_scrub_verified(spark):
     # corrupted numbers fail their checksums and are NOT redacted
     assert got[2] == "order 4539 1488 0343 6468 ref DE89370400440532013001 ok"
     assert got[3] == "ticket 1234567890123 and note XY12 here"
+    assert got[4] == "card <CARD> ref id 945391488034364671234"

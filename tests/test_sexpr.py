@@ -354,6 +354,16 @@ def test_numpy_column_codegen_round12(frame):
     exp = sorted(np.nan_to_num(np.sqrt(np.where(2.0 - v < 0, np.nan,
                                                 2.0 - v))).tolist())
     assert np.allclose(got, exp)
+    # nan_to_num also clamps +/-inf to the largest finite doubles
+    # (numpy semantics — the r12 nanvl-only mapping diverged here);
+    # inf made by exp overflow since ANSI mode rejects x/0.0
+    with np.errstate(over="ignore"):
+        got = col("(nan_to_num (exp (* self.value 500.0)))")
+        exp = sorted(np.nan_to_num(np.exp(v * 500.0)).tolist())
+        assert np.allclose(got, exp)
+        got = col("(nan_to_num (- 0.0 (exp (* self.value 500.0))))")
+        exp = sorted(np.nan_to_num(0.0 - np.exp(v * 500.0)).tolist())
+        assert np.allclose(got, exp)
     # char.* predicates and count
     assert col("(char.isalpha self.category)") == [True] * 4
     assert col("(char.isdigit self.category)") == [False] * 4
