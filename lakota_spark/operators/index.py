@@ -24,7 +24,16 @@ def with_global_index(
     Cost: one range-partitioning shuffle + one lightweight count job for
     the offsets. No single-partition bottleneck.
     """
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if num_partitions:
+        parts = num_partitions
+    else:
+        try:
+            parts = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # noqa: BLE001 — Connect: no SparkContext;
+            # shuffle.partitions is the portable parallelism knob
+            parts = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
     ordered = df.repartitionByRange(
         max(parts, 1), *[F.col(c) for c in order_cols]
     ).sortWithinPartitions(*[F.col(c) for c in order_cols])

@@ -1515,7 +1515,13 @@ def registrable_domain(
     # the per-k rule DataFrames are MEMOIZED per session: rebuilding
     # ~10k driver rows on every call costs more than the joins do
     # (bench: domain_mixture_report 0.5 s -> 2.2 s without the memo)
-    memo_key = (spark.sparkContext.applicationId, tuple(sorted(sections)))
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — Connect: no SparkContext; the
+        # session object's identity scopes the per-process memo just as
+        # well (the cache only needs to die with the session)
+        app_id = f"session-{id(spark)}"
+    memo_key = (app_id, tuple(sorted(sections)))
     slices = _PSL_DF_CACHE.get(memo_key)
     if slices is None:
         slices = {

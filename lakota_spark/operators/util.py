@@ -15,9 +15,19 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     local[32]). At cluster scale inputs already carry many partitions and
     this is a no-op — the guard only fires when partitions < default
     parallelism, so it never adds a shuffle to a well-partitioned scan.
+
+    Spark Connect: partition-count introspection (`df.rdd`,
+    `sparkContext.defaultParallelism`) is classic-only, so under
+    Connect the guard degrades to a no-op — correct either way, and
+    the cluster-scale case (where this matters) never fired the
+    repartition anyway (NOTES.md "Spark Connect compatibility matrix").
     """
-    sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        sc = df.sparkSession.sparkContext
+        target = min_parts or sc.defaultParallelism
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — Connect session: no SparkContext
+        return df
+    if n_parts < target:
         return df.repartition(target)
     return df

@@ -129,6 +129,25 @@ def _nan_safe_stat_columns(table) -> list[str] | bool:
     return [c for c in table.column_names if c not in drop]
 
 
+def _physical_plan_str(df) -> str:
+    """Physical plan text for heuristics (e.g. "does this input carry
+    an Exchange?"). Classic sessions read it off the py4j
+    queryExecution handle (no extra round trip); Spark Connect has no
+    `_jdf`, so fall back to capturing `df.explain()` — one extra
+    AnalyzePlan RPC, same physical-plan text (NOTES.md "Spark Connect
+    compatibility matrix")."""
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # noqa: BLE001 — Connect session
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+
 def _ordered_reader(
     root_uri: str,
     read_struct,
@@ -829,9 +848,9 @@ class Series:
         else:
             df, pdf = self._coerce_df_local(data)
             if checkpoint is None:
-                checkpoint = isinstance(data, DataFrame) and "Exchange" in (
-                    df._jdf.queryExecution().executedPlan().toString()
-                )
+                checkpoint = isinstance(
+                    data, DataFrame
+                ) and "Exchange" in _physical_plan_str(df)
             if checkpoint:
                 df = df.localCheckpoint(eager=False)
             # driver-local inputs (dict/pandas) with engine-ready index
@@ -1081,10 +1100,15 @@ class Series:
         # sort it would skip (measured 0.9 s check vs 0.5 s sort at
         # 5.26M rows) — the partition gate keeps the check off exactly
         # the shapes where it cannot win.
-        sc = df.sparkSession.sparkContext
-        sane_parts = 0 < df.rdd.getNumPartitions() <= 2 * max(
-            sc.defaultParallelism, 1
-        )
+        try:
+            sc = df.sparkSession.sparkContext
+            sane_parts = 0 < df.rdd.getNumPartitions() <= 2 * max(
+                sc.defaultParallelism, 1
+            )
+        except Exception:  # noqa: BLE001 — Connect: no partition-count
+            # introspection; take the sort path, whose range exchange
+            # is also the compaction (always correct, never confetti)
+            sane_parts = False
         out = (
             df
             if sane_parts and (known_sorted or self._df_presorted(df))
@@ -1983,10 +2007,28 @@ class Series:
             else None,
             mask_plan=mask_plan,
         )
-        sc = self.spark.sparkContext
-        n_parts = max(1, min(len(files), sc.defaultParallelism * 2))
-        rdd = sc.parallelize([(f,) for f in files], n_parts)
-        fdf = self.spark.createDataFrame(rdd, "rel string")
+        try:
+            # classic: parallelize slices the file list WITHOUT an
+            # exchange — each task opens its own segment files
+            sc = self.spark.sparkContext
+            n_parts = max(1, min(len(files), sc.defaultParallelism * 2))
+            rdd = sc.parallelize([(f,) for f in files], n_parts)
+            fdf = self.spark.createDataFrame(rdd, "rel string")
+        except Exception:  # noqa: BLE001 — Connect: no RDD surface; a
+            # local relation + round-robin repartition spreads the file
+            # list instead (one tiny exchange over pathnames, not data)
+            n_parts = max(
+                1,
+                min(
+                    len(files),
+                    int(
+                        self.spark.conf.get("spark.sql.shuffle.partitions")
+                    ),
+                ),
+            )
+            fdf = self.spark.createDataFrame(
+                [(f,) for f in files], "rel string"
+            ).repartition(n_parts)
         return fdf.mapInArrow(reader, out_struct)
 
     def _apply_range(

@@ -64,6 +64,15 @@ SPOT_QUERIES = [
     "pii_card_flags",
     "pii_iban_flags",
     "token_stats_salted_agg",
+    # round-13 widening (VERDICT r12 #7: >=30 rungs): four more heavy
+    # oracle-backed families not yet in the spot set — tokenizer
+    # packing, the materialized BM25 index path, the shingle
+    # decontamination semi-join, and the freqItems-pruned heavy-hitter
+    # verify
+    "bpe_packed_sequences",
+    "bm25_topk_indexed",
+    "contamination_overlap",
+    "heavy_hitter_tokens",
 ]
 
 
