@@ -444,6 +444,26 @@ class LakotaBatchReader(DataSourceReader):
         yield from scanner.scan(partition)
 
 
+
+def _trace(msg: str) -> None:
+    """Append a line to `$LAKOTA_STREAM_TRACE` when set (else no-op).
+
+    The streaming source runs in a separate runner process the driver
+    cannot monkeypatch, so protocol questions ("which call seals batch
+    0?", "does a restart call initialOffset?") are only answerable by
+    in-situ logging. The r13 soak probe
+    (`scripts/soak_stream_admission.py --trace`) uses this to record
+    the initialOffset/latestOffset/partitions sequence; it settled
+    that latestOffset precedes initialOffset even on fresh starts —
+    the fact that makes the first batch structurally unboundable."""
+    import os
+
+    p = os.environ.get("LAKOTA_STREAM_TRACE")
+    if p:
+        with open(p, "a") as fh:
+            fh.write(f"pid={os.getpid()} {msg}\n")
+
+
 class LakotaStreamReader(DataSourceStreamReader):
     """Tail the changelog as a Structured Streaming source — offsets are
     revision ids, a microbatch is the rows of newly referenced segments
@@ -456,15 +476,20 @@ class LakotaStreamReader(DataSourceStreamReader):
     from snowballing into one history-sized batch. The FIRST batch a
     reader process plans is never bounded: Spark seals it via a
     latestOffset() call that happens before the reader can see any
-    checkpointed position (verified against pyspark's
-    python_streaming_source_runner protocol), and returning an offset
+    checkpointed position — the r13 soak trace measured latestOffset
+    arriving BEFORE initialOffset even on fresh starts, so this holds
+    for new queries and restarts alike — and returning an offset
     below a position this instance cannot know would REWIND the
     query's offset log — empty backward batches, then re-emission
     (duplicates on non-idempotent sinks). So the marker only ever
     advances along sealed batch ends (partitions()/commit()), which
     keeps offsets monotonic by construction. A squash that rewrites
     the chain past the marker falls back to head (the snapshot
-    resolver then raises its documented restart error)."""
+    resolver then raises its documented restart error). The depth
+    scenario — a 200-revision standing backlog draining bounded while
+    gc, sink maintain and the source ARCHIVER run concurrently — is
+    exercised by `scripts/soak_stream_admission.py` and pinned by
+    `tests/test_concurrency.py::test_stream_admission_catchup_soak`."""
 
     def __init__(self, options, schema):
         self._series = _open_series(options)
@@ -515,11 +540,32 @@ class LakotaStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:  # noqa: N802
+        _trace(f"initialOffset id={id(self)%100000}")
+        # Spark calls initialOffset ONLY when the query has no
+        # checkpointed offset (the MicroBatchStream contract), so the
+        # position returned here is by definition at-or-below anything
+        # the WAL will ever hold: seeding the admission marker from it
+        # is rewind-safe. TODAY this does not bound batch 0 — the r13
+        # soak trace (`scripts/soak_stream_admission.py --trace`)
+        # measured the runner calling latestOffset BEFORE initialOffset
+        # even on a fresh start, so the first seal happens while the
+        # marker is still None. The seeding stays as forward-compatible
+        # defense: a Spark version that consults initialOffset first
+        # gets a bounded fresh-start backfill for free, and meanwhile
+        # it is a no-op (partitions() overwrites the marker with the
+        # sealed end one call later). The first batch OF ANY RUN being
+        # unbounded is structural in this API (latestOffset carries no
+        # start, and bounding blind would rewind a restarted query —
+        # see the class docstring).
         if self._earliest:
+            self._progress = ""
             return {"rev": ""}
-        return self.latestOffset()
+        off = self.latestOffset()
+        self._progress = off["rev"]
+        return off
 
     def latestOffset(self) -> dict:  # noqa: N802
+        _trace(f"latestOffset id={id(self)%100000} prog={self._progress!r}")
         self._series.collection.repo.refresh()
         log = self._series.collection.changelog.log()
         if not log:
@@ -537,13 +583,19 @@ class LakotaStreamReader(DataSourceStreamReader):
         if self._progress is None or self._progress == head:
             return {"rev": head}
         ids = [r.child for r in log]
-        try:
-            i = ids.index(self._progress)
-        except ValueError:
-            return {"rev": head}
+        if self._progress == "":
+            # fresh `earliest` start (initialOffset seeded the marker):
+            # the position before the first revision
+            i = -1
+        else:
+            try:
+                i = ids.index(self._progress)
+            except ValueError:
+                return {"rev": head}
         return {"rev": ids[min(i + self._max_revs, len(ids) - 1)]}
 
     def partitions(self, start: dict, end: dict):
+        _trace(f"partitions id={id(self)%100000} {start} {end}")
         if end.get("rev"):
             # advance the admission-control marker to this batch's
             # SEALED end (already in Spark's offset WAL — monotonic, so

@@ -381,3 +381,143 @@ def test_stream_sink_races_gc_and_maintain(spark, repo):
         p for p in repo.fs.ls("ssink/segments") if p.startswith("_tmp-")
     ]
     assert leftovers == []
+
+
+def test_stream_admission_catchup_soak(spark, repo):
+    """Round 13 (VERDICT r12 #6): the catch-up scenario at depth. A
+    continuous-trigger stream with maxRevisionsPerBatch=2 falls behind
+    an 80-revision backlog written while it runs and must drain it over
+    >=20 BOUNDED microbatches — while the sink's maintain_every
+    squashes, a gc loop runs with lowered staging_timeout, and an
+    archiver loop migrates the SOURCE changelog into _archive/ under
+    the reader (sealed offsets must stay resolvable mid-move). Pins:
+    strictly monotonic sealed offsets, per-batch advance <= 2 after
+    the (structurally unbounded) first batch, exact totals, archive
+    actually fired, no staging leftovers. The 200-revision version
+    lives in scripts/soak_stream_admission.py."""
+    import json
+    import os
+    import tempfile
+    import time
+
+    from lakota_spark.changelog import ARCHIVE_DIR
+    from lakota_spark.datasource import register
+
+    register(spark)
+    src_coll = repo.create_collection(
+        Schema(ts="int*", value="float"), "asrc"
+    )
+    src = src_coll.series("x")
+    src.write({"ts": [0, 1], "value": [0.0, 1.0]})
+    repo.create_collection(Schema(ts="int*", value="float"), "asink")
+    ckpt = tempfile.mkdtemp(prefix="lakota-admission-ckpt-")
+    errs: list = []
+    stop = threading.Event()
+
+    def gc_loop():
+        try:
+            while not stop.is_set():
+                repo.gc(timeout=600.0, staging_timeout=30.0)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(("gc", repr(exc)))
+
+    def archive_loop():
+        try:
+            while not stop.is_set():
+                src_coll.changelog.maybe_archive(keep=0)
+                time.sleep(0.05)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(("archive", repr(exc)))
+
+    def sink_count():
+        try:
+            return (
+                repo.collection("asink").series("x")
+                .frame(sort=False).count()
+            )
+        except Exception:  # noqa: BLE001 — sink not created yet
+            return -1
+
+    q = (
+        spark.readStream.format("lakota")
+        .option("path", repo.root)
+        .option("table", "asrc/x")
+        .option("startingOffsets", "earliest")
+        .option("maxRevisionsPerBatch", "2")
+        .load()
+        .writeStream.format("lakota")
+        .option("path", repo.root)
+        .option("table", "asink/x")
+        .option("maintain_every", "5")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    threads = [
+        threading.Thread(target=gc_loop),
+        threading.Thread(target=archive_loop),
+    ]
+    for t in threads:
+        t.start()
+    try:
+        # batch 0 (unbounded by construction — see LakotaStreamReader)
+        # drains the seed; the backlog must land AFTER the first seal
+        # or it legally snowballs into batch 0
+        deadline = time.time() + 120
+        while time.time() < deadline and sink_count() < 2:
+            time.sleep(0.2)
+        assert sink_count() >= 2, "stream never drained the seed batch"
+        # 80 revisions: enough to cross maybe_archive's hot-count
+        # threshold (max(keep+64, 4*sqrt(total))) mid-drain
+        for r in range(1, 81):
+            lo = r * 10
+            src.write({
+                "ts": [lo, lo + 1], "value": [float(lo), float(lo + 1)],
+            })
+        total = src.frame(sort=False).count()
+        deadline = time.time() + 300
+        while time.time() < deadline and sink_count() != total:
+            time.sleep(0.3)
+        assert sink_count() == total, "sink never drained the backlog"
+    finally:
+        q.stop()
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errs, errs
+    # sealed offsets from Spark's WAL: monotonic, bounded advances
+    pos = {r.child: i for i, r in enumerate(src_coll.changelog.log())}
+    positions = []
+    odir = os.path.join(ckpt, "offsets")
+    for f in sorted(
+        os.listdir(odir), key=lambda s: int(s) if s.isdigit() else -1
+    ):
+        if not f.isdigit():
+            continue
+        rev = json.loads(
+            open(os.path.join(odir, f)).read().splitlines()[-1]
+        ).get("rev")
+        if rev:
+            assert rev in pos, f"sealed offset {rev} left the changelog"
+            positions.append(pos[rev])
+    assert len(positions) >= 20, (
+        f"drain took only {len(positions)} microbatches"
+    )
+    assert all(b > a for a, b in zip(positions, positions[1:])), positions
+    advances = [b - a for a, b in zip(positions, positions[1:])]
+    assert max(advances) <= 2, advances
+    # the archiver really moved source history under the reader
+    arch = repo.fs.ls(f"{src_coll.changelog.prefix}/{ARCHIVE_DIR}")
+    assert arch, "archiver never fired during the soak"
+    # exactness + hygiene
+    want = sorted(tuple(r) for r in src.frame(sort=False).collect())
+    got = sorted(
+        tuple(r)
+        for r in repo.collection("asink").series("x")
+        .frame(sort=False).collect()
+    )
+    assert got == want
+    leftovers = [
+        p for p in repo.fs.ls("asink/segments") if p.startswith("_tmp-")
+    ]
+    assert leftovers == []
