@@ -1348,14 +1348,21 @@ class Series:
             mc = _sexpr.evaluate(_sexpr.parse(mask))
             mask_col = mc.value if isinstance(mc, _sexpr.Alias) else mc
             mask_plan, mask_fields = self._compile_mask(mask)
-            if mask_plan is not None and not self.schema.kv:
+            if mask_plan is not None:
                 # value-column zone maps: skip whole segments the mask
-                # provably cannot match (never for KV — dropping a
-                # masked-out NEWER segment would resurrect the older
-                # rows it shadows)
+                # provably cannot match. KV goes through the
+                # shadowing-aware variant (round 13): only segments
+                # that shadow NOTHING may drop — dropping a masked-out
+                # newer segment would otherwise resurrect the older
+                # rows it shadows (mask applies after last-writer-wins
+                # dedup)
                 from lakota_spark import zonemap
 
-                segs = zonemap.prune(segs, mask_plan)
+                segs = (
+                    zonemap.prune_kv(segs, mask_plan)
+                    if self.schema.kv
+                    else zonemap.prune(segs, mask_plan)
+                )
         if sort:
             # Sorted reads of clean (never-clipped) segments skip the
             # global orderBy entirely (VERDICT r8 #2): segments are
@@ -1838,7 +1845,16 @@ class Series:
     def _read_segments(self, segs: list[Segment], range_pred=None) -> DataFrame:
         live = [s for s in segs if s.path]
         if not live:
-            return self.spark.createDataFrame([], self.schema.struct_type())
+            out = self.spark.createDataFrame(
+                [], self.schema.struct_type()
+            )
+            if self.schema.kv:
+                # `_kv_dedup` windows on `_seg_seq` unconditionally —
+                # the empty relation must carry it too (reachable since
+                # r13's shadowing-aware pruning can empty the segment
+                # list, and for an empty KV series before that)
+                out = out.withColumn("_seg_seq", F.lit(0).cast("long"))
+            return out
         # Join-free fast path: a segment never clipped by an overlay (no
         # "clip" marker) has effective bounds ⊇ its file's rows — the
         # per-row in_seg test is vacuously true, so its files scan

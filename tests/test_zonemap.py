@@ -340,3 +340,86 @@ def test_nan_mask_semantics_match_classic_path(spark, repo):
     )
     assert sorted(r.i for r in df.where("f > 10.0").collect()) == [2]
     assert sorted(r.i for r in df.where("f != 5.0").collect()) == [2, 3, 4]
+
+
+def _kvseg(start, stop, seq, zmap=None, path="p"):
+    from lakota_spark.commit import Segment
+
+    return Segment(
+        "kv", (start,), (stop,), True, True, path, 1, seq,
+        {"zmap": zmap} if zmap else {},
+    )
+
+
+def test_prune_kv_shadow_rules():
+    """Unit pins for the round-13 shadowing-aware KV pruning: only a
+    segment that shadows NOTHING (no older-or-equal-seq overlap) may
+    be dropped by its zone map."""
+    plan = _plan("(< self.v 10)")
+    fail = {"v": [100, 200, False]}  # mask provably matches nothing
+
+    # disjoint ranges: every mask-failing segment drops
+    segs = [_kvseg(0, 9, 1, fail), _kvseg(10, 19, 2, fail),
+            _kvseg(20, 29, 3, {"v": [0, 5, False]})]
+    out = zonemap.prune_kv(segs, plan)
+    assert out == [segs[2]]
+
+    # the newer of an overlapping pair shadows -> blocked; the older
+    # one shadows nothing -> prunable
+    segs = [_kvseg(0, 9, 1, fail), _kvseg(5, 14, 2, fail)]
+    out = zonemap.prune_kv(segs, plan)
+    assert out == [segs[1]]
+
+    # seq tie on overlap: no defined winner, BOTH blocked
+    segs = [_kvseg(0, 9, 7, fail), _kvseg(9, 12, 7, fail)]
+    assert zonemap.prune_kv(segs, plan) == segs
+
+    # a tombstone (path=None) is never dropped and blocks as an older
+    # neighbor
+    tomb = _kvseg(0, 9, 1, None, path=None)
+    newer = _kvseg(3, 5, 2, fail)
+    assert zonemap.prune_kv([tomb, newer], plan) == [tomb, newer]
+
+    # zmap-less segments are kept even when unblocked
+    bare = _kvseg(50, 59, 9, None)
+    assert zonemap.prune_kv([bare], plan) == [bare]
+
+    # touching at a single point IS overlap (closed intervals)
+    segs = [_kvseg(0, 10, 1, fail), _kvseg(10, 20, 2, fail)]
+    out = zonemap.prune_kv(segs, plan)
+    assert out == [segs[1]]  # older [0,10] shadows nothing, drops
+
+
+def test_zone_map_kv_shadowing_differential(spark, repo):
+    """Random KV workloads: frame(mask=) with shadowing-aware pruning
+    must equal a pandas last-writer-wins replay of the same writes —
+    across disjoint, chained and hot-key-overlap commit shapes."""
+    rng = random.Random(13)
+    for case in range(12):
+        clc = repo.create_collection(
+            Schema.kv_schema(k="int*", v="int"), f"kvdiff{case}"
+        )
+        srs = clc.series("x")
+        state: dict[int, int] = {}
+        for _ in range(rng.randrange(2, 7)):
+            lo = rng.randrange(0, 40)
+            n = rng.randrange(1, 8)
+            ks = list(range(lo, lo + n))
+            vs = [rng.randrange(-50, 50) for _ in ks]
+            srs.write({"k": ks, "v": vs})
+            state.update(zip(ks, vs))
+        t = rng.randrange(-40, 40)
+        for mask, pred in [
+            (f"(< self.v {t})", lambda v: v < t),
+            (f"(not (< self.v {t}))", lambda v: not v < t),
+            (f"(and (>= self.v {t}) (<= self.v {t + 10}))",
+             lambda v: t <= v <= t + 10),
+        ]:
+            got = sorted(
+                (r.k, r.v)
+                for r in srs.frame(mask=mask, sort=False).collect()
+            )
+            want = sorted(
+                (k, v) for k, v in state.items() if pred(v)
+            )
+            assert got == want, (case, mask, got, want)
