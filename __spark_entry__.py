@@ -720,8 +720,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: never-recorded entries exist after r12 (ledger: 23 last-r9, 50 each
 #: r10/r11/r12), so the window is pure staleness rotation: ALL 23
 #: entries whose last driver row is r9 — exactly the set the r12
-#: verdict enumerated — then the 27 alphabetically-first r10 entries
-#: (23 + 27 = 50). That set naturally retires the standing `no_oracle`
+#: verdict enumerated — then the 26 alphabetically-first r10 entries,
+#: led by the one NEW r13 entry (1 + 23 + 26 = 50). That set naturally retires the standing `no_oracle`
 #: cell (VERDICT r12 #2): `bpe_token_stats` (rows-only by design, last
 #: r12) rotates OUT and its oracle-backed value-pinned fixture twin
 #: `bpe_token_stats_fixture` (r10, 2nd alphabetically) rotates IN, so
@@ -729,6 +729,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the committed CORRECTNESS_r*.json history (ties by name); after
 #: this round every registry entry's last driver row is >= r10.
 _R13_WINDOW = [
+    # --- NEW r13 entry (never recorded — must lead the window) ---
+    "engine_kv_registry_scan",
     # --- last driver row r9 (the whole stale set), stalest-first by
     #     name ---
     "multimodal_features",
@@ -781,7 +783,8 @@ _R13_WINDOW = [
     "near_dup_gate",
     "pagerank_top_docs",
     "pareto_quality_sample",
-    "pca_drift_psi",
+    # (pca_drift_psi, the would-be 27th r10 entry, is displaced by the
+    #  new r13 entry above and leads the r14 rotation)
 ]
 
 
@@ -832,6 +835,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frame(mask=) through the ordered scan + the data source
         # writer round-trip (round 10)
         "engine_mask_scan": engine_demo.engine_mask_scan,
+        # round-13 shadowing-aware KV fast path: a 16-bucket disjoint
+        # registry read that must prune refuted buckets AND skip the
+        # dedup window (plan pinned in tests/test_plans.py)
+        "engine_kv_registry_scan": engine_demo.engine_kv_registry_scan,
         "engine_datasource_write": engine_demo.engine_datasource_write,
         # overlay (range-splice) + overwrite (new-root) writer modes
         # (round 11)
@@ -1841,6 +1848,13 @@ SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, event_type,
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
   AND value >= 50 AND event_type IN ('click', 'view')
+""",
+        # r13 disjoint-KV registry scan: dedup is a per-row no-op on
+        # the unique key, so the oracle is the plain value filter —
+        # identical rows prove the pruned, window-free plan loses
+        # nothing
+        "engine_kv_registry_scan": """
+SELECT event_id, user_id, value FROM events WHERE value < 2.0
 """,
         "engine_datasource_write": """
 SELECT date_trunc('second', ts)::TIMESTAMP AS ts, event_id, event_type,

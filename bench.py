@@ -140,6 +140,9 @@ BENCH_TAIL = [
     "pii_card_flags",
     "pii_iban_flags",
     "token_stats_salted_agg",
+    # round-13: the disjoint-KV registry scan (shadowing-aware prune +
+    # dedup-window skip — prices the no-Window raw-scan plan)
+    "engine_kv_registry_scan",
 ]
 
 BENCH_QUERIES = BENCH_CORE + BENCH_TAIL

@@ -482,3 +482,50 @@ def engine_datasource_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series.frame(
         select=["ts", "event_id", "event_type", "value"], sort=False
     )
+
+
+def engine_kv_registry_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective masked scan of an append-heavy KV registry — the
+    round-13 shadowing-aware fast path under the oracle.
+
+    Events ingest into a KV collection keyed on the UNIQUE event_id as
+    16 RANGE-DISJOINT bucket commits (new id ranges arrive, old ranges
+    are never rewritten — the registry shape). Disjointness makes
+    last-writer-wins a per-row no-op, so the masked read must (a) run
+    `zonemap.prune_kv` with nothing blocked — every bucket whose value
+    zone map refutes the mask drops before any parquet bytes move —
+    and (b) skip the dedup window entirely (raw scan: no Window, no
+    Exchange, mask pushed to parquet — plan pinned by
+    tests/test_plans.py::test_kv_registry_scan_plan; refutation
+    effectiveness under a correlated distribution is priced by
+    scripts/probe_kv_zonemap.py, 123 -> 5 segments). The oracle is the
+    plain value filter over the raw parquet: identical rows prove the
+    dedup-free plan reads exactly what the full plan would."""
+    repo = _event_repo(spark, sf_dir)
+    label = "kvreg"
+    if label not in repo.ls():
+        coll = repo.create_collection(
+            Schema.kv_schema(
+                event_id="int*", user_id="int", value="float"
+            ),
+            label,
+        )
+        src = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id", "value"
+        )
+        lo, hi = src.agg(
+            F.min("event_id"), F.max("event_id")
+        ).first()
+        series = coll.series("all")
+        span = hi - lo + 1
+        for b in range(16):
+            b_lo = lo + b * span // 16
+            b_hi = lo + (b + 1) * span // 16
+            series.write(
+                src.where(
+                    (F.col("event_id") >= b_lo)
+                    & (F.col("event_id") < b_hi)
+                ).orderBy("event_id")
+            )
+    series = repo.collection(label).series("all")
+    return series.frame(mask="(< self.value 2.0)", sort=False)

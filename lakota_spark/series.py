@@ -1340,6 +1340,21 @@ class Series:
         resurrect shadowed rows)."""
         segs = self.segments(start, stop, before, closed)
         cols = select or list(self.schema.columns)
+        # KV dedup is only NEEDED when two queried segments could hold
+        # the same key — i.e. their intervals overlap. A pairwise-
+        # disjoint queried set (the append-heavy registry shape) makes
+        # last-writer-wins a per-row no-op, so the read drops the
+        # window exchange entirely and qualifies for the same raw-scan
+        # / exchange-free-sorted fast paths as a non-KV series
+        # (round 13; differential + plan contracts in
+        # tests/test_zonemap.py / test_plans.py).
+        kv_dedup = self.schema.kv
+        if kv_dedup:
+            from lakota_spark import zonemap
+
+            kv_dedup = not zonemap.pairwise_disjoint(
+                [s for s in segs if s.path]
+            )
         mask_col = None
         mask_plan = mask_fields = None
         if mask is not None:
@@ -1350,17 +1365,18 @@ class Series:
             mask_plan, mask_fields = self._compile_mask(mask)
             if mask_plan is not None:
                 # value-column zone maps: skip whole segments the mask
-                # provably cannot match. KV goes through the
-                # shadowing-aware variant (round 13): only segments
+                # provably cannot match. Overlapping KV goes through
+                # the shadowing-aware variant (round 13): only segments
                 # that shadow NOTHING may drop — dropping a masked-out
                 # newer segment would otherwise resurrect the older
                 # rows it shadows (mask applies after last-writer-wins
-                # dedup)
+                # dedup). Disjoint KV shadows nothing by construction,
+                # so the plain pruner is safe and maximal.
                 from lakota_spark import zonemap
 
                 segs = (
                     zonemap.prune_kv(segs, mask_plan)
-                    if self.schema.kv
+                    if kv_dedup
                     else zonemap.prune(segs, mask_plan)
                 )
         if sort:
@@ -1379,6 +1395,7 @@ class Series:
                     cols=cols,
                     mask_plan=mask_plan,
                     mask_cols=tuple(mask_fields or ()),
+                    kv_ok=self.schema.kv and not kv_dedup,
                 )
             if fast is not None:
                 if offset:
@@ -1397,12 +1414,12 @@ class Series:
                 self.schema.coerce_bound(stop),
                 *CLOSED[closed],
             )
-            if mask_col is not None and not self.schema.kv:
+            if mask_col is not None and not kv_dedup:
                 d = d.where(mask_col)
             return d
 
-        df = self._read_segments(segs, range_pred=_pred)
-        if self.schema.kv:
+        df = self._read_segments(segs, range_pred=_pred, kv=kv_dedup)
+        if kv_dedup:
             df = self._kv_dedup(df)
             if mask_col is not None:
                 df = df.where(mask_col)
@@ -1557,7 +1574,7 @@ class Series:
         mask: str | None = None,
     ):
         fs = self.collection.fs
-        if self.schema.kv or not getattr(fs, "arrow_readable", False):
+        if not getattr(fs, "arrow_readable", False):
             return None
         mask_plan = mask_fields = None
         if mask is not None:
@@ -1569,6 +1586,17 @@ class Series:
                 return None  # non-pushable mask -> the Spark path
         segs = self.segments(start, stop, before, closed)
         live = [s for s in segs if s.path]
+        if self.schema.kv:
+            from lakota_spark import zonemap
+
+            if not zonemap.pairwise_disjoint(live):
+                # overlapping KV needs last-writer-wins dedup — only
+                # the Spark path implements it. Disjoint KV (round 13)
+                # reads driver-local like any other series, with the
+                # commit-ordered snapshot list re-sorted to interval
+                # order (concat order below IS the sort order).
+                return None
+            live = sorted(live, key=lambda s: tuple(s.start))
         if mask_plan is not None:
             from lakota_spark import zonemap
 
@@ -1842,13 +1870,21 @@ class Series:
             if override:
                 self.spark.conf.unset(key)
 
-    def _read_segments(self, segs: list[Segment], range_pred=None) -> DataFrame:
+    def _read_segments(
+        self, segs: list[Segment], range_pred=None, kv: bool | None = None
+    ) -> DataFrame:
+        # `kv` = does this read need `_seg_seq` for last-writer-wins?
+        # Defaults to the schema flag; frame() passes False for a
+        # pairwise-disjoint KV set, which routes the read through the
+        # join-free clean path below (raw parquet scan, no seq column,
+        # no broadcast bounds-join)
+        kv = self.schema.kv if kv is None else kv
         live = [s for s in segs if s.path]
         if not live:
             out = self.spark.createDataFrame(
                 [], self.schema.struct_type()
             )
-            if self.schema.kv:
+            if kv:
                 # `_kv_dedup` windows on `_seg_seq` unconditionally —
                 # the empty relation must carry it too (reachable since
                 # r13's shadowing-aware pruning can empty the segment
@@ -1863,7 +1899,6 @@ class Series:
         # `_seg_seq` for last-writer-wins — pay the broadcast
         # bounds-join. Append-only and post-defrag series read at raw
         # parquet-scan speed.
-        kv = self.schema.kv
         clean = [] if kv else [s for s in live if not s.meta.get("clip")]
         dirty = live if kv else [s for s in live if s.meta.get("clip")]
         parts = []
@@ -1914,6 +1949,7 @@ class Series:
         cols: list[str],
         mask_plan=None,
         mask_cols: tuple[str, ...] = (),
+        kv_ok: bool = False,
     ) -> DataFrame | None:
         """Exchange-free SORTED distributed read (VERDICT r8 #2).
 
@@ -1936,16 +1972,21 @@ class Series:
 
         Scale shape: one task per ~2×parallelism chunk of files, bytes
         never touch the driver, reads are C++ parquet on the executors.
-        Returns None when the scan shape disqualifies — KV (needs
-        last-writer-wins dedup), clipped segments (need the bounds
-        join), or a backend that resolves to neither a pyarrow-readable
-        root nor a local read-through cache — and the classic
-        scan + orderBy path applies."""
-        if self.schema.kv:
+        Returns None when the scan shape disqualifies — KV needing
+        last-writer-wins dedup (``kv_ok=True`` means the caller proved
+        the queried set pairwise-disjoint, so dedup is a no-op and the
+        scan applies; the KV snapshot keeps commit order, so sort by
+        start to restore interval order), clipped segments (need the
+        bounds join), or a backend that resolves to neither a
+        pyarrow-readable root nor a local read-through cache — and the
+        classic scan + orderBy path applies."""
+        if self.schema.kv and not kv_ok:
             return None
         live = [s for s in segs if s.path]
         if not live or any(s.meta.get("clip") for s in live):
             return None
+        if self.schema.kv:
+            live = sorted(live, key=lambda s: tuple(s.start))
         rels = [
             f"{self.collection.seg_prefix}/{s.path}" for s in live
         ]

@@ -91,8 +91,50 @@ def main() -> int:
         "speedup": round(secs_full / max(secs_pruned, 1e-9), 2),
         "rows_match": rows_pruned == rows_full,
     }
+
+    # pure-registry scenario: NO hot-key tail, so the queried set is
+    # pairwise disjoint and the r13 dedup skip applies — the read plan
+    # must carry no Window/Exchange at all, pricing the second half of
+    # the feature (prune + no-dedup raw scan vs full scan + window)
+    coll2 = repo.create_collection(
+        Schema.kv_schema(k="int*", v="int"), "reg2"
+    )
+    s2 = coll2.series("x")
+    for c in range(args.commits):
+        s2.write({
+            "k": list(range(c * n, (c + 1) * n)),
+            "v": [c] * n,
+        })
+
+    def timed2():
+        t0 = time.perf_counter()
+        rows = s2.frame(mask=mask, sort=False).count()
+        return rows, round(time.perf_counter() - t0, 3)
+
+    from lakota_spark.series import _physical_plan_str
+
+    plan = _physical_plan_str(s2.frame(mask=mask, sort=False))
+    timed2()
+    rows2, secs2 = timed2()
+    zonemap.prune_kv = lambda s, p: s
+    pd2 = zonemap.pairwise_disjoint
+    zonemap.pairwise_disjoint = lambda s: False  # force dedup plan
+    try:
+        timed2()
+        rows2_full, secs2_full = timed2()
+    finally:
+        zonemap.prune_kv = orig
+        zonemap.pairwise_disjoint = pd2
+    out["registry_no_window_plan"] = (
+        "Window" not in plan and "Exchange" not in plan
+    )
+    out["registry_read_s_fast"] = secs2
+    out["registry_read_s_dedup_unpruned"] = secs2_full
+    out["registry_speedup"] = round(secs2_full / max(secs2, 1e-9), 2)
+    out["registry_rows_match"] = rows2 == rows2_full
     print(json.dumps(out))
-    return 0 if out["rows_match"] else 1
+    ok = out["rows_match"] and out["registry_rows_match"]
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

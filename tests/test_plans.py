@@ -948,3 +948,41 @@ def test_lm_salted_join_spreads_hot_key(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+def test_kv_registry_scan_plan(spark):
+    # round 13: the disjoint-KV registry read must carry NO dedup
+    # window and NO exchange — last-writer-wins is a per-row no-op on
+    # range-disjoint buckets, so the masked read is a raw pushed-down
+    # parquet scan; and the value zone maps must have pruned the
+    # refuted buckets before planning
+    from lakota_spark import zonemap
+    from lakota_spark.queries import engine_demo
+    from lakota_spark.sexpr import to_filter_plan
+
+    df = engine_demo.engine_kv_registry_scan(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "Window" not in plan and "Exchange" not in plan, plan
+    # the mask reaches the parquet scan
+    plans.assert_pushed(df, "LessThan(value")
+    # every bucket carries a value zone map and the pruner ran over a
+    # fully-disjoint set (nothing blocked). The bench value column is
+    # near-uniform per bucket so this mask rarely refutes a whole
+    # bucket — refutation effectiveness is pinned by the prune_kv unit
+    # suite and scripts/probe_kv_zonemap.py (123 -> 5 segments); what
+    # this contract pins is the PLAN: no window, no exchange, pushed
+    # mask, zone maps present to prune when the data allows
+    series = engine_demo._event_repo(spark, SF).collection(
+        "kvreg"
+    ).series("all")
+    segs = series.segments()
+    assert len(segs) >= 16
+    assert all((s.meta or {}).get("zmap") for s in segs)
+    plan_ir = to_filter_plan("(< self.value 2.0)")[0]
+    pruned = zonemap.prune_kv(segs, plan_ir)
+    refutable = [
+        s for s in segs
+        if not zonemap.may_match(plan_ir, s.meta["zmap"])
+    ]
+    # disjoint => every refutable bucket is actually dropped
+    assert len(pruned) == len(segs) - len(refutable)

@@ -423,3 +423,62 @@ def test_zone_map_kv_shadowing_differential(spark, repo):
                 (k, v) for k, v in state.items() if pred(v)
             )
             assert got == want, (case, mask, got, want)
+            # the sorted and driver-local paths — which may take the
+            # r13 disjoint fast plans or the dedup plan depending on
+            # the generated overlap shape — must agree row-for-row
+            got_sorted = [
+                (r.k, r.v)
+                for r in srs.frame(mask=mask, sort=True).collect()
+            ]
+            assert got_sorted == want, (case, mask, got_sorted)
+            pdf = srs.df(mask=mask)
+            assert sorted(zip(pdf["k"], pdf["v"])) == want, (case, mask)
+
+
+def test_kv_disjoint_reads_skip_dedup(spark, repo):
+    """Round 13: a pairwise-disjoint KV segment set needs no
+    last-writer-wins window — frame(sort=True) takes the exchange-free
+    ordered scan, frame(sort=False) the join-free raw scan, and df()
+    the driver-local pyarrow path; one overlapping write flips all
+    three back to the dedup plan with identical results throughout."""
+    from lakota_spark import plans
+
+    clc = repo.create_collection(
+        Schema.kv_schema(k="int*", v="int"), "kvdisj"
+    )
+    srs = clc.series("x")
+    # disjoint buckets, written out of interval order on purpose
+    srs.write({"k": [20, 21, 22], "v": [2, 2, 2]})
+    srs.write({"k": [0, 1, 2], "v": [0, 0, 0]})
+    srs.write({"k": [10, 11, 12], "v": [1, 1, 1]})
+    want = sorted([(0, 0), (1, 0), (2, 0), (10, 1), (11, 1), (12, 1),
+                   (20, 2), (21, 2), (22, 2)])
+
+    sorted_df = srs.frame(sort=True)
+    plan = plans.explain_str(sorted_df, "simple")
+    assert "Exchange" not in plan and "Sort" not in plan, plan
+    assert "MapInArrow" in plan, plan
+    assert [(r.k, r.v) for r in sorted_df.collect()] == want
+
+    unsorted_df = srs.frame(sort=False)
+    plan = plans.explain_str(unsorted_df, "simple")
+    assert "Exchange" not in plan and "Window" not in plan, plan
+    assert sorted((r.k, r.v) for r in unsorted_df.collect()) == want
+
+    local = srs._df_local()
+    assert local is not None, "disjoint KV must take the local path"
+    assert list(zip(local["k"], local["v"])) == want
+    # masked local read: zone maps prune, rows match the Spark path
+    got = srs.df(mask="(>= self.v 2)")
+    assert list(zip(got["k"], got["v"])) == [(20, 2), (21, 2), (22, 2)]
+
+    # one overlapping upsert -> dedup is back, results stay right
+    srs.write({"k": [11, 12], "v": [9, 9]})
+    assert srs._df_local() is None
+    plan = plans.explain_str(srs.frame(sort=False), "simple")
+    assert "Window" in plan, plan
+    want2 = sorted([(0, 0), (1, 0), (2, 0), (10, 1), (11, 9), (12, 9),
+                    (20, 2), (21, 2), (22, 2)])
+    assert sorted((r.k, r.v) for r in srs.frame().collect()) == want2
+    got = sorted(zip(*[srs.df()[c] for c in ("k", "v")]))
+    assert got == want2
