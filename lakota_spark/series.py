@@ -2181,18 +2181,34 @@ class Series:
         else:
             snap = self.collection.snapshot(before=before)
             segs = snap.for_label(self.label)
+            kv_dedup = self.schema.kv
+            if kv_dedup:
+                from lakota_spark import zonemap
+
+                if zonemap.pairwise_disjoint(
+                    [s for s in segs if s.path]
+                ):
+                    # disjoint KV (round 13): dedup is a no-op, so the
+                    # non-KV trailing-segment metadata prune applies —
+                    # after re-sorting the commit-ordered snapshot list
+                    # to interval order (the tail = the last intervals)
+                    segs = sorted(segs, key=lambda s: tuple(s.start))
+                    kv_dedup = False
             k = 0
             total = 0
             for seg in reversed(segs):
                 k += 1
                 total += seg.length
-                if total >= length and not self.schema.kv:
+                if total >= length and not kv_dedup:
                     break
-            if self.schema.kv:
-                k = len(segs)  # KV needs every segment for last-writer-wins
+            if kv_dedup:
+                k = len(segs)  # overlapping KV needs every segment for
+                # last-writer-wins
             while True:
-                df = self._read_segments(segs[len(segs) - k :])
-                if self.schema.kv:
+                df = self._read_segments(
+                    segs[len(segs) - k :], kv=kv_dedup
+                )
+                if kv_dedup:
                     df = self._kv_dedup(df)
                 if k >= len(segs):
                     break

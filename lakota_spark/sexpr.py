@@ -298,6 +298,34 @@ BUILTINS: dict[str, Callable] = {
     "expm1": F.expm1,
     "cbrt": F.cbrt,
     "hypot": F.hypot,
+    # --- round-13 E8 widening (each differentially pinned vs numpy in
+    #     test_numpy_column_codegen_round13) ---
+    # normalized sinc: sin(pi x)/(pi x), 1 at x=0 (CASE branches are
+    # lazy per-row, so the x=0 division never evaluates)
+    "sinc": lambda a: F.when(a == 0, F.lit(1.0)).otherwise(
+        F.sin(math.pi * a) / (math.pi * a)
+    ),
+    # overflow-stable log(exp(a)+exp(b)): max + log1p(exp(-|a-b|)) —
+    # the same rearrangement numpy uses, so large inputs agree instead
+    # of both sides overflowing differently
+    "logaddexp": lambda a, b: F.greatest(a + F.lit(0.0), b + F.lit(0.0))
+    + F.log1p(F.exp(-F.abs(a - b))),
+    # base-2 twin: max + log2(1 + 2^-|a-b|), via log1p/ln2
+    "logaddexp2": lambda a, b: F.greatest(a + F.lit(0.0), b + F.lit(0.0))
+    + F.log1p(F.pow(F.lit(2.0), -F.abs(a - b))) / math.log(2.0),
+    "ldexp": lambda a, n: a * F.pow(F.lit(2.0), n),
+    # numpy true division always yields float. Divergence note: ANSI
+    # Spark raises on x/0.0 where numpy returns ±inf — same boundary
+    # as the engine's own `/` (documented, not hidden)
+    "divide": _fold(lambda a, b: (a + F.lit(0.0)) / b),
+    "true_divide": _fold(lambda a, b: (a + F.lit(0.0)) / b),
+    # isinf/isfinite: NaN-safe through Spark's NaN ordering (NaN != inf
+    # is true, isnan catches it in isfinite's conjunction)
+    "isinf": lambda a: (a == F.lit(float("inf")))
+    | (a == F.lit(float("-inf"))),
+    "isfinite": lambda a: ~F.isnan(a + F.lit(0.0))
+    & (a != F.lit(float("inf")))
+    & (a != F.lit(float("-inf"))),
     "degrees": F.degrees,
     "radians": F.radians,
     "sin": F.sin,

@@ -372,3 +372,60 @@ def test_numpy_column_codegen_round12(frame):
     ] == 2
     assert col("(char.isupper (char.upper self.category))") == [True] * 4
     assert col("(char.islower self.category)") == [True] * 4
+
+
+def test_numpy_column_codegen_round13(frame):
+    """Round-13 E8 widening: sinc, stable logaddexp/logaddexp2, ldexp,
+    true division, isinf/isfinite — each differentially checked
+    against numpy on the same values (v = [1, 2, 3, 4])."""
+    import numpy as np
+
+    v = np.array([1, 2, 3, 4], dtype="float64")
+
+    def col(expr, alias="o"):
+        out = sexpr.select_expr(frame, f"(as {expr} '{alias}')")
+        return sorted(r[alias] for r in out.collect())
+
+    fv = "(* self.value 1.0)"
+    cases = [
+        (f"(sinc (- {fv} 2.5))", np.sinc(v - 2.5)),
+        ("(sinc (- self.value 2))", np.sinc(v - 2)),  # hits x=0
+        (f"(logaddexp {fv} (- 1.0 {fv}))", np.logaddexp(v, 1.0 - v)),
+        # 700-scale inputs overflow a naive log(exp+exp) — the stable
+        # rearrangement must still agree with numpy
+        (f"(logaddexp (* {fv} 700.0) (* {fv} 699.0))",
+         np.logaddexp(v * 700.0, v * 699.0)),
+        (f"(logaddexp2 {fv} (- 1.0 {fv}))", np.logaddexp2(v, 1.0 - v)),
+        (f"(ldexp {fv} 3)", np.ldexp(v, 3)),
+        (f"(ldexp {fv} -2)", np.ldexp(v, -2)),
+        ("(divide self.value 4)", np.divide(v, 4)),
+        ("(true_divide self.value 8)", np.true_divide(v, 8)),
+    ]
+    for expr, exp in cases:
+        got = col(expr)
+        assert np.allclose(
+            got, sorted(exp.tolist()), rtol=1e-15, atol=1e-12
+        ), (expr, got, sorted(exp.tolist()))
+    # predicates: exercised through inf/nan produced by exp overflow
+    # and sqrt of a negative (ANSI forbids literal x/0.0)
+    inf_expr = "(exp (* self.value 500.0))"   # all overflow to +inf
+    nan_expr = "(sqrt (- 2.0 (* self.value 1.0)))"  # NaN for v>2
+    with np.errstate(over="ignore", invalid="ignore"):
+        inf_vals = np.exp(v * 500.0)
+        nan_vals = np.sqrt(np.where(2.0 - v < 0, np.nan, 2.0 - v))
+    assert col(f"(isinf {inf_expr})") == sorted(
+        np.isinf(inf_vals).tolist()
+    )
+    assert col(f"(isinf (- 0.0 {inf_expr}))") == sorted(
+        np.isinf(-inf_vals).tolist()
+    )
+    assert col(f"(isinf {nan_expr})") == sorted(
+        np.isinf(nan_vals).tolist()
+    )
+    assert col(f"(isfinite {nan_expr})") == sorted(
+        np.isfinite(nan_vals).tolist()
+    )
+    assert col(f"(isfinite {inf_expr})") == sorted(
+        np.isfinite(inf_vals).tolist()
+    )
+    assert col("(isfinite (* self.value 1.0))") == [True] * 4

@@ -482,3 +482,25 @@ def test_kv_disjoint_reads_skip_dedup(spark, repo):
     assert sorted((r.k, r.v) for r in srs.frame().collect()) == want2
     got = sorted(zip(*[srs.df()[c] for c in ("k", "v")]))
     assert got == want2
+
+
+def test_kv_disjoint_tail_prunes_segments(spark, repo):
+    """Round 13: tail() on a disjoint KV set takes the non-KV
+    trailing-segment metadata prune (commit order re-sorted to
+    interval order) instead of reading every segment; an overlapping
+    write flips it back to the full dedup read. Values must match the
+    full-frame tail either way."""
+    clc = repo.create_collection(
+        Schema.kv_schema(k="int*", v="int"), "kvtail"
+    )
+    srs = clc.series("x")
+    # interval order deliberately != commit order
+    srs.write({"k": list(range(20, 30)), "v": [2] * 10})
+    srs.write({"k": list(range(0, 10)), "v": [0] * 10})
+    srs.write({"k": list(range(10, 20)), "v": [1] * 10})
+    got = [(r.k, r.v) for r in srs.tail(5).collect()]
+    assert got == [(25, 2), (26, 2), (27, 2), (28, 2), (29, 2)]
+    # hot-key rewrite overlapping the tail: dedup path, new values win
+    srs.write({"k": [28, 29], "v": [9, 9]})
+    got = [(r.k, r.v) for r in srs.tail(3).collect()]
+    assert got == [(27, 2), (28, 9), (29, 9)]
