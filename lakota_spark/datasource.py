@@ -473,17 +473,21 @@ class LakotaStreamReader(DataSourceStreamReader):
     microbatch AFTER the first to N changelog revisions — the
     maxOffsetsPerTrigger-style admission control that stops a
     catch-up spike (bursty ingest, a slow batch, a paused trigger)
-    from snowballing into one history-sized batch. The FIRST batch a
-    reader process plans is never bounded: Spark seals it via a
-    latestOffset() call that happens before the reader can see any
-    checkpointed position — the r13 soak trace measured latestOffset
-    arriving BEFORE initialOffset even on fresh starts, so this holds
-    for new queries and restarts alike — and returning an offset
-    below a position this instance cannot know would REWIND the
-    query's offset log — empty backward batches, then re-emission
-    (duplicates on non-idempotent sinks). So the marker only ever
-    advances along sealed batch ends (partitions()/commit()), which
-    keeps offsets monotonic by construction. A squash that rewrites
+    from snowballing into one history-sized batch. Batch 0 of a
+    GENUINELY FRESH query is the one batch that is never bounded:
+    Spark seals it via a latestOffset() call that happens before the
+    reader can see any position (the r13 trace measured latestOffset
+    arriving before even initialOffset), and returning an offset below
+    a position this instance cannot know would REWIND the query's
+    offset log — empty backward batches, then re-emission (duplicates
+    on non-idempotent sinks). RESTARTS are bounded from their first
+    post-restart batch: WAL recovery re-plans the last committed batch
+    via partitions(start=ckpt, end=ckpt) BEFORE any latestOffset, and
+    that sealed end arms the marker with the checkpointed position
+    (r13 trace + `test_stream_reader_admission_after_restart`). So the
+    marker only ever advances along sealed batch ends
+    (partitions()/commit()), which keeps offsets monotonic by
+    construction. A squash that rewrites
     the chain past the marker falls back to head (the snapshot
     resolver then raises its documented restart error). The depth
     scenario — a 200-revision standing backlog draining bounded while

@@ -406,7 +406,7 @@ def prune_kv(segments, plan):
     win measured by `scripts/probe_kv_zonemap.py`."""
     from lakota_spark.commit import cmp_prefix
 
-    if plan is None or len(segments) <= 1:
+    if plan is None or not segments:
         return segments
     order = sorted(
         range(len(segments)),

@@ -73,6 +73,8 @@ SPOT_QUERIES = [
     "bm25_topk_indexed",
     "contamination_overlap",
     "heavy_hitter_tokens",
+    # round-13: the disjoint-KV registry fast path at 10x driver scale
+    "engine_kv_registry_scan",
 ]
 
 

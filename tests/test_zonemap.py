@@ -504,3 +504,64 @@ def test_kv_disjoint_tail_prunes_segments(spark, repo):
     srs.write({"k": [28, 29], "v": [9, 9]})
     got = [(r.k, r.v) for r in srs.tail(3).collect()]
     assert got == [(27, 2), (28, 9), (29, 9)]
+
+
+def test_prune_kv_sweep_matches_brute_force():
+    """Property pin for the r13 active-set sweep: the O(n log n)
+    shadow-blocking and disjointness computations must agree with the
+    obvious O(n^2) definitions on randomized segment soups (interval
+    ties, seq ties, tombstones, containment chains)."""
+    from lakota_spark.commit import cmp_prefix
+
+    plan = _plan("(< self.v 0)")
+    refute = {"v": [1, 5, False]}     # mask provably fails
+    maymatch = {"v": [-5, 5, False]}  # mask may match
+
+    def overlap(a, b):
+        return (
+            cmp_prefix(tuple(a.start), tuple(b.stop)) <= 0
+            and cmp_prefix(tuple(b.start), tuple(a.stop)) <= 0
+        )
+
+    def brute_prune(segs):
+        out = []
+        for i, s in enumerate(segs):
+            blocked = any(
+                j != i
+                and segs[j].seq <= s.seq
+                and overlap(s, segs[j])
+                for j in range(len(segs))
+            )
+            if not blocked and s.path:
+                z = (s.meta or {}).get("zmap")
+                if z is not None and not zonemap.may_match(plan, z):
+                    continue
+            out.append(s)
+        return out
+
+    def brute_disjoint(segs):
+        return not any(
+            overlap(segs[i], segs[j])
+            for i in range(len(segs))
+            for j in range(i + 1, len(segs))
+        )
+
+    rng = random.Random(131)
+    for _ in range(300):
+        n = rng.randrange(0, 12)
+        segs = []
+        for _i in range(n):
+            lo = rng.randrange(0, 30)
+            hi = lo + rng.randrange(0, 10)
+            segs.append(
+                _kvseg(
+                    lo, hi,
+                    seq=rng.randrange(0, 6),  # ties likely
+                    zmap=rng.choice([refute, maymatch, None]),
+                    path=rng.choice(["p", "p", "p", None]),
+                )
+            )
+        got = zonemap.prune_kv(segs, plan)
+        want = brute_prune(segs)
+        assert got == want, (segs, got, want)
+        assert zonemap.pairwise_disjoint(segs) == brute_disjoint(segs), segs
