@@ -93,6 +93,49 @@ def _fold(fn: Callable[[Any, Any], Column]) -> Callable:
     return run
 
 
+def _gcd2(a, b) -> Column:
+    """Binary gcd as a BOUNDED Euclid unroll — pure Column codegen, no
+    UDF. int64 Euclid needs at most ~92 steps (consecutive Fibonacci
+    numbers are the worst case), so a fixed 92-iteration
+    `F.aggregate` fold with an early-exit CASE per step computes the
+    exact gcd for the full long range; `pmod` keeps remainders
+    non-negative so signs never leak (numpy gcd is non-negative).
+    Differentially pinned incl. the adjacent-Fibonacci worst case."""
+    a = a if isinstance(a, Column) else F.lit(a)
+    b = b if isinstance(b, Column) else F.lit(b)
+    # both legs long: an int literal beside a bigint column would give
+    # the seed struct a narrower field than the fold's result type
+    acc0 = F.struct(
+        F.abs(a).cast("long").alias("x"),
+        F.abs(b).cast("long").alias("y"),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(92)),
+        acc0,
+        lambda acc, _: F.when(acc["y"] == 0, acc).otherwise(
+            F.struct(
+                acc["y"].alias("x"),
+                F.pmod(acc["x"], acc["y"]).alias("y"),
+            )
+        ),
+        lambda acc: acc["x"],
+    )
+
+
+def _lcm2(a, b) -> Column:
+    """lcm = |a| div gcd * |b| (divide FIRST so the intermediate stays
+    small). The div rides a double, so results are exact for
+    |a/gcd(a,b)| * |b| < 2^53 — beyond that numpy's own int64 lcm has
+    silently wrapped anyway. lcm(x, 0) = 0 like numpy (the CASE also
+    keeps ANSI from seeing a /0)."""
+    a = a if isinstance(a, Column) else F.lit(a)
+    b = b if isinstance(b, Column) else F.lit(b)
+    g = _gcd2(a, b)
+    return F.when(g == 0, F.lit(0).cast("long")).otherwise(
+        (F.floor(F.abs(a) / g) * F.abs(b)).cast("long")
+    )
+
+
 def _chain(cmp: Callable[[Any, Any], Column]) -> Callable:
     """Variadic comparison: (< a b c) == a<b AND b<c."""
 
@@ -326,6 +369,10 @@ BUILTINS: dict[str, Callable] = {
     "isfinite": lambda a: ~F.isnan(a + F.lit(0.0))
     & (a != F.lit(float("inf")))
     & (a != F.lit(float("-inf"))),
+    # exact bounded-Euclid gcd (full int64 range) and lcm (exact below
+    # 2^53 — see _lcm2); variadic like the numpy ufunc reduce
+    "gcd": _fold(_gcd2),
+    "lcm": _fold(_lcm2),
     "degrees": F.degrees,
     "radians": F.radians,
     "sin": F.sin,

@@ -429,3 +429,26 @@ def test_numpy_column_codegen_round13(frame):
         np.isfinite(inf_vals).tolist()
     )
     assert col("(isfinite (* self.value 1.0))") == [True] * 4
+    # gcd/lcm: bounded-Euclid fold — incl. sign handling, zeros,
+    # variadic reduce, and the adjacent-Fibonacci worst-case depth
+    iv = v.astype("int64")
+    assert col("(gcd (* self.value 6) 9)") == sorted(
+        np.gcd(iv * 6, 9).tolist()
+    )
+    assert col("(gcd (- 0 (* self.value 4)) 6)") == sorted(
+        np.gcd(-iv * 4, 6).tolist()
+    )
+    assert col("(gcd (* self.value 0) 5)") == [5] * 4
+    assert col("(gcd self.value 0)") == sorted(iv.tolist())
+    assert col("(gcd (* self.value 12) 8 6)") == sorted(
+        np.gcd.reduce([iv * 12, np.full(4, 8), np.full(4, 6)]).tolist()
+    )
+    # adjacent fibs force the deepest Euclid chain
+    assert col("(gcd (+ 1134903170 (* self.value 0)) 701408733)") == [1] * 4
+    assert col("(lcm (* self.value 4) 6)") == sorted(
+        np.lcm(iv * 4, 6).tolist()
+    )
+    assert col("(lcm (* self.value 0) 7)") == [0] * 4
+    assert col("(lcm (- 0 self.value) 3)") == sorted(
+        np.lcm(-iv, 3).tolist()
+    )
