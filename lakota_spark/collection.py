@@ -773,6 +773,35 @@ class Collection:
                 nonlocal snap, changed
                 if len(run) < 2:
                     return
+                if self.schema.kv:
+                    # Merging a KV run collapses its members onto ONE
+                    # new seq (max_seq+1). That is only sound when no
+                    # OUTSIDE segment both overlaps the run's interval
+                    # and carries a seq above a run member's: such a
+                    # segment shadowed the member's rows before the
+                    # rewrite, and the promoted seq would resurrect
+                    # them (found by direct repro in round 13 — a
+                    # covering rewrite followed by defrag flipped keys
+                    # back to their stale values). In-run shadow chains
+                    # are fine (the resolving read below collapses
+                    # them); the skip only leaves genuinely
+                    # order-entangled runs fragmented, and the
+                    # append-heavy registry shape (disjoint segments)
+                    # never trips it.
+                    from lakota_spark.commit import cmp_prefix
+
+                    run_ids = {id(s) for s in run}
+                    run_lo = tuple(run[0].start)
+                    run_hi = max(tuple(s.stop) for s in run)
+                    min_seq = min(s.seq for s in run)
+                    for o in snap.for_label(label):
+                        if id(o) in run_ids or o.seq <= min_seq:
+                            continue
+                        if (
+                            cmp_prefix(tuple(o.start), run_hi) <= 0
+                            and cmp_prefix(run_lo, tuple(o.stop)) <= 0
+                        ):
+                            return
                 series = self.series(label)
                 # Driver-local fast path: a fragmented run is many tiny
                 # files with driver-sized total bytes — pyarrow

@@ -1715,12 +1715,24 @@ class Series:
         concat/cast pipeline as `_df_local`, limited to the given
         segments, in run order (clean segments are disjoint and sorted,
         so run-ordered concat IS the sorted frame). Returns None when
-        the run disqualifies (non-arrow FS, KV, clipped pieces — those
-        need the per-segment bounds re-filter only the Spark path
-        implements)."""
+        the run disqualifies (non-arrow FS, OVERLAPPING-KV, clipped
+        pieces — those need the resolving read / per-segment bounds
+        re-filter only the Spark path implements). A pairwise-disjoint
+        KV run qualifies (round 13): last-writer-wins is a per-row
+        no-op, and KV snapshots keep the label block start-sorted
+        (`Snapshot.overlay`'s bisect insert), so run-ordered concat is
+        the sorted frame here too — fragmented KV registries defrag at
+        pyarrow speed instead of one Spark job per run."""
         fs = self.collection.fs
-        if self.schema.kv or not getattr(fs, "arrow_readable", False):
+        if not getattr(fs, "arrow_readable", False):
             return None
+        if self.schema.kv:
+            from lakota_spark import zonemap
+
+            if not zonemap.pairwise_disjoint(
+                [s for s in segs if s.path]
+            ):
+                return None
         if any(s.meta.get("clip") or not s.path for s in segs):
             return None
         from concurrent.futures import ThreadPoolExecutor

@@ -906,3 +906,56 @@ def test_register_views_collision_raises(repo):
         repo.register_views()
     # prefix= disambiguates per-call; single-collection registration works
     assert repo.register_views(collection="a") == ["a_b_c"]
+
+
+def test_defrag_kv_skips_runs_shadowed_from_outside(repo):
+    """Round 13 (found by direct repro): merging a KV run collapses it
+    onto one NEW seq, so a newer covering segment OUTSIDE the run —
+    which shadowed the run's stale rows — must block the compaction,
+    or defrag resurrects the stale values."""
+    coll = repo.create_collection(
+        Schema.kv_schema(k="int*", v="int"), "kvshadow"
+    )
+    s = coll.series("x")
+    s.write({"k": [10], "v": [1]})
+    s.write({"k": [11], "v": [1]})
+    # newer full-range rewrite: shadows both small segments but is too
+    # large to join their run
+    s.write({"k": list(range(0, 100)), "v": [2] * 100})
+    before = sorted((r.k, r.v) for r in s.frame().collect())
+    n_before = len(coll.snapshot().for_label("x"))
+    coll.defrag(page_len=500_000, max_chunk=4)
+    after = sorted((r.k, r.v) for r in s.frame().collect())
+    assert after == before
+    # the entangled run stayed fragmented (the only sound choice)
+    assert len(coll.snapshot().for_label("x")) == n_before
+
+
+def test_defrag_kv_disjoint_registry_compacts_locally(repo):
+    """Round 13: a fragmented DISJOINT KV registry (no shadowing
+    anywhere) compacts through the driver-local pyarrow path — one
+    merged segment, identical reads, and the merged segment still
+    serves the dedup-free fast read."""
+    coll = repo.create_collection(
+        Schema.kv_schema(k="int*", v="int"), "kvreggy"
+    )
+    s = coll.series("x")
+    for c in range(12):
+        s.write({
+            "k": list(range(c * 5, c * 5 + 5)),
+            "v": [c] * 5,
+        })
+    before = sorted((r.k, r.v) for r in s.frame().collect())
+    assert len(coll.snapshot().for_label("x")) == 12
+    coll.defrag(page_len=100, max_chunk=1)
+    segs = coll.snapshot().for_label("x")
+    assert len(segs) == 1
+    assert segs[0].meta.get("defrag")
+    # local fast path computed exact zone maps from the frame
+    assert segs[0].meta.get("zmap", {}).get("v") == [0, 11, False]
+    after = sorted((r.k, r.v) for r in s.frame().collect())
+    assert after == before
+    # still disjoint -> still the dedup-free local path (only where the
+    # backend is pyarrow-readable; memory/http decline by design)
+    if getattr(coll.fs, "arrow_readable", False):
+        assert s._df_local() is not None
