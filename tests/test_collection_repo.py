@@ -959,3 +959,45 @@ def test_defrag_kv_disjoint_registry_compacts_locally(repo):
     # backend is pyarrow-readable; memory/http decline by design)
     if getattr(coll.fs, "arrow_readable", False):
         assert s._df_local() is not None
+
+
+def test_kv_maintenance_differential(repo):
+    """Round 13 hardening (motivated by the defrag seq-inversion find):
+    random KV workloads — overlapping/disjoint writes interleaved with
+    defrag, squash and trim — must always read back exactly the pandas
+    last-writer-wins replay of the writes. Maintenance may only change
+    LAYOUT, never content."""
+    import random as _random
+
+    rng = _random.Random(1313)
+    for case in range(8):
+        coll = repo.create_collection(
+            Schema.kv_schema(k="int*", v="int"), f"kvmaint{case}"
+        )
+        s = coll.series("x")
+        state: dict[int, int] = {}
+        n_writes = rng.randrange(3, 7)
+        ops = []
+        for w in range(n_writes):
+            lo = rng.randrange(0, 30)
+            n = rng.randrange(1, 9)
+            ks = list(range(lo, lo + n))
+            vs = [rng.randrange(0, 100) for _ in ks]
+            s.write({"k": ks, "v": vs})
+            state.update(zip(ks, vs))
+            ops.append(f"w{lo}+{n}")
+            if rng.random() < 0.4:
+                op = rng.choice(["defrag", "squash", "maintain"])
+                ops.append(op)
+                if op == "defrag":
+                    coll.defrag(page_len=rng.choice([4, 100]),
+                                max_chunk=1)
+                elif op == "squash":
+                    coll.squash()
+                else:
+                    coll.maintain(max_revisions=1, max_segments=None)
+        got = sorted((r.k, r.v) for r in s.frame().collect())
+        want = sorted(state.items())
+        assert got == want, (case, ops, got, want)
+        pdf = s.df()
+        assert sorted(zip(pdf["k"], pdf["v"])) == want, (case, ops)
