@@ -22,8 +22,11 @@ read time, exact arrow-side filtering after the cast, and leading-index
 bounds additionally prune whole SEGMENTS driver-side. Unsupported
 predicates are handed back to Spark. Clipped segments (overlay-narrowed
 bounds) apply their effective-bound mask arrow-side, so results match
-`Series.frame(sort=False)` exactly. KV collections refuse (last-writer-
-wins needs a global shuffle — use `Series.frame`).
+`Series.frame(sort=False)` exactly. KV collections serve when their
+resolved snapshot is pairwise range-DISJOINT (round 13 — each key has
+exactly one live version, so no shuffle is needed; the registry shape);
+overlapping KV refuses at scan time (last-writer-wins needs a global
+shuffle — use `Series.frame`).
 
 Streaming read: the changelog IS the log. Offsets are revision ids;
 each microbatch emits the rows of segments newly referenced between two
@@ -281,12 +284,6 @@ def _seg_partitions(
 class LakotaBatchReader(DataSourceReader):
     def __init__(self, options, schema):
         self._series = _open_series(options)
-        if self._series.schema.kv:
-            raise ValueError(
-                "lakota data source cannot serve KV collections "
-                "(last-writer-wins needs a global shuffle); use "
-                "Series.frame()"
-            )
         before = options.get("before")
         if before is not None:
             # options arrive as strings: accept epoch floats as well as
@@ -401,6 +398,28 @@ class LakotaBatchReader(DataSourceReader):
         start, stop, s_cl, e_cl = self._pushed_index_bounds()
         snap = self._series.collection.snapshot(before=self._before)
         segs = snap.for_label(self._series.label, start, stop, s_cl, e_cl)
+        if self._series.schema.kv:
+            # Round 13: a pairwise-DISJOINT KV snapshot needs no
+            # last-writer-wins shuffle (each key has exactly one live
+            # version), so registry-shaped KV tables serve through the
+            # data source / SQL views like any other table. Overlapping
+            # KV still refuses — Spark's plain-table semantics would
+            # surface shadowed rows. Checked at scan time against the
+            # resolved (possibly time-travelled) snapshot: any segment
+            # holding a queried key intersects the query range, so
+            # subset disjointness is the exact condition.
+            from lakota_spark import zonemap
+
+            if not zonemap.pairwise_disjoint(
+                [s for s in segs if s.path]
+            ):
+                raise ValueError(
+                    "lakota data source cannot serve KV collections "
+                    "with OVERLAPPING segments (last-writer-wins needs "
+                    "a global shuffle); use Series.frame(), or "
+                    "defrag/rewrite the collection to a disjoint "
+                    "layout"
+                )
         plan = (
             ("and", self._nodes)
             if len(self._nodes) > 1
@@ -422,8 +441,9 @@ class LakotaBatchReader(DataSourceReader):
             )
         if plan is not None:
             # value-column zone maps: drop whole segments the pushed
-            # filters provably cannot match (KV is rejected above, so
-            # no shadowing hazard)
+            # filters provably cannot match (overlapping KV is rejected
+            # above and there is NO dedup downstream here, so the plain
+            # pruner is exact for the disjoint-KV case too)
             from lakota_spark import zonemap
 
             segs = zonemap.prune(segs, plan)

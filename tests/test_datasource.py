@@ -112,14 +112,38 @@ def test_clipped_segments_and_time_travel(spark, ds_repo):
     assert {r.ts: r.value for r in old.collect()}[10] == float(10 % 7)
 
 
-def test_kv_refusal_and_option_validation(spark, ds_repo):
+def test_kv_disjoint_serves_overlapping_refuses(spark, ds_repo):
+    """Round 13: a pairwise-disjoint KV snapshot (each key one live
+    version) serves through the data source — filters pushed, rows
+    identical to Series.frame — while an overlapping write flips the
+    SAME table to a scan-time refusal (plain-table semantics would
+    surface shadowed rows)."""
     repo, _ = ds_repo
     kv = repo.create_collection(
         Schema.kv_schema(k="int*", v="float"), "kvd"
     )
-    kv.series("x").write({"k": [1], "v": [1.0]})
-    with pytest.raises(Exception, match="KV"):
+    s = kv.series("x")
+    s.write({"k": [1, 2], "v": [1.0, 2.0]})
+    s.write({"k": [10, 11], "v": [10.0, 11.0]})
+    df = _load(spark, repo, table="kvd/x")
+    assert sorted((r.k, r.v) for r in df.collect()) == [
+        (1, 1.0), (2, 2.0), (10, 10.0), (11, 11.0),
+    ]
+    assert [r.k for r in df.where("v >= 10.0").collect()] in (
+        [10, 11], [11, 10],
+    )
+    # overlapping upsert -> shadowing exists -> scan-time refusal
+    s.write({"k": [2, 3], "v": [20.0, 30.0]})
+    with pytest.raises(Exception, match="OVERLAPPING"):
         _load(spark, repo, table="kvd/x").collect()
+    # the resolving read still serves it, of course
+    assert sorted(
+        (r.k, r.v) for r in s.frame().collect()
+    ) == [(1, 1.0), (2, 20.0), (3, 30.0), (10, 10.0), (11, 11.0)]
+
+
+def test_option_validation(spark, ds_repo):
+    repo, _ = ds_repo
     with pytest.raises(Exception, match="table"):
         spark.read.format("lakota").option("path", repo.root).load()
 
