@@ -2461,12 +2461,35 @@ class KVSeries(Series):
         (`lakota/series.py:477-503`)."""
         keys = self._coerce_keys(keys_df)
         current = self.frame()
-        remaining = current.join(keys, on=list(self.schema.idx), how="left_anti")
-        # span bounds from segment METADATA (no full-frame Spark job):
-        # the union of segment intervals covers every live row by
-        # definition, and the overlay may only be wider than the data.
-        # leaf captured for optimistic commit — a racing write forks
-        # rather than vanishing from the rewritten head
+        remaining = current.join(
+            keys, on=list(self.schema.idx), how="left_anti"
+        )
+        self._rewrite_full_span(remaining)
+
+    def compact(self) -> None:
+        """Rewrite the RESOLVED rows as one full-span segment that
+        shadows all history (round 13) — the one-call path from an
+        overlapping KV layout to the pairwise-disjoint shape every fast
+        read needs: after compact(), frame()/df()/tail() skip the dedup
+        window, and `spark.read.format("lakota")` serves the table
+        (its scan-time refusal names this as the remedy). History stays
+        time-travellable (`before=` the compaction sees the old
+        layout); defrag cannot do this — it must SKIP order-entangled
+        runs (see `Collection.defrag`), while a full-span resolved
+        rewrite is the one layout change for which a single fresh seq
+        is always sound."""
+        self._rewrite_full_span(self.frame())
+
+    def _rewrite_full_span(self, df: DataFrame) -> None:
+        """Commit ``df`` as ONE segment spanning the label's whole
+        interval, shadowing every older segment (the shared tail of
+        `delete_keys` / `compact`).
+
+        Span bounds come from segment METADATA (no full-frame Spark
+        job): the union of segment intervals covers every live row by
+        definition, and the overlay may only be wider than the data.
+        The leaf is captured for optimistic commit — a racing write
+        forks rather than vanishing from the rewritten head."""
         leaf, snap = self.collection.leaf_and_snapshot()
         segs = snap.for_label(self.label)
         if not segs:
@@ -2474,13 +2497,13 @@ class KVSeries(Series):
         lo = min(tuple(s.start) for s in segs)
         hi = max(tuple(s.stop) for s in segs)
         seq = snap.max_seq + 1
-        n = remaining.count()
+        n = df.count()
         if n == 0:
             self._commit_segment(
                 Segment(self.label, lo, hi, True, True, None, 0)
             )
             return
-        path, digest = self._write_segment_files(remaining, n)
+        path, digest = self._write_segment_files(df, n)
         seg = Segment(
             self.label, lo, hi, True, True, path, n, seq, {"digest": digest}
         )

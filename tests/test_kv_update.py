@@ -66,3 +66,59 @@ def test_update_zero_fill(repo, t, zero, a1, a2):
     s.update({"timestamp": [2, 3], "a": [a2, a2]})
     out = [(r.timestamp, r.a, r.b) for r in s.frame().collect()]
     assert out == [(1, a1, a2), (2, a2, a2), (3, a2, zero)]
+
+
+def test_kv_compact_restores_disjoint_fast_paths(spark, repo):
+    """Round 13: compact() rewrites the resolved rows as one full-span
+    segment — same reads, disjoint layout, so the dedup-free fast
+    paths AND the data source serve the table again; time travel
+    before the compaction still sees the old (overlapping) state."""
+    from lakota_spark.datasource import register
+
+    register(spark)
+    coll = repo.create_collection(
+        Schema.kv_schema(k="int*", v="int"), "kvcomp"
+    )
+    s = coll.series("x")
+    s.write({"k": [1, 2, 3], "v": [10, 20, 30]})
+    s.write({"k": [2, 4], "v": [21, 40]})      # overlapping upsert
+    want = [(1, 10), (2, 21), (3, 30), (4, 40)]
+    assert sorted((r.k, r.v) for r in s.frame().collect()) == want
+    # overlapping: the data source refuses, the local path declines
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="OVERLAPPING"):
+        (
+            spark.read.format("lakota")
+            .option("path", repo.root)
+            .option("table", "kvcomp/x")
+            .load()
+            .collect()
+        )
+    import time as _time
+
+    _time.sleep(0.01)
+    cut = _time.time()
+    _time.sleep(0.01)
+    s.compact()
+    segs = coll.snapshot().for_label("x")
+    assert len(segs) == 1
+    assert sorted((r.k, r.v) for r in s.frame().collect()) == want
+    if getattr(coll.fs, "arrow_readable", False):
+        assert s._df_local() is not None
+    ds = (
+        spark.read.format("lakota")
+        .option("path", repo.root)
+        .option("table", "kvcomp/x")
+        .load()
+    )
+    assert sorted((r.k, r.v) for r in ds.collect()) == want
+    # history survives: before the compaction, the overlapping layout
+    assert sorted(
+        (r.k, r.v) for r in s.frame(before=cut).collect()
+    ) == want
+    # and further upserts keep working on the compacted root
+    s.write({"k": [1], "v": [11]})
+    assert sorted((r.k, r.v) for r in s.frame().collect()) == [
+        (1, 11), (2, 21), (3, 30), (4, 40),
+    ]
