@@ -269,6 +269,21 @@ def cmd_maintain(args):
         )
 
 
+def cmd_compact(args):
+    """KV-only full-span resolved rewrite (`KVSeries.compact`, round
+    13): one call from an overlapping layout to the pairwise-disjoint
+    shape the fast reads and the Spark data source need."""
+    repo = _repo(args)
+    series = _series(repo, args.path)
+    if not series.schema.kv:
+        raise SystemExit(
+            f'"{args.path}" is not a KV series — use defrag for '
+            "interval collections"
+        )
+    series.compact()
+    print(f"compacted {args.path}")
+
+
 def cmd_trim(args):
     repo = _repo(args)
     for label in _target_labels(repo, args):
@@ -483,6 +498,9 @@ def _build_parser():
     # retain a time-travel window through triggered squashes
     s.add_argument("--keep-seconds", type=float, default=None)
     s.set_defaults(fn=cmd_maintain)
+    s = sub.add_parser("compact")
+    s.add_argument("path")
+    s.set_defaults(fn=cmd_compact)
     s = sub.add_parser("trim")
     s.add_argument("labels", nargs="*"); s.add_argument("--before", type=float)
     s.add_argument("-a", "--all", action="store_true")

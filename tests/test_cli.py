@@ -210,3 +210,25 @@ def test_stats_verb(cli_env):
     (row,) = repo.collection("temperature").stats()
     assert row["segments"] == 2 and row["rows"] == 5
     assert row["zone_maps"] == 2 and row["clipped"] == 0
+
+
+def test_compact_verb(cli_env):
+    """`compact <collection>/<series>` (round 13): overlapping KV
+    layout -> one full-span segment, same reads; non-KV refuses with a
+    defrag pointer."""
+    root, repo, run = cli_env
+    coll = repo.create_collection(
+        Schema.kv_schema(k="int*", v="int"), "registry"
+    )
+    s = coll.series("ids")
+    s.write({"k": [1, 2], "v": [10, 20]})
+    s.write({"k": [2, 3], "v": [21, 30]})
+    out = run("compact", "reg/ids")  # unique-prefix resolution
+    assert "compacted" in out
+    assert len(coll.snapshot().for_label("ids")) == 1
+    assert sorted(
+        (r.k, r.v) for r in s.frame().collect()
+    ) == [(1, 10), (2, 21), (3, 30)]
+    _seed(repo)
+    with pytest.raises(SystemExit, match="not a KV series"):
+        run("compact", "temperature/paris")
