@@ -29,12 +29,17 @@ overlapping KV refuses at scan time (last-writer-wins needs a global
 shuffle — use `Series.frame`).
 
 Streaming read: the changelog IS the log. Offsets are revision ids;
-each microbatch emits the rows of segments newly referenced between two
-snapshots (append semantics: rows later clipped away by overlays are
-still emitted — a tail of WRITES, not a changing view). Offsets are
-replayable (snapshots are immutable), so Spark's checkpoint gives
-exactly-once. `maintain`/`squash` rewrites history; an open stream whose
-start revision disappears raises rather than silently re-emitting.
+each microbatch emits the rows the batch's revisions WROTE — read off
+each commit's own ``delta`` payload over the immutable parent DAG
+(round 13; append semantics: rows later clipped away by overlays are
+still emitted — a tail of WRITES, not a changing view). Maintenance
+rewrites (defrag/merge/rename) record empty deltas, so compactions
+emit NOTHING — the snapshot-diff emission they replaced re-emitted
+every compacted row and could lose writes a batch straddled. Offsets
+are replayable (ancestor sets and payloads are immutable), so Spark's
+checkpoint gives exactly-once. `trim`/`squash` deletes history; an
+open stream whose start revision disappears raises rather than
+silently re-emitting.
 
 SQL access goes through `Repo.register_views()` / `Repo.sql()` (lazy
 temp views) — `CREATE TABLE ... USING lakota` is NOT supported: Spark
@@ -618,6 +623,84 @@ class LakotaStreamReader(DataSourceStreamReader):
                 return {"rev": head}
         return {"rev": ids[min(i + self._max_revs, len(ids) - 1)]}
 
+    def _delta_segments(self, s_rev: str, e_rev: str):
+        """Segments WRITTEN by the revisions in ``(s_rev, e_rev]`` —
+        the ancestry difference over the immutable parent DAG, read
+        straight off each commit's ``delta`` payload key (round 13).
+
+        This replaces the snapshot-diff emission (new-paths-at-end),
+        which confused REWRITES with writes: a defrag mid-stream minted
+        a merged segment whose path was new at the end snapshot, so
+        every compacted row re-emitted (measured 50 -> 100 rows on an
+        append sink; worse, a batch straddling writes-then-defrag
+        could lose the writes — their segments were already merged
+        away at the end snapshot). Per-commit deltas are exact by
+        construction: normal commits record exactly what they wrote
+        (`Collection._commit`), maintenance/merge commits record ``[]``
+        (`commit_snapshot`/`merge`), and a re-rooting trim records the
+        full state (a fresh stream's batch 0 is the whole table).
+        Walking ANCESTRY rather than a changelog-order window keeps
+        replay deterministic — a side branch landing between two
+        sealed offsets can reorder the log listing, but never an
+        ancestor set; each parallel file of a merge revision carries
+        one parent edge, so the walk sees every branch. GC keeps every
+        payload-referenced segment file alive (`payload_paths`), so a
+        merged-away segment's rows stay readable until a trim/squash —
+        which already surfaces as the documented restart error below.
+
+        Returns None when any walked payload predates the ``delta``
+        key (pre-fmt-3 repo) — caller falls back to snapshot-diff."""
+        from lakota_spark.changelog import PHI
+        from lakota_spark.commit import Segment
+
+        coll = self._series.collection
+        parent_edges: dict[str, set] = {}
+        by_child: dict = {}
+        for r in coll.changelog.log():
+            parent_edges.setdefault(r.child, set()).add(r.parent)
+            by_child[r.child] = r  # any edge: payloads are identical
+        for rev_id in (s_rev, e_rev):
+            if rev_id and rev_id not in by_child:
+                raise ValueError(
+                    f"lakota stream offset {rev_id!r} no longer exists "
+                    "— the changelog was squashed/rewritten; restart "
+                    "the stream from a fresh checkpoint"
+                )
+        if not e_rev:
+            return []
+
+        def ancestors(child: str) -> set:
+            seen: set = set()
+            frontier = [child]
+            while frontier:
+                cur = frontier.pop()
+                if (
+                    not cur
+                    or cur == PHI
+                    or cur in seen
+                    or cur not in parent_edges
+                ):
+                    continue
+                seen.add(cur)
+                frontier.extend(parent_edges[cur])
+            return seen
+
+        new_ids = ancestors(e_rev) - (
+            ancestors(s_rev) if s_rev else set()
+        )
+        schema = self._series.schema
+        label = self._series.label
+        out = []
+        for child in sorted(new_ids):  # hextime prefix = append order
+            payload = by_child[child].read()
+            if "delta" not in payload:
+                return None
+            for d in payload["delta"]:
+                seg = Segment.from_dict(d, schema)
+                if seg.label == label and seg.path:
+                    out.append(seg)
+        return out
+
     def partitions(self, start: dict, end: dict):
         _trace(f"partitions id={id(self)%100000} {start} {end}")
         if end.get("rev"):
@@ -630,20 +713,28 @@ class LakotaStreamReader(DataSourceStreamReader):
             # deadlocks the stream one batch in (verified against the
             # runner protocol).
             self._progress = end["rev"]
-        old = {
-            s.path
-            for s in self._snapshot_at(start["rev"]).for_label(
-                self._series.label
-            )
-            if s.path
-        }
-        segs = [
-            s
-            for s in self._snapshot_at(end["rev"]).for_label(
-                self._series.label
-            )
-            if s.path and s.path not in old
-        ]
+        segs = self._delta_segments(
+            start.get("rev") or "", end.get("rev") or ""
+        )
+        if segs is None:
+            # legacy payloads without the per-commit `delta` key: the
+            # original snapshot-diff emission (may re-emit maintenance
+            # rewrites — the r13 defrag-mid-stream hazard — but stays
+            # read-compatible with pre-fmt-3 repos)
+            old = {
+                s.path
+                for s in self._snapshot_at(start["rev"]).for_label(
+                    self._series.label
+                )
+                if s.path
+            }
+            segs = [
+                s
+                for s in self._snapshot_at(end["rev"]).for_label(
+                    self._series.label
+                )
+                if s.path and s.path not in old
+            ]
         # append semantics: emit the new segments' rows AS WRITTEN (no
         # effective-bound clipping — this is a tail of writes)
         rels = [

@@ -916,3 +916,132 @@ def test_stream_reader_admission_after_restart(spark, ds_repo):
     )
     want = sorted(tuple(r) for r in s.frame(sort=False).collect())
     assert got == want
+
+
+def test_stream_defrag_midstream_exactly_once(spark, ds_repo):
+    """Round 13 (found by append-sink probe): a defrag of the SOURCE
+    while a stream runs must emit nothing — the merged segment is a
+    rewrite, not a write. Snapshot-diff emission re-emitted every
+    compacted row (50 -> 100 on a parquet sink; the lakota sink's
+    overlay had masked it); delta-based emission reads each commit's
+    own `delta` payload, and maintenance commits record []."""
+    import time
+
+    repo, s = ds_repo
+    ckpt = tempfile.mkdtemp(prefix="lakota-defrag-ckpt-")
+    outdir = tempfile.mkdtemp(prefix="lakota-defrag-out-")
+    for lo in (200, 210, 220):
+        s.write({
+            "ts": list(range(lo, lo + 5)),
+            "value": [float(lo)] * 5,
+            "tag": ["d"] * 5,
+        })
+    total = s.frame(sort=False).count()
+    q = (
+        spark.readStream.format("lakota")
+        .option("path", repo.root)
+        .option("table", "m/x")
+        .option("startingOffsets", "earliest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+
+    def emitted():
+        try:
+            return spark.read.parquet(outdir).count()
+        except Exception:  # noqa: BLE001 — no files yet
+            return -1
+
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and emitted() != total:
+            time.sleep(0.3)
+        assert emitted() == total
+        repo.collection("m").defrag(page_len=500_000, max_chunk=1)
+        segs = repo.collection("m").snapshot().for_label("x")
+        assert any(s.meta.get("defrag") for s in segs), "no merge ran"
+        time.sleep(4)  # several triggers over the defragged source
+        assert emitted() == total, "defrag re-emitted compacted rows"
+        s.write({"ts": [999], "value": [9.0], "tag": ["n"]})
+        deadline = time.time() + 60
+        while time.time() < deadline and emitted() != total + 1:
+            time.sleep(0.3)
+        assert emitted() == total + 1
+    finally:
+        q.stop()
+
+
+def test_stream_restart_straddling_defrag(spark, ds_repo):
+    """Round 13, the straddle case: writes land while the query is
+    DOWN, then a defrag merges them away before the restart. The
+    restart batch must emit exactly the missed writes — snapshot-diff
+    would instead emit the merged segment (duplicating the already-
+    emitted history AND hiding which rows were new); the per-commit
+    deltas of the missed writes are still readable (gc keeps payload-
+    referenced files), so delta emission recovers them exactly."""
+    import time
+
+    repo, s = ds_repo
+    ckpt = tempfile.mkdtemp(prefix="lakota-straddle-ckpt-")
+    outdir = tempfile.mkdtemp(prefix="lakota-straddle-out-")
+
+    def start():
+        return (
+            spark.readStream.format("lakota")
+            .option("path", repo.root)
+            .option("table", "m/x")
+            .option("startingOffsets", "earliest")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    def emitted():
+        try:
+            return spark.read.parquet(outdir).count()
+        except Exception:  # noqa: BLE001 — no files yet
+            return -1
+
+    base = s.frame(sort=False).count()
+    q = start()
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and emitted() != base:
+            time.sleep(0.3)
+        assert emitted() == base
+    finally:
+        q.stop()
+    # while down: two writes, then a defrag that merges the two unseen
+    # small segments away (their rows now live only inside the merged
+    # defrag segment)
+    for lo in (300, 310):
+        s.write({
+            "ts": [lo, lo + 1],
+            "value": [float(lo), float(lo + 1)],
+            "tag": ["s", "s"],
+        })
+    repo.collection("m").defrag(page_len=500_000, max_chunk=1)
+    segs = repo.collection("m").snapshot().for_label("x")
+    # the two unseen writes were merged away into the defrag segment
+    assert any(s.meta.get("defrag") for s in segs), "no merge ran"
+    q = start()
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and emitted() != base + 4:
+            time.sleep(0.3)
+        assert emitted() == base + 4, emitted()
+        got = sorted(
+            r.ts
+            for r in spark.read.parquet(outdir)
+            .where("ts >= 300").collect()
+        )
+        assert got == [300, 301, 310, 311]
+    finally:
+        q.stop()
