@@ -1045,3 +1045,83 @@ def test_stream_restart_straddling_defrag(spark, ds_repo):
         assert got == [300, 301, 310, 311]
     finally:
         q.stop()
+
+
+def test_stream_emission_matches_write_ledger(spark, repo):
+    """Round-13 differential for delta-based emission: random sequences
+    of appends, overlay-overwrites and defrags; the parquet sink must
+    end up with EXACTLY the union of rows the test itself wrote (the
+    independent ledger) — overlay writes emit as written (tail-of-
+    writes semantics), defrag emits nothing."""
+    import random as _random
+    import time
+
+    register(spark)
+    rng = _random.Random(42)
+    src = repo.create_collection(
+        Schema(ts="int*", value="float", tag="str"), "led"
+    ).series("x")
+    ledger: list[tuple] = []
+
+    def write(lo, n, val):
+        rows = {
+            "ts": list(range(lo, lo + n)),
+            "value": [val] * n,
+            "tag": ["w"] * n,
+        }
+        src.write(rows)
+        ledger.extend(zip(rows["ts"], rows["value"], rows["tag"]))
+
+    write(0, 5, 0.0)
+    ckpt = tempfile.mkdtemp(prefix="lakota-ledger-ckpt-")
+    outdir = tempfile.mkdtemp(prefix="lakota-ledger-out-")
+    q = (
+        spark.readStream.format("lakota")
+        .option("path", repo.root)
+        .option("table", "led/x")
+        .option("startingOffsets", "earliest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+
+    def emitted():
+        try:
+            return spark.read.parquet(outdir).count()
+        except Exception:  # noqa: BLE001 — no files yet
+            return -1
+
+    try:
+        base = 100
+        for step in range(10):
+            # unique value per write: identical re-writes would hit the
+            # double-write no-op (no revision, nothing emitted) while
+            # the ledger double-counted
+            val = float(step + 1)
+            op = rng.random()
+            if op < 0.5:
+                # fresh disjoint append
+                write(base, rng.randrange(1, 6), val)
+                base += 10
+            elif op < 0.8:
+                # overlay-overwrite an existing range: a WRITE, so its
+                # rows join the ledger (emitted even though they clip
+                # older rows out of the table view)
+                lo = rng.randrange(0, max(base - 10, 1))
+                write(lo, rng.randrange(1, 4), 100.0 + val)
+            else:
+                repo.collection("led").defrag(page_len=50, max_chunk=1)
+        deadline = time.time() + 120
+        while time.time() < deadline and emitted() != len(ledger):
+            time.sleep(0.3)
+        assert emitted() == len(ledger), (emitted(), len(ledger))
+        got = sorted(
+            (r.ts, r.value, r.tag)
+            for r in spark.read.parquet(outdir).collect()
+        )
+        assert got == sorted(ledger)
+    finally:
+        q.stop()
