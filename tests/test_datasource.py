@@ -1031,6 +1031,10 @@ def test_stream_restart_straddling_defrag(spark, ds_repo):
     segs = repo.collection("m").snapshot().for_label("x")
     # the two unseen writes were merged away into the defrag segment
     assert any(s.meta.get("defrag") for s in segs), "no merge ran"
+    # gc must keep the merged-away originals alive: their revisions'
+    # payloads still reference them, and the restart batch below reads
+    # their rows from those files
+    repo.gc(timeout=600.0)
     q = start()
     try:
         deadline = time.time() + 90
