@@ -1129,3 +1129,63 @@ def test_stream_emission_matches_write_ledger(spark, repo):
         assert got == sorted(ledger)
     finally:
         q.stop()
+
+
+def test_stream_survives_retention_trim_behind_it(spark, ds_repo):
+    """Round 13: a retention trim (`trim(before=cutoff)`) that deletes
+    history BEHIND a live stream's position must not disturb it — the
+    stream's offset survives the re-rooting (only each branch's FIRST
+    survivor is rewritten), the ancestry walk re-roots cleanly, and
+    subsequent writes keep emitting exactly once. (A stream whose
+    offset IS trimmed away gets the documented restart error — that
+    half is pinned elsewhere via the squash tests.)"""
+    import time
+
+    repo, s = ds_repo
+    ckpt = tempfile.mkdtemp(prefix="lakota-trim-ckpt-")
+    outdir = tempfile.mkdtemp(prefix="lakota-trim-out-")
+    for lo in (400, 410, 420):
+        s.write({
+            "ts": [lo], "value": [float(lo)], "tag": ["t"],
+        })
+    time.sleep(0.01)
+    cutoff = time.time()
+    time.sleep(0.01)
+    s.write({"ts": [430], "value": [430.0], "tag": ["t"]})
+    s.write({"ts": [440], "value": [440.0], "tag": ["t"]})
+    total = s.frame(sort=False).count()
+    q = (
+        spark.readStream.format("lakota")
+        .option("path", repo.root)
+        .option("table", "m/x")
+        .option("startingOffsets", "earliest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+
+    def emitted():
+        try:
+            return spark.read.parquet(outdir).count()
+        except Exception:  # noqa: BLE001 — no files yet
+            return -1
+
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and emitted() != total:
+            time.sleep(0.3)
+        assert emitted() == total
+        # retention trim strictly behind the stream's head position
+        repo.collection("m").trim(before=cutoff)
+        time.sleep(2)  # a few triggers over the trimmed source
+        assert emitted() == total, "trim caused re-emission"
+        s.write({"ts": [450], "value": [450.0], "tag": ["t"]})
+        deadline = time.time() + 60
+        while time.time() < deadline and emitted() != total + 1:
+            time.sleep(0.3)
+        assert emitted() == total + 1
+    finally:
+        q.stop()
