@@ -1426,10 +1426,18 @@ def group_shingle_overlap(
     left unrounded (engine-deterministic)."""
     from lakota_spark.functions import tokens, word_shingles
 
+    # The distinct (g, shingle) relation feeds FOUR consumers (sizes,
+    # both join sides — and sizes joins back twice): per-consumer filter
+    # pushdown (isnotnull(shingle) on the join sides only) differentiates
+    # the subtrees, so exchange reuse cannot fire and each consumer
+    # re-runs the full corpus explode+distinct (r13 plan audit: 4 parquet
+    # scans). One lazy executor-local materialization serves all four —
+    # the winnow/langid recompute-guard discipline (interleaved A/B at
+    # sf0.1: 3.8 -> 3.0 s best-of-3, plan collapses 4 scans -> 1).
     sh = df.select(
         F.col(group_col).alias("g"),
         F.explode(word_shingles(tokens(text_col), n)).alias("shingle"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sizes = sh.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a = sh.select(F.col("g").alias("src_a"), "shingle")
     b = sh.select(F.col("g").alias("src_b"), "shingle")

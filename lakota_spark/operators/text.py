@@ -583,7 +583,17 @@ def unigram_lm_scores(
         F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
     )
     tok = df.select(F.col(id_col), F.explode(words).alias("token"))
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # vocab feeds TWO consumers (the one-row stats aggregate and the
+    # lp relation) whose subtrees diverge under per-consumer pushdown,
+    # defeating exchange reuse — without the checkpoint each re-runs
+    # the corpus token explode+groupBy (r13 plan audit: 3 parquet
+    # scans -> 2). The vocab is the SMALL relation (distinct tokens),
+    # so the lazy executor-local materialization is cheap.
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     stats = vocab.agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
     )
@@ -1038,6 +1048,7 @@ def langid_ngram_predict(
     n: int = 3,
     tok: DataFrame | None = None,
     salt: int = 1,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Predict the max-likelihood language per document under a fitted
     `langid_ngram_fit` model. Exact integer scoring:
@@ -1072,7 +1083,7 @@ def langid_ngram_predict(
     )
     if not lang_rows:
         return (
-            df.select(F.col(id_col))
+            df.select(F.col(id_col), *[F.col(c) for c in (carry or [])])
             .limit(0)
             .withColumns(
                 {
@@ -1088,13 +1099,22 @@ def langid_ngram_predict(
         .agg(F.first("lp_micro"))
         .toDF("g", *[f"_lp_{i}" for i in range(len(names))])
     )
+    # ``carry``: doc-level columns (functionally dependent on id_col)
+    # threaded through the explode and into the per-doc groupBy keys, so
+    # a caller that needs (doc attr, prediction) — the confusion matrix —
+    # skips a full docs-vs-predictions equi-join (2 exchanges + 2 sorts
+    # at local scale; a whole doc-keyed shuffle at cluster scale). The
+    # partial-agg exchange carries one row per doc either way, so the
+    # extra key bytes are per-doc, not per-gram.
+    carry = carry or []
     if tok is None:
         tok = df.select(
             F.col(id_col),
+            *[F.col(c) for c in carry],
             F.explode_outer(_char_ngram_expr(text_col, n)).alias("g"),
         )
     else:
-        tok = tok.select(F.col(id_col), "g")
+        tok = tok.select(F.col(id_col), *carry, "g")
     if salt > 1:
         from lakota_spark.operators.skew import salted_join
 
@@ -1103,7 +1123,7 @@ def langid_ngram_predict(
         joined = tok.join(F.broadcast(wide), "g", "left")
     per_doc = (
         joined
-        .groupBy(id_col)
+        .groupBy(id_col, *carry)
         .agg(
             F.count("g").alias("n_g"),
             *[
@@ -1136,6 +1156,7 @@ def langid_ngram_predict(
     )
     return per_doc.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         best["cand"].alias("pred_lang"),
         (-best["neg_s"]).alias("score_micro"),
     )
@@ -1218,8 +1239,13 @@ def bigram_lm_scores(
     fit_pr = pr if fit_df is None else positions(fit_df).localCheckpoint(
         eager=False
     )
-    uni = fit_pr.groupBy(F.col("cur").alias("token")).agg(
-        F.count(F.lit(1)).alias("c")
+    # uni feeds THREE consumers (nn, cu, cp) — without a checkpoint each
+    # re-aggregates the full checkpointed position relation (r13 plan
+    # audit). The unigram vocab is the small relation; materialize once.
+    uni = (
+        fit_pr.groupBy(F.col("cur").alias("token"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     nn = uni.agg(F.sum("c").alias("n"))
     bi = (

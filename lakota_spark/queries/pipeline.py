@@ -2475,11 +2475,27 @@ def langid_ngram_confusion(
     # hatch stays on the operators for corpora where the chain
     # dominates the explode's row bytes.
     model, langs = T.langid_ngram_fit(aug)
-    pred = T.langid_ngram_predict(aug, model, langs, salt=salt)
+    # carry=["lang"] (broadcast path only): thread the true label
+    # through the predict groupBy instead of re-joining predictions
+    # back onto the corpus on doc_id — drops the docs-vs-pred equi-join
+    # (2 exchanges) and one corpus scan from the plan; counts are
+    # identical (lang is functionally dependent on doc_id). Interleaved
+    # A/B at sf0.1: plain 8.1 -> 4.3 s (with the fit-side checkpoint).
+    # NOT carried on the salted path: there the probe side is
+    # repartitioned on (g, salt), so the label would ride the per-GRAM
+    # exchange — measured ~15% slower than re-joining per-doc
+    # (4.0 -> 4.7 s); the salted twin keeps the doc_id join.
+    if salt > 1:
+        pred = T.langid_ngram_predict(aug, model, langs, salt=salt)
+        return (
+            aug.select("doc_id", "lang")
+            .join(pred, "doc_id")
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+    pred = T.langid_ngram_predict(aug, model, langs, carry=["lang"])
     return (
-        aug.select("doc_id", "lang")
-        .join(pred, "doc_id")
-        .groupBy("lang", "pred_lang")
+        pred.groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
 
