@@ -252,6 +252,13 @@ def lsh_candidates(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+    # the banded relation feeds up to THREE consumers (the hot-bucket cap
+    # counts + both sides of the pair self-join); per-consumer pushdown
+    # defeats exchange reuse, so without a checkpoint each consumer
+    # re-runs the K-min signature aggregation + band explode (round-13
+    # plan audit: minhash_dedup_pairs scanned the shingle checkpoint 6×,
+    # 0 ReusedExchange). Same discipline as winnow_dup_pairs.
+    banded = banded.localCheckpoint(eager=False)
     if max_bucket:
         counts = banded.groupBy("band_idx", "band_key").agg(
             F.count(F.lit(1)).alias("_n")
@@ -260,7 +267,7 @@ def lsh_candidates(
             counts.where(F.col("_n") <= max_bucket).drop("_n"),
             on=["band_idx", "band_key"],
             how="left_semi",
-        )
+        ).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
