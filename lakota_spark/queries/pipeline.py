@@ -2918,8 +2918,13 @@ def domain_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_params").alias("sum_params"),
     )
     # one-row broadcast scalar for the corpus share (no window, no
-    # driver collect — the established pattern)
-    tot = parsed.agg(F.count(F.lit(1)).alias("_total"))
+    # driver collect — the established pattern). Counted on the RAW docs
+    # relation, not `parsed`: url_stats is row-preserving (projection +
+    # left-outer PSL flag joins against a unique suffix table), so the
+    # counts are identical, and counting `parsed` re-ran the whole
+    # regexp+PSL chain a second time (round-13 plan audit: 10 scans,
+    # two full BroadcastHashJoin×4 chains → one).
+    tot = d.agg(F.count(F.lit(1)).alias("_total"))
     return agg.crossJoin(F.broadcast(tot)).select(
         "domain",
         "n_docs",
