@@ -2753,7 +2753,16 @@ def pca_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, v = _pca_model(spark, sf_dir)
     from lakota_spark.operators.clustering import pca_project
 
-    pc = pca_project(_emb(spark, sf_dir), mean, v)
+    # The projection (64-dim zip_with/aggregate per row — interpreted
+    # higher-order ops, the expensive kind) feeds FOUR consumers: both
+    # histogram sides and, through them, both psi_terms totals. Without
+    # lineage truncation each consumer replays the full corpus
+    # projection (before-plan: 4 parquet scans, Exchange x10).
+    # Materialize the narrow (vec_id, pc1) relation once — the same
+    # multi-consumer discipline as the LSH banded relation.
+    pc = pca_project(_emb(spark, sf_dir), mean, v).localCheckpoint(
+        eager=False
+    )
     ref = histogram_counts(
         pc.where(F.col("vec_id") % 2 == 0), "pc1", -5.0, 5.0, 16
     )
