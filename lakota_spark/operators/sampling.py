@@ -976,11 +976,18 @@ def contrastive_pairs(
     # normalize orientation (identity for minhash/embedding pair output,
     # which already emits doc_a < doc_b) so the negative anti-join can
     # never miss a reversed positive
+    # `pairs` is typically the full near-dup verify chain (banded LSH
+    # self-join + Jaccard verification) and `pos` feeds TWO consumers —
+    # the union output and the negative anti-join build side. Without
+    # lineage truncation each consumer replays that whole chain
+    # (measured at sf0.1: Exchange 9 -> 3 with the checkpoint; at scale
+    # the duplicate is a second full candidate-verify pass). The pair
+    # relation is bounded, so materializing it is cheap.
     pos = pairs.select(
         F.least("doc_a", "doc_b").alias("doc_a"),
         F.greatest("doc_a", "doc_b").alias("doc_b"),
         F.lit(1).alias("label"),
-    )
+    ).localCheckpoint(eager=False)
     h = hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
     sharded = docs.select(
         F.col(id_col), F.col(lang_col).alias("_lang")
