@@ -953,9 +953,15 @@ def dedup_clusters(
         return _dedup_clusters_star(pairs, src, dst, max_iter)
     if method != "min_label":
         raise ValueError(f"unknown method: {method!r}")
+    # `pairs` is typically the full near-dup verify chain; the
+    # symmetrizing union consumes it TWICE, and both branches replay the
+    # chain inside the single edges materialization. Truncate lineage on
+    # the bounded pair projection first so the chain runs once.
+    p = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=False)
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -1077,13 +1083,20 @@ def _dedup_clusters_star(
     alternations; convergence = canonical edge set unchanged. Node count
     never grows, so every intermediate fits wherever the input fit.
     """
-    nodes = _sym_edges(
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    ).select(F.col("a").alias("node")).distinct().localCheckpoint(eager=False)
+    # same discipline as min_label: the pair chain feeds three subtrees
+    # (both _sym_edges branches + und); materialize the projection once
+    p = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        _sym_edges(p)
+        .select(F.col("a").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     und = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
+        p.where(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
