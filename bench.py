@@ -336,6 +336,10 @@ def main() -> None:
         fn = qs[name]
         trials = []
         try:
+            # label the rung's jobs so Spark UI / event-log analysis can
+            # attribute stages to rungs (optimization guide §1.5);
+            # timing methodology unchanged
+            spark.sparkContext.setJobDescription(f"bench:{name}")
             for _ in range(3):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
