@@ -714,77 +714,66 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch.q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
-#: Round-13 driver window (stale-first rotation, VERDICT r12 #1/#2):
-#: the driver records CORRECTNESS rows for the FIRST 50 queries()
-#: entries, so this list IS the round's external-validation window. No
-#: never-recorded entries exist after r12 (ledger: 23 last-r9, 50 each
-#: r10/r11/r12), so the window is pure staleness rotation: ALL 23
-#: entries whose last driver row is r9 — exactly the set the r12
-#: verdict enumerated — then the 26 alphabetically-first r10 entries,
-#: led by the one NEW r13 entry (1 + 23 + 26 = 50). That set naturally retires the standing `no_oracle`
-#: cell (VERDICT r12 #2): `bpe_token_stats` (rows-only by design, last
-#: r12) rotates OUT and its oracle-backed value-pinned fixture twin
-#: `bpe_token_stats_fixture` (r10, 2nd alphabetically) rotates IN, so
-#: CORRECTNESS_r13 has zero non-green cells of any kind. Computed from
-#: the committed CORRECTNESS_r*.json history (ties by name); after
-#: this round every registry entry's last driver row is >= r10.
-_R13_WINDOW = [
-    # --- NEW r13 entry (never recorded — must lead the window) ---
-    "engine_kv_registry_scan",
-    # --- last driver row r9 (the whole stale set), stalest-first by
-    #     name ---
-    "multimodal_features",
-    "multimodal_frames",
-    "pii_scrub_stats",
-    "pivot_daily_by_type",
-    "pq_topk",
-    "props_extract",
-    "quality_deciles",
-    "quantized_cosine_topk",
-    "repeated_span_flags",
-    "rolling_avg",
-    "semdedup_top_pairs",
-    "sexpr_daily_reduce",
-    "sft_conversation_report",
-    "simhash_near_pairs",
-    "sketch_stats",
-    "source_filtered_counts",
-    "topk_value",
-    "trigram_accent_search",
-    "trigram_posting_stats",
-    "union_concat",
-    "value_histogram",
-    "value_outliers",
-    "window_top3_per_type",
-    # --- last driver row r10, alphabetically-first 27 ---
-    "bigram_lm_quality",
-    "bpe_token_stats_fixture",
-    "ccnet_buckets",
-    "cdc_chunk_report",
-    "cdc_containment_pairs",
-    "char_entropy_stats",
-    "contamination_overlap",
-    "corpus_report",
-    "decayed_user_activity",
-    "decontaminate_bloom_flag",
-    "dsir_importance",
-    "encoding_quality_report",
-    "engine_datasource_scan",
-    "engine_datasource_write",
-    "engine_mask_scan",
-    "engine_sql_report",
-    "group_quantiles",
-    "heavy_hitter_tokens",
-    "hybrid_search_rrf",
-    "interval_overlap_report",
-    "ivf_recall_audit",
-    "langid_ngram_confusion",
-    "mips_topk",
-    "near_dup_gate",
-    "pagerank_top_docs",
-    "pareto_quality_sample",
-    # (pca_drift_psi, the would-be 27th r10 entry, is displaced by the
-    #  new r13 entry above and leads the r14 rotation)
+#: Round-14 driver window (stale-first rotation, VERDICT r13 #7): zero
+#: never-recorded entries exist after r13 (ledger: 24 last-r10, 50 each
+#: r11/r12/r13), so the window is pure staleness rotation computed from
+#: the committed CORRECTNESS_r*.json history (ties by name): ALL 24
+#: entries whose last driver row is r10, then the 26 alphabetically-
+#: first r11 entries (24 + 26 = 50). After this round every registry
+#: entry's last driver row is >= r11.
+_R14_WINDOW = [
+    # --- last driver row r10 (the whole stale set), by name ---
+    "pca_drift_psi",
+    "pca_top_component",
+    "priority_sample_per_source",
+    "quality_classifier_calibration",
+    "quality_classifier_eval",
+    "quality_classifier_holdout",
+    "quality_gate_pass",
+    "source_overlap_jaccard",
+    "span_clip_clean",
+    "stratified_sample_mix",
+    "temperature_resample_report",
+    "tpch_q1",
+    "tpch_q11_important",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_promo_share",
+    "tpch_q21_waiting",
+    "tpch_q2_min_cost",
+    "trigram_search",
+    "trigram_search_indexed",
+    "unigram_lm_quality",
+    "unigram_token_stats_fixture",
+    "winnow_dup_pairs",
+    "winnow_fingerprint_stats",
+    "wordpiece_token_stats_fixture",
+    # --- last driver row r11, alphabetically-first 26 ---
+    "agg_daily",
+    "asof_purchase_click",
+    "balanced_lang_sample",
+    "boilerplate_doc_flags",
+    "chunked_documents",
+    "cluster_topic_terms",
+    "containment_dup_pairs",
+    "contrastive_pairs",
+    "cube_qty",
+    "customers_no_orders",
+    "dedup_clusters",
+    "dedup_exact",
+    "distinct_counts",
+    "doc_fingerprint",
+    "dup_rate_by_source",
+    "edit_dup_pairs",
+    "engine_datasource_overlay",
+    "engine_datasource_overwrite",
+    "engine_defrag_scan",
+    "engine_overlay_update",
+    "engine_tail",
+    "jaccard_top_pairs",
+    "kv_last_wins",
+    "lang_id",
+    "lang_mixture_weights",
+    "leakage_safe_split",
 ]
 
 
@@ -796,7 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cycle back through the window so external validation stays fresh
     across the whole registry surface, not just the newest additions.
 
-    The window is the explicit `_R13_WINDOW` list above (leading the
+    The window is the explicit `_R14_WINDOW` list above (leading the
     returned dict); the registry literal below keeps its historical
     order and supplies the tail. The full per-round ledger lives in
     NOTES.md ("driver-window ledger"); entries after position 50 are
@@ -808,7 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against the committed CORRECTNESS_r*.json history.
     """
     reg = _registry()
-    out = {k: reg[k] for k in _R13_WINDOW}
+    out = {k: reg[k] for k in _R14_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
     return out
 

@@ -654,6 +654,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     w: int = 4,
+    impl: str = "expr",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every positional word
@@ -667,9 +668,18 @@ def winnow_fingerprints(
     This emits the robust summary per document: fingerprint count, exact
     long sum, min and max of the distinct selected hashes (set-equality
     evidence without shipping the sets). The selection is ALL map-side
-    array math — zero shuffle, one corpus scan; hashes are md5-derived
+    compute — zero shuffle, one corpus scan; hashes are md5-derived
     (`functions.hash32`) so a SQL oracle reproduces them bit-for-bit.
+
+    ``impl`` selects between two bit-identical implementations
+    (differential-tested in tests/test_operators.py): ``"expr"`` — the
+    per-row Catalyst expression chain (zero Python boundary); ``"arrow"``
+    — a `mapInArrow` batch fold (hashlib.md5 + numpy sliding-min), the
+    guide-§4.2 shape where per-batch native code replaces the O(k·m)
+    zip_with chains.
     """
+    if impl == "arrow":
+        return _winnow_fingerprints_arrow(df, text_col, id_col, k, w)
     grams, fp = _winnow_cols(text_col, k, w)
     return df.select(
         F.col(id_col),
@@ -680,6 +690,96 @@ def winnow_fingerprints(
         ).alias("fp_sum"),
         F.array_min(fp).alias("fp_min"),
         F.array_max(fp).alias("fp_max"),
+    )
+
+
+def _winnow_fingerprints_arrow(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int
+) -> DataFrame:
+    """Bit-exact `mapInArrow` twin of the winnow expression chain.
+
+    Semantics replicated from the Catalyst version, in order:
+    `F.trim` strips 0x20 spaces ONLY; `F.split(_, r"\\s+")` uses Java's
+    ASCII ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]`` with limit -1 (leading/
+    trailing separators produce empty tokens, '' splits to ['']);
+    `hash32` is the first 4 bytes of md5(utf-8) as an unsigned int;
+    windows of ``w`` consecutive gram hashes keep their minimum; the
+    distinct fingerprint set is summarized (count / exact sum / min /
+    max, empty set -> 0/0/null/null). Only (id, text) cross the Python
+    boundary (guide §4.1: project before an opaque op); md5 + the
+    numpy sliding-min are once-per-batch native folds (guide §4.2).
+    """
+    out_schema = (
+        f"{id_col} long, n_grams long, n_fps long, "
+        "fp_sum long, fp_min long, fp_max long"
+    )
+
+    def fold(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        ws = re.compile("[ \t\n\x0b\f\r]+")  # Java regex \s (ASCII)
+        md5 = hashlib.md5
+        for b in batches:
+            ids = b.column(0)
+            texts = b.column(1).to_pylist()
+            n = len(texts)
+            ng = np.zeros(n, np.int64)
+            nf = np.zeros(n, np.int64)
+            fsum = np.zeros(n, np.int64)
+            fmin = np.zeros(n, np.int64)
+            fmax = np.zeros(n, np.int64)
+            has_fp = np.zeros(n, bool)
+            for i, t in enumerate(texts):
+                toks = ws.split(t.strip(" "))
+                m = len(toks) - (k - 1)
+                if m < 1:
+                    continue  # n_grams 0, no fingerprints
+                ng[i] = m
+                h = np.fromiter(
+                    (
+                        int.from_bytes(
+                            md5(" ".join(toks[j : j + k]).encode()).digest()[
+                                :4
+                            ],
+                            "big",
+                        )
+                        for j in range(m)
+                    ),
+                    np.int64,
+                    m,
+                )
+                nwin = m - (w - 1)
+                if nwin < 1:
+                    continue  # grams but no full window: empty fp set
+                acc = h[:nwin].copy()
+                for j in range(1, w):
+                    np.minimum(acc, h[j : j + nwin], out=acc)
+                fps = np.unique(acc)
+                nf[i] = fps.size
+                fsum[i] = fps.sum()
+                fmin[i] = fps[0]
+                fmax[i] = fps[-1]
+                has_fp[i] = True
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(ng, pa.int64()),
+                    pa.array(nf, pa.int64()),
+                    pa.array(fsum, pa.int64()),
+                    pa.array(fmin, pa.int64(), mask=~has_fp),
+                    pa.array(fmax, pa.int64(), mask=~has_fp),
+                ],
+                names=[
+                    id_col, "n_grams", "n_fps", "fp_sum", "fp_min", "fp_max"
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        fold, out_schema
     )
 
 
@@ -1105,8 +1205,21 @@ def langid_ngram_predict(
     # skips a full docs-vs-predictions equi-join (2 exchanges + 2 sorts
     # at local scale; a whole doc-keyed shuffle at cluster scale). The
     # partial-agg exchange carries one row per doc either way, so the
-    # extra key bytes are per-doc, not per-gram.
+    # extra key bytes are per-doc, not per-gram. Intended for the
+    # broadcast path: under salt>1 the carried columns ride the
+    # per-GRAM salted exchange (measured ~15% slower in the r13 A/B —
+    # the confusion pipeline keeps the per-doc join there instead).
     carry = carry or []
+    reserved = {"g", "n_g", "pred_lang", "score_micro", id_col}
+    bad = [
+        c
+        for c in carry
+        if c in reserved or c.startswith(("_lp_", "_s_", "_m_"))
+    ]
+    if bad:  # a collision would silently corrupt the pivot scoring
+        raise ValueError(
+            f"carry columns collide with langid internals: {bad}"
+        )
     if tok is None:
         tok = df.select(
             F.col(id_col),

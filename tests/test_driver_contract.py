@@ -62,13 +62,12 @@ def test_bench_names_resolve():
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
 
 
-def test_r13_window_is_pure_staleness_rotation():
-    """VERDICT r12 #1/#2: with zero never-recorded entries after r12,
-    the r13 window must be exactly the 23 last-r9 entries plus the 27
-    alphabetically-first last-r10 entries, recomputed here from the
-    committed CORRECTNESS history — and must contain the oracle-backed
-    fixture twin instead of the rows-only `bpe_token_stats` so the
-    round records zero non-green cells."""
+def test_r14_window_is_pure_staleness_rotation():
+    """VERDICT r13 #7: with zero never-recorded entries after r13, the
+    r14 window must be exactly the 24 last-r10 entries plus the 26
+    alphabetically-first last-r11 entries, recomputed here from the
+    committed CORRECTNESS history — keeping every registry entry's last
+    driver row >= r11 after this round."""
     import re
 
     last = {}
@@ -84,18 +83,29 @@ def test_r13_window_is_pure_staleness_rotation():
     # after them follows the staleness recipe
     new = [q for q in window if q not in last]
     rest = window[len(new) :]
-    r9 = sorted(q for q in reg if last.get(q) == 9)
     r10 = sorted(q for q in reg if last.get(q) == 10)
-    assert rest == r9 + r10[: WINDOW - len(new) - len(r9)], (
-        "window does not follow the r13 stale-first recipe"
+    r11 = sorted(q for q in reg if last.get(q) == 11)
+    assert rest == r10 + r11[: WINDOW - len(new) - len(r10)], (
+        "window does not follow the r14 stale-first recipe"
     )
-    assert "bpe_token_stats" not in window
-    assert "bpe_token_stats_fixture" in window
     oracles = entry_mod.oracle_sql()
     rows_only = [q for q in window if q not in oracles]
     assert rows_only == [], (
-        f"r13 window must be 100% oracle-backed, found: {rows_only}"
+        f"r14 window must be 100% oracle-backed, found: {rows_only}"
     )
+
+
+def test_bench_rung_aliases():
+    """VERDICT r13 #1: the final bench line carries frozen <=6-char
+    aliases so 98 per-rung timings fit the driver's ~2000-char tail
+    window. The table must cover every rung exactly, injectively, and
+    within the length bound — a rename or collision silently corrupts
+    cross-round per-query matching."""
+    assert set(bench.RUNG_ALIAS) == set(bench.BENCH_QUERIES)
+    aliases = list(bench.RUNG_ALIAS.values())
+    assert len(set(aliases)) == len(aliases), "alias collision"
+    too_long = [a for a in aliases if len(a) > 6 or not a]
+    assert too_long == [], too_long
 
 
 def test_bench_variant_tags_resolve():

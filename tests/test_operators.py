@@ -1375,6 +1375,50 @@ def test_winnow_local_sampling_guarantee(spark):
     assert stats[0].fp_sum == sum(fps[0])
 
 
+def test_winnow_arrow_impl_bit_identical(spark):
+    # the mapInArrow twin (round-14 guide-§4.2 rewrite candidate) must be
+    # BIT-identical to the Catalyst expression chain — including the
+    # Java-regex \s tokenization corners (ASCII class only: NBSP and
+    # other unicode spaces are NOT separators), trim-strips-0x20-only,
+    # leading/trailing separator empty tokens, and the short-doc
+    # (no-gram / gram-but-no-window) null shapes.
+    from lakota_spark.operators.text import winnow_fingerprints
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (1, "  lead and trail spaces  "),
+        (2, "tab\tsep\nnewline\x0bvtab\fformfeed\rcarriage mix of all"),
+        (3, "one two three four"),          # 4 tokens: zero grams
+        (4, "one two three four five"),     # 5 tokens: 1 gram, no window
+        (5, "a b c d e f g h"),             # 8 grams->4: exactly 1 window
+        (6, ""),                             # '' splits to ['']
+        (7, "   "),                          # trims to ''
+        (8, "nbsp is not a java separator here truly honest"),
+        (9, "unicode tokens: émo ascii ℓatin 漢字 mixed Ω tokens here ok"),
+        (10, "astral \U0001F600 emoji token stream with many more words"
+             " to cross the window threshold for fingerprints"),
+        (11, "dup dup dup dup dup dup dup dup dup dup dup dup"),
+    ] + [
+        (100 + i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(i % 25)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {r.doc_id: r for r in winnow_fingerprints(docs).collect()}
+    arrow = {
+        r.doc_id: r
+        for r in winnow_fingerprints(docs, impl="arrow").collect()
+    }
+    assert expr.keys() == arrow.keys()
+    for d in expr:
+        assert tuple(expr[d]) == tuple(arrow[d]), (d, expr[d], arrow[d])
+    # schemas identical too (types + nullability-insensitive names)
+    a = winnow_fingerprints(docs, impl="arrow")
+    e = winnow_fingerprints(docs)
+    assert [(f.name, f.dataType) for f in a.schema.fields] == [
+        (f.name, f.dataType) for f in e.schema.fields
+    ]
+
+
 def test_unigram_lm_property_vs_python(spark):
     # differential vs a pure-Python add-one unigram LM on random docs:
     # same tokens, same smoothing, micro-nat quantization reproduced
@@ -4341,6 +4385,31 @@ def test_langid_ngram_learns_and_generalizes(spark):
     assert out[11].pred_lang == "de"
     assert out[12].pred_lang == "de"  # alphabetically-first of {de, en}
     assert out[12].score_micro == 0
+
+
+def test_langid_carry_rejects_reserved_names(spark):
+    # ADVICE r13: a carry column colliding with the scorer's internal
+    # names (g, n_g, _lp_i/_s_i/_m_i, outputs, the id) would silently
+    # corrupt the pivot scoring — must raise instead
+    import pytest
+
+    from lakota_spark.operators.text import (
+        langid_ngram_fit,
+        langid_ngram_predict,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "the sharing of the things", "en")],
+        "doc_id long, text string, lang string",
+    )
+    model, langs = langid_ngram_fit(train)
+    test = spark.createDataFrame(
+        [(1, "the weather", "x")], "doc_id long, text string, g string"
+    )
+    for bad in ("g", "n_g", "pred_lang", "score_micro", "_lp_0",
+                "_s_3", "_m_1", "doc_id"):
+        with pytest.raises(ValueError, match="carry columns collide"):
+            langid_ngram_predict(test, model, langs, carry=[bad])
 
 
 def test_langid_ngram_min_count_prunes_model(spark):
