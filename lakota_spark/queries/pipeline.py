@@ -2112,10 +2112,16 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection per document
     (operators/text.winnow_fingerprints) — local-sampling guarantees for
-    partial-overlap detection, zero shuffle."""
+    partial-overlap detection, zero shuffle. impl="arrow": the per-batch
+    hashlib/numpy fold (bit-identical to the expression chain, pinned by
+    test_winnow_arrow_impl_bit_identical) measured 0.26× at 32 cores and
+    0.11× at 8 cores vs the zip_with chains at sf0.1 (round-14 A/B,
+    scripts/probe_winnow_arrow_r14.py)."""
     from lakota_spark.operators.util import ensure_parallelism
 
-    return T.winnow_fingerprints(ensure_parallelism(_docs(spark, sf_dir)))
+    return T.winnow_fingerprints(
+        ensure_parallelism(_docs(spark, sf_dir)), impl="arrow"
+    )
 
 
 def quality_gate_pass(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,6 +35,10 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            # one plain-text file (rolled logs are zstd-compressed,
+            # unreadable with the stdlib)
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -60,18 +64,33 @@ def main() -> None:
     spark.stop()
 
     # ---- parse the event log ---------------------------------------
-    files = [
+    entries = [
         os.path.join(log_dir, f)
         for f in os.listdir(log_dir)
         if not f.startswith(".")
     ]
-    assert len(files) == 1, files
+    assert len(entries) == 1, entries
+    # Spark 4 rolled format: a directory holding events_* part files
+    if os.path.isdir(entries[0]):
+        files = sorted(
+            os.path.join(entries[0], f)
+            for f in os.listdir(entries[0])
+            if f.startswith("events")
+        )
+    else:
+        files = entries
+    assert files, entries
     job_desc = {}       # jobId -> description
     stage_to_job = {}   # stageId -> jobId
     stages = {}         # stageId -> dict
     task_times = {}     # stageId -> [ms]
-    with open(files[0]) as fh:
-        for line in fh:
+    def _lines():
+        for path in files:
+            with open(path) as fh:
+                yield from fh
+
+    if True:
+        for line in _lines():
             ev = json.loads(line)
             e = ev.get("Event")
             if e == "SparkListenerJobStart":
@@ -156,7 +175,7 @@ def main() -> None:
                 f"{s['task_max_ms']:>6}/{s['task_med_ms']:<6} "
                 f"{s['name'][:60]}"
             )
-    print(f"\nevent log: {files[0]}")
+    print(f"\nevent log: {files}")
 
 
 if __name__ == "__main__":
