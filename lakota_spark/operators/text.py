@@ -955,6 +955,71 @@ def ccnet_buckets_scalable(
     )
 
 
+def _winnow_fp_table_arrow(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int
+) -> DataFrame:
+    """Exploded (doc, fp) winnow fingerprint relation via `mapInArrow` —
+    the cardinality-changing twin of `_winnow_fingerprints_arrow` (same
+    bit-exact tokenize/hash/window fold, emits the distinct fingerprint
+    SET per doc instead of its summary). Docs with no full window emit
+    nothing, exactly like exploding the expr chain's empty array."""
+    def fold(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        ws = re.compile("[ \t\n\x0b\f\r]+")  # Java regex \s (ASCII)
+        md5 = hashlib.md5
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            idx: list = []
+            vals: list = []
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                toks = ws.split(t.strip(" "))
+                m = len(toks) - (k - 1)
+                nwin = m - (w - 1)
+                if nwin < 1:
+                    continue
+                h = np.fromiter(
+                    (
+                        int.from_bytes(
+                            md5(" ".join(toks[j : j + k]).encode()).digest()[
+                                :4
+                            ],
+                            "big",
+                        )
+                        for j in range(m)
+                    ),
+                    np.int64,
+                    m,
+                )
+                acc = h[:nwin].copy()
+                for j in range(1, w):
+                    np.minimum(acc, h[j : j + nwin], out=acc)
+                fps = np.unique(acc)
+                idx.append(np.full(fps.size, i, np.int32))
+                vals.append(fps)
+            if idx:
+                indices = pa.array(np.concatenate(idx))
+                fp_col = pa.array(np.concatenate(vals), pa.int64())
+            else:
+                indices = pa.array([], pa.int32())
+                fp_col = pa.array([], pa.int64())
+            yield pa.record_batch(
+                [b.column(0).take(indices), fp_col],
+                names=["doc", "fp"],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        fold, f"doc {id_type}, fp long"
+    )
+
+
 def winnow_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -963,6 +1028,7 @@ def winnow_dup_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_bucket: int | None = 1000,
+    impl: str = "expr",
 ) -> DataFrame:
     """Fingerprint-based near-dup candidate pairs — the MOSS use of the
     winnowed set: docs sharing ≥ ``min_shared`` fingerprints. The
@@ -977,15 +1043,21 @@ def winnow_dup_pairs(
     equi-join on fingerprint with doc_a < doc_b, partial-agg count per
     pair. Never all-pairs; in-bucket fan-out is bounded by the cap.
     """
-    _, fp = _winnow_cols(text_col, k, w)
     # the exploded fingerprint relation feeds THREE consumers (the
     # hot-bucket cap groupBy and BOTH sides of the self-join); without a
-    # checkpoint each re-runs the w-1-zip_with winnow chain — measured
-    # 19.7 s vs ~4 s at sf0.1 (the langid/dsir localCheckpoint
-    # discipline; see tests/test_plans.py recompute guard)
-    e = df.select(
-        F.col(id_col).alias("doc"), F.explode(fp).alias("fp")
-    ).localCheckpoint(eager=False)
+    # checkpoint each re-runs the winnow chain — measured 19.7 s vs
+    # ~4 s at sf0.1 (the langid/dsir localCheckpoint discipline; see
+    # tests/test_plans.py recompute guard). impl="arrow" derives the
+    # relation with the per-batch hashlib/numpy fold instead of the
+    # zip_with expression chain (bit-identical; round-14 A/B).
+    if impl == "arrow":
+        e = _winnow_fp_table_arrow(df, text_col, id_col, k, w)
+    else:
+        _, fp = _winnow_cols(text_col, k, w)
+        e = df.select(
+            F.col(id_col).alias("doc"), F.explode(fp).alias("fp")
+        )
+    e = e.localCheckpoint(eager=False)
     if max_bucket is not None:
         ok = (
             e.groupBy("fp")

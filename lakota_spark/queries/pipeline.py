@@ -2439,10 +2439,15 @@ def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     under-parallel single-file input: the w-1-zip_with winnow chain is
     the per-row-expensive kind that serializes on one core otherwise
     (19.7 s -> 1.7 s at sf0.1 with this guard + the operator's
-    localCheckpoints; no-op on a well-partitioned scan)."""
+    localCheckpoints; no-op on a well-partitioned scan). impl="arrow":
+    the fingerprint table comes from the per-batch hashlib/numpy fold
+    (bit-identical, pinned by test_winnow_fp_table_arrow_identical);
+    round-14 A/B at sf0.1: 0.71x at 32 cores, 0.41x at 8."""
     from lakota_spark.operators.util import ensure_parallelism
 
-    return T.winnow_dup_pairs(ensure_parallelism(_docs(spark, sf_dir)))
+    return T.winnow_dup_pairs(
+        ensure_parallelism(_docs(spark, sf_dir)), impl="arrow"
+    )
 
 
 def langid_ngram_confusion(

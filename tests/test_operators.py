@@ -4387,6 +4387,61 @@ def test_langid_ngram_learns_and_generalizes(spark):
     assert out[12].score_micro == 0
 
 
+def test_winnow_fp_table_arrow_identical(spark):
+    # the exploded (doc, fp) Arrow fold behind winnow_dup_pairs
+    # (impl="arrow") must equal exploding the expr chain's distinct
+    # fingerprint array — same corners as the summary twin, plus the
+    # no-window docs emitting zero rows
+    from pyspark.sql import functions as F
+
+    from lakota_spark.functions import hash32, tokens, word_shingles
+    from lakota_spark.operators.text import (
+        _winnow_fp_table_arrow,
+        winnow_dup_pairs,
+    )
+
+    shared = " ".join(f"common{i}" for i in range(10))
+    rows = [
+        (0, "alpha beta gamma " + shared + " delta epsilon"),
+        (1, "one two three four five " + shared + " six"),
+        (2, "short doc here"),            # no grams
+        (3, "exactly five tokens sit here"),  # hmm 5 tokens: 1 gram, no window
+        (4, None),
+        (5, "tab\tand\x0bmixed\fseparators\rwith newline\nhere ok fine"),
+    ] + [
+        (100 + i, " ".join(f"w{(i * 3 + j) % 9}" for j in range(i % 22)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = F.transform(word_shingles(tokens("text"), 5), lambda s: hash32(s))
+    n_win = F.size(grams) - F.lit(3)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+        lambda i: F.array_min(F.slice(grams, i, 4)),
+    )
+    fp = F.when(n_win >= 1, F.array_distinct(wins)).otherwise(
+        F.array().cast("array<long>")
+    )
+    expr = sorted(
+        (r.doc, r.fp)
+        for r in docs.select(
+            F.col("doc_id").alias("doc"), F.explode(fp).alias("fp")
+        ).collect()
+    )
+    arrow = sorted(
+        (r.doc, r.fp)
+        for r in _winnow_fp_table_arrow(docs, "text", "doc_id", 5, 4)
+        .collect()
+    )
+    assert expr == arrow
+    # end-to-end: both impls of winnow_dup_pairs agree
+    e = sorted(tuple(r) for r in winnow_dup_pairs(docs).collect())
+    a = sorted(
+        tuple(r) for r in winnow_dup_pairs(docs, impl="arrow").collect()
+    )
+    assert e == a and e, "expected at least one shared-run pair"
+
+
 def test_langid_carry_rejects_reserved_names(spark):
     # ADVICE r13: a carry column colliding with the scorer's internal
     # names (g, n_g, _lp_i/_s_i/_m_i, outputs, the id) would silently
