@@ -373,6 +373,8 @@ def cluster_topic_terms(
     id_col: str = "doc_id",
     assign_id_col: str | None = None,
     cluster_col: str = "cluster",
+    two_stage: bool = False,
+    n_sub: int = 64,
 ) -> DataFrame:
     """Class-based TF-IDF topic terms per cluster (the BERTopic topic-
     representation step, round 8): join each document to its k-means
@@ -439,10 +441,25 @@ def cluster_topic_terms(
             .alias("ctfidf_micro"),
         )
     )
+    if two_stage:
+        # explicit sub-shard top-k (VERDICT r13 #3): stage 1 ranks
+        # within (cluster, hash(term) % n_sub) — hash-uniform splits of
+        # a hot cluster — and keeps top_k per sub-stream; stage 2
+        # re-ranks the <= top_k*n_sub survivors per cluster. Exact:
+        # a cluster's global top-k is a subset of its per-shard top-ks.
+        from lakota_spark.functions import hash32
+
+        w1 = Window.partitionBy(
+            cluster_col, F.pmod(hash32(F.col("term")), F.lit(n_sub))
+        ).orderBy(F.col("ctfidf_micro").desc(), "term")
+        scored = scored.withColumn(
+            "_r1", F.row_number().over(w1)
+        ).where(F.col("_r1") <= top_k)
     w = Window.partitionBy(cluster_col).orderBy(
         F.col("ctfidf_micro").desc(), "term"
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= top_k)
     )
+    return out.drop("_r1") if two_stage else out

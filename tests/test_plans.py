@@ -986,3 +986,60 @@ def test_kv_registry_scan_plan(spark):
     ]
     # disjoint => every refutable bucket is actually dropped
     assert len(pruned) == len(segs) - len(refutable)
+
+
+def test_cluster_topic_terms_window_group_limit(spark):
+    # VERDICT r13 #3: the final per-cluster top-k must prune map-side
+    # BEFORE the exchange. Spark 4's InferWindowGroupLimit already
+    # yields exactly that shape for the rank<=k filter — pin it (a
+    # partial WindowGroupLimit upstream of the cluster exchange) so a
+    # refactor can't silently regress to a full-relation window sort.
+    # The explicit two_stage=True sub-shard variant was measured SLOWER
+    # at sf0.1 (1.12x @32 cores, 1.03x @8 — OPTIMIZATION_r14.md) and
+    # stays off by default; its value-equality is pinned below.
+    import re
+
+    from lakota_spark.queries import pipeline
+
+    df = pipeline.cluster_topic_terms(spark, SF)
+    plan = plans.explain_str(df, "formatted")
+    wgl = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
+    assert len(wgl) >= 2, plan  # partial (map-side) + final
+    # the partial WindowGroupLimit sits BELOW the exchange feeding the
+    # final window: in the numbered tree the deepest WGL node id is
+    # smaller than the exchange right above the final window
+    m = re.findall(
+        r"WindowGroupLimit \((\d+)\)|Exchange \((\d+)\)", plan
+    )
+    wgl_ids = sorted(int(a) for a, b in m if a)
+    exch_ids = sorted(int(b) for a, b in m if b)
+    assert wgl_ids and exch_ids
+    assert min(wgl_ids) < max(exch_ids), plan
+
+
+def test_cluster_topic_terms_two_stage_value_identical(spark):
+    # exactness of the sub-shard composition (global top-k per cluster
+    # is a subset of per-shard top-ks), including score ties broken on
+    # the term string across shard boundaries
+    from lakota_spark.operators.clustering import cluster_topic_terms
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"t{(i * 7 + j) % 23}" for j in range(30)))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    assign = spark.createDataFrame(
+        [(i, i % 5) for i in range(60)], "doc_id long, cluster int"
+    )
+    one = sorted(
+        tuple(r) for r in cluster_topic_terms(docs, assign).collect()
+    )
+    two = sorted(
+        tuple(r)
+        for r in cluster_topic_terms(
+            docs, assign, two_stage=True, n_sub=7
+        ).collect()
+    )
+    assert one == two and one
