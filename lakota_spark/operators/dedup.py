@@ -263,11 +263,16 @@ def lsh_candidates(
         counts = banded.groupBy("band_idx", "band_key").agg(
             F.count(F.lit(1)).alias("_n")
         )
+        # NOT pinned (ADVICE r13 double-pin): the semi-join re-runs per
+        # self-join side over the PINNED banded relation — one cheap
+        # map-side-agg'd counts pass each — instead of holding a second
+        # full-size executor-storage copy for the query lifetime.
+        # Round-14 A/B at sf0.1 (cap=1000): 0.999x, outputs identical.
         banded = banded.join(
             counts.where(F.col("_n") <= max_bucket).drop("_n"),
             on=["band_idx", "band_key"],
             how="left_semi",
-        ).localCheckpoint(eager=False)
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1065,9 +1065,14 @@ def winnow_dup_pairs(
             .where(F.col("_n") <= max_bucket)
             .select("fp")
         )
-        # capped relation is itself consumed twice by the self-join;
-        # checkpoint so the cap join runs once, not per side
-        e = e.join(ok, "fp").localCheckpoint(eager=False)
+        # the capped relation is consumed twice by the self-join but is
+        # deliberately NOT pinned (ADVICE r13 double-pin): each side
+        # re-runs only the cheap cap join over the PINNED base, while
+        # pinning it would hold a second full-relation copy for the
+        # query lifetime. Round-14 interleaved A/B (single vs double
+        # pin, arrow fold, sf0.1): 0.87x at 32 cores / 0.96x at 8,
+        # outputs identical.
+        e = e.join(ok, "fp")
     a = e.select(F.col("fp"), F.col("doc").alias("doc_a"))
     b = e.select(F.col("fp"), F.col("doc").alias("doc_b"))
     return (
