@@ -2865,8 +2865,16 @@ def html_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals (tag count, link count, anchor-chars/extracted-chars link
     density). The oracle constructs the same page and runs the same
     RE2-compatible chain in DuckDB — extraction is validated
-    end-to-end, not spot-checked."""
-    d = _docs(spark, sf_dir)
+    end-to-end, not spot-checked.
+
+    Round-robins the under-parallel single-file input first: the
+    extraction regex chain is per-row-expensive and otherwise runs as
+    ONE task (round-14 event-log profile: a single 423 ms task; with
+    the guard 0.60x at 32 cores / 0.66x at 8, values identical; no-op
+    on a well-partitioned scan)."""
+    from lakota_spark.operators.util import ensure_parallelism
+
+    d = ensure_parallelism(_docs(spark, sf_dir))
     pages = d.select(
         "doc_id",
         F.expr(
