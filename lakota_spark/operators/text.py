@@ -149,8 +149,109 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return df.select(F.col(id_col), fingerprint(text_col).alias("digest"))
 
 
+def _repetition_stats_arrow(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Bit-exact `mapInArrow` twin of `repetition_stats` (round 14).
+
+    Every signal is integer counting + int/int IEEE division, so the
+    Python fold reproduces the expression chain exactly: lines split on
+    literal newlines keeping empties (Java split limit -1), tokens via
+    the 0x20-trim + ASCII-\\s split, n-gram strings joined with single
+    spaces, the modal 2-gram tie-break is the smallest gram in code-point
+    order (= Spark's UTF8 binary array_sort order), and `F.length`'s
+    code-point counting matches Python `len`."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, n_lines long, dup_line_frac double, "
+        "dup_line_char_frac double, top_2gram_count long, "
+        "top_2gram_char_frac double, dup_5gram_frac double"
+    )
+
+    def fold(batches):
+        import re
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow as pa
+
+        ws = re.compile("[ \t\n\x0b\f\r]+")  # Java regex \s (ASCII)
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            n = len(texts)
+            n_lines = np.zeros(n, np.int64)
+            dlf = np.zeros(n, np.float64)
+            dlcf = np.zeros(n, np.float64)
+            t2c = np.zeros(n, np.int64)
+            t2f = np.zeros(n, np.float64)
+            d5f = np.zeros(n, np.float64)
+            is_null = np.zeros(n, bool)
+            for i, t in enumerate(texts):
+                if t is None:
+                    # expr chain: line signals null, but the gram
+                    # signals are 0/0.0 — word_shingles' empty-array
+                    # guard (greatest(null,1)) eats the null
+                    is_null[i] = True
+                    continue
+                lines = t.split("\n")
+                nl = len(lines)
+                n_lines[i] = nl
+                lc = Counter(lines)
+                dlf[i] = (nl - len(lc)) / max(nl, 1)
+                n_chars = max(len(t), 1)
+                dlcf[i] = (
+                    sum(len(l) * c for l, c in lc.items() if c >= 2)
+                    / n_chars
+                )
+                toks = ws.split(t.strip(" "))
+                g2 = [
+                    a + " " + c for a, c in zip(toks, toks[1:])
+                ]
+                if g2:
+                    c2 = Counter(g2)
+                    best = max(c2.values())
+                    best_g = min(
+                        g for g, c in c2.items() if c == best
+                    )
+                    t2c[i] = best
+                    t2f[i] = best * len(best_g) / n_chars
+                m5 = len(toks) - 4
+                if m5 >= 1:
+                    g5 = {
+                        " ".join(toks[j : j + 5]) for j in range(m5)
+                    }
+                    d5f[i] = (m5 - len(g5)) / m5
+            yield pa.record_batch(
+                [
+                    b.column(0),
+                    pa.array(n_lines, pa.int64(), mask=is_null),
+                    pa.array(dlf, pa.float64(), mask=is_null),
+                    pa.array(dlcf, pa.float64(), mask=is_null),
+                    pa.array(t2c, pa.int64()),
+                    pa.array(t2f, pa.float64()),
+                    pa.array(d5f, pa.float64()),
+                ],
+                names=[
+                    id_col,
+                    "n_lines",
+                    "dup_line_frac",
+                    "dup_line_char_frac",
+                    "top_2gram_count",
+                    "top_2gram_char_frac",
+                    "dup_5gram_frac",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        fold, out_schema
+    )
+
+
 def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    impl: str = "expr",
 ) -> DataFrame:
     """Gopher-style intra-document repetition signals (Rae et al. 2021,
     §A1.1 quality heuristics) — the standard pretrain-corpus filters for
@@ -174,7 +275,14 @@ def repetition_stats(
     groupBy — the shape that survives 100 TB without moving a byte.
 
     Ratios are int/int divisions (bitwise-deterministic, no rounding).
+
+    ``impl="arrow"`` computes the same signals in a `mapInArrow` batch
+    fold (Counter/set counting — bit-identical: every value is an
+    integer count or an int/int IEEE division, no transcendentals;
+    differential-tested in tests/test_operators.py).
     """
+    if impl == "arrow":
+        return _repetition_stats_arrow(df, text_col, id_col)
     t = F.col(text_col)
     toks = tokens(text_col)
     lines = F.split(t, "\n")

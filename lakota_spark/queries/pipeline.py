@@ -595,7 +595,11 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The operator itself adds no shuffle (plan contract); the wrapper
     round-robins the under-parallel single-file input so the per-row
-    gram math uses every core — a no-op on a well-partitioned scan."""
+    gram math uses every core — a no-op on a well-partitioned scan.
+    impl="arrow": the per-batch Counter/set fold (bit-identical —
+    integer counts + int/int IEEE divisions only; pinned by
+    test_repetition_stats_arrow_identical) measured 0.82x at 32 cores
+    and 0.40x at 8 vs the zip_with chains at sf0.1 (round-14 A/B)."""
     from lakota_spark.operators.util import ensure_parallelism
 
     docs = ensure_parallelism(_docs(spark, sf_dir))
@@ -609,7 +613,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.col("text")),
     )
-    return T.repetition_stats(aug)
+    return T.repetition_stats(aug, impl="arrow")
 
 
 def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4387,6 +4387,47 @@ def test_langid_ngram_learns_and_generalizes(spark):
     assert out[12].score_micro == 0
 
 
+def test_repetition_stats_arrow_identical(spark):
+    # the Arrow fold must reproduce the expression chain bit-for-bit:
+    # duplicate-line fractions (incl. empty lines from consecutive
+    # newlines), modal-2-gram tie-break on the smallest gram, int/int
+    # IEEE divisions, null text -> all-null row
+    from lakota_spark.operators.text import repetition_stats
+
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "line one\nline two\nline one\nline two\nline three"),
+        (2, "x y x y x y x y"),              # modal 2-gram ties: x y / y x
+        (3, ""),                              # single empty line
+        (4, "\n\n\n"),                        # 4 empty duplicate lines
+        (5, None),                            # null text: null stats
+        (6, "one"),                           # no 2-grams at all
+        (7, "rep rep rep rep rep rep rep"),   # degenerate repetition
+        (8, "tab\tsep mixed\x0bspaces here in one line ok"),
+        (9, "ünï ünï code ünï points Ω Ω Ω here"),
+    ] + [
+        (100 + i, "\n".join(
+            " ".join(f"w{(i + j + l) % 7}" for j in range(i % 13))
+            for l in range(i % 5)
+        ))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {r.doc_id: tuple(r) for r in repetition_stats(docs).collect()}
+    arrow = {
+        r.doc_id: tuple(r)
+        for r in repetition_stats(docs, impl="arrow").collect()
+    }
+    assert expr.keys() == arrow.keys()
+    for d in expr:
+        assert expr[d] == arrow[d], (d, expr[d], arrow[d])
+    a = repetition_stats(docs, impl="arrow")
+    e = repetition_stats(docs)
+    assert [(f.name, f.dataType) for f in a.schema.fields] == [
+        (f.name, f.dataType) for f in e.schema.fields
+    ]
+
+
 def test_winnow_fp_table_arrow_identical(spark):
     # the exploded (doc, fp) Arrow fold behind winnow_dup_pairs
     # (impl="arrow") must equal exploding the expr chain's distinct
