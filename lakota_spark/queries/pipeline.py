@@ -232,10 +232,16 @@ def decontaminate_bloom_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination severity: longest contiguous benchmark-shared
     4-gram run per contaminated doc (gaps-and-islands over matched
-    shingle positions — operators/sampling.contamination_overlap)."""
-    from lakota_spark.operators.sampling import contamination_overlap as op
+    shingle positions — operators/sampling.contamination_overlap).
 
-    docs = _docs(spark, sf_dir)
+    Round-robins the under-parallel single-file input: the corpus-side
+    posexplode + broadcast semi-join otherwise runs one ~1.5 s task
+    (round-14 event-log profile; with the guard 0.77x at 32 cores /
+    0.59x at 8, values identical; no-op on a well-partitioned scan)."""
+    from lakota_spark.operators.sampling import contamination_overlap as op
+    from lakota_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(_docs(spark, sf_dir))
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     return op(corpus, bench, n=4)
@@ -2851,10 +2857,16 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.group_shingle_overlap): pairwise Jaccard between
     each source's distinct 3-shingle set — "how much of dump B is
     already in dump A" before any per-doc dedup is scheduled. Exact SQL
-    oracle (unrounded exact-int division)."""
-    from lakota_spark.operators.dedup import group_shingle_overlap
+    oracle (unrounded exact-int division).
 
-    return group_shingle_overlap(_docs(spark, sf_dir))
+    Round-robins the under-parallel single-file input: the shingle
+    chain otherwise runs one ~1 s task (round-14 event-log profile;
+    with the guard 0.82x at 32 cores / 0.58x at 8, values identical;
+    no-op on a well-partitioned scan)."""
+    from lakota_spark.operators.dedup import group_shingle_overlap
+    from lakota_spark.operators.util import ensure_parallelism
+
+    return group_shingle_overlap(ensure_parallelism(_docs(spark, sf_dir)))
 
 
 def html_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
